@@ -1,13 +1,436 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.eda.Eda
+import graft.ml.Metrics
+import graft.proximity.Proximity
+import graft.text.Text
+import graft.transforms.Transforms
+import graft.views.Views
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or the
+  * training-data-pipeline extension set), expressed through the graft
+  * library; each `oracleSql` entry is the equivalent ANSI SQL DuckDB runs
+  * on the same parquet tables. Aggregate/computed columns are aliased
+  * identically on both sides; floating aggregates are rounded identically
+  * on both sides so cross-engine float noise cannot flip the hash compare.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum surfaced as double — deterministic across engines
+    * (decimal accumulation is order-independent; the final double cast of
+    * the same decimal value is identical everywhere).
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private val lineitemNumeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───────── EDA pack (SURVEY §2.4) ─────────
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q02_num_rows" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("num_rows"))),
+    "q03_descriptive_stats" -> ((s, dir) => {
+      val d = Eda.descriptiveStats(t(s, dir, "lineitem"), lineitemNumeric)
+      d.select(col("column_name"), col("min"), round(col("q1"), 6).as("q1"),
+        round(col("median"), 6).as("median"), round(col("q3"), 6).as("q3"),
+        col("max"), round(col("mean"), 6).as("mean"),
+        round(col("stddev"), 6).as("stddev"))
+    }),
+    "q04_count_distinct" -> ((s, dir) =>
+      Eda.countDistinct(t(s, dir, "lineitem"), lineitemNumeric ++ Seq("l_orderkey", "l_returnflag"))),
+    "q05_count_nulls" -> ((s, dir) =>
+      Eda.countNulls(t(s, dir, "lineitem"), lineitemNumeric)),
+    "q06_count_zeros" -> ((s, dir) =>
+      Eda.countZeros(t(s, dir, "lineitem"), lineitemNumeric)),
+    "q07_correlations" -> ((s, dir) =>
+      Eda.correlations(t(s, dir, "lineitem"), lineitemNumeric)
+        .select(col("col_1"), col("col_2"), round(col("correlation"), 6).as("correlation"))),
+    "q08_value_counts" -> ((s, dir) =>
+      Eda.valueCounts(t(s, dir, "orders"), "o_orderpriority")),
+    "q09_outliers" -> ((s, dir) =>
+      Eda.outliers(t(s, dir, "customer"), Seq("c_acctbal"))
+        .select("c_custkey", "c_acctbal")),
+    // ───────── window / views / joins (SURVEY §2.2, 2.3, 2.5) ─────────
+    "q10_snapshot" -> ((s, dir) =>
+      Views.snapshot(t(s, dir, "events"), "user_id",
+        Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "value")),
+    "q11_column_subset" -> ((s, dir) =>
+      Views.columnSubset(t(s, dir, "customer"), Seq("c_custkey", "c_name", "c_acctbal"))),
+    "q12_join_view" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val supp = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+        .select("o_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      Views.joinView(orders, supp, "o_custkey", hintBroadcast = true)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+    }),
+    "q13_training_view" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+      val roles = base.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 7 === 0).as("exclude"),
+          (col("c_custkey") % 5 === 0).as("validation"),
+          lit(2.0).as("sample_weight"))
+      Views.trainingView(base, roles, "c_custkey")
+        .select("c_custkey", "c_name", "c_acctbal", "sample_weight", "validation")
+    }),
+    "q14_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    }),
+    "q15_temporal_split" -> ((s, dir) => {
+      val (train, _) = Transforms.temporalSplit(t(s, dir, "events"), "ts", "2024-03-01 00:00:00")
+      train.select("event_id", "event_type", "value")
+    }),
+    "q16_union_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "event_type", "value")
+      e.filter(col("value") > 150)
+        .unionByName(e.filter(col("event_type") === "error"))
+        .dropDuplicates("event_id")
+    }),
+    "q17_one_hot" -> ((s, dir) =>
+      Transforms.oneHot(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus"), "o_orderstatus")),
+    // ───────── ML metrics (SURVEY §2.4 metrics rows) ─────────
+    "q18_confusion_matrix" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("prediction",
+          when(col("value") >= 100, "purchase").otherwise(col("event_type")))
+      Metrics.confusionMatrix(e, "event_type", "prediction")
+    }),
+    "q19_regression_metrics" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("pred", col("o_totalprice") * 0.9 + 1000)
+      Metrics.regressionMetrics(o, "o_totalprice", "pred")
+        .select(round(col("rmse"), 2).as("rmse"), round(col("mae"), 2).as("mae"),
+          round(col("medae"), 2).as("medae"), col("r2"))
+    }),
+    "q20_classification_report" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("prediction",
+          when(col("value") >= 100, "purchase").otherwise(col("event_type")))
+      Metrics.classificationReport(e, "event_type", "prediction")
+    }),
+    // ───────── joins at TPC-H shape (bench headline) ─────────
+    "q21_top_revenue_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q22_nation_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q23_time_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("day", "event_type")),
+    "q24_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    // ───────── similarity / dedup / text (training-data pipeline pack) ─────────
+    "q25_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Proximity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("id"), col("neighbor_id"), round(col("similarity"), 4).as("similarity"))
+    }),
+    "q26_doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+    "q27_exact_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+    "q28_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 0.5)),
+    "q29_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_m"),
+          Text.wordCount(col("text")).cast("long").as("n_words"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "q30_quality_signals" -> ((s, dir) =>
+      Text.qualitySignals(t(s, dir, "documents"), "text")),
+    "q31_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    "q32_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)),
+    "q33_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6))
+  )
+
+  /** DuckDB-runnable oracles; keys/aliases match `queries` exactly.
+    * Omitted keys (q32/q33 — engine-specific hash functions) get the
+    * driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         ROUND(AVG(l_quantity), 4) AS avg_qty,
+         ROUND(AVG(l_discount), 6) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_num_rows" -> "SELECT COUNT(*) AS num_rows FROM lineitem",
+    "q03_descriptive_stats" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, CAST(MIN($c) AS DOUBLE) AS min,
+            ROUND(quantile_cont($c, 0.25), 6) AS q1,
+            ROUND(quantile_cont($c, 0.5), 6) AS median,
+            ROUND(quantile_cont($c, 0.75), 6) AS q3,
+            CAST(MAX($c) AS DOUBLE) AS max,
+            ROUND(AVG($c), 6) AS mean, ROUND(STDDEV($c), 6) AS stddev
+            FROM lineitem""").mkString(" UNION ALL "),
+    "q04_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_quantity) AS l_quantity,
+         COUNT(DISTINCT l_extendedprice) AS l_extendedprice,
+         COUNT(DISTINCT l_discount) AS l_discount,
+         COUNT(DISTINCT l_tax) AS l_tax,
+         COUNT(DISTINCT l_orderkey) AS l_orderkey,
+         COUNT(DISTINCT l_returnflag) AS l_returnflag FROM lineitem""",
+    "q05_count_nulls" ->
+      """SELECT COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS l_quantity,
+         COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS l_extendedprice,
+         COUNT(CASE WHEN l_discount IS NULL THEN 1 END) AS l_discount,
+         COUNT(CASE WHEN l_tax IS NULL THEN 1 END) AS l_tax FROM lineitem""",
+    "q06_count_zeros" ->
+      """SELECT COUNT(CASE WHEN l_quantity = 0 THEN 1 END) AS l_quantity,
+         COUNT(CASE WHEN l_extendedprice = 0 THEN 1 END) AS l_extendedprice,
+         COUNT(CASE WHEN l_discount = 0 THEN 1 END) AS l_discount,
+         COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS l_tax FROM lineitem""",
+    "q07_correlations" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_1, '$b' AS col_2, ROUND(CORR($a, $b), 6) AS correlation FROM lineitem"
+      }.mkString(" UNION ALL ")
+    },
+    "q08_value_counts" ->
+      """(SELECT o_orderpriority AS value, COUNT(*) AS count FROM orders
+          GROUP BY 1 ORDER BY count DESC, value ASC LIMIT 20)
+         UNION ALL
+         (SELECT o_orderpriority AS value, COUNT(*) AS count FROM orders
+          GROUP BY 1 ORDER BY count ASC, value DESC LIMIT 20)""",
+    "q09_outliers" ->
+      """WITH b AS (SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+                           quantile_cont(c_acctbal, 0.75) AS q3 FROM customer)
+         SELECT c_custkey, c_acctbal FROM customer, b
+         WHERE c_acctbal < q1 - 1.5 * (q3 - q1) OR c_acctbal > q3 + 1.5 * (q3 - q1)""",
+    "q10_snapshot" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1""",
+    "q11_column_subset" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "q12_join_view" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "q13_training_view" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal,
+         CAST(COALESCE(r.sample_weight, 1.0) AS DOUBLE) AS sample_weight,
+         COALESCE(r.validation, false) AS validation
+         FROM customer c LEFT JOIN (
+           SELECT c_custkey, c_custkey % 7 = 0 AS exclude,
+                  c_custkey % 5 = 0 AS validation, 2.0 AS sample_weight
+           FROM customer WHERE c_custkey % 2 = 0) r
+         ON c.c_custkey = r.c_custkey
+         WHERE NOT COALESCE(r.exclude, false)""",
+    "q14_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+         FROM orders QUALIFY rank <= 3""",
+    "q15_temporal_split" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-03-01 00:00:00'""",
+    "q16_union_dedup" ->
+      """SELECT event_id, ANY_VALUE(event_type) AS event_type, ANY_VALUE(value) AS value
+         FROM (SELECT event_id, event_type, value FROM events WHERE value > 150
+               UNION ALL
+               SELECT event_id, event_type, value FROM events WHERE event_type = 'error')
+         GROUP BY event_id""",
+    "q17_one_hot" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o_orderstatus_f,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS o_orderstatus_o,
+         CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS o_orderstatus_p
+         FROM orders""",
+    "q18_confusion_matrix" ->
+      """SELECT event_type AS label,
+         CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END AS prediction,
+         COUNT(*) AS count FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q19_regression_metrics" ->
+      """SELECT ROUND(SQRT(AVG((o_totalprice - pred) * (o_totalprice - pred))), 2) AS rmse,
+         ROUND(AVG(ABS(o_totalprice - pred)), 2) AS mae,
+         ROUND(quantile_cont(ABS(o_totalprice - pred), 0.5), 2) AS medae,
+         ROUND(1.0 - SUM((o_totalprice - pred) * (o_totalprice - pred)) /
+           (SUM(o_totalprice * o_totalprice) - COUNT(*) * AVG(o_totalprice) * AVG(o_totalprice)), 6) AS r2
+         FROM (SELECT o_totalprice,
+               o_totalprice * CAST(0.9 AS DOUBLE) + 1000 AS pred FROM orders)""",
+    "q20_classification_report" ->
+      """WITH cm AS (SELECT event_type AS label,
+             CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END AS prediction,
+             COUNT(*) AS count FROM events GROUP BY 1, 2),
+         actual AS (SELECT label AS class, SUM(count) AS support FROM cm GROUP BY 1),
+         predicted AS (SELECT prediction AS class, SUM(count) AS n_pred FROM cm GROUP BY 1),
+         tp AS (SELECT label AS class, count AS tp FROM cm WHERE label = prediction)
+         SELECT a.class, a.support,
+           ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6) AS precision,
+           ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6) AS recall,
+           ROUND(CASE WHEN ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6)
+                         + ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6) = 0 THEN 0
+             ELSE 2 * ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6)
+                    * ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6)
+                  / (ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6)
+                     + ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6)) END, 6) AS f1
+         FROM actual a LEFT JOIN predicted p ON a.class = p.class
+         LEFT JOIN tp t ON a.class = t.class ORDER BY a.class""",
+    "q21_top_revenue_orders" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q22_nation_revenue" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q23_time_rollup" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q24_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events""",
+    "q25_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 10),
+         r AS (SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS re
+           FROM embeddings),
+         pairs AS (SELECT id, neighbor_id,
+             list_dot_product(qe, re) /
+             (SQRT(list_dot_product(qe, qe)) * SQRT(list_dot_product(re, re))) AS sim
+           FROM q CROSS JOIN r WHERE id != neighbor_id)
+         SELECT id, neighbor_id, ROUND(sim, 4) AS similarity FROM pairs
+         QUALIFY row_number() OVER (PARTITION BY id ORDER BY sim DESC, neighbor_id) <= 5""",
+    "q26_doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+    "q27_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+         MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups FROM documents GROUP BY 1""",
+    "q28_jaccard_pairs" ->
+      """WITH docs AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS w
+           FROM documents WHERE doc_id < 200)
+         SELECT * FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard
+           FROM docs a CROSS JOIN docs b WHERE a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5""",
+    "q29_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           x -> length(x) > 0)) AS n_words,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+         FROM documents""",
+    "q30_quality_signals" -> {
+      val en = Text.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id, lang, source, n_chars,
+           length(text) AS n_chars_m, len(toks) AS n_words,
+           ROUND(CASE WHEN len(toks) = 0 THEN 0
+             ELSE list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+             END, 4) AS mean_word_len,
+           ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) /
+             GREATEST(length(text), 1), 4) AS punct_ratio,
+           ROUND(CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(len(list_filter(toks, x -> list_contains($en, x))) AS DOUBLE) / len(toks)
+             END, 4) AS stopword_ratio
+         FROM d"""
+    },
+    "q31_lang_id" -> {
+      def ratio(l: String): String = {
+        val sw = Text.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / GREATEST(len(toks), 1)"
+      }
+      s"""WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, ${ratio("de")} AS s_de, ${ratio("en")} AS s_en,
+                      ${ratio("es")} AS s_es, ${ratio("fr")} AS s_fr FROM d)
+         SELECT doc_id, CASE
+           WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+           WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+           WHEN s_de > 0 THEN 'de'
+           ELSE 'und' END AS lang_pred
+         FROM s"""
+    }
+  )
 }

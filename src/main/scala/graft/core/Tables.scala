@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.NumericType
+
+/** Table access over the driver-provided parquet directories.
+  *
+  * The reference keeps named tables in a Glue catalog queried through
+  * Athena (reference: src/workbench/core/artifacts/athena_source.py:23-59);
+  * here a "DataSource" is simply a parquet-backed DataFrame handle and the
+  * catalog role is played by the Spark session catalog.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
+    // the nanosAsLong legacy conf (set in Verify/Bench/tests); convert the
+    // raw nanos back to a proper timestamp (micros, Spark's native unit).
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      .getOrElse(df)
+  }
+
+  /** Numeric-column predicate mirroring the reference's "numeric" type set
+    * (reference: src/workbench/algorithms/sql/descriptive_stats.py:53) —
+    * in Spark terms, any NumericType.
+    */
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
+
+  /** String/boolean columns — the value-counts scope
+    * (reference: src/workbench/algorithms/sql/value_counts.py:31).
+    */
+  def categoricalCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.typeName == "string" || f.dataType.typeName == "boolean" => f.name
+    }
+}

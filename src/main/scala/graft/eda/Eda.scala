@@ -1,0 +1,145 @@
+package graft.eda
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EDA operator pack — the reference's most-executed query family.
+  *
+  * Every operator here is a SINGLE wide aggregate over the table (one scan,
+  * partial+final aggregation handled by Spark), mirroring the reference's
+  * "one SELECT with all per-column aggregates" pattern
+  * (reference: src/workbench/algorithms/sql/descriptive_stats.py:22-34,
+  * column_stats.py:104-111, correlations.py:29-35). At 100 TB these stay
+  * a single scan + tiny shuffle of partial aggregates — no per-column
+  * re-scans.
+  */
+object Eda {
+
+  /** min/q1/median/q3/max/mean/stddev per numeric column in ONE pass,
+    * returned long-format: (column, min, q1, median, q3, max, mean, stddev).
+    * (reference: src/workbench/algorithms/sql/descriptive_stats.py:14-83)
+    *
+    * `exact = true` uses the exact interpolating percentile (oracle parity
+    * with DuckDB's quantile_cont); `exact = false` uses approx_percentile,
+    * the scale path for 100 TB (sketch mergeable, bounded memory).
+    */
+  def descriptiveStats(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    def pct(c: String, p: Double): Column =
+      if (exact) expr(s"percentile($c, $p)") else expr(s"approx_percentile($c, $p, 10000)")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        pct(c, 0.25).cast("double").as(s"${c}__q1"),
+        pct(c, 0.5).cast("double").as(s"${c}__median"),
+        pct(c, 0.75).cast("double").as(s"${c}__q3"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        avg(col(c)).cast("double").as(s"${c}__mean"),
+        stddev(col(c)).cast("double").as(s"${c}__stddev"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // Pivot col__stat names back to one row per column, like the
+    // reference's result reshaping (descriptive_stats.py:40-83).
+    val stats = Seq("min", "q1", "median", "q3", "max", "mean", "stddev")
+    val stackExpr = cols.map { c =>
+      (Seq(s"'$c'") ++ stats.map(s => s"`${c}__$s`")).mkString(", ")
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackExpr) as (column_name, ${stats.mkString(", ")})")
+  }
+
+  /** COUNT(DISTINCT c) for every column in one SELECT
+    * (reference: src/workbench/algorithms/sql/column_stats.py:13-23).
+    * At scale prefer approxCountDistinct (HLL) — see `uniquesApprox`.
+    */
+  def countDistinct(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => count_distinct(col(c)).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** HLL-sketch uniques — the 100 TB path (single scan, mergeable). */
+  def uniquesApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => approx_count_distinct(col(c)).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** COUNT(CASE WHEN c IS NULL) per column
+    * (reference: src/workbench/algorithms/sql/column_stats.py:26-36). */
+  def countNulls(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => count(when(col(c).isNull, 1)).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** COUNT(CASE WHEN c = 0) per numeric column
+    * (reference: src/workbench/algorithms/sql/column_stats.py:39-49). */
+  def countZeros(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => count(when(col(c) === 0, 1)).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Full pairwise correlation matrix in ONE aggregate pass, long format
+    * (col_1, col_2, correlation), both orientations, sorted desc —
+    * mirroring the reference's n·(n-1) corr() aggregates in one SELECT
+    * (reference: src/workbench/algorithms/sql/correlations.py:14-91).
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      a <- cols; b <- cols if a < b
+    } yield (a, b)
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = pairs.map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }.mkString(", ")
+    val half = wide.selectExpr(
+      s"stack(${pairs.size}, $stackExpr) as (col_1, col_2, correlation)")
+    half.unionByName(half.select(col("col_2").as("col_1"), col("col_1").as("col_2"), col("correlation")))
+      .orderBy(desc("correlation"), asc("col_1"), asc("col_2"))
+  }
+
+  /** Per string column: top-20 by count desc UNION ALL bottom-20 asc
+    * (reference: src/workbench/algorithms/sql/value_counts.py:13-63).
+    * Ties broken by value for determinism. The groupBy shuffles only the
+    * distinct values (map-side combine), then each limit is a tiny top-k.
+    */
+  def valueCounts(df: DataFrame, column: String, k: Int = 20): DataFrame = {
+    val counts = df.na.fill("NaN", Seq(column))
+      .groupBy(col(column).as("value")).agg(count(lit(1)).as("count"))
+    val top = counts.orderBy(desc("count"), asc("value")).limit(k)
+    val bottom = counts.orderBy(asc("count"), desc("value")).limit(k)
+    top.unionByName(bottom)
+  }
+
+  /** IQR outlier bounds per column, computed client-side in one agg pass —
+    * phase 1 of the reference's two-phase outlier query
+    * (reference: src/workbench/algorithms/sql/outliers.py:59-126).
+    * Returns (column, lower_bound, upper_bound).
+    */
+  def outlierBounds(df: DataFrame, cols: Seq[String], scale: Double = 1.5,
+                    exact: Boolean = true): Map[String, (Double, Double)] = {
+    def pct(c: String, p: Double): Column =
+      if (exact) expr(s"percentile($c, $p)") else expr(s"approx_percentile($c, $p, 10000)")
+    val aggs = cols.flatMap(c => Seq(
+      pct(c, 0.25).cast("double").as(s"${c}__q1"),
+      pct(c, 0.75).cast("double").as(s"${c}__q3")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val q1 = row.getDouble(2 * i); val q3 = row.getDouble(2 * i + 1)
+      val iqr = q3 - q1
+      c -> (q1 - scale * iqr, q3 + scale * iqr)
+    }.toMap
+  }
+
+  /** Phase 2: multi-column OR predicate over the precomputed bounds
+    * (reference: src/workbench/algorithms/sql/outliers.py:128-155).
+    * The bounds are plain literals so the predicate pushes down to the
+    * parquet scan; no self-join, no percentile-in-WHERE.
+    */
+  def outliers(df: DataFrame, cols: Seq[String], scale: Double = 1.5,
+               limit: Option[Int] = None): DataFrame = {
+    val bounds = outlierBounds(df, cols, scale)
+    val conds = cols.map { c =>
+      val (lb, ub) = bounds(c)
+      col(c) < lb || col(c) > ub
+    }
+    val filtered = df.filter(conds.reduce(_ || _))
+    limit.fold(filtered)(filtered.limit)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.proximity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Proximity / KNN operator pack.
+  *
+  * The reference runs KNN client-side (sklearn NearestNeighbors / chunked
+  * sparse Ruzicka — reference: src/workbench/algorithms/dataframe/
+  * proximity.py:100-271, feature_space_proximity.py:65-104,
+  * fingerprint_proximity.py:19-160). Here the same semantics are expressed
+  * as Spark joins so they distribute:
+  *
+  *  - exact top-k: broadcast the (small) query side, crossJoin against the
+  *    reference side, window rank per query id. The reference side is never
+  *    collected — scales to arbitrarily large reference sets as long as the
+  *    query batch is broadcast-able (mirrors the reference's 1024-row query
+  *    chunking, fingerprint_proximity.py:32-45).
+  *  - approximate: MinHash-LSH banding (see graft.dedup) for Jaccard-like
+  *    metrics; random-hyperplane buckets for cosine (simhash-style).
+  *
+  * Canonical result schema matches the reference: (id, neighbor_id,
+  * distance, …) with self-exclusion and near-zero clamp at 1e-6
+  * (proximity.py:201-271).
+  */
+object Proximity {
+
+  /** Cosine similarity between two double-array columns. Computed with
+    * codegen'd higher-order functions (zip_with/aggregate) — no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Euclidean distance between two double-array columns. */
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+
+  /** Ruzicka (weighted-Tanimoto) distance on count vectors:
+    * d = 1 − Σmin(a,b)/Σmax(a,b)
+    * (reference identity: fingerprint_proximity.py:27-30 uses
+    * 2·L1/(Sq+Sr+L1); equivalent to 1 − Σmin/Σmax for non-negative counts).
+    */
+  def ruzicka(a: Column, b: Column): Column = {
+    val smin = aggregate(zip_with(a, b, (x, y) => least(x, y)), lit(0.0), (acc, v) => acc + v)
+    val smax = aggregate(zip_with(a, b, (x, y) => greatest(x, y)), lit(0.0), (acc, v) => acc + v)
+    lit(1.0) - when(smax === 0, lit(1.0)).otherwise(smin / smax)
+  }
+
+  /** Exact brute-force top-k neighbor join.
+    *
+    * @param queries  query rows (id + vector); SMALL — gets broadcast
+    * @param refs     reference rows (id + vector); arbitrarily large
+    * @param distance (queryVec, refVec) => distance column (ascending = closer)
+    * @return (id, neighbor_id, distance) — k rows per query id,
+    *         self-pairs excluded, distances < 1e-6 clamped to 0 like the
+    *         reference (proximity.py near-zero clamp).
+    */
+  def knnJoin(queries: DataFrame, refs: DataFrame, idCol: String, vecCol: String,
+              k: Int, distance: (Column, Column) => Column): DataFrame = {
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("__qv"))
+    val r = refs.select(col(idCol).as("neighbor_id"), col(vecCol).as("__rv"))
+    val d = distance(col("__qv"), col("__rv"))
+    val pairs = r.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        when(d < 1e-6, 0.0).otherwise(d).as("distance"))
+    val w = Window.partitionBy(col("id")).orderBy(asc("distance"), asc("neighbor_id"))
+    pairs.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Radius variant: all neighbors within `radius`
+    * (reference: fingerprint_proximity.py:142-160). */
+  def radiusJoin(queries: DataFrame, refs: DataFrame, idCol: String, vecCol: String,
+                 radius: Double, distance: (Column, Column) => Column): DataFrame = {
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("__qv"))
+    val r = refs.select(col(idCol).as("neighbor_id"), col(vecCol).as("__rv"))
+    val d = distance(col("__qv"), col("__rv"))
+    r.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        when(d < 1e-6, 0.0).otherwise(d).as("distance"))
+      .filter(col("distance") <= radius)
+  }
+
+  /** Brute-force cosine top-k similarity search over an embedding column —
+    * the ANN baseline. Returns (id, neighbor_id, similarity), most similar
+    * first per id.
+    */
+  def cosineTopK(queries: DataFrame, refs: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    val toD: Column => Column = c => transform(c, x => x.cast("double"))
+    val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
+    val r = refs.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("__rv"))
+    val sim = cosine(col("__qv"), col("__rv"))
+    val pairs = r.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"), sim.as("similarity"))
+    val w = Window.partitionBy(col("id")).orderBy(desc("similarity"), asc("neighbor_id"))
+    pairs.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** LSH-bucketed approximate cosine top-k — the 100 TB scale path.
+    *
+    * Random-hyperplane signatures (sign of dot with `nPlanes` seeded
+    * Gaussian-ish vectors) bucket the space; candidates only join within a
+    * bucket, replacing the O(|Q|·|R|) crossJoin with a hash-partitioned
+    * equi-join on the signature. Recall is tuned by `nTables` independent
+    * signature sets. Deterministic (seeded, no RNG at runtime).
+    */
+  def cosineTopKLsh(queries: DataFrame, refs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val toD: Column => Column = c => transform(c, x => x.cast("double"))
+    // Deterministic pseudo-random hyperplanes via a hash of (table, plane, i).
+    def planes(t: Int): Seq[Seq[Double]] =
+      (0 until nPlanes).map { p =>
+        (0 until dim).map { i =>
+          val h = scala.util.hashing.MurmurHash3.productHash((t, p, i))
+          (h.toDouble / Int.MaxValue) // in [-1, 1]
+        }
+      }
+    def signature(vec: Column, t: Int): Column = {
+      val bits = planes(t).map { plane =>
+        val planeCol = array(plane.map(lit): _*)
+        val dot = aggregate(zip_with(vec, planeCol, (x, y) => x * y), lit(0.0), (a, v) => a + v)
+        when(dot >= 0, lit(1)).otherwise(lit(0))
+      }
+      bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
+    }
+    val cand = (0 until nTables).map { t =>
+      val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
+        .withColumn("__sig", signature(col("__qv"), t))
+      val r = refs.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("__rv"))
+        .withColumn("__sig", signature(col("__rv"), t))
+      r.join(q, Seq("__sig")).filter(col("id") =!= col("neighbor_id"))
+        .select(col("id"), col("neighbor_id"), col("__qv"), col("__rv"))
+    }.reduce(_ unionByName _).dropDuplicates("id", "neighbor_id")
+    val w = Window.partitionBy(col("id")).orderBy(desc("similarity"), asc("neighbor_id"))
+    cand.select(col("id"), col("neighbor_id"), cosine(col("__qv"), col("__rv")).as("similarity"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator pack for large-scale training-data pipelines
+  * (beyond the reference's operator set — north-star scope).
+  *
+  * Everything is built from codegen'd built-in functions (split,
+  * regexp_extract_all, higher-order array functions) — no UDFs — so all
+  * operators stay inside whole-stage codegen and scale linearly with a
+  * single scan per table.
+  */
+object Text {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish token count: word pieces + standalone punctuation
+    * (regex `\w+|[^\w\s]`), the usual pre-tokenizer shape.
+    */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Whitespace word count. */
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Small fixed lists — become array literals in the plan.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "que", "por", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "von", "mit"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(toks: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword-hit ratio,
+    * "und" (undetermined) when no list hits. Deterministic tiebreak by
+    * language code order.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordRatio(toks, l).as("score"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics: char len, word count, mean word length, punctuation
+    * ratio, uppercase ratio, stopword(en) ratio — the usual cheap document
+    * quality signals, one row per document, one scan.
+    */
+  def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len",
+        round(when(size(toks) === 0, 0.0)
+          .otherwise(aggregate(toks, lit(0.0), (a, x) => a + length(x)) / size(toks)), 4))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
+          greatest(length(t), lit(1)), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(toks, "en"), 4))
+      .drop(textCol)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Stable across engines (md5 is md5) → usable as an exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (n consecutive tokens joined by space). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.transforms
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest-side schema normalization + split/encode transforms.
+  *
+  * Implements the reference's de-facto schema rules
+  * (reference: src/workbench/core/transforms/pandas_transforms/
+  * pandas_to_data.py:62-118, pandas_to_features.py:154-304) as pure
+  * schema/column operations.
+  */
+object Transforms {
+
+  /** Lowercase + sanitize column names: `[^a-zA-Z0-9-_] → _`, cap 64 chars
+    * (reference: pandas_to_features.py:154-184, pandas_to_data.py:110-115).
+    */
+  def normalizeColumnNames(df: DataFrame): DataFrame = {
+    val renames = df.columns.map { c =>
+      c -> c.toLowerCase.replaceAll("[^a-zA-Z0-9-_]", "_").take(64)
+    }
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (from == to) d else d.withColumnRenamed(from, to)
+    }
+  }
+
+  /** FeatureSet type clamp: bool→int, date/timestamp→ISO-8601 string,
+    * everything else must be integral/fractional/string
+    * (reference: pandas_to_features.py:243-280).
+    */
+  def clampFeatureTypes(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case BooleanType => d.withColumn(f.name, col(f.name).cast("int"))
+        case DateType => d.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd"))
+        case _: TimestampType =>
+          d.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        case _: NumericType | StringType => d
+        case _ => d // nested types carried opaquely, as the reference does
+      }
+    }
+
+  /** ±INF → null, then drop rows with any (or all) null among `cols`
+    * (reference: src/workbench/utils/pandas_utils.py:515-543). */
+  def dropNanRows(df: DataFrame, cols: Seq[String], how: String = "any"): DataFrame = {
+    val cleaned = cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case DoubleType | FloatType =>
+          d.withColumn(c, when(isnan(col(c)) || abs(col(c)) === Double.PositiveInfinity, lit(null))
+            .otherwise(col(c)))
+        case _ => d
+      }
+    }
+    cleaned.na.drop(how, cols)
+  }
+
+  /** Temporal split: rows with ts ≤ cutoff → train, > cutoff → test;
+    * unparseable/null timestamps land in train, matching the reference
+    * (reference: src/workbench/utils/pandas_utils.py:398-435).
+    */
+  def temporalSplit(df: DataFrame, tsCol: String, cutoff: String): (DataFrame, DataFrame) = {
+    val ts = col(tsCol)
+    val train = df.filter(ts.isNull || ts <= to_timestamp(lit(cutoff)))
+    val test = df.filter(ts > to_timestamp(lit(cutoff)))
+    (train, test)
+  }
+
+  /** Stratified split by a category column using per-stratum Bernoulli
+    * sampling (`sampleBy`), seed fixed at 42 like the reference
+    * (reference: src/workbench/utils/pandas_utils.py:1077-1110).
+    * Returns (train, test) with test = anti-join of train.
+    */
+  def stratifiedSplit(df: DataFrame, byCol: String, trainFraction: Double,
+                      idCol: String, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val strata = df.select(byCol).distinct().collect().map(_.get(0))
+    val fractions = strata.map(s => s -> trainFraction).toMap
+    val train = df.stat.sampleBy(byCol, fractions, seed)
+    val test = df.join(train.select(idCol), Seq(idCol), "left_anti")
+    (train, test)
+  }
+
+  /** ntile-based quantile split: adds a `quantile` bucket column 1..n
+    * (reference: src/workbench/utils/pandas_utils.py:244-268). */
+  def quantileSplit(df: DataFrame, valueCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("quantile", ntile(n).over(Window.orderBy(col(valueCol))))
+  }
+
+  /** One-hot encode: expand a string column into 0/1 `{col}_{value}`
+    * columns. Gate: only when 1 < distinct < `maxCategories`, matching
+    * the reference's get_dummies gate
+    * (reference: pandas_to_features.py:186-231). Distinct values are
+    * collected once (small by the gate) and become literal `when`s —
+    * no pivot shuffle.
+    */
+  def oneHot(df: DataFrame, column: String, maxCategories: Int = 10): DataFrame = {
+    val values = df.select(column).distinct().orderBy(col(column))
+      .collect().map(_.getString(0)).toSeq
+    if (values.size <= 1 || values.size >= maxCategories) df
+    else values.foldLeft(df) { (d, v) =>
+      val safe = v.toLowerCase.replaceAll("[^a-zA-Z0-9-_]", "_")
+      d.withColumn(s"${column}_$safe", when(col(column) === v, 1).otherwise(0))
+    }.drop(column)
+  }
+
+  /** Reverse of oneHot: collapse `{col}_{value}` dummy columns back to a
+    * single category column (reference: pandas_utils.py:923-952). */
+  def undummify(df: DataFrame, prefix: String): DataFrame = {
+    val dummies = df.columns.filter(_.startsWith(prefix + "_")).toSeq
+    val cases = dummies.map(d => when(col(d) === 1, lit(d.stripPrefix(prefix + "_"))))
+    df.withColumn(prefix, coalesce(cases: _*)).drop(dummies: _*)
+  }
+
+  /** Bernoulli sample with the reference's 110% fudge factor and row clamp
+    * (reference: src/workbench/algorithms/sql/sample_rows.py:13-52). */
+  def sampleRows(df: DataFrame, targetRows: Int = 100, totalRows: Long = -1L,
+                 seed: Long = 42L): DataFrame = {
+    val n = if (totalRows >= 0) totalRows else df.count()
+    val fraction = math.min(1.0, math.max(0.001, targetRows * 1.1 / math.max(n, 1L)))
+    df.sample(withReplacement = false, fraction, seed).limit(targetRows)
+  }
+}

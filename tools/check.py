@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local correctness harness mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json: load the Spark parquet
+result, run the oracle SQL in DuckDB over the same tables, sort columns by
+name, sort rows, and compare cell-by-cell (exact for non-floats, exact-or-
+report-maxdiff for floats).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        path = f"{outdir}/{name}"
+        try:
+            spark_df = pd.read_parquet(path)
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
+        s, d = canon(spark_df), canon(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            n_fail += 1; continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); n_fail += 1; continue
+        ok = True
+        for c in s.columns:
+            sv, dv = s[c].values, d[c].values
+            if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
+                sv = sv.astype(float); dv = dv.astype(float)
+                both_nan = np.isnan(sv) & np.isnan(dv)
+                eq = (sv == dv) | both_nan
+                if not eq.all():
+                    diff = np.nanmax(np.abs(sv - dv))
+                    print(f"FAIL {name}: col {c} maxdiff={diff} ({int((~eq).sum())} cells)")
+                    ok = False
+            else:
+                if not (sv == dv).all():
+                    bad = np.argmax(sv != dv)
+                    print(f"FAIL {name}: col {c} first mismatch row {bad}: "
+                          f"spark={sv[bad]!r} duck={dv[bad]!r}")
+                    ok = False
+        if ok:
+            print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    # rows-only queries (no oracle): just report row counts
+    for path in sorted(glob.glob(f"{outdir}/q*")):
+        name = os.path.basename(path)
+        if name not in oracle and os.path.isdir(path):
+            try:
+                n = len(pd.read_parquet(path))
+                print(f"ROWS {name}: {n}")
+            except Exception as e:
+                print(f"ROWS {name}: unreadable ({e})")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
