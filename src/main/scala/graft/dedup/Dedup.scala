@@ -32,17 +32,19 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: `numHashes` minima of salted murmur3 over the
-    * shingle set. Pure column expressions (array_min/transform) — stays in
-    * codegen, one pass.
+  /** MinHash signature from an ALREADY-MATERIALIZED shingle-array column:
+    * `numHashes` minima of salted murmur3 over the shingle set.
+    *
+    * Deliberately takes the shingle column, not the text: deriving
+    * shingles inside each of the `numHashes` min-expressions would
+    * re-tokenize the document numHashes× per row (HOF lambda bodies are
+    * evaluated per element, no cross-expression CSE) — measured 50×
+    * slowdown. Callers stage: project shingles → persist → project mins.
     */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val sh = array_distinct(Text.shingles(text, shingleSize))
-    val mins = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => hash(s, lit(seed))))
-    }
-    array(mins: _*)
-  }
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => hash(s, lit(seed))))
+    }: _*)
 
   /** MinHash + LSH banding candidate pairs, verified with exact n-gram
     * Jaccard. `bands` × `rowsPerBand` = signature length. Pairs are emitted
@@ -57,36 +59,52 @@ object Dedup {
                  shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = df.select(col(idCol).as("id"),
-      array_distinct(Text.shingles(col(textCol), shingleSize)).as("sh"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
-    // band key = hash of the band's slice of the signature
-    val banded = docs.select(col("id"), col("sh"), explode(
+    // Two materialization stages. (1) shingle sets — so the tokenizer runs
+    // ONCE per doc, not once per hash function; (2) signatures — so the
+    // 32-min expression isn't re-inlined (CollapseProject) into every
+    // downstream branch (band explode, both join sides, verify join).
+    // At cluster scale these are checkpointed signature tables; in-memory
+    // cache is the local equivalent.
+    val shingled = df.select(col(idCol).as("id"),
+      array_distinct(Text.shingles(col(textCol), shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = shingled.select(col("id"), col("sh"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band keys travel as narrow (band, bkey, id) rows — shingle arrays are
+    // NOT carried through the band join/dedup; they are re-joined only for
+    // the surviving candidate pairs.
+    val banded = docs.select(col("id"), explode(
       array((0 until bands).map(b =>
         struct(lit(b).as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*)
     ).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bkey"))
-    // guard against pathological buckets (near-global dup text)
-    val counted = banded.withColumn("__n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("__n") <= maxBucket).drop("__n")
-    val l = counted.select(col("band"), col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = counted.select(col("band"), col("bkey"), col("id").as("id_b"), col("sh").as("sh_b"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
+    // guard against pathological buckets (near-global dup text): aggregate
+    // count per bucket (map-side combinable, unlike a window) and anti-drop
+    val bucketSizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("__n"))
+    val counted = banded.join(bucketSizes.filter(col("__n") <= maxBucket), Seq("band", "bkey"))
+      .drop("__n")
+    val l = counted.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val r = counted.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val sets = docs.select(col("id"), col("sh"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash over whitespace tokens: per bit, majority vote of the
-    * token-hash bits. Pure column expressions.
+  /** 32-bit SimHash from an ALREADY-MATERIALIZED token-hash array column
+    * (see `minhashSignature` for why the hashes must be staged): per bit,
+    * majority vote of the token-hash bits.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(Text.tokens(text), t => hash(t))
+  def simhashFromHashes(hashes: Column): Column = {
     val n = size(hashes)
     val bits = (0 until 32).map { i =>
       val ones = size(filter(hashes, h => shiftright(h, i).bitwiseAND(1) === 1))
@@ -95,12 +113,22 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** Convenience single-expression SimHash for ad-hoc use on small data;
+    * pipelines should stage token hashes and use `simhashFromHashes`. */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(Text.tokens(text), t => hash(t)))
+
   /** SimHash near-dup pairs: block on 4 8-bit bands, verify Hamming ≤
     * `maxHamming`. Returns (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // staged + materialized once, for the same reasons as minhashLsh
+    val hashed = df.select(col(idCol).as("id"),
+      transform(Text.tokens(col(textCol)), t => hash(t)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = hashed.select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(col("id"), col("sig"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), b * 8).bitwiseAND(0xff).as("bkey"))): _*)).as("bk"))

@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup collapses identical normalized texts") {
+    val df = Seq((1L, "a b  c"), (2L, "A B C"), (3L, "different doc")).toDF("id", "text")
+    val groups = Dedup.exactGroups(df, "id", "text").collect()
+    assert(groups.length == 2)
+    val big = groups.find(_.getLong(2) == 2).get
+    assert(big.getLong(1) == 1L) // keeper = lowest id
+    assert(Dedup.exactDedup(df, "id", "text").count() == 2)
+  }
+
+  test("minhashLsh finds a near-duplicate pair and reports true jaccard") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x y"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashLsh(df, "id", "text", threshold = 0.3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("simhash: identical text same signature; near-dup small hamming") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated words about spark catalyst execution model")).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("jaccardPairs on testdata is symmetric-free and thresholded") {
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 50)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.6))
+  }
+
+  test("text functions: tokens, counts, fingerprint stability, shingles") {
+    val df = Seq(Tuple1("  Héllo   world!  ")).toDF("text")
+    val r = df.select(
+      Text.wordCount(col("text")).as("w"),
+      Text.tokenCount(col("text")).as("t"),
+      Text.fingerprint(col("text")).as("f"),
+      Text.shingles(col("text"), 2).as("sh")).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) >= 3) // héllo + world + !
+    assert(r.getString(2).length == 32)
+    assert(r.getSeq[String](3) == Seq("héllo world!"))
+  }
+
+  test("langId picks the language with most stopword hits; und when none") {
+    val df = Seq((1, "the cat sat of the mat and it is that"),
+      (2, "le chat est dans la maison et il est pour"),
+      (3, "zzz qqq www")).toDF("id", "text")
+    val out = df.select(col("id"), Text.langId(col("text")).as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en"); assert(out(2) == "fr"); assert(out(3) == "und")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.core.Tables
+import graft.ml.Metrics
+import graft.transforms.Transforms
+import graft.views.Views
+import org.apache.spark.sql.functions._
+
+class TransformsViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeColumnNames lowercases and sanitizes") {
+    val df = Seq((1, 2)).toDF("My Col!", "OK_name-2")
+    assert(Transforms.normalizeColumnNames(df).columns.toSeq == Seq("my_col_", "ok_name-2"))
+  }
+
+  test("clampFeatureTypes: bool to int, timestamp to ISO string") {
+    val df = Seq((true, java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))).toDF("b", "ts")
+    val out = Transforms.clampFeatureTypes(df)
+    assert(out.schema("b").dataType.typeName == "integer")
+    assert(out.head().getString(1) == "2024-01-02T03:04:05.000Z")
+  }
+
+  test("temporalSplit: unparseable/null to train, cutoff respected") {
+    val df = Seq(Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      Some(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")), None).toDF("ts")
+    val (train, test0) = Transforms.temporalSplit(df, "ts", "2024-03-01 00:00:00")
+    assert(train.count() == 2) // jan + null
+    assert(test0.count() == 1)
+  }
+
+  test("stratifiedSplit covers all rows exactly once") {
+    val df = Tables.load(spark, sf, "customer")
+    val (train, test0) = Transforms.stratifiedSplit(df, "c_mktsegment", 0.8, "c_custkey")
+    assert(train.count() + test0.count() == df.count())
+    assert(train.join(test0, Seq("c_custkey"), "inner").count() == 0)
+  }
+
+  test("oneHot gate and encoding; undummify round-trips") {
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "cat")
+    val enc = Transforms.oneHot(df, "cat")
+    assert(enc.columns.toSet == Set("id", "cat_a", "cat_b"))
+    val dec = Transforms.undummify(enc, "cat")
+    assert(dec.orderBy("id").select("cat").as[String].collect().toSeq == Seq("a", "b", "a"))
+    // gate: single category → unchanged
+    val one = Seq((1, "x"), (2, "x")).toDF("id", "cat")
+    assert(Transforms.oneHot(one, "cat").columns.toSeq == Seq("id", "cat"))
+  }
+
+  test("sampleRows clamps to target with fudge") {
+    val df = Tables.load(spark, sf, "lineitem")
+    val n = Transforms.sampleRows(df, targetRows = 100).count()
+    assert(n <= 100 && n > 50)
+  }
+
+  test("snapshot keeps exactly one latest row per id") {
+    val ev = Tables.load(spark, sf, "events")
+    val snap = Views.snapshot(ev, "user_id", Seq(col("ts").desc, col("event_id").desc))
+    assert(snap.count() == ev.select("user_id").distinct().count())
+  }
+
+  test("trainingView: defaults applied, excluded rows dropped") {
+    val base = Seq((1, "a"), (7, "b"), (14, "c")).toDF("id", "v")
+    val roles = Seq((14, true, true, 2.0)).toDF("id", "exclude", "validation", "sample_weight")
+    val tv = Views.trainingView(base, roles, "id").collect()
+    assert(tv.length == 2) // id=14 excluded
+    val r1 = tv.find(_.getInt(0) == 1).get
+    assert(r1.getAs[Double]("sample_weight") == 1.0)
+    assert(!r1.getAs[Boolean]("validation"))
+  }
+
+  test("joinView drops overlapping columns from base") {
+    val base = Seq((1, "old", 10)).toDF("id", "name", "x")
+    val supp = Seq((1, "new")).toDF("id", "name")
+    val out = Views.joinView(base, supp, "id")
+    assert(out.head().getAs[String]("name") == "new")
+    assert(out.columns.count(_ == "name") == 1)
+  }
+
+  test("regression metrics: perfect prediction gives rmse 0, r2 1") {
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("y", "p")
+    val m = Metrics.regressionMetrics(df, "y", "p").head()
+    assert(m.getDouble(0) == 0.0)
+    assert(m.getDouble(3) == 1.0)
+  }
+
+  test("classificationReport: perfect prediction gives f1 1 per class") {
+    val df = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("y", "p")
+    val rep = Metrics.classificationReport(df, "y", "p").collect()
+    assert(rep.forall(_.getAs[Double]("f1") == 1.0))
+  }
+}
