@@ -207,8 +207,132 @@ object SparkEntry {
     "q32_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", threshold = 0.2)),
     "q33_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6))
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)),
+    // ───────── quality / drift / health (SURVEY §2.4 tail) ─────────
+    "q34_target_health" -> ((s, dir) =>
+      graft.eda.Quality.targetHealth(t(s, dir, "orders"), "o_totalprice").drop("skew")),
+    "q35_detect_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val baseline = li.filter(col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      graft.eda.Quality.detectDrift(li, baseline, lineitemNumeric)
+        .select(col("column_name"), round(col("base_mean"), 6).as("base_mean"),
+          round(col("cur_mean"), 6).as("cur_mean"), col("mean_drift"), col("drifted"))
+    }),
+    "q36_feature_quality" -> ((s, dir) =>
+      graft.eda.Quality.featureQuality(t(s, dir, "lineitem"), lineitemNumeric)),
+    "q37_smart_sample" -> ((s, dir) =>
+      graft.eda.Quality.smartSample(t(s, dir, "customer"), Seq("c_acctbal"))),
+    // ───────── proximity analytics pack (SURVEY §2.9) ─────────
+    "q38_residual_features" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val rows = e.withColumn("pred", col("label") * 0.9)
+      val nn = Proximity.knnJoin(e.filter(col("vec_id") < 30), e, "vec_id", "embedding",
+        5, Proximity.euclidean)
+      graft.proximity.Analytics.residualFeatures(nn, rows, "vec_id", "label", "pred", 5)
+        .select(col("id"), col("target"), round(col("prediction"), 6).as("prediction"),
+          round(col("knn_distance"), 4).as("knn_distance"),
+          round(col("knn_target_mean"), 6).as("knn_target_mean"),
+          round(col("knn_target_std"), 6).as("knn_target_std"),
+          round(col("local_pred_gap"), 4).as("local_pred_gap"))
+    }),
+    "q39_proximity_graph" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      graft.proximity.Analytics.proximityGraph(nn, minEdges = 2, extraThreshold = 0.8)
+        .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"))
+    }),
+    "q40_laplacian_smoothness" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      val edges = graft.proximity.Analytics.proximityGraph(nn, 2, 0.8)
+      graft.proximity.Analytics.laplacianSmoothness(edges, e, "vec_id", "label")
+        .select(col("id"), round(col("node_smoothness"), 4).as("node_smoothness"),
+          col("degree"), round(col("global_smoothness"), 4).as("global_smoothness"))
+    }),
+    "q41_target_gradients" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoin(e.filter(col("vec_id") < 30), e, "vec_id", "embedding",
+        5, Proximity.euclidean)
+      graft.proximity.Analytics.targetGradients(nn, e, "vec_id", "label")
+        .select(col("id"), col("neighbor_id"),
+          round(col("feature_diff"), 4).as("feature_diff"), col("target_diff"),
+          round(col("target_gradient"), 4).as("target_gradient"))
+    }),
+    "q42_row_tags" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      graft.proximity.Analytics.rowTags(nn, e, "vec_id", "label", gradientCut = 2.0)
+        .select(col("id"), array_join(col("tags"), ",").as("tags"))
+    }),
+    "q43_landscape_isolated" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 200)
+      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 3, Proximity.euclidean)
+      graft.proximity.Analytics.landscapeIsolated(nn, 0.9)
+        .select(col("id"), round(col("nn_distance"), 4).as("nn_distance"))
+    }),
+    // ───────── ML loop / aggregation / projection (rows-only checks) ─────────
+    "q44_smart_aggregate" -> ((s, dir) =>
+      graft.ml.Models.smartAggregate(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment"),
+        Seq("c_acctbal"), targetRows = 50)),
+    "q45_projection_2d" -> ((s, dir) =>
+      graft.ml.Models.projection2D(
+        t(s, dir, "lineitem").limit(5000)
+          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select("l_orderkey", "x", "y")),
+    "q46_train_infer" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      val model = graft.ml.Models.trainRegressor(li,
+        Seq("l_quantity", "l_discount"), "l_extendedprice")
+      graft.ml.Metrics.withResiduals(
+        model.transform(li).select("l_orderkey", "l_extendedprice", "prediction"),
+        "l_extendedprice", "prediction")
+    }),
+    "q47_multimodal_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"), lit("image").as("media_type"),
+        lit("application/octet-stream").as("mime"),
+        lit(64).as("width"), lit(64).as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        encode(col("text"), "UTF-8").as("payload"))
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+    }),
+    // ───────── nested flatten (SURVEY §2.1 heavy loader) ─────────
+    "q48_flatten_json" -> ((s, dir) => {
+      val parsed = t(s, dir, "events").select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).as("p"))
+      graft.sources.Sources.flattenStructs(parsed)
+    }),
+    "q49_knn_euclidean" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      Proximity.knnJoin(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        5, Proximity.euclidean)
+        .select(col("id"), col("neighbor_id"), round(col("distance"), 4).as("distance"))
+    })
   )
+
+  /** embeddings with the float vector cast to double (shared by the
+    * proximity queries; matches the oracle's list_transform cast). */
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").withColumn("embedding",
+      transform(col("embedding"), x => x.cast("double")))
+
+  /** Shared oracle CTE: embeddings cast to double + euclidean KNN.
+    * Mirrors knnJoin semantics incl. the 1e-6 near-zero clamp. */
+  private def knnSql(queryFilter: String, refFilter: String, k: Int): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              label FROM embeddings WHERE $refFilter),
+        qs AS (SELECT * FROM e WHERE $queryFilter),
+        pairs AS (SELECT qs.vec_id AS id, r.vec_id AS neighbor_id,
+            CASE WHEN list_distance(qs.v, r.v) < 1e-6 THEN 0.0
+                 ELSE list_distance(qs.v, r.v) END AS distance
+          FROM qs CROSS JOIN e r WHERE qs.vec_id != r.vec_id),
+        knn AS (SELECT * FROM pairs QUALIFY
+          row_number() OVER (PARTITION BY id ORDER BY distance, neighbor_id) <= $k)"""
 
   /** DuckDB-runnable oracles; keys/aliases match `queries` exactly.
     * Omitted keys (q32/q33 — engine-specific hash functions) get the
@@ -431,6 +555,113 @@ object SparkEntry {
            WHEN s_de > 0 THEN 'de'
            ELSE 'und' END AS lang_pred
          FROM s"""
-    }
+    },
+    "q34_target_health" ->
+      """SELECT COUNT(*) AS n_rows,
+         COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null,
+         ROUND(MIN(o_totalprice), 6) AS min, ROUND(MAX(o_totalprice), 6) AS max,
+         ROUND(AVG(o_totalprice), 6) AS mean,
+         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median,
+         ROUND(CAST(COUNT(CASE WHEN o_totalprice = (SELECT MIN(o_totalprice) FROM orders)
+           THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS min_mass,
+         ROUND(CAST(COUNT(CASE WHEN o_totalprice = (SELECT MAX(o_totalprice) FROM orders)
+           THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS max_mass
+         FROM orders""",
+    "q35_detect_drift" -> {
+      def side(tag: String, filter: String): String =
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+          s"""SELECT '$c' AS column_name, CAST(MIN($c) AS DOUBLE) AS ${tag}_min,
+              CAST(MAX($c) AS DOUBLE) AS ${tag}_max, AVG($c) AS ${tag}_mean
+              FROM lineitem $filter""").mkString(" UNION ALL ")
+      s"""WITH cur AS (${side("cur", "")}),
+          base AS (${side("base", "WHERE l_shipdate < TIMESTAMP '1997-01-01'")})
+          SELECT cur.column_name, ROUND(base_mean, 6) AS base_mean,
+            ROUND(cur_mean, 6) AS cur_mean,
+            ROUND(ABS(cur_mean - base_mean) /
+              (CASE WHEN base_max - base_min = 0 THEN 1.0
+                    ELSE base_max - base_min END), 6) AS mean_drift,
+            ROUND(ABS(cur_mean - base_mean) /
+              (CASE WHEN base_max - base_min = 0 THEN 1.0
+                    ELSE base_max - base_min END), 6) > 0.1 AS drifted
+          FROM cur JOIN base ON cur.column_name = base.column_name"""
+    },
+    "q36_feature_quality" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS column_name,
+            ROUND(CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS null_frac,
+            ROUND(CAST(COUNT(CASE WHEN $c = 0 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS zero_frac,
+            ROUND(VAR_SAMP($c), 6) AS variance,
+            COUNT(DISTINCT $c) AS n_distinct FROM lineitem""").mkString(" UNION ALL "),
+    "q38_residual_features" ->
+      s"""WITH ${knnSql("vec_id < 30", "vec_id < 100", 5)},
+          aggs AS (SELECT knn.id, AVG(distance) AS knn_distance,
+              AVG(CAST(r.label AS DOUBLE)) AS knn_target_mean,
+              STDDEV(CAST(r.label AS DOUBLE)) AS knn_target_std
+            FROM knn JOIN e r ON knn.neighbor_id = r.vec_id GROUP BY 1)
+          SELECT qs.vec_id AS id, CAST(qs.label AS DOUBLE) AS target,
+            ROUND(qs.label * CAST(0.9 AS DOUBLE), 6) AS prediction,
+            ROUND(knn_distance, 4) AS knn_distance,
+            ROUND(knn_target_mean, 6) AS knn_target_mean,
+            ROUND(knn_target_std, 6) AS knn_target_std,
+            ROUND(qs.label * CAST(0.9 AS DOUBLE) - knn_target_mean, 4) AS local_pred_gap
+          FROM qs LEFT JOIN aggs ON qs.vec_id = aggs.id""",
+    "q39_proximity_graph" ->
+      s"""WITH ${knnSql("true", "vec_id < 100", 5)},
+          mx AS (SELECT CASE WHEN MAX(distance) = 0 THEN 1.0 ELSE MAX(distance) END AS m FROM knn),
+          weighted AS (SELECT id AS src, neighbor_id AS dst,
+              1 - distance / (SELECT m FROM mx) AS weight FROM knn)
+          SELECT src, dst, ROUND(weight, 6) AS weight FROM weighted
+          QUALIFY row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) <= 2
+            OR weight > 0.8""",
+    "q40_laplacian_smoothness" ->
+      s"""WITH ${knnSql("true", "vec_id < 100", 5)},
+          mx AS (SELECT CASE WHEN MAX(distance) = 0 THEN 1.0 ELSE MAX(distance) END AS m FROM knn),
+          weighted AS (SELECT id AS src, neighbor_id AS dst,
+              1 - distance / (SELECT m FROM mx) AS weight FROM knn),
+          edges AS (SELECT * FROM weighted
+            QUALIFY row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) <= 2
+              OR weight > 0.8),
+          terms AS (SELECT edges.src, edges.dst,
+              weight * POW(CAST(a.label AS DOUBLE) - CAST(b.label AS DOUBLE), 2) AS term
+            FROM edges JOIN e a ON edges.src = a.vec_id JOIN e b ON edges.dst = b.vec_id),
+          per_node AS (SELECT src AS id, SUM(term) AS node_smoothness,
+              COUNT(*) AS degree FROM terms GROUP BY 1),
+          g AS (SELECT SUM(term) / COUNT(*) AS global_smoothness FROM terms)
+          SELECT id, ROUND(node_smoothness, 4) AS node_smoothness, degree,
+            ROUND(global_smoothness, 4) AS global_smoothness
+          FROM per_node CROSS JOIN g""",
+    "q41_target_gradients" ->
+      s"""WITH ${knnSql("vec_id < 30", "vec_id < 100", 5)}
+          SELECT knn.id, knn.neighbor_id, ROUND(distance, 4) AS feature_diff,
+            CAST(b.label AS DOUBLE) - CAST(a.label AS DOUBLE) AS target_diff,
+            ROUND(CASE WHEN distance > 0
+              THEN ABS(CAST(b.label AS DOUBLE) - CAST(a.label AS DOUBLE)) / distance
+              END, 4) AS target_gradient
+          FROM knn JOIN e a ON knn.id = a.vec_id JOIN e b ON knn.neighbor_id = b.vec_id""",
+    "q42_row_tags" ->
+      s"""WITH ${knnSql("true", "vec_id < 100", 5)},
+          grads AS (SELECT knn.id,
+              MAX(CASE WHEN distance <= 1e-6 THEN 1 ELSE 0 END) AS coinc,
+              MAX(CASE WHEN distance > 0 AND
+                ABS(CAST(b.label AS DOUBLE) - CAST(a.label AS DOUBLE)) / distance > 2.0
+                THEN 1 ELSE 0 END) AS cliff
+            FROM knn JOIN e a ON knn.id = a.vec_id JOIN e b ON knn.neighbor_id = b.vec_id
+            GROUP BY 1)
+          SELECT e.vec_id AS id, concat_ws(',',
+            CASE WHEN e.label = 0 THEN 'zero_target' END,
+            CASE WHEN COALESCE(coinc, 0) = 1 THEN 'coincident' END,
+            CASE WHEN COALESCE(cliff, 0) = 1 THEN 'high_gradient' END) AS tags
+          FROM e LEFT JOIN grads ON e.vec_id = grads.id""",
+    "q43_landscape_isolated" ->
+      s"""WITH ${knnSql("true", "vec_id < 200", 3)},
+          nearest AS (SELECT id, MIN(distance) AS nn_distance FROM knn GROUP BY 1),
+          cut AS (SELECT quantile_cont(nn_distance, 0.9) AS c FROM nearest)
+          SELECT id, ROUND(nn_distance, 4) AS nn_distance FROM nearest
+          WHERE nn_distance > (SELECT c FROM cut)""",
+    "q48_flatten_json" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS p_k FROM events""",
+    "q49_knn_euclidean" ->
+      s"""WITH ${knnSql("vec_id < 10", "true", 5)}
+          SELECT id, neighbor_id, ROUND(distance, 4) AS distance FROM knn"""
   )
 }

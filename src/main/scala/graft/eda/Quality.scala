@@ -1,0 +1,98 @@
+package graft.eda
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality diagnostics: target health, drift, per-feature quality,
+  * smart sample — the reference's pandas_utils pack as single-scan
+  * aggregates (reference: src/workbench/utils/pandas_utils.py).
+  */
+object Quality {
+
+  /** Target-health diagnostics: censoring/pileup/skew on a numeric target
+    * (reference: pandas_utils.py:789-884). One aggregate pass; returns a
+    * single row of named diagnostics.
+    */
+  def targetHealth(df: DataFrame, target: String): DataFrame = {
+    val t = col(target).cast("double")
+    val n = count(lit(1))
+    // two-phase like the reference's outlier bounds: the min/max become
+    // literals so the pileup counts stay inside one scan
+    val mm = df.agg(min(t), max(t)).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    df.agg(
+      n.as("n_rows"),
+      count(when(t.isNull, 1)).as("n_null"),
+      round(min(t), 6).as("min"),
+      round(max(t), 6).as("max"),
+      round(avg(t), 6).as("mean"),
+      round(expr(s"percentile($target, 0.5)"), 6).as("median"),
+      // pileup: mass at the min and at the max (censoring indicator)
+      round(count(when(t === mn, 1)).cast("double") / n, 6).as("min_mass"),
+      round(count(when(t === mx, 1)).cast("double") / n, 6).as("max_mass"),
+      round(skewness(t), 6).as("skew"))
+  }
+
+  /** Per-column range/mean drift vs a baseline frame
+    * (reference: pandas_utils.py:545-629). Both sides reduced to one
+    * stats row each, joined on column name — two scans total regardless
+    * of column count.
+    */
+  def detectDrift(current: DataFrame, baseline: DataFrame, cols: Seq[String],
+                  threshold: Double = 0.1): DataFrame = {
+    def statsOf(df: DataFrame, tag: String): DataFrame = {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        avg(col(c)).cast("double").as(s"${c}__mean")))
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', `${c}__min`, `${c}__max`, `${c}__mean`").mkString(", ")
+      wide.selectExpr(
+        s"stack(${cols.size}, $stackExpr) as (column_name, ${tag}_min, ${tag}_max, ${tag}_mean)")
+    }
+    val cur = statsOf(current, "cur")
+    val base = statsOf(baseline, "base")
+    cur.join(base, Seq("column_name"))
+      .withColumn("range_base", col("base_max") - col("base_min"))
+      .withColumn("mean_drift",
+        round(abs(col("cur_mean") - col("base_mean")) /
+          when(col("range_base") === 0, lit(1.0)).otherwise(col("range_base")), 6))
+      .withColumn("drifted", col("mean_drift") > threshold)
+      .select("column_name", "base_mean", "cur_mean", "mean_drift", "drifted")
+  }
+
+  /** Per-feature quality metrics: null %, zero %, variance, distinct count
+    * (reference: pandas_utils.py:631-729). Single scan, long format.
+    */
+  def featureQuality(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val n = count(lit(1))
+    val aggs = cols.flatMap(c => Seq(
+      (count(when(col(c).isNull, 1)).cast("double") / n).as(s"${c}__null_frac"),
+      (count(when(col(c) === 0, 1)).cast("double") / n).as(s"${c}__zero_frac"),
+      var_samp(col(c)).cast("double").as(s"${c}__variance"),
+      count_distinct(col(c)).cast("double").as(s"${c}__n_distinct")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', `${c}__null_frac`, `${c}__zero_frac`, `${c}__variance`, `${c}__n_distinct`")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackExpr) as (column_name, null_frac, zero_frac, variance, n_distinct)")
+      .select(col("column_name"), round(col("null_frac"), 6).as("null_frac"),
+        round(col("zero_frac"), 6).as("zero_frac"),
+        round(col("variance"), 6).as("variance"),
+        col("n_distinct").cast("long").as("n_distinct"))
+  }
+
+  /** smart_sample: random sample ∪ outlier rows, deduplicated
+    * (reference: src/workbench/core/artifacts/athena_source.py:364-394).
+    */
+  def smartSample(df: DataFrame, numericCols: Seq[String], targetRows: Int = 100,
+                  seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val fraction = math.min(1.0, math.max(0.001, targetRows * 1.1 / math.max(n, 1L)))
+    val sample = df.sample(withReplacement = false, fraction, seed).limit(targetRows)
+    val out = Eda.outliers(df, numericCols, limit = Some(targetRows))
+    sample.unionByName(out).dropDuplicates()
+  }
+}

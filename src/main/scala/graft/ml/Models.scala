@@ -1,0 +1,91 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{PCA, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML loop: MLlib pipelines replacing the reference's SageMaker
+  * train/deploy/infer cycle (reference: src/workbench/core/transforms/
+  * features_to_model/features_to_model.py, model_to_endpoint/,
+  * endpoint_core.py) — training and inference stay in-cluster, so the
+  * reference's 100-row HTTP batching and error-isolation machinery
+  * disappears entirely.
+  */
+object Models {
+
+  /** Train a regression pipeline (assemble → scale → linear regression).
+    * Returns the fitted model; `model.transform(df)` is the inference
+    * path (no endpoint, no batching).
+    */
+  def trainRegressor(df: DataFrame, features: Seq[String], target: String): PipelineModel = {
+    val pipeline = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(features.toArray).setOutputCol("__features"),
+      new StandardScaler().setInputCol("__features").setOutputCol("__scaled"),
+      new LinearRegression().setFeaturesCol("__scaled").setLabelCol(target)
+        .setPredictionCol("prediction")))
+    pipeline.fit(df)
+  }
+
+  /** Train a classification pipeline (label-index → assemble → logistic). */
+  def trainClassifier(df: DataFrame, features: Seq[String], target: String): PipelineModel = {
+    val pipeline = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol(target).setOutputCol("__label"),
+      new VectorAssembler().setInputCols(features.toArray).setOutputCol("__features"),
+      new LogisticRegression().setFeaturesCol("__features").setLabelCol("__label")
+        .setPredictionCol("prediction").setProbabilityCol("pred_proba")))
+    pipeline.fit(df)
+  }
+
+  /** smart_aggregator: KMeans-cluster rows toward ~targetRows clusters,
+    * then per-cluster mean(numeric) / first(other) + aggregation_count
+    * (reference: src/workbench/algorithms/dataframe/smart_aggregator.py:
+    * 13-94). Fully distributed: MLlib KMeans + one groupBy.
+    */
+  def smartAggregate(df: DataFrame, numericCols: Seq[String], targetRows: Int,
+                     seed: Long = 42L): DataFrame = {
+    val assembled = new VectorAssembler().setInputCols(numericCols.toArray)
+      .setOutputCol("__features").setHandleInvalid("skip").transform(df)
+    val k = math.max(2, math.min(targetRows, 1000))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("__cluster").fit(assembled)
+    val clustered = model.transform(assembled)
+    val otherCols = df.columns.filterNot(numericCols.contains).toSeq
+    val aggs = numericCols.map(c => avg(col(c)).as(c)) ++
+      otherCols.map(c => first(col(c)).as(c)) :+ count(lit(1)).as("aggregation_count")
+    clustered.groupBy("__cluster").agg(aggs.head, aggs.tail: _*).drop("__cluster")
+  }
+
+  /** Projection2D: PCA to (x, y) — the distributed projection the
+    * reference offers alongside driver-side UMAP/TSNE
+    * (reference: src/workbench/algorithms/dataframe/projection_2d.py:
+    * 17-166; PCA is the scale path, UMAP/TSNE stay sampled/driver-side
+    * by design there too).
+    */
+  def projection2D(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+    val assembled = new VectorAssembler().setInputCols(numericCols.toArray)
+      .setOutputCol("__features").setHandleInvalid("skip").transform(df)
+    val scaled = new StandardScaler().setInputCol("__features").setOutputCol("__scaled")
+      .setWithMean(true).fit(assembled).transform(assembled)
+    val pca = new PCA().setK(2).setInputCol("__scaled").setOutputCol("__pc").fit(scaled)
+    pca.transform(scaled).withColumn("__arr",
+      org.apache.spark.ml.functions.vector_to_array(col("__pc")))
+      .withColumn("x", col("__arr")(0)).withColumn("y", col("__arr")(1))
+      .drop("__features", "__scaled", "__pc", "__arr")
+  }
+
+  /** Expand a probability array column into per-label columns
+    * (reference: src/workbench/utils/pandas_utils.py:1045-1075). */
+  def expandProba(df: DataFrame, probaCol: String, labels: Seq[String]): DataFrame =
+    labels.zipWithIndex.foldLeft(df) { case (d, (l, i)) =>
+      d.withColumn(s"${l}_proba", col(probaCol).getItem(i))
+    }
+
+  /** Rowwise max-probability / confidence
+    * (reference: pandas_utils.py:270-307). */
+  def withConfidence(df: DataFrame, probaCol: String): DataFrame =
+    df.withColumn("confidence", array_max(col(probaCol)))
+}

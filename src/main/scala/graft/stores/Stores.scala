@@ -1,0 +1,131 @@
+package graft.stores
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Storage layer — the reference's four stores re-based on parquet dirs.
+  *
+  * All stores are path-keyed directories of parquet (the reference keys
+  * S3 prefixes the same way); no driver-side materialization anywhere.
+  */
+
+/** Path-keyed store of DataFrames
+  * (reference: src/workbench/api/df_store.py:12-52). */
+class DFStore(spark: SparkSession, root: String) {
+  private def pathFor(key: String): String =
+    root + "/" + key.stripPrefix("/")
+
+  def upsert(key: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(pathFor(key))
+
+  def get(key: String): DataFrame = spark.read.parquet(pathFor(key))
+
+  def delete(key: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathFor(key))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** `list()` — recursive keys under the root
+    * (reference df_store lists the S3 prefix). */
+  def list(): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty
+    else {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+        val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+        val isLeaf = files.exists(_.getPath.getName.endsWith(".parquet")) ||
+          files.exists(_.getPath.getName == "_SUCCESS")
+        if (isLeaf) Seq(p) else dirs.flatMap(s => walk(s.getPath))
+      }
+      walk(rootPath).map(_.toString.stripPrefix(fs.makeQualified(rootPath).toString))
+        .map(_.stripPrefix("/"))
+    }
+  }
+}
+
+/** Key-value JSON parameter store
+  * (reference: src/workbench/api/parameter_store.py:1-92, AWS SSM-backed).
+  * Stored as a single small parquet KV table; values are JSON strings.
+  */
+class ParameterStore(spark: SparkSession, root: String) {
+  import spark.implicits._
+  private val path = root + "/_parameters"
+
+  private def table(): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: Exception => Seq.empty[(String, String)].toDF("key", "value") }
+
+  def upsert(key: String, jsonValue: String): Unit = {
+    val updated = table().filter(col("key") =!= key)
+      .unionByName(Seq((key, jsonValue)).toDF("key", "value"))
+    // tiny table: rewrite-in-place via temp dir for atomicity
+    val tmp = path + "_tmp"
+    updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  def get(key: String): Option[String] =
+    table().filter(col("key") === key).collect().headOption.map(_.getString(1))
+
+  def delete(key: String): Unit = {
+    val remaining = table().filter(col("key") =!= key)
+    val tmp = path + "_tmp"
+    remaining.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  def listKeys(): Seq[String] = table().select("key").as[String].collect().toSeq
+}
+
+/** Append-only inference results table with the reference's fixed schema
+  * [id, model, pred_label, pred_value, tags, meta, timestamp]
+  * (reference: src/workbench/api/inference_store.py:33-101).
+  */
+class InferenceStore(spark: SparkSession, root: String) {
+  private val path = root + "/_inference"
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("model", StringType),
+    StructField("pred_label", StringType), StructField("pred_value", DoubleType),
+    StructField("tags", ArrayType(StringType)), StructField("meta", StringType),
+    StructField("timestamp", TimestampType)))
+
+  /** Append predictions, enforcing/coercing to the fixed schema
+    * (missing columns → null, extra columns dropped, types cast). */
+  def append(df: DataFrame): Unit = {
+    val cols = schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*).write.mode(SaveMode.Append).parquet(path)
+  }
+
+  def read(): DataFrame = spark.read.schema(schema).parquet(path)
+
+  def byModel(model: String): DataFrame = read().filter(col("model") === model)
+}
+
+/** Vertex/edge DataFrame pairs persisted as parquet
+  * (reference: src/workbench/api/graph_store.py:12-43 stores NetworkX
+  * node-link JSON; here graphs are columnar from the start).
+  */
+class GraphStore(spark: SparkSession, root: String) {
+  private def p(key: String, part: String) = s"$root/${key.stripPrefix("/")}/$part"
+
+  def upsert(key: String, vertices: DataFrame, edges: DataFrame): Unit = {
+    vertices.write.mode(SaveMode.Overwrite).parquet(p(key, "vertices"))
+    edges.write.mode(SaveMode.Overwrite).parquet(p(key, "edges"))
+  }
+
+  def vertices(key: String): DataFrame = spark.read.parquet(p(key, "vertices"))
+  def edges(key: String): DataFrame = spark.read.parquet(p(key, "edges"))
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming extension (beyond the reference, which is
+  * batch-only — SURVEY §2.10). Its chunked FeatureSet ingestion
+  * (reference: src/workbench/core/transforms/pandas_transforms/
+  * pandas_to_features_chunked.py:1-111) and endpoint data-capture
+  * parsing (data_capture_core.py:28-60) are the natural streaming
+  * surfaces: a file source with Trigger.AvailableNow drains whatever
+  * has landed, checkpoints, and stops — incremental ingestion with
+  * exactly-once sink semantics.
+  */
+object Streaming {
+
+  /** Chunked ingestion: stream parquet files from `inDir` into a parquet
+    * table at `outDir`, draining available data then stopping. Re-running
+    * picks up only new files (checkpoint). */
+  def ingestAvailableNow(spark: SparkSession, schema: StructType, inDir: String,
+                         outDir: String, checkpoint: String): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Windowed rolling aggregate over an event stream: per event-type
+    * counts/sums in tumbling windows with a watermark — the streaming
+    * form of the batch time-rollup (q23). */
+  def windowedRollup(events: DataFrame, tsCol: String, window_ : String,
+                     watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  /** JSONL data-capture parsing as a stream (capture dirs accumulate
+    * request/response payloads; parse incrementally)
+    * (reference: data_capture_core.py parses these in batch). */
+  def captureStream(spark: SparkSession, schema: StructType, captureDir: String): DataFrame =
+    spark.readStream.schema(schema).json(captureDir)
+}

