@@ -24,19 +24,34 @@ object Eda {
     * the scale path for 100 TB (sketch mergeable, bounded memory).
     */
   def descriptiveStats(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
-    def pct(c: String, p: Double): Column =
-      if (exact) expr(s"percentile($c, $p)") else expr(s"approx_percentile($c, $p, 10000)")
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(
-        min(col(c)).cast("double").as(s"${c}__min"),
-        pct(c, 0.25).cast("double").as(s"${c}__q1"),
-        pct(c, 0.5).cast("double").as(s"${c}__median"),
-        pct(c, 0.75).cast("double").as(s"${c}__q3"),
-        max(col(c)).cast("double").as(s"${c}__max"),
-        avg(col(c)).cast("double").as(s"${c}__mean"),
-        stddev(col(c)).cast("double").as(s"${c}__stddev"))
-    }
+    // exact path: graft.functions.ExactPercentiles — one primitive buffer
+    // per column serves all three quantiles (~10× the built-in Percentile,
+    // same interpolation rule). approx path: mergeable sketch for scale.
+    val aggs: Seq[Column] =
+      if (exact) cols.flatMap { c =>
+        Seq(
+          min(col(c)).cast("double").as(s"${c}__min"),
+          graft.functions.ExactPercentiles
+            .exactPercentiles(col(c).cast("double"), Seq(0.25, 0.5, 0.75))
+            .as(s"${c}__pct"),
+          max(col(c)).cast("double").as(s"${c}__max"),
+          avg(col(c)).cast("double").as(s"${c}__mean"),
+          stddev(col(c)).cast("double").as(s"${c}__stddev"))
+      }
+      else cols.flatMap { c =>
+        Seq(
+          min(col(c)).cast("double").as(s"${c}__min"),
+          expr(s"approx_percentile($c, array(0.25, 0.5, 0.75), 10000)")
+            .cast("array<double>").as(s"${c}__pct"),
+          max(col(c)).cast("double").as(s"${c}__max"),
+          avg(col(c)).cast("double").as(s"${c}__mean"),
+          stddev(col(c)).cast("double").as(s"${c}__stddev"))
+      }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+      .select(col("*") +: cols.flatMap(c => Seq(
+        element_at(col(s"${c}__pct"), 1).as(s"${c}__q1"),
+        element_at(col(s"${c}__pct"), 2).as(s"${c}__median"),
+        element_at(col(s"${c}__pct"), 3).as(s"${c}__q3"))): _*)
     // Pivot col__stat names back to one row per column, like the
     // reference's result reshaping (descriptive_stats.py:40-83).
     val stats = Seq("min", "q1", "median", "q3", "max", "mean", "stddev")
@@ -114,14 +129,18 @@ object Eda {
     */
   def outlierBounds(df: DataFrame, cols: Seq[String], scale: Double = 1.5,
                     exact: Boolean = true): Map[String, (Double, Double)] = {
-    def pct(c: String, p: Double): Column =
-      if (exact) expr(s"percentile($c, $p)") else expr(s"approx_percentile($c, $p, 10000)")
-    val aggs = cols.flatMap(c => Seq(
-      pct(c, 0.25).cast("double").as(s"${c}__q1"),
-      pct(c, 0.75).cast("double").as(s"${c}__q3")))
+    val aggs = cols.map { c =>
+      if (exact)
+        graft.functions.ExactPercentiles
+          .exactPercentiles(col(c).cast("double"), Seq(0.25, 0.75)).as(s"${c}__pct")
+      else
+        expr(s"approx_percentile($c, array(0.25, 0.75), 10000)")
+          .cast("array<double>").as(s"${c}__pct")
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
-      val q1 = row.getDouble(2 * i); val q3 = row.getDouble(2 * i + 1)
+      val pct = row.getSeq[Double](i)
+      val (q1, q3) = (pct(0), pct(1))
       val iqr = q3 - q1
       c -> (q1 - scale * iqr, q3 + scale * iqr)
     }.toMap

@@ -26,7 +26,8 @@ object Quality {
       round(min(t), 6).as("min"),
       round(max(t), 6).as("max"),
       round(avg(t), 6).as("mean"),
-      round(expr(s"percentile($target, 0.5)"), 6).as("median"),
+      round(element_at(graft.functions.ExactPercentiles
+        .exactPercentiles(t, Seq(0.5)), 1), 6).as("median"),
       // pileup: mass at the min and at the max (censoring indicator)
       round(count(when(t === mn, 1)).cast("double") / n, 6).as("min_mass"),
       round(count(when(t === mx, 1)).cast("double") / n, 6).as("max_mass"),

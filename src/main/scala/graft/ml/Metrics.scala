@@ -18,7 +18,8 @@ object Metrics {
     df.agg(
       round(sqrt(avg(err * err)), 6).as("rmse"),
       round(avg(abs(err)), 6).as("mae"),
-      round(expr(s"percentile(abs($target - $pred), 0.5)"), 6).as("medae"),
+      round(element_at(graft.functions.ExactPercentiles
+        .exactPercentiles(abs(err).cast("double"), Seq(0.5)), 1), 6).as("medae"),
       round(lit(1.0) - sum(err * err) /
         (sum(y * y) - count(lit(1)) * avg(y) * avg(y)), 6).as("r2"))
   }
