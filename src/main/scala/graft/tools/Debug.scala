@@ -1,26 +1,24 @@
 package graft.tools
 
-import graft.core.Tables
-import graft.eda.Eda
+import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
-    def time[T](label: String)(f: => T): Unit = {
-      val t0 = System.nanoTime(); f
-      println(s"$label: ${(System.nanoTime()-t0)/1e9}s")
-    }
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    time("warmup")(li.count())
-    time("descriptiveStats exact (custom agg)")(Eda.descriptiveStats(li, cols).collect())
-    time("descriptiveStats exact again")(Eda.descriptiveStats(li, cols).collect())
-    time("descriptiveStats approx")(Eda.descriptiveStats(li, cols, exact = false).collect())
-    Eda.descriptiveStats(li, cols).show(5, false)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val before = SparkEntry.queries("q15_temporal_split")(spark, dir)
+    println("WITHOUT rule: " + before.count())
+    println(before.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("PushedFilters") || l.contains("Filter")).take(4).mkString("\n"))
+    graft.plans.NanosPushdown.install(spark)
+    val after = SparkEntry.queries("q15_temporal_split")(spark, dir)
+    println("WITH rule: " + after.count())
+    println(after.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("PushedFilters") || l.contains("Filter")).take(4).mkString("\n"))
   }
 }
