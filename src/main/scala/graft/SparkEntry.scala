@@ -312,6 +312,32 @@ object SparkEntry {
       Proximity.knnJoin(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         5, Proximity.euclidean)
         .select(col("id"), col("neighbor_id"), round(col("distance"), 4).as("distance"))
+    }),
+    "q50_knn_ruzicka" -> ((s, dir) => {
+      // deterministic count-vector fingerprints derived from embeddings —
+      // stands in for the reference's Morgan count fingerprints
+      val f = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .withColumn("fp", transform(col("embedding"),
+          x => floor(abs(x.cast("double") * 20))))
+      Proximity.knnJoin(f.filter(col("vec_id") < 10), f, "vec_id", "fp",
+        5, Proximity.ruzicka)
+        .select(col("id"), col("neighbor_id"), round(col("distance"), 6).as("distance"))
+    }),
+    "q51_multi_task_alignment" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.proximity.Analytics.multiTaskAlignment(li, lineitemNumeric)
+        .select(col("task_1"), col("task_2"), round(col("pearson_r"), 6).as("pearson_r"),
+          round(col("coverage"), 6).as("coverage"))
+    }),
+    "q52_feature_spider" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoin(e.filter(col("vec_id") < 30), e, "vec_id", "embedding",
+        5, Proximity.euclidean)
+      graft.proximity.Analytics.featureSpider(nn, e, "vec_id", "label", gradientCut = 2.0)
+        .select(col("id"), col("target"),
+          round(col("knn_prediction"), 6).as("knn_prediction"),
+          round(col("knn_error"), 6).as("knn_error"),
+          col("coincident"), col("high_gradient"))
     })
   )
 
@@ -662,6 +688,52 @@ object SparkEntry {
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS p_k FROM events""",
     "q49_knn_euclidean" ->
       s"""WITH ${knnSql("vec_id < 10", "true", 5)}
-          SELECT id, neighbor_id, ROUND(distance, 4) AS distance FROM knn"""
+          SELECT id, neighbor_id, ROUND(distance, 4) AS distance FROM knn""",
+    "q50_knn_ruzicka" ->
+      """WITH f AS (SELECT vec_id,
+             list_transform(embedding, x -> floor(abs(CAST(x AS DOUBLE) * 20))) AS v
+           FROM embeddings WHERE vec_id < 300),
+         qs AS (SELECT * FROM f WHERE vec_id < 10),
+         sums AS (SELECT qs.vec_id AS id, r.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(qs.v) + 1),
+               i -> least(qs.v[i], r.v[i]))) AS smin,
+             list_sum(list_transform(range(1, len(qs.v) + 1),
+               i -> greatest(qs.v[i], r.v[i]))) AS smax
+           FROM qs CROSS JOIN f r WHERE qs.vec_id != r.vec_id),
+         pairs AS (SELECT id, neighbor_id,
+             1 - CASE WHEN smax = 0 THEN 1.0 ELSE smin / smax END AS d0 FROM sums),
+         knn AS (SELECT id, neighbor_id,
+             CASE WHEN d0 < 1e-6 THEN 0.0 ELSE d0 END AS distance FROM pairs
+           QUALIFY row_number() OVER (PARTITION BY id
+             ORDER BY CASE WHEN d0 < 1e-6 THEN 0.0 ELSE d0 END, neighbor_id) <= 5)
+         SELECT id, neighbor_id, ROUND(distance, 6) AS distance FROM knn""",
+    "q51_multi_task_alignment" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS task_1, '$b' AS task_2,
+            ROUND(CORR($a, $b), 6) AS pearson_r,
+            ROUND(CAST(COUNT(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END)
+              AS DOUBLE) / COUNT(*), 6) AS coverage FROM lineitem"""
+      }.mkString(" UNION ALL ")
+    },
+    "q52_feature_spider" ->
+      s"""WITH ${knnSql("vec_id < 30", "vec_id < 100", 5)},
+          aggs AS (SELECT knn.id, AVG(CAST(r.label AS DOUBLE)) AS knn_prediction,
+              MAX(CASE WHEN distance <= 1e-6 THEN 1 ELSE 0 END) AS coinc
+            FROM knn JOIN e r ON knn.neighbor_id = r.vec_id GROUP BY 1),
+          cliffs AS (SELECT knn.id,
+              MAX(CASE WHEN distance > 0 AND
+                ABS(CAST(b.label AS DOUBLE) - CAST(a.label AS DOUBLE)) / distance > 2.0
+                THEN 1 ELSE 0 END) AS cliff
+            FROM knn JOIN e a ON knn.id = a.vec_id JOIN e b ON knn.neighbor_id = b.vec_id
+            GROUP BY 1)
+          SELECT qs.vec_id AS id, CAST(qs.label AS DOUBLE) AS target,
+            ROUND(knn_prediction, 6) AS knn_prediction,
+            ROUND(ABS(CAST(qs.label AS DOUBLE) - knn_prediction), 6) AS knn_error,
+            COALESCE(coinc, 0) = 1 AS coincident,
+            COALESCE(cliff, 0) = 1 AS high_gradient
+          FROM qs LEFT JOIN aggs ON qs.vec_id = aggs.id
+          LEFT JOIN cliffs ON qs.vec_id = cliffs.id"""
   )
 }

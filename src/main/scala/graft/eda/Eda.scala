@@ -114,12 +114,16 @@ object Eda {
     * Ties broken by value for determinism. The groupBy shuffles only the
     * distinct values (map-side combine), then each limit is a tiny top-k.
     */
-  def valueCounts(df: DataFrame, column: String, k: Int = 20): DataFrame = {
+  def valueCounts(df: DataFrame, column: String, k: Int = 20,
+                  collapseAllUnique: Boolean = true): DataFrame = {
     val counts = df.na.fill("NaN", Seq(column))
       .groupBy(col(column).as("value")).agg(count(lit(1)).as("count"))
     val top = counts.orderBy(desc("count"), asc("value")).limit(k)
-    val bottom = counts.orderBy(asc("count"), desc("value")).limit(k)
-    top.unionByName(bottom)
+    // the reference's "all counts are 1" collapse: keep only 5 rows
+    // (value_counts.py:55-57). One cheap agg on the counts decides.
+    if (collapseAllUnique &&
+        counts.agg(max("count")).head().getLong(0) == 1L) top.limit(5)
+    else top.unionByName(counts.orderBy(asc("count"), desc("value")).limit(k))
   }
 
   /** IQR outlier bounds per column, computed client-side in one agg pass —

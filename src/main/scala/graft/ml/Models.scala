@@ -77,6 +77,23 @@ object Models {
       .drop("__features", "__scaled", "__pc", "__arr")
   }
 
+  /** Residual-based uncertainty intervals from KNN neighborhood stats —
+    * the core of the reference's UQ model family (reference:
+    * src/workbench/algorithms/dataframe/uq_model_v{0,1,2}.py): the
+    * interval around a prediction is ±z × the neighborhood target std,
+    * floored by the global residual std so sparse neighborhoods don't
+    * collapse to zero width.
+    */
+  def uqIntervals(residualFeatures: DataFrame, z: Double = 1.96): DataFrame = {
+    val globalStd = residualFeatures
+      .agg(stddev(col("target") - col("prediction"))).head().getDouble(0)
+    val width = greatest(coalesce(col("knn_target_std"), lit(globalStd)), lit(globalStd)) * z
+    residualFeatures
+      .withColumn("pred_lower", col("prediction") - width)
+      .withColumn("pred_upper", col("prediction") + width)
+      .withColumn("interval_width", width * 2)
+  }
+
   /** Expand a probability array column into per-label columns
     * (reference: src/workbench/utils/pandas_utils.py:1045-1075). */
   def expandProba(df: DataFrame, probaCol: String, labels: Seq[String]): DataFrame =

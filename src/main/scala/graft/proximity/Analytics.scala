@@ -123,6 +123,54 @@ object Analytics {
           .otherwise(lit(null)).as("target_gradient"))
   }
 
+  /** FeatureSpider: KNN-regressor QA — per row, the prediction implied by
+    * its neighborhood (mean neighbor target), the gap to its own target,
+    * and coincident / high-gradient flags
+    * (reference: src/workbench/algorithms/dataframe/storage/
+    * feature_spider.py:11-50).
+    */
+  def featureSpider(neighbors: DataFrame, rows: DataFrame, idCol: String,
+                    targetCol: String, gradientCut: Double, eps: Double = 1e-6): DataFrame = {
+    val t = rows.select(col(idCol).as("neighbor_id"), col(targetCol).cast("double").as("__nt"))
+    val grads = targetGradients(neighbors, rows, idCol, targetCol)
+    val aggs = neighbors.join(t, Seq("neighbor_id"))
+      .groupBy("id")
+      .agg(avg("__nt").as("knn_prediction"),
+        max(when(col("distance") <= eps, 1).otherwise(0)).as("__coinc"))
+    val cliffs = grads.groupBy("id")
+      .agg(max(when(col("target_gradient") > gradientCut, 1).otherwise(0)).as("__cliff"))
+    rows.select(col(idCol).as("id"), col(targetCol).cast("double").as("target"))
+      .join(neighbors.select("id").distinct(), Seq("id"), "left_semi")
+      .join(aggs, Seq("id"), "left").join(cliffs, Seq("id"), "left")
+      .na.fill(0, Seq("__coinc", "__cliff"))
+      .withColumn("knn_error", abs(col("target") - col("knn_prediction")))
+      .withColumn("coincident", col("__coinc") === 1)
+      .withColumn("high_gradient", col("__cliff") === 1)
+      .drop("__coinc", "__cliff")
+  }
+
+  /** Multi-task alignment diagnostics: for a wide multi-task frame,
+    * pairwise Pearson r between task columns plus pairwise coverage (the
+    * fraction of rows where both tasks are present)
+    * (reference: src/workbench/algorithms/dataframe/
+    * multi_task_alignment.py:31-100). One aggregate pass.
+    */
+  def multiTaskAlignment(df: DataFrame, taskCols: Seq[String]): DataFrame = {
+    val pairs = for { a <- taskCols; b <- taskCols if a < b } yield (a, b)
+    val n = count(lit(1))
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(corr(col(a), col(b)).as(s"${a}__${b}__r"),
+        (count(when(col(a).isNotNull && col(b).isNotNull, 1)).cast("double") / n)
+          .as(s"${a}__${b}__cov"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__${b}__r`, `${a}__${b}__cov`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${pairs.size}, $stackExpr) as (task_1, task_2, pearson_r, coverage)")
+  }
+
   /** Row tags: zero-target / coincident / high-target-gradient
     * neighborhood, as an array column
     * (reference: src/workbench/algorithms/dataframe/storage/

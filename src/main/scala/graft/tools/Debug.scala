@@ -1,7 +1,12 @@
 package graft.tools
 
-import graft.SparkEntry
+import graft.core.Tables
+import graft.eda.Eda
+import graft.ml.Models
+import graft.proximity.{Analytics, Proximity}
+import graft.views.Joins
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 object Debug {
   def main(args: Array[String]): Unit = {
@@ -10,15 +15,26 @@ object Debug {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val before = SparkEntry.queries("q15_temporal_split")(spark, dir)
-    println("WITHOUT rule: " + before.count())
-    println(before.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("PushedFilters") || l.contains("Filter")).take(4).mkString("\n"))
-    graft.plans.NanosPushdown.install(spark)
-    val after = SparkEntry.queries("q15_temporal_split")(spark, dir)
-    println("WITH rule: " + after.count())
-    println(after.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("PushedFilters") || l.contains("Filter")).take(4).mkString("\n"))
+    import spark.implicits._
+    // salted join vs plain join on a hot key
+    val left = (1 to 100000).map(i => (if (i % 3 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val right = (1L to 50L).map(k => (k, s"tag$k")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).count()
+    val salted = Joins.saltedJoin(left, right, "k", buckets = 16).count()
+    println(s"saltedJoin: plain=$plain salted=$salted equal=${plain == salted}")
+    // uq intervals over real residual features
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      .filter(col("vec_id") < 100)
+    val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+    val rf = Analytics.residualFeatures(nn, e.withColumn("pred", col("label") * 0.9),
+      "vec_id", "label", "pred", 5)
+    val uq = Models.uqIntervals(rf)
+    val bad = uq.filter(col("pred_lower") >= col("prediction") ||
+      col("pred_upper") <= col("prediction")).count()
+    println(s"uqIntervals: rows=${uq.count()} non-bracketing=$bad")
+    // value-counts collapse at the operator surface
+    val unique = (1 to 50).map(i => s"v$i").toDF("c")
+    println(s"valueCounts all-unique: ${Eda.valueCounts(unique, "c").count()} rows (expect 5)")
   }
 }
