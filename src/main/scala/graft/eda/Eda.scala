@@ -102,10 +102,14 @@ object Eda {
     } yield (a, b)
     val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = pairs.map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }.mkString(", ")
-    val half = wide.selectExpr(
-      s"stack(${pairs.size}, $stackExpr) as (col_1, col_2, correlation)")
-    half.unionByName(half.select(col("col_2").as("col_1"), col("col_1").as("col_2"), col("correlation")))
+    // both orientations come out of the SAME one-row aggregate via stack —
+    // a union of the half-matrix with its mirror would re-execute the
+    // whole aggregation (the union's two branches share no physical result)
+    val stackExpr = pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__${b}`, '$b', '$a', `${a}__${b}`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${pairs.size * 2}, $stackExpr) as (col_1, col_2, correlation)")
       .orderBy(desc("correlation"), asc("col_1"), asc("col_2"))
   }
 
