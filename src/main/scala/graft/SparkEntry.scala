@@ -338,7 +338,18 @@ object SparkEntry {
           round(col("knn_prediction"), 6).as("knn_prediction"),
           round(col("knn_error"), 6).as("knn_error"),
           col("coincident"), col("high_gradient"))
-    })
+    }),
+    "q53_dedup_clusters" -> ((s, dir) => {
+      // exact word-jaccard pairs -> connected components -> dedup survivors
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+      graft.dedup.Components.dedupByPairs(docs, "doc_id", pairs)
+        .select("doc_id", "lang", "source")
+    }),
+    "q54_quantile_split" -> ((s, dir) =>
+      Transforms.quantileSplit(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal"),
+        "c_acctbal", 4, tiebreak = Seq("c_custkey")))
   )
 
   /** embeddings with the float vector cast to double (shared by the
@@ -734,6 +745,29 @@ object SparkEntry {
             COALESCE(coinc, 0) = 1 AS coincident,
             COALESCE(cliff, 0) = 1 AS high_gradient
           FROM qs LEFT JOIN aggs ON qs.vec_id = aggs.id
-          LEFT JOIN cliffs ON qs.vec_id = cliffs.id"""
+          LEFT JOIN cliffs ON qs.vec_id = cliffs.id""",
+    "q53_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, lang, source,
+             list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS w
+           FROM documents WHERE doc_id < 200),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM docs a CROSS JOIN docs b WHERE a.doc_id < b.doc_id
+             AND ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.w, b.w))), 6) >= 0.7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM p
+           UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+           FROM reach GROUP BY src)
+         SELECT doc_id, lang, source FROM docs
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)""",
+    "q54_quantile_split" ->
+      """SELECT c_custkey, c_acctbal,
+         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quantile
+         FROM customer"""
   )
 }

@@ -42,6 +42,12 @@ object Dedup {
     * slowdown. Callers stage: project shingles → persist → project mins.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    graft.functions.Signatures.minhashSignature(shingleCol, numHashes)
+
+  /** Reference combinator form of the signature (32 × array_min over
+    * transform) — kept for cross-checking the custom expression; both
+    * produce identical values (same murmur3 composition). */
+  def minhashSignatureCombinator(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(shingleCol, s => hash(s, lit(seed))))
     }: _*)
@@ -59,14 +65,15 @@ object Dedup {
                  shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Two materialization stages. (1) shingle sets — so the tokenizer runs
-    // ONCE per doc, not once per hash function; (2) signatures — so the
-    // 32-min expression isn't re-inlined (CollapseProject) into every
-    // downstream branch (band explode, both join sides, verify join).
-    // At cluster scale these are checkpointed signature tables; in-memory
-    // cache is the local equivalent.
+    // Two materialization stages: (1) shingle sets — so the tokenizer
+    // runs once per doc and the signature expression reads a materialized
+    // array (interpreted projections do no CSE, so deriving shingles in
+    // the same projection would tokenize twice); (2) signatures — so
+    // CollapseProject can't re-inline the tree into every downstream
+    // branch (band explode, both join sides, verify join). At cluster
+    // scale these are checkpointed signature tables.
     val shingled = df.select(col(idCol).as("id"),
-      array_distinct(Text.shingles(col(textCol), shingleSize)).as("sh"))
+      graft.functions.Signatures.wordShingles(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = shingled.select(col("id"), col("sh"),
       minhashSignature(col("sh"), numHashes).as("sig"))
@@ -123,11 +130,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // staged + materialized once, for the same reasons as minhashLsh
-    val hashed = df.select(col(idCol).as("id"),
-      transform(Text.tokens(col(textCol)), t => hash(t)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = hashed.select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+    // single-pass custom expression, materialized once for branch reuse
+    val docs = df.select(col(idCol).as("id"),
+      graft.functions.Signatures.simhash(Text.tokens(col(textCol))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(col("id"), col("sig"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),

@@ -81,10 +81,16 @@ object Transforms {
   }
 
   /** ntile-based quantile split: adds a `quantile` bucket column 1..n
-    * (reference: src/workbench/utils/pandas_utils.py:244-268). */
-  def quantileSplit(df: DataFrame, valueCol: String, n: Int): DataFrame = {
+    * (reference: src/workbench/utils/pandas_utils.py:244-268).
+    * `tiebreak` columns make the bucket assignment deterministic when
+    * values repeat. NOTE: a global ntile is a single-partition window —
+    * fine at the reference's interactive scale; at 100 TB compute bucket
+    * edges with approx percentiles and assign by range instead. */
+  def quantileSplit(df: DataFrame, valueCol: String, n: Int,
+                    tiebreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("quantile", ntile(n).over(Window.orderBy(col(valueCol))))
+    val order = (valueCol +: tiebreak).map(col)
+    df.withColumn("quantile", ntile(n).over(Window.orderBy(order: _*)))
   }
 
   /** One-hot encode: expand a string column into 0/1 `{col}_{value}`

@@ -71,4 +71,21 @@ class ExtrasSpec extends SparkSpec {
       assert(r.getAs[Double]("pred_upper") > r.getAs[Double]("prediction"))
     }
   }
+
+  test("connectedComponents: chains merge, separate clusters stay apart") {
+    import graft.dedup.Components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Components.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("dedupByPairs keeps one canonical row per cluster plus singletons") {
+    import graft.dedup.Components
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Components.dedupByPairs(df, "id", pairs).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 99L))
+  }
 }
