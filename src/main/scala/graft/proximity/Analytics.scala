@@ -56,6 +56,24 @@ object Analytics {
       .drop("__rank")
   }
 
+  /** Ego subgraph: edges within `hops` of a center node
+    * (reference: proximity_graph.py ego-subgraph). One self-join per hop
+    * over the edge list — no driver-side graph object. */
+  def egoSubgraph(edges: DataFrame, center: Long, hops: Int = 1): DataFrame = {
+    var nodes = edges.sparkSession.createDataFrame(Seq(Tuple1(center))).toDF("node")
+    var h = 0
+    while (h < hops) {
+      val expanded = edges
+        .join(nodes.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"))
+      nodes = nodes.unionByName(expanded).distinct()
+      h += 1
+    }
+    edges.join(nodes.withColumnRenamed("node", "src"), Seq("src"))
+      .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"))
+      .select("src", "dst", "weight")
+  }
+
   /** Laplacian smoothness of a node signal over a weighted edge list:
     * per-node Σ w·(y_i − y_j)² and the global xᵀLx / |E| diagnostic
     * (reference: src/workbench/algorithms/graph/light/

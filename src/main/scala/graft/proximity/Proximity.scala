@@ -108,6 +108,51 @@ object Proximity {
       .drop("__rank")
   }
 
+  /** IVF-style approximate cosine top-k — the other scale path.
+    *
+    * A KMeans coarse quantizer (trained on a sample of the reference set)
+    * assigns every reference vector to its nearest centroid cell; each
+    * query probes only its `nProbe` nearest cells. The candidate join is
+    * a hash-partitioned equi-join on cell id — O(|Q|·|R|·nProbe/k) pairs
+    * instead of the brute-force |Q|·|R|. Centroids are broadcast (tiny);
+    * the reference side is scanned once to assign cells.
+    */
+  def cosineTopKIvf(queries: DataFrame, refs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nCells: Int = 16, nProbe: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val toD: Column => Column = c => transform(c, x => x.cast("double"))
+    val r = refs.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("__rv"))
+    val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
+    // train the coarse quantizer on the reference vectors
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(r.withColumn("__vec", array_to_vector(col("__rv"))))
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val centDf = broadcast(
+      refs.sparkSession.createDataFrame(centroids).toDF("__cell", "__centroid"))
+    // assign refs to their cell; queries fan out to their nProbe cells
+    val rCells = km.transform(r.withColumn("__vec", array_to_vector(col("__rv"))))
+      .select(col("neighbor_id"), col("__rv"), col("__cell"))
+    val qCells = q.crossJoin(centDf)
+      .withColumn("__sim", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("id").orderBy(desc("__sim"), asc("__cell"))))
+      .filter(col("__rank") <= nProbe)
+      .select(col("id"), col("__qv"), col("__cell"))
+    val w = Window.partitionBy(col("id")).orderBy(desc("similarity"), asc("neighbor_id"))
+    qCells.join(rCells, Seq("__cell"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"), cosine(col("__qv"), col("__rv")).as("similarity"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** LSH-bucketed approximate cosine top-k — the 100 TB scale path.
     *
     * Random-hyperplane signatures (sign of dot with `nPlanes` seeded

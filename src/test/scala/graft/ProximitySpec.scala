@@ -55,4 +55,31 @@ class ProximitySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"LSH recall too low: $recall") // loose floor at tiny nPlanes
   }
+
+  test("cosineTopKIvf recall vs exact top-k") {
+    val refs = emb.filter(col("vec_id") < 300)
+    val qs = emb.filter(col("vec_id") < 5)
+    val exact = Proximity.cosineTopK(qs, refs, "vec_id", "embedding", 5)
+      .select("id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Proximity.cosineTopKIvf(qs, refs, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+      .select("id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("egoSubgraph keeps only edges between nodes within reach of center") {
+    import graft.proximity.Analytics
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.7), (10L, 11L, 0.5))
+      .toDF("src", "dst", "weight")
+    val ego1 = Analytics.egoSubgraph(edges, 1L, hops = 1)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ego1 == Set((1L, 2L)))
+    val ego2 = Analytics.egoSubgraph(edges, 1L, hops = 2)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ego2 == Set((1L, 2L), (2L, 3L)))
+    assert(!ego2.contains((10L, 11L)))
+  }
 }
