@@ -349,7 +349,26 @@ object SparkEntry {
     "q54_quantile_split" -> ((s, dir) =>
       Transforms.quantileSplit(
         t(s, dir, "customer").select("c_custkey", "c_acctbal"),
-        "c_acctbal", 4, tiebreak = Seq("c_custkey")))
+        "c_acctbal", 4, tiebreak = Seq("c_custkey"))),
+    "q55_column_stats" -> ((s, dir) => {
+      // composite per-column stats: dtype + distinct + nulls in one frame
+      // (reference column_stats.py:52-121 orchestration)
+      val o = t(s, dir, "orders")
+      val cols = o.columns.toSeq
+      val distinctLong = Eda.countDistinct(o, cols).selectExpr(
+        s"stack(${cols.size}, ${cols.map(c => s"'$c', `$c`").mkString(", ")}) as (column_name, n_distinct)")
+      val nullsLong = Eda.countNulls(o, cols).selectExpr(
+        s"stack(${cols.size}, ${cols.map(c => s"'$c', `$c`").mkString(", ")}) as (column_name, n_nulls)")
+      val dtypes = o.schema.fields.map(f =>
+        (f.name, f.dataType.simpleString.replace("timestamp_ntz", "timestamp"))).toSeq
+      val dtypeDf = o.sparkSession.createDataFrame(dtypes).toDF("column_name", "dtype")
+      distinctLong.join(nullsLong, Seq("column_name")).join(dtypeDf, Seq("column_name"))
+    }),
+    "q56_stratified_split" -> ((s, dir) => {
+      val (train, _) = Transforms.stratifiedSplit(
+        t(s, dir, "customer"), "c_mktsegment", 0.8, "c_custkey")
+      train.select("c_custkey", "c_mktsegment")
+    })
   )
 
   /** embeddings with the float vector cast to double (shared by the
@@ -768,6 +787,16 @@ object SparkEntry {
     "q54_quantile_split" ->
       """SELECT c_custkey, c_acctbal,
          ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quantile
-         FROM customer"""
+         FROM customer""",
+    "q55_column_stats" -> {
+      val cols = Seq(("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"), ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"), ("o_orderpriority", "string"))
+      cols.map { case (c, ty) =>
+        s"""SELECT '$c' AS column_name, COUNT(DISTINCT $c) AS n_distinct,
+            COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+            '$ty' AS dtype FROM orders"""
+      }.mkString(" UNION ALL ")
+    }
   )
 }

@@ -68,12 +68,22 @@ class ModelsStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3) // only the new file ingested
   }
 
-  test("windowedRollup aggregates in tumbling windows (batch-mode check)") {
-    val ev = Tables.load(spark, sf, "events")
-    // same logic path as streaming, executed on the batch frame
-    val rolled = ev.groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    assert(rolled.count() > 0)
+  test("windowedRollup runs as a real streaming query (memory sink)") {
+    val tmp = Files.createTempDirectory("graft-rollup").toString
+    val ev = Tables.load(spark, sf, "events").select("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(tmp + "/in")
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp + "/in")
+    val rolled = Streaming.windowedRollup(stream, "ts", "1 day", "1 hour")
+    val q = rolled.writeStream.outputMode("append")
+      .format("memory").queryName("rollup_out")
+      .option("checkpointLocation", tmp + "/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; at least the early
+    // days of the 15-day event range must be present
+    val out = spark.sql("SELECT * FROM rollup_out")
+    assert(out.count() > 0)
+    assert(out.columns.contains("window") && out.columns.contains("total_value"))
   }
 
   test("multimodal extractFeatures: deterministic, schema preserved, payload dropped") {
