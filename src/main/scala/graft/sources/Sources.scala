@@ -61,12 +61,21 @@ object Sources {
   /** Register a normalized DataFrame as a named table in the session
     * catalog — the DataSource "creation" step. Parquet-backed when a
     * warehouse location is given, temp view otherwise.
+    *
+    * `partitionBy` enables partition pruning on the listed columns —
+    * the reference leaves this unimplemented (`partition_cols=None`
+    * FIXME at pandas_to_data.py:142-145); at 100 TB it is the first
+    * knob that matters (a date/tenant partition turns full scans into
+    * directory listings).
     */
   def createDataSource(spark: SparkSession, df: DataFrame, name: String,
-                       warehouse: Option[String] = None): DataFrame = {
+                       warehouse: Option[String] = None,
+                       partitionBy: Seq[String] = Nil): DataFrame = {
     warehouse match {
       case Some(dir) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name")
+        val writer = df.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+          .parquet(s"$dir/$name")
         val back = spark.read.parquet(s"$dir/$name")
         back.createOrReplaceTempView(name)
         back
@@ -74,5 +83,17 @@ object Sources {
         df.createOrReplaceTempView(name)
         df
     }
+  }
+
+  /** Bucketed managed table: pre-hash-partitions rows by the join key so
+    * equi-joins between tables bucketed on the same key need NO shuffle
+    * (co-located join). Requires the session catalog (saveAsTable).
+    */
+  def createBucketedTable(spark: SparkSession, df: DataFrame, name: String,
+                          bucketBy: String, buckets: Int): DataFrame = {
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketBy).sortBy(bucketBy)
+      .format("parquet").saveAsTable(name)
+    spark.table(name)
   }
 }

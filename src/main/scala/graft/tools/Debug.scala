@@ -1,29 +1,41 @@
 package graft.tools
 
 import graft.core.Tables
-import graft.proximity.Proximity
+import graft.sources.Sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", tmp + "/warehouse")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")  // expose shuffle vs bucketed
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
-    val qs = emb.filter(col("vec_id") < 50)
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(s"$label: ${(System.nanoTime()-t0)/1e9}s"); r
-    }
-    val exact = time("exact cosineTopK 50x2000")(
-      Proximity.cosineTopK(qs, emb, "vec_id", "embedding", 10)
-        .select("id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
-    val ivf = time("ivf cosineTopKIvf 50x2000")(
-      Proximity.cosineTopKIvf(qs, emb, "vec_id", "embedding", 10, nCells = 32, nProbe = 8)
-        .select("id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
-    println(s"IVF recall: ${exact.intersect(ivf).size.toDouble / exact.size}")
+    // partition pruning
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Sources.createDataSource(spark, ev, "events_part", Some(tmp), partitionBy = Seq("event_type"))
+    val pruned = spark.table("events_part").filter(col("event_type") === "error")
+    val scan = pruned.queryExecution.executedPlan.toString
+    println("partition filter: " + scan.linesIterator.find(_.contains("PartitionFilters")).map(
+      l => l.substring(l.indexOf("PartitionFilters"))).getOrElse("NOT FOUND").take(120))
+    println("pruned count: " + pruned.count())
+    // bucketed co-located join: no Exchange expected
+    val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val c = Tables.load(spark, "/root/testdata/sf0.01", "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Sources.createBucketedTable(spark, o, "orders_b", "o_custkey", 8)
+    Sources.createBucketedTable(spark, c, "cust_b", "o_custkey", 8)
+    val joined = spark.table("orders_b").join(spark.table("cust_b"), Seq("o_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    println(s"bucketed join exchanges in plan: $exchanges (expect 0); rows=${joined.count()}")
+    // contrast: plain parquet join shuffles both sides
+    val plainPlan = o.join(c, Seq("o_custkey")).queryExecution.executedPlan.toString
+    println(s"plain join exchanges: ${plainPlan.linesIterator.count(_.contains("Exchange"))} (expect 2)")
   }
 }

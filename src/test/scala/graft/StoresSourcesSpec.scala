@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.Tables
 import graft.sources.Sources
 import graft.stores._
 import org.apache.spark.sql.functions._
@@ -82,5 +83,36 @@ class StoresSourcesSpec extends SparkSpec {
     Sources.createDataSource(spark, Seq((1, "a")).toDF("id", "v"), "test_ds",
       warehouse = Some(tmp + "/warehouse"))
     assert(spark.sql("SELECT count(*) FROM test_ds").head().getLong(0) == 1)
+  }
+
+  test("createDataSource partitionBy enables partition pruning") {
+    val ev = Tables.load(spark, sf, "events")
+    Sources.createDataSource(spark, ev, "events_part_t", Some(tmp + "/w"),
+      partitionBy = Seq("event_type"))
+    val pruned = spark.table("events_part_t").filter(col("event_type") === "error")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
+    assert(pruned.count() ==
+      ev.filter(col("event_type") === "error").count())
+  }
+
+  test("bucketed tables join without any shuffle") {
+    val o = Tables.load(spark, sf, "orders")
+    val c = Tables.load(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    Sources.createBucketedTable(spark, o, "orders_bt", "o_custkey", 4)
+    Sources.createBucketedTable(spark, c, "cust_bt", "o_custkey", 4)
+    withAutoBroadcastOff {
+      val joined = spark.table("orders_bt").join(spark.table("cust_bt"), Seq("o_custkey"))
+      val exchanges = joined.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 0, s"expected shuffle-free bucketed join, got $exchanges exchanges")
+      assert(joined.count() == o.count())
+    }
+  }
+
+  private def withAutoBroadcastOff[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
