@@ -368,6 +368,25 @@ object SparkEntry {
       val (train, _) = Transforms.stratifiedSplit(
         t(s, dir, "customer"), "c_mktsegment", 0.8, "c_custkey")
       train.select("c_custkey", "c_mktsegment")
+    }),
+    "q57_label_noise" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      graft.ml.Noise.neighborhoodDisagreement(nn, e, "vec_id", "label")
+        .select(col("id"), col("label"), col("majority_label"),
+          round(col("agreement"), 6).as("agreement"), col("noisy"))
+    }),
+    "q58_fingerprint_tanimoto" -> ((s, dir) => {
+      import graft.functions.Chem
+      // serialize to the reference's CSV-counts string, parse back, then
+      // run typed tanimoto — proves the roundtrip is lossless
+      val f = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+        .withColumn("fp_csv", Chem.fingerprintToCsv(
+          transform(col("embedding"), x => floor(abs(x.cast("double") * 20)).cast("int"))))
+        .withColumn("fp", Chem.parseFingerprint(col("fp_csv")))
+      val ref = f.filter(col("vec_id") === 0).select(col("fp").as("fp0"))
+      f.crossJoin(broadcast(ref))
+        .select(col("vec_id"), round(Chem.tanimoto(col("fp"), col("fp0")), 6).as("tanimoto"))
     })
   )
 
@@ -797,6 +816,34 @@ object SparkEntry {
             COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
             '$ty' AS dtype FROM orders"""
       }.mkString(" UNION ALL ")
-    }
+    },
+    "q57_label_noise" ->
+      s"""WITH ${knnSql("true", "vec_id < 100", 5)},
+          votes AS (SELECT knn.id, r.label AS nl, COUNT(*) AS n_votes
+            FROM knn JOIN e r ON knn.neighbor_id = r.vec_id GROUP BY 1, 2),
+          majority AS (SELECT id, nl AS majority_label, n_votes FROM votes
+            QUALIFY row_number() OVER (PARTITION BY id
+              ORDER BY n_votes DESC, nl ASC) = 1),
+          totals AS (SELECT id, COUNT(*) AS k FROM knn GROUP BY 1)
+          SELECT e.vec_id AS id, e.label, m.majority_label,
+            ROUND(CAST(m.n_votes AS DOUBLE) / t.k, 6) AS agreement,
+            e.label != m.majority_label AS noisy
+          FROM e JOIN majority m ON e.vec_id = m.id
+          JOIN totals t ON e.vec_id = t.id""",
+    "q58_fingerprint_tanimoto" ->
+      """WITH f AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(abs(CAST(x AS DOUBLE) * 20)) AS INT)) AS v
+           FROM embeddings WHERE vec_id < 50),
+         q0 AS (SELECT v AS v0 FROM f WHERE vec_id = 0),
+         sums AS (SELECT f.vec_id,
+             list_sum(list_transform(range(1, len(f.v) + 1),
+               i -> CAST(least(f.v[i], v0[i]) AS DOUBLE))) AS smin,
+             list_sum(list_transform(range(1, len(f.v) + 1),
+               i -> CAST(greatest(f.v[i], v0[i]) AS DOUBLE))) AS smax
+           FROM f CROSS JOIN q0)
+         SELECT vec_id,
+           ROUND(CASE WHEN smax = 0 THEN 1.0 ELSE smin / smax END, 6) AS tanimoto
+         FROM sums"""
   )
 }

@@ -88,4 +88,35 @@ class ExtrasSpec extends SparkSpec {
     val kept = Components.dedupByPairs(df, "id", pairs).as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 10L, 99L))
   }
+
+  test("neighborhoodDisagreement flags minority-label rows") {
+    import graft.ml.Noise
+    import graft.proximity.Proximity
+    // 5 points clustered at ~0 labeled A (one mislabeled B), far point C
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), "A"), (2L, Seq(0.1, 0.0), "A"), (3L, Seq(0.0, 0.1), "A"),
+      (4L, Seq(0.1, 0.1), "B"), (5L, Seq(0.05, 0.05), "A"),
+      (6L, Seq(100.0, 100.0), "C")).toDF("id", "vec", "label")
+    val nn = Proximity.knnJoin(df, df, "id", "vec", 3, Proximity.euclidean)
+    val out = Noise.neighborhoodDisagreement(nn, df, "id", "label")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("noisy")).toMap
+    assert(out(4L))   // the mislabeled point disagrees with its A neighborhood
+    assert(!out(1L))
+  }
+
+  test("chem fingerprint CSV roundtrip is lossless; tanimoto identities") {
+    import graft.functions.Chem
+    val df = Seq((1L, Seq(0, 3, 0, 1)), (2L, Seq(0, 3, 0, 1)), (3L, Seq(1, 0, 2, 0)))
+      .toDF("id", "fp")
+    val rt = df.withColumn("csv", Chem.fingerprintToCsv(col("fp")))
+      .withColumn("back", Chem.parseFingerprint(col("csv")))
+    assert(rt.filter(col("fp") =!= col("back")).count() == 0)
+    val sims = rt.crossJoin(rt.filter(col("id") === 1).select(col("fp").as("fp1")))
+      .select(col("id"), Chem.tanimoto(col("fp"), col("fp1")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sims(2L) == 1.0)   // identical fingerprints
+    assert(sims(3L) == 0.0)   // disjoint count support
+    assert(Chem.withParsedFingerprint(
+      Seq(Tuple1("1,2,x")).toDF("fp"), "fp", 3).head().isNullAt(1))
+  }
 }
