@@ -387,6 +387,14 @@ object SparkEntry {
       val ref = f.filter(col("vec_id") === 0).select(col("fp").as("fp0"))
       f.crossJoin(broadcast(ref))
         .select(col("vec_id"), round(Chem.tanimoto(col("fp"), col("fp0")), 6).as("tanimoto"))
+    }),
+    "q59_feature_space_knn" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+        .filter(col("rid") < 3000)
+      Proximity.featureSpaceKnn(li.filter(col("rid") < 150), li, "rid",
+        lineitemNumeric, 5)
+        .select(col("id"), col("neighbor_id"), round(col("distance"), 4).as("distance"))
     })
   )
 
@@ -844,6 +852,29 @@ object SparkEntry {
            FROM f CROSS JOIN q0)
          SELECT vec_id,
            ROUND(CASE WHEN smax = 0 THEN 1.0 ELSE smin / smax END, 6) AS tanimoto
-         FROM sums"""
+         FROM sums""",
+    "q59_feature_space_knn" ->
+      """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+             l_quantity, l_extendedprice, l_discount, l_tax
+           FROM lineitem WHERE l_orderkey * 10 + l_linenumber < 3000),
+         st AS (SELECT AVG(l_quantity) AS mu1, STDDEV(l_quantity) AS sd1,
+             AVG(l_extendedprice) AS mu2, STDDEV(l_extendedprice) AS sd2,
+             AVG(l_discount) AS mu3, STDDEV(l_discount) AS sd3,
+             AVG(l_tax) AS mu4, STDDEV(l_tax) AS sd4 FROM li),
+         z AS (SELECT rid,
+             (l_quantity - mu1) / (CASE WHEN sd1 = 0 THEN 1 ELSE sd1 END) AS z1,
+             (l_extendedprice - mu2) / (CASE WHEN sd2 = 0 THEN 1 ELSE sd2 END) AS z2,
+             (l_discount - mu3) / (CASE WHEN sd3 = 0 THEN 1 ELSE sd3 END) AS z3,
+             (l_tax - mu4) / (CASE WHEN sd4 = 0 THEN 1 ELSE sd4 END) AS z4
+           FROM li CROSS JOIN st),
+         pairs AS (SELECT q.rid AS id, r.rid AS neighbor_id,
+             SQRT((q.z1 - r.z1) * (q.z1 - r.z1) + (q.z2 - r.z2) * (q.z2 - r.z2)
+               + (q.z3 - r.z3) * (q.z3 - r.z3) + (q.z4 - r.z4) * (q.z4 - r.z4)) AS d0
+           FROM z q CROSS JOIN z r WHERE q.rid < 150 AND q.rid != r.rid),
+         knn AS (SELECT id, neighbor_id,
+             CASE WHEN d0 < 1e-6 THEN 0.0 ELSE d0 END AS distance FROM pairs
+           QUALIFY row_number() OVER (PARTITION BY id
+             ORDER BY CASE WHEN d0 < 1e-6 THEN 0.0 ELSE d0 END, neighbor_id) <= 5)
+         SELECT id, neighbor_id, ROUND(distance, 4) AS distance FROM knn"""
   )
 }

@@ -108,6 +108,28 @@ object Proximity {
       .drop("__rank")
   }
 
+  /** Scaled-Euclidean feature-space KNN — the reference's
+    * FeatureSpaceProximity backend (StandardScaler + NearestNeighbors,
+    * reference: src/workbench/algorithms/dataframe/
+    * feature_space_proximity.py:65-104). Features are z-scored with
+    * global mean/std (one aggregate pass → broadcast literals), then the
+    * standard knnJoin runs on the standardized vectors.
+    */
+  def featureSpaceKnn(queries: DataFrame, refs: DataFrame, idCol: String,
+                      featureCols: Seq[String], k: Int): DataFrame = {
+    val statAggs = featureCols.flatMap(c =>
+      Seq(avg(col(c)).as(s"${c}__mu"), stddev(col(c)).as(s"${c}__sd")))
+    val stats = refs.agg(statAggs.head, statAggs.tail: _*).head()
+    def standardized(df: DataFrame): DataFrame = {
+      val vec = array(featureCols.zipWithIndex.map { case (c, i) =>
+        val mu = stats.getDouble(2 * i); val sd = stats.getDouble(2 * i + 1)
+        ((col(c) - mu) / (if (sd == 0) 1.0 else sd)).cast("double")
+      }: _*)
+      df.withColumn("__z", vec)
+    }
+    knnJoin(standardized(queries), standardized(refs), idCol, "__z", k, euclidean)
+  }
+
   /** IVF-style approximate cosine top-k — the other scale path.
     *
     * A KMeans coarse quantizer (trained on a sample of the reference set)

@@ -39,6 +39,17 @@ object Streaming {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
+  /** Stateful sessionization: group events per user into sessions closed
+    * by an inactivity gap — `flatMapGroupsWithState`-class custom state,
+    * expressed here with the built-in session_window (state-store backed,
+    * watermark-evicted), which is the codegen-friendly form.
+    */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+                 gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+
   /** JSONL data-capture parsing as a stream (capture dirs accumulate
     * request/response payloads; parse incrementally)
     * (reference: data_capture_core.py parses these in batch). */

@@ -105,4 +105,29 @@ class ModelsStreamingSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
     assert(frames.count() == 4) // 0, 1000, 2000, 3000
   }
+
+  test("sessionize groups events into inactivity-gap sessions (streaming)") {
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    val ev = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 1L, 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), 1L, 7.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), 2L, 1.0))
+      .toDF("ts", "user_id", "value")
+    ev.write.mode("overwrite").parquet(tmp + "/in")
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp + "/in")
+    val sessions = Streaming.sessionize(stream, "ts", "user_id", "30 minutes", "1 hour")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", tmp + "/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT user_id, n_events, session_value FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 1: two sessions (10:00 pair, 14:00 single); user 2 session is
+    // beyond the final watermark only if a later event exists - appended
+    // sessions must include user 1's closed ones
+    assert(out.contains((1L, 2L, 10.0)))
+    assert(out.contains((1L, 1L, 7.0)))
+  }
 }
