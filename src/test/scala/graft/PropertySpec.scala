@@ -1,0 +1,75 @@
+package graft
+
+import graft.text.Text
+import graft.transforms.Transforms
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the coercion/sampling/text rules (SURVEY §5 plan).
+  * Raw ScalaCheck generators, deterministically seeded (the
+  * scalatest-scalacheck bridge isn't in the offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 40)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def forAll[A, B](genA: Gen[A], genB: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 40).foreach { i =>
+      f(genA.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        genB.pureApply(Gen.Parameters.default, Seed(i.toLong + 1000)))
+    }
+
+  private val nameGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '!', '.', '-', '_', 'É')))
+      .map(_.mkString.take(80))
+
+  test("normalizeColumnNames: output is lowercase, sanitized, <=64 chars, idempotent") {
+    forAll(nameGen) { name =>
+      val out = Transforms.normalizeColumnNames(
+        Seq(1).toDF(name + "x")).columns.head
+      assert(out.matches("[a-z0-9-_]+"))
+      assert(out.length <= 64)
+      val again = Transforms.normalizeColumnNames(Seq(1).toDF(out)).columns.head
+      assert(again == out)
+    }
+  }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("the", "cat", "sat", "x1", "über", "", " ", "\t"))
+      .map(_.mkString(" ")).map(_.take(200))
+
+  test("text invariants: wordCount >= 0; fingerprint stable under respacing") {
+    forAll(textGen) { text =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      val r = df.select(Text.wordCount(col("t")).as("w"),
+        Text.fingerprint(col("t")).as("f"),
+        Text.fingerprint(regexp_replace(col("t"), " ", "   ")).as("f2")).head()
+      assert(r.getInt(0) >= 0)
+      assert(r.getString(1) == r.getString(2)) // whitespace-insensitive
+    }
+  }
+
+  test("jaccard and ruzicka stay in [0,1]; ruzicka is symmetric") {
+    val vecGen = Gen.listOfN(8, Gen.choose(0, 5)).map(_.map(_.toDouble))
+    forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        graft.proximity.Proximity.ruzicka(col("a"), col("b")).as("rab"),
+        graft.proximity.Proximity.ruzicka(col("b"), col("a")).as("rba")).head()
+      assert(r.getDouble(0) >= 0.0 - 1e-12 && r.getDouble(0) <= 1.0 + 1e-12)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("sampleRows never exceeds the target regardless of table size") {
+    forAll(Gen.choose(1, 60), Gen.choose(1, 500)) { (target, rows) =>
+      val df = (1 to rows).toDF("v")
+      assert(Transforms.sampleRows(df, targetRows = target, totalRows = rows).count() <= target)
+    }
+  }
+}
