@@ -395,7 +395,16 @@ object SparkEntry {
       Proximity.featureSpaceKnn(li.filter(col("rid") < 150), li, "rid",
         lineitemNumeric, 5)
         .select(col("id"), col("neighbor_id"), round(col("distance"), 4).as("distance"))
-    })
+    }),
+    "q60_radius_neighbors" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 200)
+      Proximity.radiusJoin(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        radius = 1.1, Proximity.euclidean)
+        .select(col("id"), col("neighbor_id"), round(col("distance"), 4).as("distance"))
+    }),
+    "q61_outliers_sdev" -> ((s, dir) =>
+      Eda.outliersSdev(t(s, dir, "customer"), Seq("c_acctbal"), nSigma = 2.0)
+        .select("c_custkey", "c_acctbal"))
   )
 
   /** embeddings with the float vector cast to double (shared by the
@@ -875,6 +884,14 @@ object SparkEntry {
              CASE WHEN d0 < 1e-6 THEN 0.0 ELSE d0 END AS distance FROM pairs
            QUALIFY row_number() OVER (PARTITION BY id
              ORDER BY CASE WHEN d0 < 1e-6 THEN 0.0 ELSE d0 END, neighbor_id) <= 5)
-         SELECT id, neighbor_id, ROUND(distance, 4) AS distance FROM knn"""
+         SELECT id, neighbor_id, ROUND(distance, 4) AS distance FROM knn""",
+    "q60_radius_neighbors" ->
+      s"""WITH ${knnSql("vec_id < 10", "vec_id < 200", 999999)}
+          SELECT id, neighbor_id, ROUND(distance, 4) AS distance FROM knn
+          WHERE distance <= 1.1""",
+    "q61_outliers_sdev" ->
+      """WITH b AS (SELECT AVG(c_acctbal) AS mu, STDDEV(c_acctbal) AS sd FROM customer)
+         SELECT c_custkey, c_acctbal FROM customer, b
+         WHERE c_acctbal < mu - 2.0 * sd OR c_acctbal > mu + 2.0 * sd"""
   )
 }

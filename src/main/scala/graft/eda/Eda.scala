@@ -169,4 +169,19 @@ object Eda {
     val filtered = df.filter(conds.reduce(_ || _))
     limit.fold(filtered)(filtered.limit)
   }
+
+  /** σ-bounds variant: rows outside mean ± nSigma·stddev on any column
+    * (reference: src/workbench/utils/pandas_utils.py:746-786
+    * drop_outliers_sdev — same two-phase literal-bounds design). */
+  def outliersSdev(df: DataFrame, cols: Seq[String], nSigma: Double = 3.0): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      avg(col(c)).cast("double").as(s"${c}__mu"),
+      stddev(col(c)).cast("double").as(s"${c}__sd")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val conds = cols.zipWithIndex.map { case (c, i) =>
+      val mu = row.getDouble(2 * i); val sd = row.getDouble(2 * i + 1)
+      col(c) < mu - nSigma * sd || col(c) > mu + nSigma * sd
+    }
+    df.filter(conds.reduce(_ || _))
+  }
 }
