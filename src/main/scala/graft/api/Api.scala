@@ -64,11 +64,14 @@ class DataSource(val spark: SparkSession, val name: String, df: DataFrame) {
     memo("correlations")(Eda.correlations(normalized, numericColumns))
   def columnStats(): DataFrame = memo("column_stats") {
     val cols = normalized.columns.toSeq
+    val dtypes = spark.createDataFrame(normalized.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString))).toDF("column_name", "dtype")
     Eda.countDistinct(normalized, cols).selectExpr("stack(" + cols.size + ", " +
       cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (column_name, n_distinct)")
       .join(Eda.countNulls(normalized, cols).selectExpr("stack(" + cols.size + ", " +
         cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (column_name, n_nulls)"),
         Seq("column_name"))
+      .join(dtypes, Seq("column_name"))
   }
   def outliers(scale: Double = 1.5): DataFrame =
     memo(s"outliers/$scale")(Eda.outliers(normalized, numericColumns, scale))

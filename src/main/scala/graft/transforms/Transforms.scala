@@ -118,6 +118,22 @@ object Transforms {
     df.withColumn(prefix, coalesce(cases: _*)).drop(dummies: _*)
   }
 
+  /** Order-independent content hash of a DataFrame: sum of per-row
+    * xxhash64 over all columns — equal iff the multisets of rows are
+    * equal, regardless of partitioning/ordering
+    * (reference hashes parquet bytes / df content at
+    * src/workbench/utils/pandas_utils.py:40-50, athena_source.py:177-185;
+    * a byte hash is order-dependent, this is the distributed-safe form).
+    */
+  def contentHash(df: DataFrame): String = {
+    val cols = df.columns.map(col)
+    // decimal accumulator: order-independent like a sum, overflow-proof
+    // under ANSI mode, and (unlike xor) duplicate rows don't cancel
+    val h = df.agg(sum(xxhash64(cols.toIndexedSeq: _*)
+      .cast(DecimalType(38, 0)))).head()
+    if (h.isNullAt(0)) "0" else h.getDecimal(0).toBigInteger.toString
+  }
+
   /** Bernoulli sample with the reference's 110% fudge factor and row clamp
     * (reference: src/workbench/algorithms/sql/sample_rows.py:13-52). */
   def sampleRows(df: DataFrame, targetRows: Int = 100, totalRows: Long = -1L,

@@ -52,6 +52,18 @@ object Views {
       .drop("exclude")
   }
 
+  /** Whole-word rewrite of logical artifact names to physical table names
+    * in user SQL — the reference's FeatureSet name-resolution shim
+    * (reference: src/workbench/core/artifacts/feature_set_core.py:270-284).
+    * View registration makes this mostly unnecessary here; kept for SQL
+    * that must address physical tables directly.
+    */
+  def resolveNames(sql: String, mapping: Map[String, String]): String =
+    mapping.foldLeft(sql) { case (q, (logical, physical)) =>
+      q.replaceAll("\\b" + java.util.regex.Pattern.quote(logical) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(physical))
+    }
+
   /** Feature-Store snapshot semantics: latest record per id by event time
     * with deterministic tiebreakers, deleted rows dropped
     * (reference: src/workbench/core/artifacts/feature_set_core.py:370-391).

@@ -89,4 +89,18 @@ class TransformsViewsSpec extends SparkSpec {
     val rep = Metrics.classificationReport(df, "y", "p").collect()
     assert(rep.forall(_.getAs[Double]("f1") == 1.0))
   }
+
+  test("resolveNames rewrites whole words only") {
+    val out = Views.resolveNames("SELECT * FROM fs JOIN fs_other ON fs.id = fs_other.id",
+      Map("fs" -> "db.fs_physical"))
+    assert(out == "SELECT * FROM db.fs_physical JOIN fs_other ON db.fs_physical.id = fs_other.id")
+  }
+
+  test("contentHash: order-independent, content-sensitive") {
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val b = Seq((2, "y"), (1, "x")).toDF("id", "v")  // same rows, other order
+    val c = Seq((1, "x"), (2, "z")).toDF("id", "v")
+    assert(Transforms.contentHash(a) == Transforms.contentHash(b.repartition(3)))
+    assert(Transforms.contentHash(a) != Transforms.contentHash(c))
+  }
 }
