@@ -20,12 +20,16 @@ object Components {
     *         singleton vertices are not present (no edges → no dedup).
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    // localCheckpoint (not persist) per generation: it TRUNCATES lineage,
+    // without which the iterated join plan doubles every round and the
+    // driver OOMs building plan strings long before the data is large.
+    // At cluster scale swap for reliable checkpoint() with a checkpoint dir.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min("dst"), first("src")).as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIterations) {
@@ -37,12 +41,19 @@ object Components {
         .select(col("id"),
           least(col("component"), coalesce(col("__minNeighbor"), col("component")))
             .as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
         .filter(col("component") =!= col("__old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
+    }
+    // non-convergence must be loud — silently returning partial
+    // components would under-deduplicate downstream
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations iterations " +
+          s"($changed labels still changing) — raise maxIterations for " +
+          "large-diameter graphs")
     }
     labels
   }

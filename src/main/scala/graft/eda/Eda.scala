@@ -147,10 +147,15 @@ object Eda {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
-      val pct = row.getSeq[Double](i)
-      val (q1, q3) = (pct(0), pct(1))
-      val iqr = q3 - q1
-      c -> (q1 - scale * iqr, q3 + scale * iqr)
+      // empty/all-null column -> unbounded range (no rows flagged) rather
+      // than an NPE; NaN values still flag (NaN sorts above +Inf)
+      if (row.isNullAt(i)) c -> (Double.NegativeInfinity, Double.PositiveInfinity)
+      else {
+        val pct = row.getSeq[Double](i)
+        val (q1, q3) = (pct(0), pct(1))
+        val iqr = q3 - q1
+        c -> (q1 - scale * iqr, q3 + scale * iqr)
+      }
     }.toMap
   }
 
@@ -179,8 +184,11 @@ object Eda {
       stddev(col(c)).cast("double").as(s"${c}__sd")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val conds = cols.zipWithIndex.map { case (c, i) =>
-      val mu = row.getDouble(2 * i); val sd = row.getDouble(2 * i + 1)
-      col(c) < mu - nSigma * sd || col(c) > mu + nSigma * sd
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(false)
+      else {
+        val mu = row.getDouble(2 * i); val sd = row.getDouble(2 * i + 1)
+        col(c) < mu - nSigma * sd || col(c) > mu + nSigma * sd
+      }
     }
     df.filter(conds.reduce(_ || _))
   }

@@ -19,7 +19,10 @@ object Quality {
     // two-phase like the reference's outlier bounds: the min/max become
     // literals so the pileup counts stay inside one scan
     val mm = df.agg(min(t), max(t)).head()
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    // empty/all-null target: NaN sentinels make the pileup counts 0
+    val (mn, mx) =
+      if (mm.isNullAt(0) || mm.isNullAt(1)) (Double.NaN, Double.NaN)
+      else (mm.getDouble(0), mm.getDouble(1))
     df.agg(
       n.as("n_rows"),
       count(when(t.isNull, 1)).as("n_null"),
@@ -90,9 +93,7 @@ object Quality {
     */
   def smartSample(df: DataFrame, numericCols: Seq[String], targetRows: Int = 100,
                   seed: Long = 42L): DataFrame = {
-    val n = df.count()
-    val fraction = math.min(1.0, math.max(0.001, targetRows * 1.1 / math.max(n, 1L)))
-    val sample = df.sample(withReplacement = false, fraction, seed).limit(targetRows)
+    val sample = graft.transforms.Transforms.sampleRows(df, targetRows, seed = seed)
     val out = Eda.outliers(df, numericCols, limit = Some(targetRows))
     sample.unionByName(out).dropDuplicates()
   }

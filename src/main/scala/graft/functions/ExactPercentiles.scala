@@ -71,7 +71,10 @@ case class ExactPercentiles(
         case _: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
         case _ => v.toString.toDouble
       }
-      if (!d.isNaN) buf.add(d)
+      // NaN is KEPT: Arrays.sort places it greatest, matching Spark's
+      // built-in percentile ordering and DuckDB's NULLS/NaN-last sort —
+      // skipping NaN would silently shift every quantile on float data
+      buf.add(d)
     }
     buf
   }

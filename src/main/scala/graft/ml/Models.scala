@@ -85,8 +85,9 @@ object Models {
     * collapse to zero width.
     */
   def uqIntervals(residualFeatures: DataFrame, z: Double = 1.96): DataFrame = {
-    val globalStd = residualFeatures
-      .agg(stddev(col("target") - col("prediction"))).head().getDouble(0)
+    val gsRow = residualFeatures
+      .agg(stddev(col("target") - col("prediction"))).head()
+    val globalStd = if (gsRow.isNullAt(0)) 0.0 else gsRow.getDouble(0)
     val width = greatest(coalesce(col("knn_target_std"), lit(globalStd)), lit(globalStd)) * z
     residualFeatures
       .withColumn("pred_lower", col("prediction") - width)

@@ -71,7 +71,8 @@ object Multimodal {
     * sampled frame index (every `everyMs` ms of duration) — the explode
     * pattern for frame-level processing; decode itself stays stubbed. */
   def sampleFrames(df: DataFrame, everyMs: Long = 1000L): DataFrame =
-    df.filter(col("media_type") === "video" && col("duration_ms").isNotNull)
+    df.filter(col("media_type") === "video" && col("duration_ms").isNotNull &&
+        col("duration_ms") > 0) // sequence(0, -1, +step) throws on 0-length media
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .drop("payload")

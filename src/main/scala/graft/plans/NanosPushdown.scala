@@ -44,18 +44,31 @@ object NanosPushdown extends Rule[LogicalPlan] {
 
   private def nanosLit(n: Long): Literal = Literal(n, LongType)
 
+  /** Largest ns with trunc(ns/1000) <= m. `div` TRUNCATES toward zero
+    * (it is not floor), so the bound depends on the literal's sign:
+    * m >= 0 → m·1000 + 999;  m < 0 → m·1000 (e.g. trunc(-999/1000) = 0,
+    * which is > -1, so ns = -999 must NOT satisfy "<= -1").
+    */
+  private def ub(m: Long): Long = if (m >= 0) m * 1000 + 999 else m * 1000
+
+  /** Literal magnitudes where ·1000 could overflow are left unrewritten
+    * (the predicate still evaluates correctly, just unpushed). */
+  private def safe(m: Long): Boolean = math.abs(m) < Long.MaxValue / 1000 - 1000
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     // null-ness passes straight through the conversion
     case IsNull(NanosToTs(c)) => IsNull(c)
     case IsNotNull(NanosToTs(c)) => IsNotNull(c)
-    case LessThanOrEqual(NanosToTs(c), TsLit(m)) => LessThanOrEqual(c, nanosLit(m * 1000 + 999))
-    case LessThan(NanosToTs(c), TsLit(m)) => LessThan(c, nanosLit(m * 1000))
-    case GreaterThanOrEqual(NanosToTs(c), TsLit(m)) => GreaterThanOrEqual(c, nanosLit(m * 1000))
-    case GreaterThan(NanosToTs(c), TsLit(m)) => GreaterThan(c, nanosLit(m * 1000 + 999))
-    case LessThanOrEqual(TsLit(m), NanosToTs(c)) => GreaterThanOrEqual(c, nanosLit(m * 1000))
-    case LessThan(TsLit(m), NanosToTs(c)) => GreaterThan(c, nanosLit(m * 1000 + 999))
-    case GreaterThanOrEqual(TsLit(m), NanosToTs(c)) => LessThanOrEqual(c, nanosLit(m * 1000 + 999))
-    case GreaterThan(TsLit(m), NanosToTs(c)) => LessThan(c, nanosLit(m * 1000))
+    // q <= m ⟺ ns <= ub(m);  q < m ⟺ q <= m-1;  q >= m ⟺ ¬(q <= m-1);
+    // q > m ⟺ ¬(q <= m) — all four derive from the single ub() bound.
+    case LessThanOrEqual(NanosToTs(c), TsLit(m)) if safe(m) => LessThanOrEqual(c, nanosLit(ub(m)))
+    case LessThan(NanosToTs(c), TsLit(m)) if safe(m) => LessThanOrEqual(c, nanosLit(ub(m - 1)))
+    case GreaterThanOrEqual(NanosToTs(c), TsLit(m)) if safe(m) => GreaterThan(c, nanosLit(ub(m - 1)))
+    case GreaterThan(NanosToTs(c), TsLit(m)) if safe(m) => GreaterThan(c, nanosLit(ub(m)))
+    case LessThanOrEqual(TsLit(m), NanosToTs(c)) if safe(m) => GreaterThan(c, nanosLit(ub(m - 1)))
+    case LessThan(TsLit(m), NanosToTs(c)) if safe(m) => GreaterThan(c, nanosLit(ub(m)))
+    case GreaterThanOrEqual(TsLit(m), NanosToTs(c)) if safe(m) => LessThanOrEqual(c, nanosLit(ub(m)))
+    case GreaterThan(TsLit(m), NanosToTs(c)) if safe(m) => LessThanOrEqual(c, nanosLit(ub(m - 1)))
   }
 
   /** Idempotently add this rule to the session's extra optimizations. */

@@ -47,7 +47,8 @@ object Analytics {
     */
   def proximityGraph(neighbors: DataFrame, minEdges: Int = 2,
                      extraThreshold: Double = 0.8): DataFrame = {
-    val maxDist = neighbors.agg(max("distance")).head().getDouble(0)
+    val mdRow = neighbors.agg(max("distance")).head()
+    val maxDist = if (mdRow.isNullAt(0)) 0.0 else mdRow.getDouble(0)
     val weighted = neighbors.select(col("id").as("src"), col("neighbor_id").as("dst"),
       (lit(1.0) - col("distance") / lit(if (maxDist == 0) 1.0 else maxDist)).as("weight"))
     val w = Window.partitionBy("src").orderBy(desc("weight"), asc("dst"))
@@ -122,8 +123,9 @@ object Analytics {
 
   def landscapeIsolated(neighbors: DataFrame, quantile: Double = 0.9): DataFrame = {
     val nearest = neighbors.groupBy("id").agg(min("distance").as("nn_distance"))
-    val cut = nearest.agg(expr(s"percentile(nn_distance, $quantile)")).head().getDouble(0)
-    nearest.filter(col("nn_distance") > cut)
+    val cutRow = nearest.agg(expr(s"percentile(nn_distance, $quantile)")).head()
+    if (cutRow.isNullAt(0)) nearest.filter(lit(false))
+    else nearest.filter(col("nn_distance") > cutRow.getDouble(0))
   }
 
   /** Feature/target gradient pairs between close rows

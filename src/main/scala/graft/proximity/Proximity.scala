@@ -122,7 +122,8 @@ object Proximity {
     val stats = refs.agg(statAggs.head, statAggs.tail: _*).head()
     def standardized(df: DataFrame): DataFrame = {
       val vec = array(featureCols.zipWithIndex.map { case (c, i) =>
-        val mu = stats.getDouble(2 * i); val sd = stats.getDouble(2 * i + 1)
+        val mu = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+        val sd = if (stats.isNullAt(2 * i + 1)) 1.0 else stats.getDouble(2 * i + 1)
         ((col(c) - mu) / (if (sd == 0) 1.0 else sd)).cast("double")
       }: _*)
       df.withColumn("__z", vec)

@@ -53,35 +53,37 @@ class DFStore(spark: SparkSession, root: String) {
 class ParameterStore(spark: SparkSession, root: String) {
   import spark.implicits._
   private val path = root + "/_parameters"
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def fs = hPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def table(): DataFrame =
-    try spark.read.parquet(path)
-    catch { case _: Exception => Seq.empty[(String, String)].toDF("key", "value") }
-
-  def upsert(key: String, jsonValue: String): Unit = {
-    val updated = table().filter(col("key") =!= key)
-      .unionByName(Seq((key, jsonValue)).toDF("key", "value"))
-    // tiny table: rewrite-in-place via temp dir for atomicity
-    val tmp = path + "_tmp"
-    updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  /** Read main, falling back to the backup generation — a crash between
+    * the two swap renames leaves the previous state readable. */
+  private def table(): DataFrame = {
+    val candidates = Seq(path, path + "_bak").filter(p => fs.exists(hPath(p)))
+    candidates.headOption.map(spark.read.parquet(_))
+      .getOrElse(Seq.empty[(String, String)].toDF("key", "value"))
   }
+
+  /** Write-new → rotate-old-to-backup → rename-new-into-place. Unlike a
+    * delete-then-rename there is no window where no readable generation
+    * exists; worst case after a crash is the previous state. */
+  private def swapIn(updated: DataFrame): Unit = {
+    val tmp = path + "_tmp"; val bak = path + "_bak"
+    updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(hPath(bak), true)
+    if (fs.exists(hPath(path))) fs.rename(hPath(path), hPath(bak))
+    fs.rename(hPath(tmp), hPath(path))
+    fs.delete(hPath(bak), true)
+  }
+
+  def upsert(key: String, jsonValue: String): Unit =
+    swapIn(table().filter(col("key") =!= key)
+      .unionByName(Seq((key, jsonValue)).toDF("key", "value")))
 
   def get(key: String): Option[String] =
     table().filter(col("key") === key).collect().headOption.map(_.getString(1))
 
-  def delete(key: String): Unit = {
-    val remaining = table().filter(col("key") =!= key)
-    val tmp = path + "_tmp"
-    remaining.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
-  }
+  def delete(key: String): Unit = swapIn(table().filter(col("key") =!= key))
 
   def listKeys(): Seq[String] = table().select("key").as[String].collect().toSeq
 }

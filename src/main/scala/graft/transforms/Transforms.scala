@@ -101,8 +101,10 @@ object Transforms {
     * no pivot shuffle.
     */
   def oneHot(df: DataFrame, column: String, maxCategories: Int = 10): DataFrame = {
+    // nulls are ignored like pandas get_dummies ignores NaN (no dummy
+    // column, all-zero row) rather than NPE-ing on the driver
     val values = df.select(column).distinct().orderBy(col(column))
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(_.getString(0)).toSeq.filter(_ != null)
     if (values.size <= 1 || values.size >= maxCategories) df
     else values.foldLeft(df) { (d, v) =>
       val safe = v.toLowerCase.replaceAll("[^a-zA-Z0-9-_]", "_")

@@ -58,11 +58,24 @@ object Views {
     * View registration makes this mostly unnecessary here; kept for SQL
     * that must address physical tables directly.
     */
-  def resolveNames(sql: String, mapping: Map[String, String]): String =
-    mapping.foldLeft(sql) { case (q, (logical, physical)) =>
-      q.replaceAll("\\b" + java.util.regex.Pattern.quote(logical) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(physical))
+  def resolveNames(sql: String, mapping: Map[String, String]): String = {
+    if (mapping.isEmpty) return sql
+    // single-pass simultaneous substitution: sequential folding would let
+    // one mapping's output be re-rewritten by a later mapping (cascade),
+    // with hash-order-dependent results
+    val pattern = java.util.regex.Pattern.compile(
+      mapping.keys.toSeq.sortBy(-_.length)
+        .map(k => "\\b" + java.util.regex.Pattern.quote(k) + "\\b")
+        .mkString("|"))
+    val m = pattern.matcher(sql)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(mapping(m.group())))
     }
+    m.appendTail(sb)
+    sb.toString
+  }
 
   /** Feature-Store snapshot semantics: latest record per id by event time
     * with deterministic tiebreakers, deleted rows dropped

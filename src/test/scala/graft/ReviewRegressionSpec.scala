@@ -1,0 +1,100 @@
+package graft
+
+import graft.dedup.Components
+import graft.eda.{Eda, Quality}
+import graft.multimodal.Multimodal
+import graft.transforms.Transforms
+import graft.views.Views
+import org.apache.spark.sql.functions._
+
+/** Regressions for the round-1 code-review findings — inputs the clean
+  * synthetic test data never exercises (nulls, NaN, pre-epoch
+  * timestamps, empty frames, degenerate media).
+  */
+class ReviewRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("NanosPushdown: pre-epoch (negative nanos) comparisons match unrewritten results") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    // raw nanos column incl. negatives around the -1us boundary
+    val nanos = Seq(-2000L, -1500L, -1000L, -999L, -1L, 0L, 500L, 1000L, 1500L)
+    nanos.toDF("ts").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+    // rule is installed in this session; compare against driver-side truth
+    for (cutUs <- Seq(-2L, -1L, 0L, 1L)) {
+      val cut = expr(s"timestamp_micros(${cutUs}L)")
+      def got(c: org.apache.spark.sql.Column) =
+        df.filter(c).select("ts").as[Long].collect().toSet
+      def expected(p: Long => Boolean) =
+        nanos.filter(n => p(n / 1000L)).toSet // Scala / truncates like div
+      assert(got(col("tsm") <= cut) == expected(_ <= cutUs), s"<= $cutUs")
+      assert(got(col("tsm") < cut) == expected(_ < cutUs), s"< $cutUs")
+      assert(got(col("tsm") >= cut) == expected(_ >= cutUs), s">= $cutUs")
+      assert(got(col("tsm") > cut) == expected(_ > cutUs), s"> $cutUs")
+    }
+  }
+
+  test("resolveNames: simultaneous substitution, no cascade") {
+    val out = Views.resolveNames("SELECT * FROM a JOIN b",
+      Map("a" -> "prod.b", "b" -> "prod.c"))
+    assert(out == "SELECT * FROM prod.b JOIN prod.c")
+  }
+
+  test("oneHot ignores null categories instead of crashing") {
+    val df = Seq((1, Some("x")), (2, Some("y")), (3, None)).toDF("id", "cat")
+    val enc = Transforms.oneHot(df, "cat")
+    assert(enc.columns.toSet == Set("id", "cat_x", "cat_y"))
+    val nullRow = enc.filter(col("id") === 3).head()
+    assert(nullRow.getInt(1) == 0 && nullRow.getInt(2) == 0)
+  }
+
+  test("connectedComponents raises on non-convergence instead of silent wrong output") {
+    val chain = (1L to 40L).sliding(2).map(p => (p.head, p.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIterations = 2).collect()
+    }
+    // and converges fine with enough iterations
+    val comps = Components.connectedComponents(chain, maxIterations = 50)
+    assert(comps.select(count_distinct(col("component"))).head().getLong(0) == 1L)
+  }
+
+  test("sampleFrames skips zero-duration media instead of crashing") {
+    val media = Seq(
+      (1L, "video", java.lang.Long.valueOf(0L)),
+      (2L, "video", java.lang.Long.valueOf(2500L)))
+      .toDF("media_id", "media_type", "duration_ms")
+      .withColumn("payload", lit(Array[Byte](1)))
+    assert(Multimodal.sampleFrames(media).count() == 3) // frames of #2 only
+  }
+
+  test("outliers/outliersSdev/targetHealth survive empty and all-null input") {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((1, 1.0)).toDF("id", "x").schema)
+    assert(Eda.outliers(empty, Seq("x")).count() == 0)
+    assert(Eda.outliersSdev(empty, Seq("x")).count() == 0)
+    val allNull = Seq((1, None: Option[Double]), (2, None)).toDF("id", "x")
+    assert(Eda.outliers(allNull, Seq("x")).count() == 0)
+    val th = Quality.targetHealth(allNull, "x").head()
+    assert(th.getAs[Long]("n_rows") == 2 && th.getAs[Long]("n_null") == 2)
+  }
+
+  test("ExactPercentiles treats NaN as greatest (parity with built-in percentile)") {
+    val df = Seq(1.0, 2.0, Double.NaN).toDF("x")
+    val custom = df.agg(graft.functions.ExactPercentiles
+      .exactPercentiles(col("x"), Seq(0.5))).head().getSeq[Double](0).head
+    val builtin = df.agg(expr("percentile(x, 0.5)")).head().getDouble(0)
+    assert(custom == builtin || (custom.isNaN && builtin.isNaN))
+    assert(custom == 2.0) // NaN sorts above 2.0; median of [1,2,NaN] is 2
+  }
+
+  test("ParameterStore survives with readable state at every swap generation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ps").toString
+    val ps = new graft.stores.ParameterStore(spark, tmp)
+    (1 to 5).foreach(i => ps.upsert("k", s"v$i"))
+    assert(ps.get("k").contains("v5"))
+    ps.delete("k")
+    assert(ps.get("k").isEmpty)
+  }
+}
