@@ -65,7 +65,8 @@ class DataSource(val spark: SparkSession, val name: String, df: DataFrame) {
   def columnStats(): DataFrame = memo("column_stats") {
     val cols = normalized.columns.toSeq
     val dtypes = spark.createDataFrame(normalized.schema.fields.toSeq
-      .map(f => (f.name, f.dataType.simpleString))).toDF("column_name", "dtype")
+      .map(f => (f.name, f.dataType.simpleString.replace("timestamp_ntz", "timestamp"))))
+      .toDF("column_name", "dtype")
     Eda.countDistinct(normalized, cols).selectExpr("stack(" + cols.size + ", " +
       cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (column_name, n_distinct)")
       .join(Eda.countNulls(normalized, cols).selectExpr("stack(" + cols.size + ", " +
