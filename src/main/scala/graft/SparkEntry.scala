@@ -297,7 +297,13 @@ object SparkEntry {
         lit(64).as("width"), lit(64).as("height"),
         lit(null).cast("long").as("duration_ms"),
         encode(col("text"), "UTF-8").as("payload"))
+      // the library emits a typed array<float> `features` column; the
+      // driver's rows-only check needs hashable cells, so project the
+      // array to a deterministic per-row checksum string here
       graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+        .withColumn("features",
+          concat_ws(",", transform(col("features"),
+            x => format_number(round(x.cast("double"), 4), 4))))
     }),
     // ───────── nested flatten (SURVEY §2.1 heavy loader) ─────────
     "q48_flatten_json" -> ((s, dir) => {
@@ -539,9 +545,9 @@ object SparkEntry {
       """WITH cm AS (SELECT event_type AS label,
              CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END AS prediction,
              COUNT(*) AS count FROM events GROUP BY 1, 2),
-         actual AS (SELECT label AS class, SUM(count) AS support FROM cm GROUP BY 1),
-         predicted AS (SELECT prediction AS class, SUM(count) AS n_pred FROM cm GROUP BY 1),
-         tp AS (SELECT label AS class, count AS tp FROM cm WHERE label = prediction)
+         actual AS (SELECT label AS class, CAST(SUM(count) AS BIGINT) AS support FROM cm GROUP BY 1),
+         predicted AS (SELECT prediction AS class, CAST(SUM(count) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+         tp AS (SELECT label AS class, CAST(count AS BIGINT) AS tp FROM cm WHERE label = prediction)
          SELECT a.class, a.support,
            ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6) AS precision,
            ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6) AS recall,
