@@ -23,15 +23,25 @@ import org.apache.spark.sql.functions._
   * (reference: src/workbench/api/data_source.py, api/feature_set.py;
   * core/artifacts/data_source_abstract.py:274-318).
   */
-class DataSource(val spark: SparkSession, val name: String, df: DataFrame) {
+class DataSource(val spark: SparkSession, val name: String, df: DataFrame,
+                 val catalog: Option[Catalog] = None) {
   private val normalized = Transforms.normalizeColumnNames(df)
-  normalized.createOrReplaceTempView(name)
+  // catalog-backed sources already resolve by name via the session
+  // catalog (external table); only ad-hoc sources need a temp view
+  if (catalog.isEmpty) normalized.createOrReplaceTempView(name)
 
   // stats memoization (the reference persists these into Glue table
-  // Parameters and short-circuits later calls — athena_source.py:315-319)
+  // Parameters and short-circuits later calls — athena_source.py:315-319);
+  // catalog-backed sources ALSO write stats through to the catalog dir so
+  // later sessions reuse them
   private val statsCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private def memo(key: String)(f: => DataFrame): DataFrame =
-    statsCache.getOrElseUpdate(key, f.cache())
+    statsCache.getOrElseUpdate(key,
+      catalog.flatMap(_.readStat(name, key)).getOrElse {
+        val result = f.cache()
+        catalog.foreach(_.writeStat(name, key, result))
+        result
+      })
 
   def toDF: DataFrame = normalized
   def numRows(): Long = normalized.count()
@@ -42,17 +52,24 @@ class DataSource(val spark: SparkSession, val name: String, df: DataFrame) {
   def query(sql: String): DataFrame = spark.sql(sql)
 
   /** display / computation views — auto-created column subsets
-    * (reference: core/views/display_view.py, computation_view.py). */
-  def displayView(cols: Seq[String] = Nil): DataFrame = {
-    val v = Views.columnSubset(normalized, cols)
-    v.createOrReplaceTempView(s"${name}___display")
-    v
-  }
-  def computationView(cols: Seq[String] = Nil, cap: Int = 30): DataFrame = {
-    val v = Views.columnSubset(normalized, cols, cap)
-    v.createOrReplaceTempView(s"${name}___computation")
-    v
-  }
+    * (reference: core/views/display_view.py, computation_view.py).
+    * Catalog-backed sources register a PERMANENT view (persisted SQL,
+    * visible to later sessions); ad-hoc sources a temp view. */
+  private def subsetView(view: String, cols: Seq[String], cap: Int): DataFrame =
+    catalog match {
+      case Some(c) =>
+        val wanted = if (cols.nonEmpty) cols else normalized.columns.toSeq
+        c.createView(name, view, c.subsetViewSql(name, wanted, cap))
+        spark.table(s"${name}___$view")
+      case None =>
+        val v = Views.columnSubset(normalized, cols, cap)
+        v.createOrReplaceTempView(s"${name}___$view")
+        v
+    }
+  def displayView(cols: Seq[String] = Nil): DataFrame =
+    subsetView("display", cols, 30)
+  def computationView(cols: Seq[String] = Nil, cap: Int = 30): DataFrame =
+    subsetView("computation", cols, cap)
 
   def numericColumns: Seq[String] = Tables.numericCols(normalized)
 

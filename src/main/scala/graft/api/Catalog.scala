@@ -1,0 +1,120 @@
+package graft.api
+
+import graft.stores.{DFStore, Registry}
+import graft.transforms.Transforms
+import graft.views.Views
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistent artifact catalog: the Glue-catalog analogue.
+  *
+  * A directory root owns (a) the [[Registry]] table (names, tags, health,
+  * status, meta), (b) one parquet table per onboarded artifact under
+  * `tables/`, (c) view definitions (SQL text, stored in the registry meta
+  * exactly as Glue stores Athena view SQL), and (d) persisted stats under
+  * `_stats/`. Any SparkSession — including a brand-new one after a
+  * restart — calls [[attach]] to rebuild its session catalog from this
+  * directory: external tables via `CREATE TABLE … USING parquet LOCATION`
+  * and derived views via `CREATE OR REPLACE VIEW {base}___{view}`
+  * (naming per reference: src/workbench/core/views/view.py:128-139;
+  * auto-created display/computation views per view.py:260-290).
+  *
+  * At 100 TB the catalog stays metadata-sized (one registry row + one SQL
+  * string per view); the data itself is partitioned parquet that Spark
+  * scans lazily with partition pruning.
+  */
+class Catalog(val spark: SparkSession, val root: String) {
+  val registry = new Registry(spark, root)
+  private val statsStore = new DFStore(spark, root + "/_stats")
+
+  private def sanitize(name: String): String =
+    name.toLowerCase.replaceAll("[^a-zA-Z0-9-_]", "_").take(64)
+  def tablePath(name: String): String = s"$root/tables/$name"
+
+  private val ViewSqlKey = "graft_view_sql/"
+
+  /** Onboard a DataFrame as a persistent DataSource: normalized parquet
+    * at a catalog-owned location, an external table in the session
+    * catalog, auto-created display + computation views, and a registry
+    * row marked `ready` (mirrors DataSource onboarding + the view
+    * auto-create: view.py:260-290, artifact.py status flow). */
+  def onboard(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+              owner: String = "unknown", input: String = "dataframe"): DataSource = {
+    val clean = sanitize(name)
+    val normalized = Transforms.normalizeColumnNames(df)
+    val w = normalized.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tablePath(clean))
+    registerTable(clean)
+    registry.upsert(clean, "data_source", input)
+    registry.setOwner(clean, owner)
+    registry.setStatus(clean, "ready")
+    registry.healthCheck(clean)
+    val cols = spark.table(clean).columns.toSeq
+    createView(clean, "display", subsetViewSql(clean, cols))
+    createView(clean, "computation", subsetViewSql(clean, cols))
+    dataSource(clean)
+  }
+
+  /** `SELECT c1..cN FROM base` with the 30-column cap and bookkeeping
+    * columns dropped — the reference's column-subset view SQL
+    * (column_subset_view.py:56-90). */
+  def subsetViewSql(base: String, cols: Seq[String], cap: Int = 30): String = {
+    val wanted = cols.filterNot(Views.bookkeepingCols.contains).take(cap)
+    s"SELECT ${wanted.map(c => s"`$c`").mkString(", ")} FROM `$base`"
+  }
+
+  /** Register/replace the derived view `{base}___{view}` as a PERMANENT
+    * session-catalog view and persist its SQL in the registry so
+    * [[attach]] can recreate it in any later session. */
+  def createView(base: String, view: String, sql: String): Unit = {
+    spark.sql(s"CREATE OR REPLACE VIEW `${base}___$view` AS $sql")
+    registry.upsertMeta(base, Map(s"$ViewSqlKey$view" -> sql))
+  }
+
+  def dropView(base: String, view: String): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS `${base}___$view`")
+    registry.deleteMetaKey(base, s"$ViewSqlKey$view")
+  }
+
+  private def registerTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '${tablePath(name)}'")
+  }
+
+  /** Open an onboarded artifact (stats cache reads/writes through the
+    * catalog, so a later session reuses earlier sessions' work). */
+  def dataSource(name: String): DataSource =
+    new DataSource(spark, sanitize(name), spark.table(sanitize(name)), Some(this))
+
+  /** Rebuild THIS session's catalog from the registry: every artifact's
+    * external table plus every stored view definition. This is the
+    * restart path — a fresh SparkSession pointed at the same root sees
+    * all artifacts, views, tags, and cached stats. */
+  def attach(): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    registry.listNames().foreach { name =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath(name)))) {
+        registerTable(name)
+        registry.getMeta(name).toSeq.sortBy(_._1).foreach {
+          case (k, sql) if k.startsWith(ViewSqlKey) =>
+            spark.sql(s"CREATE OR REPLACE VIEW `${name}___${k.stripPrefix(ViewSqlKey)}` AS $sql")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  // ── persistent stats cache (the reference stashes computed stats in
+  //    Glue table Parameters — athena_source.py:99-152, 315-319) ──
+  private def statKey(name: String, key: String): String =
+    s"$name/${key.replaceAll("[^A-Za-z0-9_/.\\-]", "_")}"
+
+  def readStat(name: String, key: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(root + "/_stats/" + statKey(name, key))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(statsStore.get(statKey(name, key))) else None
+  }
+  def writeStat(name: String, key: String, df: DataFrame): Unit =
+    statsStore.upsert(statKey(name, key), df)
+}
