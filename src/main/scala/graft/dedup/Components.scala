@@ -58,12 +58,98 @@ object Components {
     labels
   }
 
+  /** Big-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * 100 TB scale path. Min-label propagation above converges in
+    * O(diameter) rounds (a 10k-long chain needs ~10k joins); the
+    * alternating star transforms contract every component onto its
+    * minimum vertex in O(log n) rounds regardless of diameter, and each
+    * round is one groupBy + one equi-join per transform — no all-pairs,
+    * no driver materialization.
+    *
+    * Same contract as [[connectedComponents]]: (id, component) with
+    * component = min id reachable; singleton vertices absent.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIterations: Int = 50): DataFrame =
+    starIterate(pairs, maxIterations)._1
+
+  /** Returns (labels, rounds) — rounds exposed so tests can assert the
+    * O(log n) convergence that motivates this implementation. */
+  private[graft] def starIterate(pairs: DataFrame,
+                                 maxIterations: Int): (DataFrame, Int) = {
+    val init = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val vertices = init.select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct().localCheckpoint(true)
+    var edges = init
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig // fixpoint: both transforms were identity
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star connected components did not converge in $maxIterations rounds")
+    // at fixpoint every edge is (child, componentMin); roots label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+    val roots = vertices.join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    (labels.unionByName(roots), iter)
+  }
+
+  /** large-star(u): connect every strictly-larger neighbor v > u to
+    * m = min(Γ(u) ∪ {u}). One groupBy for per-node minima + one
+    * equi-join to re-attach them — shuffles bounded by |E|. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(mins, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star(u): connect every smaller-or-equal neighbor (and u
+    * itself) to the minimum of that set. Edges arrive max-first from
+    * largeStar; re-orient defensively. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    oriented.join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** (count, sum-of-row-hashes) edge-set fingerprint — order-independent,
+    * one aggregate, no driver-side edge materialization. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)),
+      coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Deduplicate `df` by near-dup clusters: keep one canonical row
     * (minimum id) per component, plus every row not in any component.
+    * Uses the star algorithm (scale path); pass `useStar = false` for
+    * the propagation baseline.
     */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
-                   maxIterations: Int = 25): DataFrame = {
-    val comps = connectedComponents(pairs, maxIterations)
+                   maxIterations: Int = 50, useStar: Boolean = true): DataFrame = {
+    val comps =
+      if (useStar) connectedComponentsStar(pairs, maxIterations)
+      else connectedComponents(pairs, maxIterations)
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
