@@ -410,7 +410,14 @@ object SparkEntry {
     }),
     "q61_outliers_sdev" -> ((s, dir) =>
       Eda.outliersSdev(t(s, dir, "customer"), Seq("c_acctbal"), nSigma = 2.0)
-        .select("c_custkey", "c_acctbal"))
+        .select("c_custkey", "c_acctbal")),
+    "q62_quantile_split_ranged" -> ((s, dir) =>
+      // scale path for q54: edge aggregate + range assignment, no
+      // single-partition window (exact edges here for oracle parity;
+      // exact=false is the approx-sketch 100 TB path)
+      Transforms.quantileSplitRanged(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal"),
+        "c_acctbal", 4, exact = true))
   )
 
   /** embeddings with the float vector cast to double (shared by the
@@ -898,6 +905,15 @@ object SparkEntry {
     "q61_outliers_sdev" ->
       """WITH b AS (SELECT AVG(c_acctbal) AS mu, STDDEV(c_acctbal) AS sd FROM customer)
          SELECT c_custkey, c_acctbal FROM customer, b
-         WHERE c_acctbal < mu - 2.0 * sd OR c_acctbal > mu + 2.0 * sd"""
+         WHERE c_acctbal < mu - 2.0 * sd OR c_acctbal > mu + 2.0 * sd""",
+    "q62_quantile_split_ranged" ->
+      """WITH e AS (SELECT quantile_cont(c_acctbal, 0.25) AS e1,
+                    quantile_cont(c_acctbal, 0.50) AS e2,
+                    quantile_cont(c_acctbal, 0.75) AS e3 FROM customer)
+         SELECT c_custkey, c_acctbal,
+           1 + (CASE WHEN c_acctbal > e1 THEN 1 ELSE 0 END)
+             + (CASE WHEN c_acctbal > e2 THEN 1 ELSE 0 END)
+             + (CASE WHEN c_acctbal > e3 THEN 1 ELSE 0 END) AS quantile
+         FROM customer, e"""
   )
 }

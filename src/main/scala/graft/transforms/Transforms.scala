@@ -93,6 +93,41 @@ object Transforms {
     df.withColumn("quantile", ntile(n).over(Window.orderBy(order: _*)))
   }
 
+  /** Range-bucketed quantile split — the 100 TB scale path for
+    * [[quantileSplit]]. Bucket edges come from ONE percentile aggregate
+    * (`exact = true`: interpolating exact percentiles, oracle-parity
+    * with DuckDB quantile_cont; `exact = false`: approx_percentile, a
+    * mergeable bounded-memory sketch), then rows are assigned by
+    * comparing against the n-1 edge literals. No global sort and no
+    * single-partition window anywhere in the plan — it is an aggregate
+    * plus a codegen'd projection, so it scales with partition count.
+    * Bucket populations are equal up to ties/sketch accuracy rather than
+    * exactly-equal-by-rank like ntile.
+    */
+  def quantileSplitRanged(df: DataFrame, valueCol: String, n: Int,
+                          exact: Boolean = false,
+                          accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, s"quantileSplitRanged needs n >= 2 buckets, got $n")
+    val probs = (1 until n).map(_.toDouble / n)
+    val edgesRow =
+      if (exact)
+        df.select(graft.functions.ExactPercentiles
+          .exactPercentiles(col(valueCol).cast("double"), probs).as("e")).head()
+      else
+        df.select(
+          expr(s"approx_percentile(`$valueCol`, array(${probs.mkString(", ")}), $accuracy)")
+            .cast("array<double>").as("e")).head()
+    val edges =
+      if (edgesRow.isNullAt(0)) Seq.empty[Double]
+      else edgesRow.getSeq[Double](0).filter(_ != null)
+    // bucket = 1 + #edges strictly below the value; nulls land in bucket 1
+    // like ntile's nulls-first ordering
+    val bucket = edges.foldLeft(lit(1)) { (acc, e) =>
+      acc + when(col(valueCol) > lit(e), 1).otherwise(0)
+    }
+    df.withColumn("quantile", bucket)
+  }
+
   /** One-hot encode: expand a string column into 0/1 `{col}_{value}`
     * columns. Gate: only when 1 < distinct < `maxCategories`, matching
     * the reference's get_dummies gate

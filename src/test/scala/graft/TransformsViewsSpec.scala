@@ -103,4 +103,36 @@ class TransformsViewsSpec extends SparkSpec {
     assert(Transforms.contentHash(a) == Transforms.contentHash(b.repartition(3)))
     assert(Transforms.contentHash(a) != Transforms.contentHash(c))
   }
+
+  test("quantileSplitRanged: no window / no single-partition exchange in plan") {
+    val df = graft.core.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_acctbal")
+    val ranged = Transforms.quantileSplitRanged(df, "c_acctbal", 4)
+    // ntile's plan has Window + Exchange SinglePartition — the scale
+    // killer VERDICT r1 flagged; the ranged plan must have neither
+    val ntilePlan = Transforms.quantileSplit(df, "c_acctbal", 4)
+      .queryExecution.executedPlan.toString
+    assert(ntilePlan.contains("Window") && ntilePlan.contains("SinglePartition"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // all four buckets populated, sizes within sketch tolerance
+    val counts = ranged.groupBy("quantile").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1, 2, 3, 4))
+    val n = counts.values.sum
+    assert(counts.values.forall(c => math.abs(c - n / 4.0) <= n * 0.05))
+  }
+
+  test("quantileSplitRanged: exact edges, nulls land in bucket 1, n<2 rejected") {
+    val df = Seq[(Int, java.lang.Double)](
+      (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, null)).toDF("id", "v")
+    val out = Transforms.quantileSplitRanged(df, "v", 2, exact = true)
+      .orderBy("id").collect().map(_.getInt(2)).toSeq
+    // exact median of 1..4 = 2.5 → ids 1,2 bucket 1; 3,4 bucket 2; null → 1
+    assert(out == Seq(1, 1, 2, 2, 1))
+    intercept[IllegalArgumentException] {
+      Transforms.quantileSplitRanged(df, "v", 1)
+    }
+  }
 }
