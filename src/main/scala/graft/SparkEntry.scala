@@ -417,7 +417,22 @@ object SparkEntry {
       // exact=false is the approx-sketch 100 TB path)
       Transforms.quantileSplitRanged(
         t(s, dir, "customer").select("c_custkey", "c_acctbal"),
-        "c_acctbal", 4, exact = true))
+        "c_acctbal", 4, exact = true)),
+    "q63_uq_intervals" -> ((s, dir) => {
+      // UQ v0: conformal intervals calibrated on even orderkeys, applied
+      // to odd ones (deterministic pseudo-ensemble: pred = 0.95y + 500,
+      // std = y/20 floored at 1). Rows-only check: isotonic calibration
+      // is not SQL-expressible.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("y"))
+        .withColumn("pred", col("y") * 0.95 + 500)
+        .withColumn("std", greatest(lit(1.0), col("y") / 20))
+      val m = graft.ml.UQ.fit(o.filter(col("o_orderkey") % 2 === 0), "y", "pred", "std")
+      m.predict(o.filter(col("o_orderkey") % 2 === 1), "pred", "std")
+        .select(col("o_orderkey"), round(col("expected_residual"), 4).as("expected_residual"),
+          round(col("confidence"), 4).as("confidence"),
+          round(col("q_025"), 4).as("q_025"), round(col("q_975"), 4).as("q_975"))
+    })
   )
 
   /** embeddings with the float vector cast to double (shared by the

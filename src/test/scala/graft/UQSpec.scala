@@ -1,0 +1,72 @@
+package graft
+
+import graft.ml.UQ
+import org.apache.spark.sql.functions._
+
+/** UQ model v0 (VERDICT r1 item 5): split-conformal coverage on held-out
+  * heteroscedastic data, calibrator behavior, and save/load round-trip. */
+class UQSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** y = 2x + ε with ε ~ N(0, σ(x)), σ(x) = 0.5 + x/10 — heteroscedastic
+    * so the conformal scale and isotonic calibrator both have signal. */
+  private def synth(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val x = rnd.nextDouble() * 10
+      val sigma = 0.5 + x / 10
+      (x, 2 * x + rnd.nextGaussian() * sigma, 2 * x, sigma)
+    }.toDF("x", "y", "pred", "std")
+  }
+
+  test("UQ v0: conformal intervals hit target coverage on held-out data") {
+    val m = UQ.fit(synth(42, 3000), "y", "pred", "std")
+    val out = m.predict(synth(7, 2000), "pred", "std").cache()
+    val n = out.count().toDouble
+    val cov95 = out.filter(col("y").between(col("q_025"), col("q_975"))).count() / n
+    val cov80 = out.filter(col("y").between(col("q_10"), col("q_90"))).count() / n
+    val cov50 = out.filter(col("y").between(col("q_25"), col("q_75"))).count() / n
+    assert(cov95 >= 0.92 && cov95 <= 0.985, s"95% interval covered $cov95")
+    assert(cov80 >= 0.75 && cov80 <= 0.86, s"80% interval covered $cov80")
+    assert(cov50 >= 0.44 && cov50 <= 0.57, s"50% interval covered $cov50")
+    // intervals nest: wider level ⊇ narrower level
+    assert(out.filter(col("q_025") > col("q_05")).count() == 0)
+    assert(out.filter(col("q_975") < col("q_95")).count() == 0)
+    assert(out.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("UQ v0: higher ensemble std → larger expected residual, lower confidence") {
+    val m = UQ.fit(synth(11, 2000), "y", "pred", "std")
+    val lo = m.expectedResidual(10.0, 0.5)
+    val hi = m.expectedResidual(10.0, 1.5)
+    assert(hi >= lo, s"isotonic calibrator must be monotone: $lo vs $hi")
+    assert(m.confidence(lo) >= m.confidence(hi))
+  }
+
+  test("UQ v0: save/load round-trips the model and its predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("uq-model").toString
+    val m = UQ.fit(synth(3, 1500), "y", "pred", "std")
+    m.save(spark, dir)
+    val m2 = UQ.load(spark, dir)
+    assert(m2.scaleFactors == m.scaleFactors)
+    assert(m2.binEdges.toSeq == m.binEdges.toSeq)
+    assert(m2.residualPercentiles.toSeq == m.residualPercentiles.toSeq)
+    val probe = synth(5, 50)
+    val a = m.predict(probe, "pred", "std").orderBy("x").collect()
+    val b = m2.predict(probe, "pred", "std").orderBy("x").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("UQ v0: dirty input — nulls dropped, empty calibration rejected") {
+    val dirty = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 1.1, 0.5), (null, 1.0, 0.5), (2.0, null, 0.5), (3.0, 3.2, 0.4),
+      (4.0, 3.9, 0.3), (5.0, 5.1, 0.2)).toDF("y", "pred", "std")
+    val m = UQ.fit(dirty, "y", "pred", "std") // 4 clean rows suffice
+    assert(m.scaleFactors.nonEmpty)
+    intercept[IllegalArgumentException] {
+      UQ.fit(Seq.empty[(Double, Double, Double)].toDF("y", "pred", "std"),
+        "y", "pred", "std")
+    }
+  }
+}
