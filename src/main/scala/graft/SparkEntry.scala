@@ -432,6 +432,27 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("expected_residual"), 4).as("expected_residual"),
           round(col("confidence"), 4).as("confidence"),
           round(col("q_025"), 4).as("q_025"), round(col("q_975"), 4).as("q_975"))
+    }),
+    "q64_column_stats_full" -> ((s, dir) => {
+      // full column_stats orchestration (column_stats.py:52-121): flat
+      // projection for the oracle; the map-typed value_counts /
+      // correlations variant is spec-checked (EdaSpec)
+      val statCols = Seq("min", "q1", "median", "q3", "max", "mean", "stddev")
+      Eda.columnStatsFull(t(s, dir, "orders"), includeMaps = false)
+        .select(Seq(col("column_name"), col("dtype"), col("n_distinct"),
+          col("n_nulls"), col("num_zeros")) ++
+          statCols.map(c => round(col(c), 6).as(c)): _*)
+    }),
+    "q65_filter_by_tags" -> ((s, dir) => {
+      // row tags -> filter_by_tags (mol_tagging.py:386-434): require +
+      // exclude + prefix forms all exercised
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      val tagged = graft.proximity.Analytics.rowTags(nn, e, "vec_id", "label", gradientCut = 2.0)
+      graft.proximity.Analytics.filterByTags(tagged,
+        require = Seq("zero_target"), exclude = Seq("coincident"),
+        requirePrefix = Seq("zero"), excludePrefix = Seq("coinc"))
+        .select(col("id"), array_join(col("tags"), ",").as("tags"))
     })
   )
 
@@ -929,6 +950,53 @@ object SparkEntry {
            1 + (CASE WHEN c_acctbal > e1 THEN 1 ELSE 0 END)
              + (CASE WHEN c_acctbal > e2 THEN 1 ELSE 0 END)
              + (CASE WHEN c_acctbal > e3 THEN 1 ELSE 0 END) AS quantile
-         FROM customer, e"""
+         FROM customer, e""",
+    "q64_column_stats_full" -> {
+      val cols = Seq(("o_orderkey", "bigint", true), ("o_custkey", "bigint", true),
+        ("o_orderstatus", "string", false), ("o_totalprice", "double", true),
+        ("o_orderdate", "timestamp", false), ("o_orderpriority", "string", false))
+      cols.map { case (c, ty, isNum) =>
+        val numPart =
+          if (isNum)
+            s"""COUNT(CASE WHEN $c = 0 THEN 1 END) AS num_zeros,
+               ROUND(CAST(MIN($c) AS DOUBLE), 6) AS min,
+               ROUND(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS q1,
+               ROUND(quantile_cont(CAST($c AS DOUBLE), 0.50), 6) AS median,
+               ROUND(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS q3,
+               ROUND(CAST(MAX($c) AS DOUBLE), 6) AS max,
+               ROUND(CAST(AVG($c) AS DOUBLE), 6) AS mean,
+               ROUND(CAST(STDDEV($c) AS DOUBLE), 6) AS stddev"""
+          else
+            """CAST(NULL AS BIGINT) AS num_zeros,
+               CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS q1,
+               CAST(NULL AS DOUBLE) AS median, CAST(NULL AS DOUBLE) AS q3,
+               CAST(NULL AS DOUBLE) AS max, CAST(NULL AS DOUBLE) AS mean,
+               CAST(NULL AS DOUBLE) AS stddev"""
+        s"""SELECT '$c' AS column_name, '$ty' AS dtype,
+            COUNT(DISTINCT $c) AS n_distinct,
+            COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+            $numPart FROM orders"""
+      }.mkString(" UNION ALL ")
+    },
+    "q65_filter_by_tags" ->
+      s"""WITH ${knnSql("true", "vec_id < 100", 5)},
+          grads AS (SELECT knn.id,
+              MAX(CASE WHEN distance <= 1e-6 THEN 1 ELSE 0 END) AS coinc,
+              MAX(CASE WHEN distance > 0 AND
+                ABS(CAST(b.label AS DOUBLE) - CAST(a.label AS DOUBLE)) / distance > 2.0
+                THEN 1 ELSE 0 END) AS cliff
+            FROM knn JOIN e a ON knn.id = a.vec_id JOIN e b ON knn.neighbor_id = b.vec_id
+            GROUP BY 1),
+          tagged AS (SELECT e.vec_id AS id, list_filter([
+              CASE WHEN e.label = 0 THEN 'zero_target' END,
+              CASE WHEN COALESCE(coinc, 0) = 1 THEN 'coincident' END,
+              CASE WHEN COALESCE(cliff, 0) = 1 THEN 'high_gradient' END],
+              t -> t IS NOT NULL) AS tag_list
+            FROM e LEFT JOIN grads ON e.vec_id = grads.id)
+          SELECT id, list_aggregate(tag_list, 'string_agg', ',') AS tags FROM tagged
+          WHERE list_contains(tag_list, 'zero_target')
+            AND NOT list_contains(tag_list, 'coincident')
+            AND len(list_filter(tag_list, t -> t LIKE 'zero%')) > 0
+            AND len(list_filter(tag_list, t -> t LIKE 'coinc%')) = 0"""
   )
 }

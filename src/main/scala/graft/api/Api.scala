@@ -91,6 +91,11 @@ class DataSource(val spark: SparkSession, val name: String, df: DataFrame,
         Seq("column_name"))
       .join(dtypes, Seq("column_name"))
   }
+  /** Full composite (reference column_stats.py:52-121): adds zeros,
+    * descriptive stats, and nested value_counts/correlations maps to the
+    * flat [[columnStats]]. */
+  def columnStatsFull(): DataFrame =
+    memo("column_stats_full")(Eda.columnStatsFull(normalized))
   def outliers(scale: Double = 1.5): DataFrame =
     memo(s"outliers/$scale")(Eda.outliers(normalized, numericColumns, scale))
   def sample(rows: Int = 100): DataFrame =

@@ -130,6 +130,67 @@ object Eda {
     else top.unionByName(counts.orderBy(asc("count"), desc("value")).limit(k))
   }
 
+  /** Full column-stats orchestration (reference: algorithms/sql/
+    * column_stats.py:52-121): dtype + unique + nulls for every column,
+    * zeros + descriptive stats for numeric columns, and (with
+    * `includeMaps`) the nested value_counts (string columns) and
+    * correlations (numeric columns) the reference embeds per column —
+    * here as typed map columns instead of nested dicts.
+    *
+    * Composition mirrors the reference: each ingredient is one of the
+    * existing single-pass aggregates, joined on column_name — the result
+    * is metadata-sized (one row per column) regardless of data scale.
+    */
+  def columnStatsFull(df: DataFrame, includeMaps: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns.toSeq
+    val numeric = graft.core.Tables.numericCols(df)
+    def stacked(wide: DataFrame, outName: String, subset: Seq[String]) =
+      wide.selectExpr(s"stack(${subset.size}, " +
+        subset.map(c => s"'$c', `$c`").mkString(", ") + s") as (column_name, $outName)")
+    val dtypes = spark.createDataFrame(df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString.replace("timestamp_ntz", "timestamp"))))
+      .toDF("column_name", "dtype")
+    var out = dtypes
+      .join(stacked(countDistinct(df, cols), "n_distinct", cols), Seq("column_name"))
+      .join(stacked(countNulls(df, cols), "n_nulls", cols), Seq("column_name"))
+    out =
+      if (numeric.nonEmpty)
+        out.join(stacked(countZeros(df, numeric), "num_zeros", numeric),
+            Seq("column_name"), "left")
+          .join(descriptiveStats(df, numeric), Seq("column_name"), "left")
+      else
+        Seq("num_zeros").foldLeft(out)((d, c) => d.withColumn(c, lit(null).cast("bigint")))
+          .withColumns(Seq("min", "q1", "median", "q3", "max", "mean", "stddev")
+            .map(c => c -> lit(null).cast("double")).toMap)
+    if (includeMaps) {
+      val stringCols = df.schema.fields
+        .collect { case f if f.dataType == org.apache.spark.sql.types.StringType => f.name }
+        .toSeq
+      out =
+        if (stringCols.isEmpty)
+          out.withColumn("value_counts", lit(null).cast("map<string,bigint>"))
+        else out.join(
+          stringCols.map { c =>
+            // top-k ∪ bottom-k overlap on low-cardinality columns —
+            // dedup values before they become map keys
+            valueCounts(df, c).dropDuplicates("value")
+              .agg(map_from_entries(collect_list(struct(col("value"), col("count"))))
+                .as("value_counts"))
+              .withColumn("column_name", lit(c))
+          }.reduce(_ unionByName _), Seq("column_name"), "left")
+      out =
+        if (numeric.size < 2)
+          out.withColumn("correlations", lit(null).cast("map<string,double>"))
+        else out.join(
+          correlations(df, numeric)
+            .groupBy(col("col_1").as("column_name"))
+            .agg(map_from_entries(collect_list(struct(col("col_2"), col("correlation"))))
+              .as("correlations")), Seq("column_name"), "left")
+    }
+    out.orderBy("column_name")
+  }
+
   /** IQR outlier bounds per column, computed client-side in one agg pass —
     * phase 1 of the reference's two-phase outlier query
     * (reference: src/workbench/algorithms/sql/outliers.py:59-126).

@@ -208,4 +208,29 @@ object Analytics {
         when(col("__coinc") === 1, "coincident"),
         when(col("__cliff") === 1, "high_gradient"))).as("tags"))
   }
+
+  /** Filter rows by tag membership over an array<string> tag column
+    * (reference: src/workbench/utils/chem_utils/mol_tagging.py:386-434):
+    * `require` tags must ALL be present, `exclude` tags must ALL be
+    * absent, `requirePrefix` needs ≥1 tag matching any prefix,
+    * `excludePrefix` forbids every prefix. Pure codegen'd array
+    * predicates — no UDF, no shuffle. Rows with a null tag array never
+    * match (the reference would throw on them). */
+  def filterByTags(df: DataFrame, require: Seq[String] = Nil,
+                   exclude: Seq[String] = Nil,
+                   requirePrefix: Seq[String] = Nil,
+                   excludePrefix: Seq[String] = Nil,
+                   tagColumn: String = "tags"): DataFrame = {
+    val tags = col(tagColumn)
+    def matchesAny(t: org.apache.spark.sql.Column) =
+      (p: Seq[String]) => p.map(t.startsWith(_)).reduce(_ || _)
+    val conds: Seq[org.apache.spark.sql.Column] =
+      require.map(t => array_contains(tags, t)) ++
+        exclude.map(t => coalesce(!array_contains(tags, t), lit(false))) ++
+        (if (requirePrefix.isEmpty) Nil
+         else Seq(exists(tags, t => matchesAny(t)(requirePrefix)))) ++
+        (if (excludePrefix.isEmpty) Nil
+         else Seq(coalesce(!exists(tags, t => matchesAny(t)(excludePrefix)), lit(false))))
+    conds.foldLeft(df)((d, c) => d.filter(c))
+  }
 }

@@ -85,4 +85,27 @@ class AnalyticsQualitySpec extends SparkSpec {
     val ss = Quality.smartSample(cust, Seq("c_acctbal"), targetRows = 20)
     assert(ss.count() == ss.dropDuplicates("c_custkey").count())
   }
+
+  test("filterByTags: require/exclude/prefix semantics, null tags dropped") {
+    import graft.proximity.Analytics
+    val df = Seq(
+      (1, Seq("physchem:ro5_compliant", "physchem:veber_compliant")),
+      (2, Seq("physchem:ro5_compliant", "curation:exclude:salt")),
+      (3, Seq("curation:caution:dye")),
+      (4, Seq.empty[String])).toDF("id", "tags")
+      .unionByName(Seq((5, null.asInstanceOf[Seq[String]])).toDF("id", "tags"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getInt(0)).toSet
+    assert(ids(Analytics.filterByTags(df,
+      require = Seq("physchem:ro5_compliant", "physchem:veber_compliant"))) == Set(1))
+    assert(ids(Analytics.filterByTags(df,
+      excludePrefix = Seq("curation:exclude:"))) == Set(1, 3, 4))
+    assert(ids(Analytics.filterByTags(df,
+      requirePrefix = Seq("curation:"))) == Set(2, 3))
+    assert(ids(Analytics.filterByTags(df,
+      require = Seq("physchem:ro5_compliant"),
+      exclude = Seq("curation:exclude:salt"))) == Set(1))
+    // no filters → everything (including null-tag rows) passes through
+    assert(Analytics.filterByTags(df).count() == 5)
+  }
 }

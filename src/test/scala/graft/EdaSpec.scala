@@ -52,4 +52,26 @@ class EdaSpec extends SparkSpec {
     val limited = Eda.outliers(cust, Seq("c_acctbal"), limit = Some(1)).count()
     assert(limited <= 1)
   }
+
+  test("columnStatsFull: nested value_counts and correlations maps") {
+    val cust = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val full = Eda.columnStatsFull(cust).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(full.size == 4)
+    // string column: value_counts map populated, no numeric stats
+    val seg = full("c_mktsegment")
+    val vc = seg.getAs[Map[String, Long]]("value_counts")
+    assert(vc.nonEmpty && vc.values.sum <= 150 && vc.keySet.contains("BUILDING"))
+    assert(seg.isNullAt(seg.fieldIndex("mean")))
+    assert(seg.isNullAt(seg.fieldIndex("num_zeros")))
+    // numeric column: stats populated, correlations map has the others
+    val bal = full("c_acctbal")
+    assert(!bal.isNullAt(bal.fieldIndex("mean")))
+    val corr = bal.getAs[Map[String, Double]]("correlations")
+    assert(corr.keySet == Set("c_custkey", "c_nationkey"))
+    assert(corr.values.forall(v => v >= -1.0 && v <= 1.0))
+    // string column never correlates
+    assert(seg.isNullAt(seg.fieldIndex("correlations")))
+  }
 }
