@@ -453,6 +453,16 @@ object SparkEntry {
         require = Seq("zero_target"), exclude = Seq("coincident"),
         requirePrefix = Seq("zero"), excludePrefix = Seq("coinc"))
         .select(col("id"), array_join(col("tags"), ",").as("tags"))
+    }),
+    "q66_projection_umap" -> ((s, dir) => {
+      // sampled UMAP-style projection (projection_2d.py:17-166): seeded,
+      // capped, rows-only check (embedding coords are engine-specific)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")(0).as("e0"), col("embedding")(1).as("e1"),
+          col("embedding")(2).as("e2"), col("embedding")(3).as("e3"))
+      graft.ml.Projection.projection2DSampled(e, "vec_id",
+          Seq("e0", "e1", "e2", "e3"), "umap", maxRows = 2000)
+        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
     })
   )
 
