@@ -97,20 +97,43 @@ object Eda {
     * (reference: src/workbench/algorithms/sql/correlations.py:14-91).
     */
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val pairs = for {
-      a <- cols; b <- cols if a < b
-    } yield (a, b)
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    // both orientations come out of the SAME one-row aggregate via stack —
-    // a union of the half-matrix with its mirror would re-execute the
-    // whole aggregation (the union's two branches share no physical result)
-    val stackExpr = pairs.map { case (a, b) =>
-      s"'$a', '$b', `${a}__${b}`, '$b', '$a', `${a}__${b}`"
-    }.mkString(", ")
-    wide.selectExpr(
-      s"stack(${pairs.size * 2}, $stackExpr) as (col_1, col_2, correlation)")
-      .orderBy(desc("correlation"), asc("col_1"), asc("col_2"))
+    // ONE CorrMatrix aggregate instead of n·(n−1)/2 corr() aggregates:
+    // the declarative corrs compiled into a ~1.3 s Janino method (the
+    // dominant cost of this query, constant in data size); the typed
+    // aggregate's update is compiled Scala over a primitive buffer with
+    // the identical Welford co-moment math (bit-equal results, see
+    // EdaSpec)
+    val spark = df.sparkSession
+    val cs = cols.sorted
+    val pairs = for { i <- cs.indices; j <- i + 1 until cs.size } yield (cs(i), cs(j))
+    val arr = df.agg(graft.functions.CorrMatrix.corrMatrix(cs.map(col)))
+      .head().getSeq[Any](0)
+    // both orientations reshaped on the DRIVER: the result is
+    // metadata-sized (d² rows), and the previous 2·pairs-branch `stack`
+    // projection cost ~1.1 s of Janino compile for a one-row input —
+    // the same reshape the reference does in pandas
+    val rows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val c = arr(i).asInstanceOf[java.lang.Double]
+      Seq(org.apache.spark.sql.Row(a, b, c), org.apache.spark.sql.Row(b, a, c))
+    }
+    // desc correlation (NaN largest like Spark's sort, nulls last),
+    // then col_1, col_2 asc — same order as the previous orderBy
+    val sortedRows = rows.sortWith { (x, y) =>
+      val cx = x.get(2).asInstanceOf[java.lang.Double]
+      val cy = y.get(2).asInstanceOf[java.lang.Double]
+      if (cx == null || cy == null) cy == null && cx != null
+      else if (java.lang.Double.compare(cx, cy) != 0)
+        java.lang.Double.compare(cx, cy) > 0
+      else if (x.getString(0) != y.getString(0)) x.getString(0) < y.getString(0)
+      else x.getString(1) < y.getString(1)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(sortedRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("col_1", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("col_2", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("correlation", org.apache.spark.sql.types.DoubleType))))
   }
 
   /** Per string column: top-20 by count desc UNION ALL bottom-20 asc

@@ -53,6 +53,17 @@ class EdaSpec extends SparkSpec {
     assert(limited <= 1)
   }
 
+  test("CorrMatrix aggregate is bit-identical to Spark's corr()") {
+    val cust = Tables.load(spark, sf, "customer")
+    val cols = Seq("c_acctbal", "c_custkey", "c_nationkey").sorted
+    val viaMatrix = Eda.correlations(cust, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for { a <- cols; b <- cols if a < b } {
+      val builtin = cust.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(viaMatrix((a, b)) == builtin, s"($a,$b): ${viaMatrix((a, b))} != $builtin")
+    }
+  }
+
   test("columnStatsFull: nested value_counts and correlations maps") {
     val cust = Tables.load(spark, sf, "customer")
       .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
