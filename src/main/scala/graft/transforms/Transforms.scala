@@ -72,7 +72,16 @@ object Transforms {
     * Returns (train, test) with test = anti-join of train.
     */
   def stratifiedSplit(df: DataFrame, byCol: String, trainFraction: Double,
-                      idCol: String, seed: Long = 42L): (DataFrame, DataFrame) = {
+                      idCol: String, seed: Long = 42L,
+                      maxStrata: Int = 1000): (DataFrame, DataFrame) = {
+    // cardinality gate (like oneHot's): sampleBy builds a driver-side
+    // fraction map keyed by stratum — a high-cardinality byCol would
+    // collect unboundedly; fail loudly instead (VERDICT r1 item 9)
+    val n = df.select(count_distinct(col(byCol))).head().getLong(0)
+    require(n <= maxStrata,
+      s"stratifiedSplit: '$byCol' has $n distinct values (max $maxStrata) — " +
+        "stratified sampling needs a low-cardinality stratum column; " +
+        "use sampleRows or hash-bucket the column first")
     val strata = df.select(byCol).distinct().collect().map(_.get(0))
     val fractions = strata.map(s => s -> trainFraction).toMap
     val train = df.stat.sampleBy(byCol, fractions, seed)

@@ -97,4 +97,31 @@ class ReviewRegressionSpec extends SparkSpec {
     ps.delete("k")
     assert(ps.get("k").isEmpty)
   }
+
+  test("stratifiedSplit rejects high-cardinality stratum columns loudly") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i, s"stratum_$i")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      graft.transforms.Transforms.stratifiedSplit(df, "s", 0.8, "id", maxStrata = 100)
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // low-cardinality still works
+    val ok = (1 to 100).map(i => (i, s"c${i % 3}")).toDF("id", "s")
+    val (train, test) = graft.transforms.Transforms.stratifiedSplit(ok, "s", 0.8, "id")
+    assert(train.count() + test.count() == 100)
+  }
+
+  test("smartSample with idCol dedups on the id, not every column") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i, i.toDouble, s"payload_$i")).toDF("id", "v", "w")
+    val ss = graft.eda.Quality.smartSample(df, Seq("v"), targetRows = 30,
+      idCol = Some("id"))
+    assert(ss.count() == ss.dropDuplicates("id").count())
+    // dedup groups on the id column ONLY — a wide dedup would carry the
+    // payload column in the aggregate grouping keys
+    val planText = ss.queryExecution.executedPlan.toString
+    val aggKeys = "keys?=\\[[^\\]]*\\]".r.findAllIn(planText).toSeq
+    assert(aggKeys.nonEmpty && aggKeys.forall(k => k.contains("id") && !k.contains("w#")),
+      s"aggKeys=$aggKeys plan=$planText")
+  }
 }
