@@ -463,7 +463,27 @@ object SparkEntry {
       graft.ml.Projection.projection2DSampled(e, "vec_id",
           Seq("e0", "e1", "e2", "e3"), "umap", maxRows = 2000)
         .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
-    })
+    }),
+    // ───────── endpoint inference-loop details (SURVEY §2.4/§2.3) ─────────
+    "q67_binary_accuracy" -> ((s, dir) =>
+      graft.ml.Metrics.binaryAccuracy(
+        t(s, dir, "events").withColumn("prediction",
+          when(col("value") >= 100, "purchase").otherwise(col("event_type"))),
+        "event_type", "prediction", Seq("purchase"))),
+    "q68_confidence_profile" -> ((s, dir) =>
+      graft.ml.Metrics.confidenceProfile(
+        t(s, dir, "events")
+          .withColumn("prediction",
+            when(col("value") >= 100, "purchase").otherwise(col("event_type")))
+          .withColumn("mp", col("value") % 1), // deterministic pseudo-proba
+        "event_type", "prediction", "mp", Seq("purchase"), quantiles = 10)),
+    "q69_classifier_residuals" -> ((s, dir) =>
+      graft.ml.Metrics.withClassifierResiduals(
+        t(s, dir, "events").withColumn("prediction",
+          when(col("value") >= 100, "purchase").otherwise(col("event_type"))),
+        "event_type", "prediction",
+        Seq("click", "error", "purchase", "signup", "view"))
+        .select("event_id", "residuals", "residuals_abs"))
   )
 
   /** embeddings with the float vector cast to double (shared by the
@@ -1007,6 +1027,35 @@ object SparkEntry {
           WHERE list_contains(tag_list, 'zero_target')
             AND NOT list_contains(tag_list, 'coincident')
             AND len(list_filter(tag_list, t -> t LIKE 'zero%')) > 0
-            AND len(list_filter(tag_list, t -> t LIKE 'coinc%')) = 0"""
+            AND len(list_filter(tag_list, t -> t LIKE 'coinc%')) = 0""",
+    "q67_binary_accuracy" ->
+      """SELECT ROUND(AVG(CASE WHEN (event_type IN ('purchase')) =
+           ((CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END) IN ('purchase'))
+           THEN 1.0 ELSE 0 END), 6) AS binary_accuracy FROM events""",
+    "q68_confidence_profile" -> {
+      val edges = (1 to 9).map(k =>
+        s"quantile_cont(value % 1, 0.$k) AS e$k").mkString(", ")
+      val bucket = (1 to 9).map(k =>
+        s"(CASE WHEN value % 1 > e$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT $edges FROM events),
+          b AS (SELECT event_type,
+              CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END AS prediction,
+              1 + $bucket AS quantile
+            FROM events, e)
+          SELECT quantile, ROUND(AVG(CASE WHEN (event_type IN ('purchase')) =
+            (prediction IN ('purchase')) THEN 1.0 ELSE 0 END), 6) AS binary_accuracy
+          FROM b GROUP BY quantile ORDER BY quantile"""
+    },
+    "q69_classifier_residuals" ->
+      """WITH p AS (SELECT event_id, event_type,
+             CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END AS prediction
+           FROM events),
+         ix AS (SELECT event_id,
+             CASE prediction WHEN 'click' THEN 0 WHEN 'error' THEN 1
+               WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END
+             - CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+               WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END
+             AS residuals FROM p)
+         SELECT event_id, residuals, ABS(residuals) AS residuals_abs FROM ix"""
   )
 }

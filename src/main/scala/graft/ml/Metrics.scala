@@ -57,4 +57,61 @@ object Metrics {
   def withResiduals(df: DataFrame, target: String, pred: String): DataFrame =
     df.withColumn("residuals", col(target) - col(pred))
       .withColumn("residuals_abs", abs(col(target) - col(pred)))
+
+  /** Classifier residuals: class_index(ŷ) − class_index(y) in the given
+    * label order, plus the absolute form — the inference-view residual
+    * rule for classifiers
+    * (reference: core/views/inference_view.py:60-72). Unknown labels map
+    * to null like pandas' map. */
+  def withClassifierResiduals(df: DataFrame, target: String, pred: String,
+                              labels: Seq[String]): DataFrame = {
+    def idx(c: String) = labels.zipWithIndex
+      .map { case (l, i) => when(col(c) === l, i) }
+      .reduceRight((a, b) => a.otherwise(b))
+    df.withColumn("residuals", idx(pred) - idx(target))
+      .withColumn("residuals_abs", abs(col("residuals")))
+  }
+
+  /** Binary accuracy: collapse a multi-class problem to positive-vs-rest
+    * and score agreement (reference: utils/pandas_utils.py:213-243 —
+    * (TP+TN)/(all); over rows this is exactly the fraction where both
+    * sides land on the same side of the positive set). */
+  def binaryAccuracy(df: DataFrame, target: String, pred: String,
+                     positiveClasses: Seq[String]): DataFrame = {
+    val t = col(target).isInCollection(positiveClasses)
+    val p = col(pred).isInCollection(positiveClasses)
+    df.agg(round(avg(when(t === p, 1.0).otherwise(0.0)), 6).as("binary_accuracy"))
+  }
+
+  /** Binary accuracy per confidence quantile
+    * (reference: utils/pandas_utils.py:354-397): bucket rows by the
+    * max-probability column into n quantiles (range-bucketed exact
+    * percentile edges — no global-sort window, see
+    * Transforms.quantileSplitRanged) and score each bucket. */
+  def confidenceProfile(df: DataFrame, target: String, pred: String,
+                        maxProbaCol: String, positiveClasses: Seq[String],
+                        quantiles: Int = 10): DataFrame = {
+    val bucketed = graft.transforms.Transforms
+      .quantileSplitRanged(df, maxProbaCol, quantiles, exact = true)
+    val t = col(target).isInCollection(positiveClasses)
+    val p = col(pred).isInCollection(positiveClasses)
+    bucketed.groupBy(col("quantile"))
+      .agg(round(avg(when(t === p, 1.0).otherwise(0.0)), 6).as("binary_accuracy"))
+      .orderBy("quantile")
+  }
+
+  /** Merge missing meta columns from the FeatureSet into out-of-fold
+    * predictions by id, so cross-fold captures match the live-inference
+    * column set (reference: endpoint_core.py:640-656). Only columns
+    * absent from `oof` and present in `fs` are pulled; the projection is
+    * pruned to exactly those, and the (narrow) meta table broadcasts
+    * under AQE when small. */
+  def mergeMetaColumns(oof: DataFrame, fs: DataFrame, idCol: String,
+                       metaCols: Seq[String]): DataFrame = {
+    val toMerge = metaCols.distinct
+      .filterNot(oof.columns.contains).filter(fs.columns.contains)
+    if (toMerge.isEmpty) oof
+    else oof.join(fs.select((idCol +: toMerge).map(col).toIndexedSeq: _*),
+      Seq(idCol), "left")
+  }
 }

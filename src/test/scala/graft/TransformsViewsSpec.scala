@@ -104,6 +104,41 @@ class TransformsViewsSpec extends SparkSpec {
     assert(Transforms.contentHash(a) != Transforms.contentHash(c))
   }
 
+  test("binaryAccuracy / classifier residuals / meta merge (inference loop)") {
+    import graft.ml.Metrics
+    val df = Seq(
+      ("cat", "cat"), ("cat", "dog"), ("dog", "dog"), ("dog", "cat"),
+      ("cat", "cat"), ("dog", "dog")).toDF("y", "pred")
+    // positive = cat: agree on side in 4/6 rows
+    assert(Metrics.binaryAccuracy(df, "y", "pred", Seq("cat"))
+      .head().getDouble(0) == math.rint(4.0 / 6 * 1e6) / 1e6)
+    val res = Metrics.withClassifierResiduals(
+      Seq(("cat", "dog"), ("dog", "dog"), ("bird", "cat")).toDF("y", "pred"),
+      "y", "pred", Seq("cat", "dog")).collect()
+    assert(res(0).getInt(2) == 1 && res(0).getInt(3) == 1)  // dog(1)-cat(0)
+    assert(res(1).getInt(2) == 0)
+    assert(res(2).isNullAt(2), "unknown label maps to null like pandas map")
+    val oof = Seq((1, 0.5)).toDF("id", "prediction")
+    val fs = Seq((1, "CCO", "x")).toDF("id", "smiles", "prediction")
+    val merged = Metrics.mergeMetaColumns(oof, fs, "id", Seq("smiles", "prediction"))
+    assert(merged.columns.toSeq == Seq("id", "prediction", "smiles"))
+    assert(merged.head().getString(2) == "CCO")
+  }
+
+  test("confidenceProfile: per-quantile accuracy, monotone-friendly shape") {
+    import graft.ml.Metrics
+    // confidence perfectly predicts correctness: high mp → correct
+    val df = (1 to 100).map { i =>
+      val mp = i / 100.0
+      val correct = mp > 0.5
+      ("pos", if (correct) "pos" else "neg", mp)
+    }.toDF("y", "pred", "mp")
+    val prof = Metrics.confidenceProfile(df, "y", "pred", "mp", Seq("pos"), 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(prof.size == 10)
+    assert(prof(1) == 0.0 && prof(10) == 1.0)
+  }
+
   test("quantileSplitRanged: no window / no single-partition exchange in plan") {
     val df = graft.core.Tables.load(spark, sf, "customer")
       .select("c_custkey", "c_acctbal")
