@@ -483,7 +483,25 @@ object SparkEntry {
           when(col("value") >= 100, "purchase").otherwise(col("event_type"))),
         "event_type", "prediction",
         Seq("click", "error", "purchase", "signup", "view"))
-        .select("event_id", "residuals", "residuals_abs"))
+        .select("event_id", "residuals", "residuals_abs")),
+    "q70_uq_v1" -> ((s, dir) => {
+      // full v1 pipeline: knn join -> residual features -> RF error model
+      // -> normalized conformal intervals (rows-only: RF output is
+      // engine-specific)
+      val e = embDouble(s, dir).filter(col("vec_id") < 400)
+        .withColumn("prediction", col("label").cast("double") * 0.9 + 0.5)
+        .withColumn("prediction_std", lit(0.5))
+      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 10, Proximity.euclidean)
+      val feats = graft.proximity.Analytics.residualFeatures(
+        nn, e, "vec_id", "label", "prediction", 10)
+        .join(e.select(col("vec_id").as("id"), col("prediction_std")), Seq("id"))
+      val m = graft.ml.UQ.fitV1(feats.filter(col("id") % 2 === 0),
+        "target", "prediction", "prediction_std")
+      m.predict(feats.filter(col("id") % 2 === 1), "prediction", "prediction_std")
+        .select(col("id"), round(col("expected_residual"), 4).as("expected_residual"),
+          round(col("confidence"), 4).as("confidence"),
+          round(col("q_025"), 4).as("q_025"), round(col("q_975"), 4).as("q_975"))
+    })
   )
 
   /** embeddings with the float vector cast to double (shared by the

@@ -193,6 +193,126 @@ object UQ {
     IsotonicCurve(m.boundaries.toArray, m.predictions.toArray.map(math.max(_, 0.0)))
   }
 
+  /** UQ model v1 (reference: uq_model_v1.py:45-407): a RandomForest
+    * error model over the neighborhood feature vector
+    * [prediction, prediction_std, knn_distance, knn_target_std,
+    * local_pred_gap] (the [[graft.proximity.Analytics.residualFeatures]]
+    * output), with NORMALIZED conformal intervals — the interval width is
+    * q_α × expected_residual, so locally-hard regions get wider bands
+    * (Lei et al. 2018 locally-adaptive conformal). Confidence is the
+    * same percentile-rank as v0.
+    *
+    * Spark-first: the error model is MLlib's distributed RF; feature
+    * NaN-fills mirror `_stack_features` (knn_distance→0.5, others→0);
+    * rows the proximity could not resolve keep q_50 but get null
+    * confidence/intervals (uq_model_v1.py:284-295).
+    */
+  case class UQModelV1(
+      confidenceLevels: Seq[Double],
+      scaleFactors: Map[String, Double],
+      residualPercentiles: Array[Double],
+      errorModel: org.apache.spark.ml.regression.RandomForestRegressionModel)
+    extends Serializable {
+
+    /** 1 − percentile-rank, same rule as v0. */
+    def confidence(expResidual: Double): Double = {
+      var i = java.util.Arrays.binarySearch(residualPercentiles, expResidual)
+      if (i >= 0) {
+        while (i < residualPercentiles.length && residualPercentiles(i) == expResidual) i += 1
+      } else i = -i - 1
+      math.min(math.max(1.0 - i.toDouble / residualPercentiles.length, 0.0), 1.0)
+    }
+
+    /** Append expected_residual / confidence / interval columns to a
+      * frame carrying prediction, std, and the knn feature columns. */
+    def predict(df: DataFrame, predCol: String, stdCol: String): DataFrame = {
+      val assembled = UQ.assembleV1(df, predCol, stdCol)
+      val missing = col("knn_distance").isNull || col("knn_target_std").isNull
+      val model = this
+      val confUdf = udf((er: Double) => model.confidence(er))
+      val withEr = errorModel.setPredictionCol("__er").transform(assembled)
+        .withColumn("expected_residual", when(missing, lit(null)).otherwise(col("__er")))
+        .withColumn("confidence",
+          when(missing, lit(null)).otherwise(confUdf(col("__er"))))
+        .withColumn("q_50", col(predCol).cast("double"))
+      confidenceLevels.filter(QuantileColumns.contains).foldLeft(withEr) { (d, a) =>
+        val q = scaleFactors(f"$a%.2f")
+        val (lo, hi) = QuantileColumns(a)
+        d.withColumn(lo, when(missing, lit(null))
+            .otherwise(col(predCol).cast("double") - lit(q) * col("__er")))
+          .withColumn(hi, when(missing, lit(null))
+            .otherwise(col(predCol).cast("double") + lit(q) * col("__er")))
+      }.drop("__er", "__uq_features")
+    }
+
+    def save(spark: SparkSession, dir: String): Unit = {
+      import spark.implicits._
+      errorModel.write.overwrite().save(s"$dir/error_model")
+      Seq((confidenceLevels, scaleFactors.toSeq.sortBy(_._1), residualPercentiles.toSeq))
+        .toDF("confidence_levels", "scale_factors", "residual_percentiles")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    }
+  }
+
+  /** `_stack_features` (uq_model_v1.py:393-399): canonical order +
+    * NaN fills, as an MLlib features vector. */
+  private[ml] def assembleV1(df: DataFrame, predCol: String, stdCol: String): DataFrame = {
+    val filled = df
+      .withColumn("__f_pred", col(predCol).cast("double"))
+      .withColumn("__f_std", col(stdCol).cast("double"))
+      .withColumn("__f_kd", coalesce(col("knn_distance").cast("double"), lit(0.5)))
+      .withColumn("__f_kts", coalesce(col("knn_target_std").cast("double"), lit(0.0)))
+      .withColumn("__f_gap", coalesce(col("local_pred_gap").cast("double"), lit(0.0)))
+    new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("__f_pred", "__f_std", "__f_kd", "__f_kts", "__f_gap"))
+      .setOutputCol("__uq_features").setHandleInvalid("keep")
+      .transform(filled)
+      .drop("__f_pred", "__f_std", "__f_kd", "__f_kts", "__f_gap")
+  }
+
+  /** Fit v1 on out-of-fold rows that already carry the residual features
+    * (compose with Analytics.residualFeatures for the knn columns). */
+  def fitV1(df: DataFrame, yCol: String, predCol: String, stdCol: String,
+            confidenceLevels: Seq[Double] = DefaultConfidenceLevels,
+            numTrees: Int = 50, maxDepth: Int = 8, seed: Long = 42L): UQModelV1 = {
+    val assembled = assembleV1(df, predCol, stdCol)
+      .withColumn("__abs_res", abs(col(yCol).cast("double") - col(predCol).cast("double")))
+      .filter(col("__abs_res").isNotNull)
+      .cache()
+    val n = assembled.count()
+    require(n > 0, "UQ.fitV1 needs a non-empty calibration set")
+    val rf = new org.apache.spark.ml.regression.RandomForestRegressor()
+      .setFeaturesCol("__uq_features").setLabelCol("__abs_res")
+      .setPredictionCol("__er") // "prediction" would collide with the data
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(assembled)
+    val withEr = rf.transform(assembled)
+      .withColumn("__score", col("__abs_res") / greatest(col("__er"), lit(1e-10)))
+      .cache()
+    val adjusted = confidenceLevels.map(a => math.min(math.ceil((n + 1) * a) / n, 1.0))
+    val qRow = withEr.select(graft.functions.ExactPercentiles
+      .exactPercentiles(col("__score"), adjusted).as("q")).head()
+    val scaleFactors = confidenceLevels.zip(qRow.getSeq[Double](0))
+      .map { case (a, q) => f"$a%.2f" -> q }.toMap
+    val pcts = withEr.select(graft.functions.ExactPercentiles
+      .exactPercentiles(col("__er"), (0 to 100).map(_ / 100.0)).as("p"))
+      .head().getSeq[Double](0).toArray
+    assembled.unpersist(); withEr.unpersist()
+    UQModelV1(confidenceLevels, scaleFactors, pcts, rf)
+  }
+
+  /** Load a model saved by [[UQModelV1.save]]. */
+  def loadV1(spark: SparkSession, dir: String): UQModelV1 = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    UQModelV1(
+      r.getSeq[Double](r.fieldIndex("confidence_levels")),
+      r.getSeq[Row](r.fieldIndex("scale_factors"))
+        .map(p => p.getString(0) -> p.getDouble(1)).toMap,
+      r.getSeq[Double](r.fieldIndex("residual_percentiles")).toArray,
+      org.apache.spark.ml.regression.RandomForestRegressionModel
+        .load(s"$dir/error_model"))
+  }
+
   /** Load a model saved by [[UQModelV0.save]]. */
   def load(spark: SparkSession, dir: String): UQModelV0 = {
     val r: Row = spark.read.parquet(dir).head()

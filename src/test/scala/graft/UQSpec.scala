@@ -58,6 +58,61 @@ class UQSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  /** v1 synthetic: difficulty tracked by knn_target_std — noise scale IS
+    * the neighborhood std, so the RF error model has real signal. */
+  private def synthV1(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val pred = rnd.nextDouble() * 10
+      val kts = 0.2 + rnd.nextDouble() * 2           // neighborhood std
+      val y = pred + rnd.nextGaussian() * kts
+      (i.toLong, y, pred, 0.5, 0.1 + rnd.nextDouble(), kts, pred - y * 0.1)
+    }.toDF("id", "target", "prediction", "prediction_std",
+      "knn_distance", "knn_target_std", "local_pred_gap")
+  }
+
+  test("UQ v1: normalized conformal coverage; harder rows get wider intervals") {
+    val m = graft.ml.UQ.fitV1(synthV1(21, 3000), "target", "prediction", "prediction_std")
+    val out = m.predict(synthV1(8, 2000), "prediction", "prediction_std").cache()
+    val n = out.count().toDouble
+    val cov95 = out.filter(col("target").between(col("q_025"), col("q_975"))).count() / n
+    val cov80 = out.filter(col("target").between(col("q_10"), col("q_90"))).count() / n
+    assert(cov95 >= 0.91 && cov95 <= 0.99, s"95% interval covered $cov95")
+    assert(cov80 >= 0.73 && cov80 <= 0.88, s"80% interval covered $cov80")
+    // local adaptivity: high knn_target_std rows must get wider intervals
+    val widths = out.withColumn("w", col("q_975") - col("q_025"))
+    val hard = widths.filter(col("knn_target_std") > 1.5).agg(avg("w")).head().getDouble(0)
+    val easy = widths.filter(col("knn_target_std") < 0.5).agg(avg("w")).head().getDouble(0)
+    assert(hard > easy, s"expected adaptive widths: hard=$hard easy=$easy")
+    out.unpersist()
+  }
+
+  test("UQ v1: unresolved-proximity rows keep q_50 but null confidence/intervals") {
+    val m = graft.ml.UQ.fitV1(synthV1(31, 1000), "target", "prediction", "prediction_std")
+    val probe = synthV1(9, 10)
+      .withColumn("knn_distance",
+        when(col("id") === 1, lit(null)).otherwise(col("knn_distance")))
+    val out = m.predict(probe, "prediction", "prediction_std")
+    val missing = out.filter(col("id") === 1).head()
+    assert(missing.isNullAt(missing.fieldIndex("confidence")))
+    assert(missing.isNullAt(missing.fieldIndex("q_025")))
+    assert(!missing.isNullAt(missing.fieldIndex("q_50")), "q_50 passes through")
+    assert(out.filter(col("id") =!= 1)
+      .filter(col("confidence").isNull).count() == 0)
+  }
+
+  test("UQ v1: save/load round-trips predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("uq-v1").toString
+    val m = graft.ml.UQ.fitV1(synthV1(5, 800), "target", "prediction", "prediction_std")
+    m.save(spark, dir)
+    val m2 = graft.ml.UQ.loadV1(spark, dir)
+    assert(m2.scaleFactors == m.scaleFactors)
+    val probe = synthV1(6, 40)
+    val a = m.predict(probe, "prediction", "prediction_std").orderBy("id").collect()
+    val b = m2.predict(probe, "prediction", "prediction_std").orderBy("id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("UQ v0: dirty input — nulls dropped, empty calibration rejected") {
     val dirty = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
       (1.0, 1.1, 0.5), (null, 1.0, 0.5), (2.0, null, 0.5), (3.0, 3.2, 0.4),
