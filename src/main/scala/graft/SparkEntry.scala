@@ -496,7 +496,7 @@ object SparkEntry {
         nn, e, "vec_id", "label", "prediction", 10)
         .join(e.select(col("vec_id").as("id"), col("prediction_std")), Seq("id"))
       val m = graft.ml.UQ.fitV1(feats.filter(col("id") % 2 === 0),
-        "target", "prediction", "prediction_std")
+        "target", "prediction", "prediction_std", numTrees = 20, maxDepth = 6)
       m.predict(feats.filter(col("id") % 2 === 1), "prediction", "prediction_std")
         .select(col("id"), round(col("expected_residual"), 4).as("expected_residual"),
           round(col("confidence"), 4).as("confidence"),

@@ -89,7 +89,10 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // LAZY checkpoint: the signature aggregate is the action that
+      // materializes it, so each round is ONE job instead of two
+      // (eager-checkpoint + signature) — still truncates lineage
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig // fixpoint: both transforms were identity
       sig = nextSig

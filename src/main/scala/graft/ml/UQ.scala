@@ -167,10 +167,27 @@ object UQ {
     val binned = base.withColumn("bin", binExpr).cache()
     val counts = binned.groupBy("bin").count().collect()
       .collect { case r if !r.isNullAt(0) => r.getInt(0) -> r.getLong(1) }.toMap
-    val globalCurve = fitIsotonic(binned)
+    // ALL per-bin PAVA fits in ONE distributed pass (sequential MLlib
+    // fits were ~11 jobs and the dominant cost of this query); the global
+    // fallback rides along as bin −1, only when an under-filled bin needs it
+    val needGlobal = unique.init.indices
+      .exists(i => counts.getOrElse(i, 0L) < MinSamplesPerBin)
+    import binned.sparkSession.implicits._
+    val perBin = binned.select(col("bin"), col("std"), col("abs_res"))
+      .as[(Int, Double, Double)]
+    val fitInput =
+      if (needGlobal)
+        perBin.union(binned.select(lit(-1).as("bin"), col("std"), col("abs_res"))
+          .as[(Int, Double, Double)])
+      else perBin
+    val curveMap = fitInput
+      .groupByKey(_._1)
+      .mapGroups((bin, it) => (bin, pavaCurve(it.map(t => (t._2, t._3)))))
+      .collect().toMap
+    val globalCurve = curveMap.getOrElse(-1, IsotonicCurve(Array(0.0), Array(0.0)))
     val curves = unique.init.indices.map { i =>
       if (counts.getOrElse(i, 0L) < MinSamplesPerBin) globalCurve
-      else fitIsotonic(binned.filter(col("bin") === i))
+      else curveMap.getOrElse(i, globalCurve)
     }
 
     // expected residual on the calibration set → 0..100 percentile table
@@ -184,13 +201,43 @@ object UQ {
     model0.copy(residualPercentiles = pcts)
   }
 
-  /** Distributed PAVA via MLlib; returns the pooled thresholds. */
-  private def fitIsotonic(df: DataFrame): IsotonicCurve = {
-    val m = new org.apache.spark.ml.regression.IsotonicRegression()
-      .setFeaturesCol("std").setLabelCol("abs_res")
-      .fit(df.select(col("std"), col("abs_res")))
-    // y_min = 0 clamp like sklearn IsotonicRegression(y_min=0)
-    IsotonicCurve(m.boundaries.toArray, m.predictions.toArray.map(math.max(_, 0.0)))
+  /** In-executor PAVA over one bin's (x, y) points: sort by x, average
+    * duplicate x, pool adjacent violators, emit block-edge thresholds —
+    * the same piecewise curve MLlib/sklearn isotonic produce, with the
+    * sklearn y_min=0 clamp. Runs inside mapGroups so every bin fits in
+    * one task; bin size is calibration-set/n_bins. */
+  private[ml] def pavaCurve(points: Iterator[(Double, Double)]): IsotonicCurve = {
+    val raw = points.toArray
+    if (raw.isEmpty) return IsotonicCurve(Array(0.0), Array(0.0))
+    java.util.Arrays.sort(raw, Ordering.by((p: (Double, Double)) => p._1))
+    // collapse duplicate x to (x, meanY, weight)
+    val xs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    var i = 0
+    while (i < raw.length) {
+      var j = i; var sy = 0.0
+      while (j < raw.length && raw(j)._1 == raw(i)._1) { sy += raw(j)._2; j += 1 }
+      xs += ((raw(i)._1, sy / (j - i), (j - i).toDouble))
+      i = j
+    }
+    // stack-based pool-adjacent-violators: block = (wSum, wySum, xMin, xMax)
+    val st = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    xs.foreach { case (x, y, w) =>
+      st += Array(w, y * w, x, x)
+      while (st.length > 1 &&
+          st(st.length - 2)(1) / st(st.length - 2)(0) >= st.last(1) / st.last(0)) {
+        val top = st.remove(st.length - 1)
+        val prev = st.last
+        prev(0) += top(0); prev(1) += top(1); prev(3) = top(3)
+      }
+    }
+    val bx = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val by = scala.collection.mutable.ArrayBuffer.empty[Double]
+    st.foreach { b =>
+      val v = math.max(b(1) / b(0), 0.0) // sklearn y_min = 0 clamp
+      bx += b(2); by += v
+      if (b(3) > b(2)) { bx += b(3); by += v }
+    }
+    IsotonicCurve(bx.toArray, by.toArray)
   }
 
   /** UQ model v1 (reference: uq_model_v1.py:45-407): a RandomForest
