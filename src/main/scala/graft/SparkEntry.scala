@@ -501,6 +501,23 @@ object SparkEntry {
         .select(col("id"), round(col("expected_residual"), 4).as("expected_residual"),
           round(col("confidence"), 4).as("confidence"),
           round(col("q_025"), 4).as("q_025"), round(col("q_975"), 4).as("q_975"))
+    }),
+    "q71_uq_v2" -> ((s, dir) => {
+      // pure applicability-domain UQ: neighbor stats + percentile-rank
+      // confidence + neighbor-target-quantile intervals — fully
+      // relational, oracle-checked
+      // distances rounded to 9dp before the k-boundary and stats to 6dp
+      // before percentile ranking: both engines sum floats in different
+      // orders, and unrounded ulp noise flips tie-breaks / rank edges
+      val e = embDouble(s, dir).filter(col("vec_id") < 300)
+      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 10,
+        (a, b) => round(Proximity.euclidean(a, b), 9))
+      val m = graft.ml.UQ.fitV2(nn, e, "vec_id", "label", k = 10,
+        statsRound = Some(6))
+      val out = m.predict(e.filter(col("vec_id") < 50), nn, e, "vec_id", "label",
+        statsRound = Some(6))
+      out.select(col("id") +: out.columns.filterNot(_ == "id")
+        .map(c => round(col(c), 6).as(c)).toIndexedSeq: _*)
     })
   )
 
@@ -1074,6 +1091,42 @@ object SparkEntry {
              - CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
                WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END
              AS residuals FROM p)
-         SELECT event_id, residuals, ABS(residuals) AS residuals_abs FROM ix"""
+         SELECT event_id, residuals, ABS(residuals) AS residuals_abs FROM ix""",
+    "q71_uq_v2" -> {
+      val probs = (0 to 100).map(p => f"${p / 100.0}%.2f").mkString("[", ", ", "]")
+      val qCols = graft.ml.UQ.V2Quantiles
+        .map { case (p, n) => s"ROUND(quantile_cont(t, $p), 6) AS $n" }.mkString(", ")
+      val qOut = graft.ml.UQ.V2Quantiles
+        .map { case (_, n) => s"ROUND($n, 6) AS $n" }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              label FROM embeddings WHERE vec_id < 300),
+          pairs AS (SELECT qs.vec_id AS id, r.vec_id AS neighbor_id,
+              CASE WHEN ROUND(list_distance(qs.v, r.v), 9) < 1e-6 THEN 0.0
+                   ELSE ROUND(list_distance(qs.v, r.v), 9) END AS distance
+            FROM e qs CROSS JOIN e r WHERE qs.vec_id != r.vec_id),
+          knn AS (SELECT * FROM pairs QUALIFY
+            row_number() OVER (PARTITION BY id ORDER BY distance, neighbor_id) <= 10),
+          nt AS (SELECT knn.id, knn.distance, CAST(r.label AS DOUBLE) AS t
+                 FROM knn JOIN e r ON knn.neighbor_id = r.vec_id),
+          stats AS (SELECT id, ROUND(AVG(distance), 6) AS nd,
+              ROUND(AVG(t), 6) AS ntm, ROUND(STDDEV(t), 6) AS nts,
+              $qCols FROM nt GROUP BY 1),
+          fitp AS (SELECT list_transform(quantile_cont(nd, $probs), p -> ROUND(p, 6)) AS dp,
+              list_transform(quantile_cont(nts, $probs), p -> ROUND(p, 6)) AS vp FROM stats),
+          scored AS (SELECT s.*,
+              LEAST(len(list_filter(dp, p -> p <= s.nd)) / 101.0, 1.0) AS dpct,
+              CASE WHEN s.nts IS NULL THEN 1.0
+                ELSE LEAST(len(list_filter(vp, p -> p <= s.nts)) / 101.0, 1.0)
+              END AS vpct
+            FROM stats s, fitp)
+          SELECT id,
+            ROUND(GREATEST(0.0, (1.0 - dpct) * (1.0 - vpct)), 6) AS confidence,
+            ROUND(nd, 6) AS neighbor_distance,
+            ROUND(ntm, 6) AS neighbor_target_mean,
+            ROUND(nts, 6) AS neighbor_target_std,
+            ROUND(dpct, 6) AS distance_percentile,
+            ROUND(vpct, 6) AS variance_percentile, $qOut
+          FROM scored WHERE id < 50"""
+    }
   )
 }

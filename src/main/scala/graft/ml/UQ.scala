@@ -360,6 +360,142 @@ object UQ {
         .load(s"$dir/error_model"))
   }
 
+  // ────────────────────────── UQ v2 ──────────────────────────
+
+  /** Neighbor-target quantiles v2 emits (uq_model_v2.py:55-68). */
+  val V2Quantiles: Seq[(Double, String)] = Seq(
+    0.025 -> "q_025", 0.05 -> "q_05", 0.10 -> "q_10", 0.16 -> "q_16",
+    0.25 -> "q_25", 0.50 -> "q_50", 0.75 -> "q_75", 0.84 -> "q_84",
+    0.90 -> "q_90", 0.95 -> "q_95", 0.975 -> "q_975")
+
+  /** UQ model v2: pure applicability-domain confidence from proximity
+    * neighbors — no model fit, no ensemble std
+    * (reference: uq_model_v2.py:1-360).
+    * `confidence = (1 − distance_pct) · (1 − variance_pct)` where each
+    * percentile ranks the query's neighborhood stat against the training
+    * set's empirical 0..100-percentile distribution; intervals are the
+    * neighbors' own target quantiles (centered on the neighbor median,
+    * deliberately NOT on the model prediction).
+    *
+    * Everything is one grouped aggregate + literal-array ranking
+    * expressions — fully relational, no UDF, oracle-checkable (q71).
+    */
+  case class UQModelV2(
+      k: Int,
+      distancePercentiles: Array[Double],
+      variancePercentiles: Array[Double]) extends Serializable {
+
+    def save(spark: SparkSession, dir: String): Unit = {
+      import spark.implicits._
+      Seq((k, distancePercentiles.toSeq, variancePercentiles.toSeq))
+        .toDF("k", "distance_percentiles", "variance_percentiles")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+    /** AD scores + neighbor-derived intervals for every query id present
+      * in `neighbors`. Queries the proximity dropped stay present with
+      * null scores (reindex semantics, uq_model_v2.py:330-335).
+      * `statsRound` must match the value used at fit time. */
+    def predict(queries: DataFrame, neighbors: DataFrame, targets: DataFrame,
+                idCol: String, targetCol: String,
+                statsRound: Option[Int] = None): DataFrame = {
+      val stats = UQ.v2Stats(neighbors, targets, idCol, targetCol, k, statsRound)
+      def rankPct(v: org.apache.spark.sql.Column, arr: Array[Double]) =
+        least(size(filter(array(arr.map(lit).toIndexedSeq: _*), p => p <= v))
+          / lit(arr.length.toDouble), lit(1.0))
+      val scored = stats
+        .withColumn("distance_percentile",
+          rankPct(col("neighbor_distance"), distancePercentiles))
+        .withColumn("variance_percentile",
+          when(col("neighbor_target_std").isNull, lit(1.0)) // <2 neighbors → worst case
+            .otherwise(rankPct(col("neighbor_target_std"), variancePercentiles)))
+        .withColumn("confidence", greatest(lit(0.0),
+          (lit(1.0) - col("distance_percentile")) * (lit(1.0) - col("variance_percentile"))))
+      queries.select(col(idCol).as("id")).distinct()
+        .join(scored, Seq("id"), "left")
+        .select((Seq("id", "confidence", "neighbor_distance", "neighbor_target_mean",
+          "neighbor_target_std", "distance_percentile", "variance_percentile") ++
+          V2Quantiles.map(_._2)).map(col): _*)
+    }
+  }
+
+  /** Per-query neighborhood stats: k unique nearest neighbors (dedup
+    * keep-nearest, then top-k), mean distance, neighbor-target mean/std,
+    * and the 11 neighbor-target quantiles — ONE grouped aggregate after
+    * two windowed ranks (uq_model_v2.py:70-77, 304-314). */
+  /** `roundTo`: optionally round every stat (Some(6) in oracle-compared
+    * queries) — ulp-level summation-order differences between engines
+    * otherwise flip percentile-rank boundaries. */
+  private[ml] def v2Stats(neighbors: DataFrame, targets: DataFrame,
+                          idCol: String, targetCol: String, k: Int,
+                          roundTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dedup = neighbors
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id", "neighbor_id").orderBy(asc("distance"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val topk = dedup
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("id").orderBy(asc("distance"), asc("neighbor_id"))))
+      .filter(col("__rk") <= k).drop("__rk")
+    val nt = targets.select(col(idCol).as("neighbor_id"),
+      col(targetCol).cast("double").as("__nt"))
+    val raw = topk.join(nt, Seq("neighbor_id"))
+      .groupBy("id")
+      .agg(avg("distance").as("neighbor_distance"),
+        avg("__nt").as("neighbor_target_mean"),
+        stddev("__nt").as("neighbor_target_std"),
+        graft.functions.ExactPercentiles
+          .exactPercentiles(col("__nt"), V2Quantiles.map(_._1)).as("__q"))
+      .select(col("*") +: V2Quantiles.zipWithIndex.map { case ((_, name), i) =>
+        element_at(col("__q"), i + 1).as(name) }: _*)
+      .drop("__q")
+    roundTo match {
+      case None => raw
+      case Some(p) =>
+        val statCols = Seq("neighbor_distance", "neighbor_target_mean",
+          "neighbor_target_std") ++ V2Quantiles.map(_._2)
+        statCols.foldLeft(raw)((d, c) => d.withColumn(c, round(col(c), p)))
+    }
+  }
+
+  /** Fit v2: 0..100 percentiles of (mean neighbor distance, neighbor
+    * target std) across the training set's own neighborhoods
+    * (uq_model_v2.py:175-238). Null stats (e.g. <2 neighbors) are
+    * dropped like the reference's dropna. */
+  def fitV2(neighbors: DataFrame, targets: DataFrame, idCol: String,
+            targetCol: String, k: Int = 10,
+            statsRound: Option[Int] = None): UQModelV2 = {
+    val stats = v2Stats(neighbors, targets, idCol, targetCol, k, statsRound).cache()
+    val probs = (0 to 100).map(_ / 100.0)
+    val row = stats.select(
+      graft.functions.ExactPercentiles
+        .exactPercentiles(col("neighbor_distance"), probs).as("dp"),
+      graft.functions.ExactPercentiles
+        .exactPercentiles(col("neighbor_target_std"), probs).as("vp")).head()
+    stats.unpersist()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      "UQModelV2 fit produced no valid neighborhood stats — need ≥ k+1 rows")
+    // with statsRound, the INTERPOLATED percentile values must be rounded
+    // too — engines compute the lerp with different expression shapes, and
+    // a 1-ulp difference breaks exact-equality rank boundaries
+    def maybeRound(a: Array[Double]) = statsRound match {
+      case None => a
+      case Some(p) => // HALF_UP like SQL ROUND on both engines
+        a.map(v => BigDecimal(v).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    UQModelV2(k, maybeRound(row.getSeq[Double](0).toArray),
+      maybeRound(row.getSeq[Double](1).toArray))
+  }
+
+  /** Load a model saved by [[UQModelV2.save]]. */
+  def loadV2(spark: SparkSession, dir: String): UQModelV2 = {
+    val r = spark.read.parquet(dir).head()
+    UQModelV2(r.getInt(r.fieldIndex("k")),
+      r.getSeq[Double](r.fieldIndex("distance_percentiles")).toArray,
+      r.getSeq[Double](r.fieldIndex("variance_percentiles")).toArray)
+  }
+
   /** Load a model saved by [[UQModelV0.save]]. */
   def load(spark: SparkSession, dir: String): UQModelV0 = {
     val r: Row = spark.read.parquet(dir).head()

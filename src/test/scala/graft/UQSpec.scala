@@ -113,6 +113,55 @@ class UQSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("UQ v2: AD confidence high inside the training cloud, low for outliers") {
+    val rnd = new scala.util.Random(17)
+    // 200 in-domain points (tight cluster, consistent targets) + the
+    // queries: id 9001 sits in the cluster, id 9002 far outside
+    val train = (1 to 200).map(i =>
+      (i.toLong, Seq(rnd.nextGaussian() * 0.5, rnd.nextGaussian() * 0.5),
+        5.0 + rnd.nextGaussian() * 0.1))
+    val far = Seq((9001L, Seq(0.1, 0.1), 5.0), (9002L, Seq(50.0, 50.0), 5.0))
+    val all = (train ++ far).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val nn = graft.proximity.Proximity.knnJoin(all, all, "vec_id", "embedding",
+      10, graft.proximity.Proximity.euclidean)
+    val trainIds = all.filter(col("vec_id") <= 200)
+    val m = graft.ml.UQ.fitV2(
+      nn.join(trainIds.select(col("vec_id").as("id")), Seq("id"), "left_semi"),
+      all, "vec_id", "label", k = 10)
+    val out = m.predict(all.filter(col("vec_id") > 9000), nn, all, "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val inDomain = out(9001L).getAs[Double]("confidence")
+    val outOfDomain = out(9002L).getAs[Double]("confidence")
+    assert(inDomain > outOfDomain,
+      s"in-domain $inDomain must beat out-of-domain $outOfDomain")
+    assert(outOfDomain <= 0.05, s"far outlier should rank ~worst: $outOfDomain")
+    // intervals come from neighbor targets (≈5.0), not the prediction
+    assert(math.abs(out(9001L).getAs[Double]("q_50") - 5.0) < 0.5)
+  }
+
+  test("UQ v2: save/load round-trip and missing-query null row") {
+    val dir = java.nio.file.Files.createTempDirectory("uq-v2").toString
+    val e = Seq.tabulate(60)(i =>
+      (i.toLong, Seq(i / 10.0, i % 10 / 10.0), i.toDouble))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val nn = graft.proximity.Proximity.knnJoin(e, e, "vec_id", "embedding",
+      5, graft.proximity.Proximity.euclidean)
+    val m = graft.ml.UQ.fitV2(nn, e, "vec_id", "label", k = 5)
+    m.save(spark, dir)
+    val m2 = graft.ml.UQ.loadV2(spark, dir)
+    assert(m2.k == m.k)
+    assert(m2.distancePercentiles.toSeq == m.distancePercentiles.toSeq)
+    // a query id with no neighbor rows stays present, scores null
+    val ghost = Seq((999L, Seq(0.0, 0.0), 0.0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val out = m2.predict(ghost, nn, e, "vec_id", "label")
+    assert(out.count() == 1)
+    assert(out.filter(col("confidence").isNull).count() == 1)
+  }
+
   test("UQ v0: dirty input — nulls dropped, empty calibration rejected") {
     val dirty = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
       (1.0, 1.1, 0.5), (null, 1.0, 0.5), (2.0, null, 0.5), (3.0, 3.2, 0.4),
