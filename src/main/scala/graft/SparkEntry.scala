@@ -518,6 +518,29 @@ object SparkEntry {
         statsRound = Some(6))
       out.select(col("id") +: out.columns.filterNot(_ == "id")
         .map(c => round(col(c), 6).as(c)).toIndexedSeq: _*)
+    }),
+    "q72_aggregate_rows" -> ((s, dir) =>
+      Transforms.aggregateRows(t(s, dir, "lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("l_returnflag"), round(col("l_quantity"), 4).as("l_quantity"),
+          round(col("l_extendedprice"), 4).as("l_extendedprice"),
+          round(col("l_discount"), 4).as("l_discount"), col("group_count"))),
+    "q73_data_capture_parse" -> ((s, dir) => {
+      // SageMaker capture round-trip: pack events into CSV capture
+      // payloads, parse them back with the capture parser — output must
+      // equal the source rows (oracle = the source table)
+      val payloads = t(s, dir, "events")
+        .select(col("event_id"), col("value"))
+        .withColumn("chunk", col("event_id") % 20)
+        .groupBy("chunk")
+        .agg(concat_ws("\n",
+          collect_list(concat_ws(",", col("event_id"), col("value")))).as("body"))
+        .select(concat(lit("event_id,value\n"), col("body")).as("data"),
+          lit("CSV").as("encoding"),
+          lit(null).cast("timestamp").as("timestamp"))
+      graft.sources.DataCapture.parsePayloads(payloads)
+        .select(col("event_id").cast("bigint").as("event_id"),
+          col("value").cast("double").as("value"))
     })
   )
 
@@ -1127,6 +1150,13 @@ object SparkEntry {
             ROUND(dpct, 6) AS distance_percentile,
             ROUND(vpct, 6) AS variance_percentile, $qOut
           FROM scored WHERE id < 50"""
-    }
+    },
+    "q72_aggregate_rows" ->
+      """SELECT l_returnflag, ROUND(AVG(l_quantity), 4) AS l_quantity,
+         ROUND(AVG(l_extendedprice), 4) AS l_extendedprice,
+         ROUND(AVG(l_discount), 4) AS l_discount,
+         COUNT(*) AS group_count FROM lineitem GROUP BY 1""",
+    "q73_data_capture_parse" ->
+      "SELECT event_id, value FROM events"
   )
 }

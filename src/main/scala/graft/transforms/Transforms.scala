@@ -102,6 +102,26 @@ object Transforms {
     df.withColumn("quantile", ntile(n).over(Window.orderBy(order: _*)))
   }
 
+  /** Row aggregation: mean of the numeric feature columns per group plus
+    * a `group_count` (reference: algorithms/dataframe/storage/
+    * aggregation.py:10-49). With no features given, auto-selects numeric
+    * columns whose names don't end in "id", like the reference. */
+  def aggregateRows(df: DataFrame, groupColumn: String,
+                    features: Seq[String] = Nil): DataFrame = {
+    val feats =
+      if (features.nonEmpty) features
+      else df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[NumericType] &&
+          !f.name.endsWith("id") && f.name != groupColumn => f.name
+      }.toSeq
+    require(feats.forall(df.columns.contains),
+      s"aggregateRows: missing feature columns ${feats.filterNot(df.columns.contains)}")
+    df.groupBy(col(groupColumn))
+      .agg(count(lit(1)).as("group_count"),
+        feats.map(f => avg(col(f)).as(f)): _*)
+      .select((groupColumn +: feats :+ "group_count").map(col): _*)
+  }
+
   /** Range-bucketed quantile split — the 100 TB scale path for
     * [[quantileSplit]]. Bucket edges come from ONE percentile aggregate
     * (`exact = true`: interpolating exact percentiles, oracle-parity
