@@ -45,10 +45,12 @@ class Catalog(val spark: SparkSession, val root: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tablePath(clean))
     registerTable(clean)
-    registry.upsert(clean, "data_source", input)
-    registry.setOwner(clean, owner)
-    registry.setStatus(clean, "ready")
-    registry.healthCheck(clean)
+    // stale stats from a previous onboard of the same name would be
+    // silently served to the new data — drop the whole stats subtree
+    dropStats(clean)
+    // one registry write, not five read-modify-write cycles — no window
+    // where a reader sees a half-initialized row
+    registry.onboardRow(clean, "data_source", input, owner)
     val cols = spark.table(clean).columns.toSeq
     createView(clean, "display", subsetViewSql(clean, cols))
     createView(clean, "computation", subsetViewSql(clean, cols))
@@ -89,20 +91,38 @@ class Catalog(val spark: SparkSession, val root: String) {
   /** Rebuild THIS session's catalog from the registry: every artifact's
     * external table plus every stored view definition. This is the
     * restart path — a fresh SparkSession pointed at the same root sees
-    * all artifacts, views, tags, and cached stats. */
-  def attach(): Unit = {
+    * all artifacts, views, tags, and cached stats.
+    *
+    * Two phases (ALL tables first, then views) so a view referencing
+    * another artifact's table resolves; a single stale/broken view must
+    * not abort the rest of the restart, so failures are collected and
+    * returned rather than thrown. */
+  def attach(): Seq[(String, String)] = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    registry.listNames().foreach { name =>
-      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath(name)))) {
-        registerTable(name)
-        registry.getMeta(name).toSeq.sortBy(_._1).foreach {
-          case (k, sql) if k.startsWith(ViewSqlKey) =>
-            spark.sql(s"CREATE OR REPLACE VIEW `${name}___${k.stripPrefix(ViewSqlKey)}` AS $sql")
-          case _ => ()
-        }
+    val present = registry.listNames()
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(tablePath(n))))
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    present.foreach { name =>
+      try registerTable(name)
+      catch { case e: Exception => failures += (name -> e.getMessage) }
+    }
+    present.foreach { name =>
+      registry.getMeta(name).toSeq.sortBy(_._1).foreach {
+        case (k, sql) if k.startsWith(ViewSqlKey) =>
+          val view = s"${name}___${k.stripPrefix(ViewSqlKey)}"
+          try spark.sql(s"CREATE OR REPLACE VIEW `$view` AS $sql")
+          catch { case e: Exception => failures += (view -> e.getMessage) }
+        case _ => ()
       }
     }
+    failures.toSeq
+  }
+
+  private def dropStats(name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_stats/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   // ── persistent stats cache (the reference stashes computed stats in

@@ -135,12 +135,19 @@ object Components {
       .distinct()
   }
 
-  /** (count, sum-of-row-hashes) edge-set fingerprint — order-independent,
-    * one aggregate, no driver-side edge materialization. */
-  private def signature(edges: DataFrame): (Long, Long) = {
+  /** (count, sum-of-64-bit-row-hashes) edge-set fingerprint —
+    * order-independent, one aggregate, no driver-side materialization.
+    * xxhash64 + a decimal accumulator: the decimal cannot overflow under
+    * ANSI mode at any edge count, and a count+64-bit-sum collision
+    * between two consecutive DIFFERENT edge sets is ~2⁻⁶⁴ — if it ever
+    * hit, the loop would stop one round early with non-star edges, which
+    * the final-labels shape makes visible downstream (non-minimal
+    * components), not silently plausible. */
+  private def signature(edges: DataFrame): (Long, String) = {
     val r = edges.agg(count(lit(1)),
-      coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+      sum(xxhash64(col("u"), col("v"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
   }
 
   /** Deduplicate `df` by near-dup clusters: keep one canonical row

@@ -121,9 +121,11 @@ object Eda {
     val sortedRows = rows.sortWith { (x, y) =>
       val cx = x.get(2).asInstanceOf[java.lang.Double]
       val cy = y.get(2).asInstanceOf[java.lang.Double]
-      if (cx == null || cy == null) cy == null && cx != null
-      else if (java.lang.Double.compare(cx, cy) != 0)
+      if ((cx == null) != (cy == null)) cy == null // nulls last like desc
+      else if (cx != null && java.lang.Double.compare(cx, cy) != 0)
         java.lang.Double.compare(cx, cy) > 0
+      // ties (including the all-null group) break on names, matching the
+      // previous orderBy(desc(corr), asc(col_1), asc(col_2)) contract
       else if (x.getString(0) != y.getString(0)) x.getString(0) < y.getString(0)
       else x.getString(1) < y.getString(1)
     }
@@ -147,9 +149,10 @@ object Eda {
       .groupBy(col(column).as("value")).agg(count(lit(1)).as("count"))
     val top = counts.orderBy(desc("count"), asc("value")).limit(k)
     // the reference's "all counts are 1" collapse: keep only 5 rows
-    // (value_counts.py:55-57). One cheap agg on the counts decides.
-    if (collapseAllUnique &&
-        counts.agg(max("count")).head().getLong(0) == 1L) top.limit(5)
+    // (value_counts.py:55-57). One cheap agg on the counts decides;
+    // max(count) is NULL on an empty table — no collapse, no NPE.
+    val mx = counts.agg(max("count")).head()
+    if (collapseAllUnique && !mx.isNullAt(0) && mx.getLong(0) == 1L) top.limit(5)
     else top.unionByName(counts.orderBy(asc("count"), desc("value")).limit(k))
   }
 

@@ -94,9 +94,15 @@ object UQ {
         val er = model.expectedResidual(pred, std)
         (er, model.confidence(er))
       }
+      // rows with no usable (pred, std) get NULL scores and intervals —
+      // greatest(null, 1e-10) would otherwise emit a zero-width interval
+      // (false extreme certainty) exactly where the ensemble gave none;
+      // matches v1's unresolved-row semantics
+      val missing = col(predCol).isNull || col(stdCol).isNull
       val safeStd = greatest(col(stdCol).cast("double"), lit(1e-10))
       val withCal = df
-        .withColumn("__uq", cal(col(predCol).cast("double"), col(stdCol).cast("double")))
+        .withColumn("__uq", when(missing, lit(null))
+          .otherwise(cal(col(predCol).cast("double"), col(stdCol).cast("double"))))
         .withColumn("expected_residual", col("__uq._1"))
         .withColumn("confidence", col("__uq._2"))
         .drop("__uq")
@@ -104,8 +110,10 @@ object UQ {
       confidenceLevels.filter(QuantileColumns.contains).foldLeft(withCal) { (d, a) =>
         val q = scaleFactors(f"$a%.2f")
         val (lo, hi) = QuantileColumns(a)
-        d.withColumn(lo, col(predCol).cast("double") - lit(q) * safeStd)
-          .withColumn(hi, col(predCol).cast("double") + lit(q) * safeStd)
+        d.withColumn(lo, when(missing, lit(null))
+            .otherwise(col(predCol).cast("double") - lit(q) * safeStd))
+          .withColumn(hi, when(missing, lit(null))
+            .otherwise(col(predCol).cast("double") + lit(q) * safeStd))
       }
     }
 
@@ -130,6 +138,9 @@ object UQ {
     val std = col(stdCol).cast("double")
     val base = df.select(y.as("y"), yp.as("yp"), std.as("std"))
       .filter(col("y").isNotNull && col("yp").isNotNull && col("std").isNotNull)
+      // NaN passes isNotNull but falls through every bin-range comparison
+      // → null bin → encoder crash in the grouped PAVA; drop like nulls
+      .filter(!isnan(col("y")) && !isnan(col("yp")) && !isnan(col("std")))
       .withColumn("abs_res", abs(col("y") - col("yp")))
       .withColumn("score", col("abs_res") / greatest(col("std"), lit(1e-10)))
       .cache()

@@ -76,13 +76,14 @@ object Transforms {
                       maxStrata: Int = 1000): (DataFrame, DataFrame) = {
     // cardinality gate (like oneHot's): sampleBy builds a driver-side
     // fraction map keyed by stratum — a high-cardinality byCol would
-    // collect unboundedly; fail loudly instead (VERDICT r1 item 9)
-    val n = df.select(count_distinct(col(byCol))).head().getLong(0)
-    require(n <= maxStrata,
-      s"stratifiedSplit: '$byCol' has $n distinct values (max $maxStrata) — " +
+    // collect unboundedly; fail loudly instead. ONE scan: the limit
+    // bounds the collect at maxStrata+1 rows whatever the cardinality.
+    val strata = df.select(byCol).distinct().limit(maxStrata + 1)
+      .collect().map(_.get(0))
+    require(strata.length <= maxStrata,
+      s"stratifiedSplit: '$byCol' has more than $maxStrata distinct values — " +
         "stratified sampling needs a low-cardinality stratum column; " +
         "use sampleRows or hash-bucket the column first")
-    val strata = df.select(byCol).distinct().collect().map(_.get(0))
     val fractions = strata.map(s => s -> trainFraction).toMap
     val train = df.stat.sampleBy(byCol, fractions, seed)
     val test = df.join(train.select(idCol), Seq(idCol), "left_anti")
@@ -148,7 +149,10 @@ object Transforms {
             .cast("array<double>").as("e")).head()
     val edges =
       if (edgesRow.isNullAt(0)) Seq.empty[Double]
-      else edgesRow.getSeq[Double](0).filter(_ != null)
+      // boxed access: getSeq[Double] would unbox a null element to 0.0
+      // BEFORE any filter could see it (a spurious 0.0 bucket edge)
+      else edgesRow.getSeq[java.lang.Double](0)
+        .filter(_ != null).map(_.doubleValue())
     // bucket = 1 + #edges strictly below the value; nulls land in bucket 1
     // like ntile's nulls-first ordering
     val bucket = edges.foldLeft(lit(1)) { (acc, e) =>

@@ -111,6 +111,66 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(train.count() + test.count() == 100)
   }
 
+  test("re-onboarding an artifact invalidates its persisted stats cache") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-r2").toString
+    val cat = new graft.api.Catalog(spark, root)
+    val df1 = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    cat.onboard("reonboard", df1).descriptiveStats()
+    assert(cat.readStat("reonboard", "descriptive_stats").isDefined)
+    val df2 = Seq((1, 100.0), (2, 200.0), (3, 300.0)).toDF("id", "v")
+    cat.onboard("reonboard", df2)
+    assert(cat.readStat("reonboard", "descriptive_stats").isEmpty,
+      "stale stats must be dropped on re-onboard")
+    val fresh = cat.dataSource("reonboard").descriptiveStats()
+      .filter(col("column_name") === "v").head()
+    assert(fresh.getAs[Double]("max") == 300.0)
+  }
+
+  test("catalog attach isolates a broken view instead of aborting the restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-r3").toString
+    val cat = new graft.api.Catalog(spark, root)
+    cat.onboard("good_one", Seq((1, "x")).toDF("id", "v"))
+    cat.registry.upsertMeta("good_one",
+      Map("graft_view_sql/broken" -> "SELECT * FROM `no_such_table_xyz`"))
+    val s2 = spark.newSession()
+    val failures = new graft.api.Catalog(s2, root).attach()
+    assert(failures.exists(_._1 == "good_one___broken"))
+    // the artifact's table and healthy views still attached
+    assert(s2.table("good_one").count() == 1)
+    assert(s2.table("good_one___display").count() == 1)
+  }
+
+  test("UQ v0 predict: null pred/std rows get null intervals, not zero-width") {
+    val cal = (1 to 100).map(i => (i.toDouble, i.toDouble + 0.1, 0.5))
+      .toDF("y", "pred", "std")
+    val m = graft.ml.UQ.fit(cal, "y", "pred", "std")
+    val probe = Seq[(java.lang.Double, java.lang.Double)](
+      (5.0, null), (null, 0.5), (5.0, 0.5)).toDF("pred", "std")
+    val out = m.predict(probe, "pred", "std").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("q_025")))
+    assert(out(0).isNullAt(out(0).fieldIndex("confidence")))
+    assert(out(1).isNullAt(out(1).fieldIndex("q_975")))
+    assert(!out(2).isNullAt(out(2).fieldIndex("q_025")))
+  }
+
+  test("UQ fit survives NaN calibration rows (dropped like nulls)") {
+    val cal = ((1 to 60).map(i => (i.toDouble, i + 0.1, 0.5)) ++
+      Seq((Double.NaN, 1.0, 0.5), (1.0, Double.NaN, 0.5), (1.0, 1.0, Double.NaN)))
+      .toDF("y", "pred", "std")
+    val m = graft.ml.UQ.fit(cal, "y", "pred", "std") // must not crash
+    assert(m.scaleFactors.nonEmpty)
+  }
+
+  test("valueCounts and columnStatsFull survive an empty table") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((1, "x", 1.0)).toDF("id", "s", "v").schema)
+    assert(Eda.valueCounts(empty, "s").count() == 0)
+    val stats = Eda.columnStatsFull(empty)
+    assert(stats.count() == 3) // one row per column, all-null stats
+    assert(stats.filter(col("n_distinct") =!= 0).count() == 0)
+  }
+
   test("smartSample with idCol dedups on the id, not every column") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i, i.toDouble, s"payload_$i")).toDF("id", "v", "w")
