@@ -140,8 +140,11 @@ object DataSource {
   * core/views/view_utils.py:154-215).
   */
 class FeatureSet(val spark: SparkSession, val name: String, df: DataFrame,
-                 val idColumn: String, val eventTimeColumn: String) {
-  df.createOrReplaceTempView(name)
+                 val idColumn: String, val eventTimeColumn: String,
+                 registerView: Boolean = true) {
+  // catalog-backed FeatureSets resolve by name via the session catalog; a
+  // temp view would shadow the table
+  if (registerView) df.createOrReplaceTempView(name)
 
   def toDF: DataFrame = df
 

@@ -88,6 +88,49 @@ class Catalog(val spark: SparkSession, val root: String) {
   def dataSource(name: String): DataSource =
     new DataSource(spark, sanitize(name), spark.table(sanitize(name)), Some(this))
 
+  /** Onboard a FeatureSet: id column enforced (auto-generated when
+    * missing), event time stamped, feature types clamped
+    * (pandas_to_features.py:94-129, 243-280), persisted like a table
+    * plus `id_column`/`event_time_column` in the registry meta so any
+    * later session can reopen it with [[featureSet]]. */
+  def onboardFeatures(name: String, df: DataFrame, idColumn: String = "auto_id",
+                      eventTimeColumn: String = "event_time",
+                      owner: String = "unknown",
+                      input: String = "dataframe"): FeatureSet = {
+    val clean = sanitize(name)
+    val normalized = Transforms.normalizeColumnNames(df)
+    val withId =
+      if (normalized.columns.contains(idColumn)) normalized
+      else normalized.withColumn(idColumn,
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val withTs =
+      if (withId.columns.contains(eventTimeColumn)) withId
+      else withId.withColumn(eventTimeColumn,
+        org.apache.spark.sql.functions.current_timestamp())
+    val clamped = Transforms.clampFeatureTypes(withTs)
+    clamped.write.mode("overwrite").parquet(tablePath(clean))
+    registerTable(clean)
+    dropStats(clean)
+    registry.onboardRow(clean, "feature_set", input, owner)
+    registry.upsertMeta(clean, Map(
+      "graft_id_column" -> idColumn, "graft_event_time_column" -> eventTimeColumn))
+    val cols = spark.table(clean).columns.toSeq
+    createView(clean, "display", subsetViewSql(clean, cols))
+    createView(clean, "computation", subsetViewSql(clean, cols))
+    featureSet(clean)
+  }
+
+  /** Reopen an onboarded FeatureSet — id/event-time come from the
+    * registry meta, so no caller-side bookkeeping survives restarts. */
+  def featureSet(name: String): FeatureSet = {
+    val clean = sanitize(name)
+    val meta = registry.getMeta(clean)
+    new FeatureSet(spark, clean, spark.table(clean),
+      meta.getOrElse("graft_id_column", "auto_id"),
+      meta.getOrElse("graft_event_time_column", "event_time"),
+      registerView = false) // the catalog table already resolves the name
+  }
+
   /** Rebuild THIS session's catalog from the registry: every artifact's
     * external table plus every stored view definition. This is the
     * restart path — a fresh SparkSession pointed at the same root sees

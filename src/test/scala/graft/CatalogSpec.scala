@@ -74,6 +74,26 @@ class CatalogSpec extends SparkSpec {
     assert(statsAfter.toSeq == statsBefore.toSeq)
   }
 
+  test("FeatureSet onboarding: id/event-time persisted, reopenable after restart") {
+    val cat = new Catalog(spark, root)
+    val raw = Seq((7, "a", "2024-01-01T00:00:00.000Z"),
+      (7, "b", "2024-02-01T00:00:00.000Z"),
+      (8, "c", "2024-01-15T00:00:00.000Z")).toDF("rec_id", "v", "event_time")
+    val fs = cat.onboardFeatures("My Features", raw, idColumn = "rec_id")
+    assert(fs.name == "my_features")
+    assert(cat.registry.get("my_features").map(_.artifact_type).contains("feature_set"))
+    assert(fs.snapshot().count() == 2) // latest per id
+    // restart: fresh session, attach, reopen by name only
+    val s2 = spark.newSession()
+    val cat2 = new Catalog(s2, root)
+    assert(cat2.attach().isEmpty)
+    val fs2 = cat2.featureSet("my_features")
+    assert(fs2.idColumn == "rec_id")
+    val snap = fs2.snapshot().orderBy("rec_id").collect()
+    assert(snap.length == 2 && snap(0).getAs[String]("v") == "b")
+    assert(s2.table("my_features___display").count() == 3)
+  }
+
   test("catalog list + dropView") {
     val cat = new Catalog(spark, root)
     assert(cat.registry.listNames().contains("restart_test"))
