@@ -541,7 +541,14 @@ object SparkEntry {
       graft.sources.DataCapture.parsePayloads(payloads)
         .select(col("event_id").cast("bigint").as("event_id"),
           col("value").cast("double").as("value"))
-    })
+    }),
+    "q74_roc_auc" -> ((s, dir) =>
+      // does `value` rank purchases above other events? tie-aware
+      // rank-sum AUC, distinct-score cumulative window
+      graft.ml.Metrics.rocAuc(
+        t(s, dir, "events").withColumn("is_purchase",
+          (col("event_type") === "purchase").cast("int")),
+        "is_purchase", "value"))
   )
 
   /** embeddings with the float vector cast to double (shared by the
@@ -1157,6 +1164,18 @@ object SparkEntry {
          ROUND(AVG(l_discount), 4) AS l_discount,
          COUNT(*) AS group_count FROM lineitem GROUP BY 1""",
     "q73_data_capture_parse" ->
-      "SELECT event_id, value FROM events"
+      "SELECT event_id, value FROM events",
+    "q74_roc_auc" ->
+      """WITH g AS (SELECT value AS score,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos
+           FROM events GROUP BY 1),
+         r AS (SELECT n, n_pos,
+             COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n + 1) / 2.0 AS avg_rank
+           FROM g)
+         SELECT ROUND((SUM(n_pos * avg_rank) - SUM(n_pos) * (SUM(n_pos) + 1) / 2.0)
+           / (SUM(n_pos) * SUM(n - n_pos)), 6) AS roc_auc FROM r"""
   )
 }

@@ -58,6 +58,48 @@ object Metrics {
     df.withColumn("residuals", col(target) - col(pred))
       .withColumn("residuals_abs", abs(col(target) - col(pred)))
 
+  /** Wide confusion matrix with explicit model-label ordering — the
+    * reference's sklearn `confusion_matrix(labels=...)` shape
+    * (endpoint_core.py:1210-1250): one row per actual label, one column
+    * per predicted label, zero-filled. */
+  def confusionMatrixPivot(df: DataFrame, label: String, pred: String,
+                           labels: Seq[String]): DataFrame = {
+    val cm = confusionMatrix(df, label, pred)
+    val rows = df.sparkSession
+      .createDataFrame(labels.map(l => (l, 0L))).toDF("label", "__zero")
+    rows.join(cm.groupBy("label").pivot("prediction", labels).sum("count"),
+        Seq("label"), "left")
+      .na.fill(0L, labels)
+      .select((col("label") +: labels.map(col)).toIndexedSeq: _*)
+  }
+
+  /** ROC-AUC via the tie-aware rank-sum (Mann-Whitney) identity —
+    * equivalent to sklearn's roc_auc_score used in the reference's
+    * metrics pack (utils/metrics_utils.py:97-255), but computed as
+    * aggregates: AUC = (Σ_{pos} avgRank − P(P+1)/2) / (P·N).
+    * The cumulative window runs over DISTINCT scores (one row per
+    * score value, not per input row), so the single-partition sort is
+    * bounded by score cardinality, not data size. */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = df
+      .select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("int").as("pos"))
+      .filter(col("score").isNotNull && col("pos").isNotNull)
+      .groupBy("score")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grouped
+      .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("avg_rank", col("before") + (col("n") + 1) / 2.0)
+    ranked.agg(
+      sum(col("n_pos") * col("avg_rank")).as("__rank_sum"),
+      sum("n_pos").as("__p"), sum(col("n") - col("n_pos")).as("__n"))
+      .select(round(
+        (col("__rank_sum") - col("__p") * (col("__p") + 1) / 2.0) /
+          (col("__p") * col("__n")), 6).as("roc_auc"))
+  }
+
   /** Classifier residuals: class_index(ŷ) − class_index(y) in the given
     * label order, plus the absolute form — the inference-view residual
     * rule for classifiers

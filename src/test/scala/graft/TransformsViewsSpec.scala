@@ -125,6 +125,28 @@ class TransformsViewsSpec extends SparkSpec {
     assert(merged.head().getString(2) == "CCO")
   }
 
+  test("rocAuc: perfect separation 1.0, random 0.5-ish, ties averaged") {
+    import graft.ml.Metrics
+    val perfect = Seq((0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9)).toDF("y", "s")
+    assert(Metrics.rocAuc(perfect, "y", "s").head().getDouble(0) == 1.0)
+    val inverted = Seq((1, 0.1), (1, 0.2), (0, 0.8), (0, 0.9)).toDF("y", "s")
+    assert(Metrics.rocAuc(inverted, "y", "s").head().getDouble(0) == 0.0)
+    // all scores tied → AUC exactly 0.5 (tie-aware average ranks)
+    val tied = Seq((0, 0.5), (1, 0.5), (0, 0.5), (1, 0.5)).toDF("y", "s")
+    assert(Metrics.rocAuc(tied, "y", "s").head().getDouble(0) == 0.5)
+  }
+
+  test("confusionMatrixPivot: wide, zero-filled, model-label ordered") {
+    import graft.ml.Metrics
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("y", "p")
+    val cm = Metrics.confusionMatrixPivot(df, "y", "p", Seq("a", "b", "c"))
+      .orderBy("label").collect()
+    assert(cm.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(cm(0).getLong(1) == 1 && cm(0).getLong(2) == 1) // a→a, a→b
+    assert(cm(1).getLong(2) == 1)                          // b→b
+    assert(cm(2).getLong(1) == 0 && cm(2).getLong(3) == 0) // c row all zero
+  }
+
   test("confidenceProfile: per-quantile accuracy, monotone-friendly shape") {
     import graft.ml.Metrics
     // confidence perfectly predicts correctness: high mp → correct
