@@ -548,7 +548,12 @@ object SparkEntry {
       graft.ml.Metrics.rocAuc(
         t(s, dir, "events").withColumn("is_purchase",
           (col("event_type") === "purchase").cast("int")),
-        "is_purchase", "value"))
+        "is_purchase", "value")),
+    "q75_cosine_near_dup" -> ((s, dir) =>
+      // embedding-cosine near-dup pairs: brute baseline (oracle path);
+      // Dedup.cosinePairsLsh is the bucketed scale path (spec-checked)
+      Dedup.cosinePairs(t(s, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", 0.35))
   )
 
   /** embeddings with the float vector cast to double (shared by the
@@ -1176,6 +1181,13 @@ object SparkEntry {
                + (n + 1) / 2.0 AS avg_rank
            FROM g)
          SELECT ROUND((SUM(n_pos * avg_rank) - SUM(n_pos) * (SUM(n_pos) + 1) / 2.0)
-           / (SUM(n_pos) * SUM(n - n_pos)), 6) AS roc_auc FROM r"""
+           / (SUM(n_pos) * SUM(n - n_pos)), 6) AS roc_auc FROM r""",
+    "q75_cosine_near_dup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS similarity
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35"""
   )
 }

@@ -164,4 +164,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Embedding-cosine near-duplicate pairs — brute-force oracle baseline
+    * over a bounded id range (the jaccardPairs analogue for the
+    * embedding column): (id_a < id_b, similarity) with
+    * round(cosine, 6) ≥ threshold. Rounding BEFORE the threshold makes
+    * the boundary deterministic across engines. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val toD: Column => Column = c => transform(c, x => x.cast("double"))
+    val l = df.select(col(idCol).as("id_a"), toD(col(vecCol)).as("__va"))
+    val r = df.select(col(idCol).as("id_b"), toD(col(vecCol)).as("__vb"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.proximity.Proximity.cosine(col("__va"), col("__vb")), 6)
+          .as("similarity"))
+      .filter(col("similarity") >= threshold)
+  }
+
+  /** Scale path for [[cosinePairs]]: random-hyperplane signatures bucket
+    * the vectors (`nTables` independent sets for recall), candidates
+    * verify INSIDE buckets only — a hash-partitioned equi-join instead
+    * of the all-pairs crossJoin. Deterministic planes (hash-seeded, no
+    * runtime RNG), same output contract as the brute baseline on the
+    * pairs both consider. */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, dim: Int,
+                     nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val toD: Column => Column = c => transform(c, x => x.cast("double"))
+    def signature(vec: Column, t: Int): Column = {
+      val bits = (0 until nPlanes).map { p =>
+        val plane = array((0 until dim).map { i =>
+          lit(scala.util.hashing.MurmurHash3.productHash((t, p, i)).toDouble
+            / Int.MaxValue)
+        }: _*)
+        val dot = aggregate(zip_with(vec, plane, (x, y) => x * y),
+          lit(0.0), (a, v) => a + v)
+        when(dot >= 0, lit(1)).otherwise(lit(0))
+      }
+      bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
+    }
+    // stage the signatures once (narrow cached projection — HOF lambdas
+    // are interpreted and CollapseProject would inline them per branch)
+    val vecs = df.select(col(idCol).as("id"), toD(col(vecCol)).as("__v"))
+    val signed = (0 until nTables).foldLeft(vecs) { (d, t) =>
+      d.withColumn(s"__sig$t", signature(col("__v"), t))
+    }.persist()
+    signed.count()
+    val cand = (0 until nTables).map { t =>
+      signed.select(col("id").as("id_a"), col("__v").as("__va"),
+          col(s"__sig$t").as("__sig"))
+        .join(signed.select(col("id").as("id_b"), col("__v").as("__vb"),
+          col(s"__sig$t").as("__sig")), Seq("__sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    val out = cand.select(col("id_a"), col("id_b"),
+        round(graft.proximity.Proximity.cosine(col("__va"), col("__vb")), 6)
+          .as("similarity"))
+      .filter(col("similarity") >= threshold)
+    out
+  }
+
+  /** Deduplicate by cosine near-dup clusters: pairs → star connected
+    * components → keep the canonical (min-id) row per cluster. */
+  def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame =
+    Components.dedupByPairs(df, idCol, cosinePairs(df, idCol, vecCol, threshold))
 }

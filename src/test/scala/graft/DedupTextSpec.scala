@@ -67,4 +67,33 @@ class DedupTextSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(out(1) == "en"); assert(out(2) == "fr"); assert(out(3) == "und")
   }
+
+  test("cosine near-dup: brute pairs, LSH recall on planted duplicates, dedup") {
+    import graft.dedup.Dedup
+    val rnd = new scala.util.Random(23)
+    // 100 random 8-d vectors + 10 planted near-duplicates (tiny noise)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
+    val dups = (0 until 10).map(i =>
+      (1000L + i, base(i)._2.map(_ + rnd.nextGaussian() * 0.01)))
+    val df = (base ++ dups).toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<double>"))
+    val brute = Dedup.cosinePairs(df, "id", "vec", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 10, s"planted dups must surface: $brute")
+    assert((0 until 10).forall(i => brute.contains((i.toLong, 1000L + i))))
+    // LSH path finds every planted duplicate (near-identical vectors
+    // land in the same buckets in at least one table)
+    val lsh = Dedup.cosinePairsLsh(df, "id", "vec", 0.99, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 10).forall(i => lsh.contains((i.toLong, 1000L + i))),
+      s"LSH missed planted dups: ${lsh.size} of ${brute.size}")
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs")
+    // end-to-end dedup keeps the canonical (min-id) row per cluster
+    val survivors = Dedup.cosineNearDup(df, "id", "vec", 0.99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors.size == 100)
+    assert((0 until 10).forall(i => survivors.contains(i.toLong) &&
+      !survivors.contains(1000L + i)))
+  }
 }
