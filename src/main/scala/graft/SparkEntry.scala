@@ -495,6 +495,7 @@ object SparkEntry {
       val feats = graft.proximity.Analytics.residualFeatures(
         nn, e, "vec_id", "label", "prediction", 10)
         .join(e.select(col("vec_id").as("id"), col("prediction_std")), Seq("id"))
+        .persist() // fit + predict both read it; don't run the knn twice
       val m = graft.ml.UQ.fitV1(feats.filter(col("id") % 2 === 0),
         "target", "prediction", "prediction_std", numTrees = 20, maxDepth = 6)
       m.predict(feats.filter(col("id") % 2 === 1), "prediction", "prediction_std")
