@@ -495,7 +495,10 @@ object SparkEntry {
       val feats = graft.proximity.Analytics.residualFeatures(
         nn, e, "vec_id", "label", "prediction", 10)
         .join(e.select(col("vec_id").as("id"), col("prediction_std")), Seq("id"))
-        .persist() // fit + predict both read it; don't run the knn twice
+        // localCheckpoint (not persist): fit + predict both read it, and
+        // the checkpoint is released with the DataFrame instead of
+        // pinning session storage
+        .localCheckpoint(true)
       val m = graft.ml.UQ.fitV1(feats.filter(col("id") % 2 === 0),
         "target", "prediction", "prediction_std", numTrees = 20, maxDepth = 6)
       m.predict(feats.filter(col("id") % 2 === 1), "prediction", "prediction_std")
@@ -1175,7 +1178,9 @@ object SparkEntry {
       """WITH g AS (SELECT value AS score,
              COUNT(*) AS n,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos
-           FROM events GROUP BY 1),
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1),
          r AS (SELECT n, n_pos,
              COALESCE(SUM(n) OVER (ORDER BY score
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

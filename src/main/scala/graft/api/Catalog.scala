@@ -111,8 +111,10 @@ class Catalog(val spark: SparkSession, val root: String) {
     clamped.write.mode("overwrite").parquet(tablePath(clean))
     registerTable(clean)
     dropStats(clean)
-    registry.onboardRow(clean, "feature_set", input, owner)
-    registry.upsertMeta(clean, Map(
+    // id/event-time meta rides in the SAME registry write — a crash
+    // between two writes would leave a 'ready' FeatureSet that silently
+    // reopens with default columns
+    registry.onboardRow(clean, "feature_set", input, owner, Map(
       "graft_id_column" -> idColumn, "graft_event_time_column" -> eventTimeColumn))
     val cols = spark.table(clean).columns.toSeq
     createView(clean, "display", subsetViewSql(clean, cols))

@@ -192,25 +192,13 @@ object Dedup {
                      threshold: Double, dim: Int,
                      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
     val toD: Column => Column = c => transform(c, x => x.cast("double"))
-    def signature(vec: Column, t: Int): Column = {
-      val bits = (0 until nPlanes).map { p =>
-        val plane = array((0 until dim).map { i =>
-          lit(scala.util.hashing.MurmurHash3.productHash((t, p, i)).toDouble
-            / Int.MaxValue)
-        }: _*)
-        val dot = aggregate(zip_with(vec, plane, (x, y) => x * y),
-          lit(0.0), (a, v) => a + v)
-        when(dot >= 0, lit(1)).otherwise(lit(0))
-      }
-      bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
-    }
     // stage the signatures once (narrow cached projection — HOF lambdas
     // are interpreted and CollapseProject would inline them per branch)
     val vecs = df.select(col(idCol).as("id"), toD(col(vecCol)).as("__v"))
     val signed = (0 until nTables).foldLeft(vecs) { (d, t) =>
-      d.withColumn(s"__sig$t", signature(col("__v"), t))
+      d.withColumn(s"__sig$t",
+        graft.proximity.Proximity.hyperplaneSignature(col("__v"), t, nPlanes, dim))
     }.persist()
-    signed.count()
     val cand = (0 until nTables).map { t =>
       signed.select(col("id").as("id_a"), col("__v").as("__va"),
           col(s"__sig$t").as("__sig"))
@@ -219,10 +207,15 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b", "__va", "__vb")
     }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    // materialize the verified pairs (bounded: near-dup pairs only) so
+    // the signature cache can be RELEASED here — persisting across the
+    // return would leak storage for the session lifetime
     val out = cand.select(col("id_a"), col("id_b"),
         round(graft.proximity.Proximity.cosine(col("__va"), col("__vb")), 6)
           .as("similarity"))
       .filter(col("similarity") >= threshold)
+      .localCheckpoint(true)
+    signed.unpersist()
     out
   }
 

@@ -149,10 +149,12 @@ object Eda {
       .groupBy(col(column).as("value")).agg(count(lit(1)).as("count"))
     val top = counts.orderBy(desc("count"), asc("value")).limit(k)
     // the reference's "all counts are 1" collapse: keep only 5 rows
-    // (value_counts.py:55-57). One cheap agg on the counts decides;
-    // max(count) is NULL on an empty table — no collapse, no NPE.
-    val mx = counts.agg(max("count")).head()
-    if (collapseAllUnique && !mx.isNullAt(0) && mx.getLong(0) == 1L) top.limit(5)
+    // (value_counts.py:55-57). One cheap agg on the counts decides —
+    // only when the collapse is enabled; max(count) is NULL on an empty
+    // table — no collapse, no NPE.
+    def allOnes = { val mx = counts.agg(max("count")).head()
+      !mx.isNullAt(0) && mx.getLong(0) == 1L }
+    if (collapseAllUnique && allOnes) top.limit(5)
     else top.unionByName(counts.orderBy(asc("count"), desc("value")).limit(k))
   }
 

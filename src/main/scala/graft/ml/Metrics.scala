@@ -67,10 +67,12 @@ object Metrics {
     val cm = confusionMatrix(df, label, pred)
     val rows = df.sparkSession
       .createDataFrame(labels.map(l => (l, 0L))).toDF("label", "__zero")
+    // backtick-quote: label values may contain dots (col("v1.2") would
+    // parse as a nested-field reference)
     rows.join(cm.groupBy("label").pivot("prediction", labels).sum("count"),
         Seq("label"), "left")
       .na.fill(0L, labels)
-      .select((col("label") +: labels.map(col)).toIndexedSeq: _*)
+      .select((col("label") +: labels.map(l => col(s"`$l`"))).toIndexedSeq: _*)
   }
 
   /** ROC-AUC via the tie-aware rank-sum (Mann-Whitney) identity —

@@ -97,8 +97,10 @@ object UQ {
       // rows with no usable (pred, std) get NULL scores and intervals —
       // greatest(null, 1e-10) would otherwise emit a zero-width interval
       // (false extreme certainty) exactly where the ensemble gave none;
-      // matches v1's unresolved-row semantics
-      val missing = col(predCol).isNull || col(stdCol).isNull
+      // matches v1's unresolved-row semantics. NaN counts as missing too:
+      // it passes isNull but crashes interp's binary search.
+      val missing = col(predCol).isNull || col(stdCol).isNull ||
+        isnan(col(predCol).cast("double")) || isnan(col(stdCol).cast("double"))
       val safeStd = greatest(col(stdCol).cast("double"), lit(1e-10))
       val withCal = df
         .withColumn("__uq", when(missing, lit(null))

@@ -184,25 +184,31 @@ object Proximity {
     * equi-join on the signature. Recall is tuned by `nTables` independent
     * signature sets. Deterministic (seeded, no RNG at runtime).
     */
+  /** Deterministic random-hyperplane LSH signature: sign bits of the dot
+    * products with `nPlanes` hash-seeded pseudo-random planes, packed
+    * into one int. Shared by [[cosineTopKLsh]] and
+    * [[graft.dedup.Dedup.cosinePairsLsh]] — the seeding scheme MUST stay
+    * identical wherever bucketing recall is compared. */
+  private[graft] def hyperplaneSignature(vec: Column, t: Int, nPlanes: Int,
+                                         dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map { i =>
+        // MurmurHash3(t, p, i) → deterministic coefficient in [-1, 1]
+        lit(scala.util.hashing.MurmurHash3.productHash((t, p, i)).toDouble
+          / Int.MaxValue)
+      }: _*)
+      val dot = aggregate(zip_with(vec, plane, (x, y) => x * y),
+        lit(0.0), (a, v) => a + v)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    }
+    bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
+  }
+
   def cosineTopKLsh(queries: DataFrame, refs: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
     val toD: Column => Column = c => transform(c, x => x.cast("double"))
-    // Deterministic pseudo-random hyperplanes via a hash of (table, plane, i).
-    def planes(t: Int): Seq[Seq[Double]] =
-      (0 until nPlanes).map { p =>
-        (0 until dim).map { i =>
-          val h = scala.util.hashing.MurmurHash3.productHash((t, p, i))
-          (h.toDouble / Int.MaxValue) // in [-1, 1]
-        }
-      }
-    def signature(vec: Column, t: Int): Column = {
-      val bits = planes(t).map { plane =>
-        val planeCol = array(plane.map(lit): _*)
-        val dot = aggregate(zip_with(vec, planeCol, (x, y) => x * y), lit(0.0), (a, v) => a + v)
-        when(dot >= 0, lit(1)).otherwise(lit(0))
-      }
-      bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
-    }
+    def signature(vec: Column, t: Int): Column =
+      hyperplaneSignature(vec, t, nPlanes, dim)
     val cand = (0 until nTables).map { t =>
       val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
         .withColumn("__sig", signature(col("__qv"), t))

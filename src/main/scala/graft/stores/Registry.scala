@@ -73,12 +73,14 @@ class Registry(spark: SparkSession, root: String) {
     update(name)(r => r.copy(artifact_type = artifactType, input = input))
 
   /** Full onboarding row in ONE read-modify-write (type, input, owner,
-    * status ready, health tags cleared) — callers must not observe a
-    * half-initialized artifact between separate setter calls. */
+    * status ready, health tags cleared, extra meta merged) — callers
+    * must not observe a half-initialized artifact between separate
+    * setter calls. */
   def onboardRow(name: String, artifactType: String, input: String,
-                 owner: String): Unit =
+                 owner: String, meta: Map[String, String] = Map.empty): Unit =
     update(name)(r => r.copy(artifact_type = artifactType, input = input,
-      owner = owner, status = "ready", health_tags = Seq.empty))
+      owner = owner, status = "ready", health_tags = Seq.empty,
+      meta = r.meta ++ meta))
 
   def get(name: String): Option[ArtifactRow] = rows().find(_.name == name)
   def listNames(): Seq[String] = rows().map(_.name).sorted
