@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExprBridge
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types._
@@ -17,18 +17,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * array elements with primitive state — measured ~5× on the sf0.1
   * documents table. Hashing matches Spark's `hash(col, seed)` (murmur3 on
   * UTF-8 bytes) so signatures are identical to the combinator form.
+  *
+  * All three implement `doGenCode` (a static call into [[SignatureOps]],
+  * the same method `eval` uses), so they participate in whole-stage
+  * codegen instead of forcing a CodegenFallback row-conversion boundary
+  * in the middle of the dedup projections.
   */
 
-/** All-minhash signature: for each seed in [0, numHashes), the min of
-  * murmur3(element, seed) over the input string array. */
-case class MinHashSignatureExpr(child: Expression, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+/** Runtime kernels shared by interpreted eval and generated code —
+  * plain object so Janino can call the static forwarders. */
+object SignatureOps {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** min over elements of murmur3(element, seed) for every seed. */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Int.MaxValue)
     var i = 0
@@ -51,20 +52,8 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
-    copy(child = newChild)
-}
-
-/** 32-bit SimHash from a string-token array: majority vote per bit of
-  * murmur3(token) — one pass, primitive bit counters. */
-case class SimHashExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 32-bit SimHash: majority vote per bit of murmur3(token). */
+  def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](32)
     var i = 0
@@ -86,28 +75,14 @@ case class SimHashExpr(child: Expression)
       if (counts(b) * 2 >= n) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
-    copy(child = newChild)
-}
-
-/** Distinct word n-gram shingles straight from the raw text: lowercase,
-  * whitespace-tokenize, join n consecutive tokens — one pass with a
-  * HashSet for distinctness. Replaces the interpreted
-  * filter/split/transform/sequence/slice/concat_ws combinator chain.
-  * Matches graft.text.Text.shingles ∘ array_distinct semantics
-  * (including the "fewer than n tokens → one joined shingle" edge).
-  */
-case class WordShinglesExpr(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val tokens = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+  /** Distinct word n-gram shingles from raw text (lowercase, whitespace
+    * tokens, "fewer than n tokens → one joined shingle" edge preserved —
+    * matches Text.shingles ∘ array_distinct). */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
     val seen = new java.util.LinkedHashSet[String]()
     if (tokens.length < n) {
       seen.add(tokens.mkString(" "))
@@ -129,6 +104,58 @@ case class WordShinglesExpr(child: Expression, n: Int)
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** All-minhash signature: for each seed in [0, numHashes), the min of
+  * murmur3(element, seed) over the input string array. */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureOps.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureOps.minhash($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash from a string-token array: majority vote per bit of
+  * murmur3(token) — one pass, primitive bit counters. */
+case class SimHashExpr(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SignatureOps.simhash(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureOps.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles straight from the raw text — one pass
+  * with a LinkedHashSet for distinctness. Replaces the interpreted
+  * filter/split/transform/sequence/slice/concat_ws combinator chain. */
+case class WordShinglesExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureOps.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureOps.wordShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
