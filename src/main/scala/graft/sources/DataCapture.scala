@@ -53,6 +53,26 @@ object DataCapture {
       col(s"captureData.endpoint$side.encoding").as("encoding"),
       to_timestamp(col("eventMetadata.inferenceTime")).as("timestamp")))
 
+  /** Streaming-safe side parse: the payload schema is supplied (a stream
+    * cannot collect a sample to infer), CSV payloads only — the endpoint
+    * capture default. Works identically on batch and streaming frames,
+    * so it is the kernel for [[graft.streaming.Streaming.captureStreamParsed]]. */
+  def parseSideWithSchema(raw: DataFrame, side: String,
+                          schema: StructType): DataFrame = {
+    val typed = raw.select(
+      col(s"captureData.endpoint$side.data").as("data"),
+      upper(col(s"captureData.endpoint$side.encoding")).as("encoding"),
+      to_timestamp(col("eventMetadata.inferenceTime")).as("timestamp"))
+      .filter(col("data").isNotNull && col("encoding") === "CSV")
+    typed
+      .withColumn("header", substring_index(col("data"), "\n", 1))
+      .withColumn("line", explode(split(col("data"), "\n")))
+      .filter(col("line") =!= col("header") && length(trim(col("line"))) > 0)
+      .withColumn("__p", from_csv(col("line"), schema, Map.empty[String, String]))
+      .select(col("timestamp") +: schema.fieldNames.toSeq
+        .map(f => col(s"__p.$f").as(f)): _*)
+  }
+
   /** Parse (data, encoding, timestamp) payload rows into one DataFrame —
     * the `parse_payloads` contract (monitor_utils.py:104-170). Payloads
     * with an unsupported encoding are skipped. */

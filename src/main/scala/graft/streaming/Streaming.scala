@@ -55,4 +55,17 @@ object Streaming {
     * (reference: data_capture_core.py parses these in batch). */
   def captureStream(spark: SparkSession, schema: StructType, captureDir: String): DataFrame =
     spark.readStream.schema(schema).json(captureDir)
+
+  /** SageMaker data-capture as a PARSED stream: capture JSONL lands
+    * continuously under the endpoint's capture prefix; this reads the
+    * real record shape ([[graft.sources.DataCapture.captureSchema]]) and
+    * incrementally parses one side's CSV payloads with the supplied
+    * schema (streams cannot sample-infer). Combine with
+    * Trigger.AvailableNow for the reference's batch-drain pattern. */
+  def captureStreamParsed(spark: SparkSession, captureDir: String,
+                          side: String, payloadSchema: StructType): DataFrame =
+    graft.sources.DataCapture.parseSideWithSchema(
+      spark.readStream.schema(graft.sources.DataCapture.captureSchema)
+        .json(captureDir),
+      side, payloadSchema)
 }

@@ -65,6 +65,33 @@ class DataCaptureSpec extends SparkSpec {
     assert(DataCapture.parsePayloads(empty).count() == 0)
   }
 
+  test("captureStreamParsed: capture files drain incrementally into parsed rows") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("capture-stream").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cap-0.jsonl"),
+      record("id,score\n10,0.1\n11,0.2", "CSV",
+        """{"prediction": 1.0}""", "2025-04-01T10:00:00Z").getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("score", DoubleType)))
+    val parsed = graft.streaming.Streaming.captureStreamParsed(
+      spark, dir, "Input", schema)
+    assert(parsed.isStreaming)
+    val q = parsed.writeStream.format("memory").queryName("cap_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out1 = spark.table("cap_stream").collect()
+    assert(out1.length == 2)
+    assert(out1.map(_.getAs[Long]("id")).toSet == Set(10L, 11L))
+    // a second capture file lands; re-draining picks it up
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cap-1.jsonl"),
+      record("id,score\n12,0.3", "CSV",
+        """{"prediction": 2.0}""", "2025-04-01T11:00:00Z").getBytes)
+    val q2 = parsed.writeStream.format("memory").queryName("cap_stream2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.table("cap_stream2").count() == 3)
+  }
+
   test("aggregateRows: per-group mean + group_count, auto feature selection") {
     import graft.transforms.Transforms
     val df = Seq(
