@@ -557,7 +557,19 @@ object SparkEntry {
       // embedding-cosine near-dup pairs: brute baseline (oracle path);
       // Dedup.cosinePairsLsh is the bucketed scale path (spec-checked)
       Dedup.cosinePairs(t(s, dir, "embeddings").filter(col("vec_id") < 300),
-        "vec_id", "embedding", 0.35))
+        "vec_id", "embedding", 0.35)),
+    "q76_classification_metrics" -> ((s, dir) => {
+      // full compute_classification_metrics: per-class P/R/F1/support +
+      // one-vs-rest ROC-AUC from proba columns + weighted 'all' row
+      val labels = Seq("click", "error", "purchase", "signup", "view")
+      val base = t(s, dir, "events").withColumn("prediction",
+        when(col("value") >= 100, "purchase").otherwise(col("event_type")))
+      val withProba = labels.zipWithIndex.foldLeft(base) { case (d, (l, i)) =>
+        d.withColumn(s"${l}_proba", col("value") * (i + 1) % 100 / 100)
+      }
+      graft.ml.Metrics.classificationMetricsFull(
+        withProba, "event_type", "prediction", labels)
+    })
   )
 
   /** embeddings with the float vector cast to double (shared by the
@@ -1194,6 +1206,50 @@ object SparkEntry {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 6) AS similarity
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35"""
+         WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""",
+    "q76_classification_metrics" -> {
+      val labels = Seq("click", "error", "purchase", "signup", "view")
+      val aucSelects = labels.zipWithIndex.map { case (l, i) =>
+        s"""SELECT '$l' AS class, (
+             SELECT ROUND((SUM(n_pos * avg_rank) - SUM(n_pos) * (SUM(n_pos) + 1) / 2.0)
+               / (SUM(n_pos) * SUM(n - n_pos)), 6)
+             FROM (SELECT n, n_pos,
+                 COALESCE(SUM(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (n + 1) / 2.0 AS avg_rank
+               FROM (SELECT value * ${i + 1} % 100 / 100 AS score, COUNT(*) AS n,
+                   SUM(CASE WHEN event_type = '$l' THEN 1 ELSE 0 END) AS n_pos
+                 FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+                 GROUP BY 1) gg) rr) AS roc_auc"""
+      }.mkString(" UNION ALL ")
+      s"""WITH cm AS (SELECT event_type AS label,
+             CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END AS prediction,
+             COUNT(*) AS count FROM events GROUP BY 1, 2),
+         actual AS (SELECT label AS class, CAST(SUM(count) AS BIGINT) AS support FROM cm GROUP BY 1),
+         predicted AS (SELECT prediction AS class, CAST(SUM(count) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+         tp AS (SELECT label AS class, CAST(count AS BIGINT) AS tp FROM cm WHERE label = prediction),
+         report AS (SELECT a.class, a.support,
+             ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6) AS precision,
+             ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6) AS recall,
+             ROUND(CASE WHEN ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6)
+                           + ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6) = 0 THEN 0
+               ELSE 2 * ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6)
+                      * ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6)
+                    / (ROUND(COALESCE(t.tp, 0) / GREATEST(COALESCE(p.n_pred, 0), 1), 6)
+                       + ROUND(COALESCE(t.tp, 0) / GREATEST(a.support, 1), 6)) END, 6) AS f1
+           FROM actual a LEFT JOIN predicted p ON a.class = p.class
+           LEFT JOIN tp t ON a.class = t.class),
+         auc AS ($aucSelects),
+         perclass AS (SELECT r.class, r.support, r.precision, r.recall, r.f1, a.roc_auc
+           FROM report r LEFT JOIN auc a ON r.class = a.class)
+         SELECT class, support, precision, recall, f1, roc_auc FROM perclass
+         UNION ALL
+         SELECT 'all', CAST(SUM(support) AS BIGINT),
+           ROUND(SUM(precision * support) / SUM(support), 6),
+           ROUND(SUM(recall * support) / SUM(support), 6),
+           ROUND(SUM(f1 * support) / SUM(support), 6),
+           ROUND(SUM(roc_auc * support) / SUM(support), 6)
+         FROM perclass"""
+    }
   )
 }

@@ -102,6 +102,36 @@ object Metrics {
           (col("__p") * col("__n")), 6).as("roc_auc"))
   }
 
+  /** Full classification metrics table — the reference's
+    * `compute_classification_metrics` (utils/metrics_utils.py:97-196):
+    * per-class precision/recall/f1/support, one-vs-rest ROC-AUC per
+    * class when every `{label}_proba` column is present (null column
+    * otherwise), plus the support-weighted 'all' row. NaN/null
+    * predictions are dropped like the reference. */
+  def classificationMetricsFull(df: DataFrame, target: String, pred: String,
+                                labels: Seq[String]): DataFrame = {
+    val clean = df.filter(col(pred).isNotNull)
+    val report = classificationReport(clean, target, pred)
+    val probaCols = labels.map(l => s"${l}_proba")
+    val withAuc =
+      if (probaCols.forall(df.columns.contains)) {
+        val aucs = labels.map { l =>
+          rocAuc(clean.withColumn("__pos", (col(target) === l).cast("int")),
+            "__pos", s"${l}_proba").withColumn("class", lit(l))
+        }.reduce(_ unionByName _)
+        report.join(aucs, Seq("class"), "left")
+      } else report.withColumn("roc_auc", lit(null).cast("double"))
+    val allRow = withAuc.agg(
+      sum("support").as("support"),
+      round(sum(col("precision") * col("support")) / sum("support"), 6).as("precision"),
+      round(sum(col("recall") * col("support")) / sum("support"), 6).as("recall"),
+      round(sum(col("f1") * col("support")) / sum("support"), 6).as("f1"),
+      round(sum(col("roc_auc") * col("support")) / sum("support"), 6).as("roc_auc"))
+      .withColumn("class", lit("all"))
+    withAuc.select("class", "support", "precision", "recall", "f1", "roc_auc")
+      .unionByName(allRow.select("class", "support", "precision", "recall", "f1", "roc_auc"))
+  }
+
   /** Classifier residuals: class_index(ŷ) − class_index(y) in the given
     * label order, plus the absolute form — the inference-view residual
     * rule for classifiers

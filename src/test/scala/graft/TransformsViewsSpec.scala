@@ -136,6 +136,30 @@ class TransformsViewsSpec extends SparkSpec {
     assert(Metrics.rocAuc(tied, "y", "s").head().getDouble(0) == 0.5)
   }
 
+  test("classificationMetricsFull: per-class OvR AUC + weighted all row") {
+    import graft.ml.Metrics
+    // 2 classes; proba perfectly ranks class membership → per-class AUC 1
+    val df = Seq(
+      ("a", "a", 0.9, 0.1), ("a", "a", 0.8, 0.2),
+      ("b", "b", 0.2, 0.8), ("b", "a", 0.3, 0.7))
+      .toDF("y", "prediction", "a_proba", "b_proba")
+    val out = Metrics.classificationMetricsFull(df, "y", "prediction", Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "all"))
+    assert(out("a").getAs[Double]("roc_auc") == 1.0)
+    assert(out("b").getAs[Double]("roc_auc") == 1.0)
+    assert(out("a").getAs[Double]("recall") == 1.0)
+    assert(out("b").getAs[Double]("recall") == 0.5)
+    val all = out("all")
+    assert(all.getAs[Long]("support") == 4)
+    assert(all.getAs[Double]("recall") == 0.75) // (1.0·2 + 0.5·2)/4
+    // without proba columns the auc column is null, rest intact
+    val noProba = Metrics.classificationMetricsFull(
+      df.drop("a_proba", "b_proba"), "y", "prediction", Seq("a", "b"))
+    assert(noProba.filter(col("roc_auc").isNotNull).count() == 0)
+    assert(noProba.count() == 3)
+  }
+
   test("confusionMatrixPivot: wide, zero-filled, model-label ordered") {
     import graft.ml.Metrics
     val df = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("y", "p")
