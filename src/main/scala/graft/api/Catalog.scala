@@ -164,6 +164,24 @@ class Catalog(val spark: SparkSession, val root: String) {
     failures.toSeq
   }
 
+  /** Delete an artifact completely — session-catalog views and table,
+    * the parquet data, the stats cache, and the registry row (the
+    * reference's `Artifact.delete` contract: artifact.py:232-236,
+    * view dependency order per view.py:141-152). */
+  def delete(name: String): Unit = {
+    val clean = sanitize(name)
+    registry.getMeta(clean).keys
+      .filter(_.startsWith(ViewSqlKey))
+      .foreach(k => spark.sql(
+        s"DROP VIEW IF EXISTS `${clean}___${k.stripPrefix(ViewSqlKey)}`"))
+    spark.sql(s"DROP TABLE IF EXISTS `$clean`")
+    val p = new org.apache.hadoop.fs.Path(tablePath(clean))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    dropStats(clean)
+    registry.delete(clean)
+  }
+
   private def dropStats(name: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$root/_stats/$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -94,6 +94,26 @@ class CatalogSpec extends SparkSpec {
     assert(s2.table("my_features___display").count() == 3)
   }
 
+  test("delete removes views, table, data, stats, and the registry row") {
+    val cat = new Catalog(spark, root)
+    val ds = cat.onboard("doomed", Tables.load(spark, sf, "region"))
+    ds.descriptiveStats() // persist a stat so delete has one to remove
+    assert(spark.catalog.tableExists("doomed"))
+    cat.delete("doomed")
+    assert(!spark.catalog.tableExists("doomed"))
+    assert(!spark.catalog.tableExists("doomed___display"))
+    assert(cat.registry.get("doomed").isEmpty)
+    assert(cat.readStat("doomed", "descriptive_stats").isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(cat.tablePath("doomed"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cat.tablePath("doomed"))))
+    // attach() in a new session no longer sees it
+    val s2 = spark.newSession()
+    val cat2 = new Catalog(s2, root)
+    cat2.attach()
+    assert(!s2.catalog.tableExists("doomed"))
+  }
+
   test("catalog list + dropView") {
     val cat = new Catalog(spark, root)
     assert(cat.registry.listNames().contains("restart_test"))
