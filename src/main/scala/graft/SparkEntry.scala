@@ -569,6 +569,18 @@ object SparkEntry {
       }
       graft.ml.Metrics.classificationMetricsFull(
         withProba, "event_type", "prediction", labels)
+    }),
+    "q77_proba_expand" -> ((s, dir) => {
+      // proba array -> per-label columns + rowwise max confidence
+      // (pandas_utils.py:1045-1075, 270-307)
+      val df = t(s, dir, "events").select(col("event_id"),
+        array(col("value") % 1, lit(1.0) - col("value") % 1).as("pred_proba"))
+      graft.ml.Models.withConfidence(
+        graft.ml.Models.expandProba(df, "pred_proba", Seq("no", "yes")), "pred_proba")
+        .select(col("event_id"),
+          round(col("no_proba"), 6).as("no_proba"),
+          round(col("yes_proba"), 6).as("yes_proba"),
+          round(col("confidence"), 6).as("confidence"))
     })
   )
 
@@ -1250,6 +1262,11 @@ object SparkEntry {
            ROUND(SUM(f1 * support) / SUM(support), 6),
            ROUND(SUM(roc_auc * support) / SUM(support), 6)
          FROM perclass"""
-    }
+    },
+    "q77_proba_expand" ->
+      """SELECT event_id, ROUND(value % 1, 6) AS no_proba,
+         ROUND(1.0 - value % 1, 6) AS yes_proba,
+         ROUND(GREATEST(value % 1, 1.0 - value % 1), 6) AS confidence
+         FROM events"""
   )
 }
