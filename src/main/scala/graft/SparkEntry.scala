@@ -581,6 +581,12 @@ object SparkEntry {
           round(col("no_proba"), 6).as("no_proba"),
           round(col("yes_proba"), 6).as("yes_proba"),
           round(col("confidence"), 6).as("confidence"))
+    }),
+    "q78_psi_drift" -> ((s, dir) => {
+      // PSI drift of a shifted copy vs the original distribution
+      val base = t(s, dir, "events").select(col("value"))
+      val cur = t(s, dir, "events").select((col("value") * 1.2 + 5).as("value"))
+      graft.eda.Quality.psiDrift(cur, base, Seq("value"))
     })
   )
 
@@ -1267,6 +1273,25 @@ object SparkEntry {
       """SELECT event_id, ROUND(value % 1, 6) AS no_proba,
          ROUND(1.0 - value % 1, 6) AS yes_proba,
          ROUND(GREATEST(value % 1, 1.0 - value % 1), 6) AS confidence
-         FROM events"""
+         FROM events""",
+    "q78_psi_drift" -> {
+      val probs = (1 until 10).map(p => f"${p / 10.0}%.1f").mkString("[", ", ", "]")
+      val bucket = (1 to 9).map(i =>
+        s"(CASE WHEN value > ed[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT value FROM events),
+          c AS (SELECT value * 1.2 + 5 AS value FROM events),
+          e AS (SELECT quantile_cont(value, $probs) AS ed FROM b),
+          bb AS (SELECT 1 + $bucket AS bucket FROM b, e),
+          cb AS (SELECT 1 + $bucket AS bucket FROM c, e),
+          bp AS (SELECT bucket, COUNT(*) / CAST((SELECT COUNT(*) FROM bb) AS DOUBLE) AS p
+            FROM bb GROUP BY 1),
+          cp AS (SELECT bucket, COUNT(*) / CAST((SELECT COUNT(*) FROM cb) AS DOUBLE) AS q
+            FROM cb GROUP BY 1),
+          j AS (SELECT GREATEST(COALESCE(p, 0), 0.0001) AS p,
+              GREATEST(COALESCE(q, 0), 0.0001) AS q
+            FROM bp FULL JOIN cp ON bp.bucket = cp.bucket)
+          SELECT 'value' AS column_name,
+            ROUND(SUM((p - q) * LN(p / q)), 6) AS psi FROM j"""
+    }
   )
 }

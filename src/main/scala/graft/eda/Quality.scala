@@ -66,6 +66,55 @@ object Quality {
       .select("column_name", "base_mean", "cur_mean", "mean_drift", "drifted")
   }
 
+  /** Population Stability Index drift per column — the distributional
+    * complement to [[detectDrift]]'s range/mean check (beyond-reference
+    * extension; standard monitoring practice for training-data drift):
+    * bucket both frames by the BASELINE's quantile edges, then
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i) with a 1e-4 floor on empty-bucket
+    * fractions. Rule of thumb: <0.1 stable, 0.1–0.25 moderate, >0.25
+    * drifted.
+    *
+    * Scale shape: ONE edge aggregate over the baseline (exact
+    * interpolating percentiles — swap for approx at 100 TB), then one
+    * stacked groupBy per frame for ALL columns' bucket counts; the PSI
+    * arithmetic runs over bins×columns rows (metadata-sized).
+    */
+  def psiDrift(current: DataFrame, baseline: DataFrame, cols: Seq[String],
+               bins: Int = 10): DataFrame = {
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edgeRow = baseline.select(cols.map(c =>
+      graft.functions.ExactPercentiles
+        .exactPercentiles(col(c).cast("double"), probs).as(c)): _*).head()
+    val edges: Map[String, Seq[Double]] = cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (edgeRow.isNullAt(i)) Seq.empty[Double]
+            else edgeRow.getSeq[java.lang.Double](i)
+              .filter(_ != null).map(_.doubleValue()))
+    }.toMap
+    def bucketCounts(df: DataFrame, frac: String): DataFrame = {
+      val bucketed = df.select(cols.map { c =>
+        edges(c).foldLeft(lit(1)) { (acc, e) =>
+          acc + when(col(c).cast("double") > e, 1).otherwise(0)
+        }.as(s"__b_$c")
+      }: _*)
+      val stackExpr = cols.map(c => s"'$c', `__b_$c`").mkString(", ")
+      bucketed
+        .selectExpr(s"stack(${cols.size}, $stackExpr) as (column_name, bucket)")
+        .groupBy("column_name", "bucket").agg(count(lit(1)).as("__n"))
+        .withColumn(frac, col("__n") /
+          sum("__n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("column_name")))
+        .drop("__n")
+    }
+    val p = bucketCounts(baseline, "p")
+    val q = bucketCounts(current, "q")
+    p.join(q, Seq("column_name", "bucket"), "full")
+      .withColumn("p", greatest(coalesce(col("p"), lit(0.0)), lit(1e-4)))
+      .withColumn("q", greatest(coalesce(col("q"), lit(0.0)), lit(1e-4)))
+      .groupBy("column_name")
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .orderBy("column_name")
+  }
+
   /** Per-feature quality metrics: null %, zero %, variance, distinct count
     * (reference: pandas_utils.py:631-729). Single scan, long format.
     */

@@ -86,6 +86,22 @@ class AnalyticsQualitySpec extends SparkSpec {
     assert(ss.count() == ss.dropDuplicates("c_custkey").count())
   }
 
+  test("psiDrift: ~0 for identical distributions, large for a shift") {
+    val cust = Tables.load(spark, sf, "customer")
+    val base = cust.select("c_acctbal")
+    val same = Quality.psiDrift(base, base, Seq("c_acctbal")).head()
+    assert(math.abs(same.getAs[Double]("psi")) < 0.01, same.toString)
+    val shifted = cust.select((col("c_acctbal") * 2 + 10000).as("c_acctbal"))
+    val drift = Quality.psiDrift(shifted, base, Seq("c_acctbal")).head()
+    assert(drift.getAs[Double]("psi") > 0.25, drift.toString)
+    // multi-column in one call: one row per column
+    val two = Quality.psiDrift(
+      cust.select(col("c_acctbal"), col("c_nationkey")),
+      cust.select(col("c_acctbal"), col("c_nationkey")),
+      Seq("c_acctbal", "c_nationkey"))
+    assert(two.count() == 2)
+  }
+
   test("filterByTags: require/exclude/prefix semantics, null tags dropped") {
     import graft.proximity.Analytics
     val df = Seq(
