@@ -1242,7 +1242,9 @@ object SparkEntry {
       }.mkString(" UNION ALL ")
       s"""WITH cm AS (SELECT event_type AS label,
              CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END AS prediction,
-             COUNT(*) AS count FROM events GROUP BY 1, 2),
+             COUNT(*) AS count FROM events
+             WHERE (CASE WHEN value >= 100 THEN 'purchase' ELSE event_type END) IS NOT NULL
+             GROUP BY 1, 2),
          actual AS (SELECT label AS class, CAST(SUM(count) AS BIGINT) AS support FROM cm GROUP BY 1),
          predicted AS (SELECT prediction AS class, CAST(SUM(count) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
          tp AS (SELECT label AS class, CAST(count AS BIGINT) AS tp FROM cm WHERE label = prediction),
@@ -1278,8 +1280,8 @@ object SparkEntry {
       val probs = (1 until 10).map(p => f"${p / 10.0}%.1f").mkString("[", ", ", "]")
       val bucket = (1 to 9).map(i =>
         s"(CASE WHEN value > ed[$i] THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH b AS (SELECT value FROM events),
-          c AS (SELECT value * 1.2 + 5 AS value FROM events),
+      s"""WITH b AS (SELECT value FROM events WHERE value IS NOT NULL),
+          c AS (SELECT value * 1.2 + 5 AS value FROM events WHERE value IS NOT NULL),
           e AS (SELECT quantile_cont(value, $probs) AS ed FROM b),
           bb AS (SELECT 1 + $bucket AS bucket FROM b, e),
           cb AS (SELECT 1 + $bucket AS bucket FROM c, e),

@@ -175,18 +175,19 @@ class Catalog(val spark: SparkSession, val root: String) {
       .foreach(k => spark.sql(
         s"DROP VIEW IF EXISTS `${clean}___${k.stripPrefix(ViewSqlKey)}`"))
     spark.sql(s"DROP TABLE IF EXISTS `$clean`")
-    val p = new org.apache.hadoop.fs.Path(tablePath(clean))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
+    deletePath(tablePath(clean))
     dropStats(clean)
     registry.delete(clean)
   }
 
-  private def dropStats(name: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/_stats/$name")
+  private def deletePath(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
+
+  private def dropStats(name: String): Unit =
+    deletePath(s"$root/_stats/$name")
 
   // ── persistent stats cache (the reference stashes computed stats in
   //    Glue table Parameters — athena_source.py:99-152, 315-319) ──

@@ -91,14 +91,19 @@ object Quality {
               .filter(_ != null).map(_.doubleValue()))
     }.toMap
     def bucketCounts(df: DataFrame, frac: String): DataFrame = {
+      // nulls are EXCLUDED per column (null bucket → filtered) — folding
+      // them into bucket 1 would make null-rate drift masquerade as
+      // low-value distribution drift
       val bucketed = df.select(cols.map { c =>
-        edges(c).foldLeft(lit(1)) { (acc, e) =>
-          acc + when(col(c).cast("double") > e, 1).otherwise(0)
-        }.as(s"__b_$c")
+        when(col(c).isNull, lit(null)).otherwise(
+          edges(c).foldLeft(lit(1)) { (acc, e) =>
+            acc + when(col(c).cast("double") > e, 1).otherwise(0)
+          }).as(s"__b_$c")
       }: _*)
       val stackExpr = cols.map(c => s"'$c', `__b_$c`").mkString(", ")
       bucketed
         .selectExpr(s"stack(${cols.size}, $stackExpr) as (column_name, bucket)")
+        .filter(col("bucket").isNotNull)
         .groupBy("column_name", "bucket").agg(count(lit(1)).as("__n"))
         .withColumn(frac, col("__n") /
           sum("__n").over(org.apache.spark.sql.expressions.Window

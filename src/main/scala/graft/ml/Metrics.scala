@@ -121,15 +121,26 @@ object Metrics {
         }.reduce(_ unionByName _)
         report.join(aucs, Seq("class"), "left")
       } else report.withColumn("roc_auc", lit(null).cast("double"))
-    val allRow = withAuc.agg(
-      sum("support").as("support"),
-      round(sum(col("precision") * col("support")) / sum("support"), 6).as("precision"),
-      round(sum(col("recall") * col("support")) / sum("support"), 6).as("recall"),
-      round(sum(col("f1") * col("support")) / sum("support"), 6).as("f1"),
-      round(sum(col("roc_auc") * col("support")) / sum("support"), 6).as("roc_auc"))
-      .withColumn("class", lit("all"))
-    withAuc.select("class", "support", "precision", "recall", "f1", "roc_auc")
-      .unionByName(allRow.select("class", "support", "precision", "recall", "f1", "roc_auc"))
+    // the per-class table is metadata-sized — collect ONCE and build the
+    // support-weighted 'all' row on the driver (a unionByName with a
+    // second reference to withAuc would re-execute every per-class
+    // aggregate a second time)
+    val perClass = withAuc
+      .select("class", "support", "precision", "recall", "f1", "roc_auc")
+      .collect().toSeq
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val total = perClass.map(_.getLong(1)).sum
+    def weighted(idx: Int): Any =
+      if (perClass.exists(_.isNullAt(idx))) null
+      else java.lang.Double.valueOf(r6(
+        perClass.map(r => r.getDouble(idx) * r.getLong(1)).sum / total))
+    val allRow = org.apache.spark.sql.Row("all", total,
+      weighted(2), weighted(3), weighted(4), weighted(5))
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList((perClass :+ allRow): _*)),
+      withAuc.select("class", "support", "precision", "recall", "f1", "roc_auc").schema)
   }
 
   /** Classifier residuals: class_index(ŷ) − class_index(y) in the given

@@ -53,10 +53,33 @@ object DataCapture {
       col(s"captureData.endpoint$side.encoding").as("encoding"),
       to_timestamp(col("eventMetadata.inferenceTime")).as("timestamp")))
 
+  /** Shared CSV payload kernel: explode body lines of `(data, timestamp)`
+    * rows and parse each with `schema`. `requireHeader` guards against
+    * positional transposition — a payload whose header differs from the
+    * schema's column order is SKIPPED (from_csv binds positionally and
+    * would otherwise silently swap columns). */
+  private def parseCsvLines(payloadRows: DataFrame, schema: StructType,
+                            requireHeader: Option[String]): DataFrame = {
+    val withHeader = payloadRows
+      .withColumn("header", substring_index(col("data"), "\n", 1))
+    val guarded = requireHeader match {
+      case Some(h) => withHeader.filter(trim(col("header")) === h)
+      case None => withHeader
+    }
+    guarded
+      .withColumn("line", explode(split(col("data"), "\n")))
+      .filter(col("line") =!= col("header") && length(trim(col("line"))) > 0)
+      .withColumn("__p", from_csv(col("line"), schema, Map.empty[String, String]))
+      .select(col("timestamp") +: schema.fieldNames.toSeq
+        .map(f => col(s"__p.$f").as(f)): _*)
+  }
+
   /** Streaming-safe side parse: the payload schema is supplied (a stream
     * cannot collect a sample to infer), CSV payloads only — the endpoint
-    * capture default. Works identically on batch and streaming frames,
-    * so it is the kernel for [[graft.streaming.Streaming.captureStreamParsed]]. */
+    * capture default. Payloads whose header does not match the schema's
+    * column order are skipped rather than transposed. Works identically
+    * on batch and streaming frames — the kernel behind
+    * [[graft.streaming.Streaming.captureStreamParsed]]. */
   def parseSideWithSchema(raw: DataFrame, side: String,
                           schema: StructType): DataFrame = {
     val typed = raw.select(
@@ -64,13 +87,7 @@ object DataCapture {
       upper(col(s"captureData.endpoint$side.encoding")).as("encoding"),
       to_timestamp(col("eventMetadata.inferenceTime")).as("timestamp"))
       .filter(col("data").isNotNull && col("encoding") === "CSV")
-    typed
-      .withColumn("header", substring_index(col("data"), "\n", 1))
-      .withColumn("line", explode(split(col("data"), "\n")))
-      .filter(col("line") =!= col("header") && length(trim(col("line"))) > 0)
-      .withColumn("__p", from_csv(col("line"), schema, Map.empty[String, String]))
-      .select(col("timestamp") +: schema.fieldNames.toSeq
-        .map(f => col(s"__p.$f").as(f)): _*)
+    parseCsvLines(typed, schema, Some(schema.fieldNames.mkString(",")))
   }
 
   /** Parse (data, encoding, timestamp) payload rows into one DataFrame —
@@ -87,18 +104,18 @@ object DataCapture {
     //    per header group, like the reference's single read_csv) ──
     val csv = typed.filter(col("encoding") === "CSV")
       .withColumn("header", substring_index(col("data"), "\n", 1))
-      .withColumn("line", explode(split(col("data"), "\n")))
-      .filter(col("line") =!= col("header") && length(trim(col("line"))) > 0)
     val headers = csv.select("header").distinct().as[String].collect().toSeq
     val csvFrames = headers.map { h =>
       val group = csv.filter(col("header") === h)
-      val sample = group.select("line").limit(100).as[String].collect().toSeq
+      val sample = group
+        .select(explode(split(col("data"), "\n")).as("line"))
+        .filter(col("line") =!= h && length(trim(col("line"))) > 0)
+        .limit(100).as[String].collect().toSeq
       val schema = spark.read.option("header", "true").option("inferSchema", "true")
         .csv((h +: sample).toDS()).schema
-      group.withColumn("__p", from_csv(col("line"), schema,
-          Map.empty[String, String]))
-        .select(col("timestamp") +: schema.fieldNames.toSeq
-          .map(f => col(s"__p.$f").as(f)): _*)
+      // schema is inferred FROM this header, so positional binding is
+      // column-order-correct per group (requireHeader redundant here)
+      parseCsvLines(group.drop("header"), schema, None)
     }
 
     // ── JSON: sampled schema; dict-of-lists explodes to one row per

@@ -100,6 +100,12 @@ class AnalyticsQualitySpec extends SparkSpec {
       cust.select(col("c_acctbal"), col("c_nationkey")),
       Seq("c_acctbal", "c_nationkey"))
     assert(two.count() == 2)
+    // nulls are excluded, not folded into bucket 1: same non-null
+    // distribution + 30% nulls must NOT read as value drift
+    val withNulls = base.unionByName(
+      spark.range(64).select(lit(null).cast("double").as("c_acctbal")))
+    val nullSafe = Quality.psiDrift(withNulls, base, Seq("c_acctbal")).head()
+    assert(math.abs(nullSafe.getAs[Double]("psi")) < 0.01, nullSafe.toString)
   }
 
   test("filterByTags: require/exclude/prefix semantics, null tags dropped") {

@@ -92,6 +92,24 @@ class DataCaptureSpec extends SparkSpec {
     assert(spark.table("cap_stream2").count() == 3)
   }
 
+  test("parseSideWithSchema skips header-mismatched payloads (no transposition)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("capture-mismatch").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cap.jsonl"),
+      (record("id,score\n1,0.5", "CSV", "{}", "2025-05-01T00:00:00Z") + "\n" +
+        record("score,id\n0.7,2", "CSV", "{}", "2025-05-01T00:00:00Z")).getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("score", DoubleType)))
+    val raw = spark.read.schema(
+      graft.sources.DataCapture.captureSchema).json(s"$dir/cap.jsonl")
+    val out = graft.sources.DataCapture.parseSideWithSchema(raw, "Input", schema)
+      .collect()
+    // only the matching-header payload parses; the swapped one is
+    // SKIPPED, not silently transposed into (id=null, score=2.0)
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id") == 1L && out(0).getAs[Double]("score") == 0.5)
+  }
+
   test("aggregateRows: per-group mean + group_count, auto feature selection") {
     import graft.transforms.Transforms
     val df = Seq(
