@@ -220,8 +220,18 @@ object Dedup {
   }
 
   /** Deduplicate by cosine near-dup clusters: pairs → star connected
-    * components → keep the canonical (min-id) row per cluster. */
+    * components → keep the canonical (min-id) row per cluster.
+    *
+    * Pass `dim > 0` to route pair generation through the hyperplane-LSH
+    * bucketed join ([[cosinePairsLsh]]) — the scale path. The default
+    * (`dim = -1`) keeps the brute crossJoin baseline, which is O(n²)
+    * pairs and only appropriate for bounded inputs (≲10⁴ rows). */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double): DataFrame =
-    Components.dedupByPairs(df, idCol, cosinePairs(df, idCol, vecCol, threshold))
+                    threshold: Double, dim: Int = -1,
+                    nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val pairs =
+      if (dim > 0) cosinePairsLsh(df, idCol, vecCol, threshold, dim, nPlanes, nTables)
+      else cosinePairs(df, idCol, vecCol, threshold)
+    Components.dedupByPairs(df, idCol, pairs)
+  }
 }

@@ -110,7 +110,20 @@ object Metrics {
     * predictions are dropped like the reference. */
   def classificationMetricsFull(df: DataFrame, target: String, pred: String,
                                 labels: Seq[String]): DataFrame = {
-    val clean = df.filter(col(pred).isNotNull)
+    // the reference's pandas isnull drop removes NaN as well as null for
+    // numeric prediction columns; isnan on a non-numeric cast would null
+    // out every row, so gate on the column's type
+    val predNumeric = df.schema(pred).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val clean0 =
+      if (predNumeric) df.filter(col(pred).isNotNull && !isnan(col(pred).cast("double")))
+      else df.filter(col(pred).isNotNull)
+    // class labels are strings throughout (the `labels` arg, the 'all'
+    // row) — numeric target/pred columns would otherwise give the output
+    // `class` column a numeric type the 'all' row can't inhabit
+    val clean = clean0
+      .withColumn(target, col(target).cast("string"))
+      .withColumn(pred, col(pred).cast("string"))
     val report = classificationReport(clean, target, pred)
     val probaCols = labels.map(l => s"${l}_proba")
     val withAuc =

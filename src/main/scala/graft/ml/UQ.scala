@@ -338,6 +338,10 @@ object UQ {
     val assembled = assembleV1(df, predCol, stdCol)
       .withColumn("__abs_res", abs(col(yCol).cast("double") - col(predCol).cast("double")))
       .filter(col("__abs_res").isNotNull)
+      // NaN y/pred/std pass isNotNull but would poison the RF error-model
+      // labels and the conformal scale-factor percentiles (same guard as
+      // fit() for v0 above)
+      .filter(!isnan(col("__abs_res")) && !isnan(col(stdCol).cast("double")))
       .cache()
     val n = assembled.count()
     require(n > 0, "UQ.fitV1 needs a non-empty calibration set")

@@ -54,8 +54,14 @@ class Registry(spark: SparkSession, root: String) {
   private def swapIn(updated: Seq[ArtifactRow]): Unit = {
     val tmp = path + "_tmp"; val bak = path + "_bak"
     updated.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(hPath(bak), true)
-    if (fs.exists(hPath(path))) fs.rename(hPath(path), hPath(bak))
+    // only clear a stale _bak when the primary exists — if a prior crash
+    // left _bak as the sole readable copy (rows() falls back to it),
+    // deleting it before tmp→path installs would leave no recoverable
+    // registry at all
+    if (fs.exists(hPath(path))) {
+      fs.delete(hPath(bak), true)
+      fs.rename(hPath(path), hPath(bak))
+    }
     fs.rename(hPath(tmp), hPath(path))
     fs.delete(hPath(bak), true)
   }

@@ -171,6 +171,59 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(stats.filter(col("n_distinct") =!= 0).count() == 0)
   }
 
+  test("UQ fitV1 survives NaN y/pred/std calibration rows (dropped like v0)") {
+    val cal = ((1 to 60).map(i => (i.toDouble, i + 0.1, 0.5)) ++
+      Seq((Double.NaN, 1.0, 0.5), (1.0, Double.NaN, 0.5), (1.0, 1.0, Double.NaN)))
+      .toDF("y", "pred", "std")
+      .withColumn("knn_distance", lit(0.3))
+      .withColumn("knn_target_std", lit(0.2))
+      .withColumn("local_pred_gap", lit(0.1))
+    val m = graft.ml.UQ.fitV1(cal, "y", "pred", "std", numTrees = 5, maxDepth = 3)
+    assert(m.scaleFactors.values.forall(v => !v.isNaN),
+      s"NaN poisoned the conformal scale factors: ${m.scaleFactors}")
+    assert(m.residualPercentiles.forall(v => !v.isNaN))
+  }
+
+  test("registry recovers when a crash left only the _bak copy") {
+    val root = java.nio.file.Files.createTempDirectory("graft-regbak").toString
+    val reg = new graft.stores.Registry(spark, root)
+    reg.upsert("survivor", "data_source")
+    // simulate a crash that completed path→_bak but never installed the
+    // new file: only _bak remains on disk
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(root + "/_registry")
+    val bak = new org.apache.hadoop.fs.Path(root + "/_registry_bak")
+    p.getFileSystem(conf).rename(p, bak)
+    assert(reg.get("survivor").isDefined) // fallback read from _bak
+    // the next write must not destroy the sole copy before installing
+    reg.upsert("newcomer", "data_source")
+    assert(reg.listNames() == Seq("newcomer", "survivor"))
+  }
+
+  test("classificationMetricsFull drops NaN numeric predictions like pandas isnull") {
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (1.0, 2.0), (2.0, Double.NaN))
+      .toDF("target", "pred")
+    val out = graft.ml.Metrics
+      .classificationMetricsFull(df, "target", "pred", Seq("1.0", "2.0"))
+    val all = out.filter(col("class") === "all").head()
+    assert(all.getLong(all.fieldIndex("support")) == 3L,
+      "NaN prediction row leaked into support")
+  }
+
+  test("cosineNearDup dim>0 takes the LSH path and matches brute on exact dups") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)), (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "emb")
+    val brute = graft.dedup.Dedup.cosineNearDup(docs, "id", "emb", 0.999)
+      .select("id").as[Long].collect().sorted
+    val lsh = graft.dedup.Dedup.cosineNearDup(docs, "id", "emb", 0.999, dim = 4)
+      .select("id").as[Long].collect().sorted
+    // identical vectors always share every hyperplane bucket, so the LSH
+    // route must find the same survivors as the brute baseline
+    assert(lsh.sameElements(brute) && lsh.length == 3)
+  }
+
   test("smartSample with idCol dedups on the id, not every column") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i, i.toDouble, s"payload_$i")).toDF("id", "v", "w")
