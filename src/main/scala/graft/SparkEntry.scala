@@ -587,8 +587,40 @@ object SparkEntry {
       val base = t(s, dir, "events").select(col("value"))
       val cur = t(s, dir, "events").select((col("value") * 1.2 + 5).as("value"))
       graft.eda.Quality.psiDrift(cur, base, Seq("value"))
+    }),
+    "q79_endpoint_inference" -> ((s, dir) => {
+      // FULL artifact lifecycle (model → endpoint → captured inference):
+      // a fixed-coefficient formula model keeps the predictions engine-
+      // deterministic, so the InferenceStore read-back is oracle-exact
+      val cat = lifecycleCatalog(s, dir)
+      cat.inferenceStore.byModel("price_model")
+        .select(col("id").cast("bigint").as("id"),
+          round(col("pred_value"), 4).as("pred_value"))
+    }),
+    "q80_inference_metrics" -> ((s, dir) => {
+      // metrics round-trip: computed at capture time, persisted under
+      // the run dir, read back through the Model artifact
+      val m = lifecycleCatalog(s, dir).model("price_model")
+      m.getInferenceMetrics("run1").get
+        .select(round(col("rmse"), 2).as("rmse"), round(col("mae"), 2).as("mae"),
+          round(col("medae"), 2).as("medae"), col("r2"))
     })
   )
+
+  /** One lifecycle run shared by q79/q80: onboard a deterministic
+    * formula model, endpoint it, capture one inference over lineitem
+    * (api/model.py → api/endpoint.py journey). */
+  private def lifecycleCatalog(s: SparkSession, dir: String): graft.api.Catalog = {
+    val root = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+    val cat = new graft.api.Catalog(s, root)
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val m = cat.onboardFormulaModel("price_model", 10.0,
+      Seq("l_quantity" -> 2.0, "l_discount" -> -5.0), target = "l_extendedprice")
+    m.toEndpoint("price-endpoint")
+      .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey"))
+    cat
+  }
 
   /** embeddings with the float vector cast to double (shared by the
     * proximity queries; matches the oracle's list_transform cast). */
@@ -1294,6 +1326,20 @@ object SparkEntry {
             FROM bp FULL JOIN cp ON bp.bucket = cp.bucket)
           SELECT 'value' AS column_name,
             ROUND(SUM((p - q) * LN(p / q)), 6) AS psi FROM j"""
-    }
+    },
+    "q79_endpoint_inference" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS id,
+         ROUND(10.0 + l_quantity * 2.0 + l_discount * (-5.0), 4) AS pred_value
+         FROM lineitem""",
+    "q80_inference_metrics" ->
+      """WITH p AS (SELECT l_extendedprice AS y,
+             10.0 + l_quantity * 2.0 + l_discount * (-5.0) AS pred
+           FROM lineitem)
+         SELECT ROUND(ROUND(SQRT(AVG((y - pred) * (y - pred))), 6), 2) AS rmse,
+           ROUND(ROUND(AVG(ABS(y - pred)), 6), 2) AS mae,
+           ROUND(ROUND(quantile_cont(ABS(y - pred), 0.5), 6), 2) AS medae,
+           ROUND(1.0 - SUM((y - pred) * (y - pred)) /
+             (SUM(y * y) - COUNT(*) * AVG(y) * AVG(y)), 6) AS r2
+         FROM p"""
   )
 }

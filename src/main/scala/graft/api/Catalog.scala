@@ -26,9 +26,16 @@ class Catalog(val spark: SparkSession, val root: String) {
   val registry = new Registry(spark, root)
   private val statsStore = new DFStore(spark, root + "/_stats")
 
-  private def sanitize(name: String): String =
+  private[api] def sanitize(name: String): String =
     name.toLowerCase.replaceAll("[^a-zA-Z0-9-_]", "_").take(64)
   def tablePath(name: String): String = s"$root/tables/$name"
+  def modelPath(name: String): String = s"$root/models/$name"
+  def inferencePath(model: String, capture: String): String =
+    s"$root/inference/$model/$capture"
+
+  /** Shared append-only inference-results table (the reference's
+    * InferenceStore parquet — api/inference_store.py:33-101). */
+  lazy val inferenceStore = new graft.stores.InferenceStore(spark, root)
 
   private val ViewSqlKey = "graft_view_sql/"
 
@@ -188,6 +195,77 @@ class Catalog(val spark: SparkSession, val root: String) {
 
   private def dropStats(name: String): Unit =
     deletePath(s"$root/_stats/$name")
+
+  // ── model / endpoint artifacts (api/model.py, api/endpoint.py) ──
+
+  /** Onboard a fitted MLlib pipeline as a first-class registered model
+    * artifact: MLlib persistence under `models/`, a registry row of type
+    * `model` carrying target/features/labels so ANY later session can
+    * reopen it with [[model]] (reference: model_core.py:118-172 —
+    * the model package + its workbench_meta). */
+  def onboardModel(name: String, pipeline: org.apache.spark.ml.PipelineModel,
+                   modelType: String, target: String, features: Seq[String],
+                   classLabels: Seq[String] = Nil, owner: String = "unknown",
+                   input: String = "dataframe"): Model = {
+    val clean = sanitize(name)
+    pipeline.write.overwrite().save(modelPath(clean))
+    registry.onboardRow(clean, "model", input, owner, Map(
+      "graft_model_flavor" -> "mllib",
+      "graft_model_type" -> modelType,
+      "graft_target" -> target,
+      "graft_features" -> features.mkString(",")) ++
+      (if (classLabels.nonEmpty) Map("graft_class_labels" -> classLabels.mkString(","))
+       else Map.empty))
+    model(clean)
+  }
+
+  /** Onboard a fixed-coefficient linear pseudo-model (`prediction =
+    * intercept + Σ coefᵢ·colᵢ`). Deterministic across engines, which is
+    * what the reference's "model script" escape hatch gives users
+    * (model_core.py custom frameworks); here it also anchors the
+    * DuckDB-oracle check of the full endpoint→capture lifecycle. */
+  def onboardFormulaModel(name: String, intercept: Double,
+                          coefs: Seq[(String, Double)], target: String,
+                          owner: String = "unknown",
+                          input: String = "formula"): Model = {
+    val clean = sanitize(name)
+    registry.onboardRow(clean, "model", input, owner, Map(
+      "graft_model_flavor" -> "formula",
+      "graft_model_type" -> "regressor",
+      "graft_target" -> target,
+      "graft_features" -> coefs.map(_._1).mkString(","),
+      "graft_formula" ->
+        (intercept.toString + ";" +
+          coefs.map { case (c, w) => s"$c:$w" }.mkString(","))))
+    model(clean)
+  }
+
+  /** Train + onboard in one step — `FeatureSet.to_model()`
+    * (api/feature_set.py → features_to_model): fit the standard MLlib
+    * pipeline on the named catalog table and register the result. For
+    * classifiers the class labels are captured from the fitted
+    * StringIndexer so index↔label mapping survives restarts. */
+  def toModel(featureSet: String, modelName: String, modelType: String,
+              target: String, features: Seq[String],
+              owner: String = "unknown"): Model = {
+    val df = spark.table(sanitize(featureSet))
+    val fitted = modelType match {
+      case "classifier" => graft.ml.Models.trainClassifier(df, features, target)
+      case _ => graft.ml.Models.trainRegressor(df, features, target)
+    }
+    val labels = fitted.stages.collectFirst {
+      case si: org.apache.spark.ml.feature.StringIndexerModel =>
+        si.labelsArray(0).toSeq
+    }.getOrElse(Nil)
+    onboardModel(modelName, fitted, modelType, target, features, labels,
+      owner, input = sanitize(featureSet))
+  }
+
+  /** Reopen a registered model artifact by name (restart path). */
+  def model(name: String): Model = new Model(this, sanitize(name))
+
+  /** Reopen a registered endpoint artifact by name (restart path). */
+  def endpoint(name: String): Endpoint = new Endpoint(this, sanitize(name))
 
   // ── persistent stats cache (the reference stashes computed stats in
   //    Glue table Parameters — athena_source.py:99-152, 315-319) ──

@@ -1,0 +1,216 @@
+package graft.api
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model + Endpoint artifact lifecycle — the reference's main user
+  * journey (`FeatureSet.to_model() → Model.to_endpoint() →
+  * Endpoint.inference(df)`, api/model.py:36-130, api/endpoint.py:14-70,
+  * core/artifacts/model_core.py, endpoint_core.py:452-596).
+  *
+  * Both artifacts are THIN handles over the catalog: all state lives in
+  * the registry row (type/target/features/labels/runs/metrics meta) and
+  * on disk (MLlib persistence under `models/`, capture parquet under
+  * `inference/<model>/<capture>/`), so a brand-new SparkSession pointed
+  * at the same catalog root reopens them with `catalog.model(name)` /
+  * `catalog.endpoint(name)` — the SageMaker model-package + endpoint
+  * plumbing of the reference collapses into registry metadata.
+  *
+  * Inference itself is `PipelineModel.transform` — a distributed narrow
+  * map at any scale; the reference's 100-row HTTP batching, retry and
+  * error-row machinery (endpoint_core.py:598-750) disappears by
+  * construction.
+  */
+class Model(val catalog: Catalog, val name: String) {
+  private def meta: Map[String, String] = catalog.registry.getMeta(name)
+
+  def exists: Boolean = catalog.registry.get(name).exists(_.artifact_type == "model")
+  def flavor: String = meta.getOrElse("graft_model_flavor", "mllib")
+  def modelType: String = meta.getOrElse("graft_model_type", "regressor")
+  def target: String = meta.getOrElse("graft_target", "target")
+  def features: Seq[String] =
+    meta.get("graft_features").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+  def classLabels: Seq[String] =
+    meta.get("graft_class_labels").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** The fitted MLlib pipeline (loaded lazily from the catalog's model
+    * dir; `None` for formula models). */
+  lazy val pipeline: Option[PipelineModel] =
+    if (flavor == "mllib") Some(PipelineModel.load(catalog.modelPath(name))) else None
+
+  /** Run the model over a frame with (a superset of) the feature
+    * columns — the in-cluster replacement for endpoint HTTP predict. */
+  def transform(df: DataFrame): DataFrame = flavor match {
+    case "formula" =>
+      val spec = meta.getOrElse("graft_formula", "0.0;")
+      val parts = spec.split(";", 2)
+      val icept = parts(0)
+      val coefs = parts.drop(1).filter(_.nonEmpty).toSeq
+        .flatMap(_.split(",")).map { t =>
+          val cw = t.split(":"); (cw(0), cw(1).toDouble)
+        }
+      df.withColumn("prediction",
+        coefs.foldLeft(lit(icept.toDouble))((acc, cw) =>
+          acc + col(cw._1).cast("double") * lit(cw._2)))
+    case _ => pipeline.get.transform(df)
+  }
+
+  // ── comma-list registry meta (ordered, duplicate-free, like tags) ──
+  private def listMeta(key: String): Seq[String] =
+    meta.get(key).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+  private def appendListMeta(key: String, value: String): Unit =
+    catalog.registry.upsertMeta(name,
+      Map(key -> (listMeta(key) :+ value).distinct.mkString(",")))
+
+  /** Create (or refresh) an endpoint artifact serving this model and
+    * register it back on the model row (model_core.py:456-505
+    * register_endpoint / endpoints). */
+  def toEndpoint(endpointName: String = name + "-end",
+                 owner: String = "unknown"): Endpoint = {
+    val clean = catalog.sanitize(endpointName)
+    catalog.registry.onboardRow(clean, "endpoint", name, owner)
+    appendListMeta("graft_endpoints", clean)
+    new Endpoint(catalog, clean)
+  }
+  def endpoints: Seq[String] = listMeta("graft_endpoints")
+
+  // ── inference-run capture bookkeeping (model_core.py:241-378) ──
+  def listInferenceRuns(): Seq[String] = listMeta("graft_inference_runs")
+  private[api] def recordInferenceRun(capture: String): Unit =
+    appendListMeta("graft_inference_runs", capture)
+
+  private def readRun(capture: String, file: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(
+      catalog.inferencePath(name, capture) + "/" + file)
+    val fs = p.getFileSystem(catalog.spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(catalog.spark.read.parquet(p.toString)) else None
+  }
+  /** Stored metrics for a capture (model_core.py:305-345). */
+  def getInferenceMetrics(capture: String = "default"): Option[DataFrame] =
+    readRun(capture, "metrics")
+  /** Stored predictions for a capture (endpoint_core._save_target_inference). */
+  def getInferencePredictions(capture: String = "default"): Option[DataFrame] =
+    readRun(capture, "predictions")
+  /** Stored confusion matrix for a classifier capture (model_core.py:346-378). */
+  def getConfusionMatrix(capture: String = "default"): Option[DataFrame] =
+    readRun(capture, "cm")
+}
+
+/** Endpoint artifact: a registry row of type `endpoint` whose `input` is
+  * the model it serves. `inference` mirrors endpoint_core.inference
+  * (:452-596): predict → residuals/metrics pack → optional capture
+  * (predictions + metrics + confusion matrix persisted, run recorded on
+  * the model, a row-per-prediction appended to the shared
+  * InferenceStore). */
+class Endpoint(val catalog: Catalog, val name: String) {
+  private def spark: SparkSession = catalog.spark
+
+  def exists: Boolean = catalog.registry.get(name).exists(_.artifact_type == "endpoint")
+  def modelName: String = catalog.registry.get(name).map(_.input).getOrElse("unknown")
+  def model: Model = catalog.model(modelName)
+
+  /** "No frills" transform-only inference — the floating-endpoint path
+    * (endpoint_core.py:476-479). */
+  def fastInference(df: DataFrame): DataFrame = model.transform(df)
+
+  /** Full inference: predict, compute the standard metrics pack when the
+    * target column is present, and — when `captureName` is given —
+    * persist the run like `_capture_inference_results`
+    * (endpoint_core.py:1033-1148). Returns the prediction frame. */
+  def inference(df: DataFrame, captureName: Option[String] = None,
+                idColumn: Option[String] = None): DataFrame = {
+    val m = model
+    val raw = m.transform(df)
+    val isClassifier = m.modelType == "classifier"
+
+    // classifier post-processing: per-label proba columns + confidence
+    // from the probability vector; index→label when labels are known
+    val preds0 =
+      if (isClassifier && raw.columns.contains("pred_proba")) {
+        val arr = raw.withColumn("__proba",
+          org.apache.spark.ml.functions.vector_to_array(col("pred_proba")))
+        val expanded =
+          if (m.classLabels.nonEmpty)
+            graft.ml.Models.expandProba(arr, "__proba", m.classLabels)
+          else arr
+        expanded.withColumn("confidence", array_max(col("__proba"))).drop("__proba")
+      } else raw
+    val preds =
+      if (isClassifier && m.classLabels.nonEmpty &&
+          preds0.schema("prediction").dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        preds0.withColumn("prediction", element_at(
+          array(m.classLabels.map(lit): _*), col("prediction").cast("int") + 1))
+      else preds0
+
+    val hasTarget = preds.columns.contains(m.target)
+    val withRes =
+      if (hasTarget && !isClassifier)
+        graft.ml.Metrics.withResiduals(preds, m.target, "prediction")
+      else preds
+
+    captureName.foreach { capture =>
+      val metrics =
+        if (!hasTarget) None
+        else if (isClassifier)
+          Some(graft.ml.Metrics.classificationMetricsFull(
+            withRes, m.target, "prediction",
+            if (m.classLabels.nonEmpty) m.classLabels
+            else withRes.select(m.target).distinct()
+              .collect().map(_.get(0).toString).sorted.toSeq))
+        else Some(graft.ml.Metrics.regressionMetrics(withRes, m.target, "prediction"))
+      captureRun(m, capture, withRes, metrics, idColumn,
+        cm = if (hasTarget && isClassifier)
+          Some(graft.ml.Metrics.confusionMatrix(withRes, m.target, "prediction"))
+        else None)
+    }
+    withRes
+  }
+
+  /** Persist one inference run: the column-selected prediction frame,
+    * the metrics table, the classifier confusion matrix, the run name on
+    * the model row, metrics-into-meta, and an InferenceStore append. */
+  private def captureRun(m: Model, capture: String, preds: DataFrame,
+                         metrics: Option[DataFrame], idColumn: Option[String],
+                         cm: Option[DataFrame]): Unit = {
+    val dir = catalog.inferencePath(m.name, capture)
+    // output-column selection per _save_target_inference
+    // (endpoint_core.py:1097-1148): id, target, prediction(+std),
+    // confidence, per-label probas — features stay behind
+    val cols = preds.columns
+    val keep = (idColumn.toSeq.filter(cols.contains) ++
+      Seq(m.target).filter(cols.contains) ++
+      Seq("prediction", "prediction_std", "confidence",
+        "residuals", "residuals_abs").filter(cols.contains) ++
+      cols.filter(_.endsWith("_proba")).toSeq).distinct
+    preds.select(keep.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(dir + "/predictions")
+    metrics.foreach { mt =>
+      mt.write.mode("overwrite").parquet(dir + "/metrics")
+      // metrics-into-meta: the dashboard-facing summary the reference
+      // stores on the model package (model_core.py details/metrics)
+      val row = mt.head()
+      val kv = mt.columns.zipWithIndex.collect {
+        case (c, i) if !row.isNullAt(i) && row.get(i).isInstanceOf[Number] =>
+          s"graft_metric/$capture/$c" -> f"${row.get(i).asInstanceOf[Number].doubleValue}%.6f"
+      }.toMap
+      if (kv.nonEmpty) catalog.registry.upsertMeta(m.name, kv)
+    }
+    cm.foreach(_.write.mode("overwrite").parquet(dir + "/cm"))
+    m.recordInferenceRun(capture)
+
+    // one row per prediction into the shared fixed-schema store
+    val idc = idColumn.filter(cols.contains)
+      .map(col(_).cast("string")).getOrElse(lit(null).cast("string"))
+    val (plabel, pvalue) =
+      if (m.modelType == "classifier")
+        (col("prediction").cast("string"), lit(null).cast("double"))
+      else (lit(null).cast("string"), col("prediction").cast("double"))
+    catalog.inferenceStore.append(preds.select(
+      idc.as("id"), lit(m.name).as("model"), plabel.as("pred_label"),
+      pvalue.as("pred_value"), lit(Array(capture)).as("tags"),
+      lit(null).cast("string").as("meta"),
+      current_timestamp().as("timestamp")))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.api.Catalog
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Model + Endpoint artifact lifecycle (VERDICT r2 item 1): the
+  * reference's main user journey — FeatureSet.to_model() →
+  * Model.to_endpoint() → Endpoint.inference(df) with capture — must
+  * survive a session restart: a NEW session pointed at the same catalog
+  * root reopens the model, runs inference, and sees the captured runs,
+  * metrics-in-meta, and InferenceStore rows. */
+class ModelLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val root: String =
+    java.nio.file.Files.createTempDirectory("graft-modellife").toString
+
+  test("toModel trains, registers, and captures class labels") {
+    val cat = new Catalog(spark, root)
+    cat.onboardFeatures("events_fs",
+      Tables.load(spark, sf, "events")
+        .select("event_id", "value", "event_type")
+        .filter(col("value").isNotNull),
+      idColumn = "event_id")
+    val m = cat.toModel("events_fs", "event_clf", "classifier",
+      target = "event_type", features = Seq("value"))
+    assert(m.exists && m.modelType == "classifier")
+    assert(m.features == Seq("value") && m.target == "event_type")
+    assert(m.classLabels.nonEmpty, "StringIndexer labels not captured")
+    assert(cat.registry.get("event_clf").exists(_.artifact_type == "model"))
+    assert(cat.registry.getInput("event_clf") == "events_fs")
+  }
+
+  test("regressor endpoint: inference + capture writes metrics, runs, store rows") {
+    val cat = new Catalog(spark, root)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val m = cat.onboardFormulaModel("price_model", 10.0,
+      Seq("l_quantity" -> 2.0, "l_discount" -> -5.0), target = "l_extendedprice")
+    val ep = m.toEndpoint("price-endpoint")
+    assert(ep.exists && ep.modelName == "price_model")
+    assert(cat.model("price_model").endpoints == Seq("price-endpoint"))
+
+    val out = ep.inference(li, captureName = Some("test_run"),
+      idColumn = Some("l_orderkey"))
+    // prediction is the exact formula; residuals appended
+    val r = out.filter(col("l_orderkey") === out.select(min("l_orderkey"))
+      .head().getLong(0)).head()
+    val expected = 10.0 + 2.0 * r.getDouble(r.fieldIndex("l_quantity")) -
+      5.0 * r.getDouble(r.fieldIndex("l_discount"))
+    assert(math.abs(r.getDouble(r.fieldIndex("prediction")) - expected) < 1e-9)
+    assert(out.columns.contains("residuals_abs"))
+
+    // capture side-effects
+    assert(m.listInferenceRuns() == Seq("test_run"))
+    val mt = m.getInferenceMetrics("test_run").get.head()
+    assert(!mt.isNullAt(mt.fieldIndex("rmse")))
+    val meta = cat.registry.getMeta("price_model")
+    assert(meta.contains("graft_metric/test_run/rmse"), s"meta=$meta")
+    val stored = cat.inferenceStore.byModel("price_model")
+    assert(stored.count() == li.count())
+    assert(stored.filter(col("pred_value").isNull).count() == 0)
+    // predictions parquet keeps id/target/prediction, drops features
+    val predCols = m.getInferencePredictions("test_run").get.columns.toSeq
+    assert(predCols.contains("l_orderkey") && predCols.contains("prediction"))
+    assert(!predCols.contains("l_quantity"))
+  }
+
+  test("classifier endpoint: proba expansion, label mapping, confusion matrix") {
+    val cat = new Catalog(spark, root)
+    val ep = cat.model("event_clf").toEndpoint("event-clf-end")
+    val eval = spark.table("events_fs").limit(500)
+    val out = ep.inference(eval, captureName = Some("clf_run"),
+      idColumn = Some("event_id"))
+    val m = cat.model("event_clf")
+    // prediction mapped back to label strings, per-label proba + confidence
+    assert(out.select("prediction").schema.head.dataType.typeName == "string")
+    assert(m.classLabels.forall(l => out.columns.contains(s"${l}_proba")))
+    assert(out.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
+    assert(m.getConfusionMatrix("clf_run").isDefined)
+    val mt = m.getInferenceMetrics("clf_run").get
+    assert(mt.filter(col("class") === "all").count() == 1)
+    // classifier rows land as pred_label
+    assert(cat.inferenceStore.byModel("event_clf")
+      .filter(col("pred_label").isNull).count() == 0)
+  }
+
+  test("restart: a new session reopens model + endpoint and reruns inference") {
+    val s2 = spark.newSession()
+    val cat2 = new Catalog(s2, root)
+    cat2.attach()
+    val m2 = cat2.model("price_model")
+    assert(m2.exists && m2.listInferenceRuns() == Seq("test_run"))
+    assert(cat2.registry.getMeta("price_model").contains("graft_metric/test_run/rmse"))
+    // mllib model reloads from disk in the new session
+    val clf = cat2.model("event_clf")
+    assert(clf.pipeline.isDefined)
+    val ep2 = cat2.endpoint("price-endpoint")
+    val li2 = Tables.load(s2, sf, "lineitem").limit(100)
+      .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val out2 = ep2.inference(li2, captureName = Some("rerun"),
+      idColumn = Some("l_orderkey"))
+    assert(out2.count() == 100)
+    assert(cat2.model("price_model").listInferenceRuns() == Seq("test_run", "rerun"))
+    // both sessions' captures accumulated in the shared store
+    assert(cat2.inferenceStore.byModel("price_model").count() > 100)
+  }
+}
