@@ -604,6 +604,34 @@ object SparkEntry {
       m.getInferenceMetrics("run1").get
         .select(round(col("rmse"), 2).as("rmse"), round(col("mae"), 2).as("mae"),
           round(col("medae"), 2).as("medae"), col("r2"))
+    }),
+    "q81_monitor_drift" -> ((s, dir) => {
+      // monitor lifecycle: baseline persist → capture-enabled inference
+      // on shifted inputs → drift report of the PARSED capture (CSV
+      // round-trip) against the stored baseline
+      val root = java.nio.file.Files.createTempDirectory("graft-q81").toString
+      val cat = new graft.api.Catalog(s, root)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      val m = cat.onboardFormulaModel("mon_model", 10.0,
+        Seq("l_quantity" -> 2.0, "l_discount" -> -5.0), target = "l_extendedprice")
+      val ep = m.toEndpoint("mon-endpoint")
+      val mon = ep.monitor
+      mon.createBaseline(li.select("l_quantity", "l_discount"),
+        Seq("l_quantity", "l_discount"))
+      mon.enableDataCapture()
+      ep.inference(li.withColumn("l_quantity", col("l_quantity") * 1.5 + 2),
+        idColumn = Some("l_orderkey"))
+      val parsed = mon.capturedData(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_quantity",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("l_discount",
+          org.apache.spark.sql.types.DoubleType))))
+      mon.driftReport(parsed, Seq("l_quantity", "l_discount"))
+        .select(col("column_name"), col("psi"),
+          round(col("base_mean"), 6).as("base_mean"),
+          round(col("cur_mean"), 6).as("cur_mean"),
+          col("mean_drift"), col("drifted"))
     })
   )
 
@@ -1340,6 +1368,40 @@ object SparkEntry {
            ROUND(ROUND(quantile_cont(ABS(y - pred), 0.5), 6), 2) AS medae,
            ROUND(1.0 - SUM((y - pred) * (y - pred)) /
              (SUM(y * y) - COUNT(*) * AVG(y) * AVG(y)), 6) AS r2
-         FROM p"""
+         FROM p""",
+    "q81_monitor_drift" -> {
+      val probs = (1 until 10).map(p => f"${p / 10.0}%.1f").mkString("[", ", ", "]")
+      def bucket(c: String) = (1 to 9).map(i =>
+        s"(CASE WHEN $c > ed[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      def psiFor(c: String, curExpr: String) =
+        s"""(WITH e AS (SELECT quantile_cont($c, $probs) AS ed FROM src),
+            bb AS (SELECT 1 + ${bucket(c)} AS bucket FROM src, e WHERE $c IS NOT NULL),
+            cb AS (SELECT 1 + ${bucket("cv")} AS bucket
+              FROM (SELECT $curExpr AS cv FROM src) , e WHERE cv IS NOT NULL),
+            bp AS (SELECT bucket, COUNT(*) / CAST((SELECT COUNT(*) FROM bb) AS DOUBLE) AS p
+              FROM bb GROUP BY 1),
+            cp AS (SELECT bucket, COUNT(*) / CAST((SELECT COUNT(*) FROM cb) AS DOUBLE) AS q
+              FROM cb GROUP BY 1),
+            j AS (SELECT GREATEST(COALESCE(p, 0), 0.0001) AS p,
+                GREATEST(COALESCE(q, 0), 0.0001) AS q
+              FROM bp FULL JOIN cp ON bp.bucket = cp.bucket)
+            SELECT ROUND(SUM((p - q) * LN(p / q)), 6) FROM j)"""
+      def statsFor(c: String, curExpr: String) =
+        s"""SELECT '$c' AS column_name, ${psiFor(c, curExpr)} AS psi,
+            ROUND(AVG($c), 6) AS base_mean,
+            ROUND(AVG($curExpr), 6) AS cur_mean,
+            ROUND(ABS(AVG($curExpr) - AVG($c)) /
+              (CASE WHEN MAX($c) - MIN($c) = 0 THEN 1.0
+                    ELSE CAST(MAX($c) AS DOUBLE) - MIN($c) END), 6) AS mean_drift,
+            ROUND(ABS(AVG($curExpr) - AVG($c)) /
+              (CASE WHEN MAX($c) - MIN($c) = 0 THEN 1.0
+                    ELSE CAST(MAX($c) AS DOUBLE) - MIN($c) END), 6) > 0.1 AS drifted
+            FROM src"""
+      s"""WITH src AS (SELECT l_quantity, l_discount FROM lineitem)
+          ${statsFor("l_discount", "l_discount")}
+          UNION ALL
+          ${statsFor("l_quantity", "l_quantity * 1.5 + 2")}
+          ORDER BY column_name"""
+    }
   )
 }

@@ -114,6 +114,10 @@ class Endpoint(val catalog: Catalog, val name: String) {
     * (endpoint_core.py:476-479). */
   def fastInference(df: DataFrame): DataFrame = model.transform(df)
 
+  /** The endpoint's monitor artifact (api/monitor.py: `Endpoint(name)
+    * .monitor()`): data-capture switch, baseline, drift checks. */
+  def monitor: Monitor = new Monitor(catalog, name)
+
   /** Full inference: predict, compute the standard metrics pack when the
     * target column is present, and — when `captureName` is given —
     * persist the run like `_capture_inference_results`
@@ -165,7 +169,46 @@ class Endpoint(val catalog: Catalog, val name: String) {
           Some(graft.ml.Metrics.confusionMatrix(withRes, m.target, "prediction"))
         else None)
     }
+    val mon = monitor
+    if (mon.captureEnabled) writeDataCapture(m, withRes, mon)
     withRes
+  }
+
+  /** Write SageMaker-shaped capture JSONL for this inference: per
+    * partition-chunk, one record holding the input features and the
+    * predictions as header-led CSV payloads (the capture record shape
+    * DataCapture parses — data_capture_core.py:28-60). Batched per
+    * partition, so capture adds one narrow pass, no extra shuffle. */
+  private def writeDataCapture(m: Model, preds: DataFrame, mon: Monitor): Unit = {
+    val cols = preds.columns
+    val inCols = m.features.filter(cols.contains)
+    if (inCols.isEmpty || !cols.contains("prediction")) return
+    val pct = mon.capturePercentage
+    val sampled = if (pct >= 100) preds else preds.sample(pct / 100.0, 42L)
+    def lineOf(cs: Seq[String]) =
+      concat_ws(",", cs.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    def side(header: String, lines: org.apache.spark.sql.Column) = struct(
+      concat(lit(header + "\n"), concat_ws("\n", lines)).as("data"),
+      lit("CSV").as("encoding"), lit("InputAndOutput").as("mode"),
+      lit("text/csv").as("observedContentType"))
+    // ONE collect_list of (in, out) pairs keeps both sides row-aligned
+    // (two independent collect_lists would not guarantee shared order)
+    sampled
+      .withColumn("__pair", struct(lineOf(inCols).as("in"), lineOf(Seq("prediction")).as("out")))
+      .groupBy(spark_partition_id().as("__chunk"))
+      .agg(collect_list(col("__pair")).as("pairs"))
+      .select(
+        struct(
+          side(inCols.mkString(","), transform(col("pairs"), p => p("in")))
+            .as("endpointInput"),
+          side("prediction", transform(col("pairs"), p => p("out")))
+            .as("endpointOutput")).as("captureData"),
+        struct(
+          concat(lit("cap-"), col("__chunk").cast("string")).as("eventId"),
+          date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .as("inferenceTime")).as("eventMetadata"),
+        lit("1.0").as("eventVersion"))
+      .write.mode("append").json(mon.captureDir)
   }
 
   /** Persist one inference run: the column-selected prediction frame,
