@@ -79,10 +79,17 @@ object Metrics {
     * equivalent to sklearn's roc_auc_score used in the reference's
     * metrics pack (utils/metrics_utils.py:97-255), but computed as
     * aggregates: AUC = (Σ_{pos} avgRank − P(P+1)/2) / (P·N).
-    * The cumulative window runs over DISTINCT scores (one row per
-    * score value, not per input row), so the single-partition sort is
-    * bounded by score cardinality, not data size. */
-  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    *
+    * Scale shape: the cumulative rank prefix is a DISTRIBUTED prefix
+    * sum, not a global window — distinct scores are range-bucketed
+    * (fixed-width over [min, max]), the per-bucket totals (metadata:
+    * ≤`buckets` rows) become driver-side offsets, and the within-bucket
+    * window is PARTITIONED by bucket. No single-partition sort at any
+    * cardinality — a continuous score column (distinct ≈ N) flows
+    * through an ordinary hash+range shuffle. Same exact result as the
+    * global-window form. */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String,
+             buckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grouped = df
       .select(col(scoreCol).cast("double").as("score"),
@@ -90,9 +97,32 @@ object Metrics {
       .filter(col("score").isNotNull && col("pos").isNotNull)
       .groupBy("score")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
-    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grouped
-      .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+    // two-phase range bounds (literals, like the outlier bounds) so the
+    // bucket id is a plain codegen'd expression
+    val mm = grouped.agg(min("score"), max("score")).head()
+    if (mm.isNullAt(0))
+      return df.sparkSession.range(1)
+        .select(lit(null).cast("double").as("roc_auc"))
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = (hi - lo) / buckets
+    val bucket =
+      if (width == 0) lit(0)
+      else least(floor((col("score") - lit(lo)) / lit(width)),
+        lit(buckets - 1)).cast("int")
+    val bucketed = grouped.withColumn("bucket", bucket)
+    // per-bucket totals → cumulative offsets on the driver (≤`buckets`
+    // rows), broadcast back as a literal map
+    val totals = bucketed.groupBy("bucket").agg(sum("n").as("bn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsetByBucket: Map[Int, Long] = {
+      var acc = 0L
+      totals.map { case (b, bn) => val o = b -> acc; acc += bn; o }.toMap
+    }
+    val offCol = element_at(typedlit(offsetByBucket), col("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bucketed
+      .withColumn("before", offCol + coalesce(sum("n").over(w), lit(0L)))
       .withColumn("avg_rank", col("before") + (col("n") + 1) / 2.0)
     ranked.agg(
       sum(col("n_pos") * col("avg_rank")).as("__rank_sum"),

@@ -33,4 +33,22 @@ class PlanQualitySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan)
   }
+
+  test("q74: rocAuc rank prefix runs in a PARTITIONED window (VERDICT r2 item 3)") {
+    val windows = SparkEntry.queries("q74_roc_auc")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty, "expected the rank-prefix window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "global (single-partition) window found in rocAuc — the distributed " +
+        "bucketed prefix must partition by bucket")
+  }
+
+  test("rocAuc on an empty/all-null score frame returns a null-AUC row") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, java.lang.Double)].toDF("pos", "score")
+    val out = graft.ml.Metrics.rocAuc(empty, "pos", "score").collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
 }
