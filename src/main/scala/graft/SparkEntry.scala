@@ -499,12 +499,17 @@ object SparkEntry {
         // the checkpoint is released with the DataFrame instead of
         // pinning session storage
         .localCheckpoint(true)
-      val m = graft.ml.UQ.fitV1(feats.filter(col("id") % 2 === 0),
-        "target", "prediction", "prediction_std", numTrees = 20, maxDepth = 6)
-      m.predict(feats.filter(col("id") % 2 === 1), "prediction", "prediction_std")
-        .select(col("id"), round(col("expected_residual"), 4).as("expected_residual"),
-          round(col("confidence"), 4).as("confidence"),
-          round(col("q_025"), 4).as("q_025"), round(col("q_975"), 4).as("q_975"))
+      // OOF via the cross-fold runner (VERDICT r2 item 4): fit v1 on
+      // k−1 folds, predict the held-out fold, stitched frame covers
+      // every row once
+      graft.ml.CrossFold.run(feats, "id", 2) { (tr, te) =>
+        graft.ml.UQ.fitV1(tr, "target", "prediction", "prediction_std",
+            numTrees = 20, maxDepth = 6)
+          .predict(te, "prediction", "prediction_std")
+      }.select(col("id"), col("fold"),
+        round(col("expected_residual"), 4).as("expected_residual"),
+        round(col("confidence"), 4).as("confidence"),
+        round(col("q_025"), 4).as("q_025"), round(col("q_975"), 4).as("q_975"))
     }),
     "q71_uq_v2" -> ((s, dir) => {
       // pure applicability-domain UQ: neighbor stats + percentile-rank
@@ -632,6 +637,18 @@ object SparkEntry {
           round(col("base_mean"), 6).as("base_mean"),
           round(col("cur_mean"), 6).as("cur_mean"),
           col("mean_drift"), col("drifted"))
+    }),
+    "q82_cross_fold" -> ((s, dir) => {
+      // cross-fold OOF runner: deterministic hash folds + stitched
+      // frame (formula model keeps predictions engine-exact, so fold
+      // assignment AND the stitched OOF are both oracle-checked)
+      val cat = lifecycleCatalog(s, dir)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      cat.endpoint("price-endpoint")
+        .crossFoldInference(li, idColumn = "l_orderkey", k = 5, capture = false)
+        .select(col("l_orderkey").cast("bigint").as("id"), col("fold"),
+          round(col("prediction"), 4).as("prediction"))
     })
   )
 
@@ -1402,6 +1419,11 @@ object SparkEntry {
           UNION ALL
           ${statsFor("l_quantity", "l_quantity * 1.5 + 2")}
           ORDER BY column_name"""
-    }
+    },
+    "q82_cross_fold" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS id,
+         CAST(((l_orderkey % 1000003) * 2654435761) % 5 AS INT) AS fold,
+         ROUND(10.0 + l_quantity * 2.0 + l_discount * (-5.0), 4) AS prediction
+         FROM lineitem"""
   )
 }

@@ -211,6 +211,49 @@ class Endpoint(val catalog: Catalog, val name: String) {
       .write.mode("append").json(mon.captureDir)
   }
 
+  /** Cross-fold OOF inference (endpoint_core.py:593-700): deterministic
+    * hash folds over `idColumn`, per-fold train (the model's standard
+    * pipeline recipe; formula models need no refit) + held-out predict,
+    * stitched OOF frame. When `capture` is set the stitched frame is
+    * persisted as the `full_cross_fold` run — metrics, predictions, and
+    * InferenceStore rows, exactly like a live capture. */
+  def crossFoldInference(df: DataFrame, idColumn: String, k: Int = 5,
+                         capture: Boolean = true): DataFrame = {
+    val m = model
+    val oof = graft.ml.CrossFold.run(df, idColumn, k) { (tr, te) =>
+      m.flavor match {
+        case "formula" => m.transform(te)
+        case _ =>
+          val p = m.modelType match {
+            case "classifier" =>
+              graft.ml.Models.trainClassifier(tr, m.features, m.target)
+            case _ => graft.ml.Models.trainRegressor(tr, m.features, m.target)
+          }
+          p.transform(te)
+      }
+    }
+    val hasTarget = oof.columns.contains(m.target)
+    val isClassifier = m.modelType == "classifier"
+    val withRes =
+      if (hasTarget && !isClassifier)
+        graft.ml.Metrics.withResiduals(oof, m.target, "prediction")
+      else oof
+    if (capture) {
+      val metrics =
+        if (!hasTarget) None
+        else if (isClassifier)
+          Some(graft.ml.Metrics.classificationMetricsFull(
+            withRes.withColumn("prediction", col("prediction").cast("string")),
+            m.target, "prediction",
+            if (m.classLabels.nonEmpty) m.classLabels
+            else withRes.select(m.target).distinct()
+              .collect().map(_.get(0).toString).sorted.toSeq))
+        else Some(graft.ml.Metrics.regressionMetrics(withRes, m.target, "prediction"))
+      captureRun(m, "full_cross_fold", withRes, metrics, Some(idColumn), cm = None)
+    }
+    withRes
+  }
+
   /** Persist one inference run: the column-selected prediction frame,
     * the metrics table, the classifier confusion matrix, the run name on
     * the model row, metrics-into-meta, and an InferenceStore append. */

@@ -1,0 +1,47 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-fold out-of-fold (OOF) runner — the reference's cross-fold
+  * inference loop (endpoint_core.py:593-700 `cross_fold_inference` /
+  * `_capture_inference_results` assembly; the fold loop itself lives in
+  * the model templates' `xgboost_pull_cv`): deterministic folds, train
+  * on k−1 folds, predict the held-out fold, stitch the k prediction
+  * frames into one OOF frame covering every row exactly once.
+  *
+  * Scale shape: the fold id is a pure column expression (no shuffle to
+  * assign), each fold's train/infer runs distributed, and the stitch is
+  * a unionByName (no shuffle). The input is persisted once and released
+  * after the loop, so k passes don't re-read the source.
+  */
+object CrossFold {
+
+  /** Deterministic fold id from an id column: a Knuth multiplicative
+    * hash kept inside Long range (ids folded to < 2²⁰ before the
+    * multiply so BOTH engines — Spark's wrapping Long and the oracle's
+    * overflow-checked BIGINT — compute identical values). */
+  def foldColumn(id: Column, k: Int): Column =
+    pmod((id.cast("long") % 1000003L) * 2654435761L, lit(k.toLong)).cast("int")
+
+  /** Run `trainInfer(trainRows, testRows)` for each of the k folds and
+    * stitch the per-fold outputs. The returned frame carries the `fold`
+    * column; every input row appears in exactly one fold's output
+    * (provided `trainInfer` preserves rows of its second argument). */
+  def run(df: DataFrame, idCol: String, k: Int)(
+      trainInfer: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(k >= 2, s"cross-fold needs k >= 2, got $k")
+    val withFold = df.withColumn("fold", foldColumn(col(idCol), k))
+    withFold.persist()
+    try {
+      (0 until k).map { i =>
+        trainInfer(
+          withFold.filter(col("fold") =!= i).drop("fold"),
+          withFold.filter(col("fold") === i))
+      }.reduce(_ unionByName _)
+        // materialize the stitched OOF frame so the persisted input can
+        // be released before return (k MLlib fits already forced it)
+        .localCheckpoint(true)
+    } finally withFold.unpersist()
+  }
+}

@@ -86,6 +86,29 @@ class ModelLifecycleSpec extends SparkSpec {
       .filter(col("pred_label").isNull).count() == 0)
   }
 
+  test("crossFoldInference: every row exactly once, per-fold refit, captured run") {
+    val cat = new Catalog(spark, root)
+    val li = Tables.load(spark, sf, "lineitem").limit(2000)
+      .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      .dropDuplicates("l_orderkey")
+    // mllib path: refits the standard pipeline per fold
+    cat.onboard("li_fs", li)
+    val m = cat.toModel("li_fs", "li_reg", "regressor",
+      target = "l_extendedprice", features = Seq("l_quantity", "l_discount"))
+    val ep = m.toEndpoint("li-reg-end")
+    val oof = ep.crossFoldInference(spark.table("li_fs"),
+      idColumn = "l_orderkey", k = 3)
+    val n = li.count()
+    assert(oof.count() == n, "stitched OOF must cover every row once")
+    assert(oof.select("l_orderkey").distinct().count() == n)
+    assert(oof.select("fold").distinct().count() == 3)
+    assert(oof.filter(col("fold") < 0 || col("fold") >= 3).count() == 0)
+    assert(oof.columns.contains("residuals"))
+    // captured as the full_cross_fold run with metrics-in-meta
+    assert(cat.model("li_reg").listInferenceRuns().contains("full_cross_fold"))
+    assert(cat.registry.getMeta("li_reg").contains("graft_metric/full_cross_fold/rmse"))
+  }
+
   test("restart: a new session reopens model + endpoint and reruns inference") {
     val s2 = spark.newSession()
     val cat2 = new Catalog(s2, root)
