@@ -183,6 +183,15 @@ class Catalog(val spark: SparkSession, val root: String) {
         s"DROP VIEW IF EXISTS `${clean}___${k.stripPrefix(ViewSqlKey)}`"))
     spark.sql(s"DROP TABLE IF EXISTS `$clean`")
     deletePath(tablePath(clean))
+    // per-type artifact storage (model binaries + inference runs,
+    // graph parquet, endpoint monitor state)
+    registry.get(clean).map(_.artifact_type).foreach {
+      case "model" =>
+        deletePath(modelPath(clean)); deletePath(s"$root/inference/$clean")
+      case "graph" => deletePath(s"$root/graphs/$clean")
+      case "endpoint" => deletePath(s"$root/monitor/$clean")
+      case _ => ()
+    }
     dropStats(clean)
     registry.delete(clean)
   }
@@ -266,6 +275,32 @@ class Catalog(val spark: SparkSession, val root: String) {
 
   /** Reopen a registered endpoint artifact by name (restart path). */
   def endpoint(name: String): Endpoint = new Endpoint(this, sanitize(name))
+
+  /** Account-wide artifact listing/describe (api/meta.py). */
+  def meta: Meta = new Meta(this)
+
+  // ── graph artifacts (api/graph_store.py:12-43 — graphs are
+  //    registered artifacts, not loose files) ──
+  lazy val graphStore = new graft.stores.GraphStore(spark, s"$root/graphs")
+
+  /** Persist a vertex/edge pair as a REGISTERED graph artifact: the
+    * GraphStore parquet plus a registry row, so `attach()`-style
+    * reopen-by-name works for graphs like every other artifact. */
+  def onboardGraph(name: String, vertices: DataFrame, edges: DataFrame,
+                   owner: String = "unknown",
+                   input: String = "dataframe"): Unit = {
+    val clean = sanitize(name)
+    graphStore.upsert(clean, vertices, edges)
+    registry.onboardRow(clean, "graph", input, owner, Map(
+      "graft_num_vertices" -> vertices.count().toString,
+      "graft_num_edges" -> edges.count().toString))
+  }
+
+  /** Reopen a registered graph artifact: (vertices, edges). */
+  def graph(name: String): (DataFrame, DataFrame) = {
+    val clean = sanitize(name)
+    (graphStore.vertices(clean), graphStore.edges(clean))
+  }
 
   // ── persistent stats cache (the reference stashes computed stats in
   //    Glue table Parameters — athena_source.py:99-152, 315-319) ──

@@ -20,8 +20,10 @@ object Metrics {
       round(avg(abs(err)), 6).as("mae"),
       round(element_at(graft.functions.ExactPercentiles
         .exactPercentiles(abs(err).cast("double"), Seq(0.5)), 1), 6).as("medae"),
-      round(lit(1.0) - sum(err * err) /
-        (sum(y * y) - count(lit(1)) * avg(y) * avg(y)), 6).as("r2"))
+      // try_divide: a constant/single-value target has zero variance —
+      // r² is undefined (null), not a divide-by-zero crash under ANSI
+      round(lit(1.0) - try_divide(sum(err * err),
+        sum(y * y) - count(lit(1)) * avg(y) * avg(y)), 6).as("r2"))
   }
 
   /** Confusion matrix as (label, prediction, count), long format —

@@ -109,6 +109,44 @@ class ModelLifecycleSpec extends SparkSpec {
     assert(cat.registry.getMeta("li_reg").contains("graft_metric/full_cross_fold/rmse"))
   }
 
+  test("Meta API + graph artifacts: typed listings, details, views, describe") {
+    val cat = new Catalog(spark, root)
+    // register a graph artifact alongside the existing artifact types
+    val vertices = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "label")
+    val edges = (1 to 9).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    cat.onboardGraph("prox_graph", vertices, edges, owner = "bob")
+    val (v2, e2) = cat.graph("prox_graph")
+    assert(v2.count() == 10 && e2.count() == 9)
+
+    val meta = cat.meta
+    assert(meta.account.contains("count_model"))
+    assert(meta.graphs().select("name").as[String].collect().contains("prox_graph"))
+    assert(meta.models(details = true).filter(col("name") === "price_model")
+      .head().getAs[String]("model_type") == "regressor")
+    assert(meta.featureSets(details = true).columns.contains("id_column"))
+    assert(meta.endpoints().count() >= 2)
+    // view listing surfaces the stored SQL
+    assert(meta.views().filter(col("artifact") === "events_fs").count() >= 2)
+    val desc = meta.describe("prox_graph")
+    assert(desc("artifact_type") == "graph" && desc("graft_num_vertices") == "10")
+  }
+
+  test("delete removes per-type storage: model binaries, runs, graph parquet") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val cat = new Catalog(spark, root2)
+    val m = cat.onboardFormulaModel("del_model", 1.0, Seq("x" -> 1.0), target = "y")
+    m.toEndpoint("del-end").inference(
+      Seq((1.0, 2.0)).toDF("x", "y"), captureName = Some("r1"), idColumn = Some("x"))
+    cat.onboardGraph("del_graph", Seq((1L, "a")).toDF("id", "l"),
+      Seq((1L, 1L)).toDF("src", "dst"))
+    cat.delete("del_model"); cat.delete("del_graph"); cat.delete("del-end")
+    val fs = new org.apache.hadoop.fs.Path(root2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root2/inference/del_model")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root2/graphs/del_graph")))
+    assert(cat.registry.listNames().isEmpty)
+  }
+
   test("restart: a new session reopens model + endpoint and reruns inference") {
     val s2 = spark.newSession()
     val cat2 = new Catalog(s2, root)
@@ -128,5 +166,10 @@ class ModelLifecycleSpec extends SparkSpec {
     assert(cat2.model("price_model").listInferenceRuns() == Seq("test_run", "rerun"))
     // both sessions' captures accumulated in the shared store
     assert(cat2.inferenceStore.byModel("price_model").count() > 100)
+    // Meta sees every artifact type from the new session, graphs included
+    val meta2 = cat2.meta
+    assert(Seq("data_source", "endpoint", "feature_set", "graph", "model")
+      .forall(t => meta2.account.contains(s"count_$t")), meta2.account)
+    assert(cat2.graph("prox_graph")._1.count() == 10)
   }
 }
