@@ -93,7 +93,7 @@ object DataCapture {
   /** Parse (data, encoding, timestamp) payload rows into one DataFrame —
     * the `parse_payloads` contract (monitor_utils.py:104-170). Payloads
     * with an unsupported encoding are skipped. */
-  def parsePayloads(payloads: DataFrame): DataFrame = {
+  def parsePayloads(payloads: DataFrame, maxHeaders: Int = 100): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
     val typed = payloads
@@ -104,7 +104,17 @@ object DataCapture {
     //    per header group, like the reference's single read_csv) ──
     val csv = typed.filter(col("encoding") === "CSV")
       .withColumn("header", substring_index(col("data"), "\n", 1))
-    val headers = csv.select("header").distinct().as[String].collect().toSeq
+    // cardinality gate (like stratifiedSplit's maxStrata): a real capture
+    // dir has a handful of schemas, but each distinct header costs a
+    // driver-side schema inference + one union branch — adversarial/
+    // corrupt input with per-payload headers must fail loudly, not OOM
+    // the driver. The limit bounds the collect at maxHeaders+1 rows.
+    val headers = csv.select("header").distinct().limit(maxHeaders + 1)
+      .as[String].collect().toSeq
+    require(headers.length <= maxHeaders,
+      s"parsePayloads: more than $maxHeaders distinct CSV headers in the " +
+        "capture payloads — this looks like corrupt/adversarial capture " +
+        "data; raise maxHeaders explicitly if the schema count is real")
     val csvFrames = headers.map { h =>
       val group = csv.filter(col("header") === h)
       val sample = group

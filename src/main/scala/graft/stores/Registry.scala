@@ -66,13 +66,53 @@ class Registry(spark: SparkSession, root: String) {
     fs.delete(hPath(bak), true)
   }
 
-  private def update(name: String)(f: ArtifactRow => ArtifactRow): Unit = {
-    val existing = rows()
-    val row = existing.find(_.name == name).getOrElse(
-      ArtifactRow(name, "unknown", "unknown", "unknown", "unknown",
-        now(), now(), Seq.empty, Seq.empty, Map.empty))
-    swapIn(existing.filterNot(_.name == name) :+ f(row).copy(modified = now()))
+  /** Mutual exclusion for the read-modify-write cycle: an atomic
+    * create-if-absent lockfile (the filesystem analogue of the
+    * reference's Glue DDL retry/backoff — athena_source.py:253-288).
+    * A lock older than `staleMs` is treated as a crashed writer's
+    * leftover and broken. */
+  private def tryAcquire(lock: org.apache.hadoop.fs.Path): Boolean = {
+    val scheme = lock.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // Hadoop's RawLocalFileSystem.createNewFile is check-then-act;
+      // java.nio Files.createFile is the actually-atomic local primitive
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(lock.toUri.getPath)); true
+      } catch { case _: java.io.IOException => false }
+    } else // HDFS/object stores: create(overwrite=false) is atomic server-side
+      try fs.createNewFile(lock) catch { case _: Exception => false }
   }
+
+  private def withLock[T](staleMs: Long = 60000L, timeoutMs: Long = 30000L)(f: => T): T = {
+    val lock = hPath(path + "_lock")
+    fs.mkdirs(lock.getParent) // first-ever write: the root may not exist yet
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      acquired = tryAcquire(lock)
+      if (!acquired) {
+        val stale = try {
+          System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs
+        } catch { case _: Exception => false } // holder released between checks
+        if (stale) fs.delete(lock, false)
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"registry lock at $lock not released within ${timeoutMs}ms")
+        else Thread.sleep(20)
+      }
+    }
+    try f finally fs.delete(lock, false)
+  }
+
+  private def update(name: String)(f: ArtifactRow => ArtifactRow): Unit =
+    withLock() {
+      val existing = rows()
+      val row = existing.find(_.name == name).getOrElse(
+        ArtifactRow(name, "unknown", "unknown", "unknown", "unknown",
+          now(), now(), Seq.empty, Seq.empty, Map.empty))
+      swapIn(existing.filterNot(_.name == name) :+ f(row).copy(modified = now()))
+    }
 
   /** Create-or-touch the registry row (`created` is set once). */
   def upsert(name: String, artifactType: String, input: String = "unknown"): Unit =
@@ -92,7 +132,8 @@ class Registry(spark: SparkSession, root: String) {
   def listNames(): Seq[String] = rows().map(_.name).sorted
   def list(): DataFrame =
     rows().sortBy(_.name).toDS().toDF()
-  def delete(name: String): Unit = swapIn(rows().filterNot(_.name == name))
+  def delete(name: String): Unit =
+    withLock() { swapIn(rows().filterNot(_.name == name)) }
 
   /** Merge new keys into the artifact's free-form metadata
     * (reference: `upsert_workbench_meta`, artifact.py:238-276). */

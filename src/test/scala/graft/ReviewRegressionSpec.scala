@@ -224,6 +224,36 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(lsh.sameElements(brute) && lsh.length == 3)
   }
 
+  test("parsePayloads rejects unbounded distinct CSV headers (driver guard)") {
+    // 150 payloads, each with a UNIQUE header — adversarial capture input
+    val bad = (1 to 150).map(i => (s"col_$i\n1", "CSV",
+      null.asInstanceOf[java.sql.Timestamp])).toDF("data", "encoding", "timestamp")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.DataCapture.parsePayloads(bad)
+    }
+    assert(e.getMessage.contains("distinct CSV headers"))
+    // a sane capture dir (few schemas) still parses
+    val ok = (1 to 150).map(i => (s"a,b\n$i,${i * 2}", "CSV",
+      null.asInstanceOf[java.sql.Timestamp])).toDF("data", "encoding", "timestamp")
+    assert(graft.sources.DataCapture.parsePayloads(ok).count() == 150)
+  }
+
+  test("registry survives concurrent writers without losing updates") {
+    val root = java.nio.file.Files.createTempDirectory("graft-reglock").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (1 to 8).map { i =>
+      Future {
+        new graft.stores.Registry(spark, root).upsert(s"artifact_$i", "data_source")
+      }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    val reg = new graft.stores.Registry(spark, root)
+    assert(reg.listNames() == (1 to 8).map(i => s"artifact_$i").sorted,
+      s"lost updates: ${reg.listNames()}")
+  }
+
   test("smartSample with idCol dedups on the id, not every column") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i, i.toDouble, s"payload_$i")).toDF("id", "v", "w")
