@@ -649,8 +649,54 @@ object SparkEntry {
         .crossFoldInference(li, idColumn = "l_orderkey", k = 5, capture = false)
         .select(col("l_orderkey").cast("bigint").as("id"), col("fold"),
           round(col("prediction"), 4).as("prediction"))
+    }),
+    "q83_property_tags" -> ((s, dir) => {
+      // tag catalog as data (mol_tagging.py:200-228): deterministic
+      // pseudo-descriptors from part, tagged via the rule catalog's
+      // violation-count engine — no RDKit anywhere
+      graft.functions.TagCatalog.applyPropertyRules(
+          partDescriptors(s, dir), "id", graft.functions.TagCatalog.propertyRules(s))
+        .select(col("id"), array_join(col("tags"), ",").as("tags"))
+    }),
+    "q84_curation_filter" -> ((s, dir) => {
+      // end-to-end tag-driven curation (mol_tagging.py:240-288 +
+      // :386-434): underlying tags ∪ property-rule tags → policy-derived
+      // curation tags → filterByTags drops curation:exclude rows
+      val TC = graft.functions.TagCatalog
+      val p = partDescriptors(s, dir)
+      val underlying = p.withColumn("tags", filter(array(
+        when(col("id") % 41 === 0, "composition:inorganic"),
+        when(col("id") % 37 === 0, "composition:heavy_metal"),
+        when(col("id") % 23 === 0, "liabilities:pains_a"),
+        when(col("id") % 5 === 0, "composition:halogenated")), _.isNotNull))
+      val propTags = TC.applyPropertyRules(p, "id", TC.propertyRules(s), "prop_tags")
+      val tagged = underlying.join(propTags, Seq("id"), "left")
+        .withColumn("tags",
+          sort_array(concat(col("tags"), coalesce(col("prop_tags"),
+            array().cast("array<string>")))))
+      val curated = TC.deriveCurationTags(tagged, TC.curationPolicy(s))
+        .withColumn("tags", sort_array(concat(col("tags"), col("curation_tags"))))
+      graft.proximity.Analytics.filterByTags(curated,
+          excludePrefix = Seq("curation:exclude:"))
+        .select(col("id"),
+          array_join(filter(col("tags"), _.startsWith("curation:")), ",")
+            .as("curation_tags"))
     })
   )
+
+  /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
+    * molecular descriptors aren't computable without RDKit, so integer-
+    * derived stand-ins (exact in double on every engine) exercise every
+    * threshold in the catalog. */
+  private def partDescriptors(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey").as("id"),
+      (lit(80) + (col("p_partkey") % 100) * 10).cast("double").as("mw"),
+      ((col("p_size") % 13) - 4).cast("double").as("logp"),
+      (col("p_partkey") % 8).cast("double").as("hbd"),
+      (col("p_partkey") % 14).cast("double").as("hba"),
+      (col("p_size") % 15).cast("double").as("rotbonds"),
+      (col("p_partkey") % 200).cast("double").as("tpsa"))
 
   /** One lifecycle run shared by q79/q80: onboard a deterministic
     * formula model, endpoint it, capture one inference over lineitem
@@ -1424,6 +1470,89 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS BIGINT) AS id,
          CAST(((l_orderkey % 1000003) * 2654435761) % 5 AS INT) AS fold,
          ROUND(10.0 + l_quantity * 2.0 + l_discount * (-5.0), 4) AS prediction
-         FROM lineitem"""
+         FROM lineitem""",
+    "q83_property_tags" ->
+      s"""WITH $tagRulesSql
+          SELECT id, string_agg(tag, ',' ORDER BY tag) AS tags
+          FROM viol WHERE v BETWEEN min_v AND max_v GROUP BY id""",
+    "q84_curation_filter" ->
+      s"""WITH $tagRulesSql,
+          prop_tags AS (SELECT id, list(tag ORDER BY tag) AS ptags
+            FROM viol WHERE v BETWEEN min_v AND max_v GROUP BY id),
+          base AS (SELECT p_partkey AS id, list_filter([
+              CASE WHEN p_partkey % 41 = 0 THEN 'composition:inorganic' END,
+              CASE WHEN p_partkey % 37 = 0 THEN 'composition:heavy_metal' END,
+              CASE WHEN p_partkey % 23 = 0 THEN 'liabilities:pains_a' END,
+              CASE WHEN p_partkey % 5 = 0 THEN 'composition:halogenated' END],
+              t -> t IS NOT NULL) AS utags FROM part),
+          merged AS (SELECT base.id,
+              list_sort(list_concat(utags, COALESCE(ptags, []))) AS tags
+            FROM base LEFT JOIN prop_tags ON base.id = prop_tags.id),
+          cur AS (SELECT id, list_sort(list_concat(tags,
+              list_sort(list_distinct(list_filter([
+                CASE WHEN list_contains(tags, 'composition:inorganic')
+                  THEN 'curation:exclude:inorganic' END,
+                CASE WHEN list_contains(tags, 'composition:organometallic')
+                  THEN 'curation:exclude:organometallic' END,
+                CASE WHEN list_contains(tags, 'composition:isotope_labeled')
+                  THEN 'curation:caution:isotope_labeled' END,
+                CASE WHEN list_contains(tags, 'structure:peptide')
+                  THEN 'curation:caution:peptide' END,
+                CASE WHEN list_contains(tags, 'structure:macrocycle')
+                  THEN 'curation:caution:macrocycle' END,
+                CASE WHEN list_contains(tags, 'composition:heavy_metal')
+                  THEN 'curation:caution:heavy_metal' END,
+                CASE WHEN list_contains(tags, 'composition:highly_halogenated')
+                  THEN 'curation:caution:highly_halogenated' END,
+                CASE WHEN list_contains(tags, 'composition:unusual_element')
+                  THEN 'curation:caution:unusual_element' END,
+                CASE WHEN len(list_filter(tags, t -> t LIKE 'liabilities:pains_%')) > 0
+                  THEN 'curation:caution:pains' END],
+                t -> t IS NOT NULL)))) ) AS tags FROM merged)
+          SELECT id, COALESCE(list_aggregate(
+              list_filter(tags, t -> t LIKE 'curation:%'), 'string_agg', ','), '')
+            AS curation_tags
+          FROM cur
+          WHERE len(list_filter(tags, t -> t LIKE 'curation:exclude:%')) = 0"""
   )
+
+  /** Shared oracle CTEs for the tag-catalog queries: the pseudo-
+    * descriptor stack + the [[graft.functions.TagCatalog.propertyRules]]
+    * catalog inlined as VALUES + the per-(id, tag) violation counts. */
+  private val tagRulesSql: String =
+    """props AS (
+         SELECT p_partkey AS id, 'mw' AS property,
+           CAST(80 + (p_partkey % 100) * 10 AS DOUBLE) AS value FROM part
+         UNION ALL SELECT p_partkey, 'logp', CAST((p_size % 13) - 4 AS DOUBLE) FROM part
+         UNION ALL SELECT p_partkey, 'hbd', CAST(p_partkey % 8 AS DOUBLE) FROM part
+         UNION ALL SELECT p_partkey, 'hba', CAST(p_partkey % 14 AS DOUBLE) FROM part
+         UNION ALL SELECT p_partkey, 'rotbonds', CAST(p_size % 15 AS DOUBLE) FROM part
+         UNION ALL SELECT p_partkey, 'tpsa', CAST(p_partkey % 200 AS DOUBLE) FROM part),
+       rules(tag, property, lo, hi, min_v, max_v) AS (VALUES
+         ('physchem:ro5_compliant', 'mw', -1e18, 500.0, 0, 1),
+         ('physchem:ro5_compliant', 'logp', -1e18, 5.0, 0, 1),
+         ('physchem:ro5_compliant', 'hbd', -1e18, 5.0, 0, 1),
+         ('physchem:ro5_compliant', 'hba', -1e18, 10.0, 0, 1),
+         ('physchem:ro5_strict', 'mw', -1e18, 500.0, 0, 0),
+         ('physchem:ro5_strict', 'logp', -1e18, 5.0, 0, 0),
+         ('physchem:ro5_strict', 'hbd', -1e18, 5.0, 0, 0),
+         ('physchem:ro5_strict', 'hba', -1e18, 10.0, 0, 0),
+         ('physchem:beyond_ro5', 'mw', -1e18, 500.0, 1, 2),
+         ('physchem:beyond_ro5', 'logp', -1e18, 5.0, 1, 2),
+         ('physchem:veber_compliant', 'rotbonds', -1e18, 10.0, 0, 0),
+         ('physchem:veber_compliant', 'tpsa', -1e18, 140.0, 0, 0),
+         ('physchem:lead_like', 'mw', 150.0, 350.0, 0, 0),
+         ('physchem:lead_like', 'logp', -3.0, 3.5, 0, 0),
+         ('physchem:fragment_like', 'mw', -1e18, 300.0, 0, 0),
+         ('physchem:fragment_like', 'logp', -1e18, 3.0, 0, 0),
+         ('physchem:fragment_like', 'hbd', -1e18, 3.0, 0, 0),
+         ('physchem:fragment_like', 'hba', -1e18, 3.0, 0, 0),
+         ('physchem:fragment_like', 'rotbonds', -1e18, 3.0, 0, 0),
+         ('curation:exclude:mw_too_low', 'mw', 100.0, 1e18, 1, 1),
+         ('curation:exclude:mw_too_high', 'mw', -1e18, 900.0, 1, 1)),
+       viol AS (
+         SELECT id, tag, ANY_VALUE(min_v) AS min_v, ANY_VALUE(max_v) AS max_v,
+           SUM(CASE WHEN value IS NULL OR value < lo OR value > hi
+             THEN 1 ELSE 0 END) AS v
+         FROM props JOIN rules USING (property) GROUP BY id, tag)"""
 }

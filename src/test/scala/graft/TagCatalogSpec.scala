@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.TagCatalog
+import graft.proximity.Analytics
+import org.apache.spark.sql.functions._
+
+/** Tag catalogs as data (reference mol_tagging.py:116-384): the
+  * property-range rule engine and the tag→curation policy derivation. */
+class TagCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tagsFor(mw: Double, logp: Double, hbd: Double, hba: Double,
+                      rotbonds: Double, tpsa: Double): Set[String] = {
+    val df = Seq((1L, mw, logp, hbd, hba, rotbonds, tpsa))
+      .toDF("id", "mw", "logp", "hbd", "hba", "rotbonds", "tpsa")
+    val out = TagCatalog.applyPropertyRules(df, "id", TagCatalog.propertyRules(spark))
+    if (out.isEmpty) Set.empty
+    else out.head().getSeq[String](1).toSet
+  }
+
+  test("property rules reproduce the reference physchem thresholds") {
+    // clean oral-drug profile: compliant + strict + veber + lead-like
+    assert(tagsFor(mw = 320, logp = 2.5, hbd = 2, hba = 5, rotbonds = 4, tpsa = 80) ==
+      Set("physchem:ro5_compliant", "physchem:ro5_strict",
+        "physchem:veber_compliant", "physchem:lead_like"))
+    // one Ro5 violation (mw 510): compliant but not strict, beyond-Ro5 fires
+    val one = tagsFor(mw = 510, logp = 2.5, hbd = 2, hba = 5, rotbonds = 4, tpsa = 80)
+    assert(one("physchem:ro5_compliant") && !one("physchem:ro5_strict") &&
+      one("physchem:beyond_ro5"))
+    // two violations: not compliant
+    assert(!tagsFor(mw = 510, logp = 6.0, hbd = 2, hba = 5, rotbonds = 4, tpsa = 80)
+      ("physchem:ro5_compliant"))
+    // fragment-like Ro3 (all five gates)
+    assert(tagsFor(mw = 180, logp = 1.0, hbd = 1, hba = 2, rotbonds = 2, tpsa = 40)
+      ("physchem:fragment_like"))
+    // ADMET MW gates (mol_tagging.py:96-100)
+    assert(tagsFor(mw = 80, logp = 1, hbd = 1, hba = 2, rotbonds = 2, tpsa = 40)
+      ("curation:exclude:mw_too_low"))
+    assert(tagsFor(mw = 950, logp = 1, hbd = 1, hba = 2, rotbonds = 2, tpsa = 40)
+      ("curation:exclude:mw_too_high"))
+  }
+
+  test("null descriptor counts as a violation, tagless rows drop out") {
+    val df = Seq((1L, Some(400.0), 6.0, 6.0, 11.0, 11.0, 150.0),
+        (2L, None: Option[Double], 6.0, 6.0, 11.0, 11.0, 150.0))
+      .toDF("id", "mw", "logp", "hbd", "hba", "rotbonds", "tpsa")
+    val out = TagCatalog.applyPropertyRules(df, "id", TagCatalog.propertyRules(spark))
+    // id 1: every category misses (2-3 violations each, beyond needs mw/logp>thr ok
+    // logp 6 > 5 → beyond fires); id 2: null mw ALSO violates mw gates → both
+    // mw_too_low and mw_too_high fire alongside beyond_ro5
+    val m = out.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(m(1L) == Set("physchem:beyond_ro5"))
+    assert(m(2L) == Set("physchem:beyond_ro5",
+      "curation:exclude:mw_too_low", "curation:exclude:mw_too_high"))
+  }
+
+  test("curation policy derives exclude/caution tags incl. prefix match") {
+    val df = Seq(
+      (1L, Seq("composition:inorganic", "structure:acyclic")),
+      (2L, Seq("liabilities:pains_b", "structure:macrocycle")),
+      (3L, Seq("structure:aromatic")),
+      (4L, Seq.empty[String])).toDF("id", "tags")
+    val out = TagCatalog.deriveCurationTags(df, TagCatalog.curationPolicy(spark))
+      .select("id", "curation_tags").as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("curation:exclude:inorganic"))
+    assert(out(2L) == Seq("curation:caution:macrocycle", "curation:caution:pains"))
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
+
+  test("catalog tags feed filterByTags end-to-end") {
+    val df = Seq(
+      (1L, Seq("composition:inorganic")),
+      (2L, Seq("liabilities:pains_a")),
+      (3L, Seq("structure:aromatic"))).toDF("id", "tags")
+    val curated = TagCatalog.deriveCurationTags(df, TagCatalog.curationPolicy(spark))
+      .withColumn("tags", sort_array(concat(col("tags"), col("curation_tags"))))
+    val kept = Analytics.filterByTags(curated,
+      excludePrefix = Seq("curation:exclude:"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    val flagged = Analytics.filterByTags(curated,
+      requirePrefix = Seq("curation:")).select("id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L))
+  }
+}
