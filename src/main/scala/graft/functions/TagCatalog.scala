@@ -97,53 +97,92 @@ object TagCatalog {
     * least one tag appear in the output (inner semantics, like the
     * reference emitting nothing for clean compounds in a category).
     *
-    * Plan: stack the needed properties long (codegen projection), one
-    * broadcast equi-join against the rule catalog, groupBy (id, tag)
-    * counting violations, then groupBy id collecting the surviving
-    * tags. Two shuffles on id — no window, no UDF; scales with
-    * partition count.
+    * Plan: for a normal-sized catalog (≤ [[CompileRuleLimit]] rows) the
+    * rules are collected once and compiled into ONE codegen'd
+    * projection — per tag, the violation count is a sum of range
+    * `when`s; the tag array assembles with `array`/`filter`. Zero
+    * joins, zero shuffles: scan → project → filter, the plan you want
+    * at any scale. Catalogs above the limit (where a giant codegen'd
+    * when-tree would stop being a win) fall back to stack-long +
+    * broadcast join + two groupBys on id — still window-free.
     */
   def applyPropertyRules(df: DataFrame, idCol: String, rules: DataFrame,
                          tagColumn: String = "tags"): DataFrame = {
-    // catalog is O(10) rows by construction — driver-side property list
-    val props = rules.select("property").distinct()
-      .collect().map(_.getString(0)).sorted
+    val ruleRows = rules
+      .select("tag", "property", "lo", "hi", "min_violations", "max_violations")
+      .collect()
+    val props = ruleRows.map(_.getString(1)).distinct.sorted
     require(props.forall(df.columns.contains),
       s"applyPropertyRules: missing descriptor columns ${props.filterNot(df.columns.contains).mkString(", ")}")
-    val long = df.select(col(idCol), expr(
-      s"stack(${props.length}, ${props.map(p => s"'$p', cast(`$p` as double)").mkString(", ")}) as (property, value)"))
-    val violations = long.join(broadcast(rules), "property")
-      .groupBy(col(idCol), col("tag"))
-      .agg(
-        sum(when(col("value").isNull || col("value") < col("lo") ||
-          col("value") > col("hi"), 1).otherwise(0)).as("violations"),
-        first(col("min_violations")).as("min_v"),
-        first(col("max_violations")).as("max_v"))
-    violations
-      .filter(col("violations").between(col("min_v"), col("max_v")))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("tag"))).as(tagColumn))
+    if (ruleRows.length <= CompileRuleLimit)
+      applyCompiled(df, idCol, ruleRows.toSeq, tagColumn)
+    else {
+      val long = df.select(col(idCol), expr(
+        s"stack(${props.length}, ${props.map(p => s"'$p', cast(`$p` as double)").mkString(", ")}) as (property, value)"))
+      val violations = long.join(broadcast(rules), "property")
+        .groupBy(col(idCol), col("tag"))
+        .agg(
+          sum(when(col("value").isNull || col("value") < col("lo") ||
+            col("value") > col("hi"), 1).otherwise(0)).as("violations"),
+          first(col("min_violations")).as("min_v"),
+          first(col("max_violations")).as("max_v"))
+      violations
+        .filter(col("violations").between(col("min_v"), col("max_v")))
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_set(col("tag"))).as(tagColumn))
+    }
+  }
+
+  /** Rule-count ceiling for the compiled (shuffle-free) path. */
+  val CompileRuleLimit = 200
+
+  private def applyCompiled(df: DataFrame, idCol: String,
+                            ruleRows: Seq[org.apache.spark.sql.Row],
+                            tagColumn: String): DataFrame = {
+    // conditional SINGLETON-ARRAY concat, not array()+HOF filter: higher-
+    // order lambdas (ArrayFilter) are CodegenFallback, which would drop
+    // the whole when-tree out of whole-stage codegen AND evaluate it
+    // twice (once in the size() filter, once in the projection)
+    val empty = array().cast("array<string>")
+    val byTag = ruleRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val tagExprs = byTag.map { case (tag, rs) =>
+      val violations = rs.map { r =>
+        val v = col(r.getString(1)).cast("double")
+        when(v.isNull || v < lit(r.getDouble(2)) || v > lit(r.getDouble(3)), 1)
+          .otherwise(0)
+      }.reduce(_ + _)
+      val (minV, maxV) = (rs.head.getInt(4), rs.head.getInt(5))
+      when(violations.between(minV, maxV), array(lit(tag))).otherwise(empty)
+    }
+    df.select(col(idCol), sort_array(concat(tagExprs: _*)).as(tagColumn))
+      .filter(size(col(tagColumn)) > 0)
   }
 
   /** Derive curation tags from an existing tag array via the policy
     * catalog. The tiny policy is collected once and compiled into a
-    * single codegen'd array projection (`array(when(...)...) |> filter
-    * |> array_distinct |> sort_array`) — catalog-as-data in, pure
-    * whole-stage-codegen plan out. Null tag arrays derive no tags. */
+    * single codegen'd array projection — catalog-as-data in, pure
+    * whole-stage-codegen plan out. Exact matches are `array_contains`;
+    * prefix matches test `contains(SEP + prefix)` against a SEP-joined
+    * tag string (SEP = \\u0001, never in a tag) because the natural
+    * `exists(_.startsWith(…))` is a CodegenFallback higher-order lambda.
+    * Null tag arrays derive no tags. */
   def deriveCurationTags(df: DataFrame, policy: DataFrame,
                          tagColumn: String = "tags",
                          outColumn: String = "curation_tags"): DataFrame = {
     val rows = policy.select("source_tag", "is_prefix", "derived_tag").collect()
     require(rows.length <= 1000,
       s"deriveCurationTags: policy catalog unexpectedly large (${rows.length} rows)")
+    val sep = "\u0001"
+    val joined = concat(lit(sep), array_join(col(tagColumn), sep))
+    val empty = array().cast("array<string>")
     val derived = rows.toSeq.map { r =>
       val (src, pfx, out) = (r.getString(0), r.getBoolean(1), r.getString(2))
       val cond =
-        if (pfx) exists(col(tagColumn), _.startsWith(src))
+        if (pfx) joined.contains(sep + src)
         else array_contains(col(tagColumn), src)
-      when(coalesce(cond, lit(false)), out)
+      when(coalesce(cond, lit(false)), array(lit(out))).otherwise(empty)
     }
     df.withColumn(outColumn,
-      sort_array(array_distinct(filter(array(derived: _*), _.isNotNull))))
+      sort_array(array_distinct(concat(derived: _*))))
   }
 }

@@ -54,6 +54,36 @@ class TagCatalogSpec extends SparkSpec {
       "curation:exclude:mw_too_low", "curation:exclude:mw_too_high"))
   }
 
+  test("compiled rule path is shuffle-free and matches the join path") {
+    val df = (1L to 500L).map(i =>
+        (i, (80 + (i % 100) * 10).toDouble, ((i % 13) - 4).toDouble,
+          (i % 8).toDouble, (i % 14).toDouble, (i % 15).toDouble, (i % 200).toDouble))
+      .toDF("id", "mw", "logp", "hbd", "hba", "rotbonds", "tpsa")
+    val rules = TagCatalog.propertyRules(spark)
+    val compiled = TagCatalog.applyPropertyRules(df, "id", rules)
+    // zero Exchange operators: scan → project → filter only
+    val exchanges = compiled.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty, s"compiled rule path should not shuffle: $exchanges")
+    // bit-identical to the join+groupBy fallback (forced via a low limit)
+    val viaJoin = {
+      val long = df.selectExpr("id",
+        "stack(6, 'mw', mw, 'logp', logp, 'hbd', hbd, 'hba', hba, " +
+          "'rotbonds', rotbonds, 'tpsa', tpsa) as (property, value)")
+      long.join(broadcast(rules), "property")
+        .groupBy("id", "tag")
+        .agg(sum(when(col("value").isNull || col("value") < col("lo") ||
+          col("value") > col("hi"), 1).otherwise(0)).as("v"),
+          first("min_violations").as("min_v"), first("max_violations").as("max_v"))
+        .filter(col("v").between(col("min_v"), col("max_v")))
+        .groupBy("id").agg(sort_array(collect_set(col("tag"))).as("tags"))
+    }
+    val a = compiled.as[(Long, Seq[String])].collect().toMap
+    val b = viaJoin.as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+  }
+
   test("curation policy derives exclude/caution tags incl. prefix match") {
     val df = Seq(
       (1L, Seq("composition:inorganic", "structure:acyclic")),
