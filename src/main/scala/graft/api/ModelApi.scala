@@ -174,11 +174,15 @@ class Endpoint(val catalog: Catalog, val name: String) {
     withRes
   }
 
-  /** Write SageMaker-shaped capture JSONL for this inference: per
-    * partition-chunk, one record holding the input features and the
-    * predictions as header-led CSV payloads (the capture record shape
-    * DataCapture parses — data_capture_core.py:28-60). Batched per
-    * partition, so capture adds one narrow pass, no extra shuffle. */
+  /** Write SageMaker-shaped capture JSONL for this inference: chunks of
+    * `CaptureChunkRows` rows become one record each, holding the input
+    * features and the predictions as header-led CSV payloads (the
+    * capture record shape DataCapture parses —
+    * data_capture_core.py:28-60). Chunking happens INSIDE each
+    * partition (`mapPartitions` over the narrow (in, out) line
+    * projection) — capture is a shuffle-free narrow pass at any scale,
+    * and record payloads stay bounded at ~chunk size instead of one
+    * multi-MB string per partition. */
   private def writeDataCapture(m: Model, preds: DataFrame, mon: Monitor): Unit = {
     val cols = preds.columns
     val inCols = m.features.filter(cols.contains)
@@ -187,27 +191,29 @@ class Endpoint(val catalog: Catalog, val name: String) {
     val sampled = if (pct >= 100) preds else preds.sample(pct / 100.0, 42L)
     def lineOf(cs: Seq[String]) =
       concat_ws(",", cs.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-    def side(header: String, lines: org.apache.spark.sql.Column) = struct(
-      concat(lit(header + "\n"), concat_ws("\n", lines)).as("data"),
-      lit("CSV").as("encoding"), lit("InputAndOutput").as("mode"),
-      lit("text/csv").as("observedContentType"))
-    // ONE collect_list of (in, out) pairs keeps both sides row-aligned
-    // (two independent collect_lists would not guarantee shared order)
+    val spark = preds.sparkSession
+    import spark.implicits._
+    val header = inCols.mkString(",")
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .format(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC))
+    val chunkRows = Endpoint.CaptureChunkRows
+    // ONE (in, out) pair per row keeps both sides row-aligned
     sampled
-      .withColumn("__pair", struct(lineOf(inCols).as("in"), lineOf(Seq("prediction")).as("out")))
-      .groupBy(spark_partition_id().as("__chunk"))
-      .agg(collect_list(col("__pair")).as("pairs"))
-      .select(
-        struct(
-          side(inCols.mkString(","), transform(col("pairs"), p => p("in")))
-            .as("endpointInput"),
-          side("prediction", transform(col("pairs"), p => p("out")))
-            .as("endpointOutput")).as("captureData"),
-        struct(
-          concat(lit("cap-"), col("__chunk").cast("string")).as("eventId"),
-          date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-            .as("inferenceTime")).as("eventMetadata"),
-        lit("1.0").as("eventVersion"))
+      .select(lineOf(inCols).as("in"), lineOf(Seq("prediction")).as("out"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.grouped(chunkRows).zipWithIndex.map { case (chunk, i) =>
+          Endpoint.CaptureRecord(
+            Endpoint.CaptureData(
+              Endpoint.CaptureSide(
+                header + "\n" + chunk.iterator.map(_._1).mkString("\n")),
+              Endpoint.CaptureSide(
+                "prediction\n" + chunk.iterator.map(_._2).mkString("\n"))),
+            Endpoint.CaptureMeta(s"cap-$pid-$i", ts), "1.0")
+        }
+      }
       .write.mode("append").json(mon.captureDir)
   }
 
@@ -299,4 +305,19 @@ class Endpoint(val catalog: Catalog, val name: String) {
       lit(null).cast("string").as("meta"),
       current_timestamp().as("timestamp")))
   }
+}
+
+object Endpoint {
+  /** Rows per capture record — bounds each record's payload string
+    * (mirrors SageMaker's per-request capture framing). */
+  val CaptureChunkRows = 500
+
+  case class CaptureSide(data: String, encoding: String = "CSV",
+                         mode: String = "InputAndOutput",
+                         observedContentType: String = "text/csv")
+  case class CaptureData(endpointInput: CaptureSide,
+                         endpointOutput: CaptureSide)
+  case class CaptureMeta(eventId: String, inferenceTime: String)
+  case class CaptureRecord(captureData: CaptureData,
+                           eventMetadata: CaptureMeta, eventVersion: String)
 }

@@ -150,9 +150,19 @@ class Monitor(val catalog: Catalog, val endpointName: String) {
                   bins: Int = 10, threshold: Double = 0.1): DataFrame = {
     val base = getBaseline().getOrElse(
       throw new IllegalStateException(s"no baseline for $endpointName — run createBaseline"))
-    graft.eda.Quality.psiDrift(current, base, cols, bins)
-      .join(graft.eda.Quality.detectDrift(current, base, cols, threshold),
-        Seq("column_name"))
-      .orderBy("column_name")
+    // `current` is usually the parsed capture (JSON scan + per-line CSV
+    // parse) and both PSI and the drift flags scan it — persist for the
+    // report's duration and return the metadata-sized (one row per
+    // column) result eagerly so the cache can be released here
+    val cur = current.persist()
+    try {
+      val out = graft.eda.Quality.psiDrift(cur, base, cols, bins)
+        .join(graft.eda.Quality.detectDrift(cur, base, cols, threshold),
+          Seq("column_name"))
+        .orderBy("column_name")
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally cur.unpersist(false)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-evaluation metrics as single-pass aggregate expressions
@@ -91,47 +91,73 @@ object Metrics {
     * through an ordinary hash+range shuffle. Same exact result as the
     * global-window form. */
   def rocAuc(df: DataFrame, labelCol: String, scoreCol: String,
-             buckets: Int = 256): DataFrame = {
+             buckets: Int = 256): DataFrame =
+    rankedScores(df.withColumn("__auc_g", lit("all")),
+        "__auc_g", labelCol, scoreCol, buckets)
+      // global aggregate, not groupBy: an empty/all-null input still
+      // yields ONE row (null AUC), with no eager driver-side check
+      .agg(
+        sum(col("n_pos") * col("avg_rank")).as("__rank_sum"),
+        sum("n_pos").as("__p"), sum(col("n") - col("n_pos")).as("__n"))
+      .select(aucFromRankSum.as("roc_auc"))
+
+  /** ROC-AUC for EVERY group in one distributed pipeline — one shuffle
+    * on (group, score) + the bucketed prefix-sum, instead of one full
+    * rocAuc job-set per group. Feeds the per-class one-vs-rest loop in
+    * [[classificationMetricsFull]]; groups absent from the input (e.g.
+    * an all-null proba column) are simply absent from the output —
+    * callers left-join. Returns (groupCol, roc_auc). */
+  def rocAucByGroup(df: DataFrame, groupCol: String, labelCol: String,
+                    scoreCol: String, buckets: Int = 256): DataFrame =
+    rankedScores(df, groupCol, labelCol, scoreCol, buckets)
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        sum(col("n_pos") * col("avg_rank")).as("__rank_sum"),
+        sum("n_pos").as("__p"), sum(col("n") - col("n_pos")).as("__n"))
+      .select(col(groupCol), aucFromRankSum.as("roc_auc"))
+
+  private def aucFromRankSum: Column = round(
+    (col("__rank_sum") - col("__p") * (col("__p") + 1) / 2.0) /
+      (col("__p") * col("__n")), 6)
+
+  /** Shared rank-prefix pipeline: distinct (group, score) aggregate →
+    * per-group range-bucketing (bounds from a broadcast-joined
+    * metadata aggregate) → per-(group, bucket) offsets via a window
+    * over the ≤groups×buckets totals frame → within-bucket rank
+    * window PARTITIONED by (group, bucket). Fully declarative — no
+    * driver actions, no single-partition window; the (group, score)
+    * shuffle is reused across the bounds/offsets/rank branches. */
+  private def rankedScores(df: DataFrame, groupCol: String,
+                           labelCol: String, scoreCol: String,
+                           buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grouped = df
-      .select(col(scoreCol).cast("double").as("score"),
+      .select(col(groupCol).cast("string").as("__g"),
+        col(scoreCol).cast("double").as("score"),
         col(labelCol).cast("int").as("pos"))
       .filter(col("score").isNotNull && col("pos").isNotNull)
-      .groupBy("score")
+      .groupBy("__g", "score")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
-    // two-phase range bounds (literals, like the outlier bounds) so the
-    // bucket id is a plain codegen'd expression
-    val mm = grouped.agg(min("score"), max("score")).head()
-    if (mm.isNullAt(0))
-      return df.sparkSession.range(1)
-        .select(lit(null).cast("double").as("roc_auc"))
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val width = (hi - lo) / buckets
-    val bucket =
-      if (width == 0) lit(0)
-      else least(floor((col("score") - lit(lo)) / lit(width)),
-        lit(buckets - 1)).cast("int")
-    val bucketed = grouped.withColumn("bucket", bucket)
-    // per-bucket totals → cumulative offsets on the driver (≤`buckets`
-    // rows), broadcast back as a literal map
-    val totals = bucketed.groupBy("bucket").agg(sum("n").as("bn"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsetByBucket: Map[Int, Long] = {
-      var acc = 0L
-      totals.map { case (b, bn) => val o = b -> acc; acc += bn; o }.toMap
-    }
-    val offCol = element_at(typedlit(offsetByBucket), col("bucket"))
-    val w = Window.partitionBy("bucket").orderBy("score")
+    val bounds = grouped.groupBy("__g")
+      .agg(min("score").as("__lo"), max("score").as("__hi"))
+    val bucketed = grouped.join(broadcast(bounds), "__g")
+      .withColumn("bucket",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor((col("score") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)),
+            lit(buckets - 1))).cast("int"))
+      .drop("__lo", "__hi")
+    val wOff = Window.partitionBy("__g").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = bucketed
-      .withColumn("before", offCol + coalesce(sum("n").over(w), lit(0L)))
+    val offsets = bucketed.groupBy("__g", "bucket").agg(sum("n").as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .drop("__bn")
+    val wIn = Window.partitionBy("__g", "bucket").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("__g", "bucket"))
+      .withColumn("before", col("__off") + coalesce(sum("n").over(wIn), lit(0L)))
       .withColumn("avg_rank", col("before") + (col("n") + 1) / 2.0)
-    ranked.agg(
-      sum(col("n_pos") * col("avg_rank")).as("__rank_sum"),
-      sum("n_pos").as("__p"), sum(col("n") - col("n_pos")).as("__n"))
-      .select(round(
-        (col("__rank_sum") - col("__p") * (col("__p") + 1) / 2.0) /
-          (col("__p") * col("__n")), 6).as("roc_auc"))
   }
 
   /** Full classification metrics table — the reference's
@@ -160,10 +186,18 @@ object Metrics {
     val probaCols = labels.map(l => s"${l}_proba")
     val withAuc =
       if (probaCols.forall(df.columns.contains)) {
-        val aucs = labels.map { l =>
-          rocAuc(clean.withColumn("__pos", (col(target) === l).cast("int")),
-            "__pos", s"${l}_proba").withColumn("class", lit(l))
-        }.reduce(_ unionByName _)
+        // ALL one-vs-rest AUCs in one pipeline: stack the proba columns
+        // long (one scan) and let rocAucByGroup bucket/rank every class
+        // at once — the per-class rocAuc loop ran a full job-set per
+        // label (L scans, L shuffles, 3L jobs)
+        val stackExpr = s"stack(${labels.size}, " + labels.map { l =>
+          val q = l.replace("'", "''")
+          s"'$q', cast(`${l}_proba` as double)"
+        }.mkString(", ") + ") as (__cls, __score)"
+        val long = clean.select(col(target), expr(stackExpr))
+          .withColumn("__pos", (col(target) === col("__cls")).cast("int"))
+        val aucs = rocAucByGroup(long, "__cls", "__pos", "__score")
+          .withColumnRenamed("__cls", "class")
         report.join(aucs, Seq("class"), "left")
       } else report.withColumn("roc_auc", lit(null).cast("double"))
     // the per-class table is metadata-sized — collect ONCE and build the

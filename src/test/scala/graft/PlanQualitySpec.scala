@@ -40,9 +40,25 @@ class PlanQualitySpec extends SparkSpec {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
     assert(windows.nonEmpty, "expected the rank-prefix window")
-    assert(windows.forall(_.partitionSpec.nonEmpty),
-      "global (single-partition) window found in rocAuc — the distributed " +
-        "bucketed prefix must partition by bucket")
+    // the DATA-SIZED window (rank prefix, ordered by score) must be
+    // partitioned by bucket; the bucket-OFFSET window runs over the
+    // ≤`buckets`-row totals aggregate (metadata-sized by construction)
+    // and is allowed to be global
+    val rankWindows = windows.filter(_.orderSpec.exists(
+      _.child.references.exists(_.name == "score")))
+    assert(rankWindows.nonEmpty, "expected the score-ordered rank window")
+    assert(rankWindows.forall(_.partitionSpec.nonEmpty),
+      "global (single-partition) window found in rocAuc's rank prefix — " +
+        "the distributed bucketed prefix must partition by bucket")
+    val offsetWindows = windows.filterNot(rankWindows.contains)
+    assert(offsetWindows.forall(w =>
+      w.child.exists {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.groupingExpressions.exists(_.references.exists(_.name == "bucket"))
+        case _ => false
+      }),
+      "an unpartitioned window in rocAuc must consume only the bounded " +
+        "per-bucket totals aggregate")
   }
 
   test("rocAuc on an empty/all-null score frame returns a null-AUC row") {
