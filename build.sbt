@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32-thread local[*] runs (bench/verify) GC-thrash at 8g: broadcasts,
+  // localCheckpoint blocks and window buffers share the one JVM. The
+  // image has 128 GiB; 20g keeps headroom for the sbt JVM + page cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )
