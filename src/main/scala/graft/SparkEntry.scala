@@ -681,7 +681,14 @@ object SparkEntry {
         .select(col("id"),
           array_join(filter(col("tags"), _.startsWith("curation:")), ",")
             .as("curation_tags"))
-    })
+    }),
+    "q85_curation_funnel" -> ((s, dir) =>
+      // end-to-end corpus-curation funnel (quality gate → language gate
+      // → exact dedup), per-source counts — composes q29-q31 + q27 the
+      // way an ingest pipeline runs them
+      graft.text.Curation.funnel(t(s, dir, "documents"), "doc_id", "text",
+        "source", graft.text.Curation.Config(
+          minWords = 40, maxPunctRatio = 0.05, langs = Seq("en", "fr"))))
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -1522,7 +1529,41 @@ object SparkEntry {
               list_filter(tags, t -> t LIKE 'curation:%'), 'string_agg', ','), '')
             AS curation_tags
           FROM cur
-          WHERE len(list_filter(tags, t -> t LIKE 'curation:exclude:%')) = 0"""
+          WHERE len(list_filter(tags, t -> t LIKE 'curation:exclude:%')) = 0""",
+    "q85_curation_funnel" -> {
+      def ratio(l: String): String = {
+        val sw = Text.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / GREATEST(len(toks), 1)"
+      }
+      s"""WITH d AS (SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, source, text, toks,
+             (len(toks) >= 40 AND
+              CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) /
+                GREATEST(length(text), 1) <= 0.05) AS quality_pass,
+             ${ratio("de")} AS s_de, ${ratio("en")} AS s_en,
+             ${ratio("es")} AS s_es, ${ratio("fr")} AS s_fr FROM d),
+         l AS (SELECT *, CASE
+             WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+             WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+             WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'und' END AS lang_pred FROM s),
+         lp AS (SELECT *, quality_pass AND lang_pred IN ('en', 'fr') AS lang_pass,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+           FROM l),
+         k AS (SELECT fingerprint, MIN(doc_id) AS keeper FROM lp
+           WHERE lang_pass GROUP BY 1),
+         a AS (SELECT lp.*, (lang_pass AND keeper = doc_id) AS kept
+           FROM lp LEFT JOIN k USING (fingerprint))
+         SELECT source, COUNT(*) AS n_input,
+           SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS n_quality,
+           SUM(CASE WHEN lang_pass THEN 1 ELSE 0 END) AS n_lang,
+           SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+         FROM a GROUP BY source"""
+    }
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

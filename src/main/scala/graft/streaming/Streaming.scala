@@ -68,4 +68,52 @@ object Streaming {
       spark.readStream.schema(graft.sources.DataCapture.captureSchema)
         .json(captureDir),
       side, payloadSchema)
+
+  /** Streaming exact-dedup WITHIN a watermark horizon: drop rows whose
+    * normalized-text fingerprint was already seen recently. State-store
+    * backed (`dropDuplicatesWithinWatermark`), so state is evicted as
+    * the watermark advances — bounded memory on an unbounded stream.
+    * For dedup against ALL history, use [[dedupAgainstStore]]. */
+  def dedupWithinWatermark(docs: DataFrame, textCol: String, tsCol: String,
+                           watermark: String): DataFrame =
+    docs.withColumn("fingerprint", graft.text.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming exact-dedup against a PERSISTENT fingerprint store — the
+    * incremental form of [[graft.dedup.Dedup.exactDedup]] for a corpus
+    * that grows batch by batch (the shape of a training-data ingest
+    * pipeline: every drained micro-batch deduplicates against
+    * everything ever ingested, not just the watermark horizon).
+    *
+    * Per micro-batch: batch-local exact dedup (one fingerprint
+    * groupBy), then one left_anti join against the store (fingerprints
+    * only — a narrow single-column table), then append survivors to
+    * `outDir` and their fingerprints to `storeDir`. The store read is
+    * re-planned per batch so it sees all previous appends. Restarts
+    * resume from the checkpoint; a batch retried after a crash between
+    * the two appends can duplicate store fingerprints — harmless for
+    * dedup semantics (the anti-join is set-membership). */
+  def dedupAgainstStore(docs: DataFrame, idCol: String, textCol: String,
+                        storeDir: String, outDir: String,
+                        checkpoint: String): StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val groups = graft.dedup.Dedup.exactGroups(batch, idCol, textCol)
+      val keepers = batch.join(
+        groups.select(col("keeper_id").as(idCol), col("fingerprint")), Seq(idCol))
+      val seen =
+        if (new java.io.File(storeDir).exists)
+          spark.read.parquet(storeDir).select("fingerprint")
+        else spark.range(0).select(lit("").as("fingerprint"))
+      val fresh = keepers.join(seen, Seq("fingerprint"), "left_anti").persist()
+      try {
+        fresh.drop("fingerprint").write.mode("append").parquet(outDir)
+        fresh.select("fingerprint").write.mode("append").parquet(storeDir)
+      } finally fresh.unpersist()
+      ()
+    }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

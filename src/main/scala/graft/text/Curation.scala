@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end document-curation funnel for training-data pipelines
+  * (beyond the reference's operator set — north-star scope; the per-
+  * stage pieces are the q29-q31/q27 operators, this composes them the
+  * way a corpus-ingest job actually runs them).
+  *
+  * Stages, applied sequentially (a document must pass every earlier
+  * stage to be considered by the next, like a real ingest funnel):
+  *   1. quality gate — minimum word count + maximum punctuation ratio
+  *   2. language gate — [[Text.langId]] ∈ the allowed set
+  *   3. exact dedup   — first occurrence (lowest id) per normalized-
+  *      text fingerprint AMONG gate survivors
+  *
+  * Scale shape: [[annotate]] is one codegen'd projection (all text
+  * signals in a single scan) + one fingerprint groupBy + one join on
+  * the id — the same two-shuffle budget as exact dedup alone; the
+  * funnel report is one aggregate on top. No windows, no UDFs.
+  */
+object Curation {
+
+  /** Gate thresholds; defaults are the usual cheap-corpus settings. */
+  case class Config(minWords: Int = 5, maxPunctRatio: Double = 0.3,
+                    langs: Seq[String] = Seq("en"))
+
+  private def punctRatio(t: Column): Column =
+    length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(t), lit(1))
+
+  /** Every input row with its stage verdicts:
+    * `quality_pass`, `lang_pred`, `lang_pass` (quality AND language),
+    * `fingerprint`, and `kept` (passed every gate and is its
+    * fingerprint group's keeper). */
+  def annotate(docs: DataFrame, idCol: String, textCol: String,
+               cfg: Config = Config()): DataFrame = {
+    val t = col(textCol)
+    val flagged = docs
+      .withColumn("quality_pass",
+        size(Text.tokens(t)) >= cfg.minWords &&
+          punctRatio(t) <= cfg.maxPunctRatio)
+      .withColumn("lang_pred", Text.langId(t))
+      .withColumn("lang_pass",
+        col("quality_pass") && col("lang_pred").isin(cfg.langs: _*))
+      .withColumn("fingerprint", Text.fingerprint(t))
+    val keepers = flagged.filter(col("lang_pass"))
+      .groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
+    flagged
+      .join(keepers.select(col("__keeper").as(idCol), lit(true).as("__k")),
+        Seq(idCol), "left")
+      .withColumn("kept", col("lang_pass") && coalesce(col("__k"), lit(false)))
+      .drop("__k")
+  }
+
+  /** The curated corpus: rows that pass every gate, original columns. */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          cfg: Config = Config()): DataFrame =
+    annotate(docs, idCol, textCol, cfg)
+      .filter(col("kept"))
+      .select(docs.columns.map(col): _*)
+
+  /** Per-group funnel report: input rows, survivors of each gate, and
+    * the final kept count — the numbers a pipeline owner tracks per
+    * source/shard. One aggregate over [[annotate]]. */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+             groupCol: String, cfg: Config = Config()): DataFrame =
+    annotate(docs, idCol, textCol, cfg)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(col("quality_pass").cast("long")).as("n_quality"),
+        sum(col("lang_pass").cast("long")).as("n_lang"),
+        sum(col("kept").cast("long")).as("n_kept"))
+}

@@ -130,4 +130,53 @@ class ModelsStreamingSpec extends SparkSpec {
     assert(out.contains((1L, 2L, 10.0)))
     assert(out.contains((1L, 1L, 7.0)))
   }
+
+  test("dedupAgainstStore: cross-drain dedup against the fingerprint store") {
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    val in = tmp + "/in"; val out = tmp + "/out"
+    val store = tmp + "/store"; val cp = tmp + "/cp"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    // drain 1: an internal duplicate (2/3) — batch-local dedup keeps doc 2
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "Gamma  DELTA"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val stream1 = spark.readStream.schema(schema).parquet(in)
+    Streaming.dedupAgainstStore(stream1, "doc_id", "text", store, out, cp)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+    // drain 2: doc 4 repeats drain 1's text (store hit), doc 5 is new
+    Seq((4L, "alpha beta"), (5L, "epsilon")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    val stream2 = spark.readStream.schema(schema).parquet(in)
+    Streaming.dedupAgainstStore(stream2, "doc_id", "text", store, out, cp)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 5L))
+    assert(spark.read.parquet(store).count() == 3) // three distinct fingerprints
+  }
+
+  test("dedupWithinWatermark drops same-fingerprint rows in a drain") {
+    val tmp = Files.createTempDirectory("graft-wdedup").toString
+    val docs = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "same text"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "SAME   text"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "other"))
+      .toDF("ts", "doc_id", "text")
+    docs.write.mode("overwrite").parquet(tmp + "/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp + "/in")
+    val q = Streaming.dedupWithinWatermark(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wdedup_out")
+      .option("checkpointLocation", tmp + "/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT doc_id FROM wdedup_out").as[Long].collect().toSet
+    // exactly ONE of the fingerprint-equal pair survives (which one is
+    // processing-order dependent — the operator keeps first-SEEN, not
+    // first-by-timestamp), plus the distinct doc
+    assert(ids.size == 2 && ids.contains(3L) &&
+      (ids.contains(1L) ^ ids.contains(2L)), ids.toString)
+  }
 }
