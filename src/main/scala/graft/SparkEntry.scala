@@ -689,6 +689,18 @@ object SparkEntry {
       graft.text.Curation.funnel(t(s, dir, "documents"), "doc_id", "text",
         "source", graft.text.Curation.Config(
           minWords = 40, maxPunctRatio = 0.05, langs = Seq("en", "fr"))))
+    ,
+    "q86_sql_surface" -> ((s, dir) => {
+      // the library's SQL surface: same codegen'd expressions as the
+      // Column API, reached through plain spark.sql after one
+      // SqlFunctions.install (or spark.sql.extensions wiring)
+      graft.functions.SqlFunctions.install(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_sqlv")
+      s.sql("""SELECT doc_id, graft_fingerprint(text) AS fingerprint,
+                 CAST(graft_word_count(text) AS BIGINT) AS n_words,
+                 graft_lang_id(text) AS lang_pred
+               FROM documents_sqlv""")
+    })
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -1563,6 +1575,28 @@ object SparkEntry {
            SUM(CASE WHEN lang_pass THEN 1 ELSE 0 END) AS n_lang,
            SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
          FROM a GROUP BY source"""
+    },
+    "q86_sql_surface" -> {
+      def ratio(l: String): String = {
+        val sw = Text.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / GREATEST(len(toks), 1)"
+      }
+      s"""WITH d AS (SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, text, toks, ${ratio("de")} AS s_de, ${ratio("en")} AS s_en,
+                      ${ratio("es")} AS s_es, ${ratio("fr")} AS s_fr FROM d)
+         SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CASE
+             WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+             WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+             WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'und' END AS lang_pred
+         FROM s"""
     }
   )
 

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExprBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** The library's SQL surface: every scalar graft operator exposed as a
+  * Spark SQL function, so `spark.sql("SELECT graft_fingerprint(text)
+  * …")` works exactly like the Column API. All functions are the SAME
+  * codegen'd expressions the Column API builds — registration only adds
+  * a FunctionRegistry name, no UDF wrapper, no performance difference.
+  *
+  * Two installation paths:
+  *  - [[install]] on a live session (tests, notebooks);
+  *  - `spark.sql.extensions=graft.GraftSparkExtension` at session build
+  *    (cluster deployment) — also injects the NanosPushdown optimizer
+  *    rule, so one config line wires the whole library into plain SQL.
+  */
+object SqlFunctions {
+
+  private def c(e: Expression): Column = GraftExprBridge.toColumn(e)
+  private def x(col: Column): Expression = GraftExprBridge.toExpression(col)
+
+  /** Extract a literal Int argument (signature widths must be plan
+    * constants — they size the generated expression). */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a literal INT argument, got $other")
+  }
+
+  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+    require(es.length == n, s"$fn expects $n argument(s), got ${es.length}")
+
+  /** (name, builder) for every SQL function the library exports. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_fingerprint" -> { es: Seq[Expression] =>
+      arity("graft_fingerprint", es, 1)
+      x(graft.text.Text.fingerprint(c(es.head)))
+    },
+    "graft_tokens" -> { es: Seq[Expression] =>
+      arity("graft_tokens", es, 1)
+      x(graft.text.Text.tokens(c(es.head)))
+    },
+    "graft_token_count" -> { es: Seq[Expression] =>
+      arity("graft_token_count", es, 1)
+      x(graft.text.Text.tokenCount(c(es.head)))
+    },
+    "graft_word_count" -> { es: Seq[Expression] =>
+      arity("graft_word_count", es, 1)
+      x(graft.text.Text.wordCount(c(es.head)))
+    },
+    "graft_lang_id" -> { es: Seq[Expression] =>
+      arity("graft_lang_id", es, 1)
+      x(graft.text.Text.langId(c(es.head)))
+    },
+    "graft_shingles" -> { es: Seq[Expression] =>
+      arity("graft_shingles", es, 2)
+      x(graft.functions.Signatures.wordShingles(
+        c(es.head), intArg(es(1), "graft_shingles")))
+    },
+    "graft_minhash" -> { es: Seq[Expression] =>
+      arity("graft_minhash", es, 2)
+      x(graft.functions.Signatures.minhashSignature(
+        c(es.head), intArg(es(1), "graft_minhash")))
+    },
+    "graft_simhash" -> { es: Seq[Expression] =>
+      arity("graft_simhash", es, 1)
+      x(graft.functions.Signatures.simhash(c(es.head)))
+    },
+    "graft_cosine_sim" -> { es: Seq[Expression] =>
+      arity("graft_cosine_sim", es, 2)
+      x(graft.proximity.Proximity.cosine(c(es.head), c(es(1))))
+    },
+    "graft_euclidean" -> { es: Seq[Expression] =>
+      arity("graft_euclidean", es, 2)
+      x(graft.proximity.Proximity.euclidean(c(es.head), c(es(1))))
+    },
+    "graft_ruzicka" -> { es: Seq[Expression] =>
+      arity("graft_ruzicka", es, 2)
+      x(graft.proximity.Proximity.ruzicka(c(es.head), c(es(1))))
+    },
+    "graft_tanimoto" -> { es: Seq[Expression] =>
+      arity("graft_tanimoto", es, 2)
+      x(Chem.tanimoto(c(es.head), c(es(1))))
+    },
+    "graft_parse_fingerprint" -> { es: Seq[Expression] =>
+      arity("graft_parse_fingerprint", es, 1)
+      x(Chem.parseFingerprint(c(es.head)))
+    })
+
+  /** Register every graft SQL function on a live session (idempotent —
+    * re-registration replaces the same builders). */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      GraftExprBridge.registerFunction(spark, name, builder)
+    }
+}

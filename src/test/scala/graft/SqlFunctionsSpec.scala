@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.SqlFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** SQL surface: registered functions equal their Column-API twins, and
+  * the one-line extension wires a fresh session. */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API bit-for-bit") {
+    SqlFunctions.install(spark)
+    val docs = Seq((1L, "The quick  Brown fox. Il est la!"),
+      (2L, "le chat est dans la maison pour le diner"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sqlfun_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_fingerprint(text) AS fp,
+         graft_token_count(text) AS tc, graft_word_count(text) AS wc,
+         graft_lang_id(text) AS lang, graft_simhash(graft_tokens(text)) AS sh,
+         graft_minhash(graft_shingles(text, 2), 8) AS mh
+         FROM sqlfun_docs""").collect().map(r => r.getLong(0) -> r).toMap
+    val viaCols = docs.select(col("doc_id"),
+        graft.text.Text.fingerprint(col("text")).as("fp"),
+        graft.text.Text.tokenCount(col("text")).as("tc"),
+        graft.text.Text.wordCount(col("text")).as("wc"),
+        graft.text.Text.langId(col("text")).as("lang"),
+        graft.functions.Signatures.simhash(
+          graft.text.Text.tokens(col("text"))).as("sh"),
+        graft.functions.Signatures.minhashSignature(
+          graft.functions.Signatures.wordShingles(col("text"), 2), 8).as("mh"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(viaSql(id).getString(1) == viaCols(id).getString(1))
+      assert(viaSql(id).getInt(2) == viaCols(id).getInt(2))
+      assert(viaSql(id).getInt(3) == viaCols(id).getInt(3))
+      assert(viaSql(id).getString(4) == viaCols(id).getString(4))
+      assert(viaSql(id).getLong(5) == viaCols(id).getLong(5))
+      assert(viaSql(id).getSeq[Int](6) == viaCols(id).getSeq[Int](6))
+    }
+  }
+
+  test("vector SQL functions compute the proximity measures") {
+    SqlFunctions.install(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
+         graft_euclidean(array(0.0D, 3.0D), array(4.0D, 0.0D)) AS eu,
+         graft_ruzicka(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS rz,
+         graft_tanimoto(array(1, 2), array(1, 2)) AS tn,
+         graft_parse_fingerprint('0,3,1') AS pf""").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0)
+    assert(r.getSeq[Int](4) == Seq(0, 3, 1))
+  }
+
+  test("non-literal signature width is rejected with a clear error") {
+    SqlFunctions.install(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), cast(rand()*4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal INT"))
+  }
+
+  test("GraftSparkExtension injects every SQL function + the optimizer rule") {
+    // spark.sql.extensions is a STATIC conf — it cannot be exercised by
+    // building a session on the suite's shared SparkContext, so assert
+    // on the extension's registrations directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtension().apply(ext)
+    val names = org.apache.spark.sql.GraftExprBridge.extensionFunctionNames(ext)
+    assert(SqlFunctions.functions.map(_._1).toSet.subsetOf(names), names.toString)
+    val rules = org.apache.spark.sql.GraftExprBridge.extensionOptimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.NanosPushdown))
+  }
+}
