@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
   * end-to-end on frames that carry precomputed descriptor columns,
   * with no RDKit anywhere.
   *
-  * Scale design: both catalogs are O(10) rows. [[applyPropertyRules]]
-  * is one stack projection + one broadcast equi-join + one two-level
-  * groupBy (id,tag → id); [[deriveCurationTags]] collects the tiny
-  * policy to the driver and compiles it into a single codegen'd array
-  * projection — zero joins, zero shuffles, no UDF.
+  * Scale design: both catalogs are O(10) rows, and both appliers
+  * collect them once and COMPILE them into a single codegen'd array
+  * projection — zero joins, zero shuffles, no UDF ([[applyPropertyRules]]
+  * keeps a stack + broadcast-join + groupBy fallback for catalogs too
+  * large to compile into a when-tree).
   */
 object TagCatalog {
 
