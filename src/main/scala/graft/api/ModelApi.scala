@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model + Endpoint artifact lifecycle — the reference's main user
@@ -50,9 +50,11 @@ class Model(val catalog: Catalog, val name: String) {
         .flatMap(_.split(",")).map { t =>
           val cw = t.split(":"); (cw(0), cw(1).toDouble)
         }
+      // try_cast: a non-numeric feature value yields a null prediction
+      // for that row, not an ANSI cast crash of the whole inference
       df.withColumn("prediction",
         coefs.foldLeft(lit(icept.toDouble))((acc, cw) =>
-          acc + col(cw._1).cast("double") * lit(cw._2)))
+          acc + col(cw._1).try_cast("double") * lit(cw._2)))
     case _ => pipeline.get.transform(df)
   }
 
@@ -60,8 +62,9 @@ class Model(val catalog: Catalog, val name: String) {
   private def listMeta(key: String): Seq[String] =
     meta.get(key).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
   private def appendListMeta(key: String, value: String): Unit =
-    catalog.registry.upsertMeta(name,
-      Map(key -> (listMeta(key) :+ value).distinct.mkString(",")))
+    // atomic inside the registry lock — a local read-modify-write here
+    // would race a concurrent appender and lose one entry
+    catalog.registry.appendMetaList(name, key, value)
 
   /** Create (or refresh) an endpoint artifact serving this model and
     * register it back on the model row (model_core.py:456-505
@@ -149,10 +152,20 @@ class Endpoint(val catalog: Catalog, val name: String) {
       else preds0
 
     val hasTarget = preds.columns.contains(m.target)
-    val withRes =
+    val withRes0 =
       if (hasTarget && !isClassifier)
         graft.ml.Metrics.withResiduals(preds, m.target, "prediction")
       else preds
+    val mon = monitor
+    // a captured run has 4-5 consumers (predictions write, metrics,
+    // confusion matrix, InferenceStore append, data capture) plus the
+    // caller — materialize ONCE instead of re-running the transform/
+    // residual plan per consumer (same reasoning as driftReport's
+    // persist; localCheckpoint so the blocks outlive this method for
+    // the caller and are GC-reclaimed when the frame is dropped)
+    val withRes =
+      if (captureName.isDefined || mon.captureEnabled) withRes0.localCheckpoint(true)
+      else withRes0
 
     captureName.foreach { capture =>
       val metrics =
@@ -169,7 +182,6 @@ class Endpoint(val catalog: Catalog, val name: String) {
           Some(graft.ml.Metrics.confusionMatrix(withRes, m.target, "prediction"))
         else None)
     }
-    val mon = monitor
     if (mon.captureEnabled) writeDataCapture(m, withRes, mon)
     withRes
   }
@@ -189,8 +201,18 @@ class Endpoint(val catalog: Catalog, val name: String) {
     if (inCols.isEmpty || !cols.contains("prediction")) return
     val pct = mon.capturePercentage
     val sampled = if (pct >= 100) preds else preds.sample(pct / 100.0, 42L)
-    def lineOf(cs: Seq[String]) =
-      concat_ws(",", cs.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    // CSV-safe cell: newlines flattened (the payload is a line-based
+    // protocol — the parse side explodes on \n before from_csv), and
+    // cells containing separators/quotes get quoted with backslash
+    // escapes, matching from_csv's default quote/escape options
+    def cell(c: String): Column = {
+      val s = regexp_replace(
+        coalesce(col(c).cast("string"), lit("")), "[\\n\\r]", " ")
+      when(s.rlike("[,\"\\\\]"),
+        concat(lit("\""), regexp_replace(s, "([\\\\\"])", "\\\\$1"), lit("\"")))
+        .otherwise(s)
+    }
+    def lineOf(cs: Seq[String]) = concat_ws(",", cs.map(cell): _*)
     val spark = preds.sparkSession
     import spark.implicits._
     val header = inCols.mkString(",")
@@ -235,7 +257,24 @@ class Endpoint(val catalog: Catalog, val name: String) {
               graft.ml.Models.trainClassifier(tr, m.features, m.target)
             case _ => graft.ml.Models.trainRegressor(tr, m.features, m.target)
           }
-          p.transform(te)
+          val out = p.transform(te)
+          // classifier: map the prediction index (and the proba vector's
+          // positions) back through THIS fold's StringIndexer labels —
+          // each fold fits its own frequency-ordered indexer, so raw
+          // indices/vector slots from different folds are NOT comparable
+          // and must never be stitched; label-NAMED columns are
+          val foldLabels = p.stages.collectFirst {
+            case si: org.apache.spark.ml.feature.StringIndexerModel =>
+              si.labelsArray(0).toSeq
+          }.getOrElse(Nil)
+          if (m.modelType == "classifier" && foldLabels.nonEmpty) {
+            val arr = out.withColumn("__proba",
+              org.apache.spark.ml.functions.vector_to_array(col("pred_proba")))
+            graft.ml.Models.expandProba(arr, "__proba", foldLabels)
+              .drop("__proba", "pred_proba")
+              .withColumn("prediction", element_at(
+                array(foldLabels.map(lit): _*), col("prediction").cast("int") + 1))
+          } else out
       }
     }
     val hasTarget = oof.columns.contains(m.target)
@@ -281,13 +320,24 @@ class Endpoint(val catalog: Catalog, val name: String) {
     metrics.foreach { mt =>
       mt.write.mode("overwrite").parquet(dir + "/metrics")
       // metrics-into-meta: the dashboard-facing summary the reference
-      // stores on the model package (model_core.py details/metrics)
-      val row = mt.head()
-      val kv = mt.columns.zipWithIndex.collect {
-        case (c, i) if !row.isNullAt(i) && row.get(i).isInstanceOf[Number] =>
-          s"graft_metric/$capture/$c" -> f"${row.get(i).asInstanceOf[Number].doubleValue}%.6f"
-      }.toMap
-      if (kv.nonEmpty) catalog.registry.upsertMeta(m.name, kv)
+      // stores on the model package (model_core.py details/metrics).
+      // Classifier tables are per-class rows + a support-weighted 'all'
+      // row — the meta must carry 'all', not whichever class row the
+      // shuffle happened to emit first (regression tables are one row)
+      val allRows = mt.collect() // metrics frames are metadata-sized
+      val classIdx = mt.columns.indexOf("class")
+      val rowOpt =
+        if (classIdx >= 0)
+          allRows.find(r => !r.isNullAt(classIdx) && r.getString(classIdx) == "all")
+            .orElse(allRows.headOption)
+        else allRows.headOption
+      rowOpt.foreach { row =>
+        val kv = mt.columns.zipWithIndex.collect {
+          case (c, i) if !row.isNullAt(i) && row.get(i).isInstanceOf[Number] =>
+            s"graft_metric/$capture/$c" -> f"${row.get(i).asInstanceOf[Number].doubleValue}%.6f"
+        }.toMap
+        if (kv.nonEmpty) catalog.registry.upsertMeta(m.name, kv)
+      }
     }
     cm.foreach(_.write.mode("overwrite").parquet(dir + "/cm"))
     m.recordInferenceRun(capture)

@@ -20,9 +20,13 @@ object CrossFold {
   /** Deterministic fold id from an id column: a Knuth multiplicative
     * hash kept inside Long range (ids folded to < 2²⁰ before the
     * multiply so BOTH engines — Spark's wrapping Long and the oracle's
-    * overflow-checked BIGINT — compute identical values). */
+    * overflow-checked BIGINT — compute identical values). Null ids land
+    * in fold 0 — a null-propagating fold would silently drop the row
+    * from BOTH the train and test side of every fold. */
   def foldColumn(id: Column, k: Int): Column =
-    pmod((id.cast("long") % 1000003L) * 2654435761L, lit(k.toLong)).cast("int")
+    coalesce(
+      pmod((id.cast("long") % 1000003L) * 2654435761L, lit(k.toLong)),
+      lit(0L)).cast("int")
 
   /** Run `trainInfer(trainRows, testRows)` for each of the k folds and
     * stitch the per-fold outputs. The returned frame carries the `fold`
@@ -31,6 +35,8 @@ object CrossFold {
   def run(df: DataFrame, idCol: String, k: Int)(
       trainInfer: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(k >= 2, s"cross-fold needs k >= 2, got $k")
+    require(!df.columns.contains("fold"),
+      "cross-fold input already has a 'fold' column — rename it first")
     val withFold = df.withColumn("fold", foldColumn(col(idCol), k))
     withFold.persist()
     try {
@@ -38,7 +44,11 @@ object CrossFold {
         trainInfer(
           withFold.filter(col("fold") =!= i).drop("fold"),
           withFold.filter(col("fold") === i))
-      }.reduce(_ unionByName _)
+      } // allowMissingColumns: fold outputs can legitimately differ in
+        // label-derived columns (a rare class absent from one fold's
+        // training data produces no {label}_proba there) — missing
+        // columns null-fill instead of failing the stitch
+        .reduce(_.unionByName(_, allowMissingColumns = true))
         // materialize the stitched OOF frame so the persisted input can
         // be released before return (k MLlib fits already forced it)
         .localCheckpoint(true)

@@ -116,9 +116,12 @@ object Metrics {
         sum("n_pos").as("__p"), sum(col("n") - col("n_pos")).as("__n"))
       .select(col(groupCol), aucFromRankSum.as("roc_auc"))
 
+  // try_divide: a single-class group (no positives or no negatives) has
+  // an undefined AUC — null, not an ANSI divide-by-zero crash (the same
+  // guard regressionMetrics uses for zero-variance r²)
   private def aucFromRankSum: Column = round(
-    (col("__rank_sum") - col("__p") * (col("__p") + 1) / 2.0) /
-      (col("__p") * col("__n")), 6)
+    try_divide(col("__rank_sum") - col("__p") * (col("__p") + 1) / 2.0,
+      col("__p") * col("__n")), 6)
 
   /** Shared rank-prefix pipeline: distinct (group, score) aggregate →
     * per-group range-bucketing (bounds from a broadcast-joined
@@ -138,9 +141,14 @@ object Metrics {
       .filter(col("score").isNotNull && col("pos").isNotNull)
       .groupBy("__g", "score")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    // no broadcast() hints on the metadata joins: bounds is one row per
+    // group and offsets ≤ groups×buckets rows — SMALL for the per-class
+    // use, but rocAucByGroup is public and a high-cardinality group
+    // column must degrade to a shuffle join, not a driver OOM. AQE picks
+    // broadcast at runtime from the actual sizes.
     val bounds = grouped.groupBy("__g")
       .agg(min("score").as("__lo"), max("score").as("__hi"))
-    val bucketed = grouped.join(broadcast(bounds), "__g")
+    val bucketed = grouped.join(bounds, "__g")
       .withColumn("bucket",
         when(col("__hi") === col("__lo"), lit(0))
           .otherwise(least(
@@ -155,7 +163,7 @@ object Metrics {
       .drop("__bn")
     val wIn = Window.partitionBy("__g", "bucket").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), Seq("__g", "bucket"))
+    bucketed.join(offsets, Seq("__g", "bucket"))
       .withColumn("before", col("__off") + coalesce(sum("n").over(wIn), lit(0L)))
       .withColumn("avg_rank", col("before") + (col("n") + 1) / 2.0)
   }

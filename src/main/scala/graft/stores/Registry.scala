@@ -71,26 +71,46 @@ class Registry(spark: SparkSession, root: String) {
     * reference's Glue DDL retry/backoff — athena_source.py:253-288).
     * A lock older than `staleMs` is treated as a crashed writer's
     * leftover and broken. */
-  private def tryAcquire(lock: org.apache.hadoop.fs.Path): Boolean = {
+  private def tryAcquire(lock: org.apache.hadoop.fs.Path, token: String): Boolean = {
     val scheme = lock.toUri.getScheme
     if (scheme == null || scheme == "file") {
       // Hadoop's RawLocalFileSystem.createNewFile is check-then-act;
       // java.nio Files.createFile is the actually-atomic local primitive
       try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(lock.toUri.getPath)); true
+        val p = java.nio.file.Paths.get(lock.toUri.getPath)
+        java.nio.file.Files.createFile(p)
+        java.nio.file.Files.write(p, token.getBytes("UTF-8"))
+        true
       } catch { case _: java.io.IOException => false }
     } else // HDFS/object stores: create(overwrite=false) is atomic server-side
-      try fs.createNewFile(lock) catch { case _: Exception => false }
+      try {
+        val out = fs.create(lock, false)
+        out.write(token.getBytes("UTF-8")); out.close(); true
+      } catch { case _: Exception => false }
   }
+
+  private def lockToken(lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+      } finally in.close()
+    } catch { case _: Exception => None }
 
   private def withLock[T](staleMs: Long = 60000L, timeoutMs: Long = 30000L)(f: => T): T = {
     val lock = hPath(path + "_lock")
+    // a unique token identifies THIS acquisition: after breaking a stale
+    // lock, the (possibly still-live) previous holder's release must not
+    // free the lock out from under the new holder — each writer deletes
+    // only the lockfile carrying its own token
+    val token = java.util.UUID.randomUUID().toString
     fs.mkdirs(lock.getParent) // first-ever write: the root may not exist yet
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
-      acquired = tryAcquire(lock)
+      acquired = tryAcquire(lock, token)
       if (!acquired) {
         val stale = try {
           System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs
@@ -102,7 +122,9 @@ class Registry(spark: SparkSession, root: String) {
         else Thread.sleep(20)
       }
     }
-    try f finally fs.delete(lock, false)
+    try f finally {
+      if (lockToken(lock).contains(token)) fs.delete(lock, false)
+    }
   }
 
   private def update(name: String)(f: ArtifactRow => ArtifactRow): Unit =
@@ -139,6 +161,16 @@ class Registry(spark: SparkSession, root: String) {
     * (reference: `upsert_workbench_meta`, artifact.py:238-276). */
   def upsertMeta(name: String, newMeta: Map[String, String]): Unit =
     update(name)(r => r.copy(meta = r.meta ++ newMeta))
+  /** Atomic append to a comma-list meta value: the read-modify-write of
+    * the current list happens INSIDE the registry lock. Two concurrent
+    * appenders both land (an unlocked get-then-upsertMeta would lose
+    * one — the lock only serializes writes, not stale reads). */
+  def appendMetaList(name: String, key: String, value: String): Unit =
+    update(name) { r =>
+      val cur = r.meta.get(key).map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil)
+      r.copy(meta = r.meta + (key -> (cur :+ value).distinct.mkString(",")))
+    }
   def deleteMetaKey(name: String, key: String): Unit =
     update(name)(r => r.copy(meta = r.meta - key))
   def getMeta(name: String): Map[String, String] =

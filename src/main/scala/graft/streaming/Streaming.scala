@@ -102,8 +102,14 @@ object Streaming {
       val groups = graft.dedup.Dedup.exactGroups(batch, idCol, textCol)
       val keepers = batch.join(
         groups.select(col("keeper_id").as(idCol), col("fingerprint")), Seq(idCol))
+      // Hadoop FS existence check — java.io.File would treat every
+      // non-local store (hdfs://, s3a://, even file:/) as absent and
+      // silently skip the against-history anti-join forever
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val storeFs = storePath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
       val seen =
-        if (new java.io.File(storeDir).exists)
+        if (storeFs.exists(storePath))
           spark.read.parquet(storeDir).select("fingerprint")
         else spark.range(0).select(lit("").as("fingerprint"))
       val fresh = keepers.join(seen, Seq("fingerprint"), "left_anti").persist()

@@ -109,6 +109,76 @@ class ModelLifecycleSpec extends SparkSpec {
     assert(cat.registry.getMeta("li_reg").contains("graft_metric/full_cross_fold/rmse"))
   }
 
+  test("classifier cross-fold: per-fold indices map to LABELS before the stitch") {
+    val cat = new Catalog(spark, root)
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "value", "event_type")
+      .filter(col("value").isNotNull).limit(3000)
+      .dropDuplicates("event_id")
+    cat.onboard("events_cf_fs", ev)
+    val m = cat.toModel("events_cf_fs", "ev_cf_clf", "classifier",
+      target = "event_type", features = Seq("value"))
+    val ep = m.toEndpoint("ev-cf-end")
+    val oof = ep.crossFoldInference(spark.table("events_cf_fs"),
+      idColumn = "event_id", k = 3, capture = true)
+    // predictions are class LABELS (fold-local indices are incomparable)
+    val preds = oof.select("prediction").distinct()
+      .collect().map(_.get(0).toString).toSet
+    val labels = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(labels),
+      s"stitched predictions must be labels, got $preds vs $labels")
+    // proba columns are label-NAMED (vector slots differ per fold)
+    assert(labels.forall(l => oof.columns.contains(s"${l}_proba")))
+    assert(!oof.columns.contains("pred_proba"))
+    // metrics-into-meta records the 'all' summary row, not a class row
+    val meta = cat.registry.getMeta("ev_cf_clf")
+    val mt = cat.model("ev_cf_clf").getInferenceMetrics("full_cross_fold").get
+    val allRow = mt.filter(col("class") === "all").head()
+    val recorded = meta("graft_metric/full_cross_fold/support").toDouble
+    assert(recorded == allRow.getAs[Long]("support").toDouble,
+      "meta must carry the support-weighted 'all' row")
+  }
+
+  test("cross-fold null ids land in fold 0 instead of vanishing") {
+    import graft.ml.CrossFold
+    val df = Seq((Some(1L), 1.0), (Some(2L), 2.0), (None, 3.0))
+      .toDF("id", "v")
+    val out = CrossFold.run(df, "id", k = 2)((_, te) => te)
+    assert(out.count() == 3, "null-id rows must not be dropped")
+    assert(out.filter(col("id").isNull).select("fold").head().getInt(0) == 0)
+    val withFoldAlready = df.withColumn("fold", lit(9))
+    intercept[IllegalArgumentException] {
+      CrossFold.run(withFoldAlready, "id", k = 2)((_, te) => te)
+    }
+  }
+
+  test("capture CSV round-trips commas, quotes and newlines in values") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft-csvcap").toString
+    val cat = new Catalog(spark, root2)
+    val df = Seq(
+      (1L, "plain", 10.0),
+      (2L, "has,comma", 20.0),
+      (3L, "has \"quote\"", 30.0),
+      (4L, "has\nnewline", 40.0)).toDF("id", "note", "y")
+    // zero-weight coef makes the string column a capture FEATURE
+    // without affecting the (numeric) formula shape
+    val m = cat.onboardFormulaModel("csv_m", 1.0,
+      Seq("note" -> 0.0, "y" -> 2.0), target = "y2")
+    val ep = m.toEndpoint("csv-end")
+    ep.monitor.enableDataCapture()
+    ep.inference(df, idColumn = Some("id"))
+    val parsed = ep.monitor.capturedData(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType))))
+    val notes = parsed.select("note").collect().map(_.getString(0)).toSet
+    assert(notes == Set("plain", "has,comma", "has \"quote\"", "has newline"),
+      notes.toString) // newline flattened to space (line-based protocol)
+    assert(parsed.count() == 4)
+  }
+
   test("Meta API + graph artifacts: typed listings, details, views, describe") {
     val cat = new Catalog(spark, root)
     // register a graph artifact alongside the existing artifact types
