@@ -72,4 +72,29 @@ class PropertySpec extends SparkSpec {
       assert(Transforms.sampleRows(df, targetRows = target, totalRows = rows).count() <= target)
     }
   }
+
+  test("rocAucByGroup equals per-group rocAuc on random score/label data") {
+    import graft.ml.Metrics
+    val dataGen = for {
+      n <- Gen.choose(20, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        score <- Gen.choose(0, 50).map(_ / 10.0) // coarse → plenty of ties
+        label <- Gen.oneOf(0, 1)
+      } yield (g, score, label))
+    } yield rows
+    forAll(dataGen, n = 12) { rows =>
+      val df = rows.toDF("g", "score", "label")
+      val grouped = Metrics.rocAucByGroup(df, "g", "label", "score")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      rows.map(_._1).distinct.foreach { g =>
+        val single = Metrics.rocAuc(df.filter(col("g") === g), "label", "score")
+          .head()
+        val expected = if (single.isNullAt(0)) null else single.getDouble(0)
+        assert(grouped.get(g).contains(expected),
+          s"group $g: grouped=${grouped.get(g)} single=$expected")
+      }
+    }
+  }
 }
