@@ -84,6 +84,30 @@ class TagCatalogSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("oversized catalogs take the join fallback and agree with compiled") {
+    // 51 tags × 5 rules = 255 rows > CompileRuleLimit → join path; the
+    // same catalog truncated to 40 tags compiles — both must tag a row
+    // identically on the shared tags
+    def catalogRows(nTags: Int) = (0 until nTags).flatMap { t =>
+      Seq("mw", "logp", "hbd", "hba", "rotbonds").zipWithIndex.map {
+        case (p, i) =>
+          (f"synth:tag_$t%03d", p, -1e18, (t * 5 + i * 7).toDouble % 97, 0, 1)
+      }
+    }
+    val big = spark.createDataFrame(catalogRows(51))
+      .toDF("tag", "property", "lo", "hi", "min_violations", "max_violations")
+    val small = spark.createDataFrame(catalogRows(40))
+      .toDF("tag", "property", "lo", "hi", "min_violations", "max_violations")
+    assert(big.count() > TagCatalog.CompileRuleLimit)
+    val df = Seq((1L, 30.0, 20.0, 10.0, 5.0, 2.0, 0.0))
+      .toDF("id", "mw", "logp", "hbd", "hba", "rotbonds", "tpsa")
+    val viaJoin = TagCatalog.applyPropertyRules(df, "id", big)
+      .head().getSeq[String](1).filter(_ < "synth:tag_040")
+    val viaCompiled = TagCatalog.applyPropertyRules(df, "id", small)
+      .head().getSeq[String](1)
+    assert(viaJoin == viaCompiled && viaCompiled.nonEmpty)
+  }
+
   test("curation policy derives exclude/caution tags incl. prefix match") {
     val df = Seq(
       (1L, Seq("composition:inorganic", "structure:acyclic")),
