@@ -276,6 +276,17 @@ class Catalog(val spark: SparkSession, val root: String) {
   /** Reopen a registered endpoint artifact by name (restart path). */
   def endpoint(name: String): Endpoint = new Endpoint(this, sanitize(name))
 
+  /** Validate + register a DAG-backed meta-endpoint
+    * (api/meta_endpoint.py MetaEndpoint.create). */
+  def createMetaEndpoint(name: String, dag: MetaEndpointDAG,
+                         owner: String = "unknown"): MetaEndpoint =
+    MetaEndpoint.create(this, name, dag, owner)
+
+  /** Reopen a registered meta-endpoint by name (restart path — the DAG
+    * is reconstructed from registry meta). */
+  def metaEndpoint(name: String): MetaEndpoint =
+    new MetaEndpoint(this, sanitize(name))
+
   /** Account-wide artifact listing/describe (api/meta.py). */
   def meta: Meta = new Meta(this)
 

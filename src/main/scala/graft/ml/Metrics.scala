@@ -123,6 +123,44 @@ object Metrics {
     try_divide(col("__rank_sum") - col("__p") * (col("__p") + 1) / 2.0,
       col("__p") * col("__n")), 6)
 
+  /** Tie-averaged 1-based rank of every distinct non-null value of a
+    * numeric column — the same distributed rank kernel rocAuc uses
+    * (bucketed prefix-sum, no single-partition window). Returns
+    * (value, n, avg_rank). */
+  def avgRanks(df: DataFrame, valueCol: String, buckets: Int = 256): DataFrame =
+    rankedScores(
+      df.withColumn("__rk_g", lit("all")).withColumn("__rk_l", lit(0)),
+      "__rk_g", "__rk_l", valueCol, buckets)
+      .select(col("score").as("value"), col("n"), col("avg_rank"))
+
+  /** Spearman rank correlation of two numeric columns: Pearson `corr`
+    * over tie-averaged ranks (scipy.stats.spearmanr semantics — the
+    * confidence-to-error calibration measure in
+    * utils/ensemble_simulator.py:80-83). Rows where either side is
+    * null/NaN are dropped (scipy would propagate NaN; dropping matches
+    * the aligned-frame use where nulls never occur). Ranks come from
+    * [[avgRanks]], so the plan stays bucket-partitioned at any scale;
+    * the rank lookup joins are value-equality joins against
+    * distinct-value frames (≤ one row per distinct value). Returns one
+    * row: (spearman). */
+  def spearman(df: DataFrame, aCol: String, bCol: String,
+               buckets: Int = 256): DataFrame = {
+    val base = df.select(col(aCol).cast("double").as("__a"),
+        col(bCol).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && !isnan(col("__a")) &&
+        col("__b").isNotNull && !isnan(col("__b")))
+    val ra = avgRanks(base, "__a", buckets)
+      .select(col("value").as("__a"), col("avg_rank").as("__ra"))
+    val rb = avgRanks(base, "__b", buckets)
+      .select(col("value").as("__b"), col("avg_rank").as("__rb"))
+    base.join(ra, "__a").join(rb, "__b")
+      // Pearson via covariance/σσ with try_divide: a constant column
+      // (zero rank variance) yields null, not an ANSI divide-by-zero —
+      // scipy returns NaN there, and callers map null → 0.0/NaN
+      .agg(round(try_divide(covar_pop("__ra", "__rb"),
+        stddev_pop("__ra") * stddev_pop("__rb")), 6).as("spearman"))
+  }
+
   /** Shared rank-prefix pipeline: distinct (group, score) aggregate →
     * per-group range-bucketing (bounds from a broadcast-joined
     * metadata aggregate) → per-(group, bucket) offsets via a window
