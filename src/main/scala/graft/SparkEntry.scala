@@ -700,6 +700,72 @@ object SparkEntry {
                  CAST(graft_word_count(text) AS BIGINT) AS n_words,
                  graft_lang_id(text) AS lang_pred
                FROM documents_sqlv""")
+    }),
+    "q87_cached_inference" -> ((s, dir) => {
+      // InferenceCache lifecycle (api/inference_cache.py): seed the
+      // cache with the even-key half, then run the FULL frame — even
+      // keys served from the cache, odd keys computed and appended; the
+      // returned frame is exactly what the uncached endpoint produces
+      val root = java.nio.file.Files.createTempDirectory("graft-q87").toString
+      val cat = new graft.api.Catalog(s, root)
+      val ords = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val m = cat.onboardFormulaModel("order_price_model", 5.0,
+        Seq("o_totalprice" -> 0.1), target = "__absent__")
+      val ep = m.toEndpoint("order-price-end")
+      val cache = new graft.api.InferenceCache(ep, "o_orderkey")
+      // the seed call's cache append runs eagerly inside inference()
+      cache.inference(ords.filter(col("o_orderkey") % 2 === 0))
+      cache.inference(ords)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("prediction"), 4).as("prediction"))
+    }),
+    "q88_ensemble_weighted" -> ((s, dir) => {
+      // WeightedMean DAG node: ONE union+groupBy over three model
+      // branches; binary-exact weights (2,1,1)→(.5,.25,.25) and
+      // power-of-two confidence denominators keep every aggregate
+      // exactly representable, so the oracle matches without rounding
+      val ev = t(s, dir, "events").select("event_id")
+      def up(pm: Int, cm: Int) = ev.select(col("event_id"),
+        (col("event_id") % pm).cast("double").as("prediction"),
+        ((col("event_id") % cm).cast("double") / cm).as("confidence"))
+      graft.ml.Ensemble.WeightedMean("wmean", Seq(2.0, 1.0, 1.0))(
+          Seq(up(10, 16), up(7, 8), up(5, 4)), "event_id")
+        .select(col("event_id"), col("prediction"), col("confidence"))
+    }),
+    "q89_ensemble_vote" -> ((s, dir) => {
+      // majority Vote node: two stacked groupBys, winner = most common
+      // label with the smallest-label tie-break (pandas mode()[0])
+      val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+      val u1 = ev.select(col("event_id"), col("event_type").as("prediction"))
+      val u2 = ev.select(col("event_id"),
+        when(col("value") >= 50, "view").otherwise(col("event_type"))
+          .as("prediction"))
+      val u3 = ev.select(col("event_id"),
+        when(col("event_id") % 3 === 0, "click").otherwise(col("event_type"))
+          .as("prediction"))
+      graft.ml.Ensemble.Vote("vote")(Seq(u1, u2, u3), "event_id")
+        .select(col("event_id"), col("prediction"),
+          round(col("confidence"), 6).as("confidence"))
+    }),
+    "q90_ensemble_perf" -> ((s, dir) => {
+      // EnsembleSimulator per-model performance over aligned frames
+      // (ensemble_simulator.py:307-342); integer-derived predictions
+      // keep every error-sum exact across engines (spearman /
+      // conf_err_corr stay spec-checked — rank kernels are engine-side)
+      val ev = t(s, dir, "events").select("event_id")
+      def frame(pm: Int, cm: Int) = ev.select(col("event_id"),
+        (col("event_id") % 12).cast("double").as("target"),
+        (col("event_id") % pm).cast("double").as("prediction"),
+        ((col("event_id") % cm).cast("double") / cm).as("confidence"))
+      val sim = graft.ml.EnsembleSimulator.fromFrames(
+        Seq("m_a" -> frame(10, 16), "m_b" -> frame(7, 8), "m_c" -> frame(5, 4)),
+        "event_id", "target")
+      // modelPerformance materializes to driver-side literal rows, so
+      // releasing the aligned frame before returning is safe
+      val out = sim.modelPerformance()
+        .select("model", "rmse", "mae", "r2", "mean_conf")
+      sim.release()
+      out
     })
   )
 
@@ -1597,7 +1663,56 @@ object SparkEntry {
              WHEN s_de > 0 THEN 'de'
              ELSE 'und' END AS lang_pred
          FROM s"""
-    }
+    },
+    "q87_cached_inference" ->
+      """SELECT o_orderkey, o_totalprice,
+         ROUND(5.0 + o_totalprice * 0.1, 4) AS prediction
+         FROM orders""",
+    "q88_ensemble_weighted" ->
+      """SELECT event_id,
+         0.5 * CAST(event_id % 10 AS DOUBLE) + 0.25 * CAST(event_id % 7 AS DOUBLE)
+           + 0.25 * CAST(event_id % 5 AS DOUBLE) AS prediction,
+         0.5 * (CAST(event_id % 16 AS DOUBLE) / 16.0)
+           + 0.25 * (CAST(event_id % 8 AS DOUBLE) / 8.0)
+           + 0.25 * (CAST(event_id % 4 AS DOUBLE) / 4.0) AS confidence
+         FROM events""",
+    "q89_ensemble_vote" ->
+      """WITH long AS (
+           SELECT event_id, event_type AS label FROM events
+           UNION ALL
+           SELECT event_id, CASE WHEN value >= 50 THEN 'view' ELSE event_type END
+             FROM events
+           UNION ALL
+           SELECT event_id, CASE WHEN event_id % 3 = 0 THEN 'click' ELSE event_type END
+             FROM events),
+         counts AS (SELECT event_id, label, COUNT(*) AS c FROM long GROUP BY 1, 2)
+         SELECT event_id, label AS prediction,
+           ROUND(CAST(c AS DOUBLE) / 3.0, 6) AS confidence
+         FROM counts
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY c DESC, label ASC) = 1""",
+    "q90_ensemble_perf" ->
+      """WITH f AS (SELECT
+             CAST(event_id % 12 AS DOUBLE) AS t,
+             CAST(event_id % 10 AS DOUBLE) AS p1,
+             CAST(event_id % 16 AS DOUBLE) / 16.0 AS c1,
+             CAST(event_id % 7 AS DOUBLE) AS p2,
+             CAST(event_id % 8 AS DOUBLE) / 8.0 AS c2,
+             CAST(event_id % 5 AS DOUBLE) AS p3,
+             CAST(event_id % 4 AS DOUBLE) / 4.0 AS c3
+           FROM events),
+         agg AS (SELECT COUNT(*) AS n, AVG(t) AS mt, SUM(t * t) AS stt,
+             SUM((p1 - t) * (p1 - t)) AS se1, SUM(ABS(p1 - t)) AS ae1, AVG(c1) AS mc1,
+             SUM((p2 - t) * (p2 - t)) AS se2, SUM(ABS(p2 - t)) AS ae2, AVG(c2) AS mc2,
+             SUM((p3 - t) * (p3 - t)) AS se3, SUM(ABS(p3 - t)) AS ae3, AVG(c3) AS mc3
+           FROM f)
+         SELECT 'm_a' AS model, ROUND(SQRT(se1 / n), 6) AS rmse,
+           ROUND(ae1 / n, 6) AS mae,
+           ROUND(1 - se1 / (stt - n * mt * mt), 6) AS r2,
+           ROUND(mc1, 6) AS mean_conf FROM agg
+         UNION ALL SELECT 'm_b', ROUND(SQRT(se2 / n), 6), ROUND(ae2 / n, 6),
+           ROUND(1 - se2 / (stt - n * mt * mt), 6), ROUND(mc2, 6) FROM agg
+         UNION ALL SELECT 'm_c', ROUND(SQRT(se3 / n), 6), ROUND(ae3 / n, 6),
+           ROUND(1 - se3 / (stt - n * mt * mt), 6), ROUND(mc3, 6) FROM agg"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

@@ -37,6 +37,17 @@ class Catalog(val spark: SparkSession, val root: String) {
     * InferenceStore parquet — api/inference_store.py:33-101). */
   lazy val inferenceStore = new graft.stores.InferenceStore(spark, root)
 
+  /** User-facing path-keyed DataFrame store (api/df_store.py:12-52);
+    * also backs [[reports]] and the per-endpoint inference caches. */
+  lazy val dfStore = new DFStore(spark, s"$root/dfstore")
+
+  /** Published analysis reports — DFStore scoped to `/reports`
+    * (api/reports.py:7-36). */
+  lazy val reports = new graft.stores.Reports(spark, s"$root/dfstore")
+
+  /** Key-value JSON parameter store (api/parameter_store.py:1-92). */
+  lazy val paramStore = new graft.stores.ParameterStore(spark, root)
+
   private val ViewSqlKey = "graft_view_sql/"
 
   /** Onboard a DataFrame as a persistent DataSource: normalized parquet

@@ -1,0 +1,170 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Result-caching wrapper around an [[Endpoint]] (reference:
+  * src/workbench/api/inference_cache.py:30-250 plus the chunked-write
+  * decorator in utils/inference_cache_utils.py).
+  *
+  * Inference results are cached in a catalog-owned parquet directory
+  * keyed on `cacheKeyColumn`. `inference(df)` splits the eval rows into
+  * cache hits and misses with one anti-join against the cache keys, runs
+  * the wrapped endpoint on the DISTINCT missed keys only, appends the
+  * new results to the cache, and left-joins the up-to-date cache back
+  * onto the eval frame — row-for-row the frame the uncached endpoint
+  * would return, with only the misses recomputed.
+  *
+  * Spark-first divergences from the pandas reference:
+  *  - the reference chunks uncached rows (snapshot=500) and rewrites the
+  *    whole cache per chunk to bound interrupted-run damage; here each
+  *    inference is ONE distributed append job with an atomic `_SUCCESS`
+  *    commit, so existing cache data is never rewritten and a killed run
+  *    loses at most its own uncommitted job
+  *  - keep-last key dedup is a row_number window partitioned by the key
+  *    (one keyed shuffle of the cache side) instead of pandas
+  *    `drop_duplicates(keep="last")`; concurrent writers that race the
+  *    same key resolve to the newest write stamp (ties arbitrary —
+  *    meaningful only for a non-deterministic endpoint)
+  *  - the cache is never materialized on the driver; the returned frame
+  *    is lazy like every other operator
+  *
+  * Appended chunks are coerced to the existing cache schema (missing
+  * columns → null, extra columns dropped, types cast) — the reference's
+  * canonical-dtype guard against schema-incompatible concurrent writes.
+  */
+class InferenceCache(val endpoint: Endpoint,
+                     val cacheKeyColumn: String,
+                     val outputKeyColumn: Option[String] = None,
+                     val autoInvalidate: Boolean = false) {
+  private val catalog = endpoint.catalog
+  private def store = catalog.dfStore
+
+  /** DFStore key of the cache parquet (inference_cache.py:88). */
+  val cachePath: String = s"inference_cache/${endpoint.name}"
+  private val manifestKey = s"graft_inference_cache/${endpoint.name}"
+  private val TsCol = "__cache_ts"
+
+  private var invalidationChecked = false
+
+  private def key: Column = col(cacheKeyColumn)
+
+  private def endpointModified: Long =
+    catalog.registry.get(endpoint.name).map(_.modified.getTime).getOrElse(0L)
+
+  /** One-shot per instance (inference_cache.py:230-250): with
+    * `autoInvalidate` the cache is dropped when the endpoint's registry
+    * row was modified after the manifest stamp; otherwise the manifest
+    * is reseeded so later instances compare against the current
+    * endpoint. */
+  private def checkInvalidation(): Unit = synchronized {
+    if (!invalidationChecked) {
+      if (autoInvalidate) {
+        val stamp = catalog.paramStore.get(manifestKey)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+        if (stamp.exists(_ < endpointModified) && store.check(cachePath)) clearCache()
+      } else if (store.check(cachePath))
+        catalog.paramStore.upsert(manifestKey, endpointModified.toString)
+      invalidationChecked = true
+    }
+  }
+
+  /** Newest cache row per key (`drop_duplicates(keep="last")`). */
+  private def latestPerKey(cache: DataFrame): DataFrame =
+    cache.withColumn("__rn",
+        row_number().over(Window.partitionBy(key).orderBy(col(TsCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** Coerce a results chunk to the cache's schema — the canonical-dtype
+    * guard (inference_cache.py:95-101, 300-340): shared columns cast,
+    * missing columns null, novel columns dropped. */
+  private def alignTo(schema: StructType, df: DataFrame): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+  /** Cached inference (inference_cache.py:109-162). `captureName` /
+    * `idColumn` forward to the wrapped endpoint for the UNCACHED rows
+    * only — a captured run records just the freshly computed work. */
+  def inference(df: DataFrame, captureName: Option[String] = None,
+                idColumn: Option[String] = None): DataFrame = {
+    require(df.columns.contains(cacheKeyColumn),
+      s"eval frame is missing required cache_key_column '$cacheKeyColumn'")
+    checkInvalidation()
+
+    val existing = if (store.check(cachePath)) Some(store.get(cachePath)) else None
+    // misses: eval keys not in the cache, computed once per distinct key
+    val misses = existing match {
+      // no distinct on the cache side: left_anti is set-membership, so
+      // duplicate cache keys don't multiply rows and the extra shuffle
+      // a distinct would add buys nothing
+      case Some(c) => df.join(c.select(key), Seq(cacheKeyColumn), "left_anti")
+      case None => df
+    }
+    val toCompute = misses.dropDuplicates(cacheKeyColumn)
+    val out = endpoint.inference(toCompute, captureName, idColumn)
+    // endpoints that canonicalize the key column return the original
+    // input value in `outputKeyColumn` — cache under THAT value so
+    // future lookups with the same inputs still hit (py:60-71)
+    val keyed = outputKeyColumn match {
+      case Some(ok) if out.columns.contains(ok) =>
+        out.withColumn(cacheKeyColumn, col(ok))
+      case _ => out
+    }
+    val stamped = keyed.withColumn(TsCol, lit(System.currentTimeMillis()))
+    // the append is the ONE action that runs the endpoint transform;
+    // both hit- and miss-rows are then served from the updated cache
+    store.append(cachePath,
+      existing.map(c => alignTo(c.schema, stamped)).getOrElse(stamped))
+    catalog.paramStore.upsert(manifestKey, endpointModified.toString)
+
+    val latest = latestPerKey(store.get(cachePath))
+    val featureCols = latest.columns
+      .filterNot(c => c == TsCol || df.columns.contains(c))
+    df.join(
+      latest.select((cacheKeyColumn +: featureCols.toSeq).map(col): _*),
+      Seq(cacheKeyColumn), "left")
+  }
+
+  // ── cache introspection / maintenance (inference_cache.py:164-220) ──
+
+  /** Number of distinct cached keys (live rows after keep-last dedup). */
+  def cacheSize(): Long =
+    if (!store.check(cachePath)) 0L
+    else latestPerKey(store.get(cachePath)).count()
+
+  def cacheInfo(): Map[String, String] = {
+    val cols =
+      if (store.check(cachePath))
+        store.get(cachePath).columns.filterNot(_ == TsCol).mkString(",")
+      else ""
+    Map("path" -> cachePath, "rows" -> cacheSize().toString,
+      "columns" -> cols,
+      "manifest" -> catalog.paramStore.get(manifestKey).getOrElse(""))
+  }
+
+  /** Delete the cache parquet and its manifest stamp. */
+  def clearCache(): Unit = {
+    store.delete(cachePath)
+    catalog.paramStore.delete(manifestKey)
+  }
+
+  /** Drop entries by key value so they recompute on the next
+    * `inference` (py:190-220). A maintenance rewrite: the key list is a
+    * driver-side literal, so keep it bounded (thousands, not millions —
+    * for bulk invalidation use `clearCache`). Returns rows removed. */
+  def deleteEntries(keys: Seq[Any]): Long = {
+    if (!store.check(cachePath) || keys.isEmpty) return 0L
+    val cache = store.get(cachePath)
+    val removed = cache.filter(key.isin(keys: _*)).count()
+    if (removed == 0L) return 0L
+    // materialize survivors BEFORE overwriting the directory being read
+    val kept = cache.filter(!key.isin(keys: _*)).localCheckpoint(true)
+    if (kept.isEmpty) store.delete(cachePath)
+    else store.upsert(cachePath, kept)
+    removed
+  }
+}

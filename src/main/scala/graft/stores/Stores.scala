@@ -19,7 +19,18 @@ class DFStore(spark: SparkSession, root: String) {
   def upsert(key: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(pathFor(key))
 
+  /** Append rows to an existing key (one distributed parquet job with an
+    * atomic `_SUCCESS` commit — the incremental-write path the pandas
+    * reference approximates by rewriting the whole frame per chunk). */
+  def append(key: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(pathFor(key))
+
   def get(key: String): DataFrame = spark.read.parquet(pathFor(key))
+
+  def check(key: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pathFor(key))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   def delete(key: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathFor(key))
@@ -45,6 +56,13 @@ class DFStore(spark: SparkSession, root: String) {
     }
   }
 }
+
+/** Published analysis reports: a [[DFStore]] scoped to the `/reports`
+  * subtree (reference: src/workbench/api/reports.py:7-36 — writers
+  * publish result frames, dashboards list/get them; reads are uncached).
+  */
+class Reports(spark: SparkSession, dfStoreRoot: String)
+  extends DFStore(spark, dfStoreRoot + "/reports")
 
 /** Key-value JSON parameter store
   * (reference: src/workbench/api/parameter_store.py:1-92, AWS SSM-backed).
