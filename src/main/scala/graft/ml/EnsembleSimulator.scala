@@ -40,16 +40,27 @@ class EnsembleSimulator private (val wide: DataFrame,
     (0 until m).map(dbl(row, _))
   }
 
+  /** One spearmanByGroup pipeline over a stacked (model-index, a, b)
+    * frame instead of one full rank job-set per model; absent/null
+    * groups (constant column, all-NaN pair) map to the default. */
+  private def stackedSpearman(pairs: Int => (Column, Column),
+                              default: Double): Seq[Double] = {
+    val stacked = (0 until m).map { i =>
+      val (a, b) = pairs(i)
+      wide.select(lit(i.toString).as("__pair"), a.as("__a"), b.as("__b"))
+    }.reduce(_ unionByName _)
+    val got = Metrics.spearmanByGroup(stacked, "__pair", "__a", "__b")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) default else r.getDouble(1))).toMap
+    (0 until m).map(i => got.getOrElse(i.toString, default))
+  }
+
   /** Spearman(confidence, |residual|) per model — how well each model's
     * confidence predicts its own error (ensemble_simulator.py:80-83).
     * Models aligned without a real confidence column (constant 1.0)
     * get a null Spearman, reported as 0.0 like the reference. */
   lazy val confErrorCorr: Seq[Double] =
-    (0 until m).map { i =>
-      val pair = wide.select(c(i).as("__conf"), abs(p(i) - t).as("__abs_res"))
-      Option(Metrics.spearman(pair, "__conf", "__abs_res").head().get(0))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
-    }
+    stackedSpearman(i => (c(i), abs(p(i) - t)), default = 0.0)
 
   private def invMaeWeights: Seq[Double] = {
     val inv = maeScores.map(1.0 / _)
@@ -70,11 +81,7 @@ class EnsembleSimulator private (val wide: DataFrame,
         avg(c(i)).as(s"mc$i"))
     }
     val row = wide.agg(aggs.head, aggs.tail: _*).head()
-    val spearmans = (0 until m).map { i =>
-      Option(Metrics.spearman(
-          wide.select(t.as("__t"), p(i).as("__p")), "__t", "__p")
-        .head().get(0)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
-    }
+    val spearmans = stackedSpearman(i => (t, p(i)), default = Double.NaN)
     val rows = modelNames.zipWithIndex.map { case (name, i) =>
       Row(name, r6(dbl(row, i * 4)), r6(dbl(row, i * 4 + 1)),
         r6(dbl(row, i * 4 + 2)), spearmans(i),

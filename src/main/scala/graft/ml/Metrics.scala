@@ -161,6 +161,40 @@ object Metrics {
         stddev_pop("__ra") * stddev_pop("__rb")), 6).as("spearman"))
   }
 
+  /** Tie-averaged ranks per GROUP in one pipeline (the grouped form of
+    * [[avgRanks]] — ranks are computed independently within each group
+    * by the same bucket-partitioned prefix sum). Returns
+    * (groupCol, value, n, avg_rank). */
+  def avgRanksByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                      buckets: Int = 256): DataFrame =
+    rankedScores(df.withColumn("__rk_l", lit(0)),
+        groupCol, "__rk_l", valueCol, buckets)
+      .select(col("__g").as(groupCol), col("score").as("value"),
+        col("n"), col("avg_rank"))
+
+  /** Spearman for EVERY pair in one pipeline: input is a stacked long
+    * frame (pairCol, aCol, bCol); output one row per pair —
+    * (pairCol, spearman). Replaces a per-pair [[spearman]] loop (one
+    * full rank job-set per pair) with ONE (pair, value) shuffle through
+    * the bucketed rank kernel, the way [[rocAucByGroup]] replaces the
+    * per-class rocAuc loop. Per-pair math is identical to [[spearman]]:
+    * rank partitions carry the pair key, so groups never mix. */
+  def spearmanByGroup(df: DataFrame, pairCol: String, aCol: String,
+                      bCol: String, buckets: Int = 256): DataFrame = {
+    val base = df.select(col(pairCol).cast("string").as("__pair"),
+        col(aCol).cast("double").as("__a"), col(bCol).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && !isnan(col("__a")) &&
+        col("__b").isNotNull && !isnan(col("__b")))
+    val ra = avgRanksByGroup(base, "__pair", "__a", buckets)
+      .select(col("__pair"), col("value").as("__a"), col("avg_rank").as("__ra"))
+    val rb = avgRanksByGroup(base, "__pair", "__b", buckets)
+      .select(col("__pair"), col("value").as("__b"), col("avg_rank").as("__rb"))
+    base.join(ra, Seq("__pair", "__a")).join(rb, Seq("__pair", "__b"))
+      .groupBy(col("__pair").as(pairCol))
+      .agg(round(try_divide(covar_pop("__ra", "__rb"),
+        stddev_pop("__ra") * stddev_pop("__rb")), 6).as("spearman"))
+  }
+
   /** Shared rank-prefix pipeline: distinct (group, score) aggregate →
     * per-group range-bucketing (bounds from a broadcast-joined
     * metadata aggregate) → per-(group, bucket) offsets via a window

@@ -67,4 +67,33 @@ class PlanQualitySpec extends SparkSpec {
     val out = graft.ml.Metrics.rocAuc(empty, "pos", "score").collect()
     assert(out.length == 1 && out(0).isNullAt(0))
   }
+
+  test("ensemble aggregation: shuffle count does not scale with model count M") {
+    import spark.implicits._
+    // the union+groupBy design claims ONE aggregation shuffle no matter
+    // how many model branches feed it — a merge-per-model plan (the
+    // pandas-merge shape) would add an Exchange per upstream
+    def up(n: Int) = (1 to 20).map(i => (i.toLong, i * n * 1.0, 0.5))
+      .toDF("id", "prediction", "confidence")
+    def exchanges(m: Int): Int =
+      "Exchange".r.findAllIn(
+        graft.ml.Ensemble.Mean("m")((1 to m).map(up), "id")
+          .queryExecution.executedPlan.toString).length
+    assert(exchanges(3) == exchanges(6),
+      "ensemble shuffle count must be M-invariant")
+  }
+
+  test("inference cache: keep-last dedup window is key-partitioned") {
+    import spark.implicits._
+    val cat = new graft.api.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-plancache").toString)
+    val ep = cat.onboardFormulaModel("pq_m", 0.0, Seq("x" -> 1.0),
+      target = "__absent__").toEndpoint("pq-end")
+    val cache = new graft.api.InferenceCache(ep, "k")
+    cache.inference(Seq((1L, 1.0)).toDF("k", "x"))
+    val out = cache.inference(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage in the cached-inference plan:\n$plan")
+  }
 }

@@ -97,4 +97,29 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("spearmanByGroup equals per-pair spearman on random tied data") {
+    import graft.ml.Metrics
+    val dataGen = for {
+      n <- Gen.choose(20, 100)
+      rows <- Gen.listOfN(n, for {
+        pair <- Gen.oneOf("p0", "p1", "p2")
+        a <- Gen.choose(0, 20).map(_ / 4.0) // coarse → ties in both cols
+        b <- Gen.choose(0, 20).map(_ / 4.0)
+      } yield (pair, a, b))
+    } yield rows
+    forAll(dataGen, n = 12) { rows =>
+      val df = rows.toDF("pair", "a", "b")
+      val grouped = Metrics.spearmanByGroup(df, "pair", "a", "b")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      rows.map(_._1).distinct.foreach { g =>
+        val single = Metrics.spearman(
+          df.filter(col("pair") === g), "a", "b").head()
+        val expected = if (single.isNullAt(0)) null else single.getDouble(0)
+        assert(grouped.get(g).contains(expected),
+          s"pair $g: grouped=${grouped.get(g)} single=$expected")
+      }
+    }
+  }
 }
