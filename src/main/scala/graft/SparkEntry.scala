@@ -761,8 +761,9 @@ object SparkEntry {
         Seq("m_a" -> frame(10, 16), "m_b" -> frame(7, 8), "m_c" -> frame(5, 4)),
         "event_id", "target")
       // modelPerformance materializes to driver-side literal rows, so
-      // releasing the aligned frame before returning is safe
-      val out = sim.modelPerformance()
+      // releasing the aligned frame before returning is safe; the rank
+      // columns aren't in the oracle projection — skip their pipelines
+      val out = sim.modelPerformance(withRankCorrelations = false)
         .select("model", "rmse", "mae", "r2", "mean_conf")
       sim.release()
       out

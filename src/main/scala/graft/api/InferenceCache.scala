@@ -3,7 +3,6 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 /** Result-caching wrapper around an [[Endpoint]] (reference:
   * src/workbench/api/inference_cache.py:30-250 plus the chunked-write
@@ -14,8 +13,9 @@ import org.apache.spark.sql.types.StructType
   * cache hits and misses with one anti-join against the cache keys, runs
   * the wrapped endpoint on the DISTINCT missed keys only, appends the
   * new results to the cache, and left-joins the up-to-date cache back
-  * onto the eval frame — row-for-row the frame the uncached endpoint
-  * would return, with only the misses recomputed.
+  * onto the eval frame. Key comparisons are NULL-SAFE (`<=>`): a null
+  * key is one more cache entry, computed once and served like any other,
+  * not a permanent every-call miss.
   *
   * Spark-first divergences from the pandas reference:
   *  - the reference chunks uncached rows (snapshot=500) and rewrites the
@@ -25,15 +25,24 @@ import org.apache.spark.sql.types.StructType
   *    loses at most its own uncommitted job
   *  - keep-last key dedup is a row_number window partitioned by the key
   *    (one keyed shuffle of the cache side) instead of pandas
-  *    `drop_duplicates(keep="last")`; concurrent writers that race the
-  *    same key resolve to the newest write stamp (ties arbitrary —
-  *    meaningful only for a non-deterministic endpoint)
+  *    `drop_duplicates(keep="last")`
   *  - the cache is never materialized on the driver; the returned frame
   *    is lazy like every other operator
   *
+  * Caveats shared with the reference:
+  *  - one writer per endpoint cache at a time (the reference's client
+  *    owns its cache the same way): two SIMULTANEOUS `inference` calls
+  *    race the append's shared `_temporary` dir. Sequential callers from
+  *    any number of sessions are fine — appends never rewrite data.
+  *  - output columns already present in the eval frame keep the eval
+  *    frame's values (`feature_cols` excludes them, matching the
+  *    reference's merge at inference_cache.py:158-162) — re-scoring a
+  *    frame that already has a `prediction` column returns it untouched;
+  *    drop it first to force fresh values.
+  *
   * Appended chunks are coerced to the existing cache schema (missing
   * columns → null, extra columns dropped, types cast) — the reference's
-  * canonical-dtype guard against schema-incompatible concurrent writes.
+  * canonical-dtype guard against schema drift between calls.
   */
 class InferenceCache(val endpoint: Endpoint,
                      val cacheKeyColumn: String,
@@ -56,16 +65,20 @@ class InferenceCache(val endpoint: Endpoint,
 
   /** One-shot per instance (inference_cache.py:230-250): with
     * `autoInvalidate` the cache is dropped when the endpoint's registry
-    * row was modified after the manifest stamp; otherwise the manifest
+    * row was modified after the manifest stamp — or when the stamp is
+    * MISSING entirely (a crash between append and manifest write left
+    * cache data of unknown vintage; conservative-drop beats serving
+    * possibly-stale predictions). Without `autoInvalidate` the manifest
     * is reseeded so later instances compare against the current
     * endpoint. */
   private def checkInvalidation(): Unit = synchronized {
     if (!invalidationChecked) {
+      val stamp = catalog.paramStore.get(manifestKey)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
       if (autoInvalidate) {
-        val stamp = catalog.paramStore.get(manifestKey)
-          .flatMap(s => scala.util.Try(s.toLong).toOption)
-        if (stamp.exists(_ < endpointModified) && store.check(cachePath)) clearCache()
-      } else if (store.check(cachePath))
+        if (store.check(cachePath) &&
+            (stamp.isEmpty || stamp.exists(_ < endpointModified))) clearCache()
+      } else if (store.check(cachePath) && stamp != Some(endpointModified))
         catalog.paramStore.upsert(manifestKey, endpointModified.toString)
       invalidationChecked = true
     }
@@ -77,15 +90,6 @@ class InferenceCache(val endpoint: Endpoint,
         row_number().over(Window.partitionBy(key).orderBy(col(TsCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
 
-  /** Coerce a results chunk to the cache's schema — the canonical-dtype
-    * guard (inference_cache.py:95-101, 300-340): shared columns cast,
-    * missing columns null, novel columns dropped. */
-  private def alignTo(schema: StructType, df: DataFrame): DataFrame =
-    df.select(schema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
-
   /** Cached inference (inference_cache.py:109-162). `captureName` /
     * `idColumn` forward to the wrapped endpoint for the UNCACHED rows
     * only — a captured run records just the freshly computed work. */
@@ -96,37 +100,46 @@ class InferenceCache(val endpoint: Endpoint,
     checkInvalidation()
 
     val existing = if (store.check(cachePath)) Some(store.get(cachePath)) else None
-    // misses: eval keys not in the cache, computed once per distinct key
+    // misses: eval keys not in the cache (null-safe — a cached null key
+    // is a hit), computed once per distinct key. No distinct on the
+    // cache side: anti-join is set-membership already.
     val misses = existing match {
-      // no distinct on the cache side: left_anti is set-membership, so
-      // duplicate cache keys don't multiply rows and the extra shuffle
-      // a distinct would add buys nothing
-      case Some(c) => df.join(c.select(key), Seq(cacheKeyColumn), "left_anti")
+      case Some(c) =>
+        val ck = c.select(key.as("__cache_key"))
+        df.join(ck, key <=> col("__cache_key"), "left_anti")
       case None => df
     }
     val toCompute = misses.dropDuplicates(cacheKeyColumn)
-    val out = endpoint.inference(toCompute, captureName, idColumn)
-    // endpoints that canonicalize the key column return the original
-    // input value in `outputKeyColumn` — cache under THAT value so
-    // future lookups with the same inputs still hit (py:60-71)
-    val keyed = outputKeyColumn match {
-      case Some(ok) if out.columns.contains(ok) =>
-        out.withColumn(cacheKeyColumn, col(ok))
-      case _ => out
+    // all-hits short-circuit: limit-1 probe of the anti-join beats an
+    // unconditional endpoint run + empty append + manifest rewrite on
+    // every warm call
+    val hasMisses = existing.isEmpty || !toCompute.isEmpty
+    if (hasMisses) {
+      val out = endpoint.inference(toCompute, captureName, idColumn)
+      // endpoints that canonicalize the key column return the original
+      // input value in `outputKeyColumn` — cache under THAT value so
+      // future lookups with the same inputs still hit (py:60-71)
+      val keyed = outputKeyColumn match {
+        case Some(ok) if out.columns.contains(ok) =>
+          out.withColumn(cacheKeyColumn, col(ok))
+        case _ => out
+      }
+      val stamped = keyed.withColumn(TsCol, lit(System.currentTimeMillis()))
+      // the append is the ONE action that runs the endpoint transform;
+      // both hit- and miss-rows are then served from the updated cache
+      store.append(cachePath,
+        existing.map(c => graft.stores.Stores.coerceToSchema(stamped, c.schema))
+          .getOrElse(stamped))
+      catalog.paramStore.upsert(manifestKey, endpointModified.toString)
     }
-    val stamped = keyed.withColumn(TsCol, lit(System.currentTimeMillis()))
-    // the append is the ONE action that runs the endpoint transform;
-    // both hit- and miss-rows are then served from the updated cache
-    store.append(cachePath,
-      existing.map(c => alignTo(c.schema, stamped)).getOrElse(stamped))
-    catalog.paramStore.upsert(manifestKey, endpointModified.toString)
 
     val latest = latestPerKey(store.get(cachePath))
     val featureCols = latest.columns
       .filterNot(c => c == TsCol || df.columns.contains(c))
-    df.join(
-      latest.select((cacheKeyColumn +: featureCols.toSeq).map(col): _*),
-      Seq(cacheKeyColumn), "left")
+    val features = latest
+      .select((cacheKeyColumn +: featureCols.toSeq).map(col): _*)
+      .withColumnRenamed(cacheKeyColumn, "__cache_key")
+    df.join(features, key <=> col("__cache_key"), "left").drop("__cache_key")
   }
 
   // ── cache introspection / maintenance (inference_cache.py:164-220) ──
@@ -155,14 +168,20 @@ class InferenceCache(val endpoint: Endpoint,
   /** Drop entries by key value so they recompute on the next
     * `inference` (py:190-220). A maintenance rewrite: the key list is a
     * driver-side literal, so keep it bounded (thousands, not millions —
-    * for bulk invalidation use `clearCache`). Returns rows removed. */
+    * for bulk invalidation use `clearCache`). Null-keyed entries are
+    * never collateral damage (pass no keys you didn't mean to drop; a
+    * null key itself can only be cleared via `clearCache`). Returns
+    * rows removed. */
   def deleteEntries(keys: Seq[Any]): Long = {
     if (!store.check(cachePath) || keys.isEmpty) return 0L
     val cache = store.get(cachePath)
-    val removed = cache.filter(key.isin(keys: _*)).count()
+    // isin is null-void: !isin(...) evaluates to null for a null key and
+    // a bare filter would silently drop those rows from the rewrite
+    val matches = coalesce(key.isin(keys: _*), lit(false))
+    val removed = cache.filter(matches).count()
     if (removed == 0L) return 0L
     // materialize survivors BEFORE overwriting the directory being read
-    val kept = cache.filter(!key.isin(keys: _*)).localCheckpoint(true)
+    val kept = cache.filter(!matches).localCheckpoint(true)
     if (kept.isEmpty) store.delete(cachePath)
     else store.upsert(cachePath, kept)
     removed

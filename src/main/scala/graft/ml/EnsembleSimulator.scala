@@ -70,8 +70,10 @@ class EnsembleSimulator private (val wide: DataFrame,
   /** Per-model performance table: rmse, mae, r2, Spearman(target,
     * pred), mean confidence, confidence-to-error Spearman
     * (ensemble_simulator.py:307-342). One aggregate pass plus the
-    * rank-correlation jobs. */
-  def modelPerformance(): DataFrame = {
+    * rank-correlation jobs; pass `withRankCorrelations = false` to skip
+    * the two rank pipelines entirely (spearman / conf_err_corr columns
+    * come back NaN) when only the plain aggregates are needed. */
+  def modelPerformance(withRankCorrelations: Boolean = true): DataFrame = {
     val aggs = (0 until m).flatMap { i =>
       val err = p(i) - t
       Seq(sqrt(avg(err * err)).as(s"rmse$i"),
@@ -81,11 +83,15 @@ class EnsembleSimulator private (val wide: DataFrame,
         avg(c(i)).as(s"mc$i"))
     }
     val row = wide.agg(aggs.head, aggs.tail: _*).head()
-    val spearmans = stackedSpearman(i => (t, p(i)), default = Double.NaN)
+    val spearmans =
+      if (withRankCorrelations) stackedSpearman(i => (t, p(i)), default = Double.NaN)
+      else Seq.fill(m)(Double.NaN)
+    val confCorrs =
+      if (withRankCorrelations) confErrorCorr else Seq.fill(m)(Double.NaN)
     val rows = modelNames.zipWithIndex.map { case (name, i) =>
       Row(name, r6(dbl(row, i * 4)), r6(dbl(row, i * 4 + 1)),
         r6(dbl(row, i * 4 + 2)), spearmans(i),
-        r6(dbl(row, i * 4 + 3)), r6(confErrorCorr(i)))
+        r6(dbl(row, i * 4 + 3)), r6(confCorrs(i)))
     }
     smallFrame(rows, Seq("model", "rmse", "mae", "r2", "spearman",
       "mean_conf", "conf_err_corr"))

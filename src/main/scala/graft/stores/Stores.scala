@@ -9,6 +9,16 @@ import org.apache.spark.sql.types._
   * All stores are path-keyed directories of parquet (the reference keys
   * S3 prefixes the same way); no driver-side materialization anywhere.
   */
+object Stores {
+  /** Coerce a frame to a fixed schema: shared columns cast, missing
+    * columns null, extra columns dropped — the canonical-dtype guard
+    * shared by [[InferenceStore.append]] and the inference cache. */
+  def coerceToSchema(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+}
 
 /** Path-keyed store of DataFrames
   * (reference: src/workbench/api/df_store.py:12-52). */
@@ -27,9 +37,16 @@ class DFStore(spark: SparkSession, root: String) {
 
   def get(key: String): DataFrame = spark.read.parquet(pathFor(key))
 
+  /** True only when the key holds READABLE data (at least one committed
+    * parquet file). A bare directory left by an aborted first write —
+    * the committer mkdirs the path, the job dies, abort removes only
+    * `_temporary` — must read as absent, or every later `get` throws
+    * and the key is wedged until a manual delete. */
   def check(key: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(pathFor(key))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
   def delete(key: String): Unit = {
@@ -121,13 +138,8 @@ class InferenceStore(spark: SparkSession, root: String) {
 
   /** Append predictions, enforcing/coercing to the fixed schema
     * (missing columns → null, extra columns dropped, types cast). */
-  def append(df: DataFrame): Unit = {
-    val cols = schema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }
-    df.select(cols.toIndexedSeq: _*).write.mode(SaveMode.Append).parquet(path)
-  }
+  def append(df: DataFrame): Unit =
+    Stores.coerceToSchema(df, schema).write.mode(SaveMode.Append).parquet(path)
 
   def read(): DataFrame = spark.read.schema(schema).parquet(path)
 

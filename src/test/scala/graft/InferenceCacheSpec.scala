@@ -122,6 +122,61 @@ class InferenceCacheSpec extends SparkSpec {
     assert(c3.cacheSize() == 2)
   }
 
+  test("review: a bare directory from an aborted first write does not wedge the cache") {
+    val cat = freshCatalog()
+    val cache = new InferenceCache(formulaEndpoint(cat), "k")
+    // simulate the committer's mkdirs surviving an aborted job: path
+    // exists but holds no committed parquet
+    val p = new org.apache.hadoop.fs.Path(
+      cat.root + "/dfstore/" + cache.cachePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    assert(!cat.dfStore.check(cache.cachePath))
+    assert(cache.cacheSize() == 0)
+    val out = cache.inference(Seq((1L, 10.0)).toDF("k", "x"))
+    assert(out.head().getAs[Double]("prediction") == 21.0)
+    assert(cache.cacheSize() == 1)
+  }
+
+  test("review: null cache keys are cached once and served, not every-call misses") {
+    val cat = freshCatalog()
+    val cache = new InferenceCache(formulaEndpoint(cat), "k")
+    val eval = Seq((java.lang.Long.valueOf(1L), 10.0), (null.asInstanceOf[java.lang.Long], 30.0))
+      .toDF("k", "x")
+    val first = cache.inference(eval)
+    // the null-key row gets a real prediction, same as the uncached path
+    assert(first.filter(col("k").isNull).head().getAs[Double]("prediction") == 61.0)
+    assert(cache.cacheSize() == 2) // null key is ONE cache entry
+    val again = cache.inference(eval)
+    assert(again.filter(col("k").isNull).head().getAs[Double]("prediction") == 61.0)
+    assert(cache.cacheSize() == 2) // served as a hit — no dead-row growth
+    // deleteEntries never takes null-keyed rows as collateral damage
+    assert(cache.deleteEntries(Seq(1L)) == 1L)
+    assert(cache.cacheSize() == 1)
+  }
+
+  test("review: all-hit inference skips the endpoint run and cache append") {
+    val cat = freshCatalog()
+    val cache = new InferenceCache(formulaEndpoint(cat), "k")
+    cache.inference(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"))
+    val dir = new java.io.File(cat.root + "/dfstore/" + cache.cachePath)
+    def partFiles = dir.listFiles.count(_.getName.endsWith(".parquet"))
+    val before = partFiles
+    val out = cache.inference(Seq((1L, 10.0)).toDF("k", "x"))
+    assert(out.head().getAs[Double]("prediction") == 21.0)
+    assert(partFiles == before, "all-hit call must not append to the cache")
+  }
+
+  test("review: autoInvalidate with cache data but NO manifest stamp drops the cache") {
+    val cat = freshCatalog()
+    val ep = formulaEndpoint(cat)
+    val c1 = new InferenceCache(ep, "k")
+    c1.inference(Seq((1L, 10.0)).toDF("k", "x"))
+    cat.paramStore.delete(s"graft_inference_cache/${ep.name}") // lost stamp
+    val c2 = new InferenceCache(ep, "k", autoInvalidate = true)
+    c2.inference(Seq((2L, 20.0)).toDF("k", "x"))
+    assert(c2.cacheSize() == 1) // unknown-vintage data conservatively dropped
+  }
+
   test("Reports store scopes to the /reports subtree of the DFStore") {
     val cat = freshCatalog()
     cat.reports.upsert("contests/demo", Seq((1, 0.5)).toDF("model", "rmse"))
