@@ -73,3 +73,50 @@ class Meta(val catalog: Catalog) {
         "health_tags" -> r.health_tags.mkString(",")) ++ r.meta
     }.getOrElse(Map.empty)
 }
+
+/** CachedMeta: the same interface as [[Meta]] with TTL-memoized results
+  * (reference: cached/cached_meta.py:68-150 — "the recommended class
+  * for metadata retrieval: same interface as Meta, much faster, with a
+  * 30-second TTL so results stay current"; the per-artifact cached
+  * wrappers in cached/cached_*.py are the same memoization idea).
+  *
+  * Listing frames are materialized once via `localCheckpoint` (they are
+  * metadata-sized by construction — one row per artifact), so repeat
+  * calls inside the TTL window neither re-read the registry parquet nor
+  * re-run the projection. `refresh()` drops everything eagerly. */
+class CachedMeta(catalog: Catalog, val ttlMs: Long = 30000L)
+  extends Meta(catalog) {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Any)]
+
+  private def cached[T](k: String)(f: => T): T = {
+    val now = System.currentTimeMillis()
+    cache.get(k) match {
+      case Some((at, v)) if now - at < ttlMs => v.asInstanceOf[T]
+      case _ =>
+        val v = f
+        cache.put(k, (now, v))
+        v
+    }
+  }
+  private def cachedDf(k: String)(f: => DataFrame): DataFrame =
+    cached(k)(f.localCheckpoint(true))
+
+  override def account: Map[String, String] = cached("account")(super.account)
+  override def dataSources(details: Boolean = false): DataFrame =
+    cachedDf(s"data_sources/$details")(super.dataSources(details))
+  override def featureSets(details: Boolean = false): DataFrame =
+    cachedDf(s"feature_sets/$details")(super.featureSets(details))
+  override def models(details: Boolean = false): DataFrame =
+    cachedDf(s"models/$details")(super.models(details))
+  override def endpoints(details: Boolean = false): DataFrame =
+    cachedDf(s"endpoints/$details")(super.endpoints(details))
+  override def graphs(details: Boolean = false): DataFrame =
+    cachedDf(s"graphs/$details")(super.graphs(details))
+  override def views(): DataFrame = cachedDf("views")(super.views())
+  override def describe(name: String): Map[String, String] =
+    cached(s"describe/$name")(super.describe(name))
+
+  /** Drop all cached results (cached_meta.py `refresh`). */
+  def refresh(): Unit = cache.clear()
+}
