@@ -313,9 +313,12 @@ class Catalog(val spark: SparkSession, val root: String) {
                    input: String = "dataframe"): Unit = {
     val clean = sanitize(name)
     graphStore.upsert(clean, vertices, edges)
+    // count the JUST-WRITTEN parquet, not the input frames: a bare
+    // count over footer row-counts (no data pages) vs re-running each
+    // frame's full upstream plan a second time
     registry.onboardRow(clean, "graph", input, owner, Map(
-      "graft_num_vertices" -> vertices.count().toString,
-      "graft_num_edges" -> edges.count().toString))
+      "graft_num_vertices" -> graphStore.vertices(clean).count().toString,
+      "graft_num_edges" -> graphStore.edges(clean).count().toString))
   }
 
   /** Reopen a registered graph artifact: (vertices, edges). */

@@ -47,6 +47,11 @@ class MetaEndpointDAG {
 
   /** Add an endpoint reference; returns the node name for chaining. */
   def addEndpoint(endpointName: String, nodeName: String = ""): String = {
+    // the TARGET name is serialized into the same ';'-framed spec as
+    // node names — an unvalidated "my;end" would round-trip into an
+    // unreadable registry entry (catalog-sanitized names always pass)
+    require(endpointName.matches("[A-Za-z0-9._-]+"),
+      s"Invalid endpoint name '$endpointName' (use only alphanumerics, '.', '_' and '-')")
     val node = checkName(if (nodeName.isEmpty) endpointName else nodeName)
     endpointNodes(node) = endpointName
     node
@@ -239,9 +244,20 @@ class MetaEndpoint(val catalog: Catalog, val name: String) {
   }
 
   /** Run the DAG: each child endpoint node is served by the catalog's
-    * registered endpoint via transform-only inference. */
+    * registered endpoint via transform-only inference. A CHAINED
+    * endpoint (one fed by an upstream node) receives the upstream frame
+    * minus the output columns its own transform re-creates — MLlib
+    * pipelines throw on a pre-existing `prediction`/`features` column,
+    * and an upstream node's outputs always carry them. Columns the
+    * child model declares as FEATURES are never dropped. */
   def inference(df: DataFrame): DataFrame =
-    dag.run(df, (ep, d) => catalog.endpoint(ep).fastInference(d))
+    dag.run(df, (ep, d) => {
+      val e = catalog.endpoint(ep)
+      val clash = (graft.ml.Ensemble.OutputCols ++ Seq("pred_proba", "features"))
+        .filterNot(e.model.features.contains)
+        .filter(d.columns.contains)
+      e.fastInference(if (clash.isEmpty) d else d.drop(clash: _*))
+    })
 }
 
 object MetaEndpoint {

@@ -23,7 +23,19 @@ import org.apache.spark.sql.functions._
   * construction.
   */
 class Model(val catalog: Catalog, val name: String) {
-  private def meta: Map[String, String] = catalog.registry.getMeta(name)
+  // memoized per handle: one inference() touches a dozen meta accessors
+  // (modelType, target, features, labels, formula …) and each re-read
+  // is a full registry-parquet scan + collect. Mutations through THIS
+  // handle invalidate; cross-session writers are picked up by a fresh
+  // handle (catalog.model(name)) like every other artifact reopen.
+  @volatile private var metaCache: Map[String, String] = null
+  private def meta: Map[String, String] = {
+    var m = metaCache
+    if (m == null) { m = catalog.registry.getMeta(name); metaCache = m }
+    m
+  }
+  /** Drop the memoized registry meta (picks up external writers). */
+  def refreshMeta(): Unit = metaCache = null
 
   def exists: Boolean = catalog.registry.get(name).exists(_.artifact_type == "model")
   def flavor: String = meta.getOrElse("graft_model_flavor", "mllib")
@@ -61,10 +73,12 @@ class Model(val catalog: Catalog, val name: String) {
   // ── comma-list registry meta (ordered, duplicate-free, like tags) ──
   private def listMeta(key: String): Seq[String] =
     meta.get(key).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-  private def appendListMeta(key: String, value: String): Unit =
+  private def appendListMeta(key: String, value: String): Unit = {
     // atomic inside the registry lock — a local read-modify-write here
     // would race a concurrent appender and lose one entry
     catalog.registry.appendMetaList(name, key, value)
+    refreshMeta()
+  }
 
   /** Create (or refresh) an endpoint artifact serving this model and
     * register it back on the model row (model_core.py:456-505
@@ -334,9 +348,13 @@ class Endpoint(val catalog: Catalog, val name: String) {
       rowOpt.foreach { row =>
         val kv = mt.columns.zipWithIndex.collect {
           case (c, i) if !row.isNullAt(i) && row.get(i).isInstanceOf[Number] =>
-            s"graft_metric/$capture/$c" -> f"${row.get(i).asInstanceOf[Number].doubleValue}%.6f"
+            // Locale.ROOT: the f-interpolator honors the JVM default
+            // locale, and a comma-decimal locale would store "0,123456"
+            // — unparseable by every downstream .toDouble
+            s"graft_metric/$capture/$c" -> String.format(java.util.Locale.ROOT,
+              "%.6f", Double.box(row.get(i).asInstanceOf[Number].doubleValue))
         }.toMap
-        if (kv.nonEmpty) catalog.registry.upsertMeta(m.name, kv)
+        if (kv.nonEmpty) { catalog.registry.upsertMeta(m.name, kv); m.refreshMeta() }
       }
     }
     cm.foreach(_.write.mode("overwrite").parquet(dir + "/cm"))

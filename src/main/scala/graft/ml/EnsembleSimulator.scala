@@ -127,7 +127,8 @@ class EnsembleSimulator private (val wide: DataFrame,
         .otherwise(sumOf(i => p(i) * kernel(i)) / (ks + lit(1e-12)))
     }
     val dropWorst =
-      if (remaining.size == 1) p(remaining.head)
+      if (remaining.isEmpty) p(worstIdx) // single model: nothing to drop
+      else if (remaining.size == 1) p(remaining.head)
       else remaining.map(p).reduce(_ + _) / remaining.size
 
     val strategies = Seq(

@@ -106,7 +106,9 @@ object Metrics {
     * rocAuc job-set per group. Feeds the per-class one-vs-rest loop in
     * [[classificationMetricsFull]]; groups absent from the input (e.g.
     * an all-null proba column) are simply absent from the output —
-    * callers left-join. Returns (groupCol, roc_auc). */
+    * callers left-join. A NULL group value is a real segment and gets
+    * its own output row (the kernel's group joins are null-safe).
+    * Returns (groupCol, roc_auc). */
   def rocAucByGroup(df: DataFrame, groupCol: String, labelCol: String,
                     scoreCol: String, buckets: Int = 256): DataFrame =
     rankedScores(df, groupCol, labelCol, scoreCol, buckets)
@@ -186,10 +188,17 @@ object Metrics {
       .filter(col("__a").isNotNull && !isnan(col("__a")) &&
         col("__b").isNotNull && !isnan(col("__b")))
     val ra = avgRanksByGroup(base, "__pair", "__a", buckets)
-      .select(col("__pair"), col("value").as("__a"), col("avg_rank").as("__ra"))
+      .select(col("__pair").as("__pa"), col("value").as("__av"),
+        col("avg_rank").as("__ra"))
     val rb = avgRanksByGroup(base, "__pair", "__b", buckets)
-      .select(col("__pair"), col("value").as("__b"), col("avg_rank").as("__rb"))
-    base.join(ra, Seq("__pair", "__a")).join(rb, Seq("__pair", "__b"))
+      .select(col("__pair").as("__pb"), col("value").as("__bv"),
+        col("avg_rank").as("__rb"))
+    // null-safe pair keys, like rankedScores: a null pair value is a
+    // real group, not silently-dropped rows
+    base.join(ra, col("__pair") <=> col("__pa") && col("__a") === col("__av"))
+      .drop("__pa", "__av")
+      .join(rb, col("__pair") <=> col("__pb") && col("__b") === col("__bv"))
+      .drop("__pb", "__bv")
       .groupBy(col("__pair").as(pairCol))
       .agg(round(try_divide(covar_pop("__ra", "__rb"),
         stddev_pop("__ra") * stddev_pop("__rb")), 6).as("spearman"))
@@ -220,7 +229,11 @@ object Metrics {
     // broadcast at runtime from the actual sizes.
     val bounds = grouped.groupBy("__g")
       .agg(min("score").as("__lo"), max("score").as("__hi"))
-    val bucketed = grouped.join(bounds, "__g")
+    // null-safe group joins: a NULL group value is a real segment (e.g.
+    // rows with no label) — a plain equi-join would silently drop it
+    // with no output row. <=> keys stay hash-partitionable equi-joins.
+    val bucketed = grouped.join(bounds.withColumnRenamed("__g", "__gb"),
+        col("__g") <=> col("__gb")).drop("__gb")
       .withColumn("bucket",
         when(col("__hi") === col("__lo"), lit(0))
           .otherwise(least(
@@ -235,7 +248,10 @@ object Metrics {
       .drop("__bn")
     val wIn = Window.partitionBy("__g", "bucket").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(offsets, Seq("__g", "bucket"))
+    bucketed.join(
+        offsets.withColumnRenamed("__g", "__go").withColumnRenamed("bucket", "__bo"),
+        col("__g") <=> col("__go") && col("bucket") === col("__bo"))
+      .drop("__go", "__bo")
       .withColumn("before", col("__off") + coalesce(sum("n").over(wIn), lit(0L)))
       .withColumn("avg_rank", col("before") + (col("n") + 1) / 2.0)
   }

@@ -115,7 +115,17 @@ class Registry(spark: SparkSession, root: String) {
         val stale = try {
           System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs
         } catch { case _: Exception => false } // holder released between checks
-        if (stale) fs.delete(lock, false)
+        // break a stale lock by atomic RENAME, not delete: two waiters
+        // that both judged it stale would otherwise both delete — the
+        // second delete landing AFTER the first waiter re-acquired,
+        // destroying a live lock and letting both enter the critical
+        // section. Rename succeeds for exactly one breaker; the loser
+        // just loops back to tryAcquire.
+        if (stale) {
+          val broken = hPath(lock.toString + ".stale-" + token)
+          try { if (fs.rename(lock, broken)) fs.delete(broken, false) }
+          catch { case _: Exception => () }
+        }
         else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"registry lock at $lock not released within ${timeoutMs}ms")

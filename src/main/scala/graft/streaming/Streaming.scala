@@ -88,16 +88,18 @@ object Streaming {
     *
     * Per micro-batch: batch-local exact dedup (one fingerprint
     * groupBy), then one left_anti join against the store (fingerprints
-    * only — a narrow single-column table), then append survivors to
-    * `outDir` and their fingerprints to `storeDir`. The store read is
-    * re-planned per batch so it sees all previous appends. Restarts
-    * resume from the checkpoint; a batch retried after a crash between
-    * the two appends can duplicate store fingerprints — harmless for
-    * dedup semantics (the anti-join is set-membership). */
+    * only — a narrow single-column table), then survivors overwrite the
+    * `batch_id=N` partition under `outDir` and their fingerprints
+    * append to `storeDir`. The store read is re-planned per batch so it
+    * sees all previous appends. Restarts resume from the checkpoint;
+    * a batch retried after a crash between the two writes re-OVERWRITES
+    * its own output partition (exactly-once output) and can at worst
+    * duplicate store fingerprints — harmless for dedup semantics (the
+    * anti-join is set-membership). */
   def dedupAgainstStore(docs: DataFrame, idCol: String, textCol: String,
                         storeDir: String, outDir: String,
                         checkpoint: String): StreamingQuery =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val groups = graft.dedup.Dedup.exactGroups(batch, idCol, textCol)
       val keepers = batch.join(
@@ -114,7 +116,14 @@ object Streaming {
         else spark.range(0).select(lit("").as("fingerprint"))
       val fresh = keepers.join(seen, Seq("fingerprint"), "left_anti").persist()
       try {
-        fresh.drop("fingerprint").write.mode("append").parquet(outDir)
+        // OVERWRITE a batch-keyed partition dir, don't append: a batch
+        // retried after a crash between the two writes would otherwise
+        // append its survivors twice (the store still lacked their
+        // fingerprints, so the anti-join passes them again). Replaying
+        // batch N overwrites batch=N in place — exactly-once output;
+        // readers of outDir just see an extra `batch_id` partition column
+        fresh.drop("fingerprint").write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
         fresh.select("fingerprint").write.mode("append").parquet(storeDir)
       } finally fresh.unpersist()
       ()

@@ -36,6 +36,14 @@ object Curation {
     * fingerprint group's keeper). */
   def annotate(docs: DataFrame, idCol: String, textCol: String,
                cfg: Config = Config()): DataFrame = {
+    // same guard CrossFold.run puts on its 'fold' column: a pre-existing
+    // working column would be silently overwritten and returned to the
+    // caller holding the funnel's internals instead of their data
+    val working = Seq("quality_pass", "lang_pred", "lang_pass",
+      "fingerprint", "kept", "__k")
+    val clash = docs.columns.filter(working.contains)
+    require(clash.isEmpty,
+      s"input frame already has curation working column(s) ${clash.mkString(", ")} — rename or drop them first")
     val t = col(textCol)
     val flagged = docs
       .withColumn("quality_pass",

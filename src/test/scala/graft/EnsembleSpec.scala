@@ -193,6 +193,28 @@ class EnsembleSpec extends SparkSpec {
     assert(got == Map(1L -> 5.0, 2L -> 8.0, 3L -> 11.0))
   }
 
+  test("chained MLlib endpoint: upstream output columns don't collide") {
+    val root = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val cat = new Catalog(spark, root)
+    val train = (1 to 60).map(i => (i.toLong, i.toDouble, 3.0 * i + 1))
+      .toDF("id", "x", "y")
+    // upstream: formula endpoint; downstream: a REAL MLlib pipeline
+    // whose transform throws on pre-existing prediction/features cols
+    cat.onboardFormulaModel("ch-up", 0.0, Seq("x" -> 1.0), target = "y")
+      .toEndpoint("ch-up-end")
+    val fitted = graft.ml.Models.trainRegressor(train, Seq("x"), "y")
+    cat.onboardModel("ch-down", fitted, "regressor", "y", Seq("x"))
+      .toEndpoint("ch-down-end")
+    val dag = new MetaEndpointDAG
+    dag.addEndpoint("ch-up-end"); dag.addEndpoint("ch-down-end")
+    dag.addEdge("ch-up-end", "ch-down-end")
+    dag.setInputNodes("ch-up-end"); dag.setOutputNode("ch-down-end")
+    val me = cat.createMetaEndpoint("meta-chain", dag)
+    val out = me.inference(Seq((100L, 5.0)).toDF("id", "x"))
+    assert(out.columns.contains("prediction"))
+    assert(out.count() == 1)
+  }
+
   test("EnsembleSimulator: weights, performance, strategies, agreement") {
     // two models over 4 rows; model A is better (MAE 1 vs 2)
     val ta = Seq((1L, 10.0, 9.0, 0.9), (2L, 20.0, 21.0, 0.8),

@@ -254,6 +254,57 @@ class ReviewRegressionSpec extends SparkSpec {
       s"lost updates: ${reg.listNames()}")
   }
 
+  test("a stale registry lockfile is broken and the write proceeds") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val lock = new org.apache.hadoop.fs.Path(root + "/_registry_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val out = fs.create(lock, false)
+    out.write("dead-writer-token".getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 600000L, -1) // 10 min old
+    val reg = new graft.stores.Registry(spark, root)
+    reg.upsert("after_stale", "data_source") // must break the lock, not time out
+    assert(reg.listNames() == Seq("after_stale"))
+  }
+
+  test("rocAucByGroup: a NULL group value is a real segment, not dropped rows") {
+    import graft.ml.Metrics
+    val df = Seq(
+      (Some("a"), 0.1, 0), (Some("a"), 0.9, 1), (Some("a"), 0.5, 1),
+      (None, 0.2, 0), (None, 0.8, 1), (None, 0.6, 0))
+      .map { case (g, s, l) => (g.orNull, s, l) }.toDF("g", "score", "label")
+    val out = Metrics.rocAucByGroup(df, "g", "label", "score")
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out.contains(None), s"null group missing from $out")
+    // the null segment's AUC equals a standalone rocAuc over its rows
+    val single = Metrics.rocAuc(df.filter(col("g").isNull), "label", "score")
+      .head().getDouble(0)
+    assert(out(None) == single)
+  }
+
+  test("EnsembleSimulator with a single model: strategyComparison does not crash") {
+    val f = Seq((1L, 1.0, 2.0), (2L, 2.0, 2.5), (3L, 3.0, 2.0))
+      .toDF("id", "y", "prediction")
+    val sim = graft.ml.EnsembleSimulator.fromFrames(
+      Seq("only" -> f), "id", "y")
+    val cmp = sim.strategyComparison().collect()
+    sim.release()
+    assert(cmp.nonEmpty && cmp.forall(!_.isNullAt(1)))
+  }
+
+  test("Curation.annotate rejects input with clashing working columns") {
+    val docs = Seq((1L, "some text", true)).toDF("doc_id", "text", "kept")
+    intercept[IllegalArgumentException](
+      graft.text.Curation.annotate(docs, "doc_id", "text"))
+  }
+
+  test("MetaEndpointDAG rejects endpoint names that break the spec framing") {
+    val dag = new graft.api.MetaEndpointDAG
+    intercept[IllegalArgumentException](dag.addEndpoint("my;end", "n1"))
+    intercept[IllegalArgumentException](dag.addEndpoint("a|b", "n2"))
+  }
+
   test("smartSample with idCol dedups on the id, not every column") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i, i.toDouble, s"payload_$i")).toDF("id", "v", "w")
