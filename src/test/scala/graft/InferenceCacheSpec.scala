@@ -177,6 +177,28 @@ class InferenceCacheSpec extends SparkSpec {
     assert(c2.cacheSize() == 1) // unknown-vintage data conservatively dropped
   }
 
+  test("equivalence: cached inference == uncached endpoint output for any split") {
+    // the cache must be INVISIBLE in results: for several seed/eval key
+    // splits (overlapping, disjoint, duplicated, empty-seed), the final
+    // frame matches what the bare endpoint returns on the same eval
+    val cat = freshCatalog()
+    val ep = formulaEndpoint(cat)
+    def frame(keys: Seq[Long]) = keys.map(k => (k, k * 1.5)).toDF("k", "x")
+    val evalKeys = Seq(1L, 2L, 3L, 4L, 5L, 3L, 1L) // dups included
+    val expected = ep.inference(frame(evalKeys))
+      .select("k", "x", "prediction").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    for (seed <- Seq(Seq.empty[Long], Seq(1L, 2L), Seq(5L), evalKeys)) {
+      val cache = new InferenceCache(ep, "k")
+      cache.clearCache()
+      if (seed.nonEmpty) cache.inference(frame(seed))
+      val got = cache.inference(frame(evalKeys))
+        .select("k", "x", "prediction").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("Reports store scopes to the /reports subtree of the DFStore") {
     val cat = freshCatalog()
     cat.reports.upsert("contests/demo", Seq((1, 0.5)).toDF("model", "rmse"))
