@@ -767,6 +767,43 @@ object SparkEntry {
         .select("model", "rmse", "mae", "r2", "mean_conf")
       sim.release()
       out
+    }),
+    "q91_model_comparison" -> ((s, dir) => {
+      // champion/challenger comparison over two captured runs
+      // (model_comparison.py): per-model metrics rows + the
+      // metrics-aware delta (lower-is-better flipped so positive always
+      // means model B is better)
+      val root = java.nio.file.Files.createTempDirectory("graft-q91").toString
+      val cat = new graft.api.Catalog(s, root)
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      val ma = cat.onboardFormulaModel("cmp_a", 10.0,
+        Seq("l_quantity" -> 2.0, "l_discount" -> -5.0), target = "l_extendedprice")
+      val mb = cat.onboardFormulaModel("cmp_b", 50.0,
+        Seq("l_quantity" -> 3.0), target = "l_extendedprice")
+      ma.toEndpoint("cmp-a-end")
+        .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey"))
+      mb.toEndpoint("cmp-b-end")
+        .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey"))
+      graft.api.ModelComparison.compare(ma, mb, "run1").get
+        .select(col("model"), round(col("rmse"), 4).as("rmse"),
+          round(col("mae"), 4).as("mae"), round(col("medae"), 4).as("medae"),
+          round(col("r2"), 6).as("r2"))
+    }),
+    "q92_ks_test" -> ((s, dir) => {
+      // two-sample KS statistic of a shifted copy vs the original —
+      // ECDF gaps via the same bucket-partitioned prefix-sum as rocAuc
+      val base = t(s, dir, "events").select(col("value"))
+      val cur = t(s, dir, "events").select((col("value") * 1.1 + 3).as("value"))
+      graft.eda.Quality.ksTest(cur, base, "value").select("statistic")
+    }),
+    "q93_js_divergence" -> ((s, dir) => {
+      // Jensen-Shannon divergence + fixed-bin PSI over one shared
+      // epsilon-padded histogram (distribution_stats.py:75-126)
+      val a = t(s, dir, "events").select(col("value"))
+      val b = t(s, dir, "events").select((col("value") * 1.2 + 5).as("value"))
+      graft.eda.Quality.jsDivergence(a, b, "value",
+        bins = 10, rangeMin = 0.0, rangeMax = 150.0)
     })
   )
 
@@ -1713,7 +1750,64 @@ object SparkEntry {
          UNION ALL SELECT 'm_b', ROUND(SQRT(se2 / n), 6), ROUND(ae2 / n, 6),
            ROUND(1 - se2 / (stt - n * mt * mt), 6), ROUND(mc2, 6) FROM agg
          UNION ALL SELECT 'm_c', ROUND(SQRT(se3 / n), 6), ROUND(ae3 / n, 6),
-           ROUND(1 - se3 / (stt - n * mt * mt), 6), ROUND(mc3, 6) FROM agg"""
+           ROUND(1 - se3 / (stt - n * mt * mt), 6), ROUND(mc3, 6) FROM agg""",
+    "q91_model_comparison" ->
+      """WITH li AS (SELECT l_quantity, l_discount, l_extendedprice
+             FROM lineitem WHERE l_orderkey % 10 = 0),
+         pa AS (SELECT l_extendedprice AS y,
+             10.0 + l_quantity * 2.0 + l_discount * (-5.0) AS pred FROM li),
+         pb AS (SELECT l_extendedprice AS y,
+             50.0 + l_quantity * 3.0 AS pred FROM li),
+         ma AS (SELECT ROUND(SQRT(AVG((y - pred) * (y - pred))), 6) AS rmse,
+             ROUND(AVG(ABS(y - pred)), 6) AS mae,
+             ROUND(quantile_cont(ABS(y - pred), 0.5), 6) AS medae,
+             ROUND(1.0 - SUM((y - pred) * (y - pred)) /
+               (SUM(y * y) - COUNT(*) * AVG(y) * AVG(y)), 6) AS r2 FROM pa),
+         mb AS (SELECT ROUND(SQRT(AVG((y - pred) * (y - pred))), 6) AS rmse,
+             ROUND(AVG(ABS(y - pred)), 6) AS mae,
+             ROUND(quantile_cont(ABS(y - pred), 0.5), 6) AS medae,
+             ROUND(1.0 - SUM((y - pred) * (y - pred)) /
+               (SUM(y * y) - COUNT(*) * AVG(y) * AVG(y)), 6) AS r2 FROM pb)
+         SELECT 'cmp_a' AS model, ROUND(rmse, 4) AS rmse, ROUND(mae, 4) AS mae,
+           ROUND(medae, 4) AS medae, ROUND(r2, 6) AS r2 FROM ma
+         UNION ALL
+         SELECT 'cmp_b', ROUND(rmse, 4), ROUND(mae, 4), ROUND(medae, 4),
+           ROUND(r2, 6) FROM mb
+         UNION ALL
+         SELECT 'delta', ROUND(ROUND(ma.rmse - mb.rmse, 6), 4),
+           ROUND(ROUND(ma.mae - mb.mae, 6), 4),
+           ROUND(ROUND(ma.medae - mb.medae, 6), 4),
+           ROUND(ROUND(mb.r2 - ma.r2, 6), 6) FROM ma, mb""",
+    "q92_ks_test" ->
+      """WITH s AS (
+           SELECT value * 1.1 + 3 AS v, 1 AS isa FROM events WHERE value IS NOT NULL
+           UNION ALL
+           SELECT value, 0 FROM events WHERE value IS NOT NULL),
+         m AS (SELECT v, SUM(isa) AS ca, SUM(1 - isa) AS cb FROM s GROUP BY v),
+         c AS (SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+                      SUM(cb) OVER (ORDER BY v) AS cumb FROM m),
+         t2 AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m)
+         SELECT ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / na
+           - CAST(cumb AS DOUBLE) / nb)), 6) AS statistic FROM c, t2""",
+    "q93_js_divergence" ->
+      """WITH s AS (
+           SELECT LEAST(FLOOR(value / 15.0), 9) AS bucket, 1 AS isa FROM events
+             WHERE value IS NOT NULL AND value >= 0.0 AND value <= 150.0
+           UNION ALL
+           SELECT LEAST(FLOOR((value * 1.2 + 5) / 15.0), 9), 0 FROM events
+             WHERE value IS NOT NULL AND value * 1.2 + 5 >= 0.0
+               AND value * 1.2 + 5 <= 150.0),
+         g AS (SELECT bucket, SUM(isa) AS ca, SUM(1 - isa) AS cb
+           FROM s GROUP BY bucket),
+         f AS (SELECT b.bucket, COALESCE(ca, 0) + 1e-10 AS pa,
+             COALESCE(cb, 0) + 1e-10 AS pb
+           FROM (SELECT UNNEST(range(10)) AS bucket) b
+           LEFT JOIN g ON b.bucket = g.bucket),
+         t2 AS (SELECT SUM(pa) AS ta, SUM(pb) AS tb FROM f),
+         n AS (SELECT pa / ta AS p, pb / tb AS q FROM f, t2)
+         SELECT ROUND(SUM(p * log2(p / ((p + q) / 2)) / 2
+             + q * log2(q / ((p + q) / 2)) / 2), 6) AS jsd,
+           ROUND(SUM((q - p) * LN(q / p)), 6) AS psi FROM n"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

@@ -157,4 +157,120 @@ object Quality {
       case None => unioned.dropDuplicates()
     }
   }
+
+  // ── covariate-shift statistics (utils/distribution_stats.py) ──
+
+  /** Two-sample Kolmogorov-Smirnov test (distribution_stats.py:50-73).
+    *
+    * The statistic is the max gap between the two empirical CDFs,
+    * evaluated at every distinct value. Scale shape: the cumulative
+    * counts come from the SAME bucket-partitioned prefix-sum kernel as
+    * rocAuc (per-value aggregate → range buckets → metadata offset
+    * window → within-bucket window) — no global sort at any
+    * cardinality. The p-value is the asymptotic two-sided Smirnov
+    * approximation (what scipy's ks_2samp(mode="asymp") computes;
+    * scipy switches to the exact distribution only for small samples,
+    * where this approximation is conservative). Returns one row:
+    * (statistic, p_value, shift_detected). */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String,
+             buckets: Int = 256): DataFrame = {
+    val stacked = a.select(col(valueCol).cast("double").as("__v"), lit(1).as("__isa"))
+      .unionByName(
+        b.select(col(valueCol).cast("double").as("__v"), lit(0).as("__isa")))
+      .filter(!isnan(col("__v")))
+      .withColumn("__g", lit("all"))
+    val ranked = graft.ml.Metrics.rankedScores(stacked, "__g", "__isa", "__v", buckets)
+    // one-row totals crossJoin keeps the whole thing a single pipeline
+    val totals = ranked.agg(sum("n_pos").as("__na"),
+      sum(col("n") - col("n_pos")).as("__nb"))
+    val row = ranked.crossJoin(totals)
+      .select(abs(
+        (col("before_pos") + col("n_pos")).cast("double") / col("__na") -
+          (col("before") + col("n") - col("before_pos") - col("n_pos"))
+            .cast("double") / col("__nb")).as("__d"),
+        col("__na"), col("__nb"))
+      .agg(max("__d").as("d"), first("__na").as("na"), first("__nb").as("nb"))
+      .head()
+    val (d, na, nb) =
+      (if (row.isNullAt(0)) Double.NaN else row.getDouble(0),
+        row.getLong(1), row.getLong(2))
+    val p =
+      if (d.isNaN || na == 0L || nb == 0L) Double.NaN
+      else {
+        val en = math.sqrt(na.toDouble * nb / (na.toDouble + nb))
+        val arg = (en + 0.12 + 0.11 / en) * d
+        // Kolmogorov survival Q(λ) = 2Σ(−1)^{k−1}e^{−2k²λ²}: the series
+        // only converges for λ away from 0 — evaluate with the standard
+        // convergence check and fall back to 1.0 (λ→0 limit) otherwise
+        val a2 = -2.0 * arg * arg
+        var sum = 0.0; var fac = 2.0; var prevTerm = 0.0
+        var converged = false; var k = 1
+        while (k <= 100 && !converged) {
+          val term = fac * math.exp(a2 * k * k)
+          sum += term
+          if (math.abs(term) <= 0.001 * prevTerm ||
+              math.abs(term) <= 1e-8 * math.abs(sum)) converged = true
+          fac = -fac; prevTerm = math.abs(term); k += 1
+        }
+        if (!converged) 1.0 else math.min(1.0, math.max(0.0, sum))
+      }
+    val spark = a.sparkSession
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        if (d.isNaN) null else Double.box(BigDecimal(d)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        if (p.isNaN) null else Double.box(p), !p.isNaN && p < 0.05)),
+      StructType(Seq(StructField("statistic", DoubleType),
+        StructField("p_value", DoubleType),
+        StructField("shift_detected", BooleanType, nullable = false))))
+  }
+
+  /** Shared fixed-range histogram of two frames' values: one stacked
+    * groupBy over (bucket, side), ε-padded and normalized exactly like
+    * distribution_stats._compute_binned_distributions (ε = 1e-10 per
+    * bin, denominators n + bins·ε). Returns (bucket, p, q) with every
+    * bin present. */
+  private def binnedPq(a: DataFrame, b: DataFrame, valueCol: String,
+                       bins: Int, rangeMin: Double, rangeMax: Double): DataFrame = {
+    val spark = a.sparkSession
+    val width = (rangeMax - rangeMin) / bins
+    def bucketed(df: DataFrame, side: Int) =
+      df.select(col(valueCol).cast("double").as("__v"))
+        .filter(!isnan(col("__v")) &&
+          col("__v") >= rangeMin && col("__v") <= rangeMax)
+        // np.histogram: right-closed last bin, half-open others
+        .select(least(floor((col("__v") - rangeMin) / width), lit(bins - 1))
+          .cast("int").as("bucket"), lit(side).as("__side"))
+    val counts = bucketed(a, 1).unionByName(bucketed(b, 0))
+      .groupBy("bucket")
+      .agg(sum("__side").as("__ca"), sum(lit(1) - col("__side")).as("__cb"))
+    import spark.implicits._
+    val allBins = (0 until bins).toDF("bucket")
+    val eps = 1e-10
+    val filled = allBins.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (coalesce(col("__ca"), lit(0L)) + eps).as("__pa"),
+        (coalesce(col("__cb"), lit(0L)) + eps).as("__pb"))
+    val tot = filled.agg(sum("__pa").as("__ta"), sum("__pb").as("__tb"))
+    filled.crossJoin(tot)
+      .select(col("bucket"), (col("__pa") / col("__ta")).as("p"),
+        (col("__pb") / col("__tb")).as("q"))
+  }
+
+  /** Jensen-Shannon divergence (base 2, true divergence = squared JS
+    * distance) plus fixed-bin PSI over the same shared histogram —
+    * distribution_stats.py:75-126. One row: (jsd, psi). */
+  def jsDivergence(a: DataFrame, b: DataFrame, valueCol: String,
+                   bins: Int = 10, rangeMin: Double = 0.0,
+                   rangeMax: Double = 1.0): DataFrame = {
+    val pq = binnedPq(a, b, valueCol, bins, rangeMin, rangeMax)
+    val m = (col("p") + col("q")) / 2
+    pq.agg(
+      round(sum(
+        when(col("p") > 0, col("p") * log2(col("p") / m) / 2).otherwise(0.0) +
+          when(col("q") > 0, col("q") * log2(col("q") / m) / 2).otherwise(0.0)),
+        6).as("jsd"),
+      round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6).as("psi"))
+  }
 }

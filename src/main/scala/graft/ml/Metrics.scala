@@ -211,9 +211,9 @@ object Metrics {
     * window PARTITIONED by (group, bucket). Fully declarative — no
     * driver actions, no single-partition window; the (group, score)
     * shuffle is reused across the bounds/offsets/rank branches. */
-  private def rankedScores(df: DataFrame, groupCol: String,
-                           labelCol: String, scoreCol: String,
-                           buckets: Int): DataFrame = {
+  private[graft] def rankedScores(df: DataFrame, groupCol: String,
+                                  labelCol: String, scoreCol: String,
+                                  buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grouped = df
       .select(col(groupCol).cast("string").as("__g"),
@@ -243,9 +243,14 @@ object Metrics {
       .drop("__lo", "__hi")
     val wOff = Window.partitionBy("__g").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__g", "bucket").agg(sum("n").as("__bn"))
+    val offsets = bucketed.groupBy("__g", "bucket")
+      .agg(sum("n").as("__bn"), sum("n_pos").as("__bp"))
       .withColumn("__off", coalesce(sum("__bn").over(wOff), lit(0L)))
-      .drop("__bn")
+      // cumulative POSITIVE count rides the same metadata window — free
+      // for rank consumers, and it's the per-side ECDF numerator the KS
+      // statistic needs
+      .withColumn("__off_pos", coalesce(sum("__bp").over(wOff), lit(0L)))
+      .drop("__bn", "__bp")
     val wIn = Window.partitionBy("__g", "bucket").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(
@@ -253,6 +258,8 @@ object Metrics {
         col("__g") <=> col("__go") && col("bucket") === col("__bo"))
       .drop("__go", "__bo")
       .withColumn("before", col("__off") + coalesce(sum("n").over(wIn), lit(0L)))
+      .withColumn("before_pos",
+        col("__off_pos") + coalesce(sum("n_pos").over(wIn), lit(0L)))
       .withColumn("avg_rank", col("before") + (col("n") + 1) / 2.0)
   }
 

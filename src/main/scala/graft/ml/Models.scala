@@ -106,4 +106,23 @@ object Models {
     * (reference: pandas_utils.py:270-307). */
   def withConfidence(df: DataFrame, probaCol: String): DataFrame =
     df.withColumn("confidence", array_max(col(probaCol)))
+
+  /** Per-task loss weights inversely proportional to non-null/non-NaN
+    * target coverage, mean-normalized to 1 — equalizes each task's
+    * gradient contribution in a multi-task fit
+    * (reference: utils/multi_task.py:12-46). ONE aggregate pass for all
+    * tasks. Only for symmetric setups; a primary+auxiliary setup wants
+    * manual primary-favored weights instead (see the reference note). */
+  def inverseCountTaskWeights(df: DataFrame, targetCols: Seq[String]): Seq[Double] = {
+    require(targetCols.nonEmpty, "inverseCountTaskWeights: no target columns")
+    val aggs = targetCols.map(c =>
+      count(when(col(c).isNotNull && !isnan(col(c).cast("double")), 1)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val counts = targetCols.indices.map(row.getLong(_).toDouble)
+    require(counts.forall(_ > 0),
+      s"All tasks must have at least one non-NaN row; got counts $counts")
+    val inv = counts.map(1.0 / _)
+    val mean = inv.sum / inv.size
+    inv.map(_ / mean)
+  }
 }
