@@ -804,6 +804,29 @@ object SparkEntry {
       val b = t(s, dir, "events").select((col("value") * 1.2 + 5).as("value"))
       graft.eda.Quality.jsDivergence(a, b, "value",
         bins = 10, rangeMin = 0.0, rangeMax = 150.0)
+    }),
+    "q94_contest_report" -> ((s, dir) => {
+      // champion + ranked challengers in one publishable table
+      // (model_comparison.py contest_report): metric columns interleaved
+      // with deltas vs the champion, contest-level contested flag
+      val root = java.nio.file.Files.createTempDirectory("graft-q94").toString
+      val cat = new graft.api.Catalog(s, root)
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      val champ = cat.onboardFormulaModel("champ_m", 10.0,
+        Seq("l_quantity" -> 2.0, "l_discount" -> -5.0), target = "l_extendedprice")
+      val chA = cat.onboardFormulaModel("chall_a", 50.0,
+        Seq("l_quantity" -> 3.0), target = "l_extendedprice")
+      val chB = cat.onboardFormulaModel("chall_b", 0.0,
+        Seq("l_quantity" -> 1.0), target = "l_extendedprice")
+      Seq(champ -> "champ-m-end", chA -> "chall-a-end", chB -> "chall-b-end")
+        .foreach { case (m, e) => m.toEndpoint(e)
+          .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey")) }
+      graft.api.Contests.contestReport(champ, Seq(chA, chB), "champ-m-end", "run1")
+        .get.select(col("model"), col("role"),
+          round(col("rmse"), 4).as("rmse"), round(col("d_rmse"), 4).as("d_rmse"),
+          round(col("mae"), 4).as("mae"), round(col("d_mae"), 4).as("d_mae"),
+          col("contested"))
     })
   )
 
@@ -1807,7 +1830,38 @@ object SparkEntry {
          n AS (SELECT pa / ta AS p, pb / tb AS q FROM f, t2)
          SELECT ROUND(SUM(p * log2(p / ((p + q) / 2)) / 2
              + q * log2(q / ((p + q) / 2)) / 2), 6) AS jsd,
-           ROUND(SUM((q - p) * LN(q / p)), 6) AS psi FROM n"""
+           ROUND(SUM((q - p) * LN(q / p)), 6) AS psi FROM n""",
+    "q94_contest_report" ->
+      """WITH li AS (SELECT l_quantity, l_discount, l_extendedprice
+             FROM lineitem WHERE l_orderkey % 10 = 0),
+         m0 AS (SELECT ROUND(SQRT(AVG((l_extendedprice - (10.0 + l_quantity * 2.0
+               + l_discount * (-5.0))) * (l_extendedprice - (10.0 + l_quantity * 2.0
+               + l_discount * (-5.0))))), 6) AS rmse,
+             ROUND(AVG(ABS(l_extendedprice - (10.0 + l_quantity * 2.0
+               + l_discount * (-5.0)))), 6) AS mae FROM li),
+         m1 AS (SELECT ROUND(SQRT(AVG((l_extendedprice - (50.0 + l_quantity * 3.0))
+               * (l_extendedprice - (50.0 + l_quantity * 3.0)))), 6) AS rmse,
+             ROUND(AVG(ABS(l_extendedprice - (50.0 + l_quantity * 3.0))), 6) AS mae
+             FROM li),
+         m2 AS (SELECT ROUND(SQRT(AVG((l_extendedprice - l_quantity)
+               * (l_extendedprice - l_quantity))), 6) AS rmse,
+             ROUND(AVG(ABS(l_extendedprice - l_quantity)), 6) AS mae FROM li),
+         flag AS (SELECT MAX(CASE WHEN ABS(m0.rmse - r) > 1e-6
+               AND (m0.rmse - r) >= -0.01 * ABS(m0.rmse) THEN 1 ELSE 0 END) = 1
+             AS contested
+           FROM (SELECT rmse AS r FROM m1 UNION ALL SELECT rmse FROM m2), m0)
+         SELECT 'champ_m' AS model, 'champion' AS role, ROUND(rmse, 4) AS rmse,
+           CAST(0.0 AS DOUBLE) AS d_rmse, ROUND(mae, 4) AS mae,
+           CAST(0.0 AS DOUBLE) AS d_mae, contested
+           FROM m0, flag
+         UNION ALL
+         SELECT 'chall_a', 'challenger', ROUND(m1.rmse, 4),
+           ROUND(ROUND(m0.rmse - m1.rmse, 6), 4), ROUND(m1.mae, 4),
+           ROUND(ROUND(m0.mae - m1.mae, 6), 4), contested FROM m0, m1, flag
+         UNION ALL
+         SELECT 'chall_b', 'challenger', ROUND(m2.rmse, 4),
+           ROUND(ROUND(m0.rmse - m2.rmse, 6), 4), ROUND(m2.mae, 4),
+           ROUND(ROUND(m0.mae - m2.mae, 6), 4), contested FROM m0, m2, flag"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

@@ -17,7 +17,7 @@ object ModelComparison {
   /** model_comparison.py:18. */
   val LowerIsBetter: Set[String] = Set("rmse", "mae", "medae")
 
-  private def metricsRow(m: Model, run: String): Option[Seq[(String, Double)]] =
+  private[api] def metricsRow(m: Model, run: String): Option[Seq[(String, Double)]] =
     m.getInferenceMetrics(run).flatMap { df =>
       val rows = df.collect() // metrics frames are metadata-sized
       val classIdx = df.columns.indexOf("class")
