@@ -335,24 +335,16 @@ class Endpoint(val catalog: Catalog, val name: String) {
       mt.write.mode("overwrite").parquet(dir + "/metrics")
       // metrics-into-meta: the dashboard-facing summary the reference
       // stores on the model package (model_core.py details/metrics).
-      // Classifier tables are per-class rows + a support-weighted 'all'
-      // row — the meta must carry 'all', not whichever class row the
-      // shuffle happened to emit first (regression tables are one row)
-      val allRows = mt.collect() // metrics frames are metadata-sized
-      val classIdx = mt.columns.indexOf("class")
-      val rowOpt =
-        if (classIdx >= 0)
-          allRows.find(r => !r.isNullAt(classIdx) && r.getString(classIdx) == "all")
-            .orElse(allRows.headOption)
-        else allRows.headOption
-      rowOpt.foreach { row =>
-        val kv = mt.columns.zipWithIndex.collect {
-          case (c, i) if !row.isNullAt(i) && row.get(i).isInstanceOf[Number] =>
-            // Locale.ROOT: the f-interpolator honors the JVM default
-            // locale, and a comma-decimal locale would store "0,123456"
-            // — unparseable by every downstream .toDouble
-            s"graft_metric/$capture/$c" -> String.format(java.util.Locale.ROOT,
-              "%.6f", Double.box(row.get(i).asInstanceOf[Number].doubleValue))
+      // The 'all'-row-vs-head convention is owned by
+      // ModelComparison.metricsRowOf — the contest stack reads the SAME
+      // row, so stored meta and arbiter rankings can never disagree.
+      // Locale.ROOT: the f-interpolator honors the JVM default locale,
+      // and a comma-decimal locale would store "0,123456" — unparseable
+      // by every downstream .toDouble
+      ModelComparison.metricsRowOf(mt).foreach { cells =>
+        val kv = cells.map { case (c, v) =>
+          s"graft_metric/$capture/$c" ->
+            String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
         }.toMap
         if (kv.nonEmpty) { catalog.registry.upsertMeta(m.name, kv); m.refreshMeta() }
       }

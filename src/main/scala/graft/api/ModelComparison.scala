@@ -17,25 +17,34 @@ object ModelComparison {
   /** model_comparison.py:18. */
   val LowerIsBetter: Set[String] = Set("rmse", "mae", "medae")
 
-  private[api] def metricsRow(m: Model, run: String): Option[Seq[(String, Double)]] =
-    m.getInferenceMetrics(run).flatMap { df =>
-      val rows = df.collect() // metrics frames are metadata-sized
-      val classIdx = df.columns.indexOf("class")
-      val rowOpt =
-        if (classIdx >= 0)
-          rows.find(r => !r.isNullAt(classIdx) && r.getString(classIdx) == "all")
-            .orElse(rows.headOption)
-        else rows.headOption
-      rowOpt.map { r =>
-        df.columns.zipWithIndex.toSeq.collect {
-          case (c, i) if !r.isNullAt(i) && r.get(i).isInstanceOf[Number] =>
-            c -> r.get(i).asInstanceOf[Number].doubleValue
-        }
+  /** The representative numeric metrics row of a stored metrics frame:
+    * classifier tables contribute their support-weighted `all` summary
+    * row, regressors their single row. Shared by the comparison/contest
+    * stack and `captureRun`'s metrics-into-meta — ONE place owns the
+    * 'all'-row convention. */
+  private[api] def metricsRowOf(df: DataFrame): Option[Seq[(String, Double)]] = {
+    val rows = df.collect() // metrics frames are metadata-sized
+    val classIdx = df.columns.indexOf("class")
+    val rowOpt =
+      if (classIdx >= 0)
+        rows.find(r => !r.isNullAt(classIdx) && r.getString(classIdx) == "all")
+          .orElse(rows.headOption)
+      else rows.headOption
+    rowOpt.map { r =>
+      df.columns.zipWithIndex.toSeq.collect {
+        case (c, i) if !r.isNullAt(i) && r.get(i).isInstanceOf[Number] =>
+          c -> r.get(i).asInstanceOf[Number].doubleValue
       }
     }
+  }
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private[api] def metricsRow(m: Model, run: String): Option[Seq[(String, Double)]] =
+    m.getInferenceMetrics(run).flatMap(metricsRowOf)
+
+  /** Decimal HALF_UP to 6 places — the repo's oracle-parity rounding. */
+  private[api] def round6(x: Double): Double = graft.ml.Metrics.round6(x)
+
+  private def r6(x: Double): Double = round6(x)
 
   /** `None` when either model has no metrics for the run or the two
     * share no metric columns (a regressor/classifier mismatch). */

@@ -191,9 +191,12 @@ object Quality {
         col("__na"), col("__nb"))
       .agg(max("__d").as("d"), first("__na").as("na"), first("__nb").as("nb"))
       .head()
+    // empty/all-null input: every agg cell is null — surface the
+    // (null, null, false) row, don't NPE on the long reads
     val (d, na, nb) =
       (if (row.isNullAt(0)) Double.NaN else row.getDouble(0),
-        row.getLong(1), row.getLong(2))
+        if (row.isNullAt(1)) 0L else row.getLong(1),
+        if (row.isNullAt(2)) 0L else row.getLong(2))
     val p =
       if (d.isNaN || na == 0L || nb == 0L) Double.NaN
       else {
@@ -233,6 +236,10 @@ object Quality {
     * bin present. */
   private def binnedPq(a: DataFrame, b: DataFrame, valueCol: String,
                        bins: Int, rangeMin: Double, rangeMax: Double): DataFrame = {
+    // a zero-width range would NaN every bucket, drop all real counts on
+    // the bin-spine join and report jsd=psi=0 ("no shift") for ANY input
+    require(bins > 0 && rangeMax > rangeMin,
+      s"binnedPq: need bins > 0 and rangeMax > rangeMin (got $bins, [$rangeMin, $rangeMax])")
     val spark = a.sparkSession
     val width = (rangeMax - rangeMin) / bins
     def bucketed(df: DataFrame, side: Int) =

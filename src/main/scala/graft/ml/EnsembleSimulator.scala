@@ -203,7 +203,7 @@ class EnsembleSimulator private (val wide: DataFrame,
   def release(): Unit = { wide.unpersist(); () }
 
   private def r6(x: Double): Double =
-    if (x.isNaN) x else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (x.isNaN) x else Metrics.round6(x)
 
   private def smallFrame(rows: Seq[Row], names: Seq[String]): DataFrame = {
     val fields = names.map(n =>

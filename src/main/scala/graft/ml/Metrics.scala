@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
+  /** Decimal HALF_UP to 6 places — the repo-wide oracle-parity rounding
+    * convention for driver-side scalars. */
+  private[graft] def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** RMSE / MAE / MedAE / R² for a regression prediction column — one
     * aggregate pass (R² via the sum-of-squares identity, no second scan).
     */
@@ -310,8 +315,7 @@ object Metrics {
     val perClass = withAuc
       .select("class", "support", "precision", "recall", "f1", "roc_auc")
       .collect().toSeq
-    def r6(v: Double) =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = round6(v)
     val total = perClass.map(_.getLong(1)).sum
     def weighted(idx: Int): Any =
       if (perClass.exists(_.isNullAt(idx))) null

@@ -43,6 +43,37 @@ class ContestsSpec extends SparkSpec {
     assert(hits == Seq(("contests/champ-end", "challenger", "champ-end")))
   }
 
+  test("contestSummary: per-contest row with champion, counts and recency") {
+    val (cat, champ, good, bad) = fixture()
+    val report = Contests.contestReport(champ, Seq(good, bad), "champ-end", "run1").get
+    Contests.publish(cat, "champ-end", report)
+    val summary = Contests.contestSummary(cat)
+    assert(summary.length == 1)
+    val (contest, champion, challengers, endpoint, contested, recent) = summary.head
+    assert(contest == "champ-end" && champion == "champ")
+    assert(challengers == 2L && endpoint == "champ-end")
+    assert(contested && recent) // just published → inside the 72h window
+  }
+
+  test("review: heterogeneous metric sets get null deltas, not a crash") {
+    val (cat, champ, good, _) = fixture()
+    // a challenger whose metrics share nothing with the champion's
+    // (classifier-style columns) — deltas must be null, report intact
+    val df = (1 to 30).map(i => (i.toLong, i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "x", "label")
+    val cls = cat.toModel( {
+      cat.onboard("cls_src", df); "cls_src" }, "cls_m", "classifier",
+      target = "label", features = Seq("x"))
+    cls.toEndpoint("cls-end").inference(df, Some("run1"), Some("id"))
+    val rep = Contests.contestReport(champ, Seq(good, cls), "champ-end", "run1").get
+    val rows = rep.collect()
+    assert(rows.length == 3)
+    val clsRow = rows.find(_.getString(0) == "cls_m").get
+    // regressor metric columns are null for the classifier row
+    assert(clsRow.isNullAt(rep.columns.indexOf("rmse")))
+    assert(clsRow.isNullAt(rep.columns.indexOf("d_rmse")))
+  }
+
   test("promoteIfBetter re-points the endpoint at a winning challenger") {
     val (cat, champ, good, bad) = fixture()
     val ep = cat.endpoint("champ-end")
@@ -56,5 +87,13 @@ class ContestsSpec extends SparkSpec {
     // a second arbiter pass with only worse challengers keeps the champion
     assert(Contests.promoteIfBetter(cat.endpoint("champ-end"), Seq(bad), "run1").isEmpty)
     assert(cat.endpoint("champ-end").modelName == "good")
+    // review: challengers WITHOUT metrics still publish a champion-only
+    // report rather than silently skipping the publish
+    val fresh = cat.onboardFormulaModel("fresh", 0.0, Seq("x" -> 1.0), target = "y")
+    cat.reports.delete("contests/champ-end")
+    assert(Contests.promoteIfBetter(cat.endpoint("champ-end"), Seq(fresh), "run1").isEmpty)
+    val solo = cat.reports.get("contests/champ-end")
+    assert(solo.count() == 1)
+    assert(solo.head().getAs[String]("role") == "champion")
   }
 }
