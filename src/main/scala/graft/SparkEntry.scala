@@ -827,6 +827,21 @@ object SparkEntry {
           round(col("rmse"), 4).as("rmse"), round(col("d_rmse"), 4).as("d_rmse"),
           round(col("mae"), 4).as("mae"), round(col("d_mae"), 4).as("d_mae"),
           col("contested"))
+    }),
+    "q95_uq_metrics" -> ((s, dir) => {
+      // UQ evaluation pack over a deterministic pseudo-UQ frame
+      // (model_utils.py:540-690), Gaussian-bounds path; the CRPS and
+      // rank-correlation columns are engine-side (erf / rank kernel)
+      // and stay spec-checked
+      val uq = t(s, dir, "lineitem").select(
+        col("l_extendedprice").as("y"),
+        (col("l_extendedprice") * 0.9 + 100).as("prediction"),
+        (col("l_quantity") * 50 + 100).as("prediction_std"))
+      graft.ml.UQMetrics.uqMetrics(uq, "y")
+        .select("coverage_68", "coverage_80", "coverage_90", "coverage_95",
+          "median_std", "median_width_50", "median_width_68",
+          "median_width_80", "median_width_90", "median_width_95",
+          "interval_score_95", "n_samples")
     })
   )
 
@@ -1861,7 +1876,38 @@ object SparkEntry {
          UNION ALL
          SELECT 'chall_b', 'challenger', ROUND(m2.rmse, 4),
            ROUND(ROUND(m0.rmse - m2.rmse, 6), 4), ROUND(m2.mae, 4),
-           ROUND(ROUND(m0.mae - m2.mae, 6), 4), contested FROM m0, m2, flag"""
+           ROUND(ROUND(m0.mae - m2.mae, 6), 4), contested FROM m0, m2, flag""",
+    "q95_uq_metrics" ->
+      """WITH b AS (SELECT l_extendedprice AS y,
+             l_extendedprice * 0.9 + 100 AS pred,
+             l_quantity * 50 + 100 AS std FROM lineitem),
+         i AS (SELECT y, std,
+             pred - 1.96 * std AS lo95, pred + 1.96 * std AS hi95,
+             pred - 1.645 * std AS lo90, pred + 1.645 * std AS hi90,
+             pred - 1.282 * std AS lo80, pred + 1.282 * std AS hi80,
+             pred - std AS lo68, pred + std AS hi68,
+             pred - 0.674 * std AS lo50, pred + 0.674 * std AS hi50 FROM b)
+         SELECT
+           ROUND(AVG(CASE WHEN y >= lo68 AND y <= hi68 THEN 1 ELSE 0 END), 6)
+             AS coverage_68,
+           ROUND(AVG(CASE WHEN y >= lo80 AND y <= hi80 THEN 1 ELSE 0 END), 6)
+             AS coverage_80,
+           ROUND(AVG(CASE WHEN y >= lo90 AND y <= hi90 THEN 1 ELSE 0 END), 6)
+             AS coverage_90,
+           ROUND(AVG(CASE WHEN y >= lo95 AND y <= hi95 THEN 1 ELSE 0 END), 6)
+             AS coverage_95,
+           ROUND(quantile_cont(std, 0.5), 6) AS median_std,
+           ROUND(quantile_cont(hi50 - lo50, 0.5), 6) AS median_width_50,
+           ROUND(quantile_cont(hi68 - lo68, 0.5), 6) AS median_width_68,
+           ROUND(quantile_cont(hi80 - lo80, 0.5), 6) AS median_width_80,
+           ROUND(quantile_cont(hi90 - lo90, 0.5), 6) AS median_width_90,
+           ROUND(quantile_cont(hi95 - lo95, 0.5), 6) AS median_width_95,
+           ROUND(AVG((hi95 - lo95)
+             + 40 * (lo95 - y) * (CASE WHEN y < lo95 THEN 1 ELSE 0 END)
+             + 40 * (y - hi95) * (CASE WHEN y > hi95 THEN 1 ELSE 0 END)), 6)
+             AS interval_score_95,
+           COUNT(*) AS n_samples
+         FROM i"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

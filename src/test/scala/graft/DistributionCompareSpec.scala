@@ -66,6 +66,40 @@ class DistributionCompareSpec extends SparkSpec {
     assert(ModelComparison.compare(ma, mb, "ghost").isEmpty)
   }
 
+  test("uqMetrics: Gaussian-bounds coverage, widths, CRPS, NaN guard") {
+    import graft.ml.UQMetrics
+    // pred=0, std=1: y∈{0, 0.5, 3} → 68% covers 2/3, 95% covers 2/3
+    // (3 > 1.96); a NaN row must be dropped, not poison the medians
+    val df = Seq((0.0, 0.0, 1.0), (0.5, 0.0, 1.0), (3.0, 0.0, 1.0),
+      (Double.NaN, 0.0, 1.0)).toDF("y", "prediction", "prediction_std")
+    val m = UQMetrics.uqMetrics(df, "y").head()
+    def g(n: String, r: org.apache.spark.sql.Row) =
+      r.getDouble(r.schema.fieldNames.indexOf(n))
+    assert(g("coverage_68", m) == 0.666667 && g("coverage_95", m) == 0.666667)
+    assert(g("median_width_95", m) == 3.92) // 2·1.96·std
+    assert(g("median_std", m) == 1.0)
+    assert(g("crps", m) > 0.0 && !g("crps", m).isNaN)
+    assert(g("interval_score_95", m) > 0.0)
+    assert(m.getLong(m.schema.fieldNames.indexOf("n_samples")) == 3L)
+    // no confidence column → null confidence-to-error correlation
+    assert(m.isNullAt(m.schema.fieldNames.indexOf("confidence_to_error_corr")))
+  }
+
+  test("uqMetrics: quantile columns take precedence over Gaussian bounds") {
+    import graft.ml.UQMetrics
+    // q-bounds say y=0.9 is OUTSIDE the 95% interval even though the
+    // (absent-std-free) Gaussian bounds would cover it
+    val df = Seq((0.9, 0.0, 1.0, -0.8, 0.8, -0.6, 0.6, -0.5, 0.5, -0.2, 0.2))
+      .toDF("y", "prediction", "prediction_std",
+        "q_025", "q_975", "q_05", "q_95", "q_10", "q_90", "q_25", "q_75")
+    val m = UQMetrics.uqMetrics(df, "y").head()
+    def g(n: String) = m.getDouble(m.schema.fieldNames.indexOf(n))
+    assert(g("coverage_95") == 0.0) // 0.9 > q_975=0.8
+    assert(g("median_width_95") == 1.6) // q_975 − q_025
+    assert(g("median_width_90") == 1.2) // q_95 − q_05
+    assert(g("median_width_68") == 1.0) // q_16/q_84 fallback → q_10/q_90
+  }
+
   test("inverseCountTaskWeights: inverse coverage, mean-normalized to 1") {
     val df = Seq(
       (Some(1.0), Some(1.0)), (Some(1.0), None),
