@@ -842,7 +842,12 @@ object SparkEntry {
           "median_std", "median_width_50", "median_width_68",
           "median_width_80", "median_width_90", "median_width_95",
           "interval_score_95", "n_samples")
-    })
+    }),
+    "q96_vocabulary" -> ((s, dir) =>
+      // corpus vocabulary (term + document frequency) — the tokenizer-
+      // training pre-pass; one explode, two stacked groupBys
+      graft.text.Text.vocabulary(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5L))
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -1907,7 +1912,16 @@ object SparkEntry {
              + 40 * (y - hi95) * (CASE WHEN y > hi95 THEN 1 ELSE 0 END)), 6)
              AS interval_score_95,
            COUNT(*) AS n_samples
-         FROM i"""
+         FROM i""",
+    "q96_vocabulary" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS t
+           FROM documents),
+         e AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+         g AS (SELECT doc_id, term, COUNT(*) AS c FROM e GROUP BY 1, 2)
+         SELECT term, SUM(c) AS tf, COUNT(*) AS df
+         FROM g GROUP BY term HAVING SUM(c) >= 5"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

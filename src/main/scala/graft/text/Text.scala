@@ -26,6 +26,22 @@ object Text {
   /** Whitespace word count. */
   def wordCount(text: Column): Column = size(tokens(text))
 
+  /** Corpus vocabulary: one row per distinct term with its total count
+    * (`tf`) and document frequency (`df`) — the vocab-building pre-pass
+    * of a tokenizer-training pipeline. ONE explode + two stacked
+    * groupBys: the per-(doc, term) aggregate map-side-combines the
+    * explosion, so the wide shuffle carries one row per distinct
+    * (doc, term), not one per token. `minCount` prunes the long tail
+    * before it reaches the caller. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 1L): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("__doc", "term").agg(count(lit(1)).as("__c"))
+      .groupBy("term")
+      .agg(sum("__c").as("tf"), count(lit(1)).as("df"))
+      .filter(col("tf") >= minCount)
+
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Small fixed lists — become array literals in the plan.
     */

@@ -96,4 +96,19 @@ class DedupTextSpec extends SparkSpec {
     assert((0 until 10).forall(i => survivors.contains(i.toLong) &&
       !survivors.contains(1000L + i)))
   }
+
+  test("vocabulary: term totals and document frequency with minCount pruning") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat the hat"), (2L, "the dog"), (3L, "a dog"))
+      .toDF("doc_id", "text")
+    val v = graft.text.Text.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("the") == (3L, 2L)) // 3 occurrences across 2 docs
+    assert(v("dog") == (2L, 2L))
+    assert(v("cat") == (1L, 1L))
+    // minCount prunes the tail BEFORE the caller sees it
+    val pruned = graft.text.Text.vocabulary(docs, "doc_id", "text", minCount = 2L)
+    assert(pruned.select("term").collect().map(_.getString(0)).toSet ==
+      Set("the", "dog"))
+  }
 }
