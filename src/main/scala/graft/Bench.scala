@@ -30,8 +30,17 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // untimed pre-pass over every query: steady-state is the declared
+    // measurement condition, and on a fresh container first-touch costs
+    // (lazily-hydrated FS pages for ivy/MLlib classes, /tmp lifecycle
+    // writes, codegen compiles) land inside whichever timed query hits
+    // them first — round-3 recorded 10-100x contaminated one-shot numbers.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
     // deterministic name order for round-over-round comparability
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

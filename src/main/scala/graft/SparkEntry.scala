@@ -1718,9 +1718,9 @@ object SparkEntry {
          a AS (SELECT lp.*, (lang_pass AND keeper = doc_id) AS kept
            FROM lp LEFT JOIN k USING (fingerprint))
          SELECT source, COUNT(*) AS n_input,
-           SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS n_quality,
-           SUM(CASE WHEN lang_pass THEN 1 ELSE 0 END) AS n_lang,
-           SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN lang_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM a GROUP BY source"""
     },
     "q86_sql_surface" -> {
@@ -1920,7 +1920,7 @@ object SparkEntry {
            FROM documents),
          e AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
          g AS (SELECT doc_id, term, COUNT(*) AS c FROM e GROUP BY 1, 2)
-         SELECT term, SUM(c) AS tf, COUNT(*) AS df
+         SELECT term, CAST(SUM(c) AS BIGINT) AS tf, COUNT(*) AS df
          FROM g GROUP BY term HAVING SUM(c) >= 5"""
   )
 
