@@ -237,13 +237,13 @@ object SparkEntry {
     }),
     "q39_proximity_graph" -> ((s, dir) => {
       val e = embDouble(s, dir).filter(col("vec_id") < 100)
-      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5, "euclidean", 64)
       graft.proximity.Analytics.proximityGraph(nn, minEdges = 2, extraThreshold = 0.8)
         .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"))
     }),
     "q40_laplacian_smoothness" -> ((s, dir) => {
       val e = embDouble(s, dir).filter(col("vec_id") < 100)
-      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5, "euclidean", 64)
       val edges = graft.proximity.Analytics.proximityGraph(nn, 2, 0.8)
       graft.proximity.Analytics.laplacianSmoothness(edges, e, "vec_id", "label")
         .select(col("id"), round(col("node_smoothness"), 4).as("node_smoothness"),
@@ -260,13 +260,13 @@ object SparkEntry {
     }),
     "q42_row_tags" -> ((s, dir) => {
       val e = embDouble(s, dir).filter(col("vec_id") < 100)
-      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5, "euclidean", 64)
       graft.proximity.Analytics.rowTags(nn, e, "vec_id", "label", gradientCut = 2.0)
         .select(col("id"), array_join(col("tags"), ",").as("tags"))
     }),
     "q43_landscape_isolated" -> ((s, dir) => {
       val e = embDouble(s, dir).filter(col("vec_id") < 200)
-      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 3, Proximity.euclidean)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 3, "euclidean", 64)
       graft.proximity.Analytics.landscapeIsolated(nn, 0.9)
         .select(col("id"), round(col("nn_distance"), 4).as("nn_distance"))
     }),
@@ -377,7 +377,7 @@ object SparkEntry {
     }),
     "q57_label_noise" -> ((s, dir) => {
       val e = embDouble(s, dir).filter(col("vec_id") < 100)
-      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5, "euclidean", 64)
       graft.ml.Noise.neighborhoodDisagreement(nn, e, "vec_id", "label")
         .select(col("id"), col("label"), col("majority_label"),
           round(col("agreement"), 6).as("agreement"), col("noisy"))
@@ -447,7 +447,7 @@ object SparkEntry {
       // row tags -> filter_by_tags (mol_tagging.py:386-434): require +
       // exclude + prefix forms all exercised
       val e = embDouble(s, dir).filter(col("vec_id") < 100)
-      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 5, Proximity.euclidean)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5, "euclidean", 64)
       val tagged = graft.proximity.Analytics.rowTags(nn, e, "vec_id", "label", gradientCut = 2.0)
       graft.proximity.Analytics.filterByTags(tagged,
         require = Seq("zero_target"), exclude = Seq("coincident"),
@@ -491,7 +491,7 @@ object SparkEntry {
       val e = embDouble(s, dir).filter(col("vec_id") < 400)
         .withColumn("prediction", col("label").cast("double") * 0.9 + 0.5)
         .withColumn("prediction_std", lit(0.5))
-      val nn = Proximity.knnJoin(e, e, "vec_id", "embedding", 10, Proximity.euclidean)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 10, "euclidean", 64)
       val feats = graft.proximity.Analytics.residualFeatures(
         nn, e, "vec_id", "label", "prediction", 10)
         .join(e.select(col("vec_id").as("id"), col("prediction_std")), Seq("id"))

@@ -1,0 +1,118 @@
+package graft
+
+import graft.core.Tables
+import graft.proximity.Proximity
+import org.apache.spark.sql.functions._
+
+/** Scale-path specs for the bucketed ANN twins of knnJoin (VERDICT r3
+  * item 3): whole-table self-KNN must not plan a broadcast nested-loop
+  * join, and the ANN results must agree closely with the exact path on
+  * the test corpus.
+  */
+class ProximityScaleSpec extends SparkSpec {
+
+  lazy val emb = {
+    val toD = transform(col("embedding"), x => x.cast("double"))
+    Tables.load(spark, sf, "embeddings").withColumn("embedding", toD)
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bucketed euclidean self-KNN: no nested-loop join in the plan") {
+    val nn = Proximity.knnJoinBucketedEuclidean(emb, emb, "vec_id", "embedding",
+      k = 5, dim = 64)
+    val plan = planOf(nn)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"scale path must not nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("bucketed euclidean: schema/self-exclusion/k-cap match knnJoin, recall high") {
+    val exact = Proximity.knnJoin(emb, emb, "vec_id", "embedding", 5,
+      Proximity.euclidean)
+      .select("id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Proximity.knnJoinBucketedEuclidean(emb, emb, "vec_id", "embedding",
+      k = 5, dim = 64, nTables = 6)
+    assert(approx.columns.toSeq == Seq("id", "neighbor_id", "distance"))
+    val rows = approx.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val perId = rows.groupBy(_.getLong(0))
+    assert(perId.values.forall(_.length <= 5))
+    // ANN recall vs exact top-5 — grid cells with 6 shifted tables should
+    // recover well over half of the true neighbor pairs on 500x64 data
+    val approxPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approxPairs).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("bucketed ruzicka self-KNN: no nested-loop join, sound distances") {
+    val f = emb.withColumn("fp", transform(col("embedding"),
+      x => floor(abs(x * 20))))
+    val nn = Proximity.knnJoinBucketedRuzicka(f, f, "vec_id", "fp", k = 5)
+    val plan = planOf(nn)
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = nn.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // candidates share MinHash bands → should be genuinely similar: the
+    // top-1 distance per id must beat the all-pairs median by a margin
+    val top1 = rows.groupBy(_.getLong(0)).values
+      .map(_.minBy(r => (r.getDouble(2), r.getLong(1))).getDouble(2))
+    assert(top1.sum / top1.size < 0.9)
+  }
+
+  test("bucketed ruzicka recall vs exact on a 100-row slice") {
+    val f = emb.filter(col("vec_id") < 100).withColumn("fp",
+      transform(col("embedding"), x => floor(abs(x * 20))))
+    val exact = Proximity.knnJoin(f, f, "vec_id", "fp", 5, Proximity.ruzicka)
+      .select("id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Proximity.knnJoinBucketedRuzicka(f, f, "vec_id", "fp", k = 5,
+      nHashes = 16, bandSize = 2)
+      .select("id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("knnJoinAdaptive: brute below threshold (exact results), bucketed above") {
+    val small = emb.filter(col("vec_id") < 20)
+    val brute = Proximity.knnJoinAdaptive(small, emb, "vec_id", "embedding",
+      3, "euclidean", 64, bruteMaxQueries = 100)
+    assert(planOf(brute).contains("BroadcastNestedLoopJoin"))
+    val exact = Proximity.knnJoin(small, emb, "vec_id", "embedding", 3,
+      Proximity.euclidean).collect().map(_.toSeq).toSet
+    assert(brute.collect().map(_.toSeq).toSet == exact)
+
+    val routed = Proximity.knnJoinAdaptive(emb, emb, "vec_id", "embedding",
+      3, "euclidean", 64, bruteMaxQueries = 100)
+    assert(!planOf(routed).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("featureSpaceKnn routes through the adaptive path and stays exact for batches") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+      .filter(col("rid") < 1000)
+    val out = Proximity.featureSpaceKnn(li.filter(col("rid") < 50), li, "rid",
+      Seq("l_quantity", "l_extendedprice", "l_discount"), 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 3))
+  }
+
+  test("hot-bucket guard caps candidates per cell") {
+    // 300 identical vectors land in one cell; maxBucket=10 bounds the
+    // per-table candidate set to ~10 refs per query instead of 300
+    import spark.implicits._
+    val dup = (0L until 300L).map(i => (i, Seq.fill(8)(1.0))).toDF("vec_id", "v")
+    val nn = Proximity.knnJoinBucketedEuclidean(dup, dup, "vec_id", "v",
+      k = 50, dim = 8, nTables = 2, maxBucket = 10)
+    val perId = nn.collect().groupBy(_.getLong(0))
+    // each query sees at most maxBucket refs per table (minus self)
+    assert(perId.values.forall(_.length <= 20))
+  }
+}
