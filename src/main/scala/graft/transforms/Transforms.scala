@@ -170,8 +170,13 @@ object Transforms {
     */
   def oneHot(df: DataFrame, column: String, maxCategories: Int = 10): DataFrame = {
     // nulls are ignored like pandas get_dummies ignores NaN (no dummy
-    // column, all-zero row) rather than NPE-ing on the driver
+    // column, all-zero row) rather than NPE-ing on the driver.
+    // limit(maxCategories + 1): the gate only needs to know "too many" —
+    // without it a high-cardinality column (or a mistyped column name on
+    // an id column) collects every distinct value to the driver before
+    // bailing (VERDICT r3 item 4)
     val values = df.select(column).distinct().orderBy(col(column))
+      .limit(maxCategories + 1)
       .collect().map(_.getString(0)).toSeq.filter(_ != null)
     if (values.size <= 1 || values.size >= maxCategories) df
     else values.foldLeft(df) { (d, v) =>

@@ -318,4 +318,35 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(aggKeys.nonEmpty && aggKeys.forall(k => k.contains("id") && !k.contains("w#")),
       s"aggKeys=$aggKeys plan=$planText")
   }
+
+  test("oneHot on a high-cardinality column: unchanged, distinct collect bounded") {
+    // 50k distinct ids as strings — the pre-fix code collected all 50k to
+    // the driver before the maxCategories gate bailed (VERDICT r3 item 4)
+    val wide = spark.range(50000).selectExpr("CAST(id AS STRING) AS cat", "id AS v")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Transforms.oneHot(wide, "cat", maxCategories = 10)
+      assert(out.columns.toSeq == wide.columns.toSeq) // gate bailed, unchanged
+      // the distinct query must carry the limit all the way to the collect
+      val deadline = System.currentTimeMillis() + 10000
+      var seen = Seq.empty[String]
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) {
+        seen = plans.toArray(Array.empty[String]).toSeq
+          .filter(p => p.contains("cat") && p.contains("HashAggregate"))
+        if (seen.isEmpty) Thread.sleep(50)
+      }
+      assert(seen.nonEmpty, "distinct-collect query not observed")
+      assert(seen.exists(p => p.contains("CollectLimit") || p.contains("GlobalLimit")
+          || p.contains("TakeOrderedAndProject")),
+        s"distinct collect is unbounded:\n${seen.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
