@@ -89,13 +89,15 @@ object Streaming {
     * Per micro-batch: batch-local exact dedup (one fingerprint
     * groupBy), then one left_anti join against the store (fingerprints
     * only — a narrow single-column table), then survivors overwrite the
-    * `batch_id=N` partition under `outDir` and their fingerprints
-    * append to `storeDir`. The store read is re-planned per batch so it
-    * sees all previous appends. Restarts resume from the checkpoint;
-    * a batch retried after a crash between the two writes re-OVERWRITES
-    * its own output partition (exactly-once output) and can at worst
-    * duplicate store fingerprints — harmless for dedup semantics (the
-    * anti-join is set-membership). */
+    * `batch_id=N` partition under BOTH `outDir` and `storeDir`. Keying
+    * the store by batch_id makes the replay deterministic: a batch
+    * retried after ANY crash point (including after both writes, before
+    * the streaming commit) recomputes `seen` EXCLUDING its own
+    * partition, so `fresh` comes out identical and both writes are
+    * idempotent partition overwrites — exactly-once output. (Appending
+    * an unpartitioned store instead loses data on exactly that replay:
+    * the store already holds the batch's fingerprints, the anti-join
+    * returns empty, and the output overwrite erases the survivors.) */
   def dedupAgainstStore(docs: DataFrame, idCol: String, textCol: String,
                         storeDir: String, outDir: String,
                         checkpoint: String): StreamingQuery =
@@ -112,19 +114,24 @@ object Streaming {
         spark.sparkContext.hadoopConfiguration)
       val seen =
         if (storeFs.exists(storePath))
-          spark.read.parquet(storeDir).select("fingerprint")
+          // exclude THIS batch's own partition: on replay the store may
+          // already hold the batch's fingerprints, and anti-joining
+          // against them would erase the survivors (ADVICE r3)
+          spark.read.parquet(storeDir)
+            .filter(col("batch_id") =!= batchId)
+            .select("fingerprint")
         else spark.range(0).select(lit("").as("fingerprint"))
       val fresh = keepers.join(seen, Seq("fingerprint"), "left_anti").persist()
       try {
-        // OVERWRITE a batch-keyed partition dir, don't append: a batch
-        // retried after a crash between the two writes would otherwise
-        // append its survivors twice (the store still lacked their
-        // fingerprints, so the anti-join passes them again). Replaying
-        // batch N overwrites batch=N in place — exactly-once output;
-        // readers of outDir just see an extra `batch_id` partition column
+        // both writes OVERWRITE a batch-keyed partition dir: with `seen`
+        // deterministic under replay (own partition excluded), replaying
+        // batch N rewrites identical content into batch_id=N in place —
+        // exactly-once output; readers just see an extra `batch_id`
+        // partition column
         fresh.drop("fingerprint").write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
-        fresh.select("fingerprint").write.mode("append").parquet(storeDir)
+        fresh.select("fingerprint").write.mode("overwrite")
+          .parquet(s"$storeDir/batch_id=$batchId")
       } finally fresh.unpersist()
       ()
     }

@@ -155,6 +155,22 @@ class ModelsStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L, 5L))
     assert(spark.read.parquet(store).count() == 3) // three distinct fingerprints
+
+    // crash-replay (ADVICE r3, medium): simulate dying AFTER both batch-1
+    // writes but BEFORE the streaming commit by deleting commits/1 — the
+    // restart re-runs batch 1 against a store that ALREADY holds its
+    // fingerprints. The replay must keep doc 5, not anti-join it away
+    // and overwrite batch_id=1 with an empty dataset.
+    val lastCommit = new java.io.File(cp + "/commits/1")
+    assert(lastCommit.exists, "expected batch-1 commit file")
+    assert(lastCommit.delete())
+    new java.io.File(cp + "/commits/.1.crc").delete() // local-FS checksum sidecar
+    val stream3 = spark.readStream.schema(schema).parquet(in)
+    Streaming.dedupAgainstStore(stream3, "doc_id", "text", store, out, cp)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 5L), "replayed batch lost its survivors")
+    assert(spark.read.parquet(store).count() == 3)
   }
 
   test("dedupWithinWatermark drops same-fingerprint rows in a drain") {
