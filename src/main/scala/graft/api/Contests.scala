@@ -92,8 +92,16 @@ object Contests {
                          ranked: Seq[(String, Metrics)],
                          endpointName: String): Option[DataFrame] = {
     if (champ.isEmpty && ranked.isEmpty) return None
-    val metricCols = champ.map(_._2.map(_._1))
-      .orElse(ranked.headOption.map(_._2.map(_._1))).get
+    // challenger-led union of metric keys (the reference's pd.concat
+    // alignment, model_comparison.py:160-240): champion-only columns
+    // append after; taking the champion's row alone silently drops
+    // challenger-only metrics (e.g. a classifier's f1 in a mixed pool)
+    val metricCols = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      (ranked.map(_._2) ++ champ.map(_._2).toSeq)
+        .foreach(_.foreach { case (k, _) => seen += k })
+      seen.toSeq
+    }
     val champMap = champ.map(_._2.toMap).getOrElse(Map.empty)
     val primary = primaryOf(champ.map(_._2).toSeq ++ ranked.map(_._2))
 
@@ -107,7 +115,11 @@ object Contests {
           r6(if (ModelComparison.LowerIsBetter.contains(c)) cv - v else v - cv)
       }
 
-    val contested = (for (p <- primary; cv <- champMap.get(p)) yield
+    // a zero/NaN champion primary is no evidence to contest against —
+    // the reference's _contested returns False there
+    // (model_comparison.py:25-40)
+    val contested = (for (p <- primary; cv <- champMap.get(p)
+                          if cv != 0 && !cv.isNaN) yield
       ranked.map(_._2.toMap).exists { ch =>
         ch.get(p).exists { v =>
           val d = if (ModelComparison.LowerIsBetter.contains(p)) cv - v else v - cv
@@ -218,7 +230,13 @@ object Contests {
     val scored = challengers.flatMap(m => metricsOf(m, run).map(m.name -> _))
     val ranked = rankScored(scored)
     val incumbent = metricsOf(incumbentModel, run)
-    val isClassifier = incumbentModel.modelType == "classifier"
+    // metric-key selection follows the BEST CHALLENGER's type (the
+    // reference's arbiter, model_promotion.py:38-44) — the incumbent
+    // only decides when no challenger scored (it may be deleted, or a
+    // different family than the pool under contest)
+    val isClassifier = ranked.headOption
+      .flatMap { case (n, _) => challengers.find(_.name == n) }
+      .map(_.modelType).getOrElse(incumbentModel.modelType) == "classifier"
 
     val promoted = ranked.headOption.flatMap { case (winnerName, winnerMetrics) =>
       if (winnerName != endpoint.modelName &&

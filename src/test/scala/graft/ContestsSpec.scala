@@ -96,4 +96,53 @@ class ContestsSpec extends SparkSpec {
     assert(solo.count() == 1)
     assert(solo.head().getAs[String]("role") == "champion")
   }
+
+  test("review: challenger-only metrics survive into the report columns") {
+    val (cat, champ, good, _) = fixture()
+    // classifier challenger in a regressor contest: its f1/accuracy must
+    // appear as report columns (challenger-led union), not be dropped
+    // because the champion's row lacks them
+    val df = (1 to 30).map(i => (i.toLong, i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "x", "label")
+    val cls = cat.toModel( {
+      cat.onboard("cls_src2", df); "cls_src2" }, "cls_m2", "classifier",
+      target = "label", features = Seq("x"))
+    cls.toEndpoint("cls-end2").inference(df, Some("run1"), Some("id"))
+    val rep = Contests.contestReport(champ, Seq(good, cls), "champ-end", "run1").get
+    assert(rep.columns.contains("f1"), rep.columns.mkString(","))
+    val clsRow = rep.collect().find(_.getString(0) == "cls_m2").get
+    assert(!clsRow.isNullAt(rep.columns.indexOf("f1")))
+    // champion lacks f1 → its f1 cell and the delta are null
+    val champRow = rep.collect().find(_.getString(0) == "champ").get
+    assert(champRow.isNullAt(rep.columns.indexOf("f1")))
+  }
+
+  test("review: a zero-primary champion is not contested") {
+    val (cat, _, good, bad) = fixture()
+    // 'good' has rmse == 0 (exact formula) — with it as champion the
+    // reference's champ_value==0 guard says NOT contested, however much
+    // better/worse the challengers are
+    val rep = Contests.contestReport(good, Seq(bad), "good-end", "run1").get
+    assert(rep.collect().forall(!_.getBoolean(rep.columns.indexOf("contested"))))
+  }
+
+  test("review: promotion metric keys follow the best challenger's type") {
+    val (cat, champ, good, _) = fixture()
+    // classifier pool contesting a regressor endpoint: beats() must
+    // compare f1 (the winner's family), not rmse/mae
+    val df = (1 to 40).map(i => (i.toLong, i.toDouble, if (i <= 20) "a" else "b"))
+      .toDF("id", "x", "label")
+    val cls = cat.toModel( {
+      cat.onboard("cls_src3", df); "cls_src3" }, "cls_m3", "classifier",
+      target = "label", features = Seq("x"))
+    cls.toEndpoint("cls-end3").inference(df, Some("run1"), Some("id"))
+    val ep = cat.endpoint("champ-end")
+    // incumbent (regressor) has no f1 → beats() with classifier keys and
+    // no incumbent f1 evidence must NOT promote; with the old
+    // incumbent-derived flag this compared rmse and also blocked — the
+    // observable difference is in the mixed pool below
+    val promoted = Contests.promoteIfBetter(ep, Seq(cls), "run1")
+    assert(promoted.isEmpty)
+    assert(cat.endpoint("champ-end").modelName == "champ")
+  }
 }
