@@ -34,31 +34,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan)
   }
 
-  test("q74: rocAuc rank prefix runs in a PARTITIONED window (VERDICT r2 item 3)") {
-    val windows = SparkEntry.queries("q74_roc_auc")(spark, sf)
-      .queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-      }
+  test("q74: rocAuc is adaptive — window form at toy scale, no bucket shuffles") {
+    // VERDICT r3 item 6: below RankSmallMaxRows the kernel takes the
+    // plain rank window (two fewer shuffles — 0.23 s vs 0.72 s at
+    // sf0.1); the bucketed scale shape is asserted by the forced-
+    // bucketed test below
+    val plan = SparkEntry.queries("q74_roc_auc")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
     assert(windows.nonEmpty, "expected the rank-prefix window")
-    // the DATA-SIZED window (rank prefix, ordered by score) must be
-    // partitioned by bucket; the bucket-OFFSET window runs over the
-    // ≤`buckets`-row totals aggregate (metadata-sized by construction)
-    // and is allowed to be global
-    val rankWindows = windows.filter(_.orderSpec.exists(
-      _.child.references.exists(_.name == "score")))
-    assert(rankWindows.nonEmpty, "expected the score-ordered rank window")
-    assert(rankWindows.forall(_.partitionSpec.nonEmpty),
-      "global (single-partition) window found in rocAuc's rank prefix — " +
-        "the distributed bucketed prefix must partition by bucket")
-    val offsetWindows = windows.filterNot(rankWindows.contains)
-    assert(offsetWindows.forall(w =>
-      w.child.exists {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-          a.groupingExpressions.exists(_.references.exists(_.name == "bucket"))
-        case _ => false
-      }),
-      "an unpartitioned window in rocAuc must consume only the bounded " +
-        "per-bucket totals aggregate")
+    // small path: exactly the score-ordered prefix window, and none of
+    // the bucketed pipeline's bucket-keyed windows/aggregates
+    assert(!plan.toString.contains("bucket"),
+      "toy-scale rocAuc should not take the bucketed pipeline")
+  }
+
+  test("rank kernel: bucketed path keeps its shape and matches the window path") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5000).selectExpr("CAST(id % 7 AS DOUBLE) + id * 1e-4 AS score",
+      "CAST(id % 3 = 0 AS INT) AS pos", "'all' AS g")
+    // forced-bucketed (smallMaxRows = 0) must window by (group, bucket)
+    val bucketed = graft.ml.Metrics.rankedScores(df, "g", "pos", "score", 64,
+      smallMaxRows = 0)
+    val rankWindows = bucketed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.orderSpec.exists(_.child.references.exists(_.name == "score")) => w
+    }
+    assert(rankWindows.nonEmpty &&
+      rankWindows.forall(_.partitionSpec.exists(_.references.exists(_.name == "bucket"))),
+      "forced-bucketed kernel must partition the rank window by bucket")
+    // adaptive (default threshold) routes this 5k-row frame to the plain
+    // window form — identical avg_rank results either way
+    val small = graft.ml.Metrics.rankedScores(df, "g", "pos", "score", 64)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select("score", "n", "n_pos", "avg_rank").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(m(bucketed) == m(small))
   }
 
   test("rocAuc on an empty/all-null score frame returns a null-AUC row") {
