@@ -301,6 +301,26 @@ class Catalog(val spark: SparkSession, val root: String) {
   /** Account-wide artifact listing/describe (api/meta.py). */
   def meta: Meta = new Meta(this)
 
+  /** Catalog-shared result cache behind [[CachedMeta]] and the `Cached*`
+    * artifact handles (cached/cached_artifact_mixin.py's shared
+    * artifact_cache). */
+  lazy val artifactCache: ArtifactCache = new ArtifactCache(this, 30000L)
+
+  /** TTL-memoized Meta — the reference's recommended metadata path
+    * (cached/cached_meta.py). */
+  lazy val cachedMeta: CachedMeta = new CachedMeta(this)
+
+  /** Cached artifact handles (cached/cached_data_source.py,
+    * cached_model.py, cached_endpoint.py — "the preferred API" in the
+    * reference docs): memoized stats/meta, live mutations. */
+  def cachedDataSource(name: String): CachedDataSource =
+    new CachedDataSource(this, sanitize(name))
+  def cachedModel(name: String): CachedModel =
+    new CachedModel(this, sanitize(name))
+  def cachedEndpoint(name: String): CachedEndpoint =
+    new CachedEndpoint(this, sanitize(name))
+
+
   // ── graph artifacts (api/graph_store.py:12-43 — graphs are
   //    registered artifacts, not loose files) ──
   lazy val graphStore = new graft.stores.GraphStore(spark, s"$root/graphs")

@@ -86,21 +86,16 @@ class Meta(val catalog: Catalog) {
   * re-run the projection. `refresh()` drops everything eagerly. */
 class CachedMeta(catalog: Catalog, val ttlMs: Long = 30000L)
   extends Meta(catalog) {
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Any)]
+  // the catalog-shared ArtifactCache (same store the Cached* artifact
+  // handles use) unless a custom TTL forces a private instance; either
+  // way displaced checkpointed frames are unpersisted on eviction
+  // (ADVICE r3: the old map-based cache leaked checkpoint blocks)
+  private val store =
+    if (ttlMs == catalog.artifactCache.ttlMs) catalog.artifactCache
+    else new ArtifactCache(catalog, ttlMs)
 
-  private def cached[T](k: String)(f: => T): T = {
-    val now = System.currentTimeMillis()
-    cache.get(k) match {
-      case Some((at, v)) if now - at < ttlMs => v.asInstanceOf[T]
-      case _ =>
-        val v = f
-        cache.put(k, (now, v))
-        v
-    }
-  }
-  private def cachedDf(k: String)(f: => DataFrame): DataFrame =
-    cached(k)(f.localCheckpoint(true))
+  private def cached[T](k: String)(f: => T): T = store.cached("meta/" + k)(f)
+  private def cachedDf(k: String)(f: => DataFrame): DataFrame = cached(k)(f)
 
   override def account: Map[String, String] = cached("account")(super.account)
   override def dataSources(details: Boolean = false): DataFrame =
@@ -117,6 +112,7 @@ class CachedMeta(catalog: Catalog, val ttlMs: Long = 30000L)
   override def describe(name: String): Map[String, String] =
     cached(s"describe/$name")(super.describe(name))
 
-  /** Drop all cached results (cached_meta.py `refresh`). */
-  def refresh(): Unit = cache.clear()
+  /** Drop all cached results, releasing checkpointed frames
+    * (cached_meta.py `refresh`). */
+  def refresh(): Unit = store.invalidate("meta/")
 }

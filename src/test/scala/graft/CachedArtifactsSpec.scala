@@ -1,0 +1,112 @@
+package graft
+
+import graft.api.{ArtifactCache, Catalog}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Cached artifact handles (cached/cached_artifact_mixin.py,
+  * cached_data_source.py, cached_model.py, cached_endpoint.py): repeat
+  * calls within the TTL do no work at all, staleness follows the
+  * registry modified stamp, and evicted frames release their
+  * checkpointed blocks. */
+class CachedArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newCatalog() = new Catalog(spark,
+    java.nio.file.Files.createTempDirectory("graft-cached").toString)
+
+  /** Count Spark jobs started while running `f` (listener-bus async —
+    * spin briefly for the tail). */
+  private def jobsDuring[T](f: => T): (T, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = f
+      Thread.sleep(300) // let queued listener events drain
+      (r, n.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("CachedDataSource: second stats/meta call within TTL runs zero jobs") {
+    val cat = newCatalog()
+    val df = (1 to 50).map(i => (i.toLong, i * 1.5)).toDF("id", "x")
+    cat.onboard("cds_src", df)
+    val cds = cat.cachedDataSource("cds_src")
+    val stats1 = cds.descriptiveStats()
+    stats1.collect() // materialize once
+    cds.summary()
+    val ((stats2, sum2), jobs) = jobsDuring {
+      (cds.descriptiveStats(), cds.summary())
+    }
+    assert(jobs == 0, s"second calls within TTL ran $jobs Spark jobs")
+    assert(sum2("name") == "cds_src")
+    // the returned frame is the materialized checkpoint, not a re-plan
+    // over parquet — collecting it scans the block manager, not files
+    val plan = stats2.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"), plan)
+  }
+
+  test("CachedModel/CachedEndpoint: metadata memoized, inference passes through") {
+    val cat = newCatalog()
+    val df = (1 to 40).map(i => (i.toLong, i.toDouble, 2.0 * i + 1)).toDF("id", "x", "y")
+    val m = cat.onboardFormulaModel("cm", 1.0, Seq("x" -> 2.0), target = "y")
+    m.toEndpoint("cm-end").inference(df, Some("run1"), Some("id"))
+    val cm = cat.cachedModel("cm")
+    cm.getInferenceMetrics("run1").get.collect()
+    cm.modelType; cm.listInferenceRuns() // warm every key under test
+    val (_, jobs) = jobsDuring {
+      assert(cm.modelType == "regressor")
+      assert(cm.getInferenceMetrics("run1").isDefined)
+      assert(cm.listInferenceRuns().contains("run1"))
+    }
+    // metadata answers come from the cache; the Option re-wrap itself
+    // runs nothing
+    assert(jobs == 0, s"cached metadata calls ran $jobs jobs")
+    val ce = cat.cachedEndpoint("cm-end")
+    assert(ce.modelName == "cm")
+    assert(ce.inference(df).count() == 40) // passthrough, never cached
+  }
+
+  test("modified-stamp staleness: re-onboard invalidates past the TTL") {
+    val cat = newCatalog()
+    cat.onboard("stale_src", Seq((1L, 1.0)).toDF("id", "x"))
+    val cache = new ArtifactCache(cat, ttlMs = 0) // every access re-checks the stamp
+    var fetches = 0
+    def get(): String = cache.cached("t/stale_src/cols", Some("stale_src")) {
+      fetches += 1; cat.dataSource("stale_src").columnNames.mkString(",")
+    }
+    assert(get() == "id,x" && fetches == 1)
+    assert(get() == "id,x" && fetches == 1) // stamp unchanged → cached
+    Thread.sleep(5) // registry stamps are millisecond-resolution
+    cat.onboard("stale_src", Seq((1L, 1.0, "a")).toDF("id", "x", "tag"))
+    assert(get() == "id,x,tag", "re-onboard must invalidate")
+    assert(fetches == 2)
+  }
+
+  test("refresh() and eviction release checkpointed blocks") {
+    val cat = newCatalog()
+    cat.onboard("rel_src", (1 to 20).map(i => (i.toLong, i * 2.0)).toDF("id", "x"))
+    val cds = cat.cachedDataSource("rel_src")
+    val stats = cds.descriptiveStats()
+    stats.collect()
+    val rddId = stats.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.get
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "checkpointed frame should be persisted while cached")
+    cds.refresh()
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "refresh must unpersist the displaced checkpoint (ADVICE r3)")
+    // CachedMeta shares the machinery: its refresh releases too
+    val meta = cat.cachedMeta
+    val listing = meta.dataSources()
+    listing.collect()
+    val metaRdd = listing.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.get
+    meta.refresh()
+    assert(!spark.sparkContext.getPersistentRDDs.contains(metaRdd))
+  }
+}
