@@ -847,7 +847,48 @@ object SparkEntry {
       // corpus vocabulary (term + document frequency) — the tokenizer-
       // training pre-pass; one explode, two stacked groupBys
       graft.text.Text.vocabulary(t(s, dir, "documents"), "doc_id", "text",
-        minCount = 5L))
+        minCount = 5L)),
+    "q97_cached_stats" -> ((s, dir) => {
+      // cached artifact handle lifecycle (cached/cached_data_source.py):
+      // onboard → CachedDataSource → stats computed once, the second
+      // call answers from the shared ArtifactCache — the returned frame
+      // IS the cached checkpoint, values oracle-checked
+      val root = java.nio.file.Files.createTempDirectory("graft-q97").toString
+      val cat = new graft.api.Catalog(s, root)
+      cat.onboard("q97_customer", t(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_nationkey"))
+      val cds = cat.cachedDataSource("q97_customer")
+      cds.descriptiveStats() // compute + cache
+      val d = cds.descriptiveStats() // served from cache
+      d.select(col("column_name"), col("min"), round(col("q1"), 6).as("q1"),
+        round(col("median"), 6).as("median"), round(col("q3"), 6).as("q3"),
+        col("max"), round(col("mean"), 6).as("mean"),
+        round(col("stddev"), 6).as("stddev"))
+    }),
+    "q98_compound_registry" -> ((s, dir) => {
+      // Compound record lifecycle (api/compound.py): deterministic tags
+      // from part attributes → save → REOPENED catalog reads them back
+      // from registry meta — persistence, not session state
+      val root = java.nio.file.Files.createTempDirectory("graft-q98").toString
+      val cat = new graft.api.Catalog(s, root)
+      val parts = t(s, dir, "part").filter(col("p_partkey") <= 20)
+        .select("p_partkey", "p_name", "p_size", "p_type")
+        .collect().sortBy(_.getLong(0))
+      parts.foreach { r =>
+        val c0 = graft.api.Compound(s"c${r.getLong(0)}",
+          smiles = Some(r.getString(1)))
+        val c1 = if (r.getInt(2) > 25) c0.addTag("big") else c0
+        val c2 = if (r.getString(3).contains("BRASS")) c1.addTag("brassy") else c1
+        cat.compounds.save(c2.addMeta("size", r.getInt(2).toString))
+      }
+      val reopened = new graft.api.Catalog(s, root)
+      val rows = reopened.compounds.list().flatMap(reopened.compounds.get)
+        .map(c => (c.id, c.smiles.orNull, c.tags.mkString(","),
+          c.meta.getOrElse("size", "")))
+      import s.implicits._
+      rows.toDF("id", "smiles", "tags", "size")
+        .orderBy(expr("CAST(substr(id, 2) AS BIGINT)"))
+    })
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -1913,6 +1954,21 @@ object SparkEntry {
              AS interval_score_95,
            COUNT(*) AS n_samples
          FROM i""",
+    "q97_cached_stats" -> Seq("c_custkey", "c_acctbal", "c_nationkey")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, CAST(MIN($c) AS DOUBLE) AS min,
+            ROUND(quantile_cont($c, 0.25), 6) AS q1,
+            ROUND(quantile_cont($c, 0.5), 6) AS median,
+            ROUND(quantile_cont($c, 0.75), 6) AS q3,
+            CAST(MAX($c) AS DOUBLE) AS max,
+            ROUND(AVG($c), 6) AS mean, ROUND(STDDEV($c), 6) AS stddev
+            FROM customer""").mkString(" UNION ALL "),
+    "q98_compound_registry" ->
+      """SELECT 'c' || p_partkey AS id, p_name AS smiles,
+         concat_ws(',', CASE WHEN p_size > 25 THEN 'big' END,
+                        CASE WHEN contains(p_type, 'BRASS') THEN 'brassy' END) AS tags,
+         CAST(p_size AS VARCHAR) AS size
+         FROM part WHERE p_partkey <= 20 ORDER BY p_partkey""",
     "q96_vocabulary" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),

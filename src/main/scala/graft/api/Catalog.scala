@@ -320,6 +320,10 @@ class Catalog(val spark: SparkSession, val root: String) {
   def cachedEndpoint(name: String): CachedEndpoint =
     new CachedEndpoint(this, sanitize(name))
 
+  /** Per-compound tag/meta records persisted in registry meta
+    * (api/compound.py). */
+  lazy val compounds: CompoundStore = new CompoundStore(this)
+
 
   // ── graph artifacts (api/graph_store.py:12-43 — graphs are
   //    registered artifacts, not loose files) ──
