@@ -112,6 +112,29 @@ class CachedDataSource(val catalog: Catalog, val name: String)
   def columnNames: Seq[String] = cached("column_names")(ds.columnNames)
 }
 
+/** CachedFeatureSet: memoized meta/stats over a reopened [[FeatureSet]]
+  * (cached/cached_feature_set.py:26-66: summary/details/health_check/
+  * meta). Stats route through the underlying DataSource view of the
+  * same table so the catalog's persisted stats are shared. */
+class CachedFeatureSet(val catalog: Catalog, val name: String)
+    extends CachedArtifact {
+  protected val kind = "feature_set"
+  protected def cacheStore: ArtifactCache = catalog.artifactCache
+  private lazy val fs: FeatureSet = catalog.featureSet(name)
+  private lazy val ds: DataSource = catalog.dataSource(name)
+
+  def summary(): Map[String, String] = cached("summary")(catalog.meta.describe(name))
+  def idColumn: String = cached("id_column")(fs.idColumn)
+  def eventTimeColumn: String = cached("event_time_column")(fs.eventTimeColumn)
+  def columnNames: Seq[String] = cached("column_names")(fs.toDF.columns.toSeq)
+  def descriptiveStats(): DataFrame = cached("descriptive_stats")(ds.descriptiveStats())
+  def columnStats(): DataFrame = cached("column_stats")(ds.columnStats())
+  def smartSample(rows: Int = 100): DataFrame =
+    cached(s"smart_sample/$rows")(ds.smartSample(rows))
+  /** The live handle, for snapshot/training-view/split work. */
+  def featureSet: FeatureSet = fs
+}
+
 /** CachedModel: memoized metadata/metrics over a [[Model]] handle
   * (cached/cached_model.py:1-199: details, health_check, metrics,
   * confusion matrix, inference runs). Inference itself is NEVER cached —

@@ -317,6 +317,8 @@ class Catalog(val spark: SparkSession, val root: String) {
     new CachedDataSource(this, sanitize(name))
   def cachedModel(name: String): CachedModel =
     new CachedModel(this, sanitize(name))
+  def cachedFeatureSet(name: String): CachedFeatureSet =
+    new CachedFeatureSet(this, sanitize(name))
   def cachedEndpoint(name: String): CachedEndpoint =
     new CachedEndpoint(this, sanitize(name))
 

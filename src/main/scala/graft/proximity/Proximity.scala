@@ -152,10 +152,18 @@ object Proximity {
     val toD: Column => Column = c => transform(c, x => x.cast("double"))
     val r = refs.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("__rv"))
     val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
-    // train the coarse quantizer on the reference vectors
+    // train the coarse quantizer on a BOUNDED sample of the reference
+    // vectors — centroid quality saturates long before the corpus does,
+    // and an unbounded KMeans fit would iterate over all 100 TB just to
+    // place nCells centroids. Assignment below still scans refs once.
+    // (limit reads the leading row-groups; a storage-ordered corpus gets
+    // a locally-biased fit sample, which costs probe balance, never
+    // correctness — pass a pre-shuffled refs frame when that matters.)
+    val fitSample = r.withColumn("__vec", array_to_vector(col("__rv")))
+      .limit(math.max(10000, nCells * 256))
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .fit(r.withColumn("__vec", array_to_vector(col("__rv"))))
+      .fit(fitSample)
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq

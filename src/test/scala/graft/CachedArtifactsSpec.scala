@@ -69,6 +69,21 @@ class CachedArtifactsSpec extends SparkSpec {
     assert(ce.inference(df).count() == 40) // passthrough, never cached
   }
 
+  test("CachedFeatureSet: meta and stats memoized over the reopened handle") {
+    val cat = newCatalog()
+    val df = (1 to 30).map(i => (i.toLong, i * 0.5)).toDF("rid", "x")
+    cat.onboardFeatures("cfs_src", df, idColumn = "rid")
+    val cfs = cat.cachedFeatureSet("cfs_src")
+    assert(cfs.idColumn == "rid")
+    cfs.descriptiveStats().collect()
+    cfs.columnNames
+    val (_, jobs) = jobsDuring {
+      cfs.descriptiveStats(); cfs.columnNames; cfs.idColumn
+    }
+    assert(jobs == 0, s"cached FeatureSet calls ran $jobs jobs")
+    assert(cfs.featureSet.snapshot().count() == 30) // live passthrough
+  }
+
   test("modified-stamp staleness: re-onboard invalidates past the TTL") {
     val cat = newCatalog()
     cat.onboard("stale_src", Seq((1L, 1.0)).toDF("id", "x"))
