@@ -874,15 +874,15 @@ object SparkEntry {
       val parts = t(s, dir, "part").filter(col("p_partkey") <= 20)
         .select("p_partkey", "p_name", "p_size", "p_type")
         .collect().sortBy(_.getLong(0))
-      parts.foreach { r =>
+      cat.compounds.saveAll(parts.toSeq.map { r =>
         val c0 = graft.api.Compound(s"c${r.getLong(0)}",
           smiles = Some(r.getString(1)))
         val c1 = if (r.getInt(2) > 25) c0.addTag("big") else c0
         val c2 = if (r.getString(3).contains("BRASS")) c1.addTag("brassy") else c1
-        cat.compounds.save(c2.addMeta("size", r.getInt(2).toString))
-      }
+        c2.addMeta("size", r.getInt(2).toString)
+      })
       val reopened = new graft.api.Catalog(s, root)
-      val rows = reopened.compounds.list().flatMap(reopened.compounds.get)
+      val rows = reopened.compounds.getAll()
         .map(c => (c.id, c.smiles.orNull, c.tags.mkString(","),
           c.meta.getOrElse("size", "")))
       import s.implicits._

@@ -58,16 +58,26 @@ class CompoundStore(val catalog: Catalog) {
   private def ensureRow(): Unit =
     if (reg.get(ArtifactName).isEmpty) reg.upsert(ArtifactName, "compound_store")
 
-  /** Upsert the full record (overwrites the compound's key namespace). */
-  def save(c: Compound): Unit = {
-    ensureRow()
-    // drop the compound's old keys first so removed tags/meta don't linger
-    val stale = reg.getMeta(ArtifactName).keys.filter(_.startsWith(prefix(c.id)))
-    stale.foreach(reg.deleteMetaKey(ArtifactName, _))
-    val kv = Map(prefix(c.id) + "tags" -> c.tags.mkString(",")) ++
+  private def keysOf(c: Compound): Map[String, String] =
+    Map(prefix(c.id) + "tags" -> c.tags.mkString(",")) ++
       c.smiles.map(s => prefix(c.id) + "smiles" -> s).toMap ++
       c.meta.map { case (k, v) => prefix(c.id) + "meta/" + k -> v }
-    reg.upsertMeta(ArtifactName, kv)
+
+  /** Upsert the full record: the compound's key namespace is replaced in
+    * ONE locked registry write, so removed tags/meta don't linger and a
+    * save costs one parquet swap, not one per key. */
+  def save(c: Compound): Unit = {
+    ensureRow()
+    reg.replaceMetaPrefixes(ArtifactName, Seq(prefix(c.id)), keysOf(c))
+  }
+
+  /** Batch upsert: all records land in a single locked registry write —
+    * the bulk-ingest path (N per-record saves would serialize N lock +
+    * parquet-swap cycles on the shared store row). */
+  def saveAll(cs: Seq[Compound]): Unit = if (cs.nonEmpty) {
+    ensureRow()
+    reg.replaceMetaPrefixes(ArtifactName, cs.map(c => prefix(c.id)),
+      cs.flatMap(keysOf).toMap)
   }
 
   def get(id: String): Option[Compound] = {
@@ -83,6 +93,25 @@ class CompoundStore(val catalog: Catalog) {
       meta = keys.collect {
         case (k, v) if k.startsWith(p + "meta/") => k.stripPrefix(p + "meta/") -> v
       }))
+  }
+
+  /** Every stored record from ONE registry read (per-id `get` loops cost
+    * one parquet read each). */
+  def getAll(): Seq[Compound] = {
+    val m = reg.getMeta(ArtifactName)
+    m.keys.collect { case k if k.startsWith("graft_compound/") =>
+        k.stripPrefix("graft_compound/").takeWhile(_ != '/') }
+      .toSeq.distinct.sorted.map { id =>
+        val p = prefix(id)
+        Compound(id,
+          smiles = m.get(p + "smiles"),
+          tags = m.get(p + "tags").map(_.split(",").toSeq.filter(_.nonEmpty))
+            .getOrElse(Seq.empty),
+          meta = m.collect {
+            case (k, v) if k.startsWith(p + "meta/") =>
+              k.stripPrefix(p + "meta/") -> v
+          })
+      }
   }
 
   def list(): Seq[String] =

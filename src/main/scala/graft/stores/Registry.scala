@@ -183,6 +183,15 @@ class Registry(spark: SparkSession, root: String) {
     }
   def deleteMetaKey(name: String, key: String): Unit =
     update(name)(r => r.copy(meta = r.meta - key))
+  /** Replace a whole key NAMESPACE in one locked read-modify-write:
+    * every existing key under any of `prefixes` is dropped, then
+    * `newMeta` merges in. One registry write regardless of how many
+    * keys move — per-key deleteMetaKey cycles cost a full lock + parquet
+    * swap each. */
+  def replaceMetaPrefixes(name: String, prefixes: Seq[String],
+                          newMeta: Map[String, String]): Unit =
+    update(name)(r => r.copy(meta =
+      r.meta.filterNot { case (k, _) => prefixes.exists(k.startsWith) } ++ newMeta))
   def getMeta(name: String): Map[String, String] =
     get(name).map(_.meta).getOrElse(Map.empty)
 
