@@ -865,6 +865,24 @@ object SparkEntry {
         col("max"), round(col("mean"), 6).as("mean"),
         round(col("stddev"), 6).as("stddev"))
     }),
+    "q99_multi_task_combine" -> ((s, dir) => {
+      // single-task -> multi-task merge (utils/multi_task.py:44-250):
+      // two deterministic task frames from part; the 31-60 overlap gets
+      // both targets on one row with the PRIMARY frame's features
+      val p = t(s, dir, "part")
+      val a = p.filter(col("p_partkey") <= 60)
+        .select(col("p_partkey").as("id"), col("p_name").as("smiles"),
+          col("p_size").cast("double").as("feat_size"),
+          col("p_retailprice").as("feat_price"),
+          (col("p_partkey") % 7).cast("double").as("sol"))
+      val b = p.filter(col("p_partkey") > 30 && col("p_partkey") <= 90)
+        .select(col("p_partkey").as("id"), col("p_name").as("smiles"),
+          (col("p_size") + 1).cast("double").as("feat_size"),
+          col("p_retailprice").as("feat_price"),
+          (col("p_partkey") % 5).cast("double").as("perm"))
+      graft.ml.MultiTask.combine(Seq(a, b), Seq(Seq("sol"), Seq("perm")))
+        .orderBy("id")
+    }),
     "q98_compound_registry" -> ((s, dir) => {
       // Compound record lifecycle (api/compound.py): deterministic tags
       // from part attributes → save → REOPENED catalog reads them back
@@ -1969,6 +1987,24 @@ object SparkEntry {
                         CASE WHEN contains(p_type, 'BRASS') THEN 'brassy' END) AS tags,
          CAST(p_size AS VARCHAR) AS size
          FROM part WHERE p_partkey <= 20 ORDER BY p_partkey""",
+    "q99_multi_task_combine" ->
+      """WITH a AS (SELECT p_partkey AS id, p_name AS smiles,
+             CAST(p_size AS DOUBLE) AS feat_size, p_retailprice AS feat_price,
+             CAST(p_partkey % 7 AS DOUBLE) AS sol,
+             CAST(NULL AS DOUBLE) AS perm, 0 AS src
+           FROM part WHERE p_partkey <= 60),
+         b AS (SELECT p_partkey, p_name, CAST(p_size + 1 AS DOUBLE),
+             p_retailprice, CAST(NULL AS DOUBLE),
+             CAST(p_partkey % 5 AS DOUBLE), 1
+           FROM part WHERE p_partkey > 30 AND p_partkey <= 90),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         SELECT id,
+           arg_min(smiles, src) FILTER (smiles IS NOT NULL) AS smiles,
+           arg_min(feat_size, src) FILTER (feat_size IS NOT NULL) AS feat_size,
+           arg_min(feat_price, src) FILTER (feat_price IS NOT NULL) AS feat_price,
+           arg_min(sol, src) FILTER (sol IS NOT NULL) AS sol,
+           arg_min(perm, src) FILTER (perm IS NOT NULL) AS perm
+         FROM u GROUP BY id ORDER BY id""",
     "q96_vocabulary" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),
