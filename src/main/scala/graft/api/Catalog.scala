@@ -239,6 +239,35 @@ class Catalog(val spark: SparkSession, val root: String) {
     model(clean)
   }
 
+  /** Freeze a copy of a registered model under a new name — the
+    * reference's copy_model_artifacts (utils/model_utils.py:203-249):
+    * the artifact files move into the COPY's own directory so the copy
+    * is immune to the source's delete-then-recreate churn, and the
+    * model-defining registry meta comes along. Per-lifecycle bookkeeping
+    * (endpoints, inference runs) does NOT copy — the frozen model has
+    * its own history. */
+  def copyModel(srcName: String, dstName: String,
+                owner: String = "unknown"): Model = {
+    val src = sanitize(srcName); val dst = sanitize(dstName)
+    require(registry.get(src).exists(_.artifact_type == "model"),
+      s"no model '$src' to copy")
+    // copy the artifact directory when the flavor persists one (MLlib);
+    // formula models live entirely in registry meta
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(modelPath(src))
+    val fs = srcPath.getFileSystem(conf)
+    if (fs.exists(srcPath))
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcPath, fs,
+        new org.apache.hadoop.fs.Path(modelPath(dst)), false, true, conf)
+    val defining = registry.getMeta(src).filter { case (k, _) =>
+      k.startsWith("graft_model_") || k == "graft_target" ||
+        k == "graft_features" || k == "graft_class_labels" ||
+        k == "graft_formula"
+    }
+    registry.onboardRow(dst, "model", s"copy_of:$src", owner, defining)
+    model(dst)
+  }
+
   /** Onboard a fixed-coefficient linear pseudo-model (`prediction =
     * intercept + Σ coefᵢ·colᵢ`). Deterministic across engines, which is
     * what the reference's "model script" escape hatch gives users

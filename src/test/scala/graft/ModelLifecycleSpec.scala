@@ -242,4 +242,27 @@ class ModelLifecycleSpec extends SparkSpec {
       .forall(t => meta2.account.contains(s"count_$t")), meta2.account)
     assert(cat2.graph("prox_graph")._1.count() == 10)
   }
+
+  test("copyModel freezes an independent copy (artifacts + defining meta only)") {
+    val cat2 = new Catalog(spark, root)
+    cat2.attach()
+    val copy = cat2.copyModel("event_clf", "event_clf_frozen")
+    assert(copy.exists && copy.modelType == cat2.model("event_clf").modelType)
+    assert(copy.features == cat2.model("event_clf").features)
+    // lifecycle bookkeeping does NOT come along
+    assert(copy.listInferenceRuns().isEmpty && copy.endpoints.isEmpty)
+    // the copy's MLlib artifact is its own directory — deleting the
+    // source leaves the frozen copy loadable (delete-then-create churn)
+    cat2.delete("event_clf")
+    val reopened = new Catalog(spark, root).model("event_clf_frozen")
+    assert(reopened.pipeline.isDefined)
+    val li = Tables.load(spark, sf, "events").limit(20)
+    assert(reopened.transform(li).count() == 20)
+    // formula models copy via registry meta alone
+    val fcopy = cat2.copyModel("price_model", "price_model_v2")
+    assert(fcopy.exists && fcopy.transform(
+      Tables.load(spark, sf, "lineitem").limit(5)
+        .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice"))
+      .count() == 5)
+  }
 }
