@@ -27,7 +27,16 @@ private[graft] class ArtifactCache(catalog: Catalog, val ttlMs: Long) {
       df.queryExecution.logical.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(false))
+    case Some(inner) => release(inner)
     case _ => ()
+  }
+
+  // materialize DataFrames (bare or Option-wrapped) so the cached value
+  // is a RESULT, not a lazy plan that re-reads files on every use
+  private def materialize(v: Any): Any = v match {
+    case df: DataFrame => df.localCheckpoint(true)
+    case Some(df: DataFrame) => Some(df.localCheckpoint(true))
+    case other => other
   }
 
   private def currentModified(artifact: Option[String]): Option[java.sql.Timestamp] =
@@ -48,10 +57,7 @@ private[graft] class ArtifactCache(catalog: Catalog, val ttlMs: Long) {
         cache.put(key, e.copy(at = now))
         e.v.asInstanceOf[T]
       case prior =>
-        val v = f match {
-          case df: DataFrame => df.localCheckpoint(true)
-          case other => other
-        }
+        val v = materialize(f)
         cache.put(key, Entry(now, currentModified(artifact), v))
         prior.foreach(e => release(e.v))
         v.asInstanceOf[T]
@@ -95,7 +101,10 @@ class CachedDataSource(val catalog: Catalog, val name: String)
     extends CachedArtifact {
   protected val kind = "data_source"
   protected def cacheStore: ArtifactCache = catalog.artifactCache
-  private lazy val ds: DataSource = catalog.dataSource(name)
+  // a FRESH handle per compute: a pinned lazy val would answer a
+  // post-re-onboard refetch from its own per-handle stats memo and
+  // re-cache stale data under the new stamp
+  private def ds: DataSource = catalog.dataSource(name)
 
   def summary(): Map[String, String] = cached("summary")(catalog.meta.describe(name))
   def descriptiveStats(): DataFrame = cached("descriptive_stats")(ds.descriptiveStats())
@@ -120,8 +129,8 @@ class CachedFeatureSet(val catalog: Catalog, val name: String)
     extends CachedArtifact {
   protected val kind = "feature_set"
   protected def cacheStore: ArtifactCache = catalog.artifactCache
-  private lazy val fs: FeatureSet = catalog.featureSet(name)
-  private lazy val ds: DataSource = catalog.dataSource(name)
+  private def fs: FeatureSet = catalog.featureSet(name)
+  private def ds: DataSource = catalog.dataSource(name)
 
   def summary(): Map[String, String] = cached("summary")(catalog.meta.describe(name))
   def idColumn: String = cached("id_column")(fs.idColumn)
@@ -143,7 +152,7 @@ class CachedModel(val catalog: Catalog, val name: String)
     extends CachedArtifact {
   protected val kind = "model"
   protected def cacheStore: ArtifactCache = catalog.artifactCache
-  private lazy val m: Model = catalog.model(name)
+  private def m: Model = catalog.model(name)
 
   def summary(): Map[String, String] = cached("summary")(catalog.meta.describe(name))
   def modelType: String = cached("model_type")(m.modelType)
@@ -169,7 +178,7 @@ class CachedEndpoint(val catalog: Catalog, val name: String)
     extends CachedArtifact {
   protected val kind = "endpoint"
   protected def cacheStore: ArtifactCache = catalog.artifactCache
-  private lazy val ep: Endpoint = catalog.endpoint(name)
+  private def ep: Endpoint = catalog.endpoint(name)
 
   def summary(): Map[String, String] = cached("summary")(catalog.meta.describe(name))
   def modelName: String = cached("model_name")(ep.modelName)

@@ -256,6 +256,10 @@ class Catalog(val spark: SparkSession, val root: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcPath = new org.apache.hadoop.fs.Path(modelPath(src))
     val fs = srcPath.getFileSystem(conf)
+    // clear the destination first: FileUtil.copy into an EXISTING dir
+    // nests the copy under it (checkDest appends src.getName), which
+    // would leave a stale artifact live at the top level on re-freeze
+    deletePath(modelPath(dst))
     if (fs.exists(srcPath))
       org.apache.hadoop.fs.FileUtil.copy(fs, srcPath, fs,
         new org.apache.hadoop.fs.Path(modelPath(dst)), false, true, conf)
@@ -330,10 +334,14 @@ class Catalog(val spark: SparkSession, val root: String) {
   /** Account-wide artifact listing/describe (api/meta.py). */
   def meta: Meta = new Meta(this)
 
+  /** TTL for [[artifactCache]] — overridable (tests pin 0 to exercise
+    * the modified-stamp staleness path on every access). */
+  protected def artifactCacheTtlMs: Long = 30000L
+
   /** Catalog-shared result cache behind [[CachedMeta]] and the `Cached*`
     * artifact handles (cached/cached_artifact_mixin.py's shared
     * artifact_cache). */
-  lazy val artifactCache: ArtifactCache = new ArtifactCache(this, 30000L)
+  lazy val artifactCache: ArtifactCache = new ArtifactCache(this, artifactCacheTtlMs)
 
   /** TTL-memoized Meta — the reference's recommended metadata path
     * (cached/cached_meta.py). */

@@ -55,6 +55,18 @@ class CompoundStore(val catalog: Catalog) {
   private def reg = catalog.registry
   private def prefix(id: String) = s"graft_compound/$id/"
 
+  // the key scheme delimits ids with '/' and tag lists with ',' — a
+  // record containing them would silently corrupt the round-trip (and a
+  // '/'-bearing id would alias other ids' namespaces on delete)
+  private def validate(c: Compound): Unit = {
+    require(c.id.nonEmpty && !c.id.contains("/"),
+      s"compound id '${c.id}' must be non-empty and must not contain '/'")
+    c.tags.foreach(t => require(!t.contains(","),
+      s"tag '$t' must not contain ','"))
+    c.meta.keys.foreach(k => require(!k.contains("/"),
+      s"meta key '$k' must not contain '/'"))
+  }
+
   private def ensureRow(): Unit =
     if (reg.get(ArtifactName).isEmpty) reg.upsert(ArtifactName, "compound_store")
 
@@ -67,6 +79,7 @@ class CompoundStore(val catalog: Catalog) {
     * ONE locked registry write, so removed tags/meta don't linger and a
     * save costs one parquet swap, not one per key. */
   def save(c: Compound): Unit = {
+    validate(c)
     ensureRow()
     reg.replaceMetaPrefixes(ArtifactName, Seq(prefix(c.id)), keysOf(c))
   }
@@ -75,6 +88,7 @@ class CompoundStore(val catalog: Catalog) {
     * the bulk-ingest path (N per-record saves would serialize N lock +
     * parquet-swap cycles on the shared store row). */
   def saveAll(cs: Seq[Compound]): Unit = if (cs.nonEmpty) {
+    cs.foreach(validate)
     ensureRow()
     reg.replaceMetaPrefixes(ArtifactName, cs.map(c => prefix(c.id)),
       cs.flatMap(keysOf).toMap)
@@ -120,8 +134,6 @@ class CompoundStore(val catalog: Catalog) {
         k.stripPrefix("graft_compound/").takeWhile(_ != '/') }
       .toSeq.distinct.sorted
 
-  def delete(id: String): Unit = {
-    val stale = reg.getMeta(ArtifactName).keys.filter(_.startsWith(prefix(id)))
-    stale.foreach(reg.deleteMetaKey(ArtifactName, _))
-  }
+  def delete(id: String): Unit =
+    reg.replaceMetaPrefixes(ArtifactName, Seq(prefix(id)), Map.empty)
 }

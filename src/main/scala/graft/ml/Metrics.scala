@@ -229,10 +229,11 @@ object Metrics {
     * over the ≤groups×buckets totals frame → within-bucket rank
     * window PARTITIONED by (group, bucket). No single-partition window
     * at scale; the (group, score) shuffle is reused across the
-    * bounds/offsets/rank branches. The ONE driver action is a bounded
-    * probe — `limit(N+1).count()` scans at most N+1 rows at any input
-    * size — that routes small inputs to the window form (identical
-    * results, two fewer shuffles). */
+    * bounds/offsets/rank branches. Routing is free: Catalyst plan
+    * statistics (row count when available, else the file-size-rooted
+    * sizeInBytes estimate vs [[RankSmallMaxBytes]]) send small inputs
+    * to the window form — identical results, two fewer shuffles, no
+    * probe job at any scale. */
   private[graft] def rankedScores(df: DataFrame, groupCol: String,
                                   labelCol: String, scoreCol: String,
                                   buckets: Int,

@@ -156,11 +156,15 @@ object Proximity {
     // vectors — centroid quality saturates long before the corpus does,
     // and an unbounded KMeans fit would iterate over all 100 TB just to
     // place nCells centroids. Assignment below still scans refs once.
-    // (limit reads the leading row-groups; a storage-ordered corpus gets
-    // a locally-biased fit sample, which costs probe balance, never
-    // correctness — pass a pre-shuffled refs frame when that matters.)
-    val fitSample = r.withColumn("__vec", array_to_vector(col("__rv")))
+    // Hash-ordered top-K (TakeOrderedAndProject: per-partition heaps,
+    // no full sort) makes the sample BOTH spread across the corpus and
+    // partition-independent — a bare limit() reads the leading
+    // row-groups, which biases a storage-ordered corpus AND changes
+    // with the physical layout.
+    val fitSample = r
+      .orderBy(hash(col("neighbor_id"), lit(seed.toInt)), col("neighbor_id"))
       .limit(math.max(10000, nCells * 256))
+      .withColumn("__vec", array_to_vector(col("__rv")))
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .fit(fitSample)

@@ -113,8 +113,11 @@ object SyntheticData {
     val s = df.agg(avg(col(srcCol)).as("mu"), stddev_pop(col(srcCol)).as("sd")).head()
     val (mu, sd) = (s.getDouble(0), if (s.isNullAt(1) || s.getDouble(1) == 0) 1.0
                                     else s.getDouble(1))
-    // stable per-row id for the noise hash: the source value + row hash
-    val noise = lit(mu) + lit(sd) * seededNormal(hash(col(srcCol), lit(seed)), seed)
+    // per-row noise id: hash of the WHOLE row, so tied source values
+    // (discrete columns) still draw distinct noise; only fully identical
+    // rows share a draw. Partition-independent like every other stream.
+    val rowId = hash(df.columns.map(col) :+ lit(seed): _*)
+    val noise = lit(mu) + lit(sd) * seededNormal(rowId, seed)
     val raw = lit(corr) * col(srcCol) + lit(1.0 - math.abs(corr)) * noise
     val staged = df.withColumn("__raw", raw)
     val b = staged.agg(min(col("__raw")), max(col("__raw"))).head()

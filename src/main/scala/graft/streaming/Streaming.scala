@@ -112,6 +112,22 @@ object Streaming {
       val storePath = new org.apache.hadoop.fs.Path(storeDir)
       val storeFs = storePath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      // one-time migration of a pre-batch_id store (flat appended
+      // parquet): fold its fingerprints into a batch_id=-1 partition,
+      // then drop the flat files — a mixed flat+partitioned layout
+      // breaks partition discovery, and filtering on a column the old
+      // layout lacks would kill the stream on the first batch
+      if (storeFs.exists(storePath)) {
+        val flatFiles = storeFs.listStatus(storePath)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        if (flatFiles.nonEmpty) {
+          spark.read.parquet(flatFiles.map(_.getPath.toString): _*)
+            .select("fingerprint").distinct()
+            .write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
+          storeFs.listStatus(storePath).filter(_.isFile)
+            .foreach(st => storeFs.delete(st.getPath, false))
+        }
+      }
       val seen =
         if (storeFs.exists(storePath))
           // exclude THIS batch's own partition: on replay the store may

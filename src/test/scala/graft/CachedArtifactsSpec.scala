@@ -100,6 +100,40 @@ class CachedArtifactsSpec extends SparkSpec {
     assert(fetches == 2)
   }
 
+  test("review: re-onboard invalidates THROUGH the handle (no pinned stale memo)") {
+    // a zero-TTL catalog makes every access take the modified-stamp path
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-cached0").toString) {
+      override protected def artifactCacheTtlMs: Long = 0L
+    }
+    cat.onboard("inv_src", (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
+    val cds = cat.cachedDataSource("inv_src")
+    assert(cds.columnNames == Seq("id", "x"))
+    assert(cds.numRows() == 10)
+    Thread.sleep(5)
+    // re-onboard with a different shape: the SAME handle must refetch
+    // fresh (a pinned lazy DataSource would re-serve its own stats memo)
+    cat.onboard("inv_src", (1 to 7).map(i => (i.toLong, i * 1.0, "t")).toDF("id", "x", "tag"))
+    assert(cds.columnNames == Seq("id", "x", "tag"), "stale columns after re-onboard")
+    assert(cds.numRows() == 7, "stale count after re-onboard")
+    assert(cds.descriptiveStats().count() == 2) // id + x numeric
+  }
+
+  test("review: Option-wrapped frames are materialized results, not lazy plans") {
+    val cat = newCatalog()
+    val df = (1 to 30).map(i => (i.toLong, i.toDouble, 2.0 * i)).toDF("id", "x", "y")
+    val m = cat.onboardFormulaModel("om", 0.0, Seq("x" -> 2.0), target = "y")
+    m.toEndpoint("om-end").inference(df, Some("run1"), Some("id"))
+    val cm = cat.cachedModel("om")
+    val metrics = cm.getInferenceMetrics("run1").get
+    // the cached Option's frame must be the materialized checkpoint — a
+    // lazy plan would re-read the metrics parquet on every collect
+    val plan = metrics.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"), plan)
+    val (_, jobs) = jobsDuring { cm.getInferenceMetrics("run1").get.collect() }
+    assert(jobs <= 1, s"collect on cached frame ran $jobs jobs") // block-manager read
+  }
+
   test("refresh() and eviction release checkpointed blocks") {
     val cat = newCatalog()
     cat.onboard("rel_src", (1 to 20).map(i => (i.toLong, i * 2.0)).toDF("id", "x"))

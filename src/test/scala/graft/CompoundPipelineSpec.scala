@@ -38,6 +38,24 @@ class CompoundPipelineSpec extends SparkSpec {
     assert(cat2.compounds.get("mol2").isEmpty)
   }
 
+  test("review: delimiter-bearing ids/tags/meta keys are rejected, not corrupted") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compound2").toString
+    val cat = new Catalog(spark, root)
+    // '/' in an id would alias other ids' namespaces (delete("a") eating
+    // "a/b"); ',' in a tag would split into two on read-back
+    intercept[IllegalArgumentException](cat.compounds.save(Compound("a/b")))
+    intercept[IllegalArgumentException](cat.compounds.save(Compound("")))
+    intercept[IllegalArgumentException](
+      cat.compounds.save(Compound("ok").addTag("x,y")))
+    intercept[IllegalArgumentException](
+      cat.compounds.save(Compound("ok").addMeta("k/1", "v")))
+    // prefix ids must not alias: deleting "a" leaves "ab" intact
+    cat.compounds.saveAll(Seq(Compound("a").addTag("t1"), Compound("ab").addTag("t2")))
+    cat.compounds.delete("a")
+    assert(cat.compounds.list() == Seq("ab"))
+    assert(cat.compounds.get("ab").get.tags == Seq("t2"))
+  }
+
   test("PipelineMeta: resolves keys, defaults, and fails hard") {
     val pm = new PipelineMeta(Map("PIPELINE_META" ->
       """{"mode": "dt", "model_name": "m-dt", "endpoint_name": "e-dt",

@@ -265,4 +265,27 @@ class ModelLifecycleSpec extends SparkSpec {
         .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice"))
       .count() == 5)
   }
+
+  test("review: re-freezing over an existing copy replaces it, not nests it") {
+    val cat2 = new Catalog(spark, root)
+    cat2.attach()
+    val df = Tables.load(spark, sf, "lineitem").limit(50)
+      .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    cat2.onboardFormulaModel("rf_a", 1.0, Seq("l_quantity" -> 2.0),
+      target = "l_extendedprice")
+    // MLlib source so a real artifact directory exists
+    val src = cat2.toModel( {
+      cat2.onboard("rf_src", df); "rf_src" }, "rf_m", "regressor",
+      target = "l_extendedprice", features = Seq("l_quantity", "l_discount"))
+    cat2.copyModel("rf_m", "rf_frozen")
+    // retrain the source (new artifact), then RE-freeze over the same name:
+    // the copy must load the NEW pipeline at the top level, not keep the
+    // old one with the new files nested under models/rf_frozen/rf_m
+    cat2.toModel("rf_src", "rf_m", "regressor",
+      target = "l_extendedprice", features = Seq("l_quantity"))
+    val again = cat2.copyModel("rf_m", "rf_frozen")
+    assert(again.pipeline.isDefined)
+    assert(again.features == Seq("l_quantity"))
+    assert(again.transform(df).count() == 50)
+  }
 }

@@ -173,6 +173,32 @@ class ModelsStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == 3)
   }
 
+  test("review: a legacy flat fingerprint store migrates instead of killing the stream") {
+    val tmp = Files.createTempDirectory("graft-sdedup-legacy").toString
+    val in = tmp + "/in"; val out = tmp + "/out"
+    val store = tmp + "/store"; val cp = tmp + "/cp"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    // a store written by the OLD layout: flat appended parquet, no batch_id
+    Seq(Tuple1("alpha beta")).toDF("text")
+      .select(graft.text.Text.fingerprint(org.apache.spark.sql.functions.col("text"))
+        .as("fingerprint"))
+      .write.mode("append").parquet(store)
+    // doc 1 repeats legacy history (must drop), doc 2 is new (must keep)
+    Seq((1L, "alpha  BETA"), (2L, "fresh text")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(schema).parquet(in)
+    Streaming.dedupAgainstStore(stream, "doc_id", "text", store, out, cp)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(2L), "legacy store history must still deduplicate")
+    // the store is now fully partitioned: legacy rows under batch_id=-1
+    val migrated = spark.read.parquet(store)
+    assert(migrated.columns.contains("batch_id"))
+    assert(migrated.count() == 2) // legacy alpha-beta + fresh-text
+  }
+
   test("dedupWithinWatermark drops same-fingerprint rows in a drain") {
     val tmp = Files.createTempDirectory("graft-wdedup").toString
     val docs = Seq(

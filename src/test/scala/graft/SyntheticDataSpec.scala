@@ -56,6 +56,18 @@ class SyntheticDataSpec extends SparkSpec {
     assert(neg < -0.25)
   }
 
+  test("review: tied source values still draw distinct noise") {
+    // a discrete source column (6 distinct values over 600 rows): noise
+    // hashed from the source value ALONE would collapse the output to 6
+    // distinct values with rank correlation 1
+    val disc = spark.range(600).selectExpr("id", "CAST(id % 6 AS DOUBLE) AS grade")
+    val out = SyntheticData.withCorrelatedColumn(disc, "grade", 0.2, 0, 100, "score")
+    val distinctScores = out.select("score").distinct().count()
+    assert(distinctScores > 100, s"only $distinctScores distinct scores")
+    val r = out.agg(corr("grade", "score")).head().getDouble(0)
+    assert(r > 0.0 && r < 0.6, s"corr=$r")
+  }
+
   test("personData: schema, ranges, outliers, nullable food, 2022 dates") {
     val df = SyntheticData.personData(spark, 100)
     assert(df.count() == 100)
