@@ -131,6 +131,71 @@ class Endpoint(val catalog: Catalog, val name: String) {
     * (endpoint_core.py:476-479). */
   def fastInference(df: DataFrame): DataFrame = model.transform(df)
 
+  /** Endpoint → Model → FeatureSet lineage walk
+    * (utils/endpoint_utils.py:136-157). None when any link is missing. */
+  def backtrackToFeatureSet: Option[FeatureSet] = {
+    val m = model
+    if (!m.exists) None
+    else catalog.registry.get(m.name).map(_.input)
+      .map(catalog.sanitize)
+      .filter(in => catalog.registry.get(in).exists(_.artifact_type == "feature_set"))
+      .map(catalog.featureSet)
+  }
+
+  /** Feature data for inference testing — the backtracked FeatureSet's
+    * snapshot pull; an EMPTY frame when the lineage is broken
+    * (utils/endpoint_utils.py:116-134). */
+  def evaluationData: DataFrame =
+    backtrackToFeatureSet.map(_.snapshot()).getOrElse(spark.emptyDataFrame)
+
+  // ── registered input/output column lists (endpoint_utils.py:176-345):
+  //    ParameterStore-cached with freshness against the endpoint's
+  //    registry modified stamp (the reference compares the parameter's
+  //    LastModifiedDate; here the stamp rides in the stored value) ──
+  private def columnsKey(kind: String) = s"/graft/endpoints/$name/${kind}_columns"
+  private def modifiedMs: Long =
+    catalog.registry.get(name).map(_.modified.getTime).getOrElse(0L)
+
+  /** Register the endpoint's input columns (model features unless given
+    * explicitly). */
+  def registerInputColumns(cols: Seq[String] = Nil): Seq[String] =
+    registerColumns("input", if (cols.nonEmpty) cols else model.features)
+
+  /** Register the endpoint's output columns: prediction plus, for
+    * classifiers, the per-class proba columns. */
+  def registerOutputColumns(cols: Seq[String] = Nil): Seq[String] = {
+    val derived =
+      if (cols.nonEmpty) cols
+      else {
+        val m = model
+        if (m.modelType == "classifier")
+          "prediction" +: m.classLabels.map(l => s"${l}_proba")
+        else Seq("prediction")
+      }
+    registerColumns("output", derived)
+  }
+
+  private def registerColumns(kind: String, cols: Seq[String]): Seq[String] = {
+    catalog.paramStore.upsert(columnsKey(kind),
+      s"$modifiedMs:${cols.mkString(",")}")
+    cols
+  }
+
+  /** Cached input columns — re-derived when the endpoint has been
+    * modified since registration (lookup_cached_columns semantics). */
+  def inputColumns: Seq[String] = cachedColumns("input", registerInputColumns())
+  def outputColumns: Seq[String] = cachedColumns("output", registerOutputColumns())
+
+  private def cachedColumns(kind: String, register: => Seq[String]): Seq[String] =
+    catalog.paramStore.get(columnsKey(kind)) match {
+      case Some(v) =>
+        val (ts, cols) = v.span(_ != ':')
+        if (ts.toLongOption.exists(_ >= modifiedMs))
+          cols.drop(1).split(",").toSeq.filter(_.nonEmpty)
+        else register
+      case None => register
+    }
+
   /** The endpoint's monitor artifact (api/monitor.py: `Endpoint(name)
     * .monitor()`): data-capture switch, baseline, drift checks. */
   def monitor: Monitor = new Monitor(catalog, name)

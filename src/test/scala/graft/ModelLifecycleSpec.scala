@@ -266,6 +266,38 @@ class ModelLifecycleSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("endpoint lineage: backtrack to FeatureSet, evaluation data, column registry") {
+    val cat2 = new Catalog(spark, root)
+    cat2.attach()
+    val df = Tables.load(spark, sf, "lineitem").limit(60)
+      .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    cat2.onboardFeatures("lin_fs", df, idColumn = "l_orderkey")
+    val m = cat2.toModel("lin_fs", "lin_m", "regressor",
+      target = "l_extendedprice", features = Seq("l_quantity", "l_discount"))
+    val ep = m.toEndpoint("lin-end")
+    // End -> Model -> FeatureSet
+    val fs = ep.backtrackToFeatureSet
+    assert(fs.exists(_.name == "lin_fs"))
+    // snapshot semantics: one row per id (duplicate l_orderkeys collapse)
+    assert(ep.evaluationData.count() ==
+      df.select("l_orderkey").distinct().count())
+    // a model without a FeatureSet input has no lineage (formula onboard)
+    val loose = cat2.onboardFormulaModel("loose_m", 0.0,
+      Seq("l_quantity" -> 1.0), target = "l_extendedprice").toEndpoint("loose-end")
+    assert(loose.backtrackToFeatureSet.isEmpty)
+    assert(loose.evaluationData.isEmpty)
+    // column registry: derived, cached, stale-invalidated
+    assert(ep.inputColumns == Seq("l_quantity", "l_discount"))
+    assert(ep.outputColumns == Seq("prediction"))
+    // explicit registration overrides; cached lookup serves it back
+    ep.registerInputColumns(Seq("l_quantity"))
+    assert(ep.inputColumns == Seq("l_quantity"))
+    // endpoint modification invalidates the cached list (re-derives)
+    Thread.sleep(5)
+    cat2.registry.addTag("lin-end", "touched")
+    assert(ep.inputColumns == Seq("l_quantity", "l_discount"))
+  }
+
   test("review: re-freezing over an existing copy replaces it, not nests it") {
     val cat2 = new Catalog(spark, root)
     cat2.attach()
