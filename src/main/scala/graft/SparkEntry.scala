@@ -865,6 +865,12 @@ object SparkEntry {
         col("max"), round(col("mean"), 6).as("mean"),
         round(col("stddev"), 6).as("stddev"))
     }),
+    "q100_synthetic_ml" -> ((s, dir) => {
+      // synthetic generator surface (rows-only: the hash-noise stream is
+      // engine-specific by construction) — person_data exercises the
+      // correlated-column chain end to end
+      graft.sources.SyntheticData.personData(s, rows = 200)
+    }),
     "q99_multi_task_combine" -> ((s, dir) => {
       // single-task -> multi-task merge (utils/multi_task.py:44-250):
       // two deterministic task frames from part; the 31-60 overlap gets
