@@ -80,6 +80,22 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming NEAR-dedup within a watermark horizon: drop documents
+    * whose SimHash signature collides with a recently-seen one. SimHash
+    * puts near-identical texts (small token edits, reordered whitespace)
+    * in the same 32-bit signature with high probability, so this catches
+    * the boilerplate-variant duplicates exact fingerprints miss — while
+    * staying a state-store-backed `dropDuplicatesWithinWatermark` with
+    * bounded memory. Hamming-radius matching (signatures within k bits)
+    * needs a stateful band join; that is the batch path
+    * ([[graft.dedup.Dedup.simhashPairs]]) — run it over drained output
+    * when radius-duplicates matter. */
+  def nearDedupWithinWatermark(docs: DataFrame, textCol: String, tsCol: String,
+                               watermark: String): DataFrame =
+    docs.withColumn("simhash", graft.dedup.Dedup.simhash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Streaming exact-dedup against a PERSISTENT fingerprint store — the
     * incremental form of [[graft.dedup.Dedup.exactDedup]] for a corpus
     * that grows batch by batch (the shape of a training-data ingest

@@ -221,4 +221,28 @@ class ModelsStreamingSpec extends SparkSpec {
     assert(ids.size == 2 && ids.contains(3L) &&
       (ids.contains(1L) ^ ids.contains(2L)), ids.toString)
   }
+
+  test("nearDedupWithinWatermark collapses reordered-token duplicates exact dedup misses") {
+    val tmp = Files.createTempDirectory("graft-neardedup").toString
+    // docs 1 and 2 share a token multiset (reordered) → same SimHash but
+    // DIFFERENT md5 fingerprint, so exact dedupWithinWatermark keeps both
+    val docs = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "alpha beta gamma delta"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "delta gamma beta alpha"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "unrelated content here entirely"))
+      .toDF("ts", "doc_id", "text")
+    assert(docs.select(graft.text.Text.fingerprint($"text")).distinct().count() == 3)
+    assert(docs.select(graft.dedup.Dedup.simhash($"text")).distinct().count() == 2)
+    docs.write.mode("overwrite").parquet(tmp + "/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp + "/in")
+    val q = Streaming.nearDedupWithinWatermark(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardedup_out")
+      .option("checkpointLocation", tmp + "/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT doc_id FROM neardedup_out").as[Long].collect().toSet
+    assert(ids.size == 2 && ids.contains(3L) &&
+      (ids.contains(1L) ^ ids.contains(2L)), ids.toString)
+  }
 }
