@@ -912,6 +912,51 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("id", "smiles", "tags", "size")
         .orderBy(expr("CAST(substr(id, 2) AS BIGINT)"))
+    }),
+    // ───────── training-data pipeline, second wave (north-star) ─────────
+    "q101_pii_scrub" -> ((s, dir) => {
+      // documents carry no PII by construction — plant deterministic
+      // contact strings on a doc_id-keyed subset, then detect + redact
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" call 555-123-4567 or ping 10.0.0."),
+            (col("doc_id") % 250).cast("string")))
+        .otherwise(col("text")).as("text"))
+      graft.text.Scrub.piiSignals(d, "text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ipv4").cast("long").as("n_ipv4"), col("has_pii"),
+          graft.text.Scrub.redact(col("text")).as("redacted"))
+    }),
+    "q102_repetition_signals" -> ((s, dir) =>
+      graft.text.Text.repetitionSignals(
+          t(s, dir, "documents").select("doc_id", "text"), "text", lineWidth = 32)
+        .drop("text")),
+    "q103_line_dedup" -> ((s, dir) =>
+      graft.text.LineDedup.dedupCharChunks(
+        t(s, dir, "documents"), "doc_id", "text", width = 16, maxFreq = 1)),
+    "q104_packing_manifest" -> ((s, dir) =>
+      graft.text.Packing.packingManifest(
+        t(s, dir, "documents"), "doc_id", "text", maxLen = 512)),
+    "q105_domain_mixture" -> ((s, dir) => {
+      // mix on lang (skewed counts) — per-source fractions + the
+      // deterministic md5-hash sample's per-source size
+      val docs = t(s, dir, "documents")
+      val fr = graft.text.Mixing.temperatureFractions(docs, "lang", 0.7, 200)
+      val sampled = graft.text.Mixing
+        .temperatureSample(docs, "doc_id", "lang", 0.7, 200)
+        .groupBy(col("lang").as("source")).agg(count(lit(1)).as("n_sampled"))
+      fr.join(sampled, Seq("source"), "left").na.fill(0L, Seq("n_sampled"))
+    }),
+    "q106_contamination" -> ((s, dir) => {
+      // benchmark = doc_id < 100, corpus = the rest; 4-gram overlap
+      val docs = t(s, dir, "documents")
+      graft.text.Contamination.contaminated(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text",
+        docs.filter(col("doc_id") < 100), "doc_id", "text", n = 4)
     })
   )
 
@@ -2019,7 +2064,102 @@ object SparkEntry {
          e AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
          g AS (SELECT doc_id, term, COUNT(*) AS c FROM e GROUP BY 1, 2)
          SELECT term, CAST(SUM(c) AS BIGINT) AS tf, COUNT(*) AS df
-         FROM g GROUP BY term HAVING SUM(c) >= 5"""
+         FROM g GROUP BY term HAVING SUM(c) >= 5""",
+    "q101_pii_scrub" ->
+      """WITH d AS (SELECT doc_id, CASE
+             WHEN doc_id % 7 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             WHEN doc_id % 11 = 0 THEN text || ' call 555-123-4567 or ping 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+             ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+             + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0 AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+         FROM d""",
+    "q102_repetition_signals" ->
+      """WITH d AS (SELECT doc_id,
+             [substr(text, (i-1)*32+1, 32)
+              for i in range(1, GREATEST(CAST(ceil(length(text)/32.0) AS BIGINT), 1)+1)] AS chunks,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN len(chunks) <= 0 THEN 0
+               ELSE CAST(len(chunks) - len(list_distinct(chunks)) AS DOUBLE)/len(chunks) END AS dlf,
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+               ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS sh2,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END AS sh3
+           FROM d)
+         SELECT doc_id, ROUND(dlf, 4) AS dup_line_frac,
+           ROUND(CASE WHEN len(sh2) <= 0 THEN 0
+             ELSE CAST(list_max([len(list_filter(sh2, x -> x = g)) for g in list_distinct(sh2)]) AS DOUBLE)/len(sh2) END, 4) AS top_2gram_frac,
+           ROUND(CASE WHEN len(sh3) <= 0 THEN 0
+             ELSE CAST(list_max([len(list_filter(sh3, x -> x = g)) for g in list_distinct(sh3)]) AS DOUBLE)/len(sh3) END, 4) AS top_3gram_frac
+         FROM s""",
+    "q103_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             [substr(text, (i-1)*16+1, 16)
+              for i in range(1, GREATEST(CAST(ceil(length(text)/16.0) AS BIGINT), 1)+1)] AS l
+           FROM documents),
+         e AS (SELECT doc_id,
+             unnest([{'line': l[i], 'i': i} for i in range(1, len(l)+1)], recursive := true)
+           FROM d),
+         freq AS (SELECT line, COUNT(*) AS c FROM e GROUP BY line)
+         SELECT e.doc_id, array_to_string(list(e.line ORDER BY e.i), chr(10)) AS text
+         FROM e JOIN freq USING (line) WHERE freq.c <= 1 GROUP BY e.doc_id""",
+    "q104_packing_manifest" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+           FROM d)
+         SELECT doc_id, n_tokens, token_offset,
+           CAST(floor(token_offset / 512.0) AS BIGINT) AS start_chunk,
+           CAST(floor((token_offset + GREATEST(n_tokens, 1) - 1) / 512.0) AS BIGINT) AS end_chunk
+         FROM o""",
+    "q105_domain_mixture" ->
+      """WITH c AS (SELECT lang AS source, COUNT(*) AS n_docs,
+             pow(COUNT(*), 0.7) AS wt FROM documents GROUP BY lang),
+         f AS (SELECT source, n_docs,
+             ROUND(wt / (SELECT SUM(wt) FROM c), 6) AS weight FROM c),
+         f2 AS (SELECT source, n_docs, weight,
+             ROUND(LEAST(1.0, 200 * weight / n_docs), 6) AS sample_frac FROM f),
+         s AS (SELECT d.lang AS source, COUNT(*) AS n_sampled
+           FROM documents d JOIN f2 ON f2.source = d.lang
+           WHERE f2.sample_frac >= 1.0
+              OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+                 lower(lpad(to_hex(CAST(floor(f2.sample_frac * 4294967296) AS BIGINT)), 8, '0'))
+           GROUP BY d.lang)
+         SELECT f2.source, f2.n_docs, f2.weight, f2.sample_frac,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+         FROM f2 LEFT JOIN s USING (source)""",
+    "q106_contamination" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)] END AS s
+           FROM tok),
+         ds AS (SELECT doc_id, len(list_distinct(s)) AS n_sh,
+             unnest(list_distinct(s)) AS g FROM sh WHERE doc_id >= 100),
+         bs AS (SELECT doc_id AS bid, unnest(list_distinct(s)) AS g
+           FROM sh WHERE doc_id < 100)
+         SELECT ds.doc_id, COUNT(*) AS n_hit_shingles,
+           COUNT(DISTINCT bs.bid) AS n_bench_docs,
+           CAST(MAX(ds.n_sh) AS BIGINT) AS n_shingles,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(ds.n_sh), 4) AS hit_frac
+         FROM ds JOIN bs USING (g) GROUP BY ds.doc_id"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture sampling for training-data assembly: given per-source
+  * document counts, compute temperature-scaled sampling weights
+  * (w_i ∝ n_i^T, the multilingual/multi-domain mixing rule — T=1 is
+  * proportional, T→0 uniform) and draw a DETERMINISTIC hash-based
+  * sample hitting a target corpus size (beyond the reference's
+  * operator set — north-star scope).
+  *
+  * Determinism: a document is kept iff the first 8 hex digits of
+  * md5(id) — a uniform draw in [0, 2^32) that any engine reproduces —
+  * fall below its source's sampling fraction. No RNG state, no
+  * partition-order dependence; the same corpus always yields the same
+  * sample, and re-runs over a grown corpus keep their previous picks
+  * (the property ingest pipelines need for incremental rebuilds).
+  *
+  * Scale shape: fractions are a per-source metadata aggregate
+  * (broadcast back); the sample itself is one codegen'd filter scan.
+  */
+object Mixing {
+
+  /** Per-source mixture table: (source, n_docs, weight, sample_frac)
+    * where weight = n^T / Σ n^T and sample_frac = min(1, targetRows ×
+    * weight / n). Weights/fractions rounded to 6dp (stable across
+    * engines). */
+  def temperatureFractions(df: DataFrame, sourceCol: String,
+                           temperature: Double, targetRows: Long): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__wt", pow(col("n_docs").cast("double"), temperature))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("__wt").as("__tot"))))
+      .withColumn("weight", round(col("__wt") / col("__tot"), 6))
+      .withColumn("sample_frac", round(
+        least(lit(1.0), lit(targetRows.toDouble) * col("weight") / col("n_docs")), 6))
+      .select("source", "n_docs", "weight", "sample_frac")
+  }
+
+  /** Deterministic keep-predicate: md5-hex draw of `id` below `frac`.
+    * Fraction ≥ 1 keeps everything (the hex threshold would overflow
+    * 8 digits). Comparing fixed-width lowercase hex strings IS the
+    * numeric comparison — same trick the oracle SQL uses. */
+  def hashKeep(id: Column, frac: Column): Column =
+    frac >= 1.0 ||
+      substring(md5(id.cast("string")), 1, 8) <
+        lower(lpad(hex(floor(frac * 4294967296.0).cast("long")), 8, "0"))
+
+  /** The sampled corpus: joins each row to its source's fraction
+    * (broadcast — sources are metadata-cardinality) and applies
+    * [[hashKeep]] on `idCol`. Output schema = input schema. */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        temperature: Double, targetRows: Long): DataFrame = {
+    val fr = temperatureFractions(df, sourceCol, temperature, targetRows)
+      .select(col("source").as(sourceCol), col("sample_frac"))
+    df.join(broadcast(fr), Seq(sourceCol))
+      .filter(hashKeep(col(idCol), col("sample_frac")))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-data curation (beyond the
+  * reference's operator set — north-star scope; every large-corpus
+  * ingest pipeline scrubs contact strings before training).
+  *
+  * Patterns are deliberately RE2-compatible (no lookarounds, no
+  * backreferences) so the same regex text runs identically under
+  * Spark's Java regex and the DuckDB oracle — and would port to any
+  * RE2-based scan pushdown.
+  *
+  * Scale shape: every operator is a codegen'd projection
+  * (`regexp_count` / `regexp_replace`) — one scan, no shuffle, no UDFs.
+  * Redaction order matters and is fixed: emails first (their local part
+  * can contain digit runs), then phones (dotted phones would otherwise
+  * half-match the IPv4 pattern), then IPv4.
+  */
+object Scrub {
+
+  /** Email addresses — the usual pragmatic pattern, not RFC 5322. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American phone shapes `ddd-ddd-dddd` / `ddd.ddd.dddd`. */
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Dotted-quad IPv4 (permissive: no 0-255 range check — scrubbing
+    * a false positive like `999.1.1.1` is the safe direction). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII counts + a `has_pii` flag, appended to `df`.
+    * One codegen'd scan. */
+  def piiSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
+      .withColumn("n_ipv4", regexp_count(t, lit(Ipv4Re)))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ipv4") > 0)
+  }
+
+  /** Redacted text: PII spans replaced with typed sentinels
+    * (`<EMAIL>`, `<PHONE>`, `<IP>`). Spark's `regexp_replace` is
+    * global, matching the oracle's `'g'` flag. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** `df` with `textCol` replaced by its redacted form — the in-place
+    * scrub a curation funnel applies between quality gating and dedup
+    * (redaction BEFORE fingerprinting, so documents differing only in
+    * contact strings collapse as duplicates). */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, redact(col(textCol)))
+}

@@ -103,4 +103,44 @@ object Text {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** Fixed-width character chunks of `text` (last chunk ragged) — the
+    * generic "lines" splitter when a corpus has no newlines, and the
+    * unit for line-level repetition/dedup below. Empty text → one
+    * empty chunk (so downstream `size` is never 0-ambiguous). */
+  def charChunks(text: Column, width: Int): Column =
+    transform(
+      sequence(lit(1), greatest(ceil(length(text).cast("double") / width), lit(1)).cast("int")),
+      i => text.substr((i - 1) * width + 1, lit(width)))
+
+  /** Fraction of lines that are repeats of an earlier line within the
+    * SAME document (Gopher/MassiveText `duplicate_line_fraction`):
+    * `(n_lines - n_distinct_lines) / n_lines`. Pure array math — one
+    * codegen'd projection. */
+  def dupLineFraction(lines: Column): Column =
+    when(size(lines) <= 0, 0.0)
+      .otherwise((size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+
+  /** Fraction of a document's word n-grams accounted for by its single
+    * most frequent n-gram (Gopher `top_ngram_fraction`) — high values
+    * flag boilerplate/keyword-stuffed pages. Per-row HOF scan:
+    * O(distinct × total) comparisons within the row, no shuffle. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    val top = array_max(transform(array_distinct(sh),
+      s => size(filter(sh, x => x === s))))
+    when(size(sh) <= 0, 0.0).otherwise(top.cast("double") / size(sh))
+  }
+
+  /** Per-document repetition signals (the Gopher repetition-filter
+    * family): duplicate-line fraction over `lineWidth`-char chunks,
+    * top 2-gram and top 3-gram fractions. One codegen'd scan. */
+  def repetitionSignals(df: DataFrame, textCol: String,
+                        lineWidth: Int = 32): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("dup_line_frac",
+        round(dupLineFraction(charChunks(t, lineWidth)), 4))
+      .withColumn("top_2gram_frac", round(topNgramFraction(t, 2), 4))
+      .withColumn("top_3gram_frac", round(topNgramFraction(t, 3), 4))
+  }
 }

@@ -109,4 +109,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"global single-partition stage in the cached-inference plan:\n$plan")
   }
+
+  test("packingManifest: per-row cumsum window is bucket-partitioned, not global") {
+    val docs = spark.range(500).selectExpr("id", "'tok tok tok' AS text")
+    val plan = graft.text.Packing.packingManifest(docs, "id", "text", 128)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // exactly two windows: the metadata offsets frame (≤buckets rows,
+    // unpartitioned by design) and the per-row cumsum, which must carry
+    // the bucket key in its partition spec
+    assert(windows.size == 2, plan.toString)
+    assert(windows.count(_.partitionSpec.nonEmpty) == 1, plan.toString)
+    assert(windows.filter(_.partitionSpec.nonEmpty)
+      .head.partitionSpec.exists(_.toString.contains("__b")), plan.toString)
+  }
+
+  test("contamination: shingle match is a broadcast equi-join, never a cross join") {
+    val docs = spark.range(200)
+      .selectExpr("id", "concat('w', id % 9, ' w', id % 7, ' w', id % 5, ' w', id % 3) AS text")
+    val plan = graft.text.Contamination.contaminated(
+      docs.filter(col("id") >= 50), "id", "text",
+      docs.filter(col("id") < 50), "id", "text", n = 2)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("temperatureSample: fraction lookup broadcasts; corpus is never shuffled") {
+    val docs = spark.range(1000).selectExpr("id", "concat('s', id % 4) AS src")
+    val plan = graft.text.Mixing.temperatureSample(docs, "id", "src", 0.7, 100)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("line dedup: no single-partition stage in explode→anti-join→reassemble") {
+    val docs = spark.range(300)
+      .selectExpr("id", "concat('line', id % 5, repeat(' filler text', 5)) AS text")
+    val plan = graft.text.LineDedup.dedupCharChunks(docs, "id", "text", 8, 2)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.text.{Contamination, LineDedup, Mixing, Packing, Scrub, Text}
+import org.apache.spark.sql.functions._
+
+/** The round-4 training-data-pipeline additions: PII scrub, repetition
+  * signals, line-level dedup, packing manifest, domain mixing,
+  * benchmark contamination. */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiSignals counts and redact scrubs emails/phones/ips in order") {
+    val df = Seq(
+      (1L, "write bob@example.com or call 555-123-4567 from 10.0.0.1"),
+      (2L, "dotted phone 555.123.4567 is a phone not an ip"),
+      (3L, "clean text with numbers 1.2 and 3.4 only"))
+      .toDF("id", "text")
+    val sig = Scrub.piiSignals(df, "text").orderBy("id")
+      .select("n_emails", "n_phones", "n_ipv4", "has_pii")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(sig.toSeq == Seq((1, 1, 1, true), (0, 1, 0, true), (0, 0, 0, false)))
+    val red = Scrub.redactPii(df, "text").orderBy("id").select("text")
+      .as[String].collect()
+    assert(red(0) == "write <EMAIL> or call <PHONE> from <IP>")
+    assert(red(1) == "dotted phone <PHONE> is a phone not an ip")
+    assert(red(2) == "clean text with numbers 1.2 and 3.4 only")
+    // redaction collapses contact-string variants to one fingerprint
+    val fps = Scrub.redactPii(
+        Seq("hi x@a.com bye", "hi y@b.org bye").toDF("text"), "text")
+      .select(Text.fingerprint($"text")).distinct().count()
+    assert(fps == 1)
+  }
+
+  test("repetitionSignals: dup-line and top-ngram fractions") {
+    val lines = Seq((Seq("a", "b", "a", "a"), 1)).toDF("l", "id")
+    assert(lines.select(Text.dupLineFraction($"l")).as[Double].head() == 0.5)
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),   // one 2-gram repeated 5x
+      (2L, "all words here are fully distinct"))
+      .toDF("id", "text")
+    val rep = Text.repetitionSignals(df, "text").orderBy("id")
+      .select("top_2gram_frac", "top_3gram_frac")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rep(0) == ((1.0, 1.0)), rep(0).toString)
+    assert(rep(1) == ((0.2, 0.25)), rep(1).toString) // 5 distinct 2-grams, 4 3-grams
+    // charChunks: ragged tail, empty text -> one empty chunk
+    assert(Seq("abcdefgh").toDF("t")
+      .select(Text.charChunks($"t", 3)).as[Seq[String]].head()
+      == Seq("abc", "def", "gh"))
+    assert(Seq("").toDF("t")
+      .select(Text.charChunks($"t", 3)).as[Seq[String]].head() == Seq(""))
+  }
+
+  test("dedupLines drops corpus-frequent lines, keeps order, drops emptied docs") {
+    val docs = Seq(
+      (1L, Seq("COOKIE BANNER", "real content one", "COOKIE BANNER")),
+      (2L, Seq("COOKIE BANNER", "real content two")),
+      (3L, Seq("COOKIE BANNER")),
+      (4L, Seq("untouched doc")))
+      .toDF("id", "lines")
+    val out = LineDedup.dedupLines(docs, "id", "lines", maxFreq = 2)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    // banner occurs 4x > 2 -> stripped everywhere; doc 3 vanishes
+    assert(out == Seq((1L, "real content one"), (2L, "real content two"),
+      (4L, "untouched doc")))
+    val freq = LineDedup.lineFrequencies(docs, "id", "lines")
+      .filter($"__line" === "COOKIE BANNER").select("__freq")
+      .as[Long].collect()
+    assert(freq.length == 4 && freq.forall(_ == 4L))
+  }
+
+  test("packingManifest: exact global offsets via bucketed prefix sum") {
+    val docs = (0L until 1000L).map(i => (i, ("tok " * ((i % 7).toInt + 1)).trim))
+      .toDF("id", "text")
+    val m = Packing.packingManifest(docs, "id", "text", maxLen = 16, buckets = 8)
+      .orderBy("id").collect()
+    // oracle: sequential scan
+    var off = 0L
+    m.foreach { r =>
+      val (id, n, o, s, e) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(n == id % 7 + 1, s"tokens of $id")
+      assert(o == off, s"offset of $id: got $o want $off")
+      assert(s == o / 16 && e == (o + n - 1) / 16, s"chunks of $id")
+      off += n
+    }
+    val sum = Packing.packingSummary(
+      Packing.packingManifest(docs, "id", "text", 16, 8), 16).head()
+    assert(sum.getLong(0) == off)
+    assert(sum.getLong(1) == (off + 15) / 16)
+  }
+
+  test("temperatureSample is deterministic and hits target within tolerance") {
+    val docs = (0L until 3000L)
+      .map(i => (i, if (i % 10 < 7) "big" else if (i % 10 < 9) "mid" else "small"))
+      .toDF("id", "source")
+    val fr = Mixing.temperatureFractions(docs, "source", temperature = 0.5,
+      targetRows = 1000).orderBy("source").collect()
+    // T=0.5 flattens: weight(big)/weight(small) = sqrt(2100/300) ≈ 2.65
+    val w = fr.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(w("big") / w("small") - math.sqrt(2100.0 / 300.0)) < 1e-3)
+    val s1 = Mixing.temperatureSample(docs, "id", "source", 0.5, 1000)
+    val s2 = Mixing.temperatureSample(docs, "id", "source", 0.5, 1000)
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    assert(ids1 == s2.select("id").as[Long].collect().toSet, "deterministic")
+    assert(math.abs(ids1.size - 1000) < 150, s"target: got ${ids1.size}")
+    assert(s1.columns.toSeq == docs.columns.toSeq, "schema preserved")
+    // frac >= 1 keeps everything
+    assert(Mixing.temperatureSample(docs, "id", "source", 0.5, 100000).count() == 3000)
+  }
+
+  test("contamination finds shingle overlap and decontaminate drops hits") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox appears here"),
+      (2L, "totally unrelated text about spark catalyst plans"),
+      (3L, "quick brown fox jumps somewhere"))
+      .toDF("id", "text")
+    val hits = Contamination.contaminated(corpus, "id", "text",
+      bench, "bid", "btext", n = 3).orderBy("id").collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // doc1: shingles "the quick brown","quick brown fox" hit; 7 own shingles
+    assert(hits(0).getLong(1) == 2 && hits(0).getLong(3) == 7)
+    assert(hits(0).getDouble(4) == 0.2857)
+    val clean = Contamination.decontaminate(corpus, "id", "text",
+      bench, "bid", "btext", n = 3)
+    assert(clean.select("id").as[Long].collect().toSet == Set(2L))
+    assert(Contamination.decontaminate(corpus, "id", "text",
+      bench, "bid", "btext", n = 3, maxHitFrac = 0.5)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+}
