@@ -27,14 +27,17 @@ object Contamination {
   def contaminated(corpus: DataFrame, idCol: String, textCol: String,
                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
                    n: Int = 13): DataFrame = {
-    // distinct-shingle count rides along from the SAME projection that
-    // feeds the explode — no window, no second pass over the corpus
+    // single-pass codegen'd shingle expression (Signatures.wordShingles
+    // ≡ array_distinct ∘ Text.shingles) — the HOF form re-tokenizes per
+    // shingle inside its lambda, an O(tokens²) interpreted-mode trap the
+    // MinHash path already dodged the same way. The distinct-shingle
+    // count rides along from the same projection that feeds the explode.
     val docSh = corpus.select(col(idCol),
-        array_distinct(Text.shingles(col(textCol), n)).as("__shs"))
+        graft.functions.Signatures.wordShingles(col(textCol), n).as("__shs"))
       .select(col(idCol), size(col("__shs")).cast("long").as("__n_sh"),
         explode(col("__shs")).as("__sh"))
     val benchSh = bench.select(col(benchIdCol).as("__bid"),
-      explode(array_distinct(Text.shingles(col(benchTextCol), n))).as("__sh"))
+      explode(graft.functions.Signatures.wordShingles(col(benchTextCol), n)).as("__sh"))
     docSh.join(broadcast(benchSh), Seq("__sh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit_shingles"),

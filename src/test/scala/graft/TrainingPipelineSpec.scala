@@ -109,6 +109,31 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(Mixing.temperatureSample(docs, "id", "source", 0.5, 100000).count() == 3000)
   }
 
+  test("temperatureSample picks are monotone in targetRows (incremental rebuilds)") {
+    // the md5 draw is a fixed per-row uniform: raising any source's
+    // fraction can only ADD picks — the property that lets a pipeline
+    // grow its sample without resampling what it already shipped
+    val docs = (0L until 2000L).map(i => (i, s"s${i % 3}")).toDF("id", "source")
+    val small = Mixing.temperatureSample(docs, "id", "source", 1.0, 400)
+      .select("id").as[Long].collect().toSet
+    val big = Mixing.temperatureSample(docs, "id", "source", 1.0, 1200)
+      .select("id").as[Long].collect().toSet
+    assert(small.nonEmpty && small.subsetOf(big),
+      s"${(small -- big).size} picks lost when target grew")
+  }
+
+  test("packingManifest: offsets are contiguous and chunk ids monotone") {
+    val docs = (0L until 500L).map(i => (i * 3 + 7, ("w " * ((i % 11).toInt + 1)).trim))
+      .toDF("id", "text") // sparse, shifted ids — bucket bounds not dense
+    val rows = Packing.packingManifest(docs, "id", "text", 32, buckets = 16)
+      .orderBy("id").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) + a.getLong(1) == b.getLong(2),
+        s"gap between ${a.getLong(0)} and ${b.getLong(0)}")
+      assert(b.getLong(3) >= a.getLong(3), "start_chunk must be monotone")
+    }
+  }
+
   test("contamination finds shingle overlap and decontaminate drops hits") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("bid", "btext")
