@@ -86,6 +86,28 @@ object SqlFunctions {
     "graft_parse_fingerprint" -> { es: Seq[Expression] =>
       arity("graft_parse_fingerprint", es, 1)
       x(Chem.parseFingerprint(c(es.head)))
+    },
+    "graft_redact_pii" -> { es: Seq[Expression] =>
+      arity("graft_redact_pii", es, 1)
+      x(graft.text.Scrub.redact(c(es.head)))
+    },
+    "graft_char_chunks" -> { es: Seq[Expression] =>
+      arity("graft_char_chunks", es, 2)
+      x(graft.text.Text.charChunks(
+        c(es.head), intArg(es(1), "graft_char_chunks")))
+    },
+    "graft_dup_line_frac" -> { es: Seq[Expression] =>
+      arity("graft_dup_line_frac", es, 1)
+      x(graft.text.Text.dupLineFraction(c(es.head)))
+    },
+    "graft_top_ngram_frac" -> { es: Seq[Expression] =>
+      arity("graft_top_ngram_frac", es, 2)
+      x(graft.text.Text.topNgramFraction(
+        c(es.head), intArg(es(1), "graft_top_ngram_frac")))
+    },
+    "graft_hash_keep" -> { es: Seq[Expression] =>
+      arity("graft_hash_keep", es, 2)
+      x(graft.text.Mixing.hashKeep(c(es.head), c(es(1))))
     })
 
   /** Register every graft SQL function on a live session (idempotent —

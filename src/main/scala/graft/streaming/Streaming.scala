@@ -96,6 +96,27 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming corpus curation — the incremental form of
+    * [[graft.text.Curation]] for a live ingest: PII redaction
+    * ([[graft.text.Scrub.redact]], applied FIRST so documents differing
+    * only in contact strings collapse as duplicates), then the
+    * stateless quality + language gates ([[graft.text.Curation.gateFlags]]
+    * — one codegen'd projection, stream-safe), then exact dedup within
+    * the watermark horizon on the already-computed fingerprint.
+    * Gate-failing documents are DROPPED — a stream cannot publish a
+    * retrospective funnel report; run the batch
+    * [[graft.text.Curation.funnel]] over the drained output to audit.
+    * Output: the input columns with `textCol` redacted. */
+  def curateStream(docs: DataFrame, textCol: String, tsCol: String,
+                   watermark: String,
+                   cfg: graft.text.Curation.Config = graft.text.Curation.Config()): DataFrame =
+    graft.text.Curation.gateFlags(
+        graft.text.Scrub.redactPii(docs, textCol), textCol, cfg)
+      .filter(col("lang_pass"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+
   /** Streaming exact-dedup against a PERSISTENT fingerprint store — the
     * incremental form of [[graft.dedup.Dedup.exactDedup]] for a corpus
     * that grows batch by batch (the shape of a training-data ingest

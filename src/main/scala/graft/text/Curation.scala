@@ -30,12 +30,12 @@ object Curation {
     length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
       greatest(length(t), lit(1))
 
-  /** Every input row with its stage verdicts:
-    * `quality_pass`, `lang_pred`, `lang_pass` (quality AND language),
-    * `fingerprint`, and `kept` (passed every gate and is its
-    * fingerprint group's keeper). */
-  def annotate(docs: DataFrame, idCol: String, textCol: String,
-               cfg: Config = Config()): DataFrame = {
+  /** The STATELESS stage flags — one codegen'd projection appending
+    * `quality_pass`, `lang_pred`, `lang_pass`, `fingerprint`. Works on
+    * batch and streaming frames alike (no shuffle, no state); the
+    * keeper election on top is [[annotate]]'s batch-only join. */
+  def gateFlags(docs: DataFrame, textCol: String,
+                cfg: Config = Config()): DataFrame = {
     // same guard CrossFold.run puts on its 'fold' column: a pre-existing
     // working column would be silently overwritten and returned to the
     // caller holding the funnel's internals instead of their data
@@ -45,7 +45,7 @@ object Curation {
     require(clash.isEmpty,
       s"input frame already has curation working column(s) ${clash.mkString(", ")} — rename or drop them first")
     val t = col(textCol)
-    val flagged = docs
+    docs
       .withColumn("quality_pass",
         size(Text.tokens(t)) >= cfg.minWords &&
           punctRatio(t) <= cfg.maxPunctRatio)
@@ -53,6 +53,15 @@ object Curation {
       .withColumn("lang_pass",
         col("quality_pass") && col("lang_pred").isin(cfg.langs: _*))
       .withColumn("fingerprint", Text.fingerprint(t))
+  }
+
+  /** Every input row with its stage verdicts:
+    * `quality_pass`, `lang_pred`, `lang_pass` (quality AND language),
+    * `fingerprint`, and `kept` (passed every gate and is its
+    * fingerprint group's keeper). */
+  def annotate(docs: DataFrame, idCol: String, textCol: String,
+               cfg: Config = Config()): DataFrame = {
+    val flagged = gateFlags(docs, textCol, cfg)
     val keepers = flagged.filter(col("lang_pass"))
       .groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
     flagged

@@ -245,4 +245,33 @@ class ModelsStreamingSpec extends SparkSpec {
     assert(ids.size == 2 && ids.contains(3L) &&
       (ids.contains(1L) ^ ids.contains(2L)), ids.toString)
   }
+
+  test("curateStream: redact → gates → watermark dedup on a drain") {
+    val tmp = Files.createTempDirectory("graft-curstream").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val docs = Seq(
+      (ts, 1L, "the quick brown fox is a fine animal for it runs"),   // en, kept
+      (ts, 2L, "the quick brown fox is a fine animal for it runs"),   // dup of 1
+      (ts, 3L, "short"),                                              // quality fail
+      (ts, 4L, "le chat est dans la maison pour le diner et la nuit"),// fr → lang fail
+      (ts, 5L, "the clean doc and its pii x@y.com is the mail here"), // en after redact
+      (ts, 6L, "the clean doc and its pii z@q.org is the mail here")) // redact-dup of 5
+      .toDF("ts", "doc_id", "text")
+    docs.write.mode("overwrite").parquet(tmp + "/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp + "/in")
+    val q = Streaming.curateStream(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out")
+      .option("checkpointLocation", tmp + "/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT doc_id, text FROM curate_out")
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 2, out.toString)
+    assert(out.keySet.intersect(Set(1L, 2L)).size == 1, "one of the exact dups")
+    assert(out.keySet.intersect(Set(5L, 6L)).size == 1, "one of the redact-dups")
+    assert(out.values.exists(_.contains("<EMAIL>")), "text must be redacted")
+    assert(spark.sql("SELECT * FROM curate_out").columns.toSeq
+      == Seq("ts", "doc_id", "text"), "funnel internals must not leak")
+  }
 }

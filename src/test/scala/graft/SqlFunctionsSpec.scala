@@ -54,6 +54,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](4) == Seq(0, 3, 1))
   }
 
+  test("curation SQL functions match the Column API") {
+    SqlFunctions.install(spark)
+    val r = spark.sql(
+      """SELECT graft_redact_pii('mail a@b.co or 555-123-4567 at 10.0.0.1') AS red,
+         graft_char_chunks('abcdefgh', 3) AS ch,
+         graft_dup_line_frac(array('a', 'b', 'a', 'a')) AS dlf,
+         graft_top_ngram_frac('spam spam spam spam', 2) AS tnf,
+         graft_hash_keep(42, 1.0) AS keep_all,
+         graft_hash_keep(42, 0.0) AS keep_none""").head()
+    assert(r.getString(0) == "mail <EMAIL> or <PHONE> at <IP>")
+    assert(r.getSeq[String](1) == Seq("abc", "def", "gh"))
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 1.0)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+  }
+
   test("non-literal signature width is rejected with a clear error") {
     SqlFunctions.install(spark)
     val e = intercept[Exception] {
