@@ -957,7 +957,10 @@ object SparkEntry {
       graft.text.Contamination.contaminated(
         docs.filter(col("doc_id") >= 100), "doc_id", "text",
         docs.filter(col("doc_id") < 100), "doc_id", "text", n = 4)
-    })
+    }),
+    "q107_embedding_drift" -> ((s, dir) =>
+      graft.proximity.Embeddings.centroidDrift(
+        t(s, dir, "embeddings"), "label", "embedding"))
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -2159,7 +2162,19 @@ object SparkEntry {
            COUNT(DISTINCT bs.bid) AS n_bench_docs,
            CAST(MAX(ds.n_sh) AS BIGINT) AS n_shingles,
            ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(ds.n_sh), 4) AS hit_frac
-         FROM ds JOIN bs USING (g) GROUP BY ds.doc_id"""
+         FROM ds JOIN bs USING (g) GROUP BY ds.doc_id""",
+    "q107_embedding_drift" ->
+      """WITH e AS (SELECT label,
+             unnest([{'v': CAST(embedding[i] AS DOUBLE), 'i': i}
+                     for i in range(1, len(embedding)+1)], recursive := true)
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT label, i, ROUND(AVG(v), 6) AS v FROM e GROUP BY label, i),
+         ce AS (SELECT label, list(v ORDER BY i) AS c FROM c GROUP BY label)
+         SELECT a.label AS group_a, b.label AS group_b,
+           ROUND(list_sum([a.c[i] * b.c[i] for i in range(1, len(a.c)+1)]) /
+             (sqrt(list_sum([x * x for x in a.c])) *
+              sqrt(list_sum([x * x for x in b.c]))), 4) AS cosine
+         FROM ce a CROSS JOIN ce b WHERE a.label < b.label"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

@@ -1,0 +1,54 @@
+package graft.proximity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-corpus aggregates for training-data monitoring: per-group
+  * centroids and the pairwise centroid-cosine matrix — the cheap
+  * "embedding drift" check between corpus slices (sources, shards,
+  * snapshot dates) that flags a distribution shift before a model
+  * ever trains on it (beyond the reference's operator set — north-star
+  * scope; complements the scalar drift pack in eda/Quality).
+  *
+  * Scale shape: ONE posexplode + one (group, dim) aggregate — the
+  * map-side combine reduces every partition to |groups|×dim rows
+  * before the shuffle, so 100 TB of vectors arrives at the reducers as
+  * metadata. Centroid reassembly is an in-row `array_sort`; the cosine
+  * matrix is a crossJoin of the ≤|groups|-row centroid frame.
+  */
+object Embeddings {
+
+  /** Per-group mean vector: (groupCol, n_vecs, centroid) — dims
+    * averaged in double, rounded to `decimals` (6 by default: enough
+    * to be stable across engines' partial-aggregation orders, far
+    * below any drift signal). Rows with a null vector are skipped. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
+                     decimals: Int = 6): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy("__g", "__i")
+      .agg(round(avg(col("__v").cast("double")), decimals).as("__c"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("__g"))
+      .agg(max("__n").as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("__i"), col("__c")))),
+          s => s.getField("__c")).as("centroid"))
+      .select(col("__g").as(groupCol), col("n_vecs"), col("centroid"))
+
+  /** Pairwise cosine similarity between group centroids, one row per
+    * unordered pair (group_a < group_b): low off-diagonal similarity
+    * between two shards of the SAME nominal distribution is the drift
+    * alarm. Input frame is [[groupCentroids]]-sized (|groups| rows) —
+    * the crossJoin is metadata-on-metadata. */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+                    decimals: Int = 6): DataFrame = {
+    val c = groupCentroids(df, groupCol, vecCol, decimals)
+      .select(col(groupCol).as("__g"), col("centroid"))
+    val a = c.select(col("__g").as("group_a"), col("centroid").as("__ca"))
+    val b = c.select(col("__g").as("group_b"), col("centroid").as("__cb"))
+    a.crossJoin(b).filter(col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        round(Proximity.cosine(col("__ca"), col("__cb")), 4).as("cosine"))
+  }
+}

@@ -30,8 +30,10 @@ object Packing {
   def packingManifest(df: DataFrame, idCol: String, textCol: String,
                       maxLen: Int, buckets: Int = 256): DataFrame = {
     require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    // null text counts as 0 tokens — a null row must not poison the
+    // running offset of every document after it
     val base = df.select(col(idCol).cast("long").as("__id"),
-      Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      coalesce(Text.tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
     // metadata aggregate: id range → fixed-width bucket bounds
     val bounds = base.agg(min("__id").as("__lo"), max("__id").as("__hi"))
     val bucketed = base.crossJoin(broadcast(bounds))

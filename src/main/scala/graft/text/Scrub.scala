@@ -31,12 +31,14 @@ object Scrub {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** Per-document PII counts + a `has_pii` flag, appended to `df`.
-    * One codegen'd scan. */
+    * One codegen'd scan. Null text → zero counts, `has_pii` false (a
+    * null row carries no PII; propagating null here would poison
+    * downstream `sum(has_pii)` dashboards). */
   def piiSignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))
-      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
-      .withColumn("n_ipv4", regexp_count(t, lit(Ipv4Re)))
+    df.withColumn("n_emails", coalesce(regexp_count(t, lit(EmailRe)), lit(0)))
+      .withColumn("n_phones", coalesce(regexp_count(t, lit(PhoneRe)), lit(0)))
+      .withColumn("n_ipv4", coalesce(regexp_count(t, lit(Ipv4Re)), lit(0)))
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ipv4") > 0)
   }

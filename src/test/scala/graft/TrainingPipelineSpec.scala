@@ -134,6 +134,37 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("groupCentroids averages per dimension; centroidDrift orders pairs") {
+    val vecs = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 0.0f)),
+      ("b", Seq(0.0f, 2.0f)), ("c", Seq(4.0f, 0.0f)),
+      ("c", null.asInstanceOf[Seq[Float]]))
+      .toDF("g", "vec")
+    val cent = graft.proximity.Embeddings.groupCentroids(vecs, "g", "vec")
+      .orderBy("g").collect()
+    assert(cent.map(_.getLong(1)).toSeq == Seq(2L, 1L, 1L), "null vec skipped")
+    assert(cent(0).getSeq[Double](2) == Seq(2.0, 0.0))
+    val drift = graft.proximity.Embeddings.centroidDrift(vecs, "g", "vec")
+      .orderBy("group_a", "group_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(drift.toSeq == Seq(("a", "b", 0.0), ("a", "c", 1.0), ("b", "c", 0.0)))
+  }
+
+  test("null text does not poison pii counts, packing offsets, or repetition") {
+    val docs = Seq((1L, "real text here with words"), (2L, null), (3L, "tail doc"))
+      .toDF("id", "text")
+    val pii = Scrub.piiSignals(docs, "text").orderBy("id")
+      .select("n_emails", "has_pii").collect()
+    assert(pii(1).getInt(0) == 0 && !pii(1).getBoolean(1), "null row: no PII")
+    val pack = Packing.packingManifest(docs, "id", "text", 4)
+      .orderBy("id").select("n_tokens", "token_offset").collect()
+    assert(pack(1).getLong(0) == 0L, "null row: 0 tokens")
+    assert(pack(2).getLong(1) == 5L, "doc after null keeps exact offset")
+    val rep = Text.repetitionSignals(docs, "text").filter($"id" === 2)
+      .select("dup_line_frac").collect()
+    assert(rep.length == 1, "null row must survive the repetition scan")
+  }
+
   test("contamination finds shingle overlap and decontaminate drops hits") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("bid", "btext")
