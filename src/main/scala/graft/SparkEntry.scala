@@ -960,7 +960,17 @@ object SparkEntry {
     }),
     "q107_embedding_drift" -> ((s, dir) =>
       graft.proximity.Embeddings.centroidDrift(
-        t(s, dir, "embeddings"), "label", "embedding"))
+        t(s, dir, "embeddings"), "label", "embedding")),
+    "q108_ivf_index" -> ((s, dir) => {
+      // persistent-ANN lifecycle (rows-only: KMeans cells are
+      // engine-specific): build the cell-partitioned index, then the
+      // partition-pruned query path
+      val path = java.nio.file.Files.createTempDirectory("graft-q108").toString
+      val emb = t(s, dir, "embeddings")
+      graft.proximity.IvfIndex.build(emb, "vec_id", "embedding", path, nCells = 16)
+      graft.proximity.IvfIndex.query(s, path, emb.filter(col("vec_id") < 100),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+    })
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:

@@ -1,0 +1,84 @@
+package graft.proximity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT IVF (inverted-file) ANN index over an embedding column —
+  * the repeated-query form of [[Proximity.cosineTopKIvf]] (which fits
+  * its quantizer per call: right for one-shot joins, wasteful for a
+  * serving/eval loop that probes the same corpus thousands of times).
+  *
+  * Layout on disk:
+  *   `<path>/centroids/` — nCells rows (cell id, centroid vector)
+  *   `<path>/vectors/`   — the corpus, hive-PARTITIONED BY cell id
+  *
+  * The partitioning is the scale story: a query batch probing `nProbe`
+  * of `nCells` cells reads only those directories — the parquet scan's
+  * PartitionFilters prune the other (nCells − nProbe)/nCells of the
+  * corpus before a single byte is read. Probe cells are chosen against
+  * the broadcast centroid frame; the candidate match is a
+  * hash-partitioned equi-join on cell id. Build scans the corpus once
+  * (quantizer fits on a bounded hash-ordered sample, same rationale as
+  * cosineTopKIvf).
+  */
+object IvfIndex {
+
+  /** Fit the quantizer and materialize the index at `path`. */
+  def build(refs: DataFrame, idCol: String, vecCol: String, path: String,
+            nCells: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val toD: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(c, x => x.cast("double"))
+    val r = refs.select(col(idCol).as("id"), toD(col(vecCol)).as("vec"))
+    val fitSample = r
+      .orderBy(hash(col("id"), lit(seed.toInt)), col("id"))
+      .limit(math.max(10000, nCells * 256))
+      .withColumn("__v", array_to_vector(col("vec")))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("cell").fit(fitSample)
+    val spark = refs.sparkSession
+    import spark.implicits._
+    km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    km.transform(r.withColumn("__v", array_to_vector(col("vec"))))
+      .select(col("id"), col("vec"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Top-k cosine neighbors from a built index. Probe cells are picked
+    * against the broadcast centroid frame; the distinct probed-cell set
+    * (≤ nCells values — metadata) becomes a STATIC `IN` filter on the
+    * vectors read, so partition pruning happens at plan time, no DPP
+    * required. Self-matches (same id) are excluded. */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+            idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toD: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(c, x => x.cast("double"))
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
+    val qCells = q.crossJoin(cents)
+      .withColumn("__sim", Proximity.cosine(col("__qv"), col("centroid")))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("id").orderBy(desc("__sim"), asc("cell"))))
+      .filter(col("__rank") <= nProbe)
+      .select(col("id"), col("__qv"), col("cell"))
+    val probed = qCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("id").as("neighbor_id"), col("vec"), col("cell"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(desc("similarity"), asc("neighbor_id"))
+    qCells.join(vecs, Seq("cell"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        Proximity.cosine(col("__qv"), col("vec")).as("similarity"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+}

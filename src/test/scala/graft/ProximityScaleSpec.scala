@@ -104,6 +104,35 @@ class ProximityScaleSpec extends SparkSpec {
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 3))
   }
 
+  test("IvfIndex: build → query prunes partitions and matches IVF recall") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    graft.proximity.IvfIndex.build(emb, "vec_id", "embedding", path, nCells = 8)
+    val queries = emb.filter(col("vec_id") < 50)
+    val out = graft.proximity.IvfIndex.query(spark, path, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+    // the probed-cell IN filter must reach the parquet scan as a
+    // PARTITION filter — the index's entire reason to exist
+    val plan = planOf(out)
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-excluded")
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    // recall vs exact brute top-5 on the same queries
+    val exact = Proximity.cosineTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // a second query reuses the index with NO quantizer refit: results
+    // are identical (pure read path)
+    val again = graft.proximity.IvfIndex.query(spark, path, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == approx)
+  }
+
   test("hot-bucket guard caps candidates per cell") {
     // 300 identical vectors land in one cell; maxBucket=10 bounds the
     // per-table candidate set to ~10 refs per query instead of 300
