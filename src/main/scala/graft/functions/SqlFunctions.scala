@@ -108,6 +108,10 @@ object SqlFunctions {
     "graft_hash_keep" -> { es: Seq[Expression] =>
       arity("graft_hash_keep", es, 2)
       x(graft.text.Mixing.hashKeep(c(es.head), c(es(1))))
+    },
+    "graft_normalize_text" -> { es: Seq[Expression] =>
+      arity("graft_normalize_text", es, 1)
+      x(graft.text.Scrub.normalizeText(c(es.head)))
     })
 
   /** Register every graft SQL function on a live session (idempotent —

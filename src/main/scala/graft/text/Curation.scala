@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Gate thresholds; defaults are the usual cheap-corpus settings. */
+  /** Gate thresholds; defaults are the usual cheap-corpus settings.
+    * The Gopher-style repetition gates (`maxDupLineFrac`,
+    * `maxTopNgramFrac` over 2-grams) are OPT-IN: at their default 1.0
+    * they are compiled out entirely, leaving the original two-signal
+    * quality gate (and its plan) untouched. */
   case class Config(minWords: Int = 5, maxPunctRatio: Double = 0.3,
-                    langs: Seq[String] = Seq("en"))
+                    langs: Seq[String] = Seq("en"),
+                    maxDupLineFrac: Double = 1.0,
+                    maxTopNgramFrac: Double = 1.0,
+                    lineWidth: Int = 32)
 
   private def punctRatio(t: Column): Column =
     length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
@@ -45,10 +52,15 @@ object Curation {
     require(clash.isEmpty,
       s"input frame already has curation working column(s) ${clash.mkString(", ")} — rename or drop them first")
     val t = col(textCol)
+    val baseQuality = size(Text.tokens(t)) >= cfg.minWords &&
+      punctRatio(t) <= cfg.maxPunctRatio
+    val withRepetition =
+      if (cfg.maxDupLineFrac >= 1.0 && cfg.maxTopNgramFrac >= 1.0) baseQuality
+      else baseQuality &&
+        Text.dupLineFraction(Text.charChunks(t, cfg.lineWidth)) <= cfg.maxDupLineFrac &&
+        Text.topNgramFraction(t, 2) <= cfg.maxTopNgramFrac
     docs
-      .withColumn("quality_pass",
-        size(Text.tokens(t)) >= cfg.minWords &&
-          punctRatio(t) <= cfg.maxPunctRatio)
+      .withColumn("quality_pass", withRepetition)
       .withColumn("lang_pred", Text.langId(t))
       .withColumn("lang_pass",
         col("quality_pass") && col("lang_pred").isin(cfg.langs: _*))

@@ -59,4 +59,26 @@ object Scrub {
     * contact strings collapse as duplicates). */
   def redactPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, redact(col(textCol)))
+
+  /** Encoding cleanup for scraped corpora (the ftfy-lite pass every
+    * web-scale ingest runs before tokenization):
+    *  - strip C0/C1 control characters (except `\n`, `\t`)
+    *  - map typographic unicode to ASCII (curly quotes, en/em dashes,
+    *    ellipsis, NBSP/zero-width spaces)
+    *  - squeeze runs of spaces/tabs (newlines preserved — they carry
+    *    line-dedup structure)
+    * One codegen'd `regexp_replace`/`translate` chain; no UDFs. */
+  def normalizeText(text: Column): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", "")
+    val noZw = regexp_replace(noCtl, "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+    val ascii = translate(noZw,
+      "\u2018\u2019\u201A\u201C\u201D\u201E\u2013\u2014\u00A0\u3000",
+      "'',\"\"\"--  ")
+    val ellipsis = regexp_replace(ascii, "\\u2026", "...")
+    regexp_replace(ellipsis, "[ \\t]{2,}", " ")
+  }
+
+  /** `df` with `textCol` normalized in place. */
+  def normalize(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, normalizeText(col(textCol)))
 }

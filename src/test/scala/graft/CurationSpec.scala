@@ -64,4 +64,20 @@ class CurationSpec extends SparkSpec {
     assert((f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4))
       == ((3L, 1L, 1L, 1L)))
   }
+
+  test("opt-in repetition gates drop keyword-stuffed docs; defaults unchanged") {
+    val d = Seq(
+      (1L, "the fox is a fine animal and it runs far today"),
+      (2L, "the spam the spam the spam the spam the spam here"))
+      .toDF("doc_id", "text")
+    val base = Curation.Config(minWords = 5, maxPunctRatio = 1.0, langs = Seq("en"))
+    // defaults (gates at 1.0): both pass quality
+    val defFlags = Curation.gateFlags(d, "text", base)
+    assert(defFlags.filter(col("quality_pass")).count() == 2)
+    // top-2gram gate: doc 2's "the spam" covers 5/10 2-grams
+    val gated = base.copy(maxTopNgramFrac = 0.4)
+    val flags = Curation.gateFlags(d, "text", gated)
+    assert(flags.filter(col("quality_pass")).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
 }

@@ -31,6 +31,18 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(fps == 1)
   }
 
+  test("normalizeText strips controls, maps typographic unicode, squeezes spaces") {
+    val dirty = "\u201Ccurly\u201D \u2018quotes\u2019 \u2013 dash\u2014here" +
+      "\u2026\u00A0nb \u0007bell \u200Bzw   wide\t\tgap\nline2  keep"
+    val out = Seq(dirty).toDF("t")
+      .select(Scrub.normalizeText($"t")).as[String].head()
+    assert(out == "\"curly\" 'quotes' - dash-here... nb bell zw wide gap\nline2 keep", out)
+    // idempotent: normalizing twice is a no-op
+    val twice = Seq(out).toDF("t")
+      .select(Scrub.normalizeText($"t")).as[String].head()
+    assert(twice == out)
+  }
+
   test("repetitionSignals: dup-line and top-ngram fractions") {
     val lines = Seq((Seq("a", "b", "a", "a"), 1)).toDF("l", "id")
     assert(lines.select(Text.dupLineFraction($"l")).as[Double].head() == 0.5)
