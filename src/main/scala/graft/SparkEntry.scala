@@ -961,6 +961,15 @@ object SparkEntry {
     "q107_embedding_drift" -> ((s, dir) =>
       graft.proximity.Embeddings.centroidDrift(
         t(s, dir, "embeddings"), "label", "embedding")),
+    "q109_lm_score" -> ((s, dir) => {
+      // CCNet-shape quality scoring: unigram LM from the first half of
+      // the corpus, every other document scored against it
+      val docs = t(s, dir, "documents")
+      val lm = graft.text.Text.unigramLm(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", minCount = 2)
+      graft.text.Text.lmScore(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", lm)
+    }),
     "q108_ivf_index" -> ((s, dir) => {
       // persistent-ANN lifecycle (rows-only: KMeans cells are
       // engine-specific): build the cell-partitioned index, then the
@@ -2184,7 +2193,25 @@ object SparkEntry {
            ROUND(list_sum([a.c[i] * b.c[i] for i in range(1, len(a.c)+1)]) /
              (sqrt(list_sum([x * x for x in a.c])) *
               sqrt(list_sum([x * x for x in b.c]))), 4) AS cosine
-         FROM ce a CROSS JOIN ce b WHERE a.label < b.label"""
+         FROM ce a CROSS JOIN ce b WHERE a.label < b.label""",
+    "q109_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS t
+           FROM documents),
+         e AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         g AS (SELECT doc_id, term, COUNT(*) AS c FROM e
+               WHERE doc_id < 250 GROUP BY 1, 2),
+         v AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tf FROM g
+               GROUP BY term HAVING SUM(c) >= 2),
+         lm AS (SELECT term,
+             ln(CAST(tf AS DOUBLE) / CAST((SELECT SUM(tf) FROM v) AS DOUBLE)) AS logp
+           FROM v),
+         s AS (SELECT e.doc_id, lm.logp FROM e LEFT JOIN lm USING (term)
+               WHERE e.doc_id >= 250)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(COALESCE(logp, -20.0)), 4) AS avg_logp
+         FROM s GROUP BY doc_id"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

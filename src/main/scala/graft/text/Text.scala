@@ -143,4 +143,34 @@ object Text {
       .withColumn("top_2gram_frac", round(topNgramFraction(t, 2), 4))
       .withColumn("top_3gram_frac", round(topNgramFraction(t, 3), 4))
   }
+
+  /** Unigram language model from a REFERENCE corpus: one row per term
+    * with its log-probability `logp = ln(tf / total_tokens)` — the
+    * frequency table behind the CCNet-style "perplexity against a
+    * trusted corpus" quality filter. Built on [[vocabulary]] (one
+    * explode, map-side-combined); `minCount` prunes the long tail,
+    * which both shrinks the scoring join AND acts as the OOV floor.
+    * Returns (term, tf, logp). */
+  def unigramLm(ref: DataFrame, idCol: String, textCol: String,
+                minCount: Long = 1L): DataFrame = {
+    val vocab = vocabulary(ref, idCol, textCol, minCount)
+    vocab.crossJoin(broadcast(vocab.agg(sum("tf").as("__total"))))
+      .select(col("term"), col("tf"),
+        log(col("tf").cast("double") / col("__total")).as("logp"))
+  }
+
+  /** Score every document by its mean token log-probability under `lm`
+    * (higher = more like the reference corpus; the usual keep-threshold
+    * filter). Tokens absent from the LM contribute `oovLogp` — set it
+    * near the LM's own floor, or harsher to punish gibberish. One
+    * explode + one equi-join on term (the LM side prunes with its
+    * minCount; AQE broadcasts it when small) + one groupBy.
+    * Returns (idCol, n_tokens, avg_logp rounded to 4dp). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              lm: DataFrame, oovLogp: Double = -20.0): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(lm.select(col("term"), col("logp")), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(coalesce(col("logp"), lit(oovLogp))), 4).as("avg_logp"))
 }

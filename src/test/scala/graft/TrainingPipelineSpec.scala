@@ -177,6 +177,24 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rep.length == 1, "null row must survive the repetition scan")
   }
 
+  test("unigramLm + lmScore: exact log-probs, OOV floor, minCount prune") {
+    val ref = Seq((1L, "a a b"), (2L, "a b c")).toDF("id", "text")
+    val lm = Text.unigramLm(ref, "id", "text") // tf: a=3, b=2, c=1; total 6
+    val lmMap = lm.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(lmMap("a") - math.log(3.0 / 6)) < 1e-12)
+    assert(math.abs(lmMap("c") - math.log(1.0 / 6)) < 1e-12)
+    // minCount prunes c AND shrinks the total to surviving mass
+    val pruned = Text.unigramLm(ref, "id", "text", minCount = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(pruned.keySet == Set("a", "b"))
+    assert(math.abs(pruned("a") - math.log(3.0 / 5)) < 1e-12)
+    val scored = Text.lmScore(Seq((10L, "a b zzz")).toDF("id", "text"),
+      "id", "text", lm, oovLogp = -20.0).head()
+    val want = (math.log(3.0 / 6) + math.log(2.0 / 6) - 20.0) / 3
+    assert(scored.getLong(1) == 3L)
+    assert(math.abs(scored.getDouble(2) - want) < 1e-4)
+  }
+
   test("contamination finds shingle overlap and decontaminate drops hits") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("bid", "btext")
