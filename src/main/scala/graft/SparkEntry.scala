@@ -961,6 +961,8 @@ object SparkEntry {
     "q107_embedding_drift" -> ((s, dir) =>
       graft.proximity.Embeddings.centroidDrift(
         t(s, dir, "embeddings"), "label", "embedding")),
+    "q110_corpus_report" -> ((s, dir) =>
+      graft.text.CorpusReport.report(t(s, dir, "documents"), "text", "source")),
     "q109_lm_score" -> ((s, dir) => {
       // CCNet-shape quality scoring: unigram LM from the first half of
       // the corpus, every other document scored against it
@@ -2211,7 +2213,37 @@ object SparkEntry {
                WHERE e.doc_id >= 250)
          SELECT doc_id, COUNT(*) AS n_tokens,
            ROUND(AVG(COALESCE(logp, -20.0)), 4) AS avg_logp
-         FROM s GROUP BY doc_id"""
+         FROM s GROUP BY doc_id""",
+    "q110_corpus_report" -> {
+      val en = Text.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      val fr = Text.stopwords("fr").map(w => s"'$w'").mkString("[", ", ", "]")
+      val es = Text.stopwords("es").map(w => s"'$w'").mkString("[", ", ", "]")
+      val de = Text.stopwords("de").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT source, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT source, text, COALESCE(len(toks), 0) AS w,
+             CAST(len(list_filter(toks, x -> list_contains($en, x))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_en,
+             CAST(len(list_filter(toks, x -> list_contains($fr, x))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_fr,
+             CAST(len(list_filter(toks, x -> list_contains($es, x))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_es,
+             CAST(len(list_filter(toks, x -> list_contains($de, x))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_de,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+              + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0) AS pii
+           FROM d)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN NOT (s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de)
+                          AND NOT (s_es > 0 AND s_es >= s_en AND s_es >= s_de)
+                          AND s_en > 0 AND s_en >= s_de THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           COUNT(*) - COUNT(DISTINCT COALESCE(fp, '')) AS n_dup,
+           CAST(SUM(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
+           ROUND(AVG(w), 2) AS avg_words
+         FROM s GROUP BY source"""
+    }
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

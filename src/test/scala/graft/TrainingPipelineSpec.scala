@@ -195,6 +195,26 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(math.abs(scored.getDouble(2) - want) < 1e-4)
   }
 
+  test("corpusReport: per-source docs/tokens/lang/dup/pii in one aggregate") {
+    val docs = Seq(
+      (1L, "srcA", "the quick brown fox is a fine animal for it runs"),
+      (2L, "srcA", "the quick brown fox is a fine animal for it runs"), // dup
+      (3L, "srcA", "mail me at a@b.co for the offer and the rest now"),
+      (4L, "srcB", "le chat est dans la maison pour le diner et la nuit"),
+      (5L, "srcB", null))
+      .toDF("id", "source", "text")
+    val r = graft.text.CorpusReport.report(docs, "text", "source")
+      .orderBy("source").collect()
+    val a = r(0) // srcA: 3 docs, 33 tokens, 0 null, 3 en, 1 dup, 1 pii
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4),
+      a.getLong(5), a.getLong(6)) == ((3L, 33L, 0L, 3L, 1L, 1L)), a.toString)
+    assert(a.getDouble(7) == 11.0)
+    val b = r(1) // srcB: 2 docs, 12 tokens, 1 null, 0 en, 0 dup, 0 pii
+    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4),
+      b.getLong(5), b.getLong(6)) == ((2L, 12L, 1L, 0L, 0L, 0L)), b.toString)
+    assert(b.getDouble(7) == 6.0)
+  }
+
   test("contamination finds shingle overlap and decontaminate drops hits") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("bid", "btext")
