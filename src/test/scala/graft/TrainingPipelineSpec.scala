@@ -215,6 +215,21 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(b.getDouble(7) == 6.0)
   }
 
+  test("writeShards: balanced deterministic shards, per-file row cap") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/c"
+    val docs = spark.range(5000).selectExpr("id", "concat('doc ', id) AS text")
+    val shards = graft.sources.CorpusWriter.writeShards(docs, out, 500, "id")
+    assert(shards == 10)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name()).count().select("count").as[Long].collect()
+    assert(perFile.sum == 5000)
+    assert(perFile.forall(_ <= 500), s"file over cap: ${perFile.max}")
+    // near-uniform: overfull shards split into (full + remainder) files,
+    // so the FULL files carry the corpus — no shard-sized hotspot
+    assert(perFile.length <= 2 * shards, s"${perFile.length} files")
+    assert(perFile.count(_ >= 400) >= 9, perFile.sorted.mkString(","))
+  }
+
   test("contamination finds shingle overlap and decontaminate drops hits") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("bid", "btext")
