@@ -2179,10 +2179,10 @@ object SparkEntry {
              unnest(list_distinct(s)) AS g FROM sh WHERE doc_id >= 100),
          bs AS (SELECT doc_id AS bid, unnest(list_distinct(s)) AS g
            FROM sh WHERE doc_id < 100)
-         SELECT ds.doc_id, COUNT(*) AS n_hit_shingles,
+         SELECT ds.doc_id, COUNT(DISTINCT ds.g) AS n_hit_shingles,
            COUNT(DISTINCT bs.bid) AS n_bench_docs,
            CAST(MAX(ds.n_sh) AS BIGINT) AS n_shingles,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(ds.n_sh), 4) AS hit_frac
+           ROUND(CAST(COUNT(DISTINCT ds.g) AS DOUBLE) / MAX(ds.n_sh), 4) AS hit_frac
          FROM ds JOIN bs USING (g) GROUP BY ds.doc_id""",
     "q107_embedding_drift" ->
       """WITH e AS (SELECT label,

@@ -60,12 +60,19 @@ object IvfIndex {
       c => transform(c, x => x.cast("double"))
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
+    // materialize the probe assignment ONCE: the driver-side probed-cell
+    // collect and the final join both consume it, and without the
+    // checkpoint the queries×centroids crossJoin + per-id rank window
+    // (the most expensive pre-join stage) would execute twice — and a
+    // nondeterministic queries frame could drift between the two runs,
+    // probing cells outside the collected IN-filter snapshot
     val qCells = q.crossJoin(cents)
       .withColumn("__sim", Proximity.cosine(col("__qv"), col("centroid")))
       .withColumn("__rank", row_number().over(
         Window.partitionBy("id").orderBy(desc("__sim"), asc("cell"))))
       .filter(col("__rank") <= nProbe)
       .select(col("id"), col("__qv"), col("cell"))
+      .localCheckpoint(true)
     val probed = qCells.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val vecs = spark.read.parquet(s"$path/vectors")

@@ -40,7 +40,10 @@ object Contamination {
       explode(graft.functions.Signatures.wordShingles(col(benchTextCol), n)).as("__sh"))
     docSh.join(broadcast(benchSh), Seq("__sh"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hit_shingles"),
+      // DISTINCT shingles: a shingle present in many bench docs is still
+      // ONE shared shingle — counting join rows would let hit_frac
+      // exceed 1.0 and break the maxHitFrac threshold
+      .agg(countDistinct(col("__sh")).as("n_hit_shingles"),
         countDistinct(col("__bid")).as("n_bench_docs"),
         max(col("__n_sh")).as("n_shingles"))
       .withColumn("hit_frac",

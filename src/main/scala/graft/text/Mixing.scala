@@ -55,8 +55,11 @@ object Mixing {
   def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
                         temperature: Double, targetRows: Long): DataFrame = {
     val fr = temperatureFractions(df, sourceCol, temperature, targetRows)
-      .select(col("source").as(sourceCol), col("sample_frac"))
-    df.join(broadcast(fr), Seq(sourceCol))
+      .select(col("source").as("__mix_src"), col("sample_frac"))
+    // null-safe join: a null source is a real stratum — groupBy gave it
+    // weight, so an equality join would silently drop its every row and
+    // undershoot targetRows by that stratum's whole share
+    df.join(broadcast(fr), col(sourceCol) <=> col("__mix_src"))
       .filter(hashKeep(col(idCol), col("sample_frac")))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

@@ -31,8 +31,14 @@ object Packing {
                       maxLen: Int, buckets: Int = 256): DataFrame = {
     require(maxLen > 0, s"maxLen must be positive, got $maxLen")
     // null text counts as 0 tokens — a null row must not poison the
-    // running offset of every document after it
-    val base = df.select(col(idCol).cast("long").as("__id"),
+    // running offset of every document after it. A null id (or one the
+    // long cast nulls out, e.g. a UUID string) fails fast per row:
+    // null ids would all collapse into one bucket and tie-order
+    // arbitrarily, making every offset silently nondeterministic.
+    val base = df.select(
+      coalesce(expr(s"try_cast(`$idCol` AS BIGINT)"), raise_error(lit(
+        s"packingManifest: $idCol must be non-null and castable to long")))
+        .as("__id"),
       coalesce(Text.tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
     // metadata aggregate: id range → fixed-width bucket bounds
     val bounds = base.agg(min("__id").as("__lo"), max("__id").as("__hi"))

@@ -108,10 +108,12 @@ object Text {
     * generic "lines" splitter when a corpus has no newlines, and the
     * unit for line-level repetition/dedup below. Empty text → one
     * empty chunk (so downstream `size` is never 0-ambiguous). */
-  def charChunks(text: Column, width: Int): Column =
+  def charChunks(text: Column, width: Int): Column = {
+    require(width > 0, s"charChunks width must be positive, got $width")
     transform(
       sequence(lit(1), greatest(ceil(length(text).cast("double") / width), lit(1)).cast("int")),
       i => text.substr((i - 1) * width + 1, lit(width)))
+  }
 
   /** Fraction of lines that are repeats of an earlier line within the
     * SAME document (Gopher/MassiveText `duplicate_line_fraction`):

@@ -215,6 +215,40 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(b.getDouble(7) == 6.0)
   }
 
+  test("review: shared shingle in many bench docs counts once; hit_frac <= 1") {
+    val bench = Seq((100L, "alpha beta gamma delta"), (101L, "alpha beta gamma other"))
+      .toDF("bid", "btext") // both contain "alpha beta gamma"
+    val corpus = Seq((1L, "alpha beta gamma end")).toDF("id", "text")
+    val hits = graft.text.Contamination.contaminated(
+      corpus, "id", "text", bench, "bid", "btext", n = 3).head()
+    // doc 1 has 2 distinct shingles, shares exactly 1 (in BOTH bench docs)
+    assert(hits.getLong(1) == 1L, s"n_hit_shingles ${hits.getLong(1)}")
+    assert(hits.getLong(2) == 2L, "both bench docs hit")
+    assert(hits.getDouble(4) == 0.5, s"hit_frac ${hits.getDouble(4)}")
+  }
+
+  test("review: null-source stratum is sampled, not silently dropped") {
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i % 2 == 0) "a" else null)).toDF("id", "source")
+    val out = Mixing.temperatureSample(docs, "id", "source", 1.0, 500)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(bySrc.contains(None) && bySrc(None) > 150,
+      s"null stratum missing or starved: $bySrc")
+    assert(math.abs(out.count() - 500) < 100, s"total ${out.count()}")
+  }
+
+  test("review: packingManifest fails fast on ids that cast to null") {
+    val docs = Seq(("not-a-number", "some text")).toDF("id", "text")
+    val e = intercept[Exception] {
+      Packing.packingManifest(docs, "id", "text", 16).collect()
+    }
+    assert(e.getMessage.contains("castable to long") ||
+      Option(e.getCause).exists(_.getMessage.contains("castable to long")),
+      e.toString)
+    intercept[IllegalArgumentException] { Text.charChunks(col("x"), 0) }
+  }
+
   test("writeShards: balanced deterministic shards, per-file row cap") {
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/c"
     val docs = spark.range(5000).selectExpr("id", "concat('doc ', id) AS text")
