@@ -963,6 +963,14 @@ object SparkEntry {
         t(s, dir, "embeddings"), "label", "embedding")),
     "q110_corpus_report" -> ((s, dir) =>
       graft.text.CorpusReport.report(t(s, dir, "documents"), "text", "source")),
+    "q111_bpe_tokenize" -> ((s, dir) => {
+      // tokenizer-training lifecycle (rows-only: merge table is a
+      // learned artifact): train 64 merges on the corpus, re-encode it
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text", numMerges = 64)
+      docs.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+    }),
     "q109_lm_score" -> ((s, dir) => {
       // CCNet-shape quality scoring: unigram LM from the first half of
       // the corpus, every other document scored against it

@@ -249,6 +249,27 @@ class TrainingPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Text.charChunks(col("x"), 0) }
   }
 
+  test("BPE: learned merges match hand-computed ranks; encode is greedy by rank") {
+    import graft.text.Bpe
+    val docs = Seq.fill(5)("ab").map(Tuple1(_)).toDF("text")
+      .union(Seq.fill(3)("abc").map(Tuple1(_)).toDF("text"))
+    // pair counts: (a,b)=8 > (b,</w>)=5 > (b,c)=3 = (c,</w>)=3
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 3)
+    assert(merges == Seq(("a", "b"), ("ab", "</w>"), ("ab", "c")), merges.toString)
+    val enc2 = Seq(("abc", 1)).toDF("text", "i")
+      .select(Bpe.encode($"text", merges.take(2))).as[Seq[String]].head()
+    assert(enc2 == Seq("ab", "c", "</w>"), enc2.toString)
+    val enc3 = Seq(("abc ab", 1)).toDF("text", "i")
+      .select(Bpe.encode($"text", merges)).as[Seq[String]].head()
+    assert(enc3 == Seq("abc", "</w>", "ab</w>"), enc3.toString)
+    val tc = Seq(("xyz abc", 1)).toDF("text", "i")
+      .select(Bpe.tokenCount($"text", merges.take(2))).as[Int].head()
+    assert(tc == 7, s"x y z </w> + ab c </w> = 7, got $tc")
+    // exhausted pairs stop early instead of looping
+    assert(Bpe.trainMerges(Seq(Tuple1("a")).toDF("text"), "text", 10)
+      .size <= 2)
+  }
+
   test("writeShards: balanced deterministic shards, per-file row cap") {
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/c"
     val docs = spark.range(5000).selectExpr("id", "concat('doc ', id) AS text")
