@@ -49,6 +49,48 @@ object Mixing {
       substring(md5(id.cast("string")), 1, 8) <
         lower(lpad(hex(floor(frac * 4294967296.0).cast("long")), 8, "0"))
 
+  /** Per-source mixture table WITHOUT the ≤1 clamp: `sample_frac`
+    * above 1 means the source should be UPSAMPLED (seen more than
+    * once per epoch) to hit the target — the high-quality-source
+    * repetition every data-constrained training mix uses. */
+  def temperatureFractionsUnclamped(df: DataFrame, sourceCol: String,
+                                    temperature: Double,
+                                    targetRows: Long): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__wt", pow(col("n_docs").cast("double"), temperature))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("__wt").as("__tot"))))
+      .withColumn("weight", round(col("__wt") / col("__tot"), 6))
+      .withColumn("sample_frac", round(
+        lit(targetRows.toDouble) * col("weight") / col("n_docs"), 6))
+      .select("source", "n_docs", "weight", "sample_frac")
+  }
+
+  /** [[temperatureSample]] with replacement: a source whose fraction is
+    * f ≥ 1 emits floor(f) deterministic copies of every row (tagged
+    * `__epoch` 0..floor(f)-1) plus a hash-kept f−floor(f) share of an
+    * extra copy; f < 1 behaves exactly like [[temperatureSample]].
+    * The epoch column lets downstream shuffles (e.g. packing order,
+    * shard assignment) separate the copies. Replication is an
+    * `explode(sequence(...))` — no driver loop, no RNG. */
+  def temperatureSampleWithReplacement(df: DataFrame, idCol: String,
+                                       sourceCol: String, temperature: Double,
+                                       targetRows: Long): DataFrame = {
+    val fr = temperatureFractionsUnclamped(df, sourceCol, temperature, targetRows)
+      .select(col("source").as("__mix_src"), col("sample_frac"))
+    df.join(broadcast(fr), col(sourceCol) <=> col("__mix_src"))
+      .withColumn("__epoch", explode(sequence(lit(0L),
+        floor(col("sample_frac")).cast("long"))))
+      // the final partial epoch keeps a (frac - floor) hash share; the
+      // epoch index salts the draw so each extra epoch picks its own rows
+      .filter(col("__epoch") < floor(col("sample_frac")) ||
+        hashKeep(concat(col(idCol).cast("string"), lit(":"), col("__epoch")),
+          col("sample_frac") - floor(col("sample_frac"))))
+      .select((df.columns.map(col) :+ col("__epoch")).toIndexedSeq: _*)
+  }
+
   /** The sampled corpus: joins each row to its source's fraction
     * (broadcast — sources are metadata-cardinality) and applies
     * [[hashKeep]] on `idCol`. Output schema = input schema. */

@@ -249,6 +249,31 @@ class TrainingPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Text.charChunks(col("x"), 0) }
   }
 
+  test("sampleWithReplacement upsamples scarce sources deterministically") {
+    // 1000 "big" + 50 "rare" docs, T=0.3 flattens hard; target 800 →
+    // rare's unclamped fraction lands well above 1 → upsampling
+    val docs = (0L until 1050L)
+      .map(i => (i, if (i < 1000) "big" else "rare")).toDF("id", "source")
+    val fr = Mixing.temperatureFractionsUnclamped(docs, "source", 0.3, 800)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(fr("rare") > 1.0, fr.toString)
+    val out = Mixing.temperatureSampleWithReplacement(
+      docs, "id", "source", 0.3, 800)
+    assert(out.columns.last == "__epoch")
+    val rare = out.filter($"source" === "rare")
+    val perDoc = rare.groupBy("id").count().select("count").as[Long].collect()
+    // every rare doc appears floor(f) or floor(f)+1 times
+    val f = fr("rare")
+    assert(perDoc.forall(c => c == f.toLong || c == f.toLong + 1), perDoc.toSet.toString)
+    // total tracks n*f
+    assert(math.abs(rare.count() - 50 * f) <= 15, s"${rare.count()} vs ${50 * f}")
+    // deterministic
+    assert(out.count() == Mixing.temperatureSampleWithReplacement(
+      docs, "id", "source", 0.3, 800).count())
+    // sub-1 sources behave like the plain sampler's shape (no epoch > 0)
+    assert(out.filter($"source" === "big" && $"__epoch" > 0).count() == 0)
+  }
+
   test("BPE: learned merges match hand-computed ranks; encode is greedy by rank") {
     import graft.text.Bpe
     val docs = Seq.fill(5)("ab").map(Tuple1(_)).toDF("text")
