@@ -961,6 +961,9 @@ object SparkEntry {
     "q107_embedding_drift" -> ((s, dir) =>
       graft.proximity.Embeddings.centroidDrift(
         t(s, dir, "embeddings"), "label", "embedding")),
+    "q112_embedding_spread" -> ((s, dir) =>
+      graft.proximity.Embeddings.groupSpread(
+        t(s, dir, "embeddings"), "label", "embedding")),
     "q110_corpus_report" -> ((s, dir) =>
       graft.text.CorpusReport.report(t(s, dir, "documents"), "text", "source")),
     "q111_bpe_tokenize" -> ((s, dir) => {
@@ -2204,6 +2207,17 @@ object SparkEntry {
              (sqrt(list_sum([x * x for x in a.c])) *
               sqrt(list_sum([x * x for x in b.c]))), 4) AS cosine
          FROM ce a CROSS JOIN ce b WHERE a.label < b.label""",
+    "q112_embedding_spread" ->
+      """WITH e AS (SELECT label,
+             unnest([{'v': CAST(embedding[i] AS DOUBLE), 'i': i}
+                     for i in range(1, len(embedding)+1)], recursive := true)
+           FROM embeddings WHERE embedding IS NOT NULL),
+         g AS (SELECT label, i, var_pop(v) AS vv, SUM(v*v) AS sq,
+               COUNT(*) AS n FROM e GROUP BY label, i)
+         SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           ROUND(SUM(vv), 6) AS trace_var,
+           ROUND(SUM(sq)/MAX(n), 6) AS mean_sq_norm
+         FROM g GROUP BY label""",
     "q109_lm_score" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -36,6 +36,32 @@ object Embeddings {
           s => s.getField("__c")).as("centroid"))
       .select(col("__g").as(groupCol), col("n_vecs"), col("centroid"))
 
+  /** Per-group embedding SPREAD — the collapse detector: a shard whose
+    * vectors bunch up (trace of the per-dimension variance → 0) or
+    * whose norms drift is broken upstream (bad encoder checkpoint,
+    * zero-vector fill-ins) even when its centroid looks right.
+    * Same one-explode shape as [[groupCentroids]]: the (group, dim)
+    * aggregate carries var_pop alongside the mean, then one more
+    * metadata-sized groupBy sums the trace. Mean vector norm rides the
+    * same scan (aggregated per row before the explode would need a
+    * second pass — instead ||v||² = Σ v² is just sum(v²)/n_vecs over
+    * the exploded rows). Returns
+    * (groupCol, n_vecs, trace_var, mean_sq_norm), rounded to 6dp. */
+  def groupSpread(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy("__g", "__i")
+      .agg(var_pop(col("__v").cast("double")).as("__var"),
+        sum(col("__v").cast("double") * col("__v").cast("double")).as("__sq"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("__g"))
+      .agg(max("__n").as("n_vecs"),
+        round(sum("__var"), 6).as("trace_var"),
+        round(sum("__sq") / max("__n"), 6).as("mean_sq_norm"))
+      .select(col("__g").as(groupCol), col("n_vecs"),
+        col("trace_var"), col("mean_sq_norm"))
+
   /** Pairwise cosine similarity between group centroids, one row per
     * unordered pair (group_a < group_b): low off-diagonal similarity
     * between two shards of the SAME nominal distribution is the drift

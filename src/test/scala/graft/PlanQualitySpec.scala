@@ -110,6 +110,17 @@ class PlanQualitySpec extends SparkSpec {
       s"global single-partition stage in the cached-inference plan:\n$plan")
   }
 
+  test("q109/q110: corpus scoring and report plans have no single-partition stage") {
+    Seq("q109_lm_score", "q110_corpus_report").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("SinglePartition"), s"$q:\n$plan")
+      // (a BroadcastNestedLoopJoin against the 1-row LM-total aggregate
+      // is the intended scalar-broadcast pattern, not a data crossjoin)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("packingManifest: per-row cumsum window is bucket-partitioned, not global") {
     val docs = spark.range(500).selectExpr("id", "'tok tok tok' AS text")
     val plan = graft.text.Packing.packingManifest(docs, "id", "text", 128)

@@ -162,6 +162,19 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(drift.toSeq == Seq(("a", "b", 0.0), ("a", "c", 1.0), ("b", "c", 0.0)))
   }
 
+  test("groupSpread: trace variance flags collapsed groups, norms flag zero fills") {
+    val vecs = Seq(
+      ("ok", Seq(1.0f, 0.0f)), ("ok", Seq(0.0f, 1.0f)),
+      ("collapsed", Seq(0.5f, 0.5f)), ("collapsed", Seq(0.5f, 0.5f)))
+      .toDF("g", "vec")
+    val r = graft.proximity.Embeddings.groupSpread(vecs, "g", "vec")
+      .orderBy("g").collect()
+    // collapsed: zero variance, norm² = 0.5; ok: var .25+.25, norm² = 1
+    assert(r(0).getString(0) == "collapsed" && r(0).getDouble(2) == 0.0)
+    assert(r(0).getDouble(3) == 0.5)
+    assert(r(1).getDouble(2) == 0.5 && r(1).getDouble(3) == 1.0)
+  }
+
   test("null text does not poison pii counts, packing offsets, or repetition") {
     val docs = Seq((1L, "real text here with words"), (2L, null), (3L, "tail doc"))
       .toDF("id", "text")
