@@ -48,6 +48,28 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Grow a built index WITHOUT refitting: assign new vectors to their
+    * nearest stored centroid (euclidean, matching KMeans.transform's
+    * assignment rule; deterministic tie-break by cell id) and append
+    * them to the cell partitions. The quantizer ages as the corpus
+    * drifts — rebuild when probe recall degrades; until then append is
+    * one broadcast join + one partitioned append, no KMeans pass. */
+  def append(spark: SparkSession, path: String, refs: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val toD: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(c, x => x.cast("double"))
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val r = refs.select(col(idCol).as("id"), toD(col(vecCol)).as("vec"))
+    r.crossJoin(cents)
+      .withColumn("__d", Proximity.euclidean(col("vec"), col("centroid")))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("id").orderBy(asc("__d"), asc("cell"))))
+      .filter(col("__rank") === 1)
+      .select(col("id"), col("vec"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Top-k cosine neighbors from a built index. Probe cells are picked
     * against the broadcast centroid frame; the distinct probed-cell set
     * (≤ nCells values — metadata) becomes a STATIC `IN` filter on the

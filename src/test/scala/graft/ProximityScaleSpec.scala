@@ -133,6 +133,22 @@ class ProximityScaleSpec extends SparkSpec {
     assert(again == approx)
   }
 
+  test("IvfIndex.append grows the index refit-free and queries see new vectors") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    graft.proximity.IvfIndex.build(first, "vec_id", "embedding", path, nCells = 8)
+    graft.proximity.IvfIndex.append(spark, path, rest, "vec_id", "embedding")
+    assert(spark.read.parquet(path + "/vectors").count() == emb.count())
+    // a query FOR an appended vector must find itself among neighbors of
+    // its own cell probe set (similarity 1.0 excluded as self — so probe
+    // with k generous and check an appended id appears as a neighbor)
+    val out = graft.proximity.IvfIndex.query(spark, path,
+      emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 20, nProbe = 8)
+    assert(out.filter(col("neighbor_id") >= 400).count() > 0,
+      "appended vectors never surface as neighbors")
+  }
+
   test("hot-bucket guard caps candidates per cell") {
     // 300 identical vectors land in one cell; maxBucket=10 bounds the
     // per-table candidate set to ~10 refs per query instead of 300
