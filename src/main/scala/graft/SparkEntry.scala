@@ -2125,7 +2125,7 @@ object SparkEntry {
              list_filter(string_split_regex(lower(trim(text)), '\s+'),
                x -> length(x) > 0) AS toks
            FROM documents),
-         s AS (SELECT doc_id,
+         s AS (SELECT doc_id, len(toks) AS ntoks,
              CASE WHEN len(chunks) <= 0 THEN 0
                ELSE CAST(len(chunks) - len(list_distinct(chunks)) AS DOUBLE)/len(chunks) END AS dlf,
              CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
@@ -2134,9 +2134,9 @@ object SparkEntry {
                ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END AS sh3
            FROM d)
          SELECT doc_id, ROUND(dlf, 4) AS dup_line_frac,
-           ROUND(CASE WHEN len(sh2) <= 0 THEN 0
+           ROUND(CASE WHEN ntoks < 2 THEN 0
              ELSE CAST(list_max([len(list_filter(sh2, x -> x = g)) for g in list_distinct(sh2)]) AS DOUBLE)/len(sh2) END, 4) AS top_2gram_frac,
-           ROUND(CASE WHEN len(sh3) <= 0 THEN 0
+           ROUND(CASE WHEN ntoks < 3 THEN 0
              ELSE CAST(list_max([len(list_filter(sh3, x -> x = g)) for g in list_distinct(sh3)]) AS DOUBLE)/len(sh3) END, 4) AS top_3gram_frac
          FROM s""",
     "q103_line_dedup" ->

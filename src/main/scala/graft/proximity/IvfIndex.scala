@@ -23,28 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Fit the quantizer and materialize the index at `path`. */
+  private def toD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, x => x.cast("double"))
+
+  /** Fit the quantizer ([[Proximity.fitQuantizer]] — bounded
+    * hash-ordered sample) and materialize the index at `path`. */
   def build(refs: DataFrame, idCol: String, vecCol: String, path: String,
             nCells: Int = 16, seed: Long = 42L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val toD: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => transform(c, x => x.cast("double"))
     val r = refs.select(col(idCol).as("id"), toD(col(vecCol)).as("vec"))
-    val fitSample = r
-      .orderBy(hash(col("id"), lit(seed.toInt)), col("id"))
-      .limit(math.max(10000, nCells * 256))
-      .withColumn("__v", array_to_vector(col("vec")))
-    val km = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("__v").setPredictionCol("cell").fit(fitSample)
-    val spark = refs.sparkSession
-    import spark.implicits._
-    km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cell", "centroid")
+    val (km, cents) = Proximity.fitQuantizer(r, nCells, seed)
+    cents.select(col("__cell").as("cell"), col("__centroid").as("centroid"))
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    km.transform(r.withColumn("__v", array_to_vector(col("vec"))))
-      .select(col("id"), col("vec"), col("cell"))
+    km.transform(r.withColumn("__vec", array_to_vector(col("vec"))))
+      .select(col("id"), col("vec"), col("__cell").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
@@ -57,8 +49,6 @@ object IvfIndex {
   def append(spark: SparkSession, path: String, refs: DataFrame,
              idCol: String, vecCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val toD: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => transform(c, x => x.cast("double"))
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val r = refs.select(col(idCol).as("id"), toD(col(vecCol)).as("vec"))
     r.crossJoin(cents)
@@ -78,8 +68,6 @@ object IvfIndex {
   def query(spark: SparkSession, path: String, queries: DataFrame,
             idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toD: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => transform(c, x => x.cast("double"))
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
     // materialize the probe assignment ONCE: the driver-side probed-cell

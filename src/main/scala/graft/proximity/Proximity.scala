@@ -143,6 +143,35 @@ object Proximity {
     * instead of the brute-force |Q|·|R|. Centroids are broadcast (tiny);
     * the reference side is scanned once to assign cells.
     */
+  /** Fit the coarse IVF quantizer on a BOUNDED sample of an
+    * (id, vec[double]) frame — shared by [[cosineTopKIvf]] and
+    * [[IvfIndex.build]], so the sampling rationale lives once:
+    * centroid quality saturates long before the corpus does, and an
+    * unbounded KMeans fit would iterate over all 100 TB just to place
+    * nCells centroids. Hash-ordered top-K (TakeOrderedAndProject:
+    * per-partition heaps, no full sort) makes the sample BOTH spread
+    * across the corpus and partition-independent — a bare limit()
+    * reads the leading row-groups, which biases a storage-ordered
+    * corpus AND changes with the physical layout. Returns the fitted
+    * model (featuresCol `__vec`, predictionCol `__cell`) and the
+    * centroid frame (`__cell`, `__centroid`). */
+  private[proximity] def fitQuantizer(vecs: DataFrame, nCells: Int, seed: Long)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fitSample = vecs
+      .orderBy(hash(col("id"), lit(seed.toInt)), col("id"))
+      .limit(math.max(10000, nCells * 256))
+      .withColumn("__vec", array_to_vector(col("vec")))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(fitSample)
+    val cents = vecs.sparkSession.createDataFrame(
+        km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq)
+      .toDF("__cell", "__centroid")
+    (km, cents)
+  }
+
   def cosineTopKIvf(queries: DataFrame, refs: DataFrame, idCol: String, vecCol: String,
                     k: Int, nCells: Int = 16, nProbe: Int = 4,
                     seed: Long = 42L): DataFrame = {
@@ -152,27 +181,9 @@ object Proximity {
     val toD: Column => Column = c => transform(c, x => x.cast("double"))
     val r = refs.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("__rv"))
     val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
-    // train the coarse quantizer on a BOUNDED sample of the reference
-    // vectors — centroid quality saturates long before the corpus does,
-    // and an unbounded KMeans fit would iterate over all 100 TB just to
-    // place nCells centroids. Assignment below still scans refs once.
-    // Hash-ordered top-K (TakeOrderedAndProject: per-partition heaps,
-    // no full sort) makes the sample BOTH spread across the corpus and
-    // partition-independent — a bare limit() reads the leading
-    // row-groups, which biases a storage-ordered corpus AND changes
-    // with the physical layout.
-    val fitSample = r
-      .orderBy(hash(col("neighbor_id"), lit(seed.toInt)), col("neighbor_id"))
-      .limit(math.max(10000, nCells * 256))
-      .withColumn("__vec", array_to_vector(col("__rv")))
-    val km = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .fit(fitSample)
-    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
-    val centDf = broadcast(
-      refs.sparkSession.createDataFrame(centroids).toDF("__cell", "__centroid"))
+    val (km, cents) = fitQuantizer(
+      r.select(col("neighbor_id").as("id"), col("__rv").as("vec")), nCells, seed)
+    val centDf = broadcast(cents)
     // assign refs to their cell; queries fan out to their nProbe cells
     val rCells = km.transform(r.withColumn("__vec", array_to_vector(col("__rv"))))
       .select(col("neighbor_id"), col("__rv"), col("__cell"))

@@ -21,15 +21,27 @@ import org.apache.spark.sql.functions._
 object CorpusWriter {
 
   /** Write `df` to `path` as ~`rowsPerShard`-row parquet shards.
-    * Returns the shard count. */
+    * Returns the shard count.
+    *
+    * Sizing the grid needs the row count; when `df` is an expensive
+    * pipeline (a full curation funnel, not a raw scan) the count would
+    * re-execute every upstream shuffle, so either pass `knownRows`
+    * (pipelines usually just counted their output for the funnel
+    * report) or let this persist `df` around the count+write and
+    * release it after. */
   def writeShards(df: DataFrame, path: String, rowsPerShard: Long,
-                  idCol: String): Int = {
+                  idCol: String, knownRows: Option[Long] = None): Int = {
     require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
-    val n = df.count()
-    val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
-    df.repartitionByRange(shards, hash(col(idCol)), col(idCol))
-      .write.option("maxRecordsPerFile", rowsPerShard)
-      .mode("overwrite").parquet(path)
-    shards
+    val staged = if (knownRows.isEmpty)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    try {
+      val n = knownRows.getOrElse(staged.count())
+      val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
+      staged.repartitionByRange(shards, hash(col(idCol)), col(idCol))
+        .write.option("maxRecordsPerFile", rowsPerShard)
+        .mode("overwrite").parquet(path)
+      shards
+    } finally if (knownRows.isEmpty) staged.unpersist()
   }
 }

@@ -92,7 +92,12 @@ object Streaming {
     * when radius-duplicates matter. */
   def nearDedupWithinWatermark(docs: DataFrame, textCol: String, tsCol: String,
                                watermark: String): DataFrame =
-    docs.withColumn("simhash", graft.dedup.Dedup.simhash(col(textCol)))
+    // the single-pass Signatures expression, NOT Dedup.simhash's 32-pass
+    // HOF form (bit-identical signature; the HOF form's per-bit filter
+    // scans are the ad-hoc-small-data path, wrong for an unbounded
+    // stream's hot loop — same reasoning as Dedup.simhashPairs)
+    docs.withColumn("simhash",
+        graft.functions.Signatures.simhash(graft.text.Text.tokens(col(textCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 

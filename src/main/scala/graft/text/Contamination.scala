@@ -51,13 +51,14 @@ object Contamination {
   }
 
   /** Decontaminated corpus: drop documents whose shared-shingle
-    * fraction with the benchmark set reaches `maxHitFrac` (0 = drop on
-    * ANY overlap). Anti-join against [[contaminated]]. */
+    * fraction with the benchmark set reaches `maxHitFrac` — at or
+    * above the threshold is dropped (0 = drop on ANY overlap).
+    * Anti-join against [[contaminated]]. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchIdCol: String, benchTextCol: String,
                     n: Int = 13, maxHitFrac: Double = 0.0): DataFrame =
     corpus.join(
       contaminated(corpus, idCol, textCol, bench, benchIdCol, benchTextCol, n)
-        .filter(col("hit_frac") > maxHitFrac).select(col(idCol)),
+        .filter(col("hit_frac") >= maxHitFrac).select(col(idCol)),
       Seq(idCol), "left_anti")
 }

@@ -31,10 +31,7 @@ object CorpusReport {
       // null text → "" fingerprint, so null/empty docs dedup against
       // each other instead of vanishing from countDistinct
       coalesce(Text.fingerprint(t), lit("")).as("__fp"),
-      (coalesce(regexp_count(t, lit(Scrub.EmailRe)), lit(0))
-        + coalesce(regexp_count(t, lit(Scrub.PhoneRe)), lit(0))
-        + coalesce(regexp_count(t, lit(Scrub.Ipv4Re)), lit(0)) > 0)
-        .cast("long").as("__pii"))
+      Scrub.hasPii(t).cast("long").as("__pii"))
     flagged.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -52,15 +52,20 @@ object Curation {
     require(clash.isEmpty,
       s"input frame already has curation working column(s) ${clash.mkString(", ")} — rename or drop them first")
     val t = col(textCol)
-    val baseQuality = size(Text.tokens(t)) >= cfg.minWords &&
-      punctRatio(t) <= cfg.maxPunctRatio
-    val withRepetition =
-      if (cfg.maxDupLineFrac >= 1.0 && cfg.maxTopNgramFrac >= 1.0) baseQuality
-      else baseQuality &&
-        Text.dupLineFraction(Text.charChunks(t, cfg.lineWidth)) <= cfg.maxDupLineFrac &&
-        Text.topNgramFraction(t, 2) <= cfg.maxTopNgramFrac
+    // each repetition gate compiles in INDEPENDENTLY — enabling only the
+    // dup-line gate must not pay the O(distinct×total) top-ngram scan
+    // for a vacuous `<= 1.0` predicate (and vice versa)
+    val gates = Seq(
+      Some(size(Text.tokens(t)) >= cfg.minWords &&
+        punctRatio(t) <= cfg.maxPunctRatio),
+      if (cfg.maxDupLineFrac < 1.0)
+        Some(Text.dupLineFraction(Text.charChunks(t, cfg.lineWidth)) <= cfg.maxDupLineFrac)
+      else None,
+      if (cfg.maxTopNgramFrac < 1.0)
+        Some(Text.topNgramFraction(t, 2) <= cfg.maxTopNgramFrac)
+      else None).flatten
     docs
-      .withColumn("quality_pass", withRepetition)
+      .withColumn("quality_pass", gates.reduce(_ && _))
       .withColumn("lang_pred", Text.langId(t))
       .withColumn("lang_pass",
         col("quality_pass") && col("lang_pred").isin(cfg.langs: _*))

@@ -27,18 +27,11 @@ object Mixing {
     * weight / n). Weights/fractions rounded to 6dp (stable across
     * engines). */
   def temperatureFractions(df: DataFrame, sourceCol: String,
-                           temperature: Double, targetRows: Long): DataFrame = {
-    require(temperature > 0, s"temperature must be positive, got $temperature")
-    val counts = df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("__wt", pow(col("n_docs").cast("double"), temperature))
-    counts
-      .crossJoin(broadcast(counts.agg(sum("__wt").as("__tot"))))
-      .withColumn("weight", round(col("__wt") / col("__tot"), 6))
-      .withColumn("sample_frac", round(
-        least(lit(1.0), lit(targetRows.toDouble) * col("weight") / col("n_docs")), 6))
-      .select("source", "n_docs", "weight", "sample_frac")
-  }
+                           temperature: Double, targetRows: Long): DataFrame =
+    // clamp of the unclamped form — round(least(1,x),6) ≡
+    // least(1.0, round(x,6)), so this is the same numbers, one pipeline
+    temperatureFractionsUnclamped(df, sourceCol, temperature, targetRows)
+      .withColumn("sample_frac", least(lit(1.0), col("sample_frac")))
 
   /** Deterministic keep-predicate: md5-hex draw of `id` below `frac`.
     * Fraction ≥ 1 keeps everything (the hex threshold would overflow
@@ -83,10 +76,16 @@ object Mixing {
     df.join(broadcast(fr), col(sourceCol) <=> col("__mix_src"))
       .withColumn("__epoch", explode(sequence(lit(0L),
         floor(col("sample_frac")).cast("long"))))
-      // the final partial epoch keeps a (frac - floor) hash share; the
-      // epoch index salts the draw so each extra epoch picks its own rows
+      // the final partial epoch keeps a (frac - floor) hash share.
+      // Epoch 0 draws on the UNSALTED id — identical to
+      // [[temperatureSample]]'s draw, so a source whose fraction crosses
+      // 1 as the target grows keeps its previously-shipped picks (the
+      // module's incremental-rebuild property); epochs ≥ 1 salt the
+      // draw with the epoch index so each extra copy picks its own rows
       .filter(col("__epoch") < floor(col("sample_frac")) ||
-        hashKeep(concat(col(idCol).cast("string"), lit(":"), col("__epoch")),
+        hashKeep(
+          when(col("__epoch") === 0, col(idCol).cast("string"))
+            .otherwise(concat(col(idCol).cast("string"), lit(":"), col("__epoch"))),
           col("sample_frac") - floor(col("sample_frac"))))
       .select((df.columns.map(col) :+ col("__epoch")).toIndexedSeq: _*)
   }

@@ -40,15 +40,21 @@ object Packing {
         s"packingManifest: $idCol must be non-null and castable to long")))
         .as("__id"),
       coalesce(Text.tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
-    // metadata aggregate: id range → fixed-width bucket bounds
-    val bounds = base.agg(min("__id").as("__lo"), max("__id").as("__hi"))
-    val bucketed = base.crossJoin(broadcast(bounds))
-      .withColumn("__w", greatest(
-        (col("__hi") - col("__lo") + 1).cast("double") / buckets, lit(1.0)))
-      .withColumn("__b", least(
-        floor((col("__id") - col("__lo")) / col("__w")).cast("int"),
-        lit(buckets - 1)))
-      .drop("__lo", "__hi", "__w")
+    // QUANTILE bucket bounds, not fixed-width [min,max] ranges: one
+    // outlier id (or snowflake-style epoch gaps) would collapse a
+    // fixed-width grid into a single bucket and reintroduce the
+    // whole-corpus single-task sort this kernel exists to avoid.
+    // Boundary placement only affects balance, never results — the
+    // prefix sum is exact for ANY id-ordered range partition.
+    val cuts = base.stat
+      .approxQuantile("__id",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    val bucketed =
+      if (cuts.isEmpty) base.withColumn("__b", lit(0))
+      else base.withColumn("__b",
+        size(filter(array(cuts.map(c => lit(c.toLong)): _*),
+          c => c <= col("__id"))))
     // ≤buckets rows: per-bucket totals → exclusive running offsets.
     // The window IS single-partition — over a metadata-sized frame.
     val offsets = bucketed.groupBy("__b").agg(sum("n_tokens").as("__bt"))

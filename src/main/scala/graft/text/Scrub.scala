@@ -30,6 +30,14 @@ object Scrub {
     * a false positive like `999.1.1.1` is the safe direction). */
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** Any PII pattern present? Null text → false. The ONE predicate
+    * both [[piiSignals]] and [[graft.text.CorpusReport]] share — a new
+    * pattern added here reaches every consumer. */
+  def hasPii(text: Column): Column =
+    coalesce(regexp_count(text, lit(EmailRe)), lit(0)) +
+      coalesce(regexp_count(text, lit(PhoneRe)), lit(0)) +
+      coalesce(regexp_count(text, lit(Ipv4Re)), lit(0)) > 0
+
   /** Per-document PII counts + a `has_pii` flag, appended to `df`.
     * One codegen'd scan. Null text → zero counts, `has_pii` false (a
     * null row carries no PII; propagating null here would poison

@@ -125,13 +125,18 @@ object Text {
 
   /** Fraction of a document's word n-grams accounted for by its single
     * most frequent n-gram (Gopher `top_ngram_fraction`) — high values
-    * flag boilerplate/keyword-stuffed pages. Per-row HOF scan:
-    * O(distinct × total) comparisons within the row, no shuffle. */
+    * flag boilerplate/keyword-stuffed pages. A document with fewer
+    * than n tokens HAS no n-gram to repeat → 0.0 (shingles degenerates
+    * to one whole-text shingle there, which would read as 1.0 and make
+    * any threshold gate silently drop every short document). Per-row
+    * HOF scan: O(distinct × total) comparisons within the row, no
+    * shuffle. */
   def topNgramFraction(text: Column, n: Int): Column = {
     val sh = shingles(text, n)
     val top = array_max(transform(array_distinct(sh),
       s => size(filter(sh, x => x === s))))
-    when(size(sh) <= 0, 0.0).otherwise(top.cast("double") / size(sh))
+    when(size(tokens(text)) < n, 0.0)
+      .otherwise(top.cast("double") / size(sh))
   }
 
   /** Per-document repetition signals (the Gopher repetition-filter

@@ -61,6 +61,11 @@ class TrainingPipelineSpec extends SparkSpec {
       == Seq("abc", "def", "gh"))
     assert(Seq("").toDF("t")
       .select(Text.charChunks($"t", 3)).as[Seq[String]].head() == Seq(""))
+    // review: a doc too short to HAVE an n-gram is not "maximally
+    // repetitive" — 0.0, so threshold gates don't drop every short doc
+    val short = Text.repetitionSignals(Seq((9L, "solo")).toDF("id", "text"), "text")
+      .select("top_2gram_frac", "top_3gram_frac").head()
+    assert(short.getDouble(0) == 0.0 && short.getDouble(1) == 0.0, short.toString)
   }
 
   test("dedupLines drops corpus-frequent lines, keeps order, drops emptied docs") {
@@ -283,7 +288,12 @@ class TrainingPipelineSpec extends SparkSpec {
     // deterministic
     assert(out.count() == Mixing.temperatureSampleWithReplacement(
       docs, "id", "source", 0.3, 800).count())
-    // sub-1 sources behave like the plain sampler's shape (no epoch > 0)
+    // sub-1 sources: EXACTLY the plain sampler's picks (epoch-0 draw is
+    // unsalted), so crossing the f=1 boundary never churns shipped rows
+    val bigIds = out.filter($"source" === "big").select("id").as[Long].collect().toSet
+    val plainBig = Mixing.temperatureSample(docs, "id", "source", 0.3, 800)
+      .filter($"source" === "big").select("id").as[Long].collect().toSet
+    assert(bigIds == plainBig, "with-replacement sub-1 draw must match plain sampler")
     assert(out.filter($"source" === "big" && $"__epoch" > 0).count() == 0)
   }
 
