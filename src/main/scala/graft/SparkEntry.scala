@@ -966,6 +966,9 @@ object SparkEntry {
         t(s, dir, "embeddings"), "label", "embedding")),
     "q110_corpus_report" -> ((s, dir) =>
       graft.text.CorpusReport.report(t(s, dir, "documents"), "text", "source")),
+    "q113_chunk_documents" -> ((s, dir) =>
+      graft.text.Text.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text", size = 8, stride = 4)),
     "q111_bpe_tokenize" -> ((s, dir) => {
       // tokenizer-training lifecycle (rows-only: merge table is a
       // learned artifact): train 64 merges on the corpus, re-encode it
@@ -2218,6 +2221,23 @@ object SparkEntry {
            ROUND(SUM(vv), 6) AS trace_var,
            ROUND(SUM(sq)/MAX(n), 6) AS mean_sq_norm
          FROM g GROUP BY label""",
+    "q113_chunk_documents" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS t
+           FROM documents),
+         w AS (SELECT doc_id, t,
+             1 + CAST(ceil(GREATEST(len(t) - 8, 0) / 4.0) AS INT) AS cnt
+           FROM toks),
+         e AS (SELECT doc_id,
+             unnest([{'chunk_id': CAST(i - 1 AS INTEGER),
+                      'chunk_text': array_to_string(t[((i-1)*4+1):((i-1)*4+8)], ' ')}
+                     for i in range(1, cnt + 1)], recursive := true)
+           FROM w)
+         SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(list_filter(string_split_regex(chunk_text, '\s+'),
+             x -> length(x) > 0)) AS INTEGER) AS n_chunk_tokens
+         FROM e""",
     "q109_lm_score" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -151,6 +151,36 @@ object Text {
       .withColumn("top_3gram_frac", round(topNgramFraction(t, 3), 4))
   }
 
+  /** Sliding token windows of `size` tokens advancing by `stride`
+    * (stride < size ⇒ overlap) — the retrieval-chunking shape: each
+    * window rejoined with spaces. The last window is ragged; a doc
+    * shorter than `size` yields one window (its whole text). Pure
+    * array math on the staged token array. */
+  def slidingWindows(toks: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0,
+      s"window size and stride must be positive, got size=$size stride=$stride")
+    val n = org.apache.spark.sql.functions.size(toks)
+    // number of windows: 1 + ceil(max(0, n - size) / stride)
+    val extra = greatest(n - size, lit(0))
+    val count = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(size))))
+  }
+
+  /** One row per chunk with provenance — the RAG-indexing explode:
+    * (idCol, chunk_id, chunk_text, n_chunk_tokens). The token array is
+    * STAGED as its own projection before [[slidingWindows]] consumes it
+    * — the window lambda references its input per element, and an
+    * inlined `tokens(text)` would re-tokenize the document once per
+    * window (the HOF-lambda trap; the multi-reference keeps
+    * CollapseProject from undoing the staging). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     size: Int, stride: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), slidingWindows(col("__toks"), size, stride).as("__w"))
+      .select(col(idCol), posexplode(col("__w")).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chunk_tokens", org.apache.spark.sql.functions.size(tokens(col("chunk_text"))))
+
   /** Unigram language model from a REFERENCE corpus: one row per term
     * with its log-probability `logp = ln(tf / total_tokens)` — the
     * frequency table behind the CCNet-style "perplexity against a

@@ -122,4 +122,52 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val rawTextGen: Gen[String] = Gen.listOf(
+    Gen.oneOf(Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("\n"),
+      Gen.oneOf("tok", "the", "batch", "spark ")))
+    .map(_.mkString.take(200))
+
+  test("charChunks concatenation is the identity for any width") {
+    forAll(rawTextGen, Gen.choose(1, 40)) { (text, width) =>
+      val back = Seq(text).toDF("t")
+        .select(concat_ws("", Text.charChunks(col("t"), width))).as[String].head()
+      assert(back == text, s"width=$width text=${text.take(40)}…")
+    }
+  }
+
+  test("slidingWindows cover every token in order for any size/stride") {
+    forAll(rawTextGen, Gen.zip(Gen.choose(1, 10), Gen.choose(1, 10))) {
+      case (text, (size, stride)) =>
+        val toks = Seq(text).toDF("t")
+          .select(Text.tokens(col("t"))).as[Seq[String]].head()
+        val wins = Seq(text).toDF("t")
+          .select(Text.slidingWindows(Text.tokens(col("t")), size, stride))
+          .as[Seq[String]].head()
+        // stride <= size ⇒ lossless coverage: each non-final window's
+        // first `stride` tokens + the whole final window == the corpus
+        if (stride <= size) {
+          val rebuilt = wins.init.flatMap(_.split(" ").filter(_.nonEmpty).take(stride)) ++
+            wins.last.split(" ").filter(_.nonEmpty)
+          assert(rebuilt == toks, s"size=$size stride=$stride: $rebuilt vs $toks")
+        }
+        // every window except possibly the last has exactly `size` tokens
+        wins.dropRight(1).foreach { w =>
+          assert(w.split(" ").count(_.nonEmpty) == size)
+        }
+    }
+  }
+
+  test("simhash is token-order invariant; fingerprint is not forced to be") {
+    val wordsGen = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    forAll(wordsGen, n = 25) { words =>
+      val a = words.mkString(" ")
+      val b = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+        .shuffle(words).mkString(" ")
+      val sims = Seq(a, b).toDF("t")
+        .select(graft.functions.Signatures.simhash(Text.tokens(col("t"))))
+        .as[Long].collect()
+      assert(sims(0) == sims(1), s"simhash must ignore order: $a vs $b")
+    }
+  }
 }

@@ -195,6 +195,22 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rep.length == 1, "null row must survive the repetition scan")
   }
 
+  test("chunkDocuments: overlapping windows, ragged tail, short-doc single chunk") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"),   // 7 tokens, size 4 stride 2 → 3 chunks
+      (2L, "a b"))                    // shorter than size → one whole chunk
+      .toDF("id", "text")
+    val out = Text.chunkDocuments(docs, "id", "text", size = 4, stride = 2)
+      .orderBy("id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t3 t4 t5 t6", 4), (1L, 2, "t5 t6 t7", 3),
+      (2L, 0, "a b", 2)), out.mkString("; "))
+    intercept[IllegalArgumentException] {
+      Text.slidingWindows(col("x"), 4, 0)
+    }
+  }
+
   test("unigramLm + lmScore: exact log-probs, OOV floor, minCount prune") {
     val ref = Seq((1L, "a a b"), (2L, "a b c")).toDF("id", "text")
     val lm = Text.unigramLm(ref, "id", "text") // tf: a=3, b=2, c=1; total 6
