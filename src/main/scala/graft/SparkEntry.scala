@@ -995,6 +995,27 @@ object SparkEntry {
       graft.proximity.IvfIndex.build(emb, "vec_id", "embedding", path, nCells = 16)
       graft.proximity.IvfIndex.query(s, path, emb.filter(col("vec_id") < 100),
         "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+    "q114_gbt_lifecycle" -> ((s, dir) => {
+      // tree-model train→deploy→infer→metrics-read-back lifecycle
+      // (rows-only: GBT predictions are engine-specific). The reference's
+      // default model scripts train XGBoost ensembles
+      // (features_to_model.py:162-211); "gbt" is the MLlib analogue and
+      // is recorded as model-defining meta so cross-fold refits reuse it.
+      val root = java.nio.file.Files.createTempDirectory("graft-q114").toString
+      val cat = new graft.api.Catalog(s, root)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0) // deterministic subsample
+        .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      val fitted = graft.ml.Models.trainRegressor(li,
+        Seq("l_quantity", "l_discount"), "l_extendedprice", algo = "gbt")
+      val m = cat.onboardModel("gbt_price", fitted, "regressor",
+        "l_extendedprice", Seq("l_quantity", "l_discount"), algo = "gbt")
+      m.toEndpoint("gbt-endpoint")
+        .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey"))
+      m.getInferenceMetrics("run1").get
+        .select(round(col("rmse"), 2).as("rmse"), round(col("mae"), 2).as("mae"),
+          round(col("medae"), 2).as("medae"), round(col("r2"), 4).as("r2"))
     })
   )
 

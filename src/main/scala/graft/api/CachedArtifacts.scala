@@ -12,13 +12,22 @@ import org.apache.spark.sql.DataFrame
   * hook in the write path.
   *
   * DataFrame values are materialized via `localCheckpoint(true)`
-  * (metadata-sized by construction) and the displaced frame's blocks
-  * are released on eviction/replace — long-lived sessions with a short
-  * TTL must not accumulate checkpointed RDDs (ADVICE r3).
+  * (metadata-sized by construction). Displaced frames are NOT released
+  * immediately — localCheckpoint truncates lineage, so a caller still
+  * holding a previously returned frame would hit an unrecoverable
+  * "checkpoint block not found" on its next action (ADVICE r4).
+  * Instead they retire into a bounded FIFO; blocks are freed only when
+  * the queue overflows (`retireCap` displacements later — by then any
+  * in-flight consumer has long since acted) or on `clear()`. Long-lived
+  * sessions with a short TTL therefore hold at most `retireCap` stale
+  * checkpointed results (each metadata-sized), never an unbounded
+  * accumulation (ADVICE r3).
   */
-private[graft] class ArtifactCache(catalog: Catalog, val ttlMs: Long) {
+private[graft] class ArtifactCache(catalog: Catalog, val ttlMs: Long,
+                                   retireCap: Int = 64) {
   private case class Entry(at: Long, modified: Option[java.sql.Timestamp], v: Any)
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Entry]
+  private val retired = new java.util.ArrayDeque[Any]()
 
   private def release(v: Any): Unit = v match {
     case df: DataFrame =>
@@ -29,6 +38,12 @@ private[graft] class ArtifactCache(catalog: Catalog, val ttlMs: Long) {
       }.foreach(_.unpersist(false))
     case Some(inner) => release(inner)
     case _ => ()
+  }
+
+  /** Queue a displaced value; free the oldest once the queue is full. */
+  private def retire(v: Any): Unit = retired.synchronized {
+    retired.addLast(v)
+    while (retired.size > retireCap) release(retired.removeFirst())
   }
 
   // materialize DataFrames (bare or Option-wrapped) so the cached value
@@ -59,22 +74,26 @@ private[graft] class ArtifactCache(catalog: Catalog, val ttlMs: Long) {
       case prior =>
         val v = materialize(f)
         cache.put(key, Entry(now, currentModified(artifact), v))
-        prior.foreach(e => release(e.v))
+        prior.foreach(e => retire(e.v))
         v.asInstanceOf[T]
     }
   }
 
-  /** Drop every entry under `prefix` (an artifact's namespace), releasing
-    * checkpointed frames. */
+  /** Drop every entry under `prefix` (an artifact's namespace). Displaced
+    * frames retire (deferred release) — a caller holding one keeps it. */
   def invalidate(prefix: String): Unit =
     cache.keys.filter(_.startsWith(prefix)).foreach { k =>
-      cache.remove(k).foreach(e => release(e.v))
+      cache.remove(k).foreach(e => retire(e.v))
     }
 
-  /** Drop everything. */
+  /** Drop everything and free all blocks, including retired ones. The one
+    * eager release point — only call when no cached frame is still held. */
   def clear(): Unit = {
     cache.values.foreach(e => release(e.v))
     cache.clear()
+    retired.synchronized {
+      while (!retired.isEmpty) release(retired.removeFirst())
+    }
   }
 }
 

@@ -226,12 +226,14 @@ class Catalog(val spark: SparkSession, val root: String) {
   def onboardModel(name: String, pipeline: org.apache.spark.ml.PipelineModel,
                    modelType: String, target: String, features: Seq[String],
                    classLabels: Seq[String] = Nil, owner: String = "unknown",
-                   input: String = "dataframe"): Model = {
+                   input: String = "dataframe",
+                   algo: String = "linear"): Model = {
     val clean = sanitize(name)
     pipeline.write.overwrite().save(modelPath(clean))
     registry.onboardRow(clean, "model", input, owner, Map(
       "graft_model_flavor" -> "mllib",
       "graft_model_type" -> modelType,
+      "graft_model_algo" -> algo,
       "graft_target" -> target,
       "graft_features" -> features.mkString(",")) ++
       (if (classLabels.nonEmpty) Map("graft_class_labels" -> classLabels.mkString(","))
@@ -297,21 +299,25 @@ class Catalog(val spark: SparkSession, val root: String) {
     * (api/feature_set.py → features_to_model): fit the standard MLlib
     * pipeline on the named catalog table and register the result. For
     * classifiers the class labels are captured from the fitted
-    * StringIndexer so index↔label mapping survives restarts. */
+    * StringIndexer so index↔label mapping survives restarts.
+    * `algo` picks the estimator family ("linear" | "rf" | "gbt") — the
+    * reference's default journey trains XGBoost tree ensembles
+    * (features_to_model.py:162-211), so trees are one keyword away; the
+    * algo is recorded in model meta and reused by cross-fold refits. */
   def toModel(featureSet: String, modelName: String, modelType: String,
               target: String, features: Seq[String],
-              owner: String = "unknown"): Model = {
+              owner: String = "unknown", algo: String = "linear"): Model = {
     val df = spark.table(sanitize(featureSet))
     val fitted = modelType match {
-      case "classifier" => graft.ml.Models.trainClassifier(df, features, target)
-      case _ => graft.ml.Models.trainRegressor(df, features, target)
+      case "classifier" => graft.ml.Models.trainClassifier(df, features, target, algo)
+      case _ => graft.ml.Models.trainRegressor(df, features, target, algo)
     }
     val labels = fitted.stages.collectFirst {
       case si: org.apache.spark.ml.feature.StringIndexerModel =>
         si.labelsArray(0).toSeq
     }.getOrElse(Nil)
     onboardModel(modelName, fitted, modelType, target, features, labels,
-      owner, input = sanitize(featureSet))
+      owner, input = sanitize(featureSet), algo = algo)
   }
 
   /** Reopen a registered model artifact by name (restart path). */

@@ -40,6 +40,11 @@ class Model(val catalog: Catalog, val name: String) {
   def exists: Boolean = catalog.registry.get(name).exists(_.artifact_type == "model")
   def flavor: String = meta.getOrElse("graft_model_flavor", "mllib")
   def modelType: String = meta.getOrElse("graft_model_type", "regressor")
+  /** Estimator family ("linear" | "rf" | "gbt") — the reference's default
+    * model scripts are XGBoost ensembles, so the algo is model-defining
+    * meta, and a cross-fold refit must reuse it, not silently downgrade
+    * to linear. */
+  def algo: String = meta.getOrElse("graft_model_algo", "linear")
   def target: String = meta.getOrElse("graft_target", "target")
   def features: Seq[String] =
     meta.get("graft_features").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
@@ -333,8 +338,8 @@ class Endpoint(val catalog: Catalog, val name: String) {
         case _ =>
           val p = m.modelType match {
             case "classifier" =>
-              graft.ml.Models.trainClassifier(tr, m.features, m.target)
-            case _ => graft.ml.Models.trainRegressor(tr, m.features, m.target)
+              graft.ml.Models.trainClassifier(tr, m.features, m.target, m.algo)
+            case _ => graft.ml.Models.trainRegressor(tr, m.features, m.target, m.algo)
           }
           val out = p.transform(te)
           // classifier: map the prediction index (and the proba vector's

@@ -1,10 +1,10 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{PCA, StandardScaler, StringIndexer, VectorAssembler}
-import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -17,26 +17,60 @@ import org.apache.spark.sql.functions._
   */
 object Models {
 
-  /** Train a regression pipeline (assemble → scale → linear regression).
+  /** Train a regression pipeline (assemble → scale → estimator).
     * Returns the fitted model; `model.transform(df)` is the inference
     * path (no endpoint, no batching).
+    *
+    * `algo` picks the estimator — the reference's default model scripts
+    * are XGBoost tree ensembles (features_to_model.py:162-211,
+    * model_scripts/), so the tree family is first-class here too:
+    * "gbt" (gradient-boosted trees, the XGBoost analogue), "rf"
+    * (random forest), "linear" (the deterministic default that anchors
+    * the oracle checks). Tree fits are seeded — reproducible within
+    * MLlib, though coordinates are engine-specific (rows-only checks).
     */
-  def trainRegressor(df: DataFrame, features: Seq[String], target: String): PipelineModel = {
+  def trainRegressor(df: DataFrame, features: Seq[String], target: String,
+                     algo: String = "linear", seed: Long = 42L): PipelineModel = {
+    val est: org.apache.spark.ml.PipelineStage = algo match {
+      case "linear" => new LinearRegression().setFeaturesCol("__scaled")
+        .setLabelCol(target).setPredictionCol("prediction")
+      case "rf" => new RandomForestRegressor().setSeed(seed)
+        .setFeaturesCol("__scaled").setLabelCol(target).setPredictionCol("prediction")
+      case "gbt" => new GBTRegressor().setSeed(seed)
+        .setFeaturesCol("__scaled").setLabelCol(target).setPredictionCol("prediction")
+      case other => throw new IllegalArgumentException(
+        s"unknown regressor algo '$other' (linear | rf | gbt)")
+    }
     val pipeline = new Pipeline().setStages(Array(
       new VectorAssembler().setInputCols(features.toArray).setOutputCol("__features"),
       new StandardScaler().setInputCol("__features").setOutputCol("__scaled"),
-      new LinearRegression().setFeaturesCol("__scaled").setLabelCol(target)
-        .setPredictionCol("prediction")))
+      est))
     pipeline.fit(df)
   }
 
-  /** Train a classification pipeline (label-index → assemble → logistic). */
-  def trainClassifier(df: DataFrame, features: Seq[String], target: String): PipelineModel = {
+  /** Train a classification pipeline (label-index → assemble → estimator).
+    * `algo`: "logistic" (default; also accepts "linear" as the alias the
+    * regressor side uses), "rf", or "gbt" (binary targets only — MLlib's
+    * GBTClassifier limit, matching XGBoost's binary:logistic default). */
+  def trainClassifier(df: DataFrame, features: Seq[String], target: String,
+                      algo: String = "logistic", seed: Long = 42L): PipelineModel = {
+    val est: org.apache.spark.ml.PipelineStage = algo match {
+      case "logistic" | "linear" => new LogisticRegression()
+        .setFeaturesCol("__features").setLabelCol("__label")
+        .setPredictionCol("prediction").setProbabilityCol("pred_proba")
+      case "rf" => new RandomForestClassifier().setSeed(seed)
+        .setFeaturesCol("__features").setLabelCol("__label")
+        .setPredictionCol("prediction").setProbabilityCol("pred_proba")
+      case "gbt" => new GBTClassifier().setSeed(seed)
+        .setFeaturesCol("__features").setLabelCol("__label")
+        .setPredictionCol("prediction").setProbabilityCol("pred_proba")
+      case other => throw new IllegalArgumentException(
+        s"unknown classifier algo '$other' (logistic | rf | gbt)")
+    }
     val pipeline = new Pipeline().setStages(Array(
       new StringIndexer().setInputCol(target).setOutputCol("__label"),
       new VectorAssembler().setInputCols(features.toArray).setOutputCol("__features"),
-      new LogisticRegression().setFeaturesCol("__features").setLabelCol("__label")
-        .setPredictionCol("prediction").setProbabilityCol("pred_proba")))
+      est))
     pipeline.fit(df)
   }
 

@@ -1,6 +1,6 @@
 package graft.proximity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-corpus aggregates for training-data monitoring: per-group
@@ -18,10 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
+  /** Ragged-length guard: if a group's per-dimension counts disagree
+    * (min ≠ max), some vectors are truncated/corrupt — in a module whose
+    * job is catching broken shards, silently averaging tail dims over
+    * fewer rows would mask exactly the defect being hunted (ADVICE r4).
+    * Folded into the n_vecs expression so pruning can't elide it. */
+  private def uniformNVecs(groupKey: Column): Column =
+    when(min("__n") === max("__n"), max("__n"))
+      .otherwise(raise_error(concat(
+        lit("ragged vector lengths in group "), groupKey.cast("string"),
+        lit(": per-dimension counts span "), min("__n").cast("string"),
+        lit(".."), max("__n").cast("string"),
+        lit(" — truncated/corrupt embeddings"))).cast("long"))
+
   /** Per-group mean vector: (groupCol, n_vecs, centroid) — dims
     * averaged in double, rounded to `decimals` (6 by default: enough
     * to be stable across engines' partial-aggregation orders, far
-    * below any drift signal). Rows with a null vector are skipped. */
+    * below any drift signal). Rows with a null vector are skipped;
+    * ragged vector LENGTHS within a group fail fast (see
+    * [[uniformNVecs]]). */
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
                      decimals: Int = 6): DataFrame =
     df.filter(col(vecCol).isNotNull)
@@ -31,7 +46,7 @@ object Embeddings {
       .agg(round(avg(col("__v").cast("double")), decimals).as("__c"),
         count(lit(1)).as("__n"))
       .groupBy(col("__g"))
-      .agg(max("__n").as("n_vecs"),
+      .agg(uniformNVecs(col("__g")).as("n_vecs"),
         transform(array_sort(collect_list(struct(col("__i"), col("__c")))),
           s => s.getField("__c")).as("centroid"))
       .select(col("__g").as(groupCol), col("n_vecs"), col("centroid"))
@@ -56,7 +71,7 @@ object Embeddings {
         sum(col("__v").cast("double") * col("__v").cast("double")).as("__sq"),
         count(lit(1)).as("__n"))
       .groupBy(col("__g"))
-      .agg(max("__n").as("n_vecs"),
+      .agg(uniformNVecs(col("__g")).as("n_vecs"),
         round(sum("__var"), 6).as("trace_var"),
         round(sum("__sq") / max("__n"), 6).as("mean_sq_norm"))
       .select(col("__g").as(groupCol), col("n_vecs"),

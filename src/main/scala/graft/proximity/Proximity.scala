@@ -116,7 +116,9 @@ object Proximity {
     * standard knnJoin runs on the standardized vectors.
     */
   def featureSpaceKnn(queries: DataFrame, refs: DataFrame, idCol: String,
-                      featureCols: Seq[String], k: Int): DataFrame = {
+                      featureCols: Seq[String], k: Int,
+                      bruteMaxQueries: Long = 65536,
+                      queryCountHint: Option[Long] = None): DataFrame = {
     val statAggs = featureCols.flatMap(c =>
       Seq(avg(col(c)).as(s"${c}__mu"), stddev(col(c)).as(s"${c}__sd")))
     val stats = refs.agg(statAggs.head, statAggs.tail: _*).head()
@@ -129,9 +131,10 @@ object Proximity {
       df.withColumn("__z", vec)
     }
     // adaptive: exact broadcast KNN for query batches, grid-bucketed ANN
-    // when the query side is the whole corpus (self-KNN at scale)
+    // when the query side is the whole corpus (self-KNN at scale);
+    // bruteMaxQueries is pass-through so callers can pin the exact path
     knnJoinAdaptive(standardized(queries), standardized(refs), idCol, "__z", k,
-      "euclidean", featureCols.size)
+      "euclidean", featureCols.size, bruteMaxQueries, queryCountHint)
   }
 
   /** IVF-style approximate cosine top-k — the other scale path.
@@ -240,12 +243,23 @@ object Proximity {
     * would ship the entire table to every executor and do O(N²) work, so
     * the bucketed ANN twin takes over: random-projection grid cells for
     * euclidean, banded MinHash for Ruzicka. The count is one columnar
-    * scan — noise next to the O(N²) it prevents.
+    * scan — noise next to the O(N²) it prevents — and repeat callers on
+    * a frame of known size (cross-fold loops, UQ fits) can skip it with
+    * `queryCountHint`. The exact→approximate switch is SURFACED via a
+    * warn-level log line (ADVICE r4) so a caller silently crossing the
+    * threshold can see the recall change; pin `bruteMaxQueries =
+    * Long.MaxValue` to force the exact path.
     */
   def knnJoinAdaptive(queries: DataFrame, refs: DataFrame, idCol: String,
                       vecCol: String, k: Int, metric: String, dim: Int,
-                      bruteMaxQueries: Long = 65536): DataFrame = {
-    val brute = queries.count() <= bruteMaxQueries
+                      bruteMaxQueries: Long = 65536,
+                      queryCountHint: Option[Long] = None): DataFrame = {
+    val n = queryCountHint.getOrElse(queries.count())
+    val brute = n <= bruteMaxQueries
+    if (!brute) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"knnJoinAdaptive: $n query rows > bruteMaxQueries=$bruteMaxQueries — " +
+        s"routing '$metric' to the bucketed APPROXIMATE path (measured " +
+        "recall ~0.7+); pass bruteMaxQueries=Long.MaxValue to pin exact")
     metric match {
       case "euclidean" =>
         if (brute) knnJoin(queries, refs, idCol, vecCol, k, euclidean)
@@ -288,11 +302,15 @@ object Proximity {
     * so one dense cluster cannot re-create the quadratic blowup — the
     * same hot-bucket guard the dedup LSH paths use.
     */
+  /** `tableOffset` shifts which deterministic hyperplane tables are used
+    * (tables t ∈ [offset, offset+nTables)) — an independent "seed" for
+    * recall validation without changing the default behavior (offset 0). */
   def knnJoinBucketedEuclidean(queries: DataFrame, refs: DataFrame, idCol: String,
                                vecCol: String, k: Int, dim: Int,
                                nProjections: Int = 2, nTables: Int = 4,
                                cellWidth: Option[Double] = None,
-                               maxBucket: Int = 10000): DataFrame = {
+                               maxBucket: Int = 10000,
+                               tableOffset: Int = 0): DataFrame = {
     val toD: Column => Column = c => transform(c, x => x.cast("double"))
     val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
     val r = refs.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("__rv"))
@@ -316,7 +334,7 @@ object Proximity {
       }
       hash(lit(t) +: cells: _*)
     }
-    val cand = (0 until nTables).map { t =>
+    val cand = (tableOffset until tableOffset + nTables).map { t =>
       val rb = r.withColumn("__key", cellKey(col("__rv"), t))
       // hot-bucket guard: keep at most maxBucket refs per cell
       val rCapped =
@@ -354,15 +372,17 @@ object Proximity {
   def knnJoinBucketedRuzicka(queries: DataFrame, refs: DataFrame, idCol: String,
                              vecCol: String, k: Int,
                              nHashes: Int = 12, bandSize: Int = 3,
-                             maxBucket: Int = 10000): DataFrame = {
+                             maxBucket: Int = 10000,
+                             tableOffset: Int = 0): DataFrame = {
     require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
     val nBands = nHashes / bandSize
     val toD: Column => Column = c => transform(c, x => x.cast("double"))
     // transform's (element, index) overload exposes the support index;
-    // MinHash value h = min over the support of hash(h, index)
+    // MinHash value h = min over the support of hash(h, index); the
+    // tableOffset shifts the hash-function family (an independent "seed")
     def sigIdx(vec: Column): Column = array((0 until nHashes).map { h =>
       array_min(filter(
-        transform(vec, (x, i) => when(x > 0, hash(lit(h), i))),
+        transform(vec, (x, i) => when(x > 0, hash(lit(h + tableOffset * nHashes), i))),
         c => c.isNotNull))
     }: _*)
     val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
@@ -395,11 +415,12 @@ object Proximity {
   }
 
   def cosineTopKLsh(queries: DataFrame, refs: DataFrame, idCol: String, vecCol: String,
-                    k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+                    k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 4,
+                    tableOffset: Int = 0): DataFrame = {
     val toD: Column => Column = c => transform(c, x => x.cast("double"))
     def signature(vec: Column, t: Int): Column =
       hyperplaneSignature(vec, t, nPlanes, dim)
-    val cand = (0 until nTables).map { t =>
+    val cand = (tableOffset until tableOffset + nTables).map { t =>
       val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
         .withColumn("__sig", signature(col("__qv"), t))
       val r = refs.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("__rv"))

@@ -68,9 +68,19 @@ object Mixing {
     * The epoch column lets downstream shuffles (e.g. packing order,
     * shard assignment) separate the copies. Replication is an
     * `explode(sequence(...))` — no driver loop, no RNG. */
+  /** Same no-clash rule as Curation.gateFlags: the sampler joins working
+    * columns onto the input, so an input frame already carrying one would
+    * fail later with an opaque ambiguous-reference error — reject loud. */
+  private def requireNoClash(df: DataFrame, working: Seq[String]): Unit = {
+    val clash = df.columns.filter(working.contains)
+    require(clash.isEmpty,
+      s"input frame already has mixing working column(s) ${clash.mkString(", ")} — rename or drop them first")
+  }
+
   def temperatureSampleWithReplacement(df: DataFrame, idCol: String,
                                        sourceCol: String, temperature: Double,
                                        targetRows: Long): DataFrame = {
+    requireNoClash(df, Seq("__mix_src", "sample_frac", "__epoch"))
     val fr = temperatureFractionsUnclamped(df, sourceCol, temperature, targetRows)
       .select(col("source").as("__mix_src"), col("sample_frac"))
     df.join(broadcast(fr), col(sourceCol) <=> col("__mix_src"))
@@ -95,6 +105,7 @@ object Mixing {
     * [[hashKeep]] on `idCol`. Output schema = input schema. */
   def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
                         temperature: Double, targetRows: Long): DataFrame = {
+    requireNoClash(df, Seq("__mix_src", "sample_frac"))
     val fr = temperatureFractions(df, sourceCol, temperature, targetRows)
       .select(col("source").as("__mix_src"), col("sample_frac"))
     // null-safe join: a null source is a real stratum — groupBy gave it

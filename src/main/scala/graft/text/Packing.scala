@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the running token offset is a DISTRIBUTED prefix sum
   * in the style of the ROC-AUC rank kernel (ml/Metrics.scala) — ids
-  * are range-bucketed (fixed-width over [min, max]), per-bucket token
-  * totals (metadata: ≤`buckets` rows) turn into bucket offsets via a
-  * window over that tiny frame, and the within-bucket cumsum window is
-  * PARTITIONED by bucket. No single-partition sort at any corpus size.
+  * are range-bucketed on approxQuantile cuts (outlier-robust; a
+  * fixed-width [min, max] grid collapses under one snowflake id),
+  * per-bucket token totals (metadata: ≤`buckets` rows) turn into
+  * bucket offsets via a window over that tiny frame, and the
+  * within-bucket cumsum window is PARTITIONED by bucket. No
+  * single-partition sort at any corpus size.
   */
 object Packing {
 
@@ -64,9 +66,20 @@ object Packing {
       .select("__b", "__boff")
     val local = Window.partitionBy("__b").orderBy("__id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // duplicate ids tie the order and make every offset after them
+    // nondeterministic — fail fast per row. Equal ids share a bucket
+    // (bucketing is a function of the id), so a lag over the same
+    // window shuffle sees every duplicate; folding the guard into the
+    // offset sum keeps column pruning from eliding it.
+    val dupGuard = when(
+      lag(col("__id"), 1).over(Window.partitionBy("__b").orderBy("__id"))
+        === col("__id"),
+      raise_error(lit(s"packingManifest: duplicate $idCol values — " +
+        "document order (and every token_offset) would be nondeterministic"))
+        .cast("long")).otherwise(lit(0L))
     bucketed.join(broadcast(offsets), Seq("__b"))
       .withColumn("token_offset",
-        col("__boff") + coalesce(sum("n_tokens").over(local), lit(0L)))
+        col("__boff") + coalesce(sum("n_tokens").over(local), lit(0L)) + dupGuard)
       .withColumn("start_chunk", floor(col("token_offset") / maxLen))
       .withColumn("end_chunk",
         floor((col("token_offset") + greatest(col("n_tokens"), lit(1L)) - 1) / maxLen))

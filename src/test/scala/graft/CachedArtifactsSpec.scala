@@ -134,7 +134,7 @@ class CachedArtifactsSpec extends SparkSpec {
     assert(jobs <= 1, s"collect on cached frame ran $jobs jobs") // block-manager read
   }
 
-  test("refresh() and eviction release checkpointed blocks") {
+  test("refresh() defers release; clear() frees; retire queue is bounded (ADVICE r4)") {
     val cat = newCatalog()
     cat.onboard("rel_src", (1 to 20).map(i => (i.toLong, i * 2.0)).toDF("id", "x"))
     val cds = cat.cachedDataSource("rel_src")
@@ -146,16 +146,35 @@ class CachedArtifactsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
       "checkpointed frame should be persisted while cached")
     cds.refresh()
+    // DEFERRED release: a caller still holding `stats` must be able to
+    // act on it after a refresh — localCheckpoint truncates lineage, so
+    // an eager unpersist here would strand them (ADVICE r4)
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "refresh must retire, not eagerly release, the displaced checkpoint")
+    assert(stats.count() == 2, "displaced frame must stay consumable")
+    // clear() is the eager release point: retired blocks go too
+    cat.artifactCache.clear()
     assert(!spark.sparkContext.getPersistentRDDs.contains(rddId),
-      "refresh must unpersist the displaced checkpoint (ADVICE r3)")
-    // CachedMeta shares the machinery: its refresh releases too
-    val meta = cat.cachedMeta
-    val listing = meta.dataSources()
-    listing.collect()
-    val metaRdd = listing.queryExecution.logical.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.get
-    meta.refresh()
-    assert(!spark.sparkContext.getPersistentRDDs.contains(metaRdd))
+      "clear must free retired checkpoints (ADVICE r3: no accumulation)")
+
+    // the retire queue is BOUNDED: past retireCap displacements the
+    // oldest retired frame is freed, so a short-TTL long-lived session
+    // cannot accumulate checkpointed RDDs without limit
+    val ac = new graft.api.ArtifactCache(cat, ttlMs = 0L, retireCap = 2)
+    val ids = (1 to 4).map { _ =>
+      val df = ac.cached[org.apache.spark.sql.DataFrame]("k") {
+        (1 to 5).map(i => (i, i)).toDF("a", "b")
+      }
+      df.count()
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.get
+    }
+    assert(ids.distinct.size == 4, "ttl=0 must recompute each access")
+    assert(!spark.sparkContext.getPersistentRDDs.contains(ids(0)),
+      "overflowed retiree must be released")
+    assert(Seq(ids(1), ids(2), ids(3)).forall(
+      spark.sparkContext.getPersistentRDDs.contains),
+      "recent retirees and the live entry stay consumable")
   }
 }

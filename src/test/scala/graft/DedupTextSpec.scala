@@ -97,6 +97,44 @@ class DedupTextSpec extends SparkSpec {
       !survivors.contains(1000L + i)))
   }
 
+  test("cosineNearDup default is scale-safe: LSH route above bruteMaxRows, no cartesian") {
+    import graft.dedup.Dedup
+    val rnd = new scala.util.Random(31)
+    val base = (0 until 100).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
+    val dups = (0 until 10).map(i =>
+      (1000L + i, base(i)._2.map(_ + rnd.nextGaussian() * 0.001)))
+    val df = (base ++ dups).toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<double>"))
+    // capture EVERY executed plan during the call — the LSH pair stage
+    // localCheckpoints eagerly, so the returned frame's own plan no
+    // longer shows how the pairs were generated
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 110 rows > bruteMaxRows=50 → default must route to LSH (dim inferred)
+      val survivors = Dedup.cosineNearDup(df, "id", "vec", 0.99, bruteMaxRows = 50)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(survivors.size == 100)
+      assert((0 until 10).forall(i => survivors.contains(i.toLong)))
+      val deadline = System.currentTimeMillis() + 10000
+      while (plans.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(500) // let straggler listener events drain
+      val seen = plans.toArray(Array.empty[String]).toSeq
+      assert(seen.nonEmpty, "no executed plans observed")
+      val bad = seen.filter(p =>
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+      assert(bad.isEmpty,
+        s"default cosineNearDup ran a quadratic join:\n${bad.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("vocabulary: term totals and document frequency with minCount pruning") {
     import spark.implicits._
     val docs = Seq((1L, "the cat the hat"), (2L, "the dog"), (3L, "a dog"))

@@ -67,6 +67,46 @@ class ModelLifecycleSpec extends SparkSpec {
     assert(!predCols.contains("l_quantity"))
   }
 
+  test("gbt/rf algos: train, meta round-trip, endpoint metrics (VERDICT r4 item 2)") {
+    val cat = new Catalog(spark, root)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    cat.onboardFeatures("li_fs", li, idColumn = "l_orderkey")
+    // GBT regressor — the reference's default XGBoost journey analogue
+    val m = cat.toModel("li_fs", "gbt_price", "regressor",
+      target = "l_extendedprice", features = Seq("l_quantity", "l_discount"),
+      algo = "gbt")
+    assert(m.algo == "gbt", "algo must be model-defining meta")
+    assert(m.pipeline.get.stages.last
+      .isInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel])
+    val ep = m.toEndpoint("gbt-endpoint")
+    val out = ep.inference(li, captureName = Some("gbt_run"),
+      idColumn = Some("l_orderkey"))
+    assert(out.filter(col("prediction").isNull).count() == 0)
+    val mt = m.getInferenceMetrics("gbt_run").get.head()
+    assert(!mt.isNullAt(mt.fieldIndex("rmse")))
+    // a fresh session reopens the model and sees the tree algo
+    assert(new Catalog(spark, root).model("gbt_price").algo == "gbt")
+
+    // RF classifier: labels captured, proba emitted
+    cat.onboardFeatures("events_fs_rf",
+      Tables.load(spark, sf, "events")
+        .select("event_id", "value", "event_type")
+        .filter(col("value").isNotNull),
+      idColumn = "event_id")
+    val c = cat.toModel("events_fs_rf", "event_rf", "classifier",
+      target = "event_type", features = Seq("value"), algo = "rf")
+    assert(c.algo == "rf" && c.classLabels.nonEmpty)
+    assert(c.pipeline.get.stages.last
+      .isInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel])
+
+    // unknown algo fails loud
+    intercept[IllegalArgumentException] {
+      graft.ml.Models.trainRegressor(li, Seq("l_quantity"), "l_extendedprice",
+        algo = "xgboost")
+    }
+  }
+
   test("classifier endpoint: proba expansion, label mapping, confusion matrix") {
     val cat = new Catalog(spark, root)
     val ep = cat.model("event_clf").toEndpoint("event-clf-end")

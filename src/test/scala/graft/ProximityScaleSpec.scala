@@ -28,7 +28,7 @@ class ProximityScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("bucketed euclidean: schema/self-exclusion/k-cap match knnJoin, recall high") {
+  test("bucketed euclidean: schema/self-exclusion/k-cap match knnJoin, recall ≥0.7 × 3 seeds") {
     val exact = Proximity.knnJoin(emb, emb, "vec_id", "embedding", 5,
       Proximity.euclidean)
       .select("id", "neighbor_id").collect()
@@ -40,11 +40,19 @@ class ProximityScaleSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
     val perId = rows.groupBy(_.getLong(0))
     assert(perId.values.forall(_.length <= 5))
-    // ANN recall vs exact top-5 — grid cells with 6 shifted tables should
-    // recover well over half of the true neighbor pairs on 500x64 data
-    val approxPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact intersect approxPairs).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall too low")
+    // recall vs exact top-5 at the MEASURED bar (VERDICT r4 item 4:
+    // 0.88–0.90 measured on 500x64 across table offsets; gate at 0.7 so
+    // a real regression trips, not run-to-run noise), on 3 independent
+    // hyperplane-table sets
+    Seq(0, 7, 13).foreach { off =>
+      val approxPairs =
+        (if (off == 0) rows
+         else Proximity.knnJoinBucketedEuclidean(emb, emb, "vec_id", "embedding",
+           k = 5, dim = 64, nTables = 6, tableOffset = off).collect())
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect approxPairs).size.toDouble / exact.size
+      assert(recall >= 0.7, s"recall $recall too low at tableOffset=$off")
+    }
   }
 
   test("bucketed ruzicka self-KNN: no nested-loop join, sound distances") {
@@ -65,18 +73,22 @@ class ProximityScaleSpec extends SparkSpec {
     assert(top1.sum / top1.size < 0.9)
   }
 
-  test("bucketed ruzicka recall vs exact on a 100-row slice") {
+  test("bucketed ruzicka recall ≥0.7 vs exact on a 100-row slice × 3 seeds") {
     val f = emb.filter(col("vec_id") < 100).withColumn("fp",
       transform(col("embedding"), x => floor(abs(x * 20))))
     val exact = Proximity.knnJoin(f, f, "vec_id", "fp", 5, Proximity.ruzicka)
       .select("id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Proximity.knnJoinBucketedRuzicka(f, f, "vec_id", "fp", k = 5,
-      nHashes = 16, bandSize = 2)
-      .select("id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.4, s"recall $recall too low")
+    // measured 0.93–0.94 at 16 hashes / band 2 across hash families
+    // (VERDICT r4 item 4); gate 0.7 catches regressions with margin
+    Seq(0, 7, 13).foreach { off =>
+      val approx = Proximity.knnJoinBucketedRuzicka(f, f, "vec_id", "fp", k = 5,
+        nHashes = 16, bandSize = 2, tableOffset = off)
+        .select("id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      assert(recall >= 0.7, s"recall $recall too low at tableOffset=$off")
+    }
   }
 
   test("knnJoinAdaptive: brute below threshold (exact results), bucketed above") {
@@ -91,6 +103,30 @@ class ProximityScaleSpec extends SparkSpec {
     val routed = Proximity.knnJoinAdaptive(emb, emb, "vec_id", "embedding",
       3, "euclidean", 64, bruteMaxQueries = 100)
     assert(!planOf(routed).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("queryCountHint skips the eager count job; results identical (VERDICT r4 item 7)") {
+    val small = emb.filter(col("vec_id") < 20)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // let earlier tests' listener events drain before counting
+    Thread.sleep(500)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val hinted = Proximity.knnJoinAdaptive(small, emb, "vec_id", "embedding",
+        3, "euclidean", 64, queryCountHint = Some(20L))
+      Thread.sleep(1500) // listener bus is async — settle, then assert quiet
+      assert(jobs.get() == 0,
+        s"hinted call started ${jobs.get()} job(s); the hint must skip the count")
+      val exact = Proximity.knnJoin(small, emb, "vec_id", "embedding", 3,
+        Proximity.euclidean).collect().map(_.toSeq).toSet
+      assert(hinted.collect().map(_.toSeq).toSet == exact)
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("featureSpaceKnn routes through the adaptive path and stays exact for batches") {
@@ -117,13 +153,19 @@ class ProximityScaleSpec extends SparkSpec {
     val rows = out.collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-excluded")
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
-    // recall vs exact brute top-5 on the same queries
+    // recall vs exact brute top-5 on the same queries: measured 0.85+
+    // at nProbe=5 across quantizer seeds (VERDICT r4 item 4); the
+    // nProbe=3 result above stays for the pruning/reuse checks
     val exact = Proximity.cosineTopK(queries, emb, "vec_id", "embedding", 5)
       .select("id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deep = graft.proximity.IvfIndex.query(spark, path, queries,
+      "vec_id", "embedding", k = 5, nProbe = 5)
+      .select("id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect deep).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall too low")
     val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall too low")
     // a second query reuses the index with NO quantizer refit: results
     // are identical (pure read path)
     val again = graft.proximity.IvfIndex.query(spark, path, queries,
@@ -131,6 +173,50 @@ class ProximityScaleSpec extends SparkSpec {
       .select("id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == approx)
+  }
+
+  test("IVF recall ≥0.7 holds across quantizer seeds") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Proximity.cosineTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(7L, 13L).foreach { seed =>
+      val path = java.nio.file.Files.createTempDirectory(s"graft-ivf-s$seed").toString
+      graft.proximity.IvfIndex.build(emb, "vec_id", "embedding", path,
+        nCells = 8, seed = seed)
+      val approx = graft.proximity.IvfIndex.query(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 5)
+        .select("id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      assert(recall >= 0.7, s"recall $recall too low at seed=$seed")
+    }
+  }
+
+  test("cosineTopKLsh: planted near-duplicates recalled ≥0.9 × 3 seeds") {
+    // hyperplane LSH is a NEAR-DUP detector: collision probability decays
+    // with the angle, so top-k over mutually-random vectors is the wrong
+    // workload to gate on (measured ~0.1 there — and correctly so). The
+    // operator's contract is: a genuinely similar pair collides in some
+    // table. Plant 25 near-identical vectors and require each to surface
+    // its twin as a neighbor.
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+    val twins = (0 until 25).map(i =>
+      (1000L + i, base(i)._2.map(_ + rnd.nextGaussian() * 0.01)))
+    val refs = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = twins.toDF("vec_id", "embedding")
+    Seq(0, 7, 13).foreach { off =>
+      val found = Proximity.cosineTopKLsh(queries, refs, "vec_id", "embedding",
+        k = 3, dim = 16, tableOffset = off)
+        .select("id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recalled = (0 until 25).count(i => found.contains((1000L + i, i.toLong)))
+      assert(recalled >= 23, // ≥0.9 planted-twin recall
+        s"only $recalled/25 planted twins recalled at tableOffset=$off")
+    }
   }
 
   test("IvfIndex.append grows the index refit-free and queries see new vectors") {
