@@ -45,10 +45,21 @@ class Registry(spark: SparkSession, root: String) {
   private def now() = new java.sql.Timestamp(System.currentTimeMillis())
 
   private def rows(): Seq[ArtifactRow] = {
-    val candidates = Seq(path, path + "_bak").filter(p => fs.exists(hPath(p)))
-    candidates.headOption
-      .map(p => spark.read.parquet(p).as[ArtifactRow].collect().toSeq)
-      .getOrElse(Seq.empty)
+    // READ-SIDE RACE GUARD: swapIn renames path→_bak before installing
+    // the new copy, so a reader can win exists(path) and lose the file
+    // before the parquet read lands. Every on-disk copy is COMPLETE
+    // (write-new/rotate/rename), so a loser just retries against
+    // whichever copy exists — reads are never torn, only briefly stale
+    // (the reference's own Glue reads have the same read-committed
+    // semantics under its DDL retry, athena_source.py:253-288).
+    var attempt = 0
+    while (attempt < 8) {
+      val candidates = Seq(path, path + "_bak").filter(p => fs.exists(hPath(p)))
+      if (candidates.isEmpty) return Seq.empty
+      try return spark.read.parquet(candidates.head).as[ArtifactRow].collect().toSeq
+      catch { case _: Exception => attempt += 1; Thread.sleep(20) }
+    }
+    spark.read.parquet(path).as[ArtifactRow].collect().toSeq // last try, loud
   }
 
   private def swapIn(updated: Seq[ArtifactRow]): Unit = {

@@ -135,6 +135,46 @@ class DedupTextSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("exact-substring pairs: planted 200-token run found with exact count + spans") {
+    import graft.dedup.Substrings
+    // unique vocab per region so the ONLY overlap is the planted run
+    val shared = (0 until 200).map(i => s"sh$i").mkString(" ")
+    val doc1 = ((0 until 50).map(i => s"a$i") :+ shared) ++
+      (0 until 50).map(i => s"z$i")
+    val doc2 = ((0 until 10).map(i => s"b$i") :+ shared) ++
+      (0 until 20).map(i => s"y$i")
+    val doc3 = (0 until 300).map(i => s"c$i")
+    val df = Seq((1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")),
+      (3L, doc3.mkString(" "))).toDF("doc_id", "text")
+    val rows = Substrings.exactSubstringPairs(df, "doc_id", "text",
+      minTokens = 20).collect()
+    assert(rows.length == 1, s"exactly the planted pair: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // a 200-token run has 200-20+1 = 181 aligned distinct 20-grams
+    assert(r.getLong(r.fieldIndex("n_shared")) == 181L)
+    assert(r.getLong(r.fieldIndex("a_start")) == 50L &&
+      r.getLong(r.fieldIndex("a_end")) == 249L, s"span a: $r")
+    assert(r.getLong(r.fieldIndex("b_start")) == 10L &&
+      r.getLong(r.fieldIndex("b_end")) == 209L, s"span b: $r")
+    // below the guarantee threshold nothing surfaces: a 19-token run
+    // cannot produce a full 20-gram anchor
+    val short = Seq((1L, (0 until 19).map(i => s"sh$i").mkString(" ") + " tailA"),
+      (2L, (0 until 19).map(i => s"sh$i").mkString(" ") + " tailB"))
+      .toDF("doc_id", "text")
+    assert(Substrings.exactSubstringPairs(short, "doc_id", "text",
+      minTokens = 20).count() == 0)
+    // dedup keeps the canonical min-id doc per overlap cluster
+    val kept = Substrings.exactSubstringDedup(df, "doc_id", "text",
+      minTokens = 20).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // boilerplate guard: a gram in EVERY doc is dropped when maxDocFreq
+    // is below the corpus size, so no pairs emerge from boilerplate alone
+    val boiler = (1L to 5L).map(i => (i, shared)).toDF("doc_id", "text")
+    assert(Substrings.exactSubstringPairs(boiler, "doc_id", "text",
+      minTokens = 20, maxDocFreq = 4).count() == 0)
+  }
+
   test("vocabulary: term totals and document frequency with minCount pruning") {
     import spark.implicits._
     val docs = Seq((1L, "the cat the hat"), (2L, "the dog"), (3L, "a dog"))
