@@ -1007,6 +1007,30 @@ object SparkEntry {
       graft.dedup.Substrings.exactSubstringPairs(
         t(s, dir, "documents"), "doc_id", "text",
         minTokens = 20, maxDocFreq = 100)),
+    "q116_substring_scrub" -> ((s, dir) =>
+      // span-level removal (the cut half of ExactSubstr): lowest-id
+      // occurrence keeps its text, later docs lose the covered tokens
+      graft.dedup.Substrings.removeSharedSpans(
+        t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20, maxDocFreq = 100)),
+    "q117_quality_classifier" -> ((s, dir) => {
+      // model-based quality filter (GPT-3 appendix A): train a hashed
+      // bag-of-tokens logistic classifier against a deterministic seed
+      // label (lang='en' as the "reference corpus" class), score every
+      // doc, mark the deterministic pareto-keep verdict. Rows-only:
+      // probabilities are engine-specific (L-BFGS fit).
+      val docs = t(s, dir, "documents")
+      val labeled = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("label", (col("lang") === "en").cast("int"))
+      val model = graft.text.QualityModel.train(labeled, "text", "label",
+        numFeatures = 1 << 15)
+      val scored = graft.text.QualityModel.score(model, docs, "text")
+      val kept = graft.text.QualityModel.paretoKeep(scored, "doc_id")
+        .select(col("doc_id")).withColumn("kept", lit(1))
+      scored.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_prob"),
+          coalesce(col("kept"), lit(0)).as("kept"))
+    }),
     "q114_gbt_lifecycle" -> ((s, dir) => {
       // tree-model train→deploy→infer→metrics-read-back lifecycle
       // (rows-only: GBT predictions are engine-specific). The reference's
@@ -2291,6 +2315,50 @@ object SparkEntry {
            CAST(MIN(pb) AS BIGINT) AS b_start,
            CAST(MAX(pb) + 19 AS BIGINT) AS b_end
          FROM p GROUP BY id_a, id_b HAVING COUNT(DISTINCT gram) >= 1""",
+    "q116_substring_scrub" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS t
+           FROM documents),
+         pos AS (SELECT doc_id, t, unnest(range(0, len(t) - 19)) AS pos
+           FROM toks WHERE len(t) >= 20),
+         g AS (SELECT doc_id, pos,
+             array_to_string(t[(pos+1):(pos+20)], ' ') AS gram FROM pos),
+         keep AS (SELECT gram FROM g GROUP BY gram
+           HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 100),
+         gk AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)),
+         spans AS (SELECT doc_id AS id, pos AS s, pos + 19 AS e
+           FROM (SELECT gk.*, MIN(doc_id) OVER (PARTITION BY gram) AS min_id
+                 FROM gk)
+           WHERE doc_id <> min_id),
+         si AS (SELECT id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+             THEN 1 ELSE 0 END AS newi
+           FROM spans),
+         mi AS (SELECT id, s, e, SUM(newi) OVER (PARTITION BY id
+             ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM si),
+         merged AS (SELECT id, MIN(s) AS s, MAX(e) AS e FROM mi
+           GROUP BY id, island),
+         tokpos AS (SELECT doc_id AS id,
+           unnest([{'pos': i, 'tok': t[i+1]} for i in range(len(t))],
+             recursive := true)
+           FROM toks),
+         surv AS (SELECT tp.id, tp.pos, tp.tok FROM tokpos tp
+           WHERE NOT EXISTS (SELECT 1 FROM merged m
+             WHERE m.id = tp.id AND tp.pos BETWEEN m.s AND m.e)),
+         rebuilt AS (SELECT id,
+             array_to_string(list(tok ORDER BY pos), ' ') AS clean,
+             COUNT(*) AS kept
+           FROM surv GROUP BY id),
+         n AS (SELECT doc_id, len(t) AS n_toks FROM toks)
+         SELECT d.doc_id,
+           CASE WHEN n.n_toks - COALESCE(r.kept, 0) > 0
+             THEN COALESCE(r.clean, '') ELSE d.text END AS text,
+           CAST(n.n_toks - COALESCE(r.kept, 0) AS BIGINT) AS n_removed_tokens
+         FROM documents d
+         JOIN n ON n.doc_id = d.doc_id
+         LEFT JOIN rebuilt r ON r.id = d.doc_id""",
     "q109_lm_score" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),

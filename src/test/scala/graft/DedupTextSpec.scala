@@ -175,6 +175,64 @@ class DedupTextSpec extends SparkSpec {
       minTokens = 20, maxDocFreq = 4).count() == 0)
   }
 
+  test("removeSharedSpans: later docs lose the covered tokens, canonical doc intact") {
+    import graft.dedup.Substrings
+    val shared = (0 until 40).map(i => s"sh$i").mkString(" ")
+    val d1 = (0 until 30).map(i => s"a$i").mkString(" ") + " " + shared
+    val d2 = (0 until 10).map(i => s"b$i").mkString(" ") + " " + shared +
+      " " + (0 until 5).map(i => s"y$i").mkString(" ")
+    val d3 = (0 until 50).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Substrings.removeSharedSpans(df, "doc_id", "text", minTokens = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 is canonical (lowest id sharing the anchors): untouched
+    assert(out(1L) == (d1, 0L), s"canonical doc changed: ${out(1L)}")
+    // doc 2 loses exactly the 40 shared tokens; prefix+suffix survive
+    val expected2 = (0 until 10).map(i => s"b$i").mkString(" ") + " " +
+      (0 until 5).map(i => s"y$i").mkString(" ")
+    assert(out(2L) == (expected2, 40L), s"span not cut: ${out(2L)}")
+    // doc 3 shares nothing: untouched
+    assert(out(3L) == (d3, 0L))
+    // fully-shared doc edge: doc 5 IS the shared run — cut to empty
+    val full = Seq((4L, shared), (5L, shared)).toDF("doc_id", "text")
+    val fo = Substrings.removeSharedSpans(full, "doc_id", "text", minTokens = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fo(4L) == (shared, 0L) && fo(5L) == ("", 40L), s"$fo")
+  }
+
+  test("quality classifier: separates classes, pareto keep is deterministic and monotone") {
+    import graft.text.QualityModel
+    // two separable vocabularies; train on half, score all
+    val pos = (0 until 40).map(i =>
+      (i.toLong, "alpha beta gamma delta " + s"p$i q$i", 1))
+    val neg = (0 until 40).map(i =>
+      (100L + i, "zork quux blarg wibble " + s"n$i m$i", 0))
+    val df = (pos ++ neg).toDF("doc_id", "text", "label")
+    val model = QualityModel.train(df.filter($"doc_id" % 2 === 0),
+      "text", "label", numFeatures = 1 << 12)
+    val scored = QualityModel.score(model, df, "text")
+    val probs = scored.collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getDouble(r.fieldIndex("quality_prob"))).toMap
+    val posAvg = pos.map(p => probs(p._1)).sum / pos.size
+    val negAvg = neg.map(n => probs(n._1)).sum / neg.size
+    assert(posAvg > 0.8 && negAvg < 0.2,
+      s"classifier failed to separate: pos=$posAvg neg=$negAvg")
+    // schema: input columns + quality_prob, working columns dropped
+    assert(scored.columns.toSeq == Seq("doc_id", "text", "label", "quality_prob"))
+    // pareto keep: deterministic (two runs identical), and the high class
+    // survives at a far higher rate than the low class
+    val k1 = QualityModel.paretoKeep(scored, "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val k2 = QualityModel.paretoKeep(scored, "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(k1 == k2, "pareto keep must be deterministic")
+    val posKept = pos.count(p => k1.contains(p._1))
+    val negKept = neg.count(n => k1.contains(n._1))
+    assert(posKept > 20 && negKept < 10,
+      s"keep rates wrong: pos $posKept/40, neg $negKept/40")
+  }
+
   test("vocabulary: term totals and document frequency with minCount pruning") {
     import spark.implicits._
     val docs = Seq((1L, "the cat the hat"), (2L, "the dog"), (3L, "a dog"))
