@@ -1,6 +1,62 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Steady-state measurement pass over every SparkEntry query at `dir`:
+    * full-scan warmup through the noop sink (loads data pages into the OS
+    * page cache — count() would read only row-group metadata), an untimed
+    * pre-pass (first-touch costs: codegen compiles, lazily-hydrated FS
+    * pages, /tmp lifecycle writes — round-3 recorded 10-100x contaminated
+    * one-shot numbers), then one timed run per query in deterministic
+    * name order. Returns (per-query seconds, per-query adaptive-path
+    * routes) — routes come from [[graft.core.Routing]] so the scale
+    * ladder can name which queries switched exact→bucketed paths. */
+  private def runPass(spark: SparkSession, dir: String)
+      : (Seq[(String, Double)], Map[String, Seq[String]]) = {
+    Seq("lineitem", "orders", "customer", "nation", "supplier", "region",
+      "part", "events", "documents", "embeddings").foreach { tb =>
+      try graft.core.Tables.load(spark, dir, tb)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, dir).count() } catch { case _: Throwable => () }
+    }
+    val routes = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val results = ordered.map { case (name, fn) =>
+      graft.core.Routing.drain()
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val r = graft.core.Routing.drain()
+      if (r.nonEmpty) routes(name) = r
+      name -> sec
+    }
+    (results, routes.toMap)
+  }
+
+  private def jsonQueries(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** 10× replica of `baseDir` under target/ladder (ScaleUp rules —
+    * disjoint shingles, decorrelated cross-replica cosine, referential
+    * integrity preserved), generated once and reused via a marker file
+    * recording the source + factor. */
+  private def ladderDir(spark: SparkSession, baseDir: String, factor: Int): String = {
+    val out = new java.io.File(s"target/ladder/sf-x$factor").getAbsolutePath
+    val marker = new java.io.File(out, ".ladder_ok")
+    val stamp = s"src=$baseDir;factor=$factor"
+    val ok = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp
+    if (!ok) {
+      graft.tools.ScaleUp.scale(spark, baseDir, out, factor)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes)
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,36 +75,42 @@ object Bench {
     // of pure session warmup in round 1). No data is cached — measured
     // queries still scan cold.
     spark.range(1000).selectExpr("sum(id)").collect()
-    // full-scan warmup through the noop sink (count() would read only
-    // row-group metadata): loads every table into the OS page cache so
-    // per-query numbers measure the operator, not whichever query
-    // happens to touch a table's data pages first — the steady-state
-    // condition a long-lived cluster job runs in
-    Seq("lineitem", "orders", "customer", "nation", "supplier", "region",
-      "part", "events", "documents", "embeddings").foreach { tb =>
-      try graft.core.Tables.load(spark, sfDir, tb)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    // untimed pre-pass over every query: steady-state is the declared
-    // measurement condition, and on a fresh container first-touch costs
-    // (lazily-hydrated FS pages for ivy/MLlib classes, /tmp lifecycle
-    // writes, codegen compiles) land inside whichever timed query hits
-    // them first — round-3 recorded 10-100x contaminated one-shot numbers.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
-    // deterministic name order for round-over-round comparability
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val (results, baseRoutes) = runPass(spark, sfDir)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Scale ladder (VERDICT r4 item 1): when benching the driver's sf0.1
+    // dir, also measure a 10× replica so the bench RECORD — not just the
+    // plan shape — shows how every query scales. SPARK_GRAFT_LADDER=0
+    // skips it (local iteration).
+    val ladder =
+      if (new java.io.File(sfDir).getName != "sf0.1" ||
+          sys.env.get("SPARK_GRAFT_LADDER").contains("0")) ""
+      else {
+        val factor = 10
+        val dir = ladderDir(spark, sfDir, factor)
+        val (big, bigRoutes) = runPass(spark, dir)
+        val bigTotal = big.map(_._2).sum
+        val base = results.toMap
+        // sub-0.2s base timings are fixed per-query overhead (job
+        // scheduling, codegen cache lookups); their ratios are noise
+        val flagged = big.collect {
+          case (name, sec)
+            if base.getOrElse(name, 0.0) >= 0.2 &&
+               sec > 15 * base(name) => name
+        }
+        val switched = big.map(_._1).filter { n =>
+          bigRoutes.getOrElse(n, Nil) != baseRoutes.getOrElse(n, Nil)
+        }
+        def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+        def jroutes(m: Map[String, Seq[String]]) = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + jarr(v) }.mkString("{", ",", "}")
+        s""","ladder":{"factor":$factor,"total":$bigTotal,""" +
+          s""""queries":${jsonQueries(big)},"flagged":${jarr(flagged)},""" +
+          s""""switched":${jarr(switched)},"routes_base":${jroutes(baseRoutes)},""" +
+          s""""routes_scaled":${jroutes(bigRoutes)}}"""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(results)},"sf":"$sfDir"$ladder}""")
     spark.stop()
   }
 }

@@ -237,11 +237,16 @@ object Dedup {
                     bruteForce: Boolean = false,
                     bruteMaxRows: Long = 65536): DataFrame = {
     val pairs =
-      if (bruteForce) cosinePairs(df, idCol, vecCol, threshold)
-      else if (dim > 0)
+      if (bruteForce) {
+        graft.core.Routing.record("cosine-dedup", "brute-pinned", -1)
+        cosinePairs(df, idCol, vecCol, threshold)
+      } else if (dim > 0) {
+        graft.core.Routing.record("cosine-dedup", "lsh", -1)
         cosinePairsLsh(df, idCol, vecCol, threshold, dim, nPlanes, nTables)
-      else if (df.count() <= bruteMaxRows) cosinePairs(df, idCol, vecCol, threshold)
-      else {
+      } else if (df.count() <= bruteMaxRows) {
+        graft.core.Routing.record("cosine-dedup", "brute", -1)
+        cosinePairs(df, idCol, vecCol, threshold)
+      } else {
         // one head() row to learn the dimension — metadata-sized next to
         // the quadratic join it routes away from
         val inferred = df.filter(col(vecCol).isNotNull)
@@ -250,6 +255,7 @@ object Dedup {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"cosineNearDup: > $bruteMaxRows rows — routing to the bucketed " +
             s"LSH path (dim=$inferred); pass bruteForce=true to pin exact")
+        graft.core.Routing.record("cosine-dedup", "lsh", -1)
         cosinePairsLsh(df, idCol, vecCol, threshold, inferred, nPlanes, nTables)
       }
     Components.dedupByPairs(df, idCol, pairs)

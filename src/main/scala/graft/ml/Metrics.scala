@@ -255,6 +255,8 @@ object Metrics {
       st.rowCount.map(_.toLong <= smallMaxRows)
         .getOrElse(st.sizeInBytes <= RankSmallMaxBytes)
     }
+    graft.core.Routing.record("rank-kernel",
+      if (small) "window" else "bucketed", -1)
     if (small) {
       val w = Window.partitionBy("__g").orderBy("score")
         .rowsBetween(Window.unboundedPreceding, -1)

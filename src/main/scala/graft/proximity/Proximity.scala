@@ -256,6 +256,8 @@ object Proximity {
                       queryCountHint: Option[Long] = None): DataFrame = {
     val n = queryCountHint.getOrElse(queries.count())
     val brute = n <= bruteMaxQueries
+    graft.core.Routing.record("knn-" + metric,
+      if (brute) "exact" else "bucketed", n)
     if (!brute) org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"knnJoinAdaptive: $n query rows > bruteMaxQueries=$bruteMaxQueries — " +
         s"routing '$metric' to the bucketed APPROXIMATE path (measured " +

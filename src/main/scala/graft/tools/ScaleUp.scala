@@ -30,7 +30,6 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,7 +39,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, out, factor)
+    graft.core.Tables.names.foreach { n =>
+      println(s"[scaleup] $n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
+    }
+    spark.stop()
+  }
 
+  /** Replicate every table of `src` `factor`× into `out` (rules above). */
+  def scale(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String, nFiles: Int): Unit =
       df.repartition(nFiles).write.mode("overwrite")
@@ -78,10 +86,5 @@ object ScaleUp {
         concat(slice(col("embedding"), r + 1, 10000),
           slice(col("embedding"), 1, r)))),
       "embeddings", factor)
-
-    graft.core.Tables.names.foreach { n =>
-      println(s"[scaleup] $n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
-    }
-    spark.stop()
   }
 }
