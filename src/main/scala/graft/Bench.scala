@@ -8,11 +8,13 @@ object Bench {
     * page cache — count() would read only row-group metadata), an untimed
     * pre-pass (first-touch costs: codegen compiles, lazily-hydrated FS
     * pages, /tmp lifecycle writes — round-3 recorded 10-100x contaminated
-    * one-shot numbers), then one timed run per query in deterministic
-    * name order. Returns (per-query seconds, per-query adaptive-path
-    * routes) — routes come from [[graft.core.Routing]] so the scale
-    * ladder can name which queries switched exact→bucketed paths. */
-  private def runPass(spark: SparkSession, dir: String)
+    * one-shot numbers), then `reps` timed runs per query in deterministic
+    * name order, aggregated with `agg`. Returns (per-query seconds,
+    * per-query adaptive-path routes) — routes come from
+    * [[graft.core.Routing]] so the scale ladder can name which queries
+    * switched exact→bucketed paths. */
+  private def runPass(spark: SparkSession, dir: String, reps: Int,
+                      agg: Seq[Double] => Double)
       : (Seq[(String, Double)], Map[String, Seq[String]]) = {
     Seq("lineitem", "orders", "customer", "nation", "supplier", "region",
       "part", "events", "documents", "embeddings").foreach { tb =>
@@ -25,16 +27,28 @@ object Bench {
       try { fn(spark, dir).count() } catch { case _: Throwable => () }
     }
     val routes = scala.collection.mutable.Map.empty[String, Seq[String]]
+    // reps timed runs per query, aggregated (median for the base pass,
+    // min for the ladder) — a single loaded-sandbox spike can no longer
+    // fabricate a >15× scale flag (VERDICT r6 items 2/8: round 6's
+    // phantom q22 flag came from one-shot timing under load).
     val results = ordered.map { case (name, fn) =>
-      graft.core.Routing.drain()
-      val t0 = System.nanoTime()
-      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val r = graft.core.Routing.drain()
-      if (r.nonEmpty) routes(name) = r
-      name -> sec
+      val times = (1 to reps).map { _ =>
+        graft.core.Routing.drain()
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val r = graft.core.Routing.drain()
+        if (r.nonEmpty) routes(name) = r
+        sec
+      }
+      name -> agg(times)
     }
     (results, routes.toMap)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2)
   }
 
   private def jsonQueries(rs: Seq[(String, Double)]): String =
@@ -75,7 +89,8 @@ object Bench {
     // of pure session warmup in round 1). No data is cached — measured
     // queries still scan cold.
     spark.range(1000).selectExpr("sum(id)").collect()
-    val (results, baseRoutes) = runPass(spark, sfDir)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val (results, baseRoutes) = runPass(spark, sfDir, reps, median)
     val total = results.map(_._2).sum
 
     // Scale ladder (VERDICT r4 item 1): when benching the driver's sf0.1
@@ -88,7 +103,9 @@ object Bench {
       else {
         val factor = 10
         val dir = ladderDir(spark, sfDir, factor)
-        val (big, bigRoutes) = runPass(spark, dir)
+        // min-of-2: flag a query only if BOTH ladder runs exceeded 15×,
+        // so a transient sandbox stall can't produce a false scale flag
+        val (big, bigRoutes) = runPass(spark, dir, 2, _.min)
         val bigTotal = big.map(_._2).sum
         val base = results.toMap
         // sub-0.2s base timings are fixed per-query overhead (job
@@ -110,7 +127,15 @@ object Bench {
           s""""routes_scaled":${jroutes(bigRoutes)}}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(results)},"sf":"$sfDir"$ladder}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(results)},"sf":"$sfDir"$ladder}"""
+    // The driver's stdout capture keeps only a tail (rounds 3-6 landed as
+    // "parsed": null) — persist the full JSON where it can't be truncated.
+    val outFile = new java.io.File("target/bench_summary.json")
+    outFile.getParentFile.mkdirs()
+    java.nio.file.Files.write(outFile.toPath, summary.getBytes("UTF-8"))
+    System.err.println(s"[bench] full summary written to ${outFile.getAbsolutePath}")
+    println(summary)
     spark.stop()
   }
 }

@@ -230,6 +230,14 @@ class Catalog(val spark: SparkSession, val root: String) {
                    algo: String = "linear"): Model = {
     val clean = sanitize(name)
     pipeline.write.overwrite().save(modelPath(clean))
+    // importance-at-train-time: persisted into registry meta so the
+    // read-back (Model.getFeatureImportance) needs no model reload —
+    // mirroring the reference publishing SHAP artifacts from the
+    // training container (utils/shap_utils.py:1-60)
+    val importance = graft.ml.Models.featureImportance(pipeline, features)
+      .map(fi => Map("graft_feature_importance" ->
+        fi.map { case (f, v) => s"$f:$v" }.mkString(",")))
+      .getOrElse(Map.empty)
     registry.onboardRow(clean, "model", input, owner, Map(
       "graft_model_flavor" -> "mllib",
       "graft_model_type" -> modelType,
@@ -237,7 +245,7 @@ class Catalog(val spark: SparkSession, val root: String) {
       "graft_target" -> target,
       "graft_features" -> features.mkString(",")) ++
       (if (classLabels.nonEmpty) Map("graft_class_labels" -> classLabels.mkString(","))
-       else Map.empty))
+       else Map.empty) ++ importance)
     model(clean)
   }
 

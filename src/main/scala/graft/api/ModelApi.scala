@@ -117,6 +117,34 @@ class Model(val catalog: Catalog, val name: String) {
   /** Stored confusion matrix for a classifier capture (model_core.py:346-378). */
   def getConfusionMatrix(capture: String = "default"): Option[DataFrame] =
     readRun(capture, "cm")
+
+  /** Per-feature importance read-back (reference: utils/shap_utils.py:1-60
+    * retrieves per-feature SHAP importance published as a model artifact).
+    * Persisted into registry meta at onboard time
+    * ([[graft.ml.Models.featureImportance]]), so this is a pure meta read —
+    * no model reload. Columns (feature, importance, rank); tree ensembles
+    * carry impurity importances, linear families signed coefficients, so
+    * rank orders by |importance| descending. None for models without an
+    * importance notion. */
+  def getFeatureImportance(): Option[DataFrame] =
+    meta.get("graft_feature_importance").map { s =>
+      val pairs = s.split(",").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.lastIndexOf(':')
+        (kv.substring(0, i), kv.substring(i + 1).toDouble)
+      }.sortBy { case (f, v) => (-math.abs(v), f) }
+      val rows = pairs.zipWithIndex.map { case ((f, v), i) =>
+        org.apache.spark.sql.Row(f, v, i + 1)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("feature",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("importance",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType)))
+      catalog.spark.createDataFrame(
+        catalog.spark.sparkContext.parallelize(rows.toList, 1), schema)
+    }
 }
 
 /** Endpoint artifact: a registry row of type `endpoint` whose `input` is

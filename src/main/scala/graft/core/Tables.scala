@@ -16,9 +16,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
-    // the nanosAsLong legacy conf (set in Verify/Bench/tests); convert the
+    // inferTimestampNTZ=false: current testdata stores `ts` as parquet
+    // timestamp[us] without UTC adjustment, which Spark 4 would read as
+    // TIMESTAMP_NTZ — and withWatermark rejects NTZ event times. Reading
+    // it as TimestampType directly (session TZ is UTC everywhere) keeps
+    // the column watermark-able AND keeps ts predicates pushable to the
+    // scan (a cast wrapper would block pushdown).
+    val df = spark.read.option("inferTimestampNTZ", "false")
+      .parquet(s"$dir/$name.parquet")
+    // Older testdata was TIMESTAMP(NANOS), read as raw Long via the
+    // nanosAsLong legacy conf (set in Verify/Bench/tests); convert the
     // raw nanos back to a proper timestamp (micros, Spark's native unit).
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
       .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))

@@ -22,7 +22,13 @@ object CrossFold {
     * multiply so BOTH engines — Spark's wrapping Long and the oracle's
     * overflow-checked BIGINT — compute identical values). Null ids land
     * in fold 0 — a null-propagating fold would silently drop the row
-    * from BOTH the train and test side of every fold. */
+    * from BOTH the train and test side of every fold.
+    *
+    * Caveat: the odd multiplier preserves the id's low bit, so k=2 over
+    * ids that all share parity (e.g. all multiples of an even number)
+    * collapses every row into one fold. Use k >= 3, or ids with mixed
+    * parity, for degenerate-id fixtures. (The constant can't change —
+    * it's pinned by the cross-engine oracle queries q56/q82.) */
   def foldColumn(id: Column, k: Int): Column =
     coalesce(
       pmod((id.cast("long") % 1000003L) * 2654435761L, lit(k.toLong)),

@@ -48,6 +48,57 @@ object Models {
     pipeline.fit(df)
   }
 
+  /** [[trainRegressor]] with explicit hyperparameters — the estimator-side
+    * half of the HPO trial contract (reference: the per-framework knob
+    * application in src/workbench/training/xgb_hpo.py:36-52 merged into
+    * the fit by hpo_runner.py:81-89 `merge_config`). Knob names follow
+    * MLlib param names; unknown knobs fail loudly so a typo'd search
+    * space can't silently search nothing. */
+  def trainRegressorTuned(df: DataFrame, features: Seq[String], target: String,
+                          algo: String, params: Map[String, Double],
+                          seed: Long = 42L): PipelineModel = {
+    val est: org.apache.spark.ml.PipelineStage = algo match {
+      case "gbt" =>
+        val g = new GBTRegressor().setSeed(seed).setFeaturesCol("__scaled")
+          .setLabelCol(target).setPredictionCol("prediction")
+        params.foreach {
+          case ("maxDepth", v) => g.setMaxDepth(v.toInt)
+          case ("maxIter", v) => g.setMaxIter(v.toInt)
+          case ("stepSize", v) => g.setStepSize(v)
+          case ("subsamplingRate", v) => g.setSubsamplingRate(v)
+          case ("minInstancesPerNode", v) => g.setMinInstancesPerNode(v.toInt)
+          case (k, _) => throw new IllegalArgumentException(s"unknown gbt knob '$k'")
+        }
+        g
+      case "rf" =>
+        val r = new RandomForestRegressor().setSeed(seed).setFeaturesCol("__scaled")
+          .setLabelCol(target).setPredictionCol("prediction")
+        params.foreach {
+          case ("maxDepth", v) => r.setMaxDepth(v.toInt)
+          case ("numTrees", v) => r.setNumTrees(v.toInt)
+          case ("subsamplingRate", v) => r.setSubsamplingRate(v)
+          case ("minInstancesPerNode", v) => r.setMinInstancesPerNode(v.toInt)
+          case (k, _) => throw new IllegalArgumentException(s"unknown rf knob '$k'")
+        }
+        r
+      case "linear" =>
+        val l = new LinearRegression().setFeaturesCol("__scaled")
+          .setLabelCol(target).setPredictionCol("prediction")
+        params.foreach {
+          case ("regParam", v) => l.setRegParam(v)
+          case ("elasticNetParam", v) => l.setElasticNetParam(v)
+          case (k, _) => throw new IllegalArgumentException(s"unknown linear knob '$k'")
+        }
+        l
+      case other => throw new IllegalArgumentException(
+        s"unknown regressor algo '$other' (linear | rf | gbt)")
+    }
+    new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(features.toArray).setOutputCol("__features"),
+      new StandardScaler().setInputCol("__features").setOutputCol("__scaled"),
+      est)).fit(df)
+  }
+
   /** Train a classification pipeline (label-index → assemble → estimator).
     * `algo`: "logistic" (default; also accepts "linear" as the alias the
     * regressor side uses), "rf", or "gbt" (binary targets only — MLlib's
@@ -72,6 +123,86 @@ object Models {
       new VectorAssembler().setInputCols(features.toArray).setOutputCol("__features"),
       est))
     pipeline.fit(df)
+  }
+
+  /** [[trainClassifier]] with explicit hyperparameters — classifier side
+    * of the HPO trial contract (see [[trainRegressorTuned]]). */
+  def trainClassifierTuned(df: DataFrame, features: Seq[String], target: String,
+                           algo: String, params: Map[String, Double],
+                           seed: Long = 42L): PipelineModel = {
+    val est: org.apache.spark.ml.PipelineStage = algo match {
+      case "logistic" | "linear" =>
+        val l = new LogisticRegression().setFeaturesCol("__features")
+          .setLabelCol("__label").setPredictionCol("prediction")
+          .setProbabilityCol("pred_proba")
+        params.foreach {
+          case ("regParam", v) => l.setRegParam(v)
+          case ("elasticNetParam", v) => l.setElasticNetParam(v)
+          case ("maxIter", v) => l.setMaxIter(v.toInt)
+          case (k, _) => throw new IllegalArgumentException(s"unknown logistic knob '$k'")
+        }
+        l
+      case "rf" =>
+        val r = new RandomForestClassifier().setSeed(seed)
+          .setFeaturesCol("__features").setLabelCol("__label")
+          .setPredictionCol("prediction").setProbabilityCol("pred_proba")
+        params.foreach {
+          case ("maxDepth", v) => r.setMaxDepth(v.toInt)
+          case ("numTrees", v) => r.setNumTrees(v.toInt)
+          case ("subsamplingRate", v) => r.setSubsamplingRate(v)
+          case ("minInstancesPerNode", v) => r.setMinInstancesPerNode(v.toInt)
+          case (k, _) => throw new IllegalArgumentException(s"unknown rf knob '$k'")
+        }
+        r
+      case "gbt" =>
+        val g = new GBTClassifier().setSeed(seed)
+          .setFeaturesCol("__features").setLabelCol("__label")
+          .setPredictionCol("prediction").setProbabilityCol("pred_proba")
+        params.foreach {
+          case ("maxDepth", v) => g.setMaxDepth(v.toInt)
+          case ("maxIter", v) => g.setMaxIter(v.toInt)
+          case ("stepSize", v) => g.setStepSize(v)
+          case ("subsamplingRate", v) => g.setSubsamplingRate(v)
+          case ("minInstancesPerNode", v) => g.setMinInstancesPerNode(v.toInt)
+          case (k, _) => throw new IllegalArgumentException(s"unknown gbt knob '$k'")
+        }
+        g
+      case other => throw new IllegalArgumentException(
+        s"unknown classifier algo '$other' (logistic | rf | gbt)")
+    }
+    new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol(target).setOutputCol("__label"),
+      new VectorAssembler().setInputCols(features.toArray).setOutputCol("__features"),
+      est)).fit(df)
+  }
+
+  /** Per-feature importance from a fitted pipeline — the model-side half
+    * of the reference's SHAP read-back surface (reference:
+    * utils/shap_utils.py:1-60 retrieves per-feature importance artifacts
+    * published at training time; model_scripts compute them in the
+    * training container). MLlib equivalents: tree ensembles expose
+    * Gini/impurity `featureImportances`; linear families expose signed
+    * coefficients (rank by |value|). Indices map 1:1 to the
+    * VectorAssembler input order, i.e. `features`. None when the final
+    * stage has no importance notion (e.g. KMeans). */
+  def featureImportance(pipeline: PipelineModel, features: Seq[String]): Option[Seq[(String, Double)]] = {
+    import org.apache.spark.ml.classification.{GBTClassificationModel, LogisticRegressionModel, RandomForestClassificationModel}
+    import org.apache.spark.ml.regression.{GBTRegressionModel, LinearRegressionModel, RandomForestRegressionModel}
+    val vec: Option[Seq[Double]] = pipeline.stages.reverse.collectFirst {
+      case m: GBTRegressionModel => m.featureImportances.toArray.toSeq
+      case m: RandomForestRegressionModel => m.featureImportances.toArray.toSeq
+      case m: GBTClassificationModel => m.featureImportances.toArray.toSeq
+      case m: RandomForestClassificationModel => m.featureImportances.toArray.toSeq
+      case m: LinearRegressionModel => m.coefficients.toArray.toSeq
+      case m: LogisticRegressionModel =>
+        if (m.numClasses == 2) m.coefficients.toArray.toSeq
+        else { // multiclass: mean |coefficient| per feature across classes
+          val mat = m.coefficientMatrix
+          (0 until mat.numCols).map(j =>
+            (0 until mat.numRows).map(i => math.abs(mat(i, j))).sum / mat.numRows)
+        }
+    }
+    vec.filter(_.size == features.size).map(features.zip(_))
   }
 
   /** smart_aggregator: KMeans-cluster rows toward ~targetRows clusters,

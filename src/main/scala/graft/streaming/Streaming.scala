@@ -30,12 +30,22 @@ object Streaming {
       .start()
   }
 
+  /** withWatermark rejects TIMESTAMP_NTZ event times; parquet written as
+    * timestamp[us] without UTC adjustment lands as NTZ in Spark 4, so
+    * normalize the event-time column defensively before watermarking. */
+  private def withLtzEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema.fields.find(_.name == tsCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Windowed rolling aggregate over an event stream: per event-type
     * counts/sums in tumbling windows with a watermark — the streaming
     * form of the batch time-rollup (q23). */
   def windowedRollup(events: DataFrame, tsCol: String, window_ : String,
                      watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark)
+    withLtzEventTime(events, tsCol).withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
@@ -46,7 +56,7 @@ object Streaming {
     */
   def sessionize(events: DataFrame, tsCol: String, userCol: String,
                  gap: String, watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark)
+    withLtzEventTime(events, tsCol).withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
 

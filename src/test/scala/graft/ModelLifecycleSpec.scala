@@ -107,6 +107,36 @@ class ModelLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("feature importance persists in registry meta and survives catalog reopen") {
+    val cat = new Catalog(spark, root)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    cat.onboardFeatures("li_fs_imp", li, idColumn = "l_orderkey")
+    val m = cat.toModel("li_fs_imp", "rf_imp", "regressor",
+      target = "l_extendedprice",
+      features = Seq("l_quantity", "l_discount", "l_tax"), algo = "rf")
+    // read back through a FRESH catalog handle: importances must come from
+    // registry meta written at onboard time, not the live pipeline object
+    val imp = new Catalog(spark, root).model("rf_imp").getFeatureImportance()
+    assert(imp.isDefined, "rf model must expose feature importances")
+    val rows = imp.get.orderBy("rank").collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("l_quantity", "l_discount", "l_tax"))
+    // RF impurity importances are a distribution over features
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"importances should sum to 1, got $total")
+    assert(rows.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    // rank 1 carries the largest |importance|
+    assert(rows.head.getDouble(1) == rows.map(_.getDouble(1)).max)
+
+    // linear models expose signed coefficients, ranked by |value|
+    val lm = cat.toModel("li_fs_imp", "lin_imp", "regressor",
+      target = "l_extendedprice", features = Seq("l_quantity", "l_discount"))
+    val lrows = lm.getFeatureImportance().get.orderBy("rank").collect()
+    assert(lrows.length == 2 &&
+      math.abs(lrows(0).getDouble(1)) >= math.abs(lrows(1).getDouble(1)))
+  }
+
   test("classifier endpoint: proba expansion, label mapping, confusion matrix") {
     val cat = new Catalog(spark, root)
     val ep = cat.model("event_clf").toEndpoint("event-clf-end")

@@ -157,6 +157,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q22: customer/supplier join strategy is size-based (VERDICT r6 item 3)") {
+    // Only nation/region carry broadcast hints; customer/supplier must be
+    // AQE's size-based call — BHJ at toy SF, SMJ when broadcast is turned
+    // off. A pinned hint would keep them BHJ with the thresholds at -1.
+    def finalPlan(threshold: String): String = {
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val olds = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        keys.foreach(spark.conf.set(_, threshold))
+        val df = SparkEntry.queries("q22_nation_revenue")(spark, sf)
+        df.collect() // materialize so AQE's final plan is in place
+        // keep only the final-plan section (AQE's toString appends the
+        // initial plan, which would double-count joins)
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      } finally olds.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    def bhj(p: String) = "BroadcastHashJoin".r.findAllIn(p).size
+    val sized = finalPlan("10485760")
+    val noBroadcast = finalPlan("-1")
+    assert(bhj(sized) > 2, s"expected size-based broadcasts at toy SF:\n$sized")
+    assert(bhj(noBroadcast) == 2, // exactly the hinted nation/region
+      s"with thresholds off only hinted dims may broadcast:\n$noBroadcast")
+    assert(noBroadcast.contains("SortMergeJoin"), noBroadcast)
+  }
+
   test("line dedup: no single-partition stage in explode→anti-join→reassemble") {
     val docs = spark.range(300)
       .selectExpr("id", "concat('line', id % 5, repeat(' filler text', 5)) AS text")
