@@ -1096,6 +1096,35 @@ object SparkEntry {
         "l_extendedprice", Seq("l_quantity", "l_discount", "l_tax"), algo = "rf")
       new graft.api.Catalog(s, root).model("rf_price").getFeatureImportance().get
         .select(col("feature"), round(col("importance"), 4).as("importance"), col("rank"))
+    }),
+    "q120_c4_filters" -> ((s, dir) => {
+      // The synthetic corpus is punctuation-free word soup, so derive
+      // structured pages deterministically (both engines compute the
+      // same derivation): every 3rd doc becomes one long sentence,
+      // every 3rd+1 gets sentence/line breaks at " the ", the rest stay
+      // raw — giving the C4 rules genuinely mixed verdicts to grade.
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(".")))
+          .when(col("doc_id") % 3 === 1,
+            regexp_replace(col("text"), " the ", ".\n"))
+          .otherwise(col("text")).as("text"))
+      graft.text.C4.pageFilters(pages, "doc_id", "text").orderBy("doc_id")
+    }),
+    "q121_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over the embeddings table (rows-only: KMeans centroids
+      // are MLlib-specific). The synthetic embeddings carry no
+      // high-cosine pairs (max pairwise ~0.51), so plant deterministic
+      // semantic twins: scaled copies of the first 25 vectors — scaling
+      // preserves direction, so each (original, clone) pair has cosine
+      // exactly 1 and must collapse to one survivor.
+      val base = t(s, dir, "embeddings")
+      val clones = base.filter(col("vec_id") < 25).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1f)).as("embedding"),
+        col("label"))
+      graft.dedup.SemDedup.semDedup(base.unionByName(clones),
+        "vec_id", "embedding", nClusters = 8, tau = 0.9)
+        .orderBy("id")
     })
   )
 
@@ -2451,7 +2480,27 @@ object SparkEntry {
            CAST(SUM(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
            ROUND(AVG(w), 2) AS avg_words
          FROM s GROUP BY source"""
-    }
+    },
+    "q120_c4_filters" ->
+      """WITH pages AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '.'
+                  WHEN doc_id % 3 = 1 THEN regexp_replace(text, ' the ', '.' || chr(10), 'g')
+                  ELSE text END AS text
+           FROM documents),
+         lines AS (SELECT doc_id, text,
+             COALESCE(array_to_string(
+               list_filter(string_split(text, chr(10)), l ->
+                 regexp_matches(trim(l), '[.!?"'']$') AND
+                 len(string_split_regex(trim(l), '\s+')) >= 5 AND
+                 NOT contains(lower(l), 'javascript')),
+               chr(10)), '') AS c4_text
+           FROM pages)
+         SELECT doc_id, c4_text,
+           CAST(length(regexp_replace(c4_text, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+           (length(regexp_replace(c4_text, '[^.!?]', '', 'g')) >= 3 AND
+            NOT contains(lower(text), 'lorem ipsum') AND
+            NOT contains(text, '{')) AS c4_pass
+         FROM lines"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

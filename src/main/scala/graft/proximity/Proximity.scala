@@ -158,7 +158,7 @@ object Proximity {
     * corpus AND changes with the physical layout. Returns the fitted
     * model (featuresCol `__vec`, predictionCol `__cell`) and the
     * centroid frame (`__cell`, `__centroid`). */
-  private[proximity] def fitQuantizer(vecs: DataFrame, nCells: Int, seed: Long)
+  private[graft] def fitQuantizer(vecs: DataFrame, nCells: Int, seed: Long)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
