@@ -34,12 +34,22 @@ object SemDedup {
     *
     * Returns (id, cluster, centroid_sim, keep): `keep = false` iff the
     * row has a within-cluster duplicate (cosine > tau) that lies
-    * farther from the centroid (or equally far with a lower id). */
+    * farther from the centroid (or equally far with a lower id).
+    *
+    * `maxClusterSize` bounds the quadratic within-cluster pair work when
+    * the clustering is too coarse for the corpus: clusters over the cap
+    * are subdivided into deterministic hash-salted sub-blocks of at most
+    * ~cap members, and pairs are only compared within a sub-block — twins
+    * split across sub-blocks of a huge cluster are the documented recall
+    * trade (the same bounded-work pattern as [[Dedup.minhashLsh]]'s
+    * hot-bucket cap). Size nClusters ≈ n / targetClusterSize first; the
+    * cap is the backstop, not the mechanism. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                nClusters: Int = 16, tau: Double = 0.97,
-               seed: Long = 42L): DataFrame = {
+               seed: Long = 42L, maxClusterSize: Int = 100000): DataFrame = {
     require(nClusters >= 2, s"need >= 2 clusters, got $nClusters")
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
+    require(maxClusterSize >= 1, s"maxClusterSize must be >= 1, got $maxClusterSize")
     import org.apache.spark.ml.functions.array_to_vector
     val v = emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), _.cast("double")).as("vec"))
@@ -52,12 +62,22 @@ object SemDedup {
       .select("id", "vec", "cluster", "centroid_sim")
     assigned.persist() // one k-means transform feeds both join sides
     try {
-      val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      // sub-block oversized clusters: per-cluster counts are one
+      // map-side-combinable aggregate over ≤ nClusters rows, broadcast
+      // back; block id is a deterministic hash of the row id
+      val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      val blocked = assigned
+        .join(broadcast(sizes), "cluster")
+        .withColumn("block",
+          pmod(hash(col("id")),
+            greatest(ceil(col("__n") / maxClusterSize), lit(1))).cast("int"))
+        .drop("__n")
+      val a = blocked.select(col("cluster"), col("block"), col("id").as("id_a"),
         col("vec").as("vec_a"), col("centroid_sim").as("sim_a"))
       val dropped = a.join(
-          assigned.select(col("cluster"), col("id").as("id_b"),
+          blocked.select(col("cluster"), col("block"), col("id").as("id_b"),
             col("vec").as("vec_b"), col("centroid_sim").as("sim_b")),
-          Seq("cluster"))
+          Seq("cluster", "block"))
         .filter(col("id_a") =!= col("id_b"))
         .filter(Proximity.cosine(col("vec_a"), col("vec_b")) > tau)
         // b drops when a is the farther-from-centroid twin (paper's

@@ -47,6 +47,30 @@ object Hpo {
   /** run_search result shape (hpo_harness.py:226-234 HpoResult). */
   final case class Result(best: Config, bestMetric: Double, trials: Seq[Trial])
 
+  /** Default per-algo knob spaces — the reference ships per-framework
+    * default spaces the user can search without writing one
+    * (xgb_hpo.py:28-52 basic/reg groups), translated to MLlib param
+    * names. Tree iteration/count ranges are bench-scale sane; widen for
+    * a real cluster run. */
+  def defaultSpace(algo: String): Map[String, ParamSpec] = algo match {
+    case "gbt" => Map(
+      "maxDepth" -> IntRange(3, 10),
+      "maxIter" -> IntRange(10, 100, 10),
+      "stepSize" -> FloatRange(0.01, 0.3, log = true),
+      "subsamplingRate" -> FloatRange(0.5, 1.0),
+      "minInstancesPerNode" -> IntRange(1, 20))
+    case "rf" => Map(
+      "numTrees" -> IntRange(20, 200, 20),
+      "maxDepth" -> IntRange(3, 12),
+      "subsamplingRate" -> FloatRange(0.5, 1.0),
+      "minInstancesPerNode" -> IntRange(1, 20))
+    case "linear" | "logistic" => Map(
+      "regParam" -> FloatRange(1e-4, 1.0, log = true),
+      "elasticNetParam" -> FloatRange(0.0, 1.0))
+    case other => throw new IllegalArgumentException(
+      s"no default space for algo '$other' (gbt | rf | linear | logistic)")
+  }
+
   /** Draw one config. Knobs are visited in sorted-name order so the
     * draw sequence — hence the whole search — is a pure function of
     * (space, seed), independent of Map iteration order. */

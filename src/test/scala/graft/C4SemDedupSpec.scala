@@ -83,6 +83,22 @@ class C4SemDedupSpec extends SparkSpec {
       SemDedup.semDedup(semFixture, "vec_id", "embedding", nClusters = 1))
     intercept[IllegalArgumentException](
       SemDedup.semDedup(semFixture, "vec_id", "embedding", tau = 1.5))
+    intercept[IllegalArgumentException](
+      SemDedup.semDedup(semFixture, "vec_id", "embedding", maxClusterSize = 0))
+  }
+
+  test("semDedup cluster cap: bounded sub-blocks, verdict per row, recall-only trade") {
+    // cap of 1 forces singleton-ish sub-blocks: work stays bounded, every
+    // row still gets a verdict, and capping can only MISS dups (more
+    // keeps), never invent drops
+    val capped = SemDedup.semDedup(semFixture, "vec_id", "embedding",
+      nClusters = 2, tau = 0.95, maxClusterSize = 1)
+    assert(capped.count() == 6)
+    val keptCapped = capped.filter(col("keep")).count()
+    val keptFull = SemDedup.semDedup(semFixture, "vec_id", "embedding",
+      nClusters = 2, tau = 0.95).filter(col("keep")).count()
+    assert(keptCapped >= keptFull,
+      s"capping may only miss dups: capped=$keptCapped full=$keptFull")
   }
 
   test("semDedup pair compare is a cluster-keyed equi-join, never all-pairs") {

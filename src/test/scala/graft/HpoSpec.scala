@@ -91,6 +91,21 @@ class HpoSpec extends SparkSpec {
     assert(res.best("k") == res.bestMetric)
   }
 
+  test("default spaces sample valid configs for every algo's tuned fit") {
+    val rng = new scala.util.Random(5)
+    // every sampled config must be applicable without an unknown-knob error
+    val gbtCfg = Hpo.sample(Hpo.defaultSpace("gbt"), rng)
+    val rfCfg = Hpo.sample(Hpo.defaultSpace("rf"), rng)
+    val linCfg = Hpo.sample(Hpo.defaultSpace("linear"), rng)
+    val small = fixture.limit(120)
+    graft.ml.Models.trainRegressorTuned(small, Seq("x"), "target",
+      "gbt", gbtCfg.updated("maxIter", 5.0))
+    graft.ml.Models.trainRegressorTuned(small, Seq("x"), "target",
+      "rf", rfCfg.updated("numTrees", 5.0))
+    graft.ml.Models.trainRegressorTuned(small, Seq("x"), "target", "linear", linCfg)
+    intercept[IllegalArgumentException](Hpo.defaultSpace("xgboost"))
+  }
+
   test("evaluateConfigs scores an explicit candidate list in order") {
     val res = Hpo.evaluateConfigs(Seq(
       Map("a" -> 3.0), Map("a" -> 1.0), Map("a" -> 2.0)))(c => c("a"))
