@@ -1125,7 +1125,78 @@ object SparkEntry {
       graft.dedup.SemDedup.semDedup(base.unionByName(clones),
         "vec_id", "embedding", nClusters = 8, tau = 0.9)
         .orderBy("id")
-    })
+    }),
+    "q122_url_curation" -> ((s, dir) => {
+      // URL gate over deterministically-derived URLs (the corpus has no
+      // url column; both engines compute the same derivation): five
+      // shapes exercising scheme/www/query/fragment/case stripping,
+      // path collisions (doc_id % 40) for the per-URL dedup, and two
+      // blocklisted domains
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/page/"), (col("doc_id") % 40).cast("string"),
+            lit("?utm=x")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("http://"), col("source"),
+              lit(".example.com/page/"), (col("doc_id") % 40).cast("string"),
+              lit("/")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("HTTPS://ads.tracker.net/click/"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("https://"), col("source"),
+              lit(".example.COM/page/"), (col("doc_id") % 40).cast("string"),
+              lit("#frag")))
+          .otherwise(
+            concat(lit("spam.example.org/offer/"),
+              (col("doc_id") % 7).cast("string")))
+          .as("url"))
+      graft.text.Urls.annotate(d, "doc_id", "url",
+        Seq("tracker.net", "example.org")).orderBy("doc_id")
+    }),
+    "q123_perplexity_bands" -> ((s, dir) => {
+      // CCNet quality ladder on the q109 LM setup: band by perplexity
+      // quartiles (exact edges), keep head fully / middle half / tail 10%
+      val docs = t(s, dir, "documents")
+      val lm = graft.text.Text.unigramLm(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", minCount = 2)
+      val scored = graft.text.Text.lmScore(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", lm)
+      graft.text.Ccnet.sampleBands(
+        graft.text.Ccnet.perplexityBands(scored), "doc_id",
+        headFrac = 1.0, middleFrac = 0.5, tailFrac = 0.1)
+        .orderBy("doc_id")
+    }),
+    "q124_source_overlap" -> ((s, dir) =>
+      graft.text.SourceOverlap.overlapMatrix(
+        t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy("source_a", "source_b")),
+    "q125_pq_topk" -> ((s, dir) => {
+      // PQ-compressed ANN (rows-only: codebooks are MLlib KMeans
+      // artifacts). Plant scaled clones — same direction, cosine 1 —
+      // so each query's own twin must surface among its top codes.
+      // Codebooks memoized per (session, sfDir) like the lifecycle
+      // catalog: they are a trained artifact the reference would store,
+      // not per-query work (and 16 subspace fits dominate the query).
+      val base = t(s, dir, "embeddings")
+      val clones = base.filter(col("vec_id") < 25).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+        col("label"))
+      val refs = base.unionByName(clones)
+      val books = pqBooksCache.getOrElseUpdate((s, dir),
+        graft.proximity.Pq.fitCodebooks(refs, "vec_id", "embedding",
+          m = 16, k = 16))
+      graft.proximity.Pq.adcTopKRerank(
+        base.filter(col("vec_id") < 50), refs, "vec_id", "embedding",
+        k = 5, books, shortlist = 50).orderBy("id", "neighbor_id")
+    }),
+    "q126_token_budget" -> ((s, dir) =>
+      graft.text.Budget.planFromCorpus(
+        t(s, dir, "documents"), "source", "text",
+        totalBudget = 54000L, temperature = 0.7, maxEpochs = 2.0)
+        .orderBy("source"))
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -1150,6 +1221,11 @@ object SparkEntry {
     * (and is exactly what the reference avoids by storing them). */
   private val lifecycleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.api.Catalog]
+
+  /** q125's trained PQ codebooks, memoized per (session, sfDir) — a
+    * stored model artifact, same rationale as [[lifecycleCache]]. */
+  private val pqBooksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.proximity.Pq.Codebooks]
 
   private def lifecycleCatalog(s: SparkSession, dir: String): graft.api.Catalog =
     lifecycleCache.getOrElseUpdate((s, dir), buildLifecycleCatalog(s, dir))
@@ -2500,7 +2576,109 @@ object SparkEntry {
            (length(regexp_replace(c4_text, '[^.!?]', '', 'g')) >= 3 AND
             NOT contains(lower(text), 'lorem ipsum') AND
             NOT contains(text, '{')) AS c4_pass
-         FROM lines"""
+         FROM lines""",
+    "q122_url_curation" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'https://www.' || source || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '?utm=x'
+                  WHEN doc_id % 5 = 1 THEN 'http://' || source || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+                  WHEN doc_id % 5 = 2 THEN 'HTTPS://ads.tracker.net/click/' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 5 = 3 THEN 'https://' || source || '.example.COM/page/' || CAST(doc_id % 40 AS VARCHAR) || '#frag'
+                  ELSE 'spam.example.org/offer/' || CAST(doc_id % 7 AS VARCHAR) END AS url
+           FROM documents),
+         n AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(trim(url)), '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''),
+               '#.*$', ''), '\?.*$', ''), '/+$', '') AS url_norm
+           FROM d),
+         h AS (SELECT doc_id, url, url_norm,
+             regexp_extract(url_norm, '^([^/]+)', 1) AS domain FROM n),
+         r AS (SELECT doc_id, url, url_norm, domain,
+             CASE WHEN contains(domain, '.')
+                  THEN regexp_extract(domain, '([^.]+\.[^.]+)$', 1)
+                  ELSE domain END AS reg_domain,
+             row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS url_rank
+           FROM h)
+         SELECT doc_id, url, url_norm, domain, reg_domain,
+           reg_domain IN ('tracker.net', 'example.org') AS blocked,
+           url_rank,
+           (reg_domain NOT IN ('tracker.net', 'example.org') AND url_rank = 1) AS keep
+         FROM r""",
+    "q123_perplexity_bands" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS t
+           FROM documents),
+         e AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         g AS (SELECT doc_id, term, COUNT(*) AS c FROM e
+               WHERE doc_id < 250 GROUP BY 1, 2),
+         v AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tf FROM g
+               GROUP BY term HAVING SUM(c) >= 2),
+         lm AS (SELECT term,
+             ln(CAST(tf AS DOUBLE) / CAST((SELECT SUM(tf) FROM v) AS DOUBLE)) AS logp
+           FROM v),
+         sc AS (SELECT e.doc_id, COUNT(*) AS n_tokens,
+             ROUND(AVG(COALESCE(lm.logp, -20.0)), 4) AS avg_logp
+           FROM e LEFT JOIN lm USING (term)
+           WHERE e.doc_id >= 250 GROUP BY e.doc_id),
+         pp AS (SELECT doc_id, n_tokens, avg_logp,
+             ROUND(exp(-avg_logp), 4) AS perplexity FROM sc),
+         ed AS (SELECT quantile_cont(perplexity, 0.25) AS e1,
+                       quantile_cont(perplexity, 0.50) AS e2,
+                       quantile_cont(perplexity, 0.75) AS e3 FROM pp),
+         b AS (SELECT pp.*,
+             1 + (CASE WHEN perplexity > e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN perplexity > e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN perplexity > e3 THEN 1 ELSE 0 END) AS q
+           FROM pp, ed)
+         SELECT doc_id, n_tokens, avg_logp, perplexity,
+           CASE WHEN q = 1 THEN 'head' WHEN q = 4 THEN 'tail'
+                ELSE 'middle' END AS band
+         FROM b
+         WHERE CASE WHEN q = 1 THEN TRUE
+                    WHEN q = 4 THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                    ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000' END""",
+    "q124_source_overlap" ->
+      """WITH tok AS (SELECT source,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         sh AS (SELECT source, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END AS s
+           FROM tok),
+         ss AS (SELECT DISTINCT source, g
+           FROM (SELECT source, unnest(s) AS g FROM sh)),
+         sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+         cm AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+           FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+         FROM cm
+         JOIN sz sa ON cm.source_a = sa.source
+         JOIN sz sb ON cm.source_b = sb.source""",
+    "q126_token_budget" ->
+      """WITH tok AS (SELECT source,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         cnt AS (SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens_avail
+           FROM tok GROUP BY source),
+         w AS (SELECT source, n_tokens_avail,
+             ROUND(pow(CAST(n_tokens_avail AS DOUBLE), 0.7) /
+               (SELECT SUM(pow(CAST(n_tokens_avail AS DOUBLE), 0.7)) FROM cnt), 6) AS weight
+           FROM cnt),
+         base AS (SELECT source, n_tokens_avail, weight,
+             weight * 54000 AS raw, n_tokens_avail * 2.0 AS cap FROM w),
+         pools AS (SELECT
+             SUM(CASE WHEN raw > cap THEN raw - cap ELSE 0 END) AS surplus,
+             SUM(CASE WHEN raw > cap THEN 0 ELSE weight END) AS free_w FROM base)
+         SELECT source, n_tokens_avail, weight,
+           CAST(FLOOR(CASE WHEN raw > cap THEN cap
+                ELSE LEAST(raw + CASE WHEN free_w > 0 THEN surplus * weight / free_w ELSE 0 END, cap) END) AS BIGINT) AS alloc_tokens,
+           ROUND(CAST(FLOOR(CASE WHEN raw > cap THEN cap
+                ELSE LEAST(raw + CASE WHEN free_w > 0 THEN surplus * weight / free_w ELSE 0 END, cap) END) AS DOUBLE) / n_tokens_avail, 4) AS epochs,
+           raw > cap AS capped
+         FROM base, pools"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-
