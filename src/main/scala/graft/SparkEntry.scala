@@ -1196,7 +1196,49 @@ object SparkEntry {
       graft.text.Budget.planFromCorpus(
         t(s, dir, "documents"), "source", "text",
         totalBudget = 54000L, temperature = 0.7, maxEpochs = 2.0)
-        .orderBy("source"))
+        .orderBy("source")),
+    "q127_incremental_dedup" -> ((s, dir) => {
+      // daily-increment lifecycle: batch1 (doc_id < 250) seeds the
+      // fingerprint store, batch2 dedupes against history + itself;
+      // output = batch2 survivors (oracle: an anti-join on batch1's
+      // distinct fingerprints + first-occurrence within batch2)
+      val docs = t(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-incdedup").toString + "/fp_store"
+      graft.dedup.Incremental.dedupAndIngest(s,
+        docs.filter(col("doc_id") < 250), "doc_id", "text", store, "batch1")
+      graft.dedup.Incremental.newDocuments(s,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", store)
+        .orderBy("doc_id")
+    }),
+    "q128_fineweb_funnel" -> ((s, dir) => {
+      // FineWeb preset funnel over the q120 page derivation (mixed C4
+      // verdicts), per-source accounting
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(".")))
+          .when(col("doc_id") % 3 === 1,
+            regexp_replace(col("text"), " the ", ".\n"))
+          .otherwise(col("text")).as("text"))
+      graft.text.Pipelines.finewebFunnel(pages, "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+    "q129_ngram_novelty" -> ((s, dir) =>
+      graft.text.CorpusStats.ngramNovelty(
+        t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+    "q130_zipf_slope" -> ((s, dir) =>
+      graft.text.CorpusStats.zipfSlope(
+        t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+    "q131_bigram_lm_score" -> ((s, dir) => {
+      // the q109 LM split, one n-gram order up: bigram+unigram
+      // interpolated scoring of the held-out half
+      val docs = t(s, dir, "documents")
+      graft.text.NgramLm.bigramScore(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        docs.filter(col("doc_id") < 250), minCount = 2, lambda = 0.7)
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -2678,7 +2720,135 @@ object SparkEntry {
            ROUND(CAST(FLOOR(CASE WHEN raw > cap THEN cap
                 ELSE LEAST(raw + CASE WHEN free_w > 0 THEN surplus * weight / free_w ELSE 0 END, cap) END) AS DOUBLE) / n_tokens_avail, 4) AS epochs,
            raw > cap AS capped
-         FROM base, pools"""
+         FROM base, pools""",
+    "q127_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         b1 AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         b2 AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250),
+         k AS (SELECT MIN(doc_id) AS doc_id FROM b2
+               WHERE fp NOT IN (SELECT fp FROM b1) GROUP BY fp)
+         SELECT d.* FROM documents d JOIN k USING (doc_id)""",
+    "q128_fineweb_funnel" -> {
+      def ratio(l: String): String = {
+        val sw = Text.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / GREATEST(len(toks), 1)"
+      }
+      s"""WITH pages AS (SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN text || '.'
+                  WHEN doc_id % 3 = 1 THEN regexp_replace(text, ' the ', '.' || chr(10), 'g')
+                  ELSE text END AS text
+           FROM documents),
+         c4 AS (SELECT doc_id, source, text,
+             COALESCE(array_to_string(
+               list_filter(string_split(text, chr(10)), l ->
+                 regexp_matches(trim(l), '[.!?"'']$$') AND
+                 len(string_split_regex(trim(l), '\\s+')) >= 5 AND
+                 NOT contains(lower(l), 'javascript')),
+               chr(10)), '') AS c4_text
+           FROM pages),
+         c AS (SELECT doc_id, source, c4_text,
+             (length(regexp_replace(c4_text, '[^.!?]', '', 'g')) >= 3 AND
+              NOT contains(lower(text), 'lorem ipsum') AND
+              NOT contains(text, '{')) AS c4_pass,
+             list_filter(string_split_regex(lower(trim(c4_text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+           FROM c4),
+         q AS (SELECT *, (c4_pass AND len(toks) >= 5 AND
+             CAST(length(regexp_replace(c4_text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(c4_text), 1) <= 0.3) AS quality_pass
+           FROM c),
+         l AS (SELECT *, (quality_pass AND (CASE
+             WHEN ${ratio("fr")} > 0 AND ${ratio("fr")} >= ${ratio("es")} AND ${ratio("fr")} >= ${ratio("en")} AND ${ratio("fr")} >= ${ratio("de")} THEN 'fr'
+             WHEN ${ratio("es")} > 0 AND ${ratio("es")} >= ${ratio("en")} AND ${ratio("es")} >= ${ratio("de")} THEN 'es'
+             WHEN ${ratio("en")} > 0 AND ${ratio("en")} >= ${ratio("de")} THEN 'en'
+             WHEN ${ratio("de")} > 0 THEN 'de'
+             ELSE 'und' END) = 'en') AS lang_pass,
+             md5(regexp_replace(lower(trim(c4_text)), '\\s+', ' ', 'g')) AS fp,
+             (len(regexp_extract_all(c4_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(c4_text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+              + len(regexp_extract_all(c4_text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0) AS pii_hit
+           FROM q),
+         kp AS (SELECT fp, MIN(doc_id) AS keeper FROM l
+                WHERE lang_pass GROUP BY fp),
+         a AS (SELECT l.*, (l.lang_pass AND l.doc_id = kp.keeper) AS kept
+               FROM l LEFT JOIN kp ON l.fp = kp.fp)
+         SELECT source, COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN c4_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+           CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN lang_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept AND pii_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_kept
+         FROM a GROUP BY source"""
+    },
+    "q129_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END AS s
+           FROM tok),
+         ds AS (SELECT DISTINCT doc_id, g
+           FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+         fs AS (SELECT g, MIN(doc_id) AS first FROM ds GROUP BY g)
+         SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN doc_id = first THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN doc_id = first THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS novelty
+         FROM ds JOIN fs USING (g) GROUP BY doc_id""",
+    "q130_zipf_slope" ->
+      """WITH tok AS (SELECT source,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         tf AS (SELECT source, term, COUNT(*) AS f
+           FROM (SELECT source, unnest(toks) AS term FROM tok)
+           GROUP BY source, term),
+         rk AS (SELECT source, term, f,
+             row_number() OVER (PARTITION BY source ORDER BY f DESC, term ASC) AS r
+           FROM tf),
+         lg AS (SELECT source, f, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+           FROM rk)
+         SELECT source, COUNT(*) AS n_terms, CAST(SUM(f) AS BIGINT) AS n_tokens,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+                 (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 4) AS zipf_slope
+         FROM lg GROUP BY source""",
+    "q131_bigram_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         ref AS (SELECT doc_id, toks FROM tok WHERE doc_id < 250),
+         refsh AS (SELECT CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS s
+           FROM ref),
+         bgc AS (SELECT g AS bigram, COUNT(*) AS c12
+           FROM (SELECT unnest(s) AS g FROM refsh)
+           WHERE contains(g, ' ') GROUP BY g HAVING COUNT(*) >= 2),
+         c1 AS (SELECT term AS w1, COUNT(*) AS c1n
+           FROM (SELECT unnest(toks) AS term FROM ref) GROUP BY 1),
+         pb AS (SELECT bigram, CAST(c12 AS DOUBLE) / c1n AS p_big
+           FROM bgc JOIN c1 ON split_part(bigram, ' ', 1) = w1),
+         vocab AS (SELECT term, COUNT(*) AS tf
+           FROM (SELECT unnest(toks) AS term FROM ref)
+           GROUP BY term HAVING COUNT(*) >= 2),
+         uni AS (SELECT term AS w2,
+             CAST(tf AS DOUBLE) / (SELECT SUM(tf) FROM vocab) AS p_uni
+           FROM vocab),
+         d AS (SELECT doc_id, toks FROM tok WHERE doc_id >= 250 AND len(toks) >= 2),
+         dsh AS (SELECT doc_id,
+             unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS bigram
+           FROM d),
+         sc AS (SELECT doc_id,
+             0.7 * COALESCE(p_big, 0) + (1.0 - 0.7) * COALESCE(p_uni, 0) AS p
+           FROM dsh
+           LEFT JOIN pb USING (bigram)
+           LEFT JOIN uni ON split_part(bigram, ' ', 2) = w2)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(CASE WHEN p > 0 THEN ln(p) ELSE -20.0 END), 4) AS avg_logp
+         FROM sc GROUP BY doc_id"""
   )
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-

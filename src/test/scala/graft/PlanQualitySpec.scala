@@ -193,4 +193,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("q122: url dedup window is keyed on url_norm, never a global window") {
+    val plan = SparkEntry.queries("q122_url_curation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the row_number must partition by the normalized URL — a global
+    // (empty-key) window would single-partition the corpus
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("hashpartitioning(url_norm"), plan)
+  }
+
+  test("q124: source-overlap pairing is a shingle equi-join, never a cross join") {
+    val plan = SparkEntry.queries("q124_source_overlap")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q127: incremental dedup anti-join reads only fingerprint from the store") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-plan-inc").toString + "/store"
+    graft.dedup.Incremental.dedupAndIngest(spark,
+      docs.filter(col("doc_id") < 100), "doc_id", "text", store, "b1")
+    val plan = graft.dedup.Incremental.newDocuments(spark,
+      docs.filter(col("doc_id") >= 100), "doc_id", "text", store)
+      .queryExecution.executedPlan.toString
+    // column pruning: the store side of the anti-join must not read id
+    // or batch_id — at 100 TB the store scan is the fingerprint column
+    val storeScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("fp_bucket"))
+      .toList
+    assert(storeScans.nonEmpty, s"no store scan found:\n$plan")
+    storeScans.foreach { l =>
+      assert(l.contains("fingerprint") && !l.contains("batch_id"),
+        s"store scan reads more than the fingerprint:\n$l")
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q128: fineweb funnel is projection + one keeper groupBy, no window") {
+    val plan = SparkEntry.queries("q128_fineweb_funnel")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
