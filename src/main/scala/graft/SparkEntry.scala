@@ -1122,8 +1122,14 @@ object SparkEntry {
         (col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.1f)).as("embedding"),
         col("label"))
+      // maxClusterSize 512: with fixed nClusters the per-cluster
+      // population grows linearly with the corpus and the pair join
+      // quadratically — the cap sub-blocks oversized clusters so pair
+      // work stays linear in n (round-7 ladder: 8.4 s → 108 s at 10×
+      // uncapped; the documented recall trade of the cap)
       graft.dedup.SemDedup.semDedup(base.unionByName(clones),
-        "vec_id", "embedding", nClusters = 8, tau = 0.9)
+        "vec_id", "embedding", nClusters = 8, tau = 0.9,
+        maxClusterSize = 512)
         .orderBy("id")
     }),
     "q122_url_curation" -> ((s, dir) => {

@@ -112,6 +112,35 @@ object SqlFunctions {
     "graft_normalize_text" -> { es: Seq[Expression] =>
       arity("graft_normalize_text", es, 1)
       x(graft.text.Scrub.normalizeText(c(es.head)))
+    },
+    "graft_url_normalize" -> { es: Seq[Expression] =>
+      arity("graft_url_normalize", es, 1)
+      x(graft.text.Urls.normalize(c(es.head)))
+    },
+    "graft_url_host" -> { es: Seq[Expression] =>
+      arity("graft_url_host", es, 1)
+      x(graft.text.Urls.host(graft.text.Urls.normalize(c(es.head))))
+    },
+    "graft_url_domain" -> { es: Seq[Expression] =>
+      arity("graft_url_domain", es, 1)
+      x(graft.text.Urls.registeredDomain(
+        graft.text.Urls.host(graft.text.Urls.normalize(c(es.head)))))
+    },
+    "graft_c4_clean" -> { es: Seq[Expression] =>
+      arity("graft_c4_clean", es, 2)
+      x(graft.text.C4.cleanLines(c(es.head), intArg(es(1), "graft_c4_clean")))
+    },
+    "graft_sentence_count" -> { es: Seq[Expression] =>
+      arity("graft_sentence_count", es, 1)
+      x(graft.text.C4.sentenceCount(c(es.head)))
+    },
+    "graft_has_pii" -> { es: Seq[Expression] =>
+      arity("graft_has_pii", es, 1)
+      x(graft.text.Scrub.hasPii(c(es.head)))
+    },
+    "graft_perplexity" -> { es: Seq[Expression] =>
+      arity("graft_perplexity", es, 1)
+      x(graft.text.Ccnet.perplexity(c(es.head)))
     })
 
   /** Register every graft SQL function on a live session (idempotent —

@@ -44,11 +44,28 @@ object Pq {
   private def toD(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** L2-unit-normalize an array<double> column (zero vectors pass
-    * through unscaled rather than dividing by zero). */
+    * through unscaled rather than dividing by zero).
+    *
+    * PERF: the norm sub-expression is re-evaluated per ELEMENT of the
+    * transform (interpreted HOFs get no CSE), making this O(d²) per
+    * row — fine on a per-input projection (once per corpus row), a
+    * disaster inside a join's output projection (once per candidate
+    * PAIR; the round-7 triage measured 58 s of a 63 s ADC scan in
+    * exactly that mistake). Callers below normalize on the SMALL
+    * per-row projections and feed already-unit vectors to the raw ADC
+    * kernel. */
   def unitize(vec: Column): Column = {
     val norm = sqrt(aggregate(vec, lit(0.0), (a, x) => a + x * x))
     transform(vec, x => when(norm > 0.0, x / norm).otherwise(x))
   }
+
+  /** ADC on an ALREADY-normalized query vector — the hot-path form
+    * evaluated once per (query, candidate) pair. */
+  private def adcCosineRaw(unitQueryVec: Column, code: Column,
+                           books: Codebooks): Column =
+    lit(1.0) - GraftExprBridge.toColumn(PqAdcExpr(
+      GraftExprBridge.toExpression(unitQueryVec),
+      GraftExprBridge.toExpression(code), books)) / 2.0
 
   /** Per-subspace codebooks from a bounded hash-ordered sample of the
     * (normalized) refs: m sequential MLlib k-means fits over dim
@@ -56,28 +73,91 @@ object Pq {
     * to draw it, never per subspace. `dim` must divide evenly by `m`. */
   def fitCodebooks(refs: DataFrame, idCol: String, vecCol: String,
                    m: Int = 8, k: Int = 16, seed: Long = 42L): Codebooks = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(m >= 1 && k >= 2 && k <= 256,
       s"need m >= 1 and 2 <= k <= 256, got m=$m k=$k")
     val v = refs.select(col(idCol).cast("long").as("id"),
       unitize(toD(col(vecCol))).as("vec"))
-    val dim = v.select(size(col("vec")).as("d")).head().getInt(0)
+    // ONE corpus pass draws the bounded sample; the m Lloyd's fits run
+    // driver-local over it (≤ 10240 × d doubles ≈ 5 MB at d=64 —
+    // metadata-sized, the BPE-merge-loop precedent: re-running tiny
+    // sequential fits as Spark jobs only buys scheduler latency — the
+    // round-7 triage measured 16 MLlib fits at ~20 s vs <0.5 s local)
+    val sample = v.orderBy(hash(col("id"), lit(seed.toInt)), col("id"))
+      .limit(math.max(10000, k * 256))
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "fitCodebooks: empty refs")
+    val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide evenly into $m subspaces")
     val sub = dim / m
-    val sample = v.orderBy(hash(col("id"), lit(seed.toInt)), col("id"))
-      .limit(math.max(10000, k * 256)).persist()
-    try {
-      sample.count() // materialize once; m fits read the cached sample
-      (0 until m).map { j =>
-        val sl = sample.select(
-          array_to_vector(slice(col("vec"), j * sub + 1, sub)).as("__vec"))
-        new KMeans().setK(k).setSeed(seed + j)
-          .setFeaturesCol("__vec").setPredictionCol("__c")
-          .fit(sl).clusterCenters
-          .map(_.toArray.toIndexedSeq).toIndexedSeq
-      }.toIndexedSeq
-    } finally { sample.unpersist(); () }
+    (0 until m).map { j =>
+      val sl = sample.map(row => java.util.Arrays.copyOfRange(row, j * sub, (j + 1) * sub))
+      localKMeans(sl, k, seed + j).map(_.toIndexedSeq).toIndexedSeq
+    }.toIndexedSeq
+  }
+
+  /** Seeded Lloyd's over a driver-local sample: k-means++-style spread
+    * init (farthest-point by hash-seeded first pick), 20 iterations,
+    * empty clusters re-seeded deterministically. */
+  private def localKMeans(points: Array[Array[Double]], k: Int,
+                          seed: Long, iters: Int = 20): Array[Array[Double]] = {
+    val n = points.length
+    val d = points.head.length
+    val rnd = new scala.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // greedy farthest-point init (deterministic; no weighted draws)
+    val cents = Array.ofDim[Double](k, d)
+    cents(0) = points(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var far = 0; var farD = -1.0; var i = 0
+      while (i < n) {
+        val dd = math.min(minD(i), dist2(points(i), cents(c - 1)))
+        minD(i) = dd
+        if (dd > farD) { farD = dd; far = i }
+        i += 1
+      }
+      cents(c) = points(far).clone()
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < k) {
+          val dd = dist2(points(i), cents(j))
+          if (dd < bestD) { bestD = dd; best = j }
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var x = 0
+        while (x < d) { sums(a)(x) += points(i)(x); x += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var x = 0
+          while (x < d) { cents(j)(x) = sums(j)(x) / counts(j); x += 1 }
+        } else cents(j) = points(rnd.nextInt(n)).clone() // re-seed empty
+        j += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Encode a vector column to its m-code array (normalizes first —
@@ -116,7 +196,7 @@ object Pq {
     q.crossJoin(codes)
       .filter(col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
-        round(adcCosine(col("__qv"), col("pq_code"), books), 6)
+        round(adcCosineRaw(col("__qv"), col("pq_code"), books), 6)
           .as("pq_similarity"))
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
@@ -179,7 +259,7 @@ object Pq {
     qCells.join(rCells, Seq("__cell"))
       .filter(col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
-        round(adcCosine(col("__qv"), col("pq_code"), books), 6)
+        round(adcCosineRaw(col("__qv"), col("pq_code"), books), 6)
           .as("pq_similarity"))
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)

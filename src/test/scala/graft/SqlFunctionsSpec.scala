@@ -69,6 +69,26 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(4) && !r.getBoolean(5))
   }
 
+  test("round-7 SQL functions: url/c4/pii/perplexity scalars") {
+    SqlFunctions.install(spark)
+    val r = spark.sql(
+      """SELECT graft_url_normalize('https://www.Ex.COM/a/b?q=1#f') AS u,
+         graft_url_host('https://www.Ex.COM/a/b') AS h,
+         graft_url_domain('https://sub.ex.com/a') AS d,
+         graft_c4_clean(concat('Good sentence with enough words here.',
+                               chr(10), 'bad line'), 5) AS c4,
+         graft_sentence_count('One. Two! Three?') AS sc,
+         graft_has_pii('reach a@b.co now') AS pii,
+         graft_perplexity(-2.0) AS pp""").head()
+    assert(r.getString(0) == "ex.com/a/b")
+    assert(r.getString(1) == "ex.com")
+    assert(r.getString(2) == "ex.com")
+    assert(r.getString(3) == "Good sentence with enough words here.")
+    assert(r.getLong(4) == 3L)
+    assert(r.getBoolean(5))
+    assert(math.abs(r.getDouble(6) - math.exp(2.0)) < 1e-3)
+  }
+
   test("non-literal signature width is rejected with a clear error") {
     SqlFunctions.install(spark)
     val e = intercept[Exception] {
