@@ -64,8 +64,12 @@ object Urls {
     val annotated = df.select(
       col(idCol), col(urlCol),
       norm.as("url_norm"), h.as("domain"), reg.as("reg_domain"),
+      // coalesce: a NULL url yields NULL reg_domain — that's "not on
+      // the blocklist", not an unknown verdict (a null here would
+      // poison downstream `!blocked` keeps)
       (if (blockedDomains.isEmpty) lit(false)
-       else reg.isInCollection(blockedDomains)).as("blocked"))
+       else coalesce(reg.isInCollection(blockedDomains), lit(false)))
+        .as("blocked"))
     annotated.withColumn("url_rank",
       row_number().over(
         Window.partitionBy(col("url_norm")).orderBy(col(idCol)))

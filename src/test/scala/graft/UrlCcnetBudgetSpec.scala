@@ -127,6 +127,32 @@ class UrlCcnetBudgetSpec extends SparkSpec {
     assert(tight.toSet == Set(("big", 2000L, true), ("small", 200L, true)))
   }
 
+  test("ccnet curate end-to-end: head of the held-out half survives whole") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val out = Ccnet.curate(docs.filter(col("doc_id") >= 250),
+      docs.filter(col("doc_id") < 250), "doc_id", "text", minCount = 2)
+    val byBand = out.groupBy("band").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // head quartile fully kept; tail mostly dropped; schema carries the
+    // ladder columns
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "avg_logp", "perplexity", "band"))
+    assert(byBand.getOrElse("head", 0L) > byBand.getOrElse("tail", 0L))
+    // re-run identical (deterministic draw)
+    assert(out.count() == Ccnet.curate(docs.filter(col("doc_id") >= 250),
+      docs.filter(col("doc_id") < 250), "doc_id", "text", minCount = 2).count())
+  }
+
+  test("url annotate: null url rows keep their verdict row (nothing crashes)") {
+    val docs = Seq((1L, "https://ok.com/a"), (2L, null))
+      .toDF("doc_id", "url")
+    val out = Urls.annotate(docs, "doc_id", "url", Seq("bad.com"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(1).isNullAt(2), "null url → null url_norm, row retained")
+    assert(!out(1).getBoolean(5), "null url is not 'blocked'")
+  }
+
   test("planFromCorpus: temperature weights sum to ~1 and epochs respect the cap") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
     val plan = Budget.planFromCorpus(docs, "source", "text",
