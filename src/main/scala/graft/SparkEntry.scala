@@ -1244,6 +1244,69 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), "doc_id", "text",
         docs.filter(col("doc_id") < 250), minCount = 2, lambda = 0.7)
         .orderBy("doc_id")
+    }),
+    "q132_asof_join" -> ((s, dir) => {
+      // each purchase matched to the user's most recent prior click —
+      // the "state at event time" join (pandas merge_asof / DuckDB
+      // ASOF JOIN), one shuffle + window, no pair blow-up
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id")) // unique per (key, ts)
+      graft.views.Joins.asofJoin(purchases, clicks, "user_id", "ts",
+        payload = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"),
+          // no-prior-click ⇒ NULLs; sentinel-coalesced ONLY for the
+          // cross-engine hash compare (NaT != NaT in the harness)
+          coalesce(col("asof_ts"), to_timestamp(lit("1970-01-01"))).as("asof_ts"),
+          coalesce(col("asof_click_id"), lit(-1L)).as("asof_click_id"))
+    }),
+    "q133_band_join" -> ((s, dir) => {
+      // errors in the 10 minutes before each purchase (same user):
+      // binned range join — equi-join on (key, time bucket), never a
+      // BroadcastNestedLoop/cartesian
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val e = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      val pairs = graft.views.Joins.bandJoin(p, e, "user_id", "ts",
+        lowSec = -600, highSec = 0, leftPrefix = "p_", rightPrefix = "e_")
+      val perPurchase = pairs.groupBy(col("p_event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_err"), dsum(col("e_value")).as("err_sum"))
+      p.select("event_id").join(perPurchase, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"),
+          coalesce(col("err_sum"), lit(0.0)).as("err_sum"))
+    }),
+    "q134_dsir_weights" -> ((s, dir) => {
+      // DSIR: per-doc target-vs-raw log-likelihood ratio under hashed
+      // n-gram LMs; target = three curated sources, raw = whole corpus
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.importanceWeights(
+        docs, docs.filter(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text")
+    }),
+    "q135_dsir_select" -> ((s, dir) => {
+      // keep the most target-like quarter: exact-percentile threshold
+      // (one aggregate) + filter — no global sort at any scale
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.selectTopFraction(
+        docs, docs.filter(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text", fraction = 0.25)
+    }),
+    "q136_doremi_mixture" -> ((s, dir) => {
+      // DoReMi inner loop: domain excess losses → multiplicative-weights
+      // mixture (k-domain metadata iteration, corpus touched once)
+      val ex = t(s, dir, "documents")
+        .groupBy(col("source").as("domain"))
+        .agg((avg(col("n_chars")) / 1000.0).as("excess"))
+      graft.text.Doremi.weights(ex, "domain", "excess",
+        eta = 1.0, steps = 5, smoothing = 0.01)
+        .select(col("domain"), round(col("weight"), 6).as("weight"))
     })
   )
 
@@ -2854,8 +2917,61 @@ object SparkEntry {
            LEFT JOIN uni ON split_part(bigram, ' ', 2) = w2)
          SELECT doc_id, COUNT(*) AS n_bigrams,
            ROUND(AVG(CASE WHEN p > 0 THEN ln(p) ELSE -20.0 END), 4) AS avg_logp
-         FROM sc GROUP BY doc_id"""
+         FROM sc GROUP BY doc_id""",
+    "q132_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         p AS (SELECT event_id, user_id, ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, ROUND(p.value, 4) AS value,
+           COALESCE(c.ts, TIMESTAMP '1970-01-01') AS asof_ts,
+           COALESCE(c.click_id, -1) AS asof_click_id
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q133_band_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id,
+           COUNT(e.ts) AS n_err,
+           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS err_sum
+         FROM p LEFT JOIN events e
+           ON e.user_id = p.user_id AND e.event_type = 'error'
+           AND e.ts BETWEEN p.ts - INTERVAL 600 SECOND AND p.ts
+         GROUP BY p.event_id""",
+    "q134_dsir_weights" -> dsirWeightsSql,
+    "q135_dsir_select" ->
+      s"""WITH w AS ($dsirWeightsSql)
+         SELECT * FROM w
+         WHERE dsir_weight >= (SELECT quantile_cont(dsir_weight, 0.75) FROM w)""",
+    "q136_doremi_mixture" -> graft.text.Doremi.oracleSql(
+      "SELECT source AS domain, AVG(n_chars) / 1000.0 AS excess FROM documents GROUP BY source",
+      eta = 1.0, steps = 5, smoothing = 0.01)
   )
+
+  /** DSIR per-doc importance weights in portable SQL: unigram+bigram
+    * bag, 16-bit md5 hex buckets, add-one smoothing — bit-identical to
+    * [[graft.text.Dsir.importanceWeights]]. */
+  private val dsirWeightsSql: String =
+    """WITH tok AS (SELECT doc_id, source,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> length(x) > 0) AS t
+         FROM documents),
+       ng AS (SELECT doc_id, source, unnest(
+           CASE WHEN len(t) < 2 THEN t
+                ELSE t || [t[i] || ' ' || t[i+1] for i in range(1, len(t))] END) AS g
+         FROM tok),
+       bk AS (SELECT doc_id, source, substr(md5(g), 1, 4) AS b FROM ng),
+       rcnt AS (SELECT b, COUNT(*) AS cr FROM bk GROUP BY b),
+       tcnt AS (SELECT b, COUNT(*) AS ct FROM bk
+         WHERE source IN ('src0', 'src1', 'src2') GROUP BY b),
+       tot AS (SELECT (SELECT SUM(cr) FROM rcnt) AS nr,
+                      (SELECT COALESCE(SUM(ct), 0) FROM tcnt) AS nt),
+       llr AS (SELECT b,
+           ln((COALESCE(ct, 0) + 1.0) / (nt + 65536.0)) -
+           ln((cr + 1.0) / (nr + 65536.0)) AS w
+         FROM rcnt LEFT JOIN tcnt USING (b), tot)
+       SELECT doc_id, COUNT(*) AS n_ngrams, ROUND(AVG(w), 4) AS dsir_weight
+       FROM bk JOIN llr USING (b) GROUP BY doc_id"""
 
   /** Shared oracle CTEs for the tag-catalog queries: the pseudo-
     * descriptor stack + the [[graft.functions.TagCatalog.propertyRules]]
