@@ -1307,6 +1307,15 @@ object SparkEntry {
       graft.text.Doremi.weights(ex, "domain", "excess",
         eta = 1.0, steps = 5, smoothing = 0.01)
         .select(col("domain"), round(col("weight"), 6).as("weight"))
+    }),
+    "q137_unigram_tokenize" -> ((s, dir) => {
+      // SentencePiece-unigram lifecycle (rows-only like q111's BPE: the
+      // vocabulary is a learned artifact): train, re-encode the corpus
+      val docs = t(s, dir, "documents")
+      val vocab = graft.text.Unigram.train(docs, "text", vocabSize = 256,
+        maxPieceLen = 6, emRounds = 3)
+      docs.select(col("doc_id"),
+        graft.text.Unigram.tokenCount(col("text"), vocab).as("n_unigram_tokens"))
     })
   )
 
