@@ -1316,7 +1316,33 @@ object SparkEntry {
         maxPieceLen = 6, emRounds = 3)
       docs.select(col("doc_id"),
         graft.text.Unigram.tokenCount(col("text"), vocab).as("n_unigram_tokens"))
-    })
+    }),
+    "q138_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (1h idle) + per-session rollup: one
+      // shuffle on the user, lag/cumsum inside the sorted partition
+      val sess = graft.operators.Events.sessionize(
+        t(s, dir, "events"), "user_id", "ts", gapSec = 3600)
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+            .cast("long").as("duration_sec"),
+          dsum(col("value")).as("value_sum"))
+    }),
+    "q139_rolling_window" -> ((s, dir) => {
+      // trailing-1h per-user rolling features: RANGE window over epoch
+      // micros — partition-local, never an event self-join
+      val ev = t(s, dir, "events")
+        .withColumn("value_d", col("value").cast(DecimalType(18, 2)))
+      graft.operators.Events.rollingWindow(ev, "user_id", "ts", "value_d", 3600)
+        .select(col("event_id"), col("rolling_n"),
+          col("rolling_sum").cast("double").as("rolling_sum"))
+    }),
+    "q140_funnel" -> ((s, dir) =>
+      // ordered signup→click→purchase funnel, 7-day journey horizon:
+      // k entity-keyed aggregates, no event-table self-join
+      graft.operators.Events.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"),
+        withinSec = Some(604800L)))
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -2954,7 +2980,45 @@ object SparkEntry {
          WHERE dsir_weight >= (SELECT quantile_cont(dsir_weight, 0.75) FROM w)""",
     "q136_doremi_mixture" -> graft.text.Doremi.oracleSql(
       "SELECT source AS domain, AVG(n_chars) / 1000.0 AS excess FROM documents GROUP BY source",
-      eta = 1.0, steps = 5, smoothing = 0.01)
+      eta = 1.0, steps = 5, smoothing = 0.01),
+    "q138_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS nw
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts, value,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+           FROM o)
+         SELECT user_id, session_idx, COUNT(*) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM s GROUP BY user_id, session_idx""",
+    "q139_rolling_window" ->
+      """SELECT event_id,
+           COUNT(*) OVER w AS rolling_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q140_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t0
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND epoch_us(e.ts) <= epoch_us(s2.t0) + 604800000000
+           GROUP BY e.user_id)
+         SELECT 1 AS step, 'signup' AS step_name,
+           (SELECT COUNT(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

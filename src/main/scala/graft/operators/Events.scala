@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Batch event-stream analytics: sessionization, rolling time windows,
+  * ordered funnels. The streaming forms live in
+  * [[graft.streaming.Streaming]] (session_window + watermark); these are
+  * their batch/backfill counterparts — the shapes an event warehouse
+  * needs when replaying history instead of tailing a stream.
+  *
+  * Scale notes (100 TB of events): every operator here shuffles ONCE on
+  * the entity key and works inside per-key sorted partitions (windows)
+  * or per-key aggregates (funnel steps) — no self-joins over the event
+  * table, no global windows, no driver state.
+  */
+object Events {
+
+  private def ltzTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
+
+  /** Gap-based sessionization: a new session starts when the entity is
+    * idle longer than `gapSec`. Adds `session_idx` (0-based per entity,
+    * ordered by time). One shuffle on `userCol`; the lag/cumsum pair is
+    * partition-local. Ties at equal ts break by the tie columns given
+    * (default none — equal-ts rows stay in one session anyway since
+    * their gap is 0). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapSec: Long): DataFrame = {
+    val ev = ltzTs(events, tsCol)
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc)
+    val gap = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    ev.withColumn("__new", when(gap.isNull || gap > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__new")
+  }
+
+  /** Per-session rollup: event count, span seconds, value sum.
+    * (userCol, session_idx, n_events, duration_sec, value_sum). */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   gapSec: Long, valueCol: String): DataFrame =
+    sessionize(events, userCol, tsCol, gapSec)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))) / 1000000L)
+          .as("duration_sec"),
+        sum(col(valueCol)).as("value_sum"))
+
+  /** Rolling time-window features: for every event, the count and sum of
+    * `valueCol` over that entity's trailing `[ts − windowSec, ts]`
+    * window (inclusive both ends; equal-ts rows are frame peers). A
+    * RANGE window over epoch-micros — partition-local after the one
+    * shuffle, never a self-join. */
+  def rollingWindow(events: DataFrame, userCol: String, tsCol: String,
+                    valueCol: String, windowSec: Long): DataFrame = {
+    val ev = ltzTs(events, tsCol)
+    val w = Window.partitionBy(userCol).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    ev.withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("rolling_sum", sum(col(valueCol)).over(w))
+  }
+
+  /** Ordered funnel: per entity, the first time each step's event type
+    * occurs STRICTLY AFTER the previous step's first occurrence;
+    * `withinSec` (optional) additionally requires the whole journey to
+    * fit in a window after step 1. Returns one row per step:
+    * (step, step_name, n_users) with n_users monotonically non-increasing.
+    *
+    * k steps cost k entity-keyed aggregates + (k−1) entity-keyed joins —
+    * each bounded by distinct-entity cardinality after the first
+    * aggregate, never an event-table self-join. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             withinSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty)
+    val ev = ltzTs(events, tsCol).select(col(userCol), col(tsCol), col(typeCol))
+    val spark = events.sparkSession
+    import spark.implicits._
+    // step 1: first occurrence per user; each stage is persisted so the
+    // per-step counts don't recompute the whole prefix chain (O(k²) scans)
+    var reached = ev.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(col(tsCol)).as("__t"))
+      .withColumn("__t0", col("__t"))
+      .persist()
+    val stages = scala.collection.mutable.ArrayBuffer(reached)
+    var out = Seq((1, steps.head, reached.count()))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val horizon = withinSec.map(sec =>
+        unix_micros(col(tsCol)) <= unix_micros(col("__t0")) + sec * 1000000L)
+        .getOrElse(lit(true))
+      reached = ev.filter(col(typeCol) === s)
+        .join(reached.select(col(userCol), col("__t"), col("__t0")), Seq(userCol))
+        .filter(col(tsCol) > col("__t") && horizon)
+        .groupBy(userCol).agg(min(col(tsCol)).as("__t"), min(col("__t0")).as("__t0"))
+        .persist()
+      stages += reached
+      out = out :+ ((i + 1, s, reached.count()))
+    }
+    stages.foreach(_.unpersist())
+    out.toDF("step", "step_name", "n_users")
+  }
+}
