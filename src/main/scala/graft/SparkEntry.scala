@@ -1342,7 +1342,45 @@ object SparkEntry {
       // k entity-keyed aggregates, no event-table self-join
       graft.operators.Events.funnel(t(s, dir, "events"), "user_id", "ts",
         "event_type", Seq("signup", "click", "purchase"),
-        withinSec = Some(604800L)))
+        withinSec = Some(604800L))),
+    "q141_pagerank" -> ((s, dir) => {
+      // centrality over the q39 proximity graph: per-iteration = one
+      // src-keyed join + one dst groupBy, rank state never on the driver
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5, "euclidean", 64)
+      val edges = graft.proximity.Analytics
+        .proximityGraph(nn, minEdges = 2, extraThreshold = 0.8)
+        .select("src", "dst")
+      graft.proximity.Graph.pageRank(edges, iters = 5, damping = 0.85)
+        .select(col("id"), round(col("pr"), 6).as("pagerank"))
+    }),
+    "q142_resample_ffill" -> ((s, dir) => {
+      // hourly per-user grid over purchase values, forward-filled via
+      // the as-of kernel; grid slots before the first purchase stay
+      // NULL → sentinel-coalesced for the cross-engine compare
+      val obs = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      graft.operators.Events.resampleFfill(obs, "user_id", "ts", "value", 3600)
+        .select(col("user_id"), col("ts"),
+          round(coalesce(col("asof_value"), lit(-1.0)), 4).as("value_ffill"))
+    }),
+    "q143_scd2_intervals" -> ((s, dir) => {
+      // SCD2 build: per-user coarse state from click events; intervals
+      // close at the next CHANGE (consecutive duplicates compacted)
+      val st = t(s, dir, "events").filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg((floor(max("value")) % 3).cast("long").as("state"))
+      graft.operators.Events.scd2Intervals(st, "user_id", "ts", "state")
+        .select(col("user_id"), col("state"), col("valid_from"),
+          coalesce(col("valid_to"), to_timestamp(lit("9999-12-31"))).as("valid_to"))
+    }),
+    "q144_weighted_sample" -> ((s, dir) =>
+      // deterministic A-ES weighted sample: 5 docs per source ∝ length,
+      // integer-hash draw so every engine reproduces the same sample
+      graft.operators.Sampling.weightedSamplePerGroup(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars", k = 5)
+        .select(col("source"), col("doc_id"),
+          round(col("sample_key"), 6).as("sample_key")))
   )
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
@@ -3018,7 +3056,50 @@ object SparkEntry {
          SELECT 1 AS step, 'signup' AS step_name,
            (SELECT COUNT(*) FROM s1) AS n_users
          UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
-         UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)"""
+         UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""",
+    "q141_pagerank" -> graft.proximity.Graph.pageRankOracleSql(
+      s"""WITH ${knnSql("true", "vec_id < 100", 5)},
+          mx AS (SELECT CASE WHEN MAX(distance) = 0 THEN 1.0 ELSE MAX(distance) END AS m FROM knn),
+          weighted AS (SELECT id AS src, neighbor_id AS dst,
+              1 - distance / (SELECT m FROM mx) AS weight FROM knn)
+          SELECT src, dst FROM weighted
+          QUALIFY row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) <= 2
+            OR weight > 0.8""",
+      iters = 5, damping = 0.85),
+    "q142_resample_ffill" ->
+      """WITH obs AS (SELECT user_id, ts, MAX(value) AS value
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         grid AS (SELECT user_id,
+             unnest(generate_series(
+               to_timestamp((epoch_us(MIN(ts)) // 3600000000) * 3600),
+               to_timestamp((epoch_us(MAX(ts)) // 3600000000) * 3600),
+               INTERVAL 1 HOUR)) AS ts
+           FROM obs GROUP BY user_id)
+         SELECT g.user_id, CAST(g.ts AS TIMESTAMP) AS ts,
+           ROUND(COALESCE(o.value, -1.0), 4) AS value_ffill
+         FROM grid g ASOF LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.ts >= o.ts""",
+    "q143_scd2_intervals" ->
+      """WITH st AS (SELECT user_id, ts,
+             CAST(FLOOR(MAX(value)) % 3 AS BIGINT) AS state
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         ch AS (SELECT user_id, ts, state,
+             lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM st),
+         cp AS (SELECT user_id, ts, state FROM ch
+           WHERE prev IS NULL OR prev IS DISTINCT FROM state)
+         SELECT user_id, state, ts AS valid_from,
+           COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+             TIMESTAMP '9999-12-31') AS valid_to
+         FROM cp""",
+    "q144_weighted_sample" ->
+      """SELECT source, doc_id, ROUND(sample_key, 6) AS sample_key
+         FROM (SELECT source, doc_id,
+             POW(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
+               1.0 / n_chars) AS sample_key
+           FROM documents)
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY sample_key DESC, doc_id ASC) <= 5"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

@@ -105,4 +105,45 @@ object Events {
     stages.foreach(_.unpersist())
     out.toDF("step", "step_name", "n_users")
   }
+
+  /** Regular-grid resampling with forward fill: one row per entity per
+    * `stepSec` grid slot between that entity's first and last event
+    * (grid aligned to slot-sized boundaries), carrying the most recent
+    * observed value at-or-before the slot (`asof_*` NULL before the
+    * first observation). The grid explode is per-entity metadata; the
+    * fill is [[graft.views.Joins.asofJoin]] — one shuffle, no self-join.
+    * `observations` must be unique per (entity, ts) — pre-aggregate. */
+  def resampleFfill(observations: DataFrame, userCol: String, tsCol: String,
+                    valueCol: String, stepSec: Long): DataFrame = {
+    val obs = ltzTs(observations, tsCol)
+    val step = stepSec * 1000000L
+    val grid = obs.groupBy(userCol)
+      .agg(min(unix_micros(col(tsCol))).as("__lo"),
+        max(unix_micros(col(tsCol))).as("__hi"))
+      .select(col(userCol), explode(sequence(
+        (col("__lo") / step).cast("long") * step,
+        (col("__hi") / step).cast("long") * step,
+        lit(step))).as("__gm"))
+      .select(col(userCol), timestamp_micros(col("__gm")).as(tsCol))
+    graft.views.Joins.asofJoin(grid, obs.select(col(userCol), col(tsCol), col(valueCol)),
+      userCol, tsCol, payload = Seq(valueCol))
+  }
+
+  /** SCD2 interval build from an event log: keep only CHANGE points of
+    * `stateCol` per entity (null-safe compare vs the previous event),
+    * then close each interval at the next change
+    * (`valid_from` = change ts, `valid_to` = next change ts, NULL =
+    * still current). Two same-partitioning windows → one shuffle.
+    * Equal-ts duplicates must be pre-deduped. */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+                    stateCol: String): DataFrame = {
+    val ev = ltzTs(events, tsCol)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc)
+    ev.select(col(keyCol), col(tsCol), col(stateCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(!(col("__prev") <=> col(stateCol)))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol), col("valid_from"), col("valid_to"))
+  }
 }
