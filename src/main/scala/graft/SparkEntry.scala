@@ -1343,17 +1343,11 @@ object SparkEntry {
       graft.operators.Events.funnel(t(s, dir, "events"), "user_id", "ts",
         "event_type", Seq("signup", "click", "purchase"),
         withinSec = Some(604800L))),
-    "q141_pagerank" -> ((s, dir) => {
+    "q141_pagerank" -> ((s, dir) =>
       // centrality over the q39 proximity graph: per-iteration = one
       // src-keyed join + one dst groupBy, rank state never on the driver
-      val e = embDouble(s, dir).filter(col("vec_id") < 100)
-      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5, "euclidean", 64)
-      val edges = graft.proximity.Analytics
-        .proximityGraph(nn, minEdges = 2, extraThreshold = 0.8)
-        .select("src", "dst")
-      graft.proximity.Graph.pageRank(edges, iters = 5, damping = 0.85)
-        .select(col("id"), round(col("pr"), 6).as("pagerank"))
-    }),
+      graft.proximity.Graph.pageRank(proximityEdges(s, dir), iters = 5, damping = 0.85)
+        .select(col("id"), round(col("pr"), 6).as("pagerank"))),
     "q142_resample_ffill" -> ((s, dir) => {
       // hourly per-user grid over purchase values, forward-filled via
       // the as-of kernel; grid slots before the first purchase stay
@@ -1380,8 +1374,48 @@ object SparkEntry {
       graft.operators.Sampling.weightedSamplePerGroup(
         t(s, dir, "documents"), "source", "doc_id", "n_chars", k = 5)
         .select(col("source"), col("doc_id"),
-          round(col("sample_key"), 6).as("sample_key")))
+          round(col("sample_key"), 6).as("sample_key"))),
+    "q145_label_propagation" -> ((s, dir) => {
+      // synchronous LPA communities over the q39 proximity graph —
+      // deterministic (argmax vote, ties → smallest label)
+      graft.proximity.Graph.labelPropagation(proximityEdges(s, dir), iters = 3)
+    }),
+    "q146_triangle_count" -> ((s, dir) =>
+      // per-node triangles on the undirected induced graph: canonical
+      // a<b edge set, two-path + closing-edge joins — never all-pairs
+      graft.proximity.Graph.triangleCount(proximityEdges(s, dir))),
+    "q147_rollup" -> ((s, dir) =>
+      // OLAP ROLLUP: grand total + per-flag subtotals in one pass
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+    "q148_cube" -> ((s, dir) =>
+      // OLAP CUBE over (event_type, day): all 4 grouping sets at once;
+      // subtotal rows' NULL day sentinel-coalesced for the NaT compare
+      t(s, dir, "events")
+        .cube(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .withColumn("day", coalesce(col("day"), to_timestamp(lit("1970-01-01")))))
   )
+
+  /** The q39 proximity-graph edge list (shared by the graph-analytics
+    * queries q141/q145/q146). */
+  private def proximityEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir).filter(col("vec_id") < 100)
+    val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5, "euclidean", 64)
+    graft.proximity.Analytics.proximityGraph(nn, minEdges = 2, extraThreshold = 0.8)
+      .select("src", "dst")
+  }
+
+  /** The q39 edge list as a DuckDB CTE body (shared oracle fragment). */
+  private def proximityEdgesSql: String =
+    s"""WITH ${knnSql("true", "vec_id < 100", 5)},
+        mx AS (SELECT CASE WHEN MAX(distance) = 0 THEN 1.0 ELSE MAX(distance) END AS m FROM knn),
+        weighted AS (SELECT id AS src, neighbor_id AS dst,
+            1 - distance / (SELECT m FROM mx) AS weight FROM knn)
+        SELECT src, dst FROM weighted
+        QUALIFY row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) <= 2
+          OR weight > 0.8"""
 
   /** Deterministic pseudo-descriptor frame for the tag-catalog queries:
     * molecular descriptors aren't computable without RDKit, so integer-
@@ -3058,14 +3092,21 @@ object SparkEntry {
          UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
          UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""",
     "q141_pagerank" -> graft.proximity.Graph.pageRankOracleSql(
-      s"""WITH ${knnSql("true", "vec_id < 100", 5)},
-          mx AS (SELECT CASE WHEN MAX(distance) = 0 THEN 1.0 ELSE MAX(distance) END AS m FROM knn),
-          weighted AS (SELECT id AS src, neighbor_id AS dst,
-              1 - distance / (SELECT m FROM mx) AS weight FROM knn)
-          SELECT src, dst FROM weighted
-          QUALIFY row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) <= 2
-            OR weight > 0.8""",
-      iters = 5, damping = 0.85),
+      proximityEdgesSql, iters = 5, damping = 0.85),
+    "q145_label_propagation" -> graft.proximity.Graph.labelPropagationOracleSql(
+      proximityEdgesSql, iters = 3),
+    "q146_triangle_count" -> graft.proximity.Graph.triangleCountOracleSql(
+      proximityEdgesSql),
+    "q147_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q148_cube" ->
+      """SELECT event_type,
+         COALESCE(date_trunc('day', ts), TIMESTAMP '1970-01-01') AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))""",
     "q142_resample_ffill" ->
       """WITH obs AS (SELECT user_id, ts, MAX(value) AS value
            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),

@@ -59,6 +59,95 @@ object Graph {
     pr
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community; each round it adopts the most frequent
+    * label among in-neighbors (ties → smallest label; isolated rounds
+    * keep the current label). Deterministic by construction — the
+    * classic async LPA is order-dependent, the synchronous form is not.
+    * Per round: one src-keyed join + one (dst, label) groupBy + one
+    * per-dst argmax — same shuffle budget as a PageRank round.
+    */
+  def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var lab = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    var t = 0
+    while (t < iters) {
+      val votes = edges.join(lab, edges("src") === lab("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__n"))
+      // argmax label per dst: max count, then smallest label
+      val best = votes.groupBy(col("dst"))
+        .agg(min(struct((-col("__n")).as("negn"), col("label"))).as("__b"))
+        .select(col("dst"), col("__b.label").as("__newlab"))
+      val next = lab.join(best, lab("id") === best("dst"), "left")
+        .select(col("id"), coalesce(col("__newlab"), col("label")).as("label"))
+        .localCheckpoint(true)
+      lab.unpersist()
+      lab = next
+      t += 1
+    }
+    edges.unpersist(); nodes.unpersist()
+    lab
+  }
+
+  /** Unrolled ANSI-SQL equivalent of [[labelPropagation]]. */
+  def labelPropagationOracleSql(edgesCte: String, iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""v$t AS (SELECT e.dst, l.label, COUNT(*) AS n
+            FROM eg e JOIN lb${t - 1} l ON e.src = l.id GROUP BY e.dst, l.label),
+          b$t AS (SELECT dst, label AS newlab FROM v$t
+            QUALIFY row_number() OVER (PARTITION BY dst ORDER BY n DESC, label ASC) = 1),
+          lb$t AS (SELECT l.id, COALESCE(b.newlab, l.label) AS label
+            FROM lb${t - 1} l LEFT JOIN b$t b ON l.id = b.dst)"""
+    }.mkString(",\n")
+    s"""WITH eg AS ($edgesCte),
+        nodes AS (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
+        lb0 AS (SELECT id, id AS label FROM nodes),
+        $rounds
+        SELECT id, label FROM lb$iters"""
+  }
+
+  /** Per-node triangle count on the UNDIRECTED graph induced by the edge
+    * list (direction dropped, self-loops dropped, parallel edges
+    * deduped). Standard two-path + closing-edge join over the
+    * canonical (a < b) edge set: the join fans out on two-paths, never
+    * all-pairs; degree-skew is the known hot spot and is bounded here
+    * by the proximity graph's per-node edge caps.
+    */
+  def triangleCount(edges0: DataFrame): DataFrame = {
+    val und = edges0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // two-path (a<b<c): (a,b) + (b,c) → close with (a,c)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val nodes = und.select(col("a").as("id")).union(und.select(col("b").as("id"))).distinct()
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** ANSI-SQL equivalent of [[triangleCount]]. */
+  def triangleCountOracleSql(edgesCte: String): String =
+    s"""WITH eg AS ($edgesCte),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM eg WHERE src != dst),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1 JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+        pn AS (SELECT id, COUNT(*) AS triangles
+          FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY id)
+        SELECT nodes.id, COALESCE(pn.triangles, 0) AS triangles
+        FROM nodes LEFT JOIN pn USING (id)"""
+
   /** Unrolled ANSI-SQL equivalent of [[pageRank]] for a fixed iteration
     * count — the oracle form. `edgesCte` must yield (src, dst). */
   def pageRankOracleSql(edgesCte: String, iters: Int, damping: Double): String = {

@@ -33,6 +33,26 @@ class GraphSamplingSpec extends SparkSpec {
     assert(pr(1L) > pr(0L)) // 1 receives all of 0's mass
   }
 
+  test("labelPropagation: two cliques converge to two communities") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)))
+      .toDF("src", "dst")
+    val lab = Graph.labelPropagation(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).map(lab).distinct.size === 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(lab).distinct.size === 1)
+    assert(lab(0L) !== lab(10L))
+  }
+
+  test("triangleCount: counts exact on a known graph, direction ignored") {
+    // triangle 0-1-2 plus a pendant edge 2-3; reversed/parallel edges dedupe
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (2L, 3L))
+      .toDF("src", "dst")
+    val tc = Graph.triangleCount(edges).as[(Long, Long)].collect().toMap
+    assert(tc === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("resampleFfill: hourly grid carries the last value forward") {
     val obs = Seq(
       (1L, ts("2024-01-01 00:10:00"), 10.0),
