@@ -60,6 +60,31 @@ object Streaming {
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
 
+  /** Stream-stream interval join: pair rows from two live streams on a
+    * key when the right event lands within `[l.ts + lowSec, l.ts +
+    * highSec]` of the left event — click→conversion attribution as a
+    * streaming operator. This is the Spark-native form: BOTH sides carry
+    * watermarks and the join condition bounds event-time distance, which
+    * is exactly what Structured Streaming requires to evict join state —
+    * without the time bound the state store grows forever.
+    * Output columns: key, `l_`/`r_`-prefixed remaining columns. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsCol: String, watermark: String,
+                   lowSec: Long, highSec: Long): DataFrame = {
+    require(highSec > lowSec)
+    def side(df: DataFrame, p: String) =
+      withLtzEventTime(df, tsCol).select(
+        col(key) +: df.columns.filterNot(_ == key).toSeq
+          .map(c => col(c).as(p + c)): _*)
+        .withWatermark(p + tsCol, watermark)
+    val l = side(left, "l_")
+    val r = side(right, "r_")
+    l.join(r, l(key) === r(key) &&
+        col("r_" + tsCol) >= col("l_" + tsCol) + expr(s"INTERVAL $lowSec SECONDS") &&
+        col("r_" + tsCol) <= col("l_" + tsCol) + expr(s"INTERVAL $highSec SECONDS"))
+      .drop(r(key))
+  }
+
   /** JSONL data-capture parsing as a stream (capture dirs accumulate
     * request/response payloads; parse incrementally)
     * (reference: data_capture_core.py parses these in batch). */

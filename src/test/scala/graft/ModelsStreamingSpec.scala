@@ -86,6 +86,35 @@ class ModelsStreamingSpec extends SparkSpec {
     assert(out.columns.contains("window") && out.columns.contains("total_value"))
   }
 
+  test("intervalJoin runs as a real stream-stream join with state eviction") {
+    val tmp = Files.createTempDirectory("graft-ssj").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_type", "value")
+    ev.filter(col("event_type") === "click").drop("event_type")
+      .write.mode("overwrite").parquet(tmp + "/clicks")
+    ev.filter(col("event_type") === "purchase").drop("event_type")
+      .write.mode("overwrite").parquet(tmp + "/buys")
+    val sch = ev.drop("event_type").schema
+    val clicks = spark.readStream.schema(sch).parquet(tmp + "/clicks")
+    val buys = spark.readStream.schema(sch).parquet(tmp + "/buys")
+    // purchases within 1h after a click by the same user
+    val joined = Streaming.intervalJoin(clicks, buys, "user_id", "ts",
+      watermark = "2 hours", lowSec = 0, highSec = 3600)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", tmp + "/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT * FROM ssj_out")
+    assert(got.columns.toSet === Set("user_id", "l_ts", "l_value", "r_ts", "r_value"))
+    // cross-check against the batch band join on the same data
+    val batch = graft.views.Joins.bandJoin(
+      ev.filter(col("event_type") === "click").select("user_id", "ts"),
+      ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
+      "user_id", "ts", 0, 3600, "l_", "r_")
+    assert(got.count() === batch.count())
+  }
+
   test("multimodal extractFeatures: deterministic, schema preserved, payload dropped") {
     val media = Seq((1L, "image", "img/png", 8, 8, null.asInstanceOf[java.lang.Long],
       "somebytes".getBytes("UTF-8"))).toDF(
