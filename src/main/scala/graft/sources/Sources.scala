@@ -27,6 +27,17 @@ object Sources {
   def readJson(spark: SparkSession, path: String): DataFrame =
     Transforms.normalizeColumnNames(spark.read.json(path))
 
+  /** ORC → normalized DataFrame. Same columnar/pushdown story as
+    * parquet (Spark-native reader: predicate pushdown + column pruning
+    * reach the stripe reader); the interchange format a Hive-era lake
+    * hands us instead of parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    Transforms.normalizeColumnNames(spark.read.orc(path))
+
+  /** DataFrame → ORC (round-trip counterpart of [[readOrc]]). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Heavy path: JSONL with nested structs → flattened, `.`→`_` names,
     * string→timestamp casts for given columns
     * (reference: data_loaders/heavy/s3_heavy_to_data_source.py:91-221,

@@ -63,6 +63,20 @@ class StoresSourcesSpec extends SparkSpec {
     assert(df.schema("id_num").dataType.typeName == "integer")
   }
 
+  test("readOrc/writeOrc round-trip with pushdown reaching the scan") {
+    val orcDir = tmp + "/orc"
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    Sources.writeOrc(li, orcDir)
+    val back = Sources.readOrc(spark, orcDir)
+    assert(back.count() === li.count())
+    assert(back.schema("l_quantity").dataType.typeName === "double")
+    val plan = back.filter(col("l_returnflag") === "R").select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"))
+    assert(plan.contains("ReadSchema") && !plan.contains("l_quantity"))
+  }
+
   test("flattenStructs flattens nested structs to a_b columns") {
     val df = spark.read.json(Seq(
       """{"a": {"b": {"c": 1}, "d": "x"}, "top": 2}""").toDS())
