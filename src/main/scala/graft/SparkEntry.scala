@@ -1317,17 +1317,11 @@ object SparkEntry {
       docs.select(col("doc_id"),
         graft.text.Unigram.tokenCount(col("text"), vocab).as("n_unigram_tokens"))
     }),
-    "q138_sessionize" -> ((s, dir) => {
+    "q138_sessionize" -> ((s, dir) =>
       // gap-based sessionization (1h idle) + per-session rollup: one
       // shuffle on the user, lag/cumsum inside the sorted partition
-      val sess = graft.operators.Events.sessionize(
-        t(s, dir, "events"), "user_id", "ts", gapSec = 3600)
-      sess.groupBy(col("user_id"), col("session_idx"))
-        .agg(count(lit(1)).as("n_events"),
-          ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
-            .cast("long").as("duration_sec"),
-          dsum(col("value")).as("value_sum"))
-    }),
+      graft.operators.Events.sessionStats(
+        t(s, dir, "events"), "user_id", "ts", gapSec = 3600, valueCol = "value")),
     "q139_rolling_window" -> ((s, dir) => {
       // trailing-1h per-user rolling features: RANGE window over epoch
       // micros — partition-local, never an event self-join

@@ -32,6 +32,20 @@ object Tables {
       .getOrElse(df)
   }
 
+  /** Normalize an event-time column to TimestampType: parquet written as
+    * timestamp-without-UTC-adjustment lands as TIMESTAMP_NTZ in Spark 4,
+    * and epoch arithmetic (unix_micros) plus watermarks want LTZ. The
+    * session TZ is UTC everywhere in this engine, so the cast is
+    * value-preserving. Shared by the join/event/streaming kernels. */
+  def ltzTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          org.apache.spark.sql.functions.col(tsCol)
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Numeric-column predicate mirroring the reference's "numeric" type set
     * (reference: src/workbench/algorithms/sql/descriptive_stats.py:53) —
     * in Spark terms, any NumericType.

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.DecimalType
 
 /** Batch event-stream analytics: sessionization, rolling time windows,
   * ordered funnels. The streaming forms live in
@@ -19,10 +19,7 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 object Events {
 
   private def ltzTs(df: DataFrame, tsCol: String): DataFrame =
-    df.schema(tsCol).dataType match {
-      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
-      case _ => df
-    }
+    graft.core.Tables.ltzTs(df, tsCol)
 
   /** Gap-based sessionization: a new session starts when the entity is
     * idle longer than `gapSec`. Adds `session_idx` (0-based per entity,
@@ -41,16 +38,18 @@ object Events {
       .drop("__new")
   }
 
-  /** Per-session rollup: event count, span seconds, value sum.
+  /** Per-session rollup: event count, span seconds (long), value sum
+    * (decimal-accumulated → double, order-independent — the engine's
+    * standard cross-engine-stable sum).
     * (userCol, session_idx, n_events, duration_sec, value_sum). */
   def sessionStats(events: DataFrame, userCol: String, tsCol: String,
                    gapSec: Long, valueCol: String): DataFrame =
     sessionize(events, userCol, tsCol, gapSec)
       .groupBy(col(userCol), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
-        ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))) / 1000000L)
-          .as("duration_sec"),
-        sum(col(valueCol)).as("value_sum"))
+        ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))) / lit(1000000L))
+          .cast("long").as("duration_sec"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("value_sum"))
 
   /** Rolling time-window features: for every event, the count and sum of
     * `valueCol` over that entity's trailing `[ts − windowSec, ts]`
@@ -117,12 +116,14 @@ object Events {
                     valueCol: String, stepSec: Long): DataFrame = {
     val obs = ltzTs(observations, tsCol)
     val step = stepSec * 1000000L
+    // floor(), not cast: truncation-toward-zero would misalign the grid
+    // one slot late for pre-1970 (negative-epoch) timestamps
     val grid = obs.groupBy(userCol)
       .agg(min(unix_micros(col(tsCol))).as("__lo"),
         max(unix_micros(col(tsCol))).as("__hi"))
       .select(col(userCol), explode(sequence(
-        (col("__lo") / step).cast("long") * step,
-        (col("__hi") / step).cast("long") * step,
+        floor(col("__lo") / step) * step,
+        floor(col("__hi") / step) * step,
         lit(step))).as("__gm"))
       .select(col(userCol), timestamp_micros(col("__gm")).as(tsCol))
     graft.views.Joins.asofJoin(grid, obs.select(col(userCol), col(tsCol), col(valueCol)),

@@ -129,8 +129,13 @@ object Graph {
     val nodes = und.select(col("a").as("id")).union(und.select(col("b").as("id"))).distinct()
     val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    nodes.join(perNode, Seq("id"), "left")
+    // eager result + release: returning a lazy plan over the checkpointed
+    // edge set would pin its cached blocks for the session's lifetime
+    val out = nodes.join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint(true)
+    und.unpersist()
+    out
   }
 
   /** ANSI-SQL equivalent of [[triangleCount]]. */

@@ -30,15 +30,11 @@ object Streaming {
       .start()
   }
 
-  /** withWatermark rejects TIMESTAMP_NTZ event times; parquet written as
-    * timestamp[us] without UTC adjustment lands as NTZ in Spark 4, so
-    * normalize the event-time column defensively before watermarking. */
+  /** withWatermark rejects TIMESTAMP_NTZ event times; normalize the
+    * event-time column defensively before watermarking (shared kernel
+    * helper — see [[graft.core.Tables.ltzTs]]). */
   private def withLtzEventTime(df: DataFrame, tsCol: String): DataFrame =
-    df.schema.fields.find(_.name == tsCol).map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    }
+    graft.core.Tables.ltzTs(df, tsCol)
 
   /** Windowed rolling aggregate over an event stream: per event-type
     * counts/sums in tumbling windows with a watermark — the streaming

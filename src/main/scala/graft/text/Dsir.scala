@@ -59,11 +59,13 @@ object Dsir {
     val rawCnt = rawB.groupBy("__b").agg(count(lit(1)).as("__cr"))
     val tgtCnt = tgtB.groupBy("__b").agg(count(lit(1)).as("__ct"))
     // bucket-cardinality tables: join on the raw side (scored docs ⊆ raw)
-    val totals = rawCnt.agg(sum("__cr")).first().getLong(0).toDouble
-    val totalsT = tgtCnt.agg(sum("__ct")).first() match {
-      case r if r.isNullAt(0) => 0.0
-      case r => r.getLong(0).toDouble
-    }
+    def total(df: DataFrame, c: String): Double =
+      df.agg(sum(c)).first() match {
+        case r if r.isNullAt(0) => 0.0 // empty corpus → empty result, not NPE
+        case r => r.getLong(0).toDouble
+      }
+    val totals = total(rawCnt, "__cr")
+    val totalsT = total(tgtCnt, "__ct")
     val b = lit(buckets.toDouble)
     val llr = rawCnt.join(tgtCnt, Seq("__b"), "left")
       .select(col("__b"),
@@ -85,7 +87,11 @@ object Dsir {
                         textCol: String, fraction: Double,
                         buckets: Int = 65536): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction $fraction out of (0,1]")
+    // checkpoint: the weight table feeds BOTH the percentile action and
+    // the returned filter — without it the corpus-sized scoring pipeline
+    // would execute twice
     val w = importanceWeights(raw, target, idCol, textCol, buckets)
+      .localCheckpoint(true)
     val cut = w.agg(graft.functions.ExactPercentiles.exactPercentiles(
       col("dsir_weight"), Seq(1.0 - fraction)).as("q"))
       .select(element_at(col("q"), 1)).first().getDouble(0)

@@ -58,55 +58,47 @@ object Joins {
     * `toleranceSec`: matches older than `leftTs - tolerance` are nulled
     * out (pandas `merge_asof(tolerance=...)` semantics).
     */
-  /** Parquet written as timestamp-without-UTC-adjustment lands as
-    * TIMESTAMP_NTZ in Spark 4; epoch arithmetic (unix_micros) and
-    * watermarks want TimestampType. Session TZ is UTC everywhere in this
-    * engine, so the cast is value-preserving. */
-  private def ltzTs(df: DataFrame, tsCol: String): DataFrame =
-    df.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    }
-
   def asofJoin(left0: DataFrame, right0: DataFrame, key: String, tsCol: String,
                payload: Seq[String], toleranceSec: Option[Long] = None): DataFrame = {
-    val left = ltzTs(left0, tsCol)
-    val right = ltzTs(right0, tsCol)
+    val left = graft.core.Tables.ltzTs(left0, tsCol)
+    val right = graft.core.Tables.ltzTs(right0, tsCol)
     val leftCols = left.columns.toSeq
     val outPayload = payload.map("asof_" + _)
-    // Unified shape: key, ts, tag (0=right sorts first on ties), left cols,
-    // right payload. Right rows carry null left cols and vice versa.
+    // Unified shape: key, ts, tag (0=right sorts first on ties), left
+    // cols, and ONE match struct carrying (right ts, payload...) — a
+    // single running-`last` over the struct picks the whole matched row
+    // atomically, so a NULL payload VALUE in the matched row stays NULL
+    // instead of falling through to an older row's value (per-column
+    // lasts would tear the match).
+    val matchStructR = struct(
+      (col(tsCol).as("asof_ts") +: payload.map(c => col(c).as("asof_" + c))): _*)
     val rightU = right.select(
       (Seq(col(key), col(tsCol).as("__ts"), lit(0).as("__tag")) ++
         leftCols.filterNot(c => c == key || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(tsCol).as("asof_ts")) ++
-        payload.map(c => col(c).as("asof_" + c))): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        matchStructR.as("__m")): _*)
+    val mType = rightU.schema("__m").dataType
     val leftU = left.select(
       (Seq(col(key), col(tsCol).as("__ts"), lit(1).as("__tag")) ++
-        leftCols.filterNot(c => c == key || c == tsCol).map(col) ++
-        Seq(lit(null).cast("timestamp").as("asof_ts")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as("asof_" + c))): _*)
+        leftCols.filterNot(c => c == key || c == tsCol).map(col) :+
+        lit(null).cast(mType).as("__m")): _*)
     val w = Window.partitionBy(key).orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedCols = ("asof_ts" +: outPayload).map(c =>
-      last(col(c), ignoreNulls = true).over(w).as(c))
     val joined = rightU.unionByName(leftU)
-      .select((Seq(col(key), col("__ts"), col("__tag")) ++
-        leftCols.filterNot(c => c == key || c == tsCol).map(col) ++ matchedCols): _*)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
     val withinTol = toleranceSec match {
       case Some(tol) =>
-        val ok = col("asof_ts").isNotNull &&
-          col("asof_ts").cast("long") >= col("__ts").cast("long") - lit(tol)
-        joined.select((Seq(col(key), col("__ts"), col("__tag")) ++
-          leftCols.filterNot(c => c == key || c == tsCol).map(col) ++
-          ("asof_ts" +: outPayload).map(c => when(ok, col(c)).as(c))): _*)
+        // micros precision: cast("long") would truncate to whole seconds
+        val ok = col("__m").isNotNull &&
+          unix_micros(col("__m.asof_ts")) >=
+            unix_micros(col("__ts")) - lit(tol * 1000000L)
+        joined.withColumn("__m", when(ok, col("__m")))
       case None => joined
     }
-    withinTol.withColumnRenamed("__ts", tsCol).drop("__tag")
-      .select((leftCols.map(col) ++ ("asof_ts" +: outPayload).map(col)): _*)
+    withinTol.withColumnRenamed("__ts", tsCol)
+      .select((leftCols.map(col) ++
+        ("asof_ts" +: outPayload).map(c => col("__m." + c).as(c))): _*)
   }
 
   /** Band (range) join: pairs (l, r) on the same key with
@@ -126,8 +118,8 @@ object Joins {
                lowSec: Long, highSec: Long,
                leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
     require(highSec > lowSec, s"empty band [$lowSec, $highSec]")
-    val left = ltzTs(left0, tsCol)
-    val right = ltzTs(right0, tsCol)
+    val left = graft.core.Tables.ltzTs(left0, tsCol)
+    val right = graft.core.Tables.ltzTs(right0, tsCol)
     val wMicros = (highSec - lowSec) * 1000000L
     val lowMicros = lowSec * 1000000L
     val l = left.select(col(key) +: left.columns.filterNot(_ == key).toSeq

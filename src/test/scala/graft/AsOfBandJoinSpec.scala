@@ -34,6 +34,31 @@ class AsOfBandJoinSpec extends SparkSpec {
     assert(out("d").contains(300.0))
   }
 
+  test("asofJoin: NULL payload in the matched row stays NULL (no torn match)") {
+    val left = Seq((1L, ts("2024-01-01 00:00:12"), "l")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:05"), Some(7.0)),
+      (1L, ts("2024-01-01 00:00:10"), None: Option[Double]) // matched row, v NULL
+    ).toDF("k", "ts", "v")
+    val out = Joins.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("asof_ts", "asof_v")
+      .as[(java.sql.Timestamp, Option[Double])].head()
+    assert(out._1.toString.startsWith("2024-01-01 00:00:10")) // newest row matched
+    assert(out._2.isEmpty) // its NULL v must NOT fall through to 7.0
+  }
+
+  test("asofJoin: tolerance is micros-precise, not whole-second truncated") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10.9"), "l"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 00:00:01"), 1.0)).toDF("k", "ts", "v")
+    // true lag is 9.9s: a 9s tolerance must null it (second-truncation
+    // would wrongly keep it), a 10s tolerance keeps it
+    val tight = Joins.asofJoin(left, right, "k", "ts", Seq("v"), toleranceSec = Some(9))
+    val loose = Joins.asofJoin(left, right, "k", "ts", Seq("v"), toleranceSec = Some(10))
+    assert(tight.select("asof_v").as[Option[Double]].head().isEmpty)
+    assert(loose.select("asof_v").as[Option[Double]].head().contains(1.0))
+  }
+
   test("asofJoin: tolerance nulls out stale matches") {
     val left = Seq((1L, ts("2024-01-01 00:10:00"), "late")).toDF("k", "ts", "tag")
     val right = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "ts", "v")
