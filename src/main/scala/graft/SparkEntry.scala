@@ -1389,7 +1389,61 @@ object SparkEntry {
       t(s, dir, "events")
         .cube(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-        .withColumn("day", coalesce(col("day"), to_timestamp(lit("1970-01-01")))))
+        .withColumn("day", coalesce(col("day"), to_timestamp(lit("1970-01-01"))))),
+    "q149_bm25" -> ((s, dir) => {
+      // BM25 lexical retrieval: 5 documents used as queries against the
+      // corpus — postings equi-join on the term, query side broadcast
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text"))
+      graft.text.Bm25.search(docs, "doc_id", "text", qs, "qid", "text", k = 10)
+    }),
+    "q150_fuzzy_join" -> ((s, dir) => {
+      // PassJoin-blocked edit-distance self-join on part names (k=2):
+      // segment equi-join + exact Levenshtein filter, never cartesian
+      val names = t(s, dir, "part").select("p_name").distinct()
+      val a = names.select(col("p_name").as("a_id"), col("p_name").as("a_name"))
+      val b = names.select(col("p_name").as("b_id"), col("p_name").as("b_name"))
+      graft.operators.FuzzyJoin.fuzzyJoin(a, b, "a_name", "b_name", 2, "a_id", "b_id")
+        .filter(col("a_name") < col("b_name"))
+        .select("a_name", "b_name", "edit_dist")
+    }),
+    "q151_histogram_width" -> ((s, dir) =>
+      // equi-width histogram: two aggregates, no sort at any scale
+      graft.eda.Histogram.equiWidth(t(s, dir, "lineitem"), "l_extendedprice", 10)),
+    "q152_histogram_depth" -> ((s, dir) =>
+      // equi-depth histogram: exact-percentile edges (one aggregate pass),
+      // plan-constant bucket assignment — no global sort / ntile
+      graft.eda.Histogram.equiDepth(t(s, dir, "events"), "value", 8)),
+    "q153_tfidf_pairs" -> ((s, dir) =>
+      // tf-idf lexical near-dup pairs via inverted-index self-join;
+      // maxDocFreq >= N here (tiny shared vocabulary) = exact cosine
+      graft.text.TfIdf.similarPairs(t(s, dir, "documents"), "doc_id", "text",
+        minSim = 0.9, maxDocFreq = Long.MaxValue)),
+    "q154_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: dense cosine top-20 + BM25 top-20, RRF-fused
+      // (k0=60) to top-10 per query — fusion is retrieval-output-sized
+      val docs = t(s, dir, "documents")
+      val vecs = t(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 5)
+        .join(vecs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("qid"), col("text"), col("embedding"))
+      graft.proximity.Hybrid.hybridSearch(
+        docs, "doc_id", "text", vecs, "vec_id", "embedding",
+        qs, "qid", "text", "embedding", k = 10, perList = 20)
+    }),
+    "q155_mutual_information" -> ((s, dir) =>
+      // categorical association screen: one groupBy to cells, aggregates
+      // of the cell table only
+      graft.eda.Association.mutualInformation(
+        t(s, dir, "events").withColumn("value_band",
+          when(col("value") >= 50, "high").otherwise("low")),
+        "event_type", "value_band")),
+    "q156_chi_square" -> ((s, dir) =>
+      graft.eda.Association.chiSquare(
+        t(s, dir, "events").withColumn("value_band",
+          when(col("value") >= 50, "high").otherwise("low")),
+        "event_type", "value_band"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3134,7 +3188,168 @@ object SparkEntry {
                1.0 / n_chars) AS sample_key
            FROM documents)
          QUALIFY row_number() OVER (PARTITION BY source
-           ORDER BY sample_key DESC, doc_id ASC) <= 5"""
+           ORDER BY sample_key DESC, doc_id ASC) <= 5""",
+    "q149_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS t
+           FROM documents),
+         post AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY doc_id),
+         stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+         dfq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+         idf AS (SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+           FROM dfq, stats),
+         q AS (SELECT DISTINCT doc_id AS qid, unnest(t) AS term
+           FROM tok WHERE doc_id < 5),
+         sc AS (SELECT q.qid, p.doc_id,
+             ROUND(SUM(idf.idf * p.tf * (1.2 + 1) /
+               (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+           FROM q JOIN post p USING (term) JOIN idf USING (term)
+           JOIN dl ON p.doc_id = dl.doc_id, stats
+           GROUP BY q.qid, p.doc_id)
+         SELECT qid, doc_id, bm25, rank FROM
+           (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank FROM sc)
+         WHERE rank <= 10""",
+    "q150_fuzzy_join" ->
+      """WITH p AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+         FROM p a JOIN p b ON a.p_name < b.p_name
+           AND abs(length(a.p_name) - length(b.p_name)) <= 2
+           AND levenshtein(a.p_name, b.p_name) <= 2""",
+    "q151_histogram_width" ->
+      """WITH mm AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         b AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 10))
+               AS INT), 9) AS bucket, mn, mx
+           FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
+         SELECT bucket, ROUND(mn + bucket * ((mx - mn) / 10), 6) AS lo,
+           ROUND(mn + (bucket + 1) * ((mx - mn) / 10), 6) AS hi, COUNT(*) AS n
+         FROM b GROUP BY bucket, mn, mx""",
+    "q152_histogram_depth" ->
+      """WITH e AS (SELECT list_transform(quantile_cont(value,
+             [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]),
+             x -> ROUND(x, 6)) AS ed
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT value, CAST(
+             (CASE WHEN value > ed[2] THEN 1 ELSE 0 END) +
+             (CASE WHEN value > ed[3] THEN 1 ELSE 0 END) +
+             (CASE WHEN value > ed[4] THEN 1 ELSE 0 END) +
+             (CASE WHEN value > ed[5] THEN 1 ELSE 0 END) +
+             (CASE WHEN value > ed[6] THEN 1 ELSE 0 END) +
+             (CASE WHEN value > ed[7] THEN 1 ELSE 0 END) +
+             (CASE WHEN value > ed[8] THEN 1 ELSE 0 END) AS INT) AS bucket
+           FROM events, e WHERE value IS NOT NULL)
+         SELECT bucket, ed[bucket + 1] AS lo, ed[bucket + 2] AS hi, COUNT(*) AS n
+         FROM b, e GROUP BY bucket, ed""",
+    "q153_tfidf_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY doc_id, term),
+         nn AS (SELECT COUNT(*) AS n FROM documents),
+         idf AS (SELECT term, ln(CAST(n AS DOUBLE) / COUNT(*)) AS idf
+           FROM tf, nn GROUP BY term, n),
+         w AS (SELECT doc_id, term, tf * idf AS w
+           FROM tf JOIN idf USING (term)),
+         nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+         v AS (SELECT w.doc_id, term,
+             CASE WHEN nrm > 0 THEN w / nrm ELSE 0 END AS weight
+           FROM w JOIN nrm ON w.doc_id = nrm.doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(SUM(a.weight * b.weight), 6) AS similarity
+         FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id HAVING similarity >= 0.9""",
+    "q154_hybrid_rrf" ->
+      """WITH q AS (SELECT d.doc_id AS qid, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           WHERE d.doc_id < 5),
+         qv AS (SELECT qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe FROM q),
+         r AS (SELECT vec_id AS doc_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS re
+           FROM embeddings),
+         dense AS (SELECT qid, doc_id, CAST(row_number() OVER
+               (PARTITION BY qid ORDER BY sim DESC, doc_id) AS INT) AS rank
+           FROM (SELECT qid, doc_id,
+               list_dot_product(qe, re) / (SQRT(list_dot_product(qe, qe)) *
+                 SQRT(list_dot_product(re, re))) AS sim
+             FROM qv CROSS JOIN r WHERE qid != doc_id)
+           QUALIFY rank <= 20),
+         tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0) AS t
+           FROM documents),
+         post AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY doc_id),
+         stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+         dfq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+         idf AS (SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+           FROM dfq, stats),
+         qt AS (SELECT DISTINCT qid,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS term
+           FROM q),
+         sc AS (SELECT qt.qid, p.doc_id,
+             ROUND(SUM(idf.idf * p.tf * (1.2 + 1) /
+               (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+           FROM qt JOIN post p USING (term) JOIN idf USING (term)
+           JOIN dl ON p.doc_id = dl.doc_id, stats
+           GROUP BY qt.qid, p.doc_id),
+         sparse AS (SELECT qid, doc_id, CAST(row_number() OVER
+               (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+           FROM sc QUALIFY rank <= 20),
+         fused AS (SELECT COALESCE(d.qid, s.qid) AS qid,
+             COALESCE(d.doc_id, s.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + d.rank), 0) +
+                   COALESCE(1.0 / (60 + s.rank), 0), 6) AS rrf_score
+           FROM dense d FULL OUTER JOIN sparse s
+             ON d.qid = s.qid AND d.doc_id = s.doc_id)
+         SELECT qid, doc_id, rrf_score, CAST(row_number() OVER
+             (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+         FROM fused QUALIFY rank <= 10""",
+    "q155_mutual_information" ->
+      """WITH d AS (SELECT event_type AS a,
+             CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS b FROM events),
+         cells AS (SELECT a, b, COUNT(*) AS n FROM d GROUP BY a, b),
+         na AS (SELECT a, SUM(n) AS n_a FROM cells GROUP BY a),
+         nb AS (SELECT b, SUM(n) AS n_b FROM cells GROUP BY b),
+         nt AS (SELECT SUM(n) AS n_tot FROM cells),
+         mi AS (SELECT SUM((n / n_tot) * ln((n / n_tot) /
+               ((n_a / n_tot) * (n_b / n_tot)))) AS mi
+           FROM cells JOIN na USING (a) JOIN nb USING (b), nt),
+         ha AS (SELECT -SUM((n_a / n_tot) * ln(n_a / n_tot)) AS ha FROM na, nt),
+         hb AS (SELECT -SUM((n_b / n_tot) * ln(n_b / n_tot)) AS hb FROM nb, nt)
+         SELECT ROUND(mi, 6) AS mi_nats, ROUND(ha, 6) AS entropy_a,
+           ROUND(hb, 6) AS entropy_b,
+           ROUND(CASE WHEN LEAST(ha, hb) > 0 THEN mi / LEAST(ha, hb)
+             ELSE 0 END, 6) AS normalized_mi
+         FROM mi, ha, hb""",
+    "q156_chi_square" ->
+      """WITH d AS (SELECT event_type AS a,
+             CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS b FROM events),
+         cells AS (SELECT a, b, COUNT(*) AS n FROM d GROUP BY a, b),
+         na AS (SELECT a, SUM(n) AS n_a FROM cells GROUP BY a),
+         nb AS (SELECT b, SUM(n) AS n_b FROM cells GROUP BY b),
+         nt AS (SELECT SUM(n) AS n_tot FROM cells),
+         obs AS (SELECT
+             SUM(POW(n - CAST(n_a AS DOUBLE) * n_b / n_tot, 2) /
+               (CAST(n_a AS DOUBLE) * n_b / n_tot)) AS chi_obs,
+             SUM(CAST(n_a AS DOUBLE) * n_b / n_tot) AS e_obs,
+             ANY_VALUE(n_tot) AS n,
+             COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+           FROM cells JOIN na USING (a) JOIN nb USING (b), nt)
+         SELECT ROUND(chi_obs + (n - e_obs), 6) AS chi2,
+           (r - 1) * (c - 1) AS dof,
+           ROUND(SQRT((chi_obs + (n - e_obs)) / (n * (LEAST(r, c) - 1))), 6)
+             AS cramers_v
+         FROM obs"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram
