@@ -1443,7 +1443,55 @@ object SparkEntry {
       graft.eda.Association.chiSquare(
         t(s, dir, "events").withColumn("value_band",
           when(col("value") >= 50, "high").otherwise("low")),
-        "event_type", "value_band"))
+        "event_type", "value_band")),
+    "q157_expectations" -> ((s, dir) => {
+      // declarative contract suite: the WHOLE suite is one aggregate job
+      import graft.eda.Expectations._
+      validate(t(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_discount", 0.0, 0.1),
+        AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        MatchesRegex("l_linestatus", "^[OF]$")))
+    }),
+    "q158_group_quantiles" -> ((s, dir) =>
+      // per-group exact quantiles: one groupBy, no window/global sort
+      graft.eda.GroupStats.groupQuantiles(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9))),
+    "q159_pivot" -> ((s, dir) =>
+      // wide daily matrix: pivot with an EXPLICIT value list (no extra
+      // distinct scan to discover columns; plan is one aggregate)
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(dsum(col("value")))),
+    "q160_unpivot" -> ((s, dir) =>
+      // long-format melt of a wide aggregate (metadata-sized input)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")),
+    "q161_window_funcs" -> ((s, dir) => {
+      // rank-function breadth over a deterministic (unique) ordering;
+      // the window partitions on o_custkey — hash-spread, never global
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).as("quartile"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
+          .as("delta_prev"))
+    }),
+    "q162_hll_shards" -> ((s, dir) =>
+      // mergeable per-shard HLL sketches + union estimate — answers
+      // global distincts from shard-count rows, corpus scanned once
+      graft.eda.Sketches.shardEstimates(
+        graft.eda.Sketches.shardSketches(t(s, dir, "events"),
+          "event_type", "user_id"), "event_type"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3349,7 +3397,69 @@ object SparkEntry {
            (r - 1) * (c - 1) AS dof,
            ROUND(SQRT((chi_obs + (n - e_obs)) / (n * (LEAST(r, c) - 1))), 6)
              AS cramers_v
-         FROM obs"""
+         FROM obs""",
+    "q157_expectations" ->
+      """SELECT 'not_null' AS "check", 'l_orderkey' AS "column",
+           COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS n_violations,
+           COUNT(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS passed
+         FROM lineitem
+         UNION ALL
+         SELECT 'unique', 'l_orderkey,l_linenumber',
+           (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+             - (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+             = (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+         UNION ALL
+         SELECT 'in_range', 'l_discount',
+           COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+             AND (l_discount < 0.0 OR l_discount > 0.1)),
+           COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+             AND (l_discount < 0.0 OR l_discount > 0.1)) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'accepted_values', 'l_returnflag',
+           COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+             AND l_returnflag NOT IN ('A', 'N', 'R')),
+           COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+             AND l_returnflag NOT IN ('A', 'N', 'R')) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'matches_regex', 'l_linestatus',
+           COUNT(*) FILTER (WHERE l_linestatus IS NOT NULL
+             AND NOT regexp_matches(l_linestatus, '^[OF]$')),
+           COUNT(*) FILTER (WHERE l_linestatus IS NOT NULL
+             AND NOT regexp_matches(l_linestatus, '^[OF]$')) = 0
+         FROM lineitem""",
+    "q158_group_quantiles" -> Seq(0.25, 0.5, 0.75, 0.9).map(p =>
+      s"""SELECT l_returnflag, CAST($p AS DOUBLE) AS p,
+          ROUND(quantile_cont(l_extendedprice, $p), 6) AS value
+          FROM lineitem GROUP BY l_returnflag""").mkString(" UNION ALL "),
+    "q159_pivot" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error").map(v =>
+        s"""CAST(SUM(CASE WHEN event_type = '$v'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "$v"""")
+        .mkString(", ")
+      s"""SELECT date_trunc('day', ts) AS day, $cols
+          FROM events GROUP BY day"""
+    },
+    "q160_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a""",
+    "q161_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram
