@@ -1491,7 +1491,30 @@ object SparkEntry {
       // global distincts from shard-count rows, corpus scanned once
       graft.eda.Sketches.shardEstimates(
         graft.eda.Sketches.shardSketches(t(s, dir, "events"),
-          "event_type", "user_id"), "event_type"))
+          "event_type", "user_id"), "event_type")),
+    "q163_rolling_anomaly" -> ((s, dir) =>
+      // trailing-baseline z-score: one entity shuffle + RANGE frame
+      graft.operators.Anomaly.rollingZScore(t(s, dir, "events"),
+        "user_id", "ts", "value", windowSec = 86400L, minN = 5, threshold = 2.0)
+        .select("event_id", "user_id", "baseline_n", "baseline_mean",
+          "z", "is_anomaly")),
+    "q164_cohort_retention" -> ((s, dir) =>
+      graft.operators.Cohorts.retention(t(s, dir, "events"), "user_id", "ts")),
+    "q165_bfs_hops" -> ((s, dir) =>
+      // multi-source BFS over the proximity graph: frontier joins,
+      // O(diameter) rounds, state checkpointed per hop
+      graft.proximity.Graph.bfsDepths(proximityEdges(s, dir),
+        embDouble(s, dir).filter(col("vec_id") < 3)
+          .select(col("vec_id").as("id")), maxHops = 4)),
+    "q166_woe_encoding" -> ((s, dir) =>
+      graft.ml.Encoders.woeTable(
+        t(s, dir, "lineitem").withColumn("label",
+          (col("l_discount") > 0.05).cast("int")),
+        "l_returnflag", "label")),
+    "q167_target_encoding" -> ((s, dir) =>
+      graft.ml.Encoders.targetEncode(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", "prio_enc", smoothing = 20.0)
+        .select("o_orderkey", "o_orderpriority", "prio_enc"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3459,7 +3482,52 @@ object SparkEntry {
            CAST(ntile(4) OVER w AS INT) AS quartile,
            ROUND(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev
          FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q163_rolling_anomaly" ->
+      """SELECT event_id, user_id, baseline_n, baseline_mean, z,
+           COALESCE(ABS(z) > 2.0, false) AS is_anomaly
+         FROM (SELECT event_id, user_id,
+             COUNT(value) OVER w AS baseline_n,
+             ROUND(AVG(value) OVER w, 6) AS baseline_mean,
+             CASE WHEN COUNT(value) OVER w >= 5 AND stddev_samp(value) OVER w > 0
+               THEN ROUND((value - AVG(value) OVER w) /
+                 stddev_samp(value) OVER w, 6) END AS z
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING))""",
+    "q164_cohort_retention" ->
+      """WITH ev AS (SELECT user_id AS u,
+             date_trunc('week', ts) AS wk FROM events),
+         coh AS (SELECT u, MIN(wk) AS cohort_week FROM ev GROUP BY u),
+         act AS (SELECT DISTINCT u, wk FROM ev)
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+           COUNT(DISTINCT u) AS n_active
+         FROM act JOIN coh USING (u) GROUP BY cohort_week, week_offset""",
+    "q165_bfs_hops" -> graft.proximity.Graph.bfsDepthsOracleSql(
+      proximityEdgesSql,
+      "SELECT vec_id AS id FROM embeddings WHERE vec_id < 3", maxHops = 4),
+    "q166_woe_encoding" ->
+      """WITH cells AS (SELECT l_returnflag AS category, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_pos,
+             COUNT(*) FILTER (WHERE NOT l_discount > 0.05) AS n_neg
+           FROM lineitem GROUP BY l_returnflag),
+         tot AS (SELECT SUM(n_pos) AS p, SUM(n_neg) AS ng FROM cells)
+         SELECT category, n, n_pos, n_neg,
+           ROUND(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / ng)), 6) AS woe,
+           ROUND(((n_pos + 0.5) / p - (n_neg + 0.5) / ng) *
+             ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / ng)), 6) AS iv_term
+         FROM cells, tot""",
+    "q167_target_encoding" ->
+      """WITH s AS (SELECT o_orderpriority, COUNT(o_totalprice) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+           FROM orders GROUP BY o_orderpriority),
+         g AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(o_totalprice) AS gm FROM orders),
+         enc AS (SELECT o_orderpriority,
+             ROUND((s + 20.0 * gm) / (n + 20.0), 6) AS prio_enc FROM s, g)
+         SELECT o_orderkey, o_orderpriority, prio_enc
+         FROM orders JOIN enc USING (o_orderpriority)"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

@@ -1,0 +1,63 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Supervised categorical encoders — the feature-engineering step
+  * between the raw FeatureSet and a model fit (the reference one-hots
+  * low-cardinality categoricals, transforms/Transforms.scala q17; these
+  * are the high-cardinality answers: a category becomes one informative
+  * number instead of a dummy column per level).
+  *
+  * Scale shape: each encoder is ONE groupBy on the category collapsing
+  * the corpus to category cardinality, a broadcast join of that tiny
+  * table back onto the rows, and nothing else. No window, no per-row
+  * state.
+  */
+object Encoders {
+
+  /** Weight-of-evidence table per category level of `catCol` against a
+    * binary `labelCol` (values 0/1):
+    *   woe = ln( ((pos_c + 0.5)/pos_tot) / ((neg_c + 0.5)/neg_tot) )
+    * (0.5 Laplace smoothing keeps empty cells finite), plus each
+    * level's contribution to information value:
+    *   iv_term = (pos_share − neg_share) · woe.
+    * Returns (category, n, n_pos, n_neg, woe 6dp, iv_term 6dp).
+    */
+  def woeTable(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val cells = df.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("n_neg"))
+    val tot = cells.agg(sum("n_pos").as("__p"), sum("n_neg").as("__ng"))
+    val posShare = (col("n_pos") + 0.5) / col("__p")
+    val negShare = (col("n_neg") + 0.5) / col("__ng")
+    cells.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"), col("n_pos"), col("n_neg"),
+        round(log(posShare / negShare), 6).as("woe"),
+        round((posShare - negShare) * log(posShare / negShare), 6).as("iv_term"))
+  }
+
+  /** Smoothed target (mean) encoding: each level maps to
+    *   (sum_c + m·globalMean) / (n_c + m)
+    * — the empirical-Bayes shrink toward the global mean that keeps
+    * rare levels from memorizing their few rows (m = pseudo-count
+    * `smoothing`). Returns the input rows with an added `encCol`
+    * (6dp). The encoding table itself is category-cardinality and
+    * broadcast back onto the rows.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   encCol: String, smoothing: Double = 20.0): DataFrame = {
+    // sums accumulate in DECIMAL(18,2): order-independent addition, so a
+    // 1000-executor run and the single-node oracle agree bit-for-bit
+    val dec = col(targetCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val stats = df.groupBy(col(catCol))
+      .agg(count(col(targetCol)).as("__n"), sum(dec).cast("double").as("__s"))
+    val g = df.agg((sum(dec).cast("double") / count(col(targetCol))).as("__gm"))
+    val enc = stats.crossJoin(broadcast(g))
+      .select(col(catCol),
+        round((col("__s") + lit(smoothing) * col("__gm")) /
+          (col("__n") + smoothing), 6).as(encCol))
+    df.join(broadcast(enc), Seq(catCol))
+  }
+}

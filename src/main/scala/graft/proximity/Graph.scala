@@ -175,4 +175,50 @@ object Graph {
         $rounds
         SELECT id, ROUND(pr, 6) AS pagerank FROM pr$iters"""
   }
+
+  /** Multi-source BFS hop distances: minimum number of directed hops
+    * from any node in `sources` (column `id`), up to `maxHops`.
+    * Unreached nodes are absent from the output.
+    *
+    * Scale shape: classic frontier expansion — per hop, ONE equi-join
+    * of the (shrinking) frontier onto edges by src and one anti-join
+    * against the visited set; frontier state is localCheckpoint'ed per
+    * round (lineage would otherwise nest one join per hop — the
+    * PageRank/Components lesson). The frontier empties early when the
+    * reachable set saturates, so the loop is O(diameter) rounds, not
+    * O(maxHops) scans.
+    */
+  def bfsDepths(edges0: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    var visited = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var hop = 1
+    while (hop <= maxHops && frontier.limit(1).count() > 0) {
+      val next = frontier.join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier.unpersist()
+      frontier = next
+      hop += 1
+    }
+    edges.unpersist()
+    visited
+  }
+
+  /** Recursive-CTE equivalent of [[bfsDepths]]. `sourcesCte` must yield
+    * a column `id`. */
+  def bfsDepthsOracleSql(edgesCte: String, sourcesCte: String, maxHops: Int): String =
+    s"""WITH RECURSIVE eg AS ($edgesCte),
+        src0 AS ($sourcesCte),
+        walk(id, dist) AS (
+          SELECT id, 0 FROM src0
+          UNION
+          SELECT e.dst, w.dist + 1 FROM walk w JOIN eg e ON e.src = w.id
+          WHERE w.dist < $maxHops)
+        SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id"""
 }
