@@ -1514,7 +1514,36 @@ object SparkEntry {
     "q167_target_encoding" -> ((s, dir) =>
       graft.ml.Encoders.targetEncode(t(s, dir, "orders"),
         "o_orderpriority", "o_totalprice", "prio_enc", smoothing = 20.0)
-        .select("o_orderkey", "o_orderpriority", "prio_enc"))
+        .select("o_orderkey", "o_orderpriority", "prio_enc")),
+    "q168_interval_join" -> ((s, dir) => {
+      // interval-overlap join via grid blocking: equi-join on
+      // (user, bucket) + exact predicate, anchor-bucket dedup-free
+      val ev = t(s, dir, "events")
+      val l = ev.select(col("user_id"), col("event_id"), col("ts").as("s"),
+        expr("ts + INTERVAL 1800 SECOND").as("e"))
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts").as("s"),
+          expr("ts + INTERVAL 600 SECOND").as("e"))
+      graft.operators.IntervalJoin.overlapJoin(l, r, "user_id", "s", "e",
+        widthSec = 1800)
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+    }),
+    "q169_skew_report" -> ((s, dir) =>
+      graft.eda.SkewReport.keySkew(t(s, dir, "lineitem"), "l_suppkey")),
+    "q170_join_cardinality" -> ((s, dir) =>
+      graft.eda.SkewReport.joinCardinality(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"), "k")),
+    "q171_bloom_blocklist" -> ((s, dir) => {
+      // Bloom-pruned blocklist removal: only might_contain candidates
+      // reach the confirm anti-join; result is exact
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val docs = t(s, dir, "documents").withColumn("fp", fp)
+      val block = docs.filter(col("doc_id") % 10 === 0).select(col("fp").as("bfp"))
+      graft.text.BloomBlocklist.antiJoinPruned(docs, "fp", block, "bfp",
+          expectedItems = 100000L, fpp = 0.01)
+        .select("doc_id")
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3527,7 +3556,46 @@ object SparkEntry {
          enc AS (SELECT o_orderpriority,
              ROUND((s + 20.0 * gm) / (n + 20.0), 6) AS prio_enc FROM s, g)
          SELECT o_orderkey, o_orderpriority, prio_enc
-         FROM orders JOIN enc USING (o_orderpriority)"""
+         FROM orders JOIN enc USING (o_orderpriority)""",
+    "q168_interval_join" ->
+      """WITH l AS (SELECT user_id, event_id AS l_event_id, ts AS ls,
+             ts + INTERVAL 1800 SECOND AS le FROM events),
+         r AS (SELECT user_id, event_id AS r_event_id, ts AS rs,
+             ts + INTERVAL 600 SECOND AS re FROM events
+           WHERE event_type = 'error')
+         SELECT l.user_id, l_event_id, r_event_id
+         FROM l JOIN r ON l.user_id = r.user_id
+           AND ls <= re AND rs <= le""",
+    "q169_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS k, COUNT(*) AS c
+           FROM lineitem GROUP BY l_suppkey),
+         rk AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c),
+         t AS (SELECT SUM(c) AS s, COUNT(*) AS n, MAX(c) AS mx FROM c),
+         t5 AS (SELECT SUM(c) AS t5 FROM
+           (SELECT c FROM c ORDER BY c DESC, k ASC LIMIT 5)),
+         g AS (SELECT SUM((2.0 * i - n - 1) * c) AS gsum FROM rk, t)
+         SELECT s AS n_rows, n AS n_keys,
+           ROUND(CAST(mx AS DOUBLE) / s, 6) AS max_key_share,
+           ROUND(CAST(t5 AS DOUBLE) / s, 6) AS top5_share,
+           ROUND(gsum / (n * s), 6) AS gini
+         FROM t, t5, g""",
+    "q170_join_cardinality" ->
+      """WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS nl
+           FROM lineitem GROUP BY l_orderkey),
+         rc AS (SELECT o_orderkey AS k, COUNT(*) AS nr
+           FROM orders GROUP BY o_orderkey)
+         SELECT (SELECT COUNT(*) FROM lineitem) AS left_rows,
+           (SELECT COUNT(*) FROM orders) AS right_rows,
+           COUNT(*) AS matching_keys,
+           COALESCE(SUM(nl * nr), 0) AS join_rows,
+           COALESCE(MAX(nl * nr), 0) AS max_key_pairs
+         FROM lc JOIN rc USING (k)""",
+    "q171_bloom_blocklist" ->
+      """WITH fp AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         block AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 = 0)
+         SELECT doc_id FROM fp WHERE fp NOT IN (SELECT fp FROM block)"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram
