@@ -1543,7 +1543,24 @@ object SparkEntry {
       graft.text.BloomBlocklist.antiJoinPruned(docs, "fp", block, "bfp",
           expectedItems = 100000L, fpp = 0.01)
         .select("doc_id")
-    })
+    }),
+    "q172_incremental_agg" -> ((s, dir) => {
+      // incremental rollup maintenance: fold the delta batch's partial
+      // aggregates into the base state — equals a full rescan exactly
+      // (decimal sums are order-independent)
+      import graft.stores.IncrementalAgg._
+      val li = t(s, dir, "lineitem")
+      val base = aggState(li.filter(col("l_orderkey") % 5 =!= 0),
+        Seq("l_returnflag"), "l_extendedprice")
+      val delta = aggState(li.filter(col("l_orderkey") % 5 === 0),
+        Seq("l_returnflag"), "l_extendedprice")
+      finalizeState(merge(base, delta, Seq("l_returnflag")))
+    }),
+    "q173_item_cooccur" -> ((s, dir) =>
+      // market-basket pair mining: within-order self-join, catalog-
+      // cardinality count tables, mega-basket cap
+      graft.operators.Cooccur.itemPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3595,7 +3612,28 @@ object SparkEntry {
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
            FROM documents),
          block AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 = 0)
-         SELECT doc_id FROM fp WHERE fp NOT IN (SELECT fp FROM block)"""
+         SELECT doc_id FROM fp WHERE fp NOT IN (SELECT fp FROM block)""",
+    "q172_incremental_agg" ->
+      """SELECT l_returnflag, COUNT(l_extendedprice) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(l_extendedprice), 6) AS avg_v
+         FROM lineitem GROUP BY l_returnflag""",
+    "q173_item_cooccur" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem),
+         nb AS (SELECT COUNT(DISTINCT b) AS n FROM items),
+         ic AS (SELECT i, COUNT(*) AS ci FROM items GROUP BY i),
+         pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_pair
+           FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+           GROUP BY a.i, b.i HAVING COUNT(*) >= 2)
+         SELECT item_a, item_b, n_pair, ca.ci AS n_a, cb.ci AS n_b,
+           ROUND(n_pair * nb.n / (ca.ci * cb.ci), 6) AS lift,
+           ROUND(ln(n_pair * nb.n / (ca.ci * cb.ci)), 6) AS pmi
+         FROM pairs
+         JOIN ic ca ON pairs.item_a = ca.i
+         JOIN ic cb ON pairs.item_b = cb.i, nb"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram
