@@ -227,4 +227,58 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Streaming anomaly scoring with CUSTOM state: a per-key Welford
+    * (count, mean, M2) accumulator lives in the state store and scores
+    * each arriving value against the baseline of EVERYTHING seen before
+    * it — across batches and restarts (the state checkpoint carries it).
+    * This is the `flatMapGroupsWithState` form of the batch
+    * rolling-z-score kernel (operators/Anomaly.scala): where the batch
+    * version re-derives its baseline from a trailing window each run,
+    * the stream pays O(1) state per key and never re-reads history.
+    *
+    * Within a batch, a key's rows are folded in (ts, value) order so
+    * replay is deterministic; each value is scored BEFORE it updates
+    * the state (a spike never vouches for itself). State never times
+    * out here — production keys that can disappear should wrap this
+    * with a timeout policy; the state is 3 numbers per key either way.
+    */
+  def anomalyStream(events: DataFrame, userCol: String, tsCol: String,
+                    valueCol: String, minN: Int = 5,
+                    threshold: Double = 3.0): org.apache.spark.sql.Dataset[AnomalyScore] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col(userCol).cast("long").as("user_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(valueCol).cast("double").as("value")).as[AnomalyEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AnomalyEvent], state: GroupState[WelfordState]) =>
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+            val sd = if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            val z = if (st.n >= minN && sd > 0) Some((e.value - st.mean) / sd)
+              else None
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (e.value - mean1))
+            AnomalyScore(uid, e.ts, e.value, n1,
+              z.map(Double.box).orNull,
+              z.exists(v => math.abs(v) > threshold))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }
+
+/** Welford accumulator persisted in the streaming state store. */
+case class WelfordState(n: Long, mean: Double, m2: Double)
+
+case class AnomalyEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+case class AnomalyScore(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                        n_seen: Long, z: java.lang.Double, is_anomaly: Boolean)
