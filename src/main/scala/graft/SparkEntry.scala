@@ -1416,9 +1416,14 @@ object SparkEntry {
       // plan-constant bucket assignment — no global sort / ntile
       graft.eda.Histogram.equiDepth(t(s, dir, "events"), "value", 8)),
     "q153_tfidf_pairs" -> ((s, dir) =>
-      // tf-idf lexical near-dup pairs via inverted-index self-join;
-      // maxDocFreq >= N here (tiny shared vocabulary) = exact cosine
-      graft.text.TfIdf.similarPairs(t(s, dir, "documents"), "doc_id", "text",
+      // tf-idf lexical near-dup pairs via inverted-index self-join.
+      // Fixed 500-doc slice (the q32 MinHash convention): the synthetic
+      // vocabulary is ~31 terms shared by EVERY doc, so an uncapped
+      // full-corpus pass is Σ df² ≈ n²·|V| — 390M pair rows at sf0.1.
+      // Real corpora use the maxDocFreq cap instead (stop-word df gate);
+      // here the cap would simply empty the join, so slice + exact.
+      graft.text.TfIdf.similarPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
         minSim = 0.9, maxDocFreq = Long.MaxValue)),
     "q154_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: dense cosine top-20 + BM25 top-20, RRF-fused
@@ -3363,13 +3368,14 @@ object SparkEntry {
          SELECT bucket, ed[bucket + 1] AS lo, ed[bucket + 2] AS hi, COUNT(*) AS n
          FROM b, e GROUP BY bucket, ed""",
     "q153_tfidf_pairs" ->
-      """WITH tok AS (SELECT doc_id,
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         tok AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),
                x -> length(x) > 0) AS t
-           FROM documents),
+           FROM docs),
          tf AS (SELECT doc_id, term, COUNT(*) AS tf
            FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY doc_id, term),
-         nn AS (SELECT COUNT(*) AS n FROM documents),
+         nn AS (SELECT COUNT(*) AS n FROM docs),
          idf AS (SELECT term, ln(CAST(n AS DOUBLE) / COUNT(*)) AS idf
            FROM tf, nn GROUP BY term, n),
          w AS (SELECT doc_id, term, tf * idf AS w
