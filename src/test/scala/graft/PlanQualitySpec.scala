@@ -239,4 +239,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q149 bm25: postings join the broadcast query terms — no BNLJ/cartesian") {
+    val plan = SparkEntry.queries("q149_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q163 anomaly: z-score window is user-keyed, never single-partition") {
+    val plan = SparkEntry.queries("q163_rolling_anomaly")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("user_id"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q161 rank functions: window keyed on o_custkey, no single partition") {
+    val plan = SparkEntry.queries("q161_window_funcs")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q168 interval join: grid-bucket equi-join, no cartesian/BNLJ") {
+    val plan = SparkEntry.queries("q168_interval_join")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q172 incremental agg: merge shuffles only state-cardinality rows") {
+    // the merged plan groups a union of two ALREADY-AGGREGATED states;
+    // partial aggregation must appear below each scan (map-side combine)
+    val plan = SparkEntry.queries("q172_incremental_agg")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial"), plan) // map-side combine present
+  }
+
+  test("q157 expectations: whole suite is one aggregate job, single scan") {
+    val df = SparkEntry.queries("q157_expectations")(spark, sf)
+    val scans = df.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
 }
