@@ -1565,7 +1565,23 @@ object SparkEntry {
       // market-basket pair mining: within-order self-join, catalog-
       // cardinality count tables, mega-basket cap
       graft.operators.Cooccur.itemPairs(t(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", minSupport = 2))
+        "l_orderkey", "l_partkey", minSupport = 2)),
+    "q174_mad_outliers" -> ((s, dir) =>
+      // robust modified-z outliers: two exact-percentile aggregates,
+      // medians become plan constants — no sort/window
+      graft.eda.Robust.madOutliers(t(s, dir, "lineitem"), "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "mad_z", "is_outlier")),
+    "q175_benford" -> ((s, dir) =>
+      graft.eda.Robust.benford(t(s, dir, "lineitem"), "l_extendedprice")),
+    "q176_group_regression" -> ((s, dir) =>
+      // per-group OLS trend from ANSI regr_* aggregates: one groupBy
+      graft.eda.GroupRegression.fit(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+    "q177_decayed_sum" -> ((s, dir) =>
+      // recency-weighted behavior features against a FIXED as-of instant
+      graft.operators.Decay.decayedAggregate(t(s, dir, "events"),
+        "user_id", "ts", "value",
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), halfLifeDays = 7.0))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3639,7 +3655,55 @@ object SparkEntry {
            ROUND(ln(n_pair * nb.n / (ca.ci * cb.ci)), 6) AS pmi
          FROM pairs
          JOIN ic ca ON pairs.item_a = ca.i
-         JOIN ic cb ON pairs.item_b = cb.i, nb"""
+         JOIN ic cb ON pairs.item_b = cb.i, nb""",
+    "q174_mad_outliers" ->
+      """WITH med AS (SELECT quantile_cont(l_extendedprice, 0.5) AS m
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         mad AS (SELECT quantile_cont(ABS(l_extendedprice - m), 0.5) AS d
+           FROM lineitem, med WHERE l_extendedprice IS NOT NULL),
+         z AS (SELECT l_orderkey, l_linenumber,
+             CASE WHEN d = 0 THEN NULL
+               ELSE ROUND(0.6745 * (l_extendedprice - m) / d, 6) END AS mad_z
+           FROM lineitem, med, mad)
+         SELECT l_orderkey, l_linenumber, mad_z,
+           COALESCE(ABS(mad_z) > 3.5, false) AS is_outlier
+         FROM z""",
+    "q175_benford" ->
+      """WITH pos AS (SELECT l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         c AS (SELECT CAST(FLOOR(x / POW(10.0, FLOOR(LOG10(x)))) AS INT)
+             AS digit, COUNT(*) AS n FROM pos GROUP BY digit),
+         t AS (SELECT SUM(n) AS tot FROM c)
+         SELECT digit, n,
+           ROUND(n / CAST(tot AS DOUBLE), 6) AS observed_share,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share,
+           ROUND(POW(n / CAST(tot AS DOUBLE) - LOG10(1.0 + 1.0 / digit), 2)
+             / LOG10(1.0 + 1.0 / digit) * tot, 6) AS chi2_term
+         FROM c, t""",
+    "q176_group_regression" ->
+      """SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr,
+           CASE WHEN regr_count(l_extendedprice, l_quantity) > 2
+               AND ABS(corr(l_extendedprice, l_quantity)) < 1.0
+             THEN ROUND(corr(l_extendedprice, l_quantity) *
+               SQRT((regr_count(l_extendedprice, l_quantity) - 2) /
+                 (1.0 - corr(l_extendedprice, l_quantity) *
+                   corr(l_extendedprice, l_quantity))), 6) END AS t_stat
+         FROM lineitem GROUP BY l_returnflag""",
+    "q177_decayed_sum" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(EXP((-LN(2) / 7) *
+             ((epoch_us(TIMESTAMP '2024-01-20 00:00:00') - epoch_us(ts))
+               / 86400000000.0)) * value), 6) AS decayed_sum,
+           ROUND(SUM(EXP((-LN(2) / 7) *
+             ((epoch_us(TIMESTAMP '2024-01-20 00:00:00') - epoch_us(ts))
+               / 86400000000.0))), 6) AS decayed_count
+         FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY user_id"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

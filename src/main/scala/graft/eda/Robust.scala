@@ -1,0 +1,57 @@
+package graft.eda
+
+import graft.functions.ExactPercentiles
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust outlier detection and digit-distribution auditing — the EDA
+  * companions to the IQR/stddev filters (eda/Eda.scala q09/q61): MAD
+  * handles heavy-tailed columns where the stddev itself is corrupted by
+  * the outliers; Benford's first-digit test catches fabricated or
+  * truncated numeric columns.
+  */
+object Robust {
+
+  /** Modified z-score outlier flags (Iglewicz–Hoaglin):
+    *   M = 0.6745·(x − median) / MAD,   MAD = median(|x − median|)
+    * flag |M| > threshold (3.5 is the standard cut). TWO exact-percentile
+    * aggregate passes (median, then MAD) — no sort, no window; both
+    * medians land as plan constants. Returns rows + (mad_z 6dp,
+    * is_outlier); all-equal columns (MAD = 0) flag nothing.
+    */
+  def madOutliers(df: DataFrame, colName: String,
+                  threshold: Double = 3.5): DataFrame = {
+    val c = col(colName).cast("double")
+    val med = df.filter(c.isNotNull)
+      .agg(ExactPercentiles.exactPercentiles(c, Seq(0.5))).head()
+      .getSeq[Double](0).head
+    val mad = df.filter(c.isNotNull)
+      .agg(ExactPercentiles.exactPercentiles(abs(c - med), Seq(0.5))).head()
+      .getSeq[Double](0).head
+    val mz = if (mad == 0) lit(null).cast("double")
+      else round(lit(0.6745) * (c - med) / mad, 6)
+    df.withColumn("mad_z", mz)
+      .withColumn("is_outlier", coalesce(abs(col("mad_z")) > threshold, lit(false)))
+  }
+
+  /** Benford first-significant-digit audit for a positive numeric
+    * column: per digit d ∈ 1..9 — observed share, Benford's expected
+    * log10(1 + 1/d), and the χ² contribution; plus the digit counts.
+    * One groupBy on the extracted digit (9 groups). Non-positive and
+    * NULL values are excluded (they have no first significant digit).
+    */
+  def benford(df: DataFrame, colName: String): DataFrame = {
+    val c = col(colName).cast("double")
+    // first significant digit via the base-10 mantissa: d = floor(x / 10^floor(log10 x))
+    val digit = floor(c / pow(lit(10.0), floor(log10(c)))).cast("int")
+    val counts = df.filter(c.isNotNull && c > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n")).head().getLong(0)
+    val expected = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    counts.select(col("digit"), col("n"),
+        round(col("n") / lit(total.toDouble), 6).as("observed_share"),
+        round(expected, 6).as("benford_share"),
+        round(pow(col("n") / lit(total.toDouble) - expected, 2) / expected * total, 6)
+          .as("chi2_term"))
+  }
+}
