@@ -1581,7 +1581,21 @@ object SparkEntry {
       // recency-weighted behavior features against a FIXED as-of instant
       graft.operators.Decay.decayedAggregate(t(s, dir, "events"),
         "user_id", "ts", "value",
-        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), halfLifeDays = 7.0))
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), halfLifeDays = 7.0)),
+    "q178_group_split" -> ((s, dir) =>
+      // leakage-free split: side is a pure hash of the group key —
+      // zero shuffle, engine-portable assignment
+      graft.ml.GroupSplit.splitSummary(t(s, dir, "events"), "user_id", 0.25)),
+    "q179_kcore" -> ((s, dir) =>
+      // 3-round 2-core peel of the proximity graph (k=3 empties it —
+      // the min_edges=2 construction caps most degrees at 2)
+      graft.proximity.Graph.kcorePeel(proximityEdges(s, dir), k = 2, rounds = 3)),
+    "q180_degree_stats" -> ((s, dir) =>
+      graft.proximity.Graph.degreeStats(proximityEdges(s, dir))),
+    "q181_entity_resolution" -> ((s, dir) =>
+      // fuzzy match → components → golden record, over part names
+      graft.operators.EntityResolution.goldenRecords(
+        t(s, dir, "part"), "p_name", maxDist = 2))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3703,7 +3717,49 @@ object SparkEntry {
              ((epoch_us(TIMESTAMP '2024-01-20 00:00:00') - epoch_us(ts))
                / 86400000000.0))), 6) AS decayed_count
          FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
-         GROUP BY user_id"""
+         GROUP BY user_id""",
+    "q178_group_split" ->
+      """WITH s AS (SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8) <
+                 lower(lpad(to_hex(CAST(floor(0.25 * 4294967296) AS BIGINT)), 8, '0'))
+               THEN 'test' ELSE 'train' END AS split
+           FROM events)
+         SELECT split, COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_groups
+         FROM s GROUP BY split""",
+    "q179_kcore" -> graft.proximity.Graph.kcorePeelOracleSql(
+      proximityEdgesSql, k = 2, rounds = 3),
+    "q180_degree_stats" ->
+      s"""WITH eg AS ($proximityEdgesSql),
+          und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM eg WHERE src != dst),
+          dir AS (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b, a FROM und),
+          deg AS (SELECT src AS id, COUNT(*) AS deg FROM dir GROUP BY src),
+          j AS (SELECT dir.src, d1.deg AS ds, d2.deg AS dd
+            FROM dir JOIN deg d1 ON dir.src = d1.id
+            JOIN deg d2 ON dir.dst = d2.id)
+          SELECT COUNT(DISTINCT src) AS n_nodes,
+            CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+            ROUND(COUNT(*) / COUNT(DISTINCT src), 6) AS avg_degree,
+            MAX(ds) AS max_degree,
+            ROUND(corr(ds, dd), 6) AS assortativity
+          FROM j""",
+    "q181_entity_resolution" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
+         e AS (SELECT a.n AS src, b.n AS dst FROM names a JOIN names b
+           ON a.n != b.n AND abs(length(a.n) - length(b.n)) <= 2
+           AND levenshtein(a.n, b.n) <= 2),
+         reach(a, b) AS (
+           SELECT n, n FROM names
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+         canon AS (SELECT a AS name, MIN(b) AS canonical_name
+           FROM reach GROUP BY a),
+         sizes AS (SELECT canonical_name, COUNT(*) AS cluster_size
+           FROM canon GROUP BY canonical_name)
+         SELECT name, canonical_name, cluster_size
+         FROM canon JOIN sizes USING (canonical_name)"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

@@ -221,4 +221,85 @@ object Graph {
           SELECT e.dst, w.dist + 1 FROM walk w JOIN eg e ON e.src = w.id
           WHERE w.dist < $maxHops)
         SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id"""
+
+  /** Fixed-round k-core peel: repeatedly drop nodes whose UNDIRECTED
+    * degree is below k (and their incident edges), `rounds` times.
+    * With enough rounds this converges to the true k-core; the round
+    * count is explicit so the semantics — and the oracle — are exact
+    * regardless of graph shape. Returns surviving (id, degree).
+    *
+    * Per round: one degree groupBy + two semi-joins, edge state
+    * localCheckpoint'ed (the PageRank lineage discipline). Early-exits
+    * when a round removes nothing.
+    */
+  def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    var edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select(col("src").as("__keep"))
+        .localCheckpoint(true)
+      val next = edges
+        .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      stable = next.count() == edges.count()
+      edges.unpersist()
+      edges = next
+      r += 1
+    }
+    edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("int").as("degree"))
+      .filter(col("degree") >= k)
+  }
+
+  /** Unrolled-CTE equivalent of [[kcorePeel]] for a fixed round count. */
+  def kcorePeelOracleSql(edgesCte: String, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT src, COUNT(*) AS d FROM e${r - 1} GROUP BY src),
+          k$r AS (SELECT src FROM d$r WHERE d >= $k),
+          e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+            WHERE e.src IN (SELECT src FROM k$r)
+              AND e.dst IN (SELECT src FROM k$r))"""
+    }.mkString(",\n")
+    s"""WITH eg AS ($edgesCte),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM eg WHERE src != dst),
+        e0 AS (SELECT a AS src, b AS dst FROM und
+               UNION ALL SELECT b, a FROM und),
+        $steps
+        SELECT src AS id, CAST(COUNT(*) AS INT) AS degree
+        FROM e$rounds GROUP BY src HAVING COUNT(*) >= $k"""
+  }
+
+  /** One-row undirected degree summary + degree assortativity (Pearson
+    * correlation of endpoint degrees over directed edge instances —
+    * each undirected edge counted both ways, the standard Newman form).
+    * Aggregates only; the corr is over the edge table.
+    */
+  def degreeStats(edges0: DataFrame): DataFrame = {
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    dir
+      .join(deg.select(col("id").as("src"), col("deg").as("__ds")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("__dd")), Seq("dst"))
+      .agg(
+        countDistinct(col("src")).as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        // 2E/N — NOT avg over edge instances (that would be Σd²/Σd)
+        round(count(lit(1)) / countDistinct(col("src")), 6).as("avg_degree"),
+        max("__ds").as("max_degree"),
+        round(corr(col("__ds"), col("__dd")), 6).as("assortativity"))
+  }
 }
