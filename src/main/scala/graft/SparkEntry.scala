@@ -1595,7 +1595,35 @@ object SparkEntry {
     "q181_entity_resolution" -> ((s, dir) =>
       // fuzzy match → components → golden record, over part names
       graft.operators.EntityResolution.goldenRecords(
-        t(s, dir, "part"), "p_name", maxDist = 2))
+        t(s, dir, "part"), "p_name", maxDist = 2)),
+    "q182_weekly_report" -> ((s, dir) =>
+      // period-over-period: lag/MA windows run over the WEEK table
+      graft.operators.Reporting.weeklyReport(t(s, dir, "events"), "ts", "value")),
+    "q183_survival" -> ((s, dir) => {
+      // Kaplan–Meier time-to-first-error per user; users who never
+      // error are right-censored at their last observed event
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(unix_micros(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", unix_micros(col("ts"))))
+            .as("__e"),
+          max(unix_micros(col("ts"))).as("__l"))
+        .select(
+          ((coalesce(col("__e"), col("__l")) - col("__f")) /
+            lit(86400.0 * 1e6)).as("duration"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("event"))
+      graft.ml.Stats.kaplanMeier(life, "duration", "event")
+    }),
+    "q184_transitions" -> ((s, dir) =>
+      // Markov event-type transition matrix: one entity-keyed lead
+      graft.operators.Reporting.transitions(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")),
+    "q185_welch_t" -> ((s, dir) =>
+      // A/B read-out on a deterministic parity split of users
+      graft.ml.Stats.welchT(
+        t(s, dir, "events").withColumn("grp",
+          when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        "grp", "value", "a", "b"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3759,7 +3787,72 @@ object SparkEntry {
          sizes AS (SELECT canonical_name, COUNT(*) AS cluster_size
            FROM canon GROUP BY canonical_name)
          SELECT name, canonical_name, cluster_size
-         FROM canon JOIN sizes USING (canonical_name)"""
+         FROM canon JOIN sizes USING (canonical_name)""",
+    "q182_weekly_report" ->
+      """WITH wk AS (SELECT date_trunc('week', ts) AS week, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS t
+           FROM events GROUP BY week)
+         SELECT week, n, ROUND(t, 6) AS total,
+           ROUND((t - lag(t, 1) OVER (ORDER BY week)) /
+             lag(t, 1) OVER (ORDER BY week), 6) AS pct_change,
+           ROUND(AVG(t) OVER (ORDER BY week
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4
+         FROM wk""",
+    "q183_survival" ->
+      """WITH life AS (SELECT
+             (COALESCE(MIN(CASE WHEN event_type = 'error'
+                 THEN epoch_us(ts) END), MAX(epoch_us(ts)))
+               - MIN(epoch_us(ts))) / 86400000000.0 AS duration,
+             CASE WHEN MIN(CASE WHEN event_type = 'error'
+                 THEN epoch_us(ts) END) IS NOT NULL
+               THEN 1 ELSE 0 END AS event
+           FROM events GROUP BY user_id),
+         byt AS (SELECT duration AS t, COUNT(*) AS n,
+             SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS n_events
+           FROM life GROUP BY duration),
+         ar AS (SELECT t, n_events, SUM(n) OVER (ORDER BY t DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+           FROM byt),
+         ev AS (SELECT t, n_at_risk, n_events,
+             1.0 - n_events / CAST(n_at_risk AS DOUBLE) AS factor
+           FROM ar WHERE n_events > 0)
+         SELECT t, n_at_risk, n_events,
+           CASE WHEN SUM(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) > 0 THEN 0.0
+             ELSE ROUND(EXP(SUM(CASE WHEN factor > 0 THEN LN(factor) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)), 6) END AS survival
+         FROM ev""",
+    "q184_transitions" ->
+      """WITH nxt AS (SELECT event_type AS from_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         pairs AS (SELECT from_type, to_type, COUNT(*) AS n
+           FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         tot AS (SELECT from_type, SUM(n) AS tt FROM pairs GROUP BY from_type)
+         SELECT from_type, to_type, n, ROUND(n / CAST(tt AS DOUBLE), 6) AS p
+         FROM pairs JOIN tot USING (from_type)""",
+    "q185_welch_t" ->
+      """WITH g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+             AS grp, value FROM events),
+         a AS (SELECT
+             COUNT(*) FILTER (WHERE grp = 'a') AS n_a,
+             COUNT(*) FILTER (WHERE grp = 'b') AS n_b,
+             AVG(value) FILTER (WHERE grp = 'a') AS ma,
+             AVG(value) FILTER (WHERE grp = 'b') AS mb,
+             var_samp(value) FILTER (WHERE grp = 'a') AS va,
+             var_samp(value) FILTER (WHERE grp = 'b') AS vb
+           FROM g)
+         SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND(ma - mb, 6) AS diff,
+           ROUND(SQRT(va / n_a + vb / n_b), 6) AS se,
+           ROUND((ma - mb) / SQRT(va / n_a + vb / n_b), 6) AS t_stat,
+           ROUND(POW(va / n_a + vb / n_b, 2) /
+             (POW(va / n_a, 2) / (n_a - 1) + POW(vb / n_b, 2) / (n_b - 1)), 6)
+             AS df
+         FROM a"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

@@ -1,0 +1,69 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis statistics: the A/B read-out (Welch's t) and the
+  * Kaplan–Meier survival estimator — closed-form over aggregates, no
+  * iteration, no sampling.
+  */
+object Stats {
+
+  /** Welch's two-sample t-test between the groups of a binary
+    * `groupCol` (values 'a'/'b' — caller names them). One row:
+    * (n_a, n_b, mean_a, mean_b, diff, se, t_stat, df) all 6dp —
+    * df by Welch–Satterthwaite. ONE aggregate over the corpus.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val agg = df.filter(isA || isB).agg(
+      count(when(isA, 1)).as("n_a"), count(when(isB, 1)).as("n_b"),
+      avg(when(isA, v)).as("__ma"), avg(when(isB, v)).as("__mb"),
+      var_samp(when(isA, v)).as("__va"), var_samp(when(isB, v)).as("__vb"))
+    val sa = col("__va") / col("n_a")
+    val sb = col("__vb") / col("n_b")
+    val se = sqrt(sa + sb)
+    val dfW = pow(sa + sb, 2) /
+      (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1))
+    agg.select(col("n_a"), col("n_b"),
+      round(col("__ma"), 6).as("mean_a"), round(col("__mb"), 6).as("mean_b"),
+      round(col("__ma") - col("__mb"), 6).as("diff"),
+      round(se, 6).as("se"),
+      round((col("__ma") - col("__mb")) / se, 6).as("t_stat"),
+      round(dfW, 6).as("df"))
+  }
+
+  /** Kaplan–Meier survival curve over (duration, event) pairs — event
+    * 1 = observed, 0 = right-censored. One row per distinct OBSERVED
+    * duration t: (t, n_at_risk, n_events, survival 6dp) with
+    *   S(t) = Π_{t_i ≤ t} (1 − d_i / r_i)
+    * computed as exp(Σ ln(1 − d/r)) — a cumulative-sum window over the
+    * DISTINCT-duration table (cohort-cardinality, not the corpus; the
+    * corpus collapses in one groupBy).
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String): DataFrame = {
+    val d = col(durationCol).cast("double")
+    val byT = df.groupBy(d.as("t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_events"))
+    val w = Window.orderBy(desc("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byT.withColumn("n_at_risk", sum("__n").over(w))
+    val wcum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exp-sum-log needs a zero guard: the last at-risk group dying gives
+    // factor 0, where Spark's log() returns NULL but DuckDB's ln() gives
+    // −inf — survival is pinned to 0 from the first zero factor instead
+    val factor = lit(1.0) - col("n_events") / col("n_at_risk")
+    val zeros = sum(when(factor <= 0, 1).otherwise(0)).over(wcum)
+    atRisk.filter(col("n_events") > 0)
+      .withColumn("survival",
+        when(zeros > 0, lit(0.0)).otherwise(
+          round(exp(sum(when(factor > 0, log(factor))).over(wcum)), 6)))
+      .select(col("t"), col("n_at_risk"), col("n_events"), col("survival"))
+  }
+}
