@@ -125,27 +125,35 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(Text.tokens(text), t => hash(t)))
 
-  /** SimHash near-dup pairs: block on 4 8-bit bands, verify Hamming ≤
-    * `maxHamming`. Returns (id_a, id_b, hamming).
+  /** SimHash near-dup pairs: 64-bit signature blocked on 4 DISJOINT
+    * 16-bit bands, verify Hamming ≤ `maxHamming`. Pigeonhole: ≤ 3 bit
+    * flips across 4 bands leave at least one band exact, so every
+    * hamming ≤ 3 pair IS a candidate — same completeness as the former
+    * 32-bit/4×8-bit scheme, but 65,536 keys per band instead of 256:
+    * the 256-key ceiling concentrated the 10× ladder into mega-buckets
+    * and went quadratic (7.7× time for 10× data in the r6 bench). The
+    * hamming filter also runs BEFORE the pair-dedup shuffle: only true
+    * near-dups pay the distinct, not every candidate.
+    * Returns (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     // single-pass custom expression, materialized once for branch reuse
     val docs = df.select(col(idCol).as("id"),
-      graft.functions.Signatures.simhash(Text.tokens(col(textCol))).as("sig"))
+      graft.functions.Signatures.simhash64(Text.tokens(col(textCol))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(col("id"), col("sig"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 8).bitwiseAND(0xff).as("bkey"))): _*)).as("bk"))
+        shiftright(col("sig"), b * 16).bitwiseAND(0xffff).as("bkey"))): _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
     val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
     val ham = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
     l.join(r, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact word-level Jaccard near-dup pairs over a bounded id range —

@@ -53,6 +53,40 @@ object SignatureOps {
   }
 
   /** 32-bit SimHash: majority vote per bit of murmur3(token). */
+  /** 64-bit SimHash from two independent murmur32 draws (seeds 42/43)
+    * per token — the band-blocking scale path needs ≥ 65k keys per
+    * band, which a 32-bit signature's 4×8-bit split cannot give (256
+    * keys/band is a hard ceiling that went quadratic on the 10×
+    * ladder). */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val bytes = arr.getUTF8String(i).getBytes
+      val lo = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42)
+      val hi = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 43)
+      var b = 0
+      while (b < 32) {
+        if (((lo >>> b) & 1) == 1) counts(b) += 1
+        if (((hi >>> b) & 1) == 1) counts(32 + b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 >= n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](32)
@@ -81,6 +115,31 @@ object SignatureOps {
   /** Distinct word n-gram shingles from raw text (lowercase, whitespace
     * tokens, "fewer than n tokens → one joined shingle" edge preserved —
     * matches Text.shingles ∘ array_distinct). */
+  /** Unigram+bigram instance bag, duplicates kept — mirrors the
+    * `when(size(t) < 2, t).otherwise(concat(t, bigrams))` combinator
+    * exactly: <2 tokens → just the tokens; else tokens ++ (k−1) bigrams.
+    */
+  def wordNgramBag(text: UTF8String): ArrayData = {
+    val tokens = text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val k = tokens.length
+    if (k < 2) {
+      val out = new Array[Any](k)
+      var i = 0
+      while (i < k) { out(i) = UTF8String.fromString(tokens(i)); i += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](2 * k - 1)
+      var i = 0
+      while (i < k) { out(i) = UTF8String.fromString(tokens(i)); i += 1 }
+      var j = 0
+      while (j + 2 <= k) {
+        out(k + j) = UTF8String.fromString(tokens(j) + " " + tokens(j + 1))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val tokens = text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
     val seen = new java.util.LinkedHashSet[String]()
@@ -176,6 +235,23 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash (two murmur32 seeds) — the banded near-dup scale form. */
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SignatureOps.simhash64(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureOps.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram shingles straight from the raw text — one pass
   * with a LinkedHashSet for distinctness. Replaces the interpreted
   * filter/split/transform/sequence/slice/concat_ws combinator chain. */
@@ -192,6 +268,27 @@ case class WordShinglesExpr(child: Expression, n: Int)
       s"${ev.value} = graft.functions.SignatureOps.wordShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** Unigram+bigram INSTANCE bag (duplicates kept — LM counts need them)
+  * in one pass: [t₁…tₖ, "t₁ t₂"…"tₖ₋₁ tₖ"]. Replaces the
+  * transform(sequence(...)) HOF form whose lambda re-tokenized the
+  * whole text per bigram element — O(tokens²) interpreted work that
+  * made the DSIR corpus pass the slowest query in the bench. */
+case class WordNgramBagExpr(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureOps.wordNgramBag(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureOps.wordNgramBag($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramBagExpr =
     copy(child = newChild)
 }
 
@@ -218,6 +315,10 @@ object Signatures {
   def wordShingles(text: Column, n: Int): Column =
     GraftExprBridge.toColumn(WordShinglesExpr(GraftExprBridge.toExpression(text), n))
 
+  /** Single-pass unigram+bigram instance bag (duplicates kept). */
+  def wordNgramBag(text: Column): Column =
+    GraftExprBridge.toColumn(WordNgramBagExpr(GraftExprBridge.toExpression(text)))
+
   /** Single-pass position-ordered 128-bit n-gram hashes of a text column. */
   def positionalGramHashes(text: Column, n: Int): Column =
     GraftExprBridge.toColumn(
@@ -231,4 +332,8 @@ object Signatures {
   /** Single-pass 32-bit simhash of a string-token-array column. */
   def simhash(tokens: Column): Column =
     GraftExprBridge.toColumn(SimHashExpr(GraftExprBridge.toExpression(tokens)))
+
+  /** Single-pass 64-bit simhash of a string-token-array column. */
+  def simhash64(tokens: Column): Column =
+    GraftExprBridge.toColumn(SimHash64Expr(GraftExprBridge.toExpression(tokens)))
 }

@@ -28,14 +28,12 @@ object Dsir {
 
   /** Unigrams + bigrams over whitespace tokens — the paper's hashed
     * n-gram feature set (DSIR §3: unigram/bigram bag hashed to 10k
-    * buckets; we use 65,536). */
-  private def ngrams(text: Column): Column = {
-    val t = Text.tokens(text)
-    val bigrams = transform(
-      sequence(lit(0), greatest(size(t) - 2, lit(-1))),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
-    when(size(t) < 2, t).otherwise(concat(t, bigrams))
-  }
+    * buckets; we use 65,536). Single-pass codegen expression: the
+    * previous transform(sequence(…)) HOF re-tokenized the text inside
+    * its lambda per bigram — O(tokens²) interpreted work that made the
+    * DSIR pass the slowest bench query (28 s → the corpus scan cost). */
+  private def ngrams(text: Column): Column =
+    graft.functions.Signatures.wordNgramBag(text)
 
   /** 16-bit md5 bucket of one n-gram (hex-string keyed: engines agree on
     * md5 hex; no int conversion needed to group on it). */
@@ -54,7 +52,10 @@ object Dsir {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, buckets: Int = 65536): DataFrame = {
-    val rawB = docBuckets(raw, idCol, textCol)
+    // checkpoint: the raw instance table feeds BOTH the bucket counts
+    // and the scoring join — without it the explode+md5 corpus pass
+    // runs twice (at cluster scale swap for checkpoint() on storage)
+    val rawB = docBuckets(raw, idCol, textCol).localCheckpoint(true)
     val tgtB = docBuckets(target, idCol, textCol)
     val rawCnt = rawB.groupBy("__b").agg(count(lit(1)).as("__cr"))
     val tgtCnt = tgtB.groupBy("__b").agg(count(lit(1)).as("__ct"))
