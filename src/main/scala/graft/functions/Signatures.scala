@@ -140,6 +140,31 @@ object SignatureOps {
     }
   }
 
+  /** Word n-gram INSTANCES (duplicates kept, order preserved) — the
+    * LM-count companion of [[wordShingles]]. `< n` tokens → ONE element
+    * holding the whole (possibly empty) space-joined text, mirroring
+    * the `array(concat_ws(" ", toks))` combinator edge exactly. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val k = tokens.length
+    if (k < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(tokens.mkString(" "))))
+    } else {
+      val out = new Array[Any](k - n + 1)
+      var i = 0
+      while (i + n <= k) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j)); j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString); i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val tokens = text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
     val seen = new java.util.LinkedHashSet[String]()
@@ -235,6 +260,24 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Word n-gram instances (duplicates kept) straight from raw text —
+  * one tokenize per row instead of one per emitted element. */
+case class WordNgramsExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SignatureOps.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignatureOps.wordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash (two murmur32 seeds) — the banded near-dup scale form. */
 case class SimHash64Expr(child: Expression)
   extends UnaryExpression {
@@ -314,6 +357,10 @@ object Signatures {
   /** Single-pass distinct word n-gram shingles of a text column. */
   def wordShingles(text: Column, n: Int): Column =
     GraftExprBridge.toColumn(WordShinglesExpr(GraftExprBridge.toExpression(text), n))
+
+  /** Single-pass word n-gram instances (duplicates kept). */
+  def wordNgrams(text: Column, n: Int): Column =
+    GraftExprBridge.toColumn(WordNgramsExpr(GraftExprBridge.toExpression(text), n))
 
   /** Single-pass unigram+bigram instance bag (duplicates kept). */
   def wordNgramBag(text: Column): Column =

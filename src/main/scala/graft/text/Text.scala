@@ -95,14 +95,13 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (n consecutive tokens joined by space). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles (n consecutive tokens joined by space,
+    * duplicates kept). Single-pass codegen expression — the
+    * transform(sequence(…)) HOF form re-ran the tokenizer inside its
+    * lambda once per emitted shingle (O(tokens²), the Dsir/q134
+    * lesson). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Signatures.wordNgrams(text, n)
 
   /** Fixed-width character chunks of `text` (last chunk ragged) — the
     * generic "lines" splitter when a corpus has no newlines, and the
