@@ -67,6 +67,19 @@ object SqlFunctions {
       arity("graft_simhash", es, 1)
       x(graft.functions.Signatures.simhash(c(es.head)))
     },
+    "graft_simhash64" -> { es: Seq[Expression] =>
+      arity("graft_simhash64", es, 1)
+      x(graft.functions.Signatures.simhash64(c(es.head)))
+    },
+    "graft_ngrams" -> { es: Seq[Expression] =>
+      arity("graft_ngrams", es, 2)
+      x(graft.functions.Signatures.wordNgrams(
+        c(es.head), intArg(es(1), "graft_ngrams")))
+    },
+    "graft_ngram_bag" -> { es: Seq[Expression] =>
+      arity("graft_ngram_bag", es, 1)
+      x(graft.functions.Signatures.wordNgramBag(c(es.head)))
+    },
     "graft_cosine_sim" -> { es: Seq[Expression] =>
       arity("graft_cosine_sim", es, 2)
       x(graft.proximity.Proximity.cosine(c(es.head), c(es(1))))

@@ -108,4 +108,23 @@ class SqlFunctionsSpec extends SparkSpec {
     val rules = org.apache.spark.sql.GraftExprBridge.extensionOptimizerRules(ext, spark)
     assert(rules.contains(graft.plans.NanosPushdown))
   }
+
+  test("wave SQL functions: simhash64 / ngrams / ngram_bag") {
+    SqlFunctions.install(spark)
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sqlfun_docs2")
+    val r = spark.sql(
+      """SELECT graft_simhash64(graft_tokens(text)) AS sh,
+         graft_ngrams(text, 2) AS ng, graft_ngram_bag(text) AS bag
+         FROM sqlfun_docs2""").head()
+    val e = docs.select(
+      graft.functions.Signatures.simhash64(
+        graft.text.Text.tokens(col("text"))).as("sh"),
+      graft.functions.Signatures.wordNgrams(col("text"), 2).as("ng"),
+      graft.functions.Signatures.wordNgramBag(col("text")).as("bag")).head()
+    assert(r.getLong(0) === e.getLong(0))
+    assert(r.getSeq[String](1) === Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](2) === Seq("a", "b", "c", "d", "a b", "b c", "c d"))
+    assert(r.getSeq[String](2) === e.getSeq[String](2))
+  }
 }
