@@ -1623,7 +1623,17 @@ object SparkEntry {
       graft.ml.Stats.welchT(
         t(s, dir, "events").withColumn("grp",
           when(col("user_id") % 2 === 0, "a").otherwise("b")),
-        "grp", "value", "a", "b"))
+        "grp", "value", "a", "b")),
+    "q186_rolling_folds" -> ((s, dir) =>
+      // leakage-free time-series CV folds: one percentile aggregate
+      // for the cuts, metadata-sized count rows
+      graft.ml.Stats.rollingOriginFolds(t(s, dir, "events"), "ts", k = 4)),
+    "q187_calibration" -> ((s, dir) =>
+      // reliability bins over a deterministic pseudo-probability
+      graft.ml.Stats.calibrationBins(
+        t(s, dir, "events").select((col("value") / 100).as("p"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("y")),
+        "p", "y", bins = 10))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3852,7 +3862,30 @@ object SparkEntry {
            ROUND(POW(va / n_a + vb / n_b, 2) /
              (POW(va / n_a, 2) / (n_a - 1) + POW(vb / n_b, 2) / (n_b - 1)), 6)
              AS df
-         FROM a"""
+         FROM a""",
+    "q186_rolling_folds" -> (0 until 4).map { i =>
+      val p1 = (i + 1) * 0.2
+      val p2 = (i + 2) * 0.2
+      s"""SELECT $i AS fold, te AS train_end_us, ve AS valid_end_us,
+          (SELECT COUNT(*) FROM events WHERE epoch_us(ts) < te) AS n_train,
+          (SELECT COUNT(*) FROM events
+             WHERE epoch_us(ts) >= te AND epoch_us(ts) < ve) AS n_valid
+          FROM (SELECT
+            CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p1))
+              AS BIGINT) AS te,
+            CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p2))
+              AS BIGINT) AS ve
+          FROM events)"""
+    }.mkString(" UNION ALL "),
+    "q187_calibration" ->
+      """WITH d AS (SELECT value / 100 AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events)
+         SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin, COUNT(*) AS n,
+           ROUND(AVG(p), 6) AS mean_pred,
+           ROUND(AVG(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+         FROM d WHERE p IS NOT NULL AND p >= 0 AND p <= 1
+         GROUP BY bin"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

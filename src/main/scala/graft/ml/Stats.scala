@@ -37,6 +37,54 @@ object Stats {
       round(dfW, 6).as("df"))
   }
 
+  /** Rolling-origin (time-series) cross-validation fold table: k folds
+    * where fold i trains on everything BEFORE cut_i and validates on
+    * [cut_i, cut_{i+1}) — the leakage-free CV for temporal data (the
+    * hashed-fold CrossFold would let the future train the past). Cuts
+    * are the exact i/(k+1) percentiles of event-time micros — ONE
+    * percentile aggregate, then k metadata-sized count aggregates.
+    * Returns (fold, train_end_us, valid_end_us, n_train, n_valid).
+    */
+  def rollingOriginFolds(df: DataFrame, tsCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val ev = graft.core.Tables.ltzTs(df, tsCol)
+    val us = unix_micros(col(tsCol))
+    val ps = (1 to (k + 1)).map(_.toDouble / (k + 1))
+    val cuts = ev.agg(graft.functions.ExactPercentiles.exactPercentiles(
+      us.cast("double"), ps)).head().getSeq[Double](0).map(_.toLong)
+    // ONE conditional-aggregate pass for every fold's counts — k
+    // separate scans would re-read the corpus k times at 100 TB
+    val aggs = (0 until k).flatMap { i =>
+      Seq(sum(when(us < cuts(i), 1L).otherwise(0L)).as(s"__tr$i"),
+        sum(when(us >= cuts(i) && us < cuts(i + 1), 1L).otherwise(0L))
+          .as(s"__va$i"))
+    }
+    val c = ev.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until k).map(i =>
+      (i, cuts(i), cuts(i + 1), c.getLong(2 * i), c.getLong(2 * i + 1)))
+      .toDF("fold", "train_end_us", "valid_end_us", "n_train", "n_valid")
+  }
+
+  /** Calibration (reliability) bins for a probability column against a
+    * 0/1 label: per equal-width bin — (bin, n, mean_pred 6dp,
+    * frac_pos 6dp). The ECE summand |mean_pred − frac_pos|·n/N is the
+    * caller's one-liner. Right-open bins, p = 1 lands in the last bin.
+    */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 1)
+    val p = col(probCol).cast("double")
+    val b = least(floor(p * bins).cast("int"), lit(bins - 1))
+    df.filter(p.isNotNull && p >= 0 && p <= 1)
+      .groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(p), 6).as("mean_pred"),
+        round(avg(when(col(labelCol) === 1, 1.0).otherwise(0.0)), 6)
+          .as("frac_pos"))
+  }
+
   /** Kaplan–Meier survival curve over (duration, event) pairs — event
     * 1 = observed, 0 = right-censored. One row per distinct OBSERVED
     * duration t: (t, n_at_risk, n_events, survival 6dp) with

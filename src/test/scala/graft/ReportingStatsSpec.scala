@@ -79,4 +79,40 @@ class ReportingStatsSpec extends SparkSpec {
     assert(km(1.0) === 0.5)
     assert(km(2.0) === 0.0) // zero factor pins survival, no NULL leak
   }
+
+  test("rollingOriginFolds: folds are temporally nested, never leak") {
+    val df = (1 to 100).map(i =>
+      new java.sql.Timestamp(1700000000000L + i * 60000L)).toDF("t")
+    val folds = Stats.rollingOriginFolds(df, "t", k = 4)
+      .orderBy("fold").collect()
+    assert(folds.length === 4)
+    folds.foreach { f =>
+      assert(f.getLong(1) < f.getLong(2)) // train_end < valid_end
+    }
+    // train windows grow monotonically (expanding origin)
+    assert(folds.map(_.getLong(3)).toSeq === folds.map(_.getLong(3)).sorted.toSeq)
+    // distinct timestamps: each validation slice holds ~1/5 of the rows
+    assert(folds.map(_.getLong(4)).forall(n => n >= 15 && n <= 25))
+  }
+
+  test("calibrationBins: perfect calibration has mean_pred == frac_pos") {
+    // bin b: probability b/10+0.05, labels drawn to match exactly
+    val rows = (0 until 10).flatMap { b =>
+      val p = b / 10.0 + 0.05
+      val pos = math.round(20 * p).toInt
+      Seq.fill(pos)((p, 1)) ++ Seq.fill(20 - pos)((p, 0))
+    }
+    val out = Stats.calibrationBins(rows.toDF("p", "y"), "p", "y", 10)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.size === 10)
+    out.foreach { case (b, (mp, fp)) =>
+      assert(math.abs(mp - (b / 10.0 + 0.05)) < 1e-9)
+      assert(math.abs(fp - math.round(20 * (b / 10.0 + 0.05)) / 20.0) < 1e-9)
+    }
+    // p = 1.0 lands in the last bin, p > 1 excluded
+    val edge = Stats.calibrationBins(
+      Seq((1.0, 1), (1.5, 1)).toDF("p", "y"), "p", "y", 10).collect()
+    assert(edge.length === 1 && edge.head.getInt(0) === 9 &&
+      edge.head.getLong(1) === 1L)
+  }
 }
