@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Histogram {
 
+  /** Empty-but-schema-correct result (no non-null rows to bin). */
+  private def emptyHistogram(df: DataFrame): DataFrame =
+    df.sparkSession.range(0).select(
+      lit(0).as("bucket"), lit(0.0).as("lo"), lit(0.0).as("hi"),
+      lit(0L).as("n"))
+
   /** Equi-width histogram: `bins` equal-width buckets spanning
     * [min, max]. Returns one row per NON-EMPTY bucket:
     * (bucket 0-based, lo, hi, n). The max value lands in the last
@@ -29,6 +35,7 @@ object Histogram {
     require(bins >= 1)
     val c = col(colName).cast("double")
     val mm = df.filter(c.isNotNull).agg(min(c).as("lo"), max(c).as("hi")).head()
+    if (mm.isNullAt(0)) return emptyHistogram(df)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val w = (hi - lo) / bins
     val bucket =
@@ -59,8 +66,9 @@ object Histogram {
     val c = col(colName).cast("double")
     val nn = df.filter(c.isNotNull)
     val ps = (0 to bins).map(_.toDouble / bins)
-    val edges = nn.agg(ExactPercentiles.exactPercentiles(c, ps).as("e"))
-      .head().getSeq[Double](0)
+    val edgeRow = nn.agg(ExactPercentiles.exactPercentiles(c, ps).as("e")).head()
+    if (edgeRow.isNullAt(0)) return emptyHistogram(df)
+    val edges = edgeRow.getSeq[Double](0)
       .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     // interior edges only; min/max bound the outer buckets
     val bucket = (1 until bins).foldLeft(lit(0)) { (acc, i) =>

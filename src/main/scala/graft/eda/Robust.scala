@@ -22,9 +22,12 @@ object Robust {
   def madOutliers(df: DataFrame, colName: String,
                   threshold: Double = 3.5): DataFrame = {
     val c = col(colName).cast("double")
-    val med = df.filter(c.isNotNull)
+    val medRow = df.filter(c.isNotNull)
       .agg(ExactPercentiles.exactPercentiles(c, Seq(0.5))).head()
-      .getSeq[Double](0).head
+    if (medRow.isNullAt(0)) // no non-null values: nothing to judge against
+      return df.withColumn("mad_z", lit(null).cast("double"))
+        .withColumn("is_outlier", lit(false))
+    val med = medRow.getSeq[Double](0).head
     val mad = df.filter(c.isNotNull)
       .agg(ExactPercentiles.exactPercentiles(abs(c - med), Seq(0.5))).head()
       .getSeq[Double](0).head

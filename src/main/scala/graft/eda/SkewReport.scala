@@ -28,6 +28,11 @@ object SkewReport {
       .localCheckpoint(true) // reused 4×; also avoids the self-lineage
                              // attribute collision a shared plan invites
     val t = counts.agg(sum("__c"), count(lit(1)), max("__c")).head()
+    val spark0 = df.sparkSession
+    if (t.isNullAt(0)) // empty input: a zero-row report, not an NPE
+      return spark0.range(0).select(lit(0L).as("n_rows"), lit(0L).as("n_keys"),
+        lit(0.0).as("max_key_share"), lit(0.0).as("top5_share"),
+        lit(0.0).as("gini"))
     val (nRows, nKeys, mx) = (t.getLong(0), t.getLong(1), t.getLong(2))
     val t5 = counts.orderBy(desc("__c"), asc(key)).limit(5)
       .agg(sum("__c")).head().getLong(0)

@@ -50,8 +50,14 @@ object Stats {
     val ev = graft.core.Tables.ltzTs(df, tsCol)
     val us = unix_micros(col(tsCol))
     val ps = (1 to (k + 1)).map(_.toDouble / (k + 1))
-    val cuts = ev.agg(graft.functions.ExactPercentiles.exactPercentiles(
-      us.cast("double"), ps)).head().getSeq[Double](0).map(_.toLong)
+    val spark0 = df.sparkSession
+    val cutRow = ev.agg(graft.functions.ExactPercentiles.exactPercentiles(
+      us.cast("double"), ps)).head()
+    if (cutRow.isNullAt(0)) // no events: zero folds, not an NPE
+      return spark0.range(0).select(lit(0).as("fold"),
+        lit(0L).as("train_end_us"), lit(0L).as("valid_end_us"),
+        lit(0L).as("n_train"), lit(0L).as("n_valid"))
+    val cuts = cutRow.getSeq[Double](0).map(_.toLong)
     // ONE conditional-aggregate pass for every fold's counts — k
     // separate scans would re-read the corpus k times at 100 TB
     val aggs = (0 until k).flatMap { i =>

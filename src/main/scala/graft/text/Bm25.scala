@@ -38,6 +38,10 @@ object Bm25 {
     import org.apache.spark.sql.expressions.Window
     val (postings, docLen) = index(docs, idCol, textCol)
     val n = docLen.count().toDouble
+    if (n == 0) // empty corpus: no postings, no hits — schema-correct empty
+      return docs.sparkSession.range(0).select(
+        lit(0L).as(queryIdCol), lit(0L).as(idCol),
+        lit(0.0).as("bm25"), lit(0).as("rank"))
     val avgdl = docLen.agg(avg("dl")).first().getDouble(0)
     val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = df.select(col("term"),
