@@ -1633,7 +1633,14 @@ object SparkEntry {
       graft.ml.Stats.calibrationBins(
         t(s, dir, "events").select((col("value") / 100).as("p"),
           when(col("event_type") === "purchase", 1).otherwise(0).as("y")),
-        "p", "y", bins = 10))
+        "p", "y", bins = 10)),
+    "q188_winsorized_stats" -> ((s, dir) =>
+      // outlier-resistant headline stats: percentile clip bounds become
+      // plan constants, then one stats aggregate
+      graft.eda.Robust.winsorizedStats(t(s, dir, "lineitem"),
+        "l_extendedprice", pLo = 0.01, pHi = 0.99)),
+    "q189_dow_seasonality" -> ((s, dir) =>
+      graft.eda.Robust.dowSeasonality(t(s, dir, "events"), "ts", "value"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3885,7 +3892,26 @@ object SparkEntry {
            ROUND(AVG(p), 6) AS mean_pred,
            ROUND(AVG(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
          FROM d WHERE p IS NOT NULL AND p >= 0 AND p <= 1
-         GROUP BY bin"""
+         GROUP BY bin""",
+    "q188_winsorized_stats" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+           FROM lineitem WHERE l_extendedprice IS NOT NULL)
+         SELECT COUNT(*) AS n, ROUND(lo, 6) AS lo_bound,
+           ROUND(hi, 6) AS hi_bound,
+           SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+             THEN 1 ELSE 0 END) AS n_clipped,
+           ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 6) AS mean,
+           ROUND(stddev_samp(LEAST(GREATEST(l_extendedprice, lo), hi)), 6)
+             AS stddev
+         FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+         GROUP BY lo, hi""",
+    "q189_dow_seasonality" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS mean,
+           ROUND(AVG(value) - (SELECT AVG(value) FROM events), 6)
+             AS delta_vs_global
+         FROM events GROUP BY dow"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

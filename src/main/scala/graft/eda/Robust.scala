@@ -37,6 +37,48 @@ object Robust {
       .withColumn("is_outlier", coalesce(abs(col("mad_z")) > threshold, lit(false)))
   }
 
+  /** Winsorized summary: clip values to the exact [pLo, pHi]
+    * percentiles, then mean/std — the outlier-resistant headline
+    * numbers next to the raw ones. One percentile aggregate (bounds
+    * become plan constants) + one stats aggregate. One row:
+    * (n, lo_bound, hi_bound, n_clipped, mean 6dp, stddev 6dp).
+    */
+  def winsorizedStats(df: DataFrame, colName: String,
+                      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi)
+    val c = col(colName).cast("double")
+    val nn = df.filter(c.isNotNull)
+    val bRow = nn.agg(ExactPercentiles.exactPercentiles(c, Seq(pLo, pHi))).head()
+    if (bRow.isNullAt(0))
+      return df.sparkSession.range(0).select(lit(0L).as("n"),
+        lit(0.0).as("lo_bound"), lit(0.0).as("hi_bound"),
+        lit(0L).as("n_clipped"), lit(0.0).as("mean"), lit(0.0).as("stddev"))
+    val Seq(lo, hi) = bRow.getSeq[Double](0).toSeq
+    val w = least(greatest(c, lit(lo)), lit(hi))
+    nn.agg(count(lit(1)).as("n"),
+      round(lit(lo), 6).as("lo_bound"), round(lit(hi), 6).as("hi_bound"),
+      sum(when(c < lo || c > hi, 1L).otherwise(0L)).as("n_clipped"),
+      round(avg(w), 6).as("mean"),
+      round(stddev_samp(w), 6).as("stddev"))
+  }
+
+  /** Day-of-week seasonality profile of an event metric: per ISO
+    * weekday (1 = Monday) — n, mean 6dp, and the delta vs the global
+    * mean 6dp. Two aggregates total (global mean as a plan constant).
+    */
+  def dowSeasonality(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val ev = graft.core.Tables.ltzTs(df, tsCol)
+    val v = col(valueCol).cast("double")
+    val gRow = ev.agg(avg(v)).head()
+    if (gRow.isNullAt(0))
+      return df.sparkSession.range(0).select(lit(0).as("dow"),
+        lit(0L).as("n"), lit(0.0).as("mean"), lit(0.0).as("delta_vs_global"))
+    val g = gRow.getDouble(0)
+    ev.groupBy(dayofweek(col(tsCol)).as("dow")) // Spark: 1=Sunday…7=Saturday
+      .agg(count(lit(1)).as("n"), round(avg(v), 6).as("mean"),
+        round(avg(v) - g, 6).as("delta_vs_global"))
+  }
+
   /** Benford first-significant-digit audit for a positive numeric
     * column: per digit d ∈ 1..9 — observed share, Benford's expected
     * log10(1 + 1/d), and the χ² contribution; plus the digit counts.

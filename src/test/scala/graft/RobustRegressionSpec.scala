@@ -70,4 +70,24 @@ class RobustRegressionSpec extends SparkSpec {
     assert(r.getDouble(2) === 17.5)  // 10·(1 + 0.5 + 0.25)
     assert(r.getDouble(3) === 1.75)
   }
+
+  test("winsorizedStats: clipping tames the spike, bounds are percentiles") {
+    val df = ((1 to 99).map(_.toDouble) :+ 100000.0).toDF("x")
+    val r = Robust.winsorizedStats(df, "x", 0.01, 0.99).head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(3) >= 1L)         // the spike was clipped
+    assert(r.getDouble(4) < 200.0)     // winsorized mean is sane
+    assert(r.getDouble(1) < r.getDouble(2))
+  }
+
+  test("dowSeasonality: deltas average to ~0 over a balanced week") {
+    val rows = (0 until 70).map { i =>
+      (new java.sql.Timestamp(1700000000000L + i.toLong * 86400000L),
+        (i % 7).toDouble)
+    }
+    val out = Robust.dowSeasonality(rows.toDF("t", "v"), "t", "v")
+    assert(out.count() === 7)
+    val deltaSum = out.agg(sum("delta_vs_global")).head().getDouble(0)
+    assert(math.abs(deltaSum) < 1e-4) // balanced design: deltas cancel
+  }
 }
