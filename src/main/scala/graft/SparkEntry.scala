@@ -1640,7 +1640,14 @@ object SparkEntry {
       graft.eda.Robust.winsorizedStats(t(s, dir, "lineitem"),
         "l_extendedprice", pLo = 0.01, pHi = 0.99)),
     "q189_dow_seasonality" -> ((s, dir) =>
-      graft.eda.Robust.dowSeasonality(t(s, dir, "events"), "ts", "value"))
+      graft.eda.Robust.dowSeasonality(t(s, dir, "events"), "ts", "value")),
+    "q190_binned_woe" -> ((s, dir) =>
+      // credit-scoring numeric WOE: equi-depth bins (6dp-quantized
+      // percentile edges) scored against a binary label
+      graft.ml.Encoders.binnedWoe(
+        t(s, dir, "lineitem").withColumn("label",
+          (col("l_discount") > 0.05).cast("int")),
+        "l_extendedprice", "label", bins = 5))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3911,7 +3918,30 @@ object SparkEntry {
            ROUND(AVG(value), 6) AS mean,
            ROUND(AVG(value) - (SELECT AVG(value) FROM events), 6)
              AS delta_vs_global
-         FROM events GROUP BY dow"""
+         FROM events GROUP BY dow""",
+    "q190_binned_woe" ->
+      """WITH e AS (SELECT list_transform(quantile_cont(l_extendedprice,
+             [0.2, 0.4, 0.6, 0.8]), x -> ROUND(x, 6)) AS ed
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         b AS (SELECT CAST(
+             (CASE WHEN l_extendedprice > ed[1] THEN 1 ELSE 0 END) +
+             (CASE WHEN l_extendedprice > ed[2] THEN 1 ELSE 0 END) +
+             (CASE WHEN l_extendedprice > ed[3] THEN 1 ELSE 0 END) +
+             (CASE WHEN l_extendedprice > ed[4] THEN 1 ELSE 0 END)
+               AS VARCHAR) AS category,
+             CASE WHEN l_discount > 0.05 THEN 1
+               WHEN l_discount IS NULL THEN NULL ELSE 0 END AS label
+           FROM lineitem, e WHERE l_extendedprice IS NOT NULL),
+         cells AS (SELECT category, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE label = 1) AS n_pos,
+             COUNT(*) FILTER (WHERE label = 0) AS n_neg
+           FROM b GROUP BY category),
+         tot AS (SELECT SUM(n_pos) AS p, SUM(n_neg) AS ng FROM cells)
+         SELECT category, n, n_pos, n_neg,
+           ROUND(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / ng)), 6) AS woe,
+           ROUND(((n_pos + 0.5) / p - (n_neg + 0.5) / ng) *
+             ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / ng)), 6) AS iv_term
+         FROM cells, tot"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

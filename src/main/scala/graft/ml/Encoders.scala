@@ -38,6 +38,31 @@ object Encoders {
         round((posShare - negShare) * log(posShare / negShare), 6).as("iv_term"))
   }
 
+  /** WOE over a NUMERIC feature: quantile-bin it (exact equi-depth
+    * edges, 6dp-quantized — the Histogram.equiDepth convention) and
+    * score each bin against the binary label. The credit-scoring
+    * binning step composed from kernels this engine already has:
+    * one percentile aggregate + the [[woeTable]] pass. Returns the
+    * woeTable shape with `category` = bin index as a string.
+    */
+  def binnedWoe(df: DataFrame, numCol: String, labelCol: String,
+                bins: Int): DataFrame = {
+    require(bins >= 2)
+    val c = col(numCol).cast("double")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val edgeRow = df.filter(c.isNotNull)
+      .agg(graft.functions.ExactPercentiles.exactPercentiles(c, ps)).head()
+    if (edgeRow.isNullAt(0))
+      return woeTable(df.filter(lit(false))
+        .withColumn("__bin", lit("")), "__bin", labelCol)
+    val edges = edgeRow.getSeq[Double](0)
+      .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bin = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(c > e, 1).otherwise(0))
+    woeTable(df.filter(c.isNotNull)
+      .withColumn("__bin", bin.cast("string")), "__bin", labelCol)
+  }
+
   /** Smoothed target (mean) encoding: each level maps to
     *   (sum_c + m·globalMean) / (n_c + m)
     * — the empirical-Bayes shrink toward the global mean that keeps

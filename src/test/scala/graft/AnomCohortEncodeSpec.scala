@@ -92,4 +92,16 @@ class AnomCohortEncodeSpec extends SparkSpec {
     assert(enc("rare") < 120.0)
     assert(math.abs(enc("common") - (1000.0 + 20 * gm) / 120.0) > 0) // sanity
   }
+
+  test("binnedWoe: monotone feature-label link shows monotone WOE") {
+    // y = 1 iff x in the top half: high bins must carry higher WOE
+    val df = (1 to 1000).map(i => (i.toDouble, if (i > 500) 1 else 0))
+      .toDF("x", "y")
+    val w = Encoders.binnedWoe(df, "x", "y", bins = 4)
+      .collect().map(r => r.getString(0).toInt -> r.getDouble(4)).toMap
+    assert(w.size === 4)
+    assert(w(0) < w(1) || w(1) < w(2)) // lower bins: negative evidence
+    assert(w(3) > w(0))
+    assert(w(0) < 0 && w(3) > 0)
+  }
 }
