@@ -1647,7 +1647,23 @@ object SparkEntry {
       graft.ml.Encoders.binnedWoe(
         t(s, dir, "lineitem").withColumn("label",
           (col("l_discount") > 0.05).cast("int")),
-        "l_extendedprice", "label", bins = 5))
+        "l_extendedprice", "label", bins = 5)),
+    "q191_abc_analysis" -> ((s, dir) =>
+      // Pareto 80/20: one supplier-collapsing groupBy, cumulative
+      // window over the catalog-sized total table
+      graft.operators.Reporting.abcAnalysis(
+        t(s, dir, "lineitem").withColumn("supp", col("l_suppkey").cast("string")),
+        "supp", "l_extendedprice")),
+    "q192_attribution" -> ((s, dir) =>
+      // last-touch conversion attribution: running last-non-null touch
+      // per user, conversion can't touch itself (frame ends at -1)
+      graft.operators.Reporting.lastTouchAttribution(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        conversionType = "purchase", touchTypes = Seq("click", "view"))),
+    "q193_rfm_segments" -> ((s, dir) =>
+      graft.operators.Reporting.rfmSegments(t(s, dir, "events"),
+        "user_id", "ts", "value",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), bins = 4))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -3941,7 +3957,71 @@ object SparkEntry {
            ROUND(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / ng)), 6) AS woe,
            ROUND(((n_pos + 0.5) / p - (n_neg + 0.5) / ng) *
              ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / ng)), 6) AS iv_term
-         FROM cells, tot"""
+         FROM cells, tot""",
+    "q191_abc_analysis" ->
+      """WITH t AS (SELECT CAST(l_suppkey AS VARCHAR) AS entity,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS t
+           FROM lineitem GROUP BY l_suppkey),
+         g AS (SELECT SUM(t) AS grand FROM t),
+         c AS (SELECT entity, t,
+             SUM(t) OVER (ORDER BY t DESC, entity ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT entity, ROUND(t, 6) AS total,
+           ROUND(t / grand, 6) AS share,
+           ROUND(cum / grand, 6) AS cum_share,
+           CASE WHEN ROUND(cum / grand, 6) <= 0.8 THEN 'A'
+             WHEN ROUND(cum / grand, 6) <= 0.95 THEN 'B'
+             ELSE 'C' END AS abc_class
+         FROM c, g""",
+    "q192_attribution" ->
+      """WITH tagged AS (SELECT user_id, ts, event_type, value,
+             CASE WHEN event_type IN ('click', 'view')
+               THEN event_type END AS touch
+           FROM events),
+         a AS (SELECT *, last_value(touch IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+           FROM tagged)
+         SELECT COALESCE(attr, '(none)') AS touch_type,
+           COUNT(*) AS n_conversions,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS value_sum
+         FROM a WHERE event_type = 'purchase' GROUP BY touch_type""",
+    "q193_rfm_segments" ->
+      """WITH pu AS (SELECT user_id AS user,
+             (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - MAX(epoch_us(ts)))
+               / 86400000000.0 AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
+           GROUP BY user_id),
+         e AS (SELECT
+             list_transform(quantile_cont(recency_days, [0.25, 0.5, 0.75]),
+               x -> ROUND(x, 6)) AS re,
+             list_transform(quantile_cont(CAST(frequency AS DOUBLE),
+               [0.25, 0.5, 0.75]), x -> ROUND(x, 6)) AS fe,
+             list_transform(quantile_cont(monetary, [0.25, 0.5, 0.75]),
+               x -> ROUND(x, 6)) AS me
+           FROM pu),
+         s AS (SELECT "user", recency_days, frequency, monetary,
+             4 - ((CASE WHEN recency_days > re[1] THEN 1 ELSE 0 END) +
+                  (CASE WHEN recency_days > re[2] THEN 1 ELSE 0 END) +
+                  (CASE WHEN recency_days > re[3] THEN 1 ELSE 0 END)) AS r_score,
+             1 + ((CASE WHEN frequency > fe[1] THEN 1 ELSE 0 END) +
+                  (CASE WHEN frequency > fe[2] THEN 1 ELSE 0 END) +
+                  (CASE WHEN frequency > fe[3] THEN 1 ELSE 0 END)) AS f_score,
+             1 + ((CASE WHEN monetary > me[1] THEN 1 ELSE 0 END) +
+                  (CASE WHEN monetary > me[2] THEN 1 ELSE 0 END) +
+                  (CASE WHEN monetary > me[3] THEN 1 ELSE 0 END)) AS m_score
+           FROM pu, e)
+         SELECT "user", ROUND(recency_days, 6) AS recency_days, frequency,
+           ROUND(monetary, 6) AS monetary,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+             CAST(m_score AS VARCHAR) AS segment
+         FROM s"""
   )
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram

@@ -35,6 +35,117 @@ object Reporting {
         round(avg("__t").over(ma), 6).as("ma4"))
   }
 
+  /** Pareto / ABC contribution analysis: rank entities by a metric,
+    * accumulate their share, and classify A (first `aCut` of the
+    * total), B (to `bCut`), C (rest) — the 80/20 inventory query.
+    * The corpus collapses to entity cardinality in one groupBy; the
+    * ordered cumulative window runs over THAT table (catalog-sized).
+    * Deterministic: ties ordered by entity id; shares at 6dp.
+    * Returns (entity, total 6dp, share 6dp, cum_share 6dp, abc_class).
+    */
+  def abcAnalysis(df: DataFrame, entityCol: String, valueCol: String,
+                  aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
+    require(aCut > 0 && aCut < bCut && bCut < 1)
+    val totals = df.groupBy(col(entityCol).as("entity"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("__t"))
+    val g = totals.agg(sum("__t")).head()
+    if (g.isNullAt(0))
+      return df.sparkSession.range(0).select(lit("").as("entity"),
+        lit(0.0).as("total"), lit(0.0).as("share"),
+        lit(0.0).as("cum_share"), lit("").as("abc_class"))
+    val grand = g.getDouble(0)
+    val w = Window.orderBy(desc("__t"), asc("entity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals
+      .withColumn("__cum", sum("__t").over(w))
+      .select(col("entity"), round(col("__t"), 6).as("total"),
+        round(col("__t") / grand, 6).as("share"),
+        round(col("__cum") / grand, 6).as("cum_share"),
+        when(round(col("__cum") / grand, 6) <= aCut, "A")
+          .when(round(col("__cum") / grand, 6) <= bCut, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * entity's most recent PRIOR touch event (strictly earlier ts; ties
+    * at the same ts are not touches for that conversion). One
+    * entity-keyed union-tag window — the as-of kernel, no join operator
+    * in the plan. Returns (touch_type, n_conversions, value_sum 6dp);
+    * conversions with no prior touch attribute to '(none)'.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, conversionType: String,
+                           touchTypes: Seq[String]): DataFrame = {
+    require(!touchTypes.contains(conversionType),
+      "a conversion type cannot also be a touch type")
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val w = Window.partitionBy(userCol)
+      .orderBy(unix_micros(col(tsCol)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = ev.withColumn("__touch",
+      when(col(typeCol).isin(touchTypes: _*), col(typeCol)))
+    // last_value over a running frame ignoring nulls = most recent touch
+    // AT OR BEFORE this row; shift by excluding the current row via a
+    // -1 upper bound so a conversion can't touch itself
+    val wPrior = Window.partitionBy(userCol)
+      .orderBy(unix_micros(col(tsCol)), col(typeCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("__attr", last(col("__touch"), ignoreNulls = true).over(wPrior))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("__attr"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 6)
+          .as("value_sum"))
+  }
+
+  /** RFM segmentation: per user — recency (days since last event at
+    * `asOf`), frequency (event count), monetary (decimal-summed value)
+    * — each scored 1..bins by exact quantile thresholds over the USER
+    * table (6dp-quantized edges, the engine-stable binning convention).
+    * High score = good: recent, frequent, high-value. One corpus
+    * groupBy + one percentile aggregate; scoring is a projection.
+    * Returns (user, recency_days 6dp, frequency, monetary 6dp,
+    * r_score, f_score, m_score, segment "RFM").
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, asOf: java.sql.Timestamp,
+                  bins: Int = 4): DataFrame = {
+    require(bins >= 2)
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+      .filter(col(tsCol) <= lit(asOf))
+    val perUser = ev.groupBy(col(userCol).as("user"))
+      .agg(
+        ((lit(asOf.getTime * 1000L) - max(unix_micros(col(tsCol)))) /
+          lit(86400.0 * 1e6)).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("monetary"))
+      .localCheckpoint(true) // feeds the percentile action AND the output
+    val ps = (1 until bins).map(_.toDouble / bins)
+    def edges(c: String): Seq[Double] = {
+      val r = perUser.agg(graft.functions.ExactPercentiles
+        .exactPercentiles(col(c).cast("double"), ps)).head()
+      if (r.isNullAt(0)) Seq.empty
+      else r.getSeq[Double](0).map(e =>
+        BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    def bin(c: String, es: Seq[Double]) =
+      es.foldLeft(lit(0))((acc, e) => acc + when(col(c) > e, 1).otherwise(0))
+    val (re, fe, me) = (edges("recency_days"), edges("frequency"), edges("monetary"))
+    if (re.isEmpty) return perUser.limit(0)
+      .select(col("user"), col("recency_days"), col("frequency"), col("monetary"),
+        lit(0).as("r_score"), lit(0).as("f_score"), lit(0).as("m_score"),
+        lit("").as("segment"))
+    perUser.select(col("user"),
+        round(col("recency_days"), 6).as("recency_days"),
+        col("frequency"), round(col("monetary"), 6).as("monetary"),
+        (lit(bins) - bin("recency_days", re)).as("r_score"), // recent = high
+        (bin("frequency", fe) + 1).as("f_score"),
+        (bin("monetary", me) + 1).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** Per-user event-type transition matrix: (from_type, to_type, n,
     * p 6dp) where p is row-normalized (Markov transition probability).
     * One entity-keyed lag window + one pair groupBy; ties at the same
