@@ -1663,7 +1663,68 @@ object SparkEntry {
     "q193_rfm_segments" -> ((s, dir) =>
       graft.operators.Reporting.rfmSegments(t(s, dir, "events"),
         "user_id", "ts", "value",
-        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), bins = 4))
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), bins = 4)),
+    "q194_mann_whitney" -> ((s, dir) =>
+      // rank-sum A/B test on the q185 parity split — rides the rocAuc
+      // bucketed rank kernel, tie-corrected normal approximation
+      graft.eda.StatTests.mannWhitneyU(
+        t(s, dir, "events").withColumn("grp",
+          when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        "grp", "value", "a", "b")),
+    "q195_kruskal_wallis" -> ((s, dir) =>
+      graft.eda.StatTests.kruskalWallis(t(s, dir, "events"),
+        "event_type", "value")),
+    "q196_anova_f" -> ((s, dir) =>
+      graft.eda.StatTests.anovaF(t(s, dir, "events"),
+        "event_type", "value")),
+    "q197_spearman_corr" -> ((s, dir) =>
+      // rank correlation via the shared avg-rank kernel (scipy
+      // spearmanr semantics, already spec-covered in the simulator)
+      graft.ml.Metrics.spearman(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")),
+    "q198_kendall_tau" -> ((s, dir) =>
+      // τ-b from contingency cells — quadratic only in distinct-value
+      // pairs (bounded-cardinality columns), never in rows
+      graft.eda.StatTests.kendallTauB(t(s, dir, "lineitem"),
+        "l_quantity", "l_linenumber")),
+    "q199_lift_table" -> ((s, dir) =>
+      // cumulative-gains deciles on the q187 pseudo-probability
+      graft.ml.Lift.liftTable(
+        t(s, dir, "events").select((col("value") / 100).as("p"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("y")),
+        "p", "y", bands = 10)),
+    "q200_acf" -> ((s, dir) =>
+      graft.operators.Forecast.acf(t(s, dir, "events"), "ts", "value",
+        maxLag = 7)),
+    "q201_cusum" -> ((s, dir) =>
+      graft.operators.Forecast.cusumChangepoint(t(s, dir, "events"),
+        "ts", "value")),
+    "q202_forecast_eval" -> ((s, dir) =>
+      graft.operators.Forecast.seasonalNaiveEval(t(s, dir, "events"),
+        "ts", "value", season = 7)),
+    "q203_theil_sen" -> ((s, dir) =>
+      graft.operators.Forecast.theilSen(t(s, dir, "events"), "ts", "value")),
+    "q204_ecod_outliers" -> ((s, dir) =>
+      // ECOD joint-tail outliers over three lineitem measures; row id
+      // packs (orderkey, linenumber) — linenumber is 1..7
+      graft.eda.OutlierScores.ecodTopK(
+        t(s, dir, "lineitem").withColumn("rid",
+          col("l_orderkey") * 8 + col("l_linenumber")),
+        "rid", Seq("l_quantity", "l_extendedprice", "l_discount"), k = 20)),
+    "q205_link_prediction" -> ((s, dir) =>
+      graft.proximity.Graph.linkPrediction(proximityEdges(s, dir))),
+    "q206_profile_compare" -> ((s, dir) =>
+      // snapshot drift: full lineitem vs the post-1995 slice
+      graft.eda.Profile.profileCompare(
+        t(s, dir, "lineitem"),
+        t(s, dir, "lineitem").filter(col("l_shipdate") >= lit("1995-01-01")))),
+    "q207_key_candidates" -> ((s, dir) =>
+      graft.eda.Profile.keyCandidates(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
+    "q208_functional_deps" -> ((s, dir) =>
+      graft.eda.Profile.functionalDeps(t(s, dir, "orders"),
+        Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderstatus",
+          "o_orderstatus" -> "o_orderpriority")))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4021,8 +4082,291 @@ object SparkEntry {
            CAST(m_score AS INT) AS m_score,
            CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
              CAST(m_score AS VARCHAR) AS segment
-         FROM s"""
+         FROM s""",
+    "q194_mann_whitney" ->
+      """WITH base AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+             AS grp, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         r AS (SELECT grp,
+             rank() OVER (ORDER BY v) +
+               (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar,
+             COUNT(*) OVER (PARTITION BY v) AS tn FROM base),
+         a AS (SELECT COUNT(*) FILTER (WHERE grp = 'a') AS na,
+             COUNT(*) FILTER (WHERE grp = 'b') AS nb,
+             SUM(ar) FILTER (WHERE grp = 'a') AS rs,
+             SUM(tn * tn - 1.0) AS ties FROM r)
+         SELECT na AS n_a, nb AS n_b,
+           ROUND(rs - na * (na + 1) / 2.0, 6) AS u_stat,
+           ROUND((rs - na * (na + 1) / 2.0 - na * nb / 2.0) /
+             SQRT(na * nb / 12.0 * ((na + nb + 1) -
+               ties / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat,
+           ROUND(1.0 - 2.0 * (rs - na * (na + 1) / 2.0) / (na * nb), 6)
+             AS rank_biserial
+         FROM a""",
+    "q195_kruskal_wallis" ->
+      """WITH base AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         r AS (SELECT grp,
+             rank() OVER (ORDER BY v) +
+               (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar,
+             COUNT(*) OVER (PARTITION BY v) AS tn FROM base),
+         g AS (SELECT grp, COUNT(*) AS ng, SUM(ar) AS rg,
+             SUM(tn * tn - 1.0) AS tg FROM r GROUP BY grp),
+         a AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(rg * rg / ng) AS s, SUM(tg) AS ties FROM g)
+         SELECT k, n,
+           ROUND(12.0 / (n * (n + 1)) * s - 3.0 * (n + 1), 6) AS h_stat,
+           ROUND((12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)) /
+             (1.0 - ties / (CAST(n AS DOUBLE) * n * n - n)), 6)
+             AS h_corrected
+         FROM a""",
+    "q196_anova_f" ->
+      """WITH base AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         g AS (SELECT grp, COUNT(*) AS ng, AVG(v) AS mg,
+             COALESCE(var_samp(v), 0) AS vg FROM base GROUP BY grp),
+         gm AS (SELECT SUM(ng * mg) / SUM(ng) AS m FROM g),
+         a AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(ng * (mg - m) * (mg - m)) AS ssb,
+             SUM((ng - 1) * vg) AS ssw FROM g, gm)
+         SELECT k, n, ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+         FROM a""",
+    "q197_spearman_corr" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+             CAST(l_extendedprice AS DOUBLE) AS b
+           FROM lineitem WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         r AS (SELECT
+             rank() OVER (ORDER BY a) +
+               (COUNT(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+             rank() OVER (ORDER BY b) +
+               (COUNT(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb FROM base)
+         SELECT ROUND(covar_pop(ra, rb) /
+           (stddev_pop(ra) * stddev_pop(rb)), 6) AS spearman FROM r""",
+    "q198_kendall_tau" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_linenumber AS DOUBLE) AS y, COUNT(*) AS c
+           FROM lineitem WHERE l_quantity IS NOT NULL
+             AND l_linenumber IS NOT NULL GROUP BY x, y),
+         p AS (SELECT
+             CAST(SUM(CASE WHEN c1.y < c2.y THEN c1.c * c2.c ELSE 0 END)
+               AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN c1.y > c2.y THEN c1.c * c2.c ELSE 0 END)
+               AS BIGINT) AS disc
+           FROM cells c1 JOIN cells c2 ON c1.x < c2.x),
+         m AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS ncells
+           FROM cells),
+         tx AS (SELECT SUM(nx * (nx - 1) / 2) AS t
+           FROM (SELECT SUM(c) AS nx FROM cells GROUP BY x)),
+         ty AS (SELECT SUM(ny * (ny - 1) / 2) AS t
+           FROM (SELECT SUM(c) AS ny FROM cells GROUP BY y))
+         SELECT n, ncells AS n_cells, conc AS concordant, disc AS discordant,
+           ROUND((conc - disc) / SQRT(
+             (n * (n - 1) / 2.0 - tx.t) * (n * (n - 1) / 2.0 - ty.t)), 6)
+             AS tau_b
+         FROM p, m, tx, ty""",
+    "q199_lift_table" ->
+      """WITH d AS (SELECT value / 100 AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value / 100)),
+         e AS (SELECT list_transform(quantile_cont(s,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             x -> ROUND(x, 6)) AS ed FROM d),
+         b AS (SELECT 1 +
+             (CASE WHEN s > ed[1] THEN 1 ELSE 0 END) +
+             (CASE WHEN s > ed[2] THEN 1 ELSE 0 END) +
+             (CASE WHEN s > ed[3] THEN 1 ELSE 0 END) +
+             (CASE WHEN s > ed[4] THEN 1 ELSE 0 END) +
+             (CASE WHEN s > ed[5] THEN 1 ELSE 0 END) +
+             (CASE WHEN s > ed[6] THEN 1 ELSE 0 END) +
+             (CASE WHEN s > ed[7] THEN 1 ELSE 0 END) +
+             (CASE WHEN s > ed[8] THEN 1 ELSE 0 END) +
+             (CASE WHEN s > ed[9] THEN 1 ELSE 0 END) AS band, y
+           FROM d, e),
+         pb AS (SELECT band, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+           FROM b GROUP BY band),
+         t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+             CAST(SUM(n) AS BIGINT) AS tnn FROM pb)
+         SELECT band, n, n_pos,
+           ROUND(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+           ROUND(SUM(n_pos) OVER (ORDER BY band DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(tp AS DOUBLE), 6) AS cum_capture,
+           ROUND((n_pos / CAST(n AS DOUBLE)) /
+             (tp / CAST(tnn AS DOUBLE)), 6) AS lift
+         FROM pb, t""",
+    "q200_acf" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events WHERE value IS NOT NULL GROUP BY day),
+         m AS (SELECT AVG(total) AS mm, SUM(total * total) AS ss,
+             COUNT(*) AS nn FROM d),
+         l AS (SELECT total AS x,
+             lag(total, 1) OVER (ORDER BY day) AS x1,
+             lag(total, 2) OVER (ORDER BY day) AS x2,
+             lag(total, 3) OVER (ORDER BY day) AS x3,
+             lag(total, 4) OVER (ORDER BY day) AS x4,
+             lag(total, 5) OVER (ORDER BY day) AS x5,
+             lag(total, 6) OVER (ORDER BY day) AS x6,
+             lag(total, 7) OVER (ORDER BY day) AS x7
+           FROM d),
+         u AS (SELECT 1 AS lag, x, x1 AS xk FROM l
+           UNION ALL SELECT 2, x, x2 FROM l
+           UNION ALL SELECT 3, x, x3 FROM l
+           UNION ALL SELECT 4, x, x4 FROM l
+           UNION ALL SELECT 5, x, x5 FROM l
+           UNION ALL SELECT 6, x, x6 FROM l
+           UNION ALL SELECT 7, x, x7 FROM l)
+         SELECT lag, COUNT(xk) AS n_pairs,
+           ROUND(SUM((x - mm) * (xk - mm)) /
+             ANY_VALUE(ss - nn * mm * mm), 6) AS acf
+         FROM u, m GROUP BY lag""",
+    "q201_cusum" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS mean
+           FROM events WHERE value IS NOT NULL GROUP BY day),
+         g AS (SELECT AVG(mean) AS gm FROM d),
+         c AS (SELECT day, mean,
+             ROUND(SUM(mean - gm) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cusum
+           FROM d, g),
+         pk AS (SELECT MAX(ABS(cusum)) AS p FROM c)
+         SELECT CAST(day AS TIMESTAMP) AS day, ROUND(mean, 6) AS mean, cusum,
+           ABS(cusum) = pk.p AS is_peak
+         FROM c, pk""",
+    "q202_forecast_eval" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events WHERE value IS NOT NULL GROUP BY day),
+         l AS (SELECT total,
+             lag(total, 7) OVER (ORDER BY day) AS fs,
+             lag(total, 1) OVER (ORDER BY day) AS f1
+           FROM d)
+         SELECT COUNT(*) AS n_eval,
+           ROUND(AVG(ABS(total - fs)), 6) AS mae_seasonal,
+           ROUND(AVG(ABS(total - f1)), 6) AS mae_naive,
+           ROUND(AVG(ABS(total - fs)) / AVG(ABS(total - f1)), 6) AS mase
+         FROM l WHERE fs IS NOT NULL AND f1 IS NOT NULL""",
+    "q203_theil_sen" ->
+      """WITH d AS (SELECT
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+           FROM events WHERE value IS NOT NULL GROUP BY CAST(ts AS DATE)),
+         s AS (SELECT (p2.y - p1.y) / (p2.x - p1.x) AS sl
+           FROM d p1 JOIN d p2 ON p1.x < p2.x),
+         sm AS (SELECT COUNT(*) AS n_pairs, quantile_cont(sl, 0.5) AS msl
+           FROM s)
+         SELECT (SELECT COUNT(*) FROM d) AS n_days, n_pairs,
+           ROUND(msl, 6) AS slope_per_day,
+           ROUND((SELECT quantile_cont(y - sm.msl * x, 0.5) FROM d), 6)
+             AS intercept
+         FROM sm""",
+    "q204_ecod_outliers" ->
+      """WITH long AS (
+           SELECT l_orderkey * 8 + l_linenumber AS rid, 'q' AS f,
+             CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+             WHERE l_quantity IS NOT NULL
+           UNION ALL SELECT l_orderkey * 8 + l_linenumber, 'p',
+             CAST(l_extendedprice AS DOUBLE) FROM lineitem
+             WHERE l_extendedprice IS NOT NULL
+           UNION ALL SELECT l_orderkey * 8 + l_linenumber, 'd',
+             CAST(l_discount AS DOUBLE) FROM lineitem
+             WHERE l_discount IS NOT NULL),
+         r AS (SELECT rid, f, v,
+             COUNT(*) OVER (PARTITION BY f ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS leq,
+             COUNT(*) OVER (PARTITION BY f) AS nf,
+             COUNT(*) OVER (PARTITION BY f, v) AS t
+           FROM long),
+         sc AS (SELECT rid, ROUND(SUM(-LN(LEAST(
+             leq / CAST(nf AS DOUBLE),
+             (nf - leq + t) / CAST(nf AS DOUBLE)))), 6) AS ecod_score
+           FROM r GROUP BY rid)
+         SELECT rid, ecod_score FROM sc
+         ORDER BY ecod_score DESC, rid LIMIT 20""",
+    "q205_link_prediction" -> graft.proximity.Graph.linkPredictionOracleSql(
+      proximityEdgesSql),
+    "q206_profile_compare" -> profileCompareSql,
+    "q207_key_candidates" ->
+      """WITH a AS (SELECT COUNT(*) AS rows_,
+             COUNT(DISTINCT o_orderkey) AS d1,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             COUNT(DISTINCT o_custkey) AS d2,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2,
+             COUNT(DISTINCT o_orderstatus) AS d3,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n3
+           FROM orders)
+         SELECT 'o_orderkey' AS column_name, rows_ AS n_rows, d1 AS n_distinct,
+           n1 AS n_null, (n1 = 0 AND d1 = rows_) AS is_key FROM a
+         UNION ALL SELECT 'o_custkey', rows_, d2, n2,
+           (n2 = 0 AND d2 = rows_) FROM a
+         UNION ALL SELECT 'o_orderstatus', rows_, d3, n3,
+           (n3 = 0 AND d3 = rows_) FROM a""",
+    "q208_functional_deps" ->
+      """SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+             AS holds
+         FROM (SELECT COUNT(DISTINCT o_custkey) AS d FROM orders
+           GROUP BY o_orderkey)
+         UNION ALL
+         SELECT 'o_custkey', 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+         FROM (SELECT COUNT(DISTINCT o_orderstatus) AS d FROM orders
+           GROUP BY o_custkey)
+         UNION ALL
+         SELECT 'o_orderstatus', 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+         FROM (SELECT COUNT(DISTINCT o_orderpriority) AS d FROM orders
+           GROUP BY o_orderstatus)"""
   )
+
+  /** Generated oracle for q206: the same six stats per shared numeric
+    * lineitem column, base vs the post-1995 slice, unpivoted to the
+    * [[graft.eda.Profile.profileCompare]] long shape. */
+  private def profileCompareSql: String = {
+    val cols = Seq("l_discount", "l_extendedprice", "l_linenumber",
+      "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
+    def side(name: String, pred: String): String =
+      s"$name AS (SELECT CAST(COUNT(*) AS DOUBLE) AS rows_, " +
+        cols.map { c =>
+          s"CAST(COUNT($c) AS DOUBLE) AS n_$c, " +
+            s"AVG(CAST($c AS DOUBLE)) AS mean_$c, " +
+            s"stddev_samp(CAST($c AS DOUBLE)) AS std_$c, " +
+            s"CAST(MIN($c) AS DOUBLE) AS min_$c, " +
+            s"CAST(MAX($c) AS DOUBLE) AS max_$c"
+        }.mkString(", ") + s" FROM lineitem $pred)"
+    val arms = for {
+      c <- cols
+      m <- Seq("n", "n_null", "mean", "stddev", "min", "max")
+    } yield {
+      val (bv, uv) = m match {
+        case "n"      => (s"b.n_$c", s"u.n_$c")
+        case "n_null" => (s"b.rows_ - b.n_$c", s"u.rows_ - u.n_$c")
+        case "mean"   => (s"b.mean_$c", s"u.mean_$c")
+        case "stddev" => (s"b.std_$c", s"u.std_$c")
+        case "min"    => (s"b.min_$c", s"u.min_$c")
+        case "max"    => (s"b.max_$c", s"u.max_$c")
+      }
+      s"SELECT '$c' AS column_name, '$m' AS metric, " +
+        s"ROUND($bv, 6) AS base_value, ROUND($uv, 6) AS curr_value, " +
+        s"ROUND(ABS(CAST(($uv) - ($bv) AS DOUBLE)), 6) AS abs_change " +
+        "FROM b, u"
+    }
+    s"WITH ${side("b", "")}, " +
+      s"${side("u", "WHERE l_shipdate >= DATE '1995-01-01'")} " +
+      arms.mkString(" UNION ALL ")
+  }
 
   /** DSIR per-doc importance weights in portable SQL: unigram+bigram
     * bag, 16-bit md5 hex buckets, add-one smoothing — bit-identical to

@@ -1,0 +1,55 @@
+package graft.eda
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ml.Metrics
+
+/** ECOD-style unsupervised outlier scoring (Li et al., TKDE 2022:
+  * "ECOD: Unsupervised Outlier Detection Using Empirical Cumulative
+  * Distribution Functions") — the parameter-free cousin of the
+  * reference's IQR/σ outlier filters (src/workbench/algorithms/sql/
+  * outliers.py), useful where a single-column rule misses jointly-odd
+  * rows. Simplified aggregation (documented): per feature the tail
+  * probability is min(left ECDF, right ECDF) and the row score is
+  * Σ −ln(tail) over features, i.e. the two-sided variant without the
+  * skew-switching max — monotone-equivalent for ranking on symmetric
+  * features and exactly reproducible in ANSI SQL.
+  *
+  * Scale shape: the selected columns stack to a (id, feature, value)
+  * long frame (one projection + explode); per-feature ECDFs come from
+  * the SAME bucket-partitioned rank kernel as rocAuc
+  * ([[graft.ml.Metrics.avgRanksByGroup]] — count(≤v) = avg_rank +
+  * (t−1)/2), so there is no single-partition sort at any cardinality;
+  * the ECDF lookup is a (feature, value) equi-join against the
+  * distinct-value frames; the final score is one groupBy(id). Returns
+  * the top-k rows by (score desc, id): (id, ecod_score).
+  */
+object OutlierScores {
+
+  def ecodTopK(df: DataFrame, idCol: String, cols: Seq[String],
+               k: Int = 20): DataFrame = {
+    val long = df.select(col(idCol).as("__id"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*)).as("p"))
+      .select(col("__id"), col("p.f").as("__f"), col("p.v").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val ranks = Metrics.avgRanksByGroup(long, "__f", "__v")
+      .select(col("__f"), col("value").as("__v"), col("n").as("__t"),
+        col("avg_rank").as("__r"))
+    val totals = long.groupBy("__f").agg(count(lit(1)).as("__nf"))
+    val scored = long.join(ranks, Seq("__f", "__v"))
+      .join(broadcast(totals), "__f")
+      // count(≤v) from the tie-averaged rank; right tail mirrors it
+      .withColumn("__leq", col("__r") + (col("__t") - 1) / 2.0)
+      .withColumn("__tail",
+        least(col("__leq") / col("__nf"),
+          (col("__nf") - col("__leq") + col("__t")) / col("__nf")))
+      .groupBy("__id")
+      .agg(round(sum(-log(col("__tail"))), 6).as("ecod_score"))
+    // distributed top-k (TakeOrderedAndProject), never a global window;
+    // id tiebreak keeps the cut deterministic across engines
+    scored.orderBy(col("ecod_score").desc, col("__id")).limit(k)
+      .select(col("__id").as(idCol), col("ecod_score"))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.eda
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ml.Metrics
+
+/** Classical hypothesis tests over DataFrame columns — the statistical
+  * read-out layer a reference user reaches for after an A/B split or a
+  * drift check (the reference leans on scipy.stats for these in its
+  * EDA/plugin layer, e.g. the KS usage in
+  * src/workbench/web_interface/components plugins; here each test is a
+  * distributed aggregate pipeline, never a driver-side series pull).
+  *
+  * Scale notes (all tests):
+  *   - Rank-based tests (Mann-Whitney, Kruskal-Wallis) ride the SAME
+  *     bucket-partitioned prefix-sum rank kernel as rocAuc/KS
+  *     ([[graft.ml.Metrics.avgRanks]]) — no single-partition sort at
+  *     any value cardinality; the rank lookup is a value-equality join
+  *     against the distinct-value frame.
+  *   - Tie corrections are one aggregate over the distinct-value frame
+  *     (Σ t³−t), metadata-sized relative to the data.
+  *   - ANOVA is two chained aggregates (per-group moments → scalars).
+  *   - Kendall τ-b works on the CONTINGENCY CELLS (one groupBy), then a
+  *     cells×cells self-join — quadratic only in distinct-value pairs,
+  *     intended for bounded-cardinality columns (the contingency
+  *     framing used by q155/q156 MI/χ²).
+  */
+object StatTests {
+
+  /** Two-sample Mann-Whitney U (tie-aware, normal approximation).
+    * Returns one row: (n_a, n_b, u_stat, z_stat, rank_biserial).
+    * U is group A's statistic; z has no continuity correction (exactly
+    * the large-sample form, so the oracle reproduces it bit-for-bit).
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("__grp"),
+        col(valueCol).cast("double").as("__v"))
+    val ranks = Metrics.avgRanks(base, "__v")
+      .select(col("value").as("__v"), col("n").as("__tn"),
+        col("avg_rank").as("__r"))
+    // rank sum for A + counts + the tie term in ONE aggregate over the
+    // rank-joined rows (the tie term divides by the tie-group size so
+    // summing it per ROW reproduces the per-distinct-value Σ t³−t)
+    base.join(ranks, "__v")
+      .agg(
+        sum(when(col("__grp") === groupA, 1L)).as("__na"),
+        sum(when(col("__grp") === groupB, 1L)).as("__nb"),
+        sum(when(col("__grp") === groupA, col("__r"))).as("__rs"),
+        sum((col("__tn") * col("__tn") - 1.0) ).as("__ties"))
+      .select(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(uStat, 6).as("u_stat"),
+        round(try_divide(uStat - col("__na") * col("__nb") / 2.0, sigmaU), 6)
+          .as("z_stat"),
+        round(lit(1.0) - try_divide(lit(2.0) * uStat,
+          col("__na") * col("__nb")), 6).as("rank_biserial"))
+  }
+
+  private def uStat: Column =
+    col("__rs") - col("__na") * (col("__na") + 1) / 2.0
+
+  private def sigmaU: Column = {
+    val n = col("__na") + col("__nb")
+    sqrt(col("__na") * col("__nb") / 12.0 *
+      ((n + 1) - try_divide(col("__ties"), n * (n - 1))))
+  }
+
+  /** Kruskal-Wallis H across ALL groups (tie-corrected). Returns one
+    * row: (k, n, h_stat, h_corrected). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("__grp"),
+        col(valueCol).cast("double").as("__v"))
+    val ranks = Metrics.avgRanks(base, "__v")
+      .select(col("value").as("__v"), col("n").as("__tn"),
+        col("avg_rank").as("__r"))
+    val perGroup = base.join(ranks, "__v")
+      .groupBy("__grp")
+      .agg(count(lit(1)).as("__ng"), sum("__r").as("__rg"),
+        sum(col("__tn") * col("__tn") - 1.0).as("__tg"))
+    perGroup.agg(
+        count(lit(1)).as("__k"), sum("__ng").as("__n"),
+        sum(try_divide(col("__rg") * col("__rg"), col("__ng"))).as("__s"),
+        sum("__tg").as("__ties"))
+      .select(
+        col("__k").as("k"), col("__n").as("n"),
+        round(hStat, 6).as("h_stat"),
+        round(try_divide(hStat,
+          lit(1.0) - try_divide(col("__ties"),
+            col("__n") * col("__n") * col("__n") - col("__n"))), 6)
+          .as("h_corrected"))
+  }
+
+  private def hStat: Column =
+    lit(12.0) / (col("__n") * (col("__n") + 1)) * col("__s") -
+      lit(3.0) * (col("__n") + 1)
+
+  /** One-way ANOVA F test. Returns one row:
+    * (k, n, ss_between, ss_within, f_stat). Sums accumulate as plain
+    * doubles of CENTERED quantities (per-group mean vs grand mean), so
+    * cross-engine float drift stays in the 6dp noise floor. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("__grp"),
+        col(valueCol).cast("double").as("__v"))
+    val perGroup = base.groupBy("__grp")
+      .agg(count(lit(1)).as("__ng"), avg("__v").as("__mg"),
+        // var_samp is the Welford single-pass in both engines; SSW via
+        // (n-1)·s² avoids the catastrophic Σx² − n·m² cancellation
+        coalesce(var_samp("__v"), lit(0.0)).as("__vg"))
+    // grand mean from the (metadata-sized) group frame, then CENTERED
+    // SSB — Σ nᵍ(mᵍ−m)² keeps the float error relative to SSB itself,
+    // not to the cancellation-prone Σ nᵍmᵍ² raw moment
+    val grand = perGroup.agg(
+      (sum(col("__ng") * col("__mg")) / sum("__ng")).as("__m"))
+    perGroup.crossJoin(grand).agg(
+        count(lit(1)).as("__k"), sum("__ng").as("__n"),
+        sum(col("__ng") * (col("__mg") - col("__m")) *
+          (col("__mg") - col("__m"))).as("__ssb"),
+        sum((col("__ng") - 1) * col("__vg")).as("__ssw"))
+      .select(
+        col("__k").as("k"), col("__n").as("n"),
+        round(col("__ssb"), 6).as("ss_between"),
+        round(col("__ssw"), 6).as("ss_within"),
+        round(try_divide(col("__ssb") / (col("__k") - 1),
+          try_divide(col("__ssw"), col("__n") - col("__k"))), 6)
+          .as("f_stat"))
+  }
+
+  /** Kendall τ-b from the contingency cells of two bounded-cardinality
+    * columns. Concordant/discordant pair counts come from a strict
+    * x1<x2 self-join of the cell table (each unordered pair counted
+    * once; equal-x pairs are x-ties by definition). Returns one row:
+    * (n, n_cells, concordant, discordant, tau_b). */
+  def kendallTauB(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("double").as("__x"),
+        col(bCol).cast("double").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val pairs = cells.as("c1")
+      .join(cells.as("c2"), col("c1.__x") < col("c2.__x"))
+      .agg(
+        sum(when(col("c1.__y") < col("c2.__y"),
+          col("c1.__c") * col("c2.__c")).otherwise(0L)).as("__conc"),
+        sum(when(col("c1.__y") > col("c2.__y"),
+          col("c1.__c") * col("c2.__c")).otherwise(0L)).as("__disc"))
+    val margins = cells.agg(
+      sum("__c").as("__n"), count(lit(1)).as("__ncells"),
+      sum(col("__c") * (col("__c") - 1) / 2).as("__txy"))
+    val tx = cells.groupBy("__x").agg(sum("__c").as("__nx"))
+      .agg(sum(col("__nx") * (col("__nx") - 1) / 2).as("__tx"))
+    val ty = cells.groupBy("__y").agg(sum("__c").as("__ny"))
+      .agg(sum(col("__ny") * (col("__ny") - 1) / 2).as("__ty"))
+    val out = pairs.crossJoin(margins).crossJoin(tx).crossJoin(ty)
+      .select(
+        col("__n").as("n"), col("__ncells").as("n_cells"),
+        col("__conc").as("concordant"), col("__disc").as("discordant"),
+        round(try_divide(
+          (col("__conc") - col("__disc")).cast("double"),
+          sqrt((col("__n") * (col("__n") - 1) / 2.0 - col("__tx")) *
+               (col("__n") * (col("__n") - 1) / 2.0 - col("__ty")))), 6)
+          .as("tau_b"))
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+}

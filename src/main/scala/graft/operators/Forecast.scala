@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Time-series diagnostics over an event stream, computed on the
+  * DAILY-AGGREGATED series (the reference's monitoring layer reads
+  * day-granularity endpoint metrics — see
+  * src/workbench/web_interface/components/plugins/dashboard widgets;
+  * here the day rollup is the contract, not an approximation).
+  *
+  * Scale shape, shared by every operator here: ONE map-side-combined
+  * groupBy(day) collapses the raw events (100 TB of rows) to a
+  * #days-cardinality series — METADATA — and every window below runs
+  * over that bounded frame. The unpartitioned windows are therefore
+  * bounded by calendar length, never by data volume (the same
+  * "window over the totals frame" argument as the rank kernel's
+  * offset window).
+  */
+object Forecast {
+
+  /** groupBy(day) rollup: (day, n, total, mean). Decimal sum keeps the
+    * cross-engine/fold-order totals exact. */
+  private def daily(events: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    Tables.ltzTs(events, tsCol)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__t"))
+      .select(col("day"), col("n"),
+        col("__t").cast("double").as("total"),
+        (col("__t").cast("double") / col("n")).as("mean"))
+
+  /** Sample autocorrelation of the daily TOTAL at lags 1..maxLag
+    * (correlogram form: centered on the global series mean, normalized
+    * by the global sum of squares — the classic stat, not a per-lag
+    * Pearson). Missing calendar days simply don't pair (lag is by row
+    * offset on the observed series, standard for gapless synthetic
+    * feeds). Returns (lag, n_pairs, acf). */
+  def acf(events: DataFrame, tsCol: String, valueCol: String,
+          maxLag: Int = 7): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+    val w = Window.orderBy("day")
+    val m = d.agg(avg("total").as("__m"),
+      sum(col("total") * col("total")).as("__ss"),
+      sum("total").as("__s"), count(lit(1)).as("__n"))
+    // all lag columns in ONE window pass, then explode to (lag, x, xk)
+    // rows and aggregate every lag in ONE job — not maxLag jobs each
+    // re-running the day rollup
+    val lagged = d.select(
+      col("total").as("x") +: (1 to maxLag).map(k =>
+        lag("total", k).over(w).as(s"x_$k")): _*)
+    lagged.crossJoin(m)
+      .select(col("x"), col("__m"), col("__ss"), col("__n"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"x_$k").as("xk"))): _*)).as("p"))
+      .groupBy(col("p.lag").as("lag"))
+      .agg(
+        count(col("p.xk")).as("n_pairs"),
+        round(try_divide(
+          sum((col("x") - col("__m")) * (col("p.xk") - col("__m"))),
+          first(col("__ss") - col("__n") * col("__m") * col("__m"))), 6)
+          .as("acf"))
+  }
+
+  /** CUSUM change-point scan over the daily MEAN: cumulative sum of
+    * deviations from the global series mean; the day where |cusum|
+    * peaks is the estimated shift point (Page's statistic in its
+    * offline scan form). Returns the full diagnostic series
+    * (day, mean, cusum, is_peak). */
+  def cusumChangepoint(events: DataFrame, tsCol: String,
+                       valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+    val g = d.agg(avg("mean").as("__gm"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCusum = d.crossJoin(g)
+      .withColumn("cusum", round(sum(col("mean") - col("__gm")).over(w), 6))
+    val peak = withCusum.agg(max(abs(col("cusum"))).as("__pk"))
+    withCusum.crossJoin(peak)
+      // timestamp, not date: the repo-wide convention for comparable
+      // calendar columns (pandas reads parquet DATE as object)
+      .select(col("day").cast("timestamp").as("day"),
+        round(col("mean"), 6).as("mean"), col("cusum"),
+        (abs(col("cusum")) === col("__pk")).as("is_peak"))
+  }
+
+  /** Seasonal-naive forecast evaluation: forecast(t) = total(t−season),
+    * benchmarked against the 1-step naive total(t−1) — MASE is the
+    * ratio of their MAEs over the days where BOTH are defined (so the
+    * two error means are over the same support and the ratio is a fair
+    * scale-free skill score). Returns one row:
+    * (n_eval, mae_seasonal, mae_naive, mase). */
+  def seasonalNaiveEval(events: DataFrame, tsCol: String, valueCol: String,
+                        season: Int = 7): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+    val w = Window.orderBy("day")
+    d.select(col("total"),
+        lag("total", season).over(w).as("__fs"),
+        lag("total", 1).over(w).as("__f1"))
+      .filter(col("__fs").isNotNull && col("__f1").isNotNull)
+      .agg(count(lit(1)).as("n_eval"),
+        round(avg(abs(col("total") - col("__fs"))), 6).as("mae_seasonal"),
+        round(avg(abs(col("total") - col("__f1"))), 6).as("mae_naive"),
+        round(try_divide(avg(abs(col("total") - col("__fs"))),
+          avg(abs(col("total") - col("__f1")))), 6).as("mase"))
+  }
+
+  /** EWMA smoothing of the daily total (pandas `ewm(adjust=True)`
+    * semantics: ewma_t = Σⱼ≤t (1−α)^(t−j) x_j / Σⱼ≤t (1−α)^(t−j)).
+    * Computed as an explicit prior-day pair join on the
+    * calendar-bounded series — the closed form, not the recurrence, so
+    * it is exactly reproducible in ANSI SQL and trivially parallel; the
+    * #days² pair fan-out is metadata (the Theil-Sen argument). The
+    * recurrence form would serialize; the (1−α)^(−j) power trick
+    * overflows past a few hundred days. Returns
+    * (day, total, ewma). */
+  def ewma(events: DataFrame, tsCol: String, valueCol: String,
+           alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"), col("total"),
+        row_number().over(Window.orderBy("day")).as("__rn"))
+      .localCheckpoint(true)
+    val prior = d.select(col("__rn").as("__rj"), col("total").as("__xj"))
+    val out = d.join(prior, col("__rj") <= col("__rn"))
+      .groupBy(col("day"), col("total"))
+      .agg((sum(pow(lit(1.0 - alpha), col("__rn") - col("__rj")) * col("__xj")) /
+        sum(pow(lit(1.0 - alpha), col("__rn") - col("__rj")))).as("__e"))
+      .select(col("day").cast("timestamp").as("day"), col("total"),
+        round(col("__e"), 6).as("ewma"))
+      .localCheckpoint(true)
+    d.unpersist()
+    out
+  }
+
+  /** Theil-Sen robust trend of the daily total: the median of all
+    * pairwise slopes (day pairs i<j), plus the median-residual
+    * intercept. Pair fan-out is #days² — calendar-bounded metadata, not
+    * data. Exact interpolating percentile on both engines. Returns one
+    * row: (n_days, n_pairs, slope_per_day, intercept). */
+  def theilSen(events: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(datediff(col("day"), lit("1970-01-01")).cast("double").as("x"),
+        col("total").as("y"))
+      .localCheckpoint(true)
+    val slopes = d.as("p1").join(d.as("p2"), col("p1.x") < col("p2.x"))
+      .select(((col("p2.y") - col("p1.y")) /
+        (col("p2.x") - col("p1.x"))).as("s"))
+    val slope = slopes.agg(count(lit(1)).as("n_pairs"),
+      percentile(col("s"), lit(0.5)).as("__sl"))
+    val out = d.crossJoin(slope)
+      .agg(count(lit(1)).as("n_days"), first("n_pairs").as("n_pairs"),
+        round(first("__sl"), 6).as("slope_per_day"),
+        round(percentile(col("y") - col("__sl") * col("x"), lit(0.5)), 6)
+          .as("intercept"))
+      .localCheckpoint(true)
+    d.unpersist()
+    out
+  }
+}

@@ -302,4 +302,76 @@ object Graph {
         max("__ds").as("max_degree"),
         round(corr(col("__ds"), col("__dd")), 6).as("assortativity"))
   }
+
+  /** Neighborhood-overlap link prediction over the undirected graph:
+    * for every NON-edge pair (a < c) with at least one common neighbor,
+    * common-neighbor count, Jaccard overlap, and Adamic-Adar
+    * (Σ 1/ln(deg(b)) over shared neighbors b — the classic
+    * link-prediction trio, Liben-Nowell & Kleinberg CIKM'03).
+    *
+    * Scale shape: exactly the triangle two-path join — candidates fan
+    * out on two-paths (adj ⋈ adj on the middle node), never all-pairs;
+    * the existing-edge exclusion is one anti-join; degrees are a
+    * metadata-sized aggregate broadcast back. A shared neighbor b has
+    * deg(b) ≥ 2 by construction, so ln(deg) never hits zero. Returns
+    * (src, dst, common_neighbors, jaccard, adamic_adar). */
+  def linkPrediction(edges0: DataFrame): DataFrame = {
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    // two-paths a —b— c with a < c, scored per shared neighbor b
+    val paths = adj.as("e1").join(adj.as("e2"),
+        col("e1.v") === col("e2.u") && col("e1.u") < col("e2.v"))
+      .select(col("e1.u").as("a"), col("e2.v").as("c"), col("e1.v").as("m"))
+      .join(broadcast(deg.select(col("id").as("m"), col("deg").as("__dm"))),
+        Seq("m"))
+      .groupBy("a", "c")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("__dm"))).as("__aa"))
+    val out = paths
+      // keep only NON-edges: the candidate set minus the graph itself
+      .join(und, paths("a") === und("a") && paths("c") === und("b"),
+        "left_anti")
+      .join(broadcast(deg.select(col("id").as("a"), col("deg").as("__da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("id").as("c"), col("deg").as("__dc"))),
+        Seq("c"))
+      .select(col("a").as("src"), col("c").as("dst"),
+        col("common_neighbors"),
+        round(col("common_neighbors") /
+          (col("__da") + col("__dc") - col("common_neighbors")), 6)
+          .as("jaccard"),
+        round(col("__aa"), 6).as("adamic_adar"))
+      .localCheckpoint(true)
+    und.unpersist()
+    out
+  }
+
+  /** ANSI-SQL equivalent of [[linkPrediction]]. */
+  def linkPredictionOracleSql(edgesCte: String): String =
+    s"""WITH eg AS ($edgesCte),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM eg WHERE src != dst),
+        adj AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT u AS id, COUNT(*) AS deg FROM adj GROUP BY u),
+        paths AS (SELECT e1.u AS a, e2.v AS c,
+            COUNT(*) AS common_neighbors,
+            SUM(1.0 / LN(dm.deg)) AS aa
+          FROM adj e1 JOIN adj e2 ON e1.v = e2.u AND e1.u < e2.v
+          JOIN deg dm ON dm.id = e1.v
+          GROUP BY e1.u, e2.v),
+        nonedge AS (SELECT p.* FROM paths p
+          WHERE NOT EXISTS (SELECT 1 FROM und
+            WHERE und.a = p.a AND und.b = p.c))
+        SELECT n.a AS src, n.c AS dst, n.common_neighbors,
+          ROUND(CAST(n.common_neighbors AS DOUBLE) /
+            (da.deg + dc.deg - n.common_neighbors), 6) AS jaccard,
+          ROUND(n.aa, 6) AS adamic_adar
+        FROM nonedge n JOIN deg da ON da.id = n.a
+        JOIN deg dc ON dc.id = n.c"""
 }

@@ -283,4 +283,43 @@ class PlanQualitySpec extends SparkSpec {
       .split("\n").count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected 1 scan, got $scans")
   }
+
+  test("q194 mann-whitney: rank side rides the shared kernel — no " +
+    "cartesian, the tie join is a value equi-join") {
+    // the bucketed-at-scale shape of the kernel itself is asserted by
+    // the forced-bucketed rankedScores test above; here: the composed
+    // test statistic never degenerates into a cross join of data frames
+    val plan = SparkEntry.queries("q194_mann_whitney")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q204 ecod: no cartesian; totals broadcast; q205 link prediction " +
+    "no BNLJ") {
+    Seq("q204_ecod_outliers", "q205_link_prediction").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("q199 lift table: band assignment is a codegen projection — no " +
+    "window over the data, single scan feeds the band groupBy") {
+    val plan = SparkEntry.queries("q199_lift_table")(spark, sf)
+      .queryExecution.optimizedPlan
+    // the only Window allowed is the cumulative pass over the ≤bands-row
+    // aggregate (its child must be an Aggregate/LocalRelation, not data)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows.foreach { w =>
+      val overAgg = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+      }
+      assert(overAgg.nonEmpty, s"window over raw data:\n$w")
+    }
+  }
 }
