@@ -1724,7 +1724,45 @@ object SparkEntry {
     "q208_functional_deps" -> ((s, dir) =>
       graft.eda.Profile.functionalDeps(t(s, dir, "orders"),
         Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderstatus",
-          "o_orderstatus" -> "o_orderpriority")))
+          "o_orderstatus" -> "o_orderpriority"))),
+    "q209_ewma" -> ((s, dir) =>
+      // adjust=true EWMA in closed pair-join form (exactly SQL-portable)
+      graft.operators.Forecast.ewma(t(s, dir, "events"), "ts", "value",
+        alpha = 0.3)),
+    "q210_distinctive_terms" -> ((s, dir) =>
+      // Fightin'-Words log-odds with Dirichlet prior, top-5 per source
+      graft.text.Distinctive.distinctiveTerms(t(s, dir, "documents"),
+        "source", "text", topK = 5, minCount = 5L)),
+    "q211_clustering_coeff" -> ((s, dir) =>
+      graft.proximity.Graph.clusteringCoefficient(proximityEdges(s, dir))),
+    "q212_conversion_latency" -> ((s, dir) =>
+      graft.operators.Reporting.conversionLatency(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "signup", "purchase")),
+    "q213_salted_join" -> ((s, dir) => {
+      // skew-salted fact⋈dim: result must equal the plain join — that
+      // equality IS the oracle check
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id", "event_id", 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("value_sum"),
+          sum("user_events").as("user_events_sum"))
+    }),
+    "q214_readability" -> ((s, dir) =>
+      graft.text.Readability.readabilityProfile(t(s, dir, "documents"),
+        "source", "text")),
+    "q215_info_gain" -> ((s, dir) =>
+      graft.ml.InfoGain.infoGain(
+        t(s, dir, "lineitem").withColumn("label",
+          when(col("l_returnflag") === "R", 1).otherwise(0)),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), "label",
+        bins = 5)),
+    "q216_purged_folds" -> ((s, dir) =>
+      // 1-day embargo before each validation window (purged CV)
+      graft.ml.Stats.purgedRollingFolds(t(s, dir, "events"), "ts", k = 4,
+        embargoUs = 86400000000L))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4328,8 +4366,150 @@ object SparkEntry {
            CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
            CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
          FROM (SELECT COUNT(DISTINCT o_orderpriority) AS d FROM orders
-           GROUP BY o_orderstatus)"""
+           GROUP BY o_orderstatus)""",
+    "q209_ewma" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events WHERE value IS NOT NULL GROUP BY day),
+         r AS (SELECT day, total,
+             row_number() OVER (ORDER BY day) AS rn FROM d)
+         SELECT CAST(r.day AS TIMESTAMP) AS day, r.total,
+           ROUND(SUM(POW(0.7, r.rn - p.rn) * p.total) /
+             SUM(POW(0.7, r.rn - p.rn)), 6) AS ewma
+         FROM r JOIN r p ON p.rn <= r.rn
+         GROUP BY r.day, r.total""",
+    "q210_distinctive_terms" ->
+      """WITH tok AS (SELECT source,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS term
+           FROM documents),
+         ps AS (SELECT source, term, COUNT(*) AS y_sw
+           FROM tok GROUP BY source, term),
+         pt AS (SELECT term, CAST(SUM(y_sw) AS BIGINT) AS y_w
+           FROM ps GROUP BY term),
+         tt AS (SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s
+           FROM ps GROUP BY source),
+         cc AS (SELECT CAST(SUM(y_sw) AS BIGINT) AS n,
+             COUNT(DISTINCT term) AS v FROM ps),
+         sc AS (SELECT ps.source, ps.term, ps.y_sw,
+             pt.y_w - ps.y_sw AS yr,
+             LN((ps.y_sw + 0.5) /
+                (tt.n_s + cc.v * 0.5 - ps.y_sw - 0.5)) -
+             LN((pt.y_w - ps.y_sw + 0.5) /
+                (cc.n - tt.n_s + cc.v * 0.5 - (pt.y_w - ps.y_sw) - 0.5))
+               AS lo
+           FROM ps JOIN pt USING (term) JOIN tt USING (source), cc),
+         zz AS (SELECT source, term, y_sw, yr, lo,
+             ROUND(lo / SQRT(1.0 / (y_sw + 0.5) + 1.0 / (yr + 0.5)), 6)
+               AS z
+           FROM sc WHERE y_sw >= 5)
+         SELECT source, term, y_sw AS n_source, yr AS n_rest,
+           ROUND(lo, 6) AS log_odds, z
+         FROM zz
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY z DESC, term) <= 5""",
+    "q211_clustering_coeff" ->
+      graft.proximity.Graph.clusteringCoefficientOracleSql(proximityEdgesSql),
+    "q212_conversion_latency" ->
+      """WITH st AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         cv AS (SELECT st.user_id, st.t0,
+             MIN(CASE WHEN epoch_us(e.ts) > st.t0
+               THEN epoch_us(e.ts) END) AS tc
+           FROM st LEFT JOIN events e
+             ON e.user_id = st.user_id AND e.event_type = 'purchase'
+           GROUP BY st.user_id, st.t0),
+         d AS (SELECT (tc - t0) / 86400000000.0 AS days FROM cv)
+         SELECT COUNT(*) AS n_started, COUNT(days) AS n_converted,
+           ROUND(COUNT(days) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS conversion_rate,
+           ROUND(AVG(days), 6) AS mean_days,
+           ROUND(quantile_cont(days, 0.25), 6) AS p25_days,
+           ROUND(quantile_cont(days, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(days, 0.75), 6) AS p75_days
+         FROM d""",
+    "q213_salted_join" ->
+      """WITH dim AS (SELECT user_id, COUNT(*) AS user_events
+           FROM events GROUP BY user_id)
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+           CAST(SUM(user_events) AS BIGINT) AS user_events_sum
+         FROM events JOIN dim USING (user_id)
+         GROUP BY event_type""",
+    "q214_readability" ->
+      """WITH d AS (SELECT source,
+             GREATEST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)), 1) AS w,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syl
+           FROM documents WHERE text IS NOT NULL)
+         SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(w AS DOUBLE) / snt), 6)
+             AS mean_words_per_sentence,
+           ROUND(AVG(CAST(syl AS DOUBLE) / w), 6)
+             AS mean_syllables_per_word,
+           ROUND(AVG(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt) -
+             84.6 * (CAST(syl AS DOUBLE) / w)), 6) AS mean_reading_ease,
+           ROUND(MIN(206.835 - 1.015 * (CAST(w AS DOUBLE) / snt) -
+             84.6 * (CAST(syl AS DOUBLE) / w)), 6) AS min_reading_ease
+         FROM d GROUP BY source""",
+    "q215_info_gain" -> infoGainSql,
+    "q216_purged_folds" -> (0 until 4).map { i =>
+      val p1 = (i + 1) * 0.2
+      val p2 = (i + 2) * 0.2
+      s"""SELECT $i AS fold, te AS train_end_us, ve AS valid_end_us,
+          (SELECT COUNT(*) FROM events
+             WHERE epoch_us(ts) < te - 86400000000) AS n_train,
+          (SELECT COUNT(*) FROM events
+             WHERE epoch_us(ts) >= te - 86400000000
+               AND epoch_us(ts) < te) AS n_embargoed,
+          (SELECT COUNT(*) FROM events
+             WHERE epoch_us(ts) >= te AND epoch_us(ts) < ve) AS n_valid
+          FROM (SELECT
+            CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p1))
+              AS BIGINT) AS te,
+            CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p2))
+              AS BIGINT) AS ve
+          FROM events)"""
+    }.mkString(" UNION ALL ")
   )
+
+  /** Generated oracle for q215: equi-depth binning + guarded binary
+    * entropies per feature, mirroring [[graft.ml.InfoGain.infoGain]]. */
+  private def infoGainSql: String = {
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val edgeCols = feats.map { c =>
+      s"list_transform(quantile_cont(CAST($c AS DOUBLE), " +
+        s"[0.2, 0.4, 0.6, 0.8]), x -> ROUND(x, 6)) AS e_$c"
+    }.mkString(", ")
+    val arms = feats.map { c =>
+      val bin = (1 to 4).map(j =>
+        s"(CASE WHEN $c > e_$c[$j] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"SELECT '$c' AS f, $bin AS b, y FROM base, e"
+    }.mkString(" UNION ALL ")
+    def h(pos: String, n: String): String =
+      s"(CASE WHEN $pos > 0 THEN -($pos / CAST($n AS DOUBLE)) * " +
+        s"LN($pos / CAST($n AS DOUBLE)) ELSE 0 END + " +
+        s"CASE WHEN $n - $pos > 0 THEN -(($n - $pos) / CAST($n AS DOUBLE)) * " +
+        s"LN(($n - $pos) / CAST($n AS DOUBLE)) ELSE 0 END)"
+    s"""WITH base AS (SELECT
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+          l_quantity, l_extendedprice, l_discount FROM lineitem),
+        e AS (SELECT $edgeCols FROM base),
+        long AS ($arms),
+        cells AS (SELECT f, b, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          FROM long GROUP BY f, b),
+        tot AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nt,
+            CAST(SUM(pos) AS BIGINT) AS post, COUNT(*) AS n_bins
+          FROM cells GROUP BY f)
+        SELECT f AS feature, n_bins,
+          ROUND(${h("post", "nt")} -
+            SUM(n / CAST(nt AS DOUBLE) * ${h("pos", "n")}), 6) AS info_gain
+        FROM cells JOIN tot USING (f)
+        GROUP BY f, n_bins, nt, post"""
+  }
 
   /** Generated oracle for q206: the same six stats per shared numeric
     * lineitem column, base vs the post-1995 slice, unpivoted to the

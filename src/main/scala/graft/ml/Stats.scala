@@ -73,6 +73,46 @@ object Stats {
       .toDF("fold", "train_end_us", "valid_end_us", "n_train", "n_valid")
   }
 
+  /** Purged rolling-origin folds: [[rollingOriginFolds]] plus an
+    * EMBARGO gap — training data within `embargoUs` microseconds
+    * before each fold's validation window is dropped (de Prado's
+    * purged CV: rows whose labels/feature windows straddle the cut
+    * would leak the validation period into training). Same single-pass
+    * shape: one percentile aggregate for cuts, one conditional
+    * aggregate for every fold's counts. Returns (fold, train_end_us,
+    * valid_end_us, n_train, n_embargoed, n_valid). */
+  def purgedRollingFolds(df: DataFrame, tsCol: String, k: Int,
+                         embargoUs: Long): DataFrame = {
+    require(k >= 1 && embargoUs >= 0)
+    val ev = graft.core.Tables.ltzTs(df, tsCol)
+    val us = unix_micros(col(tsCol))
+    val ps = (1 to (k + 1)).map(_.toDouble / (k + 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutRow = ev.agg(graft.functions.ExactPercentiles.exactPercentiles(
+      us.cast("double"), ps)).head()
+    if (cutRow.isNullAt(0))
+      return spark.range(0).select(lit(0).as("fold"),
+        lit(0L).as("train_end_us"), lit(0L).as("valid_end_us"),
+        lit(0L).as("n_train"), lit(0L).as("n_embargoed"),
+        lit(0L).as("n_valid"))
+    val cuts = cutRow.getSeq[Double](0).map(_.toLong)
+    val aggs = (0 until k).flatMap { i =>
+      Seq(
+        sum(when(us < cuts(i) - embargoUs, 1L).otherwise(0L)).as(s"__tr$i"),
+        sum(when(us >= cuts(i) - embargoUs && us < cuts(i), 1L)
+          .otherwise(0L)).as(s"__em$i"),
+        sum(when(us >= cuts(i) && us < cuts(i + 1), 1L).otherwise(0L))
+          .as(s"__va$i"))
+    }
+    val c = ev.agg(aggs.head, aggs.tail: _*).head()
+    (0 until k).map(i =>
+      (i, cuts(i), cuts(i + 1), c.getLong(3 * i), c.getLong(3 * i + 1),
+        c.getLong(3 * i + 2)))
+      .toDF("fold", "train_end_us", "valid_end_us", "n_train",
+        "n_embargoed", "n_valid")
+  }
+
   /** Calibration (reliability) bins for a probability column against a
     * 0/1 label: per equal-width bin — (bin, n, mean_pred 6dp,
     * frac_pos 6dp). The ECE summand |mean_pred − frac_pos|·n/N is the

@@ -165,4 +165,42 @@ object Reporting {
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n") / col("__tot"), 6).as("p"))
   }
+
+  /** Conversion latency: for every entity with a `fromType` event, the
+    * days from its FIRST `fromType` to its first `toType` strictly
+    * after it — summarized as one row (n_started, n_converted,
+    * conversion_rate, mean_days, p25/p50/p75 exact percentiles).
+    *
+    * Scale shape: one entity-keyed conditional aggregate collapses the
+    * stream to a per-entity (start, convert) pair — the funnel-step
+    * pattern — then ONE summary aggregate over entity-cardinality
+    * rows. The "first toType AFTER the start" needs a per-entity
+    * two-phase min (min start, then min toType > start) which folds
+    * into the SAME groupBy via a conditional on the windowless
+    * min-start … computed by a self-aggregated join: start frame
+    * (entity, t0) joins back to the toType events once, keyed on
+    * entity. Two shuffles total, both on the entity key. */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, fromType: String,
+                        toType: String): DataFrame = {
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val starts = ev.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("__t0"))
+    val converts = ev.filter(col(typeCol) === toType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__tc"))
+    starts.join(converts, Seq(userCol), "left")
+      .groupBy(col(userCol), col("__t0"))
+      .agg(min(when(col("__tc") > col("__t0"), col("__tc"))).as("__conv"))
+      .select(((col("__conv") - col("__t0")) / lit(86400.0 * 1e6))
+        .as("__days"))
+      .agg(count(lit(1)).as("n_started"),
+        count(col("__days")).as("n_converted"),
+        round(count(col("__days")) / count(lit(1)).cast("double"), 6)
+          .as("conversion_rate"),
+        round(avg(col("__days")), 6).as("mean_days"),
+        round(percentile(col("__days"), lit(0.25)), 6).as("p25_days"),
+        round(percentile(col("__days"), lit(0.5)), 6).as("p50_days"),
+        round(percentile(col("__days"), lit(0.75)), 6).as("p75_days"))
+  }
 }

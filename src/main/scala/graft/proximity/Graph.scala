@@ -351,6 +351,48 @@ object Graph {
     out
   }
 
+  /** Local clustering coefficient per node:
+    * 2·triangles / (deg·(deg−1)), 0 for degree-1 nodes — how close each
+    * node's neighborhood is to a clique. Composes the [[triangleCount]]
+    * two-path join with the degree aggregate; one extra metadata join,
+    * no new shuffle shape. Returns
+    * (id, degree, triangles, clustering_coeff). */
+  def clusteringCoefficient(edges0: DataFrame): DataFrame = {
+    val tri = triangleCount(edges0)
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    tri.join(deg, "id")
+      .select(col("id"), col("degree"), col("triangles"),
+        round(coalesce(
+          try_divide(lit(2.0) * col("triangles"),
+            col("degree") * (col("degree") - 1)), lit(0.0)), 6)
+          .as("clustering_coeff"))
+  }
+
+  /** ANSI-SQL equivalent of [[clusteringCoefficient]]. */
+  def clusteringCoefficientOracleSql(edgesCte: String): String =
+    s"""WITH eg AS ($edgesCte),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM eg WHERE src != dst),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1 JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+        pn AS (SELECT id, COUNT(*) AS triangles
+          FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY id),
+        deg AS (SELECT id, COUNT(*) AS degree FROM
+          (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id)
+        SELECT d.id, d.degree, COALESCE(pn.triangles, 0) AS triangles,
+          ROUND(COALESCE(2.0 * COALESCE(pn.triangles, 0) /
+            NULLIF(d.degree * (d.degree - 1), 0), 0.0), 6)
+            AS clustering_coeff
+        FROM deg d LEFT JOIN pn USING (id)"""
+
   /** ANSI-SQL equivalent of [[linkPrediction]]. */
   def linkPredictionOracleSql(edgesCte: String): String =
     s"""WITH eg AS ($edgesCte),

@@ -1,0 +1,134 @@
+package graft
+
+import graft.ml.InfoGain
+import graft.operators.{Forecast, Reporting, SkewJoin}
+import graft.text.{Distinctive, Readability}
+import org.apache.spark.sql.functions._
+
+/** Wave-15 kernels: EWMA, distinctive terms, clustering coefficient,
+  * conversion latency, salted join, readability, info gain, purged
+  * folds. */
+class Wave15Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def dailySeries(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }.toDF("ts", "value")
+
+  test("ewma: constant series is a fixpoint; two-point check") {
+    val flat = Forecast.ewma(dailySeries(Seq.fill(10)(42.0)), "ts", "value")
+      .collect()
+    assert(flat.length === 10 && flat.forall(_.getDouble(2) === 42.0))
+    // adjust=true, alpha=0.5 on [1, 2]: (0.5·1 + 1·2)/1.5 = 1.666667
+    val two = Forecast.ewma(dailySeries(Seq(1.0, 2.0)), "ts", "value", 0.5)
+      .orderBy("day").collect()
+    assert(two(0).getDouble(2) === 1.0)
+    assert(two(1).getDouble(2) === 1.666667)
+  }
+
+  test("distinctiveTerms: a source-exclusive term tops its source") {
+    val docs = ((1 to 30).map(i => ("a", "zebra common word filler text")) ++
+      (1 to 30).map(i => ("b", "common word filler text other"))).toDF("src", "text")
+    val r = Distinctive.distinctiveTerms(docs, "src", "text",
+      topK = 2, minCount = 5)
+    val topA = r.filter(col("source") === "a").orderBy(desc("z")).head()
+    assert(topA.getString(1) === "zebra")
+    assert(topA.getLong(2) === 30L && topA.getLong(3) === 0L)
+    assert(topA.getDouble(5) > 3.0) // strongly distinctive
+  }
+
+  test("clusteringCoefficient: triangle = 1, path interior = 0") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val ct = graft.proximity.Graph.clusteringCoefficient(tri).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ct === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val cp = graft.proximity.Graph.clusteringCoefficient(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cp(2L) === 0.0) // degree 2, no closing edge
+    assert(cp(1L) === 0.0) // degree 1 → defined as 0, not null
+  }
+
+  test("conversionLatency: censored users count as started, not converted") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-03 00:00:00"), "purchase"), // 2 days
+      (2L, ts("2024-01-01 00:00:00"), "signup"),   // never converts
+      (3L, ts("2024-01-02 00:00:00"), "purchase"), // converts BEFORE signup
+      (3L, ts("2024-01-05 00:00:00"), "signup"),
+      (4L, ts("2024-01-01 00:00:00"), "signup"),
+      (4L, ts("2024-01-02 00:00:00"), "purchase")  // 1 day
+    ).toDF("user_id", "t", "et")
+    val r = Reporting.conversionLatency(ev, "user_id", "t", "et",
+      "signup", "purchase").head()
+    assert(r.getLong(0) === 4L)             // 4 starters
+    assert(r.getLong(1) === 2L)             // only users 1 and 4 convert
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 1.5)          // mean of 2 and 1
+    assert(r.getDouble(5) === 1.5)          // median
+  }
+
+  test("saltedJoin: result identical to the plain join, salt spreads keys") {
+    val fact = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 900) 1L else (i % 10).toLong, i * 1.0))
+      .toDF("id", "k", "v") // key 1 holds 90% of rows — heavy skew
+    val dim = (0L to 10L).map(k => (k, s"dim_$k")).toDF("k", "label")
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", "id", k = 8)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() === plain.count())
+    val sAgg = salted.groupBy("label").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pAgg = plain.groupBy("label").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sAgg === pAgg)
+    // the hot key's rows really do land in >1 salt bucket
+    val spread = fact.withColumn("__salt",
+        pmod(xxhash64(col("id")), lit(8L)))
+      .filter(col("k") === 1L).select("__salt").distinct().count()
+    assert(spread > 1)
+  }
+
+  test("readability: simple vs complex prose orders correctly") {
+    val docs = Seq(
+      ("simple", "The cat sat. The dog ran. It was fun."),
+      ("complex", "Notwithstanding extraordinarily complicated " +
+        "considerations, interminable bureaucratic deliberations " +
+        "continued unabated throughout.")
+    ).toDF("src", "text")
+    val r = Readability.readabilityProfile(docs, "src", "text").collect()
+      .map(x => x.getString(0) -> x.getDouble(4)).toMap // mean_reading_ease
+    assert(r("simple") > r("complex"))
+    assert(r("simple") > 80) // short words, short sentences
+  }
+
+  test("infoGain: separating feature ≈ H(y), shuffled feature ≈ 0") {
+    val df = (1 to 1000).map { i =>
+      val y = if (i % 2 == 0) 1 else 0
+      // good: perfectly separates; noise: independent of y
+      (y, y * 100.0 + (i % 7), (i % 13).toDouble)
+    }.toDF("label", "good", "noise")
+    val ig = InfoGain.infoGain(df, Seq("good", "noise"), "label", bins = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ig("good") > 0.69)   // ln(2) = 0.693 — full binary entropy
+    assert(ig("noise") < 0.01)
+  }
+
+  test("purgedRollingFolds: embargo carves rows out of train, not valid") {
+    val ev = (0 until 100).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
+      .toDF("id", "ts")
+    val plain = graft.ml.Stats.rollingOriginFolds(ev, "ts", 4)
+      .orderBy("fold").collect()
+    val purged = graft.ml.Stats.purgedRollingFolds(ev, "ts", 4,
+      embargoUs = 5L * 3600L * 1000000L) // 5 hours = 5 rows
+      .orderBy("fold").collect()
+    purged.zip(plain).foreach { case (p, pl) =>
+      assert(p.getLong(3) + p.getLong(4) === pl.getLong(3)) // train+embargo
+      assert(p.getLong(5) === pl.getLong(4))                // valid unchanged
+      assert(p.getLong(4) === 5L)
+    }
+  }
+}
