@@ -1762,7 +1762,26 @@ object SparkEntry {
     "q216_purged_folds" -> ((s, dir) =>
       // 1-day embargo before each validation window (purged CV)
       graft.ml.Stats.purgedRollingFolds(t(s, dir, "events"), "ts", k = 4,
-        embargoUs = 86400000000L))
+        embargoUs = 86400000000L)),
+    "q217_mahalanobis" -> ((s, dir) =>
+      // joint-ellipse outliers on (quantity, price) — closed-form 2D
+      // covariance inverse, one moments aggregate + top-k
+      graft.eda.OutlierScores.mahalanobisTopK(
+        t(s, dir, "lineitem").withColumn("rid",
+          col("l_orderkey") * 8 + col("l_linenumber")),
+        "rid", "l_quantity", "l_extendedprice", k = 20)),
+    "q218_seasonal_decompose" -> ((s, dir) =>
+      graft.operators.Forecast.seasonalDecompose(t(s, dir, "events"),
+        "ts", "value")),
+    "q219_sprt" -> ((s, dir) =>
+      // early-stopping A/B monitor on the daily purchase rate
+      graft.operators.Forecast.sprtTrace(t(s, dir, "events"), "ts",
+        "event_type", "purchase", p0 = 0.18, p1 = 0.22)),
+    "q220_power_mde" -> ((s, dir) =>
+      graft.eda.StatTests.powerMde(
+        t(s, dir, "events").withColumn("grp",
+          when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        "grp", "value", "a", "b"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4473,7 +4492,70 @@ object SparkEntry {
             CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p2))
               AS BIGINT) AS ve
           FROM events)"""
-    }.mkString(" UNION ALL ")
+    }.mkString(" UNION ALL "),
+    "q217_mahalanobis" ->
+      """WITH base AS (SELECT l_orderkey * 8 + l_linenumber AS rid,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         m AS (SELECT AVG(x) AS mx, AVG(y) AS my, var_pop(x) AS vx,
+             var_pop(y) AS vy, covar_pop(x, y) AS cxy FROM base)
+         SELECT rid, ROUND(
+           ((x - mx) * (x - mx) * vy -
+            2.0 * (x - mx) * (y - my) * cxy +
+            (y - my) * (y - my) * vx) / (vx * vy - cxy * cxy), 6)
+           AS mahalanobis_sq
+         FROM base, m ORDER BY mahalanobis_sq DESC, rid LIMIT 20""",
+    "q218_seasonal_decompose" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS mean
+           FROM events WHERE value IS NOT NULL GROUP BY day),
+         t AS (SELECT day, mean, dayofweek(day) + 1 AS dow,
+             CASE WHEN COUNT(*) OVER w = 7 THEN AVG(mean) OVER w END
+               AS trend
+           FROM d WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         s AS (SELECT dow, AVG(mean - trend) AS seas
+           FROM t WHERE trend IS NOT NULL GROUP BY dow)
+         SELECT CAST(day AS TIMESTAMP) AS day, ROUND(mean, 6) AS mean,
+           ROUND(trend, 6) AS trend, ROUND(seas, 6) AS seasonal,
+           ROUND(mean - trend - seas, 6) AS residual
+         FROM t LEFT JOIN s USING (dow)""",
+    "q219_sprt" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS trials,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS successes
+           FROM events GROUP BY day),
+         l AS (SELECT day, trials, successes,
+             successes * LN(0.22 / 0.18) +
+               (trials - successes) * LN(0.78 / 0.82) AS llr FROM d),
+         c AS (SELECT day, trials, successes, ROUND(llr, 6) AS llr,
+             ROUND(SUM(llr) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cum_llr
+           FROM l)
+         SELECT CAST(day AS TIMESTAMP) AS day, trials, successes, llr,
+           cum_llr,
+           CASE WHEN cum_llr > LN(19.0) THEN 'accept_h1'
+             WHEN cum_llr < -LN(19.0) THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+         FROM c""",
+    "q220_power_mde" ->
+      """WITH g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+             AS grp, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         a AS (SELECT COUNT(*) FILTER (WHERE grp = 'a') AS na,
+             COUNT(*) FILTER (WHERE grp = 'b') AS nb,
+             AVG(v) FILTER (WHERE grp = 'a') AS ma,
+             var_samp(v) FILTER (WHERE grp = 'a') AS va,
+             var_samp(v) FILTER (WHERE grp = 'b') AS vb FROM g)
+         SELECT na AS n_a, nb AS n_b, ROUND(ma, 6) AS mean_a,
+           ROUND(SQRT(va / na + vb / nb), 6) AS se_diff,
+           ROUND(2.801585 * SQRT(va / na + vb / nb), 6) AS mde_abs,
+           ROUND(2.801585 * SQRT(va / na + vb / nb) / ma, 6) AS mde_rel
+         FROM a"""
   )
 
   /** Generated oracle for q215: equi-depth binning + guarded binary

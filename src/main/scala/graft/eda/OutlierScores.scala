@@ -52,4 +52,38 @@ object OutlierScores {
     scored.orderBy(col("ecod_score").desc, col("__id")).limit(k)
       .select(col("__id").as(idCol), col("ecod_score"))
   }
+
+  /** Two-feature Mahalanobis outlier distance — the correlation-aware
+    * cousin of the per-column IQR/MAD filters: a row can sit inside
+    * both marginal ranges yet be far from the joint ellipse. Two
+    * features keep the covariance inverse in closed form
+    * (d² = (dx²σy² − 2·dx·dy·σxy + dy²σx²) / (σx²σy² − σxy²)), so the
+    * whole operator is ONE moments aggregate (var_pop/covar_pop — the
+    * same Welford kernels in Spark and the oracle engine) broadcast
+    * into a codegen projection, then a distributed top-k
+    * (TakeOrderedAndProject, id tiebreak). Higher dimensions would
+    * invert the (d×d, metadata-sized) matrix on the driver and inject
+    * the coefficients as plan constants — same shape. Returns the
+    * top-k (id, mahalanobis_sq). */
+  def mahalanobisTopK(df: DataFrame, idCol: String, xCol: String,
+                      yCol: String, k: Int = 20): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && !isnan(col("__x")) &&
+        col("__y").isNotNull && !isnan(col("__y")))
+    val m = base.agg(avg("__x").as("__mx"), avg("__y").as("__my"),
+      var_pop("__x").as("__vx"), var_pop("__y").as("__vy"),
+      covar_pop("__x", "__y").as("__cxy"))
+    val dx = col("__x") - col("__mx")
+    val dy = col("__y") - col("__my")
+    val det = col("__vx") * col("__vy") - col("__cxy") * col("__cxy")
+    base.crossJoin(broadcast(m))
+      .select(col("__id"),
+        round(try_divide(
+          dx * dx * col("__vy") - lit(2.0) * dx * dy * col("__cxy") +
+            dy * dy * col("__vx"), det), 6).as("mahalanobis_sq"))
+      .orderBy(col("mahalanobis_sq").desc, col("__id")).limit(k)
+      .select(col("__id").as(idCol), col("mahalanobis_sq"))
+  }
 }

@@ -134,6 +134,39 @@ object StatTests {
           .as("f_stat"))
   }
 
+  /** Minimum detectable effect for a two-sample mean test at the
+    * observed group sizes and variances — the experiment-design
+    * read-out next to [[mannWhitneyU]]/[[graft.ml.Stats.welchT]]:
+    * "how small a lift could this split even see?"
+    * MDE = (z_{α/2} + z_{power})·√(s²_a/n_a + s²_b/n_b) with the
+    * standard α = 0.05 two-sided / 80 % power constants
+    * (1.959964, 0.841621) baked in as plan literals. One aggregate.
+    * Returns (n_a, n_b, mean_a, se_diff, mde_abs, mde_rel). */
+  def powerMde(df: DataFrame, groupCol: String, valueCol: String,
+               groupA: String, groupB: String): DataFrame = {
+    // the summed constant is written out (not zAlpha + zPower at
+    // runtime) so the plan literal is bit-identical to the oracle's
+    val zSum = 2.801585 // 1.959964 + 0.841621
+    val base = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("__grp"),
+        col(valueCol).cast("double").as("__v"))
+    val se = sqrt(col("__va") / col("__na") + col("__vb") / col("__nb"))
+    base.agg(
+        sum(when(col("__grp") === groupA, 1L)).as("__na"),
+        sum(when(col("__grp") === groupB, 1L)).as("__nb"),
+        avg(when(col("__grp") === groupA, col("__v"))).as("__ma"),
+        var_samp(when(col("__grp") === groupA, col("__v"))).as("__va"),
+        var_samp(when(col("__grp") === groupB, col("__v"))).as("__vb"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__ma"), 6).as("mean_a"),
+        round(se, 6).as("se_diff"),
+        round(lit(zSum) * se, 6).as("mde_abs"),
+        round(try_divide(lit(zSum) * se, col("__ma")), 6)
+          .as("mde_rel"))
+  }
+
   /** Kendall τ-b from the contingency cells of two bounded-cardinality
     * columns. Concordant/discordant pair counts come from a strict
     * x1<x2 self-join of the cell table (each unordered pair counted

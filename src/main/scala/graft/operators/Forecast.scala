@@ -109,6 +109,67 @@ object Forecast {
           avg(abs(col("total") - col("__f1")))), 6).as("mase"))
   }
 
+  /** Additive seasonal decomposition of the daily MEAN:
+    * trend = centered 7-day moving average (only where the full window
+    * exists — edges stay null, the statsmodels convention), seasonal =
+    * per-day-of-week mean of the detrended series, residual = the
+    * rest. All windows run over the calendar-bounded day table; the
+    * seasonal component is a 7-row aggregate joined back. Returns
+    * (day, mean, trend, seasonal, residual). */
+  def seasonalDecompose(events: DataFrame, tsCol: String,
+                        valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"), col("mean"), dayofweek(col("day")).as("__dow"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = d
+      .withColumn("__trend",
+        when(count(lit(1)).over(w) === 7, avg("mean").over(w)))
+      .withColumn("__detr", col("mean") - col("__trend"))
+      .localCheckpoint(true)
+    val seasonal = trended.filter(col("__detr").isNotNull)
+      .groupBy("__dow").agg(avg("__detr").as("__seas"))
+    val out = trended.join(broadcast(seasonal), Seq("__dow"), "left")
+      .select(col("day").cast("timestamp").as("day"),
+        round(col("mean"), 6).as("mean"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seas"), 6).as("seasonal"),
+        round(col("mean") - col("__trend") - col("__seas"), 6)
+          .as("residual"))
+      .localCheckpoint(true)
+    trended.unpersist()
+    out
+  }
+
+  /** Sequential probability ratio test (Wald SPRT) trace over daily
+    * conversion counts: per day the binomial log-likelihood-ratio
+    * increment for H1: p = p1 vs H0: p = p0, its running total, and
+    * the boundary decision at error rates α = β = 0.05 (accept H1
+    * above ln(19), accept H0 below −ln(19), else continue). The A/B
+    * monitor that stops early instead of waiting for a fixed horizon.
+    * One day rollup + one cumulative window over the day table.
+    * Returns (day, trials, successes, llr, cum_llr, decision). */
+  def sprtTrace(events: DataFrame, tsCol: String, typeCol: String,
+                successType: String, p0: Double, p1: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0)
+    val upper = math.log(19.0)
+    val d = Tables.ltzTs(events, tsCol)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(col(typeCol) === successType, 1L).otherwise(0L))
+          .as("successes"))
+    val llr = col("successes") * math.log(p1 / p0) +
+      (col("trials") - col("successes")) * math.log((1 - p1) / (1 - p0))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("llr", round(llr, 6))
+      .withColumn("cum_llr", round(sum(llr).over(w), 6))
+      .select(col("day").cast("timestamp").as("day"), col("trials"),
+        col("successes"), col("llr"), col("cum_llr"),
+        when(col("cum_llr") > upper, "accept_h1")
+          .when(col("cum_llr") < -upper, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** EWMA smoothing of the daily total (pandas `ewm(adjust=True)`
     * semantics: ewma_t = Σⱼ≤t (1−α)^(t−j) x_j / Σⱼ≤t (1−α)^(t−j)).
     * Computed as an explicit prior-day pair join on the

@@ -116,6 +116,58 @@ class Wave15Spec extends SparkSpec {
     assert(ig("noise") < 0.01)
   }
 
+  test("mahalanobisTopK: off-diagonal point beats marginally-larger ones") {
+    // strongly correlated cloud y ≈ x; the planted point (60, -60) is
+    // inside both marginal ranges' neighborhood but far off the ellipse
+    val cloud = (1 to 500).map(i =>
+      (i.toLong, (i % 100).toDouble, (i % 100).toDouble + (i % 7) * 0.1))
+    val df = (cloud :+ (9999L, 60.0, -60.0)).toDF("id", "x", "y")
+    val top = graft.eda.OutlierScores.mahalanobisTopK(df, "id", "x", "y", 3)
+      .collect()
+    assert(top.head.getLong(0) === 9999L)
+    assert(top.head.getDouble(1) > top(1).getDouble(1) * 5)
+  }
+
+  test("seasonalDecompose: pure weekly signal → flat trend, zero residual") {
+    val vals = (0 until 28).map(i => Seq(10.0, 20, 30, 40, 30, 20, 10)(i % 7))
+    val rows = graft.operators.Forecast
+      .seasonalDecompose(dailySeries(vals), "ts", "value")
+      .orderBy("day").collect()
+    assert(rows.length === 28)
+    // centered 7-day MA of an exact-period signal is the constant mean
+    val defined = rows.filter(!_.isNullAt(2))
+    assert(defined.length === 22) // 28 − 3 leading − 3 trailing
+    val m = BigDecimal(Seq(10.0, 20, 30, 40, 30, 20, 10).sum / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(defined.forall(_.getDouble(2) === m))
+    assert(defined.forall(r => math.abs(r.getDouble(4)) < 1e-6)) // residual
+  }
+
+  test("sprtTrace: sustained high rate accepts H1, low rate accepts H0") {
+    def ev(rate: Int) = (0 until 20).flatMap { d =>
+      (0 until 100).map { j =>
+        (ts(f"2024-01-${d + 1}%02d 10:${j % 60}%02d:00"),
+          if (j < rate) "purchase" else "view")
+      }
+    }.toDF("ts", "et")
+    val hi = graft.operators.Forecast.sprtTrace(ev(30), "ts", "et",
+      "purchase", 0.18, 0.22).orderBy(desc("day")).head()
+    assert(hi.getString(5) === "accept_h1")
+    val lo = graft.operators.Forecast.sprtTrace(ev(10), "ts", "et",
+      "purchase", 0.18, 0.22).orderBy(desc("day")).head()
+    assert(lo.getString(5) === "accept_h0")
+  }
+
+  test("powerMde: quadrupling n halves the detectable effect") {
+    def frame(n: Int) = (1 to n).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i % 50).toDouble)).toDF("g", "v")
+    val small = graft.eda.StatTests.powerMde(frame(400), "g", "v", "a", "b")
+      .head().getDouble(4)
+    val big = graft.eda.StatTests.powerMde(frame(1600), "g", "v", "a", "b")
+      .head().getDouble(4)
+    assert(math.abs(big / small - 0.5) < 0.05)
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
