@@ -1781,7 +1781,29 @@ object SparkEntry {
       graft.eda.StatTests.powerMde(
         t(s, dir, "events").withColumn("grp",
           when(col("user_id") % 2 === 0, "a").otherwise("b")),
-        "grp", "value", "a", "b"))
+        "grp", "value", "a", "b")),
+    "q221_embedding_decontamination" -> ((s, dir) => {
+      // semantic benchmark leakage: corpus vectors too close (cosine)
+      // to the held-out benchmark slice; bench side broadcast
+      val e = embDouble(s, dir)
+      graft.proximity.Embeddings.benchmarkDecontaminate(
+        e.filter(col("vec_id") >= 100), e.filter(col("vec_id") < 100),
+        "vec_id", "embedding", threshold = 0.35)
+    }),
+    "q222_snapshot_diff" -> ((s, dir) => {
+      // CDC audit between two simulated snapshots of orders
+      val o = t(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 89 =!= 0)
+      val curr = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      graft.eda.Profile.snapshotDiff(base, curr, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+    "q223_ucb_allocation" -> ((s, dir) =>
+      graft.ml.Stats.ucbAllocation(t(s, dir, "events"),
+        "event_type", "value"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4555,7 +4577,59 @@ object SparkEntry {
            ROUND(SQRT(va / na + vb / nb), 6) AS se_diff,
            ROUND(2.801585 * SQRT(va / na + vb / nb), 6) AS mde_abs,
            ROUND(2.801585 * SQRT(va / na + vb / nb) / ma, 6) AS mde_rel
-         FROM a"""
+         FROM a""",
+    "q221_embedding_decontamination" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         b AS (SELECT vec_id AS bid, v FROM e WHERE vec_id < 100),
+         c AS (SELECT vec_id, v FROM e WHERE vec_id >= 100),
+         sims AS (SELECT c.vec_id, b.bid,
+             ROUND(list_cosine_similarity(c.v, b.v), 6) AS s
+           FROM c CROSS JOIN b),
+         best AS (SELECT vec_id, bid, s FROM sims
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY s DESC, bid DESC) = 1)
+         SELECT vec_id, bid AS bench_id, s AS similarity
+         FROM best WHERE s >= 0.35""",
+    "q222_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 89 != 0),
+         u AS (SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 97 != 0),
+         j AS (SELECT b.k IS NOT NULL AS inb, u.k IS NOT NULL AS inu,
+             b.o_totalprice AS bp, u.o_totalprice AS up,
+             b.o_orderstatus AS bs, u.o_orderstatus AS us
+           FROM b FULL OUTER JOIN u ON b.k = u.k)
+         SELECT 'added' AS metric, CAST(SUM(CASE WHEN NOT inb THEN 1
+           ELSE 0 END) AS BIGINT) AS n FROM j
+         UNION ALL SELECT 'removed', CAST(SUM(CASE WHEN NOT inu THEN 1
+           ELSE 0 END) AS BIGINT) FROM j
+         UNION ALL SELECT 'changed', CAST(SUM(CASE WHEN inb AND inu AND
+           (bp IS DISTINCT FROM up OR bs IS DISTINCT FROM us) THEN 1
+           ELSE 0 END) AS BIGINT) FROM j
+         UNION ALL SELECT 'unchanged', CAST(SUM(CASE WHEN inb AND inu
+           AND NOT (bp IS DISTINCT FROM up OR bs IS DISTINCT FROM us)
+           THEN 1 ELSE 0 END) AS BIGINT) FROM j
+         UNION ALL SELECT 'changed_o_totalprice', CAST(SUM(CASE WHEN inb
+           AND inu AND bp IS DISTINCT FROM up THEN 1 ELSE 0 END)
+           AS BIGINT) FROM j
+         UNION ALL SELECT 'changed_o_orderstatus', CAST(SUM(CASE WHEN
+           inb AND inu AND bs IS DISTINCT FROM us THEN 1 ELSE 0 END)
+           AS BIGINT) FROM j""",
+    "q223_ucb_allocation" ->
+      """WITH arms AS (SELECT event_type AS arm, COUNT(*) AS n,
+             AVG(value) AS m
+           FROM events WHERE value IS NOT NULL GROUP BY event_type),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM arms)
+         SELECT arm, n, ROUND(m, 6) AS mean_reward,
+           ROUND(m + SQRT(2.0 * LN(nt) / n), 6) AS ucb,
+           CAST(row_number() OVER (ORDER BY
+             ROUND(m + SQRT(2.0 * LN(nt) / n), 6) DESC, arm) AS INT)
+             AS rank
+         FROM arms, t"""
   )
 
   /** Generated oracle for q215: equi-depth binning + guarded binary

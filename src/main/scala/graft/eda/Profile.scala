@@ -84,6 +84,43 @@ object Profile {
     }.toDF("column_name", "n_rows", "n_distinct", "n_null", "is_key")
   }
 
+  /** Row-level snapshot diff (CDC-style): full-outer-join two keyed
+    * snapshots and count added / removed / changed / unchanged rows,
+    * plus a per-compare-column change count — the audit before
+    * promoting a refreshed table. ONE key-shuffled full outer join;
+    * classification is a codegen projection (null-safe equality so
+    * NULL→value transitions count as changes); all counts come from a
+    * single aggregate. Returns long rows (metric, n). */
+  def snapshotDiff(base: DataFrame, current: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty)
+    val b = base.select(col(keyCol).as("__k") +: lit(1).as("__in_b") +:
+      compareCols.map(c => col(c).as(s"__b_$c")): _*)
+    val u = current.select(col(keyCol).as("__k") +: lit(1).as("__in_u") +:
+      compareCols.map(c => col(c).as(s"__u_$c")): _*)
+    val changedCol = compareCols.map(c =>
+      !(col(s"__b_$c") <=> col(s"__u_$c"))).reduce(_ || _)
+    val j = b.join(u, Seq("__k"), "full_outer")
+    val aggs = Seq(
+      sum(when(col("__in_b").isNull, 1L).otherwise(0L)).as("added"),
+      sum(when(col("__in_u").isNull, 1L).otherwise(0L)).as("removed"),
+      sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
+        changedCol, 1L).otherwise(0L)).as("changed"),
+      sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
+        !changedCol, 1L).otherwise(0L)).as("unchanged")) ++
+      compareCols.map(c =>
+        sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
+          !(col(s"__b_$c") <=> col(s"__u_$c")), 1L).otherwise(0L))
+          .as(s"changed_$c"))
+    val r = j.agg(aggs.head, aggs.tail: _*).head()
+    val spark = base.sparkSession
+    import spark.implicits._
+    (Seq("added", "removed", "changed", "unchanged") ++
+      compareCols.map(c => s"changed_$c"))
+      .map(m => (m, r.getLong(r.fieldIndex(m))))
+      .toDF("metric", "n")
+  }
+
   /** Functional-dependency check lhs → rhs: a dependency holds when no
     * lhs group maps to two distinct rhs values. One groupBy(lhs) with a
     * distinct-count aggregate, then one metadata-sized rollup per pair.

@@ -73,6 +73,27 @@ object Stats {
       .toDF("fold", "train_end_us", "valid_end_us", "n_train", "n_valid")
   }
 
+  /** UCB1 arm ranking (Auer et al. 2002): per arm the mean reward plus
+    * the √(2·ln N / n) exploration bonus, ranked best-first — the
+    * deterministic bandit read-out (Thompson sampling would need an
+    * RNG and break the oracle). One groupBy to arm cardinality, then a
+    * metadata window for the rank. Returns
+    * (arm, n, mean_reward, ucb, rank). */
+  def ucbAllocation(df: DataFrame, armCol: String,
+                    rewardCol: String): DataFrame = {
+    val arms = df.filter(col(rewardCol).isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"), avg(col(rewardCol)).as("__m"))
+    val total = arms.agg(sum("n").as("__nt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ucb").desc, col("arm"))
+    arms.crossJoin(broadcast(total))
+      .select(col("arm"), col("n"), round(col("__m"), 6).as("mean_reward"),
+        round(col("__m") + sqrt(lit(2.0) * log(col("__nt")) / col("n")), 6)
+          .as("ucb"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Purged rolling-origin folds: [[rollingOriginFolds]] plus an
     * EMBARGO gap — training data within `embargoUs` microseconds
     * before each fold's validation window is dropped (de Prado's

@@ -23,6 +23,39 @@ object Embeddings {
     * job is catching broken shards, silently averaging tail dims over
     * fewer rows would mask exactly the defect being hunted (ADVICE r4).
     * Folded into the n_vecs expression so pruning can't elide it. */
+  /** Embedding-space benchmark decontamination: flag corpus vectors
+    * whose cosine similarity to ANY benchmark vector reaches
+    * `threshold` — the semantic companion to the n-gram overlap
+    * decontamination (q106): paraphrased eval items share no shingles
+    * but sit next to the benchmark in embedding space.
+    *
+    * Scale shape: the benchmark side is broadcast (eval suites are
+    * thousands of rows, not corpus-scale), so the similarity join is a
+    * broadcast nested-loop over the corpus — one scan, no shuffle of
+    * the corpus; the per-vector best match is one groupBy with a
+    * max(struct) argmax (similarity rounded to 6dp FIRST, so
+    * tie-breaks resolve identically in every engine). A corpus-scale
+    * benchmark would swap the broadcast for the LSH candidate join
+    * ([[graft.dedup.Dedup.cosinePairsLsh]] kernel) — same contract.
+    * Returns flagged rows only: (idCol, bench_id, similarity). */
+  def benchmarkDecontaminate(corpus: DataFrame, bench: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(idCol).as("__bid"),
+      col(vecCol).as("__bv")))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(b)
+      .select(col(idCol),
+        struct(
+          round(Proximity.cosine(col(vecCol), col("__bv")), 6).as("s"),
+          col("__bid").as("b")).as("__p"))
+      .groupBy(col(idCol))
+      .agg(max(col("__p")).as("__best"))
+      .filter(col("__best.s") >= threshold)
+      .select(col(idCol), col("__best.b").as("bench_id"),
+        col("__best.s").as("similarity"))
+  }
+
   private def uniformNVecs(groupKey: Column): Column =
     when(min("__n") === max("__n"), max("__n"))
       .otherwise(raise_error(concat(

@@ -168,6 +168,43 @@ class Wave15Spec extends SparkSpec {
     assert(math.abs(big / small - 0.5) < 0.05)
   }
 
+  test("benchmarkDecontaminate: exact copy flagged at 1.0, orthogonal not") {
+    val bench = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),   // exact copy of bench 1
+      (101L, Seq(0.0, 0.0, 1.0)),   // orthogonal to both
+      (102L, Seq(0.7, 0.7, 0.0))    // ~0.707 to both → best bid = 2
+    ).toDF("vec_id", "embedding")
+    val r = graft.proximity.Embeddings.benchmarkDecontaminate(
+      corpus, bench, "vec_id", "embedding", 0.5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r.keySet === Set(100L, 102L))
+    assert(r(100L) === ((1L, 1.0)))
+    assert(r(102L)._1 === 2L) // tie on similarity → higher bench id wins
+  }
+
+  test("snapshotDiff: hand-counted add/remove/change classification") {
+    val base = Seq((1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "z"))
+      .toDF("k", "p", "s")
+    val cur = Seq((1L, 10.0, "x"),          // unchanged
+      (2L, 25.0, "y"),                      // p changed
+      (4L, 40.0, "w"))                      // added; 3 removed
+      .toDF("k", "p", "s")
+    val m = graft.eda.Profile.snapshotDiff(base, cur, "k", Seq("p", "s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 1L, "changed_p" -> 1L, "changed_s" -> 0L))
+  }
+
+  test("ucbAllocation: under-explored arm outranks an equal-mean arm") {
+    val df = ((1 to 100).map(_ => ("heavy", 5.0)) ++
+      (1 to 5).map(_ => ("light", 5.0))).toDF("arm", "r")
+    val r = graft.ml.Stats.ucbAllocation(df, "arm", "r").collect()
+      .map(x => x.getString(0) -> x.getInt(4)).toMap
+    assert(r("light") === 1 && r("heavy") === 2) // same mean, bigger bonus
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
