@@ -71,8 +71,11 @@ object Profile {
     val agg = df.agg(
       count(lit(1)).as("__rows"),
       cols.flatMap { c =>
+        // coalesce: sum over ZERO rows is null — an empty table must
+        // report zero nulls, not NPE the driver read-back
         Seq(count_distinct(col(c)).as(s"__d_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"__nn_$c"))
       }: _*).head()
     val rows = agg.getLong(agg.fieldIndex("__rows"))
     val spark = df.sparkSession
@@ -101,16 +104,20 @@ object Profile {
     val changedCol = compareCols.map(c =>
       !(col(s"__b_$c") <=> col(s"__u_$c"))).reduce(_ || _)
     val j = b.join(u, Seq("__k"), "full_outer")
+    // coalesce: sum over an EMPTY joined frame is null, and two empty
+    // snapshots must report zeros, not NPE on the driver read-back
     val aggs = Seq(
-      sum(when(col("__in_b").isNull, 1L).otherwise(0L)).as("added"),
-      sum(when(col("__in_u").isNull, 1L).otherwise(0L)).as("removed"),
-      sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
-        changedCol, 1L).otherwise(0L)).as("changed"),
-      sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
-        !changedCol, 1L).otherwise(0L)).as("unchanged")) ++
+      coalesce(sum(when(col("__in_b").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("added"),
+      coalesce(sum(when(col("__in_u").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("removed"),
+      coalesce(sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
+        changedCol, 1L).otherwise(0L)), lit(0L)).as("changed"),
+      coalesce(sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
+        !changedCol, 1L).otherwise(0L)), lit(0L)).as("unchanged")) ++
       compareCols.map(c =>
-        sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
-          !(col(s"__b_$c") <=> col(s"__u_$c")), 1L).otherwise(0L))
+        coalesce(sum(when(col("__in_b").isNotNull && col("__in_u").isNotNull &&
+          !(col(s"__b_$c") <=> col(s"__u_$c")), 1L).otherwise(0L)), lit(0L))
           .as(s"changed_$c"))
     val r = j.agg(aggs.head, aggs.tail: _*).head()
     val spark = base.sparkSession

@@ -56,4 +56,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Decay.decayedAggregate(noEvents, "u", "t", "v",
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7.0).count() === 0)
   }
+
+  test("wave 14-17 operators: empty inputs don't NPE the driver pulls") {
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("u", "ts", "value")
+    assert(graft.operators.Forecast.acf(noEv, "ts", "value").count() === 0)
+    assert(graft.operators.Forecast.ewma(noEv, "ts", "value").count() === 0)
+    assert(graft.ml.Stats.purgedRollingFolds(noEv, "ts", 3, 1000L)
+      .count() === 0)
+    val noKeyed = Seq.empty[(Long, Double, String)].toDF("k", "p", "s")
+    val diff = graft.eda.Profile.snapshotDiff(noKeyed, noKeyed, "k",
+      Seq("p", "s")).collect()
+    assert(diff.length === 6 && diff.forall(_.getLong(1) === 0L))
+    val keys = graft.eda.Profile.keyCandidates(noKeyed, Seq("k", "p"))
+      .collect()
+    assert(keys.length === 2 && keys.forall(_.getLong(1) === 0L))
+  }
 }
