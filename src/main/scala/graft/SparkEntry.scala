@@ -1803,7 +1803,15 @@ object SparkEntry {
     }),
     "q223_ucb_allocation" -> ((s, dir) =>
       graft.ml.Stats.ucbAllocation(t(s, dir, "events"),
-        "event_type", "value"))
+        "event_type", "value")),
+    "q224_pairwise_bh" -> ((s, dir) =>
+      // post-omnibus pairwise z-tests with Benjamini-Hochberg FDR;
+      // normal CDF via the A&S polynomial on BOTH engines
+      graft.eda.MultipleTesting.pairwiseTestsBH(t(s, dir, "events"),
+        "event_type", "value", alpha = 0.05)),
+    "q225_neyman_allocation" -> ((s, dir) =>
+      graft.eda.MultipleTesting.neymanAllocation(t(s, dir, "events"),
+        "event_type", "value", budget = 1000L))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4629,7 +4637,44 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY
              ROUND(m + SQRT(2.0 * LN(nt) / n), 6) DESC, arm) AS INT)
              AS rank
-         FROM arms, t"""
+         FROM arms, t""",
+    "q224_pairwise_bh" ->
+      """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         s AS (SELECT g, COUNT(*) AS n, AVG(v) AS m, var_samp(v) AS var
+           FROM base GROUP BY g),
+         pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+             (a.m - b.m) / SQRT(a.var / a.n + b.var / b.n) AS z
+           FROM s a JOIN s b ON a.g < b.g),
+         wp0 AS (SELECT group_a, group_b, z,
+             1.0 / (1.0 + 0.2316419 * ABS(z)) AS kk FROM pairs),
+         wp AS (SELECT group_a, group_b, ROUND(z, 6) AS z_stat,
+             ROUND(2.0 * (0.3989422804014327 *
+               EXP(-0.5 * ABS(z) * ABS(z)) *
+               (kk * (0.319381530 + kk * (-0.356563782 +
+                 kk * (1.781477937 + kk * (-1.821255978 +
+                   kk * 1.330274429)))))), 6) AS p_value
+           FROM wp0),
+         rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value,
+             group_a, group_b) AS INT) AS bh_rank FROM wp),
+         th AS (SELECT *, ROUND(0.05 * bh_rank / 10.0, 6)
+             AS bh_threshold FROM rk),
+         cr AS (SELECT MAX(CASE WHEN p_value <= bh_threshold
+             THEN bh_rank END) AS c FROM th)
+         SELECT group_a, group_b, z_stat, p_value, bh_rank, bh_threshold,
+           COALESCE(bh_rank <= cr.c, FALSE) AS significant
+         FROM th, cr""",
+    "q225_neyman_allocation" ->
+      """WITH s AS (SELECT event_type AS stratum, COUNT(*) AS n_rows,
+             COALESCE(stddev_samp(CAST(value AS DOUBLE)), 0) AS sd
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+           GROUP BY event_type),
+         t AS (SELECT SUM(n_rows * sd) AS tt FROM s)
+         SELECT stratum, n_rows, ROUND(sd, 6) AS sigma,
+           ROUND(n_rows * sd / tt, 6) AS weight,
+           CAST(ROUND(1000.0 * (n_rows * sd / tt), 0) AS BIGINT)
+             AS n_alloc
+         FROM s, t"""
   )
 
   /** Generated oracle for q215: equi-depth binning + guarded binary

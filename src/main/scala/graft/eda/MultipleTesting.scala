@@ -1,0 +1,100 @@
+package graft.eda
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multiple-comparison machinery: all pairwise two-sample z-tests
+  * across a group column with Benjamini-Hochberg FDR control — the
+  * "which segments actually differ" read-out that follows an ANOVA/
+  * Kruskal-Wallis omnibus rejection ([[StatTests]]).
+  *
+  * The normal CDF uses the Abramowitz & Stegun 26.2.17 polynomial
+  * (|ε| < 7.5e-8) written with the SAME literals on the Spark and
+  * oracle sides — both engines run the identical arithmetic, so
+  * p-values agree at 6dp without either needing a native erf.
+  *
+  * Scale shape: ONE conditional aggregate collapses the corpus to
+  * per-group moments (group-cardinality rows); the pair join, CDF
+  * evaluation, and the BH rank/threshold windows all run on the
+  * k(k−1)/2-row pair frame — metadata. */
+object MultipleTesting {
+
+  /** Φ(x) for x ≥ 0 via A&S 26.2.17; callers pass |z|. */
+  private def phiUpper(x: Column): Column = {
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) +
+        k * lit(1.330274429)))))
+    // upper tail 1 − Φ(x) = φ(x)·poly
+    lit(0.3989422804014327) * exp(lit(-0.5) * x * x) * poly
+  }
+
+  /** All-pairs Welch z-tests + BH at level `alpha`. Returns one row
+    * per unordered group pair: (group_a, group_b, z_stat, p_value,
+    * bh_rank, bh_threshold, significant). */
+  def pairwiseTestsBH(df: DataFrame, groupCol: String, valueCol: String,
+                      alpha: Double = 0.05): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val stats = base.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), avg("__v").as("__m"),
+        var_samp("__v").as("__var"))
+      .localCheckpoint(true)
+    val pairs = stats.as("a").join(stats.as("b"),
+        col("a.__g") < col("b.__g"))
+      .select(col("a.__g").as("group_a"), col("b.__g").as("group_b"),
+        ((col("a.__m") - col("b.__m")) /
+          sqrt(col("a.__var") / col("a.__n") +
+               col("b.__var") / col("b.__n"))).as("__z"))
+    val withP = pairs.select(col("group_a"), col("group_b"),
+      round(col("__z"), 6).as("z_stat"),
+      round(lit(2.0) * phiUpper(abs(col("__z"))), 6).as("p_value"))
+    // BH on the ROUNDED p (cross-engine identical ordering); rank ties
+    // broken by the pair key for determinism. m from the checkpointed
+    // group frame (k rows) — not a recompute of the pair pipeline
+    val k = stats.count()
+    val m = k * (k - 1) / 2
+    val w = Window.orderBy(col("p_value"), col("group_a"), col("group_b"))
+    val ranked = withP
+      .withColumn("bh_rank", row_number().over(w))
+      .withColumn("bh_threshold",
+        round(lit(alpha) * col("bh_rank") / lit(m.toDouble), 6))
+    val crossing = ranked.agg(
+      max(when(col("p_value") <= col("bh_threshold"), col("bh_rank")))
+        .as("__c"))
+    val out = ranked.crossJoin(crossing)
+      .select(col("group_a"), col("group_b"), col("z_stat"),
+        col("p_value"), col("bh_rank"), col("bh_threshold"),
+        coalesce(col("bh_rank") <= col("__c"), lit(false))
+          .as("significant"))
+      .localCheckpoint(true)
+    stats.unpersist()
+    out
+  }
+
+  /** Neyman optimal sample allocation: given a total budget, stratum h
+    * gets n_h ∝ N_h·σ_h (minimizing the variance of the stratified
+    * mean estimator). One moments aggregate to stratum cardinality;
+    * the allocation arithmetic is metadata. Zero-variance strata get
+    * weight 0 (a constant stratum needs 1 probe, not a share).
+    * Returns (stratum, n_rows, sigma, weight, n_alloc). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    val stats = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(stddev_samp(col(valueCol).cast("double")), lit(0.0))
+          .as("__s"))
+    val total = stats.agg(sum(col("n_rows") * col("__s")).as("__t"))
+    stats.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_rows"), round(col("__s"), 6).as("sigma"),
+        round(try_divide(col("n_rows") * col("__s"), col("__t")), 6)
+          .as("weight"),
+        round(lit(budget.toDouble) *
+          try_divide(col("n_rows") * col("__s"), col("__t")), 0)
+          .cast("long").as("n_alloc"))
+  }
+}

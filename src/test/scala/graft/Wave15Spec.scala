@@ -205,6 +205,39 @@ class Wave15Spec extends SparkSpec {
     assert(r("light") === 1 && r("heavy") === 2) // same mean, bigger bonus
   }
 
+  test("pairwiseTestsBH: shifted group's pairs flagged, equal pairs not") {
+    val df = (Seq("a", "b", "c").flatMap(g =>
+      (1 to 200).map(i => (g, (i % 50).toDouble))) ++
+      (1 to 200).map(i => ("d", (i % 50).toDouble + 100)))
+      .toDF("g", "v")
+    val r = graft.eda.MultipleTesting.pairwiseTestsBH(df, "g", "v")
+      .collect().map(x =>
+        (x.getString(0), x.getString(1)) -> x.getBoolean(6)).toMap
+    assert(r.size === 6)
+    assert(r.filter(_._1._2 == "d").values.forall(_ == true))
+    assert(r.filterNot(_._1._2 == "d").values.forall(_ == false))
+  }
+
+  test("A&S normal CDF: identical groups give p = 1 exactly") {
+    val na = 10000
+    val fixture = ((1 to na).map(i => ("a", (i % 100).toDouble)) ++
+      (1 to na).map(i => ("b", (i % 100).toDouble))).toDF("g", "v")
+    val p = graft.eda.MultipleTesting.pairwiseTestsBH(fixture, "g", "v")
+      .head().getDouble(3)
+    assert(p === 1.0) // identical groups → z = 0 → p = 2·(1−Φ(0)) = 1
+  }
+
+  test("neymanAllocation: variance drives share; constant stratum gets 0") {
+    val df = ((1 to 300).map(i => ("wild", (i % 100).toDouble)) ++
+      (1 to 300).map(i => ("tame", (i % 4).toDouble)) ++
+      (1 to 300).map(_ => ("flat", 7.0))).toDF("s", "v")
+    val r = graft.eda.MultipleTesting.neymanAllocation(df, "s", "v", 1000L)
+      .collect().map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r("flat") === 0L)
+    assert(r("wild") > r("tame"))
+    assert(math.abs(r.values.sum - 1000L) <= 1) // rounding slack
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
