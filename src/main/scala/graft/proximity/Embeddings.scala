@@ -41,14 +41,18 @@ object Embeddings {
   def benchmarkDecontaminate(corpus: DataFrame, bench: DataFrame,
                              idCol: String, vecCol: String,
                              threshold: Double): DataFrame = {
+    // normalize each side ONCE per row (the Pq.unitize caveat: an HOF
+    // norm inside the pair projection re-evaluates per element per
+    // PAIR); the per-pair work is then a single zip_with dot
     val b = broadcast(bench.select(col(idCol).as("__bid"),
-      col(vecCol).as("__bv")))
-    corpus.select(col(idCol), col(vecCol))
+      Pq.unitize(col(vecCol)).as("__bv")))
+    val dot = aggregate(
+      zip_with(col("__cv"), col("__bv"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    corpus.select(col(idCol), Pq.unitize(col(vecCol)).as("__cv"))
       .crossJoin(b)
       .select(col(idCol),
-        struct(
-          round(Proximity.cosine(col(vecCol), col("__bv")), 6).as("s"),
-          col("__bid").as("b")).as("__p"))
+        struct(round(dot, 6).as("s"), col("__bid").as("b")).as("__p"))
       .groupBy(col(idCol))
       .agg(max(col("__p")).as("__best"))
       .filter(col("__best.s") >= threshold)
