@@ -1811,7 +1811,22 @@ object SparkEntry {
         "event_type", "value", alpha = 0.05)),
     "q225_neyman_allocation" -> ((s, dir) =>
       graft.eda.MultipleTesting.neymanAllocation(t(s, dir, "events"),
-        "event_type", "value", budget = 1000L))
+        "event_type", "value", budget = 1000L)),
+    "q226_corr_significance" -> ((s, dir) =>
+      // which correlations are real: Pearson r per pair in ONE wide
+      // aggregate, t→p via the shared A&S CDF, BH over the 6 pairs
+      graft.eda.MultipleTesting.corrSignificance(t(s, dir, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))),
+    "q227_cramers_v" -> ((s, dir) =>
+      graft.eda.Association.cramersVMatrix(
+        t(s, dir, "lineitem").withColumn("l_linenum_cat",
+          col("l_linenumber").cast("string")),
+        Seq("l_returnflag" -> "l_linestatus",
+          "l_returnflag" -> "l_linenum_cat",
+          "l_linestatus" -> "l_linenum_cat"))),
+    "q228_lexical_richness" -> ((s, dir) =>
+      graft.text.Distinctive.lexicalRichness(t(s, dir, "documents"),
+        "source", "text"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4674,8 +4689,99 @@ object SparkEntry {
            ROUND(n_rows * sd / tt, 6) AS weight,
            CAST(ROUND(1000.0 * (n_rows * sd / tt), 0) AS BIGINT)
              AS n_alloc
-         FROM s, t"""
+         FROM s, t""",
+    "q226_corr_significance" -> corrSignificanceSql,
+    "q227_cramers_v" -> cramersVSql,
+    "q228_lexical_richness" ->
+      """WITH tok AS (SELECT source,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS term
+           FROM documents),
+         ps AS (SELECT source, term, COUNT(*) AS c
+           FROM tok GROUP BY source, term),
+         nd AS (SELECT source, COUNT(*) AS n_docs
+           FROM documents GROUP BY source),
+         pr AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(SUM(length(term) * c) AS BIGINT) AS len
+           FROM ps GROUP BY source)
+         SELECT source, n_docs, n_tokens, n_types,
+           ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           ROUND(hapax / CAST(n_types AS DOUBLE), 6) AS hapax_frac,
+           ROUND(len / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len
+         FROM pr JOIN nd USING (source)"""
   )
+
+  /** Generated oracle for q226: per-pair corr + n in one aggregate,
+    * then the same A&S CDF polynomial and BH tail as
+    * [[graft.eda.MultipleTesting.corrSignificance]]. */
+  private def corrSignificanceSql: String = {
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE)) AS r_$i, " +
+        s"CAST(SUM(CASE WHEN $a IS NOT NULL AND NOT isnan(CAST($a AS DOUBLE)) " +
+        s"AND $b IS NOT NULL AND NOT isnan(CAST($b AS DOUBLE)) " +
+        s"THEN 1 ELSE 0 END) AS BIGINT) AS n_$i"
+    }.mkString(", ")
+    val arms = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, r_$i AS r0, n_$i AS n FROM s"
+    }.mkString(" UNION ALL ")
+    s"""WITH s AS (SELECT $aggs FROM lineitem),
+        long AS ($arms),
+        wp0 AS (SELECT col_a, col_b, n, r0,
+            ABS(r0 * SQRT((n - 2) / (1.0 - r0 * r0))) AS x FROM long),
+        wp1 AS (SELECT col_a, col_b, n, r0, x,
+            1.0 / (1.0 + 0.2316419 * x) AS kk FROM wp0),
+        wp AS (SELECT col_a, col_b, n, ROUND(r0, 6) AS r,
+            ROUND(2.0 * (0.3989422804014327 * EXP(-0.5 * x * x) *
+              (kk * (0.319381530 + kk * (-0.356563782 +
+                kk * (1.781477937 + kk * (-1.821255978 +
+                  kk * 1.330274429)))))), 6) AS p_value
+          FROM wp1),
+        rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value,
+            col_a, col_b) AS INT) AS bh_rank FROM wp),
+        th AS (SELECT *, ROUND(0.05 * bh_rank / ${pairs.size}.0, 6)
+            AS bh_threshold FROM rk),
+        cr AS (SELECT MAX(CASE WHEN p_value <= bh_threshold
+            THEN bh_rank END) AS c FROM th)
+        SELECT col_a, col_b, n, r, p_value, bh_rank, bh_threshold,
+          COALESCE(bh_rank <= cr.c, FALSE) AS significant
+        FROM th, cr"""
+  }
+
+  /** Generated oracle for q227: the q156 chi-square/V template once per
+    * declared pair, labeled and unioned. */
+  private def cramersVSql: String = {
+    val realPairs = Seq(
+      ("l_returnflag", "l_linestatus", "l_returnflag", "l_linestatus"),
+      ("l_returnflag", "l_linenum_cat", "l_returnflag",
+        "CAST(l_linenumber AS VARCHAR)"),
+      ("l_linestatus", "l_linenum_cat", "l_linestatus",
+        "CAST(l_linenumber AS VARCHAR)"))
+    realPairs.map { case (la, lb, ea, eb) =>
+      s"""SELECT '$la' AS col_a, '$lb' AS col_b,
+          ROUND(chi_obs + (n - e_obs), 6) AS chi2,
+          (r - 1) * (c - 1) AS dof,
+          ROUND(SQRT((chi_obs + (n - e_obs)) /
+            (n * (LEAST(r, c) - 1))), 6) AS cramers_v
+        FROM (
+          WITH d AS (SELECT $ea AS a, $eb AS b FROM lineitem),
+          cells AS (SELECT a, b, COUNT(*) AS n FROM d GROUP BY a, b),
+          na AS (SELECT a, SUM(n) AS n_a FROM cells GROUP BY a),
+          nb AS (SELECT b, SUM(n) AS n_b FROM cells GROUP BY b),
+          nt AS (SELECT SUM(n) AS n_tot FROM cells)
+          SELECT
+            SUM(POW(n - CAST(n_a AS DOUBLE) * n_b / n_tot, 2) /
+              (CAST(n_a AS DOUBLE) * n_b / n_tot)) AS chi_obs,
+            SUM(CAST(n_a AS DOUBLE) * n_b / n_tot) AS e_obs,
+            ANY_VALUE(n_tot) AS n,
+            COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+          FROM cells JOIN na USING (a) JOIN nb USING (b), nt)"""
+    }.mkString(" UNION ALL ")
+  }
 
   /** Generated oracle for q215: equi-depth binning + guarded binary
     * entropies per feature, mirroring [[graft.ml.InfoGain.infoGain]]. */

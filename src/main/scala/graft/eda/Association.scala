@@ -59,6 +59,21 @@ object Association {
     * n·(1 − Σ_observed p_a·p_b), since (o−e)²/e = e there).
     * V = sqrt(χ² / (n·(min(r,c)−1))). One row: (chi2, dof, cramers_v).
     */
+  /** Cramér's V association for every declared categorical pair — the
+    * categorical analogue of the correlation matrix. Each pair is one
+    * [[chiSquare]] (a 2-column columnar scan + contingency groupBy);
+    * pairs are declared, so the scan count is the pair count, never a
+    * quadratic column sweep. Returns
+    * (col_a, col_b, chi2, dof, cramers_v). */
+  def cramersVMatrix(df: DataFrame,
+                     pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    pairs.map { case (a, b) =>
+      chiSquare(df, a, b).select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("chi2"), col("dof"), col("cramers_v"))
+    }.reduce(_.unionByName(_))
+  }
+
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val ct = contingency(df, aCol, bCol)
     val e = col("n_a").cast("double") * col("n_b") / col("n_tot")

@@ -55,8 +55,20 @@ object MultipleTesting {
     // broken by the pair key for determinism. m from the checkpointed
     // group frame (k rows) — not a recompute of the pair pipeline
     val k = stats.count()
-    val m = k * (k - 1) / 2
-    val w = Window.orderBy(col("p_value"), col("group_a"), col("group_b"))
+    val out = applyBh(withP, Seq("group_a", "group_b"),
+        alpha, k * (k - 1) / 2)
+      .localCheckpoint(true)
+    stats.unpersist()
+    out
+  }
+
+  /** BH step shared by the test batteries: rank the (metadata-sized)
+    * p-value frame, attach thresholds, and mark everything at or below
+    * the largest crossing rank significant. `keyCols` break p ties
+    * deterministically; all input columns pass through. */
+  private def applyBh(withP: DataFrame, keyCols: Seq[String],
+                      alpha: Double, m: Long): DataFrame = {
+    val w = Window.orderBy(col("p_value") +: keyCols.map(col): _*)
     val ranked = withP
       .withColumn("bh_rank", row_number().over(w))
       .withColumn("bh_threshold",
@@ -64,14 +76,43 @@ object MultipleTesting {
     val crossing = ranked.agg(
       max(when(col("p_value") <= col("bh_threshold"), col("bh_rank")))
         .as("__c"))
-    val out = ranked.crossJoin(crossing)
-      .select(col("group_a"), col("group_b"), col("z_stat"),
-        col("p_value"), col("bh_rank"), col("bh_threshold"),
-        coalesce(col("bh_rank") <= col("__c"), lit(false))
-          .as("significant"))
-      .localCheckpoint(true)
-    stats.unpersist()
-    out
+    ranked.crossJoin(crossing)
+      .withColumn("significant",
+        coalesce(col("bh_rank") <= col("__c"), lit(false)))
+      .drop("__c")
+  }
+
+  /** Pairwise Pearson-correlation significance over `cols` with BH:
+    * for every column pair, r, the t statistic
+    * r·√((n−2)/(1−r²)) (normal-approximated to a p via the shared A&S
+    * CDF), and the BH verdict. ONE wide aggregate computes every
+    * pair's r and both-non-null n in a single scan (the
+    * descriptive-stats shape); everything after is the
+    * pair-cardinality frame. Returns (col_a, col_b, n, r, p_value,
+    * bh_rank, bh_threshold, significant). */
+  def corrSignificance(df: DataFrame, cols: Seq[String],
+                       alpha: Double = 0.05): DataFrame = {
+    require(cols.size >= 2)
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.flatMap { case (a, b) =>
+      val (ca, cb) = (col(a).cast("double"), col(b).cast("double"))
+      Seq(corr(ca, cb).as(s"__r_${a}__$b"),
+        sum(when(ca.isNotNull && !isnan(ca) && cb.isNotNull && !isnan(cb),
+          1L).otherwise(0L)).as(s"__n_${a}__$b"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val long = wide.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__r_${a}__$b").as("r"), col(s"__n_${a}__$b").as("n"))
+    }: _*)).as("p")).select(col("p.col_a"), col("p.col_b"),
+      col("p.n").as("n"), col("p.r").as("__r"))
+    val tStat = col("__r") *
+      sqrt((col("n") - 2) / (lit(1.0) - col("__r") * col("__r")))
+    val withP = long.select(col("col_a"), col("col_b"), col("n"),
+      round(col("__r"), 6).as("r"),
+      round(lit(2.0) * phiUpper(abs(tStat)), 6).as("p_value"))
+    applyBh(withP, Seq("col_a", "col_b"), alpha,
+      pairs.size.toLong)
   }
 
   /** Neyman optimal sample allocation: given a total budget, stratum h

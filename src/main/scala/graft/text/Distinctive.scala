@@ -67,4 +67,36 @@ object Distinctive {
     perSource.unpersist()
     out
   }
+
+  /** Per-source lexical-richness profile: token volume, vocabulary
+    * size, type-token ratio, hapax-legomenon share, and length-weighted
+    * mean token length — the vocabulary-health cut of the corpus
+    * report (a source whose TTR collapses is template spam; one whose
+    * hapax share explodes is OCR noise). Same two-stage vocabulary
+    * groupBy as [[distinctiveTerms]]; the profile is one aggregate of
+    * the (source, term) count table plus a doc-count join. Returns
+    * (source, n_docs, n_tokens, n_types, ttr, hapax_frac,
+    * mean_token_len). */
+  def lexicalRichness(docs: DataFrame, sourceCol: String,
+                      textCol: String): DataFrame = {
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val nDocs = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    perSource.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("__hapax"),
+        sum(length(col("term")) * col("c")).as("__len"))
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_types"),
+        round(col("n_types") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("__hapax") / col("n_types").cast("double"), 6)
+          .as("hapax_frac"),
+        round(col("__len") / col("n_tokens").cast("double"), 6)
+          .as("mean_token_len"))
+  }
 }

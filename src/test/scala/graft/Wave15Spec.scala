@@ -238,6 +238,48 @@ class Wave15Spec extends SparkSpec {
     assert(math.abs(r.values.sum - 1000L) <= 1) // rounding slack
   }
 
+  test("corrSignificance: linear pair flagged, independent pair not") {
+    val df = (1 to 400).map { i =>
+      (i.toDouble, i * 2.0 + (i % 5), ((i * 37) % 100).toDouble)
+    }.toDF("x", "y", "noise")
+    val r = graft.eda.MultipleTesting.corrSignificance(df,
+      Seq("noise", "x", "y")).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        ((row.getDouble(3), row.getBoolean(7)))).toMap
+    assert(r.size === 3)
+    val (rxy, sigXy) = r(("x", "y"))
+    assert(rxy > 0.999 && sigXy)
+    assert(!r(("noise", "x"))._2 && !r(("noise", "y"))._2)
+  }
+
+  test("cramersVMatrix: dependent pair → V = 1, independent → V ≈ 0") {
+    val df = (0 until 400).map { i =>
+      val a = if (i % 2 == 0) "p" else "q"
+      (a, a.toUpperCase, if ((i / 2) % 2 == 0) "u" else "v")
+    }.toDF("a", "dup", "ind")
+    val v = graft.eda.Association.cramersVMatrix(df,
+      Seq("a" -> "dup", "a" -> "ind")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(v(("a", "dup")) === 1.0)
+    assert(v(("a", "ind")) < 0.01)
+  }
+
+  test("lexicalRichness: hand-counted TTR and hapax share") {
+    val docs = Seq(
+      ("s", "alpha beta alpha"),
+      ("s", "gamma beta")
+    ).toDF("src", "text")
+    val r = graft.text.Distinctive.lexicalRichness(docs, "src", "text")
+      .head()
+    assert(r.getLong(1) === 2L)   // docs
+    assert(r.getLong(2) === 5L)   // tokens
+    assert(r.getLong(3) === 3L)   // types: alpha, beta, gamma
+    assert(r.getDouble(4) === 0.6)
+    // hapax: only gamma occurs once → 1/3
+    assert(r.getDouble(5) === 0.333333)
+    assert(r.getDouble(6) === 4.6) // (2·5 + 2·4 + 5) / 5
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
