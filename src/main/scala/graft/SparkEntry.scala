@@ -1826,7 +1826,23 @@ object SparkEntry {
           "l_linestatus" -> "l_linenum_cat"))),
     "q228_lexical_richness" -> ((s, dir) =>
       graft.text.Distinctive.lexicalRichness(t(s, dir, "documents"),
-        "source", "text"))
+        "source", "text")),
+    "q229_audio_features" -> ((s, dir) => {
+      // REAL audio decode path (the q47 contract for sound): synthetic
+      // PCM16 WAV payloads — tone/amplitude keyed off doc_id, every
+      // 13th payload corrupted — → RIFF parser → signal stats. The
+      // synth UDF builds the FIXTURE; the graded operator is the
+      // mapPartitions decode.
+      val toWav = udf((id: Long) =>
+        if (id % 13 == 0) Array[Byte](1, 2, 3, 4) // exercises ok=false
+        else graft.multimodal.Audio.synthWavPcm16(
+          200.0 + (id % 500), seconds = 0.05, sampleRate = 8000,
+          amplitude = 0.2 + (id % 8) / 8.0))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id").as("media_id"),
+          lit("audio/wav").as("mime"), toWav(col("doc_id")).as("payload"))
+      graft.multimodal.Audio.audioFeatures(media)
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics

@@ -280,6 +280,30 @@ class Wave15Spec extends SparkSpec {
     assert(r.getDouble(6) === 4.6) // (2·5 + 2·4 + 5) / 5
   }
 
+  test("audioFeatures: real PCM16 parse — duration, rms, zcr, clipping") {
+    import graft.multimodal.Audio
+    val rows = Seq(
+      (1L, Audio.synthWavPcm16(440.0, 0.5, 8000, amplitude = 0.5)),
+      (2L, Audio.synthWavPcm16(100.0, 0.5, 8000, amplitude = 1.5)), // clips
+      (3L, Array[Byte](9, 9, 9, 9)) // not a WAV
+    ).toDF("media_id", "payload")
+    val r = Audio.audioFeatures(rows).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val sine = r(1L)
+    assert(sine.getBoolean(1))                       // ok
+    assert(sine.getInt(2) === 8000)
+    assert(sine.getLong(3) === 4000L)                // 0.5 s at 8 kHz
+    assert(sine.getDouble(4) === 0.5)                // duration
+    assert(math.abs(sine.getDouble(5) - 0.5 / math.sqrt(2)) < 0.001) // rms
+    assert(math.abs(sine.getDouble(7) - 880.0) < 10) // zcr ≈ 2·f
+    assert(sine.getDouble(8) === 0.0)                // no clipping
+    val loud = r(2L)
+    assert(loud.getDouble(8) > 0.2)                  // clipped fraction
+    assert(loud.getDouble(6) > 0.999)                // peak pinned at FS
+    val bad = r(3L)
+    assert(!bad.getBoolean(1) && bad.isNullAt(4))    // fallback contract
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
