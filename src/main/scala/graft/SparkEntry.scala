@@ -1842,6 +1842,19 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"),
           lit("audio/wav").as("mime"), toWav(col("doc_id")).as("payload"))
       graft.multimodal.Audio.audioFeatures(media)
+    }),
+    "q230_video_features" -> ((s, dir) => {
+      // frame-sampling plumbing (the q47/q229 contract for clips):
+      // length-prefixed PNG-frame containers, every 7th corrupted;
+      // sampled frames go through the REAL imageio decode
+      val toClip = udf((id: Long) =>
+        if (id % 7 == 0) Array[Byte](71, 86, 73, 68) // magic, no body
+        else graft.multimodal.Video.syntheticClip(id,
+          nFrames = 4 + (id % 5).toInt))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"),
+          lit("video/x-gvid").as("mime"), toClip(col("doc_id")).as("payload"))
+      graft.multimodal.Video.videoFeatures(media, sampleEvery = 2)
     })
   )
 

@@ -304,6 +304,23 @@ class Wave15Spec extends SparkSpec {
     assert(!bad.getBoolean(1) && bad.isNullAt(4))    // fallback contract
   }
 
+  test("videoFeatures: frame sampling, real decode, motion energy") {
+    import graft.multimodal.{Multimodal, Video}
+    val still = Video.packFrames(Seq.fill(4)(Multimodal.syntheticPng(5L, 16, 16)))
+    val moving = Video.syntheticClip(99L, nFrames = 6)
+    val rows = Seq(
+      (1L, moving), (2L, still), (3L, Array[Byte](71, 86, 73, 68))
+    ).toDF("media_id", "payload")
+    val r = Video.videoFeatures(rows, sampleEvery = 2).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val mv = r(1L)
+    assert(mv.getBoolean(1) && mv.getInt(2) === 6 && mv.getInt(3) === 3)
+    assert(mv.getDouble(5) > 0.0)       // drifting frames → motion
+    val st = r(2L)
+    assert(st.getBoolean(1) && st.getDouble(5) === 0.0) // identical frames
+    assert(!r(3L).getBoolean(1))        // truncated container
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
