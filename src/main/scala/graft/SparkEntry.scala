@@ -1855,6 +1855,16 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"),
           lit("video/x-gvid").as("mime"), toClip(col("doc_id")).as("payload"))
       graft.multimodal.Video.videoFeatures(media, sampleEvery = 2)
+    }),
+    "q231_kll_quantiles" -> ((s, dir) => {
+      // mergeable quantile shards (KLL): 8 hash shards sketched once,
+      // global quantiles answered from the kilobyte shard table
+      val li = t(s, dir, "lineitem").withColumn("shard",
+        pmod(xxhash64(col("l_orderkey")), lit(8L)))
+      val shards = graft.eda.Sketches.quantileShardSketches(
+        li, "shard", "l_extendedprice")
+      graft.eda.Sketches.mergedQuantiles(shards,
+        Seq(0.25, 0.5, 0.75, 0.9))
     })
   )
 

@@ -37,4 +37,37 @@ object Sketches {
   def shardEstimates(sketches: DataFrame, shardCol: String): DataFrame =
     sketches.select(col(shardCol), col("n_rows"),
       hll_sketch_estimate(col("sketch")).cast("long").as("distinct_estimate"))
+
+  /** Per-shard QUANTILE sketch table (DataSketches KLL): the quantile
+    * counterpart of [[shardSketches]] — kilobyte mergeable state per
+    * shard vs the O(rows) exact buffer, with provable rank-error
+    * bounds from `k`. Returns (shardCol, n_rows, qsketch binary). */
+  def quantileShardSketches(df: DataFrame, shardCol: String,
+                            valueCol: String, k: Int = 200): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.KllSketch
+          .kllSketch(col(valueCol).cast("double"), k).as("qsketch"))
+
+  /** Union a quantile-shard table and read back global quantile
+    * estimates — shard-cardinality input, so the merge is metadata at
+    * any corpus size. Returns one row per prob:
+    * (prob, quantile_estimate, n_rows, n_shards). */
+  def mergedQuantiles(sketches: DataFrame, probs: Seq[Double],
+                      k: Int = 200): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val row = sketches.agg(
+      count(lit(1)).as("n_shards"), sum("n_rows").as("n"),
+      graft.functions.KllSketch.kllMerge(col("qsketch"), k).as("m")).head()
+    if (row.isNullAt(2))
+      return Seq.empty[(Double, Double, Long, Long)]
+        .toDF("prob", "quantile_estimate", "n_rows", "n_shards")
+    val qs = graft.functions.KllSketch
+      .quantiles(row.getAs[Array[Byte]](2), probs)
+    probs.zip(qs).map { case (p, q) =>
+      (p, BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        row.getLong(1), row.getLong(0))
+    }.toDF("prob", "quantile_estimate", "n_rows", "n_shards")
+  }
 }

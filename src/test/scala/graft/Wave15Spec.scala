@@ -321,6 +321,32 @@ class Wave15Spec extends SparkSpec {
     assert(!r(3L).getBoolean(1))        // truncated container
   }
 
+  test("KLL quantile shards: merged estimate tracks exact within rank ε, " +
+    "state stays kilobytes") {
+    val df = (1 to 50000).map(i =>
+      ((i % 16).toLong, ((i * 2654435761L) % 100000).toDouble))
+      .toDF("shard", "v")
+    val shards = graft.eda.Sketches.quantileShardSketches(df, "shard", "v")
+      .localCheckpoint(true)
+    assert(shards.count() === 16)
+    // bounded state: every shard binary ≤ ~32 KB at k=200
+    val sizes = shards.select(length(col("qsketch"))).collect()
+      .map(_.getInt(0))
+    assert(sizes.forall(_ < 32768))
+    val merged = graft.eda.Sketches.mergedQuantiles(shards,
+      Seq(0.25, 0.5, 0.9)).collect()
+    assert(merged.length === 3 && merged.head.getLong(2) === 50000L)
+    val exact = df.agg(graft.functions.ExactPercentiles
+      .exactPercentiles(col("v"), Seq(0.25, 0.5, 0.9))).head()
+      .getSeq[Double](0)
+    merged.map(_.getDouble(1)).zip(exact).foreach { case (est, ex) =>
+      // KLL k=200 guarantees ~0.7% rank error; values ~uniform on
+      // [0, 1e5] so rank error ≈ value error scale
+      assert(math.abs(est - ex) < 2500, s"est $est vs exact $ex")
+    }
+    shards.unpersist()
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
