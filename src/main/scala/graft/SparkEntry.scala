@@ -1865,6 +1865,36 @@ object SparkEntry {
         li, "shard", "l_extendedprice")
       graft.eda.Sketches.mergedQuantiles(shards,
         Seq(0.25, 0.5, 0.75, 0.9))
+    }),
+    "q232_theta_overlap" -> ((s, dir) => {
+      // theta set algebra on persisted distinct sketches: purchase ∩
+      // click users / purchase-only — what HLL can't answer
+      import graft.functions.ThetaSketch
+      val sk = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(ThetaSketch.thetaSketch(col("user_id")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      import s.implicits._
+      Seq(
+        ("purchase_users", ThetaSketch.estimate(sk("purchase"))),
+        ("click_users", ThetaSketch.estimate(sk("click"))),
+        ("purchase_and_click", ThetaSketch.intersect(sk("purchase"), sk("click"))),
+        ("purchase_only", ThetaSketch.aNotB(sk("purchase"), sk("click"))))
+        .map { case (m, e) => (m, math.round(e)) }
+        .toDF("set_op", "distinct_estimate")
+    }),
+    "q233_frequent_terms" -> ((s, dir) => {
+      // heavy-hitter terms with deterministic error bounds — bounded
+      // state where an exact global top-k would shuffle the key universe
+      import graft.functions.FreqSketch
+      val bytes = t(s, dir, "documents")
+        .select(explode(graft.text.Text.tokens(col("text"))).as("term"))
+        .agg(FreqSketch.freqSketch(col("term"), 256)).head()
+        .getAs[Array[Byte]](0)
+      import s.implicits._
+      FreqSketch.frequentItems(bytes).take(10)
+        .toDF("term", "estimate", "lower_bound", "upper_bound")
     })
   )
 

@@ -347,6 +347,32 @@ class Wave15Spec extends SparkSpec {
     shards.unpersist()
   }
 
+  test("theta sketches: exact-regime set algebra matches true overlap") {
+    import graft.functions.ThetaSketch
+    // below sketch capacity the estimates are exact: A = 0..999,
+    // B = 500..1499 → |A∩B| = 500, |A\B| = 500
+    val df = ((0 until 1000).map(i => ("a", i)) ++
+      (500 until 1500).map(i => ("b", i))).toDF("side", "k")
+    val sk = df.groupBy("side")
+      .agg(ThetaSketch.thetaSketch(col("k")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(math.round(ThetaSketch.estimate(sk("a"))) === 1000L)
+    assert(math.round(ThetaSketch.intersect(sk("a"), sk("b"))) === 500L)
+    assert(math.round(ThetaSketch.aNotB(sk("a"), sk("b"))) === 500L)
+  }
+
+  test("frequent-items sketch: planted heavy hitter surfaces with bounds") {
+    import graft.functions.FreqSketch
+    val df = ((1 to 5000).map(_ => "whale") ++
+      (1 to 20000).map(i => s"minnow_$i")).toDF("term")
+    val bytes = df.agg(FreqSketch.freqSketch(col("term"), 64)).head()
+      .getAs[Array[Byte]](0)
+    val top = FreqSketch.frequentItems(bytes)
+    assert(top.nonEmpty && top.head._1 === "whale")
+    val (_, est, lb, ub) = top.head
+    assert(lb <= 5000L && 5000L <= ub && est >= lb && est <= ub)
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
