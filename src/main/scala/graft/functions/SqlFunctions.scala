@@ -154,6 +154,32 @@ object SqlFunctions {
     "graft_perplexity" -> { es: Seq[Expression] =>
       arity("graft_perplexity", es, 1)
       x(graft.text.Ccnet.perplexity(c(es.head)))
+    },
+    // mergeable-sketch AGGREGATES: the builders return the raw
+    // AggregateFunction — the analyzer wraps it into an
+    // AggregateExpression when it lands in an aggregation context, the
+    // same treatment built-in aggregates get (readability at 100 TB:
+    // `SELECT shard, graft_kll_sketch(v) FROM t GROUP BY shard` in
+    // plain SQL builds the identical plan as the Column API)
+    "graft_kll_sketch" -> { es: Seq[Expression] =>
+      require(es.length == 1 || es.length == 2,
+        s"graft_kll_sketch expects 1-2 argument(s), got ${es.length}")
+      KllSketchAgg(es.head,
+        if (es.length > 1) intArg(es(1), "graft_kll_sketch") else 200)
+    },
+    "graft_kll_merge" -> { es: Seq[Expression] =>
+      require(es.length == 1 || es.length == 2,
+        s"graft_kll_merge expects 1-2 argument(s), got ${es.length}")
+      KllMergeAgg(es.head,
+        if (es.length > 1) intArg(es(1), "graft_kll_merge") else 200)
+    },
+    "graft_theta_sketch" -> { es: Seq[Expression] =>
+      arity("graft_theta_sketch", es, 1)
+      ThetaSketchAgg(es.head)
+    },
+    "graft_freq_sketch" -> { es: Seq[Expression] =>
+      arity("graft_freq_sketch", es, 2)
+      FreqSketchAgg(es.head, intArg(es(1), "graft_freq_sketch"))
     })
 
   /** Register every graft SQL function on a live session (idempotent —

@@ -109,6 +109,35 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rules.contains(graft.plans.NanosPushdown))
   }
 
+  test("sketch SQL aggregates: GROUP BY kll/theta sketch == Column API") {
+    SqlFunctions.install(spark)
+    val df = (1 to 2000).map(i => ((i % 4).toLong, (i % 500).toDouble))
+      .toDF("shard", "v")
+    df.createOrReplaceTempView("sqlfun_sketch")
+    // quantile read-back must agree between the SQL and Column routes
+    val sqlMerged = spark.sql(
+      """SELECT graft_kll_merge(sk) FROM (
+           SELECT shard, graft_kll_sketch(v) AS sk
+           FROM sqlfun_sketch GROUP BY shard)""").head().getAs[Array[Byte]](0)
+    val colMerged = graft.eda.Sketches
+      .quantileShardSketches(df, "shard", "v")
+      .agg(graft.functions.KllSketch.kllMerge(col("qsketch")))
+      .head().getAs[Array[Byte]](0)
+    // sketch CONTENT is merge-order-dependent (partial-agg order
+    // differs between the two routes), so the routes agree within the
+    // k=200 rank-error bound, not bit-for-bit
+    val (qs, qc) = (graft.functions.KllSketch.quantiles(sqlMerged, Seq(0.5)),
+      graft.functions.KllSketch.quantiles(colMerged, Seq(0.5)))
+    assert(math.abs(qs.head - qc.head) < 10,
+      s"sql ${qs.head} vs column ${qc.head}")
+    assert(math.abs(qs.head - 249.5) < 10) // true median of 0..499
+    // theta: distinct shards estimate exactly in the small regime
+    val thetaEst = spark.sql(
+      "SELECT graft_theta_sketch(v) FROM sqlfun_sketch")
+      .head().getAs[Array[Byte]](0)
+    assert(math.round(graft.functions.ThetaSketch.estimate(thetaEst)) === 500L)
+  }
+
   test("wave SQL functions: simhash64 / ngrams / ngram_bag") {
     SqlFunctions.install(spark)
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
