@@ -1895,7 +1895,13 @@ object SparkEntry {
       import s.implicits._
       FreqSketch.frequentItems(bytes).take(10)
         .toDF("term", "estimate", "lower_bound", "upper_bound")
-    })
+    }),
+    "q234_skyline" -> ((s, dir) =>
+      // Pareto frontier of parts: biggest size at lowest price —
+      // local-skyline mapPartitions prune + survivor anti-join
+      graft.operators.Skyline.skyline(t(s, dir, "part"),
+        Seq("p_size" -> true, "p_retailprice" -> false))
+        .select("p_partkey", "p_size", "p_retailprice"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4760,6 +4766,15 @@ object SparkEntry {
              AS n_alloc
          FROM s, t""",
     "q226_corr_significance" -> corrSignificanceSql,
+    "q234_skyline" ->
+      """SELECT a.p_partkey, a.p_size, a.p_retailprice FROM part a
+         WHERE a.p_size IS NOT NULL AND a.p_retailprice IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM part b
+             WHERE b.p_size IS NOT NULL AND b.p_retailprice IS NOT NULL
+               AND b.p_size >= a.p_size
+               AND b.p_retailprice <= a.p_retailprice
+               AND (b.p_size > a.p_size
+                 OR b.p_retailprice < a.p_retailprice))""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -373,6 +373,29 @@ class Wave15Spec extends SparkSpec {
     assert(lb <= 5000L && 5000L <= ub && est >= lb && est <= ub)
   }
 
+  test("skyline: hand frontier, tied duplicates survive, equals naive") {
+    import graft.operators.Skyline
+    val pts = Seq((1L, 1, 10.0), (2L, 2, 5.0), (3L, 3, 7.0),
+      (4L, 3, 5.0), (5L, 0, 1.0), (6L, 3, 5.0)).toDF("id", "a", "b")
+    val sky = Skyline.skyline(pts, Seq("a" -> true, "b" -> false))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // (3,5) dominates (2,5),(3,7),(1,10); (0,1) incomparable; the
+    // duplicate (3,5) rows both survive — neither strictly dominates
+    assert(sky === Set(4L, 5L, 6L))
+    // equivalence with the naive quadratic form on pseudo-random data
+    val rnd = (1 to 500).map(i =>
+      (i.toLong, ((i * 2654435761L) % 97).toInt,
+        ((i * 40503L) % 89).toDouble)).toDF("id", "a", "b")
+    val fast = Skyline.skyline(rnd, Seq("a" -> true, "b" -> false))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val naive = rnd.as("x").join(rnd.as("y"),
+        col("y.a") >= col("x.a") && col("y.b") <= col("x.b") &&
+          (col("y.a") > col("x.a") || col("y.b") < col("x.b")),
+        "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(fast === naive)
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
