@@ -1901,7 +1901,12 @@ object SparkEntry {
       // local-skyline mapPartitions prune + survivor anti-join
       graft.operators.Skyline.skyline(t(s, dir, "part"),
         Seq("p_size" -> true, "p_retailprice" -> false))
-        .select("p_partkey", "p_size", "p_retailprice"))
+        .select("p_partkey", "p_size", "p_retailprice")),
+    "q235_sequence_neighbors" -> ((s, dir) =>
+      // trajectory-similarity top-k: users whose event journeys edit-
+      // closest to the busiest user's journey
+      graft.operators.FuzzyJoin.sequenceNeighbors(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", k = 10))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4775,6 +4780,17 @@ object SparkEntry {
                AND b.p_retailprice <= a.p_retailprice
                AND (b.p_size > a.p_size
                  OR b.p_retailprice < a.p_retailprice))""",
+    "q235_sequence_neighbors" ->
+      """WITH seqs AS (SELECT user_id AS entity, COUNT(*) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+               ORDER BY epoch_us(ts), event_id) AS seq
+           FROM events GROUP BY user_id),
+         probe AS (SELECT entity, seq FROM seqs
+           ORDER BY n_events DESC, entity LIMIT 1)
+         SELECT s.entity, CAST(length(s.seq) AS INT) AS seq_len,
+           CAST(levenshtein(s.seq, probe.seq) AS INT) AS distance
+         FROM seqs s, probe WHERE s.entity != probe.entity
+         ORDER BY distance, s.entity LIMIT 10""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -32,6 +32,42 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Top-k most-similar entities to a probe entity by edit distance
+    * over their EVENT-TYPE SEQUENCES (REPOSE-style trajectory
+    * similarity, with event-type initials as the alphabet): each
+    * entity's journey collapses to an ordered string, the probe's
+    * string broadcasts as a plan constant, and similarity is one
+    * codegen `levenshtein` per entity — linear in entities, top-k via
+    * TakeOrderedAndProject. The probe is the busiest entity (ties →
+    * smallest id) so the query is self-contained and deterministic.
+    * Returns (entity, seq_len, distance) for the k nearest, probe
+    * excluded. */
+  def sequenceNeighbors(events: DataFrame, entityCol: String,
+                        tsCol: String, typeCol: String, idCol: String,
+                        k: Int = 10): DataFrame = {
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val seqs = ev.groupBy(col(entityCol).as("entity"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(
+            unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
+            substring(col(typeCol), 1, 1).as("c")))),
+          s => s.getField("c"))).as("seq"))
+      .localCheckpoint(true)
+    val probeRow = seqs
+      .orderBy(col("n_events").desc, col("entity")).limit(1)
+      .head()
+    val (probeId, probeSeq) =
+      (probeRow.get(0), probeRow.getString(2))
+    val out = seqs.filter(col("entity") =!= lit(probeId))
+      .select(col("entity"), length(col("seq")).as("seq_len"),
+        levenshtein(col("seq"), lit(probeSeq)).as("distance"))
+      .orderBy(col("distance"), col("entity")).limit(k)
+      .localCheckpoint(true)
+    seqs.unpersist()
+    out
+  }
+
   def fuzzyJoin(left: DataFrame, right: DataFrame, leftCol: String,
                 rightCol: String, maxDist: Int,
                 leftId: String, rightId: String): DataFrame = {

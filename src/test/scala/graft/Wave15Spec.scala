@@ -396,6 +396,23 @@ class Wave15Spec extends SparkSpec {
     assert(fast === naive)
   }
 
+  test("sequenceNeighbors: identical journey ranks first at distance 0") {
+    val base = Seq("a", "b", "c", "a")
+    def journey(u: Long, types: Seq[String], startId: Long) =
+      types.zipWithIndex.map { case (t, i) =>
+        (u, startId + i, ts(f"2024-01-01 00:0${i}%01d:00"), t + "x")
+      }
+    val ev = (journey(1L, base ++ Seq("d", "e"), 100) ++ // probe: busiest
+      journey(2L, base ++ Seq("d", "e"), 200) ++          // twin, dist 0
+      journey(3L, base, 300) ++                           // prefix, dist 2
+      journey(4L, Seq("z", "z", "z"), 400))               // far
+      .toDF("user_id", "event_id", "t", "et")
+    val r = graft.operators.FuzzyJoin.sequenceNeighbors(
+      ev, "user_id", "t", "et", "event_id", k = 3).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(2L, 3L, 4L))
+    assert(r(0).getInt(2) === 0 && r(1).getInt(2) === 2)
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
