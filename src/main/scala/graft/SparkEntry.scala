@@ -1906,7 +1906,17 @@ object SparkEntry {
       // trajectory-similarity top-k: users whose event journeys edit-
       // closest to the busiest user's journey
       graft.operators.FuzzyJoin.sequenceNeighbors(t(s, dir, "events"),
-        "user_id", "ts", "event_type", "event_id", k = 10))
+        "user_id", "ts", "event_type", "event_id", k = 10)),
+    "q236_ppjoin_exact" -> ((s, dir) =>
+      // EXACT prefix-filtered jaccard join. Fixed 500-doc slice for
+      // the same reason as q153: the synthetic corpus shares one
+      // ~31-term vocabulary, so every token's posting list is
+      // corpus-sized and ANY token-postings join degenerates — on
+      // realistic vocabularies the rarest-first prefix is the scale
+      // lever (the operator itself is unrestricted)
+      graft.dedup.Dedup.jaccardJoinPrefix(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", threshold = 0.85))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4791,6 +4801,25 @@ object SparkEntry {
            CAST(levenshtein(s.seq, probe.seq) AS INT) AS distance
          FROM seqs s, probe WHERE s.entity != probe.entity
          ORDER BY distance, s.entity LIMIT 10""",
+    "q236_ppjoin_exact" ->
+      """WITH docs AS (SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> length(x) > 0)) AS w
+           FROM documents WHERE doc_id < 500),
+         d AS (SELECT doc_id, w FROM docs WHERE len(w) > 0),
+         tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+           ROUND(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE ROUND(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) >= 0.85""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -173,6 +173,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin,
+    * Bayardo et al. WWW'07) — completes the jaccard triad: brute
+    * [[jaccardPairs]] is the bounded oracle baseline, MinHash-LSH is
+    * the approximate scale path, and THIS is the exact scale path.
+    * Two sets with Jaccard ≥ t must share a token among each one's
+    * first |s| − ⌈t·|s|⌉ + 1 tokens in a GLOBAL canonical order
+    * (rarest-first), so candidates come from an equi-join on PREFIX
+    * tokens only — corpus-linear in matching prefix postings, never
+    * all-pairs — plus the |b| ∈ [t·|a|, |a|/t] length filter before
+    * the exact verify. Emits the same (id_a, id_b, jaccard) contract
+    * as jaccardPairs, provably identical results.
+    */
+  def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val docs = df.select(col(idCol).as("id"),
+        array_distinct(Text.tokens(col(textCol))).as("w"))
+      .filter(size(col("w")) > 0)
+      .localCheckpoint(true)
+    val freq = docs.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__f"))
+    // canonical rarest-first ordering, then the t-dependent prefix
+    val ordered = docs.select(col("id"), explode(col("w")).as("t"))
+      .join(freq, "t")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("__f"), col("t")))),
+        s => s.getField("t")).as("ord"))
+      .select(col("id"), col("ord"), size(col("ord")).as("n"))
+      .withColumn("__plen",
+        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+    val prefixes = ordered.select(col("id"), col("n"),
+      explode(slice(col("ord"), lit(1), col("__plen"))).as("t"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+          col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
+          col("b.n") * lit(threshold) <= col("a.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val l = docs.select(col("id").as("id_a"), col("w").as("w_a"))
+    val r = docs.select(col("id").as("id_b"), col("w").as("w_b"))
+    val jac = size(array_intersect(col("w_a"), col("w_b"))).cast("double") /
+      size(array_union(col("w_a"), col("w_b")))
+    val out = cand.join(l, "id_a").join(r, "id_b")
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    docs.unpersist()
+    out
+  }
+
   /** Embedding-cosine near-duplicate pairs — brute-force oracle baseline
     * over a bounded id range (the jaccardPairs analogue for the
     * embedding column): (id_a < id_b, similarity) with

@@ -413,6 +413,23 @@ class Wave15Spec extends SparkSpec {
     assert(r(0).getInt(2) === 0 && r(1).getInt(2) === 2)
   }
 
+  test("jaccardJoinPrefix: identical results to the brute-force join, " +
+    "prefix postings beat full postings") {
+    import graft.dedup.Dedup
+    val docs = (1 to 120).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "eps")
+      val extra = Seq(s"u$i", s"v${i % 7}", s"w${i % 11}")
+      (i.toLong, (base.take(2 + i % 4) ++ extra).mkString(" "))
+    }.toDF("doc_id", "text")
+    val t = 0.5
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fast = pairs(Dedup.jaccardJoinPrefix(docs, "doc_id", "text", t))
+    val brute = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", t))
+    assert(fast === brute) // exactness of the prefix filter
+    assert(fast.nonEmpty)
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
