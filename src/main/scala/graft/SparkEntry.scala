@@ -1916,7 +1916,16 @@ object SparkEntry {
       // lever (the operator itself is unrestricted)
       graft.dedup.Dedup.jaccardJoinPrefix(
         t(s, dir, "documents").filter(col("doc_id") < 500),
-        "doc_id", "text", threshold = 0.85))
+        "doc_id", "text", threshold = 0.85)),
+    "q237_impute" -> ((s, dir) => {
+      // the reference's impute_dataframe contract: plant NULL and INF
+      // cells, demote INF to missing, median-fill, tag repaired rows
+      val ev = t(s, dir, "events").select(col("event_id"),
+        when(col("event_id") % 37 === 0, lit(null).cast("double"))
+          .when(col("event_id") % 41 === 0, lit(Double.PositiveInfinity))
+          .otherwise(col("value")).as("value"))
+      graft.transforms.Impute.imputeFeatures(ev, Seq("value"), "median")
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4820,6 +4829,21 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE ROUND(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) >= 0.85""",
+    "q237_impute" ->
+      """WITH d AS (SELECT event_id,
+             CASE WHEN event_id % 37 = 0 THEN NULL
+               WHEN event_id % 41 = 0 THEN CAST('inf' AS DOUBLE)
+               ELSE value END AS v
+           FROM events),
+         c AS (SELECT event_id, v,
+             CASE WHEN v IS NULL OR isnan(v) OR isinf(v) THEN NULL
+               ELSE v END AS vc
+           FROM d),
+         m AS (SELECT COALESCE(quantile_cont(vc, 0.5), 0) AS med FROM c)
+         SELECT event_id, ROUND(COALESCE(vc, med), 6) AS value,
+           CASE WHEN v IS NULL OR isnan(v) THEN 'nan'
+             WHEN isinf(v) THEN 'inf' ELSE '' END AS feature_quality_tags
+         FROM c, m""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -430,6 +430,29 @@ class Wave15Spec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("imputeFeatures: inf demoted, median fill excludes bad cells, " +
+    "tags name the repair") {
+    import graft.transforms.Impute
+    val df = Seq(
+      (1L, Some(10.0), Some(1.0)),
+      (2L, None, Some(2.0)),                      // nan in x
+      (3L, Some(Double.PositiveInfinity), None),  // inf in x, nan in y
+      (4L, Some(30.0), Some(4.0)),
+      (5L, Some(20.0), Some(5.0))
+    ).toDF("id", "x", "y")
+    val r = Impute.imputeFeatures(df, Seq("x", "y"), "median").collect()
+      .map(row => row.getLong(0) -> row).toMap
+    // clean x = {10, 30, 20} → median 20; clean y = {1,2,4,5} → 3
+    assert(r(2L).getDouble(1) === 20.0 && r(2L).getString(3) === "nan")
+    assert(r(3L).getDouble(1) === 20.0 && r(3L).getDouble(2) === 3.0)
+    assert(r(3L).getString(3) === "inf,nan") // both repairs named once
+    assert(r(1L).getString(3) === "" && r(1L).getDouble(1) === 10.0)
+    // zero strategy on an all-bad column never leaves NaN behind
+    val allBad = Seq((1L, Option.empty[Double])).toDF("id", "x")
+    val z = Impute.imputeFeatures(allBad, Seq("x"), "median").head()
+    assert(z.getDouble(1) === 0.0)
+  }
+
   test("purgedRollingFolds: embargo carves rows out of train, not valid") {
     val ev = (0 until 100).map(i =>
       (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
