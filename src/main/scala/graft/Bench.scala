@@ -130,11 +130,16 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(results)},"sf":"$sfDir"$ladder}"""
     // The driver's stdout capture keeps only a tail (rounds 3-6 landed as
-    // "parsed": null) — persist the full JSON where it can't be truncated.
-    val outFile = new java.io.File("target/bench_summary.json")
-    outFile.getParentFile.mkdirs()
-    java.nio.file.Files.write(outFile.toPath, summary.getBytes("UTF-8"))
-    System.err.println(s"[bench] full summary written to ${outFile.getAbsolutePath}")
+    // "parsed": null) — persist the full JSON where it can't be truncated:
+    // once under target/ (local scratch) and once under bench/ (tracked,
+    // so round-over-round per-query comparison survives the sandbox).
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "current")
+    Seq(new java.io.File("target/bench_summary.json"),
+        new java.io.File(s"bench/summary_r$round.json")).foreach { outFile =>
+      outFile.getParentFile.mkdirs()
+      java.nio.file.Files.write(outFile.toPath, summary.getBytes("UTF-8"))
+      System.err.println(s"[bench] full summary written to ${outFile.getAbsolutePath}")
+    }
     println(summary)
     spark.stop()
   }

@@ -1359,8 +1359,10 @@ object SparkEntry {
         .groupBy("user_id", "ts")
         .agg((floor(max("value")) % 3).cast("long").as("state"))
       graft.operators.Events.scd2Intervals(st, "user_id", "ts", "state")
+        // open-interval sentinel must stay inside pandas' datetime64[ns]
+        // range (max 2262-04-11) or the driver's canonicalizer mangles it
         .select(col("user_id"), col("state"), col("valid_from"),
-          coalesce(col("valid_to"), to_timestamp(lit("9999-12-31"))).as("valid_to"))
+          coalesce(col("valid_to"), to_timestamp(lit("2200-01-01"))).as("valid_to"))
     }),
     "q144_weighted_sample" -> ((s, dir) =>
       // deterministic A-ES weighted sample: 5 docs per source ∝ length,
@@ -3590,8 +3592,8 @@ object SparkEntry {
                   THEN 1 ELSE 0 END AS nw
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          s AS (SELECT user_id, ts, value,
-             SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+             CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
            FROM o)
          SELECT user_id, session_idx, COUNT(*) AS n_events,
            (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec,
@@ -3661,7 +3663,7 @@ object SparkEntry {
            WHERE prev IS NULL OR prev IS DISTINCT FROM state)
          SELECT user_id, state, ts AS valid_from,
            COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
-             TIMESTAMP '9999-12-31') AS valid_to
+             TIMESTAMP '2200-01-01') AS valid_to
          FROM cp""",
     "q144_weighted_sample" ->
       """SELECT source, doc_id, ROUND(sample_key, 6) AS sample_key
@@ -3957,7 +3959,7 @@ object SparkEntry {
          t5 AS (SELECT SUM(c) AS t5 FROM
            (SELECT c FROM c ORDER BY c DESC, k ASC LIMIT 5)),
          g AS (SELECT SUM((2.0 * i - n - 1) * c) AS gsum FROM rk, t)
-         SELECT s AS n_rows, n AS n_keys,
+         SELECT CAST(s AS BIGINT) AS n_rows, n AS n_keys,
            ROUND(CAST(mx AS DOUBLE) / s, 6) AS max_key_share,
            ROUND(CAST(t5 AS DOUBLE) / s, 6) AS top5_share,
            ROUND(gsum / (n * s), 6) AS gini
@@ -3970,7 +3972,7 @@ object SparkEntry {
          SELECT (SELECT COUNT(*) FROM lineitem) AS left_rows,
            (SELECT COUNT(*) FROM orders) AS right_rows,
            COUNT(*) AS matching_keys,
-           COALESCE(SUM(nl * nr), 0) AS join_rows,
+           CAST(COALESCE(SUM(nl * nr), 0) AS BIGINT) AS join_rows,
            COALESCE(MAX(nl * nr), 0) AS max_key_pairs
          FROM lc JOIN rc USING (k)""",
     "q171_bloom_blocklist" ->
@@ -4110,10 +4112,12 @@ object SparkEntry {
                THEN 1 ELSE 0 END AS event
            FROM events GROUP BY user_id),
          byt AS (SELECT duration AS t, COUNT(*) AS n,
-             SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS n_events
+             CAST(SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events
            FROM life GROUP BY duration),
-         ar AS (SELECT t, n_events, SUM(n) OVER (ORDER BY t DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+         ar AS (SELECT t, n_events, CAST(SUM(n) OVER (ORDER BY t DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_at_risk
            FROM byt),
          ev AS (SELECT t, n_at_risk, n_events,
              1.0 - n_events / CAST(n_at_risk AS DOUBLE) AS factor
@@ -4184,8 +4188,8 @@ object SparkEntry {
            FROM lineitem WHERE l_extendedprice IS NOT NULL)
          SELECT COUNT(*) AS n, ROUND(lo, 6) AS lo_bound,
            ROUND(hi, 6) AS hi_bound,
-           SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
-             THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 6) AS mean,
            ROUND(stddev_samp(LEAST(GREATEST(l_extendedprice, lo), hi)), 6)
              AS stddev
@@ -4771,8 +4775,9 @@ object SparkEntry {
            FROM wp0),
          rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value,
              group_a, group_b) AS INT) AS bh_rank FROM wp),
-         th AS (SELECT *, ROUND(0.05 * bh_rank / 10.0, 6)
-             AS bh_threshold FROM rk),
+         mm AS (SELECT COUNT(*) AS m FROM wp),
+         th AS (SELECT rk.*, ROUND(0.05 * bh_rank / mm.m, 6)
+             AS bh_threshold FROM rk, mm),
          cr AS (SELECT MAX(CASE WHEN p_value <= bh_threshold
              THEN bh_rank END) AS c FROM th)
          SELECT group_a, group_b, z_stat, p_value, bh_rank, bh_threshold,
@@ -4840,7 +4845,7 @@ object SparkEntry {
                ELSE v END AS vc
            FROM d),
          m AS (SELECT COALESCE(quantile_cont(vc, 0.5), 0) AS med FROM c)
-         SELECT event_id, ROUND(COALESCE(vc, med), 6) AS value,
+         SELECT event_id, COALESCE(vc, ROUND(med, 6)) AS value,
            CASE WHEN v IS NULL OR isnan(v) THEN 'nan'
              WHEN isinf(v) THEN 'inf' ELSE '' END AS feature_quality_tags
          FROM c, m""",

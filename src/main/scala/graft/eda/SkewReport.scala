@@ -1,7 +1,6 @@
 package graft.eda
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pre-shuffle skew diagnostics — the report you run BEFORE a 100 TB
@@ -16,14 +15,17 @@ object SkewReport {
     * (n_rows, n_keys, max_key_share 6dp, top5_share 6dp, gini 6dp).
     *
     * Gini over per-key counts (0 = uniform, →1 = one key dominates),
-    * Σ_i (2i − n − 1)·c_i / (n·Σc) with c_i ascending — computed in
-    * GROUPED form: keys are first collapsed to (count_value, freq)
-    * pairs, and each group's rank-sum enters in closed form
-    * (f·F_prev + f(f+1)/2). The only ordered window runs over the
-    * DISTINCT COUNT VALUES — usually a few hundred rows even when the
-    * key has billions of levels — never over keys or rows.
+    * Σ_i (2i − n − 1)·c_i / (n·Σc) with c_i ascending — the tie-group
+    * rank sums ride the shared adaptive rank kernel
+    * ([[graft.ml.Metrics.rankedScores]]): below its route point a
+    * plain ordered window over the distinct count values, above it the
+    * bucketed two-level cumsum — so a key whose count table is itself
+    * huge (billions of keys with near-unique counts) never funnels
+    * through a SinglePartition window (VERDICT r7 item 4).
     */
-  def keySkew(df: DataFrame, key: String): DataFrame = {
+  def keySkew(df: DataFrame, key: String,
+              rankSmallMaxRows: Long = graft.ml.Metrics.RankSmallMaxRows)
+      : DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // reused 4×; also avoids the self-lineage
                              // attribute collision a shared plan invites
@@ -36,16 +38,17 @@ object SkewReport {
     val (nRows, nKeys, mx) = (t.getLong(0), t.getLong(1), t.getLong(2))
     val t5 = counts.orderBy(desc("__c"), asc(key)).limit(5)
       .agg(sum("__c")).head().getLong(0)
-    val grouped = counts.groupBy("__c").agg(count(lit(1)).as("__f"))
-    val wc = Window.orderBy("__c")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withF = grouped.withColumn("__cum", sum("__f").over(wc))
-    // rank-sum of a tie group ending at cumulative position F:
-    //   Σ_{j in group} j = f·(F − f) + f(f+1)/2
-    val rankSum = col("__f") * (col("__cum") - col("__f")) +
-      col("__f") * (col("__f") + 1) / 2
-    val g = withF.agg(sum(col("__c").cast("double") *
-      (lit(2.0) * rankSum - col("__f") * lit(nKeys + 1.0)))).head().getDouble(0)
+    // rank kernel over the count table: one row per key, score = its
+    // count. The kernel groups ties to (score, n=__f) pairs and yields
+    // each tie group's average 1-based rank, so the group's rank-sum
+    // is n·avg_rank = f·F_prev + f(f+1)/2 in the kernel's closed form.
+    val ranked = graft.ml.Metrics.rankedScores(
+      counts.select(lit("g").as("__grp"), col("__c"), lit(0).as("__lbl")),
+      "__grp", "__lbl", "__c", buckets = 1024,
+      smallMaxRows = rankSmallMaxRows)
+    val g = ranked.agg(sum(col("score") *
+        (lit(2.0) * col("n") * col("avg_rank") - col("n") * lit(nKeys + 1.0))))
+      .head().getDouble(0)
     counts.unpersist()
     val spark = df.sparkSession
     def r6(x: Double) =

@@ -186,9 +186,10 @@ object StatTests {
           col("c1.__c") * col("c2.__c")).otherwise(0L)).as("__conc"),
         sum(when(col("c1.__y") > col("c2.__y"),
           col("c1.__c") * col("c2.__c")).otherwise(0L)).as("__disc"))
+    // τ-b's denominator uses only the per-margin tie terms __tx/__ty;
+    // the joint-tie term never appears in it
     val margins = cells.agg(
-      sum("__c").as("__n"), count(lit(1)).as("__ncells"),
-      sum(col("__c") * (col("__c") - 1) / 2).as("__txy"))
+      sum("__c").as("__n"), count(lit(1)).as("__ncells"))
     val tx = cells.groupBy("__x").agg(sum("__c").as("__nx"))
       .agg(sum(col("__nx") * (col("__nx") - 1) / 2).as("__tx"))
     val ty = cells.groupBy("__y").agg(sum("__c").as("__ny"))

@@ -106,6 +106,10 @@ object Audio {
       sq += x * x
       val a = math.abs(x)
       if (a > peak) peak = a
+      // deliberate 1-LSB tolerance below int16 full scale: encoders
+      // that clip often dither the flat-top down to ±32766, so exact
+      // ±32767 would undercount real clipping; a legitimately loud
+      // non-clipped sample at 32766 is accepted as the cheaper error
       if (a >= 32766.0 / 32768.0) clipped += 1
       if (i > 0 && ((samples(i - 1) >= 0) != (x >= 0))) crossings += 1
       i += 1

@@ -71,7 +71,15 @@ object Video {
     * the 8×8 luma grid; output appends (ok, n_frames, n_sampled,
     * mean_luma, motion_energy) where motion_energy is the mean
     * absolute grid delta between consecutive sampled frames (0 for
-    * single-frame samples). */
+    * single-frame samples).
+    *
+    * ok=false contract (two deliberate shapes, split on whether the
+    * CONTAINER parsed): an unreadable/empty container yields all-null
+    * metadata (n_frames unknowable), while a container that parses but
+    * whose sampled frames all fail to decode keeps n_frames populated
+    * with n_sampled=0 and null feature columns — so a caller can
+    * distinguish corrupt files from codec failures with
+    * `ok = false AND n_frames IS NULL` vs `... IS NOT NULL`. */
   def videoFeatures(df: DataFrame, sampleEvery: Int = 2,
                     batchSize: Int = 16): DataFrame = {
     require(sampleEvery >= 1)

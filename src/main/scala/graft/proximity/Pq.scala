@@ -203,6 +203,34 @@ object Pq {
       .drop("__rank")
   }
 
+  /** Query-size-adaptive ADC top-k — the [[Proximity.knnJoinAdaptive]]
+    * treatment for the PQ path (VERDICT r7 item 3). Below
+    * `bruteMaxQueries` query rows the flat [[adcTopK]] scan runs (|Q|·|R|
+    * code lookups — the deliberate PQ baseline, fine for query batches).
+    * Above it that scan is quadratic in the self-KNN shape, so the
+    * IVF-pruned [[ivfPqTopK]] takes over: candidate volume per query
+    * drops to ~nProbe/nCells of the corpus. The route is recorded via
+    * [[graft.core.Routing]] (the bench ladder reports switches) and
+    * surfaced at warn level; pin `bruteMaxQueries = Long.MaxValue` to
+    * force the flat scan. */
+  def adcTopKAdaptive(queries: DataFrame, refs: DataFrame, idCol: String,
+                      vecCol: String, k: Int, books: Codebooks,
+                      bruteMaxQueries: Long = 65536,
+                      queryCountHint: Option[Long] = None,
+                      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val n = queryCountHint.getOrElse(queries.count())
+    val brute = n <= bruteMaxQueries
+    graft.core.Routing.record("pq-adc", if (brute) "flat" else "ivf", n)
+    if (brute) adcTopK(queries, refs, idCol, vecCol, k, books)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"adcTopKAdaptive: $n query rows > bruteMaxQueries=$bruteMaxQueries " +
+          s"— routing to IVF-pruned ADC (nCells=$nCells, nProbe=$nProbe); " +
+          "pass bruteMaxQueries=Long.MaxValue to pin the flat scan")
+      ivfPqTopK(queries, refs, idCol, vecCol, k, books, nCells, nProbe)
+    }
+  }
+
   /** ADC shortlist + exact re-rank (the FAISS "refine" stage): the
     * compressed scan nominates `shortlist` candidates per query, then
     * ONLY those rows' full vectors are read back for an exact cosine
@@ -215,9 +243,12 @@ object Pq {
     * not |Q|·|R|. Returns (id, neighbor_id, similarity 6dp). */
   def adcTopKRerank(queries: DataFrame, refs: DataFrame, idCol: String,
                     vecCol: String, k: Int, books: Codebooks,
-                    shortlist: Int = 50): DataFrame = {
+                    shortlist: Int = 50,
+                    bruteMaxQueries: Long = 65536,
+                    queryCountHint: Option[Long] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val cand = adcTopK(queries, refs, idCol, vecCol, shortlist, books)
+    val cand = adcTopKAdaptive(queries, refs, idCol, vecCol, shortlist, books,
+        bruteMaxQueries, queryCountHint)
       .select(col("id"), col("neighbor_id"))
     val q = queries.select(col(idCol).as("id"), toD(col(vecCol)).as("__qv"))
     val r = refs.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("__rv"))

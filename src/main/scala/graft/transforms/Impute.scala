@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * demoted to missing, every missing cell is filled with the chosen
   * strategy's statistic (mean / median / zero, computed EXCLUDING the
   * bad cells), and each row carries a `feature_quality_tags` marker
-  * naming what was repaired ('nan', 'inf' — comma-joined when a row
-  * has both across columns).
+  * naming what was repaired. Non-missing cells pass through UNTOUCHED
+  * — only the fill statistic is 6dp-rounded (for cross-engine fill
+  * parity). Deliberate deviation from the reference: the reference
+  * emits a LIST column of tags; this emits the same tags as one
+  * comma-joined string ('nan,inf' when a row has both across columns)
+  * so the column stays a flat, oracle-comparable string.
   *
   * Scale shape: ONE statistics aggregate over the clean cells (all
   * columns in a single pass — the descriptive-stats shape), fills
@@ -53,7 +57,7 @@ object Impute {
             .when(d === Double.PositiveInfinity ||
               d === Double.NegativeInfinity, "inf"))
         .withColumn(c,
-          round(coalesce(cleanCol(c), lit(fills(c))), 6))
+          coalesce(cleanCol(c), round(lit(fills(c)), 6)))
     }
     tagged
       .withColumn("feature_quality_tags",

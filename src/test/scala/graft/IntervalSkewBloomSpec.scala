@@ -53,6 +53,18 @@ class IntervalSkewBloomSpec extends SparkSpec {
     assert(SkewReport.keySkew(uniform, "k").head().getDouble(4) === 0.0)
   }
 
+  test("keySkew gini rides the adaptive rank kernel: forced-bucketed " +
+      "route matches the window route cell-for-cell (VERDICT r7 item 4)") {
+    val df = (Seq.fill(10)(1) ++ Seq.fill(20)(2) ++ Seq.fill(70)(3) ++
+      (10 to 40).flatMap(k => Seq.fill(k % 7 + 1)(k))).toDF("k")
+    graft.core.Routing.drain()
+    val small = SkewReport.keySkew(df, "k").head()
+    assert(graft.core.Routing.drain().contains("rank-kernel=window"))
+    val big = SkewReport.keySkew(df, "k", rankSmallMaxRows = 0).head()
+    assert(graft.core.Routing.drain().contains("rank-kernel=bucketed"))
+    assert(small === big)
+  }
+
   test("joinCardinality: exact fan-out prediction without the join") {
     val l = Seq(1, 1, 1, 2, 3).toDF("k")
     val r = Seq(1, 1, 2, 9).toDF("k")

@@ -106,4 +106,26 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"ivfPqTopK must equi-join on cell:\n$plan")
   }
+
+  test("adcTopKAdaptive: large query side routes to the IVF cell-pruned " +
+      "plan, small stays flat (VERDICT r7 item 3)") {
+    // forced route (bruteMaxQueries=0 ≡ a query side past the threshold):
+    // the plan must be the cell equi-join, never the flat |Q|×|R| scan
+    graft.core.Routing.drain()
+    val big = Pq.adcTopKAdaptive(emb, emb, "vec_id", "embedding", k = 3,
+      books, bruteMaxQueries = 0, nCells = 4, nProbe = 2)
+    assert(graft.core.Routing.drain().contains("pq-adc=ivf"))
+    // the only non-equi join allowed is the one-row-per-cell centroid
+    // broadcast; the candidate join itself must be the __cell equi-join
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("CartesianProduct") &&
+      bigPlan.contains("__cell"),
+      s"scaled adc route must be cell-pruned:\n$bigPlan")
+    // default threshold at fixture size: flat scan, identical to adcTopK
+    val small = Pq.adcTopKAdaptive(emb.limit(5), emb, "vec_id", "embedding",
+      k = 3, books)
+    assert(graft.core.Routing.drain().contains("pq-adc=flat"))
+    val exact = Pq.adcTopK(emb.limit(5), emb, "vec_id", "embedding", 3, books)
+    assert(small.collect().toSet == exact.collect().toSet)
+  }
 }
