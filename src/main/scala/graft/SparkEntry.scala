@@ -2419,6 +2419,10 @@ object SparkEntry {
             '$ty' AS dtype FROM orders"""
       }.mkString(" UNION ALL ")
     },
+    "q56_stratified_split" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE substr(md5(CAST(c_custkey AS VARCHAR) || ':42'), 1, 8) <
+           lower(lpad(to_hex(CAST(floor(0.8 * 4294967296) AS BIGINT)), 8, '0'))""",
     "q57_label_noise" ->
       s"""WITH ${knnSql("true", "vec_id < 100", 5)},
           votes AS (SELECT knn.id, r.label AS nl, COUNT(*) AS n_votes

@@ -54,6 +54,7 @@ class InferenceCache(val endpoint: Endpoint,
   /** DFStore key of the cache parquet (inference_cache.py:88). */
   val cachePath: String = s"inference_cache/${endpoint.name}"
   private val manifestKey = s"graft_inference_cache/${endpoint.name}"
+  private val uniqueKey = s"$manifestKey/unique_keys"
   private val TsCol = "__cache_ts"
 
   private var invalidationChecked = false
@@ -84,11 +85,43 @@ class InferenceCache(val endpoint: Endpoint,
     }
   }
 
-  /** Newest cache row per key (`drop_duplicates(keep="last")`). */
-  private def latestPerKey(cache: DataFrame): DataFrame =
-    cache.withColumn("__rn",
+  /** Metadata fingerprint of the cache directory (file count, total
+    * bytes, newest mtime) — a driver-side listing, no data scan. Used
+    * to detect out-of-band cache mutation since our last append. */
+  private def cacheStamp(): String = {
+    val p = new org.apache.hadoop.fs.Path(store.path(cachePath))
+    val fs = p.getFileSystem(catalog.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val files = fs.listStatus(p).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      s"${files.length}:${files.map(_.getLen).sum}:" +
+        s"${if (files.isEmpty) 0L else files.map(_.getModificationTime).max}"
+    }
+  }
+
+  /** Newest cache row per key (`drop_duplicates(keep="last")`).
+    *
+    * Scale shortcut: every append this class performs is anti-join
+    * guarded — it writes only keys PROVEN absent — so a cache built
+    * solely from such appends has unique keys and keep-last dedup is a
+    * no-op. That provenance is tracked in the `unique_keys` manifest
+    * flag: guarded appends record `true:<dir stamp>`; an
+    * `outputKeyColumn` rewrite (which could alias a fresh row onto an
+    * existing key) records false. The skip applies ONLY while the
+    * cache directory still matches the recorded stamp — any
+    * out-of-band write (an external append, a manual upsert) changes
+    * the listing and falls back to the full keyed window, exactly as
+    * before. Saves the dominant scaled cost of a warm cache read: one
+    * full sort-shuffle of the cache per inference call. */
+  private def latestPerKey(cache: DataFrame): DataFrame = {
+    val provenUnique = catalog.paramStore.get(uniqueKey)
+      .exists(v => v.startsWith("true:") && v.stripPrefix("true:") == cacheStamp())
+    if (provenUnique) cache
+    else cache.withColumn("__rn",
         row_number().over(Window.partitionBy(key).orderBy(col(TsCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** Cached inference (inference_cache.py:109-162). `captureName` /
     * `idColumn` forward to the wrapped endpoint for the UNCACHED rows
@@ -119,18 +152,27 @@ class InferenceCache(val endpoint: Endpoint,
       // endpoints that canonicalize the key column return the original
       // input value in `outputKeyColumn` — cache under THAT value so
       // future lookups with the same inputs still hit (py:60-71)
-      val keyed = outputKeyColumn match {
-        case Some(ok) if out.columns.contains(ok) =>
-          out.withColumn(cacheKeyColumn, col(ok))
-        case _ => out
-      }
+      val keyRewritten = outputKeyColumn.exists(out.columns.contains)
+      val keyed =
+        if (keyRewritten) out.withColumn(cacheKeyColumn, col(outputKeyColumn.get))
+        else out
       val stamped = keyed.withColumn(TsCol, lit(System.currentTimeMillis()))
+      // key-uniqueness provenance (see latestPerKey), judged BEFORE the
+      // append mutates the directory: a guarded append keeps a
+      // fresh-or-provably-unique cache unique; a stale stamp (someone
+      // wrote out-of-band since our last append) or a canonicalizing
+      // key rewrite poisons the flag
+      val wasUnique = existing.isEmpty ||
+        catalog.paramStore.get(uniqueKey).exists(v =>
+          v.startsWith("true:") && v.stripPrefix("true:") == cacheStamp())
       // the append is the ONE action that runs the endpoint transform;
       // both hit- and miss-rows are then served from the updated cache
       store.append(cachePath,
         existing.map(c => graft.stores.Stores.coerceToSchema(stamped, c.schema))
           .getOrElse(stamped))
       catalog.paramStore.upsert(manifestKey, endpointModified.toString)
+      catalog.paramStore.upsert(uniqueKey,
+        if (wasUnique && !keyRewritten) s"true:${cacheStamp()}" else "false")
     }
 
     val latest = latestPerKey(store.get(cachePath))
@@ -159,10 +201,11 @@ class InferenceCache(val endpoint: Endpoint,
       "manifest" -> catalog.paramStore.get(manifestKey).getOrElse(""))
   }
 
-  /** Delete the cache parquet and its manifest stamp. */
+  /** Delete the cache parquet and its manifest stamps. */
   def clearCache(): Unit = {
     store.delete(cachePath)
     catalog.paramStore.delete(manifestKey)
+    catalog.paramStore.delete(uniqueKey)
   }
 
   /** Drop entries by key value so they recompute on the next

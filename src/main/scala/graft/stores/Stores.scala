@@ -26,6 +26,10 @@ class DFStore(spark: SparkSession, root: String) {
   private def pathFor(key: String): String =
     root + "/" + key.stripPrefix("/")
 
+  /** Filesystem location of a key (for metadata-level inspection —
+    * e.g. InferenceCache's mutation-detection stamp). */
+  def path(key: String): String = pathFor(key)
+
   def upsert(key: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(pathFor(key))
 

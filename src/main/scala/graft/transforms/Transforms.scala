@@ -66,26 +66,38 @@ object Transforms {
     (train, test)
   }
 
-  /** Stratified split by a category column using per-stratum Bernoulli
-    * sampling (`sampleBy`), seed fixed at 42 like the reference
-    * (reference: src/workbench/utils/pandas_utils.py:1077-1110).
-    * Returns (train, test) with test = anti-join of train.
+  /** Stratified split by a category column via per-row Bernoulli with a
+    * PORTABLE md5 draw on (id, seed) — the same keep-predicate scheme
+    * as [[graft.text.Mixing]] — so any engine reproduces the exact
+    * split (`sampleBy` draws from Spark-internal RNG state, which no
+    * oracle can replay). Statistically identical to per-stratum
+    * `sampleBy` at a uniform fraction: the draw is independent of the
+    * stratum, so each stratum keeps `trainFraction` in expectation.
+    * Seed fixed at 42 like the reference (reference:
+    * src/workbench/utils/pandas_utils.py:1077-1110). Returns
+    * (train, test) with test = anti-join of train.
     */
   def stratifiedSplit(df: DataFrame, byCol: String, trainFraction: Double,
                       idCol: String, seed: Long = 42L,
                       maxStrata: Int = 1000): (DataFrame, DataFrame) = {
-    // cardinality gate (like oneHot's): sampleBy builds a driver-side
-    // fraction map keyed by stratum — a high-cardinality byCol would
-    // collect unboundedly; fail loudly instead. ONE scan: the limit
-    // bounds the collect at maxStrata+1 rows whatever the cardinality.
+    // cardinality gate (like oneHot's), kept from the sampleBy era as
+    // the API contract: stratified splitting is only meaningful over a
+    // low-cardinality stratum column. ONE scan, collect bounded at
+    // maxStrata+1 rows whatever the cardinality.
     val strata = df.select(byCol).distinct().limit(maxStrata + 1)
       .collect().map(_.get(0))
     require(strata.length <= maxStrata,
       s"stratifiedSplit: '$byCol' has more than $maxStrata distinct values — " +
         "stratified sampling needs a low-cardinality stratum column; " +
         "use sampleRows or hash-bucket the column first")
-    val fractions = strata.map(s => s -> trainFraction).toMap
-    val train = df.stat.sampleBy(byCol, fractions, seed)
+    // u(id) < trainFraction, with u the first 8 md5-hex chars of
+    // "id:seed" compared against hex(floor(frac·2^32)) — lexicographic
+    // on fixed-width lowercase hex == numeric compare, in any engine
+    val cut = f"${math.min((trainFraction * 4294967296L).toLong, 4294967295L)}%08x"
+    val draw = substring(md5(concat_ws(":",
+      col(idCol).cast("string"), lit(seed.toString))), 1, 8)
+    val train =
+      if (trainFraction >= 1.0) df else df.filter(draw < lit(cut))
     val test = df.join(train.select(idCol), Seq(idCol), "left_anti")
     (train, test)
   }
