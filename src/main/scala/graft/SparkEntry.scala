@@ -1927,6 +1927,16 @@ object SparkEntry {
           .when(col("event_id") % 41 === 0, lit(Double.PositiveInfinity))
           .otherwise(col("value")).as("value"))
       graft.transforms.Impute.imputeFeatures(ev, Seq("value"), "median")
+    }),
+    "q238_zorder_key" -> ((s, dir) => {
+      // Z-order clustering key (operators/ZOrder.scala): 8-bit Morton
+      // interleave of (p_size, p_retailprice) — pure integer math over
+      // min/max plan constants, bit-identical in any engine; the sort
+      // key behind multi-column parquet pruning at scale
+      val p = t(s, dir, "part")
+      p.select(col("p_partkey"),
+        graft.operators.ZOrder.zOrderKey(
+          p, Seq("p_size", "p_retailprice"), bits = 8).as("zkey"))
     })
   )
 
@@ -4853,6 +4863,26 @@ object SparkEntry {
            CASE WHEN v IS NULL OR isnan(v) THEN 'nan'
              WHEN isinf(v) THEN 'inf' ELSE '' END AS feature_quality_tags
          FROM c, m""",
+    "q238_zorder_key" -> {
+      // 8-bit 2-dim Morton interleave, unrolled to 16 shift/mask terms —
+      // mirrors ZOrder.morton's static unroll so the oracle is the same
+      // integer expression the codegen projection runs
+      val terms = (for { j <- 0 until 8; d <- 1 to 2 } yield
+        s"(((b$d >> $j) & 1) << ${j * 2 + d - 1})").mkString(" | ")
+      s"""WITH m AS (SELECT CAST(MIN(p_size) AS DOUBLE) AS lo1,
+             CAST(MAX(p_size) AS DOUBLE) AS hi1,
+             CAST(MIN(p_retailprice) AS DOUBLE) AS lo2,
+             CAST(MAX(p_retailprice) AS DOUBLE) AS hi2 FROM part),
+         b AS (SELECT p_partkey,
+             CAST(LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(p_size AS DOUBLE) - lo1) / ((hi1 - lo1) / 256.0))
+               AS BIGINT))) AS BIGINT) AS b1,
+             CAST(LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(p_retailprice AS DOUBLE) - lo2) / ((hi2 - lo2) / 256.0))
+               AS BIGINT))) AS BIGINT) AS b2
+           FROM part, m)
+         SELECT p_partkey, CAST($terms AS BIGINT) AS zkey FROM b"""
+    },
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

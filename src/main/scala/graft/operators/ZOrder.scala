@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimensional data layout —
+  * the lakehouse `OPTIMIZE ZORDER BY` lever, Spark-native.
+  *
+  * A table range-partitioned and sorted on ONE column gives parquet
+  * row-group min/max pruning on that column only; filters on a second
+  * dimension scan everything. Interleaving the bits of several
+  * quantized dimensions into one sort key makes every written file a
+  * small hyper-rectangle in ALL the z-ordered dimensions at once, so
+  * min/max footer statistics stay tight per file for each of them and a
+  * selective filter on ANY z-ordered column skips most files/row-groups
+  * at scan time. At 100 TB this is the difference between a full-corpus
+  * scan and reading a few percent for the common two-predicate query.
+  *
+  * Everything here is deterministic integer math in codegen'd built-in
+  * expressions (floor/shift/OR — no UDF, no RNG): the key is
+  * oracle-checkable cross-engine (q238) and costs one projection.
+  * Quantization bounds come from one min/max aggregate (plan constants),
+  * matching how Delta/Iceberg implement Z-ordering over file statistics.
+  */
+object ZOrder {
+
+  /** Linear min/max quantization of `c` to a bucket in [0, 2^bits):
+    * floor((c − lo) / ((hi − lo) / 2^bits)), clamped — the exact-max
+    * value lands in the top bucket; a constant column collapses to
+    * bucket 0 (guarded division). Integer-exact given identical
+    * (lo, hi) doubles, so any engine reproduces it bit-for-bit. */
+  def quantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits $bits out of range [1,20]")
+    val n = 1 << bits
+    if (hi <= lo) lit(0L)
+    else least(lit(n - 1L), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit((hi - lo) / n)).cast("long")))
+  }
+
+  /** Morton interleave of pre-quantized bucket ids (each in
+    * [0, 2^bits)): bit j of dimension d lands at position j·k + d.
+    * Statically unrolled into bits·k shift/mask terms OR-reduced — one
+    * whole-stage-codegen projection, no UDF. Dimension order matters
+    * (earlier dims take the lower interleaved bits) but any fixed order
+    * gives the same locality property. */
+  def morton(buckets: Seq[Column], bits: Int): Column = {
+    val k = buckets.size
+    require(k >= 1, "morton needs at least one dimension")
+    require(bits * k <= 60, s"bits*dims ${bits * k} exceeds long capacity")
+    val terms = for { j <- 0 until bits; d <- 0 until k } yield
+      shiftleft(shiftright(buckets(d), j).bitwiseAND(lit(1L)), j * k + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order key over `cols` with bounds from one min/max aggregate of
+    * `df` (the bounds become plan constants — computed once, reused by
+    * every row of the projection). */
+  def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
+    val bounds = df.agg(
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c"))).tail: _*).head()
+    val qs = cols.map { c =>
+      val lo = bounds.getAs[Double](s"__lo_$c")
+      val hi = bounds.getAs[Double](s"__hi_$c")
+      quantize(col(c), lo, hi, bits)
+    }
+    morton(qs, bits)
+  }
+
+  /** Write `df` as `nFiles` parquet files clustered on the Z-curve:
+    * range-partition by the key (contiguous curve segments per file),
+    * sort within each partition, write. Every output file covers a
+    * compact region of ALL `cols` — its parquet footer min/max stays
+    * tight in each dimension, which is what the scan-time row-group
+    * pruner consumes. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    nFiles: Int = 32, bits: Int = 12): Unit = {
+    val keyed = df.withColumn("__zkey", zOrderKey(df, cols, bits))
+    keyed.repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Layout-quality report: per-file normalized min/max spread of each
+    * dimension (1.0 = the file spans the whole column range — no
+    * pruning possible; near 0 = tight file statistics). One row per
+    * dimension: (dim, n_files, mean_spread, max_spread). Reading the
+    * written files' own values mirrors exactly what their parquet
+    * footers advertise to the pruner. */
+  def layoutReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val withFile = df.withColumn("__file", input_file_name())
+    val perFile = withFile.groupBy("__file").agg(
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c"))).tail: _*)
+    val global = df.agg(
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__glo_$c"),
+        max(col(c).cast("double")).as(s"__ghi_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__glo_$c"),
+        max(col(c).cast("double")).as(s"__ghi_$c"))).tail: _*).head()
+    val reports = cols.map { c =>
+      val range = global.getAs[Double](s"__ghi_$c") - global.getAs[Double](s"__glo_$c")
+      val spread =
+        if (range <= 0) lit(0.0)
+        else (col(s"__hi_$c") - col(s"__lo_$c")) / lit(range)
+      perFile.agg(
+        lit(c).as("dim"), count(lit(1)).as("n_files"),
+        round(avg(spread), 6).as("mean_spread"),
+        round(max(spread), 6).as("max_spread"))
+    }
+    reports.reduce(_.unionAll(_))
+  }
+}
