@@ -166,7 +166,12 @@ object Proximity {
       .orderBy(hash(col("id"), lit(seed.toInt)), col("id"))
       .limit(math.max(10000, nCells * 256))
       .withColumn("__vec", array_to_vector(col("vec")))
-    val km = new KMeans().setK(nCells).setSeed(seed)
+    // maxIter 10 (MLlib default 20): the quantizer only BLOCKS candidates
+    // — cell boundaries a few centroid-updates short of convergence move
+    // a handful of edge points between cells, which probing nProbe>1
+    // cells absorbs; halving the fit's job count matters more (the fit
+    // dominates q121/q108-family wall time at bench scale)
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .fit(fitSample)
     val cents = vecs.sparkSession.createDataFrame(
