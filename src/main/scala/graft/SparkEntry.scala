@@ -1937,7 +1937,14 @@ object SparkEntry {
       p.select(col("p_partkey"),
         graft.operators.ZOrder.zOrderKey(
           p, Seq("p_size", "p_retailprice"), bits = 8).as("zkey"))
-    })
+    }),
+    "q239_spectral_embedding" -> ((s, dir) =>
+      // distributed Laplacian eigenmaps over the q39 proximity graph:
+      // the "project everything" manifold path (power iteration with
+      // analytic sqrt-degree deflation; rows-only — eigen solves are
+      // not SQL-expressible)
+      graft.ml.SpectralEmbedding.embed(
+        proximityEdges(s, dir), "src", "dst", k = 2))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
