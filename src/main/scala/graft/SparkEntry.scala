@@ -1944,7 +1944,38 @@ object SparkEntry {
       // analytic sqrt-degree deflation; rows-only — eigen solves are
       // not SQL-expressible)
       graft.ml.SpectralEmbedding.embed(
-        proximityEdges(s, dir), "src", "dst", k = 2))
+        proximityEdges(s, dir), "src", "dst", k = 2)),
+    "q240_pruned_read" -> ((s, dir) => {
+      // file-skipping read over a z-ordered layout: only files whose
+      // footer envelope intersects the predicate are opened; the
+      // residual filter keeps the result EXACT, so the oracle is the
+      // plain WHERE clause over the source table
+      val p = t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice")
+      val zdir = s"${System.getProperty("java.io.tmpdir")}/graft_q240_z"
+      graft.operators.ZOrder.writeZOrdered(
+        p, zdir, Seq("p_size", "p_retailprice"), nFiles = 16, bits = 12)
+      val idx = graft.operators.ZOrder.skippingIndex(
+        s, zdir, Seq("p_size", "p_retailprice"))
+      graft.operators.ZOrder.prunedRead(s, zdir, idx,
+          "p_retailprice", 905.0, 915.0)
+        .select("p_partkey", "p_size", "p_retailprice")
+    }),
+    "q241_cdc_merge" -> ((s, dir) => {
+      // MERGE INTO kernel: fold a synthetic I/U/D change log into the
+      // orders snapshot — latest change per key wins, deletes drop,
+      // inserts appear, untouched base rows pass through
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+      val base = o.filter(col("k") % 4 =!= 0)
+      val ch = o.filter(col("k") % 3 === 0).select(col("k"), lit("U").as("op"),
+          lit(1L).as("seq"), (col("price") * 2).as("price"), col("status"))
+        .unionByName(o.filter(col("k") % 5 === 0).select(col("k"),
+          lit("D").as("op"), lit(2L).as("seq"), col("price"), col("status")))
+        .unionByName(o.filter(col("k") % 7 === 0).select(col("k"),
+          lit("I").as("op"), lit(3L).as("seq"),
+          (col("price") + 10).as("price"), col("status")))
+      graft.operators.Cdc.mergeChanges(base, ch, "k", "op", "seq")
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4890,6 +4921,25 @@ object SparkEntry {
            FROM part, m)
          SELECT p_partkey, CAST($terms AS BIGINT) AS zkey FROM b"""
     },
+    "q240_pruned_read" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part
+         WHERE p_retailprice >= 905.0 AND p_retailprice <= 915.0""",
+    "q241_cdc_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderstatus AS status FROM orders),
+         base AS (SELECT * FROM o WHERE k % 4 <> 0),
+         ch AS (SELECT k, 'U' AS op, 1 AS seq, price * 2 AS price, status
+             FROM o WHERE k % 3 = 0
+           UNION ALL SELECT k, 'D', 2, price, status FROM o WHERE k % 5 = 0
+           UNION ALL SELECT k, 'I', 3, price + 10, status
+             FROM o WHERE k % 7 = 0),
+         latest AS (SELECT * FROM ch QUALIFY row_number() OVER (
+             PARTITION BY k ORDER BY seq DESC,
+             CASE op WHEN 'I' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC) = 1)
+         SELECT k, price, status FROM base
+           WHERE k NOT IN (SELECT k FROM latest)
+         UNION ALL
+         SELECT k, price, status FROM latest WHERE op <> 'D'""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -84,6 +84,45 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** File-skipping index over a written layout: one row per parquet
+    * file with min/max of each indexed column — the same statistics the
+    * files' own footers hold, materialized as a queryable frame (the
+    * Delta/Iceberg manifest-stats shape). Built with one scan; persist
+    * it next to the data and [[prunedRead]] consults it instead of
+    * opening every footer. */
+  def skippingIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn("__file", input_file_name())
+      .groupBy("__file").agg(
+        cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"min_$c"),
+          max(col(c).cast("double")).as(s"max_$c"))).head,
+        cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"min_$c"),
+          max(col(c).cast("double")).as(s"max_$c"))).tail: _*)
+  }
+
+  /** Range-predicate read that opens ONLY the files whose [min, max]
+    * envelope intersects [lo, hi] — driver-side pruning over the
+    * skipping index (file-count-sized), then a parquet read of the
+    * surviving file list. The residual filter keeps the result EXACT:
+    * envelope intersection admits false-positive files, never false
+    * negatives. On a z-ordered layout this prunes on ANY indexed
+    * dimension; on a single-column layout only that column prunes —
+    * which is the whole point of [[writeZOrdered]]. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 index: DataFrame, column: String,
+                 lo: Double, hi: Double): DataFrame = {
+    val files = index
+      .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
+      .select("__file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0) // schema-preserving empty
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(column).cast("double") >= lo &&
+      col(column).cast("double") <= hi)
+  }
+
   /** Layout-quality report: per-file normalized min/max spread of each
     * dimension (1.0 = the file spans the whole column range — no
     * pruning possible; near 0 = tight file statistics). One row per

@@ -68,4 +68,31 @@ class ZOrderSpec extends SparkSpec {
     // the data itself round-trips
     assert(spark.read.parquet(zDir).count() == p.count())
   }
+
+  test("prunedRead: opens a strict subset of files on EITHER dim of a " +
+      "z-ordered layout, and the result is exactly the filtered scan") {
+    val p = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_size", "p_retailprice")
+    val dims = Seq("p_size", "p_retailprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zprune").toString
+    ZOrder.writeZOrdered(p, dir, dims, nFiles = 16, bits = 12)
+    val idx = ZOrder.skippingIndex(spark, dir, dims).localCheckpoint(true)
+    val nFiles = idx.count()
+    for ((c, lo, hi) <- Seq(("p_size", 1.0, 10.0),
+        ("p_retailprice", 1200.0, 1400.0))) {
+      val survivors = idx
+        .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi).count()
+      assert(survivors < nFiles,
+        s"$c: no files pruned ($survivors of $nFiles)")
+      val got = ZOrder.prunedRead(spark, dir, idx, c, lo, hi)
+        .select("p_partkey").collect().map(_.getLong(0)).toSet
+      val want = p.filter(col(c).cast("double") >= lo &&
+          col(c).cast("double") <= hi)
+        .select("p_partkey").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"$c: pruned read must stay exact")
+    }
+    // empty-intersection predicate yields an empty, schema-correct frame
+    val none = ZOrder.prunedRead(spark, dir, idx, "p_size", 1e9, 2e9)
+    assert(none.count() == 0 && none.columns.toSeq == p.columns.toSeq)
+  }
 }
