@@ -1975,7 +1975,24 @@ object SparkEntry {
           lit("I").as("op"), lit(3L).as("seq"),
           (col("price") + 10).as("price"), col("status")))
       graft.operators.Cdc.mergeChanges(base, ch, "k", "op", "seq")
-    })
+    }),
+    "q242_time_decay_attribution" -> ((s, dir) =>
+      // multi-touch credit with half-life decay: exact dyadic weights
+      // (CASE ladder, no pow), per-conversion normalization in
+      // DECIMAL(28,18) so the per-type totals are order-independent
+      graft.operators.Reporting.timeDecayAttribution(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("click", "signup"),
+        lookbackDays = 30, halfLifeDays = 7)),
+    "q243_personalized_pagerank" -> ((s, dir) =>
+      // seed-restart PageRank over the q39 proximity graph: rank
+      // concentrates around the seed nodes (ids 0-9)
+      graft.proximity.Graph.personalizedPageRank(
+          proximityEdges(s, dir),
+          t(s, dir, "embeddings").filter(col("vec_id") < 10)
+            .select(col("vec_id").as("id")),
+          iters = 5, damping = 0.85)
+        .select(col("id"), round(col("pr"), 6).as("ppr")))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4940,6 +4957,34 @@ object SparkEntry {
            WHERE k NOT IN (SELECT k FROM latest)
          UNION ALL
          SELECT k, price, status FROM latest WHERE op <> 'D'""",
+    "q242_time_decay_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, event_id AS cid,
+             epoch_us(ts) AS cts FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id AS u, event_type AS t,
+             epoch_us(ts) AS tts FROM events
+           WHERE event_type IN ('click', 'signup')),
+         paired AS (SELECT c.cid, t.t,
+             CAST(FLOOR((c.cts - t.tts) / 86400000000.0 / 7) AS INT) AS k
+           FROM conv c JOIN touch t ON c.u = t.u
+           WHERE t.tts < c.cts AND t.tts >= c.cts - 2592000000000),
+         wtd AS (SELECT cid, t, CAST(CASE k WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+             WHEN 2 THEN 0.25 WHEN 3 THEN 0.125 ELSE 0.0625 END AS DOUBLE)
+             AS w FROM paired),
+         nrm AS (SELECT cid, SUM(w) AS wsum FROM wtd GROUP BY cid),
+         cr AS (SELECT w1.t, CAST(w1.w / n.wsum AS DECIMAL(28,18)) AS credit,
+             w1.cid FROM wtd w1 JOIN nrm n USING (cid)
+           UNION ALL
+           SELECT '(none)', CAST(1.0 AS DECIMAL(28,18)), c.cid FROM conv c
+             WHERE c.cid NOT IN (SELECT cid FROM wtd))
+         SELECT t AS touch_type,
+           ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credits,
+           COUNT(DISTINCT cid) AS n_conversions
+         FROM cr GROUP BY t""",
+    "q243_personalized_pagerank" ->
+      graft.proximity.Graph.personalizedPageRankOracleSql(
+        proximityEdgesSql,
+        "SELECT vec_id AS id FROM embeddings WHERE vec_id < 10",
+        iters = 5, damping = 0.85),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

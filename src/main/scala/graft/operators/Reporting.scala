@@ -99,6 +99,69 @@ object Reporting {
           .as("value_sum"))
   }
 
+  /** Multi-touch attribution with exponential time decay: every touch
+    * in the `lookbackDays` window before a conversion earns weight
+    * 1/2^floor(Δdays / halfLifeDays), normalized per conversion so each
+    * conversion distributes exactly one unit of credit; conversions
+    * with no in-window touch credit '(none)'. Returns one row per
+    * touch type: (touch_type, credits 6dp, n_conversions).
+    *
+    * Numerics: the decay weights are a CASE ladder of exact dyadic
+    * literals (1, 0.5, 0.25, …) — never `pow`, whose libm results
+    * differ in the last ulp across engines — so weight sums and the
+    * per-conversion normalization are bit-identical anywhere and the
+    * operator is oracle-checkable.
+    *
+    * Scale shape: conversions equi-join touches on the USER key with a
+    * time-range predicate (the per-entity journey shape — pair volume
+    * is Σ_user conv_u · touch_u, bounded by journey length, never a
+    * corpus self-join), then one conversion-keyed aggregate for the
+    * normalizer and one touch-type groupBy. */
+  def timeDecayAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, idCol: String,
+                           conversionType: String, touchTypes: Seq[String],
+                           lookbackDays: Int = 30,
+                           halfLifeDays: Int = 7): DataFrame = {
+    require(!touchTypes.contains(conversionType),
+      "a conversion type cannot also be a touch type")
+    require(lookbackDays >= 1 && halfLifeDays >= 1)
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val conv = ev.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), col(idCol).as("__cid"),
+        unix_micros(col(tsCol)).as("__cts"))
+    val touch = ev.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        unix_micros(col(tsCol)).as("__tts"))
+    val lookbackUs = lookbackDays * 86400000000L
+    val paired = conv.join(touch, Seq("__u"))
+      .filter(col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - lookbackUs)
+    val kMax = lookbackDays / halfLifeDays
+    val k = floor((col("__cts") - col("__tts")).cast("double") /
+      86400000000.0 / halfLifeDays)
+    val weight = (0 to kMax).foldLeft(when(lit(false), 0.0)) { (acc, i) =>
+      acc.when(k === i, lit(1.0 / (1L << i)))
+    }.otherwise(lit(1.0 / (1L << kMax)))
+    val weighted = paired.withColumn("__w", weight)
+    val norm = weighted.groupBy("__cid").agg(sum("__w").as("__wsum"))
+    // credits quantize to DECIMAL(28,18) before summing: decimal
+    // addition is order-independent, so the per-type totals are exact
+    // whatever partition order each engine sums in
+    val credited = weighted.join(norm, "__cid")
+      .select(col("__t"),
+        (col("__w") / col("__wsum")).cast(DecimalType(28, 18)).as("__credit"),
+        col("__cid"))
+    // untouched conversions: full unit of credit to '(none)'
+    val untouched = conv.join(weighted.select("__cid").distinct(),
+        Seq("__cid"), "left_anti")
+      .select(lit("(none)").as("__t"),
+        lit(1.0).cast(DecimalType(28, 18)).as("__credit"), col("__cid"))
+    credited.unionByName(untouched)
+      .groupBy(col("__t").as("touch_type"))
+      .agg(round(sum("__credit").cast("double"), 6).as("credits"),
+        countDistinct("__cid").as("n_conversions"))
+  }
+
   /** RFM segmentation: per user — recency (days since last event at
     * `asOf`), frequency (event count), monetary (decimal-summed value)
     * — each scored 1..bins by exact quantile thresholds over the USER

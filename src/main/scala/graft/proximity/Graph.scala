@@ -176,6 +176,83 @@ object Graph {
         SELECT id, ROUND(pr, 6) AS pagerank FROM pr$iters"""
   }
 
+  /** Personalized PageRank: random walks restart at the SEED set
+    * (uniformly) instead of everywhere, so rank concentrates around the
+    * seeds — the similarity/recommendation variant of [[pageRank]]
+    * (same per-round shuffle budget: one src-keyed join + one dst
+    * groupBy; dangling mass returns to the seeds).
+    * `seeds` needs column `id`; returns (id, ppr 6dp-unrounded). */
+  def personalizedPageRank(edges0: DataFrame, seeds0: DataFrame,
+                           iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && damping >= 0 && damping < 1)
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val seeds = seeds0.select(col("id")).distinct()
+      .join(nodes, Seq("id")).localCheckpoint(true)
+    val s = seeds.count().toDouble
+    require(s > 0, "personalizedPageRank needs at least one seed in the graph")
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    // e(v): the restart distribution — 1/|S| on seeds, 0 elsewhere
+    val e = nodes.join(seeds.withColumn("__e", lit(1.0 / s)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__e"), lit(0.0)).as("__e"))
+      .localCheckpoint(true)
+    var pr = e.select(col("id"), col("__e").as("pr")).localCheckpoint(true)
+    var t = 0
+    while (t < iters) {
+      val dangling = pr.join(outDeg, pr("id") === outDeg("src"), "left_anti")
+        .agg(sum("pr")).first() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+      val contrib = edges.join(outDeg, "src")
+        .join(pr, edges("src") === pr("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("__deg")).as("__c"))
+      val next = e.join(contrib, e("id") === contrib("dst"), "left")
+        .select(e("id"),
+          ((lit(1 - damping) + lit(damping) * lit(dangling)) * col("__e") +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      pr.unpersist()
+      pr = next
+      t += 1
+    }
+    edges.unpersist(); outDeg.unpersist(); nodes.unpersist(); e.unpersist()
+    pr
+  }
+
+  /** Unrolled ANSI-SQL equivalent of [[personalizedPageRank]] for a
+    * fixed iteration count. `edgesCte` yields (src, dst); `seedsCte`
+    * yields (id). */
+  def personalizedPageRankOracleSql(edgesCte: String, seedsCte: String,
+                                    iters: Int, damping: Double): String = {
+    val d = damping
+    val rounds = (1 to iters).map { t =>
+      s"""c$t AS (SELECT e.dst AS id, SUM(p.pr / o.deg) AS c
+            FROM eg e JOIN pr${t - 1} p ON e.src = p.id
+            JOIN odeg o ON e.src = o.src GROUP BY e.dst),
+          d$t AS (SELECT COALESCE(SUM(pr), 0) AS m FROM pr${t - 1}
+            WHERE id NOT IN (SELECT src FROM eg)),
+          pr$t AS (SELECT ev.id,
+            ((1 - $d) + $d * (SELECT m FROM d$t)) * ev.e
+              + $d * COALESCE(c.c, 0) AS pr
+            FROM ev LEFT JOIN c$t c USING (id))"""
+    }.mkString(",\n")
+    s"""WITH eg AS ($edgesCte),
+        nodes AS (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
+        sd AS (SELECT DISTINCT id FROM ($seedsCte) s
+          WHERE id IN (SELECT id FROM nodes)),
+        ev AS (SELECT nodes.id,
+          CASE WHEN nodes.id IN (SELECT id FROM sd)
+            THEN 1.0 / (SELECT COUNT(*) FROM sd) ELSE 0 END AS e
+          FROM nodes),
+        odeg AS (SELECT src, COUNT(*) AS deg FROM eg GROUP BY src),
+        pr0 AS (SELECT id, e AS pr FROM ev),
+        $rounds
+        SELECT id, ROUND(pr, 6) AS ppr FROM pr$iters"""
+  }
+
   /** Multi-source BFS hop distances: minimum number of directed hops
     * from any node in `sources` (column `id`), up to `maxHops`.
     * Unreached nodes are absent from the output.
