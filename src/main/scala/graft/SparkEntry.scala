@@ -1992,7 +1992,22 @@ object SparkEntry {
           t(s, dir, "embeddings").filter(col("vec_id") < 10)
             .select(col("vec_id").as("id")),
           iters = 5, damping = 0.85)
-        .select(col("id"), round(col("pr"), 6).as("ppr")))
+        .select(col("id"), round(col("pr"), 6).as("ppr"))),
+    "q244_jaro_winkler" -> ((s, dir) => {
+      // codegen Jaro-Winkler (DuckDB-parity semantics, fuzz-verified):
+      // adjacent part names pair via a key equi-join, never a global
+      // ordered window
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val nxt = p.select((col("p_partkey") - 1).as("p_partkey"),
+        col("p_name").as("next_name"))
+      p.join(nxt, "p_partkey")
+        .select(col("p_partkey"),
+          round(org.apache.spark.sql.GraftExprBridge.toColumn(
+            graft.functions.JaroWinklerExpr(
+              org.apache.spark.sql.GraftExprBridge.toExpression(col("p_name")),
+              org.apache.spark.sql.GraftExprBridge.toExpression(col("next_name")))), 6)
+            .as("name_jw"))
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -4985,6 +5000,10 @@ object SparkEntry {
         proximityEdgesSql,
         "SELECT vec_id AS id FROM embeddings WHERE vec_id < 10",
         iters = 5, damping = 0.85),
+    "q244_jaro_winkler" ->
+      """SELECT a.p_partkey,
+           ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS name_jw
+         FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

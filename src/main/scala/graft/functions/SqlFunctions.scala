@@ -180,6 +180,10 @@ object SqlFunctions {
     "graft_freq_sketch" -> { es: Seq[Expression] =>
       arity("graft_freq_sketch", es, 2)
       FreqSketchAgg(es.head, intArg(es(1), "graft_freq_sketch"))
+    },
+    "graft_jaro_winkler" -> { es: Seq[Expression] =>
+      arity("graft_jaro_winkler", es, 2)
+      JaroWinklerExpr(es.head, es(1))
     })
 
   /** Register every graft SQL function on a live session (idempotent —
