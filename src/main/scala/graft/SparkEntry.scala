@@ -2007,6 +2007,25 @@ object SparkEntry {
               org.apache.spark.sql.GraftExprBridge.toExpression(col("p_name")),
               org.apache.spark.sql.GraftExprBridge.toExpression(col("next_name")))), 6)
             .as("name_jw"))
+    }),
+    "q245_journey_ngrams" -> ((s, dir) =>
+      // frequent ordered event-type trigrams across user journeys:
+      // chained leads in one entity-keyed window, no journey
+      // materialization
+      graft.operators.Reporting.journeyNgrams(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        n = 3, minSupport = 5L)),
+    "q246_fairness_report" -> ((s, dir) => {
+      // per-segment fairness read-out on a deterministic pseudo-model:
+      // segment = user cohort, label = purchase, accept = value > 50.
+      // NaN values are excluded up front (Spark orders NaN above all,
+      // DuckDB too, but NaN > 50 disagrees across engines)
+      val d = t(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select((col("user_id") % 3).as("segment"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("y"),
+          (col("value") > 50).cast("int").as("pred"))
+      graft.ml.Fairness.fairnessReport(d, "segment", "y", "pred")
     })
   )
 
@@ -5004,6 +5023,41 @@ object SparkEntry {
       """SELECT a.p_partkey,
            ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS name_jw
          FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""",
+    "q245_journey_ngrams" ->
+      """WITH s AS (SELECT event_type AS step_1,
+             lead(event_type, 1) OVER w AS step_2,
+             lead(event_type, 2) OVER w AS step_3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT step_1, step_2, step_3, COUNT(*) AS n_occurrences
+         FROM s WHERE step_3 IS NOT NULL
+         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5""",
+    "q246_fairness_report" ->
+      """WITH d AS (SELECT user_id % 3 AS segment,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(value > 50 AS INT) AS pred
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         per AS (SELECT segment, COUNT(*) AS n, SUM(pred) AS np,
+             SUM(y) AS pos, SUM(pred * y) AS tp,
+             SUM(pred * (1 - y)) AS fp
+           FROM d GROUP BY segment),
+         g AS (SELECT
+             ROUND(CAST(SUM(pred) AS DOUBLE) / COUNT(*), 6) AS gar,
+             ROUND(CAST(SUM(pred * y) AS DOUBLE) / NULLIF(SUM(y), 0), 6)
+               AS gtpr,
+             ROUND(CAST(SUM(pred * (1 - y)) AS DOUBLE)
+               / NULLIF(COUNT(*) - SUM(y), 0), 6) AS gfpr
+           FROM d)
+         SELECT segment, n,
+           ROUND(CAST(np AS DOUBLE) / n, 6) AS acceptance_rate,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(pos, 0), 6) AS tpr,
+           ROUND(CAST(fp AS DOUBLE) / NULLIF(n - pos, 0), 6) AS fpr,
+           ROUND(ROUND(CAST(np AS DOUBLE) / n, 6) - g.gar, 6) AS parity_gap,
+           ROUND(ROUND(CAST(tp AS DOUBLE) / NULLIF(pos, 0), 6) - g.gtpr, 6)
+             AS tpr_gap,
+           ROUND(ROUND(CAST(fp AS DOUBLE) / NULLIF(n - pos, 0), 6) - g.gfpr, 6)
+             AS fpr_gap
+         FROM per, g""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

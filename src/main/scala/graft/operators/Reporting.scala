@@ -229,6 +229,32 @@ object Reporting {
         round(col("n") / col("__tot"), 6).as("p"))
   }
 
+  /** Sequential-pattern support: every length-`n` run of consecutive
+    * event types inside a user journey, with its occurrence count —
+    * the frequent-subsequence miner behind funnel discovery (which
+    * ordered paths actually happen, before you hard-code a funnel).
+    *
+    * Scale shape: chained `lead`s over ONE entity-keyed window build
+    * each n-gram in place (no collect_list materialization of whole
+    * journeys, no explode), then one n-gram groupBy — two keyed
+    * shuffles regardless of journey length. Deterministic: the window
+    * orders by (ts, id). */
+  def journeyNgrams(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, idCol: String, n: Int = 3,
+                    minSupport: Long = 2L): DataFrame = {
+    require(n >= 2 && n <= 8, s"n $n out of range [2,8]")
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val steps = (1 until n).foldLeft(
+        ev.withColumn("step_1", col(typeCol))) { (d, i) =>
+      d.withColumn(s"step_${i + 1}", lead(col(typeCol), i).over(w))
+    }
+    steps.filter(col(s"step_$n").isNotNull)
+      .groupBy((1 to n).map(i => col(s"step_$i")): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minSupport)
+  }
+
   /** Conversion latency: for every entity with a `fromType` event, the
     * days from its FIRST `fromType` to its first `toType` strictly
     * after it — summarized as one row (n_started, n_converted,
