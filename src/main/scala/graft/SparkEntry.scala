@@ -2026,6 +2026,22 @@ object SparkEntry {
           when(col("event_type") === "purchase", 1).otherwise(0).as("y"),
           (col("value") > 50).cast("int").as("pred"))
       graft.ml.Fairness.fairnessReport(d, "segment", "y", "pred")
+    }),
+    "q247_rolling_corr" -> ((s, dir) =>
+      // 7-day trailing volume-vs-intensity correlation: five running
+      // sums in one ordered window over the metadata-sized day frame
+      graft.operators.Forecast.rollingCorrelation(
+        t(s, dir, "events"), "ts", "value", windowDays = 7)),
+    "q248_oof_target_encoding" -> ((s, dir) => {
+      // leakage-controlled target encoding: each row's encoding uses
+      // every OTHER fold's statistics (leave-fold-out), smoothing
+      // toward the leave-fold-out global mean
+      val d = t(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"), col("event_type").as("cat"),
+          (col("user_id") % 4).as("fold"), col("value"))
+      graft.ml.Encoders.targetEncodeOof(d, "cat", "value", "fold", "te_oof")
+        .select("event_id", "cat", "fold", "te_oof")
     })
   )
 
@@ -5058,6 +5074,42 @@ object SparkEntry {
            ROUND(ROUND(CAST(fp AS DOUBLE) / NULLIF(n - pos, 0), 6) - g.gfpr, 6)
              AS fpr_gap
          FROM per, g""",
+    "q247_rolling_corr" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS y
+           FROM events WHERE value IS NOT NULL GROUP BY day),
+         r AS (SELECT day, COUNT(*) OVER w AS n_days, x, y,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+             SUM(x * y) OVER w AS sxy
+           FROM d WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT day, n_days, x, y,
+           ROUND((n_days * sxy - sx * sy) / NULLIF(SQRT(
+             GREATEST(0.0, n_days * sxx - sx * sx) *
+             GREATEST(0.0, n_days * syy - sy * sy)), 0), 6) AS corr
+         FROM r""",
+    "q248_oof_target_encoding" ->
+      """WITH d AS (SELECT event_id, event_type AS cat, user_id % 4 AS fold,
+             CAST(value AS DECIMAL(18,2)) AS t
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         cf AS (SELECT cat, fold, COUNT(t) AS nf, SUM(t) AS sf
+           FROM d GROUP BY cat, fold),
+         ct AS (SELECT cat, SUM(nf) AS nc, SUM(sf) AS sc
+           FROM cf GROUP BY cat),
+         fl AS (SELECT fold, SUM(nf) AS ngf, SUM(sf) AS sgf
+           FROM cf GROUP BY fold),
+         tot AS (SELECT SUM(nf) AS ng, SUM(sf) AS sg FROM cf),
+         gm AS (SELECT fold, CAST(sg - sgf AS DOUBLE) / (ng - ngf) AS gmo
+           FROM fl, tot),
+         enc AS (SELECT cf.cat, cf.fold,
+             ROUND((CAST(ct.sc - cf.sf AS DOUBLE) + 20 * gm.gmo)
+               / (ct.nc - cf.nf + 20), 6) AS te_oof
+           FROM cf JOIN ct USING (cat) JOIN gm USING (fold))
+         SELECT d.event_id, d.cat, d.fold, enc.te_oof
+         FROM d JOIN enc USING (cat, fold)""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -85,4 +85,42 @@ object Encoders {
           (col("__n") + smoothing), 6).as(encCol))
     df.join(broadcast(enc), Seq(catCol))
   }
+
+  /** Out-of-fold target encoding — the leakage-controlled variant: a
+    * row's encoding uses every OTHER fold's statistics, so its own
+    * target never leaks into its feature (the k-fold trick training
+    * pipelines use before fitting on encoded columns). `foldCol` must
+    * hold the row's fold id (e.g. a deterministic hash bucket —
+    * [[graft.ml.GroupSplit]]'s draw).
+    *
+    * Scale shape: ONE (category, fold) groupBy collapses the corpus to
+    * category×folds rows; per-row leave-fold-out statistics come from
+    * the category totals minus the row's own fold — a broadcast join
+    * of two metadata-sized frames, no per-fold re-aggregation, no
+    * window. Sums ride DECIMAL(18,2) so every engine agrees
+    * bit-for-bit. Categories unseen outside a row's fold fall back to
+    * the global leave-fold-out mean via `smoothing`. */
+  def targetEncodeOof(df: DataFrame, catCol: String, targetCol: String,
+                      foldCol: String, encCol: String,
+                      smoothing: Double = 20.0): DataFrame = {
+    val dec = col(targetCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val cf = df.groupBy(col(catCol), col(foldCol))
+      .agg(count(col(targetCol)).as("__nf"), sum(dec).as("__sf"))
+    val cat = cf.groupBy(col(catCol))
+      .agg(sum("__nf").as("__nc"), sum("__sf").as("__sc"))
+    val fold = cf.groupBy(col(foldCol))
+      .agg(sum("__nf").as("__ngf"), sum("__sf").as("__sgf"))
+    val tot = cf.agg(sum("__nf").as("__ng"), sum("__sf").as("__sg"))
+    // leave-fold-out global mean per fold (for the smoothing prior)
+    val gm = fold.crossJoin(broadcast(tot))
+      .select(col(foldCol),
+        ((col("__sg") - col("__sgf")).cast("double") /
+          (col("__ng") - col("__ngf"))).as("__gmo"))
+    val enc = cf.join(cat, Seq(catCol)).join(broadcast(gm), Seq(foldCol))
+      .select(col(catCol), col(foldCol),
+        round(((col("__sc") - col("__sf")).cast("double") +
+            lit(smoothing) * col("__gmo")) /
+          (col("__nc") - col("__nf") + smoothing), 6).as(encCol))
+    df.join(broadcast(enc), Seq(catCol, foldCol))
+  }
 }

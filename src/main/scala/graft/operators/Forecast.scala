@@ -71,6 +71,43 @@ object Forecast {
     * peaks is the estimated shift point (Page's statistic in its
     * offline scan form). Returns the full diagnostic series
     * (day, mean, cusum, is_peak). */
+  /** Trailing Pearson correlation between the daily event COUNT and
+    * the daily MEAN value over a `windowDays`-row trailing frame — the
+    * volume-vs-intensity co-movement monitor (does value move with
+    * traffic?). All five running sums ride ONE ordered window over the
+    * day frame (metadata-sized by the [[daily]] collapse, the
+    * weeklyReport argument); corr is the closed moment form with a
+    * GREATEST(0) clamp under the sqrt so float cancellation can't go
+    * negative. Rows before a full window emit the partial-window corr
+    * (standard trailing-stat convention). Returns
+    * (day, n_days, x, y, corr 6dp). */
+  def rollingCorrelation(events: DataFrame, tsCol: String, valueCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 2)
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"), col("n").cast("double").as("x"), col("mean").as("y"))
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), 0)
+    d.select(col("day"),
+        count(lit(1)).over(w).as("n_days"),
+        col("x"), col("y"),
+        sum("x").over(w).as("__sx"), sum("y").over(w).as("__sy"),
+        sum(col("x") * col("x")).over(w).as("__sxx"),
+        sum(col("y") * col("y")).over(w).as("__syy"),
+        sum(col("x") * col("y")).over(w).as("__sxy"))
+      // day → timestamp on output: pandas reads a parquet DATE as a
+      // python date object while the DuckDB oracle yields datetime64 —
+      // the repo-wide day-column convention (seasonalDecompose etc.)
+      .select(col("day").cast("timestamp").as("day"),
+        col("n_days"), col("x"), col("y"),
+        round(try_divide(
+          col("n_days") * col("__sxy") - col("__sx") * col("__sy"),
+          sqrt(greatest(lit(0.0),
+              col("n_days") * col("__sxx") - col("__sx") * col("__sx")) *
+            greatest(lit(0.0),
+              col("n_days") * col("__syy") - col("__sy") * col("__sy")))), 6)
+          .as("corr"))
+  }
+
   def cusumChangepoint(events: DataFrame, tsCol: String,
                        valueCol: String): DataFrame = {
     val d = daily(events, tsCol, valueCol)
