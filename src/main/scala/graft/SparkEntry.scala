@@ -1943,8 +1943,11 @@ object SparkEntry {
       // the "project everything" manifold path (power iteration with
       // analytic sqrt-degree deflation; rows-only — eigen solves are
       // not SQL-expressible)
+      // 18 power iterations: the proximity graph's eigengap converges
+      // the sign structure well before that; the default 30 is for
+      // tighter gaps
       graft.ml.SpectralEmbedding.embed(
-        proximityEdges(s, dir), "src", "dst", k = 2)),
+        proximityEdges(s, dir), "src", "dst", k = 2, iters = 18)),
     "q240_pruned_read" -> ((s, dir) => {
       // file-skipping read over a z-ordered layout: only files whose
       // footer envelope intersects the predicate are opened; the

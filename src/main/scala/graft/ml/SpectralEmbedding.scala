@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * Coordinates are the leading non-trivial eigenvectors of the
   * symmetric-normalized affinity S = D^-1/2 W D^-1/2 over a KNN graph,
-  * computed by POWER ITERATION with analytic deflation: S's top
-  * eigenvector is known in closed form (u1 ∝ sqrt(degree), eigenvalue
-  * 1 on a connected graph), so each extra component only deflates
-  * against the previously computed frames — no driver-side matrix ever
-  * exists. Every iteration is one edge-join + one dst-groupBy (the
-  * PageRank shape) plus two scalar aggregates (deflation dot, norm);
-  * state lives in (id, value) frames, localCheckpoint-truncated, so the
+  * computed by BLOCK (simultaneous orthogonal) ITERATION: all k
+  * columns advance together, and S's top eigenvector is known in
+  * closed form (u1 ∝ sqrt(degree), eigenvalue 1 on a connected graph)
+  * so deflation against it is analytic. Each round is exactly TWO
+  * jobs regardless of k — one edge-join + dst-groupBy propagating
+  * every column (the PageRank shape) and one aggregate yielding the
+  * u1 dots plus the k×k column Gram matrix; the Cholesky-based
+  * orthonormalization is applied as a plan-literal linear combination
+  * (k ≤ 8, driver-side matrix is k×k only, never N-sized). State is
+  * a (id, v1…vk) frame, localCheckpoint-truncated per round, so the
   * memory and shuffle profile is O(edges) per step at any corpus size.
   *
   * Determinism: the start vector derives from xxhash64(id) — no RNG,
@@ -60,9 +63,6 @@ object SpectralEmbedding {
         (col("w") / sqrt(col("__ds") * col("__dd"))).as("s"))
       .localCheckpoint(true)
 
-    def dot(a: DataFrame, b: DataFrame): Double =
-      a.join(b.withColumnRenamed("v", "__bv"), "id")
-        .agg(sum(col("v") * col("__bv"))).head().getDouble(0)
     def norm(a: DataFrame): Double =
       math.sqrt(a.agg(sum(col("v") * col("v"))).head().getDouble(0))
 
@@ -73,44 +73,89 @@ object SpectralEmbedding {
       u1raw.select(col("id"), (col("v") / nrm).as("v")).localCheckpoint(true)
     }
 
-    var basis = List(u1) // deflation set, u1 first
-    val comps = (1 to k).map { _ =>
-      // deterministic, parallelism-independent start in [-0.5, 0.5]
-      var v = degrees.select(col("id"),
-        ((pmod(xxhash64(col("id"), lit(basis.size)), lit(1000000L))
-          .cast("double") + 0.5) / 1000000.0 - 0.5).as("v"))
-        .localCheckpoint(true)
-      for (it <- 1 to iters) {
-        // v ← S v (one join + one groupBy over the edge frame); nodes
-        // with no surviving mass keep 0 via the degrees left join
-        val sv = sEdges.join(v.select(col("id").as("src"), col("v")), "src")
-          .groupBy(col("dst").as("id")).agg(sum(col("s") * col("v")).as("v"))
-        val full = degrees.select("id").join(sv, Seq("id"), "left")
-          .select(col("id"), coalesce(col("v"), lit(0.0)).as("v"))
-        // deflate against every converged direction, then renormalize
-        var next = full
-        basis.foreach { u =>
-          val c = dot(next, u)
-          next = next.join(u.withColumnRenamed("v", "__uv"), "id")
-            .select(col("id"), (col("v") - lit(c) * col("__uv")).as("v"))
-        }
-        val nrm = norm(next)
-        v = next.select(col("id"),
-            (col("v") / lit(if (nrm < 1e-15) 1.0 else nrm)).as("v"))
-          .localCheckpoint(true)
+    // ── BLOCK (simultaneous orthogonal) iteration ──────────────────
+    // All k components advance together: per round, ONE edge join
+    // propagates every column, ONE aggregate yields the u1-deflation
+    // dots d and the column Gram matrix G, and the Gram-Schmidt /
+    // Cholesky factor is applied as a PLAN-LITERAL linear combination
+    // on the driver (k×k, k ≤ 8). Two jobs per round REGARDLESS of k,
+    // column j converging to the (j+1)-th eigenvector of S.
+    val vCols = (1 to k).map(j => s"v$j")
+    val u1j = u1.select(col("id"), col("v").as("__u"))
+
+    /** Cholesky L of a (clamped-SPD) k×k matrix. */
+    def chol(g: Array[Array[Double]]): Array[Array[Double]] = {
+      val n = g.length
+      val l = Array.ofDim[Double](n, n)
+      for (i <- 0 until n; j <- 0 to i) {
+        var s = g(i)(j)
+        for (p <- 0 until j) s -= l(i)(p) * l(j)(p)
+        if (i == j) l(i)(i) = math.sqrt(math.max(s, 1e-30))
+        else l(i)(j) = s / l(j)(j)
       }
-      // canonical sign: smallest id non-negative
-      val sgn = v.orderBy("id").select("v").head().getDouble(0)
-      val signed =
-        if (sgn < 0) v.select(col("id"), (col("v") * -1).as("v")).localCheckpoint(true)
-        else v
-      basis = basis :+ signed
-      signed
+      l
+    }
+    /** M = L⁻ᵀ (upper triangular): B·M orthonormalizes B's columns in
+      * order (the QR "R⁻¹" of the Gram route). */
+    def invT(l: Array[Array[Double]]): Array[Array[Double]] = {
+      val n = l.length
+      val m = Array.ofDim[Double](n, n)
+      for (j <- 0 until n) {
+        m(j)(j) = 1.0 / l(j)(j)
+        for (i <- j - 1 to 0 by -1) {
+          var s = 0.0
+          for (p <- i + 1 to j) s += l(p)(i) * m(p)(j)
+          m(i)(j) = -s / l(i)(i)
+        }
+      }
+      m
     }
 
-    comps.zipWithIndex
-      .map { case (c, i) =>
-        c.select(col("id"), round(col("v"), 6).as(s"e${i + 1}")) }
-      .reduce(_.join(_, "id"))
+    // deterministic, parallelism-independent starts in [-0.5, 0.5]
+    var vFrame = degrees.select(col("id") +: (1 to k).map(j =>
+        ((pmod(xxhash64(col("id"), lit(j)), lit(1000000L))
+          .cast("double") + 0.5) / 1000000.0 - 0.5).as(s"v$j")): _*)
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // V ← S·V: one join + one dst groupBy carries every column
+      val src = vFrame.select(col("id").as("src") +: vCols.map(col): _*)
+      val sv = sEdges.join(src, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("s") * col(vCols.head)).as(vCols.head),
+          vCols.tail.map(c => sum(col("s") * col(c)).as(c)): _*)
+      val joined = degrees.select("id").join(sv, Seq("id"), "left")
+        .select(col("id") +:
+          vCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+        .join(u1j, "id")
+        .localCheckpoint(true)
+      // ONE aggregate: d_j = <v_j, u1> and G_ij = <v_i, v_j>
+      val aggExprs =
+        vCols.map(c => sum(col(c) * col("__u"))) ++
+        (for (i <- 0 until k; j <- i until k)
+          yield sum(col(vCols(i)) * col(vCols(j))))
+      val row = joined.agg(aggExprs.head, aggExprs.tail: _*).head()
+      val d = Array.tabulate(k)(row.getDouble)
+      val g = Array.ofDim[Double](k, k)
+      var p = k
+      for (i <- 0 until k; j <- i until k) {
+        g(i)(j) = row.getDouble(p); g(j)(i) = g(i)(j); p += 1
+      }
+      // deflate u1 analytically: G_B = G − d·dᵀ (u1 is unit)
+      val gb = Array.tabulate(k, k)((i, j) => g(i)(j) - d(i) * d(j))
+      val m = invT(chol(gb))
+      // V ← (V − u1·dᵀ) · M, one codegen projection of plan literals
+      vFrame.unpersist()
+      vFrame = joined.select(col("id") +: (0 until k).map { j =>
+        (0 until k).map { i =>
+          lit(m(i)(j)) * (col(vCols(i)) - lit(d(i)) * col("__u"))
+        }.reduce(_ + _).as(vCols(j))
+      }: _*)
+    }
+    // canonical sign per column: smallest id's entry non-negative
+    val first = vFrame.orderBy("id").head()
+    val flips = (1 to k).map(j =>
+      if (first.getDouble(first.fieldIndex(s"v$j")) < 0) -1.0 else 1.0)
+    vFrame.select(col("id") +: (1 to k).map(j =>
+      round(col(s"v$j") * flips(j - 1), 6).as(s"e$j")): _*)
   }
 }
