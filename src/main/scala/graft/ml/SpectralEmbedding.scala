@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   * computed by BLOCK (simultaneous orthogonal) ITERATION: all k
   * columns advance together, and S's top eigenvector is known in
   * closed form (u1 ∝ sqrt(degree), eigenvalue 1 on a connected graph)
-  * so deflation against it is analytic. Each round is exactly TWO
-  * jobs regardless of k — one edge-join + dst-groupBy propagating
-  * every column (the PageRank shape) and one aggregate yielding the
-  * u1 dots plus the k×k column Gram matrix; the Cholesky-based
-  * orthonormalization is applied as a plan-literal linear combination
-  * (k ≤ 8, driver-side matrix is k×k only, never N-sized). State is
-  * a (id, v1…vk) frame, localCheckpoint-truncated per round, so the
-  * memory and shuffle profile is O(edges) per step at any corpus size.
+  * so deflation against it is analytic. Each round is exactly ONE
+  * job regardless of k: the edge-join + dst-groupBy propagating every
+  * column (the PageRank shape) is lazily localCheckpointed and the
+  * single materializing action is the aggregate yielding the u1 dots
+  * plus the k×k column Gram matrix. The Cholesky-based
+  * orthonormalization coefficients travel in a broadcast ONE-ROW
+  * frame rather than as plan literals, so every round compiles to the
+  * same generated code (plan-literal coefficients forced a fresh
+  * janino compile per round — measurably the dominant cost on small
+  * graphs). k ≤ 8; the driver-side matrix is k×k only, never
+  * N-sized. State is a (id, v1…vk) frame, localCheckpoint-truncated
+  * per round, so the memory and shuffle profile is O(edges) per step
+  * at any corpus size.
   *
   * Determinism: the start vector derives from xxhash64(id) — no RNG,
   * bit-stable at any parallelism. Sign is canonicalized (the entry of
@@ -75,13 +80,30 @@ object SpectralEmbedding {
 
     // ── BLOCK (simultaneous orthogonal) iteration ──────────────────
     // All k components advance together: per round, ONE edge join
-    // propagates every column, ONE aggregate yields the u1-deflation
-    // dots d and the column Gram matrix G, and the Gram-Schmidt /
-    // Cholesky factor is applied as a PLAN-LITERAL linear combination
-    // on the driver (k×k, k ≤ 8). Two jobs per round REGARDLESS of k,
-    // column j converging to the (j+1)-th eigenvector of S.
+    // propagates every column and ONE aggregate (the round's single
+    // materializing action — the propagated frame is a LAZY local
+    // checkpoint) yields the u1-deflation dots d and the column Gram
+    // matrix G. The Gram-Schmidt / Cholesky factor is applied as a
+    // linear combination whose coefficients ride a broadcast one-row
+    // frame (k×k, k ≤ 8) — identical plan text every round, so the
+    // whole loop shares one codegen compile. One job per round
+    // REGARDLESS of k, column j converging to the (j+1)-th
+    // eigenvector of S.
     val vCols = (1 to k).map(j => s"v$j")
     val u1j = u1.select(col("id"), col("v").as("__u"))
+    val spark = edges.sparkSession
+    // one-row carrier for the per-round deflation dots + mixing matrix
+    val coefFields = (0 until k).map(i => s"__d$i") ++
+      (for (i <- 0 until k; j <- 0 until k) yield s"__m${i}_$j")
+    val coefSchema = org.apache.spark.sql.types.StructType(coefFields.map(f =>
+      org.apache.spark.sql.types.StructField(f, org.apache.spark.sql.types.DoubleType)))
+    def coefFrame(d: Array[Double], m: Array[Array[Double]]): DataFrame = {
+      val vals = (0 until k).map(d(_)) ++
+        (for (i <- 0 until k; j <- 0 until k) yield m(i)(j))
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(vals)), coefSchema)
+    }
 
     /** Cholesky L of a (clamped-SPD) k×k matrix. */
     def chol(g: Array[Array[Double]]): Array[Array[Double]] = {
@@ -115,7 +137,7 @@ object SpectralEmbedding {
     var vFrame = degrees.select(col("id") +: (1 to k).map(j =>
         ((pmod(xxhash64(col("id"), lit(j)), lit(1000000L))
           .cast("double") + 0.5) / 1000000.0 - 0.5).as(s"v$j")): _*)
-      .localCheckpoint(true)
+    var prevJoined: DataFrame = null
     for (_ <- 1 to iters) {
       // V ← S·V: one join + one dst groupBy carries every column
       val src = vFrame.select(col("id").as("src") +: vCols.map(col): _*)
@@ -127,13 +149,16 @@ object SpectralEmbedding {
         .select(col("id") +:
           vCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
         .join(u1j, "id")
-        .localCheckpoint(true)
-      // ONE aggregate: d_j = <v_j, u1> and G_ij = <v_i, v_j>
+        .localCheckpoint(false) // lazy: the aggregate below materializes it
+      // ONE aggregate (= the round's one job): d_j = <v_j, u1> and
+      // G_ij = <v_i, v_j>
       val aggExprs =
         vCols.map(c => sum(col(c) * col("__u"))) ++
         (for (i <- 0 until k; j <- i until k)
           yield sum(col(vCols(i)) * col(vCols(j))))
       val row = joined.agg(aggExprs.head, aggExprs.tail: _*).head()
+      if (prevJoined != null) prevJoined.unpersist()
+      prevJoined = joined
       val d = Array.tabulate(k)(row.getDouble)
       val g = Array.ofDim[Double](k, k)
       var p = k
@@ -143,13 +168,16 @@ object SpectralEmbedding {
       // deflate u1 analytically: G_B = G − d·dᵀ (u1 is unit)
       val gb = Array.tabulate(k, k)((i, j) => g(i)(j) - d(i) * d(j))
       val m = invT(chol(gb))
-      // V ← (V − u1·dᵀ) · M, one codegen projection of plan literals
-      vFrame.unpersist()
-      vFrame = joined.select(col("id") +: (0 until k).map { j =>
-        (0 until k).map { i =>
-          lit(m(i)(j)) * (col(vCols(i)) - lit(d(i)) * col("__u"))
-        }.reduce(_ + _).as(vCols(j))
-      }: _*)
+      // V ← (V − u1·dᵀ) · M: the coefficients arrive via a broadcast
+      // one-row frame, so this projection's generated code is
+      // identical every round (codegen cache hit, no per-round
+      // janino compile)
+      vFrame = joined.crossJoin(broadcast(coefFrame(d, m)))
+        .select(col("id") +: (0 until k).map { j =>
+          (0 until k).map { i =>
+            col(s"__m${i}_$j") * (col(vCols(i)) - col(s"__d$i") * col("__u"))
+          }.reduce(_ + _).as(vCols(j))
+        }: _*)
     }
     // canonical sign per column: smallest id's entry non-negative
     val first = vFrame.orderBy("id").head()
