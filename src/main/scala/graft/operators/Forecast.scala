@@ -235,6 +235,51 @@ object Forecast {
     out
   }
 
+  /** Holt linear-trend (double exponential) smoothing of the daily
+    * total: level_t = α·y_t + (1−α)(level_{t−1} + trend_{t−1}),
+    * trend_t = β(level_t − level_{t−1}) + (1−β)·trend_{t−1}, with the
+    * textbook init level₁ = y₁, trend₁ = y₂ − y₁. Unlike EWMA there is
+    * no stable closed form (the two recursions are coupled), so the
+    * fold runs serially over ONE sorted partition of the per-day
+    * frame — calendar-bounded metadata (the Theil-Sen argument), while
+    * the data-sized work stays in the distributed daily() rollup.
+    * Dyadic defaults (α = 0.5, β = 0.25) keep every multiply exact-ly
+    * reproducible across engines. Returns (day, total, level, trend,
+    * forecast, resid) where forecast is the one-step-ahead prediction
+    * level_{t−1} + trend_{t−1} (null on the first two days). */
+  def holtLinear(events: DataFrame, tsCol: String, valueCol: String,
+                 alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day").cast("string"), col("total"))
+      .as[(String, Double)]
+    val out = d.repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        var level = 0.0; var trend = 0.0; var t = 0
+        it.map { case (day, y) =>
+          t += 1
+          val fc = if (t <= 2) Double.NaN else level + trend
+          if (t == 1) { level = y; trend = 0.0 }
+          else if (t == 2) { trend = y - level; level = y }
+          else {
+            val prev = level
+            level = alpha * y + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1.0 - beta) * trend
+          }
+          (day, y, level, trend, fc, y - fc)
+        }
+      }
+      .toDF("day", "total", "level", "trend", "forecast", "resid")
+    out.select(col("day").cast("timestamp").as("day"), col("total"),
+      round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"),
+      when(isnan(col("forecast")), lit(null).cast("double"))
+        .otherwise(round(col("forecast"), 6)).as("forecast"),
+      when(isnan(col("resid")), lit(null).cast("double"))
+        .otherwise(round(col("resid"), 6)).as("resid"))
+  }
+
   /** Theil-Sen robust trend of the daily total: the median of all
     * pairwise slopes (day pairs i<j), plus the median-residual
     * intercept. Pair fan-out is #days² — calendar-bounded metadata, not

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,39 @@ object Packing {
     * chunks, number of documents that straddle a chunk boundary (a
     * proxy for attention-mask fragmentation). One aggregate over the
     * manifest. */
+  /** Length-bucketed batching manifest: the padding-based alternative
+    * to sequence packing — each document pads up to its power-of-two
+    * length bucket and batches with same-bucket neighbors, the layout
+    * inference servers and non-packing trainers use. Buckets are a
+    * CASE ladder over fixed powers of two (exact, no float log2 at the
+    * boundaries); batch ids come from a bucket-partitioned
+    * row_number — never a global ordering. Documents longer than the
+    * top bucket clamp into it (they would be truncated downstream).
+    *
+    * @return per bucket: (bucket_len, n_docs, n_batches, total_tokens,
+    *         pad_frac 6dp) where pad_frac is the padded-slot waste
+    *         1 − tokens/(docs·bucket_len).
+    */
+  def lengthBucketSummary(df: DataFrame, idCol: String, textCol: String,
+                          batchSize: Int = 8): DataFrame = {
+    require(batchSize >= 1)
+    val buckets = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    val n = coalesce(Text.tokenCount(col(textCol)).cast("long"), lit(0L))
+    val bucket = buckets.init.foldRight(lit(buckets.last): Column) {
+      (b, rest) => when(n <= b, lit(b)).otherwise(rest)
+    }
+    df.select(col(idCol), n.as("__n"), bucket.as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__n").as("total_tokens"))
+      .select(col("bucket_len"), col("n_docs"),
+        ceil(col("n_docs").cast("double") / batchSize).cast("long").as("n_batches"),
+        col("total_tokens"),
+        round(lit(1.0) - col("total_tokens").cast("double") /
+          (col("n_docs") * col("bucket_len")).cast("double"), 6).as("pad_frac"))
+      .orderBy("bucket_len")
+  }
+
   def packingSummary(manifest: DataFrame, maxLen: Int): DataFrame =
     manifest.agg(
       sum("n_tokens").as("total_tokens"),
