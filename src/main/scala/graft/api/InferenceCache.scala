@@ -156,7 +156,11 @@ class InferenceCache(val endpoint: Endpoint,
       val keyed =
         if (keyRewritten) out.withColumn(cacheKeyColumn, col(outputKeyColumn.get))
         else out
+      // checkpoint the endpoint output: the appended frame is miss-only
+      // (small by nature), and pinning it lets the fan-out check below
+      // count it without re-running the endpoint transform
       val stamped = keyed.withColumn(TsCol, lit(System.currentTimeMillis()))
+        .localCheckpoint()
       // key-uniqueness provenance (see latestPerKey), judged BEFORE the
       // append mutates the directory: a guarded append keeps a
       // fresh-or-provably-unique cache unique; a stale stamp (someone
@@ -165,6 +169,11 @@ class InferenceCache(val endpoint: Endpoint,
       val wasUnique = existing.isEmpty ||
         catalog.paramStore.get(uniqueKey).exists(v =>
           v.startsWith("true:") && v.stripPrefix("true:") == cacheStamp())
+      // fan-out guard: the unique-key skip assumes the endpoint returns
+      // exactly one row per distinct input key; an endpoint that fans
+      // rows out would append duplicate keys, so such an append records
+      // false and future reads take the keyed window as before
+      val oneRowPerKey = stamped.count() == toCompute.count()
       // the append is the ONE action that runs the endpoint transform;
       // both hit- and miss-rows are then served from the updated cache
       store.append(cachePath,
@@ -172,7 +181,9 @@ class InferenceCache(val endpoint: Endpoint,
           .getOrElse(stamped))
       catalog.paramStore.upsert(manifestKey, endpointModified.toString)
       catalog.paramStore.upsert(uniqueKey,
-        if (wasUnique && !keyRewritten) s"true:${cacheStamp()}" else "false")
+        if (wasUnique && !keyRewritten && oneRowPerKey) s"true:${cacheStamp()}"
+        else "false")
+      stamped.unpersist()
     }
 
     val latest = latestPerKey(store.get(cachePath))

@@ -34,12 +34,17 @@ object OutlierScores {
           struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*)).as("p"))
       .select(col("__id"), col("p.f").as("__f"), col("p.v").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-    val ranks = Metrics.avgRanksByGroup(long, "__f", "__v")
+    // per-feature totals come from the (distinct-value-sized) rank frame
+    // — Σ tie-counts per feature, a combinable d-row aggregate — and are
+    // broadcast back onto it, so the exploded n·d long frame joins ONCE
+    // instead of ranks + a second broadcast-totals join (r8 plan audit:
+    // the two passes over the long frame dominated q204)
+    val ranksBase = Metrics.avgRanksByGroup(long, "__f", "__v")
       .select(col("__f"), col("value").as("__v"), col("n").as("__t"),
         col("avg_rank").as("__r"))
-    val totals = long.groupBy("__f").agg(count(lit(1)).as("__nf"))
+    val totals = ranksBase.groupBy("__f").agg(sum("__t").as("__nf"))
+    val ranks = ranksBase.join(broadcast(totals), "__f")
     val scored = long.join(ranks, Seq("__f", "__v"))
-      .join(broadcast(totals), "__f")
       // count(≤v) from the tie-averaged rank; right tail mirrors it
       .withColumn("__leq", col("__r") + (col("__t") - 1) / 2.0)
       .withColumn("__tail",

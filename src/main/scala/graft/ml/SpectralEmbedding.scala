@@ -183,7 +183,14 @@ object SpectralEmbedding {
     val first = vFrame.orderBy("id").head()
     val flips = (1 to k).map(j =>
       if (first.getDouble(first.fieldIndex(s"v$j")) < 0) -1.0 else 1.0)
-    vFrame.select(col("id") +: (1 to k).map(j =>
-      round(col(s"v$j") * flips(j - 1), 6).as(s"e$j")): _*)
+    val out = vFrame.select(col("id") +: (1 to k).map(j =>
+        round(col(s"v$j") * flips(j - 1), 6).as(s"e$j")): _*)
+      .localCheckpoint(true)
+    // the result is now self-contained: release every intermediate
+    // checkpoint so repeated embed() calls don't accumulate storage
+    // blocks for the life of the session
+    Seq(sym, degrees, sEdges, u1).foreach(_.unpersist())
+    if (prevJoined != null) prevJoined.unpersist()
+    out
   }
 }

@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * corpus-sized), one anti-join of the base against the touched keys,
   * and a union. The base is never windowed or re-sorted; at 100 TB the
   * cost is proportional to base + changes, matching Delta's
-  * merge-on-read expectations. Deterministic: ties on `seqCol` break by
-  * op precedence D < U < I (an insert-after-delete at the same sequence
-  * lands as the insert), then stable — document a unique sequence per
-  * key for full reproducibility.
+  * merge-on-read expectations. Ties on `seqCol` break by op precedence
+  * D < U < I (an insert-after-delete at the same sequence lands as the
+  * insert); rows that still tie after that (same key, seq, AND op but
+  * different payloads) get an engine-arbitrary winner — supply a
+  * per-key-unique (seq, op) for full reproducibility.
   */
 object Cdc {
 

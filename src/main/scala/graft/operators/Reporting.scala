@@ -139,9 +139,12 @@ object Reporting {
     val kMax = lookbackDays / halfLifeDays
     val k = floor((col("__cts") - col("__tts")).cast("double") /
       86400000000.0 / halfLifeDays)
+    // scalb, not 1L << i: the JVM masks shift counts to 6 bits, so
+    // lookback/halfLife > 62 would silently wrap the weight back toward
+    // 1.0; scalb stays an exact dyadic down to 2^-1074 then underflows
     val weight = (0 to kMax).foldLeft(when(lit(false), 0.0)) { (acc, i) =>
-      acc.when(k === i, lit(1.0 / (1L << i)))
-    }.otherwise(lit(1.0 / (1L << kMax)))
+      acc.when(k === i, lit(math.scalb(1.0, -i)))
+    }.otherwise(lit(math.scalb(1.0, -kMax)))
     val weighted = paired.withColumn("__w", weight)
     val norm = weighted.groupBy("__cid").agg(sum("__w").as("__wsum"))
     // credits quantize to DECIMAL(28,18) before summing: decimal

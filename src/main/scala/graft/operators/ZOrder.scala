@@ -62,9 +62,14 @@ object ZOrder {
       cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__lo_$c"),
         max(col(c).cast("double")).as(s"__hi_$c"))).tail: _*).head()
     val qs = cols.map { c =>
-      val lo = bounds.getAs[Double](s"__lo_$c")
-      val hi = bounds.getAs[Double](s"__hi_$c")
-      quantize(col(c), lo, hi, bits)
+      // an empty frame or an all-null column has no bounds: route the
+      // dimension through quantize's constant-column path (bucket 0)
+      // instead of NPE-ing on the unboxed aggregate
+      val loIdx = bounds.fieldIndex(s"__lo_$c")
+      val hiIdx = bounds.fieldIndex(s"__hi_$c")
+      if (bounds.isNullAt(loIdx) || bounds.isNullAt(hiIdx))
+        quantize(col(c), 0.0, 0.0, bits)
+      else quantize(col(c), bounds.getDouble(loIdx), bounds.getDouble(hiIdx), bits)
     }
     morton(qs, bits)
   }
