@@ -2045,7 +2045,68 @@ object SparkEntry {
           (col("user_id") % 4).as("fold"), col("value"))
       graft.ml.Encoders.targetEncodeOof(d, "cat", "value", "fold", "te_oof")
         .select("event_id", "cat", "fold", "te_oof")
-    })
+    }),
+    "q249_markov_attribution" -> ((s, dir) =>
+      // first-order Markov removal-effect attribution over user
+      // journeys: transition counts from one entity-keyed window, chain
+      // evolution on a (scenario, state) metadata frame
+      graft.operators.MarkovAttribution.removalEffect(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        convType = "purchase", steps = 12)),
+    "q250_privacy_audit" -> ((s, dir) =>
+      // k-anonymity / l-diversity release gate over a quasi-identifier
+      // tuple: one class groupBy, every k read off one wide aggregate
+      graft.eda.Privacy.kAnonymityAudit(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        "c_acctbal", ks = Seq(5, 10, 20))),
+    "q251_cuped" -> ((s, dir) =>
+      // CUPED variance reduction: pre-period covariate per entity,
+      // pooled theta, per-variant adjusted means (decimal-exact sums)
+      graft.ml.Experiments.cuped(
+        t(s, dir, "events"), "user_id", "ts", "value",
+        variantOf = u => u % 2, splitTs = "2024-01-15 00:00:00")),
+    "q252_diff_in_diff" -> ((s, dir) =>
+      // two-period x two-group difference-in-differences with the
+      // large-sample SE — one aggregation pass, one row out
+      graft.ml.Experiments.diffInDiff(
+        t(s, dir, "events"), "ts", "value",
+        treatOf = col("user_id") % 2 === 1,
+        splitTs = "2024-01-15 00:00:00")),
+    "q253_silhouette" -> ((s, dir) =>
+      // simplified (centroid-based) silhouette per label cluster:
+      // linear passes only, broadcast k-centroid table
+      graft.ml.Silhouette.simplifiedSilhouette(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        clusterOf = col("label"))),
+    "q254_negative_sampling" -> ((s, dir) => {
+      // deterministic md5-ordered negative sampling: each anchor probes
+      // exactly one of 16 hash shards, in-source near-positives excluded
+      val d = t(s, dir, "documents")
+      graft.text.NegativeSampling.sampleNegatives(
+        d, "doc_id", "source", d.filter(col("doc_id") % 20 === 0), k = 5)
+    }),
+    "q255_canonical_keep" -> ((s, dir) => {
+      // quality-aware canonical selection: synthetic id-block clusters
+      // (doc -> its 7-block leader), winner = longest doc (n_chars),
+      // manifest records why every non-canonical copy drops
+      val d = t(s, dir, "documents")
+      val pairs = d.select(
+          (col("doc_id") - pmod(col("doc_id"), lit(7))).as("id_a"),
+          col("doc_id").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      graft.dedup.Canonical.keepPolicyManifest(d, "doc_id", pairs,
+        qualityOf = col("n_chars"))
+    }),
+    "q256_length_buckets" -> ((s, dir) =>
+      // packing-cost planner: power-of-two token-length buckets with
+      // batch counts and padding waste per bucket
+      graft.text.Packing.lengthBucketSummary(
+        t(s, dir, "documents"), "doc_id", "text", batchSize = 8)),
+    "q257_holt_linear" -> ((s, dir) =>
+      // Holt double-exponential smoothing of the daily total: state
+      // recursion on the calendar-bounded day frame, one-step-ahead
+      // forecasts and residuals
+      graft.operators.Forecast.holtLinear(t(s, dir, "events"), "ts", "value"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -5113,6 +5174,199 @@ object SparkEntry {
            FROM cf JOIN ct USING (cat) JOIN gm USING (fold))
          SELECT d.event_id, d.cat, d.fold, enc.te_oof
          FROM d JOIN enc USING (cat, fold)""",
+    "q249_markov_attribution" ->
+      graft.operators.MarkovAttribution.removalEffectOracleSql(
+        "user_id", "ts", "event_type", "event_id", "purchase", steps = 12),
+    "q250_privacy_audit" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             COUNT(DISTINCT c_acctbal) AS l
+           FROM customer GROUP BY 1, 2),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(n) AS BIGINT) AS rows_,
+             CAST(MIN(l) AS BIGINT) AS min_l FROM cls)
+         SELECT ks.k, tot.n_classes,
+           CAST(SUM(CASE WHEN cls.n < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below,
+           CAST(SUM(CASE WHEN cls.n < ks.k THEN cls.n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN cls.n < ks.k THEN cls.n ELSE 0 END)
+             AS DOUBLE) / tot.rows_, 6) AS risk_frac,
+           tot.min_l AS min_l_diversity
+         FROM (VALUES (5), (10), (20)) ks(k) CROSS JOIN cls CROSS JOIN tot
+         GROUP BY ks.k, tot.n_classes, tot.rows_, tot.min_l
+         ORDER BY ks.k""",
+    "q251_cuped" ->
+      """WITH e AS (SELECT user_id AS u,
+             CAST(value AS DECIMAL(18,2)) AS dv,
+             ts < TIMESTAMP '2024-01-15 00:00:00' AS pre
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         units AS (SELECT u,
+             COALESCE(SUM(CASE WHEN pre THEN dv END),
+               CAST(0 AS DECIMAL(18,2))) AS x,
+             COALESCE(SUM(CASE WHEN NOT pre THEN dv END),
+               CAST(0 AS DECIMAL(18,2))) AS y,
+             u % 2 AS v
+           FROM e GROUP BY u),
+         g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+           FROM units),
+         th AS (SELECT
+             CASE WHEN n = 0 OR (n * sxx - sx * sx) = 0 THEN 0.0
+               ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+             CASE WHEN n = 0 THEN 0.0 ELSE sx / n END AS meanx
+           FROM g),
+         pv AS (SELECT v AS variant, COUNT(*) AS n_units,
+             CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(x) AS DOUBLE) AS vsx, CAST(SUM(y) AS DOUBLE) AS vsy,
+             CAST(SUM(x * x) AS DOUBLE) AS vsxx,
+             CAST(SUM(y * y) AS DOUBLE) AS vsyy,
+             CAST(SUM(x * y) AS DOUBLE) AS vsxy
+           FROM units GROUP BY v)
+         SELECT variant, n_units,
+           ROUND(vsy / nn, 6) AS mean_y,
+           ROUND(vsy / nn - th.theta * (vsx / nn - th.meanx), 6)
+             AS mean_y_cuped,
+           ROUND((vsyy - vsy * vsy / nn) / (nn - 1), 6) AS var_y,
+           ROUND((vsyy - vsy * vsy / nn) / (nn - 1)
+             - (2 * th.theta) * ((vsxy - vsx * vsy / nn) / (nn - 1))
+             + (th.theta * th.theta) * ((vsxx - vsx * vsx / nn) / (nn - 1)),
+             6) AS var_y_cuped,
+           ROUND(th.theta, 6) AS theta,
+           ROUND(1.0 - ((vsyy - vsy * vsy / nn) / (nn - 1)
+             - (2 * th.theta) * ((vsxy - vsx * vsy / nn) / (nn - 1))
+             + (th.theta * th.theta) * ((vsxx - vsx * vsx / nn) / (nn - 1)))
+             / ((vsyy - vsy * vsy / nn) / (nn - 1)), 6) AS var_reduction
+         FROM pv CROSS JOIN th ORDER BY variant""",
+    "q252_diff_in_diff" ->
+      """WITH e AS (SELECT CAST(user_id % 2 = 1 AS INT) AS t,
+             CAST(ts >= TIMESTAMP '2024-01-15 00:00:00' AS INT) AS p,
+             CAST(value AS DECIMAL(18,2)) AS y
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         m AS (SELECT
+             CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN 1 END) AS DOUBLE) AS n00,
+             CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN 1 END) AS DOUBLE) AS n01,
+             CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN 1 END) AS DOUBLE) AS n10,
+             CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 END) AS DOUBLE) AS n11,
+             CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN y END) AS DOUBLE) AS s00,
+             CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN y END) AS DOUBLE) AS s01,
+             CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN y END) AS DOUBLE) AS s10,
+             CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN y END) AS DOUBLE) AS s11,
+             CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN y * y END) AS DOUBLE) AS q00,
+             CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN y * y END) AS DOUBLE) AS q01,
+             CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN y * y END) AS DOUBLE) AS q10,
+             CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN y * y END) AS DOUBLE) AS q11
+           FROM e),
+         c AS (SELECT
+             (s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00) AS did,
+             SQRT((q00 - s00 * s00 / n00) / (n00 - 1) / n00
+               + (q01 - s01 * s01 / n01) / (n01 - 1) / n01
+               + (q10 - s10 * s10 / n10) / (n10 - 1) / n10
+               + (q11 - s11 * s11 / n11) / (n11 - 1) / n11) AS se,
+             s00 / n00 AS m00, s01 / n01 AS m01,
+             s10 / n10 AS m10, s11 / n11 AS m11
+           FROM m)
+         SELECT ROUND(m00, 6) AS m_ctrl_pre, ROUND(m01, 6) AS m_ctrl_post,
+           ROUND(m10, 6) AS m_treat_pre, ROUND(m11, 6) AS m_treat_post,
+           ROUND(did, 6) AS did, ROUND(se, 6) AS se,
+           ROUND(did / se, 6) AS t_stat
+         FROM c""",
+    "q253_silhouette" ->
+      """WITH b AS (SELECT vec_id, label AS c, embedding
+           FROM embeddings WHERE embedding IS NOT NULL),
+         exp AS (SELECT vec_id, c, p, CAST(x0 AS DOUBLE) AS x FROM (
+           SELECT vec_id, c, UNNEST(range(1, len(embedding) + 1)) AS p,
+             UNNEST(embedding) AS x0 FROM b)),
+         cent AS (SELECT c AS cc, p, ROUND(AVG(x), 6) AS m
+           FROM exp GROUP BY c, p),
+         d2 AS (SELECT e.vec_id, e.c, ct.cc,
+             ROUND(SQRT(SUM((e.x - ct.m) * (e.x - ct.m) ORDER BY e.p)), 6)
+               AS d
+           FROM exp e JOIN cent ct ON e.p = ct.p
+           GROUP BY e.vec_id, e.c, ct.cc),
+         ab AS (SELECT vec_id, c,
+             MIN(CASE WHEN c = cc THEN d END) AS a,
+             MIN(CASE WHEN c <> cc THEN d END) AS b
+           FROM d2 GROUP BY vec_id, c),
+         s AS (SELECT c, a, b,
+             CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+               ELSE (b - a) / GREATEST(a, b) END AS sil
+           FROM ab)
+         SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(a), 6) AS mean_a, ROUND(AVG(b), 6) AS mean_b,
+           ROUND(AVG(sil), 6) AS mean_silhouette
+         FROM s GROUP BY c ORDER BY cluster""",
+    "q254_negative_sampling" ->
+      """WITH cand AS (SELECT doc_id AS cid, source AS neg_source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+           FROM documents),
+         anc AS (SELECT doc_id AS anchor_id, source AS asrc,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':probe'), 1, 1) AS b
+           FROM documents WHERE doc_id % 20 = 0),
+         j AS (SELECT anchor_id, cid, neg_source,
+             md5(CAST(anchor_id AS VARCHAR) || ':'
+               || CAST(cid AS VARCHAR)) AS draw
+           FROM anc JOIN cand USING (b)
+           WHERE cid <> anchor_id AND neg_source <> asrc)
+         SELECT anchor_id, neg_rank, cid AS neg_id, neg_source FROM (
+           SELECT anchor_id, cid, neg_source, row_number() OVER (
+               PARTITION BY anchor_id ORDER BY draw, cid) AS neg_rank
+           FROM j)
+         WHERE neg_rank <= 5""",
+    "q255_canonical_keep" ->
+      """WITH g AS (SELECT doc_id, n_chars,
+             doc_id - doc_id % 7 AS comp FROM documents),
+         sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize
+           FROM g GROUP BY comp),
+         win AS (SELECT comp, doc_id AS keep_id FROM g
+           QUALIFY row_number() OVER (PARTITION BY comp
+             ORDER BY n_chars DESC, doc_id) = 1)
+         SELECT g.doc_id, g.comp AS cluster_id, w.keep_id,
+           g.doc_id = w.keep_id AS kept, s.csize AS cluster_size
+         FROM g JOIN win w ON g.comp = w.comp JOIN sz s ON g.comp = s.comp""",
+    "q256_length_buckets" ->
+      """WITH d AS (SELECT doc_id, COALESCE(CAST(len(regexp_extract_all(
+             text, '\w+|[^\w\s]')) AS BIGINT), 0) AS n FROM documents),
+         b AS (SELECT n,
+             CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+               WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+               WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+               WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+               ELSE 4096 END AS bucket_len
+           FROM d)
+         SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 8) AS BIGINT) AS n_batches,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           ROUND(1.0 - CAST(SUM(n) AS DOUBLE)
+             / CAST(COUNT(*) * bucket_len AS DOUBLE), 6) AS pad_frac
+         FROM b GROUP BY bucket_len ORDER BY bucket_len""",
+    "q257_holt_linear" ->
+      """WITH RECURSIVE d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events WHERE value IS NOT NULL GROUP BY day),
+         idx AS (SELECT day, total,
+             CAST(row_number() OVER (ORDER BY day) AS INT) AS t FROM d),
+         rec AS (
+           SELECT i.t, i.day, i.total, i.total AS level,
+             CAST(0 AS DOUBLE) AS trend,
+             CAST(NULL AS DOUBLE) AS forecast
+           FROM idx i WHERE i.t = 1
+           UNION ALL
+           SELECT i.t, i.day, i.total,
+             CASE WHEN i.t = 2 THEN i.total
+               ELSE 0.5 * i.total + 0.5 * (r.level + r.trend) END,
+             CASE WHEN i.t = 2 THEN i.total - r.level
+               ELSE 0.25 * ((0.5 * i.total + 0.5 * (r.level + r.trend))
+                 - r.level) + 0.75 * r.trend END,
+             CASE WHEN i.t <= 2 THEN CAST(NULL AS DOUBLE)
+               ELSE r.level + r.trend END
+           FROM rec r JOIN idx i ON i.t = r.t + 1)
+         SELECT CAST(day AS TIMESTAMP) AS day, total,
+           ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
+           ROUND(forecast, 6) AS forecast,
+           ROUND(total - forecast, 6) AS resid
+         FROM rec ORDER BY day""",
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -31,9 +31,12 @@ object Canonical {
     */
   def keepPolicyManifest(df: DataFrame, idCol: String, pairs: DataFrame,
                          qualityOf: Column): DataFrame = {
+    // rename the component frame's id up front: an idCol literally named
+    // "id" would otherwise be ambiguous after the join
     val comps = Components.connectedComponentsStar(pairs)
+      .select(col("id").as("__cmp_id"), col("component"))
     val scored = df.select(col(idCol), qualityOf.as("__q"))
-    val clustered = scored.join(comps, scored(idCol) === comps("id"))
+    val clustered = scored.join(comps, col(idCol) === col("__cmp_id"))
       .select(col(idCol), col("component").as("cluster_id"), col("__q"))
     val w = Window.partitionBy("cluster_id")
     val decided = clustered
@@ -45,7 +48,7 @@ object Canonical {
       .withColumn("cluster_size", count(lit(1)).over(w))
       .select(col(idCol), col("cluster_id"), col("keep_id"),
         (col("__rk") === 1).as("kept"), col("cluster_size"))
-    val singletons = scored.join(comps, scored(idCol) === comps("id"), "left_anti")
+    val singletons = scored.join(comps, col(idCol) === col("__cmp_id"), "left_anti")
       .select(col(idCol), col(idCol).as("cluster_id"), col(idCol).as("keep_id"),
         lit(true).as("kept"), lit(1L).as("cluster_size"))
     decided.unionByName(singletons)
