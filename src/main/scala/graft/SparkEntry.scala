@@ -2106,7 +2106,113 @@ object SparkEntry {
       // Holt double-exponential smoothing of the daily total: state
       // recursion on the calendar-bounded day frame, one-step-ahead
       // forecasts and residuals
-      graft.operators.Forecast.holtLinear(t(s, dir, "events"), "ts", "value"))
+      graft.operators.Forecast.holtLinear(t(s, dir, "events"), "ts", "value")),
+    "q258_bradley_terry" -> ((s, dir) => {
+      // Bradley-Terry strengths from pairwise preferences: matches are
+      // consecutive same-user event pairs, winner = higher value (tie
+      // to the earlier event); one window builds the data-sized pair
+      // log, one groupBy collapses it to the items² match matrix the
+      // MM iterations run on
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.ltzTs(t(s, dir, "events"), "ts")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val p = ev.select(col("event_type").as("a"), col("value").as("va"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("value"), 1).over(w).as("vb"))
+        .filter(col("b").isNotNull && col("a") =!= col("b"))
+      val m = p.select(least(col("a"), col("b")).as("item_a"),
+          greatest(col("a"), col("b")).as("item_b"),
+          when(col("va") >= col("vb"), col("a")).otherwise(col("b"))
+            .as("__win"))
+        .groupBy("item_a", "item_b")
+        .agg(sum((col("__win") === col("item_a")).cast("int")).as("wins_a"),
+          sum((col("__win") === col("item_b")).cast("int")).as("wins_b"))
+      graft.ml.Preference.bradleyTerry(m, "item_a", "item_b",
+        "wins_a", "wins_b", iters = 8)
+    }),
+    "q259_annotator_agreement" -> ((s, dir) => {
+      // Cohen's kappa between two derived annotators over the same
+      // events: same value-band rubric, annotator B reads a perturbed
+      // value — partial, non-trivial agreement
+      val vb = col("value") + (col("event_id") % 40).cast("double")
+      def band(c: Column): Column =
+        when(c < 50, "low").when(c < 150, "mid").otherwise("high")
+      graft.ml.Preference.cohenKappa(
+        t(s, dir, "events").select(band(col("value")).as("ann_a"),
+          band(vb).as("ann_b")),
+        "ann_a", "ann_b")
+    }),
+    "q260_ranking_metrics" -> ((s, dir) =>
+      // retrieval-eval pack: per-nation customer rankings by account
+      // balance, relevance = custkey % 3 — precision/recall@10, MRR,
+      // AP, NDCG@10 per query from one window + one groupBy
+      graft.ml.RankingMetrics.evaluate(
+        t(s, dir, "customer").select(col("c_nationkey").as("query"),
+          col("c_custkey").as("doc"), col("c_acctbal").as("score"),
+          (col("c_custkey") % 3 === 0).cast("int").as("rel")),
+        "query", "doc", "score", "rel", k = 10)),
+    "q261_gini_concentration" -> ((s, dir) => {
+      // revenue concentration per nation: Gini/HHI/top-10% share over
+      // decimal-exact per-customer spend totals
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("spend"))
+      val g = spend.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"), col("spend"))
+      graft.eda.Concentration.concentration(g, "nation", "spend",
+        topFrac = 0.1)
+    }),
+    "q262_qini_uplift" -> ((s, dir) => {
+      // uplift by score decile: treatment = user parity, score =
+      // pre-period activity count, outcome = post-period purchase
+      // value (decimal-exact per-unit sums, the q251 pattern)
+      val ev = Tables.ltzTs(t(s, dir, "events"), "ts")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val units = ev.groupBy("user_id").agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("score"),
+        coalesce(sum(when(col("ts") >= cut &&
+            col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).cast("double").as("y"))
+      graft.ml.Uplift.qiniByBucket(units, col("user_id") % 2 === 1,
+        "score", "y", "user_id", nBuckets = 10)
+    }),
+    "q263_binary_quantization" -> ((s, dir) =>
+      // sign-bit embedding compression: midrange thresholds, 64 dims
+      // → two 32-bit words, Hamming top-10 by XOR+popcount — integer-
+      // exact end to end
+      graft.proximity.BinaryQuant.hammingTopK(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0)
+          .select("vec_id"),
+        "vec_id", "embedding", dim = 64, k = 10)),
+    "q264_holt_winters" -> ((s, dir) =>
+      // additive triple-exponential smoothing, season 7: the seasonal
+      // extension of q257's state recursion (dyadic α/β/γ)
+      graft.operators.Forecast.holtWinters(t(s, dir, "events"),
+        "ts", "value")),
+    "q265_nelson_aalen" -> ((s, dir) => {
+      // Nelson-Aalen cumulative hazard on the q183 life table:
+      // time-to-first-error per user, right-censored at last event
+      val ev = Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(unix_micros(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", unix_micros(col("ts"))))
+            .as("__e"),
+          max(unix_micros(col("ts"))).as("__l"))
+        .select(
+          ((coalesce(col("__e"), col("__l")) - col("__f")) /
+            lit(86400.0 * 1e6)).as("duration"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("event"))
+      graft.ml.Stats.nelsonAalen(life, "duration", "event")
+    }),
+    "q266_curriculum_order" -> ((s, dir) =>
+      // curriculum ordering: 4 difficulty bands by doc length, sources
+      // round-robin-interleaved within each band — integer-rank exact
+      graft.text.Curriculum.curriculumOrder(t(s, dir, "documents"),
+        "doc_id", "n_chars", "source", nBands = 4))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -5367,6 +5473,103 @@ object SparkEntry {
            ROUND(forecast, 6) AS forecast,
            ROUND(total - forecast, 6) AS resid
          FROM rec ORDER BY day""",
+    "q258_bradley_terry" -> graft.ml.Preference.bradleyTerryOracleSql(
+      """WITH nxt AS (SELECT event_type AS a, value AS va,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b,
+             lead(value, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS vb
+           FROM events),
+         pp AS (SELECT LEAST(a, b) AS item_a, GREATEST(a, b) AS item_b,
+             CASE WHEN va >= vb THEN a ELSE b END AS win
+           FROM nxt WHERE b IS NOT NULL AND a != b)
+         SELECT item_a, item_b,
+           SUM(CASE WHEN win = item_a THEN 1 ELSE 0 END) AS wins_a,
+           SUM(CASE WHEN win = item_b THEN 1 ELSE 0 END) AS wins_b
+         FROM pp GROUP BY item_a, item_b""", iters = 8),
+    "q259_annotator_agreement" ->
+      """WITH lab AS (SELECT
+           CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+             ELSE 'high' END AS label_a,
+           CASE WHEN value + CAST(event_id % 40 AS DOUBLE) < 50 THEN 'low'
+             WHEN value + CAST(event_id % 40 AS DOUBLE) < 150 THEN 'mid'
+             ELSE 'high' END AS label_b
+           FROM events),
+         conf AS (SELECT label_a, label_b, COUNT(*) AS n
+           FROM lab GROUP BY label_a, label_b),
+         tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+             CAST(SUM(CASE WHEN label_a = label_b THEN n ELSE 0 END)
+               AS DOUBLE) AS diag FROM conf),
+         pa AS (SELECT label_a AS c, CAST(SUM(n) AS DOUBLE) AS na
+           FROM conf GROUP BY label_a),
+         pb AS (SELECT label_b AS c, CAST(SUM(n) AS DOUBLE) AS nb
+           FROM conf GROUP BY label_b),
+         pe AS (SELECT SUM(na / t.nn * (nb / t.nn)) AS pe
+           FROM pa JOIN pb USING (c) CROSS JOIN tot t)
+         SELECT conf.label_a, conf.label_b, conf.n,
+           ROUND(t.diag / t.nn, 6) AS po, ROUND(pe.pe, 6) AS pe,
+           ROUND((t.diag / t.nn - pe.pe) / (1 - pe.pe), 6) AS kappa
+         FROM conf CROSS JOIN tot t CROSS JOIN pe""",
+    "q260_ranking_metrics" -> graft.ml.RankingMetrics.evaluateOracleSql(
+      """SELECT c_nationkey AS query, c_custkey AS doc,
+           c_acctbal AS score,
+           CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS rel
+         FROM customer""", k = 10),
+    "q261_gini_concentration" ->
+      graft.eda.Concentration.concentrationOracleSql(
+        """SELECT c_nationkey AS grp,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey, o_custkey""", topFrac = 0.1),
+    "q262_qini_uplift" -> graft.ml.Uplift.qiniOracleSql(
+      """SELECT CAST(user_id % 2 = 1 AS INT) AS treat,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+             THEN 1 ELSE 0 END) AS score,
+           CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+               AND event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(18,2)) END),
+             CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS y,
+           user_id AS tb
+         FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         GROUP BY user_id""", nBuckets = 10),
+    "q263_binary_quantization" ->
+      graft.proximity.BinaryQuant.hammingTopKOracleSql(
+        "SELECT vec_id AS id, embedding AS vec FROM embeddings",
+        "id % 100 = 0", dim = 64, k = 10),
+    "q264_holt_winters" ->
+      graft.operators.Forecast.holtWintersOracleSql(),
+    "q265_nelson_aalen" ->
+      """WITH life AS (SELECT
+             (COALESCE(MIN(CASE WHEN event_type = 'error'
+                 THEN epoch_us(ts) END), MAX(epoch_us(ts)))
+               - MIN(epoch_us(ts))) / 86400000000.0 AS duration,
+             CASE WHEN MIN(CASE WHEN event_type = 'error'
+                 THEN epoch_us(ts) END) IS NOT NULL
+               THEN 1 ELSE 0 END AS event
+           FROM events GROUP BY user_id),
+         byt AS (SELECT duration AS t, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events
+           FROM life GROUP BY duration),
+         ar AS (SELECT t, n_events, CAST(SUM(n) OVER (ORDER BY t DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_at_risk
+           FROM byt),
+         cum AS (SELECT t, n_at_risk, n_events,
+             SUM(CAST(n_events AS DOUBLE) / n_at_risk)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS ch,
+             SUM(CAST(n_events AS DOUBLE) / (n_at_risk * n_at_risk))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS vh
+           FROM ar WHERE n_events > 0)
+         SELECT t, n_at_risk, n_events,
+           ROUND(ch, 6) AS cum_hazard, ROUND(vh, 6) AS var_hazard,
+           ROUND(EXP(-ch), 6) AS na_survival
+         FROM cum""",
+    "q266_curriculum_order" -> graft.text.Curriculum.curriculumOracleSql(
+      "SELECT doc_id AS id, source AS domain, n_chars AS score FROM documents",
+      nBands = 4),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

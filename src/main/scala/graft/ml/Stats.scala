@@ -181,4 +181,36 @@ object Stats {
           round(exp(sum(when(factor > 0, log(factor))).over(wcum)), 6)))
       .select(col("t"), col("n_at_risk"), col("n_events"), col("survival"))
   }
+
+  /** Nelson-Aalen cumulative-hazard estimator over the same
+    * (duration, event) life table as [[kaplanMeier]]:
+    * H(t) = Σ_{s≤t} d_s/n_s with the standard variance estimator
+    * Σ d_s/n_s² and the Fleming-Harrington survival exp(−H) — the
+    * hazard-space twin of KM (numerically steadier when risk sets get
+    * small, and the estimator additive-mergeable across strata).
+    * Same scale shape: one duration groupBy collapses the cohort, all
+    * windows ride the #distinct-durations frame. Returns
+    * (t, n_at_risk, n_events, cum_hazard, var_hazard, na_survival)
+    * floats 6dp. */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val d = col(durationCol).cast("double")
+    val byT = df.groupBy(d.as("t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("n_events"))
+    val w = Window.orderBy(desc("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byT.withColumn("n_at_risk", sum("__n").over(w))
+    val wcum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inc = col("n_events").cast("double") / col("n_at_risk")
+    atRisk.filter(col("n_events") > 0)
+      .withColumn("cum_hazard", sum(inc).over(wcum))
+      .withColumn("var_hazard",
+        round(sum(col("n_events").cast("double") /
+          (col("n_at_risk") * col("n_at_risk"))).over(wcum), 6))
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        round(col("cum_hazard"), 6).as("cum_hazard"), col("var_hazard"),
+        round(exp(-col("cum_hazard")), 6).as("na_survival"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Uplift evaluation for a targeted-treatment experiment: per
+  * score-bucket incremental response and the cumulative Qini value —
+  * the read-out that tells a campaign/intervention owner WHERE in the
+  * score ranking the treatment actually moves the metric (complements
+  * the average-effect operators `Experiments.cuped` / `diffInDiff`,
+  * which answer IF it moves).
+  *
+  * Scale shape: one entity-level frame (already one row per unit),
+  * one ntile window to bucket, one groupBy to #buckets rows, then all
+  * cumulative math on that metadata-sized frame. The ntile window is
+  * global-ordered — fine because its input is the per-unit frame
+  * (entities, not events); at extreme unit counts swap ntile for a
+  * range-bucketed rank (the adaptive rank kernel `ml/Metrics.scala`
+  * route) without touching the downstream math.
+  */
+object Uplift {
+
+  /** Bucket units by descending model score (`tiebreakCol` makes the
+    * ntile deterministic), then per bucket compare treated vs control
+    * response and accumulate the Qini value
+    * Q(b) = cumY_t(b) − cumY_c(b) · cumN_t(b)/cumN_c(b).
+    * Buckets with no control (or no treated) units emit null uplift —
+    * visible, not silently dropped. Returns one row per bucket:
+    * (bucket, n_treat, n_ctrl, y_treat, y_ctrl, uplift, qini),
+    * floats 6dp. */
+  def qiniByBucket(units: DataFrame, treatCol: Column, scoreCol: String,
+                   outcomeCol: String, tiebreakCol: String,
+                   nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val w = Window.orderBy(col("__s").desc, col("__tb").asc)
+    val bucketed = units.select(
+        treatCol.cast("int").as("__t"), col(scoreCol).as("__s"),
+        col(outcomeCol).cast("double").as("__y"), col(tiebreakCol).as("__tb"))
+      .withColumn("__b", ntile(nBuckets).over(w))
+    val perB = bucketed.groupBy(col("__b").as("bucket"))
+      .agg(
+        sum(col("__t")).cast("long").as("n_treat"),
+        sum(lit(1) - col("__t")).cast("long").as("n_ctrl"),
+        sum(when(col("__t") === 1, col("__y")).otherwise(lit(0.0)))
+          .as("y_treat"),
+        sum(when(col("__t") === 0, col("__y")).otherwise(lit(0.0)))
+          .as("y_ctrl"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perB.select(col("bucket"), col("n_treat"), col("n_ctrl"),
+        round(col("y_treat"), 6).as("y_treat"),
+        round(col("y_ctrl"), 6).as("y_ctrl"),
+        when(col("n_treat") > 0 && col("n_ctrl") > 0, round(
+          col("y_treat") / col("n_treat") - col("y_ctrl") / col("n_ctrl"),
+          6)).as("uplift"),
+        when(sum("n_ctrl").over(cum) > 0, round(
+          sum("y_treat").over(cum) - sum("y_ctrl").over(cum) *
+            (sum("n_treat").over(cum).cast("double") /
+              sum("n_ctrl").over(cum)), 6)).as("qini"))
+  }
+
+  /** DuckDB mirror of [[qiniByBucket]]: `unitsCte` must yield
+    * (treat 0/1, score, y, tb). */
+  def qiniOracleSql(unitsCte: String, nBuckets: Int): String =
+    s"""WITH units AS ($unitsCte),
+        bucketed AS (SELECT CAST(treat AS INT) AS t, CAST(y AS DOUBLE) AS y,
+            NTILE($nBuckets) OVER (ORDER BY score DESC, tb ASC) AS b
+          FROM units),
+        perb AS (SELECT CAST(b AS INT) AS bucket,
+            CAST(SUM(t) AS BIGINT) AS n_treat,
+            CAST(SUM(1 - t) AS BIGINT) AS n_ctrl,
+            SUM(CASE WHEN t = 1 THEN y ELSE 0.0 END) AS y_treat,
+            SUM(CASE WHEN t = 0 THEN y ELSE 0.0 END) AS y_ctrl
+          FROM bucketed GROUP BY b)
+        SELECT bucket, n_treat, n_ctrl,
+          ROUND(y_treat, 6) AS y_treat, ROUND(y_ctrl, 6) AS y_ctrl,
+          CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN ROUND(
+            y_treat / n_treat - y_ctrl / n_ctrl, 6) END AS uplift,
+          CASE WHEN SUM(n_ctrl) OVER cw > 0 THEN ROUND(
+            SUM(y_treat) OVER cw - SUM(y_ctrl) OVER cw *
+              (CAST(SUM(n_treat) OVER cw AS DOUBLE) /
+                SUM(n_ctrl) OVER cw), 6) END AS qini
+        FROM perb
+        WINDOW cw AS (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+}

@@ -280,6 +280,115 @@ object Forecast {
         .otherwise(round(col("resid"), 6)).as("resid"))
   }
 
+  /** Additive Holt-Winters (triple exponential) smoothing of the daily
+    * total with season length `season`: the seasonal extension of
+    * [[holtLinear]]. Textbook init at t = season: level = mean of the
+    * first season, trend = (Σ second season − Σ first season)/season²,
+    * sᵢ = yᵢ − level; then for t > season
+    *   forecast_t = L + T + s_{t−m},
+    *   L_t = α(y_t − s_{t−m}) + (1−α)(L + T),
+    *   T_t = β(L_t − L) + (1−β)T,
+    *   s_t = γ(y_t − L_t) + (1−γ)s_{t−m}.
+    * Dyadic defaults keep every multiply exactly reproducible across
+    * engines. Like holtLinear the coupled recursion has no stable
+    * closed form, so it folds serially over the calendar-bounded day
+    * frame (materialized per-partition — #days rows, metadata) while
+    * the data-sized rollup stays distributed. Emits the recursion
+    * region only (t > season); a series shorter than two seasons
+    * yields no rows (the init is undefined). Returns
+    * (day, total, level, trend, seasonal, forecast, resid) 6dp. */
+  def holtWinters(events: DataFrame, tsCol: String, valueCol: String,
+                  season: Int = 7, alpha: Double = 0.25,
+                  beta: Double = 0.125, gamma: Double = 0.25): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1)
+    val m = season
+    val spark = events.sparkSession
+    import spark.implicits._
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day").cast("string"), col("total"))
+      .as[(String, Double)]
+    val out = d.repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        val arr = it.toArray // calendar-bounded: #days rows
+        if (arr.length < 2 * m) Iterator.empty
+        else {
+          // ascending left folds — the same order DuckDB's single-
+          // threaded small-CTE SUM scans; residual 1e-16 divergence is
+          // absorbed by the contracting recursion + 6dp round
+          val sum1 = arr.take(m).map(_._2).sum
+          val sum2 = arr.slice(m, 2 * m).map(_._2).sum
+          var lvl = sum1 / m
+          var trd = (sum2 - sum1) / (m.toDouble * m)
+          val seas = Array.tabulate(m)(i => arr(i)._2 - lvl)
+          Iterator.range(m, arr.length).map { i =>
+            val (day, y) = arr(i)
+            val sOld = seas(i % m)
+            val fc = lvl + trd + sOld
+            val newLvl = alpha * (y - sOld) + (1.0 - alpha) * (lvl + trd)
+            val newTrd = beta * (newLvl - lvl) + (1.0 - beta) * trd
+            val newSeas = gamma * (y - newLvl) + (1.0 - gamma) * sOld
+            seas(i % m) = newSeas; lvl = newLvl; trd = newTrd
+            (day, y, newLvl, newTrd, newSeas, fc, y - fc)
+          }
+        }
+      }
+      .toDF("day", "total", "level", "trend", "seasonal", "forecast",
+        "resid")
+    out.select(col("day").cast("timestamp").as("day"), col("total"),
+      round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"),
+      round(col("seasonal"), 6).as("seasonal"),
+      round(col("forecast"), 6).as("forecast"),
+      round(col("resid"), 6).as("resid"))
+  }
+
+  /** DuckDB mirror of [[holtWinters]] over the `events` table: the
+    * state recursion as a recursive CTE carrying the last `season`
+    * seasonal terms as rotating columns (the q257 pattern, widened).
+    * Every float expression tree matches the Scala fold exactly. */
+  def holtWintersOracleSql(season: Int = 7, alpha: Double = 0.25,
+                           beta: Double = 0.125,
+                           gamma: Double = 0.25): String = {
+    val m = season
+    val (a, a1, b, b1, g, g1) =
+      (alpha, 1.0 - alpha, beta, 1.0 - beta, gamma, 1.0 - gamma)
+    val sCols = (1 to m).map(i => s"s$i")
+    val initS = (1 to m).map(i =>
+      s"(SELECT total FROM idx WHERE t = $i) - sum1 / $m.0 AS s$i")
+      .mkString(",\n             ")
+    val newLvl = s"$a * (i.total - r.s1) + $a1 * (r.level + r.trend)"
+    s"""WITH RECURSIVE d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events WHERE value IS NOT NULL GROUP BY day),
+         idx AS (SELECT day, total,
+             CAST(row_number() OVER (ORDER BY day) AS INT) AS t FROM d),
+         sums AS (SELECT
+             (SELECT SUM(total) FROM idx WHERE t <= $m) AS sum1,
+             (SELECT SUM(total) FROM idx
+               WHERE t BETWEEN ${m + 1} AND ${2 * m}) AS sum2),
+         rec AS (
+           SELECT $m AS t, sum1 / $m.0 AS level,
+             (sum2 - sum1) / ${m * m}.0 AS trend,
+             $initS,
+             CAST(NULL AS DOUBLE) AS forecast
+           FROM sums WHERE (SELECT COUNT(*) FROM idx) >= ${2 * m}
+           UNION ALL
+           SELECT i.t,
+             $newLvl,
+             $b * (($newLvl) - r.level) + $b1 * r.trend,
+             ${sCols.tail.map(c => s"r.$c").mkString(", ")},
+             $g * (i.total - ($newLvl)) + $g1 * r.s1,
+             r.level + r.trend + r.s1
+           FROM rec r JOIN idx i ON i.t = r.t + 1)
+         SELECT CAST(i.day AS TIMESTAMP) AS day, i.total,
+           ROUND(r.level, 6) AS level, ROUND(r.trend, 6) AS trend,
+           ROUND(r.s$m, 6) AS seasonal,
+           ROUND(r.forecast, 6) AS forecast,
+           ROUND(i.total - r.forecast, 6) AS resid
+         FROM rec r JOIN idx i ON i.t = r.t WHERE r.t > $m"""
+  }
+
   /** Theil-Sen robust trend of the daily total: the median of all
     * pairwise slopes (day pairs i<j), plus the median-residual
     * intercept. Pair fan-out is #days² — calendar-bounded metadata, not
