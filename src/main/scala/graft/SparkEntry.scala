@@ -2212,7 +2212,66 @@ object SparkEntry {
       // curriculum ordering: 4 difficulty bands by doc length, sources
       // round-robin-interleaved within each band — integer-rank exact
       graft.text.Curriculum.curriculumOrder(t(s, dir, "documents"),
-        "doc_id", "n_chars", "source", nBands = 4))
+        "doc_id", "n_chars", "source", nBands = 4)),
+    "q267_ann_recall" -> ((s, dir) => {
+      // recall@10 of the binary-quant Hamming route against the exact
+      // cosine kernel — the eval harness that grades every approximate
+      // index against its exact twin
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Proximity.cosineTopK(qs, emb, "vec_id", "embedding", 10)
+        .select(col("id").as("query"), col("neighbor_id").as("doc"))
+      val approx = graft.proximity.BinaryQuant.hammingTopK(
+          emb, qs.select("vec_id"), "vec_id", "embedding", dim = 64, k = 10)
+        .select(col("query_id").as("query"), col("cand_id").as("doc"))
+      graft.ml.RankingMetrics.overlapAtK(approx, exact, k = 10)
+    }),
+    "q268_position_bias" -> ((s, dir) => {
+      // first-position win rate per item over the q258 ordered pair
+      // log — the left-bias audit a preference pipeline runs before
+      // trusting its comparisons
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.ltzTs(t(s, dir, "events"), "ts")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pl = ev.select(col("event_type").as("a"), col("value").as("va"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("value"), 1).over(w).as("vb"))
+        .filter(col("b").isNotNull && col("a") =!= col("b"))
+        .select(col("a").as("first_item"),
+          (col("va") >= col("vb")).cast("int").as("first_won"))
+      graft.ml.Preference.positionBias(pl, "first_item", "first_won")
+    }),
+    "q269_bootstrap_ci" -> ((s, dir) =>
+      // deterministic subsample-bootstrap CI for the per-type mean
+      // value: 64 md5-drawn half-sample replicates, order-statistic
+      // bounds — portable-RNG exact on both engines
+      graft.ml.Bootstrap.subsampleCi(t(s, dir, "events"),
+        "event_type", "event_id", "value", b = 64)),
+    "q270_sssp_weighted" -> ((s, dir) => {
+      // weighted shortest paths over the KNN graph (edge weight =
+      // euclidean distance), 4 Bellman-Ford rounds from 3 sources
+      val e = embDouble(s, dir).filter(col("vec_id") < 100)
+      val nn = Proximity.knnJoinAdaptive(e, e, "vec_id", "embedding", 5,
+        "euclidean", 64)
+      graft.proximity.Graph.ssspWeighted(
+        nn.select(col("id").as("src"), col("neighbor_id").as("dst"),
+          col("distance").as("w")),
+        embDouble(s, dir).filter(col("vec_id") < 3)
+          .select(col("vec_id").as("id")),
+        rounds = 4)
+    }),
+    "q271_modularity" -> ((s, dir) => {
+      // Newman modularity of the label-propagation partition over the
+      // proximity graph — closed-form aggregates on the edge list
+      val edges = proximityEdges(s, dir)
+      graft.proximity.Graph.modularity(edges,
+        graft.proximity.Graph.labelPropagation(edges, iters = 3))
+    }),
+    "q272_ridge_regression" -> ((s, dir) =>
+      // two-feature ridge per return flag: one moments groupBy, the
+      // closed-form 2x2 solve rides the #groups frame
+      graft.ml.Ridge.ridge2(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "l_discount", "l_extendedprice", lambda = 1.0))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -5570,6 +5629,74 @@ object SparkEntry {
     "q266_curriculum_order" -> graft.text.Curriculum.curriculumOracleSql(
       "SELECT doc_id AS id, source AS domain, n_chars AS score FROM documents",
       nBands = 4),
+    "q267_ann_recall" -> {
+      val ap = graft.proximity.BinaryQuant.hammingTopKOracleSql(
+        "SELECT vec_id AS id, embedding AS vec FROM embeddings",
+        "id % 100 = 0", dim = 64, k = 10)
+      s"""WITH a AS (SELECT query_id AS query, cand_id AS doc FROM ($ap)),
+          ex AS (
+            WITH q AS (SELECT vec_id AS id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+              FROM embeddings WHERE vec_id % 100 = 0),
+            r AS (SELECT vec_id AS nid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS re
+              FROM embeddings),
+            pairs AS (SELECT id, nid,
+                list_dot_product(qe, re) /
+                (SQRT(list_dot_product(qe, qe)) *
+                  SQRT(list_dot_product(re, re))) AS sim
+              FROM q CROSS JOIN r WHERE id != nid)
+            SELECT id AS query, nid AS doc FROM pairs
+            QUALIFY row_number() OVER (PARTITION BY id
+              ORDER BY sim DESC, nid) <= 10),
+          sel AS (SELECT a.query, a.doc FROM a
+            WHERE EXISTS (SELECT 1 FROM ex
+              WHERE ex.query = a.query AND ex.doc = a.doc)),
+          ov AS (SELECT query, COUNT(*) AS n_overlap
+            FROM sel GROUP BY query),
+          qs AS (SELECT DISTINCT query FROM a)
+          SELECT qs.query, COALESCE(ov.n_overlap, 0) AS n_overlap,
+            ROUND(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall_at_k
+          FROM qs LEFT JOIN ov USING (query)"""
+    },
+    "q268_position_bias" ->
+      """WITH nxt AS (SELECT event_type AS a, value AS va,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b,
+             lead(value, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS vb
+           FROM events),
+         pl AS (SELECT a AS item,
+             CASE WHEN va >= vb THEN 1 ELSE 0 END AS fw
+           FROM nxt WHERE b IS NOT NULL AND a != b),
+         per AS (SELECT item, COUNT(*) AS n_first,
+             CAST(SUM(fw) AS BIGINT) AS n_first_wins
+           FROM pl GROUP BY item),
+         p0 AS (SELECT CAST(SUM(n_first_wins) AS DOUBLE) / SUM(n_first)
+             AS p0 FROM per)
+         SELECT item, n_first, n_first_wins,
+           ROUND(CAST(n_first_wins AS DOUBLE) / n_first, 6)
+             AS first_win_rate,
+           ROUND(p0.p0, 6) AS pooled_rate,
+           CASE WHEN p0.p0 > 0 AND p0.p0 < 1 THEN ROUND(
+             (CAST(n_first_wins AS DOUBLE) / n_first - p0.p0) /
+               SQRT(p0.p0 * (1 - p0.p0) / n_first), 6) END AS z
+         FROM per CROSS JOIN p0""",
+    "q269_bootstrap_ci" -> graft.ml.Bootstrap.subsampleCiOracleSql(
+      "SELECT event_type AS grp, event_id AS id, value AS y FROM events",
+      b = 64),
+    "q270_sssp_weighted" -> graft.proximity.Graph.ssspWeightedOracleSql(
+      s"""WITH ${knnSql("true", "vec_id < 100", 5)}
+          SELECT id AS src, neighbor_id AS dst, distance AS w FROM knn""",
+      "SELECT vec_id AS id FROM embeddings WHERE vec_id < 3",
+      rounds = 4),
+    "q271_modularity" -> graft.proximity.Graph.modularityOracleSql(
+      proximityEdgesSql,
+      graft.proximity.Graph.labelPropagationOracleSql(proximityEdgesSql,
+        iters = 3)),
+    "q272_ridge_regression" -> graft.ml.Ridge.ridge2OracleSql(
+      """SELECT l_returnflag AS grp, l_quantity AS x1, l_discount AS x2,
+           l_extendedprice AS y FROM lineitem""", lambda = 1.0),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -126,6 +126,40 @@ object Preference {
         FROM wins w JOIN p$iters p ON w.i = p.i"""
   }
 
+  /** Position-bias audit over an ORDERED pair log (one row per
+    * comparison, `firstCol` shown first): per first-shown item the
+    * first-position win rate, against the pooled first-win rate, with
+    * the one-sample binomial z-score z = (p̂ − p₀)/√(p₀(1−p₀)/n) —
+    * the "annotators prefer whatever is on the left" check a
+    * preference pipeline runs before trusting its pairs (a pooled
+    * rate far from 0.5 IS the position bias; per-item z flags items
+    * whose placement interacts with it). One groupBy collapse + the
+    * pooled scalar on the items-sized frame. Returns
+    * (item, n_first, n_first_wins, first_win_rate, pooled_rate, z)
+    * floats 6dp, z null when p₀ degenerates to 0 or 1. */
+  def positionBias(pairLog: DataFrame, firstCol: String,
+                   firstWonCol: String): DataFrame = {
+    val per = pairLog.groupBy(col(firstCol).as("item"))
+      .agg(count(lit(1)).as("n_first"),
+        sum(col(firstWonCol).cast("long")).as("n_first_wins"))
+      .localCheckpoint(true)
+    val pooled = per.agg((sum("n_first_wins").cast("double") /
+      sum("n_first")).as("__p0"))
+    val out = per.crossJoin(pooled)
+      .select(col("item"), col("n_first"), col("n_first_wins"),
+        round(col("n_first_wins").cast("double") / col("n_first"), 6)
+          .as("first_win_rate"),
+        round(col("__p0"), 6).as("pooled_rate"),
+        when(col("__p0") > 0 && col("__p0") < 1, round(
+          (col("n_first_wins").cast("double") / col("n_first") -
+            col("__p0")) /
+            sqrt(col("__p0") * (lit(1.0) - col("__p0")) / col("n_first")),
+          6)).as("z"))
+      .localCheckpoint(true)
+    per.unpersist()
+    out
+  }
+
   /** Cohen's kappa between two label columns over the same rows: the
     * (label_a × label_b) confusion matrix annotated with the observed
     * agreement po = Σ diag / N, chance agreement pe = Σ_c pa_c · pb_c,

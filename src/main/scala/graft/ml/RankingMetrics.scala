@@ -70,6 +70,27 @@ object RankingMetrics {
           .as("ndcg_at_k"))
   }
 
+  /** Top-k overlap between two runs (e.g. an ANN route vs the exact
+    * kernel): per query |A ∩ B| / k — the recall@k harness that grades
+    * every approximate index in the library (IVF, PQ, binary-quant)
+    * against its exact twin. One equi-join on (query, doc) + one
+    * groupBy; integer counts, exactly reproducible given the input
+    * runs. Frames need columns (query, doc). Returns
+    * (query, n_overlap, recall_at_k 6dp). */
+  def overlapAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.select(col("query"), col("doc"))
+    val e = exact.select(col("query"), col("doc"))
+    a.join(e, Seq("query", "doc"), "left_semi")
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(a.select("query").distinct(), Seq("query"), "right")
+      .select(col("query"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+  }
+
   /** DuckDB mirror of [[evaluate]]: `runsCte` must yield
     * (query, doc, score, rel). */
   def evaluateOracleSql(runsCte: String, k: Int): String =

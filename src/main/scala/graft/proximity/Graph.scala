@@ -493,4 +493,118 @@ object Graph {
           ROUND(n.aa, 6) AS adamic_adar
         FROM nonedge n JOIN deg da ON da.id = n.a
         JOIN deg dc ON dc.id = n.c"""
+
+  /** Weighted single-source shortest paths, Bellman-Ford style: per
+    * round every reached node relaxes its out-edges
+    * (dist' = min(dist, dist[src] + w)), `rounds` rounds — the
+    * weighted generalization of [[bfsDepths]] (same fixed-round
+    * contract so the oracle is exact regardless of graph shape; with
+    * rounds ≥ longest shortest-path hop count this is the true SSSP).
+    * Per round: one src-keyed join + one min groupBy — the PageRank
+    * shuffle budget, state localCheckpoint'ed. min() is
+    * order-independent, so the result is deterministic for any
+    * partitioning. `edges` needs (src, dst, w); `sources` a column
+    * `id`. Returns reached (id, dist 6dp). */
+  def ssspWeighted(edges0: DataFrame, sources: DataFrame,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val edges = edges0.select(col("src"), col("dst"),
+      col("w").cast("double").as("w")).localCheckpoint(true)
+    var dist = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0.0)).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relax = dist.join(edges, dist("id") === edges("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(relax).groupBy("id")
+        .agg(min("dist").as("dist")).localCheckpoint(true)
+      dist.unpersist()
+      dist = next
+      r += 1
+    }
+    edges.unpersist()
+    dist.select(col("id"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Recursive-CTE equivalent of [[ssspWeighted]]: path enumeration up
+    * to `rounds` hops, then MIN per node — identical left-to-right
+    * accumulation of the path sum, so every candidate distance is
+    * bit-equal to the Spark fold. `edgesCte` must yield (src, dst, w);
+    * `sourcesCte` a column `id`. */
+  def ssspWeightedOracleSql(edgesCte: String, sourcesCte: String,
+                            rounds: Int): String =
+    s"""WITH RECURSIVE eg AS ($edgesCte),
+        src0 AS ($sourcesCte),
+        walk(id, dist, hops) AS (
+          SELECT id, CAST(0 AS DOUBLE), 0 FROM src0
+          UNION ALL
+          SELECT e.dst, w.dist + e.w, w.hops + 1
+          FROM walk w JOIN eg e ON e.src = w.id
+          WHERE w.hops < $rounds)
+        SELECT id, ROUND(MIN(dist), 6) AS dist FROM walk GROUP BY id"""
+
+  /** Newman modularity of a community partition, per community:
+    * q_c = L_c/m − (D_c/2m)², where L_c counts intra-community
+    * undirected edges, D_c sums member degrees, m = #undirected edges
+    * (direction dropped, self-loops dropped, parallel edges deduped —
+    * the [[triangleCount]] canonicalization). Σ q_c is the partition's
+    * modularity Q. `labels` needs (id, label). Two joins of the
+    * labels onto the canonical edge set + one degree groupBy — all
+    * edge-list-sized. Returns
+    * (community, n_nodes, n_intra, deg_sum, q_c 6dp). */
+  def modularity(edges0: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges0.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val m = und.count().toDouble
+    val lab = labels.select(col("id"), col("label")).localCheckpoint(true)
+    val intra = und
+      .join(lab.select(col("id").as("a"), col("label").as("__la")), "a")
+      .join(lab.select(col("id").as("b"), col("label").as("__lb")), "b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("community")).agg(count(lit(1)).as("n_intra"))
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+      .join(lab, "id")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("__d").as("deg_sum"))
+    val out = deg.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("n_intra"), lit(0L)).as("n_intra"), col("deg_sum"),
+        round(coalesce(col("n_intra"), lit(0L)) / lit(m) -
+          (col("deg_sum") / lit(2.0 * m)) * (col("deg_sum") / lit(2.0 * m)),
+          6).as("q_c"))
+      .localCheckpoint(true)
+    und.unpersist(); lab.unpersist()
+    out
+  }
+
+  /** DuckDB mirror of [[modularity]] over a labels statement (id,
+    * label) — e.g. the [[labelPropagationOracleSql]] output nested as
+    * a CTE — and the same edges CTE. */
+  def modularityOracleSql(edgesCte: String, labelsStmt: String): String =
+    s"""WITH eg AS ($edgesCte),
+        lp AS ($labelsStmt),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b
+          FROM eg WHERE src != dst),
+        m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und),
+        intra AS (SELECT la.label AS community, COUNT(*) AS n_intra
+          FROM und JOIN lp la ON und.a = la.id
+          JOIN lp lb ON und.b = lb.id
+          WHERE la.label = lb.label GROUP BY la.label),
+        deg AS (SELECT l.label AS community, COUNT(*) AS n_nodes,
+            CAST(SUM(d.d) AS BIGINT) AS deg_sum
+          FROM (SELECT id, COUNT(*) AS d FROM (
+              SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+            GROUP BY id) d
+          JOIN lp l ON d.id = l.id GROUP BY l.label)
+        SELECT deg.community, deg.n_nodes,
+          COALESCE(intra.n_intra, 0) AS n_intra, deg.deg_sum,
+          ROUND(COALESCE(intra.n_intra, 0) / m.m -
+            (deg.deg_sum / (2.0 * m.m)) * (deg.deg_sum / (2.0 * m.m)), 6)
+            AS q_c
+        FROM deg LEFT JOIN intra USING (community) CROSS JOIN m"""
 }
