@@ -2271,7 +2271,56 @@ object SparkEntry {
       // two-feature ridge per return flag: one moments groupBy, the
       // closed-form 2x2 solve rides the #groups frame
       graft.ml.Ridge.ridge2(t(s, dir, "lineitem"), "l_returnflag",
-        "l_quantity", "l_discount", "l_extendedprice", lambda = 1.0))
+        "l_quantity", "l_discount", "l_extendedprice", lambda = 1.0)),
+    "q273_log_rank" -> ((s, dir) => {
+      // two-cohort log-rank test on the q183/q265 life table (time to
+      // first error, censored at last event), cohorts by user parity
+      val ev = Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(unix_micros(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", unix_micros(col("ts"))))
+            .as("__e"),
+          max(unix_micros(col("ts"))).as("__l"))
+        .select(
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+            .as("cohort"),
+          ((coalesce(col("__e"), col("__l")) - col("__f")) /
+            lit(86400.0 * 1e6)).as("duration"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("event"))
+      graft.ml.Stats.logRank(life, "duration", "event", "cohort")
+    }),
+    "q274_weighted_quantiles" -> ((s, dir) =>
+      // quantity-weighted price quantiles per return flag — decimal
+      // cumulative weights, integer-scaled threshold compares
+      graft.eda.Robust.weightedQuantiles(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity")),
+    "q275_hits" -> ((s, dir) =>
+      // HITS hubs/authorities over the directed proximity-KNN edges —
+      // 3 L1-normalized power-iteration rounds
+      graft.proximity.Graph.hits(proximityEdges(s, dir), iters = 3)),
+    "q276_quantile_normalize" -> ((s, dir) =>
+      // align per-source doc-length distributions onto the cross-source
+      // average — 100-centile binned quantile normalization
+      graft.transforms.QuantileNorm.quantileNormalize(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars", nBins = 100)),
+    "q277_stratified_ate" -> ((s, dir) => {
+      // observational treatment effect: purchasers vs not on their
+      // non-purchase spend, stratified by activity (event count)
+      val units = t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("treated"),
+          sum(when(col("event_type") =!= "purchase",
+            col("value").cast("decimal(18,2)"))).as("y"),
+          count(lit(1)).as("x"))
+      graft.ml.Experiments.stratifiedAte(units, "treated", "y", "x",
+        nStrata = 5)
+    }),
+    "q278_periodogram" -> ((s, dir) =>
+      // fraction-of-variance spectral power of the daily total at
+      // harmonics 1..10 — the frequency-domain twin of q200's ACF
+      graft.operators.Forecast.periodogram(t(s, dir, "events"),
+        "ts", "value", maxK = 10))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -5697,6 +5746,38 @@ object SparkEntry {
     "q272_ridge_regression" -> graft.ml.Ridge.ridge2OracleSql(
       """SELECT l_returnflag AS grp, l_quantity AS x1, l_discount AS x2,
            l_extendedprice AS y FROM lineitem""", lambda = 1.0),
+    "q273_log_rank" -> graft.ml.Stats.logRankOracleSql(
+      """SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+             AS grp,
+           (COALESCE(MIN(CASE WHEN event_type = 'error'
+               THEN epoch_us(ts) END), MAX(epoch_us(ts)))
+             - MIN(epoch_us(ts))) / 86400000000.0 AS duration,
+           CASE WHEN MIN(CASE WHEN event_type = 'error'
+               THEN epoch_us(ts) END) IS NOT NULL
+             THEN 1 ELSE 0 END AS event
+         FROM events GROUP BY user_id"""),
+    "q274_weighted_quantiles" -> graft.eda.Robust.weightedQuantilesOracleSql(
+      """SELECT l_returnflag AS grp, l_extendedprice AS v, l_quantity AS w
+         FROM lineitem"""),
+    "q275_hits" -> graft.proximity.Graph.hitsOracleSql(
+      proximityEdgesSql, iters = 3),
+    "q276_quantile_normalize" ->
+      graft.transforms.QuantileNorm.quantileNormalizeOracleSql(
+        "SELECT source AS grp, doc_id AS id, n_chars AS v FROM documents",
+        nBins = 100),
+    "q277_stratified_ate" -> graft.ml.Experiments.stratifiedAteOracleSql(
+      """SELECT MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS treated,
+           SUM(CASE WHEN event_type != 'purchase'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS y,
+           COUNT(*) AS x
+         FROM events WHERE value IS NOT NULL GROUP BY user_id""",
+      nStrata = 5),
+    "q278_periodogram" -> graft.operators.Forecast.periodogramOracleSql(
+      """SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events WHERE value IS NOT NULL GROUP BY day""",
+      maxK = 10),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -99,4 +99,57 @@ object Robust {
         round(pow(col("n") / lit(total.toDouble) - expected, 2) / expected * total, 6)
           .as("chi2_term"))
   }
+
+  /** Per-group WEIGHTED quantiles (lower/"type-1" form): the smallest
+    * value v whose cumulative weight reaches q·W — what q158's plain
+    * group quantiles become when each row carries a mass (quantity,
+    * token count, sampling weight). Exactness: weights ride
+    * DECIMAL(18,2), ties collapse in the (grp, value) pre-groupBy, and
+    * the q·W threshold compares as 4·cum ≥ W / 2·cum ≥ W / 4·cum ≥ 3·W
+    * — integer-scaled decimal comparisons, no float boundary anywhere.
+    *
+    * Scale shape: one map-combinable (grp, value) groupBy collapses the
+    * corpus to distinct values, then two windows + one final groupBy
+    * ride that collapsed frame. Non-positive weights are excluded
+    * (mass must be positive for the CDF to be monotone). Returns
+    * (grp, total_w, w_p25, w_median, w_p75).
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val w = col(weightCol).cast("decimal(18,2)")
+    val byV = df.filter(v.isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol).as("grp"), v.as("v"))
+      .agg(sum(w).as("__w"))
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+    val c = byV
+      .withColumn("__cw", sum("__w").over(wCum))
+      .withColumn("__tw", sum("__w").over(wAll))
+    c.groupBy("grp").agg(
+      max(col("__tw")).cast("double").as("total_w"),
+      min(when(col("__cw") * 4 >= col("__tw"), col("v"))).as("w_p25"),
+      min(when(col("__cw") * 2 >= col("__tw"), col("v"))).as("w_median"),
+      min(when(col("__cw") * 4 >= col("__tw") * 3, col("v"))).as("w_p75"))
+  }
+
+  /** DuckDB twin of [[weightedQuantiles]]; `srcCte` must yield
+    * (grp, v, w). */
+  def weightedQuantilesOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        byv AS (SELECT grp, CAST(v AS DOUBLE) AS v,
+            SUM(CAST(w AS DECIMAL(18,2))) AS w
+          FROM src WHERE v IS NOT NULL AND w > 0 GROUP BY 1, 2),
+        c AS (SELECT grp, v, w,
+            SUM(w) OVER (PARTITION BY grp ORDER BY v) AS cw,
+            SUM(w) OVER (PARTITION BY grp) AS tw
+          FROM byv)
+        SELECT grp, CAST(MAX(tw) AS DOUBLE) AS total_w,
+          MIN(CASE WHEN cw * 4 >= tw THEN v END) AS w_p25,
+          MIN(CASE WHEN cw * 2 >= tw THEN v END) AS w_median,
+          MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS w_p75
+        FROM c GROUP BY grp"""
 }

@@ -130,4 +130,272 @@ object Experiments {
       round(se, 6).as("se"),
       round(did / se, 6).as("t_stat"))
   }
+
+  /** Propensity-style STRATIFIED treatment-effect estimate — the
+    * observational companion to [[cuped]]/[[diffInDiff]] when
+    * assignment wasn't randomized: bin units into `nStrata` roughly
+    * equal strata of a confounding covariate, difference the arm means
+    * within each stratum, and reweight — ATE weights by stratum size,
+    * ATT by the stratum's treated count (Rosenbaum & Rubin '84
+    * subclassification). Strata lacking an arm (no overlap) are
+    * excluded and the weights renormalize over the rest.
+    *
+    * Stratum assignment rides the DISTINCT-covariate frame: one
+    * groupBy collapses the units, a cumulative-count window over that
+    * collapsed frame maps each value to floor(before·S/N)+1 (ties land
+    * together — deterministic with no per-unit tiebreak and no
+    * data-sized sort; a continuous covariate should be pre-quantized
+    * so the distinct frame stays metadata-sized). Outcomes ride
+    * DECIMAL(18,2). Returns one row per stratum: (stratum, n,
+    * n_treated, mean_treated, mean_control, diff, ate, att) 6dp, with
+    * ate/att repeated on every row.
+    */
+  def stratifiedAte(units0: DataFrame, treatedCol: String,
+                    outcomeCol: String, covariateCol: String,
+                    nStrata: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nStrata >= 2, "need at least 2 strata")
+    val units = units0
+      .filter(col(outcomeCol).isNotNull && col(covariateCol).isNotNull)
+      .select(col(treatedCol).cast("int").as("__t"),
+        dec(col(outcomeCol)).as("__y"),
+        col(covariateCol).cast("double").as("__x"))
+    val byV = units.groupBy("__x").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nTot = byV.agg(sum("__c").as("__nTot"))
+    val smap = byV
+      .withColumn("__before", coalesce(sum("__c").over(wCum), lit(0L)))
+      .crossJoin(nTot)
+      .select(col("__x"),
+        (floor(col("__before") * nStrata / col("__nTot")) + 1)
+          .cast("int").as("stratum"))
+    val g = units.join(smap, Seq("__x"))
+      .groupBy("stratum").agg(
+        count(lit(1)).as("n"),
+        sum("__t").cast("long").as("n_treated"),
+        sum(when(col("__t") === 1, col("__y"))).as("__st"),
+        sum(when(col("__t") === 0, col("__y"))).as("__sc"))
+    val nT = col("n_treated").cast("double")
+    val nC = (col("n") - col("n_treated")).cast("double")
+    val scored = g
+      .withColumn("__mt", col("__st").cast("double") / nT)
+      .withColumn("__mc", col("__sc").cast("double") / nC)
+      .withColumn("__diff",
+        when(col("n_treated") > 0 && col("n_treated") < col("n"),
+          col("__mt") - col("__mc")))
+    val overall = scored.filter(col("__diff").isNotNull).agg(
+      (sum(col("__diff") * col("n")) / sum(col("n"))).as("__ate"),
+      (sum(col("__diff") * col("n_treated")) / sum(col("n_treated")))
+        .as("__att"))
+    scored.crossJoin(overall)
+      .select(col("stratum"), col("n"), col("n_treated"),
+        round(col("__mt"), 6).as("mean_treated"),
+        round(col("__mc"), 6).as("mean_control"),
+        round(col("__diff"), 6).as("diff"),
+        round(col("__ate"), 6).as("ate"),
+        round(col("__att"), 6).as("att"))
+  }
+
+  /** DuckDB twin of [[stratifiedAte]]; `unitsCte` must yield
+    * (treated, y, x). */
+  def stratifiedAteOracleSql(unitsCte: String, nStrata: Int = 5): String =
+    s"""WITH units AS ($unitsCte),
+        u AS (SELECT CAST(treated AS INT) AS t,
+            CAST(y AS DECIMAL(18,2)) AS y, CAST(x AS DOUBLE) AS x
+          FROM units WHERE y IS NOT NULL AND x IS NOT NULL),
+        byv AS (SELECT x, COUNT(*) AS c FROM u GROUP BY x),
+        smap AS (SELECT x,
+            CAST(FLOOR(COALESCE(SUM(c) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              * $nStrata / (SELECT SUM(c) FROM byv)) AS INT) + 1
+              AS stratum
+          FROM byv),
+        g AS (SELECT stratum, COUNT(*) AS n,
+            CAST(SUM(t) AS BIGINT) AS n_treated,
+            SUM(CASE WHEN t = 1 THEN y END) AS st,
+            SUM(CASE WHEN t = 0 THEN y END) AS sc
+          FROM u JOIN smap USING (x) GROUP BY stratum),
+        sc2 AS (SELECT stratum, n, n_treated,
+            CAST(st AS DOUBLE) / n_treated AS mt,
+            CAST(sc AS DOUBLE) / (n - n_treated) AS mc,
+            CASE WHEN n_treated > 0 AND n_treated < n THEN
+              CAST(st AS DOUBLE) / n_treated -
+                CAST(sc AS DOUBLE) / (n - n_treated) END AS diff
+          FROM g),
+        tot AS (SELECT SUM(diff * n) / SUM(n) AS ate,
+            SUM(diff * n_treated) / SUM(n_treated) AS att
+          FROM sc2 WHERE diff IS NOT NULL)
+        SELECT stratum, n, n_treated, ROUND(mt, 6) AS mean_treated,
+          ROUND(mc, 6) AS mean_control, ROUND(diff, 6) AS diff,
+          ROUND(ate, 6) AS ate, ROUND(att, 6) AS att
+        FROM sc2 CROSS JOIN tot"""
+
+  /** Delta-method confidence interval for a RATIO metric per arm —
+    * revenue per session, clicks per impression: any metric whose
+    * denominator varies per unit, where the naive mean-of-ratios and
+    * its t-interval are both wrong (Deng et al., KDD'18 practice
+    * note). R = ΣY/ΣX over units; Var(R) ≈ (S_yy − 2R·S_yx + R²·S_xx)
+    * / (n·x̄²) with sample (n−1) moments of the unit-level (Y, X).
+    *
+    * ONE aggregate per arm over the unit frame (the caller's unit
+    * groupBy is the only corpus pass): decimal ΣY/ΣX for the exact
+    * point estimate, double cross-moments in the fixed closed form.
+    * Arms with n < 2 or x̄ = 0 emit null se/bounds. Returns one row
+    * per arm: (arm, n, num_total, den_total, ratio, se, ci_lo, ci_hi)
+    * 6dp, z = 1.96. */
+  def ratioMetricCi(units: DataFrame, armCol: String, numCol: String,
+                    denCol: String): DataFrame = {
+    val y = col(numCol).cast("double")
+    val x = col(denCol).cast("double")
+    val g = units.groupBy(col(armCol).as("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col(numCol))).as("__sy"), sum(dec(col(denCol))).as("__sx"),
+      sum(y * y).as("__syy"), sum(x * x).as("__sxx"),
+      sum(y * x).as("__syx"))
+    val n = col("n").cast("double")
+    val my = col("__sy").cast("double") / n
+    val mx = col("__sx").cast("double") / n
+    val r = col("__sy").cast("double") / col("__sx").cast("double")
+    val syy = (col("__syy") - n * my * my) / (n - 1)
+    val sxx = (col("__sxx") - n * mx * mx) / (n - 1)
+    val syx = (col("__syx") - n * my * mx) / (n - 1)
+    val varR = (syy - lit(2.0) * r * syx + r * r * sxx) / (n * mx * mx)
+    val se = when(col("n") >= 2 && col("__sx") =!= 0,
+      sqrt(greatest(varR, lit(0.0))))
+    g.select(col("arm"), col("n"),
+      col("__sy").cast("double").as("num_total"),
+      col("__sx").cast("double").as("den_total"),
+      round(r, 6).as("ratio"), round(se, 6).as("se"),
+      round(r - lit(1.96) * se, 6).as("ci_lo"),
+      round(r + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
+  /** DuckDB twin of [[ratioMetricCi]]; `unitsCte` must yield
+    * (arm, y, x). */
+  def ratioMetricCiOracleSql(unitsCte: String): String =
+    s"""WITH units AS ($unitsCte),
+        g AS (SELECT arm, COUNT(*) AS n,
+            SUM(CAST(y AS DECIMAL(18,2))) AS sy,
+            SUM(CAST(x AS DECIMAL(18,2))) AS sx,
+            SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy,
+            SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+            SUM(CAST(y AS DOUBLE) * CAST(x AS DOUBLE)) AS syx
+          FROM units GROUP BY arm),
+        sc AS (SELECT arm, n,
+            CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+            CAST(sy AS DOUBLE) / n AS my, CAST(sx AS DOUBLE) / n AS mx,
+            CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+            syy, sxx, syx
+          FROM g),
+        v AS (SELECT arm, n, syd, sxd, r,
+            CASE WHEN n >= 2 AND sxd != 0 THEN
+              SQRT(GREATEST((
+                (syy - n * my * my) / (n - 1)
+                - 2 * r * ((syx - n * my * mx) / (n - 1))
+                + r * r * ((sxx - n * mx * mx) / (n - 1)))
+                / (n * mx * mx), 0)) END AS se
+          FROM sc)
+        SELECT arm, n, syd AS num_total, sxd AS den_total,
+          ROUND(r, 6) AS ratio, ROUND(se, 6) AS se,
+          ROUND(r - 1.96 * se, 6) AS ci_lo,
+          ROUND(r + 1.96 * se, 6) AS ci_hi
+        FROM v"""
+
+  /** Nearest-neighbor CALIPER MATCHING on a scalar covariate — the
+    * third leg of the observational stool after [[stratifiedAte]]
+    * (coarse strata) and regression adjustment ([[cuped]]'s machinery):
+    * each treated unit matches the control whose covariate is closest
+    * (with replacement), discarded if the gap exceeds `caliper`
+    * (Rosenbaum & Rubin '85); ATT = mean matched outcome difference.
+    *
+    * Scale shape: in sorted covariate order the nearest control is
+    * always the last control BEFORE or the first control AFTER the
+    * treated row, so one fully-deterministic sort (x, t, y) and two
+    * ignore-nulls window lookups replace the all-pairs distance join —
+    * O(n log n), no crossJoin anywhere. Ties (equal back/forward gap)
+    * take the earlier control; equal-sort-key rows carry identical
+    * (x, y) so engine tie order can't change the answer. Returns ONE
+    * row: (n_treated, n_matched, att, mean_treated, mean_matched_control)
+    * 6dp. */
+  def caliperMatch(units0: DataFrame, treatedCol: String,
+                   outcomeCol: String, covariateCol: String,
+                   caliper: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(caliper > 0, "caliper must be positive")
+    val units = units0
+      .filter(col(outcomeCol).isNotNull && col(covariateCol).isNotNull)
+      .select(col(treatedCol).cast("int").as("__t"),
+        col(outcomeCol).cast("double").as("__y"),
+        col(covariateCol).cast("double").as("__x"))
+    val ord = Seq(col("__x"), col("__t"), col("__y"))
+    val wB = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wF = Window.orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val cx = when(col("__t") === 0, col("__x"))
+    val cy = when(col("__t") === 0, col("__y"))
+    val m = units
+      .withColumn("__bx", last(cx, ignoreNulls = true).over(wB))
+      .withColumn("__by", last(cy, ignoreNulls = true).over(wB))
+      .withColumn("__fx", first(cx, ignoreNulls = true).over(wF))
+      .withColumn("__fy", first(cy, ignoreNulls = true).over(wF))
+      .filter(col("__t") === 1)
+    val db = col("__x") - col("__bx")
+    val df_ = col("__fx") - col("__x")
+    val pickBack = col("__bx").isNotNull &&
+      (col("__fx").isNull || db <= df_)
+    val scored = m
+      .withColumn("__cy", when(pickBack, col("__by")).otherwise(col("__fy")))
+      .withColumn("__d", when(pickBack, db).otherwise(df_))
+      .withColumn("__ok",
+        when(col("__cy").isNotNull && col("__d") <= caliper, 1).otherwise(0))
+    scored.agg(
+      count(lit(1)).as("n_treated"),
+      sum("__ok").cast("long").as("n_matched"),
+      round(avg(when(col("__ok") === 1, col("__y") - col("__cy"))), 6)
+        .as("att"),
+      round(avg(when(col("__ok") === 1, col("__y"))), 6).as("mean_treated"),
+      round(avg(when(col("__ok") === 1, col("__cy"))), 6)
+        .as("mean_matched_control"))
+  }
+
+  /** DuckDB twin of [[caliperMatch]]; `unitsCte` must yield
+    * (treated, y, x). */
+  def caliperMatchOracleSql(unitsCte: String, caliper: Double): String =
+    s"""WITH units AS ($unitsCte),
+        u AS (SELECT CAST(treated AS INT) AS t, CAST(y AS DOUBLE) AS y,
+            CAST(x AS DOUBLE) AS x
+          FROM units WHERE y IS NOT NULL AND x IS NOT NULL),
+        w AS (SELECT t, y, x,
+            LAST_VALUE(CASE WHEN t = 0 THEN x END IGNORE NULLS)
+              OVER (ORDER BY x, t, y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bx,
+            LAST_VALUE(CASE WHEN t = 0 THEN y END IGNORE NULLS)
+              OVER (ORDER BY x, t, y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS by,
+            FIRST_VALUE(CASE WHEN t = 0 THEN x END IGNORE NULLS)
+              OVER (ORDER BY x, t, y
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fx,
+            FIRST_VALUE(CASE WHEN t = 0 THEN y END IGNORE NULLS)
+              OVER (ORDER BY x, t, y
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fy
+          FROM u),
+        m AS (SELECT y,
+            CASE WHEN bx IS NOT NULL AND (fx IS NULL OR x - bx <= fx - x)
+              THEN by ELSE fy END AS cy,
+            CASE WHEN bx IS NOT NULL AND (fx IS NULL OR x - bx <= fx - x)
+              THEN x - bx ELSE fx - x END AS d
+          FROM w WHERE t = 1),
+        s AS (SELECT y, cy,
+            CASE WHEN cy IS NOT NULL AND d <= $caliper THEN 1 ELSE 0 END
+              AS ok
+          FROM m)
+        SELECT COUNT(*) AS n_treated,
+          CAST(SUM(ok) AS BIGINT) AS n_matched,
+          ROUND(AVG(CASE WHEN ok = 1 THEN y - cy END), 6) AS att,
+          ROUND(AVG(CASE WHEN ok = 1 THEN y END), 6) AS mean_treated,
+          ROUND(AVG(CASE WHEN ok = 1 THEN cy END), 6)
+            AS mean_matched_control
+        FROM s"""
 }

@@ -213,4 +213,164 @@ object Stats {
         round(col("cum_hazard"), 6).as("cum_hazard"), col("var_hazard"),
         round(exp(-col("cum_hazard")), 6).as("na_survival"))
   }
+
+  /** Two-group log-rank test over the same (duration, event) life table
+    * as [[kaplanMeier]] — "are these two survival curves the same?", the
+    * standard follow-up once q183/q265 draw them. At each pooled event
+    * time t: O_g observed events in group g, E_g = d·n_g/n expected
+    * under H0, hypergeometric variance v = d·(n_g/n)·(1−n_g/n)·(n−d)/(n−1);
+    * χ² = (ΣO_g − ΣE_g)²/Σv (identical for both groups).
+    *
+    * Scale shape: ONE (group, duration) groupBy collapses the cohort;
+    * everything after rides the distinct-durations × 2 grid (the
+    * at-risk counts are desc-cumulative window sums per group, the
+    * pooled totals a partition-by-t window) — no join back to the
+    * corpus. Returns one row per group:
+    * (grp, n_subjects, observed, expected 6dp, chi2_logrank 6dp).
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String): DataFrame = {
+    val d = col(durationCol).cast("double")
+    val byGT = df.groupBy(col(groupCol).as("grp"), d.as("t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("__d"))
+    val groups = byGT.select("grp").distinct()
+    val times = byGT.select("t").distinct()
+    // grid: every (group × distinct duration) so the desc cumsum sees
+    // the FULL risk set even at times where a group had no subjects
+    val grid = times.crossJoin(groups)
+      .join(byGT, Seq("grp", "t"), "left")
+      .na.fill(0L, Seq("__n", "__d"))
+    val wRisk = Window.partitionBy("grp").orderBy(desc("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy("t")
+    val pooled = grid
+      .withColumn("n_g", sum("__n").over(wRisk))
+      .withColumn("n_tot", sum(col("n_g")).over(wT))
+      .withColumn("d_tot", sum("__d").over(wT))
+    val share = col("n_g").cast("double") / col("n_tot")
+    val terms = pooled.filter(col("d_tot") > 0)
+      .withColumn("__e", col("d_tot") * share)
+      .withColumn("__v",
+        when(col("n_tot") > 1,
+          col("d_tot") * share * (lit(1.0) - share) *
+            (col("n_tot") - col("d_tot")).cast("double") /
+            (col("n_tot") - 1)).otherwise(lit(0.0)))
+    val sizes = grid.groupBy("grp").agg(sum("__n").as("n_subjects"))
+    val perGroup = terms.groupBy("grp").agg(
+      sum("__d").as("observed"),
+      sum("__e").as("__E"),
+      sum("__v").as("__V"))
+      .join(sizes, Seq("grp")) // 2-row frames; broadcast either way
+    perGroup.select(col("grp"), col("n_subjects"), col("observed"),
+      round(col("__E"), 6).as("expected"),
+      round(when(col("__V") > 0,
+          (col("observed") - col("__E")) * (col("observed") - col("__E")) /
+            col("__V")).otherwise(lit(0.0)), 6).as("chi2_logrank"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-group event RATES under a
+    * beta-binomial model (Robbins '56 / the baseball-batting-average
+    * classic): fit Beta(α, β) to the observed per-group raw rates by
+    * method of moments — m = mean(raw), v = population variance;
+    * α+β = m(1−m)/v − 1 — then post the posterior mean
+    * (x + α)/(n + α + β) per group. Low-n groups pull hard toward the
+    * corpus rate, high-n groups barely move: the principled fix for
+    * "this source looks great on 12 documents" quality rankings, and
+    * the rate-space sibling of the mean-space shrink inside
+    * `ml/Encoders` target encoding (there the strength is a fixed
+    * hyperparameter; here the data chooses it).
+    *
+    * Scale shape: one map-combinable groupBy collapses the corpus to
+    * the #groups frame; the MoM prior is a second aggregate over THAT
+    * frame, broadcast back via crossJoin. When MoM is degenerate
+    * (v = 0, or v ≥ m(1−m), or m ∈ {0,1}) the prior is undefined —
+    * alpha/beta emit null and shrunk_rate = raw_rate. Returns one row
+    * per group: (grp, n, x, raw_rate, shrunk_rate, alpha, beta) 6dp,
+    * alpha/beta repeated. */
+  def ebRates(df: DataFrame, groupCol: String, successCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col(successCol) === 1, 1L).otherwise(0L)).as("x"))
+      .withColumn("__raw", col("x").cast("double") / col("n"))
+    val prior = g.agg(avg("__raw").as("__m"),
+      (avg(col("__raw") * col("__raw")) - avg("__raw") * avg("__raw"))
+        .as("__v"))
+    val s = when(col("__v") > 0 &&
+        col("__v") < col("__m") * (lit(1.0) - col("__m")),
+      col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0)
+    g.crossJoin(prior)
+      .withColumn("__s", s)
+      .select(col("grp"), col("n"), col("x"),
+        round(col("__raw"), 6).as("raw_rate"),
+        round(coalesce(
+          (col("x") + col("__m") * col("__s")) / (col("n") + col("__s")),
+          col("__raw")), 6).as("shrunk_rate"),
+        round(col("__m") * col("__s"), 6).as("alpha"),
+        round((lit(1.0) - col("__m")) * col("__s"), 6).as("beta"))
+  }
+
+  /** DuckDB twin of [[ebRates]]; `unitsCte` must yield
+    * (grp, success). */
+  def ebRatesOracleSql(unitsCte: String): String =
+    s"""WITH units AS ($unitsCte),
+        g AS (SELECT grp, COUNT(*) AS n,
+            SUM(CASE WHEN success = 1 THEN 1 ELSE 0 END) AS x,
+            CAST(SUM(CASE WHEN success = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*) AS raw
+          FROM units GROUP BY grp),
+        pr AS (SELECT AVG(raw) AS m,
+            AVG(raw * raw) - AVG(raw) * AVG(raw) AS v
+          FROM g),
+        ps AS (SELECT m, v,
+            CASE WHEN v > 0 AND v < m * (1 - m)
+              THEN m * (1 - m) / v - 1 END AS s
+          FROM pr)
+        SELECT g.grp, g.n, CAST(g.x AS BIGINT) AS x,
+          ROUND(g.raw, 6) AS raw_rate,
+          ROUND(COALESCE((g.x + ps.m * ps.s) / (g.n + ps.s), g.raw), 6)
+            AS shrunk_rate,
+          ROUND(ps.m * ps.s, 6) AS alpha,
+          ROUND((1 - ps.m) * ps.s, 6) AS beta
+        FROM g CROSS JOIN ps"""
+
+  /** DuckDB twin of [[logRank]]; `lifeCte` must yield
+    * (grp, duration, event). */
+  def logRankOracleSql(lifeCte: String): String =
+    s"""WITH life AS ($lifeCte),
+        bygt AS (SELECT grp, CAST(duration AS DOUBLE) AS t,
+            COUNT(*) AS n,
+            SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS d
+          FROM life GROUP BY 1, 2),
+        grid AS (SELECT g.grp, ts.t, COALESCE(b.n, 0) AS n,
+            COALESCE(b.d, 0) AS d
+          FROM (SELECT DISTINCT t FROM bygt) ts
+          CROSS JOIN (SELECT DISTINCT grp FROM bygt) g
+          LEFT JOIN bygt b ON b.grp = g.grp AND b.t = ts.t),
+        risk AS (SELECT grp, t, n, d,
+            SUM(n) OVER (PARTITION BY grp ORDER BY t DESC) AS n_g
+          FROM grid),
+        pooled AS (SELECT grp, t, n, d, n_g,
+            SUM(n_g) OVER (PARTITION BY t) AS n_tot,
+            SUM(d) OVER (PARTITION BY t) AS d_tot
+          FROM risk),
+        terms AS (SELECT grp, n, d,
+            d_tot * (CAST(n_g AS DOUBLE) / n_tot) AS e,
+            CASE WHEN n_tot > 1 THEN
+              d_tot * (CAST(n_g AS DOUBLE) / n_tot) *
+                (1 - CAST(n_g AS DOUBLE) / n_tot) *
+                CAST(n_tot - d_tot AS DOUBLE) / (n_tot - 1)
+              ELSE 0 END AS v
+          FROM pooled WHERE d_tot > 0),
+        sizes AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS n_subjects
+          FROM grid GROUP BY grp),
+        per AS (SELECT grp,
+            CAST(SUM(d) AS BIGINT) AS observed,
+            SUM(e) AS ee, SUM(v) AS vv
+          FROM terms GROUP BY grp)
+        SELECT per.grp, n_subjects, observed, ROUND(ee, 6) AS expected,
+          ROUND(CASE WHEN vv > 0
+            THEN (observed - ee) * (observed - ee) / vv
+            ELSE 0 END, 6) AS chi2_logrank
+        FROM per JOIN sizes ON per.grp = sizes.grp"""
 }

@@ -413,4 +413,125 @@ object Forecast {
     d.unpersist()
     out
   }
+
+  /** Schuster periodogram of the daily total at harmonics k = 1..maxK:
+    * spectral power share
+    *   P_k = 2·(C_k² + S_k²) / (N·Σc²),  C_k = Σ c_t·cos(2πkt/N),
+    * with c_t the mean-centered series — P_k = 1 for a pure sinusoid
+    * at harmonic k, so the spectrum reads as fraction-of-variance per
+    * frequency. The frequency-domain twin of [[acf]]: a weekly cycle
+    * shows as a peak where period_days ≈ 7.
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded daily
+    * frame (decimal-exact totals) first; the t-index window and the
+    * daily × maxK fan-out both ride that metadata-sized frame. Returns
+    * (k, period_days 6dp, power 6dp). */
+  def periodogram(events: DataFrame, tsCol: String, valueCol: String,
+                  maxK: Int = 10): DataFrame = {
+    require(maxK >= 1, "need at least one harmonic")
+    val d = daily(events, tsCol, valueCol)
+    val idx = d.select(col("day"), col("total"))
+      .withColumn("__t", row_number().over(Window.orderBy("day")) - 1)
+    val stats = idx.agg(count(lit(1)).as("__N"), avg("total").as("__mu"))
+    val withK = idx.crossJoin(stats)
+      .withColumn("k", explode(sequence(lit(1), lit(maxK))))
+    val ang = lit(2.0 * math.Pi) * col("k").cast("double") *
+      col("__t") / col("__N")
+    val cent = col("total") - col("__mu")
+    val g = withK.groupBy("k").agg(
+      sum(cent * cos(ang)).as("__c"),
+      sum(cent * sin(ang)).as("__s"),
+      sum(cent * cent).as("__ss"),
+      max("__N").as("__N"))
+    g.select(col("k"),
+        round(col("__N").cast("double") / col("k"), 6).as("period_days"),
+        round(when(col("__ss") > 0,
+          (col("__c") * col("__c") + col("__s") * col("__s")) * 2.0 /
+            (col("__N") * col("__ss"))), 6).as("power"))
+  }
+
+  /** DuckDB twin of [[periodogram]]; `dailyCte` must yield
+    * (day, total). */
+  def periodogramOracleSql(dailyCte: String, maxK: Int = 10): String =
+    s"""WITH d AS ($dailyCte),
+        idx AS (SELECT total,
+            ROW_NUMBER() OVER (ORDER BY day) - 1 AS t
+          FROM d),
+        st AS (SELECT COUNT(*) AS n, AVG(total) AS mu FROM idx),
+        wk AS (SELECT idx.t, idx.total - st.mu AS c, st.n, ks.k
+          FROM idx CROSS JOIN st
+          CROSS JOIN (SELECT UNNEST(range(1, ${maxK + 1})) AS k) ks),
+        g AS (SELECT k,
+            SUM(c * COS(2 * PI() * k * t / n)) AS cc,
+            SUM(c * SIN(2 * PI() * k * t / n)) AS ss,
+            SUM(c * c) AS sq, MAX(n) AS n
+          FROM wk GROUP BY k)
+        SELECT k, ROUND(CAST(n AS DOUBLE) / k, 6) AS period_days,
+          ROUND(CASE WHEN sq > 0
+            THEN (cc * cc + ss * ss) * 2.0 / (n * sq) END, 6) AS power
+        FROM g"""
+
+  /** Cross-correlogram between TWO daily metrics of the same stream at
+    * lags −maxLag..maxLag: r_k = Σ(x_t−x̄)(y_{t+k}−ȳ) / √(Sxx·Syy)
+    * with the classic full-series normalization ([[acf]]'s convention
+    * applied across series) — "does y lead or lag x, and by how many
+    * days?". A peak at k>0 means x moves first.
+    *
+    * Both metrics are daily decimal SUMs of caller expressions over
+    * the SAME groupBy(day) pass (null sums coalesce to 0 so both
+    * series share one calendar), so the corpus collapses once; every
+    * lag column comes out of ONE ordered window pass and aggregates in
+    * ONE job, exactly the [[acf]] shape. Returns
+    * (lag, n_pairs, ccf 6dp). */
+  def crossCorrelation(events: DataFrame, tsCol: String, xExpr: Column,
+                       yExpr: Column, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "need at least one lag")
+    val d = Tables.ltzTs(events, tsCol)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(coalesce(sum(xExpr.cast("decimal(18,2)")), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("x"),
+        coalesce(sum(yExpr.cast("decimal(18,2)")), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("y"))
+    val w = Window.orderBy("day")
+    val m = d.agg(avg("x").as("__mx"), avg("y").as("__my"),
+      sum(col("x") * col("x")).as("__sxx"),
+      sum(col("y") * col("y")).as("__syy"),
+      count(lit(1)).as("__n"))
+    val ks = (-maxLag to maxLag).filter(_ != 0)
+    val lagged = d.select(
+      col("x") +: ks.map(k =>
+        lead("y", k).over(w).as(s"y_$k")): _*)
+    lagged.crossJoin(m)
+      .select(col("x"), col("__mx"), col("__my"), col("__sxx"),
+        col("__syy"), col("__n"),
+        explode(array(ks.map(k =>
+          struct(lit(k).as("lag"), col(s"y_$k").as("yk"))): _*)).as("p"))
+      .groupBy(col("p.lag").as("lag"))
+      .agg(
+        count(col("p.yk")).as("n_pairs"),
+        round(try_divide(
+          sum((col("x") - col("__mx")) * (col("p.yk") - col("__my"))),
+          sqrt(first((col("__sxx") - col("__n") * col("__mx") * col("__mx")) *
+            (col("__syy") - col("__n") * col("__my") * col("__my"))))), 6)
+          .as("ccf"))
+  }
+
+  /** DuckDB twin of [[crossCorrelation]]; `dailyCte` must yield
+    * (day, x, y) — one row per day, doubles. */
+  def crossCorrelationOracleSql(dailyCte: String, maxLag: Int = 7): String =
+    s"""WITH d AS ($dailyCte),
+        r AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+        st AS (SELECT AVG(x) AS mx, AVG(y) AS my,
+            SUM(x * x) AS sxx, SUM(y * y) AS syy, COUNT(*) AS n
+          FROM r),
+        ks AS (SELECT UNNEST(range(-$maxLag, ${maxLag + 1})) AS lag),
+        pairs AS (SELECT ks.lag, a.x, b.y
+          FROM r a CROSS JOIN ks JOIN r b ON b.rn = a.rn + ks.lag
+          WHERE ks.lag != 0)
+        SELECT p.lag, COUNT(p.y) AS n_pairs,
+          ROUND(SUM((p.x - st.mx) * (p.y - st.my)) /
+            SQRT((st.sxx - st.n * st.mx * st.mx) *
+              (st.syy - st.n * st.my * st.my)), 6) AS ccf
+        FROM pairs p CROSS JOIN st
+        GROUP BY p.lag, st.mx, st.my, st.sxx, st.syy, st.n"""
 }

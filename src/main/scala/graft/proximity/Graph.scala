@@ -607,4 +607,81 @@ object Graph {
             (deg.deg_sum / (2.0 * m.m)) * (deg.deg_sum / (2.0 * m.m)), 6)
             AS q_c
         FROM deg LEFT JOIN intra USING (community) CROSS JOIN m"""
+
+  /** HITS hubs-and-authorities (Kleinberg '99) on the DIRECTED edge
+    * list — the fixed-point [[pageRank]] doesn't cover: a node is a
+    * good hub if it points at good authorities and vice versa. Each
+    * round is the synchronous power iteration a ← Eᵀh, h ← Ea with L1
+    * normalization after each half-step (L1 keeps the oracle's
+    * arithmetic rational-friendly; the ranking is norm-invariant).
+    *
+    * Scale shape per round: two src/dst-keyed joins + two groupBys —
+    * the PageRank shuffle budget exactly — with the two normalizing
+    * sums as driver scalars (the [[pageRank]] dangling-mass precedent)
+    * and localCheckpoints truncating lineage per round. Returns
+    * (id, hub 6dp, authority 6dp). */
+  def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "hits needs at least one round")
+    val edges = edges0.filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    def l1(scored: DataFrame): Double = scored.agg(sum("__s")).first() match {
+      case r if r.isNullAt(0) || r.getDouble(0) == 0.0 => 1.0
+      case r => r.getDouble(0)
+    }
+    var hub = nodes.withColumn("h", lit(1.0)).localCheckpoint(true)
+    var auth: DataFrame = null
+    var t = 0
+    while (t < iters) {
+      val ar = edges.join(hub.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("__s"))
+      val aNew = nodes.join(ar, Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("__s"), lit(0.0)) / lit(l1(ar))).as("a"))
+        .localCheckpoint(true)
+      if (auth != null) auth.unpersist()
+      auth = aNew
+      val hr = edges.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("__s"))
+      val hNew = nodes.join(hr, Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("__s"), lit(0.0)) / lit(l1(hr))).as("h"))
+        .localCheckpoint(true)
+      hub.unpersist()
+      hub = hNew
+      t += 1
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), round(col("h"), 6).as("hub"),
+        round(col("a"), 6).as("authority"))
+      .localCheckpoint(true)
+    edges.unpersist(); nodes.unpersist(); hub.unpersist(); auth.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[hits]]: the same unrolled power iteration with
+    * scalar-subquery L1 norms. */
+  def hitsOracleSql(edgesCte: String, iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""ar$t AS (SELECT e.dst AS id, SUM(h.h) AS s
+            FROM eg e JOIN h${t - 1} h ON e.src = h.id GROUP BY e.dst),
+          a$t AS (SELECT n.id,
+            COALESCE(r.s, 0) / (SELECT SUM(s) FROM ar$t) AS a
+            FROM nodes n LEFT JOIN ar$t r USING (id)),
+          hr$t AS (SELECT e.src AS id, SUM(a.a) AS s
+            FROM eg e JOIN a$t a ON e.dst = a.id GROUP BY e.src),
+          h$t AS (SELECT n.id,
+            COALESCE(r.s, 0) / (SELECT SUM(s) FROM hr$t) AS h
+            FROM nodes n LEFT JOIN hr$t r USING (id))"""
+    }.mkString(",\n")
+    s"""WITH eg0 AS ($edgesCte),
+        eg AS (SELECT DISTINCT src, dst FROM eg0 WHERE src != dst),
+        nodes AS (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
+        h0 AS (SELECT id, 1.0 AS h FROM nodes),
+        $rounds
+        SELECT h$iters.id, ROUND(h$iters.h, 6) AS hub,
+          ROUND(a$iters.a, 6) AS authority
+        FROM h$iters JOIN a$iters ON h$iters.id = a$iters.id"""
+  }
 }
