@@ -2320,7 +2320,64 @@ object SparkEntry {
       // fraction-of-variance spectral power of the daily total at
       // harmonics 1..10 — the frequency-domain twin of q200's ACF
       graft.operators.Forecast.periodogram(t(s, dir, "events"),
-        "ts", "value", maxK = 10))
+        "ts", "value", maxK = 10)),
+    "q279_cross_correlation" -> ((s, dir) =>
+      // does spend lead errors? daily purchase revenue vs daily error
+      // count, cross-correlogram at lags -7..7 on one day rollup
+      graft.operators.Forecast.crossCorrelation(t(s, dir, "events"), "ts",
+        when(col("event_type") === "purchase", col("value")),
+        when(col("event_type") === "error", lit(1)), maxLag = 7)),
+    "q280_eb_rates" -> ((s, dir) =>
+      // per-part return rate, empirical-Bayes shrunk under a MoM-fit
+      // beta prior — low-volume parts pull to the corpus rate
+      graft.ml.Stats.ebRates(
+        t(s, dir, "lineitem").withColumn("__succ",
+          when(col("l_returnflag") === "R", 1).otherwise(0)),
+        "l_partkey", "__succ")),
+    "q281_ratio_metric_ci" -> ((s, dir) => {
+      // revenue-per-event ratio metric with a delta-method CI per
+      // parity cohort — the varying-denominator read-out q185's plain
+      // t-test gets wrong
+      val units = t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy("user_id").agg(
+          sum(col("value").cast("decimal(18,2)")).as("y"),
+          count(lit(1)).as("x"))
+        .select(
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+            .as("arm"), col("y"), col("x"))
+      graft.ml.Experiments.ratioMetricCi(units, "arm", "y", "x")
+    }),
+    "q282_caliper_matching" -> ((s, dir) => {
+      // q277's observational effect re-estimated by nearest-control
+      // caliper matching on the activity covariate (caliper = 2 events)
+      val units = t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("treated"),
+          sum(when(col("event_type") =!= "purchase",
+            col("value").cast("decimal(18,2)"))).as("y"),
+          count(lit(1)).as("x"))
+      graft.ml.Experiments.caliperMatch(units, "treated", "y", "x",
+        caliper = 2.0)
+    }),
+    "q283_interval_coalesce" -> ((s, dir) => {
+      // per-customer fulfillment coverage: each order spans order date
+      // -> last line shipment; merge overlaps into islands per customer
+      val spans = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(max("l_shipdate").as("__last"))
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("s"),
+          datediff(col("__last"), to_date(lit("1970-01-01"))).as("e"))
+      graft.operators.Intervals.coalesceIntervals(spans,
+        "o_custkey", "s", "e")
+    }),
+    "q284_theil_decomposition" -> ((s, dir) =>
+      // order-value inequality split between vs within order priority
+      // classes — additive Theil-T identity on 3 sufficient stats
+      graft.eda.Concentration.theilDecomposition(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -5778,6 +5835,45 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events WHERE value IS NOT NULL GROUP BY day""",
       maxK = 10),
+    "q279_cross_correlation" ->
+      graft.operators.Forecast.crossCorrelationOracleSql(
+        """SELECT CAST(ts AS DATE) AS day,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,2)) END),
+               CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+               THEN CAST(1 AS DECIMAL(18,2)) END),
+               CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS y
+           FROM events GROUP BY day""", maxLag = 7),
+    "q280_eb_rates" -> graft.ml.Stats.ebRatesOracleSql(
+      """SELECT l_partkey AS grp,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS success
+         FROM lineitem"""),
+    "q281_ratio_metric_ci" -> graft.ml.Experiments.ratioMetricCiOracleSql(
+      """SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+             AS arm,
+           SUM(CAST(value AS DECIMAL(18,2))) AS y, COUNT(*) AS x
+         FROM events WHERE value IS NOT NULL GROUP BY user_id"""),
+    "q282_caliper_matching" -> graft.ml.Experiments.caliperMatchOracleSql(
+      """SELECT MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS treated,
+           SUM(CASE WHEN event_type != 'purchase'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS y,
+           COUNT(*) AS x
+         FROM events WHERE value IS NOT NULL GROUP BY user_id""",
+      caliper = 2.0),
+    "q283_interval_coalesce" ->
+      graft.operators.Intervals.coalesceIntervalsOracleSql(
+        """SELECT o.o_custkey AS key,
+             CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+             CAST(li.last_ship AS DATE) - DATE '1970-01-01' AS e
+           FROM orders o
+           JOIN (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+                 FROM lineitem GROUP BY l_orderkey) li
+             ON li.l_orderkey = o.o_orderkey"""),
+    "q284_theil_decomposition" ->
+      graft.eda.Concentration.theilDecompositionOracleSql(
+        "SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

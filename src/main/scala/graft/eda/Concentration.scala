@@ -83,4 +83,84 @@ object Concentration {
             ROUND(SUM(CASE WHEN ri <= CEIL(ng * $topFrac)
               THEN x ELSE 0.0 END) / SUM(x), 6) END AS top_share
         FROM ranked GROUP BY grp"""
+
+  /** Theil-T inequality with its EXACT between/within decomposition —
+    * the question [[concentration]]'s Gini can't answer: how much of
+    * total inequality lives BETWEEN groups (sources, segments,
+    * suppliers) vs WITHIN them? T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ)
+    * with s_g the group's share of total mass — an additive identity,
+    * so the output's within + between terms sum to the repeated total.
+    *
+    * Scale shape: the whole statistic reduces to three additive
+    * sufficient statistics per group — n, Σy (decimal-exact), Σ y·ln y
+    * — in ONE map-combinable groupBy; globals are a second aggregate
+    * over the #groups frame, broadcast back via crossJoin. Only
+    * strictly positive values enter (ln). Per group:
+    * T_g = (Σ y·ln y)/Σy − ln μ_g. Returns one row per group:
+    * (grp, n, mean, mass_share, within_term, between_term,
+    * theil_group, theil_total, theil_within, theil_between) 6dp,
+    * the last three repeated. */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val g = df.filter(y.isNotNull && y > 0)
+      .groupBy(col(groupCol).as("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"),
+        sum(y * log(y)).as("__l"))
+    val tot = g.agg(sum("n").as("__nTot"), sum("__s").as("__sTot"),
+      sum("__l").as("__lTot"))
+    val sD = col("__s").cast("double")
+    val SD = col("__sTot").cast("double")
+    val muG = sD / col("n")
+    val mu = SD / col("__nTot")
+    val tG = col("__l") / sD - log(muG)
+    val share = sD / SD
+    val scored = g.crossJoin(tot)
+      .withColumn("__share", share)
+      .withColumn("__tg", tG)
+      .withColumn("__within", col("__share") * col("__tg"))
+      .withColumn("__between", col("__share") * log(muG / mu))
+      .withColumn("__ttot", col("__lTot") / SD - log(mu))
+    val parts = scored.agg(sum("__within").as("__w"),
+      sum("__between").as("__b"))
+    scored.crossJoin(parts)
+      .select(col("grp"), col("n"), round(muG, 6).as("mean"),
+        round(col("__share"), 6).as("mass_share"),
+        round(col("__within"), 6).as("within_term"),
+        round(col("__between"), 6).as("between_term"),
+        round(col("__tg"), 6).as("theil_group"),
+        round(col("__ttot"), 6).as("theil_total"),
+        round(col("__w"), 6).as("theil_within"),
+        round(col("__b"), 6).as("theil_between"))
+  }
+
+  /** DuckDB mirror of [[theilDecomposition]]; `rowsCte` must yield
+    * (grp, x). */
+  def theilDecompositionOracleSql(rowsCte: String): String =
+    s"""WITH rows0 AS ($rowsCte),
+        g AS (SELECT grp, COUNT(*) AS n,
+            SUM(CAST(x AS DECIMAL(18,2))) AS s,
+            SUM(CAST(x AS DOUBLE) * LN(CAST(x AS DOUBLE))) AS l
+          FROM rows0 WHERE x IS NOT NULL AND x > 0 GROUP BY grp),
+        tot AS (SELECT SUM(n) AS nn, SUM(s) AS ss, SUM(l) AS ll FROM g),
+        sc AS (SELECT grp, n,
+            CAST(s AS DOUBLE) / n AS mug,
+            CAST(ss AS DOUBLE) / nn AS mu,
+            CAST(s AS DOUBLE) / CAST(ss AS DOUBLE) AS share,
+            l / CAST(s AS DOUBLE) - LN(CAST(s AS DOUBLE) / n) AS tg,
+            ll / CAST(ss AS DOUBLE) - LN(CAST(ss AS DOUBLE) / nn) AS ttot
+          FROM g CROSS JOIN tot),
+        parts AS (SELECT SUM(share * tg) AS w,
+            SUM(share * LN(mug / mu)) AS b
+          FROM sc)
+        SELECT grp, n, ROUND(mug, 6) AS mean,
+          ROUND(share, 6) AS mass_share,
+          ROUND(share * tg, 6) AS within_term,
+          ROUND(share * LN(mug / mu), 6) AS between_term,
+          ROUND(tg, 6) AS theil_group,
+          ROUND(ttot, 6) AS theil_total,
+          ROUND(w, 6) AS theil_within,
+          ROUND(b, 6) AS theil_between
+        FROM sc CROSS JOIN parts"""
 }

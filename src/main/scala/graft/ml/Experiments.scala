@@ -310,14 +310,18 @@ object Experiments {
     * (Rosenbaum & Rubin '85); ATT = mean matched outcome difference.
     *
     * Scale shape: in sorted covariate order the nearest control is
-    * always the last control BEFORE or the first control AFTER the
-    * treated row, so one fully-deterministic sort (x, t, y) and two
-    * ignore-nulls window lookups replace the all-pairs distance join —
-    * O(n log n), no crossJoin anywhere. Ties (equal back/forward gap)
-    * take the earlier control; equal-sort-key rows carry identical
-    * (x, y) so engine tie order can't change the answer. Returns ONE
-    * row: (n_treated, n_matched, att, mean_treated, mean_matched_control)
-    * 6dp. */
+    * always the last control AT-OR-BEFORE or the first control AFTER
+    * the treated value, so the corpus collapses to the DISTINCT-
+    * covariate frame first (treated outcome sums + one deterministic
+    * control representative per value — the max-outcome control, a
+    * fixed tie rule) and two ignore-nulls window lookups over that
+    * collapsed frame replace the all-pairs distance join — the
+    * [[stratifiedAte]] argument: pre-quantize a continuous covariate
+    * and the window frame stays metadata-sized. Equal back/forward
+    * gaps take the at-or-before control (so an exact-x control always
+    * wins at distance 0). Returns ONE row: (n_treated, n_matched,
+    * att, mean_treated, mean_matched_control) 6dp, means over the
+    * matched set. */
   def caliperMatch(units0: DataFrame, treatedCol: String,
                    outcomeCol: String, covariateCol: String,
                    caliper: Double): DataFrame = {
@@ -326,21 +330,23 @@ object Experiments {
     val units = units0
       .filter(col(outcomeCol).isNotNull && col(covariateCol).isNotNull)
       .select(col(treatedCol).cast("int").as("__t"),
-        col(outcomeCol).cast("double").as("__y"),
+        col(outcomeCol).as("__y"),
         col(covariateCol).cast("double").as("__x"))
-    val ord = Seq(col("__x"), col("__t"), col("__y"))
-    val wB = Window.orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wF = Window.orderBy(ord: _*)
+    val byX = units.groupBy("__x").agg(
+      sum(when(col("__t") === 1, 1L).otherwise(0L)).as("__nt"),
+      sum(when(col("__t") === 1, dec(col("__y")))).as("__syt"),
+      max(when(col("__t") === 0, col("__y").cast("double"))).as("__cyRep"))
+    val wB = Window.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.orderBy("__x")
       .rowsBetween(1, Window.unboundedFollowing)
-    val cx = when(col("__t") === 0, col("__x"))
-    val cy = when(col("__t") === 0, col("__y"))
-    val m = units
+    val cx = when(col("__cyRep").isNotNull, col("__x"))
+    val m = byX
       .withColumn("__bx", last(cx, ignoreNulls = true).over(wB))
-      .withColumn("__by", last(cy, ignoreNulls = true).over(wB))
+      .withColumn("__by", last(col("__cyRep"), ignoreNulls = true).over(wB))
       .withColumn("__fx", first(cx, ignoreNulls = true).over(wF))
-      .withColumn("__fy", first(cy, ignoreNulls = true).over(wF))
-      .filter(col("__t") === 1)
+      .withColumn("__fy", first(col("__cyRep"), ignoreNulls = true).over(wF))
+      .filter(col("__nt") > 0)
     val db = col("__x") - col("__bx")
     val df_ = col("__fx") - col("__x")
     val pickBack = col("__bx").isNotNull &&
@@ -348,15 +354,17 @@ object Experiments {
     val scored = m
       .withColumn("__cy", when(pickBack, col("__by")).otherwise(col("__fy")))
       .withColumn("__d", when(pickBack, db).otherwise(df_))
-      .withColumn("__ok",
-        when(col("__cy").isNotNull && col("__d") <= caliper, 1).otherwise(0))
+      .withColumn("__ok", col("__cy").isNotNull && col("__d") <= caliper)
+    val okNt = when(col("__ok"), col("__nt")).otherwise(lit(0L))
     scored.agg(
-      count(lit(1)).as("n_treated"),
-      sum("__ok").cast("long").as("n_matched"),
-      round(avg(when(col("__ok") === 1, col("__y") - col("__cy"))), 6)
-        .as("att"),
-      round(avg(when(col("__ok") === 1, col("__y"))), 6).as("mean_treated"),
-      round(avg(when(col("__ok") === 1, col("__cy"))), 6)
+      sum("__nt").cast("long").as("n_treated"),
+      sum(okNt).cast("long").as("n_matched"),
+      round(
+        (sum(when(col("__ok"), col("__syt").cast("double"))) -
+          sum(okNt.cast("double") * col("__cy"))) / sum(okNt), 6).as("att"),
+      round(sum(when(col("__ok"), col("__syt").cast("double"))) / sum(okNt),
+        6).as("mean_treated"),
+      round(sum(okNt.cast("double") * col("__cy")) / sum(okNt), 6)
         .as("mean_matched_control"))
   }
 
@@ -364,38 +372,47 @@ object Experiments {
     * (treated, y, x). */
   def caliperMatchOracleSql(unitsCte: String, caliper: Double): String =
     s"""WITH units AS ($unitsCte),
-        u AS (SELECT CAST(treated AS INT) AS t, CAST(y AS DOUBLE) AS y,
+        u AS (SELECT CAST(treated AS INT) AS t, y,
             CAST(x AS DOUBLE) AS x
           FROM units WHERE y IS NOT NULL AND x IS NOT NULL),
-        w AS (SELECT t, y, x,
-            LAST_VALUE(CASE WHEN t = 0 THEN x END IGNORE NULLS)
-              OVER (ORDER BY x, t, y
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bx,
-            LAST_VALUE(CASE WHEN t = 0 THEN y END IGNORE NULLS)
-              OVER (ORDER BY x, t, y
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS by,
-            FIRST_VALUE(CASE WHEN t = 0 THEN x END IGNORE NULLS)
-              OVER (ORDER BY x, t, y
+        byx AS (SELECT x,
+            SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nt,
+            SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(18,2)) END) AS syt,
+            MAX(CASE WHEN t = 0 THEN CAST(y AS DOUBLE) END) AS cyrep
+          FROM u GROUP BY x),
+        w AS (SELECT x, nt, syt,
+            LAST_VALUE(CASE WHEN cyrep IS NOT NULL THEN x END IGNORE NULLS)
+              OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bx,
+            LAST_VALUE(cyrep IGNORE NULLS)
+              OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS by,
+            FIRST_VALUE(CASE WHEN cyrep IS NOT NULL THEN x END IGNORE NULLS)
+              OVER (ORDER BY x
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fx,
-            FIRST_VALUE(CASE WHEN t = 0 THEN y END IGNORE NULLS)
-              OVER (ORDER BY x, t, y
+            FIRST_VALUE(cyrep IGNORE NULLS)
+              OVER (ORDER BY x
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fy
-          FROM u),
-        m AS (SELECT y,
+          FROM byx),
+        m AS (SELECT x, nt, syt,
             CASE WHEN bx IS NOT NULL AND (fx IS NULL OR x - bx <= fx - x)
               THEN by ELSE fy END AS cy,
             CASE WHEN bx IS NOT NULL AND (fx IS NULL OR x - bx <= fx - x)
               THEN x - bx ELSE fx - x END AS d
-          FROM w WHERE t = 1),
-        s AS (SELECT y, cy,
-            CASE WHEN cy IS NOT NULL AND d <= $caliper THEN 1 ELSE 0 END
-              AS ok
+          FROM w WHERE nt > 0),
+        s AS (SELECT nt, syt, cy,
+            (cy IS NOT NULL AND d <= $caliper) AS ok
           FROM m)
-        SELECT COUNT(*) AS n_treated,
-          CAST(SUM(ok) AS BIGINT) AS n_matched,
-          ROUND(AVG(CASE WHEN ok = 1 THEN y - cy END), 6) AS att,
-          ROUND(AVG(CASE WHEN ok = 1 THEN y END), 6) AS mean_treated,
-          ROUND(AVG(CASE WHEN ok = 1 THEN cy END), 6)
+        SELECT CAST(SUM(nt) AS BIGINT) AS n_treated,
+          CAST(SUM(CASE WHEN ok THEN nt ELSE 0 END) AS BIGINT)
+            AS n_matched,
+          ROUND((SUM(CASE WHEN ok THEN CAST(syt AS DOUBLE) END)
+              - SUM(CASE WHEN ok THEN nt ELSE 0 END * cy))
+            / SUM(CASE WHEN ok THEN nt ELSE 0 END), 6) AS att,
+          ROUND(SUM(CASE WHEN ok THEN CAST(syt AS DOUBLE) END)
+            / SUM(CASE WHEN ok THEN nt ELSE 0 END), 6) AS mean_treated,
+          ROUND(SUM(CASE WHEN ok THEN nt ELSE 0 END * cy)
+            / SUM(CASE WHEN ok THEN nt ELSE 0 END), 6)
             AS mean_matched_control
         FROM s"""
 }
