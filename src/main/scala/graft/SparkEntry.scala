@@ -2377,7 +2377,62 @@ object SparkEntry {
       // order-value inequality split between vs within order priority
       // classes — additive Theil-T identity on 3 sufficient stats
       graft.eda.Concentration.theilDecomposition(
-        t(s, dir, "orders"), "o_orderpriority", "o_totalprice"))
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice")),
+    "q285_hierarchy_flatten" -> ((s, dir) =>
+      // synthetic part taxonomy (parent = k/2, 3 roots): resolve every
+      // node's root + depth by pointer doubling, O(log depth) joins
+      graft.operators.Hierarchy.flatten(
+        t(s, dir, "part").select(col("p_partkey").as("id"),
+          when(col("p_partkey") > 3, floor(col("p_partkey") / 2))
+            .as("parent")),
+        "id", "parent")),
+    "q286_cumulative_distinct" -> ((s, dir) =>
+      // daily audience growth: events, first-seen users, cumulative
+      // distinct users — two corpus passes + a calendar window
+      graft.operators.Events.cumulativeDistinct(
+        t(s, dir, "events"), "user_id", "ts")),
+    "q287_partial_correlation" -> ((s, dir) =>
+      // price-quantity association per return flag with discount held
+      // fixed — closed form from one 9-moment groupBy
+      graft.ml.Stats.partialCorr(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity", "l_discount")),
+    "q288_mcnemar" -> ((s, dir) =>
+      // two cheap urgency heuristics on the SAME orders: paired
+      // McNemar test over the discordant cells, continuity-corrected
+      graft.ml.Stats.mcnemar(
+        t(s, dir, "orders").select(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0).as("label"),
+          when(col("o_totalprice") > 150000, 1).otherwise(0).as("pred_a"),
+          when(col("o_orderkey") % 3 === 0, 1).otherwise(0).as("pred_b")),
+        "label", "pred_a", "pred_b")),
+    "q289_fk_integrity" -> ((s, dir) => {
+      // referential-integrity sweep of the whole star schema: orphan
+      // rows/keys per FK edge, keys collapsed before the join
+      import graft.eda.Integrity.fkAudit
+      Seq(
+        fkAudit(t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "lineitem->orders"),
+        fkAudit(t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey", "lineitem->part"),
+        fkAudit(t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey", "lineitem->supplier"),
+        fkAudit(t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "orders->customer"),
+        fkAudit(t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey", "customer->nation"),
+        fkAudit(t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation"), "n_nationkey", "supplier->nation"),
+        fkAudit(t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey", "nation->region"))
+        .reduce(_ unionAll _)
+    }),
+    "q290_cronbach_alpha" -> ((s, dir) =>
+      // are the first three line quantities of an order one "size"
+      // construct? Cronbach's alpha over complete 3-line orders
+      graft.ml.Stats.cronbachAlpha(
+        t(s, dir, "lineitem").filter(col("l_linenumber") <= 3),
+        "l_orderkey", "l_linenumber", "l_quantity"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -5874,6 +5929,42 @@ object SparkEntry {
     "q284_theil_decomposition" ->
       graft.eda.Concentration.theilDecompositionOracleSql(
         "SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders"),
+    "q285_hierarchy_flatten" -> graft.operators.Hierarchy.flattenOracleSql(
+      """SELECT p_partkey AS id,
+           CASE WHEN p_partkey > 3 THEN p_partkey // 2 END AS parent
+         FROM part"""),
+    "q286_cumulative_distinct" ->
+      graft.operators.Events.cumulativeDistinctOracleSql(
+        "SELECT user_id AS u, CAST(ts AS DATE) AS day FROM events"),
+    "q287_partial_correlation" -> graft.ml.Stats.partialCorrOracleSql(
+      """SELECT l_returnflag AS grp, l_extendedprice AS x,
+           l_quantity AS y, l_discount AS z FROM lineitem"""),
+    "q288_mcnemar" -> graft.ml.Stats.mcnemarOracleSql(
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END AS label,
+           CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pred_a,
+           CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS pred_b
+         FROM orders"""),
+    "q289_fk_integrity" -> Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey",
+        "lineitem->orders"),
+      ("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+        "lineitem->supplier"),
+      ("orders", "o_custkey", "customer", "c_custkey",
+        "orders->customer"),
+      ("customer", "c_nationkey", "nation", "n_nationkey",
+        "customer->nation"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey",
+        "supplier->nation"),
+      ("nation", "n_regionkey", "region", "r_regionkey",
+        "nation->region"))
+      .map { case (ct, ck, pt, pk, e) =>
+        graft.eda.Integrity.fkAuditOracleSql(ct, ck, pt, pk, e)
+      }.mkString("", "\nUNION ALL\n", ""),
+    "q290_cronbach_alpha" -> graft.ml.Stats.cronbachAlphaOracleSql(
+      """SELECT l_orderkey AS subj, l_linenumber AS item,
+           l_quantity AS score FROM lineitem WHERE l_linenumber <= 3"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -373,4 +373,213 @@ object Stats {
             THEN (observed - ee) * (observed - ee) / vv
             ELSE 0 END, 6) AS chi2_logrank
         FROM per JOIN sizes ON per.grp = sizes.grp"""
+
+  /** Per-group PARTIAL correlation r_xy·z — the x↔y association with a
+    * confounder z held fixed: r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)). The follow-up question to the q07/q197
+    * correlation matrices ("is price↔quantity real, or do both just
+    * track discount?") answered in closed form from the same moments.
+    *
+    * ONE map-combinable groupBy collects the 9 pairwise moments;
+    * everything else is scalar arithmetic on the #groups frame. Any
+    * degenerate marginal (zero variance, or |r| = 1 making the
+    * denominator 0) emits null. Returns one row per group:
+    * (grp, n, r_xy, r_xz, r_yz, partial_r) 6dp. */
+  def partialCorr(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, zCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val z = col(zCol).cast("double")
+    val g = df.filter(x.isNotNull && y.isNotNull && z.isNotNull)
+      .groupBy(col(groupCol).as("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(z).as("__sz"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(z * z).as("__szz"),
+        sum(x * y).as("__sxy"), sum(x * z).as("__sxz"),
+        sum(y * z).as("__syz"))
+    val n = col("n").cast("double")
+    def r(sab: Column, sa: Column, sb: Column,
+          saa: Column, sbb: Column): Column = {
+      val cov = sab - sa * sb / n
+      val va = saa - sa * sa / n
+      val vb = sbb - sb * sb / n
+      when(va > 0 && vb > 0, cov / sqrt(va * vb))
+    }
+    val rxy = r(col("__sxy"), col("__sx"), col("__sy"),
+      col("__sxx"), col("__syy"))
+    val rxz = r(col("__sxz"), col("__sx"), col("__sz"),
+      col("__sxx"), col("__szz"))
+    val ryz = r(col("__syz"), col("__sy"), col("__sz"),
+      col("__syy"), col("__szz"))
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    g.select(col("grp"), col("n"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round(when(den > 0, (rxy - rxz * ryz) / sqrt(den)), 6)
+        .as("partial_r"))
+  }
+
+  /** DuckDB twin of [[partialCorr]]; `srcCte` must yield
+    * (grp, x, y, z). */
+  def partialCorrOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        m AS (SELECT grp, COUNT(*) AS n,
+            SUM(CAST(x AS DOUBLE)) AS sx, SUM(CAST(y AS DOUBLE)) AS sy,
+            SUM(CAST(z AS DOUBLE)) AS sz,
+            SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+            SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy,
+            SUM(CAST(z AS DOUBLE) * CAST(z AS DOUBLE)) AS szz,
+            SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS sxy,
+            SUM(CAST(x AS DOUBLE) * CAST(z AS DOUBLE)) AS sxz,
+            SUM(CAST(y AS DOUBLE) * CAST(z AS DOUBLE)) AS syz
+          FROM src
+          WHERE x IS NOT NULL AND y IS NOT NULL AND z IS NOT NULL
+          GROUP BY grp),
+        rr AS (SELECT grp, n,
+            CASE WHEN sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0 THEN
+              (sxy - sx*sy/n) / SQRT((sxx - sx*sx/n) * (syy - sy*sy/n))
+            END AS rxy,
+            CASE WHEN sxx - sx*sx/n > 0 AND szz - sz*sz/n > 0 THEN
+              (sxz - sx*sz/n) / SQRT((sxx - sx*sx/n) * (szz - sz*sz/n))
+            END AS rxz,
+            CASE WHEN syy - sy*sy/n > 0 AND szz - sz*sz/n > 0 THEN
+              (syz - sy*sz/n) / SQRT((syy - sy*sy/n) * (szz - sz*sz/n))
+            END AS ryz
+          FROM m)
+        SELECT grp, n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+          ROUND(ryz, 6) AS r_yz,
+          ROUND(CASE WHEN (1 - rxz*rxz) * (1 - ryz*ryz) > 0 THEN
+            (rxy - rxz*ryz) / SQRT((1 - rxz*rxz) * (1 - ryz*ryz))
+          END, 6) AS partial_r
+        FROM rr"""
+
+  /** McNemar's paired test: do classifiers A and B disagree more than
+    * chance on the SAME rows? Only the discordant cells matter:
+    * χ² = (|b−c|−1)²/(b+c) with continuity correction, b = A-only
+    * correct, c = B-only correct (Edwards '48 form). The right test
+    * when q18's two confusion matrices come from one eval set — the
+    * unpaired q156 chi-square overstates the evidence there.
+    *
+    * ONE aggregate over the corpus (four conditional counts). b+c = 0
+    * emits null χ². Returns one row: (n, both_correct, only_a, only_b,
+    * both_wrong, chi2_mcnemar 6dp). */
+  def mcnemar(df: DataFrame, labelCol: String, predACol: String,
+              predBCol: String): DataFrame = {
+    val okA = col(predACol) === col(labelCol)
+    val okB = col(predBCol) === col(labelCol)
+    val g = df.filter(col(labelCol).isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(okA && okB, 1L).otherwise(0L)).as("both_correct"),
+      sum(when(okA && !okB, 1L).otherwise(0L)).as("only_a"),
+      sum(when(!okA && okB, 1L).otherwise(0L)).as("only_b"),
+      sum(when(!okA && !okB, 1L).otherwise(0L)).as("both_wrong"))
+    val b = col("only_a").cast("double")
+    val c = col("only_b").cast("double")
+    g.withColumn("chi2_mcnemar",
+      round(when(col("only_a") + col("only_b") > 0,
+        (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c)), 6))
+  }
+
+  /** DuckDB twin of [[mcnemar]]; `srcCte` must yield
+    * (label, pred_a, pred_b). */
+  def mcnemarOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        g AS (SELECT COUNT(*) AS n,
+            SUM(CASE WHEN pred_a = label AND pred_b = label
+              THEN 1 ELSE 0 END) AS both_correct,
+            SUM(CASE WHEN pred_a = label AND pred_b != label
+              THEN 1 ELSE 0 END) AS only_a,
+            SUM(CASE WHEN pred_a != label AND pred_b = label
+              THEN 1 ELSE 0 END) AS only_b,
+            SUM(CASE WHEN pred_a != label AND pred_b != label
+              THEN 1 ELSE 0 END) AS both_wrong
+          FROM src WHERE label IS NOT NULL)
+        SELECT n, CAST(both_correct AS BIGINT) AS both_correct,
+          CAST(only_a AS BIGINT) AS only_a,
+          CAST(only_b AS BIGINT) AS only_b,
+          CAST(both_wrong AS BIGINT) AS both_wrong,
+          ROUND(CASE WHEN only_a + only_b > 0 THEN
+            (ABS(CAST(only_a AS DOUBLE) - only_b) - 1)
+              * (ABS(CAST(only_a AS DOUBLE) - only_b) - 1)
+              / (only_a + only_b) END, 6) AS chi2_mcnemar
+        FROM g"""
+
+  /** Cronbach's alpha internal-consistency coefficient over a
+    * (subject, item, score) long frame: α = k/(k−1)·(1 − Σ item
+    * variances / variance of the subject total), sample (n−1)
+    * variances — the scale-reliability companion to the inter-rater
+    * agreement in q259 (there: do raters agree per item; here: do the
+    * k items measure one construct).
+    *
+    * k is read from the data (distinct items); only COMPLETE subjects
+    * (all k items present after a (subject, item) sum-collapse) enter,
+    * the standard listwise-complete convention. Scores ride
+    * DECIMAL(18,2) so per-subject totals are exact; variances are
+    * double moments on the collapsed frames. Returns one row:
+    * (k, n_subjects, sum_item_var, total_var, alpha) 6dp. */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+                    scoreCol: String): DataFrame = {
+    val cell = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(subjectCol).as("subj"), col(itemCol).as("item"))
+      .agg(sum(col(scoreCol).cast("decimal(18,2)")).as("__v"))
+    val k = cell.select("item").distinct().count()
+    require(k >= 2, s"cronbach alpha needs >= 2 items, got $k")
+    val complete = cell.groupBy("subj")
+      .agg(count(lit(1)).as("__ni"),
+        sum("__v").cast("double").as("__tot"))
+      .filter(col("__ni") === k)
+    val cc = cell.join(complete.select("subj"), Seq("subj"))
+    val nD = count(lit(1)).cast("double")
+    val itemVar = cc.groupBy("item").agg(
+      ((sum(col("__v").cast("double") * col("__v").cast("double")) -
+        sum(col("__v").cast("double")) * sum(col("__v").cast("double")) / nD)
+        / (nD - 1)).as("__var"))
+      .agg(sum("__var").as("sum_item_var"))
+    val totVar = complete.agg(
+      count(lit(1)).as("n_subjects"),
+      ((sum(col("__tot") * col("__tot")) -
+        sum(col("__tot")) * sum(col("__tot")) / nD) / (nD - 1))
+        .as("total_var"))
+    totVar.crossJoin(itemVar)
+      .select(lit(k).as("k"), col("n_subjects"),
+        round(col("sum_item_var"), 6).as("sum_item_var"),
+        round(col("total_var"), 6).as("total_var"),
+        round(when(col("total_var") > 0,
+          (lit(k.toDouble) / (k - 1.0)) *
+            (lit(1.0) - col("sum_item_var") / col("total_var"))), 6)
+          .as("alpha"))
+  }
+
+  /** DuckDB twin of [[cronbachAlpha]]; `cellCte` must yield
+    * (subj, item, score). */
+  def cronbachAlphaOracleSql(cellCte: String): String =
+    s"""WITH src AS ($cellCte),
+        cell AS (SELECT subj, item,
+            SUM(CAST(score AS DECIMAL(18,2))) AS v
+          FROM src WHERE score IS NOT NULL GROUP BY subj, item),
+        kk AS (SELECT COUNT(DISTINCT item) AS k FROM cell),
+        comp AS (SELECT subj, COUNT(*) AS ni,
+            CAST(SUM(v) AS DOUBLE) AS tot
+          FROM cell GROUP BY subj),
+        compk AS (SELECT c.subj, c.tot FROM comp c CROSS JOIN kk
+          WHERE c.ni = kk.k),
+        cc AS (SELECT cell.item, CAST(cell.v AS DOUBLE) AS v
+          FROM cell JOIN compk ON cell.subj = compk.subj),
+        iv AS (SELECT SUM(vr) AS sum_item_var FROM (
+            SELECT item,
+              (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*))
+                / (COUNT(*) - 1) AS vr
+            FROM cc GROUP BY item)),
+        tv AS (SELECT COUNT(*) AS n_subjects,
+            (SUM(tot * tot) - SUM(tot) * SUM(tot) / COUNT(*))
+              / (COUNT(*) - 1) AS total_var
+          FROM compk)
+        SELECT kk.k, tv.n_subjects,
+          ROUND(iv.sum_item_var, 6) AS sum_item_var,
+          ROUND(tv.total_var, 6) AS total_var,
+          ROUND(CASE WHEN tv.total_var > 0 THEN
+            (CAST(kk.k AS DOUBLE) / (kk.k - 1))
+              * (1 - iv.sum_item_var / tv.total_var) END, 6) AS alpha
+        FROM tv CROSS JOIN iv CROSS JOIN kk"""
 }

@@ -147,4 +147,44 @@ object Events {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(stateCol), col("valid_from"), col("valid_to"))
   }
+
+  /** Daily audience growth: events per day, NEW entities per day
+    * (first-ever appearance) and the cumulative distinct-entity count —
+    * the "how big is the user base over time" curve that a naive
+    * per-day COUNT(DISTINCT) recomputes from scratch O(days) times.
+    *
+    * Two corpus passes, both map-combinable: groupBy(day) for volume
+    * and groupBy(entity) for first-seen day; everything after (the
+    * cumulative window) rides the #days calendar frame. Days with
+    * traffic but no first-seen entities still appear with new = 0.
+    * Returns (day, n_events, new_entities, cum_entities). */
+  def cumulativeDistinct(events: DataFrame, userCol: String,
+                         tsCol: String): DataFrame = {
+    val ev = ltzTs(events, tsCol).select(col(userCol).as("__u"),
+      to_date(col(tsCol)).as("day"))
+    val perDay = ev.groupBy("day").agg(count(lit(1)).as("n_events"))
+    val firstSeen = ev.groupBy("__u").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("__new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_entities", coalesce(col("__new"), lit(0L)))
+      .withColumn("cum_entities", sum("new_entities").over(w))
+      .select(col("day").cast("timestamp").as("day"), col("n_events"),
+        col("new_entities"), col("cum_entities"))
+  }
+
+  /** DuckDB twin of [[cumulativeDistinct]]; `evCte` must yield
+    * (u, day). */
+  def cumulativeDistinctOracleSql(evCte: String): String =
+    s"""WITH ev AS ($evCte),
+        perday AS (SELECT day, COUNT(*) AS n_events FROM ev GROUP BY day),
+        fs AS (SELECT MIN(day) AS day FROM ev GROUP BY u),
+        nw AS (SELECT day, COUNT(*) AS nn FROM fs GROUP BY day)
+        SELECT CAST(p.day AS TIMESTAMP) AS day, p.n_events,
+          COALESCE(nw.nn, 0) AS new_entities,
+          SUM(COALESCE(nw.nn, 0)) OVER (ORDER BY p.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_entities
+        FROM perday p LEFT JOIN nw USING (day)"""
 }
