@@ -2432,7 +2432,89 @@ object SparkEntry {
       // construct? Cronbach's alpha over complete 3-line orders
       graft.ml.Stats.cronbachAlpha(
         t(s, dir, "lineitem").filter(col("l_linenumber") <= 3),
-        "l_orderkey", "l_linenumber", "l_quantity"))
+        "l_orderkey", "l_linenumber", "l_quantity")),
+    "q291_lsh_tuning" -> ((s, dir) =>
+      // grade the banded-MinHash dedup on a 500-doc sample against
+      // exhaustive shingle-Jaccard truth: recall + candidate precision
+      // (rows-only: banding depends on the engine hash, not SQL-
+      // expressible; truth/pair semantics spec'd in WaveSixteenSpec)
+      graft.dedup.Dedup.minhashLshStats(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text")),
+    "q292_assortativity" -> ((s, dir) =>
+      // do well-connected feature-space nodes link to each other?
+      // degree assortativity of the q39 proximity graph
+      graft.proximity.Graph.assortativity(proximityEdges(s, dir))),
+    "q293_fisher_exact" -> ((s, dir) =>
+      // nation-1 vs nation-2 customers x BUILDING segment: exact
+      // hypergeometric p on the small 2x2 where chi-square misleads
+      graft.ml.Stats.fisherExact(
+        t(s, dir, "customer").filter(col("c_nationkey").isin(1, 2))
+          .select(when(col("c_nationkey") === 1, 1).otherwise(0).as("r"),
+            when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)
+              .as("c")),
+        "r", "c")),
+    "q294_term_bursts" -> ((s, dir) =>
+      // which terms are over-represented in one ingestion batch vs the
+      // rest of the corpus? leave-one-out two-proportion z per term
+      graft.text.Bursts.termBursts(
+        t(s, dir, "documents").select((col("doc_id") % 4).as("batch"),
+          col("text")),
+        "batch", "text", minCount = 10)),
+    "q295_chow_break" -> ((s, dir) =>
+      // did the price~quantity line move mid-1995? Chow F on the
+      // shipdate split, one conditional-moment pass
+      graft.ml.Ridge.chowTest(
+        t(s, dir, "lineitem").withColumn("__regime",
+          col("l_shipdate") < to_date(lit("1995-06-01"))),
+        "l_quantity", "l_extendedprice", "__regime")),
+    "q296_brown_forsythe" -> ((s, dir) =>
+      // variance homogeneity of price across return flags — the
+      // median-centered Levene gate before pooled-variance tests
+      graft.eda.StatTests.brownForsythe(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
+    "q297_durbin_watson" -> ((s, dir) =>
+      // are the detrended daily-revenue residuals serially correlated?
+      // the trust gate on any line fit over this series
+      graft.operators.Forecast.durbinWatson(t(s, dir, "events"),
+        "ts", "value")),
+    "q298_cmh_pooled" -> ((s, dir) =>
+      // BUILDING-segment x positive-balance association, controlling
+      // for nation block: the stratified 2x2 pooled test
+      graft.ml.Stats.cmh(
+        t(s, dir, "customer").select(
+          (col("c_nationkey") % 5).as("strat"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("r"),
+          when(col("c_acctbal") > 0, 1).otherwise(0).as("c")),
+        "strat", "r", "c")),
+    "q299_cochran_q" -> ((s, dir) =>
+      // three order-book "detectors" per customer (any urgent-ish
+      // order / any big ticket / any finished order): same hit rate?
+      graft.ml.Stats.cochranQ(
+        t(s, dir, "orders").groupBy("o_custkey").agg(
+          max(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("f1"),
+          max(when(col("o_totalprice") > 150000, 1).otherwise(0)).as("f2"),
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("f3")),
+        Seq("f1", "f2", "f3"))),
+    "q300_vif" -> ((s, dir) =>
+      // is extendedprice's coefficient estimable next to quantity and
+      // discount, or collinear noise? VIF from the 3x3 corr matrix
+      graft.ml.Ridge.vif3(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount")),
+    "q301_hbos" -> ((s, dir) =>
+      // linear-time histogram outlier score over the three lineitem
+      // measures — the 100TB-first member of the outlier family
+      graft.eda.OutlierScores.hbosTopK(
+        t(s, dir, "lineitem").withColumn("id",
+          col("l_orderkey") * 8 + col("l_linenumber")),
+        "id", Seq("l_quantity", "l_extendedprice", "l_discount"),
+        bins = 10, k = 20)),
+    "q302_welch_anova" -> ((s, dir) =>
+      // event-type means under unequal variances — the test to run
+      // when q296's homogeneity gate rejects
+      graft.eda.StatTests.welchAnova(t(s, dir, "events"),
+        "event_type", "value"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -5965,6 +6047,49 @@ object SparkEntry {
     "q290_cronbach_alpha" -> graft.ml.Stats.cronbachAlphaOracleSql(
       """SELECT l_orderkey AS subj, l_linenumber AS item,
            l_quantity AS score FROM lineitem WHERE l_linenumber <= 3"""),
+    "q292_assortativity" -> graft.proximity.Graph.assortativityOracleSql(
+      proximityEdgesSql),
+    "q293_fisher_exact" -> graft.ml.Stats.fisherExactOracleSql(
+      """SELECT CASE WHEN c_nationkey = 1 THEN 1 ELSE 0 END AS r,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS c
+         FROM customer WHERE c_nationkey IN (1, 2)"""),
+    "q294_term_bursts" -> graft.text.Bursts.termBurstsOracleSql(
+      "SELECT doc_id % 4 AS batch, text FROM documents", minCount = 10),
+    "q295_chow_break" -> graft.ml.Ridge.chowTestOracleSql(
+      """SELECT l_quantity AS x, l_extendedprice AS y,
+           l_shipdate < DATE '1995-06-01' AS s FROM lineitem"""),
+    "q296_brown_forsythe" -> graft.eda.StatTests.brownForsytheOracleSql(
+      "SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem"),
+    "q297_durbin_watson" -> graft.operators.Forecast.durbinWatsonOracleSql(
+      "ts", "value", "events"),
+    "q298_cmh_pooled" -> graft.ml.Stats.cmhOracleSql(
+      """SELECT c_nationkey % 5 AS s,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS r,
+           CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS c
+         FROM customer"""),
+    "q299_cochran_q" -> graft.ml.Stats.cochranQOracleSql(
+      """SELECT o_custkey,
+           MAX(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS f1,
+           MAX(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS f2,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f3
+         FROM orders GROUP BY o_custkey""", k = 3),
+    "q300_vif" -> graft.ml.Ridge.vif3OracleSql(
+      """SELECT l_quantity AS x1, l_extendedprice AS x2,
+           l_discount AS x3 FROM lineitem""",
+      "l_quantity", "l_extendedprice", "l_discount"),
+    "q301_hbos" -> graft.eda.OutlierScores.hbosOracleSql(
+      """SELECT l_orderkey * 8 + l_linenumber AS id, f,
+           CAST(v AS DOUBLE) AS v
+         FROM (SELECT l_orderkey, l_linenumber,
+             UNNEST(['l_quantity', 'l_extendedprice', 'l_discount']) AS f,
+             UNNEST([CAST(l_quantity AS DOUBLE),
+               CAST(l_extendedprice AS DOUBLE),
+               CAST(l_discount AS DOUBLE)]) AS v
+           FROM lineitem)
+         WHERE v IS NOT NULL AND NOT isnan(v)""", bins = 10, k = 20),
+    "q302_welch_anova" -> graft.eda.StatTests.welchAnovaOracleSql(
+      """SELECT event_type AS grp, value AS v FROM events"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

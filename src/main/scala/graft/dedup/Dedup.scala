@@ -78,25 +78,7 @@ object Dedup {
     val docs = shingled.select(col("id"), col("sh"),
       minhashSignature(col("sh"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band keys travel as narrow (band, bkey, id) rows — shingle arrays are
-    // NOT carried through the band join/dedup; they are re-joined only for
-    // the surviving candidate pairs.
-    val banded = docs.select(col("id"), explode(
-      array((0 until bands).map(b =>
-        struct(lit(b).as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*)
-    ).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bkey"))
-    // guard against pathological buckets (near-global dup text): aggregate
-    // count per bucket (map-side combinable, unlike a window) and anti-drop
-    val bucketSizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("__n"))
-    val counted = banded.join(bucketSizes.filter(col("__n") <= maxBucket), Seq("band", "bkey"))
-      .drop("__n")
-    val l = counted.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val r = counted.select(col("band"), col("bkey"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bandedCandidates(docs, bands, rowsPerBand, maxBucket)
     val sets = docs.select(col("id"), col("sh"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
@@ -105,6 +87,90 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The LSH candidate stage shared by [[minhashLsh]] and
+    * [[minhashLshStats]]: band keys travel as narrow (band, bkey, id)
+    * rows — shingle arrays are NOT carried through the band join/dedup;
+    * pathological buckets (near-global dup text) are dropped by an
+    * aggregated pre-count (map-side combinable, unlike a window). */
+  private def bandedCandidates(docs: DataFrame, bands: Int,
+                               rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val banded = docs.select(col("id"), explode(
+      array((0 until bands).map(b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*)
+    ).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
+    val bucketSizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("__n"))
+    val counted = banded.join(bucketSizes.filter(col("__n") <= maxBucket), Seq("band", "bkey"))
+      .drop("__n")
+    val l = counted.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val r = counted.select(col("band"), col("bkey"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** LSH-tuning harness: on a BOUNDED document sample, grade the
+    * banded MinHash pipeline against exhaustive shingle-Jaccard ground
+    * truth — the dedup sibling of the q267 ANN-recall harness. The
+    * numbers that matter when choosing (numHashes, bands) for a 100 TB
+    * dedup run, measured instead of guessed:
+    *   recall          = verified LSH pairs / true pairs ≥ threshold
+    *   cand_precision  = verified pairs / candidate pairs (wasted
+    *                     verification work when low)
+    * Verified pairs use the same shingle sets as the truth, so
+    * found ⊆ true and recall ≤ 1 structurally.
+    *
+    * The sample is whatever `df` the caller passes — REQUIRED small
+    * (≤ `maxSample` docs, checked) because the truth is an all-pairs
+    * join; that is the point of a harness: exhaustive on a sample,
+    * extrapolate to the corpus. Returns one row: (n_docs,
+    * n_candidates, n_true_pairs, n_found_pairs, recall 6dp,
+    * cand_precision 6dp). */
+  def minhashLshStats(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.5,
+                      maxSample: Int = 2000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val shingled = df.select(col(idCol).as("id"),
+      graft.functions.Signatures.wordShingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = shingled.count()
+    require(nDocs <= maxSample,
+      s"minhashLshStats is an exhaustive harness — pass a sample " +
+        s"(got $nDocs docs > maxSample = $maxSample)")
+    val docs = shingled.select(col("id"), col("sh"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    val l = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .filter(round(jac, 6) >= threshold)
+      .select("id_a", "id_b")
+    val candidates = bandedCandidates(docs, bands, rowsPerBand,
+      maxBucket = maxSample)
+    val found = candidates
+      .join(l, Seq("id_a")).join(r, Seq("id_b"))
+      .filter(round(jac, 6) >= threshold)
+      .select("id_a", "id_b")
+    val counts = truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found_pairs")))
+    val out = counts.select(lit(nDocs).as("n_docs"), col("n_candidates"),
+      col("n_true_pairs"), col("n_found_pairs"),
+      round(when(col("n_true_pairs") > 0,
+        col("n_found_pairs").cast("double") / col("n_true_pairs")), 6)
+        .as("recall"),
+      round(when(col("n_candidates") > 0,
+        col("n_found_pairs").cast("double") / col("n_candidates")), 6)
+        .as("cand_precision"))
+      .localCheckpoint(true)
+    shingled.unpersist(); docs.unpersist()
+    out
   }
 
   /** 32-bit SimHash from an ALREADY-MATERIALIZED token-hash array column

@@ -91,4 +91,74 @@ object OutlierScores {
       .orderBy(col("mahalanobis_sq").desc, col("__id")).limit(k)
       .select(col("__id").as(idCol), col("mahalanobis_sq"))
   }
+
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012):
+    * per feature an equal-width histogram, per row the summed
+    * log-inverse bin density Σ_f ln(n_f / count_f(bin(x))). The
+    * linear-time member of the outlier family (vs [[ecodTopK]]'s rank
+    * ECDFs): two corpus passes, no rank kernel, so it is the one to
+    * reach for first at 100 TB.
+    *
+    * Scale shape: pass 1 is ONE min/max aggregate over the selected
+    * columns (broadcast single row); the (feature, bin) histogram is a
+    * map-combinable groupBy over the exploded long frame; the score
+    * pass joins the long frame to the BROADCAST (#features × bins)
+    * count table and groupBy(id)-sums. Bin assignment uses the exact
+    * double expression floor((x−min)/(max−min)·bins) clamped to
+    * bins−1, so engines agree bit-for-bit. Constant features
+    * (max = min) collapse to bin 0 (density 1 → score term 0). Null /
+    * NaN cells are skipped (contribute nothing). Returns the top-k
+    * (id, hbos_score 6dp), (score desc, id) deterministic. */
+  def hbosTopK(df: DataFrame, idCol: String, cols: Seq[String],
+               bins: Int = 10, k: Int = 20): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val long = df.select(col(idCol).as("__id"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*)).as("p"))
+      .select(col("__id"), col("p.f").as("__f"), col("p.v").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val bounds = long.groupBy("__f")
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"),
+        count(lit(1)).as("__nf"))
+    val binned = long.join(broadcast(bounds), "__f")
+      .withColumn("__bin",
+        when(col("__hi") > col("__lo"),
+          least(lit(bins - 1), floor((col("__v") - col("__lo")) /
+            (col("__hi") - col("__lo")) * bins)))
+          .otherwise(0L))
+    val hist = binned.groupBy("__f", "__bin")
+      .agg(count(lit(1)).as("__cnt"), first("__nf").as("__nf"))
+    binned.select(col("__id"), col("__f"), col("__bin"))
+      .join(broadcast(hist), Seq("__f", "__bin"))
+      .groupBy("__id")
+      .agg(round(sum(log(col("__nf").cast("double") / col("__cnt"))), 6)
+        .as("hbos_score"))
+      .orderBy(col("hbos_score").desc, col("__id")).limit(k)
+      .select(col("__id").as(idCol), col("hbos_score"))
+  }
+
+  /** DuckDB twin of [[hbosTopK]]; `longCte` must yield (id, f, v)
+    * already exploded/filtered like the operator's long frame. */
+  def hbosOracleSql(longCte: String, bins: Int, k: Int): String =
+    s"""WITH long AS ($longCte),
+        bounds AS (SELECT f, MIN(v) AS lo, MAX(v) AS hi,
+            COUNT(*) AS nf
+          FROM long GROUP BY f),
+        binned AS (SELECT long.id, long.f,
+            CASE WHEN hi > lo THEN
+              LEAST($bins - 1, CAST(FLOOR((v - lo) / (hi - lo) * $bins)
+                AS BIGINT))
+            ELSE 0 END AS bin
+          FROM long JOIN bounds ON long.f = bounds.f),
+        hist AS (SELECT f, bin, COUNT(*) AS cnt, ANY_VALUE(nf) AS nf
+          FROM (SELECT binned.*, bounds.nf FROM binned
+            JOIN bounds ON binned.f = bounds.f)
+          GROUP BY f, bin),
+        sc AS (SELECT id,
+            ROUND(SUM(LN(CAST(nf AS DOUBLE) / cnt)), 6) AS hbos_score
+          FROM binned JOIN hist ON binned.f = hist.f
+            AND binned.bin = hist.bin
+          GROUP BY id)
+        SELECT id, hbos_score FROM sc
+        ORDER BY hbos_score DESC, id LIMIT $k"""
 }

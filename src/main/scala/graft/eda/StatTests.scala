@@ -207,4 +207,113 @@ object StatTests {
     cells.unpersist()
     out
   }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene's test with the
+    * MEDIAN center, the robust default): one-way [[anovaF]] applied to
+    * the absolute deviations |x − med_g| — the prerequisite check
+    * before trusting q196's plain ANOVA or a pooled-variance t.
+    *
+    * Two corpus passes: one groupBy for the exact per-group medians
+    * (the q158 `quantile_cont` kernel), then the deviations join the
+    * #groups median frame (broadcast) and reuse the centered ANOVA
+    * aggregate. The read-out is the O(1) F RATIO only — raw SSEs at
+    * corpus magnitude are summation-order noise at the 6dp contract
+    * (the q295 Chow-test lesson). Returns one row: (k, n, f_bf 6dp). */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val med = base.groupBy("__g").agg(
+      graft.functions.ExactPercentiles.exactPercentiles(
+        col("__v"), Seq(0.5)).getItem(0).as("__med"))
+    val dev = base.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__d"))
+    anovaF(dev, "__g", "__d")
+      .select(col("k"), col("n"), col("f_stat").as("f_bf"))
+  }
+
+  /** DuckDB twin of [[brownForsythe]]; `srcCte` must yield (grp, v). */
+  def brownForsytheOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        base AS (SELECT grp, CAST(v AS DOUBLE) AS v FROM src
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        med AS (SELECT grp, quantile_cont(v, 0.5) AS m
+          FROM base GROUP BY grp),
+        dev AS (SELECT base.grp, ABS(base.v - med.m) AS d
+          FROM base JOIN med ON base.grp = med.grp),
+        pg AS (SELECT grp, COUNT(*) AS ng, AVG(d) AS mg,
+            COALESCE(VAR_SAMP(d), 0) AS vg
+          FROM dev GROUP BY grp),
+        gm AS (SELECT SUM(ng * mg) / SUM(ng) AS m FROM pg),
+        agg AS (SELECT COUNT(*) AS k, SUM(ng) AS n,
+            SUM(ng * (mg - gm.m) * (mg - gm.m)) AS ssb,
+            SUM((ng - 1) * vg) AS ssw
+          FROM pg CROSS JOIN gm GROUP BY gm.m)
+        SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+          ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_bf
+        FROM agg"""
+
+  /** Welch's heteroscedastic one-way ANOVA — the k-group mean test
+    * that does NOT assume equal variances, i.e. the test to run when
+    * [[brownForsythe]] rejects. Weights wⱼ = nⱼ/s²ⱼ;
+    * F_w = [Σwⱼ(mⱼ−m̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·S] with
+    * S = Σ(1−wⱼ/W)²/(nⱼ−1), and the Welch–Satterthwaite denominator
+    * df₂ = (k²−1)/(3S).
+    *
+    * Scale shape: identical to [[anovaF]] — one map-combinable
+    * groupBy for (nⱼ, mⱼ, s²ⱼ), then every Welch term rides the
+    * #groups metadata frame. Groups with n < 2 or zero variance are
+    * dropped (infinite weight; documented complete-variance rule).
+    * Returns one row: (k, n, f_welch 6dp, df2 6dp). */
+  def welchAnova(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val pg = base.groupBy("__g")
+      .agg(count(lit(1)).as("__ng"), avg("__v").as("__mg"),
+        var_samp("__v").as("__vg"))
+      .filter(col("__ng") >= 2 && col("__vg") > 0)
+      .withColumn("__w", col("__ng") / col("__vg"))
+    val grand = pg.agg(sum("__w").as("__wsum"),
+      (sum(col("__w") * col("__mg")) / sum("__w")).as("__mw"))
+    val g = pg.crossJoin(broadcast(grand)).agg(
+      count(lit(1)).as("__k"), sum("__ng").as("__n"),
+      sum(col("__w") * (col("__mg") - col("__mw")) *
+        (col("__mg") - col("__mw"))).as("__a"),
+      sum((lit(1.0) - col("__w") / col("__wsum")) *
+        (lit(1.0) - col("__w") / col("__wsum")) / (col("__ng") - 1))
+        .as("__s"))
+    val k = col("__k").cast("double")
+    val fw = (col("__a") / (k - 1)) /
+      (lit(1.0) + lit(2.0) * (k - 2) / (k * k - 1) * col("__s"))
+    g.select(col("__k").as("k"), col("__n").as("n"),
+      round(when(col("__k") >= 2 && col("__s") > 0, fw), 6).as("f_welch"),
+      round(when(col("__s") > 0, (k * k - 1) / (lit(3.0) * col("__s"))), 6)
+        .as("df2"))
+  }
+
+  /** DuckDB twin of [[welchAnova]]; `srcCte` must yield (grp, v). */
+  def welchAnovaOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        base AS (SELECT grp, CAST(v AS DOUBLE) AS v FROM src
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        pg0 AS (SELECT grp, COUNT(*) AS ng, AVG(v) AS mg,
+            var_samp(v) AS vg FROM base GROUP BY grp),
+        pg AS (SELECT *, ng / vg AS w FROM pg0
+          WHERE ng >= 2 AND vg > 0),
+        gm AS (SELECT SUM(w) AS ww, SUM(w * mg) / SUM(w) AS mw FROM pg),
+        g AS (SELECT COUNT(*) AS k, SUM(ng) AS n,
+            SUM(w * (mg - mw) * (mg - mw)) AS a,
+            SUM((1.0 - w / ww) * (1.0 - w / ww) / (ng - 1)) AS s
+          FROM pg CROSS JOIN gm)
+        SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+          ROUND(CASE WHEN k >= 2 AND s > 0 THEN
+            (a / (k - 1)) /
+              (1.0 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1) * s)
+            END, 6) AS f_welch,
+          ROUND(CASE WHEN s > 0 THEN
+            (CAST(k AS DOUBLE) * k - 1) / (3.0 * s) END, 6) AS df2
+        FROM g"""
 }

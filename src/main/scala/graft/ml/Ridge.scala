@@ -103,4 +103,190 @@ object Ridge {
             THEN ROUND((b1 * c1 + b2 * c2) / syyc, 6) END AS explained
         FROM sol"""
   }
+
+  /** Chow structural-break test for the simple regression y ~ x: did
+    * the (intercept, slope) change between the two regimes a boolean
+    * split column defines? F = ((SSE_pooled − SSE₁ − SSE₂)/2) /
+    * ((SSE₁+SSE₂)/(n₁+n₂−4)) — the "did the pricing curve move after
+    * the policy date" follow-up to [[ridge2]]'s per-group fits.
+    *
+    * One conditional-moment aggregate over the corpus (both regimes +
+    * pooled from the same sums); every SSE is the closed OLS form
+    * Syy − Sxy²/Sxx on centered-via-raw moments. Regimes with Sxx = 0
+    * or n < 3 emit null F. The read-outs are all O(1) RATIOS (R² of
+    * the pooled and split fits against the pooled centered variation,
+    * and the F statistic) — raw SSEs at corpus magnitude would be
+    * summation-order noise at the 6dp contract. Returns one row:
+    * (n_a, n_b, r2_pooled, r2_split, f_chow) 6dp. */
+  def chowTest(df: DataFrame, xCol: String, yCol: String,
+               splitCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val inA = col(splitCol) === true
+    def moments(cond: Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, x)).as(s"__sx_$tag"),
+      sum(when(cond, y)).as(s"__sy_$tag"),
+      sum(when(cond, x * x)).as(s"__sxx_$tag"),
+      sum(when(cond, y * y)).as(s"__syy_$tag"),
+      sum(when(cond, x * y)).as(s"__sxy_$tag"))
+    val aggs = moments(inA, "a") ++ moments(!inA, "b")
+    val g = df.filter(x.isNotNull && y.isNotNull && col(splitCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def sse(tag: String): Column = {
+      val n = col(s"n_$tag").cast("double")
+      val sxx = col(s"__sxx_$tag") - col(s"__sx_$tag") * col(s"__sx_$tag") / n
+      val syy = col(s"__syy_$tag") - col(s"__sy_$tag") * col(s"__sy_$tag") / n
+      val sxy = col(s"__sxy_$tag") - col(s"__sx_$tag") * col(s"__sy_$tag") / n
+      when(col(s"n_$tag") >= 3 && sxx > 0, syy - sxy * sxy / sxx)
+    }
+    val withP = g
+      .withColumn("n_p", col("n_a") + col("n_b"))
+      .withColumn("__sx_p", col("__sx_a") + col("__sx_b"))
+      .withColumn("__sy_p", col("__sy_a") + col("__sy_b"))
+      .withColumn("__sxx_p", col("__sxx_a") + col("__sxx_b"))
+      .withColumn("__syy_p", col("__syy_a") + col("__syy_b"))
+      .withColumn("__sxy_p", col("__sxy_a") + col("__sxy_b"))
+      .withColumn("__sseA", sse("a"))
+      .withColumn("__sseB", sse("b"))
+      .withColumn("__sseP", sse("p"))
+    val sseSplit = col("__sseA") + col("__sseB")
+    val dfDen = (col("n_a") + col("n_b") - 4).cast("double")
+    val f = when(sseSplit > 0,
+      ((col("__sseP") - sseSplit) / 2.0) / (sseSplit / dfDen))
+    val nP = col("n_p").cast("double")
+    val syyC = col("__syy_p") - col("__sy_p") * col("__sy_p") / nP
+    withP.select(col("n_a"), col("n_b"),
+      round(when(syyC > 0, lit(1.0) - col("__sseP") / syyC), 6)
+        .as("r2_pooled"),
+      round(when(syyC > 0, lit(1.0) - sseSplit / syyC), 6)
+        .as("r2_split"),
+      round(f, 6).as("f_chow"))
+  }
+
+  /** DuckDB twin of [[chowTest]]; `srcCte` must yield (x, y, s) with
+    * s the boolean regime flag. */
+  def chowTestOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        m AS (SELECT
+            SUM(CASE WHEN s THEN 1 ELSE 0 END) AS na,
+            SUM(CASE WHEN s THEN CAST(x AS DOUBLE) END) AS sxa,
+            SUM(CASE WHEN s THEN CAST(y AS DOUBLE) END) AS sya,
+            SUM(CASE WHEN s THEN CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+              END) AS sxxa,
+            SUM(CASE WHEN s THEN CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+              END) AS syya,
+            SUM(CASE WHEN s THEN CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+              END) AS sxya,
+            SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS nb,
+            SUM(CASE WHEN NOT s THEN CAST(x AS DOUBLE) END) AS sxb,
+            SUM(CASE WHEN NOT s THEN CAST(y AS DOUBLE) END) AS syb,
+            SUM(CASE WHEN NOT s THEN CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+              END) AS sxxb,
+            SUM(CASE WHEN NOT s THEN CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+              END) AS syyb,
+            SUM(CASE WHEN NOT s THEN CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+              END) AS sxyb
+          FROM src
+          WHERE x IS NOT NULL AND y IS NOT NULL AND s IS NOT NULL),
+        e AS (SELECT na, nb,
+            CASE WHEN na >= 3 AND sxxa - sxa*sxa/na > 0 THEN
+              (syya - sya*sya/na)
+                - (sxya - sxa*sya/na) * (sxya - sxa*sya/na)
+                  / (sxxa - sxa*sxa/na) END AS ssea,
+            CASE WHEN nb >= 3 AND sxxb - sxb*sxb/nb > 0 THEN
+              (syyb - syb*syb/nb)
+                - (sxyb - sxb*syb/nb) * (sxyb - sxb*syb/nb)
+                  / (sxxb - sxb*sxb/nb) END AS sseb,
+            CASE WHEN na + nb >= 3
+                AND (sxxa+sxxb) - (sxa+sxb)*(sxa+sxb)/(na+nb) > 0 THEN
+              ((syya+syyb) - (sya+syb)*(sya+syb)/(na+nb))
+                - ((sxya+sxyb) - (sxa+sxb)*(sya+syb)/(na+nb))
+                  * ((sxya+sxyb) - (sxa+sxb)*(sya+syb)/(na+nb))
+                  / ((sxxa+sxxb) - (sxa+sxb)*(sxa+sxb)/(na+nb))
+            END AS ssep,
+            (syya+syyb) - (sya+syb)*(sya+syb)/(na+nb) AS syyc
+          FROM m)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          ROUND(CASE WHEN syyc > 0 THEN 1 - ssep / syyc END, 6)
+            AS r2_pooled,
+          ROUND(CASE WHEN syyc > 0 THEN 1 - (ssea + sseb) / syyc END, 6)
+            AS r2_split,
+          ROUND(CASE WHEN ssea + sseb > 0 THEN
+            ((ssep - ssea - sseb) / 2.0)
+              / ((ssea + sseb) / (na + nb - 4)) END, 6) AS f_chow
+        FROM e"""
+
+  /** Variance inflation factors for a 3-feature design — the
+    * multicollinearity gate before trusting [[ridge2]]-style
+    * coefficients (VIF > 10 = the slope is noise). Closed form from
+    * the 3×3 correlation matrix: regressing feature 1 on {2, 3} gives
+    * R²₁ = (r₁₂² + r₁₃² − 2·r₁₂r₁₃r₂₃)/(1 − r₂₃²) (symmetric for the
+    * others), VIF = 1/(1 − R²).
+    *
+    * Scale shape: ONE corr-moment aggregate (complete-case rows, the
+    * same Pearson kernel as q07's matrix), then the closed forms ride
+    * the single broadcast row and explode to 3 output rows. Degenerate
+    * inputs (either pairwise |r| = 1, making the 2-regressor system
+    * singular, or R² → 1) emit null VIF. Returns
+    * (feature, r2_others 6dp, vif 6dp), one row per feature. */
+  def vif3(df: DataFrame, c1: String, c2: String, c3: String): DataFrame = {
+    val (x1, x2, x3) = (col(c1).cast("double"), col(c2).cast("double"),
+      col(c3).cast("double"))
+    val m = df
+      .filter(x1.isNotNull && x2.isNotNull && x3.isNotNull &&
+        !isnan(x1) && !isnan(x2) && !isnan(x3))
+      .agg(corr(x1, x2).as("__r12"), corr(x1, x3).as("__r13"),
+        corr(x2, x3).as("__r23"))
+    def r2Of(rab: Column, rac: Column, rbc: Column): Column =
+      when(lit(1.0) - rbc * rbc > 1e-12,
+        (rab * rab + rac * rac - lit(2.0) * rab * rac * rbc) /
+          (lit(1.0) - rbc * rbc))
+    val (r12, r13, r23) = (col("__r12"), col("__r13"), col("__r23"))
+    val rows = array(
+      struct(lit(c1).as("feature"),
+        r2Of(r12, r13, r23).as("r2"),
+        when(lit(1.0) - r2Of(r12, r13, r23) > 1e-12,
+          lit(1.0) / (lit(1.0) - r2Of(r12, r13, r23))).as("v")),
+      struct(lit(c2).as("feature"),
+        r2Of(r12, r23, r13).as("r2"),
+        when(lit(1.0) - r2Of(r12, r23, r13) > 1e-12,
+          lit(1.0) / (lit(1.0) - r2Of(r12, r23, r13))).as("v")),
+      struct(lit(c3).as("feature"),
+        r2Of(r13, r23, r12).as("r2"),
+        when(lit(1.0) - r2Of(r13, r23, r12) > 1e-12,
+          lit(1.0) / (lit(1.0) - r2Of(r13, r23, r12))).as("v")))
+    m.select(explode(rows).as("p"))
+      .select(col("p.feature").as("feature"),
+        round(col("p.r2"), 6).as("r2_others"),
+        round(col("p.v"), 6).as("vif"))
+  }
+
+  /** DuckDB twin of [[vif3]]; `srcCte` must yield (x1, x2, x3) and the
+    * feature labels are passed through for the output rows. */
+  def vif3OracleSql(srcCte: String, n1: String, n2: String,
+                    n3: String): String = {
+    def r2(rab: String, rac: String, rbc: String): String =
+      s"""CASE WHEN 1.0 - $rbc * $rbc > 1e-12 THEN
+          ($rab * $rab + $rac * $rac - 2.0 * $rab * $rac * $rbc)
+            / (1.0 - $rbc * $rbc) END"""
+    def rowFor(name: String, rab: String, rac: String, rbc: String) =
+      s"""SELECT '$name' AS feature,
+          ROUND(${r2(rab, rac, rbc)}, 6) AS r2_others,
+          ROUND(CASE WHEN 1.0 - (${r2(rab, rac, rbc)}) > 1e-12 THEN
+            1.0 / (1.0 - (${r2(rab, rac, rbc)})) END, 6) AS vif
+        FROM m"""
+    s"""WITH src AS (SELECT CAST(x1 AS DOUBLE) AS x1,
+            CAST(x2 AS DOUBLE) AS x2, CAST(x3 AS DOUBLE) AS x3
+          FROM ($srcCte)
+          WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL
+            AND NOT isnan(CAST(x1 AS DOUBLE))
+            AND NOT isnan(CAST(x2 AS DOUBLE))
+            AND NOT isnan(CAST(x3 AS DOUBLE))),
+        m AS (SELECT corr(x1, x2) AS r12, corr(x1, x3) AS r13,
+            corr(x2, x3) AS r23 FROM src)
+        ${rowFor(n1, "r12", "r13", "r23")}
+        UNION ALL ${rowFor(n2, "r12", "r23", "r13")}
+        UNION ALL ${rowFor(n3, "r13", "r23", "r12")}"""
+  }
 }

@@ -582,4 +582,258 @@ object Stats {
             (CAST(kk.k AS DOUBLE) / (kk.k - 1))
               * (1 - iv.sum_item_var / tv.total_var) END, 6) AS alpha
         FROM tv CROSS JOIN iv CROSS JOIN kk"""
+
+  /** Fisher's EXACT test for a 2×2 table — the small-count regime
+    * where q156's chi-square approximation breaks (any expected cell
+    * < 5). Two-sided p by the standard "sum all tables as or more
+    * extreme" rule: p = Σ_{k : P(k) ≤ P(obs)·(1+1e-7)} P(k) over the
+    * hypergeometric support, with log-probabilities from a running
+    * log-factorial ladder — a cumulative-sum frame both engines build
+    * IDENTICALLY, so no lgamma-implementation drift can split the 6dp
+    * compare.
+    *
+    * Scale note: the ladder frame is n+1 rows and its cumsum window is
+    * unpartitioned — this operator is for SMALL strata by design
+    * (require n ≤ 1e6; at larger n the chi-square is the right tool
+    * and this test adds nothing). The corpus pass is one 4-cell
+    * conditional aggregate. Returns one row:
+    * (a, b, c, d, odds_ratio 6dp, p_value 6dp). */
+  def fisherExact(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val r1 = col(rowCol) === 1
+    val c1 = col(colCol) === 1
+    val cellRow = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .agg(
+        sum(when(r1 && c1, 1L).otherwise(0L)).as("a"),
+        sum(when(r1 && !c1, 1L).otherwise(0L)).as("b"),
+        sum(when(!r1 && c1, 1L).otherwise(0L)).as("c"),
+        sum(when(!r1 && !c1, 1L).otherwise(0L)).as("d"))
+      .head()
+    val (a, b, c, d) = (cellRow.getLong(0), cellRow.getLong(1),
+      cellRow.getLong(2), cellRow.getLong(3))
+    val n = a + b + c + d
+    require(n <= 1000000L,
+      s"fisherExact is for small strata (n <= 1e6), got n = $n — " +
+        "use the chi-square test at this size")
+    // log-factorial ladder 0..n: lf(i) = Σ_{j<=i} ln(max(j,1)) — the
+    // SAME running sum the oracle builds, never an lgamma call
+    val lf = spark.range(0, n + 1)
+      .withColumn("lf", sum(log(greatest(col("id"), lit(1L))))
+        .over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def lfOf(alias: String) =
+      lf.select(col("id").as(alias + "_i"), col("lf").as(alias))
+    val kLo = math.max(0L, (a + c) - (c + d))
+    val kHi = math.min(a + b, a + c)
+    val ks = spark.range(kLo, kHi + 1).select(col("id").as("k"))
+    // logP(k) = lf(r1)+lf(r2)+lf(c1)+lf(c2)−lf(n)−lf(k)−lf(r1−k)
+    //           −lf(c1−k)−lf(r2−c1+k) with margins fixed at observed
+    val lp = ks
+      .join(lfOf("lk"), col("k") === col("lk_i"))
+      .join(lfOf("lak"), lit(a + b) - col("k") === col("lak_i"))
+      .join(lfOf("lck"), lit(a + c) - col("k") === col("lck_i"))
+      .join(lfOf("ldk"),
+        lit(c + d) - lit(a + c) + col("k") === col("ldk_i"))
+      .crossJoin(lf.filter(col("id") === (a + b))
+        .select(col("lf").as("lr1")))
+      .crossJoin(lf.filter(col("id") === (c + d))
+        .select(col("lf").as("lr2")))
+      .crossJoin(lf.filter(col("id") === (a + c))
+        .select(col("lf").as("lc1")))
+      .crossJoin(lf.filter(col("id") === (b + d))
+        .select(col("lf").as("lc2")))
+      .crossJoin(lf.filter(col("id") === n).select(col("lf").as("ln")))
+      .select(col("k"),
+        (col("lr1") + col("lr2") + col("lc1") + col("lc2") - col("ln") -
+          col("lk") - col("lak") - col("lck") - col("ldk")).as("lp"))
+    val obs = lp.filter(col("k") === a).select(col("lp").as("lpObs"))
+    val p = lp.crossJoin(obs)
+      .filter(exp(col("lp")) <= exp(col("lpObs")) * (1.0 + 1e-7))
+      .agg(sum(exp(col("lp"))).as("p"))
+    val or = if (b > 0 && c > 0)
+      round(lit(a.toDouble * d / (b.toDouble * c)), 6) else lit(null)
+    p.select(lit(a).as("a"), lit(b).as("b"), lit(c).as("c"),
+      lit(d).as("d"), or.cast("double").as("odds_ratio"),
+      round(least(col("p"), lit(1.0)), 6).as("p_value"))
+  }
+
+  /** DuckDB twin of [[fisherExact]]; `unitsCte` must yield (r, c)
+    * binary columns. Builds the identical log-factorial ladder. */
+  def fisherExactOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT * FROM ($unitsCte)
+          WHERE r IS NOT NULL AND c IS NOT NULL),
+        cells AS (SELECT
+            CAST(SUM(CASE WHEN r = 1 AND c = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN r = 1 AND c != 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN r != 1 AND c = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS cc,
+            CAST(SUM(CASE WHEN r != 1 AND c != 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+          FROM units),
+        nn AS (SELECT a, b, cc, d, a + b + cc + d AS n FROM cells),
+        lf AS (SELECT i,
+            SUM(LN(GREATEST(i, 1))) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+          FROM (SELECT UNNEST(range(0, (SELECT n FROM nn) + 1)) AS i)),
+        ks AS (SELECT UNNEST(range(
+            GREATEST(0, (SELECT a + cc FROM nn) - (SELECT cc + d FROM nn)),
+            LEAST((SELECT a + b FROM nn), (SELECT a + cc FROM nn)) + 1))
+            AS k),
+        lp AS (SELECT ks.k,
+            lr1.lf + lr2.lf + lc1.lf + lc2.lf - lnn.lf
+              - lk.lf - lak.lf - lck.lf - ldk.lf AS lp
+          FROM ks
+          CROSS JOIN nn
+          JOIN lf lk ON lk.i = ks.k
+          JOIN lf lak ON lak.i = nn.a + nn.b - ks.k
+          JOIN lf lck ON lck.i = nn.a + nn.cc - ks.k
+          JOIN lf ldk ON ldk.i = nn.cc + nn.d - nn.a - nn.cc + ks.k
+          JOIN lf lr1 ON lr1.i = nn.a + nn.b
+          JOIN lf lr2 ON lr2.i = nn.cc + nn.d
+          JOIN lf lc1 ON lc1.i = nn.a + nn.cc
+          JOIN lf lc2 ON lc2.i = nn.b + nn.d
+          JOIN lf lnn ON lnn.i = nn.n),
+        obs AS (SELECT lp AS lpobs FROM lp
+          CROSS JOIN nn WHERE lp.k = nn.a)
+        SELECT CAST(nn.a AS BIGINT) AS a, CAST(nn.b AS BIGINT) AS b,
+          CAST(nn.cc AS BIGINT) AS c, CAST(nn.d AS BIGINT) AS d,
+          CASE WHEN nn.b > 0 AND nn.cc > 0 THEN
+            ROUND(CAST(nn.a AS DOUBLE) * nn.d / (CAST(nn.b AS DOUBLE)
+              * nn.cc), 6) END AS odds_ratio,
+          ROUND(LEAST((SELECT SUM(EXP(lp)) FROM lp CROSS JOIN obs
+            WHERE EXP(lp) <= EXP(obs.lpobs) * (1 + 1e-7)), 1.0), 6)
+            AS p_value
+        FROM nn"""
+
+  /** Cochran–Mantel–Haenszel: the pooled 2×2 association test across
+    * strata — "is exposure associated with outcome AFTER controlling
+    * for the stratifying confounder?" The stratified sibling of
+    * [[fisherExact]]/q156's chi-square, and the observational twin of
+    * q277's stratified ATE. Reports the MH common odds ratio
+    * Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) and the CMH χ² (1 df, no continuity
+    * correction — documented):
+    * (Σaᵢ − Σ(r1ᵢc1ᵢ/nᵢ))² / Σ(r1ᵢr2ᵢc1ᵢc2ᵢ/(nᵢ²(nᵢ−1))).
+    *
+    * Scale shape: ONE groupBy(stratum) builds the per-stratum cells
+    * (map-combinable conditional sums); every MH term is then a second
+    * aggregate over that #strata-sized frame. Strata with n < 2 are
+    * dropped (zero CMH variance). Returns one row:
+    * (k_strata, n, or_cmh 6dp, chi2_cmh 6dp). */
+  def cmh(df: DataFrame, strataCol: String, rowCol: String,
+          colCol: String): DataFrame = {
+    val r1 = col(rowCol) === 1
+    val c1 = col(colCol) === 1
+    val cells = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull &&
+        col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__s"))
+      .agg(
+        sum(when(r1 && c1, 1L).otherwise(0L)).as("a"),
+        sum(when(r1 && !c1, 1L).otherwise(0L)).as("b"),
+        sum(when(!r1 && c1, 1L).otherwise(0L)).as("c"),
+        sum(when(!r1 && !c1, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast("double")
+    val g = cells.agg(
+      count(lit(1)).as("k_strata"), sum("n").as("n"),
+      sum(col("a") * col("d") / nD).as("__orNum"),
+      sum(col("b") * col("c") / nD).as("__orDen"),
+      sum(col("a")).as("__sa"),
+      sum((col("a") + col("b")) * (col("a") + col("c")) / nD).as("__se"),
+      sum((col("a") + col("b")).cast("double") * (col("c") + col("d")) *
+        (col("a") + col("c")) * (col("b") + col("d")) /
+        (nD * nD * (nD - 1))).as("__sv"))
+    val dev = col("__sa") - col("__se")
+    g.select(col("k_strata"), col("n"),
+      round(when(col("__orDen") > 0, col("__orNum") / col("__orDen")), 6)
+        .as("or_cmh"),
+      round(when(col("__sv") > 0, dev * dev / col("__sv")), 6)
+        .as("chi2_cmh"))
+  }
+
+  /** DuckDB twin of [[cmh]]; `unitsCte` must yield (s, r, c). */
+  def cmhOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT * FROM ($unitsCte)
+          WHERE r IS NOT NULL AND c IS NOT NULL AND s IS NOT NULL),
+        cells AS (SELECT s,
+            CAST(SUM(CASE WHEN r = 1 AND c = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN r = 1 AND c != 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN r != 1 AND c = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS cc,
+            CAST(SUM(CASE WHEN r != 1 AND c != 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+          FROM units GROUP BY s),
+        f AS (SELECT *, a + b + cc + d AS n FROM cells
+          WHERE a + b + cc + d >= 2),
+        g AS (SELECT COUNT(*) AS k_strata, SUM(n) AS n,
+            SUM(a * d / CAST(n AS DOUBLE)) AS ornum,
+            SUM(b * cc / CAST(n AS DOUBLE)) AS orden,
+            SUM(a) AS sa,
+            SUM((a + b) * (a + cc) / CAST(n AS DOUBLE)) AS se,
+            SUM(CAST(a + b AS DOUBLE) * (cc + d) * (a + cc) * (b + d)
+              / (CAST(n AS DOUBLE) * n * (n - 1))) AS sv
+          FROM f)
+        SELECT CAST(k_strata AS BIGINT) AS k_strata,
+          CAST(n AS BIGINT) AS n,
+          ROUND(CASE WHEN orden > 0 THEN ornum / orden END, 6) AS or_cmh,
+          ROUND(CASE WHEN sv > 0 THEN
+            (sa - se) * (sa - se) / sv END, 6) AS chi2_cmh
+        FROM g"""
+
+  /** Cochran's Q: do k correlated binary raters/classifiers (one row
+    * per subject, k 0/1 flag columns) have the same marginal positive
+    * rate? The k-rater generalization of [[mcnemar]] (k = 2 reduces to
+    * it without continuity correction). Q = (k−1)·[k·ΣCⱼ² − (ΣCⱼ)²] /
+    * (k·ΣRᵢ − ΣRᵢ²) with Cⱼ the per-flag totals and Rᵢ the per-subject
+    * row sums — every term is a plain sum, so the whole test is ONE
+    * map-combinable aggregate over the subject frame. Subjects with
+    * any null flag are dropped (complete-case, the standard rule).
+    * Returns one row: (n, k, q_stat 6dp). */
+  def cochranQ(df: DataFrame, flagCols: Seq[String]): DataFrame = {
+    val k = flagCols.length
+    require(k >= 2, s"cochranQ needs >= 2 flag columns, got $k")
+    val flags = flagCols.map(c => when(col(c) === 1, 1.0).otherwise(0.0))
+    val complete = df.filter(flagCols.map(col(_).isNotNull).reduce(_ && _))
+    val r = flags.reduce(_ + _)
+    val aggs = Seq(count(lit(1)).as("__n"),
+      sum(r).as("__sr"), sum(r * r).as("__srr")) ++
+      flagCols.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c) === 1, 1.0).otherwise(0.0)).as(s"__c$i") }
+    val g = complete.agg(aggs.head, aggs.tail: _*)
+    val sumC2 = (0 until k).map(i => col(s"__c$i") * col(s"__c$i"))
+      .reduce(_ + _)
+    val num = lit(k - 1.0) * (lit(k.toDouble) * sumC2 -
+      col("__sr") * col("__sr"))
+    val den = lit(k.toDouble) * col("__sr") - col("__srr")
+    g.select(col("__n").as("n"), lit(k.toLong).as("k"),
+      round(when(den > 0, num / den), 6).as("q_stat"))
+  }
+
+  /** DuckDB twin of [[cochranQ]]; `unitsCte` must yield flag columns
+    * named f1..fk (0/1). */
+  def cochranQOracleSql(unitsCte: String, k: Int): String = {
+    val fs = (1 to k).map(i => s"f$i")
+    val rSum = fs.map(f => s"CASE WHEN $f = 1 THEN 1.0 ELSE 0.0 END")
+      .mkString(" + ")
+    val cSums = fs.zipWithIndex.map { case (f, i) =>
+      s"SUM(CASE WHEN $f = 1 THEN 1.0 ELSE 0.0 END) AS c$i" }
+      .mkString(", ")
+    val sumC2 = (0 until k).map(i => s"c$i * c$i").mkString(" + ")
+    val notNull = fs.map(f => s"$f IS NOT NULL").mkString(" AND ")
+    s"""WITH units AS (SELECT * FROM ($unitsCte) WHERE $notNull),
+        rs AS (SELECT $rSum AS r FROM units),
+        g AS (SELECT (SELECT COUNT(*) FROM units) AS n,
+            (SELECT SUM(r) FROM rs) AS sr,
+            (SELECT SUM(r * r) FROM rs) AS srr, $cSums FROM units)
+        SELECT CAST(n AS BIGINT) AS n, CAST($k AS BIGINT) AS k,
+          ROUND(CASE WHEN $k * sr - srr > 0 THEN
+            ($k - 1.0) * ($k.0 * ($sumC2) - sr * sr)
+              / ($k * sr - srr) END, 6) AS q_stat
+        FROM g LIMIT 1"""
+  }
 }

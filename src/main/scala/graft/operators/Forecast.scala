@@ -534,4 +534,67 @@ object Forecast {
               (st.syy - st.n * st.my * st.my)), 6) AS ccf
         FROM pairs p CROSS JOIN st
         GROUP BY p.lag, st.mx, st.my, st.sxx, st.syy, st.n"""
+
+  /** Durbin–Watson residual-autocorrelation diagnostic: detrend the
+    * daily TOTAL with its OLS line against the day index, then
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² (≈2 = independent residuals, →0 =
+    * positive serial correlation — the "is this trend fit lying to
+    * you" gate before trusting q176/q295-style line fits on a series).
+    * rho1 = Σe_t·e_{t−1}/Σe_t² rides the same aggregate.
+    *
+    * Scale shape: the [[daily]] rollup collapses the corpus to the
+    * #days metadata frame; the OLS slope is closed-form from one
+    * moment aggregate over that frame; residual + lag is one ordered
+    * window over it (bounded by calendar length). Returns one row:
+    * (n_days, slope 6dp, dw 6dp, rho1 6dp). */
+  def durbinWatson(events: DataFrame, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(col("total"),
+        row_number().over(Window.orderBy("day")).cast("double").as("i"))
+    val m = d.agg(count(lit(1)).as("__n"),
+      sum("i").as("__si"), sum("total").as("__sy"),
+      sum(col("i") * col("i")).as("__sii"),
+      sum(col("i") * col("total")).as("__siy"))
+    val n = col("__n").cast("double")
+    val b1 = (col("__siy") - col("__si") * col("__sy") / n) /
+      (col("__sii") - col("__si") * col("__si") / n)
+    val res = d.crossJoin(broadcast(m))
+      .withColumn("__b1", b1)
+      .withColumn("__e",
+        col("total") - (col("__sy") / n - col("__b1") * col("__si") / n) -
+          col("__b1") * col("i"))
+      .select(col("i"), col("__b1"), col("__e"),
+        lag("__e", 1).over(Window.orderBy("i")).as("__e1"))
+    res.agg(count(lit(1)).as("n_days"),
+      round(first("__b1"), 6).as("slope"),
+      round(sum((col("__e") - col("__e1")) * (col("__e") - col("__e1"))) /
+        sum(col("__e") * col("__e")), 6).as("dw"),
+      round(sum(col("__e") * col("__e1")) /
+        sum(col("__e") * col("__e")), 6).as("rho1"))
+  }
+
+  /** DuckDB twin of [[durbinWatson]]; events table columns are named
+    * inline (ts, value semantics as the operator). */
+  def durbinWatsonOracleSql(tsExpr: String, valueExpr: String,
+                            table: String): String =
+    s"""WITH d0 AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        d AS (SELECT total,
+            CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS i
+          FROM d0),
+        m AS (SELECT COUNT(*) AS n, SUM(i) AS si, SUM(total) AS sy,
+            SUM(i * i) AS sii, SUM(i * total) AS siy FROM d),
+        b AS (SELECT n, si, sy,
+            (siy - si * sy / n) / (sii - si * si / n) AS b1 FROM m),
+        r AS (SELECT i, b.b1,
+            total - (sy / n - b1 * si / n) - b1 * i AS e
+          FROM d CROSS JOIN b),
+        l AS (SELECT b1, e, LAG(e, 1) OVER (ORDER BY i) AS e1 FROM r)
+        SELECT COUNT(*) AS n_days, ROUND(ANY_VALUE(b1), 6) AS slope,
+          ROUND(SUM((e - e1) * (e - e1)) / SUM(e * e), 6) AS dw,
+          ROUND(SUM(e * e1) / SUM(e * e), 6) AS rho1
+        FROM l"""
 }

@@ -684,4 +684,67 @@ object Graph {
           ROUND(a$iters.a, 6) AS authority
         FROM h$iters JOIN a$iters ON h$iters.id = a$iters.id"""
   }
+
+  /** Degree assortativity (Newman '02): the Pearson correlation of
+    * endpoint degrees over the UNDIRECTED edge set — positive means
+    * hubs attach to hubs (social cores), negative means hub-and-spoke
+    * (the shape that decides whether q179's k-core or q180's degree
+    * tail is the right robustness lens).
+    *
+    * One symmetrize + one degree groupBy + two degree joins, then a
+    * single moment aggregate over the directed-edge frame (each
+    * undirected edge contributes both orientations — the standard
+    * convention that makes the correlation symmetric). Returns one
+    * row: (n_nodes, n_edges, assortativity 6dp). */
+  def assortativity(edges0: DataFrame): DataFrame = {
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val paired = sym
+      .join(deg.select(col("id").as("src"), col("deg").as("__dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("__dy")), "dst")
+    val x = col("__dx").cast("double")
+    val y = col("__dy").cast("double")
+    val m = paired.agg(
+      count(lit(1)).as("__m2"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+      sum(x * y).as("__sxy"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    val n = col("__m2").cast("double")
+    val cov = col("__sxy") - col("__sx") * col("__sy") / n
+    val vx = col("__sxx") - col("__sx") * col("__sx") / n
+    val vy = col("__syy") - col("__sy") * col("__sy") / n
+    m.select(col("n_nodes"), (col("__m2") / 2).cast("long").as("n_edges"),
+      round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6)
+        .as("assortativity"))
+  }
+
+  /** DuckDB twin of [[assortativity]]; `edgesCte` must yield
+    * (src, dst). */
+  def assortativityOracleSql(edgesCte: String): String =
+    s"""WITH eg0 AS ($edgesCte),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b
+          FROM eg0 WHERE src != dst),
+        sym AS (SELECT a AS src, b AS dst FROM und
+          UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+        p AS (SELECT CAST(dx.deg AS DOUBLE) AS x,
+            CAST(dy.deg AS DOUBLE) AS y
+          FROM sym JOIN deg dx ON sym.src = dx.id
+          JOIN deg dy ON sym.dst = dy.id),
+        m AS (SELECT COUNT(*) AS m2, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM p),
+        nn AS (SELECT COUNT(*) AS n_nodes FROM deg)
+        SELECT nn.n_nodes, CAST(m.m2 / 2 AS BIGINT) AS n_edges,
+          ROUND(CASE WHEN sxx - sx*sx/m2 > 0 AND syy - sy*sy/m2 > 0 THEN
+            (sxy - sx*sy/m2) /
+              SQRT((sxx - sx*sx/m2) * (syy - sy*sy/m2)) END, 6)
+            AS assortativity
+        FROM m CROSS JOIN nn"""
 }
