@@ -2514,7 +2514,44 @@ object SparkEntry {
       // event-type means under unequal variances — the test to run
       // when q296's homogeneity gate rejects
       graft.eda.StatTests.welchAnova(t(s, dir, "events"),
-        "event_type", "value"))
+        "event_type", "value")),
+    "q303_shapley_attribution" -> ((s, dir) =>
+      // exact Shapley channel credit over user journeys — the axiom-
+      // fair member of the attribution family (q192/q242/q249)
+      graft.operators.Reporting.shapleyAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_type", convType = "purchase")),
+    "q304_raking_weights" -> ((s, dir) => {
+      // calibrate the positive-balance "respondents" to the full
+      // customer margins over segment x nation block: 3 IPF cycles
+      val cust = t(s, dir, "customer").select(
+        col("c_mktsegment").as("r"), (col("c_nationkey") % 3).as("c"),
+        col("c_acctbal"))
+      graft.ml.Experiments.rakeWeights(
+        cust.filter(col("c_acctbal") > 0), cust, "r", "c", iters = 3)
+    }),
+    "q305_leakage_split" -> ((s, dir) =>
+      // contamination-safe train/test split: docs linked by a rare
+      // 8-gram land together; portable md5 fold on the component label
+      graft.dedup.LeakageSplit.leakageSafeSplit(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 8, maxDf = 5, iters = 4, trainFraction = 0.8)),
+    "q306_snake_shards" -> ((s, dir) =>
+      // balanced output-shard plan over the document manifest:
+      // serpentine deal by token count into 8 shards
+      graft.text.Packing.snakeShards(
+        t(s, dir, "documents").select(col("doc_id").as("id"),
+          graft.text.Text.tokenCount(col("text")).cast("long").as("sz")),
+        "id", "sz", nShards = 8)),
+    "q307_yuen_trimmed_t" -> ((s, dir) =>
+      // robust A-vs-N price comparison: 20%-trimmed means with
+      // winsorized variances — heavy-tail-proof two-sample test
+      graft.ml.Stats.yuenT(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "A", "N", trim = 0.2)),
+    "q308_item_triples" -> ((s, dir) =>
+      // Apriori level-3: frequent part triples within orders, pair-
+      // support pruned before the cubic extension join
+      graft.operators.Cooccur.itemTriples(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2, topK = 20))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6090,6 +6127,27 @@ object SparkEntry {
          WHERE v IS NOT NULL AND NOT isnan(v)""", bins = 10, k = 20),
     "q302_welch_anova" -> graft.eda.StatTests.welchAnovaOracleSql(
       """SELECT event_type AS grp, value AS v FROM events"""),
+    "q303_shapley_attribution" ->
+      graft.operators.Reporting.shapleyAttributionOracleSql(
+        "user_id", "ts", "event_type", "purchase", "events"),
+    "q304_raking_weights" -> graft.ml.Experiments.rakeWeightsOracleSql(
+      """SELECT c_mktsegment AS r, c_nationkey % 3 AS c
+         FROM customer WHERE c_acctbal > 0""",
+      "SELECT c_mktsegment AS r, c_nationkey % 3 AS c FROM customer",
+      iters = 3),
+    "q305_leakage_split" -> graft.dedup.LeakageSplit.leakageSafeSplitOracleSql(
+      "SELECT doc_id AS id, text FROM documents",
+      shingleSize = 8, maxDf = 5, iters = 4, trainFraction = 0.8),
+    "q306_snake_shards" -> graft.text.Packing.snakeShardsOracleSql(
+      """SELECT doc_id AS id, len(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'),
+           x -> length(x) > 0)) AS sz FROM documents""", nShards = 8),
+    "q307_yuen_trimmed_t" -> graft.ml.Stats.yuenTOracleSql(
+      "SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem",
+      "A", "N", trim = 0.2),
+    "q308_item_triples" -> graft.operators.Cooccur.itemTriplesOracleSql(
+      "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem",
+      minSupport = 2, maxBasketSize = 1000, topK = 20),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

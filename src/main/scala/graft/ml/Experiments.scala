@@ -415,4 +415,81 @@ object Experiments {
             / SUM(CASE WHEN ok THEN nt ELSE 0 END), 6)
             AS mean_matched_control
         FROM s"""
+
+  /** Raking / iterative proportional fitting (Deming & Stephan 1940):
+    * calibrate per-cell sample weights so the weighted sample margins
+    * match the POPULATION margins on two categorical dimensions — the
+    * survey-reweighting step before any "is my responding subset
+    * representative" read-out. `iters` full row+column cycles are
+    * unrolled (IPF converges geometrically; 3 cycles is the practical
+    * default, and a FIXED count is what makes the oracle exact).
+    *
+    * Scale shape: two corpus passes (population margins, sample cell
+    * counts) collapse everything to the (#rows × #cols) cell frame —
+    * metadata — and the IPF cycles are joins on that frame only.
+    * Returns one row per sample cell: (r, c, n_sample, weight 6dp,
+    * weighted_n 6dp) — weight is the per-unit multiplier, weighted_n
+    * = n_sample · weight. Empty sample cells get no row (their mass
+    * is redistributed by construction). */
+  def rakeWeights(sample: DataFrame, population: DataFrame,
+                  rowCol: String, colCol: String,
+                  iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters $iters out of range")
+    val popR = population.groupBy(col(rowCol).as("r"))
+      .agg(count(lit(1)).cast("double").as("__pr"))
+    val popC = population.groupBy(col(colCol).as("c"))
+      .agg(count(lit(1)).cast("double").as("__pc"))
+    var cells = sample.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n_sample"))
+      .join(popR, Seq("r")).join(popC, Seq("c"))
+      .withColumn("__w", lit(1.0))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val rowTot = cells.groupBy("r")
+        .agg(sum(col("n_sample") * col("__w")).as("__tr"))
+      cells = cells.join(rowTot, Seq("r"))
+        .withColumn("__w", col("__w") * col("__pr") / col("__tr"))
+        .drop("__tr")
+      val colTot = cells.groupBy("c")
+        .agg(sum(col("n_sample") * col("__w")).as("__tc"))
+      cells = cells.join(colTot, Seq("c"))
+        .withColumn("__w", col("__w") * col("__pc") / col("__tc"))
+        .drop("__tc").localCheckpoint(true)
+    }
+    cells.select(col("r"), col("c"), col("n_sample"),
+      round(col("__w"), 6).as("weight"),
+      round(col("n_sample") * col("__w"), 6).as("weighted_n"))
+  }
+
+  /** DuckDB twin of [[rakeWeights]]; `sampleCte`/`popCte` must yield
+    * (r, c). The IPF cycles are unrolled identically. */
+  def rakeWeightsOracleSql(sampleCte: String, popCte: String,
+                           iters: Int = 3): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""tr$t AS (SELECT r, SUM(n_sample * w) AS tr
+            FROM w${t - 1} GROUP BY r),
+          wr$t AS (SELECT w.r, w.c, w.n_sample, w.pr, w.pc,
+              w.w * w.pr / tr$t.tr AS w
+            FROM w${t - 1} w JOIN tr$t ON w.r = tr$t.r),
+          tc$t AS (SELECT c, SUM(n_sample * w) AS tc
+            FROM wr$t GROUP BY c),
+          w$t AS (SELECT w.r, w.c, w.n_sample, w.pr, w.pc,
+              w.w * w.pc / tc$t.tc AS w
+            FROM wr$t w JOIN tc$t ON w.c = tc$t.c)"""
+    }.mkString(",\n")
+    s"""WITH s AS ($sampleCte), p AS ($popCte),
+        popr AS (SELECT r, CAST(COUNT(*) AS DOUBLE) AS pr
+          FROM p GROUP BY r),
+        popc AS (SELECT c, CAST(COUNT(*) AS DOUBLE) AS pc
+          FROM p GROUP BY c),
+        w0 AS (SELECT s.r, s.c, COUNT(*) AS n_sample,
+            ANY_VALUE(popr.pr) AS pr, ANY_VALUE(popc.pc) AS pc, 1.0 AS w
+          FROM s JOIN popr ON s.r = popr.r JOIN popc ON s.c = popc.c
+          GROUP BY s.r, s.c),
+        $rounds
+        SELECT r, c, CAST(n_sample AS BIGINT) AS n_sample,
+          ROUND(w, 6) AS weight,
+          ROUND(n_sample * w, 6) AS weighted_n
+        FROM w$iters"""
+  }
 }

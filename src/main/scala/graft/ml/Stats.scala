@@ -708,6 +708,113 @@ object Stats {
             AS p_value
         FROM nn"""
 
+  /** Yuen's trimmed-mean two-sample t — the robust alternative to
+    * q185's Welch t when tails are heavy: compare PERCENTILE-TRIMMED
+    * means with WINSORIZED variances (the percentile-bound variant of
+    * Yuen 1974, reusing q188's exact-percentile clip convention so the
+    * trim rule is engine-portable; the classic count-based trim is
+    * order-statistics identical when no ties straddle the cut).
+    * t = (mt_a − mt_b)/√(d_a + d_b), d = (n−1)·s²_win/(h·(h−1)) with
+    * h the kept count; Welch–Satterthwaite df rides the same terms.
+    *
+    * Scale shape: one per-group exact-percentile aggregate (bounds →
+    * broadcast constants), then ONE conditional-moment aggregate over
+    * the corpus. Returns one row: (n_a, n_b, h_a, h_b, mt_a, mt_b,
+    * t_yuen, df) 6dp. */
+  def yuenT(df: DataFrame, groupCol: String, valueCol: String,
+            groupA: String, groupB: String,
+            trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim $trim out of (0, 0.5)")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v) &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val bounds = base.groupBy("__g").agg(
+      graft.functions.ExactPercentiles.exactPercentiles(
+        col("__v"), Seq(trim, 1 - trim)).as("__q"))
+      .select(col("__g"), col("__q").getItem(0).as("__lo"),
+        col("__q").getItem(1).as("__hi"))
+    val j = base.join(broadcast(bounds), Seq("__g"))
+      .withColumn("__w", least(greatest(col("__v"), col("__lo")),
+        col("__hi")))
+      .withColumn("__keep",
+        col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+    def side(g: String, tag: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("__g") === g && col("__keep"), 1L).otherwise(0L))
+        .as(s"h_$tag"),
+      sum(when(col("__g") === g && col("__keep"), col("__v")))
+        .as(s"__st_$tag"),
+      sum(when(col("__g") === g, col("__w"))).as(s"__sw_$tag"),
+      sum(when(col("__g") === g, col("__w") * col("__w")))
+        .as(s"__sww_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val m = j.agg(aggs.head, aggs.tail: _*)
+    def stats(tag: String): (Column, Column) = {
+      val n = col(s"n_$tag").cast("double")
+      val h = col(s"h_$tag").cast("double")
+      val mt = col(s"__st_$tag") / h
+      val sw2 = (col(s"__sww_$tag") -
+        col(s"__sw_$tag") * col(s"__sw_$tag") / n) / (n - 1)
+      val d = sw2 * (n - 1) / (h * (h - 1))
+      (mt, d)
+    }
+    val (mta, da) = stats("a")
+    val (mtb, db) = stats("b")
+    val ok = col("h_a") >= 2 && col("h_b") >= 2 && (da + db) > 0
+    m.select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+      round(mta, 6).as("mt_a"), round(mtb, 6).as("mt_b"),
+      round(when(ok, (mta - mtb) / sqrt(da + db)), 6).as("t_yuen"),
+      round(when(ok, (da + db) * (da + db) /
+        (da * da / (col("h_a") - 1) + db * db / (col("h_b") - 1))), 6)
+        .as("df"))
+  }
+
+  /** DuckDB twin of [[yuenT]]; `srcCte` must yield (g, v); groups are
+    * inlined as string literals. */
+  def yuenTOracleSql(srcCte: String, groupA: String, groupB: String,
+                     trim: Double = 0.2): String = {
+    val hi = 1 - trim
+    s"""WITH src AS ($srcCte),
+        base AS (SELECT g, CAST(v AS DOUBLE) AS v FROM src
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+            AND g IN ('$groupA', '$groupB')),
+        bd AS (SELECT g, quantile_cont(v, $trim) AS lo,
+            quantile_cont(v, $hi) AS hi FROM base GROUP BY g),
+        w AS (SELECT base.g, v,
+            LEAST(GREATEST(v, lo), hi) AS wv,
+            v >= lo AND v <= hi AS keep
+          FROM base JOIN bd ON base.g = bd.g),
+        m AS (SELECT
+            SUM(CASE WHEN g = '$groupA' THEN 1 ELSE 0 END) AS na,
+            SUM(CASE WHEN g = '$groupA' AND keep THEN 1 ELSE 0 END) AS ha,
+            SUM(CASE WHEN g = '$groupA' AND keep THEN v END) AS sta,
+            SUM(CASE WHEN g = '$groupA' THEN wv END) AS swa,
+            SUM(CASE WHEN g = '$groupA' THEN wv * wv END) AS swwa,
+            SUM(CASE WHEN g = '$groupB' THEN 1 ELSE 0 END) AS nb,
+            SUM(CASE WHEN g = '$groupB' AND keep THEN 1 ELSE 0 END) AS hb,
+            SUM(CASE WHEN g = '$groupB' AND keep THEN v END) AS stb,
+            SUM(CASE WHEN g = '$groupB' THEN wv END) AS swb,
+            SUM(CASE WHEN g = '$groupB' THEN wv * wv END) AS swwb
+          FROM w),
+        e AS (SELECT na, nb, ha, hb,
+            sta / ha AS mta, stb / hb AS mtb,
+            (swwa - swa * swa / na) / (na - 1)
+              * (na - 1) / (CAST(ha AS DOUBLE) * (ha - 1)) AS da,
+            (swwb - swb * swb / nb) / (nb - 1)
+              * (nb - 1) / (CAST(hb AS DOUBLE) * (hb - 1)) AS db
+          FROM m)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+          ROUND(mta, 6) AS mt_a, ROUND(mtb, 6) AS mt_b,
+          ROUND(CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0 THEN
+            (mta - mtb) / SQRT(da + db) END, 6) AS t_yuen,
+          ROUND(CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0 THEN
+            (da + db) * (da + db)
+              / (da * da / (ha - 1) + db * db / (hb - 1)) END, 6) AS df
+        FROM e"""
+  }
+
   /** Cochran–Mantel–Haenszel: the pooled 2×2 association test across
     * strata — "is exposure associated with outcome AFTER controlling
     * for the stratifying confounder?" The stratified sibling of

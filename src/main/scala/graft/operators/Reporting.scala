@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -294,5 +294,125 @@ object Reporting {
         round(percentile(col("__days"), lit(0.25)), 6).as("p25_days"),
         round(percentile(col("__days"), lit(0.5)), 6).as("p50_days"),
         round(percentile(col("__days"), lit(0.75)), 6).as("p75_days"))
+  }
+
+  /** Exact Shapley-value channel attribution (coalition value = number
+    * of conversions among journeys whose touched-channel SET is
+    * contained in the coalition — the standard simplified game of
+    * Zhao et al. 2018). The game-theoretic member of the attribution
+    * family next to last-touch (q192), time-decay (q242) and Markov
+    * removal (q249): order-free, axiom-fair, and exact because channel
+    * cardinality is small.
+    *
+    * Scale shape: the corpus collapses in ONE pass to a per-journey
+    * channel BITMASK + converted flag (distinct pre-conversion touch
+    * types, bit_or-aggregated), then to a ≤2^c-row mask-count frame —
+    * METADATA. v(S) for all 2^c coalitions is one containment join of
+    * that frame with the coalition range ((m & S) = m); the Shapley
+    * sum is a (2^c × c) join with exact factorial-literal weights
+    * s!(c−1−s)!/c!. Requires c ≤ 12 (4096 coalitions), loud beyond.
+    * Returns (channel, shapley 6dp, share 6dp), one row per channel,
+    * ordered by channel. */
+  def shapleyAttribution(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, convType: String): DataFrame = {
+    val spark = events.sparkSession
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    // channel index: distinct non-conversion types, alphabetic
+    val channels = ev.filter(col(typeCol) =!= convType)
+      .select(col(typeCol).as("ch")).distinct()
+      .orderBy("ch").limit(13).collect().map(_.getString(0))
+    val c = channels.length
+    require(c >= 1 && c <= 12,
+      s"shapleyAttribution needs 1..12 channels, got $c")
+    val chIdx = channels.zipWithIndex
+    // journey mask: distinct channels touched STRICTLY BEFORE the
+    // first conversion (never-converters contribute their whole set)
+    val firstConv = ev.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__tc"))
+    val bit = chIdx.foldLeft(lit(0L)) { case (acc, (name, i)) =>
+      when(col(typeCol) === name, lit(1L << i)).otherwise(acc) }
+    val journeys = ev.filter(col(typeCol) =!= convType)
+      .join(firstConv, col(userCol) === col("__u"), "left")
+      .filter(col("__tc").isNull || col(tsCol) < col("__tc"))
+      .groupBy(col(userCol))
+      .agg(bit_or(bit).as("mask"),
+        max(when(col("__tc").isNotNull, 1L).otherwise(0L)).as("conv"))
+    val maskConv = journeys.groupBy("mask")
+      .agg(sum("conv").as("__nc")).localCheckpoint(true)
+    // v(S) = Σ_{m ⊆ S} conv(m) over all 2^c coalitions
+    val coalitions = spark.range(0L, 1L << c).select(col("id").as("S"))
+    val v = coalitions.join(maskConv,
+        (col("mask").bitwiseAND(col("S"))) === col("mask"), "left")
+      .groupBy("S").agg(coalesce(sum("__nc"), lit(0L)).as("v"))
+      .localCheckpoint(true)
+    // exact factorial literals (0!..12! are exact doubles)
+    val fact = (1 to 12).scanLeft(1.0)((a, k) => a * k) // fact(k) at k
+    def ft(k: Column): Column = (0 to 12).foldLeft(lit(Double.NaN)) {
+      (acc, i) => when(k === i, lit(fact(i))).otherwise(acc) }
+    val chDf = spark.createDataFrame(chIdx.map { case (n, i) =>
+      (n, 1L << i) }).toDF("channel", "__bit")
+    val popcnt = (0 until c).map(b =>
+      shiftright(col("S"), b).bitwiseAND(lit(1L))).reduce(_ + _)
+    val terms = v.join(chDf, col("S").bitwiseAND(col("__bit")) === 0L)
+      .withColumn("__s2", col("S").bitwiseOR(col("__bit")))
+      .join(v.select(col("S").as("__s2"), col("v").as("__v2")), Seq("__s2"))
+      .withColumn("__w",
+        ft(popcnt) * ft(lit(c - 1) - popcnt) / lit(fact(c)))
+      .groupBy("channel")
+      .agg(sum(col("__w") * (col("__v2") - col("v"))).as("__sh"))
+    val tot = terms.agg(sum("__sh").as("__tot"))
+    val out = terms.crossJoin(broadcast(tot))
+      .select(col("channel"), round(col("__sh"), 6).as("shapley"),
+        round(when(col("__tot") > 0, col("__sh") / col("__tot")), 6)
+          .as("share"))
+      .orderBy("channel").localCheckpoint(true)
+    maskConv.unpersist(); v.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[shapleyAttribution]]. The coalition machinery is
+    * re-derived in SQL with the SAME exact factorial literals; channel
+    * indexes come from the same alphabetic ordering. `maxC` bounds the
+    * unrolled popcount/factorial ladders (12 matches the operator). */
+  def shapleyAttributionOracleSql(userCol: String, tsCol: String,
+                                  typeCol: String, convType: String,
+                                  table: String, maxC: Int = 12): String = {
+    val fact = (1 to 12).scanLeft(1.0)((a, k) => a * k)
+    val factCase = (k: String) => (0 to 12).map(i =>
+      s"WHEN $k = $i THEN ${fact(i)}").mkString("CASE ", " ", " END")
+    val popS = (0 until maxC).map(b => s"((v.S >> $b) & 1)").mkString(" + ")
+    s"""WITH ch AS (SELECT $typeCol AS channel,
+            CAST(ROW_NUMBER() OVER (ORDER BY $typeCol) - 1 AS BIGINT) AS i
+          FROM (SELECT DISTINCT $typeCol FROM $table
+            WHERE $typeCol != '$convType')),
+        cc AS (SELECT COUNT(*) AS c FROM ch),
+        fc AS (SELECT $userCol AS u, MIN($tsCol) AS tc FROM $table
+          WHERE $typeCol = '$convType' GROUP BY $userCol),
+        j AS (SELECT e.$userCol AS u,
+            CAST(BIT_OR(1 << ch.i) AS BIGINT) AS mask,
+            MAX(CASE WHEN fc.tc IS NOT NULL THEN 1 ELSE 0 END) AS conv
+          FROM $table e
+          JOIN ch ON e.$typeCol = ch.channel
+          LEFT JOIN fc ON e.$userCol = fc.u
+          WHERE fc.tc IS NULL OR e.$tsCol < fc.tc
+          GROUP BY e.$userCol),
+        mc AS (SELECT mask, SUM(conv) AS nc FROM j GROUP BY mask),
+        co AS (SELECT CAST(UNNEST(range(0, (1 << (SELECT c FROM cc))))
+            AS BIGINT) AS S),
+        v AS (SELECT co.S, COALESCE(SUM(mc.nc), 0) AS v
+          FROM co LEFT JOIN mc ON (mc.mask & co.S) = mc.mask
+          GROUP BY co.S),
+        t AS (SELECT ch.channel,
+            (${factCase(s"($popS)")})
+              * (${factCase(s"((SELECT c FROM cc) - 1 - ($popS))")})
+              / (${factCase("(SELECT c FROM cc)")})
+              * (v2.v - v.v) AS term
+          FROM v JOIN ch ON ((v.S >> ch.i) & 1) = 0
+          JOIN v v2 ON v2.S = (v.S | (1 << ch.i))),
+        sh AS (SELECT channel, SUM(term) AS s FROM t GROUP BY channel),
+        tot AS (SELECT SUM(s) AS tot FROM sh)
+        SELECT channel, ROUND(s, 6) AS shapley,
+          ROUND(CASE WHEN tot > 0 THEN s / tot END, 6) AS share
+        FROM sh CROSS JOIN tot ORDER BY channel"""
   }
 }

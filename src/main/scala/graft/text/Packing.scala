@@ -130,4 +130,57 @@ object Packing {
       ceil(sum("n_tokens").cast("double") / maxLen).cast("long").as("n_chunks"),
       sum(when(col("end_chunk") > col("start_chunk"), 1L).otherwise(0L))
         .as("n_straddling"))
+
+  /** Serpentine (snake) shard planner: assign items to `nShards`
+    * output shards balanced by size — rank by size descending, deal in
+    * boustrophedon order (0,1,…,n−1,n−1,…,1,0,0,1,…), the classic
+    * greedy that bounds shard skew by one max-item per cycle. This is
+    * the OUTPUT-FILE planner for a 100 TB rewrite: the input here is a
+    * MANIFEST (one row per file/doc with a size), metadata-sized by
+    * contract — the global rank window is over the manifest, never the
+    * corpus (same argument as the day-rollup windows; a corpus-sized
+    * manifest would mean billions of output files, which no one plans).
+    *
+    * Returns per shard: (shard, n_items, total_size, balance 6dp)
+    * where balance = total_size/(Σsize/nShards) — 1.0 is perfect. */
+  def snakeShards(manifest: DataFrame, idCol: String, sizeCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val sized = manifest.select(col(idCol).as("__id"),
+      coalesce(col(sizeCol).cast("long"), lit(0L)).as("__sz"))
+    val ranked = sized.withColumn("__r",
+      row_number().over(Window.orderBy(col("__sz").desc, col("__id"))) - 1)
+    val pass = (col("__r") / nShards).cast("long")
+    val pos = col("__r") % nShards
+    val shard = when(pass % 2 === 0, pos).otherwise(lit(nShards - 1) - pos)
+    val tot = sized.agg(sum("__sz").cast("double").as("__tot"))
+    ranked.withColumn("shard", shard.cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_items"), sum("__sz").as("total_size"))
+      .crossJoin(tot)
+      .select(col("shard"), col("n_items"), col("total_size"),
+        round(col("total_size").cast("double") /
+          (col("__tot") / nShards), 6).as("balance"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB twin of [[snakeShards]]; `manifestCte` must yield
+    * (id, sz). */
+  def snakeShardsOracleSql(manifestCte: String, nShards: Int): String =
+    s"""WITH mf AS (SELECT id,
+            COALESCE(CAST(sz AS BIGINT), 0) AS sz FROM ($manifestCte)),
+        rk AS (SELECT id, sz,
+            ROW_NUMBER() OVER (ORDER BY sz DESC, id) - 1 AS r
+          FROM mf),
+        asg AS (SELECT sz,
+            CASE WHEN (r // $nShards) % 2 = 0 THEN r % $nShards
+              ELSE ${nShards - 1} - r % $nShards END AS shard
+          FROM rk),
+        tot AS (SELECT CAST(SUM(sz) AS DOUBLE) AS t FROM mf)
+        SELECT shard, COUNT(*) AS n_items,
+          CAST(SUM(sz) AS BIGINT) AS total_size,
+          ROUND(CAST(SUM(sz) AS DOUBLE) / (ANY_VALUE(tot.t) / $nShards), 6)
+            AS balance
+        FROM asg CROSS JOIN tot GROUP BY shard ORDER BY shard"""
 }
