@@ -2551,7 +2551,43 @@ object SparkEntry {
       // Apriori level-3: frequent part triples within orders, pair-
       // support pruned before the cubic extension join
       graft.operators.Cooccur.itemTriples(t(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", minSupport = 2, topK = 20))
+        "l_orderkey", "l_partkey", minSupport = 2, topK = 20)),
+    "q309_bayesian_ab" -> ((s, dir) =>
+      // exact P(B beats A) on purchase conversion, arms by user parity
+      // — Cook's closed form on the shared log-factorial ladder
+      graft.ml.Experiments.bayesianAb(
+        t(s, dir, "events").groupBy(col("user_id")).agg(
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("conv"))
+          .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("arm"), col("conv")),
+        "arm", "conv", "A", "B")),
+    "q310_collocations" -> ((s, dir) =>
+      // which word pairs glue together? Dunning G2 bigram collocations
+      graft.text.Distinctive.collocations(t(s, dir, "documents"),
+        "text", minCount = 5, topK = 20)),
+    "q311_hurst" -> ((s, dir) =>
+      // does daily revenue trend or revert? rescaled-range H
+      graft.operators.Forecast.hurstRs(t(s, dir, "events"),
+        "ts", "value")),
+    "q312_best_split" -> ((s, dir) =>
+      // decision stump: where does extendedprice separate returns?
+      // all candidate thresholds in ONE conditional-moment aggregate
+      graft.ml.InfoGain.bestSplit(
+        t(s, dir, "lineitem").withColumn("__y",
+          when(col("l_returnflag") === "R", 1).otherwise(0)),
+        "l_extendedprice", "__y", candidates = 19)),
+    "q313_croston" -> ((s, dir) =>
+      // intermittent-demand forecast: separate size/interval EWMAs
+      // over purchase-day demand only
+      graft.operators.Forecast.croston(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "ts", "value", alpha = 0.25)),
+    "q314_pacf" -> ((s, dir) =>
+      // AR-order read-out: Durbin-Levinson PACF at lags 1..5 over the
+      // daily total, unrolled to named intermediates
+      graft.operators.Forecast.pacf(t(s, dir, "events"), "ts", "value",
+        maxLag = 5))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6148,6 +6184,24 @@ object SparkEntry {
     "q308_item_triples" -> graft.operators.Cooccur.itemTriplesOracleSql(
       "SELECT l_orderkey AS b, l_partkey AS i FROM lineitem",
       minSupport = 2, maxBasketSize = 1000, topK = 20),
+    "q309_bayesian_ab" -> graft.ml.Experiments.bayesianAbOracleSql(
+      """SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv
+         FROM events GROUP BY user_id""", "A", "B"),
+    "q310_collocations" -> graft.text.Distinctive.collocationsOracleSql(
+      "SELECT text FROM documents", minCount = 5, topK = 20),
+    "q311_hurst" -> graft.operators.Forecast.hurstRsOracleSql(
+      "ts", "value", "events"),
+    "q312_best_split" -> graft.ml.InfoGain.bestSplitOracleSql(
+      """SELECT l_extendedprice AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem""", candidates = 19),
+    "q313_croston" -> graft.operators.Forecast.crostonOracleSql(
+      "ts", "value", "(SELECT * FROM events WHERE event_type = 'purchase')",
+      alpha = 0.25),
+    "q314_pacf" -> graft.operators.Forecast.pacfOracleSql(
+      "ts", "value", "events", maxLag = 5),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -492,4 +492,126 @@ object Experiments {
           ROUND(n_sample * w, 6) AS weighted_n
         FROM w$iters"""
   }
+
+  /** Exact Bayesian A/B read-out for binary outcomes under uniform
+    * Beta(1,1) priors: posterior means per arm and the EXACT
+    * probability that B beats A,
+    *   P(p_B > p_A) = Σ_{i=0}^{a_B−1} B(a_A+i, b_A+b_B) /
+    *                  ((b_B+i)·B(1+i, b_B)·B(a_A, b_A)),
+    * the closed form of Cook (2005) — every Beta has INTEGER
+    * parameters here, so the log-Beta terms come from the SAME
+    * cumulative log-factorial ladder as q293's Fisher kernel (lf
+    * window), never an lgamma call that could differ between libms.
+    *
+    * Scale shape: ONE conditional-count aggregate over the units
+    * frame; the ladder frame is n+2 rows (unpartitioned cumsum — the
+    * documented small-strata trade of the Fisher kernel, require-
+    * guarded at 1e6) and the Cook sum is an a_B-row aggregate.
+    * Returns one row: (n_a, s_a, n_b, s_b, mean_a 6dp, mean_b 6dp,
+    * prob_b_beats_a 6dp). */
+  def bayesianAb(units: DataFrame, armCol: String, convCol: String,
+                 armA: String, armB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = units.sparkSession
+    val isA = col(armCol) === armA
+    val isB = col(armCol) === armB
+    val cRow = units.filter((isA || isB) && col(convCol).isNotNull)
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(isA && col(convCol) === 1, 1L).otherwise(0L)).as("sa"),
+        sum(when(isB, 1L).otherwise(0L)).as("nb"),
+        sum(when(isB && col(convCol) === 1, 1L).otherwise(0L)).as("sb"))
+      .head()
+    val (na, sa, nb, sb) = (cRow.getLong(0), cRow.getLong(1),
+      cRow.getLong(2), cRow.getLong(3))
+    require(na + nb <= 1000000L,
+      s"bayesianAb exact kernel is for n <= 1e6, got ${na + nb}")
+    // Beta(1+s, 1+f) posteriors; integer params for the ladder
+    val (aA, bA) = (1L + sa, 1L + (na - sa))
+    val (aB, bB) = (1L + sb, 1L + (nb - sb))
+    val top = aA + aB + bA + bB
+    val lf = spark.range(0, top + 1)
+      .withColumn("lf", sum(log(greatest(col("id"), lit(1L))))
+        .over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    def lfOf(alias: String) =
+      lf.select(col("id").as(alias + "_i"), col("lf").as(alias))
+    // ln B(x, y) = lf(x−1) + lf(y−1) − lf(x+y−1)
+    val is = spark.range(0, aB).select(col("id").as("i"))
+    val terms = is
+      .join(lfOf("l1"), lit(aA - 1) + col("i") === col("l1_i")) // (aA+i)−1
+      .join(lfOf("l2"), col("i") === col("l2_i")) // (1+i)−1
+      .join(lfOf("l3"),
+        lit(aA + bA + bB - 1) + col("i") === col("l3_i")) // (aA+i+bA+bB)−1
+      .crossJoin(lf.filter(col("id") === bA + bB - 1)
+        .select(col("lf").as("lbab")))
+      .crossJoin(lf.filter(col("id") === bB - 1).select(col("lf").as("lbb")))
+      .crossJoin(lf.filter(col("id") === aA - 1).select(col("lf").as("laa")))
+      .crossJoin(lf.filter(col("id") === bA - 1).select(col("lf").as("lba")))
+      .crossJoin(lf.filter(col("id") === aA + bA - 1)
+        .select(col("lf").as("laba")))
+      .select(
+        // ln B(aA+i, bA+bB) = l1 + lbab − l3
+        // ln B(1+i, bB) = l2 + lbb − lf(i+bB)  … need lf(i+bB):
+        col("i"), col("l1"), col("l2"), col("l3"), col("lbab"),
+        col("lbb"), col("laa"), col("lba"), col("laba"))
+      .join(lfOf("l4"), col("i") + lit(bB) === col("l4_i")) // (1+i+bB)−1
+      .select((col("l1") + col("lbab") - col("l3") -
+        log(lit(bB.toDouble) + col("i")) -
+        (col("l2") + col("lbb") - col("l4")) -
+        (col("laa") + col("lba") - col("laba"))).as("lt"))
+    val p = terms.agg(sum(exp(col("lt"))).as("p"))
+    p.select(lit(na).as("n_a"), lit(sa).as("s_a"),
+      lit(nb).as("n_b"), lit(sb).as("s_b"),
+      round(lit(aA.toDouble / (aA + bA)), 6).as("mean_a"),
+      round(lit(aB.toDouble / (aB + bB)), 6).as("mean_b"),
+      round(least(col("p"), lit(1.0)), 6).as("prob_b_beats_a"))
+  }
+
+  /** DuckDB twin of [[bayesianAb]]; `unitsCte` must yield (arm, conv).
+    * Builds the identical log-factorial ladder and Cook sum. */
+  def bayesianAbOracleSql(unitsCte: String, armA: String,
+                          armB: String): String =
+    s"""WITH units AS (SELECT * FROM ($unitsCte)
+          WHERE arm IN ('$armA', '$armB') AND conv IS NOT NULL),
+        cts AS (SELECT
+            CAST(SUM(CASE WHEN arm = '$armA' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN arm = '$armA' AND conv = 1 THEN 1 ELSE 0
+              END) AS BIGINT) AS sa,
+            CAST(SUM(CASE WHEN arm = '$armB' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN arm = '$armB' AND conv = 1 THEN 1 ELSE 0
+              END) AS BIGINT) AS sb
+          FROM units),
+        par AS (SELECT na, sa, nb, sb, 1 + sa AS aa, 1 + na - sa AS ba,
+            1 + sb AS ab, 1 + nb - sb AS bb FROM cts),
+        lf AS (SELECT i,
+            SUM(LN(GREATEST(i, 1))) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+          FROM (SELECT UNNEST(range(0,
+            (SELECT aa + ab + ba + bb FROM par) + 1)) AS i)),
+        ks AS (SELECT UNNEST(range(0, (SELECT ab FROM par))) AS i),
+        t AS (SELECT
+            (l1.lf + lbab.lf - l3.lf
+              - LN(CAST(par.bb AS DOUBLE) + ks.i)
+              - (l2.lf + lbb.lf - l4.lf)
+              - (laa.lf + lba.lf - laba.lf)) AS lt
+          FROM ks CROSS JOIN par
+          JOIN lf l1 ON l1.i = par.aa - 1 + ks.i
+          JOIN lf l2 ON l2.i = ks.i
+          JOIN lf l3 ON l3.i = par.aa + par.ba + par.bb - 1 + ks.i
+          JOIN lf l4 ON l4.i = ks.i + par.bb
+          JOIN lf lbab ON lbab.i = par.ba + par.bb - 1
+          JOIN lf lbb ON lbb.i = par.bb - 1
+          JOIN lf laa ON laa.i = par.aa - 1
+          JOIN lf lba ON lba.i = par.ba - 1
+          JOIN lf laba ON laba.i = par.aa + par.ba - 1)
+        SELECT par.na AS n_a, par.sa AS s_a, par.nb AS n_b, par.sb AS s_b,
+          ROUND(CAST(par.aa AS DOUBLE) / (par.aa + par.ba), 6) AS mean_a,
+          ROUND(CAST(par.ab AS DOUBLE) / (par.ab + par.bb), 6) AS mean_b,
+          ROUND(LEAST((SELECT SUM(EXP(lt)) FROM t), 1.0), 6)
+            AS prob_b_beats_a
+        FROM par"""
 }

@@ -597,4 +597,234 @@ object Forecast {
           ROUND(SUM((e - e1) * (e - e1)) / SUM(e * e), 6) AS dw,
           ROUND(SUM(e * e1) / SUM(e * e), 6) AS rho1
         FROM l"""
+
+  /** Hurst exponent by rescaled-range (R/S) analysis of the daily
+    * TOTAL: for each block size n ∈ `scales`, split the series into
+    * complete n-day blocks, compute R/S per block (range of the
+    * mean-centered cumulative sum over the population std), average
+    * per scale, then H = OLS slope of ln(mean R/S) on ln(n). H ≈ 0.5 =
+    * memoryless; H → 1 = long-range persistence (trending metric);
+    * H < 0.5 = mean-reverting — the "does this series trend or revert"
+    * gate on any momentum-style monitor.
+    *
+    * Scale shape: one day rollup (corpus → metadata), one explode to
+    * (scale, block, day) rows, keyed (scale, block) windows only, then
+    * a #scales-row regression. Returns one row:
+    * (n_scales, n_days, hurst 6dp). */
+  def hurstRs(events: DataFrame, tsCol: String, valueCol: String,
+              scales: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(scales.nonEmpty && scales.forall(_ >= 4))
+    val d = daily(events, tsCol, valueCol)
+      .select(col("total"),
+        (row_number().over(Window.orderBy("day")) - 1).as("__rn"))
+    val ex = d.select(col("total"), col("__rn"), explode(array(
+        scales.map(s => lit(s)): _*)).as("scale"))
+      .withColumn("__blk", (col("__rn") / col("scale")).cast("long"))
+    val blockStats = ex.groupBy("scale", "__blk")
+      .agg(count(lit(1)).as("__bn"), avg("total").as("__bm"),
+        stddev_pop("total").as("__bs"))
+      .filter(col("__bn") === col("scale") && col("__bs") > 0)
+    val wB = Window.partitionBy("scale", "__blk").orderBy("__rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ex.join(blockStats, Seq("scale", "__blk"))
+      .withColumn("__cum", sum(col("total") - col("__bm")).over(wB))
+    val rs = cum.groupBy("scale", "__blk")
+      .agg(((max("__cum") - min("__cum")) / first("__bs")).as("__rs"))
+      .groupBy("scale").agg(avg("__rs").as("__mrs"))
+      .filter(col("__mrs") > 0)
+      .select(log(col("scale").cast("double")).as("__x"),
+        log(col("__mrs")).as("__y"))
+    val nDays = d.count()
+    rs.agg(count(lit(1)).as("n_scales"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("n_scales"), lit(nDays).as("n_days"),
+        round((col("__sxy") - col("__sx") * col("__sy") /
+            col("n_scales").cast("double")) /
+          (col("__sxx") - col("__sx") * col("__sx") /
+            col("n_scales").cast("double")), 6).as("hurst"))
+  }
+
+  /** DuckDB twin of [[hurstRs]]. */
+  def hurstRsOracleSql(tsExpr: String, valueExpr: String, table: String,
+                       scales: Seq[Int] = Seq(8, 16, 32, 64)): String = {
+    val scaleList = scales.mkString("[", ", ", "]")
+    s"""WITH d0 AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        d AS (SELECT total,
+            ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn FROM d0),
+        ex AS (SELECT total, rn, UNNEST($scaleList) AS scale FROM d),
+        exb AS (SELECT *, rn // scale AS blk FROM ex),
+        bs AS (SELECT scale, blk, COUNT(*) AS bn, AVG(total) AS bm,
+            stddev_pop(total) AS sdev
+          FROM exb GROUP BY scale, blk
+          HAVING COUNT(*) = scale AND stddev_pop(total) > 0),
+        cum AS (SELECT e.scale, e.blk, bs.sdev,
+            SUM(e.total - bs.bm) OVER (PARTITION BY e.scale, e.blk
+              ORDER BY e.rn ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS c
+          FROM exb e JOIN bs ON e.scale = bs.scale AND e.blk = bs.blk),
+        rsb AS (SELECT scale, blk,
+            (MAX(c) - MIN(c)) / ANY_VALUE(sdev) AS rs
+          FROM cum GROUP BY scale, blk),
+        ms AS (SELECT LN(CAST(scale AS DOUBLE)) AS x, LN(AVG(rs)) AS y
+          FROM rsb GROUP BY scale HAVING AVG(rs) > 0),
+        g AS (SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM ms),
+        nd AS (SELECT COUNT(*) AS n FROM d)
+        SELECT CAST(g.k AS BIGINT) AS n_scales,
+          CAST(nd.n AS BIGINT) AS n_days,
+          ROUND((sxy - sx * sy / CAST(k AS DOUBLE))
+            / (sxx - sx * sx / CAST(k AS DOUBLE)), 6) AS hurst
+        FROM g CROSS JOIN nd"""
+  }
+
+  /** Croston's method for INTERMITTENT demand (many zero-demand days):
+    * smooth the nonzero demand SIZES and the INTER-DEMAND INTERVALS
+    * separately with the adjust-form EWMA (closed weighted sum — no
+    * recursion, so both engines compute the identical value), forecast
+    * = size / interval. The right forecaster where q209's plain EWMA
+    * smears demand into the gaps (Croston 1972).
+    *
+    * Scale shape: the day rollup collapses the corpus; demand days and
+    * their day-gaps are one ordered window over that frame; the two
+    * smoothed values are ONE aggregate each. Returns one row:
+    * (n_demand_days, z_hat 6dp, p_hat 6dp, forecast 6dp). Dyadic
+    * alpha keeps the weights exact. */
+  def croston(events: DataFrame, tsCol: String, valueCol: String,
+              alpha: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha < 1)
+    val d = daily(events, tsCol, valueCol).filter(col("total") > 0)
+      .select(col("day"), col("total"),
+        row_number().over(Window.orderBy("day")).as("__rn"),
+        datediff(col("day"),
+          lag("day", 1).over(Window.orderBy("day"))).as("__gap"))
+    val k = d.agg(max("__rn").as("__k"))
+    val w = pow(lit(1.0 - alpha), col("__k") - col("__rn"))
+    val z = d.crossJoin(broadcast(k))
+      .agg((sum(w * col("total")) / sum(w)).as("__z"),
+        (sum(when(col("__gap").isNotNull, w * col("__gap"))) /
+          sum(when(col("__gap").isNotNull, w))).as("__p"),
+        count(lit(1)).as("n_demand_days"))
+    z.select(col("n_demand_days"), round(col("__z"), 6).as("z_hat"),
+      round(col("__p"), 6).as("p_hat"),
+      round(when(col("__p") > 0, col("__z") / col("__p")), 6)
+        .as("forecast"))
+  }
+
+  /** DuckDB twin of [[croston]]. */
+  def crostonOracleSql(tsExpr: String, valueExpr: String, table: String,
+                       alpha: Double = 0.25): String =
+    s"""WITH d0 AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        d AS (SELECT day, total,
+            ROW_NUMBER() OVER (ORDER BY day) AS rn,
+            date_diff('day', LAG(day, 1) OVER (ORDER BY day), day)
+              AS gap
+          FROM d0 WHERE total > 0),
+        kk AS (SELECT MAX(rn) AS k FROM d),
+        a AS (SELECT
+            SUM(POW(${1.0 - alpha}, k - rn) * total)
+              / SUM(POW(${1.0 - alpha}, k - rn)) AS z,
+            SUM(CASE WHEN gap IS NOT NULL THEN
+                POW(${1.0 - alpha}, k - rn) * gap END)
+              / SUM(CASE WHEN gap IS NOT NULL THEN
+                POW(${1.0 - alpha}, k - rn) END) AS p,
+            COUNT(*) AS n
+          FROM d CROSS JOIN kk)
+        SELECT CAST(n AS BIGINT) AS n_demand_days,
+          ROUND(z, 6) AS z_hat, ROUND(p, 6) AS p_hat,
+          ROUND(CASE WHEN p > 0 THEN z / p END, 6) AS forecast
+        FROM a"""
+
+  /** Partial autocorrelation (PACF) at lags 1..`maxLag` by the
+    * Durbin–Levinson recursion over the raw (unrounded) sample ACF —
+    * the AR-order-selection read-out next to q200's ACF (the lag where
+    * PACF cuts off is the AR(p) order). The recursion is unrolled into
+    * NAMED intermediate columns, so engine and oracle evaluate the
+    * byte-identical expression tree.
+    *
+    * Scale shape: identical to [[acf]] (one day rollup, one window
+    * pass, one aggregate) followed by pure single-row algebra.
+    * Returns (lag, pacf 6dp), maxLag rows. */
+  def pacf(events: DataFrame, tsCol: String, valueCol: String,
+           maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, s"maxLag $maxLag out of 1..8")
+    val d = daily(events, tsCol, valueCol)
+    val w = Window.orderBy("day")
+    val m = d.agg(avg("total").as("__m"),
+      sum(col("total") * col("total")).as("__ss"),
+      count(lit(1)).as("__n"))
+    val lagged = d.select(
+      col("total").as("x") +: (1 to maxLag).map(k =>
+        lag("total", k).over(w).as(s"x_$k")): _*)
+    // raw acf row: r_1..r_maxLag in one aggregate
+    val rAggs = (1 to maxLag).map(k =>
+      (sum((col("x") - col("__m")) * (col(s"x_$k") - col("__m"))) /
+        first(col("__ss") - col("__n") * col("__m") * col("__m")))
+        .as(s"r$k"))
+    var frame = lagged.crossJoin(m).agg(rAggs.head, rAggs.tail: _*)
+    // Durbin–Levinson with named intermediates p{k}_{j}
+    frame = frame.withColumn("p1_1", col("r1"))
+    for (k <- 2 to maxLag) {
+      val num = (1 until k).map(j =>
+        col(s"p${k - 1}_$j") * col(s"r${k - j}")).reduce(_ + _)
+      val den = (1 until k).map(j =>
+        col(s"p${k - 1}_$j") * col(s"r$j")).reduce(_ + _)
+      frame = frame.withColumn(s"p${k}_$k",
+        (col(s"r$k") - num) / (lit(1.0) - den))
+      for (j <- 1 until k)
+        frame = frame.withColumn(s"p${k}_$j",
+          col(s"p${k - 1}_$j") - col(s"p${k}_$k") * col(s"p${k - 1}_${k - j}"))
+    }
+    frame.select(explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"p${k}_$k").as("p"))): _*)).as("o"))
+      .select(col("o.lag").as("lag"), round(col("o.p"), 6).as("pacf"))
+  }
+
+  /** DuckDB twin of [[pacf]] — the same named-intermediate unroll. */
+  def pacfOracleSql(tsExpr: String, valueExpr: String, table: String,
+                    maxLag: Int = 5): String = {
+    val lagCols = (1 to maxLag).map(k =>
+      s"LAG(total, $k) OVER (ORDER BY day) AS x_$k").mkString(", ")
+    val rCols = (1 to maxLag).map(k =>
+      s"""SUM((x - mm) * (x_$k - mm)) /
+          ANY_VALUE(ss - nn * mm * mm) AS r$k""").mkString(", ")
+    val steps = new StringBuilder
+    var prev = "dl1"
+    steps.append("dl1 AS (SELECT *, r1 AS p1_1 FROM r)")
+    for (k <- 2 to maxLag) {
+      val num = (1 until k).map(j => s"p${k - 1}_$j * r${k - j}")
+        .mkString(" + ")
+      val den = (1 until k).map(j => s"p${k - 1}_$j * r$j")
+        .mkString(" + ")
+      steps.append(s""",
+        dl${k}a AS (SELECT *, (r$k - ($num)) / (1.0 - ($den))
+          AS p${k}_$k FROM $prev)""")
+      val pjs = (1 until k).map(j =>
+        s"p${k - 1}_$j - p${k}_$k * p${k - 1}_${k - j} AS p${k}_$j")
+        .mkString(", ")
+      steps.append(s""",
+        dl$k AS (SELECT *, $pjs FROM dl${k}a)""")
+      prev = s"dl$k"
+    }
+    val outRows = (1 to maxLag).map(k =>
+      s"SELECT $k AS lag, ROUND(p${k}_$k, 6) AS pacf FROM $prev")
+      .mkString("\n UNION ALL ")
+    s"""WITH d0 AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        m AS (SELECT AVG(total) AS mm, SUM(total * total) AS ss,
+            COUNT(*) AS nn FROM d0),
+        l AS (SELECT total AS x, $lagCols FROM d0),
+        r AS (SELECT $rCols FROM l CROSS JOIN m),
+        ${steps.toString}
+        $outRows"""
+  }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,4 +99,98 @@ object Distinctive {
         round(col("__len") / col("n_tokens").cast("double"), 6)
           .as("mean_token_len"))
   }
+
+  /** Bigram collocation mining by Dunning's log-likelihood ratio
+    * (Dunning 1993 G²) — the statistically-sound "these two words
+    * belong together" detector (raw PMI over-rewards rare pairs; the
+    * 2×2 G² does not). Finds multiword terms worth protecting in
+    * tokenization and templated boilerplate worth scrubbing.
+    *
+    * Scale shape: ONE tokenize pass emits adjacent-pair instances
+    * (arrays_zip of the shifted token array — no self-join); the pair
+    * groupBy is map-combinable; positional unigram margins (as first
+    * word / as second word) are re-aggregated FROM the pair table, so
+    * the corpus is read once. G² = 2·Σ k·ln(k/E) over the 2×2 with
+    * xlogx(0) = 0. Returns the top-`topK` by (g2 desc, w1, w2) among
+    * pairs with count ≥ `minCount`: (w1, w2, n_pair, n_w1, n_w2,
+    * g2 6dp). */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                   topK: Int = 20): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val pairs0 = docs.select(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))).as("__z"))
+      .select(explode(col("__z")).as("__p"))
+      .select(col("__p.0").as("w1"), col("__p.1").as("w2"))
+    val pc = pairs0.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true)
+    val c1 = pc.groupBy("w1").agg(sum("n_pair").as("n_w1"))
+    val c2 = pc.groupBy("w2").agg(sum("n_pair").as("n_w2"))
+    val nTot = pc.agg(sum("n_pair").as("__N"))
+    def xlx(k: Column, e: Column): Column =
+      when(k > 0, k * log(k / e)).otherwise(lit(0.0))
+    val n = col("__N").cast("double")
+    val k11 = col("n_pair").cast("double")
+    val k12 = (col("n_w1") - col("n_pair")).cast("double")
+    val k21 = (col("n_w2") - col("n_pair")).cast("double")
+    val k22 = n - col("n_w1") - col("n_w2") + col("n_pair")
+    val r1 = col("n_w1").cast("double")
+    val r2 = n - r1
+    val s1 = col("n_w2").cast("double")
+    val s2 = n - s1
+    val g2 = lit(2.0) * (
+      xlx(k11, r1 * s1 / n) + xlx(k12, r1 * s2 / n) +
+      xlx(k21, r2 * s1 / n) + xlx(k22, r2 * s2 / n))
+    pc.filter(col("n_pair") >= minCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"), round(g2, 6).as("g2"))
+      .orderBy(col("g2").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[collocations]]; `docsCte` must yield (text). */
+  def collocationsOracleSql(docsCte: String, minCount: Long,
+                            topK: Int): String =
+    s"""WITH docs AS ($docsCte),
+        tok AS (SELECT list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            x -> length(x) > 0) AS t FROM docs),
+        pr AS (SELECT UNNEST([{'w1': t[i], 'w2': t[i+1]}
+            for i in range(1, len(t))], recursive := true)
+          FROM tok WHERE len(t) >= 2),
+        pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pr GROUP BY w1, w2),
+        c1 AS (SELECT w1, SUM(n_pair) AS n_w1 FROM pc GROUP BY w1),
+        c2 AS (SELECT w2, SUM(n_pair) AS n_w2 FROM pc GROUP BY w2),
+        nt AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS n FROM pc),
+        sc AS (SELECT pc.w1, pc.w2, pc.n_pair, c1.n_w1, c2.n_w2,
+            2.0 * (
+              (CASE WHEN pc.n_pair > 0 THEN CAST(pc.n_pair AS DOUBLE)
+                * LN(CAST(pc.n_pair AS DOUBLE)
+                  / (CAST(c1.n_w1 AS DOUBLE) * CAST(c2.n_w2 AS DOUBLE)
+                    / nt.n)) ELSE 0.0 END) +
+              (CASE WHEN c1.n_w1 - pc.n_pair > 0 THEN
+                CAST(c1.n_w1 - pc.n_pair AS DOUBLE)
+                * LN(CAST(c1.n_w1 - pc.n_pair AS DOUBLE)
+                  / (CAST(c1.n_w1 AS DOUBLE)
+                    * (nt.n - CAST(c2.n_w2 AS DOUBLE)) / nt.n))
+                ELSE 0.0 END) +
+              (CASE WHEN c2.n_w2 - pc.n_pair > 0 THEN
+                CAST(c2.n_w2 - pc.n_pair AS DOUBLE)
+                * LN(CAST(c2.n_w2 - pc.n_pair AS DOUBLE)
+                  / ((nt.n - CAST(c1.n_w1 AS DOUBLE))
+                    * CAST(c2.n_w2 AS DOUBLE) / nt.n)) ELSE 0.0 END) +
+              (CASE WHEN nt.n - c1.n_w1 - c2.n_w2 + pc.n_pair > 0 THEN
+                (nt.n - c1.n_w1 - c2.n_w2 + pc.n_pair)
+                * LN((nt.n - c1.n_w1 - c2.n_w2 + pc.n_pair)
+                  / ((nt.n - CAST(c1.n_w1 AS DOUBLE))
+                    * (nt.n - CAST(c2.n_w2 AS DOUBLE)) / nt.n))
+                ELSE 0.0 END)) AS g2
+          FROM pc JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nt
+          WHERE pc.n_pair >= $minCount)
+        SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+          CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2,
+          ROUND(g2, 6) AS g2
+        FROM sc ORDER BY g2 DESC, w1, w2 LIMIT $topK"""
 }
