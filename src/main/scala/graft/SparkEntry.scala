@@ -2587,7 +2587,44 @@ object SparkEntry {
       // AR-order read-out: Durbin-Levinson PACF at lags 1..5 over the
       // daily total, unrolled to named intermediates
       graft.operators.Forecast.pacf(t(s, dir, "events"), "ts", "value",
-        maxLag = 5))
+        maxLag = 5)),
+    "q315_price_index" -> ((s, dir) =>
+      // monthly Laspeyres/Paasche/Fisher vs the first shipping month:
+      // price vs volume decomposition of revenue movement
+      graft.operators.Reporting.priceIndex(t(s, dir, "lineitem"),
+        "l_shipdate", "l_partkey", "l_extendedprice", "l_quantity")),
+    "q316_ridge_cv" -> ((s, dir) =>
+      // lambda grid x 5 folds from ONE moments-by-fold pass — the
+      // sufficient-statistics RidgeCV
+      graft.ml.Ridge.ridgeCv(
+        t(s, dir, "lineitem").withColumn("rid",
+          col("l_orderkey") * 8 + col("l_linenumber")),
+        "rid", "l_quantity", "l_discount", "l_extendedprice")),
+    "q317_motifs" -> ((s, dir) =>
+      // most similar non-overlapping weekly shapes of daily revenue —
+      // matrix-profile-style motif pairs on the day frame
+      graft.operators.Forecast.motifs(t(s, dir, "events"),
+        "ts", "value", w = 7, topK = 5)),
+    "q318_gumbel_returns" -> ((s, dir) =>
+      // what weekly peak shows up once a month/quarter/year? EV-I
+      // return levels from weekly block maxima
+      graft.operators.Forecast.gumbelReturnLevels(t(s, dir, "events"),
+        "ts", "value")),
+    "q319_entropy_rate" -> ((s, dir) =>
+      // corpus redundancy: is the next token predictable? unigram vs
+      // bigram-conditional entropy from one tokenize pass
+      graft.text.Distinctive.entropyRate(t(s, dir, "documents"), "text")),
+    "q320_cramer_von_mises" -> ((s, dir) => {
+      // whole-distribution R-vs-N price drift — integrates every ECDF
+      // gap where q92's KS sees only the largest
+      val li = t(s, dir, "lineitem")
+      graft.eda.StatTests.cramerVonMises(
+        li.filter(col("l_returnflag") === "R")
+          .select(col("l_extendedprice").as("v")),
+        li.filter(col("l_returnflag") === "N")
+          .select(col("l_extendedprice").as("v")),
+        "v")
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6202,6 +6239,22 @@ object SparkEntry {
       alpha = 0.25),
     "q314_pacf" -> graft.operators.Forecast.pacfOracleSql(
       "ts", "value", "events", maxLag = 5),
+    "q315_price_index" -> graft.operators.Reporting.priceIndexOracleSql(
+      "l_shipdate", "l_partkey", "l_extendedprice", "l_quantity",
+      "lineitem"),
+    "q316_ridge_cv" -> graft.ml.Ridge.ridgeCvOracleSql(
+      """SELECT l_orderkey * 8 + l_linenumber AS id, l_quantity AS x1,
+           l_discount AS x2, l_extendedprice AS y FROM lineitem"""),
+    "q317_motifs" -> graft.operators.Forecast.motifsOracleSql(
+      "ts", "value", "events", w = 7, topK = 5),
+    "q318_gumbel_returns" -> graft.operators.Forecast.gumbelOracleSql(
+      "ts", "value", "events"),
+    "q319_entropy_rate" -> graft.text.Distinctive.entropyRateOracleSql(
+      "SELECT text FROM documents"),
+    "q320_cramer_von_mises" ->
+      graft.eda.StatTests.cramerVonMisesOracleSql(
+        "SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'R'",
+        "SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'N'"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

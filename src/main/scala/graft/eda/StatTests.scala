@@ -254,6 +254,64 @@ object StatTests {
           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_bf
         FROM agg"""
 
+  /** Two-sample Cramér–von Mises statistic
+    * T = (n·m/N²)·Σ_z c(z)·(F_n(z) − G_m(z))² summed over the pooled
+    * distinct values (each weighted by its pooled tie count) — the
+    * WHOLE-distribution companion to q92's KS: KS sees only the worst
+    * single gap, CvM integrates every gap, so it catches broad mild
+    * drift KS misses.
+    *
+    * Scale shape: the pooled ECDFs ride the same bucketed rank kernel
+    * as KS/rocAuc ([[graft.ml.Metrics]] rankedScores — no global
+    * sort); the statistic is one aggregate over the distinct-value
+    * frame. Returns one row: (n_a, n_b, cvm 6dp). */
+  def cramerVonMises(a: DataFrame, b: DataFrame,
+                     valueCol: String): DataFrame = {
+    val stacked = a.select(col(valueCol).cast("double").as("__v"),
+        lit(1).as("__isa"))
+      .unionByName(b.select(col(valueCol).cast("double").as("__v"),
+        lit(0).as("__isa")))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .withColumn("__g", lit("all"))
+    val ranked = graft.ml.Metrics.rankedScores(
+      stacked, "__g", "__isa", "__v", 256)
+    val totals = ranked.agg(sum("n_pos").as("__na"),
+      sum(col("n") - col("n_pos")).as("__nb"))
+    val f = (col("before_pos") + col("n_pos")).cast("double") / col("__na")
+    val g = (col("before") + col("n") - col("before_pos") - col("n_pos"))
+      .cast("double") / col("__nb")
+    ranked.crossJoin(broadcast(totals))
+      .agg(first("__na").as("n_a"), first("__nb").as("n_b"),
+        sum(col("n") * (f - g) * (f - g)).as("__s"))
+      .select(col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") * col("n_b") /
+          ((col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))) *
+          col("__s"), 6).as("cvm"))
+  }
+
+  /** DuckDB twin of [[cramerVonMises]]; `aCte`/`bCte` must yield v. */
+  def cramerVonMisesOracleSql(aCte: String, bCte: String): String =
+    s"""WITH s AS (
+          SELECT CAST(v AS DOUBLE) AS v, 1 AS isa FROM ($aCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+          UNION ALL
+          SELECT CAST(v AS DOUBLE), 0 FROM ($bCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        m AS (SELECT v, COUNT(*) AS n, SUM(isa) AS ca,
+            SUM(1 - isa) AS cb
+          FROM s GROUP BY v),
+        c AS (SELECT n,
+            SUM(ca) OVER (ORDER BY v) AS cuma,
+            SUM(cb) OVER (ORDER BY v) AS cumb FROM m),
+        t2 AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m)
+        SELECT CAST(t2.na AS BIGINT) AS n_a, CAST(t2.nb AS BIGINT) AS n_b,
+          ROUND(CAST(t2.na AS DOUBLE) * t2.nb
+            / ((t2.na + t2.nb) * (t2.na + t2.nb))
+            * SUM(n * (CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE)
+              / nb) * (CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE)
+              / nb)), 6) AS cvm
+        FROM c CROSS JOIN t2 GROUP BY t2.na, t2.nb"""
+
   /** Welch's heteroscedastic one-way ANOVA — the k-group mean test
     * that does NOT assume equal variances, i.e. the test to run when
     * [[brownForsythe]] rejects. Weights wⱼ = nⱼ/s²ⱼ;

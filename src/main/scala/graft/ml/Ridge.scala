@@ -289,4 +289,135 @@ object Ridge {
         UNION ALL ${rowFor(n2, "r12", "r23", "r13")}
         UNION ALL ${rowFor(n3, "r13", "r23", "r12")}"""
   }
+
+  /** k-fold cross-validated ridge-λ selection WITHOUT a second data
+    * pass: because the 2-feature ridge is solved from additive
+    * sufficient statistics, the train-fold moments are just
+    * (total − held-out fold) moments, and the held-out SSE expands as
+    * a quadratic form in the SAME fold moments — so the entire
+    * (folds × λ grid) search costs ONE moments-by-fold groupBy over
+    * the corpus plus metadata algebra. This is the sufficient-
+    * statistics trick stated as an operator: the 100 TB version of
+    * sklearn's RidgeCV grid.
+    *
+    * Folds come from the portable md5 first-hex-char map (engine-
+    * reproducible, the stratifiedSplit scheme). Per λ the read-out is
+    * pooled CV R² = 1 − Σ_f SSE_f / Σ_f SST_f (held-out fold, fold-
+    * mean-centered SST) — a ratio, so corpus-magnitude float noise
+    * cancels. Returns (lambda, cv_r2 6dp), ordered by λ. */
+  def ridgeCv(df: DataFrame, idCol: String, x1Col: String, x2Col: String,
+              yCol: String, lambdas: Seq[Double] = Seq(0, 0.5, 1, 2, 4, 8),
+              folds: Int = 5, seed: Long = 42L): DataFrame = {
+    require(folds >= 2 && folds <= 16 && lambdas.nonEmpty)
+    val (x1, x2, y) = (col(x1Col).cast("double"), col(x2Col).cast("double"),
+      col(yCol).cast("double"))
+    val hexChars = "0123456789abcdef"
+    val h = substring(md5(concat_ws(":",
+      col(idCol).cast("string"), lit(seed.toString))), 1, 1)
+    val fold = hexChars.zipWithIndex.foldLeft(lit(0)) { case (acc, (c, i)) =>
+      when(h === c.toString, lit(i % folds)).otherwise(acc) }
+    val fm = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .groupBy(fold.as("__f"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
+        sum(x1 * x1).as("sx1x1"), sum(x2 * x2).as("sx2x2"),
+        sum(x1 * x2).as("sx1x2"),
+        sum(x1 * y).as("sx1y"), sum(x2 * y).as("sx2y"),
+        sum(y * y).as("syy"))
+      .localCheckpoint(true)
+    val mom = Seq("n", "sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2",
+      "sx1y", "sx2y", "syy")
+    val tot = fm.agg(mom.map(c => sum(c).as(s"t_$c")).head,
+      mom.map(c => sum(c).as(s"t_$c")).tail: _*)
+    val withTrain = fm.crossJoin(broadcast(tot))
+      .select(col("__f") +: mom.map(c => col(c)) ++:
+        mom.map(c => (col(s"t_$c") - col(c)).as(s"r_$c")): _*)
+      .select(col("*"), explode(array(lambdas.map(l =>
+        lit(l)): _*)).as("lambda"))
+    // train-side centered solve (ridge2 expression shapes, r_ moments)
+    val n = col("r_n")
+    val (m1, m2, my) =
+      (col("r_sx1") / n, col("r_sx2") / n, col("r_sy") / n)
+    val s11 = col("r_sx1x1") - n * m1 * m1 + col("lambda")
+    val s22 = col("r_sx2x2") - n * m2 * m2 + col("lambda")
+    val s12 = col("r_sx1x2") - n * m1 * m2
+    val c1 = col("r_sx1y") - n * m1 * my
+    val c2 = col("r_sx2y") - n * m2 * my
+    val det = s11 * s22 - s12 * s12
+    val b1 = (s22 * c1 - s12 * c2) / det
+    val b2 = (s11 * c2 - s12 * c1) / det
+    val b0 = my - b1 * m1 - b2 * m2
+    // held-out SSE as a quadratic form in the fold moments
+    val sse = col("syy") + col("n") * b0 * b0 +
+      b1 * b1 * col("sx1x1") + b2 * b2 * col("sx2x2") -
+      lit(2.0) * b0 * col("sy") - lit(2.0) * b1 * col("sx1y") -
+      lit(2.0) * b2 * col("sx2y") +
+      lit(2.0) * b0 * b1 * col("sx1") + lit(2.0) * b0 * b2 * col("sx2") +
+      lit(2.0) * b1 * b2 * col("sx1x2")
+    val sst = col("syy") - col("sy") * col("sy") / col("n")
+    withTrain
+      .select(col("lambda"), sse.as("__sse"), sst.as("__sst"))
+      .groupBy("lambda")
+      .agg(round(lit(1.0) - sum("__sse") / sum("__sst"), 6).as("cv_r2"))
+      .orderBy("lambda")
+  }
+
+  /** DuckDB twin of [[ridgeCv]]; `srcCte` must yield (id, x1, x2, y).
+    * Same fold map, same moment algebra. */
+  def ridgeCvOracleSql(srcCte: String,
+                       lambdas: Seq[Double] = Seq(0, 0.5, 1, 2, 4, 8),
+                       folds: Int = 5, seed: Long = 42L): String = {
+    val hexChars = "0123456789abcdef"
+    val foldCase = hexChars.zipWithIndex.map { case (c, i) =>
+      s"WHEN substring(md5(CAST(id AS VARCHAR) || ':$seed'), 1, 1) = '$c' THEN ${i % folds}"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    val lamList = lambdas.mkString("[", ", ", "]")
+    s"""WITH src AS (SELECT id, CAST(x1 AS DOUBLE) AS x1,
+            CAST(x2 AS DOUBLE) AS x2, CAST(y AS DOUBLE) AS y
+          FROM ($srcCte)
+          WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND y IS NOT NULL),
+        fm AS (SELECT $foldCase AS f,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+            SUM(x1 * x1) AS sx1x1, SUM(x2 * x2) AS sx2x2,
+            SUM(x1 * x2) AS sx1x2,
+            SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y, SUM(y * y) AS syy
+          FROM src GROUP BY 1),
+        tot AS (SELECT SUM(n) AS t_n, SUM(sx1) AS t_sx1,
+            SUM(sx2) AS t_sx2, SUM(sy) AS t_sy, SUM(sx1x1) AS t_sx1x1,
+            SUM(sx2x2) AS t_sx2x2, SUM(sx1x2) AS t_sx1x2,
+            SUM(sx1y) AS t_sx1y, SUM(sx2y) AS t_sx2y, SUM(syy) AS t_syy
+          FROM fm),
+        tr AS (SELECT fm.*, t_n - n AS r_n, t_sx1 - sx1 AS r_sx1,
+            t_sx2 - sx2 AS r_sx2, t_sy - sy AS r_sy,
+            t_sx1x1 - sx1x1 AS r_sx1x1, t_sx2x2 - sx2x2 AS r_sx2x2,
+            t_sx1x2 - sx1x2 AS r_sx1x2, t_sx1y - sx1y AS r_sx1y,
+            t_sx2y - sx2y AS r_sx2y, t_syy - syy AS r_syy
+          FROM fm CROSS JOIN tot),
+        lam AS (SELECT UNNEST($lamList) AS lambda),
+        ex AS (SELECT tr.*, lam.lambda,
+            r_sx1x1 - r_n * (r_sx1 / r_n) * (r_sx1 / r_n) + lam.lambda
+              AS s11,
+            r_sx2x2 - r_n * (r_sx2 / r_n) * (r_sx2 / r_n) + lam.lambda
+              AS s22,
+            r_sx1x2 - r_n * (r_sx1 / r_n) * (r_sx2 / r_n) AS s12,
+            r_sx1y - r_n * (r_sx1 / r_n) * (r_sy / r_n) AS c1,
+            r_sx2y - r_n * (r_sx2 / r_n) * (r_sy / r_n) AS c2,
+            r_sx1 / r_n AS m1, r_sx2 / r_n AS m2, r_sy / r_n AS my
+          FROM tr CROSS JOIN lam),
+        sol AS (SELECT *,
+            (s22 * c1 - s12 * c2) / (s11 * s22 - s12 * s12) AS b1,
+            (s11 * c2 - s12 * c1) / (s11 * s22 - s12 * s12) AS b2
+          FROM ex),
+        sb AS (SELECT *, my - b1 * m1 - b2 * m2 AS b0 FROM sol),
+        ev AS (SELECT lambda,
+            syy + n * b0 * b0 + b1 * b1 * sx1x1 + b2 * b2 * sx2x2
+              - 2.0 * b0 * sy - 2.0 * b1 * sx1y - 2.0 * b2 * sx2y
+              + 2.0 * b0 * b1 * sx1 + 2.0 * b0 * b2 * sx2
+              + 2.0 * b1 * b2 * sx1x2 AS sse,
+            syy - sy * sy / n AS sst
+          FROM sb)
+        SELECT lambda, ROUND(1.0 - SUM(sse) / SUM(sst), 6) AS cv_r2
+        FROM ev GROUP BY lambda ORDER BY lambda"""
+  }
 }

@@ -827,4 +827,146 @@ object Forecast {
         ${steps.toString}
         $outRows"""
   }
+
+  /** Time-series motif discovery: the top-k most similar pairs of
+    * non-overlapping `w`-day windows of the daily total, by
+    * z-NORMALIZED Euclidean distance (the matrix-profile similarity;
+    * z-normalization makes "same shape at different level/scale"
+    * match — the recurring-pattern detector for capacity planning and
+    * incident forensics).
+    *
+    * Scale shape: subsequences come from ONE lag-window pass over the
+    * day frame (metadata); the pair join is (days × days)/2 on that
+    * frame — bounded by calendar length squared, never by data volume
+    * (the all-pairs is over ~10³ day rows even at 100 TB). Constant
+    * (zero-variance) windows are dropped. Returns top-k:
+    * (day_a, day_b, dist 6dp), (dist asc, day_a, day_b)
+    * deterministic. */
+  def motifs(events: DataFrame, tsCol: String, valueCol: String,
+             w: Int = 7, topK: Int = 5): DataFrame = {
+    require(w >= 3 && w <= 30 && topK >= 1)
+    val d = daily(events, tsCol, valueCol)
+    val win = Window.orderBy("day")
+    val lags = (0 until w).map(k => lag("total", k).over(win).as(s"v$k"))
+    val sub0 = d.select(col("day") +:
+      (row_number().over(win)).as("__rn") +: lags: _*)
+      .filter(col(s"v${w - 1}").isNotNull)
+    val mean = (0 until w).map(k => col(s"v$k")).reduce(_ + _) / w
+    val sub1 = sub0.withColumn("__m", mean)
+    val varp = (0 until w).map(k =>
+      (col(s"v$k") - col("__m")) * (col(s"v$k") - col("__m")))
+      .reduce(_ + _) / w
+    val sub = sub1.withColumn("__s", sqrt(varp)).filter(col("__s") > 0)
+      .select(col("day") +: col("__rn") +:
+        (0 until w).map(k =>
+          ((col(s"v$k") - col("__m")) / col("__s")).as(s"z$k")): _*)
+      .localCheckpoint(true)
+    val a = sub.select(col("day").as("day_a") +: col("__rn").as("__ra") +:
+      (0 until w).map(k => col(s"z$k").as(s"a$k")): _*)
+    val b = sub.select(col("day").as("day_b") +: col("__rn").as("__rb") +:
+      (0 until w).map(k => col(s"z$k").as(s"b$k")): _*)
+    val dist2 = (0 until w).map(k =>
+      (col(s"a$k") - col(s"b$k")) * (col(s"a$k") - col(s"b$k")))
+      .reduce(_ + _)
+    val out = a.join(b, col("__rb") >= col("__ra") + w)
+      .select(col("day_a").cast("timestamp").as("day_a"),
+        col("day_b").cast("timestamp").as("day_b"),
+        round(sqrt(dist2), 6).as("dist"))
+      .orderBy(col("dist"), col("day_a"), col("day_b")).limit(topK)
+      .localCheckpoint(true)
+    sub.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[motifs]]. */
+  def motifsOracleSql(tsExpr: String, valueExpr: String, table: String,
+                      w: Int = 7, topK: Int = 5): String = {
+    val lagCols = (0 until w).map(k =>
+      s"LAG(total, $k) OVER (ORDER BY day) AS v$k").mkString(", ")
+    val meanExpr = (0 until w).map(k => s"v$k").mkString(" + ")
+    val varExpr = (0 until w).map(k => s"(v$k - m) * (v$k - m)")
+      .mkString(" + ")
+    val zCols = (0 until w).map(k => s"(v$k - m) / s AS z$k")
+      .mkString(", ")
+    val d2 = (0 until w).map(k => s"(a.z$k - b.z$k) * (a.z$k - b.z$k)")
+      .mkString(" + ")
+    s"""WITH d0 AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        sub0 AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+            $lagCols FROM d0),
+        sub1 AS (SELECT *, ($meanExpr) / $w AS m FROM sub0
+          WHERE v${w - 1} IS NOT NULL),
+        sub2 AS (SELECT *, SQRT(($varExpr) / $w) AS s FROM sub1),
+        sub AS (SELECT day, rn, $zCols FROM sub2 WHERE s > 0)
+        SELECT CAST(a.day AS TIMESTAMP) AS day_a,
+          CAST(b.day AS TIMESTAMP) AS day_b,
+          ROUND(SQRT($d2), 6) AS dist
+        FROM sub a JOIN sub b ON b.rn >= a.rn + $w
+        ORDER BY dist, day_a, day_b LIMIT $topK"""
+  }
+
+  /** Gumbel (EV-I) return levels by method of moments over BLOCK
+    * maxima of the daily total: β = s·√6/π, μ = m − γ·β (γ =
+    * Euler–Mascheroni), and the T-block return level
+    * x_T = μ − β·ln(−ln(1 − 1/T)) — "what weekly peak should we
+    * provision for once a quarter/year," the capacity-planning
+    * read-out on any load metric.
+    *
+    * Scale shape: day rollup → 7-day block maxima (one groupBy on the
+    * metadata day frame) → one mean/stddev aggregate → pure literals.
+    * Returns one row per T in `returns`:
+    * (t_blocks, mu 6dp, beta 6dp, return_level 6dp). */
+  def gumbelReturnLevels(events: DataFrame, tsCol: String,
+                         valueCol: String, blockDays: Int = 7,
+                         returns: Seq[Int] = Seq(4, 13, 52)): DataFrame = {
+    require(blockDays >= 2 && returns.forall(_ >= 2))
+    val d = daily(events, tsCol, valueCol)
+      .select(col("total"),
+        ((row_number().over(Window.orderBy("day")) - 1) / blockDays)
+          .cast("long").as("__blk"))
+    val blocks = d.groupBy("__blk")
+      .agg(max("total").as("__mx"), count(lit(1)).as("__bn"))
+      .filter(col("__bn") === blockDays)
+    val m = blocks.agg(avg("__mx").as("__m"),
+      stddev_samp("__mx").as("__s"))
+    val euler = 0.5772156649015329
+    // single precomputed literal so engine and oracle share ONE multiply
+    val beta = col("__s") * lit(math.sqrt(6.0) / math.Pi)
+    val mu = col("__m") - lit(euler) * beta
+    m.select(explode(array(returns.map(t => lit(t)): _*)).as("t_blocks"),
+        col("__m"), col("__s"))
+      .select(col("t_blocks").cast("long").as("t_blocks"),
+        round(mu, 6).as("mu"), round(beta, 6).as("beta"),
+        round(mu - beta * log(-log(lit(1.0) - lit(1.0) /
+          col("t_blocks").cast("double"))), 6).as("return_level"))
+  }
+
+  /** DuckDB twin of [[gumbelReturnLevels]]. */
+  def gumbelOracleSql(tsExpr: String, valueExpr: String, table: String,
+                      blockDays: Int = 7,
+                      returns: Seq[Int] = Seq(4, 13, 52)): String = {
+    val rList = returns.mkString("[", ", ", "]")
+    val sqrt6OverPi = math.sqrt(6.0) / math.Pi
+    s"""WITH d0 AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        d AS (SELECT total,
+            (ROW_NUMBER() OVER (ORDER BY day) - 1) // $blockDays AS blk
+          FROM d0),
+        blocks AS (SELECT blk, MAX(total) AS mx, COUNT(*) AS bn
+          FROM d GROUP BY blk HAVING COUNT(*) = $blockDays),
+        m AS (SELECT AVG(mx) AS mm, stddev_samp(mx) AS s FROM blocks),
+        ts AS (SELECT UNNEST($rList) AS t)
+        SELECT CAST(ts.t AS BIGINT) AS t_blocks,
+          ROUND(mm - 0.5772156649015329 * (s * $sqrt6OverPi), 6) AS mu,
+          ROUND(s * $sqrt6OverPi, 6) AS beta,
+          ROUND((mm - 0.5772156649015329 * (s * $sqrt6OverPi))
+            - (s * $sqrt6OverPi)
+              * LN(-LN(1.0 - 1.0 / CAST(ts.t AS DOUBLE))), 6)
+            AS return_level
+        FROM m CROSS JOIN ts"""
+  }
 }

@@ -296,6 +296,78 @@ object Reporting {
         round(percentile(col("__days"), lit(0.75)), 6).as("p75_days"))
   }
 
+  /** Matched-basket price indices per month — Laspeyres (base-weighted),
+    * Paasche (current-weighted) and Fisher (their geometric mean): "how
+    * much of the revenue move is PRICE vs volume," the deflator every
+    * period-over-period revenue report needs. Unit prices are
+    * Σrevenue/Σqty per (month, item); each month's basket is matched
+    * inner-join against the BASE month (first month observed), the
+    * standard matched-model rule.
+    *
+    * Scale shape: ONE (month, item) groupBy with decimal sums collapses
+    * the corpus; the base basket is a broadcast join; each index is one
+    * aggregate over the matched frame. Returns per month:
+    * (month, n_matched, laspeyres 6dp, paasche 6dp, fisher 6dp). */
+  def priceIndex(df: DataFrame, dateCol: String, itemCol: String,
+                 revenueCol: String, qtyCol: String): DataFrame = {
+    val pm = df.filter(col(revenueCol).isNotNull && col(qtyCol).isNotNull)
+      .groupBy(trunc(col(dateCol), "month").as("month"),
+        col(itemCol).as("__it"))
+      .agg(sum(col(revenueCol).cast("decimal(18,2)")).as("__rev"),
+        sum(col(qtyCol).cast("decimal(18,2)")).as("__qty"))
+      .filter(col("__qty") > 0)
+      .select(col("month"), col("__it"),
+        (col("__rev").cast("double") / col("__qty").cast("double"))
+          .as("__p"),
+        col("__qty").cast("double").as("__q"))
+      .localCheckpoint(true)
+    val base = pm.crossJoin(broadcast(pm.agg(min("month").as("__m0"))))
+      .filter(col("month") === col("__m0"))
+      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
+    val out = pm.join(broadcast(base), Seq("__it"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("__p") * col("__q0")) /
+          sum(col("__p0") * col("__q0")), 6).as("laspeyres"),
+        round(sum(col("__p") * col("__q")) /
+          sum(col("__p0") * col("__q")), 6).as("paasche"),
+        round(sqrt((sum(col("__p") * col("__q0")) /
+            sum(col("__p0") * col("__q0"))) *
+          (sum(col("__p") * col("__q")) /
+            sum(col("__p0") * col("__q")))), 6).as("fisher"))
+      .select(col("month").cast("timestamp").as("month"),
+        col("n_matched"), col("laspeyres"), col("paasche"), col("fisher"))
+      .orderBy("month").localCheckpoint(true)
+    pm.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[priceIndex]]; columns are inlined. */
+  def priceIndexOracleSql(dateCol: String, itemCol: String,
+                          revenueCol: String, qtyCol: String,
+                          table: String): String =
+    s"""WITH pm AS (SELECT date_trunc('month', $dateCol) AS month,
+            $itemCol AS it,
+            CAST(SUM(CAST($revenueCol AS DECIMAL(18,2))) AS DOUBLE)
+              / CAST(SUM(CAST($qtyCol AS DECIMAL(18,2))) AS DOUBLE) AS p,
+            CAST(SUM(CAST($qtyCol AS DECIMAL(18,2))) AS DOUBLE) AS q
+          FROM $table
+          WHERE $revenueCol IS NOT NULL AND $qtyCol IS NOT NULL
+          GROUP BY 1, 2
+          HAVING SUM(CAST($qtyCol AS DECIMAL(18,2))) > 0),
+        m0 AS (SELECT MIN(month) AS m0 FROM pm),
+        base AS (SELECT it, p AS p0, q AS q0 FROM pm CROSS JOIN m0
+          WHERE pm.month = m0.m0)
+        SELECT CAST(pm.month AS TIMESTAMP) AS month,
+          COUNT(*) AS n_matched,
+          ROUND(SUM(pm.p * base.q0) / SUM(base.p0 * base.q0), 6)
+            AS laspeyres,
+          ROUND(SUM(pm.p * pm.q) / SUM(base.p0 * pm.q), 6) AS paasche,
+          ROUND(SQRT((SUM(pm.p * base.q0) / SUM(base.p0 * base.q0))
+            * (SUM(pm.p * pm.q) / SUM(base.p0 * pm.q))), 6) AS fisher
+        FROM pm JOIN base USING (it)
+        GROUP BY pm.month ORDER BY pm.month"""
+
   /** Exact Shapley-value channel attribution (coalition value = number
     * of conversions among journeys whose touched-channel SET is
     * contained in the coalition — the standard simplified game of

@@ -150,6 +150,68 @@ object Distinctive {
       .limit(topK)
   }
 
+  /** Corpus predictability: unigram entropy H(w), bigram conditional
+    * entropy H(w₂|w₁) and the redundancy 1 − H(w₂|w₁)/H(w) — the
+    * entropy-rate read-out that separates templated/boilerplate text
+    * (next word nearly determined → high redundancy) from natural
+    * prose, corpus-level twin of q102's per-doc repetition signals.
+    *
+    * Scale shape: same single tokenize pass as [[collocations]]
+    * (adjacent pairs via arrays_zip); H(w₂|w₁) = H(w₁,w₂) − H(w₁)
+    * where both entropies are aggregates of the pair-count table and
+    * its first-word margin — no second corpus pass; unigram positions
+    * use the pair table's first-word margin (all tokens but each
+    * text's last — documented). Natural-log entropies. Returns one
+    * row: (n_pairs, h_unigram 6dp, h_cond 6dp, redundancy 6dp). */
+  def entropyRate(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val pairs0 = docs.select(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))).as("__z"))
+      .select(explode(col("__z")).as("__p"))
+      .select(col("__p.0").as("w1"), col("__p.1").as("w2"))
+    val pc = pairs0.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = pc.agg(sum("n").as("__N"))
+    val nD = col("__N").cast("double")
+    val hJoint = pc.crossJoin(broadcast(tot))
+      .agg(sum(-(col("n") / nD) * log(col("n") / nD)).as("__hj"),
+        first("__N").as("n_pairs"))
+    val hUni = pc.groupBy("w1").agg(sum("n").as("__c1"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(-(col("__c1") / nD) * log(col("__c1") / nD)).as("__hu"))
+    hJoint.crossJoin(hUni)
+      .select(col("n_pairs"),
+        round(col("__hu"), 6).as("h_unigram"),
+        round(col("__hj") - col("__hu"), 6).as("h_cond"),
+        round(when(col("__hu") > 0,
+          lit(1.0) - (col("__hj") - col("__hu")) / col("__hu")), 6)
+          .as("redundancy"))
+  }
+
+  /** DuckDB twin of [[entropyRate]]; `docsCte` must yield (text). */
+  def entropyRateOracleSql(docsCte: String): String =
+    s"""WITH docs AS ($docsCte),
+        tok AS (SELECT list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            x -> length(x) > 0) AS t FROM docs),
+        pr AS (SELECT UNNEST([{'w1': t[i], 'w2': t[i+1]}
+            for i in range(1, len(t))], recursive := true)
+          FROM tok WHERE len(t) >= 2),
+        pc AS (SELECT w1, w2, COUNT(*) AS n FROM pr GROUP BY w1, w2),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+            CAST(SUM(n) AS BIGINT) AS ni FROM pc),
+        hj AS (SELECT SUM(-(n / nn) * LN(n / nn)) AS h
+          FROM pc CROSS JOIN tot),
+        um AS (SELECT w1, SUM(n) AS c1 FROM pc GROUP BY w1),
+        hu AS (SELECT SUM(-(c1 / nn) * LN(c1 / nn)) AS h
+          FROM um CROSS JOIN tot)
+        SELECT tot.ni AS n_pairs, ROUND(hu.h, 6) AS h_unigram,
+          ROUND(hj.h - hu.h, 6) AS h_cond,
+          ROUND(CASE WHEN hu.h > 0 THEN
+            1.0 - (hj.h - hu.h) / hu.h END, 6) AS redundancy
+        FROM tot CROSS JOIN hj CROSS JOIN hu"""
+
   /** DuckDB twin of [[collocations]]; `docsCte` must yield (text). */
   def collocationsOracleSql(docsCte: String, minCount: Long,
                             topK: Int): String =
