@@ -312,18 +312,24 @@ object Ridge {
     val (x1, x2, y) = (col(x1Col).cast("double"), col(x2Col).cast("double"),
       col(yCol).cast("double"))
     val hexChars = "0123456789abcdef"
-    val h = substring(md5(concat_ws(":",
-      col(idCol).cast("string"), lit(seed.toString))), 1, 1)
+    // materialize the hex char ONCE per row — a when-chain over the
+    // raw md5 expression would re-evaluate the hash per branch
     val fold = hexChars.zipWithIndex.foldLeft(lit(0)) { case (acc, (c, i)) =>
-      when(h === c.toString, lit(i % folds)).otherwise(acc) }
+      when(col("__h") === c.toString, lit(i % folds)).otherwise(acc) }
     val fm = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .select(x1.as("__x1"), x2.as("__x2"), y.as("__y"),
+        substring(md5(concat_ws(":",
+          col(idCol).cast("string"), lit(seed.toString))), 1, 1).as("__h"))
       .groupBy(fold.as("__f"))
       .agg(count(lit(1)).cast("double").as("n"),
-        sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
-        sum(x1 * x1).as("sx1x1"), sum(x2 * x2).as("sx2x2"),
-        sum(x1 * x2).as("sx1x2"),
-        sum(x1 * y).as("sx1y"), sum(x2 * y).as("sx2y"),
-        sum(y * y).as("syy"))
+        sum(col("__x1")).as("sx1"), sum(col("__x2")).as("sx2"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x1") * col("__x1")).as("sx1x1"),
+        sum(col("__x2") * col("__x2")).as("sx2x2"),
+        sum(col("__x1") * col("__x2")).as("sx1x2"),
+        sum(col("__x1") * col("__y")).as("sx1y"),
+        sum(col("__x2") * col("__y")).as("sx2y"),
+        sum(col("__y") * col("__y")).as("syy"))
       .localCheckpoint(true)
     val mom = Seq("n", "sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2",
       "sx1y", "sx2y", "syy")
