@@ -2624,7 +2624,44 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "N")
           .select(col("l_extendedprice").as("v")),
         "v")
-    })
+    }),
+    "q321_retention_half_life" -> ((s, dir) =>
+      // exponential-decay fit per cohort on the q164 triangle —
+      // one number per cohort instead of a chart
+      graft.operators.Cohorts.retentionHalfLife(t(s, dir, "events"),
+        "user_id", "ts")),
+    "q322_seasonality_strength" -> ((s, dir) =>
+      // trend vs seasonal vs noise shares of the daily series
+      graft.operators.Forecast.seasonalityStrength(t(s, dir, "events"),
+        "ts", "value")),
+    "q323_qte" -> ((s, dir) =>
+      // where does the A-vs-N price effect live? per-decile QTE
+      graft.ml.Experiments.quantileTreatmentEffects(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+          col("l_extendedprice").as("v")),
+        "g", "v", "A", "N")),
+    "q324_proportion_effects" -> ((s, dir) =>
+      // Cohen's h + risk ratio CI for BUILDING-vs-AUTOMOBILE
+      // positive-balance rates — effect sizes, not just a p-value
+      graft.ml.Stats.proportionEffects(
+        t(s, dir, "customer").select(col("c_mktsegment").as("g"),
+          when(col("c_acctbal") > 0, 1).otherwise(0).as("conv")),
+        "g", "conv", "BUILDING", "AUTOMOBILE")),
+    "q325_nb_fit" -> ((s, dir) =>
+      // orders-per-customer count model: overdispersion + NB fit +
+      // zero-inflation check (zero-order customers included)
+      graft.ml.Stats.nbFit(
+        t(s, dir, "customer").join(
+          t(s, dir, "orders").groupBy(col("o_custkey").as("c_custkey"))
+            .agg(count(lit(1)).as("__k")),
+          Seq("c_custkey"), "left")
+          .select(coalesce(col("__k"), lit(0L)).as("c")),
+        "c")),
+    "q326_two_means" -> ((s, dir) =>
+      // is extendedprice bimodal? deterministic 1-D 2-means with
+      // quantized centroids
+      graft.ml.Stats.twoMeans1d(t(s, dir, "lineitem"),
+        "l_extendedprice"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6255,6 +6292,26 @@ object SparkEntry {
       graft.eda.StatTests.cramerVonMisesOracleSql(
         "SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'R'",
         "SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'N'"),
+    "q321_retention_half_life" ->
+      graft.operators.Cohorts.retentionHalfLifeOracleSql(
+        "user_id", "ts", "events"),
+    "q322_seasonality_strength" ->
+      graft.operators.Forecast.seasonalityStrengthOracleSql(
+        "ts", "value", "events"),
+    "q323_qte" -> graft.ml.Experiments.qteOracleSql(
+      "SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem",
+      "A", "N"),
+    "q324_proportion_effects" ->
+      graft.ml.Stats.proportionEffectsOracleSql(
+        """SELECT c_mktsegment AS g,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS conv
+           FROM customer""", "BUILDING", "AUTOMOBILE"),
+    "q325_nb_fit" -> graft.ml.Stats.nbFitOracleSql(
+      """SELECT COALESCE(k, 0) AS c FROM customer
+         LEFT JOIN (SELECT o_custkey, COUNT(*) AS k FROM orders
+           GROUP BY o_custkey) o ON customer.c_custkey = o.o_custkey"""),
+    "q326_two_means" -> graft.ml.Stats.twoMeans1dOracleSql(
+      "SELECT l_extendedprice AS v FROM lineitem"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -493,6 +493,56 @@ object Experiments {
         FROM w$iters"""
   }
 
+  /** Quantile treatment effects: the per-decile difference between
+    * the treated and control outcome distributions — WHERE the effect
+    * lives (bottom lift vs top-tail lift), which the single ATE
+    * (q277/q282) averages away. Exact per-group percentiles (the
+    * quantile_cont kernel), deciles 10%..90%.
+    *
+    * Scale shape: one exact-percentile aggregate per group (two rows),
+    * exploded to 9 metadata rows. Returns (p, q_treat 6dp,
+    * q_ctrl 6dp, qte 6dp). */
+  def quantileTreatmentEffects(units: DataFrame, groupCol: String,
+                               valueCol: String, treatGroup: String,
+                               ctrlGroup: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val ps = (1 to 9).map(_ / 10.0)
+    val base = units.filter(v.isNotNull && !isnan(v) &&
+      col(groupCol).isin(treatGroup, ctrlGroup))
+    def qs(g: String) = base.filter(col(groupCol) === g)
+      .agg(graft.functions.ExactPercentiles.exactPercentiles(v, ps)
+        .as("__q"))
+    val t = qs(treatGroup)
+      .select(posexplode(col("__q")).as(Seq("__i", "q_treat")))
+    val c = qs(ctrlGroup)
+      .select(posexplode(col("__q")).as(Seq("__i", "q_ctrl")))
+    t.join(c, Seq("__i"))
+      .select(((col("__i") + 1).cast("double") / 10.0).as("p"),
+        round(col("q_treat"), 6).as("q_treat"),
+        round(col("q_ctrl"), 6).as("q_ctrl"),
+        round(col("q_treat") - col("q_ctrl"), 6).as("qte"))
+      .orderBy("p")
+  }
+
+  /** DuckDB twin of [[quantileTreatmentEffects]]; `unitsCte` must
+    * yield (g, v). */
+  def qteOracleSql(unitsCte: String, treatGroup: String,
+                   ctrlGroup: String): String = {
+    val ps = (1 to 9).map(_ / 10.0).mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT g, CAST(v AS DOUBLE) AS v FROM ($unitsCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+            AND g IN ('$treatGroup', '$ctrlGroup')),
+        qt AS (SELECT quantile_cont(v, $ps) AS q FROM base
+          WHERE g = '$treatGroup'),
+        qc AS (SELECT quantile_cont(v, $ps) AS q FROM base
+          WHERE g = '$ctrlGroup'),
+        ix AS (SELECT UNNEST(range(1, 10)) AS i)
+        SELECT CAST(i AS DOUBLE) / 10.0 AS p, ROUND(qt.q[i], 6) AS q_treat,
+          ROUND(qc.q[i], 6) AS q_ctrl,
+          ROUND(qt.q[i] - qc.q[i], 6) AS qte
+        FROM ix CROSS JOIN qt CROSS JOIN qc ORDER BY p"""
+  }
+
   /** Exact Bayesian A/B read-out for binary outcomes under uniform
     * Beta(1,1) priors: posterior means per arm and the EXACT
     * probability that B beats A,

@@ -708,6 +708,188 @@ object Stats {
             AS p_value
         FROM nn"""
 
+  /** Effect sizes for a two-group proportion comparison: Cohen's h
+    * (the arcsine-stabilized difference, the standard "is this lift
+    * big" scale for rates) and the risk ratio with its log-method 95%
+    * CI — the pair of read-outs a bare p-value (q293/q298) doesn't
+    * give. One conditional-count aggregate. Returns one row:
+    * (n_a, n_b, p_a, p_b, cohens_h, rr, rr_lo, rr_hi) 6dp; RR terms
+    * null when either count of successes is 0. */
+  def proportionEffects(df: DataFrame, groupCol: String, convCol: String,
+                        groupA: String, groupB: String): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val g = df.filter((isA || isB) && col(convCol).isNotNull)
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA && col(convCol) === 1, 1L).otherwise(0L)).as("s_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isB && col(convCol) === 1, 1L).otherwise(0L)).as("s_b"))
+    val pa = col("s_a").cast("double") / col("n_a")
+    val pb = col("s_b").cast("double") / col("n_b")
+    val h = lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb))
+    val lnRr = log(pa / pb)
+    val se = sqrt((lit(1.0) - pa) / (col("n_a") * pa) +
+      (lit(1.0) - pb) / (col("n_b") * pb))
+    val ok = col("s_a") > 0 && col("s_b") > 0
+    // 1.959964 = the powerMde plan-literal convention
+    g.select(col("n_a"), col("n_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(h, 6).as("cohens_h"),
+      round(when(ok, exp(lnRr)), 6).as("rr"),
+      round(when(ok, exp(lnRr - lit(1.959964) * se)), 6).as("rr_lo"),
+      round(when(ok, exp(lnRr + lit(1.959964) * se)), 6).as("rr_hi"))
+  }
+
+  /** DuckDB twin of [[proportionEffects]]; `unitsCte` yields
+    * (g, conv). */
+  def proportionEffectsOracleSql(unitsCte: String, groupA: String,
+                                 groupB: String): String =
+    s"""WITH units AS (SELECT * FROM ($unitsCte)
+          WHERE g IN ('$groupA', '$groupB') AND conv IS NOT NULL),
+        c AS (SELECT
+            CAST(SUM(CASE WHEN g = '$groupA' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN g = '$groupA' AND conv = 1 THEN 1
+              ELSE 0 END) AS BIGINT) AS sa,
+            CAST(SUM(CASE WHEN g = '$groupB' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN g = '$groupB' AND conv = 1 THEN 1
+              ELSE 0 END) AS BIGINT) AS sb
+          FROM units),
+        e AS (SELECT na, nb, sa, sb,
+            CAST(sa AS DOUBLE) / na AS pa,
+            CAST(sb AS DOUBLE) / nb AS pb FROM c),
+        f AS (SELECT *, LN(pa / pb) AS lnrr,
+            SQRT((1.0 - pa) / (na * pa) + (1.0 - pb) / (nb * pb)) AS se
+          FROM e)
+        SELECT na AS n_a, nb AS n_b, ROUND(pa, 6) AS p_a,
+          ROUND(pb, 6) AS p_b,
+          ROUND(2.0 * ASIN(SQRT(pa)) - 2.0 * ASIN(SQRT(pb)), 6)
+            AS cohens_h,
+          ROUND(CASE WHEN sa > 0 AND sb > 0 THEN EXP(lnrr) END, 6) AS rr,
+          ROUND(CASE WHEN sa > 0 AND sb > 0 THEN
+            EXP(lnrr - 1.959964 * se) END, 6) AS rr_lo,
+          ROUND(CASE WHEN sa > 0 AND sb > 0 THEN
+            EXP(lnrr + 1.959964 * se) END, 6) AS rr_hi
+        FROM f"""
+
+  /** Negative-binomial overdispersion diagnosis for a count column:
+    * dispersion = var/mean (1 = Poisson), the method-of-moments NB
+    * size r = m²/(v − m), and the zero-inflation check — observed
+    * zero share vs the NB-implied P(0) = (r/(r+m))^r (written as
+    * exp(r·ln(·)) in BOTH engines so no libm pow divergence). The
+    * "which count model fits" gate before any rate modeling.
+    * One aggregate over the per-key count frame (caller builds it —
+    * including the zero-count keys, or P0 comparison is meaningless).
+    * Returns one row: (n, mean, variance, dispersion, r_mom, p0_nb,
+    * p0_obs) 6dp; NB terms null unless v > m. */
+  def nbFit(df: DataFrame, countCol: String): DataFrame = {
+    val c = col(countCol).cast("double")
+    val g = df.filter(c.isNotNull)
+      .agg(count(lit(1)).as("n"), avg(c).as("__m"),
+        var_samp(c).as("__v"),
+        sum(when(c === 0, 1L).otherwise(0L)).as("__z"))
+    val r = col("__m") * col("__m") / (col("__v") - col("__m"))
+    val over = col("__v") > col("__m") && col("__m") > 0
+    g.select(col("n"),
+      round(col("__m"), 6).as("mean"),
+      round(col("__v"), 6).as("variance"),
+      round(when(col("__m") > 0, col("__v") / col("__m")), 6)
+        .as("dispersion"),
+      round(when(over, r), 6).as("r_mom"),
+      round(when(over, exp(r * log(r / (r + col("__m"))))), 6)
+        .as("p0_nb"),
+      round(col("__z").cast("double") / col("n"), 6).as("p0_obs"))
+  }
+
+  /** DuckDB twin of [[nbFit]]; `countsCte` must yield (c). */
+  def nbFitOracleSql(countsCte: String): String =
+    s"""WITH src AS (SELECT CAST(c AS DOUBLE) AS c FROM ($countsCte)
+          WHERE c IS NOT NULL),
+        g AS (SELECT COUNT(*) AS n, AVG(c) AS m, var_samp(c) AS v,
+            SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS z
+          FROM src),
+        e AS (SELECT *, m * m / (v - m) AS r, v > m AND m > 0 AS ok
+          FROM g)
+        SELECT CAST(n AS BIGINT) AS n, ROUND(m, 6) AS mean,
+          ROUND(v, 6) AS variance,
+          ROUND(CASE WHEN m > 0 THEN v / m END, 6) AS dispersion,
+          ROUND(CASE WHEN ok THEN r END, 6) AS r_mom,
+          ROUND(CASE WHEN ok THEN EXP(r * LN(r / (r + m))) END, 6)
+            AS p0_nb,
+          ROUND(CAST(z AS DOUBLE) / n, 6) AS p0_obs
+        FROM e"""
+
+  /** Deterministic 1-D two-means ("is this column bimodal, and where
+    * does it split?"): centroids init at the exact 25th/75th
+    * percentiles, then `iters` unrolled Lloyd rounds, each ONE
+    * conditional aggregate; centroids are 6dp-QUANTIZED plan constants
+    * between rounds (the InfoGain edge convention) so engine and
+    * oracle assign every point identically. Separation is the
+    * centroid gap over the pooled std. Returns one row: (n, c_lo 6dp,
+    * c_hi 6dp, share_lo 6dp, separation 6dp). */
+  def twoMeans1d(df: DataFrame, valueCol: String,
+                 iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8)
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v)).select(v.as("__v"))
+    val q = base.agg(graft.functions.ExactPercentiles
+      .exactPercentiles(col("__v"), Seq(0.25, 0.75))).head()
+    if (q.isNullAt(0))
+      return df.sparkSession.range(0).select(lit(0L).as("n"),
+        lit(0.0).as("c_lo"), lit(0.0).as("c_hi"),
+        lit(0.0).as("share_lo"), lit(0.0).as("separation"))
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cLo = q6(q.getSeq[Double](0).head)
+    var cHi = q6(q.getSeq[Double](0)(1))
+    for (_ <- 1 to iters) {
+      // assign to the nearer centroid (midpoint rule, ties → low side)
+      val mid = (cLo + cHi) / 2.0
+      val r = base.agg(
+        avg(when(col("__v") <= mid, col("__v"))).as("ml"),
+        avg(when(col("__v") > mid, col("__v"))).as("mh")).head()
+      if (!r.isNullAt(0)) cLo = q6(r.getDouble(0))
+      if (!r.isNullAt(1)) cHi = q6(r.getDouble(1))
+    }
+    val mid = (cLo + cHi) / 2.0
+    base.agg(count(lit(1)).as("n"),
+        sum(when(col("__v") <= mid, 1L).otherwise(0L)).as("__nl"),
+        stddev_samp(col("__v")).as("__s"))
+      .select(col("n"), lit(cLo).as("c_lo"), lit(cHi).as("c_hi"),
+        round(col("__nl").cast("double") / col("n"), 6).as("share_lo"),
+        round(when(col("__s") > 0, lit(cHi - cLo) / col("__s")), 6)
+          .as("separation"))
+  }
+
+  /** DuckDB twin of [[twoMeans1d]] — identical unrolled rounds with
+    * 6dp-quantized centroids. */
+  def twoMeans1dOracleSql(srcCte: String, iters: Int = 3): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""c$t AS (SELECT
+            COALESCE(ROUND(AVG(CASE WHEN v <= (lo + hi) / 2.0 THEN v
+              END), 6), ANY_VALUE(lo)) AS lo,
+            COALESCE(ROUND(AVG(CASE WHEN v > (lo + hi) / 2.0 THEN v
+              END), 6), ANY_VALUE(hi)) AS hi
+          FROM src CROSS JOIN c${t - 1})"""
+    }.mkString(",\n")
+    s"""WITH src AS (SELECT CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        c0 AS (SELECT ROUND(quantile_cont(v, 0.25), 6) AS lo,
+            ROUND(quantile_cont(v, 0.75), 6) AS hi FROM src),
+        $rounds
+        SELECT (SELECT COUNT(*) FROM src) AS n,
+          lo AS c_lo, hi AS c_hi,
+          ROUND((SELECT SUM(CASE WHEN v <= (lo + hi) / 2.0 THEN 1
+              ELSE 0 END) FROM src) /
+            CAST((SELECT COUNT(*) FROM src) AS DOUBLE), 6) AS share_lo,
+          ROUND(CASE WHEN (SELECT stddev_samp(v) FROM src) > 0 THEN
+            (hi - lo) / (SELECT stddev_samp(v) FROM src) END, 6)
+            AS separation
+        FROM c$iters"""
+  }
+
   /** Yuen's trimmed-mean two-sample t — the robust alternative to
     * q185's Welch t when tails are heavy: compare PERCENTILE-TRIMMED
     * means with WINSORIZED variances (the percentile-bound variant of

@@ -31,4 +31,73 @@ object Cohorts {
           .as("week_offset"))
       .agg(countDistinct(col("__u")).as("n_active"))
   }
+
+  /** Retention half-life per cohort: fit ln(retention rate) ~ offset
+    * by OLS over offsets ≥ 1 (exponential-decay model) and report
+    * half-life = ln2/(−slope) — the single number that compares
+    * cohorts ("newer cohorts churn twice as fast") where the q164
+    * triangle needs a chart. Cohorts need ≥ `minWeeks` positive
+    * offsets and a negative slope for a finite half-life (else null).
+    *
+    * Scale shape: everything after [[retention]]'s user-cardinality
+    * collapse is metadata — the fit is one groupBy over the
+    * (cohort, offset) frame. Returns per cohort: (cohort_week,
+    * n_weeks, slope 6dp, half_life_weeks 6dp). */
+  def retentionHalfLife(events: DataFrame, userCol: String, tsCol: String,
+                        minWeeks: Int = 3): DataFrame = {
+    val r = retention(events, userCol, tsCol)
+    val base = r.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("__n0"))
+    val pts = r.join(base, Seq("cohort_week"))
+      .filter(col("week_offset") >= 1 && col("n_active") > 0)
+      .select(col("cohort_week"),
+        col("week_offset").cast("double").as("__x"),
+        log(col("n_active").cast("double") / col("__n0")).as("__y"))
+    val g = pts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_weeks"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .filter(col("n_weeks") >= minWeeks)
+    val n = col("n_weeks").cast("double")
+    val slope = (col("__sxy") - col("__sx") * col("__sy") / n) /
+      (col("__sxx") - col("__sx") * col("__sx") / n)
+    g.select(col("cohort_week").cast("timestamp").as("cohort_week"),
+      col("n_weeks"), round(slope, 6).as("slope"),
+      round(when(slope < 0, lit(math.log(2.0)) / -slope), 6)
+        .as("half_life_weeks"))
+      .orderBy("cohort_week")
+  }
+
+  /** DuckDB twin of [[retentionHalfLife]]. */
+  def retentionHalfLifeOracleSql(userCol: String, tsCol: String,
+                                 table: String, minWeeks: Int = 3): String =
+    s"""WITH ev AS (SELECT $userCol AS u,
+            date_trunc('week', $tsCol) AS wk FROM $table),
+        coh AS (SELECT u, MIN(wk) AS cohort_week FROM ev GROUP BY u),
+        act AS (SELECT DISTINCT u, wk FROM ev),
+        r AS (SELECT cohort_week,
+            CAST(date_diff('day', cohort_week, wk) / 7 AS INT)
+              AS week_offset,
+            COUNT(DISTINCT u) AS n_active
+          FROM act JOIN coh USING (u) GROUP BY 1, 2),
+        b AS (SELECT cohort_week, n_active AS n0 FROM r
+          WHERE week_offset = 0),
+        pts AS (SELECT r.cohort_week,
+            CAST(week_offset AS DOUBLE) AS x,
+            LN(CAST(n_active AS DOUBLE) / n0) AS y
+          FROM r JOIN b USING (cohort_week)
+          WHERE week_offset >= 1 AND n_active > 0),
+        g AS (SELECT cohort_week, COUNT(*) AS nw, SUM(x) AS sx,
+            SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM pts GROUP BY cohort_week HAVING COUNT(*) >= $minWeeks),
+        s AS (SELECT cohort_week, nw,
+            (sxy - sx * sy / CAST(nw AS DOUBLE))
+              / (sxx - sx * sx / CAST(nw AS DOUBLE)) AS slope
+          FROM g)
+        SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+          CAST(nw AS BIGINT) AS n_weeks, ROUND(slope, 6) AS slope,
+          ROUND(CASE WHEN slope < 0 THEN ${math.log(2.0)} / -slope END, 6)
+            AS half_life_weeks
+        FROM s ORDER BY cohort_week"""
 }

@@ -177,6 +177,64 @@ object Forecast {
     out
   }
 
+  /** Trend and seasonality STRENGTH (Hyndman's feasts measures):
+    * F_T = max(0, 1 − var(residual)/var(trend + residual)) and
+    * F_S = max(0, 1 − var(residual)/var(seasonal + residual)) over the
+    * [[seasonalDecompose]] frame — the pair of 0..1 numbers that say
+    * whether a series is trend-dominated, seasonal, or noise, without
+    * reading the decomposition chart. Rows with a null trend (the MA
+    * edges) are excluded, as in the source definition.
+    *
+    * Scale shape: one aggregate over the decomposition's day frame
+    * (metadata). Returns one row:
+    * (n_days, trend_strength 6dp, seasonal_strength 6dp). */
+  def seasonalityStrength(events: DataFrame, tsCol: String,
+                          valueCol: String): DataFrame = {
+    val dec = seasonalDecompose(events, tsCol, valueCol)
+      .filter(col("trend").isNotNull && col("seasonal").isNotNull)
+    dec.agg(count(lit(1)).as("n_days"),
+        var_samp(col("residual")).as("__vr"),
+        var_samp(col("trend") + col("residual")).as("__vtr"),
+        var_samp(col("seasonal") + col("residual")).as("__vsr"))
+      .select(col("n_days"),
+        round(when(col("__vtr") > 0, greatest(lit(0.0),
+          lit(1.0) - col("__vr") / col("__vtr"))), 6)
+          .as("trend_strength"),
+        round(when(col("__vsr") > 0, greatest(lit(0.0),
+          lit(1.0) - col("__vr") / col("__vsr"))), 6)
+          .as("seasonal_strength"))
+  }
+
+  /** DuckDB twin of [[seasonalityStrength]] — re-derives the same
+    * decomposition (7-day centered MA, per-dow seasonal). */
+  def seasonalityStrengthOracleSql(tsExpr: String, valueExpr: String,
+                                   table: String): String =
+    s"""WITH d0 AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(*) AS mean
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        tr AS (SELECT day, mean, dayofweek(day) AS dow,
+            CASE WHEN COUNT(*) OVER w = 7 THEN AVG(mean) OVER w END
+              AS trend
+          FROM d0
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+            AND 3 FOLLOWING)),
+        se AS (SELECT dow, AVG(mean - trend) AS seas FROM tr
+          WHERE trend IS NOT NULL GROUP BY dow),
+        f AS (SELECT ROUND(tr.mean, 6) AS mean, ROUND(trend, 6) AS trend,
+            ROUND(seas, 6) AS seasonal,
+            ROUND(tr.mean - trend - seas, 6) AS residual
+          FROM tr JOIN se USING (dow) WHERE trend IS NOT NULL),
+        a AS (SELECT COUNT(*) AS n, var_samp(residual) AS vr,
+            var_samp(trend + residual) AS vtr,
+            var_samp(seasonal + residual) AS vsr FROM f)
+        SELECT CAST(n AS BIGINT) AS n_days,
+          ROUND(CASE WHEN vtr > 0 THEN
+            GREATEST(0.0, 1.0 - vr / vtr) END, 6) AS trend_strength,
+          ROUND(CASE WHEN vsr > 0 THEN
+            GREATEST(0.0, 1.0 - vr / vsr) END, 6) AS seasonal_strength
+        FROM a"""
+
   /** Sequential probability ratio test (Wald SPRT) trace over daily
     * conversion counts: per day the binomial log-likelihood-ratio
     * increment for H1: p = p1 vs H0: p = p0, its running total, and
