@@ -2661,7 +2661,48 @@ object SparkEntry {
       // is extendedprice bimodal? deterministic 1-D 2-means with
       // quantized centroids
       graft.ml.Stats.twoMeans1d(t(s, dir, "lineitem"),
-        "l_extendedprice"))
+        "l_extendedprice")),
+    "q327_heaps_law" -> ((s, dir) =>
+      // vocabulary-growth exponent: how much new vocab does 10x more
+      // data bring? grid-bucketed ln-ln fit
+      graft.text.Distinctive.heapsLaw(t(s, dir, "documents"),
+        "doc_id", "text")),
+    "q328_weibull_fit" -> ((s, dir) => {
+      // parametric Weibull over the q183 KM curve: churn shape k and
+      // scale, median-rank regression
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(unix_micros(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", unix_micros(col("ts"))))
+            .as("__e"),
+          max(unix_micros(col("ts"))).as("__l"))
+        .select(
+          (coalesce(col("__e"), col("__l")) - col("__f")).as("dur"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("event"))
+        .filter(col("dur") > 0)
+      graft.ml.Stats.weibullFit(life, "dur", "event")
+    }),
+    "q329_newey_west" -> ((s, dir) =>
+      // how much do serial correlations inflate the daily-mean CI?
+      graft.operators.Forecast.neweyWestSe(t(s, dir, "events"),
+        "ts", "value")),
+    "q330_hill_tail" -> ((s, dir) =>
+      // Pareto tail index of order totals — can we trust means here?
+      graft.eda.Concentration.hillTailIndex(t(s, dir, "orders"),
+        "o_totalprice", k = 100)),
+    "q331_dedup_completeness" -> ((s, dir) =>
+      // capture-recapture on two anchor-gram detectors: how many dup
+      // pairs did both passes miss? (lower-bound semantics documented)
+      graft.dedup.Dedup.dedupCompleteness(t(s, dir, "documents"),
+        "doc_id", "text")),
+    "q332_ece_brier" -> ((s, dir) =>
+      // scalar calibration gate: ECE + Brier + Murphy decomposition
+      // over the q187 pseudo-probability
+      graft.ml.Stats.eceBrier(
+        t(s, dir, "events").select((col("value") / 100).as("p"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+          .filter(col("p") >= 0 && col("p") <= 1),
+        "p", "y", bins = 10))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6312,6 +6353,30 @@ object SparkEntry {
            GROUP BY o_custkey) o ON customer.c_custkey = o.o_custkey"""),
     "q326_two_means" -> graft.ml.Stats.twoMeans1dOracleSql(
       "SELECT l_extendedprice AS v FROM lineitem"),
+    "q327_heaps_law" -> graft.text.Distinctive.heapsLawOracleSql(
+      "SELECT doc_id AS id, text FROM documents"),
+    "q328_weibull_fit" -> graft.ml.Stats.weibullFitOracleSql(
+      """SELECT coalesce(e, l) - f AS dur,
+           CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM (SELECT user_id,
+             MIN(epoch_us(ts)) AS f,
+             MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+               AS e,
+             MAX(epoch_us(ts)) AS l
+           FROM events GROUP BY user_id)
+         WHERE coalesce(e, l) - f > 0"""),
+    "q329_newey_west" -> graft.operators.Forecast.neweyWestOracleSql(
+      "ts", "value", "events"),
+    "q330_hill_tail" -> graft.eda.Concentration.hillTailIndexOracleSql(
+      "SELECT o_totalprice AS v FROM orders", k = 100),
+    "q331_dedup_completeness" ->
+      graft.dedup.Dedup.dedupCompletenessOracleSql(
+        "SELECT doc_id AS id, text FROM documents"),
+    "q332_ece_brier" -> graft.ml.Stats.eceBrierOracleSql(
+      """SELECT value / 100 AS p,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         FROM events
+         WHERE value / 100 >= 0 AND value / 100 <= 1"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -384,4 +384,96 @@ object Dedup {
       }
     Components.dedupByPairs(df, idCol, pairs)
   }
+
+  /** Dedup-completeness estimate by capture–recapture: run TWO
+    * independent-ish exact near-dup detectors (shared rare n-gram
+    * anchors at two different n), treat their pair sets as two
+    * "captures" of the unknown true duplicate-pair population, and
+    * apply the Chapman estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the
+    * Lincoln–Petersen answer to "how many dup pairs did BOTH passes
+    * miss?" that no single detector can self-report. The detectors
+    * share signal (both are n-gram based), which inflates the overlap
+    * m, so N̂ is a LOWER bound on the true pair population and the
+    * per-detector recalls are upper bounds — documented semantics.
+    *
+    * Scale shape: each detector is a df-capped anchor equi-join (the
+    * ExactSubstr guard — never all-pairs); the overlap is one
+    * pair-keyed join; the estimate is one row of arithmetic. Returns
+    * one row: (n_a, n_b, n_both, est_total_pairs, recall_a 6dp,
+    * recall_b 6dp). */
+  def dedupCompleteness(df: DataFrame, idCol: String, textCol: String,
+                        nA: Int = 5, nB: Int = 8,
+                        maxDf: Int = 20): DataFrame = {
+    def anchorPairs(n: Int): DataFrame = {
+      val sh = df.select(col(idCol).cast("long").as("id"),
+          explode(graft.functions.Signatures.wordShingles(col(textCol), n))
+            .as("g")).distinct()
+      val rare = sh.groupBy("g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= maxDf).select("g")
+      val lk = sh.join(rare, Seq("g"))
+      lk.select(col("g"), col("id").as("a"))
+        .join(lk.select(col("g"), col("id").as("b")), Seq("g"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+    }
+    val pa = anchorPairs(nA).localCheckpoint(true)
+    val pb = anchorPairs(nB).localCheckpoint(true)
+    val both = pa.join(pb, Seq("a", "b"))
+    val out = pa.agg(count(lit(1)).as("n_a"))
+      .crossJoin(pb.agg(count(lit(1)).as("n_b")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        (((col("n_a") + 1) * (col("n_b") + 1)).cast("double") /
+          (col("n_both") + 1) - 1.0).cast("long").as("est_total_pairs"))
+      .select(col("*"),
+        round(when(col("est_total_pairs") > 0,
+          col("n_a").cast("double") / col("est_total_pairs")), 6)
+          .as("recall_a"),
+        round(when(col("est_total_pairs") > 0,
+          col("n_b").cast("double") / col("est_total_pairs")), 6)
+          .as("recall_b"))
+      .localCheckpoint(true)
+    pa.unpersist(); pb.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[dedupCompleteness]]; `docsCte` yields
+    * (id, text). */
+  def dedupCompletenessOracleSql(docsCte: String, nA: Int = 5,
+                                 nB: Int = 8, maxDf: Int = 20): String = {
+    def det(n: Int, tag: String) =
+      s"""sh$tag AS (SELECT DISTINCT id, unnest(
+            CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+            ELSE [array_to_string(toks[i:i+${n - 1}], ' ')
+              for i in range(1, len(toks) - ${n - 2})] END) AS g
+          FROM tok),
+        rare$tag AS (SELECT g FROM sh$tag GROUP BY g
+          HAVING COUNT(*) BETWEEN 2 AND $maxDf),
+        lk$tag AS (SELECT sh$tag.id, sh$tag.g FROM sh$tag
+          JOIN rare$tag USING (g)),
+        p$tag AS (SELECT DISTINCT x.id AS a, y.id AS b
+          FROM lk$tag x JOIN lk$tag y ON x.g = y.g AND x.id < y.id)"""
+    s"""WITH docs AS ($docsCte),
+        tok AS (SELECT CAST(id AS BIGINT) AS id,
+            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0) AS toks
+          FROM docs),
+        ${det(nA, "a")},
+        ${det(nB, "b")},
+        c AS (SELECT
+            (SELECT COUNT(*) FROM pa) AS n_a,
+            (SELECT COUNT(*) FROM pb) AS n_b,
+            (SELECT COUNT(*) FROM pa JOIN pb USING (a, b)) AS n_both),
+        e AS (SELECT n_a, n_b, n_both,
+            CAST(FLOOR(CAST((n_a + 1) * (n_b + 1) AS DOUBLE)
+              / (n_both + 1) - 1.0) AS BIGINT) AS est FROM c)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(n_both AS BIGINT) AS n_both,
+          est AS est_total_pairs,
+          ROUND(CASE WHEN est > 0 THEN
+            CAST(n_a AS DOUBLE) / est END, 6) AS recall_a,
+          ROUND(CASE WHEN est > 0 THEN
+            CAST(n_b AS DOUBLE) / est END, 6) AS recall_b
+        FROM e"""
+  }
 }

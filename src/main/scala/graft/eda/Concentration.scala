@@ -163,4 +163,57 @@ object Concentration {
           ROUND(w, 6) AS theil_within,
           ROUND(b, 6) AS theil_between
         FROM sc CROSS JOIN parts"""
+
+  /** Hill estimator of the Pareto tail index over the top-k order
+    * statistics: α̂ = k / Σᵢ₌₁..k ln(xᵢ/x₍k₊₁₎) — "how heavy is this
+    * tail" in one number (α < 2 = infinite variance: means and
+    * z-scores on this column lie; α < 1 = infinite mean). The
+    * heavy-tail gate before trusting any moment-based read-out on
+    * revenue/length columns.
+    *
+    * Scale shape: the top-(k+1) frame comes from a distributed
+    * TakeOrderedAndProject (value desc, never a global sort); the sum
+    * is an aggregate of that ≤k+1-row frame. Boundary ties are
+    * value-identical so the estimator is tie-stable. Positive values
+    * only (a log-scale statistic). Returns one row:
+    * (n, k, x_k1 6dp, hill_alpha 6dp). */
+  def hillTailIndex(df: DataFrame, valueCol: String,
+                    k: Int = 100): DataFrame = {
+    require(k >= 10 && k <= 100000)
+    val v = col(valueCol).cast("double")
+    val pos = df.filter(v.isNotNull && !isnan(v) && v > 0)
+      .select(v.as("__v"))
+    val n = pos.count()
+    require(n >= 2L * k,
+      s"hillTailIndex needs n >= 2k (n = $n, k = $k)")
+    val top = pos.orderBy(col("__v").desc).limit(k + 1)
+      .localCheckpoint(true)
+    val xk1 = top.agg(min("__v")).head().getDouble(0)
+    val out = top.filter(col("__v") > xk1)
+      // the k rows above the threshold; with boundary ties the frame
+      // may hold fewer — sum over what the cut kept, normalize by k
+      .agg(sum(log(col("__v") / xk1)).as("__s"))
+      .select(lit(n).as("n"), lit(k.toLong).as("k"),
+        round(lit(xk1), 6).as("x_k1"),
+        round(when(col("__s") > 0, lit(k.toDouble) / col("__s")), 6)
+          .as("hill_alpha"))
+      .localCheckpoint(true)
+    top.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[hillTailIndex]]; `srcCte` must yield (v). */
+  def hillTailIndexOracleSql(srcCte: String, k: Int = 100): String =
+    s"""WITH pos AS (SELECT CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+            AND v > 0),
+        top AS (SELECT v FROM pos ORDER BY v DESC LIMIT ${k + 1}),
+        th AS (SELECT MIN(v) AS xk1 FROM top),
+        s AS (SELECT SUM(LN(v / xk1)) AS s FROM top CROSS JOIN th
+          WHERE v > xk1)
+        SELECT (SELECT COUNT(*) FROM pos) AS n,
+          CAST($k AS BIGINT) AS k,
+          ROUND(th.xk1, 6) AS x_k1,
+          ROUND(CASE WHEN s.s > 0 THEN $k.0 / s.s END, 6) AS hill_alpha
+        FROM th CROSS JOIN s"""
 }

@@ -708,6 +708,152 @@ object Stats {
             AS p_value
         FROM nn"""
 
+  /** Weibull survival fit by median-rank regression over the
+    * [[kaplanMeier]] estimate: ln(−ln S(t)) is linear in ln t under a
+    * Weibull, so OLS gives shape k (k < 1 = infant mortality /
+    * early-churn, k > 1 = wear-out) and scale λ = exp(−b₀/k) — the
+    * parametric summary of q183's nonparametric curve, and the r² says
+    * whether the Weibull story holds at all.
+    *
+    * Scale shape: the KM collapse is the data-sized step; the
+    * regression runs over the ≤#distinct-durations frame with both
+    * engines reading the SAME 6dp-rounded survival values. Points need
+    * 0 < S < 1 and t > 0. The scale is reported as ln λ = −b₀/k — λ
+    * itself spans the duration unit's magnitude and exp() would
+    * amplify last-ulp regression noise past any fixed rounding.
+    * Returns one row: (n_points, shape 6dp, ln_scale 6dp, r2 6dp). */
+  def weibullFit(df: DataFrame, durationCol: String,
+                 eventCol: String): DataFrame = {
+    val km = kaplanMeier(df, durationCol, eventCol)
+      .filter(col("survival") > 0 && col("survival") < 1 && col("t") > 0)
+      .select(log(col("t")).as("__x"),
+        log(-log(col("survival"))).as("__y"))
+    val g = km.agg(count(lit(1)).as("n_points"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n_points").cast("double")
+    val sxx = col("__sxx") - col("__sx") * col("__sx") / n
+    val syy = col("__syy") - col("__sy") * col("__sy") / n
+    val sxy = col("__sxy") - col("__sx") * col("__sy") / n
+    val shape = sxy / sxx
+    val b0 = col("__sy") / n - shape * col("__sx") / n
+    val ok = col("n_points") >= 3 && sxx > 0
+    g.select(col("n_points"),
+      round(when(ok, shape), 6).as("shape"),
+      round(when(ok && shape =!= 0.0, -b0 / shape), 6).as("ln_scale"),
+      round(when(ok && syy > 0, sxy * sxy / (sxx * syy)), 6).as("r2"))
+  }
+
+  /** DuckDB twin of [[weibullFit]]; `lifeCte` must yield
+    * (dur, event) — re-derives the same KM frame. */
+  def weibullFitOracleSql(lifeCte: String): String =
+    s"""WITH life AS ($lifeCte),
+        byt AS (SELECT CAST(dur AS DOUBLE) AS t, COUNT(*) AS n,
+            SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS d
+          FROM life GROUP BY 1),
+        ar AS (SELECT t, d, SUM(n) OVER (ORDER BY t DESC) AS r FROM byt),
+        km0 AS (SELECT t, d, r, 1.0 - CAST(d AS DOUBLE) / r AS factor
+          FROM ar WHERE d > 0),
+        km1 AS (SELECT t,
+            SUM(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+              OVER (ORDER BY t) AS zeros,
+            SUM(CASE WHEN factor > 0 THEN LN(factor) END)
+              OVER (ORDER BY t) AS lsum
+          FROM km0),
+        km AS (SELECT t, CASE WHEN zeros > 0 THEN 0.0
+            ELSE ROUND(EXP(lsum), 6) END AS s FROM km1),
+        pts AS (SELECT LN(t) AS x, LN(-LN(s)) AS y FROM km
+          WHERE s > 0 AND s < 1 AND t > 0),
+        g AS (SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM pts),
+        e AS (SELECT k, sx, sy,
+            sxx - sx * sx / CAST(k AS DOUBLE) AS cxx,
+            syy - sy * sy / CAST(k AS DOUBLE) AS cyy,
+            sxy - sx * sy / CAST(k AS DOUBLE) AS cxy
+          FROM g),
+        f AS (SELECT k, cxx, cyy, cxy, cxy / cxx AS shape,
+            sy / CAST(k AS DOUBLE) - (cxy / cxx) * sx / CAST(k AS DOUBLE)
+              AS b0
+          FROM e)
+        SELECT CAST(k AS BIGINT) AS n_points,
+          ROUND(CASE WHEN k >= 3 AND cxx > 0 THEN shape END, 6)
+            AS shape,
+          ROUND(CASE WHEN k >= 3 AND cxx > 0 AND shape != 0 THEN
+            -b0 / shape END, 6) AS ln_scale,
+          ROUND(CASE WHEN k >= 3 AND cxx > 0 AND cyy > 0 THEN
+            cxy * cxy / (cxx * cyy) END, 6) AS r2
+        FROM f"""
+
+  /** Scalar calibration read-outs over equal-width probability bins:
+    * ECE (the headline miscalibration number), exact Brier score, and
+    * the Murphy decomposition (reliability − resolution + uncertainty,
+    * computed bin-wise) — q187's reliability TABLE collapsed to the
+    * numbers a model gate thresholds on. One corpus aggregate builds
+    * the bin cells; everything else rides the #bins frame. Returns one
+    * row: (n, ece, brier, reliability, resolution, uncertainty) 6dp.
+    */
+  def eceBrier(df: DataFrame, probCol: String, labelCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100)
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val base = df.filter(p.isNotNull && y.isNotNull && !isnan(p))
+      .select(least(lit(bins - 1), floor(p * bins)).cast("long").as("__b"),
+        p.as("__p"), y.as("__y"))
+    val cells = base.groupBy("__b")
+      .agg(count(lit(1)).as("__n"), avg("__p").as("__pb"),
+        avg("__y").as("__yb"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .as("__sq"))
+    val tot = cells.agg(sum("__n").as("__nt"),
+      (sum(col("__yb") * col("__n")) / sum("__n")).as("__ybar"))
+    val n = col("__nt").cast("double")
+    val g = cells.crossJoin(broadcast(tot)).agg(
+      first("__nt").as("n"),
+      sum(col("__n") / n * abs(col("__pb") - col("__yb"))).as("__ece"),
+      (sum("__sq") / first(n)).as("__brier"),
+      sum(col("__n") / n * (col("__pb") - col("__yb")) *
+        (col("__pb") - col("__yb"))).as("__rel"),
+      sum(col("__n") / n * (col("__yb") - col("__ybar")) *
+        (col("__yb") - col("__ybar"))).as("__res"),
+      first(col("__ybar") * (lit(1.0) - col("__ybar"))).as("__unc"))
+    g.select(col("n"), round(col("__ece"), 6).as("ece"),
+      round(col("__brier"), 6).as("brier"),
+      round(col("__rel"), 6).as("reliability"),
+      round(col("__res"), 6).as("resolution"),
+      round(col("__unc"), 6).as("uncertainty"))
+  }
+
+  /** DuckDB twin of [[eceBrier]]; `unitsCte` must yield (p, y). */
+  def eceBrierOracleSql(unitsCte: String, bins: Int = 10): String =
+    s"""WITH base AS (SELECT
+            LEAST($bins - 1, CAST(FLOOR(CAST(p AS DOUBLE) * $bins)
+              AS BIGINT)) AS b,
+            CAST(p AS DOUBLE) AS p, CAST(y AS DOUBLE) AS y
+          FROM ($unitsCte)
+          WHERE p IS NOT NULL AND y IS NOT NULL
+            AND NOT isnan(CAST(p AS DOUBLE))),
+        cells AS (SELECT b, COUNT(*) AS n, AVG(p) AS pb, AVG(y) AS yb,
+            SUM((p - y) * (p - y)) AS sq
+          FROM base GROUP BY b),
+        tot AS (SELECT SUM(n) AS nt,
+            SUM(yb * n) / SUM(n) AS ybar FROM cells),
+        g AS (SELECT ANY_VALUE(nt) AS n,
+            SUM(n / CAST(nt AS DOUBLE) * ABS(pb - yb)) AS ece,
+            SUM(sq) / ANY_VALUE(CAST(nt AS DOUBLE)) AS brier,
+            SUM(n / CAST(nt AS DOUBLE) * (pb - yb) * (pb - yb)) AS rel,
+            SUM(n / CAST(nt AS DOUBLE) * (yb - ybar) * (yb - ybar))
+              AS res,
+            ANY_VALUE(ybar * (1.0 - ybar)) AS unc
+          FROM cells CROSS JOIN tot)
+        SELECT CAST(n AS BIGINT) AS n, ROUND(ece, 6) AS ece,
+          ROUND(brier, 6) AS brier, ROUND(rel, 6) AS reliability,
+          ROUND(res, 6) AS resolution, ROUND(unc, 6) AS uncertainty
+        FROM g"""
+
   /** Effect sizes for a two-group proportion comparison: Cohen's h
     * (the arcsine-stabilized difference, the standard "is this lift
     * big" scale for rates) and the risk ratio with its log-method 95%

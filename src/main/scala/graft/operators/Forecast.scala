@@ -740,6 +740,73 @@ object Forecast {
         FROM g CROSS JOIN nd"""
   }
 
+  /** Newey–West (HAC) standard error of the daily-total mean: serial
+    * correlation makes the naive s/√n wildly optimistic on a trending
+    * or weekly-patterned metric; the Bartlett-weighted long-run
+    * variance γ₀ + 2Σ(1−k/(L+1))γ_k fixes the CI width. The
+    * `inflation` column (se_nw/se_iid) is the single number that says
+    * how much your alert thresholds lie.
+    *
+    * Scale shape: the [[acf]] pattern — one day rollup, one multi-lag
+    * window pass, one aggregate. Returns one row: (n_days, mean 6dp,
+    * se_iid 6dp, se_nw 6dp, inflation 6dp). */
+  def neweyWestSe(events: DataFrame, tsCol: String, valueCol: String,
+                  maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30)
+    val d = daily(events, tsCol, valueCol)
+    val w = Window.orderBy("day")
+    val m = d.agg(avg("total").as("__m"), count(lit(1)).as("__n"))
+    val lagged = d.select(
+      col("total").as("x") +: (1 to maxLag).map(k =>
+        lag("total", k).over(w).as(s"x_$k")): _*)
+    val gAggs = sum((col("x") - col("__m")) * (col("x") - col("__m")))
+      .as("g0") +: (1 to maxLag).map(k =>
+        sum((col("x") - col("__m")) * (col(s"x_$k") - col("__m")))
+          .as(s"g$k"))
+    val g = lagged.crossJoin(broadcast(m))
+      .agg(gAggs.head, (gAggs.tail :+ first("__n").as("__n")
+        :+ first("__m").as("__mm")): _*)
+    val n = col("__n").cast("double")
+    val varNw = (1 to maxLag).foldLeft(col("g0") / n) { (acc, k) =>
+      acc + lit(2.0) * lit(1.0 - k.toDouble / (maxLag + 1)) *
+        (col(s"g$k") / n) }
+    val seIid = sqrt(col("g0") / n / n)
+    val seNw = sqrt(greatest(lit(0.0), varNw) / n)
+    g.select(col("__n").as("n_days"), round(col("__mm"), 6).as("mean"),
+      round(seIid, 6).as("se_iid"), round(seNw, 6).as("se_nw"),
+      round(when(seIid > 0, seNw / seIid), 6).as("inflation"))
+  }
+
+  /** DuckDB twin of [[neweyWestSe]]. */
+  def neweyWestOracleSql(tsExpr: String, valueExpr: String,
+                         table: String, maxLag: Int = 7): String = {
+    val lagCols = (1 to maxLag).map(k =>
+      s"LAG(total, $k) OVER (ORDER BY day) AS x_$k").mkString(", ")
+    val gCols = (1 to maxLag).map(k =>
+      s"SUM((x - mm) * (x_$k - mm)) AS g$k").mkString(", ")
+    val varNw = (1 to maxLag).foldLeft("g0 / n") { (acc, k) =>
+      s"$acc + 2.0 * ${1.0 - k.toDouble / (maxLag + 1)} * (g$k / n)" }
+    s"""WITH d0 AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        m AS (SELECT AVG(total) AS mm, CAST(COUNT(*) AS DOUBLE) AS n,
+            COUNT(*) AS ni FROM d0),
+        l AS (SELECT total AS x, $lagCols FROM d0),
+        g AS (SELECT SUM((x - mm) * (x - mm)) AS g0, $gCols,
+            ANY_VALUE(n) AS n, ANY_VALUE(ni) AS ni, ANY_VALUE(mm) AS mm
+          FROM l CROSS JOIN m),
+        e AS (SELECT ni, mm, n, g0,
+            $varNw AS vnw FROM g)
+        SELECT CAST(ni AS BIGINT) AS n_days, ROUND(mm, 6) AS mean,
+          ROUND(SQRT(g0 / n / n), 6) AS se_iid,
+          ROUND(SQRT(GREATEST(0.0, vnw) / n), 6) AS se_nw,
+          ROUND(CASE WHEN SQRT(g0 / n / n) > 0 THEN
+            SQRT(GREATEST(0.0, vnw) / n) / SQRT(g0 / n / n) END, 6)
+            AS inflation
+        FROM e"""
+  }
+
   /** Croston's method for INTERMITTENT demand (many zero-demand days):
     * smooth the nonzero demand SIZES and the INTER-DEMAND INTERVALS
     * separately with the adjust-form EWMA (closed weighted sum — no

@@ -150,6 +150,98 @@ object Distinctive {
       .limit(topK)
   }
 
+  /** Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β along the corpus
+    * in doc-id order — the exponent that answers "how much NEW
+    * vocabulary will the next 10× of data bring," the scaling question
+    * behind tokenizer-vocab and dedup planning. β ≈ 0.5 for natural
+    * text; β → 1 is id-like noise, β → 0 is a closed vocabulary.
+    *
+    * Scale shape: the doc axis is bucketed into `grid` equal-width
+    * doc-id ranges in EXACT long arithmetic (portable), so the
+    * cumulative frames are grid-sized — never #docs-sized (a per-doc
+    * cumulative vocabulary would be a corpus-length window). One
+    * tokenize pass yields (bucket, term); new-vocab-per-bucket is a
+    * min-bucket groupBy; ln-ln OLS runs over ≤grid points. Returns one
+    * row: (n_buckets, beta 6dp, k_coef 6dp, r2 6dp). */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               grid: Int = 32): DataFrame = {
+    require(grid >= 4 && grid <= 1024)
+    val ids = docs.agg(min(col(idCol).cast("long")).as("__lo"),
+      max(col(idCol).cast("long")).as("__hi")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = hi - lo + 1
+    // integer `div`, not double `/`: a correctly-rounded double ratio
+    // can land ON the next integer when the true ratio is just below it
+    val bucket = expr(
+      s"((CAST(`$idCol` AS BIGINT) - ${lo}L) * ${grid}L) div ${span}L")
+      .as("__b")
+    val longF = docs.select(bucket,
+        explode(Text.tokens(col(textCol))).as("__t"))
+    val tokPerB = longF.groupBy("__b").agg(count(lit(1)).as("__tok"))
+    val newPerB = longF.groupBy("__t").agg(min("__b").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__new"))
+    val w = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tokPerB.join(newPerB, Seq("__b"), "left")
+      .withColumn("__N", sum("__tok").over(w))
+      .withColumn("__V", sum(coalesce(col("__new"), lit(0L))).over(w))
+      .filter(col("__N") > 0 && col("__V") > 0)
+      .select(log(col("__N").cast("double")).as("__x"),
+        log(col("__V").cast("double")).as("__y"))
+    val g = pts.agg(count(lit(1)).as("n_buckets"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n_buckets").cast("double")
+    val sxx = col("__sxx") - col("__sx") * col("__sx") / n
+    val syy = col("__syy") - col("__sy") * col("__sy") / n
+    val sxy = col("__sxy") - col("__sx") * col("__sy") / n
+    val beta = sxy / sxx
+    g.select(col("n_buckets"),
+      round(beta, 6).as("beta"),
+      round(exp(col("__sy") / n - beta * col("__sx") / n), 6)
+        .as("k_coef"),
+      round(when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)), 6)
+        .as("r2"))
+  }
+
+  /** DuckDB twin of [[heapsLaw]]; `docsCte` must yield (id, text);
+    * the id bounds are re-derived in SQL with the same long math. */
+  def heapsLawOracleSql(docsCte: String, grid: Int = 32): String =
+    s"""WITH docs AS (SELECT CAST(id AS BIGINT) AS id, text
+          FROM ($docsCte)),
+        bd AS (SELECT MIN(id) AS lo, MAX(id) - MIN(id) + 1 AS span
+          FROM docs),
+        lf AS (SELECT (docs.id - bd.lo) * $grid // bd.span AS b,
+            UNNEST(list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0)) AS t
+          FROM docs CROSS JOIN bd),
+        tb AS (SELECT b, COUNT(*) AS tok FROM lf GROUP BY b),
+        nb AS (SELECT b, COUNT(*) AS new FROM
+          (SELECT t, MIN(b) AS b FROM lf GROUP BY t) GROUP BY b),
+        pts AS (SELECT
+            LN(CAST(SUM(tok) OVER (ORDER BY tb.b) AS DOUBLE)) AS x,
+            LN(CAST(SUM(COALESCE(new, 0)) OVER (ORDER BY tb.b)
+              AS DOUBLE)) AS y
+          FROM tb LEFT JOIN nb ON tb.b = nb.b),
+        g AS (SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM pts),
+        e AS (SELECT k,
+            sxx - sx * sx / CAST(k AS DOUBLE) AS cxx,
+            syy - sy * sy / CAST(k AS DOUBLE) AS cyy,
+            sxy - sx * sy / CAST(k AS DOUBLE) AS cxy,
+            sx, sy FROM g)
+        SELECT CAST(k AS BIGINT) AS n_buckets,
+          ROUND(cxy / cxx, 6) AS beta,
+          ROUND(EXP(sy / CAST(k AS DOUBLE)
+            - (cxy / cxx) * sx / CAST(k AS DOUBLE)), 6) AS k_coef,
+          ROUND(CASE WHEN cxx > 0 AND cyy > 0 THEN
+            cxy * cxy / (cxx * cyy) END, 6) AS r2
+        FROM e"""
+
   /** Corpus predictability: unigram entropy H(w), bigram conditional
     * entropy H(w₂|w₁) and the redundancy 1 − H(w₂|w₁)/H(w) — the
     * entropy-rate read-out that separates templated/boilerplate text
