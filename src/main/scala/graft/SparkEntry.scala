@@ -2702,7 +2702,46 @@ object SparkEntry {
         t(s, dir, "events").select((col("value") / 100).as("p"),
           when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
           .filter(col("p") >= 0 && col("p") <= 1),
-        "p", "y", bins = 10))
+        "p", "y", bins = 10)),
+    "q333_decile_migration" -> ((s, dir) =>
+      // are the whales churning? user-spend decile transition matrix
+      // between the two halves of the observed range
+      graft.operators.Reporting.decileMigration(t(s, dir, "events"),
+        "user_id", "ts", "value")),
+    "q334_trend_test" -> ((s, dir) =>
+      // does purchase propensity trend with spend decile? the ordered
+      // alternative a flat chi-square has no power for
+      graft.ml.Stats.cochranArmitage(
+        t(s, dir, "orders").select(
+          (col("o_custkey") % 10).as("x"),
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+            .as("conv")),
+        "x", "conv")),
+    "q335_gk_gamma" -> ((s, dir) =>
+      // ordinal association: quantity bucket vs discount bucket
+      graft.ml.Stats.gkGamma(
+        t(s, dir, "lineitem").select(
+          (col("l_quantity") / 10).cast("long").as("r"),
+          (col("l_discount") * 20).cast("long").as("c")),
+        "r", "c")),
+    "q336_krippendorff" -> ((s, dir) =>
+      // inter-annotator agreement with varying rater counts per item:
+      // raters = event types voting "high value" per user-item
+      graft.ml.Stats.krippendorffAlpha(
+        t(s, dir, "events").select(col("user_id").as("item"),
+          when(col("value") > 50, 1).otherwise(0).as("rating")),
+        "item", "rating")),
+    "q337_cross_source_dups" -> ((s, dir) =>
+      // can dedup shard by source? share of near-dup pairs that cross
+      // source boundaries
+      graft.dedup.Dedup.crossSourceDupShare(t(s, dir, "documents"),
+        "doc_id", "text", "source")),
+    "q338_intrinsic_dim" -> ((s, dir) =>
+      // TwoNN intrinsic dimension of the embedding space on a bounded
+      // sample — how many of the 64 dims are real?
+      graft.proximity.Embeddings.twoNnIntrinsicDim(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6377,6 +6416,27 @@ object SparkEntry {
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
          FROM events
          WHERE value / 100 >= 0 AND value / 100 <= 1"""),
+    "q333_decile_migration" ->
+      graft.operators.Reporting.decileMigrationOracleSql(
+        "user_id", "ts", "value", "events"),
+    "q334_trend_test" -> graft.ml.Stats.cochranArmitageOracleSql(
+      """SELECT o_custkey % 10 AS x,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             AS conv
+         FROM orders"""),
+    "q335_gk_gamma" -> graft.ml.Stats.gkGammaOracleSql(
+      """SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS r,
+           CAST(FLOOR(l_discount * 20) AS BIGINT) AS c
+         FROM lineitem"""),
+    "q336_krippendorff" -> graft.ml.Stats.krippendorffAlphaOracleSql(
+      """SELECT user_id AS item,
+           CASE WHEN value > 50 THEN 1 ELSE 0 END AS rating
+         FROM events"""),
+    "q337_cross_source_dups" ->
+      graft.dedup.Dedup.crossSourceDupShareOracleSql(
+        "SELECT doc_id AS id, text, source AS src FROM documents"),
+    "q338_intrinsic_dim" -> graft.proximity.Embeddings.twoNnOracleSql(
+      "SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 400"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

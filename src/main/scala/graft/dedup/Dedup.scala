@@ -437,6 +437,72 @@ object Dedup {
     out
   }
 
+  /** Cross-source duplicate share: of the near-dup pairs the anchor
+    * detector finds, what fraction CROSSES source boundaries? The
+    * sharding question for a 100 TB dedup: a low cross share means the
+    * corpus can be deduped per-source in parallel (cheap) with a small
+    * residual global pass; a high share means the full cross join of
+    * sources is load-bearing. Returns one row: (n_pairs, n_cross,
+    * cross_share 6dp). */
+  def crossSourceDupShare(df: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, shingleSize: Int = 8,
+                          maxDf: Int = 20): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        explode(graft.functions.Signatures.wordShingles(
+          col(textCol), shingleSize)).as("g")).distinct()
+    val rare = sh.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf).select("g")
+    val lk = sh.join(rare, Seq("g"))
+    val pairs = lk.select(col("g"), col("id").as("a"))
+      .join(lk.select(col("g"), col("id").as("b")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val src = df.select(col(idCol).cast("long").as("id"),
+      col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(col("id").as("a"), col("__src").as("__sa")), "a")
+      .join(src.select(col("id").as("b"), col("__src").as("__sb")), "b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+          .as("n_cross"))
+      .select(col("n_pairs"), col("n_cross"),
+        round(when(col("n_pairs") > 0,
+          col("n_cross").cast("double") / col("n_pairs")), 6)
+          .as("cross_share"))
+  }
+
+  /** DuckDB twin of [[crossSourceDupShare]]; `docsCte` yields
+    * (id, text, src). */
+  def crossSourceDupShareOracleSql(docsCte: String, shingleSize: Int = 8,
+                                   maxDf: Int = 20): String = {
+    val n = shingleSize
+    s"""WITH docs AS ($docsCte),
+        tok AS (SELECT CAST(id AS BIGINT) AS id, src,
+            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0) AS toks
+          FROM docs),
+        sh AS (SELECT DISTINCT id, unnest(
+            CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+            ELSE [array_to_string(toks[i:i+${n - 1}], ' ')
+              for i in range(1, len(toks) - ${n - 2})] END) AS g
+          FROM tok),
+        rare AS (SELECT g FROM sh GROUP BY g
+          HAVING COUNT(*) BETWEEN 2 AND $maxDf),
+        lk AS (SELECT sh.id, sh.g FROM sh JOIN rare USING (g)),
+        pairs AS (SELECT DISTINCT x.id AS a, y.id AS b
+          FROM lk x JOIN lk y ON x.g = y.g AND x.id < y.id),
+        j AS (SELECT sa.src AS s1, sb.src AS s2 FROM pairs
+          JOIN tok sa ON pairs.a = sa.id
+          JOIN tok sb ON pairs.b = sb.id)
+        SELECT COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN s1 != s2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cross,
+          ROUND(CASE WHEN COUNT(*) > 0 THEN
+            CAST(SUM(CASE WHEN s1 != s2 THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*) END, 6) AS cross_share
+        FROM j"""
+  }
+
   /** DuckDB twin of [[dedupCompleteness]]; `docsCte` yields
     * (id, text). */
   def dedupCompletenessOracleSql(docsCte: String, nA: Int = 5,

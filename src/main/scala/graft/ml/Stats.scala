@@ -708,6 +708,154 @@ object Stats {
             AS p_value
         FROM nn"""
 
+  /** Cochran–Armitage test for TREND in proportions across ordered
+    * groups (dose, tenure bucket, cohort age): z² = [Σsᵢ(xᵢ−x̄)]² /
+    * [p̄(1−p̄)·Σnᵢ(xᵢ−x̄)²] with x̄ the count-weighted mean score — the
+    * "is the rate monotonically drifting" test that a flat k-group χ²
+    * (q156) has no power for. One groupBy + metadata algebra.
+    * Returns one row: (k, n, slope_sign, z_trend 6dp). */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      convCol: String): DataFrame = {
+    val x = col(scoreCol).cast("double")
+    val g = df.filter(x.isNotNull && col(convCol).isNotNull)
+      .groupBy(x.as("__x"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(convCol) === 1, 1L).otherwise(0L)).as("__s"))
+    val tot = g.agg(sum("__n").as("__nt"), sum("__s").as("__st"),
+      (sum(col("__x") * col("__n")) / sum("__n")).as("__xbar"))
+    val m = g.crossJoin(broadcast(tot)).agg(
+      count(lit(1)).as("k"), first("__nt").as("n"),
+      first(col("__st").cast("double") / col("__nt")).as("__p"),
+      sum(col("__s") * (col("__x") - col("__xbar"))).as("__num"),
+      sum(col("__n") * (col("__x") - col("__xbar")) *
+        (col("__x") - col("__xbar"))).as("__den"))
+    val z = col("__num") /
+      sqrt(col("__p") * (lit(1.0) - col("__p")) * col("__den"))
+    m.select(col("k"), col("n"),
+      when(col("__num") > 0, 1L).when(col("__num") < 0, -1L)
+        .otherwise(0L).as("slope_sign"),
+      round(when(col("__p") > 0 && col("__p") < 1 && col("__den") > 0, z),
+        6).as("z_trend"))
+  }
+
+  /** DuckDB twin of [[cochranArmitage]]; `unitsCte` yields (x, conv). */
+  def cochranArmitageOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT CAST(x AS DOUBLE) AS x, conv
+          FROM ($unitsCte) WHERE x IS NOT NULL AND conv IS NOT NULL),
+        g AS (SELECT x, COUNT(*) AS n,
+            SUM(CASE WHEN conv = 1 THEN 1 ELSE 0 END) AS s
+          FROM units GROUP BY x),
+        t AS (SELECT SUM(n) AS nt, SUM(s) AS st,
+            SUM(x * n) / SUM(n) AS xbar FROM g),
+        m AS (SELECT COUNT(*) AS k, ANY_VALUE(nt) AS n,
+            ANY_VALUE(CAST(st AS DOUBLE) / nt) AS p,
+            SUM(s * (x - xbar)) AS num,
+            SUM(n * (x - xbar) * (x - xbar)) AS den
+          FROM g CROSS JOIN t)
+        SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+          CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS slope_sign,
+          ROUND(CASE WHEN p > 0 AND p < 1 AND den > 0 THEN
+            num / SQRT(p * (1.0 - p) * den) END, 6) AS z_trend
+        FROM m"""
+
+  /** Goodman–Kruskal gamma: ordinal association between two ordered
+    * categorical columns from the contingency-cell table — concordant
+    * vs discordant pairs, ties dropped (the ordinal sibling of q198's
+    * Kendall tau, which needs numeric values; gamma works on ratings/
+    * buckets directly). The cell×cell comparison is (r·c)² on the
+    * METADATA cell table — never a row-level pair join.
+    * Returns one row: (n, n_concordant, n_discordant, gamma 6dp). */
+  def gkGamma(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).cast("long").as("__r"),
+        col(colCol).cast("long").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val a = cells.select(col("__r").as("ra"), col("__c").as("ca"),
+      col("__n").as("na"))
+    val b = cells.select(col("__r").as("rb"), col("__c").as("cb"),
+      col("__n").as("nb"))
+    val conc = a.join(b, col("rb") > col("ra") && col("cb") > col("ca"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("nc"))
+    val disc = a.join(b, col("rb") > col("ra") && col("cb") < col("ca"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("nd"))
+    val n = cells.agg(sum("__n").as("n"))
+    val out = n.crossJoin(conc).crossJoin(disc)
+      .select(col("n"), col("nc").as("n_concordant"),
+        col("nd").as("n_discordant"),
+        round(when(col("nc") + col("nd") > 0,
+          (col("nc") - col("nd")).cast("double") /
+            (col("nc") + col("nd"))), 6).as("gamma"))
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[gkGamma]]; `unitsCte` yields (r, c). */
+  def gkGammaOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT CAST(r AS BIGINT) AS r,
+            CAST(c AS BIGINT) AS c FROM ($unitsCte)
+          WHERE r IS NOT NULL AND c IS NOT NULL),
+        cells AS (SELECT r, c, COUNT(*) AS n FROM units GROUP BY r, c),
+        nc AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS nc
+          FROM cells a JOIN cells b ON b.r > a.r AND b.c > a.c),
+        nd AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS nd
+          FROM cells a JOIN cells b ON b.r > a.r AND b.c < a.c),
+        t AS (SELECT SUM(n) AS n FROM cells)
+        SELECT CAST(t.n AS BIGINT) AS n, CAST(nc AS BIGINT)
+            AS n_concordant,
+          CAST(nd AS BIGINT) AS n_discordant,
+          ROUND(CASE WHEN nc + nd > 0 THEN
+            CAST(nc - nd AS DOUBLE) / (nc + nd) END, 6) AS gamma
+        FROM t CROSS JOIN nc CROSS JOIN nd"""
+
+  /** Krippendorff's alpha for binary annotations with MISSING ratings
+    * (items rated by varying rater counts) — the agreement measure
+    * that q259's Cohen kappa (exactly two fixed raters) cannot give:
+    * α = 1 − (N−1)·Σᵤ oᵤ(mᵤ−oᵤ)/(mᵤ−1) / (O₁·O₀), with mᵤ the item's
+    * rating count, oᵤ its positives, O₁/O₀ the corpus totals, N=ΣmᵤC.
+    * Items with mᵤ < 2 are unpairable and excluded (the standard
+    * rule). One item-level groupBy + one aggregate. Returns one row:
+    * (n_items, n_ratings, alpha 6dp). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        ratingCol: String): DataFrame = {
+    val items = df.filter(col(ratingCol).isNotNull)
+      .groupBy(col(itemCol).as("__it"))
+      .agg(count(lit(1)).as("__m"),
+        sum(when(col(ratingCol) === 1, 1L).otherwise(0L)).as("__o"))
+      .filter(col("__m") >= 2)
+    val g = items.agg(count(lit(1)).as("n_items"),
+      sum("__m").as("n_ratings"), sum("__o").as("__o1"),
+      sum((col("__o") * (col("__m") - col("__o"))).cast("double") /
+        (col("__m") - 1)).as("__dsum"))
+    val nD = col("n_ratings").cast("double")
+    val o1 = col("__o1").cast("double")
+    val o0 = nD - o1
+    g.select(col("n_items"), col("n_ratings"),
+      round(when(o1 > 0 && o0 > 0,
+        lit(1.0) - (nD - 1) * col("__dsum") / (o1 * o0)), 6).as("alpha"))
+  }
+
+  /** DuckDB twin of [[krippendorffAlpha]]; `unitsCte` yields
+    * (item, rating). */
+  def krippendorffAlphaOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT item, rating FROM ($unitsCte)
+          WHERE rating IS NOT NULL),
+        it AS (SELECT item, COUNT(*) AS m,
+            SUM(CASE WHEN rating = 1 THEN 1 ELSE 0 END) AS o
+          FROM units GROUP BY item HAVING COUNT(*) >= 2),
+        g AS (SELECT COUNT(*) AS ni, SUM(m) AS nr, SUM(o) AS o1,
+            SUM(CAST(o * (m - o) AS DOUBLE) / (m - 1)) AS dsum
+          FROM it)
+        SELECT CAST(ni AS BIGINT) AS n_items,
+          CAST(nr AS BIGINT) AS n_ratings,
+          ROUND(CASE WHEN o1 > 0 AND nr - o1 > 0 THEN
+            1.0 - (CAST(nr AS DOUBLE) - 1) * dsum
+              / (CAST(o1 AS DOUBLE) * (CAST(nr AS DOUBLE) - o1)) END, 6)
+            AS alpha
+        FROM g"""
+
   /** Weibull survival fit by median-rank regression over the
     * [[kaplanMeier]] estimate: ln(−ln S(t)) is linear in ln t under a
     * Weibull, so OLS gives shape k (k < 1 = infant mortality /

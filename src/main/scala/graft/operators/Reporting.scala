@@ -296,6 +296,98 @@ object Reporting {
         round(percentile(col("__days"), lit(0.75)), 6).as("p75_days"))
   }
 
+  /** Revenue-decile migration matrix: bucket users by period-1 spend
+    * decile and period-2 spend decile (periods = first/second half of
+    * the observed time range), and report where each decile's users
+    * moved — the "are my whales churning" matrix behind every
+    * retention review. Deciles use exact percentile EDGES as
+    * 6dp-quantized plan constants (per period, users present in both).
+    *
+    * Scale shape: one user×period groupBy (decimal sums) collapses the
+    * corpus; edges are two bounded percentile aggregates; the matrix
+    * is a ≤100-cell groupBy. Returns (d1, d2, n_users,
+    * share_of_d1 6dp) ordered by (d1, d2). */
+  def decileMigration(events: DataFrame, userCol: String, tsCol: String,
+                      valueCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 20)
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+      .filter(col(valueCol).isNotNull)
+    // sum < 2^53 (micros epochs), so the double /2 is exact and the
+    // truncating cast equals the oracle's integer //
+    val mid = ev.agg(((unix_micros(min(col(tsCol))) +
+        unix_micros(max(col(tsCol)))) / 2).cast("long").as("__mid"))
+      .head().getLong(0)
+    val spend = ev
+      .groupBy(col(userCol).as("__u"),
+        (unix_micros(col(tsCol)) <= mid).as("__p1"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("double")
+        .as("__s"))
+    val both = spend.groupBy("__u").agg(count(lit(1)).as("__np"),
+        sum(when(col("__p1"), col("__s"))).as("s1"),
+        sum(when(!col("__p1"), col("__s"))).as("s2"))
+      .filter(col("__np") === 2)
+      .localCheckpoint(true)
+    def edges(c: String): Seq[Double] = {
+      val ps = (1 until buckets).map(_.toDouble / buckets)
+      both.agg(graft.functions.ExactPercentiles
+        .exactPercentiles(col(c), ps)).head().getSeq[Double](0)
+        .map(e => BigDecimal(e)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    def bucketOf(c: String, es: Seq[Double]): Column =
+      es.foldLeft(lit(0))((acc, e) =>
+        acc + when(col(c) > e, 1).otherwise(0))
+    val (e1, e2) = (edges("s1"), edges("s2"))
+    val cells = both
+      .select(bucketOf("s1", e1).cast("long").as("d1"),
+        bucketOf("s2", e2).cast("long").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_users"))
+    val rowTot = cells.groupBy("d1").agg(sum("n_users").as("__r"))
+    val out = cells.join(rowTot, Seq("d1"))
+      .select(col("d1"), col("d2"), col("n_users"),
+        round(col("n_users").cast("double") / col("__r"), 6)
+          .as("share_of_d1"))
+      .orderBy("d1", "d2").localCheckpoint(true)
+    both.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[decileMigration]]. */
+  def decileMigrationOracleSql(userCol: String, tsCol: String,
+                               valueCol: String, table: String,
+                               buckets: Int = 10): String = {
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+      .mkString("[", ", ", "]")
+    def bucketSql(c: String, es: String) =
+      (0 until buckets - 1).map(i =>
+        s"CASE WHEN $c > ROUND($es[${i + 1}], 6) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+    s"""WITH ev AS (SELECT $userCol AS u, epoch_us($tsCol) AS t,
+            $valueCol AS v FROM $table WHERE $valueCol IS NOT NULL),
+        md AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev),
+        sp AS (SELECT u, t <= md.mid AS p1,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s
+          FROM ev CROSS JOIN md GROUP BY u, t <= md.mid),
+        bp AS (SELECT u,
+            SUM(CASE WHEN p1 THEN s END) AS s1,
+            SUM(CASE WHEN NOT p1 THEN s END) AS s2
+          FROM sp GROUP BY u HAVING COUNT(*) = 2),
+        q1 AS (SELECT quantile_cont(s1, $ps) AS e FROM bp),
+        q2 AS (SELECT quantile_cont(s2, $ps) AS e FROM bp),
+        cells AS (SELECT
+            ${bucketSql("s1", "q1.e")} AS d1,
+            ${bucketSql("s2", "q2.e")} AS d2,
+            COUNT(*) AS n_users
+          FROM bp CROSS JOIN q1 CROSS JOIN q2 GROUP BY 1, 2),
+        rt AS (SELECT d1, SUM(n_users) AS r FROM cells GROUP BY d1)
+        SELECT CAST(cells.d1 AS BIGINT) AS d1,
+          CAST(cells.d2 AS BIGINT) AS d2,
+          CAST(n_users AS BIGINT) AS n_users,
+          ROUND(CAST(n_users AS DOUBLE) / rt.r, 6) AS share_of_d1
+        FROM cells JOIN rt ON cells.d1 = rt.d1
+        ORDER BY d1, d2"""
+  }
+
   /** Matched-basket price indices per month — Laspeyres (base-weighted),
     * Paasche (current-weighted) and Fisher (their geometric mean): "how
     * much of the revenue move is PRICE vs volume," the deflator every

@@ -129,4 +129,79 @@ object Embeddings {
       .select(col("group_a"), col("group_b"),
         round(Proximity.cosine(col("__ca"), col("__cb")), 4).as("cosine"))
   }
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): per point
+    * the ratio μ = r₂/r₁ of its two nearest-neighbor distances; the
+    * MLE is ID = n/Σ ln μ. The answer to "how many of these 64/768
+    * embedding dims are real" — retrieval quality, IVF cell counts and
+    * UMAP trustworthiness all hinge on intrinsic, not ambient,
+    * dimension.
+    *
+    * Exhaustive harness by design (the q291 pattern): the all-pairs
+    * distance join is exact on a REQUIRED-small sample (≤ `maxSample`,
+    * loud otherwise) — run it on a uniform sample and extrapolate;
+    * ambient scale would route through the KNN kernels. Exact
+    * duplicates (r₁ = 0) are excluded (standard). Returns one row:
+    * (n_points, n_used, id_mle 6dp). */
+  def twoNnIntrinsicDim(df: DataFrame, idCol: String, vecCol: String,
+                        maxSample: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+    val n = pts.count()
+    require(n <= maxSample,
+      s"twoNnIntrinsicDim is an exhaustive harness — pass a sample " +
+        s"(got $n points > maxSample = $maxSample)")
+    val a = pts.select(col("id").as("ia"), col("v").as("va"))
+    val b = pts.select(col("id").as("ib"), col("v").as("vb"))
+    val d2 = aggregate(
+      zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val near = a.join(b, col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), d2.as("__d2"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("ia").orderBy(col("__d2"), col("ib"))))
+      .filter(col("__rk") <= 2)
+    val mu = near.groupBy("ia")
+      .agg(min(when(col("__rk") === 1, col("__d2"))).as("__d1"),
+        min(when(col("__rk") === 2, col("__d2"))).as("__d2b"))
+      .filter(col("__d1") > 0)
+      // ln μ = ln sqrt(d2₂/d2₁) = 0.5·ln(d2₂/d2₁)
+      .select((lit(0.5) * log(col("__d2b") / col("__d1"))).as("__lnmu"))
+    val out = mu.agg(count(lit(1)).as("n_used"),
+        sum("__lnmu").as("__s"))
+      .select(lit(n).as("n_points"), col("n_used"),
+        round(when(col("__s") > 0,
+          col("n_used").cast("double") / col("__s")), 6).as("id_mle"))
+      .localCheckpoint(true)
+    pts.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[twoNnIntrinsicDim]]; `vecsCte` yields (id, v)
+    * with v a DOUBLE list. */
+  def twoNnOracleSql(vecsCte: String): String =
+    s"""WITH pts AS (SELECT CAST(id AS BIGINT) AS id,
+            [CAST(x AS DOUBLE) FOR x IN v] AS v
+          FROM ($vecsCte) WHERE v IS NOT NULL),
+        pr AS (SELECT a.id AS ia, b.id AS ib,
+            list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+              for i in range(1, len(a.v) + 1)]) AS d2
+          FROM pts a JOIN pts b ON a.id != b.id),
+        rk AS (SELECT ia, d2,
+            ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) AS r
+          FROM pr QUALIFY r <= 2),
+        mu AS (SELECT ia,
+            MIN(CASE WHEN r = 1 THEN d2 END) AS d1,
+            MIN(CASE WHEN r = 2 THEN d2 END) AS d2b
+          FROM rk GROUP BY ia HAVING MIN(CASE WHEN r = 1 THEN d2 END) > 0),
+        s AS (SELECT COUNT(*) AS nu,
+            SUM(0.5 * LN(d2b / d1)) AS s FROM mu)
+        SELECT (SELECT COUNT(*) FROM pts) AS n_points,
+          CAST(nu AS BIGINT) AS n_used,
+          ROUND(CASE WHEN s > 0 THEN CAST(nu AS DOUBLE) / s END, 6)
+            AS id_mle
+        FROM s"""
 }
