@@ -2741,7 +2741,49 @@ object SparkEntry {
       // sample — how many of the 64 dims are real?
       graft.proximity.Embeddings.twoNnIntrinsicDim(
         t(s, dir, "embeddings").filter(col("vec_id") < 400),
-        "vec_id", "embedding"))
+        "vec_id", "embedding")),
+    "q339_rmst" -> ((s, dir) => {
+      // restricted mean time-to-first-error in the first 30 days —
+      // the hazard-free effect size over the q183 KM curve
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(unix_micros(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", unix_micros(col("ts"))))
+            .as("__e"),
+          max(unix_micros(col("ts"))).as("__l"))
+        .select(
+          (coalesce(col("__e"), col("__l")) - col("__f")).as("dur"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("event"))
+        .filter(col("dur") > 0)
+      graft.ml.Stats.rmst(life, "dur", "event", tau = 2.592e12)
+    }),
+    "q340_simpson_detector" -> ((s, dir) =>
+      // does the pooled discount-price slope contradict every
+      // per-flag slope? the aggregation-bias tripwire
+      graft.ml.Stats.simpsonDetector(t(s, dir, "lineitem"),
+        "l_returnflag", "l_discount", "l_extendedprice")),
+    "q341_slice_scan" -> ((s, dir) =>
+      // which (returnflag, linestatus) segment's revenue deviates
+      // most, in standardized units? SliceFinder-lite sweep
+      graft.eda.Quality.sliceScan(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_extendedprice")),
+    "q342_agreement" -> ((s, dir) =>
+      // does the rule-of-thumb price (1500/unit) agree with the real
+      // one? Bland-Altman limits + Lin's CCC
+      graft.ml.Stats.agreement(
+        t(s, dir, "lineitem").select(col("l_extendedprice").as("x"),
+          (col("l_quantity") * 1500).as("y")),
+        "x", "y")),
+    "q343_term_burstiness" -> ((s, dir) =>
+      // templated-term detector: which terms clump into few docs vs a
+      // Poisson scatter of the same frequency?
+      graft.text.Bursts.termBurstiness(t(s, dir, "documents"),
+        "doc_id", "text", minCf = 20, topK = 20)),
+    "q344_median_ci" -> ((s, dir) =>
+      // distribution-free 95% CI for the median price from exact
+      // order statistics — no bootstrap, no normality
+      graft.eda.Robust.medianCi(t(s, dir, "lineitem"),
+        "l_extendedprice"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6437,6 +6479,28 @@ object SparkEntry {
         "SELECT doc_id AS id, text, source AS src FROM documents"),
     "q338_intrinsic_dim" -> graft.proximity.Embeddings.twoNnOracleSql(
       "SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 400"),
+    "q339_rmst" -> graft.ml.Stats.rmstOracleSql(
+      """SELECT coalesce(e, l) - f AS dur,
+           CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM (SELECT user_id,
+             MIN(epoch_us(ts)) AS f,
+             MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+               AS e,
+             MAX(epoch_us(ts)) AS l
+           FROM events GROUP BY user_id)
+         WHERE coalesce(e, l) - f > 0""", tau = 2.592e12),
+    "q340_simpson_detector" -> graft.ml.Stats.simpsonDetectorOracleSql(
+      """SELECT l_returnflag AS g, l_discount AS x,
+           l_extendedprice AS y FROM lineitem"""),
+    "q341_slice_scan" -> graft.eda.Quality.sliceScanOracleSql(
+      """SELECT l_returnflag AS a, l_linestatus AS b,
+           l_extendedprice AS v FROM lineitem""", minN = 30, topK = 10),
+    "q342_agreement" -> graft.ml.Stats.agreementOracleSql(
+      "SELECT l_extendedprice AS x, l_quantity * 1500 AS y FROM lineitem"),
+    "q343_term_burstiness" -> graft.text.Bursts.termBurstinessOracleSql(
+      "SELECT doc_id AS id, text FROM documents", minCf = 20, topK = 20),
+    "q344_median_ci" -> graft.eda.Robust.medianCiOracleSql(
+      "SELECT l_extendedprice AS v FROM lineitem"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

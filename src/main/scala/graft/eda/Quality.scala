@@ -280,4 +280,52 @@ object Quality {
         6).as("jsd"),
       round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6).as("psi"))
   }
+
+  /** Metric slice scan (SliceFinder-lite): over the cross of two
+    * categorical dimensions, find the slices whose metric mean
+    * deviates most from the global mean in STANDARDIZED units
+    * z = (mean_slice − mean)·√n_slice/σ_global — the "which segment is
+    * broken" sweep a dashboard drill-down does by hand. Slices need
+    * n ≥ `minN`; top-`topK` by (|z| desc, dims) deterministic.
+    *
+    * Scale shape: ONE (dimA, dimB) groupBy collapses the corpus to the
+    * slice frame; globals ride a broadcast one-row crossJoin; the
+    * top-k is a distributed TakeOrdered. Returns (slice_a, slice_b, n,
+    * mean 6dp, z 6dp). */
+  def sliceScan(df: DataFrame, dimACol: String, dimBCol: String,
+                metricCol: String, minN: Long = 30,
+                topK: Int = 10): DataFrame = {
+    val v = col(metricCol).cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .select(col(dimACol).cast("string").as("slice_a"),
+        col(dimBCol).cast("string").as("slice_b"), v.as("__v"))
+    val cells = base.groupBy("slice_a", "slice_b")
+      .agg(count(lit(1)).as("n"), avg("__v").as("__m"))
+    val g = base.agg(avg("__v").as("__gm"), stddev_pop("__v").as("__gs"))
+    cells.filter(col("n") >= minN).crossJoin(broadcast(g))
+      .select(col("slice_a"), col("slice_b"), col("n"),
+        round(col("__m"), 6).as("mean"),
+        round(when(col("__gs") > 0,
+          (col("__m") - col("__gm")) * sqrt(col("n").cast("double")) /
+            col("__gs")), 6).as("z"))
+      .orderBy(abs(col("z")).desc, col("slice_a"), col("slice_b"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[sliceScan]]; `unitsCte` yields (a, b, v). */
+  def sliceScanOracleSql(unitsCte: String, minN: Long,
+                         topK: Int): String =
+    s"""WITH base AS (SELECT CAST(a AS VARCHAR) AS a,
+            CAST(b AS VARCHAR) AS b, CAST(v AS DOUBLE) AS v
+          FROM ($unitsCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        cells AS (SELECT a, b, COUNT(*) AS n, AVG(v) AS m
+          FROM base GROUP BY a, b HAVING COUNT(*) >= $minN),
+        g AS (SELECT AVG(v) AS gm, stddev_pop(v) AS gs FROM base)
+        SELECT a AS slice_a, b AS slice_b, CAST(n AS BIGINT) AS n,
+          ROUND(m, 6) AS mean,
+          ROUND(CASE WHEN gs > 0 THEN
+            (m - gm) * SQRT(CAST(n AS DOUBLE)) / gs END, 6) AS z
+        FROM cells CROSS JOIN g
+        ORDER BY ABS(z) DESC, slice_a, slice_b LIMIT $topK"""
 }

@@ -152,4 +152,66 @@ object Robust {
           MIN(CASE WHEN cw * 2 >= tw THEN v END) AS w_median,
           MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS w_p75
         FROM c GROUP BY grp"""
+
+  /** Distribution-free 95% CI for the MEDIAN from order statistics
+    * (the binomial/sign construction with the normal approximation to
+    * the ranks, j = ⌊(n − z√n)/2⌋, k = ⌈1 + (n + z√n)/2⌉): no
+    * bootstrap resampling (q269's RNG cost and non-portability), no
+    * normality assumption. Order statistics come EXACTLY from the
+    * distinct-value cumulative-count frame (x₍ᵣ₎ = min v with
+    * count(≤v) ≥ r — the q274 weighted-quantile kernel at weight 1;
+    * no interpolation, no float-p quantile); the median is the
+    * classic avg of the two middle order stats. Returns one row:
+    * (n, median 6dp, ci_lo 6dp, ci_hi 6dp). */
+  def medianCi(df: DataFrame, colName: String): DataFrame = {
+    val c = col(colName).cast("double")
+    val nn = df.filter(c.isNotNull && !isnan(c))
+    val n = nn.count()
+    require(n >= 10, s"medianCi needs n >= 10, got $n")
+    val z = 1.959964
+    val j = math.max(1L,
+      math.floor((n - z * math.sqrt(n.toDouble)) / 2.0).toLong)
+    val k = math.min(n,
+      math.ceil(1.0 + (n + z * math.sqrt(n.toDouble)) / 2.0).toLong)
+    val (m1, m2) = ((n + 1) / 2, (n + 2) / 2)
+    val byv = nn.groupBy(c.as("__v")).agg(count(lit(1)).as("__c"))
+    val cum = byv.withColumn("__cn",
+      sum("__c").over(org.apache.spark.sql.expressions.Window
+        .orderBy("__v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    cum.agg(
+        min(when(col("__cn") >= m1, col("__v"))).as("__xm1"),
+        min(when(col("__cn") >= m2, col("__v"))).as("__xm2"),
+        min(when(col("__cn") >= j, col("__v"))).as("__xj"),
+        min(when(col("__cn") >= k, col("__v"))).as("__xk"))
+      .select(lit(n).as("n"),
+        round((col("__xm1") + col("__xm2")) / 2.0, 6).as("median"),
+        round(col("__xj"), 6).as("ci_lo"),
+        round(col("__xk"), 6).as("ci_hi"))
+  }
+
+  /** DuckDB twin of [[medianCi]] — same rank math, same cum-count
+    * order statistics. */
+  def medianCiOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+        rk AS (SELECT n,
+            GREATEST(1, CAST(FLOOR((n - 1.959964 * SQRT(CAST(n AS
+              DOUBLE))) / 2.0) AS BIGINT)) AS j,
+            LEAST(n, CAST(CEIL(1.0 + (n + 1.959964 * SQRT(CAST(n AS
+              DOUBLE))) / 2.0) AS BIGINT)) AS k,
+            (n + 1) // 2 AS m1, (n + 2) // 2 AS m2
+          FROM nn),
+        cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cn FROM
+          (SELECT v, COUNT(*) AS c FROM src GROUP BY v))
+        SELECT rk.n,
+          ROUND((MIN(CASE WHEN cn >= rk.m1 THEN v END)
+            + MIN(CASE WHEN cn >= rk.m2 THEN v END)) / 2.0, 6)
+            AS median,
+          ROUND(MIN(CASE WHEN cn >= rk.j THEN v END), 6) AS ci_lo,
+          ROUND(MIN(CASE WHEN cn >= rk.k THEN v END), 6) AS ci_hi
+        FROM cum CROSS JOIN rk
+        GROUP BY rk.n"""
 }

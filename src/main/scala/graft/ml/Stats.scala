@@ -708,6 +708,194 @@ object Stats {
             AS p_value
         FROM nn"""
 
+  /** Restricted mean survival time: RMST(τ) = ∫₀^τ S(t)dt over the
+    * [[kaplanMeier]] curve — "average time survived in the first τ",
+    * the hazard-free effect size regulators now prefer to medians —
+    * plus the KM median (first t with S ≤ 0.5). Step integration over
+    * the KM frame: each interval contributes S(prev)·Δt.
+    * Returns one row: (tau, rmst 6dp, rmst_frac 6dp, median_t). */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+           tau: Double): DataFrame = {
+    require(tau > 0)
+    val km = kaplanMeier(df, durationCol, eventCol)
+      .select(col("t"), col("survival")).filter(col("t") <= tau)
+    val w = Window.orderBy("t")
+    val stepped = km
+      .withColumn("__tPrev", coalesce(lag("t", 1).over(w), lit(0.0)))
+      .withColumn("__sPrev",
+        coalesce(lag("survival", 1).over(w), lit(1.0)))
+    val g = stepped.agg(
+      sum(col("__sPrev") * (col("t") - col("__tPrev"))).as("__area"),
+      max("t").as("__tLast"),
+      max_by(col("survival"), col("t")).as("__sLast"),
+      min(when(col("survival") <= 0.5, col("t"))).as("median_t"))
+    g.select(lit(tau).as("tau"),
+      round(coalesce(col("__area"), lit(0.0)) +
+        coalesce(col("__sLast"), lit(1.0)) *
+          (lit(tau) - coalesce(col("__tLast"), lit(0.0))), 6).as("rmst"),
+      round((coalesce(col("__area"), lit(0.0)) +
+        coalesce(col("__sLast"), lit(1.0)) *
+          (lit(tau) - coalesce(col("__tLast"), lit(0.0)))) / tau, 6)
+        .as("rmst_frac"),
+      col("median_t"))
+  }
+
+  /** DuckDB twin of [[rmst]]; `lifeCte` yields (dur, event). */
+  def rmstOracleSql(lifeCte: String, tau: Double): String =
+    s"""WITH life AS ($lifeCte),
+        byt AS (SELECT CAST(dur AS DOUBLE) AS t, COUNT(*) AS n,
+            SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS d
+          FROM life GROUP BY 1),
+        ar AS (SELECT t, d, SUM(n) OVER (ORDER BY t DESC) AS r FROM byt),
+        km0 AS (SELECT t, 1.0 - CAST(d AS DOUBLE) / r AS factor
+          FROM ar WHERE d > 0),
+        km1 AS (SELECT t,
+            SUM(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+              OVER (ORDER BY t) AS zeros,
+            SUM(CASE WHEN factor > 0 THEN LN(factor) END)
+              OVER (ORDER BY t) AS lsum
+          FROM km0),
+        km AS (SELECT t, CASE WHEN zeros > 0 THEN 0.0
+            ELSE ROUND(EXP(lsum), 6) END AS s
+          FROM km1 WHERE t <= $tau),
+        st AS (SELECT t, s,
+            COALESCE(LAG(t, 1) OVER (ORDER BY t), 0.0) AS tp,
+            COALESCE(LAG(s, 1) OVER (ORDER BY t), 1.0) AS sp
+          FROM km),
+        g AS (SELECT SUM(sp * (t - tp)) AS area, MAX(t) AS tl,
+            MIN(CASE WHEN s <= 0.5 THEN t END) AS median_t,
+            ANY_VALUE(ls) AS slast
+          FROM st CROSS JOIN (SELECT s AS ls FROM st
+            ORDER BY t DESC LIMIT 1))
+        SELECT $tau AS tau,
+          ROUND(COALESCE(area, 0.0) + COALESCE(slast, 1.0)
+            * ($tau - COALESCE(tl, 0.0)), 6) AS rmst,
+          ROUND((COALESCE(area, 0.0) + COALESCE(slast, 1.0)
+            * ($tau - COALESCE(tl, 0.0))) / $tau, 6) AS rmst_frac,
+          median_t
+        FROM g"""
+
+  /** Simpson's-paradox detector for the simple slope of y on x: the
+    * per-group slopes (one 6-moment groupBy) vs the OVERALL slope
+    * re-derived by SUMMING the same group moments (sufficient-stats
+    * additivity — no second corpus pass). Flags the strict paradox:
+    * every ≥`minN`-row group slopes one way, the pooled slope the
+    * other. `reversal_share` (groups disagreeing with the pooled
+    * sign) grades the softer cases. Returns one row: (n_groups,
+    * overall_slope 6dp, n_pos, n_neg, reversal_share 6dp,
+    * strict_paradox). */
+  def simpsonDetector(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String, minN: Long = 30): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val g = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .filter(col("n") >= minN)
+    def slope(n: Column, sx: Column, sy: Column, sxx: Column,
+              sxy: Column): Column = {
+      val nd = n.cast("double")
+      (sxy - sx * sy / nd) / (sxx - sx * sx / nd)
+    }
+    val withSlope = g.withColumn("__b",
+      slope(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy")))
+    val agg = withSlope.agg(
+      count(lit(1)).as("n_groups"),
+      sum("n").as("__nt"), sum("sx").as("__sxt"), sum("sy").as("__syt"),
+      sum("sxx").as("__sxxt"), sum("sxy").as("__sxyt"),
+      sum(when(col("__b") > 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("__b") < 0, 1L).otherwise(0L)).as("n_neg"))
+    val ov = slope(col("__nt"), col("__sxt"), col("__syt"),
+      col("__sxxt"), col("__sxyt"))
+    agg.select(col("n_groups"), round(ov, 6).as("overall_slope"),
+      col("n_pos"), col("n_neg"),
+      round(when(col("n_groups") > 0,
+        when(ov > 0, col("n_neg")).otherwise(col("n_pos"))
+          .cast("double") / col("n_groups")), 6).as("reversal_share"),
+      ((ov > 0 && col("n_neg") === col("n_groups")) ||
+        (ov < 0 && col("n_pos") === col("n_groups")))
+        .as("strict_paradox"))
+  }
+
+  /** DuckDB twin of [[simpsonDetector]]; `unitsCte` yields (g, x, y). */
+  def simpsonDetectorOracleSql(unitsCte: String,
+                               minN: Long = 30): String =
+    s"""WITH units AS (SELECT g, CAST(x AS DOUBLE) AS x,
+            CAST(y AS DOUBLE) AS y FROM ($unitsCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+        grp AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM units GROUP BY g HAVING COUNT(*) >= $minN),
+        sl AS (SELECT *,
+            (sxy - sx * sy / CAST(n AS DOUBLE))
+              / (sxx - sx * sx / CAST(n AS DOUBLE)) AS b FROM grp),
+        a AS (SELECT COUNT(*) AS k, SUM(n) AS nt, SUM(sx) AS sxt,
+            SUM(sy) AS syt, SUM(sxx) AS sxxt, SUM(sxy) AS sxyt,
+            SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS np,
+            SUM(CASE WHEN b < 0 THEN 1 ELSE 0 END) AS nn
+          FROM sl),
+        o AS (SELECT *,
+            (sxyt - sxt * syt / CAST(nt AS DOUBLE))
+              / (sxxt - sxt * sxt / CAST(nt AS DOUBLE)) AS ov FROM a)
+        SELECT CAST(k AS BIGINT) AS n_groups, ROUND(ov, 6)
+            AS overall_slope,
+          CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+          ROUND(CASE WHEN k > 0 THEN
+            CAST(CASE WHEN ov > 0 THEN nn ELSE np END AS DOUBLE) / k
+            END, 6) AS reversal_share,
+          (ov > 0 AND nn = k) OR (ov < 0 AND np = k) AS strict_paradox
+        FROM o"""
+
+  /** Measurement agreement between two numeric readings of the same
+    * quantity: Bland–Altman bias and 95% limits of agreement on the
+    * differences, plus Lin's concordance correlation coefficient
+    * CCC = 2·cov/(σx² + σy² + (μx−μy)²) (population moments, Lin 1989)
+    * — "do these two sensors/models/pipelines agree," which Pearson r
+    * alone cannot answer (r is blind to scale and shift). ONE moments
+    * aggregate. Returns one row: (n, bias, loa_lo, loa_hi, ccc,
+    * pearson_r) 6dp. */
+  def agreement(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val g = df.filter(x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y))
+      .agg(count(lit(1)).as("n"),
+        avg(x).as("__mx"), avg(y).as("__my"),
+        var_pop(x).as("__vx"), var_pop(y).as("__vy"),
+        covar_pop(x, y).as("__cxy"),
+        stddev_samp(x - y).as("__sd"), avg(x - y).as("__bias"))
+    val ccc = lit(2.0) * col("__cxy") /
+      (col("__vx") + col("__vy") +
+        (col("__mx") - col("__my")) * (col("__mx") - col("__my")))
+    val r = col("__cxy") / sqrt(col("__vx") * col("__vy"))
+    g.select(col("n"), round(col("__bias"), 6).as("bias"),
+      round(col("__bias") - lit(1.959964) * col("__sd"), 6).as("loa_lo"),
+      round(col("__bias") + lit(1.959964) * col("__sd"), 6).as("loa_hi"),
+      round(ccc, 6).as("ccc"),
+      round(when(col("__vx") > 0 && col("__vy") > 0, r), 6)
+        .as("pearson_r"))
+  }
+
+  /** DuckDB twin of [[agreement]]; `unitsCte` yields (x, y). */
+  def agreementOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT CAST(x AS DOUBLE) AS x,
+            CAST(y AS DOUBLE) AS y FROM ($unitsCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL
+            AND NOT isnan(CAST(x AS DOUBLE))
+            AND NOT isnan(CAST(y AS DOUBLE))),
+        g AS (SELECT COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+            var_pop(x) AS vx, var_pop(y) AS vy,
+            covar_pop(x, y) AS cxy,
+            stddev_samp(x - y) AS sd, AVG(x - y) AS bias
+          FROM units)
+        SELECT CAST(n AS BIGINT) AS n, ROUND(bias, 6) AS bias,
+          ROUND(bias - 1.959964 * sd, 6) AS loa_lo,
+          ROUND(bias + 1.959964 * sd, 6) AS loa_hi,
+          ROUND(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) AS ccc,
+          ROUND(CASE WHEN vx > 0 AND vy > 0 THEN
+            cxy / SQRT(vx * vy) END, 6) AS pearson_r
+        FROM g"""
+
   /** Cochran–Armitage test for TREND in proportions across ordered
     * groups (dose, tenure bucket, cohort age): z² = [Σsᵢ(xᵢ−x̄)]² /
     * [p̄(1−p̄)·Σnᵢ(xᵢ−x̄)²] with x̄ the count-weighted mean score — the

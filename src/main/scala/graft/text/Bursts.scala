@@ -50,6 +50,56 @@ object Bursts {
       .filter(col("z_burst") > 0)
   }
 
+  /** Term BURSTINESS across documents (Church & Gale): for each term,
+    * collection frequency cf vs document frequency df. burstiness =
+    * cf/df (mean occurrences per containing doc) and the clumping
+    * ratio df_poisson/df, where df_poisson = n_docs·(1−exp(−cf/n_docs))
+    * is the doc frequency a Poisson scatter of the same cf would give
+    * — clumping ≫ 1 marks templated/boilerplate terms that pile into
+    * few docs (scrub candidates), ≈1 marks evenly-used vocabulary.
+    *
+    * Scale shape: ONE tokenize pass → per-(doc, term) counts
+    * (map-combinable) → one term-level aggregate; n_docs rides as a
+    * broadcast scalar. Returns the top-`topK` by (burstiness desc,
+    * term) among terms with cf ≥ `minCf`: (term, cf, df,
+    * burstiness 6dp, clumping 6dp). */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+                     minCf: Long = 20, topK: Int = 20): DataFrame = {
+    val dt = df.select(col(idCol).as("__doc"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("__doc", "term").agg(count(lit(1)).as("__c"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val t = dt.groupBy("term")
+      .agg(sum("__c").as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= minCf)
+    val dfPoisson = lit(nDocs.toDouble) *
+      (lit(1.0) - exp(-col("cf").cast("double") / nDocs))
+    t.select(col("term"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df"), 6).as("burstiness"),
+        round(dfPoisson / col("df"), 6).as("clumping"))
+      .orderBy(col("burstiness").desc, col("term")).limit(topK)
+  }
+
+  /** DuckDB twin of [[termBurstiness]]; `docsCte` yields (id, text). */
+  def termBurstinessOracleSql(docsCte: String, minCf: Long,
+                              topK: Int): String =
+    s"""WITH docs AS ($docsCte),
+        dt AS (SELECT id, term, COUNT(*) AS c FROM (
+            SELECT id, UNNEST(list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0)) AS term
+            FROM docs)
+          GROUP BY id, term),
+        nd AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n FROM docs),
+        t AS (SELECT term, SUM(c) AS cf, COUNT(*) AS df FROM dt
+          GROUP BY term HAVING SUM(c) >= $minCf)
+        SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+          ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness,
+          ROUND(nd.n * (1.0 - EXP(-CAST(cf AS DOUBLE) / nd.n)) / df, 6)
+            AS clumping
+        FROM t CROSS JOIN nd
+        ORDER BY burstiness DESC, term LIMIT $topK"""
+
   /** DuckDB twin of [[termBursts]]; `docsCte` must yield (batch, text). */
   def termBurstsOracleSql(docsCte: String, minCount: Long = 10): String =
     s"""WITH docs AS ($docsCte),
