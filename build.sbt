@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps `sbt runMain` stdout for the bench-summary JSON line.
+// sbt's default BufferedOutput prefixes every forked-process line with
+// "[info] " (which breaks json.loads) and appends "[success] Total time"
+// AFTER the summary — five rounds of BENCH_r*.json "parsed": null. Pass
+// the forked JVM's stdout through verbatim and drop the success trailer
+// so the LAST stdout line is the bare JSON.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -137,7 +137,15 @@ object Bench {
     // be truncated: once under target/ (local scratch) and once under
     // bench/ (tracked, so round-over-round per-query comparison survives
     // the sandbox).
-    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "current")
+    // Tracked per-round naming (VERDICT r9 item 4): the driver does not
+    // set SPARK_GRAFT_ROUND, so infer the round from the BENCH_r{N}.json
+    // files it has already written — this run is max(N)+1.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").getOrElse {
+      val pat = "BENCH_r(\\d+)\\.json".r
+      val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (seen.isEmpty) "current" else (seen.max + 1).toString
+    }
     Seq(new java.io.File("target/bench_summary.json"),
         new java.io.File(s"bench/summary_r$round.json")).foreach { outFile =>
       outFile.getParentFile.mkdirs()
@@ -165,6 +173,11 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${results.size},"queries":$headJson,""" +
         s""""full_summary":"bench/summary_r$round.json"$ladderCompact}"""
+    // Two final lines: a sentinel-prefixed copy (greppable) and the bare
+    // JSON as the very last stdout line (json.loads-able) — with
+    // outputStrategy=StdoutOutput + showSuccess=false in build.sbt,
+    // nothing sbt prints lands after this.
+    println("GRAFT_BENCH_JSON " + compact)
     println(compact)
   }
 }

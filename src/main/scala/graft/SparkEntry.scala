@@ -2744,7 +2744,11 @@ object SparkEntry {
         "vec_id", "embedding")),
     "q339_rmst" -> ((s, dir) => {
       // restricted mean time-to-first-error in the first 30 days —
-      // the hazard-free effect size over the q183 KM curve
+      // the hazard-free effect size over the q183 KM curve. Durations
+      // in DAYS, not epoch-microseconds: round(rmst, 6) at 1e12
+      // magnitude asks for 18 significant digits (beyond double) —
+      // r9's only algorithm-adjacent hash red. One double division
+      // (micros / 86.4e9) is IEEE-identical in Spark and DuckDB.
       val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
       val life = ev.groupBy(col("user_id")).agg(
           min(unix_micros(col("ts"))).as("__f"),
@@ -2752,10 +2756,11 @@ object SparkEntry {
             .as("__e"),
           max(unix_micros(col("ts"))).as("__l"))
         .select(
-          (coalesce(col("__e"), col("__l")) - col("__f")).as("dur"),
+          ((coalesce(col("__e"), col("__l")) - col("__f")) /
+            lit(86400000000.0)).as("dur"),
           when(col("__e").isNotNull, 1).otherwise(0).as("event"))
         .filter(col("dur") > 0)
-      graft.ml.Stats.rmst(life, "dur", "event", tau = 2.592e12)
+      graft.ml.Stats.rmst(life, "dur", "event", tau = 30.0)
     }),
     "q340_simpson_detector" -> ((s, dir) =>
       // does the pooled discount-price slope contradict every
@@ -5968,11 +5973,15 @@ object SparkEntry {
            FROM d2 GROUP BY vec_id, c),
          s AS (SELECT c, a, b,
              CASE WHEN GREATEST(a, b) = 0 THEN 0.0
-               ELSE (b - a) / GREATEST(a, b) END AS sil
+               ELSE ROUND((b - a) / GREATEST(a, b), 6) END AS sil
            FROM ab)
          SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(a), 6) AS mean_a, ROUND(AVG(b), 6) AS mean_b,
-           ROUND(AVG(sil), 6) AS mean_silhouette
+           ROUND(CAST(SUM(CAST(a AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_a,
+           ROUND(CAST(SUM(CAST(b AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_b,
+           ROUND(CAST(SUM(CAST(sil AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_silhouette
          FROM s GROUP BY c ORDER BY cluster""",
     "q254_negative_sampling" ->
       """WITH cand AS (SELECT doc_id AS cid, source AS neg_source,
@@ -6480,7 +6489,7 @@ object SparkEntry {
     "q338_intrinsic_dim" -> graft.proximity.Embeddings.twoNnOracleSql(
       "SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 400"),
     "q339_rmst" -> graft.ml.Stats.rmstOracleSql(
-      """SELECT coalesce(e, l) - f AS dur,
+      """SELECT (coalesce(e, l) - f) / 86400000000.0 AS dur,
            CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS event
          FROM (SELECT user_id,
              MIN(epoch_us(ts)) AS f,
@@ -6488,7 +6497,7 @@ object SparkEntry {
                AS e,
              MAX(epoch_us(ts)) AS l
            FROM events GROUP BY user_id)
-         WHERE coalesce(e, l) - f > 0""", tau = 2.592e12),
+         WHERE coalesce(e, l) - f > 0""", tau = 30.0),
     "q340_simpson_detector" -> graft.ml.Stats.simpsonDetectorOracleSql(
       """SELECT l_returnflag AS g, l_discount AS x,
            l_extendedprice AS y FROM lineitem"""),

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   * each row meets only the k centroid rows (broadcast nested-loop,
   * k ≤ 64) and folds the distance with one zip_with/aggregate — no
   * per-dim shuffle, no pairwise join. Cross-engine stability: centroid
-  * coordinates and the two distances are rounded at 6dp, so the only
-  * float divergence left in the per-cluster mean is summation order on
-  * identical doubles.
+  * coordinates and the two distances are rounded at 6dp, and the
+  * per-cluster means sum those 6dp values as DECIMAL before the one
+  * double division — no summation-order term survives.
   */
 object Silhouette {
 
@@ -52,15 +52,23 @@ object Silhouette {
     val ab = d2.groupBy("__id", "__c")
       .agg(min(when(col("__c") === col("__cc"), col("__d"))).as("__a"),
         min(when(col("__c") =!= col("__cc"), col("__d"))).as("__b"))
+    // Means are decimal-exact (Bootstrap.subsampleCi pattern): the 6dp
+    // inputs sum exactly as DECIMAL(28,6), so the single cast-to-double
+    // + divide is summation-order-free — r9's mean_b differed from the
+    // oracle by exactly 1e-6 on a .5 rounding boundary that Spark and
+    // DuckDB reached through different summation orders.
+    def decMean(c: Column): Column =
+      round(sum(c.cast("decimal(28,6)")).cast("double") / count(lit(1)), 6)
     ab.select(col("__c"), col("__a"), col("__b"),
         when(greatest(col("__a"), col("__b")) === 0, lit(0.0))
-          .otherwise((col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(round((col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b")), 6))
           .as("__s"))
       .groupBy(col("__c").as("cluster"))
       .agg(count(lit(1)).as("n"),
-        round(avg("__a"), 6).as("mean_a"),
-        round(avg("__b"), 6).as("mean_b"),
-        round(avg("__s"), 6).as("mean_silhouette"))
+        decMean(col("__a")).as("mean_a"),
+        decMean(col("__b")).as("mean_b"),
+        decMean(col("__s")).as("mean_silhouette"))
       .orderBy("cluster")
   }
 }

@@ -183,8 +183,8 @@ object Events {
         nw AS (SELECT day, COUNT(*) AS nn FROM fs GROUP BY day)
         SELECT CAST(p.day AS TIMESTAMP) AS day, p.n_events,
           COALESCE(nw.nn, 0) AS new_entities,
-          SUM(COALESCE(nw.nn, 0)) OVER (ORDER BY p.day
+          CAST(SUM(COALESCE(nw.nn, 0)) OVER (ORDER BY p.day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS cum_entities
+            AS BIGINT) AS cum_entities
         FROM perday p LEFT JOIN nw USING (day)"""
 }
