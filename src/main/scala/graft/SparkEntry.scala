@@ -2788,7 +2788,55 @@ object SparkEntry {
       // distribution-free 95% CI for the median price from exact
       // order statistics — no bootstrap, no normality
       graft.eda.Robust.medianCi(t(s, dir, "lineitem"),
-        "l_extendedprice"))
+        "l_extendedprice")),
+    "q345_wasserstein" -> ((s, dir) => {
+      // earth-mover distance between returned vs kept quantity
+      // distributions — drift weighted by how far mass moved
+      val li = t(s, dir, "lineitem")
+      graft.eda.StatTests.wasserstein1(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"), "l_quantity")
+    }),
+    "q346_anderson_darling" -> ((s, dir) => {
+      // tail-weighted two-sample drift test: urgent vs low-priority
+      // order values (AD catches the top-percentile shift KS misses)
+      val o = t(s, dir, "orders")
+      graft.eda.StatTests.andersonDarling2(
+        o.filter(col("o_orderpriority") === "1-URGENT"),
+        o.filter(col("o_orderpriority") === "5-LOW"), "o_totalprice")
+    }),
+    "q347_jarque_bera" -> ((s, dir) =>
+      // moment-based normality read-out per flag; quantity is integral
+      // so the four power sums accumulate exactly
+      graft.eda.ShapeTests.jarqueBera(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity")),
+    "q348_mood_median" -> ((s, dir) =>
+      // variance-free k-group location screen on the pooled median
+      graft.eda.ShapeTests.moodMedian(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice")),
+    "q349_wilcoxon_signed_rank" -> ((s, dir) => {
+      // paired location test: per-user mean event value before vs
+      // after mid-January (decimal-exact means so pairs are portable)
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val dv = col("value").cast(DecimalType(18, 2))
+      val pairs = ev.groupBy("user_id").agg(
+          (sum(when(col("ts") < split, dv)).cast("double") /
+            sum(when(col("ts") < split, 1L))).as("x"),
+          (sum(when(col("ts") >= split, dv)).cast("double") /
+            sum(when(col("ts") >= split, 1L))).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      graft.eda.ShapeTests.wilcoxonSignedRank(pairs, "x", "y")
+    }),
+    "q350_runs_test" -> ((s, dir) => {
+      // is daily revenue a random scatter around its median, or does
+      // it trend/cycle? Wald-Wolfowitz runs over the day frame
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("rev"))
+      graft.eda.ShapeTests.runsTest(daily, "day", "rev")
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6510,6 +6558,37 @@ object SparkEntry {
       "SELECT doc_id AS id, text FROM documents", minCf = 20, topK = 20),
     "q344_median_ci" -> graft.eda.Robust.medianCiOracleSql(
       "SELECT l_extendedprice AS v FROM lineitem"),
+    "q345_wasserstein" -> graft.eda.StatTests.wasserstein1OracleSql(
+      "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'R'",
+      "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'N'"),
+    "q346_anderson_darling" ->
+      graft.eda.StatTests.andersonDarling2OracleSql(
+        """SELECT o_totalprice AS v FROM orders
+           WHERE o_orderpriority = '1-URGENT'""",
+        """SELECT o_totalprice AS v FROM orders
+           WHERE o_orderpriority = '5-LOW'"""),
+    "q347_jarque_bera" -> graft.eda.ShapeTests.jarqueBeraOracleSql(
+      "SELECT l_returnflag AS grp, l_quantity AS v FROM lineitem"),
+    "q348_mood_median" -> graft.eda.ShapeTests.moodMedianOracleSql(
+      "SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders"),
+    "q349_wilcoxon_signed_rank" ->
+      graft.eda.ShapeTests.wilcoxonSignedRankOracleSql(
+        """SELECT
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               / SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                 THEN 1 END) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               / SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                 THEN 1 END) AS y
+           FROM events GROUP BY user_id
+           HAVING x IS NOT NULL AND y IS NOT NULL"""),
+    "q350_runs_test" -> graft.eda.ShapeTests.runsTestOracleSql(
+      """SELECT l_shipdate AS o,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS v
+         FROM lineitem GROUP BY l_shipdate"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -374,4 +374,139 @@ object StatTests {
           ROUND(CASE WHEN s > 0 THEN
             (CAST(k AS DOUBLE) * k - 1) / (3.0 * s) END, 6) AS df2
         FROM g"""
+
+  /** 1-D Wasserstein-1 (earth-mover) distance between two samples:
+    * W₁ = Σⱼ |F_A(vⱼ) − F_B(vⱼ)| · (vⱼ₊₁ − vⱼ) over the pooled
+    * distinct-value ladder — the METRIC companion to q92 KS / q320
+    * CvM: it weighs drift by HOW FAR mass moved, not just by CDF gap,
+    * so a small shift of the whole distribution and a fat outlier tail
+    * score on the same scale (the distribution-shift number SGD
+    * data-mixing papers report).
+    *
+    * Scale shape: pooled ECDFs ride the bucketed rank kernel
+    * ([[graft.ml.Metrics.rankedScores]]); the Δv lead is a window over
+    * the DISTINCT-VALUE frame, so this operator is meant for bounded-
+    * cardinality or pre-binned columns (the [[kendallTauB]] contingency
+    * framing — bin continuous columns first, e.g. the q140 equi-depth
+    * histogram edges). Returns one row: (n_a, n_b, w1 6dp). */
+  def wasserstein1(a: DataFrame, b: DataFrame,
+                   valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stacked = a.select(col(valueCol).cast("double").as("__v"),
+        lit(1).as("__isa"))
+      .unionByName(b.select(col(valueCol).cast("double").as("__v"),
+        lit(0).as("__isa")))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .withColumn("__g", lit("all"))
+    val ranked = graft.ml.Metrics.rankedScores(
+      stacked, "__g", "__isa", "__v", 256)
+    val totals = ranked.agg(sum("n_pos").as("__na"),
+      sum(col("n") - col("n_pos")).as("__nb"))
+    val lead_v = lead("score", 1).over(Window.orderBy("score"))
+    val fa = (col("before_pos") + col("n_pos")).cast("double") / col("__na")
+    val fb = (col("before") + col("n") - col("before_pos") - col("n_pos"))
+      .cast("double") / col("__nb")
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("__dv", coalesce(lead_v - col("score"), lit(0.0)))
+      .agg(first("__na").as("n_a"), first("__nb").as("n_b"),
+        round(sum(abs(fa - fb) * col("__dv")), 6).as("w1"))
+  }
+
+  /** DuckDB twin of [[wasserstein1]]; `aCte`/`bCte` must yield v. */
+  def wasserstein1OracleSql(aCte: String, bCte: String): String =
+    s"""WITH s AS (
+          SELECT CAST(v AS DOUBLE) AS v, 1 AS isa FROM ($aCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+          UNION ALL
+          SELECT CAST(v AS DOUBLE), 0 FROM ($bCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        m AS (SELECT v, SUM(isa) AS ca, SUM(1 - isa) AS cb
+          FROM s GROUP BY v),
+        c AS (SELECT v,
+            SUM(ca) OVER (ORDER BY v) AS cuma,
+            SUM(cb) OVER (ORDER BY v) AS cumb,
+            LEAD(v) OVER (ORDER BY v) AS nxt FROM m),
+        t2 AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m)
+        SELECT CAST(t2.na AS BIGINT) AS n_a, CAST(t2.nb AS BIGINT) AS n_b,
+          ROUND(SUM(ABS(CAST(cuma AS DOUBLE) / na
+            - CAST(cumb AS DOUBLE) / nb)
+            * COALESCE(nxt - v, 0.0)), 6) AS w1
+        FROM c CROSS JOIN t2 GROUP BY t2.na, t2.nb"""
+
+  /** Two-sample Anderson–Darling A² (Scholz–Stephens 1987 eq. 7, the
+    * ties-adjusted A²akN for k = 2): like [[cramerVonMises]] it
+    * integrates EVERY ECDF gap, but with 1/(B(N−B)) tail weighting —
+    * the most tail-sensitive of the three drift tests (KS < CvM < AD
+    * for tail drift power), i.e. the one that catches a contamination
+    * spike hiding in the top percentile.
+    *
+    * Scale shape: identical to [[cramerVonMises]] — bucketed rank
+    * kernel, then ONE aggregate over the distinct-value frame; no
+    * window at all, safe at any value cardinality. Terms where the
+    * variance weight B(N−B) − N·l/4 is zero (all mass at one value)
+    * drop out. Returns one row: (n_a, n_b, ad 6dp). */
+  def andersonDarling2(a: DataFrame, b: DataFrame,
+                       valueCol: String): DataFrame = {
+    val stacked = a.select(col(valueCol).cast("double").as("__v"),
+        lit(1).as("__isa"))
+      .unionByName(b.select(col(valueCol).cast("double").as("__v"),
+        lit(0).as("__isa")))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .withColumn("__g", lit("all"))
+    val ranked = graft.ml.Metrics.rankedScores(
+      stacked, "__g", "__isa", "__v", 256)
+    val totals = ranked.agg(sum("n_pos").as("__na"),
+      sum(col("n") - col("n_pos")).as("__nb"))
+    val nn = (col("__na") + col("__nb")).cast("double")
+    val l = col("n").cast("double")
+    val ba = (col("before") + col("n") / lit(2.0)).cast("double")
+    val maA = (col("before_pos") + col("n_pos") / lit(2.0)).cast("double")
+    val maB = (col("before") - col("before_pos") +
+      (col("n") - col("n_pos")) / lit(2.0)).cast("double")
+    val wgt = ba * (nn - ba) - nn * l / lit(4.0)
+    val termA = (l / nn) * (nn * maA - col("__na") * ba) *
+      (nn * maA - col("__na") * ba) / wgt
+    val termB = (l / nn) * (nn * maB - col("__nb") * ba) *
+      (nn * maB - col("__nb") * ba) / wgt
+    val nOut = (col("n_a") + col("n_b")).cast("double")
+    ranked.crossJoin(broadcast(totals))
+      .agg(first("__na").as("n_a"), first("__nb").as("n_b"),
+        sum(when(wgt > 0, termA)).as("__sa"),
+        sum(when(wgt > 0, termB)).as("__sb"))
+      .select(col("n_a"), col("n_b"),
+        round((nOut - 1) / nOut *
+          (col("__sa") / col("n_a") + col("__sb") / col("n_b")), 6)
+          .as("ad"))
+  }
+
+  /** DuckDB twin of [[andersonDarling2]]; `aCte`/`bCte` must yield v. */
+  def andersonDarling2OracleSql(aCte: String, bCte: String): String =
+    s"""WITH s AS (
+          SELECT CAST(v AS DOUBLE) AS v, 1 AS isa FROM ($aCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+          UNION ALL
+          SELECT CAST(v AS DOUBLE), 0 FROM ($bCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        m AS (SELECT v, COUNT(*) AS n, SUM(isa) AS ca,
+            SUM(1 - isa) AS cb FROM s GROUP BY v),
+        c AS (SELECT n, ca, cb,
+            SUM(n) OVER (ORDER BY v) - n AS bef,
+            SUM(ca) OVER (ORDER BY v) - ca AS befa FROM m),
+        t2 AS (SELECT SUM(ca) AS na, SUM(cb) AS nb,
+            CAST(SUM(ca) + SUM(cb) AS DOUBLE) AS nn FROM m),
+        terms AS (SELECT na, nb, nn,
+            CAST(n AS DOUBLE) AS l,
+            CAST(bef AS DOUBLE) + n / 2.0 AS ba,
+            CAST(befa AS DOUBLE) + ca / 2.0 AS maa,
+            CAST(bef - befa AS DOUBLE) + (n - ca) / 2.0 AS mab
+          FROM c CROSS JOIN t2)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          ROUND((nn - 1) / nn * (
+            SUM(CASE WHEN ba * (nn - ba) - nn * l / 4.0 > 0 THEN
+              (l / nn) * (nn * maa - na * ba) * (nn * maa - na * ba)
+                / (ba * (nn - ba) - nn * l / 4.0) END) / na
+            + SUM(CASE WHEN ba * (nn - ba) - nn * l / 4.0 > 0 THEN
+              (l / nn) * (nn * mab - nb * ba) * (nn * mab - nb * ba)
+                / (ba * (nn - ba) - nn * l / 4.0) END) / nb), 6) AS ad
+        FROM terms GROUP BY na, nb, nn"""
 }
