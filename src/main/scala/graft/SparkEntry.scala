@@ -2836,7 +2836,37 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
           .cast("double").as("rev"))
       graft.eda.ShapeTests.runsTest(daily, "day", "rev")
-    })
+    }),
+    "q351_ljung_box" -> ((s, dir) =>
+      // whiteness gate on the daily-value correlogram: cumulative
+      // portmanteau Q per lag over the q200 acf rows
+      graft.operators.Forecast.ljungBox(t(s, dir, "events"),
+        "ts", "value")),
+    "q352_pettitt" -> ((s, dir) =>
+      // rank-based (outlier-immune) change-point test — the
+      // distribution-free twin of q201 CUSUM
+      graft.operators.Forecast.pettitt(t(s, dir, "events"),
+        "ts", "value")),
+    "q353_granger" -> ((s, dir) =>
+      // does yesterday's event volume predict today's total value
+      // beyond yesterday's total? lag-1 Granger F, closed form
+      graft.operators.Forecast.grangerLag1(t(s, dir, "events"),
+        "ts", "value")),
+    "q354_permutation_entropy" -> ((s, dir) =>
+      // ordinal-pattern complexity of the daily series: 1 = white
+      // noise, 0 = monotone ramp; no moments or stationarity needed
+      graft.operators.Forecast.permutationEntropy(t(s, dir, "events"),
+        "ts", "value")),
+    "q355_dickey_fuller" -> ((s, dir) =>
+      // unit-root test: is the daily total a random walk (difference
+      // it) or mean-reverting (model it)?
+      graft.operators.Forecast.dickeyFuller(t(s, dir, "events"),
+        "ts", "value")),
+    "q356_engle_granger" -> ((s, dir) =>
+      // do daily volume and daily value share a long-run equilibrium?
+      // residual-based cointegration test
+      graft.operators.Forecast.engleGranger(t(s, dir, "events"),
+        "ts", "value"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6589,6 +6619,21 @@ object SparkEntry {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              AS v
          FROM lineitem GROUP BY l_shipdate"""),
+    "q351_ljung_box" -> graft.operators.Forecast.ljungBoxOracleSql(
+      "ts", "value", "events"),
+    "q352_pettitt" -> graft.operators.Forecast.pettittOracleSql(
+      "ts", "value", "events"),
+    "q353_granger" -> graft.operators.Forecast.grangerLag1OracleSql(
+      "ts", "value", "events"),
+    "q354_permutation_entropy" ->
+      graft.operators.Forecast.permutationEntropyOracleSql(
+        "ts", "value", "events"),
+    "q355_dickey_fuller" ->
+      graft.operators.Forecast.dickeyFullerOracleSql(
+        "ts", "value", "events"),
+    "q356_engle_granger" ->
+      graft.operators.Forecast.engleGrangerOracleSql(
+        "ts", "value", "events"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

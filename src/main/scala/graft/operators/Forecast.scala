@@ -1094,4 +1094,405 @@ object Forecast {
             AS return_level
         FROM m CROSS JOIN ts"""
   }
+
+  /** Ljung–Box portmanteau test on the daily-total correlogram:
+    * Q(m) = n(n+2)·Σ_{k≤m} r_k²/(n−k), reported cumulatively per lag
+    * so the row at lag m IS the classic Q(m) — "is there ANY linear
+    * memory in the first m lags", the whiteness gate to run before
+    * trusting an i.i.d. assumption (or after fitting a forecaster, on
+    * its residuals). Identical plan shape to [[acf]] (one window pass,
+    * one aggregate); the cumulative Q rides the maxLag-row metadata
+    * frame. Returns (lag, n_pairs, acf 6dp, q_stat 6dp). */
+  def ljungBox(events: DataFrame, tsCol: String, valueCol: String,
+               maxLag: Int = 7): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+    val w = Window.orderBy("day")
+    val m = d.agg(avg("total").as("__m"),
+      sum(col("total") * col("total")).as("__ss"),
+      count(lit(1)).as("__n"))
+    val lagged = d.select(
+      col("total").as("x") +: (1 to maxLag).map(k =>
+        lag("total", k).over(w).as(s"x_$k")): _*)
+    val perLag = lagged.crossJoin(m)
+      .select(col("x"), col("__m"), col("__ss"), col("__n"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"x_$k").as("xk"))): _*)).as("p"))
+      .groupBy(col("p.lag").as("lag"))
+      .agg(count(col("p.xk")).as("n_pairs"),
+        try_divide(
+          sum((col("x") - col("__m")) * (col("p.xk") - col("__m"))),
+          first(col("__ss") - col("__n") * col("__m") * col("__m")))
+          .as("__r"),
+        first("__n").as("__nd"))
+    val wq = Window.orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nd = col("__nd").cast("double")
+    perLag
+      .withColumn("q_stat", round(nd * (nd + 2) *
+        sum(col("__r") * col("__r") /
+          (nd - col("lag"))).over(wq), 6))
+      .select(col("lag"), col("n_pairs"), round(col("__r"), 6).as("acf"),
+        col("q_stat"))
+  }
+
+  /** DuckDB twin of [[ljungBox]]. */
+  def ljungBoxOracleSql(tsExpr: String, valueExpr: String, table: String,
+                        maxLag: Int = 7): String = {
+    val lagCols = (1 to maxLag).map(k =>
+      s"LAG(total, $k) OVER (ORDER BY day) AS x_$k").mkString(", ")
+    val unions = (1 to maxLag).map(k =>
+      s"SELECT $k AS lag, x, x_$k AS xk FROM l").mkString(
+      "\n UNION ALL ")
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        m AS (SELECT AVG(total) AS mm, SUM(total * total) AS ss,
+            COUNT(*) AS nn FROM d),
+        l AS (SELECT total AS x, $lagCols FROM d),
+        u AS ($unions),
+        r AS (SELECT lag, COUNT(xk) AS n_pairs,
+            SUM((x - mm) * (xk - mm)) / ANY_VALUE(ss - nn * mm * mm)
+              AS r,
+            ANY_VALUE(nn) AS nn
+          FROM u, m GROUP BY lag)
+        SELECT lag, n_pairs, ROUND(r, 6) AS acf,
+          ROUND(CAST(nn AS DOUBLE) * (nn + 2) * SUM(r * r
+            / (CAST(nn AS DOUBLE) - lag)) OVER (ORDER BY lag
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+            AS q_stat
+        FROM r"""
+  }
+
+  /** Pettitt change-point test on the daily total: the rank-based
+    * (distribution-free) shift detector — U_t = Σ_{i≤t}(2·rᵢ − n − 1)
+    * with midranks (EXACTLY the sgn double sum, via the midrank
+    * identity Σⱼ sgn(xᵢ−xⱼ) = 2rᵢ−n−1), K = max|U_t|, and the classic
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)). The rank-space twin of
+    * [[cusumChangepoint]]: immune to outliers and to any monotone
+    * transform of the values. Midranks come from one groupBy over the
+    * distinct daily totals (the day frame is metadata-sized — the
+    * weeklyReport argument); U rides one ordered window over it.
+    * Returns one row: (n, k_stat 6dp, change_day, p_value 6dp). */
+  def pettitt(events: DataFrame, tsCol: String,
+              valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol).select(col("day"), col("total"))
+    val byV = d.groupBy("total").agg(count(lit(1)).as("__c"))
+    val wv = Window.orderBy("total")
+    val ranks = byV.withColumn("__rank",
+      (sum("__c").over(wv) - col("__c")).cast("double") +
+        (col("__c").cast("double") + 1) / 2)
+    val wd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTot = d.agg(count(lit(1)).as("__n"))
+    val u = d.join(ranks.select(col("total"), col("__rank")), Seq("total"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__u",
+        sum(lit(2.0) * col("__rank") - (col("__n") + 1)).over(wd))
+      .withColumn("__t", count(lit(1)).over(wd))
+      .filter(col("__t") < col("__n"))
+    val kFrame = u.agg(first("__n").as("n"),
+      max(abs(col("__u"))).as("__k"))
+    val nd = col("n").cast("double")
+    u.select(col("day"), abs(col("__u")).as("__au"))
+      .crossJoin(broadcast(kFrame))
+      .agg(first("n").as("n"), first("__k").as("__kk"),
+        min(when(col("__au") === col("__k"), col("day")))
+          .as("change_day"))
+      .select(col("n"), round(col("__kk"), 6).as("k_stat"),
+        // timestamp, not date: pandas reads parquet DATE as python
+        // date objects while the oracle yields datetime64 (the
+        // rollingCorrelation precedent)
+        col("change_day").cast("timestamp").as("change_day"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * col("__kk") *
+          col("__kk") / (nd * nd * nd + nd * nd))), 6).as("p_value"))
+  }
+
+  /** DuckDB twin of [[pettitt]]. */
+  def pettittOracleSql(tsExpr: String, valueExpr: String,
+                       table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        byv AS (SELECT total, COUNT(*) AS c FROM d GROUP BY total),
+        rk AS (SELECT total,
+            CAST(SUM(c) OVER (ORDER BY total) - c AS DOUBLE)
+              + (CAST(c AS DOUBLE) + 1) / 2 AS r FROM byv),
+        nn AS (SELECT COUNT(*) AS n FROM d),
+        u AS (SELECT d.day,
+            SUM(2.0 * rk.r - (nn.n + 1)) OVER (ORDER BY d.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u,
+            ROW_NUMBER() OVER (ORDER BY d.day) AS t, nn.n
+          FROM d JOIN rk USING (total) CROSS JOIN nn),
+        f AS (SELECT * FROM u WHERE t < n),
+        k AS (SELECT ANY_VALUE(n) AS n, MAX(ABS(u)) AS k FROM f)
+        SELECT CAST(k.n AS BIGINT) AS n, ROUND(k.k, 6) AS k_stat,
+          CAST((SELECT MIN(day) FROM f WHERE ABS(f.u) = k.k)
+            AS TIMESTAMP) AS change_day,
+          ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * k.k * k.k
+            / (CAST(k.n AS DOUBLE) * k.n * k.n
+              + CAST(k.n AS DOUBLE) * k.n))), 6) AS p_value
+        FROM k"""
+
+  /** Lag-1 Granger causality on two daily series from the same event
+    * stream: does yesterday's x (daily event COUNT) improve today's y
+    * (daily total) beyond yesterday's y? Closed-form F of the
+    * restricted (y ~ y₁) vs unrestricted (y ~ y₁ + x₁) OLS, all from
+    * nine centered moments in ONE aggregate over the day frame —
+    * no matrix library, no iteration.
+    * Returns one row: (n, beta_x 6dp, f_stat 6dp). */
+  def grangerLag1(events: DataFrame, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+    val w = Window.orderBy("day")
+    val rows = d.select(col("total").as("y"),
+        lag("total", 1).over(w).as("u"),
+        lag(col("n").cast("double"), 1).over(w).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val g = rows.agg(count(lit(1)).as("n"),
+      avg("y").as("__my"), avg("u").as("__mu"), avg("v").as("__mv"),
+      sum(col("y") * col("y")).as("__syy"),
+      sum(col("u") * col("u")).as("__suu"),
+      sum(col("v") * col("v")).as("__svv"),
+      sum(col("y") * col("u")).as("__syu"),
+      sum(col("y") * col("v")).as("__syv"),
+      sum(col("u") * col("v")).as("__suv"))
+    val nd = col("n").cast("double")
+    val syy = col("__syy") - nd * col("__my") * col("__my")
+    val suu = col("__suu") - nd * col("__mu") * col("__mu")
+    val svv = col("__svv") - nd * col("__mv") * col("__mv")
+    val syu = col("__syu") - nd * col("__my") * col("__mu")
+    val syv = col("__syv") - nd * col("__my") * col("__mv")
+    val suv = col("__suv") - nd * col("__mu") * col("__mv")
+    val det = suu * svv - suv * suv
+    val b1 = (syu * svv - syv * suv) / det
+    val b2 = (syv * suu - syu * suv) / det
+    val rssR = syy - syu * syu / suu
+    val rssU = syy - b1 * syu - b2 * syv
+    g.select(col("n"), round(b2, 6).as("beta_x"),
+      round(when(rssU > 0,
+        (rssR - rssU) * (nd - 3) / rssU), 6).as("f_stat"))
+  }
+
+  /** DuckDB twin of [[grangerLag1]]. */
+  def grangerLag1OracleSql(tsExpr: String, valueExpr: String,
+                           table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            COUNT(*) AS n,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        l AS (SELECT total AS y,
+            LAG(total, 1) OVER (ORDER BY day) AS u,
+            LAG(CAST(n AS DOUBLE), 1) OVER (ORDER BY day) AS v
+          FROM d),
+        rows_ AS (SELECT * FROM l WHERE u IS NOT NULL
+          AND v IS NOT NULL),
+        g AS (SELECT COUNT(*) AS n, AVG(y) AS my, AVG(u) AS mu,
+            AVG(v) AS mv,
+            SUM(y * y) AS syy0, SUM(u * u) AS suu0, SUM(v * v) AS svv0,
+            SUM(y * u) AS syu0, SUM(y * v) AS syv0, SUM(u * v) AS suv0
+          FROM rows_),
+        c AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+            syy0 - n * my * my AS syy, suu0 - n * mu * mu AS suu,
+            svv0 - n * mv * mv AS svv, syu0 - n * my * mu AS syu,
+            syv0 - n * my * mv AS syv, suv0 - n * mu * mv AS suv
+          FROM g),
+        s AS (SELECT n, nd, syy, suu, syu,
+            (syu * svv - syv * suv) / (suu * svv - suv * suv) AS b1,
+            (syv * suu - syu * suv) / (suu * svv - suv * suv) AS b2,
+            syv FROM c)
+        SELECT n, ROUND(b2, 6) AS beta_x,
+          ROUND(CASE WHEN syy - b1 * syu - b2 * syv > 0 THEN
+            ((syy - syu * syu / suu) - (syy - b1 * syu - b2 * syv))
+              * (nd - 3) / (syy - b1 * syu - b2 * syv) END, 6)
+            AS f_stat
+        FROM s"""
+
+  /** Permutation entropy (Bandt–Pompe, order m = 3) of the daily
+    * total: entropy of the ordinal-pattern distribution over sliding
+    * (x_t, x_{t+1}, x_{t+2}) windows, normalized by ln(3!) — 1.0 is
+    * white noise, 0.0 a monotone ramp; the model-free complexity
+    * number that needs no stationarity or moments at all. Ties break
+    * positionally (earlier index ranks first — the standard stable
+    * argsort convention), encoded as three strict-inequality bits.
+    * One window pass + one 6-row groupBy.
+    * Returns one row: (n_windows, n_patterns, pe 6dp). */
+  def permutationEntropy(events: DataFrame, tsCol: String,
+                         valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+    val w = Window.orderBy("day")
+    val pats = d.select(col("total").as("x0"),
+        lead("total", 1).over(w).as("x1"),
+        lead("total", 2).over(w).as("x2"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull)
+      .select(concat(
+        (col("x1") > col("x0")).cast("int").cast("string"),
+        (col("x2") > col("x0")).cast("int").cast("string"),
+        (col("x2") > col("x1")).cast("int").cast("string"))
+        .as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("__c"))
+    val tot = pats.agg(sum("__c").as("__nw"))
+    val p = col("__c").cast("double") / col("__nw")
+    pats.crossJoin(broadcast(tot))
+      .agg(first("__nw").as("n_windows"),
+        count(lit(1)).as("n_patterns"),
+        round(-sum(p * log(p)) / log(lit(6.0)), 6).as("pe"))
+  }
+
+  /** DuckDB twin of [[permutationEntropy]]. */
+  def permutationEntropyOracleSql(tsExpr: String, valueExpr: String,
+                                  table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        l AS (SELECT total AS x0,
+            LEAD(total, 1) OVER (ORDER BY day) AS x1,
+            LEAD(total, 2) OVER (ORDER BY day) AS x2
+          FROM d),
+        pt AS (SELECT
+            CAST(CASE WHEN x1 > x0 THEN 1 ELSE 0 END AS VARCHAR)
+            || CAST(CASE WHEN x2 > x0 THEN 1 ELSE 0 END AS VARCHAR)
+            || CAST(CASE WHEN x2 > x1 THEN 1 ELSE 0 END AS VARCHAR)
+              AS pattern
+          FROM l WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+        c AS (SELECT pattern, COUNT(*) AS c FROM pt GROUP BY pattern),
+        t AS (SELECT SUM(c) AS nw FROM c)
+        SELECT CAST(t.nw AS BIGINT) AS n_windows,
+          COUNT(*) AS n_patterns,
+          ROUND(-SUM((CAST(c AS DOUBLE) / nw)
+            * LN(CAST(c AS DOUBLE) / nw)) / LN(6.0), 6) AS pe
+        FROM c CROSS JOIN t GROUP BY t.nw"""
+
+  /** Dickey–Fuller unit-root test (constant, no lag augmentation) on
+    * the daily total: Δy_t = a + γ·y_{t−1}, t(γ̂) — γ near 0 means a
+    * random walk (differencing needed before any stationary model),
+    * strongly negative means mean-reversion. Closed-form simple-OLS
+    * t from five moments in one aggregate over the day frame.
+    * Returns one row: (n, gamma 6dp, t_stat 6dp). */
+  def dickeyFuller(events: DataFrame, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+    val w = Window.orderBy("day")
+    val rows = d.select(col("total").as("y"),
+        lag("total", 1).over(w).as("y1"))
+      .filter(col("y1").isNotNull)
+      .select((col("y") - col("y1")).as("dy"), col("y1"))
+    val g = rows.agg(count(lit(1)).as("n"),
+      avg("dy").as("__md"), avg("y1").as("__m1"),
+      sum(col("dy") * col("dy")).as("__sdd"),
+      sum(col("y1") * col("y1")).as("__s11"),
+      sum(col("dy") * col("y1")).as("__sd1"))
+    val nd = col("n").cast("double")
+    val sxx = col("__s11") - nd * col("__m1") * col("__m1")
+    val sxy = col("__sd1") - nd * col("__md") * col("__m1")
+    val syy = col("__sdd") - nd * col("__md") * col("__md")
+    val gam = sxy / sxx
+    val rss = syy - gam * sxy
+    g.select(col("n"), round(gam, 6).as("gamma"),
+      round(when(rss > 0,
+        gam / sqrt((rss / (nd - 2)) / sxx)), 6).as("t_stat"))
+  }
+
+  /** DuckDB twin of [[dickeyFuller]]. */
+  def dickeyFullerOracleSql(tsExpr: String, valueExpr: String,
+                            table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        l AS (SELECT total AS y,
+            LAG(total, 1) OVER (ORDER BY day) AS y1 FROM d),
+        rows_ AS (SELECT y - y1 AS dy, y1 FROM l
+          WHERE y1 IS NOT NULL),
+        g AS (SELECT COUNT(*) AS n, AVG(dy) AS md, AVG(y1) AS m1,
+            SUM(dy * dy) AS sdd, SUM(y1 * y1) AS s11,
+            SUM(dy * y1) AS sd1 FROM rows_),
+        c AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+            s11 - n * m1 * m1 AS sxx, sd1 - n * md * m1 AS sxy,
+            sdd - n * md * md AS syy FROM g)
+        SELECT n, ROUND(sxy / sxx, 6) AS gamma,
+          ROUND(CASE WHEN syy - (sxy / sxx) * sxy > 0 THEN
+            (sxy / sxx) / SQRT(((syy - (sxy / sxx) * sxy) / (nd - 2))
+              / sxx) END, 6) AS t_stat
+        FROM c"""
+
+  /** Engle–Granger cointegration test between the daily COUNT (x) and
+    * daily TOTAL (y) of the same stream: step 1 OLS y ~ a + b·x, step
+    * 2 no-constant Dickey–Fuller on the residuals (Δe_t = γ·e_{t−1}).
+    * A strongly negative t means the two series share a long-run
+    * equilibrium (the residual mean-reverts) — the pairs-trading /
+    * shared-trend detector. Two aggregates over the day frame: one
+    * for the OLS moments (whose slope becomes plan literals via a
+    * broadcast scalar frame, NOT a collect), one for the residual DF.
+    * Returns one row: (n, beta 6dp, gamma 6dp, t_stat 6dp). */
+  def engleGranger(events: DataFrame, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"), col("n").cast("double").as("x"),
+        col("total").as("y"))
+    val ols = d.agg(count(lit(1)).as("__n"),
+      avg("x").as("__mx"), avg("y").as("__my"),
+      sum(col("x") * col("x")).as("__sxx0"),
+      sum(col("x") * col("y")).as("__sxy0"))
+      .select(col("__n"),
+        ((col("__sxy0") - col("__n") * col("__mx") * col("__my")) /
+          (col("__sxx0") - col("__n") * col("__mx") * col("__mx")))
+          .as("__b"),
+        col("__mx"), col("__my"))
+    val w = Window.orderBy("day")
+    val resid = d.crossJoin(broadcast(ols))
+      .select(col("day"), col("__n"), col("__b"),
+        (col("y") - (col("__my") - col("__b") * col("__mx")) -
+          col("__b") * col("x")).as("e"))
+    val rows = resid
+      .withColumn("e1", lag("e", 1).over(w))
+      .filter(col("e1").isNotNull)
+      .select(col("__n"), col("__b"), (col("e") - col("e1")).as("de"),
+        col("e1"))
+    val g = rows.agg(first("__n").as("n"), first("__b").as("__bb"),
+      count(lit(1)).as("__m"),
+      sum(col("de") * col("e1")).as("__sd1"),
+      sum(col("e1") * col("e1")).as("__s11"),
+      sum(col("de") * col("de")).as("__sdd"))
+    val md = col("__m").cast("double")
+    val gam = col("__sd1") / col("__s11")
+    val rss = col("__sdd") - gam * col("__sd1")
+    g.select(col("n"), round(col("__bb"), 6).as("beta"),
+      round(gam, 6).as("gamma"),
+      round(when(rss > 0,
+        gam / sqrt((rss / (md - 1)) / col("__s11"))), 6).as("t_stat"))
+  }
+
+  /** DuckDB twin of [[engleGranger]]. */
+  def engleGrangerOracleSql(tsExpr: String, valueExpr: String,
+                            table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(COUNT(*) AS DOUBLE) AS x,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS y
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        ols AS (SELECT COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+            (SUM(x * y) - COUNT(*) * AVG(x) * AVG(y))
+              / (SUM(x * x) - COUNT(*) * AVG(x) * AVG(x)) AS b
+          FROM d),
+        r AS (SELECT d.day,
+            d.y - (ols.my - ols.b * ols.mx) - ols.b * d.x AS e,
+            ols.n, ols.b
+          FROM d CROSS JOIN ols),
+        l AS (SELECT n, b, e,
+            LAG(e, 1) OVER (ORDER BY day) AS e1 FROM r),
+        rows_ AS (SELECT n, b, e - e1 AS de, e1 FROM l
+          WHERE e1 IS NOT NULL),
+        g AS (SELECT ANY_VALUE(n) AS n, ANY_VALUE(b) AS b,
+            COUNT(*) AS m, SUM(de * e1) AS sd1, SUM(e1 * e1) AS s11,
+            SUM(de * de) AS sdd FROM rows_)
+        SELECT CAST(n AS BIGINT) AS n, ROUND(b, 6) AS beta,
+          ROUND(sd1 / s11, 6) AS gamma,
+          ROUND(CASE WHEN sdd - (sd1 / s11) * sd1 > 0 THEN
+            (sd1 / s11) / SQRT(((sdd - (sd1 / s11) * sd1)
+              / (CAST(m AS DOUBLE) - 1)) / s11) END, 6) AS t_stat
+        FROM g"""
 }
