@@ -2866,7 +2866,42 @@ object SparkEntry {
       // do daily volume and daily value share a long-run equilibrium?
       // residual-based cointegration test
       graft.operators.Forecast.engleGranger(t(s, dir, "events"),
-        "ts", "value"))
+        "ts", "value")),
+    "q357_shewhart" -> ((s, dir) =>
+      // I-MR control chart on the daily mean with Western Electric
+      // rule-1/rule-2 violation counts
+      graft.eda.ProcessControl.shewhartI(t(s, dir, "events"),
+        "ts", "value")),
+    "q358_capability" -> ((s, dir) =>
+      // Cp/Cpk of quantity against 0..55 spec limits per flag —
+      // exact-decimal moments, one groupBy
+      graft.eda.ProcessControl.capability(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", lsl = 0.0, usl = 55.0)),
+    "q359_grubbs" -> ((s, dir) =>
+      // single-worst-point outlier screen per priority class
+      graft.eda.ProcessControl.grubbs(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice")),
+    "q360_poisson_rate" -> ((s, dir) => {
+      // error events per active user-day, even vs odd user cohorts —
+      // exposure-adjusted rate test, conditional-binomial z
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val perUser = ev.groupBy("user_id").agg(
+          sum((col("event_type") === "error").cast("long")).as("ev"),
+          countDistinct(to_date(col("ts"))).as("expo"))
+        .select((col("user_id") % 2 === 0).as("arm"), col("ev"),
+          col("expo"))
+      graft.eda.StatTests.poissonRateTest(perUser, "arm", "ev", "expo")
+    }),
+    "q361_tukey_hsd" -> ((s, dir) =>
+      // post-ANOVA pairwise studentized mean gaps (Tukey-Kramer)
+      graft.eda.StatTests.tukeyHsd(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity")),
+    "q362_fleiss_kappa" -> ((s, dir) =>
+      // multi-rater agreement: 4-line orders as items, the 4 lines'
+      // return flags as the rater panel
+      graft.eda.StatTests.fleissKappa(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("item"),
+          col("l_returnflag").as("cat")), "item", "cat", nRaters = 4))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6634,6 +6669,23 @@ object SparkEntry {
     "q356_engle_granger" ->
       graft.operators.Forecast.engleGrangerOracleSql(
         "ts", "value", "events"),
+    "q357_shewhart" -> graft.eda.ProcessControl.shewhartIOracleSql(
+      "ts", "value", "events"),
+    "q358_capability" -> graft.eda.ProcessControl.capabilityOracleSql(
+      "SELECT l_returnflag AS grp, l_quantity AS v FROM lineitem",
+      lsl = 0.0, usl = 55.0),
+    "q359_grubbs" -> graft.eda.ProcessControl.grubbsOracleSql(
+      "SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders"),
+    "q360_poisson_rate" -> graft.eda.StatTests.poissonRateTestOracleSql(
+      """SELECT (user_id % 2 = 0) AS arm,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ev,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS expo
+         FROM events GROUP BY user_id"""),
+    "q361_tukey_hsd" -> graft.eda.StatTests.tukeyHsdOracleSql(
+      "SELECT l_returnflag AS grp, l_quantity AS v FROM lineitem"),
+    "q362_fleiss_kappa" -> graft.eda.StatTests.fleissKappaOracleSql(
+      "SELECT l_orderkey AS item, l_returnflag AS cat FROM lineitem",
+      nRaters = 4),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

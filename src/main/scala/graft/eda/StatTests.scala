@@ -509,4 +509,184 @@ object StatTests {
               (l / nn) * (nn * mab - nb * ba) * (nn * mab - nb * ba)
                 / (ba * (nn - ba) - nn * l / 4.0) END) / nb), 6) AS ad
         FROM terms GROUP BY na, nb, nn"""
+
+  /** Tukey HSD studentized statistics for every group pair after a
+    * one-way layout: q = |μᵢ−μⱼ| / sqrt(MSW/2 · (1/nᵢ + 1/nⱼ))
+    * (Tukey–Kramer form for unequal n). Per-group moments are exact
+    * decimal power sums (one map-combinable groupBy); the pair frame
+    * is the k×k metadata self-join. The statistic is reported, not a
+    * p-value (the studentized-range quantile needs a table — callers
+    * compare against their α's critical value).
+    * Returns (g1, g2, mean_diff 6dp, q_stat 6dp), g1 < g2. */
+  def tukeyHsd(df: DataFrame, groupCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = col(valueCol).cast(DecimalType(18, 2))
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"))
+      .filter(col("n") > 1)
+    val nd = col("n").cast("double")
+    val withMu = g.select(col("g"), col("n"), (col("s1") / nd).as("mu"),
+      (col("s2") - nd * (col("s1") / nd) * (col("s1") / nd)).as("ss"))
+    val msw = withMu.agg((sum("ss") /
+        (sum("n") - count(lit(1))).cast("double")).as("__msw"))
+    val a = withMu.select(col("g").as("g1"), col("n").as("n1"),
+      col("mu").as("m1"))
+    val b = withMu.select(col("g").as("g2"), col("n").as("n2"),
+      col("mu").as("m2"))
+    a.join(b, col("g1") < col("g2"))
+      .crossJoin(broadcast(msw))
+      .select(col("g1"), col("g2"),
+        round(col("m1") - col("m2"), 6).as("mean_diff"),
+        round(abs(col("m1") - col("m2")) /
+          sqrt(col("__msw") / 2 * (lit(1.0) / col("n1").cast("double") +
+            lit(1.0) / col("n2").cast("double"))), 6).as("q_stat"))
+      .orderBy("g1", "g2")
+  }
+
+  /** DuckDB twin of [[tukeyHsd]]; `srcCte` must yield (grp, v). */
+  def tukeyHsdOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        g AS (SELECT CAST(grp AS VARCHAR) AS g, COUNT(*) AS n,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))
+              * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM src WHERE v IS NOT NULL GROUP BY grp
+          HAVING COUNT(*) > 1),
+        mo AS (SELECT g, n, s1 / CAST(n AS DOUBLE) AS mu,
+            s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE)) AS ss
+          FROM g),
+        msw AS (SELECT SUM(ss) / CAST(SUM(n) - COUNT(*) AS DOUBLE)
+            AS msw FROM mo)
+        SELECT a.g AS g1, b.g AS g2,
+          ROUND(a.mu - b.mu, 6) AS mean_diff,
+          ROUND(ABS(a.mu - b.mu) / SQRT(msw.msw / 2
+            * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))),
+            6) AS q_stat
+        FROM mo a JOIN mo b ON a.g < b.g CROSS JOIN msw
+        ORDER BY g1, g2"""
+
+  /** Two-sample Poisson rate test with exposure: X events in T units
+    * of exposure per arm; conditional on X = X₁+X₂, X₁ ~
+    * Binomial(X, T₁/(T₁+T₂)), so z = (X₁ − X·π)/sqrt(X·π(1−π)) — the
+    * exact-conditioning form (more faithful than a Wald z on the
+    * rates when either count is small). Everything is an integer
+    * count: ONE aggregate, fully deterministic.
+    * Returns (x1, t1, x2, t2, rate1 6dp, rate2 6dp, rate_ratio 6dp,
+    * z_stat 6dp). */
+  def poissonRateTest(df: DataFrame, armCol: String, eventCol: String,
+                      exposureCol: String): DataFrame = {
+    val g = df.agg(
+      sum(when(col(armCol), col(eventCol).cast("long"))).as("x1"),
+      sum(when(col(armCol), col(exposureCol).cast("long"))).as("t1"),
+      sum(when(!col(armCol), col(eventCol).cast("long"))).as("x2"),
+      sum(when(!col(armCol), col(exposureCol).cast("long"))).as("t2"))
+    val pi = col("t1").cast("double") /
+      (col("t1") + col("t2")).cast("double")
+    val x = (col("x1") + col("x2")).cast("double")
+    val r1 = col("x1").cast("double") / col("t1").cast("double")
+    val r2 = col("x2").cast("double") / col("t2").cast("double")
+    g.select(col("x1"), col("t1"), col("x2"), col("t2"),
+      round(r1, 6).as("rate1"), round(r2, 6).as("rate2"),
+      round(when(r2 > 0, r1 / r2), 6).as("rate_ratio"),
+      round(when(x > 0,
+        (col("x1").cast("double") - x * pi) /
+          sqrt(x * pi * (lit(1.0) - pi))), 6).as("z_stat"))
+  }
+
+  /** DuckDB twin of [[poissonRateTest]]; `srcCte` must yield
+    * (arm BOOLEAN, ev, expo). */
+  def poissonRateTestOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        g AS (SELECT
+            SUM(CASE WHEN arm THEN CAST(ev AS BIGINT) END) AS x1,
+            SUM(CASE WHEN arm THEN CAST(expo AS BIGINT) END) AS t1,
+            SUM(CASE WHEN NOT arm THEN CAST(ev AS BIGINT) END) AS x2,
+            SUM(CASE WHEN NOT arm THEN CAST(expo AS BIGINT) END) AS t2
+          FROM src),
+        c AS (SELECT CAST(x1 AS BIGINT) AS x1, CAST(t1 AS BIGINT) AS t1,
+            CAST(x2 AS BIGINT) AS x2, CAST(t2 AS BIGINT) AS t2,
+            CAST(t1 AS DOUBLE) / (CAST(t1 AS DOUBLE)
+              + CAST(t2 AS DOUBLE)) AS pi,
+            CAST(x1 + x2 AS DOUBLE) AS x,
+            CAST(x1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS r1,
+            CAST(x2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS r2
+          FROM g)
+        SELECT x1, t1, x2, t2, ROUND(r1, 6) AS rate1,
+          ROUND(r2, 6) AS rate2,
+          ROUND(CASE WHEN r2 > 0 THEN r1 / r2 END, 6) AS rate_ratio,
+          ROUND(CASE WHEN x > 0 THEN
+            (CAST(x1 AS DOUBLE) - x * pi) / SQRT(x * pi * (1.0 - pi))
+            END, 6) AS z_stat
+        FROM c"""
+
+  /** Fleiss' kappa for nRaters ratings per item (chance-corrected
+    * multi-rater categorical agreement — the k-rater generalization
+    * of Cohen's kappa). Items without exactly nRaters ratings are
+    * dropped (Fleiss requires a balanced panel). Every sufficient
+    * statistic is an INTEGER sum (Σᵢⱼ nᵢⱼ², Σᵢ nᵢⱼ), so
+    * P̄ = (Σnᵢⱼ² − Nr)/(Nr(r−1)) and P̄ₑ = Σⱼ pⱼ² are exact
+    * rational arithmetic — no float accumulation at all. Two
+    * map-combinable groupBys. Returns one row:
+    * (n_items, n_raters, p_bar 6dp, p_e 6dp, kappa 6dp). */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  nRaters: Int): DataFrame = {
+    val cells = df.groupBy(col(itemCol).as("__i"),
+        col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__nij"))
+    val items = cells.groupBy("__i")
+      .agg(sum("__nij").as("__r"), sum(col("__nij") * col("__nij"))
+        .as("__sq"))
+      .filter(col("__r") === nRaters)
+    val keep = items.select(col("__i"))
+    val catTotals = cells.join(keep, Seq("__i"))
+      .groupBy("__c").agg(sum("__nij").as("__cj"))
+    val nFrame = items.agg(count(lit(1)).as("n_items"),
+      sum("__sq").as("__sqsum"))
+    val pe = catTotals.crossJoin(broadcast(nFrame))
+      .agg(first("n_items").as("n_items"), first("__sqsum").as("__sqs"),
+        sum((col("__cj").cast("double") /
+          (col("n_items") * nRaters).cast("double")) *
+          (col("__cj").cast("double") /
+            (col("n_items") * nRaters).cast("double"))).as("__pe"))
+    val nd = col("n_items").cast("double")
+    val pbar = (col("__sqs").cast("double") - nd * nRaters) /
+      (nd * nRaters * (nRaters - 1))
+    pe.select(col("n_items"), lit(nRaters).as("n_raters"),
+      round(pbar, 6).as("p_bar"), round(col("__pe"), 6).as("p_e"),
+      round((pbar - col("__pe")) / (lit(1.0) - col("__pe")), 6)
+        .as("kappa"))
+  }
+
+  /** DuckDB twin of [[fleissKappa]]; `srcCte` must yield (item, cat).
+    */
+  def fleissKappaOracleSql(srcCte: String, nRaters: Int): String =
+    s"""WITH src AS ($srcCte),
+        cells AS (SELECT item, cat, COUNT(*) AS nij
+          FROM src GROUP BY item, cat),
+        items AS (SELECT item, SUM(nij) AS r, SUM(nij * nij) AS sq
+          FROM cells GROUP BY item HAVING SUM(nij) = $nRaters),
+        ct AS (SELECT c.cat, SUM(c.nij) AS cj
+          FROM cells c JOIN items USING (item) GROUP BY c.cat),
+        nf AS (SELECT COUNT(*) AS n_items, SUM(sq) AS sqsum
+          FROM items),
+        pe AS (SELECT ANY_VALUE(n_items) AS n_items,
+            ANY_VALUE(sqsum) AS sqs,
+            SUM((CAST(cj AS DOUBLE) / (n_items * $nRaters))
+              * (CAST(cj AS DOUBLE) / (n_items * $nRaters))) AS pev
+          FROM ct CROSS JOIN nf)
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+          $nRaters AS n_raters,
+          ROUND((CAST(sqs AS DOUBLE) - CAST(n_items AS DOUBLE)
+            * $nRaters) / (CAST(n_items AS DOUBLE) * $nRaters
+            * ($nRaters - 1)), 6) AS p_bar,
+          ROUND(pev, 6) AS p_e,
+          ROUND(((CAST(sqs AS DOUBLE) - CAST(n_items AS DOUBLE)
+            * $nRaters) / (CAST(n_items AS DOUBLE) * $nRaters
+            * ($nRaters - 1)) - pev) / (1.0 - pev), 6) AS kappa
+        FROM pe"""
 }
