@@ -2901,7 +2901,28 @@ object SparkEntry {
       // return flags as the rater panel
       graft.eda.StatTests.fleissKappa(
         t(s, dir, "lineitem").select(col("l_orderkey").as("item"),
-          col("l_returnflag").as("cat")), "item", "cat", nRaters = 4))
+          col("l_returnflag").as("cat")), "item", "cat", nRaters = 4)),
+    "q363_leverage_cooks" -> ((s, dir) =>
+      // which 20 rows most bend the price~quantity line? influence
+      // from five broadcast scalars, never a hat matrix
+      graft.ml.RegressionDiagnostics.leverageCooks(
+        t(s, dir, "lineitem").withColumn("id",
+          col("l_orderkey") * 8 + col("l_linenumber")),
+        "id", "l_quantity", "l_extendedprice")),
+    "q364_breusch_pagan" -> ((s, dir) =>
+      // does residual spread grow with quantity? heteroscedasticity LM
+      graft.ml.RegressionDiagnostics.breuschPagan(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")),
+    "q365_pca_2d" -> ((s, dir) =>
+      // closed-form 2x2 eigensystem: how 1-dimensional is the
+      // (quantity, price) cloud, and along which slope?
+      graft.ml.RegressionDiagnostics.pca2d(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")),
+    "q366_aic_quadratic" -> ((s, dir) =>
+      // does a quadratic term earn its parameter? AIC on exact
+      // lattice power sums
+      graft.ml.RegressionDiagnostics.aicQuadratic(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6686,6 +6707,18 @@ object SparkEntry {
     "q362_fleiss_kappa" -> graft.eda.StatTests.fleissKappaOracleSql(
       "SELECT l_orderkey AS item, l_returnflag AS cat FROM lineitem",
       nRaters = 4),
+    "q363_leverage_cooks" ->
+      graft.ml.RegressionDiagnostics.leverageCooksOracleSql(
+        """SELECT l_orderkey * 8 + l_linenumber AS id,
+             l_quantity AS x, l_extendedprice AS y FROM lineitem"""),
+    "q364_breusch_pagan" ->
+      graft.ml.RegressionDiagnostics.breuschPaganOracleSql(
+        "SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem"),
+    "q365_pca_2d" -> graft.ml.RegressionDiagnostics.pca2dOracleSql(
+      "SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem"),
+    "q366_aic_quadratic" ->
+      graft.ml.RegressionDiagnostics.aicQuadraticOracleSql(
+        "SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

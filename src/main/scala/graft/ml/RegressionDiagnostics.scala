@@ -1,0 +1,296 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Post-fit regression diagnostics — the "should I trust this line"
+  * layer over the closed-form OLS family (q176 group regression, q295
+  * Chow): influence, heteroscedasticity, dimensionality, and model-
+  * order read-outs, each a one-or-two-aggregate plan with the fitted
+  * coefficients carried as BROADCAST scalars (never a collect of data
+  * rows). Moment sums accumulate as exact decimals wherever the input
+  * magnitude allows, so the diagnostics are partitioning-independent.
+  */
+object RegressionDiagnostics {
+
+  private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Leverage + Cook's distance for simple OLS y ~ x, top-k most
+    * influential rows: hᵢ = 1/n + (xᵢ−x̄)²/Sxx,
+    * Dᵢ = eᵢ²·hᵢ / (p·s²·(1−hᵢ)²) with p = 2. One exact-decimal
+    * moment aggregate broadcast into a codegen projection, then a
+    * distributed top-k (TakeOrderedAndProject, id tiebreak) — the
+    * point being that influence needs no n×n hat matrix, just the
+    * five scalars. Returns (id, leverage 6dp, cooks_d 6dp). */
+  def leverageCooks(df: DataFrame, idCol: String, xCol: String,
+                    yCol: String, k: Int = 20): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val m = base.agg(count(lit(1)).as("__n"),
+      sum(d2(col("__x"))).cast("double").as("__sx"),
+      sum(d2(col("__y"))).cast("double").as("__sy"),
+      sum(d2(col("__x")) * d2(col("__x"))).cast("double").as("__sxx"),
+      sum(d2(col("__x")) * d2(col("__y"))).cast("double").as("__sxy"),
+      sum(d2(col("__y")) * d2(col("__y"))).cast("double").as("__syy"))
+    val nd = col("__n").cast("double")
+    val mx = col("__sx") / nd
+    val my = col("__sy") / nd
+    val sxx = col("__sxx") - nd * mx * mx
+    val sxy = col("__sxy") - nd * mx * my
+    val syy = col("__syy") - nd * my * my
+    val b = sxy / sxx
+    val rss = syy - b * sxy
+    val s2 = rss / (nd - 2)
+    val e = col("__y") - (my - b * mx) - b * col("__x")
+    val h = lit(1.0) / nd +
+      (col("__x") - mx) * (col("__x") - mx) / sxx
+    base.crossJoin(broadcast(m))
+      .select(col("__id"), round(h, 6).as("leverage"),
+        round(e * e * h / (lit(2.0) * s2 * (lit(1.0) - h) *
+          (lit(1.0) - h)), 6).as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("__id")).limit(k)
+      .select(col("__id").as(idCol), col("leverage"), col("cooks_d"))
+  }
+
+  /** DuckDB twin of [[leverageCooks]]; `srcCte` yields (id, x, y). */
+  def leverageCooksOracleSql(srcCte: String, k: Int = 20): String =
+    s"""WITH src AS (SELECT * FROM ($srcCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+        m AS (SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x AS DECIMAL(18,2))
+              * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x AS DECIMAL(18,2))
+              * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(y AS DECIMAL(18,2))
+              * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy
+          FROM src),
+        c AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx / n AS mx,
+            sy / n AS my,
+            sxx - n * (sx / n) * (sx / n) AS cxx,
+            sxy - n * (sx / n) * (sy / n) AS cxy,
+            syy - n * (sy / n) * (sy / n) AS cyy FROM m),
+        c2 AS (SELECT *, cxy / cxx AS b,
+            (cyy - (cxy / cxx) * cxy) / (nd - 2) AS s2 FROM c),
+        r AS (SELECT src.id,
+            ROUND(1.0 / nd + (CAST(src.x AS DOUBLE) - mx)
+              * (CAST(src.x AS DOUBLE) - mx) / cxx, 6) AS leverage,
+            ROUND((CAST(src.y AS DOUBLE) - (my - b * mx)
+                - b * CAST(src.x AS DOUBLE))
+              * (CAST(src.y AS DOUBLE) - (my - b * mx)
+                - b * CAST(src.x AS DOUBLE))
+              * (1.0 / nd + (CAST(src.x AS DOUBLE) - mx)
+                * (CAST(src.x AS DOUBLE) - mx) / cxx)
+              / (2.0 * s2
+                * (1.0 - (1.0 / nd + (CAST(src.x AS DOUBLE) - mx)
+                  * (CAST(src.x AS DOUBLE) - mx) / cxx))
+                * (1.0 - (1.0 / nd + (CAST(src.x AS DOUBLE) - mx)
+                  * (CAST(src.x AS DOUBLE) - mx) / cxx))), 6)
+              AS cooks_d
+          FROM src CROSS JOIN c2)
+        SELECT id, leverage, cooks_d FROM r
+        ORDER BY cooks_d DESC, id LIMIT $k"""
+
+  /** Breusch–Pagan heteroscedasticity LM test on simple OLS y ~ x:
+    * regress the squared residuals on x, LM = n·R². The OLS line
+    * comes from the exact-decimal moment aggregate; residual squares
+    * are quantized at 2dp (documented estimator variant) and their
+    * correlation with x uses the mergeable Welford `corr` kernel both
+    * engines share. Returns one row: (n, r2_aux 6dp, lm 6dp). */
+  def breuschPagan(df: DataFrame, xCol: String,
+                   yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val m = base.agg(count(lit(1)).as("__n"),
+      sum(d2(col("__x"))).cast("double").as("__sx"),
+      sum(d2(col("__y"))).cast("double").as("__sy"),
+      sum(d2(col("__x")) * d2(col("__x"))).cast("double").as("__sxx"),
+      sum(d2(col("__x")) * d2(col("__y"))).cast("double").as("__sxy"))
+    val nd = col("__n").cast("double")
+    val mx = col("__sx") / nd
+    val my = col("__sy") / nd
+    val b = (col("__sxy") - nd * mx * my) /
+      (col("__sxx") - nd * mx * mx)
+    val e = col("__y") - (my - b * mx) - b * col("__x")
+    base.crossJoin(broadcast(m))
+      .select(col("__x"), round(e * e, 2).as("__u"), col("__n"))
+      .agg(first("__n").as("n"),
+        (corr(col("__u"), col("__x")) * corr(col("__u"), col("__x")))
+          .as("__r2"))
+      .select(col("n"), round(col("__r2"), 6).as("r2_aux"),
+        round(col("n").cast("double") * col("__r2"), 6).as("lm"))
+  }
+
+  /** DuckDB twin of [[breuschPagan]]; `srcCte` must yield (x, y). */
+  def breuschPaganOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT * FROM ($srcCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+        m AS (SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x AS DECIMAL(18,2))
+              * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x AS DECIMAL(18,2))
+              * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM src),
+        c AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx / n AS mx,
+            sy / n AS my,
+            (sxy - n * (sx / n) * (sy / n))
+              / (sxx - n * (sx / n) * (sx / n)) AS b FROM m),
+        u AS (SELECT CAST(src.x AS DOUBLE) AS x,
+            ROUND((CAST(src.y AS DOUBLE) - (my - b * mx)
+              - b * CAST(src.x AS DOUBLE))
+              * (CAST(src.y AS DOUBLE) - (my - b * mx)
+                - b * CAST(src.x AS DOUBLE)), 2) AS uu, c.n
+          FROM src CROSS JOIN c)
+        SELECT ANY_VALUE(n) AS n,
+          ROUND(corr(uu, x) * corr(uu, x), 6) AS r2_aux,
+          ROUND(CAST(ANY_VALUE(n) AS DOUBLE)
+            * (corr(uu, x) * corr(uu, x)), 6) AS lm
+        FROM u"""
+
+  /** Exact 2-D PCA from the closed-form 2×2 covariance eigensystem:
+    * λ₁,₂ = (σx²+σy²)/2 ± sqrt(((σx²−σy²)/2)² + σxy²), explained
+    * variance ratio λ₁/(λ₁+λ₂), and the principal-axis SLOPE
+    * (λ₁−σx²)/σxy — algebraic, no trig, so no libm-divergence risk.
+    * One Welford-kernel aggregate (var_pop/covar_pop merge across
+    * partitions in both engines). Returns one row:
+    * (n, lambda1 6dp, lambda2 6dp, evr 6dp, axis_slope 6dp). */
+  def pca2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val m = base.agg(count(lit(1)).as("n"),
+      var_pop("__x").as("__vx"), var_pop("__y").as("__vy"),
+      covar_pop("__x", "__y").as("__cxy"))
+    val mid = (col("__vx") + col("__vy")) / 2
+    val rad = sqrt((col("__vx") - col("__vy")) *
+      (col("__vx") - col("__vy")) / 4 + col("__cxy") * col("__cxy"))
+    val l1 = mid + rad
+    val l2 = mid - rad
+    m.select(col("n"), round(l1, 6).as("lambda1"),
+      round(l2, 6).as("lambda2"),
+      round(l1 / (l1 + l2), 6).as("evr"),
+      round(when(abs(col("__cxy")) > 0,
+        (l1 - col("__vx")) / col("__cxy")), 6).as("axis_slope"))
+  }
+
+  /** DuckDB twin of [[pca2d]]; `srcCte` must yield (x, y). */
+  def pca2dOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT CAST(x AS DOUBLE) AS x,
+            CAST(y AS DOUBLE) AS y FROM ($srcCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+        m AS (SELECT COUNT(*) AS n, var_pop(x) AS vx, var_pop(y) AS vy,
+            covar_pop(x, y) AS cxy FROM src),
+        e AS (SELECT n, vx, vy, cxy,
+            (vx + vy) / 2 + SQRT((vx - vy) * (vx - vy) / 4 + cxy * cxy)
+              AS l1,
+            (vx + vy) / 2 - SQRT((vx - vy) * (vx - vy) / 4 + cxy * cxy)
+              AS l2 FROM m)
+        SELECT n, ROUND(l1, 6) AS lambda1, ROUND(l2, 6) AS lambda2,
+          ROUND(l1 / (l1 + l2), 6) AS evr,
+          ROUND(CASE WHEN ABS(cxy) > 0 THEN (l1 - vx) / cxy END, 6)
+            AS axis_slope
+        FROM e"""
+
+  /** Model-order check by AIC: simple y ~ x vs quadratic y ~ x + x².
+    * x must sit on an integer lattice (the Jarque–Bera constraint) so
+    * Σx³, Σx⁴ and Σx²y accumulate exactly; the two RSS values then
+    * come from the closed-form 1- and 2-regressor normal equations and
+    * AIC = n·ln(RSS/n) + 2p. ΔAIC < 0 means the quadratic term earns
+    * its parameter. One aggregate. Returns one row:
+    * (n, rss_lin 6dp, rss_quad 6dp, aic_lin 6dp, aic_quad 6dp,
+    * delta_aic 6dp). */
+  def aicQuadratic(df: DataFrame, xCol: String,
+                   yCol: String): DataFrame = {
+    val xi = round(col(xCol).cast("double"), 0).cast(DecimalType(38, 0))
+    val yd = d2(col(yCol))
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(xi.as("__x"), yd.as("__y"))
+    val g = base.agg(count(lit(1)).as("n"),
+      sum(col("__x")).cast("double").as("__su"),
+      sum(col("__x") * col("__x")).cast("double").as("__sv"),
+      sum(col("__y")).cast("double").as("__sy"),
+      sum(col("__x") * col("__x") * col("__x")).cast("double")
+        .as("__suv"),
+      sum(col("__x") * col("__x") * col("__x") * col("__x"))
+        .cast("double").as("__svv"),
+      // (18,0)×(18,2) = (37,2): exact and below both engines' 38-digit
+      // cap (a (38,·) operand would overflow DuckDB's multiply rule)
+      sum(col("__x").cast(DecimalType(18, 0)) * col("__y"))
+        .cast("double").as("__syu"),
+      sum((col("__x") * col("__x")).cast(DecimalType(18, 0)) *
+        col("__y")).cast("double").as("__syv"),
+      sum(col("__y") * col("__y")).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val mu = col("__su") / nd
+    val mv = col("__sv") / nd
+    val my = col("__sy") / nd
+    val suu = col("__sv") - nd * mu * mu
+    val svv = col("__svv") - nd * mv * mv
+    val suv = col("__suv") - nd * mu * mv
+    val syu = col("__syu") - nd * my * mu
+    val syv = col("__syv") - nd * my * mv
+    val syy = col("__syy") - nd * my * my
+    val det = suu * svv - suv * suv
+    val b1 = (syu * svv - syv * suv) / det
+    val b2 = (syv * suu - syu * suv) / det
+    val rss1 = syy - syu * syu / suu
+    val rss2 = syy - b1 * syu - b2 * syv
+    val aic1 = nd * log(rss1 / nd) + lit(4.0)
+    val aic2 = nd * log(rss2 / nd) + lit(6.0)
+    g.select(col("n"), round(rss1, 6).as("rss_lin"),
+      round(rss2, 6).as("rss_quad"), round(aic1, 6).as("aic_lin"),
+      round(aic2, 6).as("aic_quad"),
+      round(aic2 - aic1, 6).as("delta_aic"))
+  }
+
+  /** DuckDB twin of [[aicQuadratic]]; `srcCte` must yield (x, y). */
+  def aicQuadraticOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT
+            CAST(ROUND(CAST(x AS DOUBLE), 0) AS HUGEINT) AS x,
+            CAST(y AS DECIMAL(18,2)) AS y FROM ($srcCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+        g AS (SELECT COUNT(*) AS n,
+            CAST(SUM(x) AS DOUBLE) AS su,
+            CAST(SUM(x * x) AS DOUBLE) AS sv,
+            CAST(SUM(y) AS DOUBLE) AS sy,
+            CAST(SUM(x * x * x) AS DOUBLE) AS suv,
+            CAST(SUM(x * x * x * x) AS DOUBLE) AS svv,
+            CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS syu,
+            CAST(SUM(CAST(x * x AS DECIMAL(18,0)) * y) AS DOUBLE)
+              AS syv,
+            CAST(SUM(y * y) AS DOUBLE) AS syy0
+          FROM src),
+        c AS (SELECT n, CAST(n AS DOUBLE) AS nd, su / CAST(n AS DOUBLE)
+              AS mu, sv / CAST(n AS DOUBLE) AS mv,
+            sy / CAST(n AS DOUBLE) AS my,
+            sv, svv, suv, syu, syv, syy0 FROM g),
+        c2 AS (SELECT n, nd,
+            sv - nd * mu * mu AS suu, svv - nd * mv * mv AS svvc,
+            suv - nd * mu * mv AS suvc, syu - nd * my * mu AS syuc,
+            syv - nd * my * mv AS syvc, syy0 - nd * my * my AS syyc
+          FROM c),
+        s AS (SELECT n, nd, syyc, suu, syuc,
+            (syuc * svvc - syvc * suvc) / (suu * svvc - suvc * suvc)
+              AS b1,
+            (syvc * suu - syuc * suvc) / (suu * svvc - suvc * suvc)
+              AS b2,
+            syvc FROM c2)
+        SELECT n,
+          ROUND(syyc - syuc * syuc / suu, 6) AS rss_lin,
+          ROUND(syyc - b1 * syuc - b2 * syvc, 6) AS rss_quad,
+          ROUND(nd * LN((syyc - syuc * syuc / suu) / nd) + 4.0, 6)
+            AS aic_lin,
+          ROUND(nd * LN((syyc - b1 * syuc - b2 * syvc) / nd) + 6.0, 6)
+            AS aic_quad,
+          ROUND((nd * LN((syyc - b1 * syuc - b2 * syvc) / nd) + 6.0)
+            - (nd * LN((syyc - syuc * syuc / suu) / nd) + 4.0), 6)
+            AS delta_aic
+        FROM s"""
+}
