@@ -2922,7 +2922,37 @@ object SparkEntry {
       // does a quadratic term earn its parameter? AIC on exact
       // lattice power sums
       graft.ml.RegressionDiagnostics.aicQuadratic(
-        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice"))
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")),
+    "q367_anisotropy" -> ((s, dir) =>
+      // exact mean pairwise cosine WITHOUT the pair join (sum-vector
+      // identity) — is the embedding space collapsing to a cone?
+      graft.proximity.EmbedDiagnostics.anisotropy(
+        t(s, dir, "embeddings"), "embedding")),
+    "q368_hubness" -> ((s, dir) =>
+      // do a few vectors dominate every kNN list? in-degree skew of
+      // the k=5 graph on the bounded sample
+      graft.proximity.EmbedDiagnostics.hubness(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", k = 5)),
+    "q369_lid" -> ((s, dir) =>
+      // per-label Levina-Bickel local intrinsic dimension — the
+      // per-region companion to q338's global TwoNN
+      graft.proximity.EmbedDiagnostics.lidByLabel(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", "label", k = 6)),
+    "q370_fisher_ratio" -> ((s, dir) =>
+      // which embedding dimensions actually separate the labels?
+      graft.proximity.EmbedDiagnostics.fisherRatio(
+        t(s, dir, "embeddings"), "embedding", "label")),
+    "q371_centroid_distances" -> ((s, dir) =>
+      // label-centroid geometry: which classes overlap?
+      graft.proximity.EmbedDiagnostics.centroidDistances(
+        t(s, dir, "embeddings"), "embedding", "label")),
+    "q372_norm_profile" -> ((s, dir) =>
+      // norm hygiene per label: hot-norm labels dominate dot-product
+      // retrieval even with healthy directions
+      graft.proximity.EmbedDiagnostics.normProfile(
+        t(s, dir, "embeddings"), "embedding", "label"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6719,6 +6749,22 @@ object SparkEntry {
     "q366_aic_quadratic" ->
       graft.ml.RegressionDiagnostics.aicQuadraticOracleSql(
         "SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem"),
+    "q367_anisotropy" ->
+      graft.proximity.EmbedDiagnostics.anisotropyOracleSql(
+        "SELECT embedding AS v FROM embeddings"),
+    "q368_hubness" -> graft.proximity.EmbedDiagnostics.hubnessOracleSql(
+      knnSql("true", "vec_id < 400", 5), k = 5),
+    "q369_lid" -> graft.proximity.EmbedDiagnostics.lidByLabelOracleSql(
+      knnSql("true", "vec_id < 400", 6), k = 6),
+    "q370_fisher_ratio" ->
+      graft.proximity.EmbedDiagnostics.fisherRatioOracleSql(
+        "SELECT label, embedding AS v FROM embeddings"),
+    "q371_centroid_distances" ->
+      graft.proximity.EmbedDiagnostics.centroidDistancesOracleSql(
+        "SELECT label, embedding AS v FROM embeddings"),
+    "q372_norm_profile" ->
+      graft.proximity.EmbedDiagnostics.normProfileOracleSql(
+        "SELECT label, embedding AS v FROM embeddings"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,
