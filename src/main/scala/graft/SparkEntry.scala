@@ -2952,7 +2952,38 @@ object SparkEntry {
       // norm hygiene per label: hot-norm labels dominate dot-product
       // retrieval even with healthy directions
       graft.proximity.EmbedDiagnostics.normProfile(
-        t(s, dir, "embeddings"), "embedding", "label"))
+        t(s, dir, "embeddings"), "embedding", "label")),
+    "q373_fd_audit" -> ((s, dir) =>
+      // do the claimed functional dependencies of the part catalog
+      // hold? one stacked shuffle for all candidate pairs
+      graft.eda.DataAudit.fdAudit(t(s, dir, "part"),
+        Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+          ("p_type", "p_brand")))),
+    "q374_key_candidates" -> ((s, dir) =>
+      // which orders columns could be a key? one stacked
+      // (column, value) shuffle, no per-column job loop
+      graft.eda.DataAudit.keyCandidates(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))),
+    "q375_herfindahl" -> ((s, dir) =>
+      // segment concentration of positive balances per nation — is
+      // one market segment dominating a nation's book?
+      graft.eda.DataAudit.herfindahl(t(s, dir, "customer"),
+        "c_nationkey", "c_mktsegment", "c_acctbal")),
+    "q376_consistency_audit" -> ((s, dir) =>
+      // do lineitem and orders still agree on each order's total?
+      graft.eda.DataAudit.consistencyAudit(
+        t(s, dir, "lineitem"), t(s, dir, "orders"))),
+    "q377_truss_support" -> ((s, dir) =>
+      // edge-support histogram of the proximity graph (k-truss
+      // strength profile): which edges survive when bridges cut?
+      graft.proximity.Truss.supportHistogram(
+        proximityEdges(s, dir))),
+    "q378_contamination" -> ((s, dir) =>
+      // decontamination audit: how much of each held-out doc's 8-gram
+      // mass already sits in the train split?
+      graft.dedup.Contamination.evalOverlap(t(s, dir, "documents"),
+        "doc_id", "text", isEval = col("doc_id") % 50 === 0))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6765,6 +6796,21 @@ object SparkEntry {
     "q372_norm_profile" ->
       graft.proximity.EmbedDiagnostics.normProfileOracleSql(
         "SELECT label, embedding AS v FROM embeddings"),
+    "q373_fd_audit" -> graft.eda.DataAudit.fdAuditOracleSql("part",
+      Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+        ("p_type", "p_brand"))),
+    "q374_key_candidates" -> graft.eda.DataAudit.keyCandidatesOracleSql(
+      "orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")),
+    "q375_herfindahl" -> graft.eda.DataAudit.herfindahlOracleSql(
+      """SELECT c_nationkey AS grp, c_mktsegment AS ent,
+           c_acctbal AS v FROM customer"""),
+    "q376_consistency_audit" ->
+      graft.eda.DataAudit.consistencyAuditOracleSql(),
+    "q377_truss_support" -> graft.proximity.Truss
+      .supportHistogramOracleSql(s"eg AS ($proximityEdgesSql)", "eg"),
+    "q378_contamination" -> graft.dedup.Contamination
+      .evalOverlapOracleSql("doc_id % 50 = 0"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

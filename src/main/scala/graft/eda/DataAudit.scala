@@ -1,0 +1,187 @@
+package graft.eda
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table-quality audits a warehouse team schedules per ingest: does a
+  * claimed functional dependency actually hold, which columns are
+  * key candidates, how concentrated is a market, do two tables that
+  * should agree actually agree. Each audit is one or two
+  * map-combinable groupBys; nothing touches the driver beyond scalar
+  * frames.
+  */
+object DataAudit {
+
+  /** Functional-dependency audit: for each (determinant → dependent)
+    * candidate, the share of determinant groups carrying MORE than one
+    * dependent value. All pairs ride ONE (pair, det, dep) shuffle (the
+    * columns stack into a long frame), not one job per pair.
+    * Returns (determinant, dependent, n_groups, n_violating,
+    * violation_rate 6dp). */
+  def fdAudit(df: DataFrame,
+              pairs: Seq[(String, String)]): DataFrame = {
+    val stacked = df.select(explode(array(pairs.map { case (d, p) =>
+      struct(lit(d).as("det"), lit(p).as("dep"),
+        col(d).cast("string").as("dv"),
+        col(p).cast("string").as("pv"))
+    }: _*)).as("s")).select(col("s.det"), col("s.dep"), col("s.dv"),
+      col("s.pv"))
+    stacked.groupBy("det", "dep", "dv")
+      .agg(countDistinct("pv").as("__nd"))
+      .groupBy(col("det").as("determinant"), col("dep").as("dependent"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum((col("__nd") > 1).cast("long")).as("n_violating"))
+      .withColumn("violation_rate",
+        round(col("n_violating").cast("double") / col("n_groups"), 6))
+      .orderBy("determinant", "dependent")
+  }
+
+  /** DuckDB twin of [[fdAudit]] over `table`. */
+  def fdAuditOracleSql(table: String,
+                       pairs: Seq[(String, String)]): String = {
+    val unions = pairs.map { case (d, p) =>
+      s"""SELECT '$d' AS det, '$p' AS dep, CAST($d AS VARCHAR) AS dv,
+           CAST($p AS VARCHAR) AS pv FROM $table"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH stacked AS ($unions),
+        g AS (SELECT det, dep, dv, COUNT(DISTINCT pv) AS nd
+          FROM stacked GROUP BY det, dep, dv)
+        SELECT det AS determinant, dep AS dependent,
+          COUNT(*) AS n_groups,
+          SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+          ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate
+        FROM g GROUP BY det, dep ORDER BY determinant, dependent"""
+  }
+
+  /** Key-candidate scan: per column its distinct count, null count and
+    * uniqueness ratio — the "which columns could be a primary key /
+    * join key" profile. All columns stack into ONE
+    * (column, value) shuffle with map-side combine; no per-column job
+    * loop. Returns (column, n_rows, n_distinct, n_null,
+    * uniqueness 6dp, is_unique_key). */
+  def keyCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*))
+      .as("s")).select(col("s.c"), col("s.v"))
+    stacked.groupBy("c", "v").agg(count(lit(1)).as("__n"))
+      .groupBy(col("c").as("column"))
+      .agg(sum("__n").as("n_rows"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L))
+          .as("n_distinct"),
+        sum(when(col("v").isNull, col("__n")).otherwise(0L))
+          .as("n_null"))
+      .withColumn("uniqueness",
+        round(col("n_distinct").cast("double") /
+          (col("n_rows") - col("n_null")), 6))
+      .withColumn("is_unique_key",
+        col("n_null") === 0 && col("n_distinct") === col("n_rows"))
+      .orderBy("column")
+  }
+
+  /** DuckDB twin of [[keyCandidates]] over `table`. */
+  def keyCandidatesOracleSql(table: String,
+                             cols: Seq[String]): String = {
+    val unions = cols.map(c =>
+      s"SELECT '$c' AS c, CAST($c AS VARCHAR) AS v FROM $table")
+      .mkString("\n UNION ALL ")
+    s"""WITH stacked AS ($unions),
+        g AS (SELECT c, v, COUNT(*) AS n FROM stacked GROUP BY c, v)
+        SELECT c AS "column", CAST(SUM(n) AS BIGINT) AS n_rows,
+          SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_distinct,
+          CAST(SUM(CASE WHEN v IS NULL THEN n ELSE 0 END) AS BIGINT)
+            AS n_null,
+          ROUND(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+            / CAST(SUM(n) - SUM(CASE WHEN v IS NULL THEN n ELSE 0 END)
+              AS DOUBLE), 6) AS uniqueness,
+          (SUM(CASE WHEN v IS NULL THEN n ELSE 0 END) = 0
+            AND SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+              = SUM(n)) AS is_unique_key
+        FROM g GROUP BY c ORDER BY "column""""
+  }
+
+  /** Herfindahl–Hirschman concentration index per group: Σ shareᵢ²
+    * over the entities inside each group (1/k = perfectly even, 1 =
+    * monopoly; the regulator's market-concentration number, and a
+    * data-pipeline's "is one source dominating this shard" check).
+    * Entity totals are exact decimal sums; shares quantize at 9dp
+    * into DECIMAL(10,9) so the share-squared sum is exact too.
+    * Returns (group, n_entities, hhi 6dp). */
+  def herfindahl(df: DataFrame, groupCol: String, entityCol: String,
+                 valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val ent = df.filter(v.isNotNull && v > 0)
+      .groupBy(col(groupCol).as("group"), col(entityCol).as("__e"))
+      .agg(sum(v.cast(DecimalType(18, 2))).cast("double").as("__t"))
+    val tot = ent.groupBy("group").agg(sum(col("__t")
+      .cast(DecimalType(28, 2))).cast("double").as("__g"))
+    ent.join(tot, Seq("group"))
+      .select(col("group"),
+        round(col("__t") / col("__g"), 9).cast(DecimalType(10, 9))
+          .as("__s"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_entities"),
+        round(sum(col("__s") * col("__s")).cast("double"), 6).as("hhi"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[herfindahl]]; `srcCte` yields (grp, ent, v). */
+  def herfindahlOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        ent AS (SELECT grp, ent,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS t
+          FROM src WHERE v IS NOT NULL AND CAST(v AS DOUBLE) > 0
+          GROUP BY grp, ent),
+        tot AS (SELECT grp, CAST(SUM(CAST(t AS DECIMAL(28,2)))
+            AS DOUBLE) AS g FROM ent GROUP BY grp)
+        SELECT ent.grp AS "group", COUNT(*) AS n_entities,
+          ROUND(CAST(SUM(CAST(ROUND(ent.t / tot.g, 9)
+            AS DECIMAL(10,9)) * CAST(ROUND(ent.t / tot.g, 9)
+            AS DECIMAL(10,9))) AS DOUBLE), 6) AS hhi
+        FROM ent JOIN tot USING (grp)
+        GROUP BY ent.grp ORDER BY "group""""
+
+  /** Cross-table consistency audit: recompute each order's total from
+    * its lines (Σ round(extprice·(1−disc)·(1+tax), 2), exact decimal
+    * sum) and compare against the orders table's own total — the
+    * "do these two tables still agree" invariant every star schema
+    * should assert per load. One aggregate per table + one equi-join
+    * on the key. Returns one row: (n_orders, n_mismatch,
+    * max_rel_diff 6dp, mean_rel_diff 6dp); mismatch = relative gap
+    * above `tol`. */
+  def consistencyAudit(lineitem: DataFrame, orders: DataFrame,
+                       tol: Double = 1e-6): DataFrame = {
+    val line = round(col("l_extendedprice") * (lit(1.0) -
+      col("l_discount")) * (lit(1.0) + col("l_tax")), 2)
+    val recomputed = lineitem
+      .groupBy(col("l_orderkey").as("__k"))
+      .agg(sum(line.cast(DecimalType(18, 2))).cast("double").as("__r"))
+    val joined = orders
+      .select(col("o_orderkey").as("__k"),
+        col("o_totalprice").cast("double").as("__t"))
+      .join(recomputed, Seq("__k"))
+      .select((abs(col("__r") - col("__t")) / col("__t")).as("__rel"))
+    joined.agg(count(lit(1)).as("n_orders"),
+      sum((col("__rel") > tol).cast("long")).as("n_mismatch"),
+      round(max("__rel"), 6).as("max_rel_diff"),
+      round(sum(round(col("__rel"), 9).cast(DecimalType(28, 9)))
+        .cast("double") / count(lit(1)), 6).as("mean_rel_diff"))
+  }
+
+  /** DuckDB twin of [[consistencyAudit]]. */
+  def consistencyAuditOracleSql(tol: Double = 1e-6): String =
+    s"""WITH rec AS (SELECT l_orderkey AS k,
+            CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+              * (1.0 + l_tax), 2) AS DECIMAL(18,2))) AS DOUBLE) AS r
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (SELECT ABS(rec.r - CAST(o.o_totalprice AS DOUBLE))
+            / CAST(o.o_totalprice AS DOUBLE) AS rel
+          FROM orders o JOIN rec ON o.o_orderkey = rec.k)
+        SELECT COUNT(*) AS n_orders,
+          SUM(CASE WHEN rel > $tol THEN 1 ELSE 0 END) AS n_mismatch,
+          ROUND(MAX(rel), 6) AS max_rel_diff,
+          ROUND(CAST(SUM(CAST(ROUND(rel, 9) AS DECIMAL(28,9)))
+            AS DOUBLE) / COUNT(*), 6) AS mean_rel_diff
+        FROM j"""
+}
