@@ -2983,7 +2983,51 @@ object SparkEntry {
       // decontamination audit: how much of each held-out doc's 8-gram
       // mass already sits in the train split?
       graft.dedup.Contamination.evalOverlap(t(s, dir, "documents"),
-        "doc_id", "text", isEval = col("doc_id") % 50 === 0))
+        "doc_id", "text", isEval = col("doc_id") % 50 === 0)),
+    "q379_mann_kendall" -> ((s, dir) =>
+      // distribution-free monotone-trend test on the daily total —
+      // the significance companion to q203's Theil-Sen slope
+      graft.operators.Forecast.mannKendall(t(s, dir, "events"),
+        "ts", "value")),
+    "q380_sign_test" -> ((s, dir) => {
+      // assumption-free paired floor under q349: only the sign of
+      // each user's pre-vs-post change matters
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val dv = col("value").cast(DecimalType(18, 2))
+      val pairs = ev.groupBy("user_id").agg(
+          (sum(when(col("ts") < split, dv)).cast("double") /
+            sum(when(col("ts") < split, 1L))).as("x"),
+          (sum(when(col("ts") >= split, dv)).cast("double") /
+            sum(when(col("ts") >= split, 1L))).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      graft.eda.ShapeTests.signTest(pairs, "x", "y")
+    }),
+    "q381_cliffs_delta" -> ((s, dir) => {
+      // ordinal effect size for returned-vs-kept quantities — the
+      // "how often does A beat B" number next to q194's p-value
+      val li = t(s, dir, "lineitem")
+      graft.eda.StatTests.cliffsDelta(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"), "l_quantity")
+    }),
+    "q382_hodges_lehmann" -> ((s, dir) => {
+      // robust shift estimate between the two flags' quantities:
+      // weighted median over the 50x50 distinct-value grid
+      val li = t(s, dir, "lineitem")
+      graft.eda.StatTests.hodgesLehmann(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"), "l_quantity")
+    }),
+    "q383_atkinson" -> ((s, dir) =>
+      // welfare-weighted inequality of positive balances per nation
+      graft.eda.Concentration.atkinson(t(s, dir, "customer"),
+        "c_nationkey", "c_acctbal")),
+    "q384_lorenz" -> ((s, dir) =>
+      // decile Lorenz curve of order value per priority class --
+      // exact percentile edges, no per-group sort window
+      graft.eda.Concentration.lorenzDeciles(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6811,6 +6855,31 @@ object SparkEntry {
       .supportHistogramOracleSql(s"eg AS ($proximityEdgesSql)", "eg"),
     "q378_contamination" -> graft.dedup.Contamination
       .evalOverlapOracleSql("doc_id % 50 = 0"),
+    "q379_mann_kendall" -> graft.operators.Forecast.mannKendallOracleSql(
+      "ts", "value", "events"),
+    "q380_sign_test" -> graft.eda.ShapeTests.signTestOracleSql(
+      """SELECT
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+               THEN 1 END) AS x,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+               THEN 1 END) AS y
+         FROM events GROUP BY user_id
+         HAVING x IS NOT NULL AND y IS NOT NULL"""),
+    "q381_cliffs_delta" -> graft.eda.StatTests.cliffsDeltaOracleSql(
+      "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'R'",
+      "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'N'"),
+    "q382_hodges_lehmann" ->
+      graft.eda.StatTests.hodgesLehmannOracleSql(
+        "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'R'",
+        "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'N'"),
+    "q383_atkinson" -> graft.eda.Concentration.atkinsonOracleSql(
+      "SELECT c_nationkey AS grp, c_acctbal AS v FROM customer"),
+    "q384_lorenz" -> graft.eda.Concentration.lorenzDecilesOracleSql(
+      "SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -216,4 +216,103 @@ object Concentration {
           ROUND(th.xk1, 6) AS x_k1,
           ROUND(CASE WHEN s.s > 0 THEN $k.0 / s.s END, 6) AS hill_alpha
         FROM th CROSS JOIN s"""
+
+  /** Atkinson inequality index at ε = 1: A = 1 − geomean/mean over
+    * positive values, per group — the welfare-weighted cousin of
+    * [[theilDecomposition]] (A answers "what share of total value
+    * could be given up if it were spread evenly, at log utility").
+    * Log terms quantize at 6dp and sum as DECIMAL; the arithmetic
+    * mean is an exact decimal sum. One map-combinable groupBy.
+    * Returns (group, n, mean 6dp, atkinson 6dp). */
+  def atkinson(df: DataFrame, groupCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && v > 0)
+      .select(col(groupCol).as("group"),
+        v.cast(DecimalType(18, 2)).as("__v"),
+        round(log(v), 6).cast(DecimalType(28, 6)).as("__lg"))
+    base.groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        (sum("__v").cast("double") / count(lit(1))).as("__m"),
+        (sum("__lg").cast("double") / count(lit(1))).as("__ml"))
+      .select(col("group"), col("n"), round(col("__m"), 6).as("mean"),
+        round(lit(1.0) - exp(col("__ml")) / col("__m"), 6)
+          .as("atkinson"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[atkinson]]; `srcCte` must yield (grp, v). */
+  def atkinsonOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        base AS (SELECT grp AS "group",
+            CAST(CAST(v AS DOUBLE) AS DECIMAL(18,2)) AS v,
+            CAST(ROUND(LN(CAST(v AS DOUBLE)), 6) AS DECIMAL(28,6))
+              AS lg
+          FROM src WHERE v IS NOT NULL AND CAST(v AS DOUBLE) > 0),
+        g AS (SELECT "group", COUNT(*) AS n,
+            CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m,
+            CAST(SUM(lg) AS DOUBLE) / COUNT(*) AS ml
+          FROM base GROUP BY "group")
+        SELECT "group", n, ROUND(m, 6) AS mean,
+          ROUND(1.0 - EXP(ml) / m, 6) AS atkinson
+        FROM g ORDER BY "group""""
+
+  /** Lorenz-curve deciles per group WITHOUT a per-group sort window:
+    * the nine exact decile edges come from ONE percentile aggregate
+    * (metadata-sized, broadcast back), bucket assignment is a per-row
+    * comparison fold, and the cumulative share rides the ≤10-row
+    * per-group bucket frame. The distributed-safe way to draw "the
+    * top decile holds X% of the value" at any row count.
+    * Returns (group, decile 1..10, n, cum_share 6dp). */
+  def lorenzDeciles(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && v >= 0)
+      .select(col(groupCol).as("group"), v.as("__v"))
+    val edges = base.groupBy("group")
+      .agg(graft.functions.ExactPercentiles.exactPercentiles(
+        col("__v"), (1 to 9).map(_ / 10.0)).as("__edges"))
+    val bucketed = base.join(broadcast(edges), Seq("group"))
+      .select(col("group"),
+        (size(filter(col("__edges"), e => col("__v") > e)) + 1)
+          .as("decile"),
+        col("__v").cast(DecimalType(18, 2)).as("__d"))
+    val cells = bucketed.groupBy("group", "decile")
+      .agg(count(lit(1)).as("n"), sum("__d").as("__s"))
+    val w = Window.partitionBy("group").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("group")
+    cells
+      .withColumn("cum_share",
+        round(sum("__s").over(w).cast("double") /
+          sum("__s").over(tot).cast("double"), 6))
+      .select(col("group"), col("decile"), col("n"), col("cum_share"))
+      .orderBy("group", "decile")
+  }
+
+  /** DuckDB twin of [[lorenzDeciles]]; `srcCte` must yield (grp, v).
+    */
+  def lorenzDecilesOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT grp AS g, CAST(v AS DOUBLE) AS v
+          FROM ($srcCte) WHERE v IS NOT NULL
+            AND CAST(v AS DOUBLE) >= 0),
+        ed AS (SELECT g, quantile_cont(v,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+          FROM src GROUP BY g),
+        bk AS (SELECT src.g,
+            len(list_filter(ed.e, x -> src.v > x)) + 1 AS decile,
+            CAST(src.v AS DECIMAL(18,2)) AS d
+          FROM src JOIN ed ON src.g = ed.g),
+        cells AS (SELECT g, decile, COUNT(*) AS n, SUM(d) AS s
+          FROM bk GROUP BY g, decile)
+        SELECT g AS "group", CAST(decile AS INT) AS decile, n,
+          ROUND(CAST(SUM(s) OVER (PARTITION BY g ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+            / CAST(SUM(s) OVER (PARTITION BY g) AS DOUBLE), 6)
+            AS cum_share
+        FROM cells ORDER BY "group", decile"""
 }

@@ -270,4 +270,40 @@ object ShapeTests {
                 / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1))) END, 6)
             AS z_stat
         FROM z"""
+
+  /** Paired sign test over pre-paired (xCol, yCol) rows: the
+    * assumption-free floor under [[wilcoxonSignedRank]] (no symmetry
+    * needed — only the sign of each difference). Zeros drop;
+    * z = (n⁺ − n⁻)/√n. ONE aggregate, all-integer sufficient stats.
+    * Returns one row: (n_pairs, n_pos, n_neg, z_stat 6dp). */
+  def signTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val g = df
+      .filter(x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y) &&
+        x =!= y)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((x > y).cast("long")).as("n_pos"),
+        sum((x < y).cast("long")).as("n_neg"))
+    g.select(col("n_pairs"), col("n_pos"), col("n_neg"),
+      round((col("n_pos") - col("n_neg")).cast("double") /
+        sqrt(col("n_pairs").cast("double")), 6).as("z_stat"))
+  }
+
+  /** DuckDB twin of [[signTest]]; `srcCte` must yield (x, y). */
+  def signTestOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT CAST(x AS DOUBLE) AS x,
+            CAST(y AS DOUBLE) AS y FROM ($srcCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL
+            AND NOT isnan(CAST(x AS DOUBLE))
+            AND NOT isnan(CAST(y AS DOUBLE))
+            AND CAST(x AS DOUBLE) <> CAST(y AS DOUBLE)),
+        g AS (SELECT COUNT(*) AS n_pairs,
+            SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS n_pos,
+            SUM(CASE WHEN x < y THEN 1 ELSE 0 END) AS n_neg
+          FROM src)
+        SELECT n_pairs, n_pos, n_neg,
+          ROUND(CAST(n_pos - n_neg AS DOUBLE)
+            / SQRT(CAST(n_pairs AS DOUBLE)), 6) AS z_stat
+        FROM g"""
 }

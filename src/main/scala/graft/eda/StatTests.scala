@@ -689,4 +689,110 @@ object StatTests {
             * $nRaters) / (CAST(n_items AS DOUBLE) * $nRaters
             * ($nRaters - 1)) - pev) / (1.0 - pev), 6) AS kappa
         FROM pe"""
+
+  /** Cliff's delta + Vargha–Delaney A — the EFFECT SIZE companions to
+    * [[mannWhitneyU]]'s p-value: δ = P(a > b) − P(a < b),
+    * A = P(a > b) + P(a = b)/2. Computed entirely on the pooled
+    * distinct-value frame from the bucketed rank kernel (per value:
+    * A-count × B-counts-below/above), ONE aggregate, no pair join at
+    * any cardinality. Returns one row:
+    * (n_a, n_b, cliffs_delta 6dp, vd_a 6dp). */
+  def cliffsDelta(a: DataFrame, b: DataFrame,
+                  valueCol: String): DataFrame = {
+    val stacked = a.select(col(valueCol).cast("double").as("__v"),
+        lit(1).as("__isa"))
+      .unionByName(b.select(col(valueCol).cast("double").as("__v"),
+        lit(0).as("__isa")))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .withColumn("__g", lit("all"))
+    val ranked = graft.ml.Metrics.rankedScores(
+      stacked, "__g", "__isa", "__v", 256)
+    val totals = ranked.agg(sum("n_pos").as("__na"),
+      sum(col("n") - col("n_pos")).as("__nb"))
+    val bBelow = col("before") - col("before_pos")
+    val bAt = col("n") - col("n_pos")
+    val bAbove = col("__nb") - bBelow - bAt
+    ranked.crossJoin(broadcast(totals))
+      .agg(first("__na").as("n_a"), first("__nb").as("n_b"),
+        sum(col("n_pos") * (bBelow - bAbove)).as("__d"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__d").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6)
+          .as("cliffs_delta"),
+        // (d + n_a·n_b)/2 = #greater + #equal/2 — A directly
+        round((col("__d").cast("double") / 2 +
+          (col("n_a") * col("n_b")).cast("double") / 2) /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("vd_a"))
+  }
+
+  /** DuckDB twin of [[cliffsDelta]]; `aCte`/`bCte` must yield v. */
+  def cliffsDeltaOracleSql(aCte: String, bCte: String): String =
+    s"""WITH s AS (
+          SELECT CAST(v AS DOUBLE) AS v, 1 AS isa FROM ($aCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+          UNION ALL
+          SELECT CAST(v AS DOUBLE), 0 FROM ($bCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        m AS (SELECT v, COUNT(*) AS n, SUM(isa) AS ca,
+            SUM(1 - isa) AS cb FROM s GROUP BY v),
+        c AS (SELECT ca, cb,
+            SUM(cb) OVER (ORDER BY v) - cb AS bbelow FROM m),
+        t2 AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m),
+        agg AS (SELECT ANY_VALUE(na) AS na, ANY_VALUE(nb) AS nb,
+            SUM(ca * (bbelow - (nb - bbelow - cb))) AS d
+          FROM c CROSS JOIN t2)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          ROUND(CAST(d AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+            AS cliffs_delta,
+          ROUND((CAST(d AS DOUBLE) / 2 + CAST(na AS DOUBLE) * nb / 2)
+            / (CAST(na AS DOUBLE) * nb), 6) AS vd_a
+        FROM agg"""
+
+  /** Hodges–Lehmann two-sample shift estimate: the weighted median of
+    * all pairwise differences a − b, computed on the DISTINCT-VALUE
+    * pair grid (cellA × cellB with count weights) — quadratic only in
+    * distinct values, the [[kendallTauB]] bounded-cardinality
+    * contract; pre-bin continuous columns. Lower-weighted-median
+    * convention (first difference whose cumulative weight reaches
+    * half — deterministic, no interpolation). Returns one row:
+    * (n_pairs, hl_shift 6dp). */
+  def hodgesLehmann(a: DataFrame, b: DataFrame,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cells(df: DataFrame, nm: String) =
+      df.select(col(valueCol).cast("double").as(nm))
+        .filter(col(nm).isNotNull && !isnan(col(nm)))
+        .groupBy(nm).agg(count(lit(1)).as(s"__c$nm"))
+    val grid = cells(a, "__va").crossJoin(cells(b, "__vb"))
+      .select((col("__va") - col("__vb")).as("__d"),
+        (col("__c__va") * col("__c__vb")).as("__w"))
+      .groupBy("__d").agg(sum("__w").as("__w"))
+    val w = Window.orderBy("__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum("__w").as("__tw"))
+    grid.withColumn("__cum", sum("__w").over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("__cum") * 2 >= col("__tw"))
+      .agg(first("__tw").as("n_pairs"), round(min("__d"), 6)
+        .as("hl_shift"))
+  }
+
+  /** DuckDB twin of [[hodgesLehmann]]; `aCte`/`bCte` must yield v. */
+  def hodgesLehmannOracleSql(aCte: String, bCte: String): String =
+    s"""WITH ca AS (SELECT CAST(v AS DOUBLE) AS va, COUNT(*) AS na
+          FROM ($aCte) WHERE v IS NOT NULL
+            AND NOT isnan(CAST(v AS DOUBLE)) GROUP BY va),
+        cb AS (SELECT CAST(v AS DOUBLE) AS vb, COUNT(*) AS nb
+          FROM ($bCte) WHERE v IS NOT NULL
+            AND NOT isnan(CAST(v AS DOUBLE)) GROUP BY vb),
+        grid AS (SELECT va - vb AS d, SUM(na * nb) AS w
+          FROM ca CROSS JOIN cb GROUP BY va - vb),
+        c AS (SELECT d, SUM(w) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM grid),
+        t AS (SELECT SUM(w) AS tw FROM grid)
+        SELECT CAST(t.tw AS BIGINT) AS n_pairs,
+          ROUND(MIN(c.d), 6) AS hl_shift
+        FROM c CROSS JOIN t WHERE c.cum * 2 >= t.tw
+        GROUP BY t.tw"""
 }

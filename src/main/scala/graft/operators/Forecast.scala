@@ -1495,4 +1495,55 @@ object Forecast {
             (sd1 / s11) / SQRT(((sdd - (sd1 / s11) * sd1)
               / (CAST(m AS DOUBLE) - 1)) / s11) END, 6) AS t_stat
         FROM g"""
+
+  /** Mann–Kendall trend test on the daily total: S = Σᵢ<ⱼ sgn(xⱼ−xᵢ)
+    * with the tie-corrected variance and the ±1-continuity z — the
+    * distribution-free "is there ANY monotone trend" companion to
+    * q203's Theil–Sen slope (MK tests, Theil–Sen sizes). The pair
+    * frame is the day-frame self-join — quadratic only in DAYS (the
+    * groupBy(day) collapse happens first), never in events.
+    * Returns one row: (n, s_stat, z_stat 6dp). */
+  def mannKendall(events: DataFrame, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol).select(col("day"),
+      col("total"))
+    val a = d.select(col("day").as("__da"), col("total").as("__xa"))
+    val b = d.select(col("day").as("__db"), col("total").as("__xb"))
+    val pairs = a.join(b, col("__da") < col("__db"))
+      .agg(sum(signum(col("__xb") - col("__xa"))).as("__s"))
+    val ties = d.groupBy("total").agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t") * (col("__t") - 1) *
+        (lit(2.0) * col("__t") + 5)).as("__tt"),
+        sum("__t").as("n"))
+    val nd = col("n").cast("double")
+    val varS = (nd * (nd - 1) * (lit(2.0) * nd + 5) - col("__tt")) /
+      lit(18.0)
+    pairs.crossJoin(broadcast(ties))
+      .select(col("n"), col("__s").cast("long").as("s_stat"),
+        round(when(col("__s") > 0, (col("__s") - 1) / sqrt(varS))
+          .when(col("__s") < 0, (col("__s") + 1) / sqrt(varS))
+          .otherwise(lit(0.0)), 6).as("z_stat"))
+  }
+
+  /** DuckDB twin of [[mannKendall]]. */
+  def mannKendallOracleSql(tsExpr: String, valueExpr: String,
+                           table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        p AS (SELECT SUM(SIGN(b.total - a.total)) AS s
+          FROM d a JOIN d b ON a.day < b.day),
+        t AS (SELECT SUM(c * (c - 1) * (2.0 * c + 5)) AS tt,
+            SUM(c) AS n
+          FROM (SELECT COUNT(*) AS c FROM d GROUP BY total)),
+        v AS (SELECT p.s, t.n,
+            (CAST(t.n AS DOUBLE) * (t.n - 1) * (2.0 * t.n + 5) - t.tt)
+              / 18.0 AS vs
+          FROM p CROSS JOIN t)
+        SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s_stat,
+          ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(vs)
+            WHEN s < 0 THEN (s + 1) / SQRT(vs) ELSE 0.0 END, 6)
+            AS z_stat
+        FROM v"""
 }
