@@ -3027,7 +3027,44 @@ object SparkEntry {
       // decile Lorenz curve of order value per priority class --
       // exact percentile edges, no per-group sort window
       graft.eda.Concentration.lorenzDeciles(t(s, dir, "orders"),
-        "o_orderpriority", "o_totalprice"))
+        "o_orderpriority", "o_totalprice")),
+    "q385_burstiness" -> ((s, dir) =>
+      // Goh-Barabási B of per-user inter-event gaps: metronome (-1)
+      // vs Poisson (0) vs bursty (+1) — shape, not rate
+      graft.operators.Events.interEventBurstiness(
+        t(s, dir, "events"), "user_id", "ts")),
+    "q386_iv_wald" -> ((s, dir) =>
+      // instrumented effect of high-engagement on order value:
+      // Z = even customer key, D = positive balance, Y = totalprice
+      graft.ml.Causal.ivWald(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+          .select((col("c_custkey") % 2 === 0).cast("int").as("z"),
+            (col("c_acctbal") > 0).cast("int").as("d"),
+            col("o_totalprice").as("y")),
+        "z", "d", "y")),
+    "q387_rdd" -> ((s, dir) =>
+      // is there a price jump at the quantity-25 boundary? sharp RD
+      // with +-20 bandwidth, local lines both sides
+      graft.ml.Causal.rddSharp(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", cutoff = 25.0,
+        bandwidth = 20.0)),
+    "q388_icc_deff" -> ((s, dir) =>
+      // users as clusters of event values: intra-cluster correlation
+      // + Kish design effect — the cluster-randomization tax
+      graft.ml.Causal.iccDesignEffect(t(s, dir, "events"),
+        "user_id", "value")),
+    "q389_char_entropy" -> ((s, dir) =>
+      // cheapest junk detector: per-source char-unigram entropy
+      // profile with a low-entropy (repetitive) share
+      graft.text.CharStats.charEntropyProfile(t(s, dir, "documents"),
+        "source", "doc_id", "text")),
+    "q390_containment" -> ((s, dir) =>
+      // asymmetric near-dup: docs CONTAINED in longer docs that
+      // symmetric Jaccard under-scores
+      graft.dedup.Contamination.containmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6880,6 +6917,23 @@ object SparkEntry {
       "SELECT c_nationkey AS grp, c_acctbal AS v FROM customer"),
     "q384_lorenz" -> graft.eda.Concentration.lorenzDecilesOracleSql(
       "SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders"),
+    "q385_burstiness" ->
+      graft.operators.Events.interEventBurstinessOracleSql(
+        "user_id", "ts", "events"),
+    "q386_iv_wald" -> graft.ml.Causal.ivWaldOracleSql(
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS z,
+           CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS d,
+           o_totalprice AS y
+         FROM orders JOIN customer ON o_custkey = c_custkey"""),
+    "q387_rdd" -> graft.ml.Causal.rddSharpOracleSql(
+      "SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem",
+      cutoff = 25.0, bandwidth = 20.0),
+    "q388_icc_deff" -> graft.ml.Causal.iccDesignEffectOracleSql(
+      "SELECT user_id AS c, value AS y FROM events"),
+    "q389_char_entropy" ->
+      graft.text.CharStats.charEntropyProfileOracleSql(),
+    "q390_containment" -> graft.dedup.Contamination
+      .containmentPairsOracleSql("doc_id < 300"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

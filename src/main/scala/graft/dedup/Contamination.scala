@@ -69,4 +69,74 @@ object Contamination {
           ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 4) AS overlap
         FROM ev GROUP BY doc_id
         ORDER BY overlap DESC, doc_id LIMIT $topK"""
+
+  /** Asymmetric shingle CONTAINMENT on a bounded candidate set:
+    * c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — the sub-document-duplication
+    * measure symmetric Jaccard misses (a doc quoted whole inside a
+    * longer doc has c ≈ 1 but Jaccard ≪ 1). Pairs come from the
+    * shared-shingle join (only docs sharing ≥ 1 shingle meet), the
+    * exact-oracle baseline of the banded LSH scale path (the q28
+    * convention). Returns pairs with containment ≥ minC and
+    * jaccard < containment: (doc_a, doc_b, n_a, n_b, inter,
+    * containment 4dp, jaccard 4dp), doc_a ≠ doc_b, both directions.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minC: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+        explode(graft.functions.Signatures.wordShingles(col(textCol), n))
+          .as("__sh"))
+      .distinct()
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val inter = sh.select(col("__id").as("doc_a"), col("__sh"))
+      .join(sh.select(col("__id").as("doc_b"), col("__sh")), Seq("__sh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("doc_a"), col("__sz").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("__id").as("doc_b"), col("__sz").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        round(col("inter").cast("double") / col("n_a"), 4)
+          .as("containment"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("containment") >= minC &&
+        col("jaccard") < col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[containmentPairs]]; `pred` filters documents
+    * to the same bounded set the engine query uses. */
+  def containmentPairsOracleSql(pred: String = "TRUE", n: Int = 3,
+                                minC: Double = 0.8): String =
+    s"""WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0) AS ws
+          FROM documents WHERE $pred),
+        sh0 AS (SELECT doc_id,
+            UNNEST(CASE WHEN len(ws) < $n THEN
+              [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i:i+$n-1], ' ')
+                FOR i IN range(1, len(ws) - $n + 2)] END) AS sh
+          FROM toks),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh
+          GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        j AS (SELECT i.doc_a, i.doc_b, sa.sz AS n_a, sb.sz AS n_b,
+            i.inter,
+            ROUND(i.inter / CAST(sa.sz AS DOUBLE), 4) AS containment,
+            ROUND(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4)
+              AS jaccard
+          FROM inter i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id)
+        SELECT * FROM j
+        WHERE containment >= $minC AND jaccard < containment
+        ORDER BY doc_a, doc_b"""
 }

@@ -187,4 +187,59 @@ object Events {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_entities
         FROM perday p LEFT JOIN nw USING (day)"""
+
+  /** Inter-event burstiness (Goh–Barabási 2008): per entity the gap
+    * CV and B = (σ−μ)/(σ+μ) over inter-event seconds — B ≈ −1 is a
+    * metronome, 0 a Poisson stream, → 1 extreme bursts. The SHAPE
+    * companion to rate stats: two streams with identical rates can
+    * have opposite B. Per-entity gaps ride one entity-keyed lag
+    * window; per-entity B quantizes at 6dp and decimal-averages.
+    * Entities need ≥ 3 events (≥ 2 gaps) to have a defined σ.
+    * Returns one row: (n_entities, mean_b 6dp, p50_b 6dp,
+    * share_bursty 6dp — B > 0). */
+  def interEventBurstiness(events: DataFrame, userCol: String,
+                           tsCol: String): DataFrame = {
+    val ev = ltzTs(events, tsCol)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__t"))
+    val w = Window.partitionBy("__u").orderBy("__t")
+    val gaps = ev
+      .withColumn("__g",
+        (col("__t") - lag("__t", 1).over(w)) / lit(1000000.0))
+      .filter(col("__g").isNotNull)
+    val per = gaps.groupBy("__u")
+      .agg(count(lit(1)).as("__n"), avg("__g").as("__m"),
+        stddev_pop("__g").as("__s"))
+      .filter(col("__n") >= 2 && (col("__m") + col("__s")) > 0)
+      .select(round((col("__s") - col("__m")) /
+        (col("__s") + col("__m")), 6).as("__b"))
+    per.agg(count(lit(1)).as("n_entities"),
+      round(sum(col("__b").cast(DecimalType(28, 6))).cast("double") /
+        count(lit(1)), 6).as("mean_b"),
+      round(element_at(graft.functions.ExactPercentiles
+        .exactPercentiles(col("__b"), Seq(0.5)), 1), 6).as("p50_b"),
+      round(sum((col("__b") > 0).cast("long")).cast("double") /
+        count(lit(1)), 6).as("share_bursty"))
+  }
+
+  /** DuckDB twin of [[interEventBurstiness]]. */
+  def interEventBurstinessOracleSql(userCol: String, tsCol: String,
+                                    table: String): String =
+    s"""WITH ev AS (SELECT $userCol AS u, epoch_us($tsCol) AS t
+          FROM $table),
+        g AS (SELECT u,
+            (t - LAG(t, 1) OVER (PARTITION BY u ORDER BY t))
+              / 1000000.0 AS gp
+          FROM ev),
+        per0 AS (SELECT u, COUNT(*) AS n, AVG(gp) AS m,
+            stddev_pop(gp) AS s
+          FROM g WHERE gp IS NOT NULL GROUP BY u),
+        per AS (SELECT ROUND((s - m) / (s + m), 6) AS b
+          FROM per0 WHERE n >= 2 AND (m + s) > 0)
+        SELECT COUNT(*) AS n_entities,
+          ROUND(CAST(SUM(CAST(b AS DECIMAL(28,6))) AS DOUBLE)
+            / COUNT(*), 6) AS mean_b,
+          ROUND(quantile_cont(b, 0.5), 6) AS p50_b,
+          ROUND(SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS share_bursty
+        FROM per"""
 }
