@@ -3064,7 +3064,47 @@ object SparkEntry {
       // symmetric Jaccard under-scores
       graft.dedup.Contamination.containmentPairs(
         t(s, dir, "documents").filter(col("doc_id") < 300),
-        "doc_id", "text"))
+        "doc_id", "text")),
+    "q391_mcc" -> ((s, dir) =>
+      // skew-robust scalar classifier summary at a fixed decision
+      graft.ml.EvalExtras.mccSummary(
+        t(s, dir, "customer").select(
+          (col("c_mktsegment") === "BUILDING").cast("int").as("p"),
+          (col("c_acctbal") > 0).cast("int").as("l")), "p", "l")),
+    "q392_effect_sizes" -> ((s, dir) => {
+      // Cohen's d / Hedges' g / Glass delta for R-vs-N quantities —
+      // the meta-analysis numbers next to q194's p-value
+      val li = t(s, dir, "lineitem")
+      graft.ml.EvalExtras.effectSizes(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"), "l_quantity")
+    }),
+    "q393_srm" -> ((s, dir) =>
+      // sample-ratio-mismatch guardrail on the unit (user) split
+      graft.ml.EvalExtras.srmCheck(
+        t(s, dir, "events").select(col("user_id")).distinct()
+          .select((col("user_id") % 2 === 0).cast("int").as("arm")),
+        "arm")),
+    "q394_best_thresholds" -> ((s, dir) =>
+      // Youden-J and F1-optimal cutoffs over EVERY distinct score in
+      // one pass (rank kernel, no sort, no window)
+      graft.ml.EvalExtras.bestThresholds(
+        t(s, dir, "orders").select(col("o_totalprice").as("s"),
+          (col("o_orderpriority") === "1-URGENT").cast("int")
+            .as("l")), "s", "l")),
+    "q395_average_precision" -> ((s, dir) =>
+      // ties-exact AP (area under the PR curve) from one aggregate
+      graft.ml.EvalExtras.averagePrecision(
+        t(s, dir, "orders").select(col("o_totalprice").as("s"),
+          (col("o_orderpriority") === "1-URGENT").cast("int")
+            .as("l")), "s", "l")),
+    "q396_equalized_odds" -> ((s, dir) =>
+      // fairness audit: does the decision err evenly across segments?
+      graft.ml.EvalExtras.equalizedOdds(
+        t(s, dir, "customer").select(col("c_mktsegment").as("g"),
+          (col("c_custkey") % 3 === 0).cast("int").as("p"),
+          (col("c_acctbal") > 0).cast("int").as("l")),
+        "g", "p", "l"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -6934,6 +6974,35 @@ object SparkEntry {
       graft.text.CharStats.charEntropyProfileOracleSql(),
     "q390_containment" -> graft.dedup.Contamination
       .containmentPairsOracleSql("doc_id < 300"),
+    "q391_mcc" -> graft.ml.EvalExtras.mccSummaryOracleSql(
+      """SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+           AS p,
+           CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS l
+         FROM customer"""),
+    "q392_effect_sizes" -> graft.ml.EvalExtras.effectSizesOracleSql(
+      "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'R'",
+      "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'N'"),
+    "q393_srm" -> graft.ml.EvalExtras.srmCheckOracleSql(
+      """SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm
+         FROM (SELECT DISTINCT user_id FROM events)"""),
+    "q394_best_thresholds" ->
+      graft.ml.EvalExtras.bestThresholdsOracleSql(
+        """SELECT o_totalprice AS s,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS l
+           FROM orders"""),
+    "q395_average_precision" ->
+      graft.ml.EvalExtras.averagePrecisionOracleSql(
+        """SELECT o_totalprice AS s,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS l
+           FROM orders"""),
+    "q396_equalized_odds" ->
+      graft.ml.EvalExtras.equalizedOddsOracleSql(
+        """SELECT c_mktsegment AS g,
+             CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS p,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS l
+           FROM customer"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,
