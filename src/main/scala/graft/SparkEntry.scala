@@ -3104,7 +3104,39 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_mktsegment").as("g"),
           (col("c_custkey") % 3 === 0).cast("int").as("p"),
           (col("c_acctbal") > 0).cast("int").as("l")),
-        "g", "p", "l"))
+        "g", "p", "l")),
+    "q397_gopher_rules" -> ((s, dir) =>
+      // the third quality preset next to q120 C4 / q128 FineWeb:
+      // Gopher's rule funnel per source, all codegen string ops
+      graft.text.Gopher.funnel(t(s, dir, "documents"),
+        "doc_id", "source", "text")),
+    "q398_tail_dependence" -> ((s, dir) =>
+      // do volume and value spike on the SAME days? upper-tail
+      // co-occurrence vs the independence square
+      graft.operators.Forecast.tailDependence(t(s, dir, "events"),
+        "ts", "value")),
+    "q399_two_way_anova" -> ((s, dir) =>
+      // factorial decomposition: flag, status, and their interaction
+      graft.eda.StatTests.twoWayAnova(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_quantity")),
+    "q400_split_half" -> ((s, dir) =>
+      // is per-user mean event value a stable metric? split-half r
+      // with the Spearman-Brown step-up
+      graft.ml.EvalExtras.splitHalfReliability(
+        graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+          .select(col("user_id").as("id"),
+            dayofmonth(col("ts")).as("item"), col("value").as("v")),
+        "id", "item", "v")),
+    "q401_vocab_coverage" -> ((s, dir) =>
+      // tokenizer design: corpus share covered by a top-k vocabulary,
+      // computed on the distinct-FREQUENCY frame (no vocab sort)
+      graft.text.VocabStats.vocabCoverage(t(s, dir, "documents"),
+        "text", ks = Seq(10, 100, 1000, 10000))),
+    "q402_oov_rate" -> ((s, dir) =>
+      // does the train vocabulary even speak eval's language?
+      // instance- and type-level OOV of the held-out split
+      graft.text.VocabStats.oovRate(t(s, dir, "documents"),
+        "doc_id", "text", isEval = col("doc_id") % 50 === 0))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7003,6 +7035,21 @@ object SparkEntry {
              CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS p,
              CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS l
            FROM customer"""),
+    "q397_gopher_rules" -> graft.text.Gopher.funnelOracleSql(),
+    "q398_tail_dependence" ->
+      graft.operators.Forecast.tailDependenceOracleSql(
+        "ts", "value", "events"),
+    "q399_two_way_anova" -> graft.eda.StatTests.twoWayAnovaOracleSql(
+      """SELECT l_returnflag AS a, l_linestatus AS b,
+           l_quantity AS v FROM lineitem"""),
+    "q400_split_half" ->
+      graft.ml.EvalExtras.splitHalfReliabilityOracleSql(
+        """SELECT user_id AS id, EXTRACT(day FROM ts) AS item,
+             value AS v FROM events"""),
+    "q401_vocab_coverage" -> graft.text.VocabStats
+      .vocabCoverageOracleSql(ks = Seq(10, 100, 1000, 10000)),
+    "q402_oov_rate" -> graft.text.VocabStats.oovRateOracleSql(
+      "doc_id % 50 = 0"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -795,4 +795,106 @@ object StatTests {
           ROUND(MIN(c.d), 6) AS hl_shift
         FROM c CROSS JOIN t WHERE c.cum * 2 >= t.tw
         GROUP BY t.tw"""
+
+  /** Two-way factorial ANOVA (classical cell-mean decomposition):
+    * SSA/SSB from marginal means, the interaction SS from cell means,
+    * SSE from within-cell variance — F for each effect. Exact decimal
+    * power sums per CELL (one map-combinable groupBy); every marginal
+    * rides the a×b metadata frame. Unbalanced designs use the
+    * weighted (Type-I-style) sums — documented convention.
+    * Returns one row: (a_levels, b_levels, n, f_a 6dp, f_b 6dp,
+    * f_interaction 6dp). */
+  def twoWayAnova(df: DataFrame, aCol: String, bCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val y = col(valueCol).cast(DecimalType(18, 2))
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(y).cast("double").as("__s1"),
+        sum(y * y).cast("double").as("__s2"))
+    val nd = col("__n").cast("double")
+    val withM = cells.select(col("__a"), col("__b"), col("__n"),
+      (col("__s1") / nd).as("__m"),
+      (col("__s2") - nd * (col("__s1") / nd) * (col("__s1") / nd))
+        .as("__ssw"), col("__s1"))
+    val aMarg = withM.groupBy("__a").agg(sum("__n").as("__na"),
+      (sum("__s1") / sum("__n").cast("double")).as("__ma"))
+    val bMarg = withM.groupBy("__b").agg(sum("__n").as("__nb"),
+      (sum("__s1") / sum("__n").cast("double")).as("__mb"))
+    val grand = withM.agg(sum("__n").as("__nt"),
+      (sum("__s1") / sum("__n").cast("double")).as("__mg"),
+      sum("__ssw").as("__sse"), count(lit(1)).as("__ncell"))
+    val joined = withM
+      .join(broadcast(aMarg), Seq("__a"))
+      .join(broadcast(bMarg), Seq("__b"))
+      .crossJoin(broadcast(grand))
+    val ssab = joined.agg(
+      first("__nt").as("__ntv"), first("__mg").as("__mgv"),
+      first("__sse").as("__ssev"), first("__ncell").as("__ncv"),
+      sum(col("__n").cast("double") *
+        (col("__m") - col("__ma") - col("__mb") + col("__mg")) *
+        (col("__m") - col("__ma") - col("__mb") + col("__mg")))
+        .as("__ssab"))
+    val ssa = aMarg.crossJoin(broadcast(grand))
+      .agg(count(lit(1)).as("__ka"),
+        sum(col("__na").cast("double") * (col("__ma") - col("__mg")) *
+          (col("__ma") - col("__mg"))).as("__ssa"))
+    val ssb = bMarg.crossJoin(broadcast(grand))
+      .agg(count(lit(1)).as("__kb"),
+        sum(col("__nb").cast("double") * (col("__mb") - col("__mg")) *
+          (col("__mb") - col("__mg"))).as("__ssb"))
+    val all = ssab.crossJoin(broadcast(ssa)).crossJoin(broadcast(ssb))
+    val dfa = (col("__ka") - 1).cast("double")
+    val dfb = (col("__kb") - 1).cast("double")
+    val dfab = dfa * dfb
+    val dfe = (col("__ntv") - col("__ncv")).cast("double")
+    val mse = col("__ssev") / dfe
+    all.select(col("__ka").as("a_levels"), col("__kb").as("b_levels"),
+      col("__ntv").as("n"),
+      round(col("__ssa") / dfa / mse, 6).as("f_a"),
+      round(col("__ssb") / dfb / mse, 6).as("f_b"),
+      round(col("__ssab") / dfab / mse, 6).as("f_interaction"))
+  }
+
+  /** DuckDB twin of [[twoWayAnova]]; `srcCte` yields (a, b, v). */
+  def twoWayAnovaOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        cells AS (SELECT a, b, COUNT(*) AS n,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))
+              * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM src WHERE v IS NOT NULL GROUP BY a, b),
+        wm AS (SELECT a, b, n, s1 / CAST(n AS DOUBLE) AS m,
+            s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE)) AS ssw, s1 FROM cells),
+        am AS (SELECT a, SUM(n) AS na,
+            SUM(s1) / CAST(SUM(n) AS DOUBLE) AS ma FROM wm GROUP BY a),
+        bm AS (SELECT b, SUM(n) AS nb,
+            SUM(s1) / CAST(SUM(n) AS DOUBLE) AS mb FROM wm GROUP BY b),
+        gr AS (SELECT SUM(n) AS nt,
+            SUM(s1) / CAST(SUM(n) AS DOUBLE) AS mg, SUM(ssw) AS sse,
+            COUNT(*) AS ncell FROM wm),
+        j AS (SELECT wm.n, wm.m, am.ma, bm.mb, gr.mg
+          FROM wm JOIN am USING (a) JOIN bm USING (b) CROSS JOIN gr),
+        sab AS (SELECT SUM(CAST(n AS DOUBLE)
+            * (m - ma - mb + mg) * (m - ma - mb + mg)) AS ssab
+          FROM j),
+        sa AS (SELECT COUNT(*) AS ka, SUM(CAST(na AS DOUBLE)
+            * (ma - mg) * (ma - mg)) AS ssa
+          FROM am CROSS JOIN gr),
+        sb AS (SELECT COUNT(*) AS kb, SUM(CAST(nb AS DOUBLE)
+            * (mb - mg) * (mb - mg)) AS ssb
+          FROM bm CROSS JOIN gr),
+        f AS (SELECT ka, kb, nt, ncell, sse, ssa, ssb, ssab,
+            CAST(ka - 1 AS DOUBLE) AS dfa, CAST(kb - 1 AS DOUBLE)
+              AS dfb,
+            CAST(nt - ncell AS DOUBLE) AS dfe
+          FROM sa CROSS JOIN sb CROSS JOIN sab CROSS JOIN gr)
+        SELECT CAST(ka AS BIGINT) AS a_levels,
+          CAST(kb AS BIGINT) AS b_levels, CAST(nt AS BIGINT) AS n,
+          ROUND(ssa / dfa / (sse / dfe), 6) AS f_a,
+          ROUND(ssb / dfb / (sse / dfe), 6) AS f_b,
+          ROUND(ssab / (dfa * dfb) / (sse / dfe), 6) AS f_interaction
+        FROM f"""
 }

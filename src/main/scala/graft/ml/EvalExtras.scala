@@ -339,4 +339,53 @@ object EvalExtras {
         SELECT "group", n, ROUND(tpr, 6) AS tpr, ROUND(fpr, 6) AS fpr,
           ROUND(tg, 6) AS tpr_gap, ROUND(fg, 6) AS fpr_gap
         FROM per CROSS JOIN gaps ORDER BY "group""""
+
+  /** Split-half reliability with the Spearman-Brown step-up: each
+    * entity's measurements split by a deterministic parity rule into
+    * two half-scores (decimal-exact means), Pearson r between the
+    * halves (mergeable Welford corr), and the full-length reliability
+    * 2r/(1+r) — "is this per-user metric stable enough to rank
+    * users on". One entity groupBy + one corr aggregate.
+    * Returns one row: (n_entities, half_corr 6dp, spearman_brown 6dp).
+    */
+  def splitHalfReliability(df: DataFrame, idCol: String,
+                           itemCol: String,
+                           valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val even = col(itemCol) % 2 === 0
+    val per = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(
+        (sum(when(even, v)).cast("double") /
+          sum(when(even, 1L))).as("__h1"),
+        (sum(when(!even, v)).cast("double") /
+          sum(when(!even, 1L))).as("__h2"))
+      .filter(col("__h1").isNotNull && col("__h2").isNotNull)
+    per.agg(count(lit(1)).as("n_entities"),
+        corr("__h1", "__h2").as("__r"))
+      .select(col("n_entities"), round(col("__r"), 6).as("half_corr"),
+        round(lit(2.0) * col("__r") / (lit(1.0) + col("__r")), 6)
+          .as("spearman_brown"))
+  }
+
+  /** DuckDB twin of [[splitHalfReliability]]; `srcCte` yields
+    * (id, item, v). */
+  def splitHalfReliabilityOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        per AS (SELECT id,
+            CAST(SUM(CASE WHEN item % 2 = 0 THEN
+                CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)
+              / SUM(CASE WHEN item % 2 = 0 THEN 1 END) AS h1,
+            CAST(SUM(CASE WHEN item % 2 <> 0 THEN
+                CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)
+              / SUM(CASE WHEN item % 2 <> 0 THEN 1 END) AS h2
+          FROM src WHERE v IS NOT NULL GROUP BY id),
+        ok AS (SELECT * FROM per WHERE h1 IS NOT NULL
+          AND h2 IS NOT NULL)
+        SELECT COUNT(*) AS n_entities,
+          ROUND(corr(h1, h2), 6) AS half_corr,
+          ROUND(2.0 * corr(h1, h2) / (1.0 + corr(h1, h2)), 6)
+            AS spearman_brown
+        FROM ok"""
 }

@@ -1546,4 +1546,53 @@ object Forecast {
             WHEN s < 0 THEN (s + 1) / SQRT(vs) ELSE 0.0 END, 6)
             AS z_stat
         FROM v"""
+
+  /** Upper-tail dependence between two daily series derived from the
+    * same stream (x = daily count, y = daily total): the share of
+    * days where BOTH sit in their own top quantile, versus the q²
+    * expected under independence — the "do extremes co-occur" number
+    * plain correlation hides (two series can be corr 0.3 yet always
+    * spike together). Quantile thresholds are exact-percentile plan
+    * literals; the rest is one integer aggregate. Returns one row:
+    * (n_days, q, n_joint, joint_share 6dp, lift 6dp). */
+  def tailDependence(events: DataFrame, tsCol: String,
+                     valueCol: String, q: Double = 0.8): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(col("n").cast("double").as("x"), col("total").as("y"))
+    val thr = d.agg(
+      element_at(graft.functions.ExactPercentiles
+        .exactPercentiles(col("x"), Seq(q)), 1).as("__tx"),
+      element_at(graft.functions.ExactPercentiles
+        .exactPercentiles(col("y"), Seq(q)), 1).as("__ty")).head()
+    val (tx, ty) = (thr.getDouble(0), thr.getDouble(1))
+    d.agg(count(lit(1)).as("n_days"),
+        sum((col("x") > tx && col("y") > ty).cast("long"))
+          .as("n_joint"))
+      .select(col("n_days"), lit(q).as("q"), col("n_joint"),
+        round(col("n_joint").cast("double") / col("n_days"), 6)
+          .as("joint_share"),
+        round(col("n_joint").cast("double") / col("n_days") /
+          ((1 - q) * (1 - q)), 6).as("lift"))
+  }
+
+  /** DuckDB twin of [[tailDependence]]. */
+  def tailDependenceOracleSql(tsExpr: String, valueExpr: String,
+                              table: String,
+                              q: Double = 0.8): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(COUNT(*) AS DOUBLE) AS x,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS y
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        thr AS (SELECT quantile_cont(x, $q) AS tx,
+            quantile_cont(y, $q) AS ty FROM d)
+        SELECT COUNT(*) AS n_days, $q AS q,
+          SUM(CASE WHEN x > tx AND y > ty THEN 1 ELSE 0 END)
+            AS n_joint,
+          ROUND(SUM(CASE WHEN x > tx AND y > ty THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS joint_share,
+          ROUND(SUM(CASE WHEN x > tx AND y > ty THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE) / ((1 - $q) * (1 - $q)), 6)
+            AS lift
+        FROM d CROSS JOIN thr"""
 }
