@@ -3136,7 +3136,68 @@ object SparkEntry {
       // does the train vocabulary even speak eval's language?
       // instance- and type-level OOV of the held-out split
       graft.text.VocabStats.oovRate(t(s, dir, "documents"),
-        "doc_id", "text", isEval = col("doc_id") % 50 === 0))
+        "doc_id", "text", isEval = col("doc_id") % 50 === 0)),
+    "q403_sobel_mediation" -> ((s, dir) =>
+      // does quantity move revenue THROUGH price? closed-form
+      // Baron-Kenny paths + Sobel z from one moments aggregate
+      // native-2dp columns only: a DERIVED 4dp product rounded to 2dp
+      // hits engine-divergent tie rounding (r10 found sy off by 6
+      // cents across ~6 tie rows) -- never feed synthesized rounded
+      // values into a hash-gated query
+      graft.ml.Causal.sobelMediation(
+        t(s, dir, "lineitem").select(col("l_quantity").as("x"),
+          col("l_extendedprice").as("m"),
+          (col("l_discount") * 100).as("y")), "x", "m", "y")),
+    "q404_eb_shrink" -> ((s, dir) =>
+      // empirical-Bayes shrinkage of per-nation mean balances — the
+      // small-group leaderboard correction
+      graft.ml.Causal.ebShrinkMeans(t(s, dir, "customer"),
+        "c_nationkey", "c_acctbal")),
+    "q405_stratified_ate" -> ((s, dir) =>
+      // nation-standardized BUILDING-segment effect on balance:
+      // g-formula over one discrete confounder
+      graft.ml.Causal.stratifiedAte(
+        t(s, dir, "customer").select(col("c_nationkey").as("s"),
+          (col("c_mktsegment") === "BUILDING").cast("int").as("tr"),
+          col("c_acctbal").as("y")), "s", "tr", "y")),
+    "q406_cum_incidence" -> ((s, dir) => {
+      // competing risks: days to first ERROR vs first PURCHASE per
+      // user — Aalen-Johansen CIF, not the overstating 1-KM
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(to_date(col("ts"))).as("__d0"),
+          min(when(col("event_type") === "error", to_date(col("ts"))))
+            .as("__de"),
+          min(when(col("event_type") === "purchase",
+            to_date(col("ts")))).as("__dp"),
+          max(to_date(col("ts"))).as("__dl"))
+        .select(
+          when(col("__de").isNotNull &&
+            (col("__dp").isNull || col("__de") <= col("__dp")),
+            struct(datediff(col("__de"), col("__d0")).as("dur"),
+              lit(1).as("cause")))
+          .when(col("__dp").isNotNull,
+            struct(datediff(col("__dp"), col("__d0")).as("dur"),
+              lit(2).as("cause")))
+          .otherwise(struct(datediff(col("__dl"), col("__d0"))
+            .as("dur"), lit(0).as("cause"))).as("o"))
+        .select(col("o.dur").as("dur"), col("o.cause").as("cause"))
+        .filter(col("dur") >= 0)
+      graft.ml.Stats.cumulativeIncidence(life, "dur", "cause")
+    }),
+    "q407_mcf" -> ((s, dir) =>
+      // expected errors per user by day t since first activity —
+      // the recurrent-event twin of a survival curve
+      graft.ml.Stats.meanCumulativeFunction(t(s, dir, "events"),
+        "user_id", "ts", isEvent = col("event_type") === "error")),
+    "q408_quantile_map" -> ((s, dir) => {
+      // batch-effect lookup: map urgent-order value quantiles onto
+      // low-priority quantiles (the normalization table)
+      val o = t(s, dir, "orders")
+      graft.eda.Robust.quantileMap(
+        o.filter(col("o_orderpriority") === "1-URGENT"),
+        o.filter(col("o_orderpriority") === "5-LOW"), "o_totalprice")
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7050,6 +7111,44 @@ object SparkEntry {
       .vocabCoverageOracleSql(ks = Seq(10, 100, 1000, 10000)),
     "q402_oov_rate" -> graft.text.VocabStats.oovRateOracleSql(
       "doc_id % 50 = 0"),
+    "q403_sobel_mediation" -> graft.ml.Causal.sobelMediationOracleSql(
+      """SELECT l_quantity AS x, l_extendedprice AS m,
+           l_discount * 100 AS y FROM lineitem"""),
+    "q404_eb_shrink" -> graft.ml.Causal.ebShrinkMeansOracleSql(
+      "SELECT c_nationkey AS grp, c_acctbal AS v FROM customer"),
+    "q405_stratified_ate" -> graft.ml.Causal.stratifiedAteOracleSql(
+      """SELECT c_nationkey AS s,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS tr,
+           c_acctbal AS y FROM customer"""),
+    "q406_cum_incidence" ->
+      graft.ml.Stats.cumulativeIncidenceOracleSql(
+        """SELECT
+             CASE WHEN de IS NOT NULL AND (dp IS NULL OR de <= dp)
+                 THEN date_diff('day', d0, de)
+               WHEN dp IS NOT NULL THEN date_diff('day', d0, dp)
+               ELSE date_diff('day', d0, dl) END AS dur,
+             CASE WHEN de IS NOT NULL AND (dp IS NULL OR de <= dp)
+                 THEN 1
+               WHEN dp IS NOT NULL THEN 2 ELSE 0 END AS cause
+           FROM (SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS d0,
+               MIN(CASE WHEN event_type = 'error'
+                 THEN CAST(ts AS DATE) END) AS de,
+               MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ts AS DATE) END) AS dp,
+               MAX(CAST(ts AS DATE)) AS dl
+             FROM events GROUP BY user_id)
+           WHERE CASE WHEN de IS NOT NULL AND (dp IS NULL OR de <= dp)
+               THEN date_diff('day', d0, de)
+             WHEN dp IS NOT NULL THEN date_diff('day', d0, dp)
+             ELSE date_diff('day', d0, dl) END >= 0"""),
+    "q407_mcf" -> graft.ml.Stats.meanCumulativeFunctionOracleSql(
+      "e.event_type = 'error'"),
+    "q408_quantile_map" -> graft.eda.Robust.quantileMapOracleSql(
+      """SELECT o_totalprice AS v FROM orders
+         WHERE o_orderpriority = '1-URGENT'""",
+      """SELECT o_totalprice AS v FROM orders
+         WHERE o_orderpriority = '5-LOW'"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

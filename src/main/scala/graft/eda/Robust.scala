@@ -214,4 +214,50 @@ object Robust {
           ROUND(MIN(CASE WHEN cn >= rk.k THEN v END), 6) AS ci_hi
         FROM cum CROSS JOIN rk
         GROUP BY rk.n"""
+
+  /** Quantile alignment map between two samples: for each probe
+    * quantile q the exact percentile of A, of B, and the shift
+    * B − A — the lookup table quantile normalization / batch-effect
+    * correction applies (map A's value at q onto B's). Two exact
+    * percentile aggregates, output rides the #quantiles frame.
+    * Returns (q, a_quantile 6dp, b_quantile 6dp, shift 6dp). */
+  def quantileMap(a: DataFrame, b: DataFrame, valueCol: String,
+                  qs: Seq[Double] =
+                    (1 to 9).map(_ / 10.0)): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def edges(df: DataFrame, nm: String) = df
+      .filter(col(valueCol).isNotNull)
+      .agg(graft.functions.ExactPercentiles.exactPercentiles(
+        col(valueCol).cast("double"), qs).as(nm))
+    val qFrame = a.sparkSession.createDataFrame(
+      qs.zipWithIndex.map { case (q, i) => (q, i + 1) })
+      .toDF("q", "__i")
+    qFrame.crossJoin(broadcast(edges(a, "__ea")))
+      .crossJoin(broadcast(edges(b, "__eb")))
+      .select(col("q"),
+        round(element_at(col("__ea"), col("__i")), 6)
+          .as("a_quantile"),
+        round(element_at(col("__eb"), col("__i")), 6)
+          .as("b_quantile"),
+        round(element_at(col("__eb"), col("__i")) -
+          element_at(col("__ea"), col("__i")), 6).as("shift"))
+      .orderBy("q")
+  }
+
+  /** DuckDB twin of [[quantileMap]]; `aCte`/`bCte` yield v. */
+  def quantileMapOracleSql(aCte: String, bCte: String,
+                           qs: Seq[Double] =
+                             (1 to 9).map(_ / 10.0)): String = {
+    val qList = qs.mkString("[", ", ", "]")
+    s"""WITH ea AS (SELECT quantile_cont(CAST(v AS DOUBLE), $qList)
+            AS e FROM ($aCte) WHERE v IS NOT NULL),
+        eb AS (SELECT quantile_cont(CAST(v AS DOUBLE), $qList) AS e
+          FROM ($bCte) WHERE v IS NOT NULL),
+        kf AS (SELECT UNNEST($qList) AS q,
+            UNNEST(range(1, ${qs.size + 1})) AS i)
+        SELECT q, ROUND(ea.e[i], 6) AS a_quantile,
+          ROUND(eb.e[i], 6) AS b_quantile,
+          ROUND(eb.e[i] - ea.e[i], 6) AS shift
+        FROM kf CROSS JOIN ea CROSS JOIN eb ORDER BY q"""
+  }
 }

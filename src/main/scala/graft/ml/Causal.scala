@@ -211,4 +211,224 @@ object Causal {
           ROUND(1.0 + (m0 - 1)
             * ((msb - msw) / (msb + (m0 - 1) * msw)), 6) AS deff
         FROM c3"""
+
+  /** Baron–Kenny mediation with the Sobel test, fully closed-form:
+    * a = slope of m ~ x, (b, c&apos;) from the 2-regressor y ~ m + x,
+    * indirect effect a·b, Sobel z = a·b / sqrt(b²·se_a² + a²·se_b²).
+    * One moments aggregate (exact decimal sums; x on an integer
+    * lattice for the cross products). Returns one row:
+    * (n, a 6dp, b 6dp, c_direct 6dp, indirect 6dp, sobel_z 6dp). */
+  def sobelMediation(df: DataFrame, xCol: String, mCol: String,
+                     yCol: String): DataFrame = {
+    // x on an integer lattice as DECIMAL(9,0): the x-cross products
+    // then accumulate exactly ((9,0)x(18,2) = (28,2)) -- a double
+    // x*m sum drifts with partition order (2dp values are not
+    // binary-exact) and flipped c_direct on a 6dp boundary in r10
+    val x = col(xCol).cast(DecimalType(9, 0))
+    val m = col(mCol).cast(DecimalType(18, 2))
+    val y = col(yCol).cast(DecimalType(18, 2))
+    val g = df.filter(col(xCol).isNotNull && col(mCol).isNotNull &&
+        col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"),
+        sum(m).cast("double").as("__sm"),
+        sum(y).cast("double").as("__sy"),
+        sum(x * x).cast("double").as("__sxx"),
+        sum(m * m).cast("double").as("__smm"),
+        sum(x * m).cast("double").as("__sxm"),
+        sum(x * y).cast("double").as("__sxy"),
+        sum(m * y).cast("double").as("__smy"),
+        sum(y * y).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val mx = col("__sx") / nd
+    val mm = col("__sm") / nd
+    val my = col("__sy") / nd
+    val sxx = col("__sxx") - nd * mx * mx
+    val smm = col("__smm") - nd * mm * mm
+    val sxm = col("__sxm") - nd * mx * mm
+    val sxy = col("__sxy") - nd * mx * my
+    val smy = col("__smy") - nd * mm * my
+    val syy = col("__syy") - nd * my * my
+    val a = sxm / sxx
+    val rssA = smm - a * sxm
+    val seA2 = (rssA / (nd - 2)) / sxx
+    val det = smm * sxx - sxm * sxm
+    val b = (smy * sxx - sxy * sxm) / det
+    val cPrime = (sxy * smm - smy * sxm) / det
+    val rssY = syy - b * smy - cPrime * sxy
+    val seB2 = (rssY / (nd - 3)) * sxx / det
+    val ab = a * b
+    g.select(col("n"), round(a, 6).as("a"), round(b, 6).as("b"),
+      round(cPrime, 6).as("c_direct"), round(ab, 6).as("indirect"),
+      round(ab / sqrt(b * b * seA2 + a * a * seB2), 6).as("sobel_z"))
+  }
+
+  /** DuckDB twin of [[sobelMediation]]; `srcCte` yields (x, m, y). */
+  def sobelMediationOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT CAST(x AS DECIMAL(9,0)) AS x,
+            CAST(m AS DECIMAL(18,2)) AS m, CAST(y AS DECIMAL(18,2)) AS y
+          FROM ($srcCte) WHERE x IS NOT NULL AND m IS NOT NULL
+            AND y IS NOT NULL),
+        g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+            CAST(SUM(m) AS DOUBLE) AS sm, CAST(SUM(y) AS DOUBLE) AS sy,
+            CAST(SUM(x * x) AS DOUBLE) AS sxx0,
+            CAST(SUM(m * m) AS DOUBLE) AS smm0,
+            CAST(SUM(x * m) AS DOUBLE) AS sxm0,
+            CAST(SUM(x * y) AS DOUBLE) AS sxy0,
+            CAST(SUM(m * y) AS DOUBLE) AS smy0,
+            CAST(SUM(y * y) AS DOUBLE) AS syy0
+          FROM src),
+        c AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+            sx / n AS mx, sm / n AS mm, sy / n AS my,
+            sxx0, smm0, sxm0, sxy0, smy0, syy0 FROM g),
+        cc AS (SELECT n, nd,
+            sxx0 - nd * mx * mx AS sxx, smm0 - nd * mm * mm AS smm,
+            sxm0 - nd * mx * mm AS sxm, sxy0 - nd * mx * my AS sxy,
+            smy0 - nd * mm * my AS smy, syy0 - nd * my * my AS syy
+          FROM c),
+        e AS (SELECT n, nd, sxx, smm, sxm, sxy, smy, syy,
+            sxm / sxx AS a,
+            (smy * sxx - sxy * sxm) / (smm * sxx - sxm * sxm) AS b,
+            (sxy * smm - smy * sxm) / (smm * sxx - sxm * sxm)
+              AS cprime,
+            smm * sxx - sxm * sxm AS det
+          FROM cc),
+        f AS (SELECT n, a, b, cprime,
+            ((smm - a * sxm) / (nd - 2)) / sxx AS sea2,
+            ((syy - b * smy - cprime * sxy) / (nd - 3)) * sxx / det
+              AS seb2
+          FROM e)
+        SELECT n, ROUND(a, 6) AS a, ROUND(b, 6) AS b,
+          ROUND(cprime, 6) AS c_direct, ROUND(a * b, 6) AS indirect,
+          ROUND(a * b / SQRT(b * b * sea2 + a * a * seb2), 6)
+            AS sobel_z
+        FROM f"""
+
+  /** Empirical-Bayes (normal–normal) shrinkage of per-group means —
+    * the James–Stein idea with unequal group sizes: method-of-moments
+    * τ̂² = max(0, var(group means) − mean(σ²/n_g)), then each group's
+    * posterior mean w·m_g + (1−w)·m̄ with w = τ²/(τ² + σ²/n_g). The
+    * "small sellers shouldn't top the leaderboard" correction. Exact
+    * decimal per-group moments; all shrinkage math on the k-row
+    * metadata frame. Returns (group, n, raw_mean 6dp, shrunk_mean 6dp,
+    * weight 6dp). */
+  def ebShrinkMeans(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val y = col(valueCol).cast(DecimalType(18, 2))
+    val per = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(y).cast("double").as("__s1"),
+        sum(y * y).cast("double").as("__s2"))
+      .filter(col("n") > 1)
+    val nd = col("n").cast("double")
+    val withM = per.select(col("group"), col("n"),
+      (col("__s1") / nd).as("__m"),
+      ((col("__s2") - nd * (col("__s1") / nd) * (col("__s1") / nd)) /
+        (nd - 1) / nd).as("__se2"))
+    val hyper = withM.agg(count(lit(1)).as("__k"),
+      avg("__m").as("__gm"),
+      (sum(col("__m") * col("__m")) / count(lit(1))).as("__m2"),
+      avg("__se2").as("__mse2"))
+      .select(col("__k"), col("__gm"),
+        greatest(col("__m2") - col("__gm") * col("__gm") -
+          col("__mse2"), lit(0.0)).as("__tau2"), col("__mse2"))
+    val w = col("__tau2") / (col("__tau2") + col("__se2"))
+    withM.crossJoin(broadcast(hyper))
+      .select(col("group"), col("n"), round(col("__m"), 6)
+        .as("raw_mean"),
+        round(w * col("__m") + (lit(1.0) - w) * col("__gm"), 6)
+          .as("shrunk_mean"),
+        round(w, 6).as("weight"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[ebShrinkMeans]]; `srcCte` yields (grp, v). */
+  def ebShrinkMeansOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        per AS (SELECT grp AS "group", COUNT(*) AS n,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))
+              * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM src WHERE v IS NOT NULL GROUP BY grp
+          HAVING COUNT(*) > 1),
+        wm AS (SELECT "group", n, s1 / CAST(n AS DOUBLE) AS m,
+            (s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1)
+              / CAST(n AS DOUBLE) AS se2
+          FROM per),
+        hyper AS (SELECT COUNT(*) AS k, AVG(m) AS gm,
+            GREATEST(SUM(m * m) / COUNT(*) - AVG(m) * AVG(m)
+              - AVG(se2), 0.0) AS tau2
+          FROM wm)
+        SELECT "group", n, ROUND(m, 6) AS raw_mean,
+          ROUND((tau2 / (tau2 + se2)) * m
+            + (1.0 - tau2 / (tau2 + se2)) * gm, 6) AS shrunk_mean,
+          ROUND(tau2 / (tau2 + se2), 6) AS weight
+        FROM wm CROSS JOIN hyper ORDER BY "group""""
+
+  /** Stratified ATE (g-formula standardization over one discrete
+    * confounder): per stratum the treated-vs-control mean gap, then
+    * the stratum-size-weighted average — the adjusted effect when
+    * treatment assignment depends on the stratum. Exact decimal cell
+    * sums; everything after rides the #strata metadata frame. Strata
+    * missing either arm drop out (positivity violation, counted).
+    * Returns one row: (n_strata, n_dropped, n_units, naive_diff 6dp,
+    * adjusted_ate 6dp). */
+  def stratifiedAte(df: DataFrame, stratumCol: String, treatCol: String,
+                    yCol: String): DataFrame = {
+    val y = col(yCol).cast(DecimalType(18, 2))
+    val tr = col(treatCol).cast("int") === 1
+    val cells = df.filter(col(yCol).isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(tr, 1L).otherwise(0L)).as("__nt"),
+        sum(when(tr, y)).cast("double").as("__st"),
+        sum(when(!tr, y)).cast("double").as("__sc"))
+    val ok = col("__nt") > 0 && col("__nt") < col("__n")
+    val diff = col("__st") / col("__nt").cast("double") -
+      col("__sc") / (col("__n") - col("__nt")).cast("double")
+    val naive = df.filter(col(yCol).isNotNull).agg(
+      (sum(when(tr, y)).cast("double") / sum(when(tr, 1L)) -
+        sum(when(!tr, y)).cast("double") / sum(when(!tr, 1L)))
+        .as("__naive"))
+    cells.crossJoin(broadcast(naive))
+      .agg(sum(ok.cast("long")).as("n_strata"),
+        sum((!ok).cast("long")).as("n_dropped"),
+        sum(when(ok, col("__n"))).as("n_units"),
+        first("__naive").as("__nv"),
+        sum(when(ok, diff * col("__n").cast("double"))).as("__wd"))
+      .select(col("n_strata"), col("n_dropped"), col("n_units"),
+        round(col("__nv"), 6).as("naive_diff"),
+        round(col("__wd") / col("n_units").cast("double"), 6)
+          .as("adjusted_ate"))
+  }
+
+  /** DuckDB twin of [[stratifiedAte]]; `srcCte` yields (s, tr, y). */
+  def stratifiedAteOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT s, CAST(tr AS INT) AS tr,
+            CAST(y AS DECIMAL(18,2)) AS y
+          FROM ($srcCte) WHERE y IS NOT NULL),
+        cells AS (SELECT s, COUNT(*) AS n,
+            SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS nt,
+            CAST(SUM(CASE WHEN tr = 1 THEN y END) AS DOUBLE) AS st,
+            CAST(SUM(CASE WHEN tr <> 1 THEN y END) AS DOUBLE) AS sc
+          FROM src GROUP BY s),
+        naive AS (SELECT
+            CAST(SUM(CASE WHEN tr = 1 THEN y END) AS DOUBLE)
+              / SUM(CASE WHEN tr = 1 THEN 1 END)
+            - CAST(SUM(CASE WHEN tr <> 1 THEN y END) AS DOUBLE)
+              / SUM(CASE WHEN tr <> 1 THEN 1 END) AS nv
+          FROM src),
+        f AS (SELECT (nt > 0 AND nt < n) AS ok, n, nt, st, sc
+          FROM cells)
+        SELECT SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_strata,
+          SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS n_dropped,
+          CAST(SUM(CASE WHEN ok THEN n END) AS BIGINT) AS n_units,
+          ROUND(ANY_VALUE(nv), 6) AS naive_diff,
+          ROUND(SUM(CASE WHEN ok THEN
+              (st / nt - sc / (n - nt)) * n END)
+            / CAST(SUM(CASE WHEN ok THEN n END) AS DOUBLE), 6)
+            AS adjusted_ate
+        FROM f CROSS JOIN naive"""
 }

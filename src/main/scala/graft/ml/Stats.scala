@@ -1607,4 +1607,119 @@ object Stats {
               / ($k * sr - srr) END, 6) AS q_stat
         FROM g LIMIT 1"""
   }
+
+  /** Competing-risks cumulative incidence (Aalen–Johansen for two
+    * event causes): CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s) with S the
+    * ALL-CAUSE Kaplan–Meier — the quantity naive "1 − KM per cause"
+    * overstates when risks compete. Same life-table shape as
+    * [[kaplanMeier]]: one duration groupBy, windows on the
+    * distinct-duration frame. `causeCol`: 0 = censored, 1, 2.
+    * Returns (t, n_at_risk, d1, d2, cif1 6dp, cif2 6dp). */
+  def cumulativeIncidence(df: DataFrame, durationCol: String,
+                          causeCol: String): DataFrame = {
+    val d = col(durationCol).cast("double")
+    val byT = df.groupBy(d.as("t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(causeCol) === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col(causeCol) === 2, 1L).otherwise(0L)).as("d2"))
+    val wDesc = Window.orderBy(desc("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byT.withColumn("n_at_risk", sum("__n").over(wDesc))
+    val wcum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dAll = (col("d1") + col("d2")).cast("double")
+    val factor = lit(1.0) - dAll / col("n_at_risk")
+    val zeros = sum(when(factor <= 0, 1).otherwise(0)).over(wcum)
+    val surv = when(zeros > 0, lit(0.0)).otherwise(
+      round(exp(sum(when(factor > 0, log(factor))).over(wcum)), 6))
+    val withS = atRisk
+      .withColumn("__s", surv)
+      .withColumn("__sPrev",
+        coalesce(lag("__s", 1).over(Window.orderBy("t")), lit(1.0)))
+    withS.filter(col("d1") + col("d2") > 0)
+      .withColumn("cif1", round(sum(col("__sPrev") *
+        col("d1").cast("double") / col("n_at_risk"))
+        .over(wcum), 6))
+      .withColumn("cif2", round(sum(col("__sPrev") *
+        col("d2").cast("double") / col("n_at_risk"))
+        .over(wcum), 6))
+      .select(col("t"), col("n_at_risk"), col("d1"), col("d2"),
+        col("cif1"), col("cif2"))
+  }
+
+  /** DuckDB twin of [[cumulativeIncidence]]; `lifeCte` yields
+    * (dur, cause). */
+  def cumulativeIncidenceOracleSql(lifeCte: String): String =
+    s"""WITH life AS ($lifeCte),
+        byt AS (SELECT CAST(dur AS DOUBLE) AS t, COUNT(*) AS n,
+            SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d1,
+            SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d2
+          FROM life GROUP BY 1),
+        ar AS (SELECT t, d1, d2,
+            SUM(n) OVER (ORDER BY t DESC) AS r FROM byt),
+        km0 AS (SELECT t, d1, d2, r,
+            1.0 - CAST(d1 + d2 AS DOUBLE) / r AS factor FROM ar),
+        km1 AS (SELECT t, d1, d2, r,
+            SUM(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+              OVER (ORDER BY t) AS zeros,
+            SUM(CASE WHEN factor > 0 THEN LN(factor) END)
+              OVER (ORDER BY t) AS lsum
+          FROM km0),
+        km AS (SELECT t, d1, d2, r,
+            CASE WHEN zeros > 0 THEN 0.0
+              ELSE ROUND(EXP(lsum), 6) END AS s FROM km1),
+        sp AS (SELECT t, d1, d2, r,
+            COALESCE(LAG(s, 1) OVER (ORDER BY t), 1.0) AS sprev
+          FROM km)
+        SELECT t, CAST(r AS BIGINT) AS n_at_risk,
+          CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+          ROUND(SUM(sprev * CAST(d1 AS DOUBLE) / r)
+            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW), 6) AS cif1,
+          ROUND(SUM(sprev * CAST(d2 AS DOUBLE) / r)
+            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW), 6) AS cif2
+        FROM sp WHERE d1 + d2 > 0"""
+
+  /** Mean cumulative function for RECURRENT events (Nelson estimator):
+    * MCF(t) = Σ_{s≤t} (events at s across the cohort) / n_cohort —
+    * "expected errors per entity by day t", the recurrent-event twin
+    * of a survival curve (no terminal state, entities keep
+    * contributing). Day offsets from each entity's first event; one
+    * groupBy per offset + one cohort scalar. Returns
+    * (day_offset, n_events, mcf 6dp). */
+  def meanCumulativeFunction(events: DataFrame, userCol: String,
+                             tsCol: String,
+                             isEvent: Column): DataFrame = {
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val first = ev.groupBy(col(userCol).as("__u"))
+      .agg(min(to_date(col(tsCol))).as("__d0"))
+    val cohort = first.count()
+    val perDay = ev.filter(isEvent)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .join(first, Seq("__u"))
+      .select(datediff(col("__d"), col("__d0")).as("day_offset"))
+      .groupBy("day_offset").agg(count(lit(1)).as("n_events"))
+    val wcum = Window.orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("mcf",
+        round(sum("n_events").over(wcum).cast("double") / cohort, 6))
+      .orderBy("day_offset")
+  }
+
+  /** DuckDB twin of [[meanCumulativeFunction]]; `eventPred` selects
+    * the recurrent event rows. */
+  def meanCumulativeFunctionOracleSql(eventPred: String): String =
+    s"""WITH fst AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+          FROM events GROUP BY user_id),
+        coh AS (SELECT COUNT(*) AS n FROM fst),
+        per AS (SELECT date_diff('day', fst.d0, CAST(e.ts AS DATE))
+              AS day_offset, COUNT(*) AS n_events
+          FROM events e JOIN fst ON e.user_id = fst.user_id
+          WHERE $eventPred GROUP BY 1)
+        SELECT CAST(day_offset AS INT) AS day_offset, n_events,
+          ROUND(CAST(SUM(n_events) OVER (ORDER BY day_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / (SELECT n FROM coh), 6) AS mcf
+        FROM per ORDER BY day_offset"""
 }
