@@ -3197,6 +3197,44 @@ object SparkEntry {
       graft.eda.Robust.quantileMap(
         o.filter(col("o_orderpriority") === "1-URGENT"),
         o.filter(col("o_orderpriority") === "5-LOW"), "o_totalprice")
+    }),
+    "q409_neyman" -> ((s, dir) =>
+      // eval-set design: spend a 1000-label budget where nations are
+      // big AND noisy (Neyman), vs proportional for contrast
+      graft.eda.DataAudit.neymanAllocation(t(s, dir, "customer"),
+        "c_nationkey", "c_acctbal", budget = 1000L)),
+    "q410_rich_club" -> ((s, dir) =>
+      // do proximity-graph hubs wire to each other? phi(k) curve
+      graft.proximity.Truss.richClub(proximityEdges(s, dir),
+        ks = Seq(1, 2, 3, 4))),
+    "q411_det_sample" -> ((s, dir) =>
+      // reproducible 3-per-source audit sample by md5 order — the
+      // oracle-checkable face of q37's smart sample
+      graft.eda.DataAudit.deterministicSample(t(s, dir, "documents"),
+        "source", "doc_id", k = 3)),
+    "q412_gini_stump" -> ((s, dir) =>
+      // depth-1 tree in one pass: the price threshold that best
+      // splits urgent from non-urgent orders by Gini
+      graft.ml.EvalExtras.giniStump(
+        t(s, dir, "orders").select(col("o_totalprice").as("f"),
+          (col("o_orderpriority") === "1-URGENT").cast("int")
+            .as("l")), "f", "l")),
+    "q413_calibration" -> ((s, dir) =>
+      // linear calibration audit of a pseudo-probability: CITL +
+      // slope/intercept (slope < 1 = overconfident spread)
+      graft.ml.EvalExtras.linearCalibration(
+        t(s, dir, "customer").select(
+          ((col("c_custkey") % 100).cast("double") / 100).as("p"),
+          (col("c_acctbal") > 0).cast("int").as("l")), "p", "l")),
+    "q414_kendall_w" -> ((s, dir) => {
+      // do the five event types agree on which days were big?
+      // Kendall's W over per-type daily-total rankings
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val daily = ev.groupBy(col("event_type").as("r"),
+          to_date(col("ts")).as("i"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast("double").as("v"))
+      graft.eda.StatTests.kendallW(daily, "r", "i", "v")
     })
   )
 
@@ -7149,6 +7187,28 @@ object SparkEntry {
          WHERE o_orderpriority = '1-URGENT'""",
       """SELECT o_totalprice AS v FROM orders
          WHERE o_orderpriority = '5-LOW'"""),
+    "q409_neyman" -> graft.eda.DataAudit.neymanAllocationOracleSql(
+      "SELECT c_nationkey AS s, c_acctbal AS v FROM customer",
+      budget = 1000L),
+    "q410_rich_club" -> graft.proximity.Truss.richClubOracleSql(
+      s"eg AS ($proximityEdgesSql)", "eg", ks = Seq(1, 2, 3, 4)),
+    "q411_det_sample" ->
+      graft.eda.DataAudit.deterministicSampleOracleSql(
+        "SELECT source AS g, doc_id AS id FROM documents", k = 3),
+    "q412_gini_stump" -> graft.ml.EvalExtras.giniStumpOracleSql(
+      """SELECT o_totalprice AS f,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             AS l
+         FROM orders"""),
+    "q413_calibration" ->
+      graft.ml.EvalExtras.linearCalibrationOracleSql(
+        """SELECT CAST(c_custkey % 100 AS DOUBLE) / 100 AS p,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS l
+           FROM customer"""),
+    "q414_kendall_w" -> graft.eda.StatTests.kendallWOracleSql(
+      """SELECT event_type AS r, CAST(ts AS DATE) AS i,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         FROM events GROUP BY event_type, CAST(ts AS DATE)"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -184,4 +184,85 @@ object DataAudit {
           ROUND(CAST(SUM(CAST(ROUND(rel, 9) AS DECIMAL(28,9)))
             AS DOUBLE) / COUNT(*), 6) AS mean_rel_diff
         FROM j"""
+
+  /** Neyman allocation for stratified sampling: n_h ∝ N_h·σ_h — the
+    * eval-set design table ("spend your labeling budget where the
+    * strata are big AND noisy"), next to the proportional allocation
+    * for contrast. Exact decimal per-stratum moments; the allocation
+    * math rides the k-row frame. Returns (stratum, n_pop, sigma 6dp,
+    * share_neyman 6dp, n_neyman, share_prop 6dp). */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    val y = col(valueCol).cast(DecimalType(18, 2))
+    val per = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(y).cast("double").as("__s1"),
+        sum(y * y).cast("double").as("__s2"))
+      .filter(col("n_pop") > 1)
+    val nd = col("n_pop").cast("double")
+    val sig = sqrt((col("__s2") - nd * (col("__s1") / nd) *
+      (col("__s1") / nd)) / (nd - 1))
+    val withS = per.select(col("stratum"), col("n_pop"),
+      sig.as("__sig"), (nd * sig).as("__w"))
+    val tot = withS.agg(sum("__w").as("__tw"), sum("n_pop").as("__tn"))
+    withS.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_pop"),
+        round(col("__sig"), 6).as("sigma"),
+        round(col("__w") / col("__tw"), 6).as("share_neyman"),
+        floor(lit(budget.toDouble) * col("__w") / col("__tw"))
+          .cast("long").as("n_neyman"),
+        round(col("n_pop").cast("double") / col("__tn"), 6)
+          .as("share_prop"))
+      .orderBy("stratum")
+  }
+
+  /** DuckDB twin of [[neymanAllocation]]; `srcCte` yields (s, v). */
+  def neymanAllocationOracleSql(srcCte: String, budget: Long): String =
+    s"""WITH src AS ($srcCte),
+        per AS (SELECT s AS stratum, COUNT(*) AS n_pop,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))
+              * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM src WHERE v IS NOT NULL GROUP BY s
+          HAVING COUNT(*) > 1),
+        ws AS (SELECT stratum, n_pop,
+            SQRT((s2 - CAST(n_pop AS DOUBLE) * (s1 / n_pop)
+              * (s1 / n_pop)) / (CAST(n_pop AS DOUBLE) - 1)) AS sig
+          FROM per),
+        w2 AS (SELECT stratum, n_pop, sig,
+            CAST(n_pop AS DOUBLE) * sig AS w FROM ws),
+        tot AS (SELECT SUM(w) AS tw, SUM(n_pop) AS tn FROM w2)
+        SELECT stratum, n_pop, ROUND(sig, 6) AS sigma,
+          ROUND(w / tw, 6) AS share_neyman,
+          CAST(FLOOR($budget.0 * w / tw) AS BIGINT) AS n_neyman,
+          ROUND(CAST(n_pop AS DOUBLE) / tn, 6) AS share_prop
+        FROM w2 CROSS JOIN tot ORDER BY stratum"""
+
+  /** Deterministic stratified subsample: the k rows per group with
+    * the smallest md5(id) — reproducible on any engine and any run
+    * (the q37 smart-sample idea, made oracle-checkable because both
+    * engines agree on md5 of the same string). Group-partitioned
+    * row_number, k bounded. Returns (group, id, sample_rank). */
+  def deterministicSample(df: DataFrame, groupCol: String,
+                          idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("id").cast("string"))
+    val w = Window.partitionBy(col("group")).orderBy(h, col("id"))
+    df.select(col(groupCol).as("group"), col(idCol).as("id"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .orderBy("group", "sample_rank")
+  }
+
+  /** DuckDB twin of [[deterministicSample]]; `srcCte` yields (g, id).
+    */
+  def deterministicSampleOracleSql(srcCte: String, k: Int): String =
+    s"""WITH src AS ($srcCte),
+        r AS (SELECT g AS "group", id,
+            ROW_NUMBER() OVER (PARTITION BY g
+              ORDER BY md5(CAST(id AS VARCHAR)), id) AS sample_rank
+          FROM src)
+        SELECT * FROM r WHERE sample_rank <= $k
+        ORDER BY "group", sample_rank"""
 }

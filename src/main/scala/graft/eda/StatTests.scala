@@ -897,4 +897,81 @@ object StatTests {
           ROUND(ssb / dfb / (sse / dfe), 6) AS f_b,
           ROUND(ssab / (dfa * dfb) / (sse / dfe), 6) AS f_interaction
         FROM f"""
+
+  /** Kendall's W — concordance of k "raters" each ranking the same m
+    * items (tie-corrected): W = 12·S / (k²(m³−m) − k·ΣTⱼ), S the
+    * spread of per-item rank sums. 1 = every rater agrees, 0 = no
+    * agreement. Items missing any rater drop (complete blocks).
+    * Per-rater midranks come from one groupBy over (rater, value)
+    * cells + a per-rater prefix window on the distinct-value frame
+    * (bounded per rater by construction — the caller aggregates to
+    * items first). Returns one row: (k, m, w 6dp). */
+  def kendallW(df: DataFrame, raterCol: String, itemCol: String,
+               valueCol: String): DataFrame = {
+    val base = df.select(col(raterCol).as("__r"),
+        col(itemCol).as("__i"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val kFrame = base.agg(countDistinct("__r").as("__k"))
+    val complete = base.groupBy("__i")
+      .agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(kFrame))
+      .filter(col("__c") === col("__k"))
+      .select("__i")
+    val kept = base.join(complete, Seq("__i"))
+    val cells = kept.groupBy("__r", "__v")
+      .agg(count(lit(1)).as("__n"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("__r").orderBy("__v")
+    val ranks = cells.withColumn("__rank",
+      (sum("__n").over(wv) - col("__n")).cast("double") +
+        (col("__n").cast("double") + 1) / 2)
+    val tiePerRater = cells.groupBy("__r")
+      .agg(sum(col("__n") * col("__n") * col("__n") - col("__n"))
+        .as("__t"))
+    val ties = tiePerRater.agg(sum("__t").as("__tt"))
+    val perItem = kept
+      .join(ranks.select(col("__r"), col("__v"), col("__rank")),
+        Seq("__r", "__v"))
+      .groupBy("__i").agg(sum("__rank").as("__ri"))
+    val g = perItem.agg(count(lit(1)).as("m"),
+      sum("__ri").as("__sr"),
+      sum(col("__ri") * col("__ri")).as("__srr"))
+    val md = col("m").cast("double")
+    val kd = col("__k").cast("double")
+    val sStat = col("__srr") - col("__sr") * col("__sr") / md
+    g.crossJoin(broadcast(kFrame)).crossJoin(broadcast(ties))
+      .select(col("__k").as("k"), col("m"),
+        round(lit(12.0) * sStat /
+          (kd * kd * (md * md * md - md) -
+            kd * col("__tt").cast("double")), 6).as("w"))
+  }
+
+  /** DuckDB twin of [[kendallW]]; `srcCte` yields (r, i, v). */
+  def kendallWOracleSql(srcCte: String): String =
+    s"""WITH base AS (SELECT r, i, CAST(v AS DOUBLE) AS v
+          FROM ($srcCte) WHERE v IS NOT NULL
+            AND NOT isnan(CAST(v AS DOUBLE))),
+        kk AS (SELECT COUNT(DISTINCT r) AS k FROM base),
+        complete AS (SELECT i FROM base GROUP BY i
+          HAVING COUNT(*) = (SELECT k FROM kk)),
+        kept AS (SELECT base.* FROM base JOIN complete USING (i)),
+        cells AS (SELECT r, v, COUNT(*) AS n FROM kept GROUP BY r, v),
+        rk AS (SELECT r, v,
+            CAST(SUM(n) OVER (PARTITION BY r ORDER BY v) - n
+              AS DOUBLE) + (CAST(n AS DOUBLE) + 1) / 2 AS rnk
+          FROM cells),
+        tt AS (SELECT SUM(CAST(n AS HUGEINT) * n * n - n) AS t
+          FROM cells),
+        pi AS (SELECT kept.i, SUM(rk.rnk) AS ri
+          FROM kept JOIN rk ON kept.r = rk.r AND kept.v = rk.v
+          GROUP BY kept.i),
+        g AS (SELECT COUNT(*) AS m, SUM(ri) AS sr,
+            SUM(ri * ri) AS srr FROM pi)
+        SELECT CAST(kk.k AS BIGINT) AS k, CAST(g.m AS BIGINT) AS m,
+          ROUND(12.0 * (g.srr - g.sr * g.sr / g.m)
+            / (CAST(kk.k AS DOUBLE) * kk.k
+              * (CAST(g.m AS DOUBLE) * g.m * g.m - g.m)
+              - kk.k * CAST(tt.t AS DOUBLE)), 6) AS w
+        FROM g CROSS JOIN kk CROSS JOIN tt"""
 }

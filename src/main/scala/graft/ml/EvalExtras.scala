@@ -388,4 +388,126 @@ object EvalExtras {
           ROUND(2.0 * corr(h1, h2) / (1.0 + corr(h1, h2)), 6)
             AS spearman_brown
         FROM ok"""
+
+  /** Best decision stump by Gini impurity over every distinct
+    * threshold in one pass: split at v (left = score < v), weighted
+    * Gini = Σ_side n_side/n · (1 − p² − (1−p)²), all from the rank
+    * kernel's prefix counts — training a depth-1 tree without a
+    * sort, a shuffle per candidate, or an ML library. Returns one
+    * row: (threshold, n_left, n_right, gini 6dp, p_left 6dp,
+    * p_right 6dp). */
+  def giniStump(df: DataFrame, featureCol: String,
+                labelCol: String): DataFrame = {
+    val stacked = df.select(col(featureCol).cast("double").as("__v"),
+        col(labelCol).cast("int").as("__l"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .withColumn("__g", lit("all"))
+    val ranked = graft.ml.Metrics.rankedScores(
+      stacked, "__g", "__l", "__v", 256)
+    val totals = ranked.agg(sum("n_pos").as("__np"),
+      sum("n").as("__nt"))
+    val base = ranked.crossJoin(broadcast(totals))
+      .filter(col("before") > 0) // left side must be non-empty
+    val nl = col("before").cast("double")
+    val nr = (col("__nt") - col("before")).cast("double")
+    val pl = col("before_pos").cast("double") / nl
+    val pr = (col("__np") - col("before_pos")).cast("double") / nr
+    val gini = nl / col("__nt") *
+      (lit(1.0) - pl * pl - (lit(1.0) - pl) * (lit(1.0) - pl)) +
+      nr / col("__nt") *
+      (lit(1.0) - pr * pr - (lit(1.0) - pr) * (lit(1.0) - pr))
+    base
+      .select(col("score"), col("before"), col("__nt"),
+        gini.as("__gini"), pl.as("__pl"), pr.as("__pr"))
+      .agg(min_by(struct(col("score"), col("before"), col("__nt"),
+        col("__gini"), col("__pl"), col("__pr")),
+        struct(col("__gini"), col("score"))).as("__w"))
+      .select(round(col("__w.score"), 6).as("threshold"),
+        col("__w.before").as("n_left"),
+        (col("__w.__nt") - col("__w.before")).as("n_right"),
+        round(col("__w.__gini"), 6).as("gini"),
+        round(col("__w.__pl"), 6).as("p_left"),
+        round(col("__w.__pr"), 6).as("p_right"))
+  }
+
+  /** DuckDB twin of [[giniStump]]; `srcCte` yields (f, l). */
+  def giniStumpOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT CAST(f AS DOUBLE) AS v,
+            CAST(l AS INT) AS l FROM ($srcCte)
+          WHERE f IS NOT NULL AND NOT isnan(CAST(f AS DOUBLE))),
+        m AS (SELECT v, COUNT(*) AS n, SUM(l) AS np FROM src
+          GROUP BY v),
+        t AS (SELECT SUM(np) AS tp, SUM(n) AS nt FROM m),
+        c AS (SELECT v,
+            SUM(n) OVER (ORDER BY v) - n AS bef,
+            SUM(np) OVER (ORDER BY v) - np AS befp
+          FROM m),
+        g AS (SELECT c.v AS score, c.bef, t.nt,
+            CAST(c.befp AS DOUBLE) / c.bef AS pl,
+            CAST(t.tp - c.befp AS DOUBLE) / (t.nt - c.bef) AS pr
+          FROM c CROSS JOIN t WHERE c.bef > 0),
+        sc AS (SELECT score, bef, nt, pl, pr,
+            CAST(bef AS DOUBLE) / nt
+              * (1.0 - pl * pl - (1.0 - pl) * (1.0 - pl))
+            + CAST(nt - bef AS DOUBLE) / nt
+              * (1.0 - pr * pr - (1.0 - pr) * (1.0 - pr)) AS gini
+          FROM g)
+        SELECT ROUND(score, 6) AS threshold,
+          CAST(bef AS BIGINT) AS n_left,
+          CAST(nt - bef AS BIGINT) AS n_right,
+          ROUND(gini, 6) AS gini, ROUND(pl, 6) AS p_left,
+          ROUND(pr, 6) AS p_right
+        FROM sc ORDER BY gini, score LIMIT 1"""
+
+  /** Linear calibration audit: calibration-in-the-large
+    * (mean(pred) − rate) and the linear calibration slope/intercept
+    * of label ~ pred (the linear-probability cousin of logistic
+    * recalibration — slope < 1 means overconfident spread). Exact
+    * sums: pred quantizes at 6dp, label is 0/1. Returns one row:
+    * (n, mean_pred 6dp, base_rate 6dp, citl 6dp, cal_slope 6dp,
+    * cal_intercept 6dp). */
+  def linearCalibration(df: DataFrame, predCol: String,
+                        labelCol: String): DataFrame = {
+    val p6 = round(col(predCol).cast("double"), 6)
+      .cast(DecimalType(10, 6))
+    val l = col(labelCol).cast("long")
+    val g = df.filter(col(predCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(p6).cast("double").as("__sp"),
+        sum(l).cast("double").as("__sl"),
+        sum(p6 * p6).cast("double").as("__spp"),
+        sum(when(l === 1, p6)).cast("double").as("__spl"))
+    val nd = col("n").cast("double")
+    val mp = col("__sp") / nd
+    val ml = col("__sl") / nd
+    val spp = col("__spp") - nd * mp * mp
+    val spl = col("__spl") - nd * mp * ml
+    val slope = spl / spp
+    g.select(col("n"), round(mp, 6).as("mean_pred"),
+      round(ml, 6).as("base_rate"),
+      round(mp - ml, 6).as("citl"),
+      round(slope, 6).as("cal_slope"),
+      round(ml - slope * mp, 6).as("cal_intercept"))
+  }
+
+  /** DuckDB twin of [[linearCalibration]]; `srcCte` yields (p, l). */
+  def linearCalibrationOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT
+            CAST(ROUND(CAST(p AS DOUBLE), 6) AS DECIMAL(10,6)) AS p,
+            CAST(l AS BIGINT) AS l
+          FROM ($srcCte) WHERE p IS NOT NULL),
+        g AS (SELECT COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS sp,
+            CAST(SUM(l) AS DOUBLE) AS sl,
+            CAST(SUM(p * p) AS DOUBLE) AS spp,
+            CAST(SUM(CASE WHEN l = 1 THEN p END) AS DOUBLE) AS spl
+          FROM src),
+        c AS (SELECT n, CAST(n AS DOUBLE) AS nd, sp / n AS mp,
+            sl / n AS ml, spp, spl FROM g),
+        s2 AS (SELECT n, mp, ml,
+            (spl - nd * mp * ml) / (spp - nd * mp * mp) AS slope
+          FROM c)
+        SELECT n, ROUND(mp, 6) AS mean_pred, ROUND(ml, 6) AS base_rate,
+          ROUND(mp - ml, 6) AS citl, ROUND(slope, 6) AS cal_slope,
+          ROUND(ml - slope * mp, 6) AS cal_intercept
+        FROM s2"""
 }

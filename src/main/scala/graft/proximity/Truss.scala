@@ -60,4 +60,66 @@ object Truss {
         SELECT COALESCE(sup.s, 0) AS support, COUNT(*) AS n_edges
         FROM canon LEFT JOIN sup ON canon.a = sup.a AND canon.b = sup.b
         GROUP BY COALESCE(sup.s, 0) ORDER BY support"""
+
+  /** Rich-club coefficient curve: φ(k) = 2·E_k / (N_k·(N_k−1)) where
+    * N_k = nodes with degree > k and E_k = edges between them — do
+    * the hubs preferentially wire to each other? One degree groupBy,
+    * then per k (a small literal grid) one semi-joined edge count.
+    * Returns (k, n_nodes, n_edges_within, phi 6dp). */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    val kFrame = edges.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k")
+    val nodesAtK = kFrame.join(deg, col("__d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val edgesAtK = kFrame
+      .join(canon.join(deg.select(col("id").as("a"),
+          col("__d").as("__da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("__d").as("__db")),
+          Seq("b")),
+        col("__da") > col("k") && col("__db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges_within"))
+    nodesAtK.join(edgesAtK, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges_within"), lit(0L)).as("n_edges_within"),
+        round(when(col("n_nodes") > 1,
+          lit(2.0) * coalesce(col("n_edges_within"), lit(0L)) /
+            (col("n_nodes") * (col("n_nodes") - 1))), 6).as("phi"))
+      .orderBy("k")
+  }
+
+  /** DuckDB twin of [[richClub]]; `edgesCte`/`finalCte` as in
+    * [[supportHistogramOracleSql]]. */
+  def richClubOracleSql(edgesCte: String, finalCte: String,
+                        ks: Seq[Int]): String = {
+    val kList = ks.mkString("[", ", ", "]")
+    s"""WITH $edgesCte,
+        canon AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b
+          FROM $finalCte WHERE src <> dst),
+        deg AS (SELECT id, COUNT(*) AS d FROM (
+          SELECT a AS id FROM canon
+          UNION ALL SELECT b FROM canon) GROUP BY id),
+        kf AS (SELECT UNNEST($kList) AS k),
+        nk AS (SELECT kf.k, COUNT(*) AS n_nodes
+          FROM kf JOIN deg ON deg.d > kf.k GROUP BY kf.k),
+        ek AS (SELECT kf.k, COUNT(*) AS ne
+          FROM kf JOIN canon ON TRUE
+          JOIN deg da ON canon.a = da.id AND da.d > kf.k
+          JOIN deg db ON canon.b = db.id AND db.d > kf.k
+          GROUP BY kf.k)
+        SELECT CAST(nk.k AS INT) AS k, nk.n_nodes,
+          COALESCE(ek.ne, 0) AS n_edges_within,
+          ROUND(CASE WHEN nk.n_nodes > 1 THEN
+            2.0 * COALESCE(ek.ne, 0)
+              / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1)) END, 6)
+            AS phi
+        FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY k"""
+  }
 }
