@@ -3235,7 +3235,52 @@ object SparkEntry {
         .agg(sum(col("value").cast(DecimalType(18, 2)))
           .cast("double").as("v"))
       graft.eda.StatTests.kendallW(daily, "r", "i", "v")
-    })
+    }),
+    "q415_weighted_kappa" -> ((s, dir) =>
+      // ordinal agreement between two value banders: near-misses
+      // count partially (quadratic weights)
+      graft.ml.Preference.weightedKappa(
+        t(s, dir, "events").select(
+          floor(col("value") / 20).as("a"),
+          floor(col("value") / 25).as("b")), "a", "b")),
+    "q416_somers_d" -> ((s, dir) =>
+      // directional ordinal association: discount band given
+      // quantity decile (gamma without the tie blindness)
+      graft.ml.Stats.somersD(
+        t(s, dir, "lineitem").select(
+          floor(col("l_quantity") / 10).as("x"),
+          floor(col("l_discount") * 20).as("y")), "x", "y")),
+    "q417_km_bands" -> ((s, dir) => {
+      // the q183 curve with Greenwood SEs and plain clamped bands
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(to_date(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", to_date(col("ts"))))
+            .as("__e"),
+          max(to_date(col("ts"))).as("__l"))
+        .select(datediff(coalesce(col("__e"), col("__l")), col("__f"))
+          .as("dur"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("event"))
+        .filter(col("dur") > 0)
+      graft.ml.Stats.kaplanMeierBands(life, "dur", "event")
+    }),
+    "q418_win_ratio" -> ((s, dir) => {
+      // composite-endpoint effect: purchase values vs click values,
+      // counted pairwise on the rank kernel (no pair join)
+      val ev = t(s, dir, "events")
+      graft.eda.StatTests.winRatio(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"), "value")
+    }),
+    "q419_bimodality" -> ((s, dir) =>
+      // cheap dip-test stand-in: BC > 5/9 flags a bimodal shoulder
+      graft.eda.ShapeTests.bimodalityCoefficient(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
+    "q420_theil_u" -> ((s, dir) =>
+      // directional categorical association: how much of linestatus
+      // does knowing returnflag explain?
+      graft.eda.StatTests.uncertaintyCoefficient(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7209,6 +7254,32 @@ object SparkEntry {
       """SELECT event_type AS r, CAST(ts AS DATE) AS i,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
          FROM events GROUP BY event_type, CAST(ts AS DATE)"""),
+    "q415_weighted_kappa" ->
+      graft.ml.Preference.weightedKappaOracleSql(
+        """SELECT FLOOR(value / 20) AS a, FLOOR(value / 25) AS b
+           FROM events"""),
+    "q416_somers_d" -> graft.ml.Stats.somersDOracleSql(
+      """SELECT FLOOR(l_quantity / 10) AS x,
+           FLOOR(l_discount * 20) AS y FROM lineitem"""),
+    "q417_km_bands" -> graft.ml.Stats.kaplanMeierBandsOracleSql(
+      """SELECT date_diff('day', f, coalesce(e, l)) AS dur,
+           CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             MIN(CASE WHEN event_type = 'error'
+               THEN CAST(ts AS DATE) END) AS e,
+             MAX(CAST(ts AS DATE)) AS l
+           FROM events GROUP BY user_id)
+         WHERE date_diff('day', f, coalesce(e, l)) > 0"""),
+    "q418_win_ratio" -> graft.eda.StatTests.winRatioOracleSql(
+      "SELECT value AS v FROM events WHERE event_type = 'purchase'",
+      "SELECT value AS v FROM events WHERE event_type = 'click'"),
+    "q419_bimodality" ->
+      graft.eda.ShapeTests.bimodalityCoefficientOracleSql(
+        "SELECT l_returnflag AS grp, l_quantity AS v FROM lineitem"),
+    "q420_theil_u" ->
+      graft.eda.StatTests.uncertaintyCoefficientOracleSql(
+        """SELECT l_returnflag AS x, l_linestatus AS y
+           FROM lineitem"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -306,4 +306,82 @@ object ShapeTests {
           ROUND(CAST(n_pos - n_neg AS DOUBLE)
             / SQRT(CAST(n_pairs AS DOUBLE)), 6) AS z_stat
         FROM g"""
+
+  /** Bimodality coefficient per group: BC = (g₁² + 1) /
+    * (g₂ + 3(n−1)²/((n−2)(n−3))) with population-moment skew g₁ and
+    * excess kurtosis g₂ from the EXACT integer-lattice power sums
+    * (the [[jarqueBera]] kernel) — BC > 5/9 ≈ 0.555 flags a
+    * bimodal/heavy-shoulder distribution (the cheap stand-in for a
+    * dip test). Returns (group, n, bc 6dp, is_bimodal). */
+  def bimodalityCoefficient(df: DataFrame, groupCol: String,
+                            valueCol: String,
+                            scale: Int = 0): DataFrame = {
+    val xi = round(col(valueCol).cast("double") * math.pow(10, scale), 0)
+      .cast(DecimalType(38, 0))
+    val base = df.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("group"), xi.as("__x"))
+    val g = base.groupBy("group").agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).cast("double").as("__s1"),
+      sum(col("__x") * col("__x")).cast("double").as("__s2"),
+      sum(col("__x") * col("__x") * col("__x")).cast("double")
+        .as("__s3"),
+      sum(col("__x") * col("__x") * col("__x") * col("__x"))
+        .cast("double").as("__s4"))
+    val nd = col("n").cast("double")
+    val m = col("__s1") / nd
+    val m2 = col("__s2") / nd - m * m
+    val m3 = col("__s3") / nd - lit(3.0) * m * (col("__s2") / nd) +
+      lit(2.0) * m * m * m
+    val m4 = col("__s4") / nd - lit(4.0) * m * (col("__s3") / nd) +
+      lit(6.0) * m * m * (col("__s2") / nd) - lit(3.0) * m * m * m * m
+    val skew = m3 / (sqrt(m2) * m2)
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    val corr3 = lit(3.0) * (nd - 1) * (nd - 1) /
+      ((nd - 2) * (nd - 3))
+    val bc = (skew * skew + 1) / (kurt + corr3)
+    g.filter(col("n") > 3)
+      .select(col("group"), col("n"),
+        round(when(m2 > 0, bc), 6).as("bc"),
+        when(m2 > 0, bc > 5.0 / 9).as("is_bimodal"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[bimodalityCoefficient]]; `srcCte` yields
+    * (grp, v). */
+  def bimodalityCoefficientOracleSql(srcCte: String,
+                                     scale: Int = 0): String = {
+    val f = s"ROUND(CAST(v AS DOUBLE) * ${math.pow(10, scale)}, 0)"
+    s"""WITH src AS ($srcCte),
+        base AS (SELECT grp AS "group", CAST($f AS HUGEINT) AS x
+          FROM src WHERE v IS NOT NULL
+            AND NOT isnan(CAST(v AS DOUBLE))),
+        g AS (SELECT "group", COUNT(*) AS n,
+            CAST(SUM(x) AS DOUBLE) AS s1,
+            CAST(SUM(x * x) AS DOUBLE) AS s2,
+            CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+            CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+          FROM base GROUP BY "group"),
+        mo AS (SELECT "group", n, CAST(n AS DOUBLE) AS nd,
+            s1 / n AS m, s2, s3, s4 FROM g WHERE n > 3),
+        cm AS (SELECT "group", n, nd, m,
+            s2 / nd - m * m AS m2,
+            s3 / nd - 3.0 * m * (s2 / nd) + 2.0 * m * m * m AS m3,
+            s4 / nd - 4.0 * m * (s3 / nd) + 6.0 * m * m * (s2 / nd)
+              - 3.0 * m * m * m * m AS m4
+          FROM mo),
+        sk AS (SELECT "group", n, nd, m2,
+            m3 / (SQRT(m2) * m2) AS skew,
+            m4 / (m2 * m2) - 3.0 AS kurt FROM cm),
+        b AS (SELECT "group", n, m2,
+            (skew * skew + 1)
+              / (kurt + 3.0 * (nd - 1) * (nd - 1)
+                / ((nd - 2) * (nd - 3))) AS bc
+          FROM sk)
+        SELECT "group", n,
+          ROUND(CASE WHEN m2 > 0 THEN bc END, 6) AS bc,
+          CASE WHEN m2 > 0 THEN bc > 5.0 / 9 END AS is_bimodal
+        FROM b ORDER BY "group""""
+  }
 }

@@ -974,4 +974,131 @@ object StatTests {
               * (CAST(g.m AS DOUBLE) * g.m * g.m - g.m)
               - kk.k * CAST(tt.t AS DOUBLE)), 6) AS w
         FROM g CROSS JOIN kk CROSS JOIN tt"""
+
+  /** Win ratio (Pocock 2012): over all treatment×control pairs, wins
+    * (t beats c) over losses, with the log-scale SE approximation
+    * sqrt(1/W + 1/L) — the composite-endpoint effect measure that
+    * needs no distribution at all. Counted on the pooled
+    * distinct-value frame from the rank kernel (per value: treat
+    * count × control counts below/above) — ONE aggregate, no pair
+    * join at any cardinality. Returns one row:
+    * (n_t, n_c, wins, losses, ties, win_ratio 6dp, log_se 6dp). */
+  def winRatio(treat: DataFrame, control: DataFrame,
+               valueCol: String): DataFrame = {
+    val stacked = treat.select(col(valueCol).cast("double").as("__v"),
+        lit(1).as("__isa"))
+      .unionByName(control.select(col(valueCol).cast("double")
+        .as("__v"), lit(0).as("__isa")))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .withColumn("__g", lit("all"))
+    val ranked = graft.ml.Metrics.rankedScores(
+      stacked, "__g", "__isa", "__v", 256)
+    val totals = ranked.agg(sum("n_pos").as("__nt"),
+      sum(col("n") - col("n_pos")).as("__nc"))
+    val cBelow = col("before") - col("before_pos")
+    val cAt = col("n") - col("n_pos")
+    val cAbove = col("__nc") - cBelow - cAt
+    ranked.crossJoin(broadcast(totals))
+      .agg(first("__nt").as("n_t"), first("__nc").as("n_c"),
+        sum(col("n_pos") * cBelow).as("wins"),
+        sum(col("n_pos") * cAbove).as("losses"),
+        sum(col("n_pos") * cAt).as("ties"))
+      .select(col("n_t"), col("n_c"), col("wins"), col("losses"),
+        col("ties"),
+        round(when(col("losses") > 0,
+          col("wins").cast("double") / col("losses")), 6)
+          .as("win_ratio"),
+        round(when(col("wins") > 0 && col("losses") > 0,
+          sqrt(lit(1.0) / col("wins") + lit(1.0) / col("losses"))), 6)
+          .as("log_se"))
+  }
+
+  /** DuckDB twin of [[winRatio]]; `tCte`/`cCte` yield v. */
+  def winRatioOracleSql(tCte: String, cCte: String): String =
+    s"""WITH s AS (
+          SELECT CAST(v AS DOUBLE) AS v, 1 AS isa FROM ($tCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+          UNION ALL
+          SELECT CAST(v AS DOUBLE), 0 FROM ($cCte)
+            WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        m AS (SELECT v, COUNT(*) AS n, SUM(isa) AS ct,
+            SUM(1 - isa) AS cc FROM s GROUP BY v),
+        c AS (SELECT ct, cc,
+            SUM(cc) OVER (ORDER BY v) - cc AS below FROM m),
+        t2 AS (SELECT SUM(ct) AS nt, SUM(cc) AS nc FROM m),
+        agg AS (SELECT ANY_VALUE(nt) AS nt, ANY_VALUE(nc) AS nc,
+            SUM(ct * below) AS w,
+            SUM(ct * (nc - below - cc)) AS l,
+            SUM(ct * cc) AS ti
+          FROM c CROSS JOIN t2)
+        SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+          CAST(w AS BIGINT) AS wins, CAST(l AS BIGINT) AS losses,
+          CAST(ti AS BIGINT) AS ties,
+          ROUND(CASE WHEN l > 0 THEN CAST(w AS DOUBLE) / l END, 6)
+            AS win_ratio,
+          ROUND(CASE WHEN w > 0 AND l > 0 THEN
+            SQRT(1.0 / w + 1.0 / l) END, 6) AS log_se
+        FROM agg"""
+
+  /** Theil's uncertainty coefficient U(y|x) = I(x;y)/H(y) — the
+    * ASYMMETRIC, [0,1]-normalized "how much of y does knowing x
+    * explain", the categorical effect size Cramér's V can't give a
+    * direction to. One contingency groupBy; entropies from integer
+    * counts over the cell/margin metadata frames.
+    * Returns one row: (n, h_x 6dp, h_y 6dp, mi 6dp, u_y_given_x 6dp).
+    */
+  def uncertaintyCoefficient(df: DataFrame, xCol: String,
+                             yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val tot = cells.agg(sum("__n").as("__t"))
+    def entropy(groups: DataFrame, nm: String) = groups
+      .crossJoin(broadcast(tot))
+      .agg((-sum((col("__n").cast("double") / col("__t")) *
+        log(col("__n").cast("double") / col("__t")))).as(nm))
+    val hx = entropy(cells.groupBy("__x").agg(sum("__n").as("__n")),
+      "__hx")
+    val hy = entropy(cells.groupBy("__y").agg(sum("__n").as("__n")),
+      "__hy")
+    val hxy = entropy(cells.select(col("__n")), "__hxy")
+    val out = tot.crossJoin(hx).crossJoin(hy).crossJoin(hxy)
+      .select(col("__t").as("n"), round(col("__hx"), 6).as("h_x"),
+        round(col("__hy"), 6).as("h_y"),
+        round(col("__hx") + col("__hy") - col("__hxy"), 6).as("mi"),
+        round(when(col("__hy") > 0,
+          (col("__hx") + col("__hy") - col("__hxy")) / col("__hy")), 6)
+          .as("u_y_given_x"))
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[uncertaintyCoefficient]]; `srcCte` yields
+    * (x, y). */
+  def uncertaintyCoefficientOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT CAST(x AS VARCHAR) AS x,
+            CAST(y AS VARCHAR) AS y FROM ($srcCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+        cells AS (SELECT x, y, COUNT(*) AS n FROM src GROUP BY x, y),
+        t AS (SELECT SUM(n) AS tn FROM cells),
+        hx AS (SELECT -SUM((CAST(n AS DOUBLE) / tn)
+            * LN(CAST(n AS DOUBLE) / tn)) AS h
+          FROM (SELECT x, SUM(n) AS n FROM cells GROUP BY x)
+          CROSS JOIN t),
+        hy AS (SELECT -SUM((CAST(n AS DOUBLE) / tn)
+            * LN(CAST(n AS DOUBLE) / tn)) AS h
+          FROM (SELECT y, SUM(n) AS n FROM cells GROUP BY y)
+          CROSS JOIN t),
+        hxy AS (SELECT -SUM((CAST(n AS DOUBLE) / tn)
+            * LN(CAST(n AS DOUBLE) / tn)) AS h
+          FROM cells CROSS JOIN t)
+        SELECT CAST(t.tn AS BIGINT) AS n, ROUND(hx.h, 6) AS h_x,
+          ROUND(hy.h, 6) AS h_y,
+          ROUND(hx.h + hy.h - hxy.h, 6) AS mi,
+          ROUND(CASE WHEN hy.h > 0 THEN (hx.h + hy.h - hxy.h) / hy.h
+            END, 6) AS u_y_given_x
+        FROM t CROSS JOIN hx CROSS JOIN hy CROSS JOIN hxy"""
 }

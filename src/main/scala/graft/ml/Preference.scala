@@ -191,4 +191,59 @@ object Preference {
     conf.unpersist()
     out
   }
+
+  /** Quadratic-weighted Cohen's kappa for ORDINAL ratings:
+    * κ_w = 1 − Σwᵢⱼ·Oᵢⱼ / Σwᵢⱼ·Eᵢⱼ with wᵢⱼ = (i−j)² — near-misses
+    * count partially, so two annotators one band apart are not scored
+    * like opposites (the plain [[cohenKappa]] treats them so). One
+    * contingency groupBy; margins and expected cells ride the k×k
+    * metadata frame; every sufficient statistic is an integer product.
+    * Returns one row: (n, po_w 6dp, pe_w 6dp, kappa_w 6dp). */
+  def weightedKappa(df: DataFrame, aCol: String,
+                    bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val ma = cells.groupBy("__a").agg(sum("__n").as("__na"))
+    val mb = cells.groupBy("__b").agg(sum("__n").as("__nb"))
+    val tot = cells.agg(sum("__n").as("__t"))
+    val w = (col("__a") - col("__b")) * (col("__a") - col("__b"))
+    val obs = cells.agg(sum(w * col("__n")).as("__wo"))
+    val exp0 = ma.crossJoin(mb)
+      .agg(sum((col("__a") - col("__b")) * (col("__a") - col("__b")) *
+        col("__na") * col("__nb")).as("__we"))
+    tot.crossJoin(obs).crossJoin(exp0)
+      .select(col("__t").as("n"),
+        round(col("__wo").cast("double") / col("__t"), 6).as("po_w"),
+        round(col("__we").cast("double") /
+          (col("__t") * col("__t")), 6).as("pe_w"),
+        round(lit(1.0) -
+          (col("__wo").cast("double") / col("__t")) /
+          (col("__we").cast("double") / (col("__t") * col("__t"))), 6)
+          .as("kappa_w"))
+  }
+
+  /** DuckDB twin of [[weightedKappa]]; `srcCte` yields (a, b). */
+  def weightedKappaOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT CAST(a AS BIGINT) AS a,
+            CAST(b AS BIGINT) AS b FROM ($srcCte)
+          WHERE a IS NOT NULL AND b IS NOT NULL),
+        cells AS (SELECT a, b, COUNT(*) AS n FROM src GROUP BY a, b),
+        ma AS (SELECT a, SUM(n) AS na FROM cells GROUP BY a),
+        mb AS (SELECT b, SUM(n) AS nb FROM cells GROUP BY b),
+        t AS (SELECT SUM(n) AS tn FROM cells),
+        o AS (SELECT SUM((a - b) * (a - b) * n) AS wo FROM cells),
+        e AS (SELECT SUM((ma.a - mb.b) * (ma.a - mb.b)
+            * ma.na * mb.nb) AS we
+          FROM ma CROSS JOIN mb)
+        SELECT CAST(tn AS BIGINT) AS n,
+          ROUND(CAST(wo AS DOUBLE) / tn, 6) AS po_w,
+          ROUND(CAST(we AS DOUBLE) / (CAST(tn AS DOUBLE) * tn), 6)
+            AS pe_w,
+          ROUND(1.0 - (CAST(wo AS DOUBLE) / tn)
+            / (CAST(we AS DOUBLE) / (CAST(tn AS DOUBLE) * tn)), 6)
+            AS kappa_w
+        FROM t CROSS JOIN o CROSS JOIN e"""
 }

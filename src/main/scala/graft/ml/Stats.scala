@@ -1722,4 +1722,122 @@ object Stats {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) / (SELECT n FROM coh), 6) AS mcf
         FROM per ORDER BY day_offset"""
+
+  /** Somers' D (asymmetric ordinal association, y dependent on x):
+    * D_yx = (C − D) / (C + D + T_y) where T_y counts pairs tied on y
+    * but NOT on x — the directional refinement of [[gkGamma]] (gamma
+    * ignores all ties and overstates association on coarse scales).
+    * Same contingency-cell plan: quadratic only in distinct-value
+    * pairs. Returns one row: (n, n_concordant, n_discordant,
+    * n_ties_y, somers_d 6dp). */
+  def somersD(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val a = cells.select(col("__x").as("xa"), col("__y").as("ya"),
+      col("__n").as("na"))
+    val b = cells.select(col("__x").as("xb"), col("__y").as("yb"),
+      col("__n").as("nb"))
+    val conc = a.join(b, col("xb") > col("xa") && col("yb") > col("ya"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("nc"))
+    val disc = a.join(b, col("xb") > col("xa") && col("yb") < col("ya"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("nd"))
+    val tiesY = a.join(b, col("xb") > col("xa") && col("yb") === col("ya"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("nty"))
+    val n = cells.agg(sum("__n").as("n"))
+    val out = n.crossJoin(conc).crossJoin(disc).crossJoin(tiesY)
+      .select(col("n"), col("nc").as("n_concordant"),
+        col("nd").as("n_discordant"), col("nty").as("n_ties_y"),
+        round(when(col("nc") + col("nd") + col("nty") > 0,
+          (col("nc") - col("nd")).cast("double") /
+            (col("nc") + col("nd") + col("nty"))), 6).as("somers_d"))
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[somersD]]; `unitsCte` yields (x, y). */
+  def somersDOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT CAST(x AS BIGINT) AS x,
+            CAST(y AS BIGINT) AS y FROM ($unitsCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+        cells AS (SELECT x, y, COUNT(*) AS n FROM units GROUP BY x, y),
+        nc AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS nc
+          FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y),
+        nd AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS nd
+          FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y),
+        nty AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS nty
+          FROM cells a JOIN cells b ON b.x > a.x AND b.y = a.y),
+        t AS (SELECT SUM(n) AS n FROM cells)
+        SELECT CAST(t.n AS BIGINT) AS n,
+          CAST(nc AS BIGINT) AS n_concordant,
+          CAST(nd AS BIGINT) AS n_discordant,
+          CAST(nty AS BIGINT) AS n_ties_y,
+          ROUND(CASE WHEN nc + nd + nty > 0 THEN
+            CAST(nc - nd AS DOUBLE) / (nc + nd + nty) END, 6)
+            AS somers_d
+        FROM t CROSS JOIN nc CROSS JOIN nd CROSS JOIN nty"""
+
+  /** Kaplan–Meier curve with Greenwood standard errors and plain
+    * ±z·se confidence bands (clamped to [0,1] — the documented
+    * band convention; log-log bands differ only deep in the tails).
+    * Same life-table plan as [[kaplanMeier]] plus ONE more window
+    * sum for the Greenwood accumulator Σ d/(n(n−d)).
+    * Returns (t, n_at_risk, n_events, survival, se 6dp, lo 6dp,
+    * hi 6dp). */
+  def kaplanMeierBands(df: DataFrame, durationCol: String,
+                       eventCol: String,
+                       z: Double = 1.959964): DataFrame = {
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val wcum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the last at-risk group dying gives n = d: its Greenwood term is
+    // skipped (survival is 0 there, se pinned to 0)
+    val gw = coalesce(sum(when(col("n_at_risk") > col("n_events"),
+      col("n_events").cast("double") /
+        (col("n_at_risk").cast("double") *
+          (col("n_at_risk") - col("n_events")).cast("double"))))
+      .over(wcum), lit(0.0))
+    km.withColumn("__se", col("survival") * sqrt(gw))
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        col("survival"), round(col("__se"), 6).as("se"),
+        round(greatest(col("survival") - lit(z) * col("__se"),
+          lit(0.0)), 6).as("lo"),
+        round(least(col("survival") + lit(z) * col("__se"),
+          lit(1.0)), 6).as("hi"))
+  }
+
+  /** DuckDB twin of [[kaplanMeierBands]]; `lifeCte` yields
+    * (dur, event). */
+  def kaplanMeierBandsOracleSql(lifeCte: String,
+                                z: Double = 1.959964): String =
+    s"""WITH life AS ($lifeCte),
+        byt AS (SELECT CAST(dur AS DOUBLE) AS t, COUNT(*) AS n,
+            SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS d
+          FROM life GROUP BY 1),
+        ar AS (SELECT t, d, SUM(n) OVER (ORDER BY t DESC) AS r
+          FROM byt),
+        ev AS (SELECT * FROM ar WHERE d > 0),
+        km0 AS (SELECT t, d, r, 1.0 - CAST(d AS DOUBLE) / r AS factor
+          FROM ev),
+        km1 AS (SELECT t, d, r,
+            SUM(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+              OVER (ORDER BY t) AS zeros,
+            SUM(CASE WHEN factor > 0 THEN LN(factor) END)
+              OVER (ORDER BY t) AS lsum,
+            COALESCE(SUM(CASE WHEN r > d THEN
+              CAST(d AS DOUBLE) / (CAST(r AS DOUBLE) * (r - d)) END)
+              OVER (ORDER BY t), 0.0) AS gw
+          FROM km0),
+        km AS (SELECT t, r, d,
+            CASE WHEN zeros > 0 THEN 0.0
+              ELSE ROUND(EXP(lsum), 6) END AS s, gw FROM km1)
+        SELECT t, CAST(r AS BIGINT) AS n_at_risk,
+          CAST(d AS BIGINT) AS n_events, s AS survival,
+          ROUND(s * SQRT(gw), 6) AS se,
+          ROUND(GREATEST(s - $z * (s * SQRT(gw)), 0.0), 6) AS lo,
+          ROUND(LEAST(s + $z * (s * SQRT(gw)), 1.0), 6) AS hi
+        FROM km"""
 }
