@@ -3280,7 +3280,35 @@ object SparkEntry {
       // directional categorical association: how much of linestatus
       // does knowing returnflag explain?
       graft.eda.StatTests.uncertaintyCoefficient(
-        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus"))
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+    "q421_cmh" -> ((s, dir) =>
+      // nation-stratified segment-vs-balance association: CMH chi2
+      // + Mantel-Haenszel pooled odds ratio
+      graft.eda.StatTests.cmhTest(
+        t(s, dir, "customer").select(col("c_nationkey").as("s"),
+          (col("c_mktsegment") === "BUILDING").cast("int").as("e"),
+          (col("c_acctbal") > 0).cast("int").as("o")),
+        "s", "e", "o")),
+    "q422_dispersion" -> ((s, dir) =>
+      // are per-user event counts Poisson or clumped? variance-to-
+      // mean ratio per event type
+      graft.eda.StatTests.dispersionIndex(
+        t(s, dir, "events").groupBy(col("event_type").as("g"),
+          col("user_id")).agg(count(lit(1)).as("c")), "g", "c")),
+    "q423_cv_ci" -> ((s, dir) =>
+      // relative noise per flag with honest McKay bounds
+      graft.eda.StatTests.cvWithCi(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
+    "q424_friedman_page" -> ((s, dir) => {
+      // do discount bands rank the same way every day? Friedman
+      // omnibus + Page's ordered-trend L over day blocks
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("b"),
+          floor(col("l_discount") * 20).as("t"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double") / count(lit(1))).as("v"))
+      graft.eda.StatTests.friedmanPage(daily, "b", "t", "v")
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7280,6 +7308,21 @@ object SparkEntry {
       graft.eda.StatTests.uncertaintyCoefficientOracleSql(
         """SELECT l_returnflag AS x, l_linestatus AS y
            FROM lineitem"""),
+    "q421_cmh" -> graft.eda.StatTests.cmhTestOracleSql(
+      """SELECT c_nationkey AS s,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS e,
+           CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS o
+         FROM customer"""),
+    "q422_dispersion" -> graft.eda.StatTests.dispersionIndexOracleSql(
+      """SELECT event_type AS grp, COUNT(*) AS c
+         FROM events GROUP BY event_type, user_id"""),
+    "q423_cv_ci" -> graft.eda.StatTests.cvWithCiOracleSql(
+      "SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem"),
+    "q424_friedman_page" -> graft.eda.StatTests.friedmanPageOracleSql(
+      """SELECT l_shipdate AS b, FLOOR(l_discount * 20) AS t,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS v
+         FROM lineitem GROUP BY l_shipdate, FLOOR(l_discount * 20)"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -1101,4 +1101,262 @@ object StatTests {
           ROUND(CASE WHEN hy.h > 0 THEN (hx.h + hy.h - hxy.h) / hy.h
             END, 6) AS u_y_given_x
         FROM t CROSS JOIN hx CROSS JOIN hy CROSS JOIN hxy"""
+
+  /** Cochran–Mantel–Haenszel test + MH pooled odds ratio for K
+    * stratified 2×2 tables: CMH χ² = (|Σ(aₖ − E aₖ)| − 0.5)²/ΣVar,
+    * OR_MH = Σ(aₖdₖ/nₖ)/Σ(bₖcₖ/nₖ) — "is exposure associated with
+    * outcome AFTER controlling the stratum", the binary-outcome
+    * sibling of the q405 g-formula. One integer cell groupBy, all
+    * math on the K-row frame (continuity-corrected, the classic
+    * form). Returns one row:
+    * (k_strata, n, or_mh 6dp, cmh_chi2 6dp). */
+  def cmhTest(df: DataFrame, stratumCol: String, exposureCol: String,
+              outcomeCol: String): DataFrame = {
+    val e = col(exposureCol).cast("long")
+    val o = col(outcomeCol).cast("long")
+    val cells = df.groupBy(col(stratumCol).as("__s"))
+      .agg(sum(e * o).as("__a"),
+        sum(e * (lit(1L) - o)).as("__b"),
+        sum((lit(1L) - e) * o).as("__c"),
+        sum((lit(1L) - e) * (lit(1L) - o)).as("__d"))
+      .withColumn("__n",
+        col("__a") + col("__b") + col("__c") + col("__d"))
+      .filter(col("__n") > 1)
+    val nd = col("__n").cast("double")
+    val r1 = (col("__a") + col("__b")).cast("double")
+    val c1 = (col("__a") + col("__c")).cast("double")
+    val ea = r1 * c1 / nd
+    val va = r1 * (nd - r1) * c1 * (nd - c1) / (nd * nd * (nd - 1))
+    cells.agg(count(lit(1)).as("k_strata"), sum("__n").as("n"),
+        sum(col("__a").cast("double") - ea).as("__dev"),
+        sum(va).as("__var"),
+        sum(col("__a").cast("double") * col("__d") / nd).as("__num"),
+        sum(col("__b").cast("double") * col("__c") / nd).as("__den"))
+      .select(col("k_strata"), col("n"),
+        round(when(col("__den") > 0, col("__num") / col("__den")), 6)
+          .as("or_mh"),
+        round(when(col("__var") > 0,
+          (abs(col("__dev")) - 0.5) * (abs(col("__dev")) - 0.5) /
+            col("__var")), 6).as("cmh_chi2"))
+  }
+
+  /** DuckDB twin of [[cmhTest]]; `srcCte` yields (s, e, o) with
+    * e/o in {0,1}. */
+  def cmhTestOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT s, CAST(e AS BIGINT) AS e,
+            CAST(o AS BIGINT) AS o FROM ($srcCte)),
+        cells AS (SELECT s, SUM(e * o) AS a, SUM(e * (1 - o)) AS b,
+            SUM((1 - e) * o) AS c, SUM((1 - e) * (1 - o)) AS d
+          FROM src GROUP BY s),
+        c2 AS (SELECT a, b, c, d, a + b + c + d AS n FROM cells
+          WHERE a + b + c + d > 1),
+        c3 AS (SELECT a, b, c, d, n, CAST(n AS DOUBLE) AS nd,
+            CAST(a + b AS DOUBLE) AS r1, CAST(a + c AS DOUBLE) AS c1
+          FROM c2),
+        g AS (SELECT COUNT(*) AS k_strata, SUM(n) AS n,
+            SUM(CAST(a AS DOUBLE) - r1 * c1 / nd) AS dev,
+            SUM(r1 * (nd - r1) * c1 * (nd - c1)
+              / (nd * nd * (nd - 1))) AS var,
+            SUM(CAST(a AS DOUBLE) * d / nd) AS num,
+            SUM(CAST(b AS DOUBLE) * c / nd) AS den
+          FROM c3)
+        SELECT CAST(k_strata AS BIGINT) AS k_strata,
+          CAST(n AS BIGINT) AS n,
+          ROUND(CASE WHEN den > 0 THEN num / den END, 6) AS or_mh,
+          ROUND(CASE WHEN var > 0 THEN
+            (ABS(dev) - 0.5) * (ABS(dev) - 0.5) / var END, 6)
+            AS cmh_chi2
+        FROM g"""
+
+  /** Index of dispersion (variance-to-mean ratio) for COUNT data per
+    * group, with the χ² Poissonity statistic (n−1)·VMR — VMR ≈ 1 is
+    * Poisson, ≫ 1 overdispersed (clumped), ≪ 1 regular. Counts are
+    * integers so every power sum is exact. Returns
+    * (group, n, mean 6dp, vmr 6dp, chi2 6dp). */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+                      countCol: String): DataFrame = {
+    val x = col(countCol).cast("long")
+    val g = df.filter(col(countCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("__s1"),
+        sum(x * x).cast("double").as("__s2"))
+      .filter(col("n") > 1)
+    val nd = col("n").cast("double")
+    val m = col("__s1") / nd
+    val v = (col("__s2") - nd * m * m) / (nd - 1)
+    g.select(col("group"), col("n"), round(m, 6).as("mean"),
+        round(when(m > 0, v / m), 6).as("vmr"),
+        round(when(m > 0, (nd - 1) * v / m), 6).as("chi2"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[dispersionIndex]]; `srcCte` yields (grp, c). */
+  def dispersionIndexOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT grp, CAST(c AS BIGINT) AS x FROM ($srcCte)
+          WHERE c IS NOT NULL),
+        g AS (SELECT grp AS "group", COUNT(*) AS n,
+            CAST(SUM(x) AS DOUBLE) AS s1,
+            CAST(SUM(x * x) AS DOUBLE) AS s2
+          FROM src GROUP BY grp HAVING COUNT(*) > 1),
+        c2 AS (SELECT "group", n, CAST(n AS DOUBLE) AS nd,
+            s1 / n AS m,
+            (s2 - CAST(n AS DOUBLE) * (s1 / n) * (s1 / n))
+              / (CAST(n AS DOUBLE) - 1) AS v
+          FROM g)
+        SELECT "group", n, ROUND(m, 6) AS mean,
+          ROUND(CASE WHEN m > 0 THEN v / m END, 6) AS vmr,
+          ROUND(CASE WHEN m > 0 THEN (nd - 1) * v / m END, 6) AS chi2
+        FROM c2 ORDER BY "group""""
+
+  /** Friedman test + Page's L for k treatments over b blocks (ranks
+    * within each block): Friedman χ² = 12/(bk(k+1))·ΣRⱼ² − 3b(k+1)
+    * is the omnibus "any treatment differs"; Page's L = Σ j·Rⱼ with
+    * its normal z adds POWER when the treatments are ordered and the
+    * alternative is monotone. Within-block ranks ride a block-
+    * partitioned window (k rows per block — bounded by construction).
+    * Ties get midranks; the Friedman statistic uses the untied form
+    * (documented — heavy ties warrant Kendall's W, q414).
+    * Returns one row: (b, k, friedman_chi2 6dp, page_l, page_z 6dp).
+    */
+  def friedmanPage(df: DataFrame, blockCol: String,
+                   treatmentCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(blockCol).as("__b"),
+        col(treatmentCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val kFrame = base.agg(countDistinct("__t").as("__k"))
+    val complete = base.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(kFrame))
+      .filter(col("__c") === col("__k")).select("__b")
+    val kept = base.join(complete, Seq("__b"))
+    val wb = Window.partitionBy("__b").orderBy("__v")
+    val wbT = Window.partitionBy("__b", "__v")
+    val ranked = kept.withColumn("__r",
+      (rank().over(wb).cast("double") +
+        (count(lit(1)).over(wbT).cast("double") - 1) / 2))
+    val perT = ranked.groupBy("__t").agg(sum("__r").as("__rt"))
+    val g = perT.agg(count(lit(1)).as("k"),
+      sum(col("__rt") * col("__rt")).as("__srr"),
+      sum((col("__t") + 1).cast("double") * col("__rt")).as("__l"))
+    val bFrame = complete.agg(count(lit(1)).as("b"))
+    val bd = col("b").cast("double")
+    val kd = col("k").cast("double")
+    val muL = bd * kd * (kd + 1) * (kd + 1) / 4
+    // Var(L) = b·k²(k+1)²(k−1)/144 (permutation variance per block)
+    val sdL = sqrt(bd * kd * kd * (kd + 1) * (kd + 1) *
+      (kd - 1) / lit(144.0))
+    g.crossJoin(broadcast(bFrame))
+      .select(col("b"), col("k"),
+        round(lit(12.0) / (bd * kd * (kd + 1)) * col("__srr") -
+          lit(3.0) * bd * (kd + 1), 6).as("friedman_chi2"),
+        round(col("__l"), 6).as("page_l"),
+        round((col("__l") - muL) / sdL, 6).as("page_z"))
+  }
+
+  /** DuckDB twin of [[friedmanPage]]; `srcCte` yields (b, t, v) with
+    * t a 0-based ordered treatment index. */
+  def friedmanPageOracleSql(srcCte: String): String =
+    s"""WITH base AS (SELECT b, CAST(t AS BIGINT) AS t,
+            CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        kk AS (SELECT COUNT(DISTINCT t) AS k FROM base),
+        complete AS (SELECT b FROM base GROUP BY b
+          HAVING COUNT(*) = (SELECT k FROM kk)),
+        kept AS (SELECT base.* FROM base JOIN complete USING (b)),
+        rk AS (SELECT b, t,
+            CAST(RANK() OVER (PARTITION BY b ORDER BY v) AS DOUBLE)
+              + (CAST(COUNT(*) OVER (PARTITION BY b, v) AS DOUBLE)
+                - 1) / 2 AS r
+          FROM kept),
+        pt AS (SELECT t, SUM(r) AS rt FROM rk GROUP BY t),
+        g AS (SELECT COUNT(*) AS k, SUM(rt * rt) AS srr,
+            SUM((t + 1) * rt) AS l FROM pt),
+        bb AS (SELECT COUNT(*) AS b FROM complete),
+        f AS (SELECT bb.b, g.k, g.srr, g.l,
+            CAST(bb.b AS DOUBLE) AS bd, CAST(g.k AS DOUBLE) AS kd
+          FROM g CROSS JOIN bb)
+        SELECT CAST(b AS BIGINT) AS b, CAST(k AS BIGINT) AS k,
+          ROUND(12.0 / (bd * kd * (kd + 1)) * srr
+            - 3.0 * bd * (kd + 1), 6) AS friedman_chi2,
+          ROUND(l, 6) AS page_l,
+          ROUND((l - bd * kd * (kd + 1) * (kd + 1) / 4)
+            / SQRT(bd * kd * kd * (kd + 1) * (kd + 1) * (kd - 1)
+              / 144.0), 6) AS page_z
+        FROM f"""
+
+  /** Coefficient of variation with McKay's approximate CI — the
+    * "relative noise" number (CV = σ/μ) a metric owner quotes across
+    * groups of different scales, with honest bounds:
+    * lo/hi = cv / sqrt((χ²_{df,·}/(n−1))·(1 + cv²) − cv²·χ²/(n−1))
+    * evaluated at the normal-approximated χ² quantiles (Wilson–
+    * Hilferty, so no quantile table is needed and both engines agree
+    * bit-for-bit). Exact decimal moments. Returns
+    * (group, n, cv 6dp, lo 6dp, hi 6dp). */
+  def cvWithCi(df: DataFrame, groupCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val y = col(valueCol).cast(DecimalType(18, 2))
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(y).cast("double").as("__s1"),
+        sum(y * y).cast("double").as("__s2"))
+      .filter(col("n") > 3)
+    val nd = col("n").cast("double")
+    val m = col("__s1") / nd
+    val v = (col("__s2") - nd * m * m) / (nd - 1)
+    val cv = sqrt(v) / m
+    // Wilson-Hilferty chi2 quantile: df*(1 - 2/(9df) ± z*sqrt(2/(9df)))^3
+    def chi2q(z: Double) = {
+      val dfree = nd - 1
+      val t = lit(1.0) - lit(2.0) / (lit(9.0) * dfree) +
+        lit(z) * sqrt(lit(2.0) / (lit(9.0) * dfree))
+      dfree * t * t * t
+    }
+    def mckay(q: org.apache.spark.sql.Column) =
+      cv / sqrt((q / (nd - 1)) * (lit(1.0) + cv * cv) -
+        cv * cv * q / (nd - 1))
+    g.select(col("group"), col("n"), round(cv, 6).as("cv"),
+        round(mckay(chi2q(1.959964)), 6).as("lo"),
+        round(mckay(chi2q(-1.959964)), 6).as("hi"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[cvWithCi]]; `srcCte` yields (grp, v). */
+  def cvWithCiOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        g AS (SELECT grp AS "group", COUNT(*) AS n,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))
+              * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM src WHERE v IS NOT NULL GROUP BY grp
+          HAVING COUNT(*) > 3),
+        c AS (SELECT "group", n, CAST(n AS DOUBLE) AS nd,
+            s1 / n AS m,
+            (s2 - CAST(n AS DOUBLE) * (s1 / n) * (s1 / n))
+              / (CAST(n AS DOUBLE) - 1) AS v
+          FROM g),
+        cv AS (SELECT "group", n, nd, SQRT(v) / m AS cv FROM c),
+        q AS (SELECT "group", n, nd, cv,
+            (nd - 1) * (1.0 - 2.0 / (9.0 * (nd - 1))
+              + 1.959964 * SQRT(2.0 / (9.0 * (nd - 1))))
+              * (1.0 - 2.0 / (9.0 * (nd - 1))
+              + 1.959964 * SQRT(2.0 / (9.0 * (nd - 1))))
+              * (1.0 - 2.0 / (9.0 * (nd - 1))
+              + 1.959964 * SQRT(2.0 / (9.0 * (nd - 1)))) AS qhi,
+            (nd - 1) * (1.0 - 2.0 / (9.0 * (nd - 1))
+              + -1.959964 * SQRT(2.0 / (9.0 * (nd - 1))))
+              * (1.0 - 2.0 / (9.0 * (nd - 1))
+              + -1.959964 * SQRT(2.0 / (9.0 * (nd - 1))))
+              * (1.0 - 2.0 / (9.0 * (nd - 1))
+              + -1.959964 * SQRT(2.0 / (9.0 * (nd - 1)))) AS qlo
+          FROM cv)
+        SELECT "group", n, ROUND(cv, 6) AS cv,
+          ROUND(cv / SQRT((qhi / (nd - 1)) * (1.0 + cv * cv)
+            - cv * cv * qhi / (nd - 1)), 6) AS lo,
+          ROUND(cv / SQRT((qlo / (nd - 1)) * (1.0 + cv * cv)
+            - cv * cv * qlo / (nd - 1)), 6) AS hi
+        FROM q ORDER BY "group""""
 }
