@@ -3308,7 +3308,24 @@ object SparkEntry {
         .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
           .cast("double") / count(lit(1))).as("v"))
       graft.eda.StatTests.friedmanPage(daily, "b", "t", "v")
-    })
+    }),
+    "q425_robust_spread" -> ((s, dir) =>
+      // outlier-proof location/spread per flag: median + scaled MAD
+      graft.eda.Robust.robustSpread(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
+    "q426_ks_uniform" -> ((s, dir) =>
+      // is the discount grid actually uniform on [0, 0.1]? 1-sample
+      // KS against the design distribution
+      graft.eda.StatTests.ksUniform(t(s, dir, "lineitem"),
+        "l_discount", lo = 0.0, hi = 0.1)),
+    "q427_topk_churn" -> ((s, dir) =>
+      // is the top-20 customer leaderboard stable across the 1995
+      // split? Jaccard of the two top sets
+      graft.eda.DataAudit.topkChurn(
+        t(s, dir, "orders").select(col("o_custkey").as("e"),
+          col("o_totalprice").as("v"), col("o_orderdate")),
+        "e", "v",
+        periodA = col("o_orderdate") < "1995-01-01", k = 20))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7323,6 +7340,15 @@ object SparkEntry {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              / COUNT(*) AS v
          FROM lineitem GROUP BY l_shipdate, FLOOR(l_discount * 20)"""),
+    "q425_robust_spread" -> graft.eda.Robust.robustSpreadOracleSql(
+      "SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem"),
+    "q426_ks_uniform" -> graft.eda.StatTests.ksUniformOracleSql(
+      "SELECT l_discount AS v FROM lineitem", lo = 0.0, hi = 0.1),
+    "q427_topk_churn" -> graft.eda.DataAudit.topkChurnOracleSql(
+      """SELECT o_custkey AS e, o_totalprice AS v FROM orders
+         WHERE o_orderdate < DATE '1995-01-01'""",
+      """SELECT o_custkey AS e, o_totalprice AS v FROM orders
+         WHERE NOT (o_orderdate < DATE '1995-01-01')""", k = 20),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -265,4 +265,41 @@ object DataAudit {
           FROM src)
         SELECT * FROM r WHERE sample_rank <= $k
         ORDER BY "group", sample_rank"""
+
+  /** Leaderboard churn: Jaccard overlap of the top-k entities (by an
+    * exact decimal value sum) between two periods — "is the ranking
+    * stable enough to act on". Each side is one groupBy + a
+    * distributed top-k (TakeOrderedAndProject, id tiebreak); the
+    * overlap is a k-row join. Returns one row:
+    * (k, n_overlap, jaccard 6dp). */
+  def topkChurn(df: DataFrame, entityCol: String, valueCol: String,
+                periodA: org.apache.spark.sql.Column,
+                k: Int): DataFrame = {
+    def side(cond: org.apache.spark.sql.Column) = df.filter(cond)
+      .groupBy(col(entityCol).as("__e"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2)))
+        .cast("double").as("__t"))
+      .orderBy(col("__t").desc, col("__e")).limit(k)
+      .select("__e")
+    val inter = side(periodA)
+      .join(side(!periodA), Seq("__e")).count()
+    df.sparkSession.range(1).select(lit(k).as("k"),
+      lit(inter).as("n_overlap"),
+      round(lit(inter.toDouble) / (2 * k - inter), 6).as("jaccard"))
+  }
+
+  /** DuckDB twin of [[topkChurn]]; `aCte`/`bCte` yield (e, v). */
+  def topkChurnOracleSql(aCte: String, bCte: String, k: Int): String =
+    s"""WITH ta AS (SELECT e FROM (SELECT e,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS t
+          FROM ($aCte) GROUP BY e)
+          ORDER BY t DESC, e LIMIT $k),
+        tb AS (SELECT e FROM (SELECT e,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS t
+          FROM ($bCte) GROUP BY e)
+          ORDER BY t DESC, e LIMIT $k),
+        i AS (SELECT COUNT(*) AS nov FROM ta JOIN tb USING (e))
+        SELECT $k AS k, CAST(nov AS BIGINT) AS n_overlap,
+          ROUND(CAST(nov AS DOUBLE) / (2 * $k - nov), 6) AS jaccard
+        FROM i"""
 }

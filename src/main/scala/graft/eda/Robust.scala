@@ -260,4 +260,52 @@ object Robust {
           ROUND(eb.e[i] - ea.e[i], 6) AS shift
         FROM kf CROSS JOIN ea CROSS JOIN eb ORDER BY q"""
   }
+
+  /** Per-group robust location/spread profile: exact median, MAD
+    * (median absolute deviation, consistency-scaled by 1.4826), and
+    * the robust CV (MAD·1.4826/|median|) — the outlier-proof row the
+    * q03 mean/stddev profile can't give on heavy tails. Two grouped
+    * exact-percentile aggregates (medians become a broadcast k-row
+    * frame, never a collect of data rows) + one join.
+    * Returns (group, n, median 6dp, mad 6dp, robust_cv 6dp). */
+  def robustSpread(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .select(col(groupCol).as("group"), v.as("__v"))
+    val med = base.groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        element_at(graft.functions.ExactPercentiles
+          .exactPercentiles(col("__v"), Seq(0.5)), 1).as("__med"))
+    val mad = base.join(broadcast(med), Seq("group"))
+      .select(col("group"), abs(col("__v") - col("__med")).as("__d"))
+      .groupBy("group")
+      .agg(element_at(graft.functions.ExactPercentiles
+        .exactPercentiles(col("__d"), Seq(0.5)), 1).as("__mad"))
+    med.join(mad, Seq("group"))
+      .select(col("group"), col("n"),
+        round(col("__med"), 6).as("median"),
+        round(col("__mad"), 6).as("mad"),
+        round(when(abs(col("__med")) > 0,
+          col("__mad") * 1.4826 / abs(col("__med"))), 6)
+          .as("robust_cv"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[robustSpread]]; `srcCte` yields (grp, v). */
+  def robustSpreadOracleSql(srcCte: String): String =
+    s"""WITH base AS (SELECT grp AS "group", CAST(v AS DOUBLE) AS v
+          FROM ($srcCte) WHERE v IS NOT NULL
+            AND NOT isnan(CAST(v AS DOUBLE))),
+        med AS (SELECT "group", COUNT(*) AS n,
+            quantile_cont(v, 0.5) AS m FROM base GROUP BY "group"),
+        mad AS (SELECT base."group",
+            quantile_cont(ABS(base.v - med.m), 0.5) AS md
+          FROM base JOIN med USING ("group") GROUP BY base."group")
+        SELECT med."group", med.n, ROUND(med.m, 6) AS median,
+          ROUND(mad.md, 6) AS mad,
+          ROUND(CASE WHEN ABS(med.m) > 0 THEN
+            mad.md * 1.4826 / ABS(med.m) END, 6) AS robust_cv
+        FROM med JOIN mad USING ("group") ORDER BY med."group""""
 }

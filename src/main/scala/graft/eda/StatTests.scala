@@ -1359,4 +1359,51 @@ object StatTests {
           ROUND(cv / SQRT((qlo / (nd - 1)) * (1.0 + cv * cv)
             - cv * cv * qlo / (nd - 1)), 6) AS hi
         FROM q ORDER BY "group""""
+
+  /** One-sample Kolmogorov–Smirnov against a Uniform(lo, hi) null:
+    * D = max over distinct values of max(|F̂(v) − F₀(v)|,
+    * |F̂(v⁻) − F₀(v)|) (both one-sided gaps — the ECDF jumps, so the
+    * sup can land on either side of the step). The "does this look
+    * like the design distribution" check for hash buckets, sampling
+    * keys and percent-ranks, where the TWO-sample q92 has no second
+    * sample to compare against. Rank-kernel prefix counts, one
+    * aggregate, no window. Returns one row:
+    * (n, d_stat 6dp, ks_lambda 6dp = √n·D). */
+  def ksUniform(df: DataFrame, valueCol: String, lo: Double,
+                hi: Double): DataFrame = {
+    val stacked = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") >= lo && col("__v") <= hi)
+      .withColumn("__g", lit("all")).withColumn("__l", lit(0))
+    val ranked = graft.ml.Metrics.rankedScores(
+      stacked, "__g", "__l", "__v", 256)
+    val tot = ranked.agg(sum("n").as("__nt"))
+    val f0 = (col("score") - lo) / (hi - lo)
+    val fHat = (col("before") + col("n")).cast("double") / col("__nt")
+    val fPrev = col("before").cast("double") / col("__nt")
+    ranked.crossJoin(broadcast(tot))
+      .agg(first("__nt").as("n"),
+        max(greatest(abs(fHat - f0), abs(fPrev - f0))).as("__d"))
+      .select(col("n"), round(col("__d"), 6).as("d_stat"),
+        round(sqrt(col("n").cast("double")) * col("__d"), 6)
+          .as("ks_lambda"))
+  }
+
+  /** DuckDB twin of [[ksUniform]]; `srcCte` yields v. */
+  def ksUniformOracleSql(srcCte: String, lo: Double,
+                         hi: Double): String =
+    s"""WITH src AS (SELECT CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+            AND CAST(v AS DOUBLE) >= $lo AND CAST(v AS DOUBLE) <= $hi),
+        m AS (SELECT v, COUNT(*) AS n FROM src GROUP BY v),
+        t AS (SELECT SUM(n) AS nt FROM m),
+        c AS (SELECT v, n, SUM(n) OVER (ORDER BY v) AS cum FROM m),
+        d AS (SELECT MAX(GREATEST(
+            ABS(CAST(cum AS DOUBLE) / nt - (v - $lo) / ($hi - $lo)),
+            ABS(CAST(cum - n AS DOUBLE) / nt
+              - (v - $lo) / ($hi - $lo)))) AS dd, ANY_VALUE(nt) AS n
+          FROM c CROSS JOIN t)
+        SELECT CAST(n AS BIGINT) AS n, ROUND(dd, 6) AS d_stat,
+          ROUND(SQRT(CAST(n AS DOUBLE)) * dd, 6) AS ks_lambda
+        FROM d"""
 }
