@@ -49,7 +49,8 @@ object DataAudit {
           FROM stacked GROUP BY det, dep, dv)
         SELECT det AS determinant, dep AS dependent,
           COUNT(*) AS n_groups,
-          SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+          CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating,
           ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
             / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate
         FROM g GROUP BY det, dep ORDER BY determinant, dependent"""
@@ -89,7 +90,8 @@ object DataAudit {
     s"""WITH stacked AS ($unions),
         g AS (SELECT c, v, COUNT(*) AS n FROM stacked GROUP BY c, v)
         SELECT c AS "column", CAST(SUM(n) AS BIGINT) AS n_rows,
-          SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_distinct,
+          CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_distinct,
           CAST(SUM(CASE WHEN v IS NULL THEN n ELSE 0 END) AS BIGINT)
             AS n_null,
           ROUND(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
@@ -179,7 +181,8 @@ object DataAudit {
             / CAST(o.o_totalprice AS DOUBLE) AS rel
           FROM orders o JOIN rec ON o.o_orderkey = rec.k)
         SELECT COUNT(*) AS n_orders,
-          SUM(CASE WHEN rel > $tol THEN 1 ELSE 0 END) AS n_mismatch,
+          CAST(SUM(CASE WHEN rel > $tol THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_mismatch,
           ROUND(MAX(rel), 6) AS max_rel_diff,
           ROUND(CAST(SUM(CAST(ROUND(rel, 9) AS DECIMAL(28,9)))
             AS DOUBLE) / COUNT(*), 6) AS mean_rel_diff

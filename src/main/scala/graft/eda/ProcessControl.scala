@@ -77,9 +77,10 @@ object ProcessControl {
         SELECT ANY_VALUE(n_days) AS n_days,
           ROUND(ANY_VALUE(center), 6) AS center,
           ROUND(ANY_VALUE(sigma), 6) AS sigma_hat,
-          SUM(CASE WHEN ABS(m - center) > 3.0 * sigma
-            THEN 1 ELSE 0 END) AS n_rule1,
-          SUM(CASE WHEN ABS(s9) = 9 THEN 1 ELSE 0 END) AS n_rule2
+          CAST(SUM(CASE WHEN ABS(m - center) > 3.0 * sigma
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_rule1,
+          CAST(SUM(CASE WHEN ABS(s9) = 9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rule2
         FROM sides"""
 
   /** Process capability per group against fixed spec limits:

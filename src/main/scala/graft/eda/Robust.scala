@@ -261,8 +261,9 @@ object Robust {
         FROM kf CROSS JOIN ea CROSS JOIN eb ORDER BY q"""
   }
 
-  /** Per-group robust location/spread profile: exact median, MAD
-    * (median absolute deviation, consistency-scaled by 1.4826), and
+  /** Per-group robust location/spread profile: exact median, the RAW
+    * MAD (median absolute deviation, unscaled — only robust_cv applies
+    * the 1.4826 normal-consistency factor), and
     * the robust CV (MAD·1.4826/|median|) — the outlier-proof row the
     * q03 mean/stddev profile can't give on heavy tails. Two grouped
     * exact-percentile aggregates (medians become a broadcast k-row

@@ -261,7 +261,8 @@ object ShapeTests {
         z AS (SELECT n, n_above, n_below, r,
             CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2
           FROM a)
-        SELECT n, n_above, n_below, r AS runs,
+        SELECT n, CAST(n_above AS BIGINT) AS n_above,
+          CAST(n_below AS BIGINT) AS n_below, CAST(r AS BIGINT) AS runs,
           ROUND(CASE WHEN
               2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
                 / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1)) > 0 THEN
@@ -302,7 +303,8 @@ object ShapeTests {
             SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS n_pos,
             SUM(CASE WHEN x < y THEN 1 ELSE 0 END) AS n_neg
           FROM src)
-        SELECT n_pairs, n_pos, n_neg,
+        SELECT n_pairs, CAST(n_pos AS BIGINT) AS n_pos,
+          CAST(n_neg AS BIGINT) AS n_neg,
           ROUND(CAST(n_pos - n_neg AS DOUBLE)
             / SQRT(CAST(n_pairs AS DOUBLE)), 6) AS z_stat
         FROM g"""

@@ -1366,8 +1366,12 @@ object StatTests {
     * sup can land on either side of the step). The "does this look
     * like the design distribution" check for hash buckets, sampling
     * keys and percent-ranks, where the TWO-sample q92 has no second
-    * sample to compare against. Rank-kernel prefix counts, one
-    * aggregate, no window. Returns one row:
+    * sample to compare against. Values outside [lo, hi] are dropped,
+    * so the statistic is CONDITIONAL on the support — a sample with
+    * substantial out-of-range mass can still report D ≈ 0; callers
+    * screening for range violations should count them separately
+    * (the convention the oracle twin shares). Rank-kernel prefix
+    * counts, one aggregate, no window. Returns one row:
     * (n, d_stat 6dp, ks_lambda 6dp = √n·D). */
   def ksUniform(df: DataFrame, valueCol: String, lo: Double,
                 hi: Double): DataFrame = {

@@ -392,12 +392,16 @@ object Causal {
       (sum(when(tr, y)).cast("double") / sum(when(tr, 1L)) -
         sum(when(!tr, y)).cast("double") / sum(when(!tr, 1L)))
         .as("__naive"))
+    // the weighted tail reduce sums 9dp-quantized DECIMALs, never raw
+    // doubles: a double sum over the stratum frame is order-dependent
+    // and drifts across engines/partitionings (round-10 lesson)
     cells.crossJoin(broadcast(naive))
       .agg(sum(ok.cast("long")).as("n_strata"),
         sum((!ok).cast("long")).as("n_dropped"),
         sum(when(ok, col("__n"))).as("n_units"),
         first("__naive").as("__nv"),
-        sum(when(ok, diff * col("__n").cast("double"))).as("__wd"))
+        sum(when(ok, round(diff * col("__n").cast("double"), 9))
+          .cast(DecimalType(38, 9))).cast("double").as("__wd"))
       .select(col("n_strata"), col("n_dropped"), col("n_units"),
         round(col("__nv"), 6).as("naive_diff"),
         round(col("__wd") / col("n_units").cast("double"), 6)
@@ -422,12 +426,15 @@ object Causal {
           FROM src),
         f AS (SELECT (nt > 0 AND nt < n) AS ok, n, nt, st, sc
           FROM cells)
-        SELECT SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_strata,
-          SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS n_dropped,
+        SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_strata,
+          CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped,
           CAST(SUM(CASE WHEN ok THEN n END) AS BIGINT) AS n_units,
           ROUND(ANY_VALUE(nv), 6) AS naive_diff,
-          ROUND(SUM(CASE WHEN ok THEN
-              (st / nt - sc / (n - nt)) * n END)
+          ROUND(CAST(SUM(CAST(ROUND(CASE WHEN ok THEN
+              (st / nt - sc / (n - nt)) * n END, 9)
+              AS DECIMAL(38,9))) AS DOUBLE)
             / CAST(SUM(CASE WHEN ok THEN n END) AS DOUBLE), 6)
             AS adjusted_ate
         FROM f CROSS JOIN naive"""

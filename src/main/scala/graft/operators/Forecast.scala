@@ -1552,8 +1552,9 @@ object Forecast {
     * days where BOTH sit in their own top quantile, versus the q²
     * expected under independence — the "do extremes co-occur" number
     * plain correlation hides (two series can be corr 0.3 yet always
-    * spike together). Quantile thresholds are exact-percentile plan
-    * literals; the rest is one integer aggregate. Returns one row:
+    * spike together). The two quantile thresholds are collected
+    * driver-side (one scalar row) and inlined as plan literals; the
+    * rest is one integer aggregate. Returns one row:
     * (n_days, q, n_joint, joint_share 6dp, lift 6dp). */
   def tailDependence(events: DataFrame, tsCol: String,
                      valueCol: String, q: Double = 0.8): DataFrame = {
@@ -1587,8 +1588,8 @@ object Forecast {
         thr AS (SELECT quantile_cont(x, $q) AS tx,
             quantile_cont(y, $q) AS ty FROM d)
         SELECT COUNT(*) AS n_days, $q AS q,
-          SUM(CASE WHEN x > tx AND y > ty THEN 1 ELSE 0 END)
-            AS n_joint,
+          CAST(SUM(CASE WHEN x > tx AND y > ty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_joint,
           ROUND(SUM(CASE WHEN x > tx AND y > ty THEN 1 ELSE 0 END)
             / CAST(COUNT(*) AS DOUBLE), 6) AS joint_share,
           ROUND(SUM(CASE WHEN x > tx AND y > ty THEN 1 ELSE 0 END)

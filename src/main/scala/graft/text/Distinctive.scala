@@ -182,17 +182,25 @@ object Distinctive {
       .groupBy("__b").agg(count(lit(1)).as("__new"))
     val w = Window.orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ln points quantize to DECIMAL(18,9) before the OLS power sums:
+    // raw-double sums over the grid frame are order-dependent and
+    // drift across engines/partitionings (round-10 lesson); decimal
+    // sums of 9dp-quantized logs are exact and order-free
+    import org.apache.spark.sql.types.DecimalType
     val pts = tokPerB.join(newPerB, Seq("__b"), "left")
       .withColumn("__N", sum("__tok").over(w))
       .withColumn("__V", sum(coalesce(col("__new"), lit(0L))).over(w))
       .filter(col("__N") > 0 && col("__V") > 0)
-      .select(log(col("__N").cast("double")).as("__x"),
-        log(col("__V").cast("double")).as("__y"))
+      .select(round(log(col("__N").cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("__x"),
+        round(log(col("__V").cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("__y"))
     val g = pts.agg(count(lit(1)).as("n_buckets"),
-      sum("__x").as("__sx"), sum("__y").as("__sy"),
-      sum(col("__x") * col("__x")).as("__sxx"),
-      sum(col("__y") * col("__y")).as("__syy"),
-      sum(col("__x") * col("__y")).as("__sxy"))
+      sum("__x").cast("double").as("__sx"),
+      sum("__y").cast("double").as("__sy"),
+      sum(col("__x") * col("__x")).cast("double").as("__sxx"),
+      sum(col("__y") * col("__y")).cast("double").as("__syy"),
+      sum(col("__x") * col("__y")).cast("double").as("__sxy"))
     val n = col("n_buckets").cast("double")
     val sxx = col("__sxx") - col("__sx") * col("__sx") / n
     val syy = col("__syy") - col("__sy") * col("__sy") / n
@@ -222,12 +230,17 @@ object Distinctive {
         nb AS (SELECT b, COUNT(*) AS new FROM
           (SELECT t, MIN(b) AS b FROM lf GROUP BY t) GROUP BY b),
         pts AS (SELECT
-            LN(CAST(SUM(tok) OVER (ORDER BY tb.b) AS DOUBLE)) AS x,
-            LN(CAST(SUM(COALESCE(new, 0)) OVER (ORDER BY tb.b)
-              AS DOUBLE)) AS y
+            CAST(ROUND(LN(CAST(SUM(tok) OVER (ORDER BY tb.b)
+              AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+            CAST(ROUND(LN(CAST(SUM(COALESCE(new, 0))
+                OVER (ORDER BY tb.b) AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS y
           FROM tb LEFT JOIN nb ON tb.b = nb.b),
-        g AS (SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
-            SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        g AS (SELECT COUNT(*) AS k,
+            CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+            CAST(SUM(x * x) AS DOUBLE) AS sxx,
+            CAST(SUM(y * y) AS DOUBLE) AS syy,
+            CAST(SUM(x * y) AS DOUBLE) AS sxy
           FROM pts),
         e AS (SELECT k,
             sxx - sx * sx / CAST(k AS DOUBLE) AS cxx,

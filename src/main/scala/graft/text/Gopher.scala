@@ -28,9 +28,7 @@ object Gopher {
     val t = col(textCol)
     val toks = Text.tokens(t)
     val nWords = size(toks).cast("long")
-    val meanLen = when(nWords > 0,
-      aggregate(toks, lit(0L), (acc, w) => acc + length(w))
-        .cast("double") / nWords)
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
     val symbols = occurrences(t, "#") + occurrences(t, "...") +
       occurrences(t, "…")
     val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
@@ -45,16 +43,19 @@ object Gopher {
       .cast("long")
     val nStop = size(filter(array(stopWords.map(lit): _*),
       sw => array_contains(toks, sw))).cast("long")
+    // every ratio rule compares on the integer lattice (10·x ≤ 9·n
+    // instead of x/n ≤ 0.9): immune to float-division and
+    // float-boundary drift across engines and engine versions
     docs.select(col(idCol), col(srcCol), nWords.as("n_words"),
         (nWords >= 50 && nWords <= 100000).as("r_wordcount"),
-        (meanLen >= 3.0 && meanLen <= 10.0).as("r_wordlen"),
-        (nWords > 0 &&
-          symbols.cast("double") / nWords <= 0.1).as("r_symbol"),
-        (bulletLines.cast("double") / nLines <= 0.9).as("r_bullet"),
-        (ellipsisLines.cast("double") / nLines <= 0.3)
+        (nWords > 0 && sumLen >= lit(3L) * nWords &&
+          sumLen <= lit(10L) * nWords).as("r_wordlen"),
+        (nWords > 0 && lit(10L) * symbols <= nWords).as("r_symbol"),
+        (lit(10L) * bulletLines <= lit(9L) * nLines).as("r_bullet"),
+        (lit(10L) * ellipsisLines <= lit(3L) * nLines)
           .as("r_ellipsis"),
-        (nWords > 0 &&
-          alphaWords.cast("double") / nWords >= 0.8).as("r_alpha"),
+        (nWords > 0 && lit(5L) * alphaWords >= lit(4L) * nWords)
+          .as("r_alpha"),
         (nStop >= 2).as("r_stopwords"))
       .withColumn("pass_all",
         col("r_wordcount") && col("r_wordlen") && col("r_symbol") &&
@@ -92,33 +93,35 @@ object Gopher {
               x -> length(x) > 0) AS toks,
             text FROM documents),
         per AS (SELECT source,
-            len(toks) AS nw,
-            CASE WHEN len(toks) > 0 THEN
-              CAST(list_sum(list_transform(toks, w -> length(w)))
-                AS DOUBLE) / len(toks) END AS mwl,
-            (length(text) - length(replace(text, '#', '')))
-              + (length(text) - length(replace(text, '...', ''))) / 3
+            CAST(len(toks) AS BIGINT) AS nw,
+            CAST(list_sum(list_transform(toks, w -> length(w)))
+              AS BIGINT) AS sl,
+            CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
               + (length(text) - length(replace(text, '…', '')))
-              AS sym,
+              AS BIGINT) AS sym,
             list_filter(string_split(text, chr(10)),
               l -> length(trim(l)) > 0) AS lines,
-            len(list_filter(toks,
-              w -> regexp_matches(w, '[a-z]'))) AS alphaw,
+            CAST(len(list_filter(toks,
+              w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alphaw,
             len(list_filter($stopList,
               sw -> list_contains(toks, sw))) AS nstop
           FROM base),
+        -- integer-lattice rule boundaries (10·x <= 9·n, never x/n
+        -- <= 0.9): immune to float-division drift across versions
         flags AS (SELECT source,
             (nw >= 50 AND nw <= 100000) AS r_wordcount,
-            (mwl >= 3.0 AND mwl <= 10.0) AS r_wordlen,
-            (nw > 0 AND CAST(sym AS DOUBLE) / nw <= 0.1) AS r_symbol,
-            (CAST(len(list_filter(lines, l -> trim(l) LIKE '-%'
+            (nw > 0 AND sl >= 3 * nw AND sl <= 10 * nw) AS r_wordlen,
+            (nw > 0 AND 10 * sym <= nw) AS r_symbol,
+            (10 * CAST(len(list_filter(lines, l -> trim(l) LIKE '-%'
                 OR trim(l) LIKE '*%' OR trim(l) LIKE '•%'))
-              AS DOUBLE) / GREATEST(len(lines), 1) <= 0.9) AS r_bullet,
-            (CAST(len(list_filter(lines, l -> trim(l) LIKE '%...'
+              AS BIGINT) <= 9 * GREATEST(CAST(len(lines) AS BIGINT), 1))
+              AS r_bullet,
+            (10 * CAST(len(list_filter(lines, l -> trim(l) LIKE '%...'
                 OR trim(l) LIKE '%…'))
-              AS DOUBLE) / GREATEST(len(lines), 1) <= 0.3)
+              AS BIGINT) <= 3 * GREATEST(CAST(len(lines) AS BIGINT), 1))
               AS r_ellipsis,
-            (nw > 0 AND CAST(alphaw AS DOUBLE) / nw >= 0.8) AS r_alpha,
+            (nw > 0 AND 5 * alphaw >= 4 * nw) AS r_alpha,
             (nstop >= 2) AS r_stopwords
           FROM per),
         f2 AS (SELECT *,
@@ -126,17 +129,22 @@ object Gopher {
               AND r_ellipsis AND r_alpha AND r_stopwords) AS pass_all
           FROM flags)
         SELECT source, COUNT(*) AS n_docs,
-          SUM(CASE WHEN r_wordcount THEN 1 ELSE 0 END)
+          CAST(SUM(CASE WHEN r_wordcount THEN 1 ELSE 0 END) AS BIGINT)
             AS pass_wordcount,
-          SUM(CASE WHEN r_wordlen THEN 1 ELSE 0 END) AS pass_wordlen,
-          SUM(CASE WHEN r_symbol THEN 1 ELSE 0 END) AS pass_symbol,
-          SUM(CASE WHEN r_bullet THEN 1 ELSE 0 END) AS pass_bullet,
-          SUM(CASE WHEN r_ellipsis THEN 1 ELSE 0 END)
+          CAST(SUM(CASE WHEN r_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+            AS pass_wordlen,
+          CAST(SUM(CASE WHEN r_symbol THEN 1 ELSE 0 END) AS BIGINT)
+            AS pass_symbol,
+          CAST(SUM(CASE WHEN r_bullet THEN 1 ELSE 0 END) AS BIGINT)
+            AS pass_bullet,
+          CAST(SUM(CASE WHEN r_ellipsis THEN 1 ELSE 0 END) AS BIGINT)
             AS pass_ellipsis,
-          SUM(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS pass_alpha,
-          SUM(CASE WHEN r_stopwords THEN 1 ELSE 0 END)
+          CAST(SUM(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+            AS pass_alpha,
+          CAST(SUM(CASE WHEN r_stopwords THEN 1 ELSE 0 END) AS BIGINT)
             AS pass_stopwords,
-          SUM(CASE WHEN pass_all THEN 1 ELSE 0 END) AS pass_all,
+          CAST(SUM(CASE WHEN pass_all THEN 1 ELSE 0 END) AS BIGINT)
+            AS pass_all,
           ROUND(SUM(CASE WHEN pass_all THEN 1 ELSE 0 END)
             / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
         FROM f2 GROUP BY source ORDER BY source"""
