@@ -188,16 +188,23 @@ object Reporting {
         sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("monetary"))
       .localCheckpoint(true) // feeds the percentile action AND the output
     val ps = (1 until bins).map(_.toDouble / bins)
-    def edges(c: String): Seq[Double] = {
-      val r = perUser.agg(graft.functions.ExactPercentiles
-        .exactPercentiles(col(c).cast("double"), ps)).head()
-      if (r.isNullAt(0)) Seq.empty
-      else r.getSeq[Double](0).map(e =>
+    // ONE percentile aggregate for all three edge sets (three separate
+    // driver actions here were the round-10 ladder's only unexplained
+    // super-linear entry: each was its own full sort job)
+    val edgeRow = perUser.agg(
+      graft.functions.ExactPercentiles
+        .exactPercentiles(col("recency_days").cast("double"), ps),
+      graft.functions.ExactPercentiles
+        .exactPercentiles(col("frequency").cast("double"), ps),
+      graft.functions.ExactPercentiles
+        .exactPercentiles(col("monetary").cast("double"), ps)).head()
+    def edges(i: Int): Seq[Double] =
+      if (edgeRow.isNullAt(i)) Seq.empty
+      else edgeRow.getSeq[Double](i).map(e =>
         BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }
     def bin(c: String, es: Seq[Double]) =
       es.foldLeft(lit(0))((acc, e) => acc + when(col(c) > e, 1).otherwise(0))
-    val (re, fe, me) = (edges("recency_days"), edges("frequency"), edges("monetary"))
+    val (re, fe, me) = (edges(0), edges(1), edges(2))
     if (re.isEmpty) return perUser.limit(0)
       .select(col("user"), col("recency_days"), col("frequency"), col("monetary"),
         lit(0).as("r_score"), lit(0).as("f_score"), lit(0).as("m_score"),
