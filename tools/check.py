@@ -35,6 +35,20 @@ def main(sfdir, outdir):
     for name in sorted(oracle):
         sql = oracle[name]
         path = f"{outdir}/{name}"
+        # determinism lint: HUGEINT oracle outputs (uncast integer SUMs)
+        # convert differently across duckdb client versions (int64 vs
+        # float64/decimal128) — values match, the driver's hash doesn't.
+        # This was the root cause of 9 of round 10's driver-red queries.
+        try:
+            types = con.execute(f"DESCRIBE {sql}").fetchall()
+            huge = [c for (c, t, *_) in types if "HUGEINT" in t]
+            if huge:
+                print(f"FAIL {name}: HUGEINT oracle output column(s) "
+                      f"{huge} — CAST the integer SUM to BIGINT")
+                n_fail += 1
+                continue
+        except Exception:
+            pass  # describe failure surfaces below as an sql error
         try:
             spark_df = pd.read_parquet(path)
         except Exception as e:
