@@ -3325,7 +3325,52 @@ object SparkEntry {
         t(s, dir, "orders").select(col("o_custkey").as("e"),
           col("o_totalprice").as("v"), col("o_orderdate")),
         "e", "v",
-        periodA = col("o_orderdate") < "1995-01-01", k = 20))
+        periodA = col("o_orderdate") < "1995-01-01", k = 20)),
+    "q428_ess_weights" -> ((s, dir) =>
+      // how many EFFECTIVE docs does each source contribute under
+      // char-length weighting? ESS + Kish design effect
+      graft.ml.Experiments.essProfile(t(s, dir, "documents"),
+        "source", "n_chars")),
+    "q429_first_seen_dups" -> ((s, dir) =>
+      // which feed re-sends content we already ingested? per-source
+      // share of docs whose exact hash was seen at a smaller doc_id
+      graft.dedup.Dedup.firstSeenDupShare(t(s, dir, "documents"),
+        "doc_id", "text", "source")),
+    "q430_energy_distance" -> ((s, dir) => {
+      // distribution distance between returned and kept quantities —
+      // zero iff the distributions match, no binning choice
+      val li = t(s, dir, "lineitem")
+      graft.eda.StatTests.energyDistance(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "N"), "l_quantity")
+    }),
+    "q431_gini_mean_diff" -> ((s, dir) =>
+      // pairwise-mean-difference inequality of raw prices per flag:
+      // GMD + the value-level Gini coefficient
+      graft.eda.Concentration.giniMeanDifference(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
+    "q432_c_index" -> ((s, dir) => {
+      // does event volume rank churn risk? Harrell's C of per-user
+      // activity count against time-to-error
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(to_date(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", to_date(col("ts"))))
+            .as("__e"),
+          max(to_date(col("ts"))).as("__l"),
+          count(lit(1)).as("__cnt"))
+        .select(datediff(coalesce(col("__e"), col("__l")), col("__f"))
+          .as("t"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("e"),
+          col("__cnt").as("p"))
+        .filter(col("t") > 0)
+      graft.ml.Stats.concordanceIndex(life, "t", "e", "p")
+    }),
+    "q433_source_kl" -> ((s, dir) =>
+      // ONE drift number per source: unigram KL vs the corpus over a
+      // capped vocab — the mixture-design companion to q136 DoReMi
+      graft.text.Distinctive.sourceKl(t(s, dir, "documents"),
+        "source", "text", topK = 2000))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7349,6 +7394,30 @@ object SparkEntry {
          WHERE o_orderdate < DATE '1995-01-01'""",
       """SELECT o_custkey AS e, o_totalprice AS v FROM orders
          WHERE NOT (o_orderdate < DATE '1995-01-01')""", k = 20),
+    "q428_ess_weights" -> graft.ml.Experiments.essProfileOracleSql(
+      "SELECT source AS g, n_chars AS w FROM documents"),
+    "q429_first_seen_dups" ->
+      graft.dedup.Dedup.firstSeenDupShareOracleSql(
+        "SELECT doc_id AS id, source AS g, text FROM documents"),
+    "q430_energy_distance" ->
+      graft.eda.StatTests.energyDistanceOracleSql(
+        "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'R'",
+        "SELECT l_quantity AS v FROM lineitem WHERE l_returnflag = 'N'"),
+    "q431_gini_mean_diff" ->
+      graft.eda.Concentration.giniMeanDifferenceOracleSql(
+        "SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem"),
+    "q432_c_index" -> graft.ml.Stats.concordanceIndexOracleSql(
+      """SELECT date_diff('day', f, coalesce(e, l)) AS t,
+           CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS e,
+           cnt AS p
+         FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             MIN(CASE WHEN event_type = 'error'
+               THEN CAST(ts AS DATE) END) AS e,
+             MAX(CAST(ts AS DATE)) AS l, COUNT(*) AS cnt
+           FROM events GROUP BY user_id)
+         WHERE date_diff('day', f, coalesce(e, l)) > 0"""),
+    "q433_source_kl" ->
+      graft.text.Distinctive.sourceKlOracleSql(topK = 2000),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

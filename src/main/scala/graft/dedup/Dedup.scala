@@ -542,4 +542,45 @@ object Dedup {
             CAST(n_b AS DOUBLE) / est END, 6) AS recall_b
         FROM e"""
   }
+
+  /** First-seen duplicate share per group: a doc is a DUPLICATE when
+    * an earlier doc (smaller id — ingest order) anywhere in the corpus
+    * carries the same exact content hash; the per-source share is the
+    * ingest-monitoring read-out ("which feed is re-sending content we
+    * already have") that q27's global dedup and q337's cross-source
+    * share don't slice by time-of-arrival.
+    *
+    * Scale shape: one groupBy(md5) for the global first-seen id, one
+    * broadcast-size join back keyed on the hash (the duplicate-group
+    * frame is #distinct-hashes rows), one integer groupBy per source.
+    * All-integer outputs except the final share ratio.
+    * Returns (group, n_docs, n_dups, dup_share 6dp). */
+  def firstSeenDupShare(docs: DataFrame, idCol: String,
+                        textCol: String, groupCol: String): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(groupCol).as("group"), md5(col(textCol)).as("__fp"))
+    val first = base.groupBy("__fp").agg(min("__id").as("__first"))
+    base.join(first, Seq("__fp"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__id") > col("__first")).cast("long")).as("n_dups"))
+      .withColumn("dup_share",
+        round(col("n_dups").cast("double") / col("n_docs"), 6))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[firstSeenDupShare]]; `docsCte` yields
+    * (id, g, text). */
+  def firstSeenDupShareOracleSql(docsCte: String): String =
+    s"""WITH base AS (SELECT CAST(id AS BIGINT) AS id, g,
+            md5(text) AS fp FROM ($docsCte) WHERE text IS NOT NULL),
+        fs AS (SELECT fp, MIN(id) AS first_id FROM base GROUP BY fp)
+        SELECT base.g AS "group", COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN base.id > fs.first_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dups,
+          ROUND(SUM(CASE WHEN base.id > fs.first_id THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
+        FROM base JOIN fs USING (fp)
+        GROUP BY base.g ORDER BY "group""""
 }

@@ -315,4 +315,88 @@ object Concentration {
             / CAST(SUM(s) OVER (PARTITION BY g) AS DOUBLE), 6)
             AS cum_share
         FROM cells ORDER BY "group", decile"""
+
+  /** Gini mean difference per group: GMD = E|X−X′| over all pairs,
+    * plus the derived Gini coefficient GMD/(2·mean) — the
+    * distribution-level inequality of the raw VALUES (q261's Gini
+    * works on per-entity TOTALS; this one needs no entity key and
+    * doubles as a robust spread estimate ~1.128·σ under normality).
+    *
+    * Scale shape: one in-group distinct-value collapse, one prefix-sum
+    * window over the (group, value) frame (bounded by value
+    * cardinality per group, never row count), one grouped aggregate.
+    * Values quantize to cents so Σ_{i<j} cnt_i·cnt_j·(v_j−v_i) is an
+    * exact DECIMAL(38,0) — order-free on any engine. Returns
+    * (group, n, mean 6dp, gmd 6dp, gini 6dp). */
+  def giniMeanDifference(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df
+      .select(col(groupCol).as("group"),
+        col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("group"), (col("__v") * 100).cast("long").as("__vc"))
+      .groupBy("group", "__vc").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("group").orderBy("__vc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // decimal widths kept tight: DuckDB refuses a multiply whose
+    // result width exceeds 38, so operands stay at (12,0)/(26,0)
+    val cvProd = col("__c").cast(DecimalType(12, 0)) *
+      col("__vc").cast(DecimalType(12, 0))
+    val withPrev = cells
+      .withColumn("__cumn", coalesce(sum("__c").over(w), lit(0L)))
+      .withColumn("__cums", coalesce(sum(cvProd).over(w),
+        lit(0L).cast(DecimalType(25, 0))))
+    val g = withPrev.groupBy("group")
+      .agg(sum("__c").as("n"),
+        sum(cvProd).cast("double").as("__tot"),
+        sum(col("__c").cast(DecimalType(12, 0)) *
+          (col("__vc").cast(DecimalType(12, 0)) *
+            col("__cumn").cast(DecimalType(12, 0)) -
+            col("__cums").cast(DecimalType(25, 0))))
+          .cast("double").as("__ps"))
+    val nd = col("n").cast("double")
+    val mean = col("__tot") / nd / 100.0
+    val gmd = lit(2.0) * col("__ps") / (nd * (nd - 1)) / 100.0
+    g.filter(col("n") > 1)
+      .select(col("group"), col("n"), round(mean, 6).as("mean"),
+        round(gmd, 6).as("gmd"),
+        round(when(mean =!= 0.0, gmd / (lit(2.0) * mean)), 6)
+          .as("gini"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[giniMeanDifference]]; `srcCte` yields (g, v). */
+  def giniMeanDifferenceOracleSql(srcCte: String): String =
+    s"""WITH cells AS (SELECT g,
+            CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+            COUNT(*) AS c
+          FROM ($srcCte) WHERE v IS NOT NULL GROUP BY g, 2),
+        pre AS (SELECT g, vc, c,
+            COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY vc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cumn,
+            COALESCE(SUM(CAST(c AS DECIMAL(12,0))
+                * CAST(vc AS DECIMAL(12,0)))
+              OVER (PARTITION BY g ORDER BY vc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0 AS DECIMAL(25,0))) AS cums
+          FROM cells),
+        a AS (SELECT g, SUM(c) AS n,
+            CAST(SUM(CAST(c AS DECIMAL(12,0))
+              * CAST(vc AS DECIMAL(12,0))) AS DOUBLE) AS tot,
+            CAST(SUM(CAST(c AS DECIMAL(12,0))
+              * (CAST(vc AS DECIMAL(12,0))
+                 * CAST(cumn AS DECIMAL(12,0))
+                 - CAST(cums AS DECIMAL(25,0)))) AS DOUBLE) AS ps
+          FROM pre GROUP BY g HAVING SUM(c) > 1)
+        SELECT g AS "group", CAST(n AS BIGINT) AS n,
+          ROUND(tot / CAST(n AS DOUBLE) / 100.0, 6) AS mean,
+          ROUND(2.0 * ps / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+            / 100.0, 6) AS gmd,
+          ROUND(CASE WHEN tot / CAST(n AS DOUBLE) / 100.0 <> 0.0 THEN
+            (2.0 * ps / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+              / 100.0)
+            / (2.0 * (tot / CAST(n AS DOUBLE) / 100.0)) END, 6) AS gini
+        FROM a ORDER BY "group""""
 }

@@ -1410,4 +1410,86 @@ object StatTests {
         SELECT CAST(n AS BIGINT) AS n, ROUND(dd, 6) AS d_stat,
           ROUND(SQRT(CAST(n AS DOUBLE)) * dd, 6) AS ks_lambda
         FROM d"""
+
+  /** Two-sample energy distance E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| —
+    * the rotation/shift-sensitive distribution distance that is zero
+    * iff the distributions match (unlike a mean test) and needs no
+    * binning choice (unlike a chi-square); the drift number to reach
+    * for when [[wasserstein1]]'s transport reading isn't wanted.
+    *
+    * Scale shape: DISTINCT-VALUE cell grid (cells × cells with count
+    * weights) — quadratic only in distinct values, the [[kendallTauB]]
+    * bounded-cardinality contract; pre-bin continuous columns. Values
+    * quantize to cents (DECIMAL(18,2) lattice) so every pairwise term
+    * ca·cb·|vi−vj| is an exact integer — the three pair sums are
+    * DECIMAL(38,0) and order-free on any engine. Returns one row:
+    * (n_a, n_b, e_between 6dp, energy 6dp). */
+  def energyDistance(a: DataFrame, b: DataFrame,
+                     valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def cells(df: DataFrame) =
+      df.select(col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+        .filter(col("__v").isNotNull)
+        .select((col("__v") * 100).cast("long").as("__vc"))
+        .groupBy("__vc").agg(count(lit(1)).as("__c"))
+    val ca = cells(a).select(col("__vc").as("__va"), col("__c").as("__ca"))
+    val cb = cells(b).select(col("__vc").as("__vb"), col("__c").as("__cb"))
+    val all = ca.join(cb, col("__va") === col("__vb"), "full")
+      .select(coalesce(col("__va"), col("__vb")).as("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint(true)
+    val l = all.select(col("__v").as("__v1"), col("__ca").as("__ca1"),
+      col("__cb").as("__cb1"))
+    val r = all.select(col("__v").as("__v2"), col("__ca").as("__ca2"),
+      col("__cb").as("__cb2"))
+    def pairSum(w1: Column, w2: Column) =
+      sum(((w1 * w2).cast(DecimalType(20, 0)) *
+        abs(col("__v1") - col("__v2")).cast(DecimalType(18, 0))))
+        .cast("double")
+    val g = l.crossJoin(r).agg(
+      pairSum(col("__ca1"), col("__cb2")).as("__sxy"),
+      pairSum(col("__ca1"), col("__ca2")).as("__sxx"),
+      pairSum(col("__cb1"), col("__cb2")).as("__syy"),
+      sum(col("__ca1") * when(col("__v1") === col("__v2"), 1L)
+        .otherwise(0L)).as("__na"),
+      sum(col("__cb1") * when(col("__v1") === col("__v2"), 1L)
+        .otherwise(0L)).as("__nb"))
+    val (na, nb) = (col("__na").cast("double"), col("__nb").cast("double"))
+    g.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(col("__sxy") / (na * nb) / 100.0, 6).as("e_between"),
+      round((lit(2.0) * col("__sxy") / (na * nb) -
+        col("__sxx") / (na * na) - col("__syy") / (nb * nb)) / 100.0, 6)
+        .as("energy"))
+  }
+
+  /** DuckDB twin of [[energyDistance]]; `aCte`/`bCte` must yield v. */
+  def energyDistanceOracleSql(aCte: String, bCte: String): String =
+    s"""WITH ca AS (SELECT CAST(CAST(v AS DECIMAL(18,2)) * 100
+            AS BIGINT) AS v, COUNT(*) AS c
+          FROM ($aCte) WHERE v IS NOT NULL GROUP BY 1),
+        cb AS (SELECT CAST(CAST(v AS DECIMAL(18,2)) * 100
+            AS BIGINT) AS v, COUNT(*) AS c
+          FROM ($bCte) WHERE v IS NOT NULL GROUP BY 1),
+        cells AS (SELECT COALESCE(ca.v, cb.v) AS v,
+            COALESCE(ca.c, 0) AS wa, COALESCE(cb.c, 0) AS wb
+          FROM ca FULL JOIN cb ON ca.v = cb.v),
+        g AS (SELECT
+            SUM(CAST(l.wa * r.wb AS DECIMAL(20,0))
+              * CAST(ABS(l.v - r.v) AS DECIMAL(18,0))) AS sxy,
+            SUM(CAST(l.wa * r.wa AS DECIMAL(20,0))
+              * CAST(ABS(l.v - r.v) AS DECIMAL(18,0))) AS sxx,
+            SUM(CAST(l.wb * r.wb AS DECIMAL(20,0))
+              * CAST(ABS(l.v - r.v) AS DECIMAL(18,0))) AS syy,
+            SUM(CASE WHEN l.v = r.v THEN l.wa ELSE 0 END) AS na,
+            SUM(CASE WHEN l.v = r.v THEN l.wb ELSE 0 END) AS nb
+          FROM cells l CROSS JOIN cells r)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          ROUND(CAST(sxy AS DOUBLE)
+            / (CAST(na AS DOUBLE) * nb) / 100.0, 6) AS e_between,
+          ROUND((2.0 * CAST(sxy AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+            - CAST(sxx AS DOUBLE) / (CAST(na AS DOUBLE) * na)
+            - CAST(syy AS DOUBLE) / (CAST(nb AS DOUBLE) * nb))
+            / 100.0, 6) AS energy
+        FROM g"""
 }

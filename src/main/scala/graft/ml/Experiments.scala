@@ -664,4 +664,47 @@ object Experiments {
           ROUND(LEAST((SELECT SUM(EXP(lt)) FROM t), 1.0), 6)
             AS prob_b_beats_a
         FROM par"""
+
+  /** Effective sample size and Kish design effect per group under a
+    * row-weight column: ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)² — the
+    * "how many docs is this weighted corpus really worth" read-out
+    * for importance-weighted (DSIR-style) or length-weighted training
+    * mixes; deff ≈ 1 means weighting costs nothing, deff = 2 means
+    * half the nominal sample is wasted on weight variance.
+    *
+    * Scale shape: ONE map-combinable groupBy with exact decimal power
+    * sums (w at (18,2), w² at (37,4)) — order-free on any engine and
+    * partitioning. Returns (group, n, sum_w 6dp, ess 6dp, deff 6dp).
+    */
+  def essProfile(df: DataFrame, groupCol: String,
+                 weightCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = col(weightCol).cast(DecimalType(18, 2))
+    val g = df.filter(col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(w).cast("double").as("__s1"),
+        sum(w * w).cast("double").as("__s2"))
+    g.select(col("group"), col("n"),
+        round(col("__s1"), 6).as("sum_w"),
+        round(col("__s1") * col("__s1") / col("__s2"), 6).as("ess"),
+        round(col("n").cast("double") * col("__s2") /
+          (col("__s1") * col("__s1")), 6).as("deff"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[essProfile]]; `srcCte` must yield (g, w). */
+  def essProfileOracleSql(srcCte: String): String =
+    s"""WITH src AS ($srcCte),
+        g AS (SELECT g AS "group", COUNT(*) AS n,
+            CAST(SUM(CAST(w AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(w AS DECIMAL(18,2))
+              * CAST(w AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM src WHERE w IS NOT NULL AND CAST(w AS DOUBLE) > 0
+          GROUP BY g)
+        SELECT "group", n, ROUND(s1, 6) AS sum_w,
+          ROUND(s1 * s1 / s2, 6) AS ess,
+          ROUND(CAST(n AS DOUBLE) * s2 / (s1 * s1), 6) AS deff
+        FROM g ORDER BY "group""""
 }

@@ -1840,4 +1840,73 @@ object Stats {
           ROUND(GREATEST(s - $z * (s * SQRT(gw)), 0.0), 6) AS lo,
           ROUND(LEAST(s + $z * (s * SQRT(gw)), 1.0), 6) AS hi
         FROM km"""
+
+  /** Harrell's concordance index for a survival outcome against a
+    * risk score: over comparable pairs (i experienced the event and
+    * i's time is strictly earlier than j's), the share where the risk
+    * score ranks them correctly (score_i > score_j), ties in score
+    * crediting 1/2 — the survival twin of ROC-AUC (C = AUC when all
+    * subjects are events at distinct times).
+    *
+    * Scale shape: the [[somersD]] cell-table plan — one groupBy to
+    * (t, e, p, n) cells, three dominance joins on the cell frame
+    * (quadratic only in distinct cells, the bounded-cardinality
+    * contract; pre-bin continuous scores), all-integer counts.
+    * Returns one row: (n_comparable, n_concordant, n_discordant,
+    * n_tied, c_index 6dp). */
+  def concordanceIndex(df: DataFrame, durationCol: String,
+                       eventCol: String, scoreCol: String): DataFrame = {
+    val cells = df.filter(col(durationCol).isNotNull &&
+        col(eventCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("__t"),
+        (col(eventCol).cast("int") === 1).as("__e"),
+        col(scoreCol).cast("long").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val a = cells.filter(col("__e"))
+      .select(col("__t").as("ta"), col("__p").as("pa"),
+        col("__n").as("na"))
+    val b = cells.select(col("__t").as("tb"), col("__p").as("pb"),
+      col("__n").as("nb"))
+    def cnt(cond: org.apache.spark.sql.Column, nm: String) =
+      a.join(b, col("tb") > col("ta") && cond)
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as(nm))
+    val out = cnt(col("pa") > col("pb"), "nc")
+      .crossJoin(cnt(col("pa") < col("pb"), "nd"))
+      .crossJoin(cnt(col("pa") === col("pb"), "nt"))
+      .select((col("nc") + col("nd") + col("nt")).as("n_comparable"),
+        col("nc").as("n_concordant"), col("nd").as("n_discordant"),
+        col("nt").as("n_tied"),
+        round(when(col("nc") + col("nd") + col("nt") > 0,
+          (col("nc").cast("double") + col("nt").cast("double") / 2) /
+            (col("nc") + col("nd") + col("nt")).cast("double")), 6)
+          .as("c_index"))
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[concordanceIndex]]; `unitsCte` yields
+    * (t, e, p). */
+  def concordanceIndexOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT CAST(t AS BIGINT) AS t,
+            (CAST(e AS INT) = 1) AS e, CAST(p AS BIGINT) AS p
+          FROM ($unitsCte)
+          WHERE t IS NOT NULL AND e IS NOT NULL AND p IS NOT NULL),
+        cells AS (SELECT t, e, p, COUNT(*) AS n
+          FROM units GROUP BY t, e, p),
+        nc AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS nc
+          FROM cells a JOIN cells b ON a.e AND b.t > a.t AND a.p > b.p),
+        nd AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS nd
+          FROM cells a JOIN cells b ON a.e AND b.t > a.t AND a.p < b.p),
+        nt AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS nt
+          FROM cells a JOIN cells b ON a.e AND b.t > a.t AND a.p = b.p)
+        SELECT CAST(nc + nd + nt AS BIGINT) AS n_comparable,
+          CAST(nc AS BIGINT) AS n_concordant,
+          CAST(nd AS BIGINT) AS n_discordant,
+          CAST(nt AS BIGINT) AS n_tied,
+          ROUND(CASE WHEN nc + nd + nt > 0 THEN
+            (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE) / 2)
+              / CAST(nc + nd + nt AS DOUBLE) END, 6) AS c_index
+        FROM nc CROSS JOIN nd CROSS JOIN nt"""
 }

@@ -360,4 +360,75 @@ object Distinctive {
           CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2,
           ROUND(g2, 6) AS g2
         FROM sc ORDER BY g2 DESC, w1, w2 LIMIT $topK"""
+
+  /** Per-source unigram KL divergence vs the corpus: KL(p_s ‖ q) over
+    * a capped vocabulary with add-one smoothing — ONE number per
+    * source for "how far does this feed's language drift from the
+    * pool", the summary the q210 distinctive-terms ranking doesn't
+    * give; the mixture-design companion to q136 DoReMi (sources with
+    * high KL deserve their own domain weight).
+    *
+    * Scale shape: one tokenize pass; the vocabulary caps at `topK`
+    * corpus terms (count-desc, term-asc — deterministic), so the
+    * scoring grid is #sources × topK rows with broadcast joins, never
+    * corpus-sized. KL terms quantize to DECIMAL(20,12) before the
+    * per-source sum — order-free on any engine. Returns
+    * (source, n_tokens, kl 6dp). */
+  def sourceKl(docs: DataFrame, srcCol: String, textCol: String,
+               topK: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = docs.select(col(srcCol).as("source"),
+      explode(Text.tokens(col(textCol))).as("__t"))
+    val vocab = tok.groupBy("__t").agg(count(lit(1)).as("__cn"))
+      .orderBy(col("__cn").desc, col("__t")).limit(topK)
+      .localCheckpoint(true)
+    val vStats = vocab.agg(count(lit(1)).as("__V"),
+      sum("__cn").as("__N"))
+    val perSrc = tok.join(broadcast(vocab.select("__t")), Seq("__t"))
+      .groupBy("source", "__t").agg(count(lit(1)).as("__cs"))
+    val srcTot = perSrc.groupBy("source").agg(sum("__cs").as("__ns"))
+    val grid = srcTot.crossJoin(broadcast(vocab))
+      .join(perSrc, Seq("source", "__t"), "left")
+      .na.fill(0L, Seq("__cs"))
+      .crossJoin(broadcast(vStats))
+    val p = (col("__cs") + 1).cast("double") /
+      (col("__ns") + col("__V")).cast("double")
+    val q = (col("__cn") + 1).cast("double") /
+      (col("__N") + col("__V")).cast("double")
+    grid.select(col("source"), col("__ns"),
+        round(p * log(p / q), 12).cast(DecimalType(20, 12)).as("__kl"))
+      .groupBy("source")
+      .agg(first("__ns").as("n_tokens"),
+        round(sum("__kl").cast("double"), 6).as("kl"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[sourceKl]] over the documents table. */
+  def sourceKlOracleSql(topK: Int = 2000): String =
+    s"""WITH tok AS (SELECT source,
+            UNNEST(list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0)) AS t
+          FROM documents),
+        vocab AS (SELECT t, COUNT(*) AS cn FROM tok GROUP BY t
+          ORDER BY cn DESC, t LIMIT $topK),
+        vs AS (SELECT COUNT(*) AS v, SUM(cn) AS nn FROM vocab),
+        per AS (SELECT source, tok.t, COUNT(*) AS cs
+          FROM tok JOIN vocab ON tok.t = vocab.t
+          GROUP BY source, tok.t),
+        st AS (SELECT source, SUM(cs) AS ns FROM per GROUP BY source),
+        grid AS (SELECT st.source, st.ns, vocab.t, vocab.cn,
+            COALESCE(per.cs, 0) AS cs
+          FROM st CROSS JOIN vocab
+          LEFT JOIN per ON per.source = st.source AND per.t = vocab.t),
+        terms AS (SELECT source, ns,
+            CAST(ROUND(
+              ((cs + 1) / CAST(ns + vs.v AS DOUBLE))
+              * LN(((cs + 1) / CAST(ns + vs.v AS DOUBLE))
+                / ((cn + 1) / CAST(nn + vs.v AS DOUBLE))), 12)
+              AS DECIMAL(20,12)) AS term
+          FROM grid CROSS JOIN vs)
+        SELECT source, CAST(ANY_VALUE(ns) AS BIGINT) AS n_tokens,
+          ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl
+        FROM terms GROUP BY source ORDER BY source"""
 }
