@@ -3370,7 +3370,40 @@ object SparkEntry {
       // ONE drift number per source: unigram KL vs the corpus over a
       // capped vocab — the mixture-design companion to q136 DoReMi
       graft.text.Distinctive.sourceKl(t(s, dir, "documents"),
-        "source", "text", topK = 2000))
+        "source", "text", topK = 2000)),
+    "q434_page_hinkley" -> ((s, dir) =>
+      // sequential level-shift budget on the daily total, with the
+      // day the drift peaked — the CUSUM companion that names WHERE
+      graft.operators.Forecast.pageHinkley(t(s, dir, "events"),
+        "ts", "value")),
+    "q435_dup_cluster_sizes" -> ((s, dir) =>
+      // dedup planning: how big are the exact-duplicate families?
+      graft.dedup.Dedup.dupClusterSizes(t(s, dir, "documents"),
+        "text")),
+    "q436_propensity_overlap" -> ((s, dir) =>
+      // common-support audit before matching: do BUILDING-segment
+      // customers share the balance distribution of the rest?
+      graft.ml.Causal.propensityOverlap(
+        t(s, dir, "customer").select(
+          floor(col("c_acctbal") / 500).as("b"),
+          (col("c_mktsegment") === "BUILDING").cast("int").as("tr")),
+        "b", "tr")),
+    "q437_cold_start" -> ((s, dir) =>
+      // per event type: share of post-split users never seen before
+      // the split — the serve-time cold-start hygiene number
+      graft.operators.Cohorts.coldStartRate(t(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))),
+    "q438_pinball" -> ((s, dir) =>
+      // quantile-forecast acceptance: pinball loss of train-half
+      // q10/q50/q90 order statistics on the test half
+      graft.operators.Forecast.pinballEval(t(s, dir, "events"),
+        "ts", "value", java.sql.Date.valueOf("2024-01-15"))),
+    "q439_winsorized_corr" -> ((s, dir) =>
+      // how much of the quantity-price correlation is tail points?
+      // clamp both at rank-based p05/p95 and compare r
+      graft.eda.Robust.winsorizedCorr(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7418,6 +7451,23 @@ object SparkEntry {
          WHERE date_diff('day', f, coalesce(e, l)) > 0"""),
     "q433_source_kl" ->
       graft.text.Distinctive.sourceKlOracleSql(topK = 2000),
+    "q434_page_hinkley" -> graft.operators.Forecast
+      .pageHinkleyOracleSql("ts", "value", "events"),
+    "q435_dup_cluster_sizes" ->
+      graft.dedup.Dedup.dupClusterSizesOracleSql(
+        "SELECT text FROM documents"),
+    "q436_propensity_overlap" ->
+      graft.ml.Causal.propensityOverlapOracleSql(
+        """SELECT FLOOR(c_acctbal / 500) AS b,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS tr
+           FROM customer"""),
+    "q437_cold_start" -> graft.operators.Cohorts.coldStartRateOracleSql(
+      "user_id", "event_type", "ts", "events", "2024-01-15 00:00:00"),
+    "q438_pinball" -> graft.operators.Forecast.pinballEvalOracleSql(
+      "ts", "value", "events", "2024-01-15"),
+    "q439_winsorized_corr" -> graft.eda.Robust.winsorizedCorrOracleSql(
+      """SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

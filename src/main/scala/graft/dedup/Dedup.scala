@@ -583,4 +583,29 @@ object Dedup {
             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
         FROM base JOIN fs USING (fp)
         GROUP BY base.g ORDER BY "group""""
+
+  /** Exact-duplicate cluster-size histogram: group docs by content
+    * hash, then count clusters and docs at each cluster size — the
+    * dedup-planning read-out (a fat head of size-2 clusters wants
+    * hash-groupBy dedup; a long tail of giant clusters wants the
+    * q116 span-removal path and predicts connected-components cost
+    * for the near-dup families). Two integer groupBys, map-combinable.
+    * Returns (cluster_size, n_clusters, n_docs) ascending. */
+  def dupClusterSizes(docs: DataFrame, textCol: String): DataFrame = {
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("__fp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("cluster_size").as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  /** DuckDB twin of [[dupClusterSizes]]; `docsCte` yields text. */
+  def dupClusterSizesOracleSql(docsCte: String): String =
+    s"""WITH cl AS (SELECT md5(text) AS fp, COUNT(*) AS cluster_size
+          FROM ($docsCte) WHERE text IS NOT NULL GROUP BY fp)
+        SELECT cluster_size, COUNT(*) AS n_clusters,
+          CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM cl GROUP BY cluster_size ORDER BY cluster_size"""
 }

@@ -309,4 +309,112 @@ object Robust {
           ROUND(CASE WHEN ABS(med.m) > 0 THEN
             mad.md * 1.4826 / ABS(med.m) END, 6) AS robust_cv
         FROM med JOIN mad USING ("group") ORDER BY med."group""""
+
+  /** Winsorized Pearson correlation: both columns clamp at their own
+    * rank-based percentile bounds (DISCRETE order statistics at pLo /
+    * pHi — data values, no interpolation arithmetic), then Pearson
+    * runs on exact decimal power sums of the clamped pairs next to
+    * the raw-value correlation for contrast — how much of r was a
+    * handful of tail points. The bounds collect driver-side (four
+    * scalars); the moment pass is ONE map-combinable aggregate on the
+    * cents lattice. Returns one row:
+    * (n, r_raw 6dp, r_winsorized 6dp). */
+  def winsorizedCorr(df: DataFrame, xCol: String, yCol: String,
+                     pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val base = df
+      .select(col(xCol).cast(DecimalType(18, 2)).as("__xd"),
+        col(yCol).cast(DecimalType(18, 2)).as("__yd"))
+      .filter(col("__xd").isNotNull && col("__yd").isNotNull)
+      .select((col("__xd") * 100).cast("long").as("__x"),
+        (col("__yd") * 100).cast("long").as("__y"))
+    val n = base.count()
+    require(n > 1, s"winsorizedCorr needs > 1 pair, got $n")
+    val (kLo, kHi) = (math.max(1, math.ceil(pLo * n).toLong),
+      math.max(1, math.ceil(pHi * n).toLong))
+    def bound(c: String, k: Long): Long = {
+      val w = Window.orderBy(c)
+      base.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === k).select(c).head().getLong(0)
+    }
+    val (xl, xh) = (bound("__x", kLo), bound("__x", kHi))
+    val (yl, yh) = (bound("__y", kLo), bound("__y", kHi))
+    val xw = least(greatest(col("__x"), lit(xl)), lit(xh))
+    val yw = least(greatest(col("__y"), lit(yl)), lit(yh))
+    def moments(x: org.apache.spark.sql.Column,
+                y: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(x.cast(DecimalType(12, 0)) * x.cast(DecimalType(12, 0)))
+        .cast("double").as(s"__sxx$tag"),
+      sum(y.cast(DecimalType(12, 0)) * y.cast(DecimalType(12, 0)))
+        .cast("double").as(s"__syy$tag"),
+      sum(x.cast(DecimalType(12, 0)) * y.cast(DecimalType(12, 0)))
+        .cast("double").as(s"__sxy$tag"),
+      sum(x).cast("double").as(s"__sx$tag"),
+      sum(y).cast("double").as(s"__sy$tag"))
+    val aggs = moments(col("__x"), col("__y"), "r") ++
+      moments(xw, yw, "w") :+ count(lit(1)).as("n")
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    def r(tag: String) = {
+      val nd = col("n").cast("double")
+      val cxy = col(s"__sxy$tag") - col(s"__sx$tag") * col(s"__sy$tag") / nd
+      val cxx = col(s"__sxx$tag") - col(s"__sx$tag") * col(s"__sx$tag") / nd
+      val cyy = col(s"__syy$tag") - col(s"__sy$tag") * col(s"__sy$tag") / nd
+      when(cxx > 0 && cyy > 0, cxy / sqrt(cxx * cyy))
+    }
+    g.select(col("n"), round(r("r"), 6).as("r_raw"),
+      round(r("w"), 6).as("r_winsorized"))
+  }
+
+  /** DuckDB twin of [[winsorizedCorr]]; `srcCte` yields (x, y). */
+  def winsorizedCorrOracleSql(srcCte: String, pLo: Double = 0.05,
+                              pHi: Double = 0.95): String =
+    s"""WITH base AS (SELECT
+            CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+            CAST(CAST(y AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          FROM ($srcCte) WHERE x IS NOT NULL AND y IS NOT NULL),
+        nt AS (SELECT COUNT(*) AS n FROM base),
+        ks AS (SELECT GREATEST(1, CAST(CEIL($pLo * n) AS BIGINT)) AS klo,
+            GREATEST(1, CAST(CEIL($pHi * n) AS BIGINT)) AS khi FROM nt),
+        rx AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r FROM base),
+        ry AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS r FROM base),
+        bx AS (SELECT MAX(CASE WHEN rx.r = ks.klo THEN x END) AS xl,
+            MAX(CASE WHEN rx.r = ks.khi THEN x END) AS xh
+          FROM rx CROSS JOIN ks),
+        by2 AS (SELECT MAX(CASE WHEN ry.r = ks.klo THEN y END) AS yl,
+            MAX(CASE WHEN ry.r = ks.khi THEN y END) AS yh
+          FROM ry CROSS JOIN ks),
+        w AS (SELECT base.x, base.y,
+            LEAST(GREATEST(base.x, bx.xl), bx.xh) AS xw,
+            LEAST(GREATEST(base.y, by2.yl), by2.yh) AS yw
+          FROM base CROSS JOIN bx CROSS JOIN by2),
+        g AS (SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(12,0))
+              * CAST(x AS DECIMAL(12,0))) AS DOUBLE) AS sxxr,
+            CAST(SUM(CAST(y AS DECIMAL(12,0))
+              * CAST(y AS DECIMAL(12,0))) AS DOUBLE) AS syyr,
+            CAST(SUM(CAST(x AS DECIMAL(12,0))
+              * CAST(y AS DECIMAL(12,0))) AS DOUBLE) AS sxyr,
+            CAST(SUM(x) AS DOUBLE) AS sxr, CAST(SUM(y) AS DOUBLE) AS syr,
+            CAST(SUM(CAST(xw AS DECIMAL(12,0))
+              * CAST(xw AS DECIMAL(12,0))) AS DOUBLE) AS sxxw,
+            CAST(SUM(CAST(yw AS DECIMAL(12,0))
+              * CAST(yw AS DECIMAL(12,0))) AS DOUBLE) AS syyw,
+            CAST(SUM(CAST(xw AS DECIMAL(12,0))
+              * CAST(yw AS DECIMAL(12,0))) AS DOUBLE) AS sxyw,
+            CAST(SUM(xw) AS DOUBLE) AS sxw, CAST(SUM(yw) AS DOUBLE)
+              AS syw
+          FROM w)
+        SELECT CAST(n AS BIGINT) AS n,
+          ROUND(CASE WHEN (sxxr - sxr * sxr / n) > 0
+              AND (syyr - syr * syr / n) > 0 THEN
+            (sxyr - sxr * syr / n)
+              / SQRT((sxxr - sxr * sxr / n) * (syyr - syr * syr / n))
+            END, 6) AS r_raw,
+          ROUND(CASE WHEN (sxxw - sxw * sxw / n) > 0
+              AND (syyw - syw * syw / n) > 0 THEN
+            (sxyw - sxw * syw / n)
+              / SQRT((sxxw - sxw * sxw / n) * (syyw - syw * syw / n))
+            END, 6) AS r_winsorized
+        FROM g"""
 }

@@ -438,4 +438,60 @@ object Causal {
             / CAST(SUM(CASE WHEN ok THEN n END) AS DOUBLE), 6)
             AS adjusted_ate
         FROM f CROSS JOIN naive"""
+
+  /** Common-support audit for a treated/control comparison on a
+    * pre-binned score: the histogram overlap coefficient
+    * OVL = Σ_bins min(p_treat, p_ctrl) and the share of treated units
+    * sitting in bins with NO control — run this BEFORE any matching
+    * or stratified ATE (q405 drops off-support strata silently; this
+    * query says how much mass that is).
+    *
+    * Scale shape: one integer groupBy to (bin, n_t, n_c); OVL
+    * computes on the integer lattice — min(n_tᵢ·N_c, n_cᵢ·N_t)
+    * summed as exact integers, divided once — no per-bin float
+    * ratios to drift. Returns one row: (n_treat, n_ctrl, n_bins,
+    * overlap 6dp, treat_off_support 6dp). */
+  def propensityOverlap(df: DataFrame, binCol: String,
+                        treatCol: String): DataFrame = {
+    val tr = col(treatCol).cast("int") === 1
+    val bins = df.filter(col(binCol).isNotNull)
+      .groupBy(col(binCol).as("__b"))
+      .agg(sum(when(tr, 1L).otherwise(0L)).as("__nt"),
+        sum(when(!tr, 1L).otherwise(0L)).as("__nc"))
+    // distinct names from the per-bin columns: Spark resolves
+    // case-insensitively, so __Nt would collide with __nt
+    val tot = bins.agg(sum("__nt").as("__tn"), sum("__nc").as("__tc"))
+    bins.crossJoin(broadcast(tot))
+      .agg(first("__tn").as("n_treat"), first("__tc").as("n_ctrl"),
+        count(lit(1)).as("n_bins"),
+        sum(least(col("__nt") * col("__tc"), col("__nc") * col("__tn")))
+          .as("__ovl"),
+        sum(when(col("__nc") === 0, col("__nt")).otherwise(0L))
+          .as("__off"))
+      .select(col("n_treat"), col("n_ctrl"), col("n_bins"),
+        round(col("__ovl").cast("double") /
+          (col("n_treat") * col("n_ctrl")).cast("double"), 6)
+          .as("overlap"),
+        round(col("__off").cast("double") / col("n_treat"), 6)
+          .as("treat_off_support"))
+  }
+
+  /** DuckDB twin of [[propensityOverlap]]; `srcCte` yields (b, tr). */
+  def propensityOverlapOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT b, CAST(tr AS INT) AS tr FROM ($srcCte)
+          WHERE b IS NOT NULL),
+        bins AS (SELECT b,
+            SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS nt,
+            SUM(CASE WHEN tr <> 1 THEN 1 ELSE 0 END) AS nc
+          FROM src GROUP BY b),
+        tot AS (SELECT SUM(nt) AS tn, SUM(nc) AS cn FROM bins)
+        SELECT CAST(ANY_VALUE(tn) AS BIGINT) AS n_treat,
+          CAST(ANY_VALUE(cn) AS BIGINT) AS n_ctrl,
+          COUNT(*) AS n_bins,
+          ROUND(CAST(SUM(LEAST(nt * cn, nc * tn))
+            AS DOUBLE) / (CAST(ANY_VALUE(tn) AS DOUBLE)
+              * ANY_VALUE(cn)), 6) AS overlap,
+          ROUND(CAST(SUM(CASE WHEN nc = 0 THEN nt ELSE 0 END)
+            AS DOUBLE) / ANY_VALUE(tn), 6) AS treat_off_support
+        FROM bins CROSS JOIN tot"""
 }

@@ -100,4 +100,47 @@ object Cohorts {
           ROUND(CASE WHEN slope < 0 THEN ${math.log(2.0)} / -slope END, 6)
             AS half_life_weeks
         FROM s ORDER BY cohort_week"""
+
+  /** Cold-start rate per segment after a split date: the share of
+    * post-split active entities that were NEVER seen before the split
+    * — the train/serve hygiene number (a recommender trained pre-split
+    * has no history for exactly these users) that pairs with q106
+    * contamination and q305 leakage from the opposite direction.
+    * Two integer aggregates + one anti-join-shaped left join on the
+    * entity key. Returns (segment, n_active, n_new, cold_rate 6dp). */
+  def coldStartRate(events: DataFrame, entityCol: String,
+                    segmentCol: String, tsCol: String,
+                    split: java.sql.Timestamp): DataFrame = {
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val pre = ev.filter(col(tsCol) < lit(split))
+      .select(col(entityCol).as("__e")).distinct()
+      .withColumn("__seen", lit(1))
+    val post = ev.filter(col(tsCol) >= lit(split))
+      .select(col(entityCol).as("__e"),
+        col(segmentCol).as("segment")).distinct()
+    post.join(pre, Seq("__e"), "left")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .withColumn("cold_rate",
+        round(col("n_new").cast("double") / col("n_active"), 6))
+      .orderBy("segment")
+  }
+
+  /** DuckDB twin of [[coldStartRate]]; uses the events table. */
+  def coldStartRateOracleSql(entityExpr: String, segmentExpr: String,
+                             tsExpr: String, table: String,
+                             split: String): String =
+    s"""WITH pre AS (SELECT DISTINCT $entityExpr AS e FROM $table
+          WHERE $tsExpr < TIMESTAMP '$split'),
+        post AS (SELECT DISTINCT $entityExpr AS e,
+            $segmentExpr AS segment FROM $table
+          WHERE $tsExpr >= TIMESTAMP '$split')
+        SELECT segment, COUNT(*) AS n_active,
+          CAST(SUM(CASE WHEN pre.e IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+          ROUND(SUM(CASE WHEN pre.e IS NULL THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS cold_rate
+        FROM post LEFT JOIN pre ON post.e = pre.e
+        GROUP BY segment ORDER BY segment"""
 }

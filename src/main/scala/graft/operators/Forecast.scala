@@ -1596,4 +1596,139 @@ object Forecast {
             / CAST(COUNT(*) AS DOUBLE) / ((1 - $q) * (1 - $q)), 6)
             AS lift
         FROM d CROSS JOIN thr"""
+
+  /** Page–Hinkley change detector over the daily total (offline
+    * two-pass form, δ = 0): m_t = Σ_{i≤t}(x_i − x̄); an upward level
+    * shift drives m_t − min_{i≤t} m_i up, a downward one drives
+    * max_{i≤t} m_i − m_t — the sequential-monitoring companion to
+    * q201 CUSUM that reports WHERE the drift budget peaked, with the
+    * peak day (earliest on ties, deterministic).
+    *
+    * Scale shape: day-frame cumulative windows only (ordered, so the
+    * partial sums are identical on any engine); one aggregate + a
+    * broadcast join for the argmax day. Returns one row:
+    * (n_days, ph_inc 6dp, ph_dec 6dp, peak_day). */
+  def pageHinkley(events: DataFrame, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+    val xbar = d.agg((sum(col("total").cast("decimal(28,2)"))
+      .cast("double") / count(lit(1))).as("__xb"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withM = d.crossJoin(broadcast(xbar))
+      .withColumn("__m", sum(col("total") - col("__xb")).over(w))
+      .withColumn("__inc", col("__m") - min("__m").over(w))
+      .withColumn("__dec", max("__m").over(w) - col("__m"))
+      .withColumn("__g", greatest(col("__inc"), col("__dec")))
+    val peaks = withM.agg(count(lit(1)).as("n_days"),
+      max("__inc").as("__pi"), max("__dec").as("__pd"),
+      max("__g").as("__pg"))
+    withM.crossJoin(broadcast(peaks))
+      .agg(first("n_days").as("n_days"),
+        round(first("__pi"), 6).as("ph_inc"),
+        round(first("__pd"), 6).as("ph_dec"),
+        min(when(col("__g") === col("__pg"), col("day")))
+          .cast("string").as("peak_day"))
+  }
+
+  /** DuckDB twin of [[pageHinkley]]. */
+  def pageHinkleyOracleSql(tsExpr: String, valueExpr: String,
+                           table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        xb AS (SELECT CAST(SUM(CAST(total AS DECIMAL(28,2)))
+            AS DOUBLE) / COUNT(*) AS xb FROM d),
+        m AS (SELECT day,
+            SUM(total - xb) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+          FROM d CROSS JOIN xb),
+        e AS (SELECT day,
+            m - MIN(m) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inc,
+            MAX(m) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m
+              AS dec
+          FROM m),
+        p AS (SELECT COUNT(*) AS n_days, MAX(inc) AS pi, MAX(dec) AS pd,
+            MAX(GREATEST(inc, dec)) AS pg FROM e)
+        SELECT ANY_VALUE(n_days) AS n_days,
+          ROUND(ANY_VALUE(pi), 6) AS ph_inc,
+          ROUND(ANY_VALUE(pd), 6) AS ph_dec,
+          CAST(MIN(CASE WHEN GREATEST(inc, dec) = pg THEN day END)
+            AS VARCHAR) AS peak_day
+        FROM e CROSS JOIN p"""
+
+  /** Pinball (quantile) loss of rank-based train-half quantile
+    * forecasts evaluated on the test half of the daily series — the
+    * quantile-forecast acceptance metric (a q90 forecast is GOOD when
+    * ~90% of test days land under it and the asymmetric loss is low).
+    * Quantiles are DISCRETE order statistics (k = ceil(q·n), a data
+    * value — no interpolation arithmetic to drift across engines), so
+    * with cent-lattice totals every loss term 10·L is an exact
+    * integer. One rank job on the train half + one integer aggregate
+    * on the test half. Returns (q 1dp, forecast 6dp, n_test,
+    * pinball 6dp). */
+  def pinballEval(events: DataFrame, tsCol: String, valueCol: String,
+                  split: java.sql.Date,
+                  qs: Seq[Int] = Seq(1, 5, 9)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 9))
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"),
+        (col("total").cast("decimal(18,2)") * 100).cast("long")
+          .as("__yc"))
+    val train = d.filter(col("day") < lit(split))
+    val test = d.filter(col("day") >= lit(split))
+    val wr = Window.orderBy("__yc")
+    val ranked = train.withColumn("__r", row_number().over(wr))
+    val n = train.count()
+    val qcols = qs.map { q =>
+      val k = (q * n + 9) / 10 // ceil(q/10 * n) in integer arithmetic
+      ranked.filter(col("__r") === k)
+        .select(lit(q).as("__q"), col("__yc").as("__fc"))
+    }.reduce(_ unionByName _)
+    test.crossJoin(broadcast(qcols))
+      .groupBy("__q")
+      .agg(first(col("__fc")).as("__f"), count(lit(1)).as("n_test"),
+        sum(when(col("__yc") >= col("__fc"),
+          col("__q") * (col("__yc") - col("__fc")))
+          .otherwise((lit(10) - col("__q")) *
+            (col("__fc") - col("__yc")))).as("__pl"))
+      .select((col("__q").cast("double") / 10).as("q"),
+        round(col("__f").cast("double") / 100, 6).as("forecast"),
+        col("n_test"),
+        round(col("__pl").cast("double") /
+          (col("n_test") * 1000).cast("double"), 6).as("pinball"))
+      .orderBy("q")
+  }
+
+  /** DuckDB twin of [[pinballEval]]. */
+  def pinballEvalOracleSql(tsExpr: String, valueExpr: String,
+                           table: String, split: String,
+                           qs: Seq[Int] = Seq(1, 5, 9)): String = {
+    val qList = qs.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(CAST(SUM(CAST($valueExpr AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        train AS (SELECT yc,
+            ROW_NUMBER() OVER (ORDER BY yc) AS r FROM d
+          WHERE day < DATE '$split'),
+        nt AS (SELECT COUNT(*) AS n FROM train),
+        ks AS (SELECT UNNEST($qList) AS q),
+        fc AS (SELECT ks.q, train.yc AS f
+          FROM ks CROSS JOIN nt
+          JOIN train ON train.r = (ks.q * nt.n + 9) // 10),
+        test AS (SELECT yc FROM d WHERE day >= DATE '$split')
+        SELECT CAST(fc.q AS DOUBLE) / 10 AS q,
+          ROUND(CAST(ANY_VALUE(fc.f) AS DOUBLE) / 100, 6) AS forecast,
+          COUNT(*) AS n_test,
+          ROUND(CAST(SUM(CASE WHEN test.yc >= fc.f THEN
+              fc.q * (test.yc - fc.f)
+              ELSE (10 - fc.q) * (fc.f - test.yc) END) AS DOUBLE)
+            / (COUNT(*) * 1000), 6) AS pinball
+        FROM test CROSS JOIN fc
+        GROUP BY fc.q ORDER BY q"""
+  }
 }
