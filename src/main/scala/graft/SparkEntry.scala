@@ -3403,7 +3403,38 @@ object SparkEntry {
       // how much of the quantity-price correlation is tail points?
       // clamp both at rank-based p05/p95 and compare r
       graft.eda.Robust.winsorizedCorr(t(s, dir, "lineitem"),
-        "l_quantity", "l_extendedprice"))
+        "l_quantity", "l_extendedprice")),
+    "q440_shard_skew" -> ((s, dir) =>
+      // would o_custkey partition evenly across 256 hash shards?
+      // md5 buckets so the oracle checks the same assignment
+      graft.eda.SkewReport.shardSkewAudit(t(s, dir, "orders"),
+        "o_custkey")),
+    "q441_holm_pairwise" -> ((s, dir) =>
+      // FWER-controlled pairwise arm comparison: Holm step-down over
+      // the q224 Welch-z battery
+      graft.eda.MultipleTesting.pairwiseTestsHolm(t(s, dir, "events"),
+        "event_type", "value")),
+    "q442_tost_equivalence" -> ((s, dir) =>
+      // are returned and kept quantities the SAME to within 0.5?
+      // equivalence needs TOST, not an insignificant t-test
+      graft.ml.Experiments.tostEquivalence(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", armA = "R", armB = "N",
+        margin = 0.5)),
+    "q443_power_proportions" -> ((s, dir) =>
+      // how many orders per arm to detect +2pp on the F-status share?
+      graft.eda.StatTests.powerProportions(
+        t(s, dir, "orders").select(
+          (col("o_orderstatus") === "F").cast("int").as("conv")),
+        "conv", delta = 0.02)),
+    "q444_variance_changepoint" -> ((s, dir) =>
+      // the single best level-shift split of the daily total and how
+      // much variance it explains — binary segmentation, step 1
+      graft.operators.Forecast.varianceChangepoint(t(s, dir, "events"),
+        "ts", "value")),
+    "q445_group_trend" -> ((s, dir) =>
+      // which event types actually trend? per-type Theil-Sen slope
+      graft.operators.Forecast.senSlopeByGroup(t(s, dir, "events"),
+        "event_type", "ts", "value"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7468,6 +7499,23 @@ object SparkEntry {
       "ts", "value", "events", "2024-01-15"),
     "q439_winsorized_corr" -> graft.eda.Robust.winsorizedCorrOracleSql(
       """SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem"""),
+    "q440_shard_skew" -> graft.eda.SkewReport.shardSkewAuditOracleSql(
+      "SELECT o_custkey AS k FROM orders"),
+    "q441_holm_pairwise" ->
+      graft.eda.MultipleTesting.pairwiseTestsHolmOracleSql(
+        """SELECT event_type AS g, value AS v FROM events"""),
+    "q442_tost_equivalence" ->
+      graft.ml.Experiments.tostEquivalenceOracleSql(
+        "SELECT l_returnflag AS arm, l_quantity AS v FROM lineitem",
+        armA = "R", armB = "N", margin = 0.5),
+    "q443_power_proportions" ->
+      graft.eda.StatTests.powerProportionsOracleSql(
+        """SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+             AS conv FROM orders""", delta = 0.02),
+    "q444_variance_changepoint" -> graft.operators.Forecast
+      .varianceChangepointOracleSql("ts", "value", "events"),
+    "q445_group_trend" -> graft.operators.Forecast
+      .senSlopeByGroupOracleSql("event_type", "ts", "value", "events"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

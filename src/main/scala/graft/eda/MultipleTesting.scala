@@ -138,4 +138,85 @@ object MultipleTesting {
           try_divide(col("n_rows") * col("__s"), col("__t")), 0)
           .cast("long").as("n_alloc"))
   }
+
+  /** Holm step-down adjusted pairwise Welch tests — the
+    * family-wise-error companion to [[pairwiseTestsBH]] (Holm controls
+    * FWER with no independence assumption; BH controls FDR). Same
+    * pairwise z machinery; the adjustment is the running max of
+    * (m−rank+1)·p over the p-ascending order, capped at 1 — an
+    * ordered cumulative window, deterministic on any engine.
+    * Returns (group_a, group_b, z_stat 6dp, p_value 6dp, holm_rank,
+    * p_holm 6dp, significant). */
+  def pairwiseTestsHolm(df: DataFrame, groupCol: String,
+                        valueCol: String,
+                        alpha: Double = 0.05): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+    val stats = base.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), avg("__v").as("__m"),
+        var_samp("__v").as("__var"))
+      .localCheckpoint(true)
+    val pairs = stats.as("a").join(stats.as("b"),
+        col("a.__g") < col("b.__g"))
+      .select(col("a.__g").as("group_a"), col("b.__g").as("group_b"),
+        ((col("a.__m") - col("b.__m")) /
+          sqrt(col("a.__var") / col("a.__n") +
+               col("b.__var") / col("b.__n"))).as("__z"))
+    val withP = pairs.select(col("group_a"), col("group_b"),
+      round(col("__z"), 6).as("z_stat"),
+      round(lit(2.0) * phiUpper(abs(col("__z"))), 6).as("p_value"))
+    val k = stats.count()
+    val m = k * (k - 1) / 2
+    val w = Window.orderBy(col("p_value"), col("group_a"),
+      col("group_b"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val out = withP
+      .withColumn("holm_rank", row_number().over(w))
+      .withColumn("p_holm", round(least(lit(1.0),
+        max((lit(m) - col("holm_rank") + 1).cast("double") *
+          col("p_value")).over(wCum)), 6))
+      .withColumn("significant", col("p_holm") <= alpha)
+      .orderBy("holm_rank")
+      .localCheckpoint(true)
+    stats.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[pairwiseTestsHolm]]; `srcCte` yields (g, v). */
+  def pairwiseTestsHolmOracleSql(srcCte: String,
+                                 alpha: Double = 0.05): String =
+    s"""WITH base AS (SELECT g, CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        stats AS (SELECT g, COUNT(*) AS n, AVG(v) AS m,
+            VAR_SAMP(v) AS va FROM base GROUP BY g),
+        mm AS (SELECT COUNT(*) * (COUNT(*) - 1) / 2 AS m FROM stats),
+        pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+            (a.m - b.m) / SQRT(a.va / a.n + b.va / b.n) AS z
+          FROM stats a JOIN stats b ON a.g < b.g),
+        wp0 AS (SELECT group_a, group_b, z,
+            1.0 / (1.0 + 0.2316419 * ABS(z)) AS kk FROM pairs),
+        withp AS (SELECT group_a, group_b, ROUND(z, 6) AS z_stat,
+            ROUND(2.0 * (0.3989422804014327 *
+              EXP(-0.5 * ABS(z) * ABS(z)) *
+              (kk * (0.319381530 + kk * (-0.356563782 +
+                kk * (1.781477937 + kk * (-1.821255978 +
+                  kk * 1.330274429)))))), 6) AS p_value
+          FROM wp0),
+        ranked AS (SELECT *, ROW_NUMBER() OVER
+            (ORDER BY p_value, group_a, group_b) AS holm_rank
+          FROM withp),
+        adj AS (SELECT ranked.*, ROUND(LEAST(1.0,
+            MAX(CAST(mm.m - holm_rank + 1 AS DOUBLE) * p_value)
+              OVER (ORDER BY holm_rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+            AS p_holm
+          FROM ranked CROSS JOIN mm)
+        SELECT group_a, group_b, z_stat, p_value,
+          CAST(holm_rank AS INT) AS holm_rank, p_holm,
+          (p_holm <= $alpha) AS significant
+        FROM adj ORDER BY holm_rank"""
 }

@@ -78,4 +78,56 @@ object SkewReport {
         coalesce(sum(col("__nl") * col("__nr")), lit(0L)).as("join_rows"),
         coalesce(max(col("__nl") * col("__nr")), lit(0L)).as("max_key_pairs"))
   }
+
+  /** Shard-balance audit for a candidate partitioning key: hash every
+    * key into 16^hexChars md5 buckets (2 hex chars = 256 shards) and
+    * report how even the shards come out — max/mean skew ratio, CV,
+    * and the heaviest shard's share. THE question to ask before
+    * bucketing/repartitioning a 100 TB table on a key: a skew ratio
+    * of 3 means the slowest executor does 3x the mean work. md5 is
+    * engine-portable (unlike Spark's murmur3), so the oracle checks
+    * the exact same shard assignment. One integer groupBy + one
+    * aggregate with exact integer power sums. Returns one row:
+    * (n_shards, n_rows, max_rows, min_rows, skew_ratio 6dp, cv 6dp,
+    * top_share 6dp). */
+  def shardSkewAudit(df: DataFrame, keyCol: String,
+                     hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 4)
+    val shards = df.filter(col(keyCol).isNotNull)
+      .groupBy(substring(md5(col(keyCol).cast("string")), 1, hexChars)
+        .as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val nd = col("n_shards").cast("double")
+    val mean = col("n_rows").cast("double") / nd
+    val varPop = col("__s2").cast("double") / nd - mean * mean
+    shards.agg(count(lit(1)).as("n_shards"),
+        sum("__n").as("n_rows"),
+        max("__n").as("max_rows"), min("__n").as("min_rows"),
+        sum(col("__n") * col("__n")).as("__s2"))
+      .select(col("n_shards"), col("n_rows"), col("max_rows"),
+        col("min_rows"),
+        round(col("max_rows").cast("double") / mean, 6).as("skew_ratio"),
+        round(sqrt(varPop) / mean, 6).as("cv"),
+        round(col("max_rows").cast("double") / col("n_rows"), 6)
+          .as("top_share"))
+  }
+
+  /** DuckDB twin of [[shardSkewAudit]]; `srcCte` must yield k. */
+  def shardSkewAuditOracleSql(srcCte: String,
+                              hexChars: Int = 2): String =
+    s"""WITH sh AS (SELECT substring(md5(CAST(k AS VARCHAR)), 1,
+            $hexChars) AS s, COUNT(*) AS n
+          FROM ($srcCte) WHERE k IS NOT NULL GROUP BY s),
+        g AS (SELECT COUNT(*) AS ns, SUM(n) AS nr, MAX(n) AS mx,
+            MIN(n) AS mn, SUM(n * n) AS s2 FROM sh)
+        SELECT ns AS n_shards, CAST(nr AS BIGINT) AS n_rows,
+          mx AS max_rows, mn AS min_rows,
+          ROUND(CAST(mx AS DOUBLE)
+            / (CAST(nr AS DOUBLE) / CAST(ns AS DOUBLE)), 6)
+            AS skew_ratio,
+          ROUND(SQRT(CAST(s2 AS DOUBLE) / ns
+              - (CAST(nr AS DOUBLE) / ns) * (CAST(nr AS DOUBLE) / ns))
+            / (CAST(nr AS DOUBLE) / CAST(ns AS DOUBLE)), 6) AS cv,
+          ROUND(CAST(mx AS DOUBLE) / nr, 6) AS top_share
+        FROM g"""
 }

@@ -1492,4 +1492,50 @@ object StatTests {
             - CAST(syy AS DOUBLE) / (CAST(nb AS DOUBLE) * nb))
             / 100.0, 6) AS energy
         FROM g"""
+
+  /** Sample-size / power design for a two-proportion z-test: from the
+    * observed baseline conversion rate, the n-per-arm needed to detect
+    * an absolute lift `delta` at (alpha, power) — the proportions twin
+    * of [[powerMde]] (which designs for means). Closed form
+    * n = (z_{α/2}·√(2·p̄·q̄) + z_β·√(p₁q₁+p₂q₂))² / δ²; all inputs are
+    * one integer aggregate, the design math is scalar. Returns one
+    * row: (n, p_base 6dp, p_target 6dp, n_per_arm, total_n). */
+  def powerProportions(df: DataFrame, convCol: String, delta: Double,
+                       zAlpha: Double = 1.959964,
+                       zBeta: Double = 0.841621): DataFrame = {
+    val conv = (col(convCol).cast("int") === 1).cast("long")
+    val g = df.filter(col(convCol).isNotNull)
+      .agg(count(lit(1)).as("n"), sum(conv).as("__s"))
+    val p1 = col("__s").cast("double") / col("n").cast("double")
+    val p2 = p1 + delta
+    val pbar = (p1 + p2) / 2
+    val nArm = ceil(
+      pow(lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+        lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)),
+        2) / lit(delta * delta)).cast("long")
+    g.select(col("n"), round(p1, 6).as("p_base"),
+      round(p2, 6).as("p_target"), nArm.as("n_per_arm"),
+      (nArm * 2).as("total_n"))
+  }
+
+  /** DuckDB twin of [[powerProportions]]; `srcCte` yields conv. */
+  def powerProportionsOracleSql(srcCte: String, delta: Double,
+                                zAlpha: Double = 1.959964,
+                                zBeta: Double = 0.841621): String =
+    s"""WITH g AS (SELECT COUNT(*) AS n,
+            SUM(CASE WHEN CAST(conv AS INT) = 1 THEN 1 ELSE 0 END)
+              AS s
+          FROM ($srcCte) WHERE conv IS NOT NULL),
+        c AS (SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p1
+          FROM g),
+        d AS (SELECT n, p1, p1 + $delta AS p2,
+            (p1 + p1 + $delta) / 2 AS pbar FROM c),
+        e AS (SELECT n, p1, p2,
+            CAST(CEIL(POWER($zAlpha * SQRT(2.0 * pbar * (1.0 - pbar))
+              + $zBeta * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+              / ($delta * $delta)) AS BIGINT) AS narm
+          FROM d)
+        SELECT n, ROUND(p1, 6) AS p_base, ROUND(p2, 6) AS p_target,
+          narm AS n_per_arm, narm * 2 AS total_n
+        FROM e"""
 }

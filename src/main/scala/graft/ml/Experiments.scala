@@ -707,4 +707,76 @@ object Experiments {
           ROUND(s1 * s1 / s2, 6) AS ess,
           ROUND(CAST(n AS DOUBLE) * s2 / (s1 * s1), 6) AS deff
         FROM g ORDER BY "group""""
+
+  /** TOST equivalence test (two one-sided Welch z-tests against a
+    * ±margin): the A/B question significance tests cannot answer —
+    * "are these two arms the SAME to within δ" (no significant
+    * difference ≠ equivalence). Equivalent when BOTH one-sided tests
+    * reject: (diff+δ)/se > z_crit AND (diff−δ)/se < −z_crit.
+    * One exact-decimal moments aggregate. Returns one row:
+    * (n_a, n_b, diff 6dp, se 6dp, t_lower 6dp, t_upper 6dp,
+    * equivalent). */
+  def tostEquivalence(df: DataFrame, groupCol: String, valueCol: String,
+                      armA: String, armB: String, margin: Double,
+                      zCrit: Double = 1.644854): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val y = col(valueCol).cast(DecimalType(18, 2))
+    val isA = col(groupCol) === armA
+    val isB = col(groupCol) === armB
+    val g = df.filter(col(valueCol).isNotNull && (isA || isB))
+      .agg(sum(isA.cast("long")).as("n_a"),
+        sum(isB.cast("long")).as("n_b"),
+        sum(when(isA, y)).cast("double").as("__sa"),
+        sum(when(isB, y)).cast("double").as("__sb"),
+        sum(when(isA, y * y)).cast("double").as("__qa"),
+        sum(when(isB, y * y)).cast("double").as("__qb"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val ma = col("__sa") / na
+    val mb = col("__sb") / nb
+    val va = (col("__qa") - na * ma * ma) / (na - 1)
+    val vb = (col("__qb") - nb * mb * mb) / (nb - 1)
+    val diff = ma - mb
+    val se = sqrt(va / na + vb / nb)
+    val tLo = (diff + margin) / se
+    val tUp = (diff - margin) / se
+    g.select(col("n_a"), col("n_b"), round(diff, 6).as("diff"),
+      round(se, 6).as("se"), round(tLo, 6).as("t_lower"),
+      round(tUp, 6).as("t_upper"),
+      (tLo > zCrit && tUp < -zCrit).as("equivalent"))
+  }
+
+  /** DuckDB twin of [[tostEquivalence]]; `srcCte` yields (arm, v). */
+  def tostEquivalenceOracleSql(srcCte: String, armA: String,
+                               armB: String, margin: Double,
+                               zCrit: Double = 1.644854): String =
+    s"""WITH src AS (SELECT arm, CAST(v AS DECIMAL(18,2)) AS v
+          FROM ($srcCte)
+          WHERE v IS NOT NULL AND arm IN ('$armA', '$armB')),
+        g AS (SELECT
+            CAST(SUM(CASE WHEN arm = '$armA' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN arm = '$armB' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN arm = '$armA' THEN v END) AS DOUBLE)
+              AS sa,
+            CAST(SUM(CASE WHEN arm = '$armB' THEN v END) AS DOUBLE)
+              AS sb,
+            CAST(SUM(CASE WHEN arm = '$armA' THEN v * v END) AS DOUBLE)
+              AS qa,
+            CAST(SUM(CASE WHEN arm = '$armB' THEN v * v END) AS DOUBLE)
+              AS qb
+          FROM src),
+        c AS (SELECT na, nb,
+            sa / na - sb / nb AS diff,
+            SQRT(((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
+              + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb)
+              AS se
+          FROM g)
+        SELECT na AS n_a, nb AS n_b, ROUND(diff, 6) AS diff,
+          ROUND(se, 6) AS se,
+          ROUND((diff + $margin) / se, 6) AS t_lower,
+          ROUND((diff - $margin) / se, 6) AS t_upper,
+          ((diff + $margin) / se > $zCrit
+            AND (diff - $margin) / se < -$zCrit) AS equivalent
+        FROM c"""
 }

@@ -1731,4 +1731,162 @@ object Forecast {
         FROM test CROSS JOIN fc
         GROUP BY fc.q ORDER BY q"""
   }
+
+  /** Single best variance changepoint (one binary-segmentation step)
+    * on the daily total: the split that maximizes the between-segment
+    * sum of squares L²/n_l + R²/n_r — reported with the share of total
+    * variance it explains. Where q201 CUSUM and q352 Pettitt test
+    * WHETHER the level shifted, this names the best split and how
+    * much it buys, the first step of every segmentation tree.
+    *
+    * Scale shape: cent-lattice prefix sums over the ordered day frame
+    * (exact integers), one scalar aggregate, earliest-day tie-break.
+    * Returns one row: (n_days, split_day, mean_left 6dp,
+    * mean_right 6dp, var_explained 6dp). */
+  def varianceChangepoint(events: DataFrame, tsCol: String,
+                          valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"),
+        (col("total").cast("decimal(18,2)") * 100).cast("long")
+          .as("__yc"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = d.agg(count(lit(1)).as("n_days"), sum("__yc").as("__T"),
+      sum((col("__yc").cast("decimal(14,0)") *
+        col("__yc").cast("decimal(14,0)"))).cast("double").as("__SS"))
+    val pre = d
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__L", sum("__yc").over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("__i") < col("n_days"))
+    val nl = col("__i").cast("double")
+    val nr = (col("n_days") - col("__i")).cast("double")
+    val l = col("__L").cast("double")
+    val r = (col("__T") - col("__L")).cast("double")
+    // try_divide: ANSI Spark 4 throws on double/0 and some physical
+    // plans evaluate the projection for the filtered-out i = n_days
+    // row; the null score never survives the filter anyway
+    val scored = pre.withColumn("__score",
+      try_divide(l * l, nl) + try_divide(r * r, nr))
+    val best = scored.agg(max("__score").as("__mx"))
+    scored.crossJoin(broadcast(best))
+      .filter(col("__score") === col("__mx"))
+      .orderBy("day").limit(1)
+      .select(col("n_days"),
+        col("day").cast("string").as("split_day"),
+        round(try_divide(l, nl) / 100.0, 6).as("mean_left"),
+        round(try_divide(r, nr) / 100.0, 6).as("mean_right"),
+        round(when(col("__SS") -
+            col("__T").cast("double") * col("__T") /
+              col("n_days").cast("double") > 0,
+          (col("__mx") - col("__T").cast("double") * col("__T") /
+            col("n_days").cast("double")) /
+          (col("__SS") - col("__T").cast("double") * col("__T") /
+            col("n_days").cast("double"))), 6).as("var_explained"))
+  }
+
+  /** DuckDB twin of [[varianceChangepoint]]. */
+  def varianceChangepointOracleSql(tsExpr: String, valueExpr: String,
+                                   table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(CAST(SUM(CAST($valueExpr AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        tot AS (SELECT COUNT(*) AS nd, SUM(yc) AS t,
+            CAST(SUM(CAST(yc AS DECIMAL(14,0))
+              * CAST(yc AS DECIMAL(14,0))) AS DOUBLE) AS ss FROM d),
+        pre AS (SELECT day,
+            COUNT(*) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+            SUM(yc) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+          FROM d),
+        sc AS (SELECT day, i, lsum, nd, t, ss,
+            CAST(lsum AS DOUBLE) * lsum / i
+              + (CAST(t AS DOUBLE) - lsum)
+                * (CAST(t AS DOUBLE) - lsum) / (nd - i) AS score
+          FROM pre CROSS JOIN tot WHERE i < nd),
+        mx AS (SELECT MAX(score) AS m FROM sc)
+        SELECT CAST(nd AS BIGINT) AS n_days,
+          CAST(day AS VARCHAR) AS split_day,
+          ROUND(CAST(lsum AS DOUBLE) / i / 100.0, 6) AS mean_left,
+          ROUND((CAST(t AS DOUBLE) - lsum) / (nd - i) / 100.0, 6)
+            AS mean_right,
+          ROUND(CASE WHEN ss - CAST(t AS DOUBLE) * t / nd > 0 THEN
+            (score - CAST(t AS DOUBLE) * t / nd)
+              / (ss - CAST(t AS DOUBLE) * t / nd) END, 6)
+            AS var_explained
+        FROM sc CROSS JOIN mx WHERE score = mx.m
+        ORDER BY day LIMIT 1"""
+
+  /** Theil–Sen trend PER GROUP: the median pairwise slope of each
+    * group's daily series (lower-median convention — the first slope
+    * whose cumulative pair count reaches half, an integer-lattice
+    * threshold with no interpolation arithmetic) — q203's robust
+    * slope, segmented ("which event types are actually trending up").
+    *
+    * Scale shape: the day collapse happens per group first, so the
+    * pair join is quadratic only in DAYS per group (calendar-bounded),
+    * partitioned by group; the median selection is one
+    * group-partitioned rank window. Returns (group, n_days, n_pairs,
+    * sen_slope 6dp). */
+  def senSlopeByGroup(events: DataFrame, groupCol: String,
+                      tsCol: String, valueCol: String): DataFrame = {
+    val d = Tables.ltzTs(events, tsCol)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)"))
+        .cast("double").as("__y"))
+      .withColumn("__i", datediff(col("__day"),
+        to_date(lit("1970-01-01"))).cast("double"))
+      .localCheckpoint(true)
+    val a = d.select(col("__g"), col("__i").as("__ia"),
+      col("__y").as("__ya"))
+    val b = d.select(col("__g").as("__gb"), col("__i").as("__ib"),
+      col("__y").as("__yb"))
+    val slopes = a.join(b, col("__g") === col("__gb") &&
+        col("__ib") > col("__ia"))
+      .select(col("__g"),
+        ((col("__yb") - col("__ya")) / (col("__ib") - col("__ia")))
+          .as("__s"))
+    val w = Window.partitionBy("__g").orderBy("__s")
+    val counts = d.groupBy("__g").agg(count(lit(1)).as("n_days"))
+    val ranked = slopes.withColumn("__r", row_number().over(w))
+    val m = ranked.groupBy("__g").agg(max("__r").as("__m"))
+    val out = ranked.join(m, Seq("__g"))
+      .filter(col("__r") * 2 === col("__m") ||
+        col("__r") * 2 === col("__m") + 1) // lower median rank ceil(m/2)
+      .groupBy(col("__g"))
+      .agg(min("__s").as("__med"), first("__m").as("n_pairs"))
+      .join(counts, Seq("__g"))
+      .select(col("__g").as("group"), col("n_days"), col("n_pairs"),
+        round(col("__med"), 6).as("sen_slope"))
+      .orderBy("group")
+    d.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[senSlopeByGroup]]. */
+  def senSlopeByGroupOracleSql(groupExpr: String, tsExpr: String,
+                               valueExpr: String,
+                               table: String): String =
+    s"""WITH d AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS y
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY g, day),
+        dd AS (SELECT g, y,
+            CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE)
+              AS i FROM d),
+        sl AS (SELECT a.g, (b.y - a.y) / (b.i - a.i) AS s
+          FROM dd a JOIN dd b ON a.g = b.g AND b.i > a.i),
+        rk AS (SELECT g, s,
+            ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS r,
+            COUNT(*) OVER (PARTITION BY g) AS m FROM sl),
+        med AS (SELECT g, MIN(s) AS med, ANY_VALUE(m) AS n_pairs
+          FROM rk WHERE r * 2 = m OR r * 2 = m + 1 GROUP BY g),
+        nd AS (SELECT g, COUNT(*) AS n_days FROM d GROUP BY g)
+        SELECT med.g AS "group", nd.n_days,
+          CAST(med.n_pairs AS BIGINT) AS n_pairs,
+          ROUND(med.med, 6) AS sen_slope
+        FROM med JOIN nd ON med.g = nd.g ORDER BY "group""""
 }
