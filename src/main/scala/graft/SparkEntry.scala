@@ -3434,7 +3434,62 @@ object SparkEntry {
     "q445_group_trend" -> ((s, dir) =>
       // which event types actually trend? per-type Theil-Sen slope
       graft.operators.Forecast.senSlopeByGroup(t(s, dir, "events"),
-        "event_type", "ts", "value"))
+        "event_type", "ts", "value")),
+    "q446_similarity_sweep" -> ((s, dir) =>
+      // pick the near-dup threshold BEFORE the dedup run: pairs per
+      // Jaccard band + cumulative at-or-above (q236 operating point)
+      graft.dedup.Dedup.jaccardBandSweep(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", minBand = 5)),
+    "q447_lilliefors" -> ((s, dir) =>
+      // is daily revenue Normal enough for +-k*sigma alerting? KS vs
+      // the FITTED Normal (Lilliefors), A&S polynomial both engines
+      graft.eda.StatTests.lilliefors(
+        t(s, dir, "lineitem")
+          .groupBy(col("l_shipdate").as("day"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("rev")),
+        "rev")),
+    "q448_bowker" -> ((s, dir) => {
+      // did per-user value bands SHIFT across the split? k x k paired
+      // symmetry test (the multi-class McNemar); band = 6dp-free
+      // integer-div lattice of the per-user mean in $25 steps
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val dv = col("value").cast(DecimalType(18, 2))
+      val agg = ev.groupBy("user_id").agg(
+        (sum(when(col("ts") < split, dv)) * 100).cast("long").as("__sp"),
+        sum(when(col("ts") < split, 1L)).as("__cp"),
+        (sum(when(col("ts") >= split, dv)) * 100).cast("long").as("__sq"),
+        sum(when(col("ts") >= split, 1L)).as("__cq"))
+      val paired = agg
+        .withColumn("a", least(expr("__sp div (2500 * __cp)"), lit(3L)))
+        .withColumn("b", least(expr("__sq div (2500 * __cq)"), lit(3L)))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+      graft.ml.Stats.bowker(paired, "a", "b")
+    }),
+    "q449_jonckheere" -> ((s, dir) =>
+      // do quantities rise monotonically with the discount band?
+      // ordered-alternative test over integer cell tables
+      graft.eda.StatTests.jonckheereTerpstra(
+        t(s, dir, "lineitem").select(
+          floor(col("l_discount") * 20).cast("long").as("g"),
+          col("l_quantity").cast("long").as("v")),
+        "g", "v")),
+    "q450_interval_coverage" -> ((s, dir) =>
+      // are naive +-k*sigma alert bands honest? test-half coverage vs
+      // nominal Normal mass
+      graft.operators.Forecast.intervalCoverage(t(s, dir, "events"),
+        "ts", "value", java.sql.Date.valueOf("2024-01-15"))),
+    "q451_operating_points" -> ((s, dir) =>
+      // where to set the score cutoff: highest threshold reaching
+      // each target sensitivity, with spec/precision there
+      graft.eda.StatTests.operatingPoints(
+        t(s, dir, "customer").select(
+          (col("c_custkey") % 100).cast("double").divide(lit(100))
+            .as("s"),
+          (col("c_acctbal") > 0).cast("int").as("y")),
+        "s", "y"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7516,6 +7571,38 @@ object SparkEntry {
       .varianceChangepointOracleSql("ts", "value", "events"),
     "q445_group_trend" -> graft.operators.Forecast
       .senSlopeByGroupOracleSql("event_type", "ts", "value", "events"),
+    "q446_similarity_sweep" ->
+      graft.dedup.Dedup.jaccardBandSweepOracleSql(
+        "SELECT doc_id AS id, text FROM documents WHERE doc_id < 500",
+        minBand = 5),
+    "q447_lilliefors" -> graft.eda.StatTests.lillieforsOracleSql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+           AS DOUBLE) AS v
+         FROM lineitem GROUP BY l_shipdate"""),
+    "q448_bowker" -> graft.ml.Stats.bowkerOracleSql(
+      """SELECT LEAST(CAST(sp * 100 AS BIGINT) // (2500 * cp), 3) AS a,
+           LEAST(CAST(sq * 100 AS BIGINT) // (2500 * cq), 3) AS b
+         FROM (SELECT user_id,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS sp,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+               THEN 1 END) AS cp,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS sq,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+               THEN 1 END) AS cq
+           FROM events GROUP BY user_id)"""),
+    "q449_jonckheere" ->
+      graft.eda.StatTests.jonckheereTerpstraOracleSql(
+        """SELECT CAST(FLOOR(l_discount * 20) AS BIGINT) AS g,
+             CAST(l_quantity AS BIGINT) AS v FROM lineitem"""),
+    "q450_interval_coverage" -> graft.operators.Forecast
+      .intervalCoverageOracleSql("ts", "value", "events", "2024-01-15"),
+    "q451_operating_points" ->
+      graft.eda.StatTests.operatingPointsOracleSql(
+        """SELECT CAST(c_custkey % 100 AS DOUBLE) / 100 AS s,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+           FROM customer"""),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

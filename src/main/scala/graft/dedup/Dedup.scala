@@ -608,4 +608,69 @@ object Dedup {
         SELECT cluster_size, COUNT(*) AS n_clusters,
           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
         FROM cl GROUP BY cluster_size ORDER BY cluster_size"""
+
+  /** Similarity-threshold sweep: exact Jaccard of every candidate
+    * pair, banded on the integer lattice (band = ⌊10·J⌋ via
+    * (10·inter) div union — no float boundary), with the cumulative
+    * pair count at-or-above each band — the table that picks the
+    * near-dup threshold BEFORE committing a full dedup run ("how many
+    * pairs does τ = 0.8 vs 0.7 actually merge").
+    *
+    * Scale shape: the same token-postings equi-join as
+    * [[jaccardJoinPrefix]]'s verify stage but WITHOUT the prefix cut
+    * (every band ≥ minBand/10 is wanted, so there is no threshold to
+    * prune with) — bounded by posting-list sizes, same operating
+    * contract as q236; the histogram + top-down cumulative ride the
+    * ≤10-row band frame. Returns (band, n_pairs, n_at_or_above)
+    * ascending. */
+  def jaccardBandSweep(df: DataFrame, idCol: String, textCol: String,
+                       minBand: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"),
+        array_distinct(Text.tokens(col(textCol))).as("w"))
+      .filter(size(col("w")) > 0)
+    val tok = docs.select(col("id"), explode(col("w")).as("t"))
+    val sizes = docs.select(col("id"), size(col("w")).cast("long").as("sz"))
+    val common = tok.as("a").join(tok.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("__ia"), col("b.id").as("__ib"))
+      .agg(count(lit(1)).as("__c"))
+    val banded = common
+      .join(sizes.select(col("id").as("__ia"), col("sz").as("__sa")),
+        "__ia")
+      .join(sizes.select(col("id").as("__ib"), col("sz").as("__sb")),
+        "__ib")
+      .select(expr("(10 * __c) div (__sa + __sb - __c)").as("band"))
+      .filter(col("band") >= minBand)
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum("n_pairs").over(w))
+      .orderBy("band")
+  }
+
+  /** DuckDB twin of [[jaccardBandSweep]]; `docsCte` yields (id, text).
+    */
+  def jaccardBandSweepOracleSql(docsCte: String,
+                                minBand: Int = 1): String =
+    s"""WITH docs AS (SELECT id, list_distinct(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            x -> length(x) > 0)) AS w
+          FROM ($docsCte)),
+        d AS (SELECT id, w FROM docs WHERE len(w) > 0),
+        tok AS (SELECT id, unnest(w) AS t FROM d),
+        sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY id),
+        common AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.t = b.t AND a.id < b.id
+          GROUP BY a.id, b.id),
+        banded AS (SELECT (10 * c) // (sa.sz + sb.sz - c) AS band
+          FROM common
+          JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib),
+        hist AS (SELECT band, COUNT(*) AS n_pairs FROM banded
+          WHERE band >= $minBand GROUP BY band)
+        SELECT CAST(band AS BIGINT) AS band, n_pairs,
+          CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_or_above
+        FROM hist ORDER BY band"""
 }

@@ -1538,4 +1538,239 @@ object StatTests {
         SELECT n, ROUND(p1, 6) AS p_base, ROUND(p2, 6) AS p_target,
           narm AS n_per_arm, narm * 2 AS total_n
         FROM e"""
+
+  /** Abramowitz–Stegun 26.2.17 upper normal tail — the same
+    * polynomial [[MultipleTesting]] uses, duplicated here so both
+    * engines (and both files) share one closed form. */
+  private def phiUpperAS(x: Column): Column = {
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) +
+        k * lit(1.330274429)))))
+    lit(0.3989422804014327) * exp(lit(-0.5) * x * x) * poly
+  }
+
+  /** SQL text of [[phiUpperAS]] over a column expression. */
+  private def phiUpperSql(x: String): String =
+    s"""(0.3989422804014327 * EXP(-0.5 * ($x) * ($x)) *
+        ((1.0 / (1.0 + 0.2316419 * ($x))) * (0.319381530
+          + (1.0 / (1.0 + 0.2316419 * ($x))) * (-0.356563782
+          + (1.0 / (1.0 + 0.2316419 * ($x))) * (1.781477937
+          + (1.0 / (1.0 + 0.2316419 * ($x))) * (-1.821255978
+          + (1.0 / (1.0 + 0.2316419 * ($x))) * 1.330274429))))))"""
+
+  /** Lilliefors normality test: the one-sample KS statistic against
+    * Normal(μ̂, σ̂) with BOTH parameters estimated from the data — the
+    * correct KS-for-normality (plain KS critical values are wrong
+    * once μ, σ are fitted; report D for comparison against Lilliefors
+    * tables). Φ via the A&S polynomial on both engines; moments from
+    * exact decimal power sums; the ECDF gaps ride the distinct-value
+    * frame (both step sides, like [[ksUniform]]). Returns one row:
+    * (n, mean 6dp, sigma 6dp, d_stat 6dp). */
+  def lilliefors(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val xd = col(valueCol).cast(DecimalType(18, 2))
+    val base = df.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .select(col(valueCol).cast("double").as("__v"), xd.as("__xd"))
+    val mo = base.agg(count(lit(1)).as("__n"),
+      sum("__xd").cast("double").as("__s1"),
+      sum(col("__xd") * col("__xd")).cast("double").as("__s2"))
+    val cells = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nd = col("__n").cast("double")
+    val mu = col("__s1") / nd
+    // try_divide: ANSI double/0 throws (n = 1 or a constant column)
+    val sig = sqrt(try_divide(col("__s2") - nd * mu * mu, nd - 1))
+    val z = try_divide(col("__v") - mu, sig)
+    val f0 = when(z >= 0, lit(1.0) - phiUpperAS(z))
+      .otherwise(phiUpperAS(-z))
+    cells.withColumn("__cum", sum("__c").over(w))
+      .crossJoin(broadcast(mo))
+      .agg(first("__n").as("n"), round(first(mu), 6).as("mean"),
+        round(first(sig), 6).as("sigma"),
+        round(max(greatest(
+          abs(col("__cum").cast("double") / nd - f0),
+          abs((col("__cum") - col("__c")).cast("double") / nd - f0))),
+          6).as("d_stat"))
+  }
+
+  /** DuckDB twin of [[lilliefors]]; `srcCte` yields v. */
+  def lillieforsOracleSql(srcCte: String): String = {
+    val phiPos = phiUpperSql("(v - mu) / sig")
+    val phiNeg = phiUpperSql("-((v - mu) / sig)")
+    s"""WITH base AS (SELECT CAST(v AS DOUBLE) AS v,
+            CAST(v AS DECIMAL(18,2)) AS xd FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        mo AS (SELECT COUNT(*) AS n, CAST(SUM(xd) AS DOUBLE) AS s1,
+            CAST(SUM(xd * xd) AS DOUBLE) AS s2 FROM base),
+        mm AS (SELECT n, s1 / n AS mu,
+            SQRT((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS sig
+          FROM mo),
+        cells AS (SELECT v, COUNT(*) AS c FROM base GROUP BY v),
+        cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cm
+          FROM cells),
+        gaps AS (SELECT n, mu, sig,
+            GREATEST(
+              ABS(CAST(cm AS DOUBLE) / n
+                - (CASE WHEN (v - mu) / sig >= 0
+                    THEN 1.0 - $phiPos ELSE $phiNeg END)),
+              ABS(CAST(cm - c AS DOUBLE) / n
+                - (CASE WHEN (v - mu) / sig >= 0
+                    THEN 1.0 - $phiPos ELSE $phiNeg END))) AS gap
+          FROM cum CROSS JOIN mm)
+        SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+          ROUND(ANY_VALUE(mu), 6) AS mean,
+          ROUND(ANY_VALUE(sig), 6) AS sigma,
+          ROUND(MAX(gap), 6) AS d_stat
+        FROM gaps"""
+  }
+
+  /** ROC operating-point finder: for each target sensitivity (whole
+    * percents), the HIGHEST score threshold whose recall of positives
+    * reaches the target — with its achieved sensitivity, specificity
+    * and precision. The "where do I set the cutoff" table a screening
+    * pipeline reads off the validation scores; the sensitivity gate
+    * compares as 100·tp ≥ s·P on the integer lattice, never a float
+    * boundary.
+    *
+    * Scale shape: one distinct-score collapse + one descending-score
+    * cumulative window (suffix counts), then a ≤#targets-row select.
+    * Returns (target_sens 2dp, threshold 6dp, sensitivity 6dp,
+    * specificity 6dp, precision 6dp) by target ascending. */
+  def operatingPoints(df: DataFrame, scoreCol: String, labelCol: String,
+                      targetsPct: Seq[Int] = Seq(80, 90, 95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetsPct.nonEmpty && targetsPct.forall(t => t >= 1 && t <= 100))
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        (col(labelCol).cast("int") === 1).cast("long").as("__y"))
+    val cells = base.groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum("__y").as("__p"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum("__c").as("__nt"), sum("__p").as("__np"))
+    val cum = cells
+      .withColumn("__cge", sum("__c").over(w))
+      .withColumn("__pge", sum("__p").over(w))
+      .crossJoin(broadcast(tot))
+    val targets = targetsPct.map { t =>
+      cum.filter(col("__pge") * 100 >= col("__np") * t)
+        .orderBy(col("__s").desc).limit(1)
+        .select(lit(t / 100.0).as("target_sens"),
+          round(col("__s"), 6).as("threshold"),
+          round(try_divide(col("__pge").cast("double"), col("__np")), 6)
+            .as("sensitivity"),
+          round(try_divide((col("__nt") - col("__np") -
+            (col("__cge") - col("__pge"))).cast("double"),
+            (col("__nt") - col("__np")).cast("double")), 6)
+            .as("specificity"),
+          round(try_divide(col("__pge").cast("double"), col("__cge")), 6)
+            .as("precision"))
+    }
+    targets.reduce(_ unionByName _).orderBy("target_sens")
+  }
+
+  /** DuckDB twin of [[operatingPoints]]; `srcCte` yields (s, y). */
+  def operatingPointsOracleSql(srcCte: String,
+                               targetsPct: Seq[Int] = Seq(80, 90, 95)): String = {
+    val tList = targetsPct.mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT CAST(s AS DOUBLE) AS s,
+            CASE WHEN CAST(y AS INT) = 1 THEN 1 ELSE 0 END AS y
+          FROM ($srcCte) WHERE s IS NOT NULL AND y IS NOT NULL),
+        cells AS (SELECT s, COUNT(*) AS c, SUM(y) AS p
+          FROM base GROUP BY s),
+        tot AS (SELECT SUM(c) AS nt, SUM(p) AS np FROM cells),
+        cum AS (SELECT s,
+            SUM(c) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge,
+            SUM(p) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pge
+          FROM cells),
+        ts AS (SELECT UNNEST($tList) AS t),
+        pick AS (SELECT ts.t, MAX(cum.s) AS thr
+          FROM ts CROSS JOIN tot JOIN cum ON cum.pge * 100 >= tot.np * ts.t
+          GROUP BY ts.t)
+        SELECT CAST(pick.t AS DOUBLE) / 100 AS target_sens,
+          ROUND(pick.thr, 6) AS threshold,
+          ROUND(CAST(cum.pge AS DOUBLE) / tot.np, 6) AS sensitivity,
+          ROUND(CAST(tot.nt - tot.np - (cum.cge - cum.pge) AS DOUBLE)
+            / CAST(tot.nt - tot.np AS DOUBLE), 6) AS specificity,
+          ROUND(CAST(cum.pge AS DOUBLE) / cum.cge, 6) AS precision
+        FROM pick JOIN cum ON cum.s = pick.thr CROSS JOIN tot
+        ORDER BY target_sens"""
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative test: with groups in a
+    * KNOWN order (dose, discount band, date bucket), JT = Σ over
+    * group pairs i<j of the Mann–Whitney count #(x_i < x_j) + ½ ties
+    * — strictly more powerful than Kruskal–Wallis when the
+    * alternative is monotone. z from the exact no-tie moments
+    * E = (N² − Σn_g²)/4, Var = (N²(2N+3) − Σn_g²(2n_g+3))/72.
+    * Everything is integer cell-table dominance joins (the
+    * [[kendallTauB]] bounded-cardinality contract) until the final
+    * scalar math; 2·JT is carried as an exact integer. Returns one
+    * row: (n, n_groups, jt 1dp, z_stat 6dp). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val cells = df.filter(col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("long").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val a = cells.select(col("__g").as("ga"), col("__v").as("va"),
+      col("__n").as("na"))
+    val b = cells.select(col("__g").as("gb"), col("__v").as("vb"),
+      col("__n").as("nb"))
+    val joined = a.join(b, col("gb") > col("ga"))
+    val jt2 = joined.agg(
+      (coalesce(sum(when(col("va") < col("vb"),
+        col("na") * col("nb"))), lit(0L)) * 2 +
+        coalesce(sum(when(col("va") === col("vb"),
+          col("na") * col("nb"))), lit(0L))).as("__jt2"))
+    val sizes = cells.groupBy("__g").agg(sum("__n").as("__ng"))
+    val mo = sizes.agg(count(lit(1)).as("n_groups"),
+      sum("__ng").as("__N"),
+      sum(col("__ng") * col("__ng")).as("__sq"),
+      sum(col("__ng") * col("__ng") *
+        (lit(2) * col("__ng") + 3)).as("__cu"))
+    val nT = col("__N").cast("double")
+    val e = (nT * nT - col("__sq").cast("double")) / 4
+    val v = (nT * nT * (lit(2.0) * nT + 3) -
+      col("__cu").cast("double")) / 72
+    mo.crossJoin(broadcast(jt2))
+      .select(col("__N").as("n"), col("n_groups"),
+        (col("__jt2").cast("double") / 2).as("jt"),
+        round(when(v > 0,
+          (col("__jt2").cast("double") / 2 - e) / sqrt(v)), 6)
+          .as("z_stat"))
+    }
+
+  /** DuckDB twin of [[jonckheereTerpstra]]; `srcCte` yields (g, v). */
+  def jonckheereTerpstraOracleSql(srcCte: String): String =
+    s"""WITH src AS (SELECT CAST(g AS BIGINT) AS g,
+            CAST(v AS BIGINT) AS v FROM ($srcCte)
+          WHERE g IS NOT NULL AND v IS NOT NULL),
+        cells AS (SELECT g, v, COUNT(*) AS n FROM src GROUP BY g, v),
+        jt AS (SELECT COALESCE(SUM(CASE WHEN a.v < b.v
+              THEN a.n * b.n END), 0) * 2
+            + COALESCE(SUM(CASE WHEN a.v = b.v
+              THEN a.n * b.n END), 0) AS jt2
+          FROM cells a JOIN cells b ON b.g > a.g),
+        sizes AS (SELECT g, SUM(n) AS ng FROM cells GROUP BY g),
+        mo AS (SELECT COUNT(*) AS k, SUM(ng) AS nn,
+            SUM(ng * ng) AS sq, SUM(ng * ng * (2 * ng + 3)) AS cu
+          FROM sizes)
+        SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+          CAST(jt2 AS DOUBLE) / 2 AS jt,
+          ROUND(CASE WHEN (CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3)
+              - CAST(cu AS DOUBLE)) / 72 > 0 THEN
+            (CAST(jt2 AS DOUBLE) / 2
+              - (CAST(nn AS DOUBLE) * nn - CAST(sq AS DOUBLE)) / 4)
+            / SQRT((CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3)
+              - CAST(cu AS DOUBLE)) / 72) END, 6) AS z_stat
+        FROM mo CROSS JOIN jt"""
 }

@@ -1909,4 +1909,65 @@ object Stats {
             (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE) / 2)
               / CAST(nc + nd + nt AS DOUBLE) END, 6) AS c_index
         FROM nc CROSS JOIN nd CROSS JOIN nt"""
+
+  /** Bowker symmetry test for a paired k×k categorical table — the
+    * k-class generalization of [[mcnemar]]: did the per-unit category
+    * assignments SHIFT between two paired readings (rater A vs B,
+    * period 1 vs 2), χ² = Σ_{i<j}(n_ij − n_ji)²/(n_ij + n_ji) with
+    * df = #off-diagonal pairs carrying data. One (a, b) cell groupBy;
+    * the pair terms quantize to DECIMAL(28,9) before the ≤k²-row sum.
+    * Returns one row: (n, n_pairs_tested, chi2 6dp, df). */
+  def bowker(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val lo = cells.select(col("__a").as("__i"), col("__b").as("__j"),
+      col("__n").as("__nij"))
+    val hi = cells.select(col("__b").as("__i"), col("__a").as("__j"),
+      col("__n").as("__nji"))
+    val pairs = lo.join(hi, Seq("__i", "__j"), "full")
+      .filter(col("__i") < col("__j"))
+      .select(coalesce(col("__nij"), lit(0L)).as("__x"),
+        coalesce(col("__nji"), lit(0L)).as("__y"))
+    val n = cells.agg(sum("__n").as("n"))
+    val term = try_divide(((col("__x") - col("__y")) *
+      (col("__x") - col("__y"))).cast("double"),
+      (col("__x") + col("__y")).cast("double"))
+    val out = pairs.agg(
+        sum((col("__x") + col("__y") > 0).cast("long"))
+          .as("n_pairs_tested"),
+        round(sum(round(term, 9).cast(DecimalType(28, 9)))
+          .cast("double"), 6).as("chi2"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("n_pairs_tested"), col("chi2"),
+        col("n_pairs_tested").as("df"))
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[bowker]]; `unitsCte` yields (a, b). */
+  def bowkerOracleSql(unitsCte: String): String =
+    s"""WITH units AS (SELECT CAST(a AS BIGINT) AS a,
+            CAST(b AS BIGINT) AS b FROM ($unitsCte)
+          WHERE a IS NOT NULL AND b IS NOT NULL),
+        cells AS (SELECT a, b, COUNT(*) AS n FROM units GROUP BY a, b),
+        pairs AS (SELECT COALESCE(lo.n, 0) AS x, COALESCE(hi.n, 0) AS y
+          FROM cells lo FULL JOIN cells hi
+            ON lo.a = hi.b AND lo.b = hi.a
+          WHERE COALESCE(lo.a, hi.b) < COALESCE(lo.b, hi.a)),
+        t AS (SELECT SUM(n) AS n FROM cells),
+        g AS (SELECT
+            CAST(SUM(CASE WHEN x + y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np,
+            ROUND(CAST(SUM(CAST(ROUND(CASE WHEN x + y > 0 THEN
+                CAST((x - y) * (x - y) AS DOUBLE) / (x + y) END, 9)
+              AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2
+          FROM pairs)
+        SELECT CAST(t.n AS BIGINT) AS n, g.np AS n_pairs_tested,
+          g.chi2, g.np AS df
+        FROM g CROSS JOIN t"""
 }

@@ -1889,4 +1889,70 @@ object Forecast {
           CAST(med.n_pairs AS BIGINT) AS n_pairs,
           ROUND(med.med, 6) AS sen_slope
         FROM med JOIN nd ON med.g = nd.g ORDER BY "group""""
+
+  /** Prediction-interval calibration of the naive Normal bands: fit
+    * μ̂, σ̂ on the train half of the daily series, then the share of
+    * TEST days inside μ̂ ± k·σ̂ for k = 1, 2, 3 — next to the nominal
+    * Normal coverage (68.3 / 95.4 / 99.7%), the "are ±2σ alert bands
+    * honest on this series" check that pairs with [[pinballEval]].
+    * Exact decimal train moments; the coverage counts are integer
+    * aggregates over the test day frame. Returns
+    * (k, n_test, n_within, coverage 6dp, nominal 6dp). */
+  def intervalCoverage(events: DataFrame, tsCol: String,
+                       valueCol: String,
+                       split: java.sql.Date): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"), col("total").cast(DecimalType(18, 2))
+        .as("__yd"))
+    val train = d.filter(col("day") < lit(split))
+    val test = d.filter(col("day") >= lit(split))
+    val mo = train.agg(count(lit(1)).as("__n"),
+      sum("__yd").cast("double").as("__s1"),
+      sum(col("__yd") * col("__yd")).cast("double").as("__s2"))
+    val nd = col("__n").cast("double")
+    val mu = col("__s1") / nd
+    val sig = sqrt(try_divide(col("__s2") - nd * mu * mu, nd - 1))
+    val nominal = Map(1 -> 0.682689, 2 -> 0.954500, 3 -> 0.997300)
+    Seq(1, 2, 3).map { k =>
+      test.crossJoin(broadcast(mo))
+        .agg(count(lit(1)).as("n_test"),
+          sum((col("__yd").cast("double") >= mu - lit(k) * sig &&
+            col("__yd").cast("double") <= mu + lit(k) * sig)
+            .cast("long"))
+            .as("n_within"))
+        .select(lit(k).as("k"), col("n_test"), col("n_within"),
+          round(try_divide(col("n_within").cast("double"),
+            col("n_test").cast("double")), 6).as("coverage"),
+          lit(nominal(k)).as("nominal"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
+  /** DuckDB twin of [[intervalCoverage]]. */
+  def intervalCoverageOracleSql(tsExpr: String, valueExpr: String,
+                                table: String, split: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(CAST(SUM(CAST($valueExpr AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS DOUBLE) AS y,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS yd
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        mo AS (SELECT COUNT(*) AS n, CAST(SUM(yd) AS DOUBLE) AS s1,
+            CAST(SUM(yd * yd) AS DOUBLE) AS s2 FROM d
+          WHERE day < DATE '$split'),
+        mm AS (SELECT n, s1 / n AS mu,
+            SQRT((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS sig
+          FROM mo),
+        ks AS (SELECT UNNEST([1, 2, 3]) AS k),
+        cov AS (SELECT ks.k, COUNT(*) AS n_test,
+            CAST(SUM(CASE WHEN d.y >= mm.mu - ks.k * mm.sig
+              AND d.y <= mm.mu + ks.k * mm.sig THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_within
+          FROM d CROSS JOIN mm CROSS JOIN ks
+          WHERE d.day >= DATE '$split' GROUP BY ks.k)
+        SELECT k, n_test, n_within,
+          ROUND(CAST(n_within AS DOUBLE) / n_test, 6) AS coverage,
+          CASE k WHEN 1 THEN 0.682689 WHEN 2 THEN 0.954500
+            ELSE 0.997300 END AS nominal
+        FROM cov ORDER BY k"""
 }
