@@ -3489,7 +3489,45 @@ object SparkEntry {
           (col("c_custkey") % 100).cast("double").divide(lit(100))
             .as("s"),
           (col("c_acctbal") > 0).cast("int").as("y")),
-        "s", "y"))
+        "s", "y")),
+    "q452_mi_matrix" -> ((s, dir) =>
+      // which lineitem categoricals are redundant? pairwise MI in one
+      // stacked shuffle
+      graft.eda.Association.miMatrix(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"),
+          floor(col("l_discount") * 20).cast("long").as("disc_band")),
+        Seq("l_returnflag", "l_linestatus", "disc_band"))),
+    "q453_cohort_ltv" -> ((s, dir) =>
+      // value-weighted retention triangle: cumulative per-user LTV by
+      // cohort week and offset
+      graft.operators.Cohorts.cohortLtv(t(s, dir, "events"),
+        "user_id", "ts", "value")),
+    "q454_partial_auc" -> ((s, dir) =>
+      // model quality where screening actually operates: ROC area at
+      // FPR <= 10%, integer-lattice step gate
+      graft.ml.EvalExtras.partialAuc(
+        t(s, dir, "customer").select(
+          (col("c_custkey") % 100).cast("double").divide(lit(100))
+            .as("s"),
+          (col("c_acctbal") > 0).cast("int").as("y")),
+        "s", "y")),
+    "q455_dedup_savings" -> ((s, dir) =>
+      // what does keep-first exact dedup save per source, in tokens?
+      graft.dedup.Dedup.dedupSavings(t(s, dir, "documents"),
+        "doc_id", "text", "source")),
+    "q456_position_attribution" -> ((s, dir) =>
+      // U-shaped 40/20/40 credit across each conversion journey —
+      // completes the attribution family
+      graft.operators.Reporting.positionAttribution(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase",
+        touchTypes = Seq("click", "view", "signup"))),
+    "q457_novelty_curve" -> ((s, dir) =>
+      // is later-ingested data still NEW content? per-bucket share of
+      // never-seen word shingles over ingest order
+      graft.text.CorpusStats.noveltyCurve(t(s, dir, "documents"),
+        "doc_id", "text"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7603,6 +7641,25 @@ object SparkEntry {
         """SELECT CAST(c_custkey % 100 AS DOUBLE) / 100 AS s,
              CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
            FROM customer"""),
+    "q452_mi_matrix" -> graft.eda.Association.miMatrixOracleSql(
+      """(SELECT l_returnflag, l_linestatus,
+           CAST(FLOOR(l_discount * 20) AS BIGINT) AS disc_band
+         FROM lineitem)""",
+      Seq("l_returnflag", "l_linestatus", "disc_band")),
+    "q453_cohort_ltv" -> graft.operators.Cohorts.cohortLtvOracleSql(
+      "user_id", "ts", "value", "events"),
+    "q454_partial_auc" -> graft.ml.EvalExtras.partialAucOracleSql(
+      """SELECT CAST(c_custkey % 100 AS DOUBLE) / 100 AS s,
+           CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+         FROM customer"""),
+    "q455_dedup_savings" -> graft.dedup.Dedup.dedupSavingsOracleSql(
+      "SELECT doc_id AS id, source AS g, text FROM documents"),
+    "q456_position_attribution" ->
+      graft.operators.Reporting.positionAttributionOracleSql(
+        conversionType = "purchase",
+        touchTypes = Seq("click", "view", "signup")),
+    "q457_novelty_curve" ->
+      graft.text.CorpusStats.noveltyCurveOracleSql(),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

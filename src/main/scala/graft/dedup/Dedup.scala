@@ -673,4 +673,49 @@ object Dedup {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS n_at_or_above
         FROM hist ORDER BY band"""
+
+  /** Dedup savings projection per group: if exact dedup keeps the
+    * FIRST doc (smallest id) of every content-hash cluster, how many
+    * tokens does each source shed — the pipeline-economics table that
+    * turns q435's cluster histogram into a storage/compute number
+    * before the dedup job runs. One hash groupBy + one join + one
+    * integer aggregate. Returns (group, n_docs, n_tokens,
+    * tokens_removed, savings 6dp). */
+  def dedupSavings(docs: DataFrame, idCol: String, textCol: String,
+                   groupCol: String): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(groupCol).as("group"), md5(col(textCol)).as("__fp"),
+        size(Text.tokens(col(textCol))).cast("long").as("__tok"))
+    val first = base.groupBy("__fp").agg(min("__id").as("__first"))
+    base.join(first, Seq("__fp"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__tok").as("n_tokens"),
+        sum(when(col("__id") > col("__first"), col("__tok"))
+          .otherwise(0L)).as("tokens_removed"))
+      .withColumn("savings",
+        round(col("tokens_removed").cast("double") / col("n_tokens"),
+          6))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[dedupSavings]]; `docsCte` yields (id, g, text).
+    */
+  def dedupSavingsOracleSql(docsCte: String): String =
+    s"""WITH base AS (SELECT CAST(id AS BIGINT) AS id, g,
+            md5(text) AS fp,
+            CAST(len(list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0)) AS BIGINT) AS tok
+          FROM ($docsCte) WHERE text IS NOT NULL),
+        fs AS (SELECT fp, MIN(id) AS first_id FROM base GROUP BY fp)
+        SELECT base.g AS "group", COUNT(*) AS n_docs,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN base.id > fs.first_id THEN tok ELSE 0 END)
+            AS BIGINT) AS tokens_removed,
+          ROUND(SUM(CASE WHEN base.id > fs.first_id THEN tok ELSE 0
+            END) / CAST(SUM(tok) AS DOUBLE), 6) AS savings
+        FROM base JOIN fs USING (fp)
+        GROUP BY base.g ORDER BY "group""""
 }

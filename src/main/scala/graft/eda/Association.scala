@@ -89,4 +89,87 @@ object Association {
       round(sqrt((col("__chi_obs") + (col("__n") - col("__e_obs"))) /
         (col("__n") * (least(col("__r"), col("__c")) - 1))), 6).as("cramers_v"))
   }
+
+  /** Pairwise mutual information for EVERY pair of categorical
+    * columns in ONE stacked pass — q155's single-pair MI, swept: the
+    * "which columns are redundant / which drive the label" screening
+    * matrix. Terms quantize to DECIMAL(20,12) before the per-pair sum
+    * (order-free on any engine); margins re-aggregate FROM the cell
+    * table, so the corpus is shuffled once for all pairs (the q373
+    * stacked-audit shape). Cast only string/integer columns — float
+    * VARCHAR rendering is engine-specific. Returns
+    * (col_a, col_b, n, mi 6dp) ordered. */
+  def miMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(cols.size >= 2)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val stacked = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("ca"), lit(b).as("cb"),
+          col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+      }: _*)).as("s")).select(col("s.ca"), col("s.cb"), col("s.va"),
+        col("s.vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+    val cells = stacked.groupBy("ca", "cb", "va", "vb")
+      .agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    val ma = cells.groupBy("ca", "cb", "va").agg(sum("__n").as("__na"))
+    val mb = cells.groupBy("ca", "cb", "vb").agg(sum("__n").as("__nb"))
+    val nt = cells.groupBy("ca", "cb").agg(sum("__n").as("__nt"))
+    val term = (col("__n").cast("double") / col("__nt").cast("double")) *
+      log((col("__n").cast("double") * col("__nt").cast("double")) /
+        (col("__na").cast("double") * col("__nb").cast("double")))
+    val out = cells
+      .join(ma, Seq("ca", "cb", "va"))
+      .join(mb, Seq("ca", "cb", "vb"))
+      .join(nt, Seq("ca", "cb"))
+      .select(col("ca"), col("cb"), col("__nt"),
+        round(term, 12).cast(DecimalType(20, 12)).as("__t"))
+      .groupBy(col("ca").as("col_a"), col("cb").as("col_b"))
+      .agg(first("__nt").as("n"),
+        round(sum("__t").cast("double"), 6).as("mi"))
+      .orderBy("col_a", "col_b")
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[miMatrix]] over `table`; `cols` must be
+    * string/integer columns. */
+  def miMatrixOracleSql(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val unions = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS ca, '$b' AS cb, CAST($a AS VARCHAR) AS va,
+           CAST($b AS VARCHAR) AS vb FROM $table
+         WHERE $a IS NOT NULL AND $b IS NOT NULL"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH stacked AS ($unions),
+        cells AS (SELECT ca, cb, va, vb, COUNT(*) AS n
+          FROM stacked GROUP BY ca, cb, va, vb),
+        ma AS (SELECT ca, cb, va, SUM(n) AS na FROM cells
+          GROUP BY ca, cb, va),
+        mb AS (SELECT ca, cb, vb, SUM(n) AS nb FROM cells
+          GROUP BY ca, cb, vb),
+        nt AS (SELECT ca, cb, SUM(n) AS ntot FROM cells
+          GROUP BY ca, cb),
+        terms AS (SELECT cells.ca, cells.cb, nt.ntot,
+            CAST(ROUND((CAST(cells.n AS DOUBLE)
+                / CAST(nt.ntot AS DOUBLE))
+              * LN((CAST(cells.n AS DOUBLE)
+                  * CAST(nt.ntot AS DOUBLE))
+                / (CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE))), 12)
+              AS DECIMAL(20,12)) AS t
+          FROM cells
+          JOIN ma ON ma.ca = cells.ca AND ma.cb = cells.cb
+            AND ma.va = cells.va
+          JOIN mb ON mb.ca = cells.ca AND mb.cb = cells.cb
+            AND mb.vb = cells.vb
+          JOIN nt ON nt.ca = cells.ca AND nt.cb = cells.cb)
+        SELECT ca AS col_a, cb AS col_b,
+          CAST(ANY_VALUE(ntot) AS BIGINT) AS n,
+          ROUND(CAST(SUM(t) AS DOUBLE), 6) AS mi
+        FROM terms GROUP BY ca, cb ORDER BY col_a, col_b"""
+  }
 }

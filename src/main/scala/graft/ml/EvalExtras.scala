@@ -510,4 +510,90 @@ object EvalExtras {
           ROUND(mp - ml, 6) AS citl, ROUND(slope, 6) AS cal_slope,
           ROUND(ml - slope * mp, 6) AS cal_intercept
         FROM s2"""
+
+  /** Partial AUC in the screening regime: trapezoid ROC area over the
+    * threshold steps whose cumulative FPR stays within `maxFprPct`% —
+    * the metric that ranks models by what they do where a screening
+    * pipeline actually operates (global AUC rewards separation at
+    * FPR levels nobody will run at). Discrete convention: a step is
+    * included iff its ENTIRE FPR mass fits the cap (integer-lattice
+    * gate 100·nge ≤ pct·N — no boundary interpolation, no float
+    * threshold). Step areas carry exact integer numerators
+    * negs·(2·pge − pos) into a DECIMAL(38,0) sum, divided once by
+    * 2·N·P. Returns one row: (n, n_pos, achieved_fpr 6dp, pauc 6dp,
+    * pauc_norm 6dp = pauc / achieved_fpr). */
+  def partialAuc(df: DataFrame, scoreCol: String, labelCol: String,
+                 maxFprPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(maxFprPct >= 1 && maxFprPct <= 100)
+    val base = df.filter(col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        (col(labelCol).cast("int") === 1).cast("long").as("__y"))
+    val cells = base.groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum("__y").as("__p"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum("__c").as("__nt"), sum("__p").as("__np"))
+    val cum = cells
+      .withColumn("__cge", sum("__c").over(w))
+      .withColumn("__pge", sum("__p").over(w))
+      .withColumn("__neg", col("__c") - col("__p"))
+      .withColumn("__nge", col("__cge") - col("__pge"))
+      .crossJoin(broadcast(tot))
+    val nNeg = col("__nt") - col("__np")
+    val inCap = col("__nge") * 100 <= nNeg * maxFprPct
+    val numer = (col("__neg").cast(DecimalType(19, 0)) *
+      (lit(2) * col("__pge") - col("__p")).cast(DecimalType(19, 0)))
+    cum.agg(first("__nt").as("n"), first("__np").as("n_pos"),
+        first(nNeg).as("__nn"),
+        coalesce(max(when(inCap, col("__nge"))), lit(0L)).as("__afpr"),
+        coalesce(sum(when(inCap, numer)), lit(0L).cast(DecimalType(38, 0)))
+          .cast("double").as("__num"))
+      .select(col("n"), col("n_pos"),
+        round(try_divide(col("__afpr").cast("double"),
+          col("__nn").cast("double")), 6).as("achieved_fpr"),
+        round(try_divide(col("__num"),
+          lit(2.0) * col("__nn").cast("double") *
+            col("n_pos").cast("double")), 6).as("pauc"),
+        round(try_divide(
+          try_divide(col("__num"), lit(2.0) *
+            col("__nn").cast("double") * col("n_pos").cast("double")),
+          try_divide(col("__afpr").cast("double"),
+            col("__nn").cast("double"))), 6).as("pauc_norm"))
+  }
+
+  /** DuckDB twin of [[partialAuc]]; `srcCte` yields (s, y). */
+  def partialAucOracleSql(srcCte: String,
+                          maxFprPct: Int = 10): String =
+    s"""WITH base AS (SELECT CAST(s AS DOUBLE) AS s,
+            CASE WHEN CAST(y AS INT) = 1 THEN 1 ELSE 0 END AS y
+          FROM ($srcCte) WHERE s IS NOT NULL AND y IS NOT NULL),
+        cells AS (SELECT s, COUNT(*) AS c, SUM(y) AS p
+          FROM base GROUP BY s),
+        tot AS (SELECT SUM(c) AS nt, SUM(p) AS np FROM cells),
+        cum AS (SELECT s, c, p,
+            SUM(c) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge,
+            SUM(p) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pge
+          FROM cells),
+        g AS (SELECT ANY_VALUE(tot.nt) AS n, ANY_VALUE(tot.np) AS np,
+            ANY_VALUE(tot.nt - tot.np) AS nn,
+            COALESCE(MAX(CASE WHEN (cge - pge) * 100
+              <= (tot.nt - tot.np) * $maxFprPct
+              THEN cge - pge END), 0) AS afpr,
+            CAST(COALESCE(SUM(CASE WHEN (cge - pge) * 100
+                <= (tot.nt - tot.np) * $maxFprPct THEN
+              CAST(c - p AS DECIMAL(19,0))
+                * CAST(2 * pge - p AS DECIMAL(19,0)) END),
+              CAST(0 AS DECIMAL(38,0))) AS DOUBLE) AS num
+          FROM cum CROSS JOIN tot)
+        SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+          ROUND(CAST(afpr AS DOUBLE) / nn, 6) AS achieved_fpr,
+          ROUND(num / (2.0 * nn * np), 6) AS pauc,
+          ROUND((num / (2.0 * nn * np))
+            / (CAST(afpr AS DOUBLE) / nn), 6) AS pauc_norm
+        FROM g"""
 }

@@ -143,4 +143,72 @@ object Cohorts {
             / CAST(COUNT(*) AS DOUBLE), 6) AS cold_rate
         FROM post LEFT JOIN pre ON post.e = pre.e
         GROUP BY segment ORDER BY segment"""
+
+  /** Cohort LTV curve: users cohort by FIRST-event week (integer
+    * epoch-week index — exact long math, no locale week rules), and
+    * each cohort accumulates value across week offsets — the
+    * value-weighted retention triangle ("how much is a week-w cohort
+    * worth by week w+k"), the revenue companion to the q164 count
+    * triangle. Exact decimal value sums; the cumulative LTV window
+    * rides the (cohort, offset) frame. Missing offsets (no activity)
+    * simply don't emit a row; the cumulative carries across gaps.
+    * Returns (cohort_week, week_offset, n_cohort, n_active,
+    * value 6dp, cum_ltv 6dp). */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String, maxOffset: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+      .filter(col(valueCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        (datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long") / 7).cast("long").as("__w"),
+        col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+    val firstW = ev.groupBy("__u").agg(min("__w").as("__cw"))
+    val sizes = firstW.groupBy("__cw").agg(count(lit(1)).as("n_cohort"))
+    val cellsBase = ev.join(firstW, Seq("__u"))
+      .withColumn("__off", col("__w") - col("__cw"))
+      .filter(col("__off") <= maxOffset)
+    val cells = cellsBase.groupBy("__cw", "__off")
+      .agg(countDistinct("__u").as("n_active"), sum("__v").as("__val"))
+    val w = Window.partitionBy("__cw").orderBy("__off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("__cum", sum("__val").over(w))
+      .join(sizes, Seq("__cw"))
+      .select(col("__cw").as("cohort_week"),
+        col("__off").as("week_offset"), col("n_cohort"),
+        col("n_active"),
+        round(col("__val").cast("double"), 6).as("value"),
+        round(col("__cum").cast("double") /
+          col("n_cohort").cast("double"), 6).as("cum_ltv"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** DuckDB twin of [[cohortLtv]]; uses the events table. */
+  def cohortLtvOracleSql(userExpr: String, tsExpr: String,
+                         valueExpr: String, table: String,
+                         maxOffset: Int = 8): String =
+    s"""WITH ev AS (SELECT $userExpr AS u,
+            CAST(date_diff('day', DATE '1970-01-01',
+              CAST($tsExpr AS DATE)) AS BIGINT) // 7 AS w,
+            CAST($valueExpr AS DECIMAL(18,2)) AS v
+          FROM $table WHERE $valueExpr IS NOT NULL),
+        fw AS (SELECT u, MIN(w) AS cw FROM ev GROUP BY u),
+        sz AS (SELECT cw, COUNT(*) AS n_cohort FROM fw GROUP BY cw),
+        cells AS (SELECT fw.cw, ev.w - fw.cw AS off,
+            COUNT(DISTINCT ev.u) AS n_active, SUM(ev.v) AS val
+          FROM ev JOIN fw ON ev.u = fw.u
+          WHERE ev.w - fw.cw <= $maxOffset
+          GROUP BY fw.cw, ev.w - fw.cw),
+        cum AS (SELECT cw, off, n_active, val,
+            SUM(val) OVER (PARTITION BY cw ORDER BY off
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+          FROM cells)
+        SELECT cum.cw AS cohort_week, CAST(off AS BIGINT)
+            AS week_offset, sz.n_cohort, n_active,
+          ROUND(CAST(val AS DOUBLE), 6) AS value,
+          ROUND(CAST(cv AS DOUBLE) / CAST(sz.n_cohort AS DOUBLE), 6)
+            AS cum_ltv
+        FROM cum JOIN sz ON cum.cw = sz.cw
+        ORDER BY cohort_week, week_offset"""
 }

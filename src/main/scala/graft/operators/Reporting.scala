@@ -586,4 +586,93 @@ object Reporting {
           ROUND(CASE WHEN tot > 0 THEN s / tot END, 6) AS share
         FROM sh CROSS JOIN tot ORDER BY channel"""
   }
+
+  /** Position-based (U-shaped 40/20/40) multi-touch attribution:
+    * within the lookback window before each conversion, the first and
+    * last touches earn 0.4 each and the middles split the remaining
+    * 0.2 (single touch = 1.0, two touches = 0.5/0.5) — the
+    * position-weighted member of the attribution family (last-touch
+    * q192, time-decay q242, Markov q249, Shapley q303). Credits
+    * quantize to DECIMAL(28,18) before the per-type sums (order-free);
+    * untouched conversions credit '(none)'. Returns
+    * (touch_type, credits 6dp, n_conversions). */
+  def positionAttribution(events: DataFrame, userCol: String,
+                          tsCol: String, typeCol: String,
+                          idCol: String, conversionType: String,
+                          touchTypes: Seq[String],
+                          lookbackDays: Int = 30): DataFrame = {
+    require(!touchTypes.contains(conversionType),
+      "a conversion type cannot also be a touch type")
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val conv = ev.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), col(idCol).as("__cid"),
+        unix_micros(col(tsCol)).as("__cts"))
+    val touch = ev.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        unix_micros(col(tsCol)).as("__tts"))
+    val lookbackUs = lookbackDays * 86400000000L
+    val paired = conv.join(touch, Seq("__u"))
+      .filter(col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - lookbackUs)
+    val w = Window.partitionBy("__cid")
+      .orderBy(col("__tts"), col("__t"))
+    val ranked = paired
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__k", count(lit(1))
+        .over(Window.partitionBy("__cid")))
+    val credit = when(col("__k") === 1, lit(1.0))
+      .when(col("__rn") === 1 || col("__rn") === col("__k"),
+        when(col("__k") === 2, lit(0.5)).otherwise(lit(0.4)))
+      .otherwise(lit(0.2) / (col("__k") - 2).cast("double"))
+    val credited = ranked.select(col("__t"),
+      credit.cast(DecimalType(28, 18)).as("__credit"), col("__cid"))
+    val untouched = conv.join(paired.select("__cid").distinct(),
+        Seq("__cid"), "left_anti")
+      .select(lit("(none)").as("__t"),
+        lit(1.0).cast(DecimalType(28, 18)).as("__credit"),
+        col("__cid"))
+    credited.unionByName(untouched)
+      .groupBy(col("__t").as("touch_type"))
+      .agg(round(sum("__credit").cast("double"), 6).as("credits"),
+        countDistinct("__cid").as("n_conversions"))
+      .orderBy("touch_type")
+  }
+
+  /** DuckDB twin of [[positionAttribution]]; uses the events table. */
+  def positionAttributionOracleSql(conversionType: String,
+                                   touchTypes: Seq[String],
+                                   lookbackDays: Int = 30): String = {
+    val touchList = touchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH conv AS (SELECT user_id AS u, event_id AS cid,
+            epoch_us(ts) AS cts
+          FROM events WHERE event_type = '$conversionType'),
+        touch AS (SELECT user_id AS u, event_type AS t,
+            epoch_us(ts) AS tts
+          FROM events WHERE event_type IN ($touchList)),
+        paired AS (SELECT conv.cid, touch.t, touch.tts
+          FROM conv JOIN touch ON conv.u = touch.u
+          WHERE touch.tts < conv.cts
+            AND touch.tts >= conv.cts
+              - CAST($lookbackDays AS BIGINT) * 86400000000),
+        ranked AS (SELECT cid, t,
+            ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts, t) AS rn,
+            COUNT(*) OVER (PARTITION BY cid) AS k
+          FROM paired),
+        credited AS (SELECT t, cid,
+            CAST(CASE WHEN k = 1 THEN 1.0
+              WHEN rn = 1 OR rn = k THEN
+                (CASE WHEN k = 2 THEN 0.5 ELSE 0.4 END)
+              ELSE 0.2 / CAST(k - 2 AS DOUBLE) END
+              AS DECIMAL(28,18)) AS credit
+          FROM ranked),
+        untouched AS (SELECT '(none)' AS t, conv.cid,
+            CAST(1.0 AS DECIMAL(28,18)) AS credit
+          FROM conv WHERE cid NOT IN (SELECT cid FROM paired)),
+        allc AS (SELECT * FROM credited
+          UNION ALL SELECT * FROM untouched)
+        SELECT t AS touch_type,
+          ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credits,
+          CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions
+        FROM allc GROUP BY t ORDER BY touch_type"""
+  }
 }

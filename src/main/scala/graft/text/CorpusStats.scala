@@ -69,4 +69,65 @@ object CorpusStats {
             (count(lit(1)) * sum(x * x) - sum(x) * sum(x)), 4)
           .as("zipf_slope"))
   }
+
+  /** Corpus novelty curve over ingest order: bucket the doc-id axis
+    * into `grid` equal ranges (exact long math, the q327 bucketing)
+    * and report, per bucket, how many of its distinct word-shingles
+    * were NEVER seen in an earlier bucket — the "is new data still
+    * adding new content or just repeats" read-out that tells a
+    * pipeline when another crawl of the same sources stops paying.
+    * One shingle pass; new-per-bucket is a min-bucket groupBy (the
+    * heaps-law plan at shingle granularity). Returns
+    * (bucket, n_distinct, n_new, novelty 6dp) ascending. */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, grid: Int = 16): DataFrame = {
+    require(grid >= 2 && grid <= 1024)
+    val ids = docs.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = hi - lo + 1
+    val bucket = expr(
+      s"((CAST(`$idCol` AS BIGINT) - ${lo}L) * ${grid}L) div ${span}L")
+      .as("__b")
+    val sh = docs.select(bucket,
+        explode(graft.functions.Signatures.wordShingles(col(textCol), n))
+          .as("__sh"))
+      .groupBy("__b", "__sh").agg(count(lit(1)).as("__dummy"))
+      .select("__b", "__sh")
+    val firstB = sh.groupBy("__sh").agg(min("__b").as("__fb"))
+    sh.join(firstB, Seq("__sh"))
+      .groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum((col("__b") === col("__fb")).cast("long")).as("n_new"))
+      .withColumn("novelty",
+        round(col("n_new").cast("double") / col("n_distinct"), 6))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB twin of [[noveltyCurve]] over the documents table. */
+  def noveltyCurveOracleSql(n: Int = 3, grid: Int = 16): String =
+    s"""WITH bd AS (SELECT MIN(CAST(doc_id AS BIGINT)) AS lo,
+            MAX(CAST(doc_id AS BIGINT))
+              - MIN(CAST(doc_id AS BIGINT)) + 1 AS span
+          FROM documents),
+        toks AS (SELECT
+            (CAST(doc_id AS BIGINT) - bd.lo) * $grid // bd.span AS b,
+            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0) AS ws
+          FROM documents CROSS JOIN bd),
+        sh0 AS (SELECT b,
+            UNNEST(CASE WHEN len(ws) < $n THEN
+              [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i:i+$n-1], ' ')
+                FOR i IN range(1, len(ws) - $n + 2)] END) AS sh
+          FROM toks),
+        sh AS (SELECT DISTINCT b, sh FROM sh0),
+        fb AS (SELECT sh, MIN(b) AS f FROM sh GROUP BY sh)
+        SELECT CAST(sh.b AS BIGINT) AS bucket, COUNT(*) AS n_distinct,
+          CAST(SUM(CASE WHEN sh.b = fb.f THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          ROUND(SUM(CASE WHEN sh.b = fb.f THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM sh JOIN fb USING (sh)
+        GROUP BY sh.b ORDER BY bucket"""
 }
