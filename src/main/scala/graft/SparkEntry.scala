@@ -3527,7 +3527,48 @@ object SparkEntry {
       // is later-ingested data still NEW content? per-bucket share of
       // never-seen word shingles over ingest order
       graft.text.CorpusStats.noveltyCurve(t(s, dir, "documents"),
-        "doc_id", "text"))
+        "doc_id", "text")),
+    "q458_ks_by_group" -> ((s, dir) => {
+      // which event types' value distributions moved across the
+      // split? two-sample KS per segment, one grouped rank kernel
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      graft.eda.StatTests.ksByGroup(
+        ev.select(col("event_type").as("g"),
+          (col("ts") < split).cast("int").as("a"), col("value")),
+        "g", "a", "value")
+    }),
+    "q459_turning_points" -> ((s, dir) =>
+      // randomness check: does daily revenue zig-zag like iid noise
+      // or glide like a trend? Kendall turning-points count
+      graft.operators.Forecast.turningPoints(t(s, dir, "events"),
+        "ts", "value")),
+    "q460_von_neumann" -> ((s, dir) =>
+      // mean-square successive difference / variance on the daily
+      // total: 2 = iid, <2 = momentum, >2 = alternation
+      graft.operators.Forecast.vonNeumann(t(s, dir, "events"),
+        "ts", "value")),
+    "q461_cost_curve" -> ((s, dir) =>
+      // where to cut when a missed positive costs 5x a false alarm —
+      // all-integer cost minimization over score thresholds
+      graft.eda.StatTests.costCurve(
+        t(s, dir, "customer").select(
+          (col("c_custkey") % 100).cast("double").divide(lit(100))
+            .as("s"),
+          (col("c_acctbal") > 0).cast("int").as("y")),
+        "s", "y", costFp = 1L, costFn = 5L)),
+    "q462_contamination_sweep" -> ((s, dir) =>
+      // which benchmark leaks most into the training pool? q106 per
+      // eval set, one shingle pass
+      graft.dedup.Contamination.contaminationSweep(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("mod50" -> (col("doc_id") % 50 === 0),
+          "mod97" -> (col("doc_id") % 97 === 0)))),
+    "q463_defect_scan" -> ((s, dir) =>
+      // which feed needs its extractor fixed? mojibake/control-byte/
+      // glued-word/digit-table/blank triage per source
+      graft.text.Scrub.defectScan(t(s, dir, "documents"),
+        "source", "text"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7660,6 +7701,23 @@ object SparkEntry {
         touchTypes = Seq("click", "view", "signup")),
     "q457_novelty_curve" ->
       graft.text.CorpusStats.noveltyCurveOracleSql(),
+    "q458_ks_by_group" -> graft.eda.StatTests.ksByGroupOracleSql(
+      """SELECT event_type AS g,
+           CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+             THEN 1 ELSE 0 END AS a,
+           value AS v FROM events"""),
+    "q459_turning_points" -> graft.operators.Forecast
+      .turningPointsOracleSql("ts", "value", "events"),
+    "q460_von_neumann" -> graft.operators.Forecast
+      .vonNeumannOracleSql("ts", "value", "events"),
+    "q461_cost_curve" -> graft.eda.StatTests.costCurveOracleSql(
+      """SELECT CAST(c_custkey % 100 AS DOUBLE) / 100 AS s,
+           CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+         FROM customer""", costFp = 1L, costFn = 5L),
+    "q462_contamination_sweep" ->
+      graft.dedup.Contamination.contaminationSweepOracleSql(
+        Seq("mod50" -> "doc_id % 50 = 0", "mod97" -> "doc_id % 97 = 0")),
+    "q463_defect_scan" -> graft.text.Scrub.defectScanOracleSql(),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -139,4 +139,84 @@ object Contamination {
         SELECT * FROM j
         WHERE containment >= $minC AND jaccard < containment
         ORDER BY doc_a, doc_b"""
+
+  /** Benchmark-contamination sweep: [[evalOverlap]] for SEVERAL
+    * benchmark predicates at once — "which eval set leaks most into
+    * the training pool", summarized to one row per benchmark. The
+    * shingle pass runs ONCE; each benchmark contributes a tag column
+    * and its own train-universe semi-join. A doc is CONTAMINATED when
+    * half or more of its shingles already sit in that benchmark's
+    * train split (integer-lattice gate 2·hit ≥ n). Mean overlap is a
+    * 9dp-quantized decimal mean. Returns (benchmark, n_eval,
+    * mean_overlap 6dp, n_contaminated) ordered. */
+  def contaminationSweep(docs: DataFrame, idCol: String,
+                         textCol: String,
+                         benchmarks: Seq[(String, Column)],
+                         n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(benchmarks.nonEmpty)
+    val sh = docs.select(
+        (col(idCol).as("__id") +:
+          benchmarks.map { case (nm, pred) => pred.as(s"__e_$nm") }) :+
+          explode(graft.functions.Signatures
+            .wordShingles(col(textCol), n)).as("__sh"): _*)
+      .distinct()
+      .localCheckpoint(true)
+    val perBench = benchmarks.map { case (nm, _) =>
+      val e = col(s"__e_$nm")
+      val train = sh.filter(!e).select("__sh").distinct()
+        .withColumn("__hit", lit(1L))
+      sh.filter(e)
+        .join(train, Seq("__sh"), "left")
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).as("__n"),
+          sum(coalesce(col("__hit"), lit(0L))).as("__h"))
+        .agg(count(lit(1)).as("n_eval"),
+          round(sum(round(col("__h").cast("double") / col("__n"), 9)
+            .cast(DecimalType(28, 9))).cast("double") /
+            count(lit(1)), 6).as("mean_overlap"),
+          sum((col("__h") * 2 >= col("__n")).cast("long"))
+            .as("n_contaminated"))
+        .select(lit(nm).as("benchmark"), col("n_eval"),
+          col("mean_overlap"), col("n_contaminated"))
+    }
+    val out = perBench.reduce(_ unionByName _).orderBy("benchmark")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[contaminationSweep]]; each benchmark is a
+    * (name, SQL predicate over documents). */
+  def contaminationSweepOracleSql(benchmarks: Seq[(String, String)],
+                                  n: Int = 8): String = {
+    val parts = benchmarks.map { case (nm, pred) =>
+      s"""SELECT '$nm' AS benchmark, n_eval, mean_overlap,
+           n_contaminated FROM (
+         WITH toks AS (SELECT doc_id, $pred AS e,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS ws
+           FROM documents),
+         sh0 AS (SELECT doc_id, e,
+             UNNEST(CASE WHEN len(ws) < $n THEN
+               [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+$n-1], ' ')
+                 FOR i IN range(1, len(ws) - $n + 2)] END) AS sh
+           FROM toks),
+         sh AS (SELECT DISTINCT doc_id, e, sh FROM sh0),
+         train AS (SELECT DISTINCT sh FROM sh WHERE NOT e),
+         ev AS (SELECT s.doc_id, COUNT(*) AS nn,
+             SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS h
+           FROM sh s LEFT JOIN train t USING (sh) WHERE s.e
+           GROUP BY s.doc_id)
+         SELECT COUNT(*) AS n_eval,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(h AS DOUBLE) / nn, 9)
+             AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_overlap,
+           CAST(SUM(CASE WHEN h * 2 >= nn THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated
+         FROM ev)"""
+    }.mkString("\n UNION ALL ")
+    s"""SELECT * FROM ($parts) ORDER BY benchmark"""
+  }
 }

@@ -1773,4 +1773,129 @@ object StatTests {
             / SQRT((CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3)
               - CAST(cu AS DOUBLE)) / 72) END, 6) AS z_stat
         FROM mo CROSS JOIN jt"""
+
+  /** Two-sample KS drift PER GROUP in one pipeline — q92's single-pair
+    * test, swept across segments ("which event types' value
+    * distributions moved after the split"). The rank kernel is the
+    * same distinct-value prefix-count plan, PARTITIONED by group, so
+    * every segment's D comes out of one shuffle; groups missing
+    * either side drop (no one-sided D). Returns
+    * (group, n_a, n_b, d_stat 6dp) ordered. */
+  def ksByGroup(df: DataFrame, groupCol: String, isACol: String,
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")) && col(isACol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"),
+        (col(isACol).cast("int") === 1).cast("long").as("__a"))
+    val cells = base.groupBy("__g", "__v")
+      .agg(sum("__a").as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+    val wc = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("__g")
+    val cum = cells
+      .withColumn("__cuma", sum("__ca").over(wc))
+      .withColumn("__cumb", sum("__cb").over(wc))
+      .withColumn("__na", sum("__ca").over(wt))
+      .withColumn("__nb", sum("__cb").over(wt))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    cum.groupBy(col("__g").as("group"))
+      .agg(first("__na").as("n_a"), first("__nb").as("n_b"),
+        round(max(abs(col("__cuma").cast("double") / col("__na") -
+          col("__cumb").cast("double") / col("__nb"))), 6).as("d_stat"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[ksByGroup]]; `srcCte` yields (g, a, v). */
+  def ksByGroupOracleSql(srcCte: String): String =
+    s"""WITH base AS (SELECT g,
+            CASE WHEN CAST(a AS INT) = 1 THEN 1 ELSE 0 END AS a,
+            CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+            AND a IS NOT NULL),
+        cells AS (SELECT g, v, SUM(a) AS ca, SUM(1 - a) AS cb
+          FROM base GROUP BY g, v),
+        cum AS (SELECT g, v,
+            SUM(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+            SUM(cb) OVER (PARTITION BY g ORDER BY v) AS cumb,
+            SUM(ca) OVER (PARTITION BY g) AS na,
+            SUM(cb) OVER (PARTITION BY g) AS nb
+          FROM cells)
+        SELECT g AS "group", CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
+          CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+          ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / na
+            - CAST(cumb AS DOUBLE) / nb)), 6) AS d_stat
+        FROM cum WHERE na > 0 AND nb > 0
+        GROUP BY g ORDER BY "group""""
+
+  /** Cost-optimal operating threshold: over all distinct score
+    * thresholds (predict positive at score ≥ t), the one minimizing
+    * FP·costFp + FN·costFn — q451's operating point when the costs,
+    * not a target sensitivity, are what's known. All-integer costs
+    * from descending suffix counts; ties break to the HIGHEST
+    * threshold. Also reports the no-model baseline min(P·costFn,
+    * N·costFp) — a model whose min cost beats neither is useless.
+    * Returns one row: (n, best_threshold 6dp, n_fp, n_fn, min_cost,
+    * baseline_cost). */
+  def costCurve(df: DataFrame, scoreCol: String, labelCol: String,
+                costFp: Long, costFn: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(costFp > 0 && costFn > 0)
+    val base = df.filter(col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        (col(labelCol).cast("int") === 1).cast("long").as("__y"))
+    val cells = base.groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum("__y").as("__p"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum("__c").as("__nt"), sum("__p").as("__np"))
+    val cum = cells
+      .withColumn("__cge", sum("__c").over(w))
+      .withColumn("__pge", sum("__p").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__cost",
+        lit(costFp) * (col("__cge") - col("__pge")) +
+          lit(costFn) * (col("__np") - col("__pge")))
+    val mn = cum.agg(min("__cost").as("__mn"))
+    cum.crossJoin(broadcast(mn))
+      .filter(col("__cost") === col("__mn"))
+      .orderBy(col("__s").desc).limit(1)
+      .select(col("__nt").as("n"),
+        round(col("__s"), 6).as("best_threshold"),
+        (col("__cge") - col("__pge")).as("n_fp"),
+        (col("__np") - col("__pge")).as("n_fn"),
+        col("__cost").as("min_cost"),
+        least(col("__np") * costFn,
+          (col("__nt") - col("__np")) * costFp).as("baseline_cost"))
+  }
+
+  /** DuckDB twin of [[costCurve]]; `srcCte` yields (s, y). */
+  def costCurveOracleSql(srcCte: String, costFp: Long,
+                         costFn: Long): String =
+    s"""WITH base AS (SELECT CAST(s AS DOUBLE) AS s,
+            CASE WHEN CAST(y AS INT) = 1 THEN 1 ELSE 0 END AS y
+          FROM ($srcCte) WHERE s IS NOT NULL AND y IS NOT NULL),
+        cells AS (SELECT s, COUNT(*) AS c, SUM(y) AS p
+          FROM base GROUP BY s),
+        tot AS (SELECT SUM(c) AS nt, SUM(p) AS np FROM cells),
+        cum AS (SELECT s,
+            SUM(c) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge,
+            SUM(p) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pge
+          FROM cells),
+        costs AS (SELECT s, cge, pge, nt, np,
+            $costFp * (cge - pge) + $costFn * (np - pge) AS cost
+          FROM cum CROSS JOIN tot),
+        mn AS (SELECT MIN(cost) AS m FROM costs)
+        SELECT CAST(nt AS BIGINT) AS n, ROUND(s, 6) AS best_threshold,
+          CAST(cge - pge AS BIGINT) AS n_fp,
+          CAST(np - pge AS BIGINT) AS n_fn,
+          CAST(cost AS BIGINT) AS min_cost,
+          CAST(LEAST(np * $costFn, (nt - np) * $costFp) AS BIGINT)
+            AS baseline_cost
+        FROM costs CROSS JOIN mn WHERE cost = mn.m
+        ORDER BY s DESC LIMIT 1"""
 }

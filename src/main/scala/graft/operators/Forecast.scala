@@ -1955,4 +1955,118 @@ object Forecast {
           CASE k WHEN 1 THEN 0.682689 WHEN 2 THEN 0.954500
             ELSE 0.997300 END AS nominal
         FROM cov ORDER BY k"""
+
+  /** Kendall turning-points randomness test on the daily total: count
+    * interior days that are strict local maxima or minima (equal
+    * neighbors are NOT turning points — documented tie rule), against
+    * the i.i.d. moments E = 2(n−2)/3, Var = (16n−29)/90 — too FEW
+    * turning points means trend/cycles, too MANY means alternation.
+    * One lag/lead window over the day frame; all-integer counting.
+    * Returns one row: (n_days, n_turning, expected 6dp, z_stat 6dp).
+    */
+  def turningPoints(events: DataFrame, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"),
+        (col("total").cast("decimal(18,2)") * 100).cast("long")
+          .as("__yc"))
+    val w = Window.orderBy("day")
+    val flagged = d
+      .withColumn("__pv", lag("__yc", 1).over(w))
+      .withColumn("__nx", lead("__yc", 1).over(w))
+      .filter(col("__pv").isNotNull && col("__nx").isNotNull)
+      .withColumn("__tp",
+        ((col("__yc") > col("__pv") && col("__yc") > col("__nx")) ||
+          (col("__yc") < col("__pv") && col("__yc") < col("__nx")))
+          .cast("long"))
+    val nTot = d.agg(count(lit(1)).as("n_days"))
+    val nd = col("n_days").cast("double")
+    val e = lit(2.0) * (nd - 2) / 3
+    val v = (lit(16.0) * nd - 29) / 90
+    flagged.agg(sum("__tp").as("n_turning"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n_days"), col("n_turning"),
+        round(e, 6).as("expected"),
+        round(when(v > 0,
+          (col("n_turning").cast("double") - e) / sqrt(v)), 6)
+          .as("z_stat"))
+  }
+
+  /** DuckDB twin of [[turningPoints]]. */
+  def turningPointsOracleSql(tsExpr: String, valueExpr: String,
+                             table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(CAST(SUM(CAST($valueExpr AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        f AS (SELECT yc, LAG(yc) OVER (ORDER BY day) AS pv,
+            LEAD(yc) OVER (ORDER BY day) AS nx FROM d),
+        t AS (SELECT CAST(SUM(CASE WHEN (yc > pv AND yc > nx)
+              OR (yc < pv AND yc < nx) THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_turning
+          FROM f WHERE pv IS NOT NULL AND nx IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n_days FROM d)
+        SELECT CAST(n_days AS BIGINT) AS n_days, n_turning,
+          ROUND(2.0 * (n_days - 2) / 3, 6) AS expected,
+          ROUND(CASE WHEN (16.0 * n_days - 29) / 90 > 0 THEN
+            (CAST(n_turning AS DOUBLE) - 2.0 * (n_days - 2) / 3)
+              / SQRT((16.0 * n_days - 29) / 90) END, 6) AS z_stat
+        FROM t CROSS JOIN nn"""
+
+  /** Von Neumann ratio on the daily total: mean-square successive
+    * difference over the variance, η = Σd²·n / (n·Σy² − (Σy)²) · (n−1)
+    * /(n−1) — 2 under i.i.d., < 2 positive autocorrelation, > 2
+    * alternation; the series-level cousin of q297's residual DW. All
+    * sufficient statistics are exact integer/decimal cent sums cast to
+    * double once. Returns one row: (n_days, vn_ratio 6dp, z_stat 6dp).
+    */
+  def vonNeumann(events: DataFrame, tsCol: String,
+                 valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"),
+        (col("total").cast("decimal(18,2)") * 100).cast("long")
+          .as("__yc"))
+    val w = Window.orderBy("day")
+    val withD = d.withColumn("__d", col("__yc") - lag("__yc", 1).over(w))
+    val g = withD.agg(count(lit(1)).as("n_days"),
+      sum(col("__yc").cast(DecimalType(14, 0))).cast("double")
+        .as("__sy"),
+      sum(col("__yc").cast(DecimalType(14, 0)) *
+        col("__yc").cast(DecimalType(14, 0))).cast("double").as("__syy"),
+      sum(col("__d").cast(DecimalType(14, 0)) *
+        col("__d").cast(DecimalType(14, 0))).cast("double").as("__sdd"))
+    val nd = col("n_days").cast("double")
+    val eta = (col("__sdd") / (nd - 1)) /
+      ((col("__syy") - col("__sy") * col("__sy") / nd) / (nd - 1))
+    val z = (eta - 2) / sqrt(lit(4.0) * (nd - 2) / (nd * nd - 1))
+    g.select(col("n_days"), round(eta, 6).as("vn_ratio"),
+      round(when(nd > 2, z), 6).as("z_stat"))
+  }
+
+  /** DuckDB twin of [[vonNeumann]]. */
+  def vonNeumannOracleSql(tsExpr: String, valueExpr: String,
+                          table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(CAST(SUM(CAST($valueExpr AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        wd AS (SELECT yc, yc - LAG(yc) OVER (ORDER BY day) AS dd
+          FROM d),
+        g AS (SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(yc AS DECIMAL(14,0))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(yc AS DECIMAL(14,0))
+              * CAST(yc AS DECIMAL(14,0))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(dd AS DECIMAL(14,0))
+              * CAST(dd AS DECIMAL(14,0))) AS DOUBLE) AS sdd
+          FROM wd),
+        e AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+            (sdd / (CAST(n AS DOUBLE) - 1))
+              / ((syy - sy * sy / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1)) AS eta
+          FROM g)
+        SELECT CAST(n AS BIGINT) AS n_days, ROUND(eta, 6) AS vn_ratio,
+          ROUND(CASE WHEN nd > 2 THEN (eta - 2)
+            / SQRT(4.0 * (nd - 2) / (nd * nd - 1)) END, 6) AS z_stat
+        FROM e"""
 }

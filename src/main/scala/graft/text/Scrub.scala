@@ -89,4 +89,63 @@ object Scrub {
   /** `df` with `textCol` normalized in place. */
   def normalize(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, normalizeText(col(textCol)))
+
+  /** Encoding/extraction defect scan per source: replacement
+    * characters (mojibake), ASCII control bytes, 100+-char unbroken
+    * "words" (extraction glue), digit-heavy docs (tables scraped as
+    * prose, 2·digits ≥ chars), and whitespace-only docs — the ingest
+    * triage table that says WHICH feed needs its extractor fixed
+    * before any quality model sees the text. Per-row flags are plain
+    * string ops (portable RE2-safe patterns); one integer groupBy.
+    * Returns (source, n_docs, n_replacement, n_control, n_long_word,
+    * n_digit_heavy, n_blank, defect_rate 6dp). */
+  def defectScan(docs: DataFrame, srcCol: String,
+                 textCol: String): DataFrame = {
+    val t = col(textCol)
+    val repl = t.contains("\ufffd")
+    val ctrl = t.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    val longWord = t.rlike("[^\\s]{100}")
+    val digits = length(t) - length(regexp_replace(t, "[0-9]", ""))
+    val digitHeavy = length(t) > 0 && lit(2) * digits >= length(t)
+    val blank = length(trim(coalesce(t, lit("")))) === 0
+    val anyDefect = repl || ctrl || longWord || digitHeavy || blank
+    docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(repl.cast("long")).as("n_replacement"),
+        sum(ctrl.cast("long")).as("n_control"),
+        sum(longWord.cast("long")).as("n_long_word"),
+        sum(digitHeavy.cast("long")).as("n_digit_heavy"),
+        sum(blank.cast("long")).as("n_blank"),
+        round(sum(anyDefect.cast("long")).cast("double") /
+          count(lit(1)), 6).as("defect_rate"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[defectScan]] over the documents table. */
+  def defectScanOracleSql(): String =
+    s"""WITH f AS (SELECT source,
+            (text LIKE '%' || chr(65533) || '%') AS repl,
+            regexp_matches(text,
+              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]') AS ctrl,
+            regexp_matches(text, '[^\\s]{100}') AS longw,
+            (length(text) > 0 AND 2 * (length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')))
+              >= length(text)) AS digith,
+            (length(trim(COALESCE(text, ''))) = 0) AS blank
+          FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN repl THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_replacement,
+          CAST(SUM(CASE WHEN ctrl THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_control,
+          CAST(SUM(CASE WHEN longw THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_long_word,
+          CAST(SUM(CASE WHEN digith THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_digit_heavy,
+          CAST(SUM(CASE WHEN blank THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_blank,
+          ROUND(SUM(CASE WHEN repl OR ctrl OR longw OR digith OR blank
+            THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS defect_rate
+        FROM f GROUP BY source ORDER BY source"""
 }
