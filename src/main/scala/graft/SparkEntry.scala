@@ -3568,7 +3568,57 @@ object SparkEntry {
       // which feed needs its extractor fixed? mojibake/control-byte/
       // glued-word/digit-table/blank triage per source
       graft.text.Scrub.defectScan(t(s, dir, "documents"),
-        "source", "text"))
+        "source", "text")),
+    "q464_w1_by_group" -> ((s, dir) => {
+      // BY HOW MUCH did each event type's values move across the
+      // split? earth-mover distance per segment (q458's companion)
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      graft.eda.StatTests.wassersteinByGroup(
+        ev.select(col("event_type").as("g"),
+          (col("ts") < split).cast("int").as("a"), col("value")),
+        "g", "a", "value")
+    }),
+    "q465_acf_by_group" -> ((s, dir) =>
+      // which event types carry day-over-day momentum? correlogram
+      // per segment, lags 1..3
+      graft.operators.Forecast.acfByGroup(t(s, dir, "events"),
+        "event_type", "ts", "value")),
+    "q466_seasonal_mk" -> ((s, dir) =>
+      // monotone trend that a weekly cycle can't fake: Mann-Kendall
+      // within day-of-week strata, summed
+      graft.operators.Forecast.seasonalMannKendall(t(s, dir, "events"),
+        "ts", "value")),
+    "q467_gini_sweep" -> ((s, dir) =>
+      // feature ranking in one pass: best gini split per pre-binned
+      // feature against the returned-flag label
+      graft.ml.InfoGain.giniSweep(
+        t(s, dir, "lineitem").select(
+          floor(col("l_quantity") / 10).cast("long").as("qty_band"),
+          floor(col("l_discount") * 20).cast("long").as("disc_band"),
+          floor(col("l_extendedprice") / 10000).cast("long")
+            .as("price_band"),
+          (col("l_returnflag") === "R").cast("int").as("y")),
+        Seq("qty_band", "disc_band", "price_band"), "y")),
+    "q468_rank_biserial" -> ((s, dir) => {
+      // effect size under q349's signed-rank test: per-user pre/post
+      // means, exact half-integer rank mass
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val dv = col("value").cast(DecimalType(18, 2))
+      val pairs = ev.groupBy("user_id").agg(
+          (sum(when(col("ts") < split, dv)).cast("double") /
+            sum(when(col("ts") < split, 1L))).as("x"),
+          (sum(when(col("ts") >= split, dv)).cast("double") /
+            sum(when(col("ts") >= split, 1L))).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      graft.eda.ShapeTests.rankBiserial(pairs, "x", "y")
+    }),
+    "q469_variance_ratio" -> ((s, dir) =>
+      // plain F spread comparison of returned vs kept quantities —
+      // the normal-theory number next to q296's robust version
+      graft.eda.StatTests.varianceRatio(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", armA = "R", armB = "N"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7718,6 +7768,38 @@ object SparkEntry {
       graft.dedup.Contamination.contaminationSweepOracleSql(
         Seq("mod50" -> "doc_id % 50 = 0", "mod97" -> "doc_id % 97 = 0")),
     "q463_defect_scan" -> graft.text.Scrub.defectScanOracleSql(),
+    "q464_w1_by_group" ->
+      graft.eda.StatTests.wassersteinByGroupOracleSql(
+        """SELECT event_type AS g,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+               THEN 1 ELSE 0 END AS a,
+             value AS v FROM events"""),
+    "q465_acf_by_group" -> graft.operators.Forecast.acfByGroupOracleSql(
+      "event_type", "ts", "value", "events"),
+    "q466_seasonal_mk" -> graft.operators.Forecast
+      .seasonalMannKendallOracleSql("ts", "value", "events"),
+    "q467_gini_sweep" -> graft.ml.InfoGain.giniSweepOracleSql(
+      """(SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_band,
+           CAST(FLOOR(l_discount * 20) AS BIGINT) AS disc_band,
+           CAST(FLOOR(l_extendedprice / 10000) AS BIGINT)
+             AS price_band,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         FROM lineitem)""",
+      Seq("qty_band", "disc_band", "price_band"), "y"),
+    "q468_rank_biserial" -> graft.eda.ShapeTests.rankBiserialOracleSql(
+      """SELECT
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+               THEN 1 END) AS x,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+               THEN 1 END) AS y
+         FROM events GROUP BY user_id"""),
+    "q469_variance_ratio" -> graft.eda.StatTests.varianceRatioOracleSql(
+      "SELECT l_returnflag AS arm, l_quantity AS v FROM lineitem",
+      armA = "R", armB = "N"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

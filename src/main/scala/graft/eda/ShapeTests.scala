@@ -386,4 +386,66 @@ object ShapeTests {
           CASE WHEN m2 > 0 THEN bc > 5.0 / 9 END AS is_bimodal
         FROM b ORDER BY "group""""
   }
+
+  /** Paired rank-biserial correlation: the effect size under the
+    * Wilcoxon signed-rank test (q349) — r = (W⁺ − W⁻)/(W⁺ + W⁻), the
+    * share of signed-rank mass favoring the positive direction.
+    * Tie-averaged ranks of |d| carry as EXACT integers (2·avg_rank =
+    * 2·cum_before + run + 1 — rank mass is counts, whatever the value
+    * type), so W⁺ and W⁻ are integer halves and r is one division;
+    * d stays a raw double like q349's kernel (casting a derived
+    * quotient to a decimal lattice would hit the .xx5 tie trap).
+    * Zero diffs drop (the q380 convention). Returns one row:
+    * (n_pairs, w_plus 1dp, w_minus 1dp, rank_biserial 6dp). */
+  def rankBiserial(df: DataFrame, xCol: String,
+                   yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val d = df.filter(x.isNotNull && !isnan(x) &&
+        y.isNotNull && !isnan(y))
+      .select((x - y).as("__d"))
+      .filter(col("__d") =!= 0.0)
+    val cells = d.groupBy(abs(col("__d")).as("__ad"))
+      .agg(count(lit(1)).as("__c"),
+        sum((col("__d") > 0).cast("long")).as("__cp"))
+    val w = Window.orderBy("__ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withR = cells
+      .withColumn("__cb", coalesce(sum("__c").over(w), lit(0L)))
+      // 2 x tie-averaged rank of every obs in this run
+      .withColumn("__r2", lit(2) * col("__cb") + col("__c") + 1)
+    val g = withR.agg(sum("__c").as("n_pairs"),
+      sum(col("__cp") * col("__r2")).as("__w2p"),
+      sum((col("__c") - col("__cp")) * col("__r2")).as("__w2m"))
+    g.select(col("n_pairs"),
+      (col("__w2p").cast("double") / 2).as("w_plus"),
+      (col("__w2m").cast("double") / 2).as("w_minus"),
+      round(try_divide((col("__w2p") - col("__w2m")).cast("double"),
+        (col("__w2p") + col("__w2m")).cast("double")), 6)
+        .as("rank_biserial"))
+  }
+
+  /** DuckDB twin of [[rankBiserial]]; `srcCte` yields (x, y). */
+  def rankBiserialOracleSql(srcCte: String): String =
+    s"""WITH d AS (SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS dd
+          FROM ($srcCte)
+          WHERE x IS NOT NULL AND NOT isnan(CAST(x AS DOUBLE))
+            AND y IS NOT NULL AND NOT isnan(CAST(y AS DOUBLE))),
+        nz AS (SELECT dd FROM d WHERE dd <> 0.0),
+        cells AS (SELECT ABS(dd) AS ad, COUNT(*) AS c,
+            SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS cp
+          FROM nz GROUP BY ad),
+        wr AS (SELECT c, cp,
+            2 * COALESCE(SUM(c) OVER (ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS r2
+          FROM cells),
+        g AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs,
+            SUM(cp * r2) AS w2p, SUM((c - cp) * r2) AS w2m FROM wr)
+        SELECT n_pairs, CAST(w2p AS DOUBLE) / 2 AS w_plus,
+          CAST(w2m AS DOUBLE) / 2 AS w_minus,
+          ROUND(CAST(w2p - w2m AS DOUBLE) / (w2p + w2m), 6)
+            AS rank_biserial
+        FROM g"""
 }

@@ -1898,4 +1898,127 @@ object StatTests {
             AS baseline_cost
         FROM costs CROSS JOIN mn WHERE cost = mn.m
         ORDER BY s DESC LIMIT 1"""
+
+  /** 1-Wasserstein (earth-mover) drift PER GROUP in one pipeline —
+    * q345's transport distance, swept across segments the way
+    * [[ksByGroup]] sweeps D: KS says WHETHER a segment moved, W1 says
+    * BY HOW MUCH in value units. Same group-partitioned distinct-value
+    * kernel; the ∫|Fa−Fb| terms quantize to DECIMAL(28,9) before the
+    * per-group sum (the grouped sum would otherwise be an
+    * order-dependent raw-double reduce). Returns
+    * (group, n_a, n_b, w1 6dp) ordered; one-sided groups drop. */
+  def wassersteinByGroup(df: DataFrame, groupCol: String,
+                         isACol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")) && col(isACol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"),
+        (col(isACol).cast("int") === 1).cast("long").as("__a"))
+    val cells = base.groupBy("__g", "__v")
+      .agg(sum("__a").as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+    val wc = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("__g")
+    val wl = Window.partitionBy("__g").orderBy("__v")
+    val cum = cells
+      .withColumn("__cuma", sum("__ca").over(wc))
+      .withColumn("__cumb", sum("__cb").over(wc))
+      .withColumn("__na", sum("__ca").over(wt))
+      .withColumn("__nb", sum("__cb").over(wt))
+      .withColumn("__dv",
+        coalesce(lead("__v", 1).over(wl) - col("__v"), lit(0.0)))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    val term = abs(col("__cuma").cast("double") / col("__na") -
+      col("__cumb").cast("double") / col("__nb")) * col("__dv")
+    cum.groupBy(col("__g").as("group"))
+      .agg(first("__na").as("n_a"), first("__nb").as("n_b"),
+        round(sum(round(term, 9).cast(DecimalType(28, 9)))
+          .cast("double"), 6).as("w1"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[wassersteinByGroup]]; `srcCte` yields
+    * (g, a, v). */
+  def wassersteinByGroupOracleSql(srcCte: String): String =
+    s"""WITH base AS (SELECT g,
+            CASE WHEN CAST(a AS INT) = 1 THEN 1 ELSE 0 END AS a,
+            CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
+            AND a IS NOT NULL),
+        cells AS (SELECT g, v, SUM(a) AS ca, SUM(1 - a) AS cb
+          FROM base GROUP BY g, v),
+        cum AS (SELECT g, v,
+            SUM(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+            SUM(cb) OVER (PARTITION BY g ORDER BY v) AS cumb,
+            SUM(ca) OVER (PARTITION BY g) AS na,
+            SUM(cb) OVER (PARTITION BY g) AS nb,
+            COALESCE(LEAD(v) OVER (PARTITION BY g ORDER BY v) - v,
+              0.0) AS dv
+          FROM cells)
+        SELECT g AS "group", CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
+          CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+          ROUND(CAST(SUM(CAST(ROUND(
+            ABS(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)
+              * dv, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS w1
+        FROM cum WHERE na > 0 AND nb > 0
+        GROUP BY g ORDER BY "group""""
+
+  /** Two-sample variance-ratio F test: F = s²_A/s²_B with the larger
+    * group structure left to the caller — the classical spread
+    * comparison the Brown–Forsythe battery (q296) robustifies; here
+    * as the plain normal-theory number with exact decimal moments.
+    * Returns one row: (n_a, n_b, var_a 6dp, var_b 6dp, f_stat 6dp).
+    */
+  def varianceRatio(df: DataFrame, groupCol: String, valueCol: String,
+                    armA: String, armB: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val y = col(valueCol).cast(DecimalType(18, 2))
+    val isA = col(groupCol) === armA
+    val isB = col(groupCol) === armB
+    val g = df.filter(col(valueCol).isNotNull && (isA || isB))
+      .agg(sum(isA.cast("long")).as("n_a"),
+        sum(isB.cast("long")).as("n_b"),
+        sum(when(isA, y)).cast("double").as("__sa"),
+        sum(when(isB, y)).cast("double").as("__sb"),
+        sum(when(isA, y * y)).cast("double").as("__qa"),
+        sum(when(isB, y * y)).cast("double").as("__qb"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val va = (col("__qa") - na * (col("__sa") / na) *
+      (col("__sa") / na)) / (na - 1)
+    val vb = (col("__qb") - nb * (col("__sb") / nb) *
+      (col("__sb") / nb)) / (nb - 1)
+    g.select(col("n_a"), col("n_b"), round(va, 6).as("var_a"),
+      round(vb, 6).as("var_b"),
+      round(try_divide(va, vb), 6).as("f_stat"))
+  }
+
+  /** DuckDB twin of [[varianceRatio]]; `srcCte` yields (arm, v). */
+  def varianceRatioOracleSql(srcCte: String, armA: String,
+                             armB: String): String =
+    s"""WITH src AS (SELECT arm, CAST(v AS DECIMAL(18,2)) AS v
+          FROM ($srcCte)
+          WHERE v IS NOT NULL AND arm IN ('$armA', '$armB')),
+        g AS (SELECT
+            CAST(SUM(CASE WHEN arm = '$armA' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN arm = '$armB' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN arm = '$armA' THEN v END) AS DOUBLE)
+              AS sa,
+            CAST(SUM(CASE WHEN arm = '$armB' THEN v END) AS DOUBLE)
+              AS sb,
+            CAST(SUM(CASE WHEN arm = '$armA' THEN v * v END)
+              AS DOUBLE) AS qa,
+            CAST(SUM(CASE WHEN arm = '$armB' THEN v * v END)
+              AS DOUBLE) AS qb
+          FROM src),
+        v2 AS (SELECT na, nb,
+            (qa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+            (qb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+          FROM g)
+        SELECT na AS n_a, nb AS n_b, ROUND(va, 6) AS var_a,
+          ROUND(vb, 6) AS var_b, ROUND(va / vb, 6) AS f_stat
+        FROM v2"""
 }

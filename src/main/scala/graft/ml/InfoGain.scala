@@ -176,4 +176,98 @@ object InfoGain {
           ROUND(gp - gs, 6) AS gain
         FROM gn ORDER BY gs, t LIMIT 1"""
   }
+
+  /** Gini split sweep over MANY pre-binned features at once: for each
+    * feature, the binary split (bins ≤ t vs > t) with the largest
+    * Gini-impurity decrease against a binary label — q412's stump,
+    * swept as a feature-ranking table from ONE stacked shuffle
+    * (the q373 stacked-audit shape). Split scores are deterministic
+    * rationals of integer counts; the best split ties to the SMALLEST
+    * bin. Returns (feature, n, best_bin, gini_parent 6dp,
+    * gini_decrease 6dp) ordered by feature. */
+  def giniSweep(df: DataFrame, features: Seq[String],
+                labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(features.nonEmpty)
+    val y = (col(labelCol).cast("int") === 1).cast("long")
+    val stacked = df.filter(col(labelCol).isNotNull)
+      .select(explode(array(features.map(f =>
+        struct(lit(f).as("f"), col(f).cast("long").as("b"),
+          y.as("y"))): _*)).as("s"))
+      .select(col("s.f"), col("s.b"), col("s.y"))
+      .filter(col("b").isNotNull)
+    val bins = stacked.groupBy("f", "b")
+      .agg(count(lit(1)).as("__n"), sum("y").as("__p"))
+    val wc = Window.partitionBy("f").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("f")
+    val cum = bins
+      .withColumn("__cn", sum("__n").over(wc))
+      .withColumn("__cp", sum("__p").over(wc))
+      .withColumn("__tn", sum("__n").over(wt))
+      .withColumn("__tp", sum("__p").over(wt))
+      .filter(col("__cn") < col("__tn")) // a split must leave a right side
+    def gini(p: org.apache.spark.sql.Column,
+             n: org.apache.spark.sql.Column) = {
+      val r = p.cast("double") / n.cast("double")
+      lit(2.0) * r * (lit(1.0) - r)
+    }
+    val parent = gini(col("__tp"), col("__tn"))
+    val child =
+      (col("__cn").cast("double") / col("__tn")) *
+        gini(col("__cp"), col("__cn")) +
+      ((col("__tn") - col("__cn")).cast("double") / col("__tn")) *
+        gini(col("__tp") - col("__cp"), col("__tn") - col("__cn"))
+    val scored = cum.withColumn("__dec", parent - child)
+      .withColumn("__parent", parent)
+    val best = scored.groupBy("f").agg(max("__dec").as("__mx"))
+    scored.join(best, Seq("f"))
+      .filter(col("__dec") === col("__mx"))
+      .groupBy(col("f").as("feature"))
+      .agg(first("__tn").as("n"), min("b").as("best_bin"),
+        round(first("__parent"), 6).as("gini_parent"),
+        round(first("__mx"), 6).as("gini_decrease"))
+      .orderBy("feature")
+  }
+
+  /** DuckDB twin of [[giniSweep]] over `table`; features must cast
+    * to BIGINT bins. */
+  def giniSweepOracleSql(table: String, features: Seq[String],
+                         labelExpr: String): String = {
+    val unions = features.map(f =>
+      s"""SELECT '$f' AS f, CAST($f AS BIGINT) AS b,
+           CASE WHEN $labelExpr = 1 THEN 1 ELSE 0 END AS y
+         FROM $table WHERE ($labelExpr) IS NOT NULL
+           AND CAST($f AS BIGINT) IS NOT NULL""")
+      .mkString("\n UNION ALL ")
+    s"""WITH stacked AS ($unions),
+        bins AS (SELECT f, b, COUNT(*) AS n, SUM(y) AS p
+          FROM stacked GROUP BY f, b),
+        cum AS (SELECT f, b,
+            SUM(n) OVER (PARTITION BY f ORDER BY b) AS cn,
+            SUM(p) OVER (PARTITION BY f ORDER BY b) AS cp,
+            SUM(n) OVER (PARTITION BY f) AS tn,
+            SUM(p) OVER (PARTITION BY f) AS tp
+          FROM bins),
+        sc AS (SELECT f, b, tn,
+            2.0 * (CAST(tp AS DOUBLE) / tn)
+              * (1.0 - CAST(tp AS DOUBLE) / tn) AS parent,
+            2.0 * (CAST(tp AS DOUBLE) / tn)
+              * (1.0 - CAST(tp AS DOUBLE) / tn)
+            - ((CAST(cn AS DOUBLE) / tn)
+                * (2.0 * (CAST(cp AS DOUBLE) / cn)
+                  * (1.0 - CAST(cp AS DOUBLE) / cn))
+              + (CAST(tn - cn AS DOUBLE) / tn)
+                * (2.0 * (CAST(tp - cp AS DOUBLE) / (tn - cn))
+                  * (1.0 - CAST(tp - cp AS DOUBLE) / (tn - cn))))
+              AS dec
+          FROM cum WHERE cn < tn),
+        mx AS (SELECT f, MAX(dec) AS m FROM sc GROUP BY f)
+        SELECT sc.f AS feature, CAST(ANY_VALUE(sc.tn) AS BIGINT) AS n,
+          MIN(sc.b) AS best_bin,
+          ROUND(ANY_VALUE(sc.parent), 6) AS gini_parent,
+          ROUND(ANY_VALUE(mx.m), 6) AS gini_decrease
+        FROM sc JOIN mx ON sc.f = mx.f AND sc.dec = mx.m
+        GROUP BY sc.f ORDER BY feature"""
+  }
 }

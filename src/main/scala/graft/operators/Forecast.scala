@@ -2069,4 +2069,154 @@ object Forecast {
           ROUND(CASE WHEN nd > 2 THEN (eta - 2)
             / SQRT(4.0 * (nd - 2) / (nd * nd - 1)) END, 6) AS z_stat
         FROM e"""
+
+  /** Seasonal Mann–Kendall trend test (Hirsch–Slack): q379's S and
+    * tie-corrected variance computed WITHIN each day-of-week stratum
+    * and summed — the monotone-trend test that a weekly cycle cannot
+    * fool (plain MK reads Mondays-vs-Sundays as trend). Pair joins are
+    * per-season day frames (calendar-bounded); S and the tie terms
+    * are exact integers until the final scalar. Returns one row:
+    * (n_days, n_seasons, s_stat, z_stat 6dp). */
+  def seasonalMannKendall(events: DataFrame, tsCol: String,
+                          valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"), dayofweek(col("day")).as("__szn"),
+        (col("total").cast("decimal(18,2)") * 100).cast("long")
+          .as("__yc"))
+      .localCheckpoint(true)
+    val a = d.select(col("__szn"), col("day").as("__da"),
+      col("__yc").as("__xa"))
+    val b = d.select(col("__szn").as("__sb"), col("day").as("__db"),
+      col("__yc").as("__xb"))
+    val s = a.join(b, col("__szn") === col("__sb") &&
+        col("__da") < col("__db"))
+      .agg(coalesce(sum(signum((col("__xb") - col("__xa"))
+        .cast("double")).cast("long")), lit(0L)).as("__s"))
+    val perSeason = d.groupBy("__szn", "__yc")
+      .agg(count(lit(1)).as("__t"))
+      .groupBy("__szn")
+      .agg(sum("__t").as("__ns"),
+        sum(col("__t") * (col("__t") - 1) *
+          (lit(2L) * col("__t") + 5)).as("__tt"))
+    val varTot = perSeason.agg(sum("__ns").as("n_days"),
+      count(lit(1)).as("n_seasons"),
+      sum(col("__ns") * (col("__ns") - 1) *
+        (lit(2L) * col("__ns") + 5) - col("__tt")).as("__v18"))
+    val vs = col("__v18").cast("double") / 18.0
+    varTot.crossJoin(broadcast(s))
+      .select(col("n_days"), col("n_seasons"),
+        col("__s").as("s_stat"),
+        round(when(col("__s") > 0 && vs > 0,
+            (col("__s") - 1).cast("double") / sqrt(vs))
+          .when(col("__s") < 0 && vs > 0,
+            (col("__s") + 1).cast("double") / sqrt(vs))
+          .otherwise(lit(0.0)), 6).as("z_stat"))
+  }
+
+  /** DuckDB twin of [[seasonalMannKendall]]. */
+  def seasonalMannKendallOracleSql(tsExpr: String, valueExpr: String,
+                                   table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            dayofweek(CAST($tsExpr AS DATE)) + 1 AS szn,
+            CAST(CAST(SUM(CAST($valueExpr AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY 1, 2),
+        s AS (SELECT COALESCE(CAST(SUM(SIGN(CAST(b.yc - a.yc
+            AS DOUBLE))) AS BIGINT), 0) AS s
+          FROM d a JOIN d b ON a.szn = b.szn AND a.day < b.day),
+        per AS (SELECT szn, SUM(t) AS ns,
+            SUM(t * (t - 1) * (2 * t + 5)) AS tt
+          FROM (SELECT szn, yc, COUNT(*) AS t FROM d
+            GROUP BY szn, yc) GROUP BY szn),
+        vt AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_days,
+            COUNT(*) AS n_seasons,
+            SUM(ns * (ns - 1) * (2 * ns + 5) - tt) AS v18
+          FROM per)
+        SELECT n_days, CAST(n_seasons AS BIGINT) AS n_seasons,
+          CAST(s AS BIGINT) AS s_stat,
+          ROUND(CASE WHEN s > 0 AND CAST(v18 AS DOUBLE) / 18.0 > 0
+              THEN CAST(s - 1 AS DOUBLE)
+                / SQRT(CAST(v18 AS DOUBLE) / 18.0)
+            WHEN s < 0 AND CAST(v18 AS DOUBLE) / 18.0 > 0
+              THEN CAST(s + 1 AS DOUBLE)
+                / SQRT(CAST(v18 AS DOUBLE) / 18.0)
+            ELSE 0.0 END, 6) AS z_stat
+        FROM vt CROSS JOIN s"""
+
+  /** Correlogram PER GROUP: lag-1..maxLag autocorrelation of each
+    * group's daily total (classic form — centered on the group mean,
+    * normalized by the group sum of squares) — q200's ACF, swept
+    * across segments ("which event types carry momentum"). Lag
+    * windows partition by group; the centered products quantize to
+    * DECIMAL(38,6) before the per-(group, lag) sums. Returns
+    * (group, lag, n_days, acf 6dp) ordered. */
+  def acfByGroup(events: DataFrame, groupCol: String, tsCol: String,
+                 valueCol: String, maxLag: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxLag >= 1 && maxLag <= 14)
+    val d = Tables.ltzTs(events, tsCol)
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)"))
+        .cast("double").as("__y"))
+    val wt = Window.partitionBy("__g")
+    val wo = Window.partitionBy("__g").orderBy("__day")
+    val base = d
+      .withColumn("__n", count(lit(1)).over(wt))
+      .withColumn("__m", sum(col("__y").cast(DecimalType(28, 2)))
+        .over(wt).cast("double") / col("__n"))
+      .withColumn("__c", col("__y") - col("__m"))
+    val denom = base.groupBy("__g")
+      .agg(first("__n").as("n_days"),
+        sum(round(col("__c") * col("__c"), 6).cast(DecimalType(38, 6)))
+          .cast("double").as("__ss"))
+    val lags = (1 to maxLag).map { k =>
+      base.withColumn("__ck", lag("__c", k).over(wo))
+        .filter(col("__ck").isNotNull)
+        .groupBy("__g")
+        .agg(sum(round(col("__c") * col("__ck"), 6)
+          .cast(DecimalType(38, 6))).cast("double").as("__num"))
+        .select(col("__g"), lit(k).as("lag"), col("__num"))
+    }.reduce(_ unionByName _)
+    lags.join(denom, Seq("__g"))
+      .select(col("__g").as("group"), col("lag"), col("n_days"),
+        round(try_divide(col("__num"), col("__ss")), 6).as("acf"))
+      .orderBy("group", "lag")
+  }
+
+  /** DuckDB twin of [[acfByGroup]]. */
+  def acfByGroupOracleSql(groupExpr: String, tsExpr: String,
+                          valueExpr: String, table: String,
+                          maxLag: Int = 3): String = {
+    val lagSels = (1 to maxLag).map(k =>
+      s"""SELECT g, $k AS lag,
+           CAST(SUM(CAST(ROUND(c * c_$k, 6) AS DECIMAL(38,6)))
+             AS DOUBLE) AS num
+         FROM lagged WHERE c_$k IS NOT NULL GROUP BY g""")
+      .mkString("\n UNION ALL ")
+    val lagCols = (1 to maxLag).map(k =>
+      s"LAG(c, $k) OVER (PARTITION BY g ORDER BY day) AS c_$k")
+      .mkString(", ")
+    s"""WITH d AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day,
+            CAST(SUM(CAST($valueExpr AS DECIMAL(18,2))) AS DOUBLE)
+              AS y
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY 1, 2),
+        base AS (SELECT g, day, y,
+            COUNT(*) OVER (PARTITION BY g) AS n,
+            y - CAST(SUM(CAST(y AS DECIMAL(28,2)))
+              OVER (PARTITION BY g) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY g) AS c
+          FROM d),
+        denom AS (SELECT g, ANY_VALUE(n) AS n_days,
+            CAST(SUM(CAST(ROUND(c * c, 6) AS DECIMAL(38,6)))
+              AS DOUBLE) AS ss
+          FROM base GROUP BY g),
+        lagged AS (SELECT g, day, c, $lagCols FROM base),
+        nums AS ($lagSels)
+        SELECT nums.g AS "group", nums.lag,
+          CAST(denom.n_days AS BIGINT) AS n_days,
+          ROUND(nums.num / denom.ss, 6) AS acf
+        FROM nums JOIN denom ON nums.g = denom.g
+        ORDER BY "group", lag"""
+  }
 }
