@@ -3618,7 +3618,46 @@ object SparkEntry {
       // plain F spread comparison of returned vs kept quantities —
       // the normal-theory number next to q296's robust version
       graft.eda.StatTests.varianceRatio(t(s, dir, "lineitem"),
-        "l_returnflag", "l_quantity", armA = "R", armB = "N"))
+        "l_returnflag", "l_quantity", armA = "R", armB = "N")),
+    "q470_km_by_group" -> ((s, dir) => {
+      // which acquisition channel churns fastest? KM median survival
+      // per first-event-type cohort
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val firstType = ev
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("channel"))
+      val life = ev.groupBy(col("user_id")).agg(
+          min(to_date(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", to_date(col("ts"))))
+            .as("__e"),
+          max(to_date(col("ts"))).as("__l"))
+        .select(col("user_id"),
+          datediff(coalesce(col("__e"), col("__l")), col("__f"))
+            .as("t"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("e"))
+        .filter(col("t") > 0)
+        .join(firstType, Seq("user_id"))
+      graft.ml.Stats.kmMedianByGroup(life, "channel", "t", "e")
+    }),
+    "q471_boilerplate_mass" -> ((s, dir) =>
+      // how much of each feed is template chrome? share of per-doc
+      // distinct shingles with doc-frequency >= 5
+      graft.text.CorpusStats.boilerplateMass(t(s, dir, "documents"),
+        "doc_id", "source", "text")),
+    "q472_entropy_by_source" -> ((s, dir) =>
+      // which source is templated prose? per-source entropy rate and
+      // redundancy
+      graft.text.Distinctive.entropyBySource(t(s, dir, "documents"),
+        "source", "text")),
+    "q473_streaks" -> ((s, dir) =>
+      // momentum read-out: up/down day counts, longest streaks, and
+      // the streak running at series end
+      graft.operators.Forecast.streaks(t(s, dir, "events"),
+        "ts", "value"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7800,6 +7839,28 @@ object SparkEntry {
     "q469_variance_ratio" -> graft.eda.StatTests.varianceRatioOracleSql(
       "SELECT l_returnflag AS arm, l_quantity AS v FROM lineitem",
       armA = "R", armB = "N"),
+    "q470_km_by_group" -> graft.ml.Stats.kmMedianByGroupOracleSql(
+      """SELECT ft.channel AS g,
+           date_diff('day', lf.f, coalesce(lf.e, lf.l)) AS t,
+           CASE WHEN lf.e IS NOT NULL THEN 1 ELSE 0 END AS e
+         FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             MIN(CASE WHEN event_type = 'error'
+               THEN CAST(ts AS DATE) END) AS e,
+             MAX(CAST(ts AS DATE)) AS l
+           FROM events GROUP BY user_id) lf
+         JOIN (SELECT user_id, event_type AS channel FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+             FROM events) WHERE rn = 1) ft
+           ON lf.user_id = ft.user_id
+         WHERE date_diff('day', lf.f, coalesce(lf.e, lf.l)) > 0"""),
+    "q471_boilerplate_mass" ->
+      graft.text.CorpusStats.boilerplateMassOracleSql(),
+    "q472_entropy_by_source" ->
+      graft.text.Distinctive.entropyBySourceOracleSql(),
+    "q473_streaks" -> graft.operators.Forecast.streaksOracleSql(
+      "ts", "value", "events"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -1970,4 +1970,83 @@ object Stats {
         SELECT CAST(t.n AS BIGINT) AS n, g.np AS n_pairs_tested,
           g.chi2, g.np AS df
         FROM g CROSS JOIN t"""
+
+  /** Kaplan–Meier median survival PER GROUP: the life table runs
+    * partitioned by group (event times from grouped integer counts,
+    * at-risk via a descending suffix sum), the survival curve is
+    * exp(Σ ln(1 − d/n)) over the ordered window (both engines sum the
+    * SAME ln terms in the SAME order; a d = n step pins S to 0 via an
+    * explicit flag — never ln(0), which Spark nulls and DuckDB -infs),
+    * and the median is the first event time where S ≤ 0.5 (null if
+    * the curve never falls that far) — "which segment churns fastest"
+    * in one table. Returns (group, n, n_events, median_survival). */
+  def kmMedianByGroup(df: DataFrame, groupCol: String,
+                      durationCol: String,
+                      eventCol: String): DataFrame = {
+    val base = df.filter(col(durationCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(durationCol).cast("long").as("__t"),
+        (col(eventCol).cast("int") === 1).cast("long").as("__e"))
+    val totals = base.groupBy("__g").agg(count(lit(1)).as("n"),
+      sum("__e").as("n_events"))
+    val cells = base.groupBy("__g", "__t")
+      .agg(count(lit(1)).as("__c"), sum("__e").as("__d"))
+    val wDesc = Window.partitionBy("__g").orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy("__g").orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lifeRows = cells
+      .withColumn("__atRisk", sum("__c").over(wDesc))
+      .filter(col("__d") > 0)
+    val withS = lifeRows
+      .withColumn("__zero",
+        max((col("__d") === col("__atRisk")).cast("int")).over(wAsc))
+      .withColumn("__lnS", sum(when(col("__d") < col("__atRisk"),
+        log(lit(1.0) - col("__d").cast("double") /
+          col("__atRisk").cast("double")))).over(wAsc))
+      .withColumn("__s", when(col("__zero") === 1, lit(0.0))
+        .otherwise(exp(coalesce(col("__lnS"), lit(0.0)))))
+    withS.groupBy(col("__g"))
+      .agg(min(when(col("__s") <= 0.5, col("__t")))
+        .as("median_survival"))
+      .join(totals, Seq("__g"), "right")
+      .select(col("__g").as("group"), col("n"), col("n_events"),
+        col("median_survival"))
+      .orderBy("group")
+  }
+
+  /** DuckDB twin of [[kmMedianByGroup]]; `unitsCte` yields
+    * (g, t, e). */
+  def kmMedianByGroupOracleSql(unitsCte: String): String =
+    s"""WITH base AS (SELECT g, CAST(t AS BIGINT) AS t,
+            CASE WHEN CAST(e AS INT) = 1 THEN 1 ELSE 0 END AS e
+          FROM ($unitsCte) WHERE t IS NOT NULL AND e IS NOT NULL),
+        totals AS (SELECT g, COUNT(*) AS n,
+            CAST(SUM(e) AS BIGINT) AS n_events FROM base GROUP BY g),
+        cells AS (SELECT g, t, COUNT(*) AS c, SUM(e) AS d
+          FROM base GROUP BY g, t),
+        life AS (SELECT g, t, d,
+            SUM(c) OVER (PARTITION BY g ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS atrisk
+          FROM cells),
+        ev AS (SELECT * FROM life WHERE d > 0),
+        s AS (SELECT g, t,
+            CASE WHEN MAX(CASE WHEN d = atrisk THEN 1 ELSE 0 END)
+                OVER (PARTITION BY g ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE EXP(COALESCE(SUM(CASE WHEN d < atrisk THEN
+                LN(1.0 - CAST(d AS DOUBLE) / atrisk) END)
+                OVER (PARTITION BY g ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0.0)) END AS sv
+          FROM ev),
+        med AS (SELECT g, MIN(CASE WHEN sv <= 0.5 THEN t END)
+            AS median_survival FROM s GROUP BY g)
+        SELECT totals.g AS "group", totals.n, totals.n_events,
+          med.median_survival
+        FROM totals LEFT JOIN med ON totals.g = med.g
+        ORDER BY "group""""
 }

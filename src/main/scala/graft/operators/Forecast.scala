@@ -2219,4 +2219,95 @@ object Forecast {
         FROM nums JOIN denom ON nums.g = denom.g
         ORDER BY "group", lag"""
   }
+
+  /** Day-over-day streak report on the daily total: up/down day
+    * counts, the LONGEST up and down streaks, and the streak running
+    * at the series end (signed: +k up, −k down) — the momentum
+    * read-out an ops dashboard wants next to q203's slope. Flat days
+    * (exact cent tie) break every streak. Gaps-and-islands over the
+    * day frame, all-integer. Returns one row: (n_days, n_up, n_down,
+    * longest_up, longest_down, current_streak). */
+  def streaks(events: DataFrame, tsCol: String,
+              valueCol: String): DataFrame = {
+    val d = daily(events, tsCol, valueCol)
+      .select(col("day"),
+        (col("total").cast("decimal(18,2)") * 100).cast("long")
+          .as("__yc"))
+    val w = Window.orderBy("day")
+    val signed = d
+      .withColumn("__dir",
+        when(col("__yc") > lag("__yc", 1).over(w), 1)
+          .when(col("__yc") < lag("__yc", 1).over(w), -1)
+          .otherwise(0))
+      .filter(col("__dir").isNotNull)
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = signed
+      .withColumn("__rn", count(lit(1)).over(wRun))
+      .withColumn("__chg", when(lag("__dir", 1).over(w).isNull ||
+        lag("__dir", 1).over(w) =!= col("__dir"), 1L).otherwise(0L))
+      .withColumn("__grp", sum("__chg").over(wRun))
+    val runLens = runs.filter(col("__dir") =!= 0)
+      .groupBy("__grp")
+      .agg(first("__dir").as("__dir"), count(lit(1)).as("__len"),
+        max("__rn").as("__lastRn"))
+    val nTot = d.agg(count(lit(1)).as("n_days"))
+    val lastRn = runs.agg(max("__rn").as("__mx"))
+    runLens.crossJoin(broadcast(lastRn))
+      .agg(coalesce(sum(when(col("__dir") === 1, col("__len"))),
+          lit(0L)).as("n_up"),
+        coalesce(sum(when(col("__dir") === -1, col("__len"))),
+          lit(0L)).as("n_down"),
+        coalesce(max(when(col("__dir") === 1, col("__len"))), lit(0L))
+          .as("longest_up"),
+        coalesce(max(when(col("__dir") === -1, col("__len"))),
+          lit(0L)).as("longest_down"),
+        coalesce(max(when(col("__lastRn") === col("__mx"),
+          col("__dir") * col("__len"))), lit(0L)).as("current_streak"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n_days"), col("n_up"), col("n_down"),
+        col("longest_up"), col("longest_down"), col("current_streak"))
+  }
+
+  /** DuckDB twin of [[streaks]]. */
+  def streaksOracleSql(tsExpr: String, valueExpr: String,
+                       table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(CAST(SUM(CAST($valueExpr AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        sgn AS (SELECT day,
+            CASE WHEN yc > LAG(yc) OVER (ORDER BY day) THEN 1
+              WHEN yc < LAG(yc) OVER (ORDER BY day) THEN -1
+              ELSE 0 END AS dir
+          FROM d),
+        chg AS (SELECT day, dir,
+            CASE WHEN LAG(dir) OVER (ORDER BY day) IS NULL
+              OR LAG(dir) OVER (ORDER BY day) <> dir THEN 1 ELSE 0
+              END AS ch
+          FROM sgn),
+        runs AS (SELECT day, dir,
+            COUNT(*) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn,
+            SUM(ch) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM chg),
+        rl AS (SELECT grp, ANY_VALUE(dir) AS dir, COUNT(*) AS len,
+            MAX(rn) AS lastrn
+          FROM runs WHERE dir <> 0 GROUP BY grp),
+        mx AS (SELECT MAX(rn) AS m FROM runs),
+        nt AS (SELECT COUNT(*) AS n_days FROM d)
+        SELECT CAST(nt.n_days AS BIGINT) AS n_days,
+          CAST(COALESCE(SUM(CASE WHEN dir = 1 THEN len END), 0)
+            AS BIGINT) AS n_up,
+          CAST(COALESCE(SUM(CASE WHEN dir = -1 THEN len END), 0)
+            AS BIGINT) AS n_down,
+          CAST(COALESCE(MAX(CASE WHEN dir = 1 THEN len END), 0)
+            AS BIGINT) AS longest_up,
+          CAST(COALESCE(MAX(CASE WHEN dir = -1 THEN len END), 0)
+            AS BIGINT) AS longest_down,
+          CAST(COALESCE(MAX(CASE WHEN lastrn = mx.m
+            THEN dir * len END), 0) AS BIGINT) AS current_streak
+        FROM rl CROSS JOIN mx CROSS JOIN nt
+        GROUP BY nt.n_days"""
 }

@@ -130,4 +130,57 @@ object CorpusStats {
             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
         FROM sh JOIN fb USING (sh)
         GROUP BY sh.b ORDER BY bucket"""
+
+  /** Boilerplate mass per source: the share of each source's shingle
+    * INSTANCES that belong to high-document-frequency shingles
+    * (df ≥ minDf distinct docs) — how much of a feed is navigation
+    * chrome, license footers and templates rather than content; the
+    * mass-weighted companion to q103's line dedup (which counts
+    * lines, not the share of text they occupy). "Instances" are
+    * per-doc DISTINCT shingles (the wordShingles contract). One
+    * shingle pass; doc-frequency re-aggregates from the same
+    * frame; all-integer counts. Returns (source, n_instances,
+    * n_boilerplate, boilerplate_share 6dp). */
+  def boilerplateMass(docs: DataFrame, idCol: String, srcCol: String,
+                      textCol: String, n: Int = 3,
+                      minDf: Long = 5L): DataFrame = {
+    val inst = docs.select(col(idCol).as("__id"),
+      col(srcCol).as("source"),
+      explode(graft.functions.Signatures.wordShingles(col(textCol), n))
+        .as("__sh"))
+    val dfreq = inst.select("__id", "__sh").distinct()
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+    inst.join(dfreq, Seq("__sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_instances"),
+        sum((col("__df") >= minDf).cast("long")).as("n_boilerplate"))
+      .withColumn("boilerplate_share",
+        round(col("n_boilerplate").cast("double") / col("n_instances"),
+          6))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[boilerplateMass]] over the documents table. */
+  def boilerplateMassOracleSql(n: Int = 3, minDf: Long = 5L): String =
+    s"""WITH toks AS (SELECT doc_id, source,
+            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0) AS ws
+          FROM documents),
+        inst0 AS (SELECT doc_id, source,
+            UNNEST(CASE WHEN len(ws) < $n THEN
+              [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i:i+$n-1], ' ')
+                FOR i IN range(1, len(ws) - $n + 2)] END) AS sh
+          FROM toks),
+        -- wordShingles dedupes within a doc; mirror it
+        inst AS (SELECT DISTINCT doc_id, source, sh FROM inst0),
+        dfq AS (SELECT sh, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, sh FROM inst) GROUP BY sh)
+        SELECT source, COUNT(*) AS n_instances,
+          CAST(SUM(CASE WHEN df >= $minDf THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boilerplate,
+          ROUND(SUM(CASE WHEN df >= $minDf THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS boilerplate_share
+        FROM inst JOIN dfq USING (sh)
+        GROUP BY source ORDER BY source"""
 }

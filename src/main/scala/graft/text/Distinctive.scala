@@ -431,4 +431,81 @@ object Distinctive {
         SELECT source, CAST(ANY_VALUE(ns) AS BIGINT) AS n_tokens,
           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl
         FROM terms GROUP BY source ORDER BY source"""
+
+  /** [[entropyRate]] PER SOURCE: unigram entropy, bigram conditional
+    * entropy and redundancy for every feed in one pipeline — "which
+    * source is templated" as a table instead of one corpus number.
+    * Same single tokenize pass (adjacent pairs via arrays_zip); all
+    * margins re-aggregate from the per-source pair table; the −p·ln p
+    * terms quantize to DECIMAL(20,12) before the per-source sums.
+    * Returns (source, n_pairs, h_unigram 6dp, h_cond 6dp,
+    * redundancy 6dp) ordered. */
+  def entropyBySource(docs: DataFrame, srcCol: String,
+                      textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Text.tokens(col(textCol))
+    val pairs0 = docs.select(col(srcCol).as("source"), arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))).as("__z"))
+      .select(col("source"), explode(col("__z")).as("__p"))
+      .select(col("source"), col("__p.0").as("w1"), col("__p.1").as("w2"))
+    val pc = pairs0.groupBy("source", "w1", "w2")
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val tot = pc.groupBy("source").agg(sum("n").as("__N"))
+    def hTerm(cnt: org.apache.spark.sql.Column) = {
+      val p = cnt.cast("double") / col("__N").cast("double")
+      round(-p * log(p), 12).cast(DecimalType(20, 12))
+    }
+    val hJoint = pc.join(tot, Seq("source"))
+      .groupBy("source")
+      .agg(first("__N").as("n_pairs"),
+        sum(hTerm(col("n"))).cast("double").as("__hj"))
+    val hUni = pc.groupBy("source", "w1").agg(sum("n").as("__c1"))
+      .join(tot, Seq("source"))
+      .groupBy("source")
+      .agg(sum(hTerm(col("__c1"))).cast("double").as("__hu"))
+    val out = hJoint.join(hUni, Seq("source"))
+      .select(col("source"), col("n_pairs"),
+        round(col("__hu"), 6).as("h_unigram"),
+        round(col("__hj") - col("__hu"), 6).as("h_cond"),
+        round(when(col("__hu") > 0,
+          lit(1.0) - (col("__hj") - col("__hu")) / col("__hu")), 6)
+          .as("redundancy"))
+      .orderBy("source").localCheckpoint(true)
+    pc.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[entropyBySource]] over the documents table. */
+  def entropyBySourceOracleSql(): String =
+    s"""WITH tok AS (SELECT source, list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            x -> length(x) > 0) AS t FROM documents),
+        pr AS (SELECT source, UNNEST([{'w1': t[i], 'w2': t[i+1]}
+            for i in range(1, len(t))], recursive := true)
+          FROM tok WHERE len(t) >= 2),
+        pc AS (SELECT source, w1, w2, COUNT(*) AS n
+          FROM pr GROUP BY source, w1, w2),
+        tot AS (SELECT source, SUM(n) AS nn FROM pc GROUP BY source),
+        hj AS (SELECT pc.source, CAST(ANY_VALUE(tot.nn) AS BIGINT)
+              AS n_pairs,
+            CAST(SUM(CAST(ROUND(-(CAST(n AS DOUBLE) / nn)
+              * LN(CAST(n AS DOUBLE) / nn), 12) AS DECIMAL(20,12)))
+              AS DOUBLE) AS hjv
+          FROM pc JOIN tot ON pc.source = tot.source
+          GROUP BY pc.source),
+        m1 AS (SELECT source, w1, SUM(n) AS c1 FROM pc
+          GROUP BY source, w1),
+        hu AS (SELECT m1.source,
+            CAST(SUM(CAST(ROUND(-(CAST(c1 AS DOUBLE) / nn)
+              * LN(CAST(c1 AS DOUBLE) / nn), 12) AS DECIMAL(20,12)))
+              AS DOUBLE) AS huv
+          FROM m1 JOIN tot ON m1.source = tot.source
+          GROUP BY m1.source)
+        SELECT hj.source, hj.n_pairs, ROUND(hu.huv, 6) AS h_unigram,
+          ROUND(hj.hjv - hu.huv, 6) AS h_cond,
+          ROUND(CASE WHEN hu.huv > 0 THEN
+            1.0 - (hj.hjv - hu.huv) / hu.huv END, 6) AS redundancy
+        FROM hj JOIN hu ON hj.source = hu.source
+        ORDER BY hj.source"""
 }
