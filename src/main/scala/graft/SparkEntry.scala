@@ -3657,7 +3657,43 @@ object SparkEntry {
       // momentum read-out: up/down day counts, longest streaks, and
       // the streak running at series end
       graft.operators.Forecast.streaks(t(s, dir, "events"),
-        "ts", "value"))
+        "ts", "value")),
+    "q474_missingness" -> ((s, dir) =>
+      // do nulls arrive TOGETHER (one upstream failure) or
+      // independently (plain sparsity)? planted-null phi audit
+      graft.eda.DataAudit.missingnessPattern(
+        t(s, dir, "events").select(
+          when(col("event_id") % 37 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("va"),
+          when(col("event_id") % 37 === 0 || col("event_id") % 11 === 0,
+            lit(null).cast("double")).otherwise(col("value")).as("vb"),
+          when(col("event_id") % 41 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("vc")),
+        Seq("va", "vb", "vc"))),
+    "q475_reorder_gaps" -> ((s, dir) =>
+      // how often do customers come back? type-1 percentiles of
+      // per-customer reorder gaps in days
+      graft.operators.Events.reorderGaps(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate")),
+    "q476_latency_percentiles" -> ((s, dir) =>
+      // the tail that pages people: p50/p90/p99 inter-event seconds
+      // per type from entity-keyed lags
+      graft.operators.Events.latencyPercentiles(t(s, dir, "events"),
+        "user_id", "ts", "event_type")),
+    "q477_hourly_profile" -> ((s, dir) =>
+      // hour-of-week activity heatmap for capacity planning
+      graft.operators.Reporting.hourlyProfile(t(s, dir, "events"),
+        "ts")),
+    "q478_weekend_lift" -> ((s, dir) =>
+      // is weekend volume really higher? Welch effect size on daily
+      // totals, not just the q189 profile
+      graft.operators.Reporting.weekendLift(t(s, dir, "events"),
+        "ts", "value")),
+    "q479_psi_timeline" -> ((s, dir) =>
+      // WHEN did the drift start? daily PSI vs the first-week
+      // baseline on a fixed bin grid
+      graft.eda.Quality.psiTimeline(t(s, dir, "events"),
+        "ts", "value", binWidth = 10.0))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7861,6 +7897,29 @@ object SparkEntry {
       graft.text.Distinctive.entropyBySourceOracleSql(),
     "q473_streaks" -> graft.operators.Forecast.streaksOracleSql(
       "ts", "value", "events"),
+    "q474_missingness" ->
+      graft.eda.DataAudit.missingnessPatternOracleSql(
+        """(SELECT
+             CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END
+               AS va,
+             CASE WHEN event_id % 37 = 0 OR event_id % 11 = 0
+               THEN NULL ELSE value END AS vb,
+             CASE WHEN event_id % 41 = 0 THEN NULL ELSE value END
+               AS vc
+           FROM events)""",
+        Seq("va", "vb", "vc")),
+    "q475_reorder_gaps" -> graft.operators.Events.reorderGapsOracleSql(
+      "o_custkey", "o_orderdate", "orders"),
+    "q476_latency_percentiles" ->
+      graft.operators.Events.latencyPercentilesOracleSql(
+        "user_id", "ts", "event_type", "events"),
+    "q477_hourly_profile" ->
+      graft.operators.Reporting.hourlyProfileOracleSql("ts", "events"),
+    "q478_weekend_lift" ->
+      graft.operators.Reporting.weekendLiftOracleSql(
+        "ts", "value", "events"),
+    "q479_psi_timeline" -> graft.eda.Quality.psiTimelineOracleSql(
+      "ts", "value", "events", binWidth = 10.0),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -305,4 +305,68 @@ object DataAudit {
         SELECT $k AS k, CAST(nov AS BIGINT) AS n_overlap,
           ROUND(CAST(nov AS DOUBLE) / (2 * $k - nov), 6) AS jaccard
         FROM i"""
+
+  /** Co-missingness pattern audit: for every column pair, the 2×2
+    * null-indicator table and its phi coefficient — nulls that arrive
+    * TOGETHER mean one upstream failure (a dead join, a dropped
+    * request field), nulls that arrive independently mean ordinary
+    * sparsity; the triage that decides whether imputation or a
+    * pipeline fix is the answer. One stacked pair shuffle (the q373
+    * shape), all-integer cells. Returns (col_a, col_b, n, n_both_null,
+    * n_only_a, n_only_b, phi 6dp) ordered. */
+  def missingnessPattern(df: DataFrame,
+                         cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val stacked = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("ca"), lit(b).as("cb"),
+          col(a).isNull.cast("long").as("ma"),
+          col(b).isNull.cast("long").as("mb"))
+      }: _*)).as("s"))
+      .select(col("s.ca"), col("s.cb"), col("s.ma"), col("s.mb"))
+    val g = stacked.groupBy(col("ca").as("col_a"), col("cb").as("col_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ma") * col("mb")).as("n_both_null"),
+        sum(col("ma") * (lit(1L) - col("mb"))).as("n_only_a"),
+        sum((lit(1L) - col("ma")) * col("mb")).as("n_only_b"))
+    val a = col("n_both_null") + col("n_only_a")   // row margin: a null
+    val b = col("n_both_null") + col("n_only_b")   // col margin: b null
+    val phi = try_divide(
+      (col("n_both_null") * col("n") - a * b).cast("double"),
+      sqrt((a * (col("n") - a)).cast("double") *
+        (b * (col("n") - b)).cast("double")))
+    g.select(col("col_a"), col("col_b"), col("n"), col("n_both_null"),
+        col("n_only_a"), col("n_only_b"), round(phi, 6).as("phi"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** DuckDB twin of [[missingnessPattern]] over `table`. */
+  def missingnessPatternOracleSql(table: String,
+                                  cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val unions = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS ca, '$b' AS cb,
+           CASE WHEN $a IS NULL THEN 1 ELSE 0 END AS ma,
+           CASE WHEN $b IS NULL THEN 1 ELSE 0 END AS mb FROM $table"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH stacked AS ($unions),
+        g AS (SELECT ca AS col_a, cb AS col_b, COUNT(*) AS n,
+            CAST(SUM(ma * mb) AS BIGINT) AS bothn,
+            CAST(SUM(ma * (1 - mb)) AS BIGINT) AS onlya,
+            CAST(SUM((1 - ma) * mb) AS BIGINT) AS onlyb
+          FROM stacked GROUP BY ca, cb)
+        SELECT col_a, col_b, n, bothn AS n_both_null,
+          onlya AS n_only_a, onlyb AS n_only_b,
+          ROUND(CAST(bothn * n - (bothn + onlya) * (bothn + onlyb)
+              AS DOUBLE)
+            / SQRT(CAST((bothn + onlya) * (n - bothn - onlya)
+                AS DOUBLE)
+              * CAST((bothn + onlyb) * (n - bothn - onlyb)
+                AS DOUBLE)), 6) AS phi
+        FROM g ORDER BY col_a, col_b"""
+  }
 }

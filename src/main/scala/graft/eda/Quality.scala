@@ -328,4 +328,98 @@ object Quality {
             (m - gm) * SQRT(CAST(n AS DOUBLE)) / gs END, 6) AS z
         FROM cells CROSS JOIN g
         ORDER BY ABS(z) DESC, slice_a, slice_b LIMIT $topK"""
+
+  /** PSI drift TIMELINE: population-stability index of each day's
+    * value distribution against the first `baselineDays` days, on a
+    * fixed-width bin grid with add-one smoothing over the union of
+    * observed bins — q78's PSI as a monitoring time series ("when did
+    * the drift start"), not a single number. One integer (day, bin)
+    * groupBy; the (p−q)·ln(p/q) terms quantize to DECIMAL(20,12)
+    * before the per-day sums. Returns (day, n, psi 6dp) for days
+    * after the baseline, ordered. */
+  def psiTimeline(events: DataFrame, tsCol: String, valueCol: String,
+                  binWidth: Double, baselineDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(binWidth > 0 && baselineDays >= 1)
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+      .filter(col(valueCol).isNotNull)
+      .select(to_date(col(tsCol)).as("__day"),
+        floor(col(valueCol).cast("double") / binWidth).cast("long")
+          .as("__b"))
+    val d0 = ev.agg(min("__day")).head().getDate(0)
+    val cutoff = java.sql.Date.valueOf(d0.toLocalDate
+      .plusDays(baselineDays.toLong))
+    val base = ev.filter(col("__day") < lit(cutoff))
+      .groupBy("__b").agg(count(lit(1)).as("__cb"))
+    val baseTot = base.agg(sum("__cb").as("__nb"),
+      count(lit(1)).as("__kb"))
+    val dayCells = ev.filter(col("__day") >= lit(cutoff))
+      .groupBy("__day", "__b").agg(count(lit(1)).as("__cd"))
+    val dayTot = dayCells.groupBy("__day").agg(sum("__cd").as("__nd"))
+    // union of bins per day: full join day bins with baseline bins
+    val allBins = dayTot.crossJoin(broadcast(base.select("__b")))
+      .join(dayCells, Seq("__day", "__b"), "left")
+      .unionByName(dayCells.join(base.select("__b")
+          .withColumn("__inBase", lit(1)), Seq("__b"), "left_anti")
+        .join(dayTot, Seq("__day"))
+        .select(col("__day"), col("__nd"), col("__b"), col("__cd")))
+    val withBase = allBins
+      .join(broadcast(base), Seq("__b"), "left")
+      .na.fill(0L, Seq("__cd", "__cb"))
+      .crossJoin(broadcast(baseTot))
+    val kUnion = count(lit(1)).over(Window.partitionBy("__day"))
+    val p = (col("__cd") + 1).cast("double") /
+      (col("__nd") + kUnion).cast("double")
+    val q = (col("__cb") + 1).cast("double") /
+      (col("__nb") + kUnion).cast("double")
+    withBase
+      .withColumn("__term", round((p - q) * log(p / q), 12)
+        .cast(DecimalType(20, 12)))
+      .groupBy(col("__day"))
+      .agg(first("__nd").as("n"),
+        round(sum("__term").cast("double"), 6).as("psi"))
+      .select(col("__day").cast("string").as("day"), col("n"),
+        col("psi"))
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[psiTimeline]]. */
+  def psiTimelineOracleSql(tsExpr: String, valueExpr: String,
+                           table: String, binWidth: Double,
+                           baselineDays: Int = 7): String =
+    s"""WITH ev AS (SELECT CAST($tsExpr AS DATE) AS day,
+            CAST(FLOOR(CAST($valueExpr AS DOUBLE) / $binWidth)
+              AS BIGINT) AS b
+          FROM $table WHERE $valueExpr IS NOT NULL),
+        cut AS (SELECT MIN(day) + $baselineDays AS c FROM ev),
+        base AS (SELECT b, COUNT(*) AS cb FROM ev CROSS JOIN cut
+          WHERE day < cut.c GROUP BY b),
+        bt AS (SELECT SUM(cb) AS nb FROM base),
+        dc AS (SELECT day, b, COUNT(*) AS cd FROM ev CROSS JOIN cut
+          WHERE day >= cut.c GROUP BY day, b),
+        dt AS (SELECT day, SUM(cd) AS nd FROM dc GROUP BY day),
+        bins AS (SELECT dt.day, base.b FROM dt CROSS JOIN base
+          UNION SELECT day, b FROM dc),
+        cells AS (SELECT bins.day, bins.b,
+            COALESCE(dc.cd, 0) AS cd, COALESCE(base.cb, 0) AS cb
+          FROM bins
+          LEFT JOIN dc ON dc.day = bins.day AND dc.b = bins.b
+          LEFT JOIN base ON base.b = bins.b),
+        ku AS (SELECT day, COUNT(*) AS k FROM cells GROUP BY day),
+        terms AS (SELECT cells.day, dt.nd,
+            CAST(ROUND((
+              (cd + 1) / CAST(dt.nd + ku.k AS DOUBLE)
+              - (cb + 1) / CAST(bt.nb + ku.k AS DOUBLE))
+              * LN(((cd + 1) / CAST(dt.nd + ku.k AS DOUBLE))
+                / ((cb + 1) / CAST(bt.nb + ku.k AS DOUBLE))), 12)
+              AS DECIMAL(20,12)) AS term
+          FROM cells
+          JOIN dt ON dt.day = cells.day
+          JOIN ku ON ku.day = cells.day
+          CROSS JOIN bt)
+        SELECT CAST(day AS VARCHAR) AS day,
+          CAST(ANY_VALUE(nd) AS BIGINT) AS n,
+          ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        FROM terms GROUP BY day ORDER BY day"""
 }

@@ -242,4 +242,131 @@ object Events {
           ROUND(SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END)
             / CAST(COUNT(*) AS DOUBLE), 6) AS share_bursty
         FROM per"""
+
+  /** Reorder-gap profile: per-entity gaps between consecutive order
+    * dates (integer days via an entity-keyed lag), summarized to
+    * type-1 percentiles with integer-lattice thresholds (4·cum ≥ N —
+    * no interpolation, the weightedQuantiles convention) — "how often
+    * do customers come back", the replenishment read-out behind
+    * reorder reminders and churn windows. Returns one row:
+    * (n_entities, n_gaps, p25_days, p50_days, p75_days, p90_days). */
+  def reorderGaps(df: DataFrame, entityCol: String,
+                  dateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(entityCol).orderBy(col(dateCol))
+    val gaps = df.filter(col(dateCol).isNotNull)
+      .withColumn("__gap",
+        datediff(col(dateCol), lag(col(dateCol), 1).over(w))
+          .cast("long"))
+      .filter(col("__gap").isNotNull)
+      .select(col(entityCol).as("__e"), col("__gap"))
+    val nEnt = gaps.select("__e").distinct().count()
+    val cells = gaps.groupBy("__gap").agg(count(lit(1)).as("__c"))
+    val wc = Window.orderBy("__gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("__cum", sum("__c").over(wc))
+    val tot = cells.agg(sum("__c").as("__n"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first("__n").as("n_gaps"),
+        min(when(col("__cum") * 4 >= col("__n"), col("__gap")))
+          .as("p25_days"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__gap")))
+          .as("p50_days"),
+        min(when(col("__cum") * 4 >= col("__n") * 3, col("__gap")))
+          .as("p75_days"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, col("__gap")))
+          .as("p90_days"))
+      .select(lit(nEnt).as("n_entities"), col("n_gaps"),
+        col("p25_days"), col("p50_days"), col("p75_days"),
+        col("p90_days"))
+  }
+
+  /** DuckDB twin of [[reorderGaps]]. */
+  def reorderGapsOracleSql(entityExpr: String, dateExpr: String,
+                           table: String): String =
+    s"""WITH gaps AS (SELECT $entityExpr AS e,
+            date_diff('day', LAG(CAST($dateExpr AS DATE))
+              OVER (PARTITION BY $entityExpr
+                ORDER BY CAST($dateExpr AS DATE)),
+              CAST($dateExpr AS DATE)) AS gap
+          FROM $table WHERE $dateExpr IS NOT NULL),
+        nz AS (SELECT e, gap FROM gaps WHERE gap IS NOT NULL),
+        ne AS (SELECT COUNT(DISTINCT e) AS n_entities FROM nz),
+        cells AS (SELECT gap, COUNT(*) AS c FROM nz GROUP BY gap),
+        cum AS (SELECT gap, SUM(c) OVER (ORDER BY gap) AS cm
+          FROM cells),
+        tot AS (SELECT SUM(c) AS n FROM cells)
+        SELECT CAST(ne.n_entities AS BIGINT) AS n_entities,
+          CAST(ANY_VALUE(tot.n) AS BIGINT) AS n_gaps,
+          CAST(MIN(CASE WHEN cm * 4 >= n THEN gap END) AS BIGINT)
+            AS p25_days,
+          CAST(MIN(CASE WHEN cm * 2 >= n THEN gap END) AS BIGINT)
+            AS p50_days,
+          CAST(MIN(CASE WHEN cm * 4 >= n * 3 THEN gap END) AS BIGINT)
+            AS p75_days,
+          CAST(MIN(CASE WHEN cm * 10 >= n * 9 THEN gap END) AS BIGINT)
+            AS p90_days
+        FROM cum CROSS JOIN tot CROSS JOIN ne GROUP BY ne.n_entities"""
+
+  /** Inter-event latency percentiles PER TYPE: entity-keyed lag gaps
+    * in whole seconds, then type-1 p50/p90/p99 with integer-lattice
+    * thresholds, partitioned by event type — the ops-latency table
+    * (q212 gives one mean; this gives the tail that pages people).
+    * Returns (event_type, n_gaps, p50_s, p90_s, p99_s) ordered. */
+  def latencyPercentiles(df: DataFrame, entityCol: String,
+                         tsCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.ltzTs(df, tsCol)
+    val w = Window.partitionBy(entityCol, typeCol)
+      .orderBy(unix_micros(col(tsCol)))
+    val gaps = ev
+      .withColumn("__gap",
+        ((unix_micros(col(tsCol)) -
+          lag(unix_micros(col(tsCol)), 1).over(w)) / 1000000L)
+          .cast("long"))
+      .filter(col("__gap").isNotNull)
+      .select(col(typeCol).as("event_type"), col("__gap"))
+    val cells = gaps.groupBy("event_type", "__gap")
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy("event_type").orderBy("__gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("event_type")
+    cells
+      .withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__n", sum("__c").over(wt))
+      .groupBy("event_type")
+      .agg(first("__n").as("n_gaps"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__gap")))
+          .as("p50_s"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, col("__gap")))
+          .as("p90_s"),
+        min(when(col("__cum") * 100 >= col("__n") * 99, col("__gap")))
+          .as("p99_s"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[latencyPercentiles]]. */
+  def latencyPercentilesOracleSql(entityExpr: String, tsExpr: String,
+                                  typeExpr: String,
+                                  table: String): String =
+    s"""WITH gaps AS (SELECT $typeExpr AS event_type,
+            (epoch_us($tsExpr) - LAG(epoch_us($tsExpr))
+              OVER (PARTITION BY $entityExpr, $typeExpr
+                ORDER BY epoch_us($tsExpr))) // 1000000 AS gap
+          FROM $table),
+        nz AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+        cells AS (SELECT event_type, gap, COUNT(*) AS c
+          FROM nz GROUP BY event_type, gap),
+        cum AS (SELECT event_type, gap,
+            SUM(c) OVER (PARTITION BY event_type ORDER BY gap) AS cm,
+            SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM cells)
+        SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n_gaps,
+          CAST(MIN(CASE WHEN cm * 2 >= n THEN gap END) AS BIGINT)
+            AS p50_s,
+          CAST(MIN(CASE WHEN cm * 10 >= n * 9 THEN gap END) AS BIGINT)
+            AS p90_s,
+          CAST(MIN(CASE WHEN cm * 100 >= n * 99 THEN gap END)
+            AS BIGINT) AS p99_s
+        FROM cum GROUP BY event_type ORDER BY event_type"""
 }

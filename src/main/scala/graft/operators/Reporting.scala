@@ -675,4 +675,92 @@ object Reporting {
           CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions
         FROM allc GROUP BY t ORDER BY touch_type"""
   }
+
+  /** Hour-of-week activity heatmap: (dow, hour) event counts with the
+    * share of total — the capacity-planning profile behind batch
+    * windows and alert baselines (Spark's dayofweek convention,
+    * 1 = Sunday). One integer groupBy; the share divides once.
+    * Returns (dow, hour, n, share 6dp) ordered. */
+  def hourlyProfile(events: DataFrame, tsCol: String): DataFrame = {
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val cells = ev.groupBy(dayofweek(col(tsCol)).as("dow"),
+        hour(col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("share"))
+      .orderBy("dow", "hour")
+  }
+
+  /** DuckDB twin of [[hourlyProfile]]. */
+  def hourlyProfileOracleSql(tsExpr: String, table: String): String =
+    s"""WITH cells AS (SELECT dayofweek($tsExpr) + 1 AS dow,
+            hour($tsExpr) AS hour, COUNT(*) AS n
+          FROM $table GROUP BY 1, 2),
+        tot AS (SELECT SUM(n) AS t FROM cells)
+        SELECT CAST(dow AS INT) AS dow, CAST(hour AS INT) AS hour, n,
+          ROUND(CAST(n AS DOUBLE) / t, 6) AS share
+        FROM cells CROSS JOIN tot ORDER BY dow, hour"""
+
+  /** Weekend lift: Welch comparison of weekend vs weekday DAILY
+    * totals — mean ratio and t statistic, the seasonality effect size
+    * q189's day-of-week profile only hints at. Exact decimal daily
+    * totals and moments; one day-frame aggregate. Returns one row:
+    * (n_weekend, n_weekday, mean_weekend 6dp, mean_weekday 6dp,
+    * lift 6dp, t_stat 6dp). */
+  def weekendLift(events: DataFrame, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val daily = ev.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).as("__t"))
+      .withColumn("__we", dayofweek(col("__day")).isin(1, 7))
+    val g = daily.agg(
+      sum(col("__we").cast("long")).as("n_weekend"),
+      sum((!col("__we")).cast("long")).as("n_weekday"),
+      sum(when(col("__we"), col("__t"))).cast("double").as("__sw"),
+      sum(when(!col("__we"), col("__t"))).cast("double").as("__sd"),
+      sum(when(col("__we"), col("__t") * col("__t"))).cast("double")
+        .as("__qw"),
+      sum(when(!col("__we"), col("__t") * col("__t"))).cast("double")
+        .as("__qd"))
+    val (nw, nd) = (col("n_weekend").cast("double"),
+      col("n_weekday").cast("double"))
+    val mw = col("__sw") / nw
+    val md = col("__sd") / nd
+    val vw = (col("__qw") - nw * mw * mw) / (nw - 1)
+    val vd = (col("__qd") - nd * md * md) / (nd - 1)
+    g.select(col("n_weekend"), col("n_weekday"),
+      round(mw, 6).as("mean_weekend"), round(md, 6).as("mean_weekday"),
+      round(try_divide(mw, md), 6).as("lift"),
+      round(try_divide(mw - md, sqrt(vw / nw + vd / nd)), 6)
+        .as("t_stat"))
+  }
+
+  /** DuckDB twin of [[weekendLift]]. */
+  def weekendLiftOracleSql(tsExpr: String, valueExpr: String,
+                           table: String): String =
+    s"""WITH d AS (SELECT CAST($tsExpr AS DATE) AS day,
+            SUM(CAST($valueExpr AS DECIMAL(18,2))) AS t
+          FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
+        w AS (SELECT t, (dayofweek(day) + 1 IN (1, 7)) AS we FROM d),
+        g AS (SELECT
+            CAST(SUM(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS nw,
+            CAST(SUM(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT)
+              AS nd,
+            CAST(SUM(CASE WHEN we THEN t END) AS DOUBLE) AS sw,
+            CAST(SUM(CASE WHEN NOT we THEN t END) AS DOUBLE) AS sd,
+            CAST(SUM(CASE WHEN we THEN t * t END) AS DOUBLE) AS qw,
+            CAST(SUM(CASE WHEN NOT we THEN t * t END) AS DOUBLE) AS qd
+          FROM w),
+        c AS (SELECT nw, nd, sw / nw AS mw, sd / nd AS md,
+            (qw - nw * (sw / nw) * (sw / nw)) / (nw - 1) AS vw,
+            (qd - nd * (sd / nd) * (sd / nd)) / (nd - 1) AS vd
+          FROM g)
+        SELECT nw AS n_weekend, nd AS n_weekday,
+          ROUND(mw, 6) AS mean_weekend, ROUND(md, 6) AS mean_weekday,
+          ROUND(mw / md, 6) AS lift,
+          ROUND((mw - md) / SQRT(vw / nw + vd / nd), 6) AS t_stat
+        FROM c"""
 }
