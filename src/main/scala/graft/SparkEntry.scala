@@ -3462,9 +3462,17 @@ object SparkEntry {
         sum(when(col("ts") < split, 1L)).as("__cp"),
         (sum(when(col("ts") >= split, dv)) * 100).cast("long").as("__sq"),
         sum(when(col("ts") >= split, 1L)).as("__cq"))
+      // FLOOR division via pmod (exact in integer arithmetic): Spark's
+      // `div` truncates toward zero while the DuckDB twin's `//`
+      // floors — they disagree on negative per-user sums, so make the
+      // floor explicit instead of relying on values being nonnegative
       val paired = agg
-        .withColumn("a", least(expr("__sp div (2500 * __cp)"), lit(3L)))
-        .withColumn("b", least(expr("__sq div (2500 * __cq)"), lit(3L)))
+        .withColumn("a", least(
+          expr("(__sp - pmod(__sp, 2500 * __cp)) div (2500 * __cp)"),
+          lit(3L)))
+        .withColumn("b", least(
+          expr("(__sq - pmod(__sq, 2500 * __cq)) div (2500 * __cq)"),
+          lit(3L)))
         .filter(col("a").isNotNull && col("b").isNotNull)
       graft.ml.Stats.bowker(paired, "a", "b")
     }),
@@ -6544,8 +6552,9 @@ object SparkEntry {
                    kk * 1.330274429)))))), 6) AS p_value
            FROM wp0),
          rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value,
-             group_a, group_b) AS INT) AS bh_rank FROM wp),
-         mm AS (SELECT COUNT(*) AS m FROM wp),
+             group_a, group_b) AS INT) AS bh_rank FROM wp
+           WHERE p_value IS NOT NULL),
+         mm AS (SELECT COUNT(*) * (COUNT(*) - 1) / 2 AS m FROM s),
          th AS (SELECT rk.*, ROUND(0.05 * bh_rank / mm.m, 6)
              AS bh_threshold FROM rk, mm),
          cr AS (SELECT MAX(CASE WHEN p_value <= bh_threshold

@@ -45,7 +45,10 @@ object MultipleTesting {
     val pairs = stats.as("a").join(stats.as("b"),
         col("a.__g") < col("b.__g"))
       .select(col("a.__g").as("group_a"), col("b.__g").as("group_b"),
-        ((col("a.__m") - col("b.__m")) /
+        // try_divide: two constant arms make the divisor DOUBLE 0.0,
+        // which throws DIVIDE_BY_ZERO under ANSI; a null z (also the
+        // n=1 case, where var_samp is null) marks the pair untestable.
+        try_divide(col("a.__m") - col("b.__m"),
           sqrt(col("a.__var") / col("a.__n") +
                col("b.__var") / col("b.__n"))).as("__z"))
     val withP = pairs.select(col("group_a"), col("group_b"),
@@ -53,10 +56,12 @@ object MultipleTesting {
       round(lit(2.0) * phiUpper(abs(col("__z"))), 6).as("p_value"))
     // BH on the ROUNDED p (cross-engine identical ordering); rank ties
     // broken by the pair key for determinism. m from the checkpointed
-    // group frame (k rows) — not a recompute of the pair pipeline
+    // group frame (k rows) — not a recompute of the pair pipeline.
+    // Null-p pairs (untestable) drop before ranking — same
+    // cross-engine NULL-sort hazard as the Holm battery.
     val k = stats.count()
-    val out = applyBh(withP, Seq("group_a", "group_b"),
-        alpha, k * (k - 1) / 2)
+    val out = applyBh(withP.filter(col("p_value").isNotNull),
+        Seq("group_a", "group_b"), alpha, k * (k - 1) / 2)
       .localCheckpoint(true)
     stats.unpersist()
     out
@@ -162,12 +167,21 @@ object MultipleTesting {
     val pairs = stats.as("a").join(stats.as("b"),
         col("a.__g") < col("b.__g"))
       .select(col("a.__g").as("group_a"), col("b.__g").as("group_b"),
-        ((col("a.__m") - col("b.__m")) /
+        // try_divide: two constant arms make the divisor DOUBLE 0.0,
+        // which throws DIVIDE_BY_ZERO under ANSI; a null z (also the
+        // n=1 case, where var_samp is null) marks the pair untestable.
+        try_divide(col("a.__m") - col("b.__m"),
           sqrt(col("a.__var") / col("a.__n") +
                col("b.__var") / col("b.__n"))).as("__z"))
     val withP = pairs.select(col("group_a"), col("group_b"),
       round(col("__z"), 6).as("z_stat"),
       round(lit(2.0) * phiUpper(abs(col("__z"))), 6).as("p_value"))
+      // untestable pairs (null p: constant-vs-constant or n=1 arms)
+      // drop BEFORE ranking — Spark windows sort NULLs first, DuckDB's
+      // ROW_NUMBER sorts them last, so a kept null would shift
+      // holm_rank and every downstream p_holm differently on the two
+      // engines. m (the Holm family size) still counts every pair.
+      .filter(col("p_value").isNotNull)
     val k = stats.count()
     val m = k * (k - 1) / 2
     val w = Window.orderBy(col("p_value"), col("group_a"),
@@ -208,7 +222,7 @@ object MultipleTesting {
           FROM wp0),
         ranked AS (SELECT *, ROW_NUMBER() OVER
             (ORDER BY p_value, group_a, group_b) AS holm_rank
-          FROM withp),
+          FROM withp WHERE p_value IS NOT NULL),
         adj AS (SELECT ranked.*, ROUND(LEAST(1.0,
             MAX(CAST(mm.m - holm_rank + 1 AS DOUBLE) * p_value)
               OVER (ORDER BY holm_rank

@@ -315,9 +315,16 @@ object Robust {
     * pHi — data values, no interpolation arithmetic), then Pearson
     * runs on exact decimal power sums of the clamped pairs next to
     * the raw-value correlation for contrast — how much of r was a
-    * handful of tail points. The bounds collect driver-side (four
-    * scalars); the moment pass is ONE map-combinable aggregate on the
-    * cents lattice. Returns one row:
+    * handful of tail points. All four bounds come from ONE
+    * distinct-value prefix-count rank kernel on the cents lattice
+    * (melt x/y to (axis, v), count per cell, cumulate per axis —
+    * the k-th smallest is the least v whose prefix count reaches
+    * k = ceil(p·n)); the kernel sorts distinct lattice values, never
+    * the row frame, so no global single-partition sort at any scale.
+    * The bounds stay a broadcast 1-row frame (no driver collect) and
+    * the moment pass is ONE map-combinable aggregate on the cents
+    * lattice. Degenerate input (n ≤ 1) yields null correlations
+    * rather than throwing. Returns one row:
     * (n, r_raw 6dp, r_winsorized 6dp). */
   def winsorizedCorr(df: DataFrame, xCol: String, yCol: String,
                      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
@@ -329,19 +336,33 @@ object Robust {
       .filter(col("__xd").isNotNull && col("__yd").isNotNull)
       .select((col("__xd") * 100).cast("long").as("__x"),
         (col("__yd") * 100).cast("long").as("__y"))
-    val n = base.count()
-    require(n > 1, s"winsorizedCorr needs > 1 pair, got $n")
-    val (kLo, kHi) = (math.max(1, math.ceil(pLo * n).toLong),
-      math.max(1, math.ceil(pHi * n).toLong))
-    def bound(c: String, k: Long): Long = {
-      val w = Window.orderBy(c)
-      base.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === k).select(c).head().getLong(0)
-    }
-    val (xl, xh) = (bound("__x", kLo), bound("__x", kHi))
-    val (yl, yh) = (bound("__y", kLo), bound("__y", kHi))
-    val xw = least(greatest(col("__x"), lit(xl)), lit(xh))
-    val yw = least(greatest(col("__y"), lit(yl)), lit(yh))
+    val cells = base
+      .select(explode(array(
+        struct(lit("x").as("__axis"), col("__x").as("__v")),
+        struct(lit("y").as("__axis"), col("__y").as("__v")))).as("__p"))
+      .select(col("__p.__axis").as("__axis"), col("__p.__v").as("__v"))
+      .groupBy("__axis", "__v").agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy("__axis").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("__axis")
+    val ranked = cells
+      .withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__n", sum("__c").over(wt))
+      .withColumn("__klo",
+        greatest(lit(1L), ceil(lit(pLo) * col("__n")).cast("long")))
+      .withColumn("__khi",
+        greatest(lit(1L), ceil(lit(pHi) * col("__n")).cast("long")))
+    val bounds = ranked.groupBy(lit(1).as("__one")).agg(
+      min(when(col("__axis") === "x" && col("__cum") >= col("__klo"),
+        col("__v"))).as("__xl"),
+      min(when(col("__axis") === "x" && col("__cum") >= col("__khi"),
+        col("__v"))).as("__xh"),
+      min(when(col("__axis") === "y" && col("__cum") >= col("__klo"),
+        col("__v"))).as("__yl"),
+      min(when(col("__axis") === "y" && col("__cum") >= col("__khi"),
+        col("__v"))).as("__yh")).drop("__one")
+    val xw = least(greatest(col("__x"), col("__xl")), col("__xh"))
+    val yw = least(greatest(col("__y"), col("__yl")), col("__yh"))
     def moments(x: org.apache.spark.sql.Column,
                 y: org.apache.spark.sql.Column, tag: String) = Seq(
       sum(x.cast(DecimalType(12, 0)) * x.cast(DecimalType(12, 0)))
@@ -354,7 +375,7 @@ object Robust {
       sum(y).cast("double").as(s"__sy$tag"))
     val aggs = moments(col("__x"), col("__y"), "r") ++
       moments(xw, yw, "w") :+ count(lit(1)).as("n")
-    val g = base.agg(aggs.head, aggs.tail: _*)
+    val g = base.crossJoin(broadcast(bounds)).agg(aggs.head, aggs.tail: _*)
     def r(tag: String) = {
       val nd = col("n").cast("double")
       val cxy = col(s"__sxy$tag") - col(s"__sx$tag") * col(s"__sy$tag") / nd

@@ -1368,16 +1368,20 @@ object StatTests {
     * keys and percent-ranks, where the TWO-sample q92 has no second
     * sample to compare against. Values outside [lo, hi] are dropped,
     * so the statistic is CONDITIONAL on the support — a sample with
-    * substantial out-of-range mass can still report D ≈ 0; callers
-    * screening for range violations should count them separately
-    * (the convention the oracle twin shares). Rank-kernel prefix
+    * substantial out-of-range mass can still report D ≈ 0; the
+    * `n_excluded` column reports that mass so callers can screen for
+    * range violations in the same row. Rank-kernel prefix
     * counts, one aggregate, no window. Returns one row:
-    * (n, d_stat 6dp, ks_lambda 6dp = √n·D). */
+    * (n, d_stat 6dp, ks_lambda 6dp = √n·D, n_excluded). */
   def ksUniform(df: DataFrame, valueCol: String, lo: Double,
                 hi: Double): DataFrame = {
-    val stacked = df.select(col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
-        col("__v") >= lo && col("__v") <= hi)
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val excl = vals.agg(coalesce(
+      sum((col("__v") < lo || col("__v") > hi).cast("long")),
+      lit(0L)).as("__ne"))
+    val stacked = vals
+      .filter(col("__v") >= lo && col("__v") <= hi)
       .withColumn("__g", lit("all")).withColumn("__l", lit(0))
     val ranked = graft.ml.Metrics.rankedScores(
       stacked, "__g", "__l", "__v", 256)
@@ -1388,17 +1392,21 @@ object StatTests {
     ranked.crossJoin(broadcast(tot))
       .agg(first("__nt").as("n"),
         max(greatest(abs(fHat - f0), abs(fPrev - f0))).as("__d"))
+      .crossJoin(broadcast(excl))
       .select(col("n"), round(col("__d"), 6).as("d_stat"),
         round(sqrt(col("n").cast("double")) * col("__d"), 6)
-          .as("ks_lambda"))
+          .as("ks_lambda"),
+        col("__ne").as("n_excluded"))
   }
 
   /** DuckDB twin of [[ksUniform]]; `srcCte` yields v. */
   def ksUniformOracleSql(srcCte: String, lo: Double,
                          hi: Double): String =
-    s"""WITH src AS (SELECT CAST(v AS DOUBLE) AS v FROM ($srcCte)
-          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))
-            AND CAST(v AS DOUBLE) >= $lo AND CAST(v AS DOUBLE) <= $hi),
+    s"""WITH vals AS (SELECT CAST(v AS DOUBLE) AS v FROM ($srcCte)
+          WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
+        ex AS (SELECT COALESCE(SUM(CASE WHEN v < $lo OR v > $hi
+            THEN 1 ELSE 0 END), 0) AS ne FROM vals),
+        src AS (SELECT v FROM vals WHERE v >= $lo AND v <= $hi),
         m AS (SELECT v, COUNT(*) AS n FROM src GROUP BY v),
         t AS (SELECT SUM(n) AS nt FROM m),
         c AS (SELECT v, n, SUM(n) OVER (ORDER BY v) AS cum FROM m),
@@ -1408,8 +1416,9 @@ object StatTests {
               - (v - $lo) / ($hi - $lo)))) AS dd, ANY_VALUE(nt) AS n
           FROM c CROSS JOIN t)
         SELECT CAST(n AS BIGINT) AS n, ROUND(dd, 6) AS d_stat,
-          ROUND(SQRT(CAST(n AS DOUBLE)) * dd, 6) AS ks_lambda
-        FROM d"""
+          ROUND(SQRT(CAST(n AS DOUBLE)) * dd, 6) AS ks_lambda,
+          CAST(ne AS BIGINT) AS n_excluded
+        FROM d CROSS JOIN ex"""
 
   /** Two-sample energy distance E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| —
     * the rotation/shift-sensitive distribution distance that is zero
@@ -1985,10 +1994,13 @@ object StatTests {
         sum(when(isA, y * y)).cast("double").as("__qa"),
         sum(when(isB, y * y)).cast("double").as("__qb"))
     val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
-    val va = (col("__qa") - na * (col("__sa") / na) *
-      (col("__sa") / na)) / (na - 1)
-    val vb = (col("__qb") - nb * (col("__sb") / nb) *
-      (col("__sb") / nb)) / (nb - 1)
+    // try_divide: a single-row (or empty) arm makes a divisor DOUBLE
+    // 0.0 — DIVIDE_BY_ZERO under ANSI; null (not estimable) matches
+    // DuckDB's null-on-zero-divide in the oracle twin.
+    val ma = try_divide(col("__sa"), na)
+    val mb = try_divide(col("__sb"), nb)
+    val va = try_divide(col("__qa") - na * ma * ma, na - 1)
+    val vb = try_divide(col("__qb") - nb * mb * mb, nb - 1)
     g.select(col("n_a"), col("n_b"), round(va, 6).as("var_a"),
       round(vb, 6).as("var_b"),
       round(try_divide(va, vb), 6).as("f_stat"))

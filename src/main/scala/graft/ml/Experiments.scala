@@ -731,14 +731,18 @@ object Experiments {
         sum(when(isA, y * y)).cast("double").as("__qa"),
         sum(when(isB, y * y)).cast("double").as("__qb"))
     val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
-    val ma = col("__sa") / na
-    val mb = col("__sb") / nb
-    val va = (col("__qa") - na * ma * ma) / (na - 1)
-    val vb = (col("__qb") - nb * mb * mb) / (nb - 1)
+    // try_divide: an empty or single-row arm makes a divisor DOUBLE
+    // 0.0 — DIVIDE_BY_ZERO under ANSI; null (not estimable) matches
+    // DuckDB's null-on-zero-divide in the oracle twin. A zero se
+    // (both arms constant) likewise yields null t's, not a crash.
+    val ma = try_divide(col("__sa"), na)
+    val mb = try_divide(col("__sb"), nb)
+    val va = try_divide(col("__qa") - na * ma * ma, na - 1)
+    val vb = try_divide(col("__qb") - nb * mb * mb, nb - 1)
     val diff = ma - mb
     val se = sqrt(va / na + vb / nb)
-    val tLo = (diff + margin) / se
-    val tUp = (diff - margin) / se
+    val tLo = try_divide(diff + margin, se)
+    val tUp = try_divide(diff - margin, se)
     g.select(col("n_a"), col("n_b"), round(diff, 6).as("diff"),
       round(se, 6).as("se"), round(tLo, 6).as("t_lower"),
       round(tUp, 6).as("t_upper"),

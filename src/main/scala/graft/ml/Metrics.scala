@@ -140,27 +140,72 @@ object Metrics {
       "__rk_g", "__rk_l", valueCol, buckets)
       .select(col("score").as("value"), col("n"), col("avg_rank"))
 
+  /** Row-level tie-averaged 1-based ranks of `valueCol`, CARRYING every
+    * other column of `df` through the rank pass — the payload-carrying
+    * form of the bucketed rank kernel, for consumers that need ranks
+    * next to OTHER per-row columns (e.g. [[spearman]]'s paired column)
+    * where the distinct-value form would force a join-back of the
+    * corpus against an (up to) corpus-sized rank frame.
+    *
+    * Scale shape: rows range-bucket by value (bounds from one
+    * broadcast 1-row aggregate); bucket offsets cumulate over the
+    * ≤`buckets`-row totals frame (metadata window); then ONE row-level
+    * shuffle partitioned by bucket feeds two same-exchange windows —
+    * rank() for the tie group's first rank and a tie count — giving
+    * avg_rank = offset + min_rank + (ties−1)/2. Ties always share a
+    * bucket (the bucket is a function of the value), so the average is
+    * exact; no single-partition sort at any cardinality. */
+  private[graft] def rowAvgRanks(df: DataFrame, valueCol: String,
+                                 rankAs: String,
+                                 buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor((v - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)),
+            lit(buckets - 1))).cast("int"))
+      .drop("__lo", "__hi")
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__bkt")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .drop("__bn")
+    val wIn = Window.partitionBy("__bkt").orderBy(v)
+    val wTie = Window.partitionBy(col("__bkt"), v)
+    bucketed.join(broadcast(offsets), "__bkt")
+      .withColumn("__minr", rank().over(wIn))
+      .withColumn("__ties", count(lit(1)).over(wTie))
+      .withColumn(rankAs,
+        col("__off") + col("__minr") + (col("__ties") - 1) / 2.0)
+      .drop("__bkt", "__off", "__minr", "__ties")
+  }
+
   /** Spearman rank correlation of two numeric columns: Pearson `corr`
     * over tie-averaged ranks (scipy.stats.spearmanr semantics — the
     * confidence-to-error calibration measure in
     * utils/ensemble_simulator.py:80-83). Rows where either side is
     * null/NaN are dropped (scipy would propagate NaN; dropping matches
     * the aligned-frame use where nulls never occur). Ranks come from
-    * [[avgRanks]], so the plan stays bucket-partitioned at any scale;
-    * the rank lookup joins are value-equality joins against
-    * distinct-value frames (≤ one row per distinct value). Returns one
-    * row: (spearman). */
+    * [[rowAvgRanks]] — the payload-carrying rank kernel: each pass
+    * carries the paired column through the bucket-partitioned prefix
+    * sum, so there is NO join-back of the corpus against a
+    * distinct-value rank frame (on an all-distinct column that frame
+    * is corpus-sized and the two join-backs dominated the plan).
+    * Returns one row: (spearman). */
   def spearman(df: DataFrame, aCol: String, bCol: String,
                buckets: Int = 256): DataFrame = {
     val base = df.select(col(aCol).cast("double").as("__a"),
         col(bCol).cast("double").as("__b"))
       .filter(col("__a").isNotNull && !isnan(col("__a")) &&
         col("__b").isNotNull && !isnan(col("__b")))
-    val ra = avgRanks(base, "__a", buckets)
-      .select(col("value").as("__a"), col("avg_rank").as("__ra"))
-    val rb = avgRanks(base, "__b", buckets)
-      .select(col("value").as("__b"), col("avg_rank").as("__rb"))
-    base.join(ra, "__a").join(rb, "__b")
+    val ranked = rowAvgRanks(rowAvgRanks(base, "__a", "__ra", buckets),
+      "__b", "__rb", buckets)
+    ranked
       // Pearson via covariance/σσ with try_divide: a constant column
       // (zero rank variance) yields null, not an ANSI divide-by-zero —
       // scipy returns NaN there, and callers map null → 0.0/NaN

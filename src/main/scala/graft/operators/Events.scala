@@ -296,7 +296,8 @@ object Events {
         cum AS (SELECT gap, SUM(c) OVER (ORDER BY gap) AS cm
           FROM cells),
         tot AS (SELECT SUM(c) AS n FROM cells)
-        SELECT CAST(ne.n_entities AS BIGINT) AS n_entities,
+        SELECT CAST(COALESCE(ANY_VALUE(ne.n_entities), 0) AS BIGINT)
+            AS n_entities,
           CAST(ANY_VALUE(tot.n) AS BIGINT) AS n_gaps,
           CAST(MIN(CASE WHEN cm * 4 >= n THEN gap END) AS BIGINT)
             AS p25_days,
@@ -306,7 +307,7 @@ object Events {
             AS p75_days,
           CAST(MIN(CASE WHEN cm * 10 >= n * 9 THEN gap END) AS BIGINT)
             AS p90_days
-        FROM cum CROSS JOIN tot CROSS JOIN ne GROUP BY ne.n_entities"""
+        FROM cum CROSS JOIN tot CROSS JOIN ne"""
 
   /** Inter-event latency percentiles PER TYPE: entity-keyed lag gaps
     * in whole seconds, then type-1 p50/p90/p99 with integer-lattice

@@ -1552,9 +1552,9 @@ object Forecast {
     * days where BOTH sit in their own top quantile, versus the q²
     * expected under independence — the "do extremes co-occur" number
     * plain correlation hides (two series can be corr 0.3 yet always
-    * spike together). The two quantile thresholds are collected
-    * driver-side (one scalar row) and inlined as plan literals; the
-    * rest is one integer aggregate. Returns one row:
+    * spike together). The two quantile thresholds stay a BROADCAST
+    * one-row frame (the engleGranger convention — no driver collect,
+    * one DAG); the rest is one integer aggregate. Returns one row:
     * (n_days, q, n_joint, joint_share 6dp, lift 6dp). */
   def tailDependence(events: DataFrame, tsCol: String,
                      valueCol: String, q: Double = 0.8): DataFrame = {
@@ -1564,11 +1564,11 @@ object Forecast {
       element_at(graft.functions.ExactPercentiles
         .exactPercentiles(col("x"), Seq(q)), 1).as("__tx"),
       element_at(graft.functions.ExactPercentiles
-        .exactPercentiles(col("y"), Seq(q)), 1).as("__ty")).head()
-    val (tx, ty) = (thr.getDouble(0), thr.getDouble(1))
-    d.agg(count(lit(1)).as("n_days"),
-        sum((col("x") > tx && col("y") > ty).cast("long"))
-          .as("n_joint"))
+        .exactPercentiles(col("y"), Seq(q)), 1).as("__ty"))
+    d.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("x") > col("__tx") && col("y") > col("__ty"))
+          .cast("long")).as("n_joint"))
       .select(col("n_days"), lit(q).as("q"), col("n_joint"),
         round(col("n_joint").cast("double") / col("n_days"), 6)
           .as("joint_share"),

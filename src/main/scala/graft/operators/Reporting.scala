@@ -727,10 +727,14 @@ object Reporting {
         .as("__qd"))
     val (nw, nd) = (col("n_weekend").cast("double"),
       col("n_weekday").cast("double"))
-    val mw = col("__sw") / nw
-    val md = col("__sd") / nd
-    val vw = (col("__qw") - nw * mw * mw) / (nw - 1)
-    val vd = (col("__qd") - nd * md * md) / (nd - 1)
+    // try_divide throughout: a window with zero (or exactly one)
+    // weekend/weekday day makes a divisor DOUBLE 0.0 — DIVIDE_BY_ZERO
+    // under ANSI; null means "not estimable", matching DuckDB's
+    // null-on-zero-divide in the oracle twin.
+    val mw = try_divide(col("__sw"), nw)
+    val md = try_divide(col("__sd"), nd)
+    val vw = try_divide(col("__qw") - nw * mw * mw, nw - 1)
+    val vd = try_divide(col("__qd") - nd * md * md, nd - 1)
     g.select(col("n_weekend"), col("n_weekday"),
       round(mw, 6).as("mean_weekend"), round(md, 6).as("mean_weekday"),
       round(try_divide(mw, md), 6).as("lift"),

@@ -259,27 +259,32 @@ object Graph {
     *
     * Scale shape: classic frontier expansion — per hop, ONE equi-join
     * of the (shrinking) frontier onto edges by src and one anti-join
-    * against the visited set; frontier state is localCheckpoint'ed per
-    * round (lineage would otherwise nest one join per hop — the
-    * PageRank/Components lesson). The frontier empties early when the
-    * reachable set saturates, so the loop is O(diameter) rounds, not
-    * O(maxHops) scans.
+    * against the visited set; only the NEW frontier is
+    * localCheckpoint'ed per round (lineage would otherwise nest one
+    * join per hop — the PageRank/Components lesson), and the visited
+    * set stays a lazy union over the cached per-hop frontiers instead
+    * of being re-materialized O(V) every round. One real action per
+    * hop (the frontier checkpoint; the emptiness probe is a limit-1
+    * over the already-cached blocks). The frontier empties early when
+    * the reachable set saturates, so the loop is O(diameter) rounds,
+    * not O(maxHops) scans.
     */
   def bfsDepths(edges0: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
-    var visited = sources.select(col("id")).distinct()
+    var frontier = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = visited
+    var visited = frontier // lazy union of cached frontiers
     var hop = 1
-    while (hop <= maxHops && frontier.limit(1).count() > 0) {
+    var frontierEmpty = frontier.isEmpty
+    while (hop <= maxHops && !frontierEmpty) {
       val next = frontier.join(edges, frontier("id") === edges("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
-      frontier.unpersist()
+      frontierEmpty = next.isEmpty
+      visited = visited.union(next)
       frontier = next
       hop += 1
     }
