@@ -3701,7 +3701,65 @@ object SparkEntry {
       // WHEN did the drift start? daily PSI vs the first-week
       // baseline on a fixed bin grid
       graft.eda.Quality.psiTimeline(t(s, dir, "events"),
-        "ts", "value", binWidth = 10.0))
+        "ts", "value", binWidth = 10.0)),
+    "q480_shard_exchange" -> ((s, dir) => {
+      // cross-shard dedup exchange: N shards dedupe locally, exchange
+      // fingerprint manifests (never text), a global first-seen
+      // assignment picks winners — the N-store orchestration of the
+      // q84 incremental store; rollup = per-shard exchange economics
+      val docs = t(s, dir, "documents")
+      val shards = (0 until 4).map { k =>
+        (s"s$k", k,
+          docs.filter(pmod(col("doc_id").cast("long"), lit(4L)) === k))
+      }
+      graft.dedup.ShardExchange.exchangeReport(shards, "doc_id", "text")
+    }),
+    "q481_logrank" -> ((s, dir) => {
+      // do even- and odd-cohort users churn at different rates?
+      // Mantel-Cox over the q417 life table, split by user parity
+      val ev = graft.core.Tables.ltzTs(t(s, dir, "events"), "ts")
+      val life = ev.groupBy(col("user_id")).agg(
+          min(to_date(col("ts"))).as("__f"),
+          min(when(col("event_type") === "error", to_date(col("ts"))))
+            .as("__e"),
+          max(to_date(col("ts"))).as("__l"))
+        .select(datediff(coalesce(col("__e"), col("__l")), col("__f"))
+          .as("dur"),
+          when(col("__e").isNotNull, 1).otherwise(0).as("event"),
+          when(pmod(col("user_id").cast("long"), lit(2L)) === 0, "even")
+            .otherwise("odd").as("arm"))
+        .filter(col("dur") > 0)
+      graft.ml.SurvivalTests.logRank(life, "dur", "event", "arm",
+        "even", "odd")
+    }),
+    "q482_krippendorff" -> ((s, dir) =>
+      // do an order's line items agree on the return flag? nominal
+      // multi-rater alpha with ragged units (1..7 lines per order)
+      graft.eda.Agreement.krippendorffAlpha(
+        t(s, dir, "lineitem"), "l_orderkey", "l_returnflag")),
+    "q483_mixture_reweight" -> ((s, dir) =>
+      // the pretraining-mix knob: per-source sampling weights that
+      // morph the current token composition into a target recipe
+      graft.text.CorpusStats.mixtureReweight(t(s, dir, "documents"),
+        "source", "text", Map("src0" -> 0.2, "src1" -> 0.15,
+          "src2" -> 0.1, "src3" -> 0.05), cap = 3.0)),
+    "q484_cross_shard_neardups" -> ((s, dir) =>
+      // can a sharded ingest near-dedup locally? pair mass that
+      // crosses shard boundaries, via the exact prefix-filter join
+      graft.dedup.ShardExchange.crossShardNearDups(
+        t(s, dir, "documents").filter(col("doc_id") < 800),
+        "doc_id", "text", nShards = 4, threshold = 0.3)),
+    "q485_bucket_skew" -> ((s, dir) => {
+      // does the 256-bucket exchange layout stay balanced? manifest
+      // rows per fp_bucket + max/mean skew over the global assignment
+      val docs = t(s, dir, "documents")
+      val manifests = (0 until 4).map { k =>
+        graft.dedup.ShardExchange.localManifest(
+          docs.filter(pmod(col("doc_id").cast("long"), lit(4L)) === k),
+          "doc_id", "text", s"s$k", k) }
+      graft.dedup.ShardExchange.bucketSkew(
+        graft.dedup.ShardExchange.globalAssign(manifests))
+    })
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -7929,6 +7987,32 @@ object SparkEntry {
         "ts", "value", "events"),
     "q479_psi_timeline" -> graft.eda.Quality.psiTimelineOracleSql(
       "ts", "value", "events", binWidth = 10.0),
+    "q480_shard_exchange" ->
+      graft.dedup.ShardExchange.exchangeReportOracleSql(
+        "doc_id", "text", "documents", nShards = 4),
+    "q481_logrank" -> graft.ml.SurvivalTests.logRankOracleSql(
+      """SELECT date_diff('day', f, coalesce(e, l)) AS dur,
+           CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS event,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm
+         FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             MIN(CASE WHEN event_type = 'error'
+               THEN CAST(ts AS DATE) END) AS e,
+             MAX(CAST(ts AS DATE)) AS l
+           FROM events GROUP BY user_id)
+         WHERE date_diff('day', f, coalesce(e, l)) > 0""",
+      armA = "even", armB = "odd"),
+    "q482_krippendorff" -> graft.eda.Agreement.krippendorffAlphaOracleSql(
+      "SELECT l_orderkey AS u, l_returnflag AS c FROM lineitem"),
+    "q483_mixture_reweight" ->
+      graft.text.CorpusStats.mixtureReweightOracleSql(
+        Map("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.1,
+          "src3" -> 0.05), cap = 3.0),
+    "q484_cross_shard_neardups" ->
+      graft.dedup.ShardExchange.crossShardNearDupsOracleSql(
+        "SELECT doc_id AS id, text FROM documents WHERE doc_id < 800",
+        nShards = 4, threshold = 0.3),
+    "q485_bucket_skew" -> graft.dedup.ShardExchange.bucketSkewOracleSql(
+      "doc_id", "text", "documents"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

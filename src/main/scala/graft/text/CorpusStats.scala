@@ -183,4 +183,62 @@ object CorpusStats {
             / CAST(COUNT(*) AS DOUBLE), 6) AS boilerplate_share
         FROM inst JOIN dfq USING (sh)
         GROUP BY source ORDER BY source"""
+
+  /** Mixture reweighting: given TARGET token shares per source (the
+    * training-mix recipe), the per-source sampling weight that turns
+    * the current corpus composition into the target —
+    * weight = target_share / current_share, capped (a rare source
+    * cannot be upsampled without bound), plus the expected post-sample
+    * token count. The knob every multi-source pretraining pipeline
+    * tunes (pile/ROOTS-style mixture tables). One integer token
+    * aggregate per source; the share arithmetic is metadata. Sources
+    * missing from `targetShares` get target 0 (dropped from the mix).
+    * Returns (source, n_docs, n_tokens, current_share 6dp,
+    * target_share 6dp, weight 6dp, expected_tokens) ordered. */
+  def mixtureReweight(docs: DataFrame, srcCol: String, textCol: String,
+                      targetShares: Map[String, Double],
+                      cap: Double = 3.0): DataFrame = {
+    val per = docs.filter(col(textCol).isNotNull)
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("__t"))
+    val target = targetShares.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc) }
+    per.crossJoin(broadcast(tot))
+      .withColumn("current_share",
+        round(col("n_tokens").cast("double") / col("__t"), 6))
+      .withColumn("target_share", round(target, 6))
+      .withColumn("weight", round(least(
+        try_divide(col("target_share"), col("current_share")),
+        lit(cap)), 6))
+      .withColumn("expected_tokens",
+        round(col("weight") * col("n_tokens"), 0).cast("long"))
+      .select("source", "n_docs", "n_tokens", "current_share",
+        "target_share", "weight", "expected_tokens")
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[mixtureReweight]] over the documents table. */
+  def mixtureReweightOracleSql(targetShares: Map[String, Double],
+                               cap: Double = 3.0): String = {
+    val cases = targetShares.toSeq.sortBy(_._1).map { case (s, p) =>
+      s"WHEN source = '$s' THEN $p" }.mkString(" ")
+    s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0))) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL GROUP BY source),
+        tot AS (SELECT SUM(n_tokens) AS t FROM per),
+        sh AS (SELECT source, n_docs, n_tokens,
+            ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS current_share,
+            ROUND(CASE $cases ELSE 0.0 END, 6) AS target_share
+          FROM per CROSS JOIN tot),
+        w AS (SELECT *, ROUND(LEAST(target_share / current_share,
+            $cap), 6) AS weight FROM sh)
+        SELECT source, n_docs, n_tokens, current_share, target_share,
+          weight,
+          CAST(ROUND(weight * n_tokens, 0) AS BIGINT) AS expected_tokens
+        FROM w ORDER BY source"""
+  }
 }
