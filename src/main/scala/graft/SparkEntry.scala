@@ -3759,7 +3759,18 @@ object SparkEntry {
           "doc_id", "text", s"s$k", k) }
       graft.dedup.ShardExchange.bucketSkew(
         graft.dedup.ShardExchange.globalAssign(manifests))
-    })
+    }),
+    "q486_bigram_entropy" -> ((s, dir) =>
+      // CCNet-style LM quality filter without an external model:
+      // corpus-trained add-k bigram MLE, per-source cross-entropy
+      graft.text.LmScore.bigramCrossEntropy(t(s, dir, "documents"),
+        "source", "text", k = 0.5)),
+    "q487_mixture_apply" -> ((s, dir) =>
+      // materialize the q483 mixture plan: hash-ranked token-budget
+      // prefix per source, realized shares after the cut
+      graft.text.CorpusStats.mixtureApply(t(s, dir, "documents"),
+        "source", "doc_id", "text", Map("src0" -> 0.2, "src1" -> 0.15,
+          "src2" -> 0.1, "src3" -> 0.05), cap = 3.0))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8013,6 +8024,11 @@ object SparkEntry {
         nShards = 4, threshold = 0.3),
     "q485_bucket_skew" -> graft.dedup.ShardExchange.bucketSkewOracleSql(
       "doc_id", "text", "documents"),
+    "q486_bigram_entropy" ->
+      graft.text.LmScore.bigramCrossEntropyOracleSql(k = 0.5),
+    "q487_mixture_apply" -> graft.text.CorpusStats.mixtureApplyOracleSql(
+      Map("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.1,
+        "src3" -> 0.05), cap = 3.0),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

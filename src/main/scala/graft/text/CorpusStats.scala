@@ -219,6 +219,100 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** Materialize the [[mixtureReweight]] plan: deterministically keep,
+    * per source, the hash-ranked prefix of documents whose cumulative
+    * token count fits the source's token budget
+    * (weight × current tokens, weight computed exactly as
+    * mixtureReweight does). Down-weighting drops the hash-rank tail;
+    * weight ≥ 1 keeps the whole source (up-sampling is a repeat
+    * factor at training time, not row duplication here).
+    *
+    * Scale shape: one per-source window (partitioned by source,
+    * ordered by md5(id) — the q411 deterministic-sample convention)
+    * carrying a running token sum; everything else is the ≤|sources|
+    * summary frame. Returns (source, n_docs, n_tokens, n_kept,
+    * tokens_kept, realized_share 6dp) ordered. */
+  def mixtureApply(docs: DataFrame, srcCol: String, idCol: String,
+                   textCol: String, targetShares: Map[String, Double],
+                   cap: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"), col(idCol).as("__id"),
+        size(Text.tokens(col(textCol))).cast("long").as("__tok"))
+    val per = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("__t"))
+    val target = targetShares.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc) }
+    val budgets = per.crossJoin(broadcast(tot))
+      .withColumn("__share",
+        round(col("n_tokens").cast("double") / col("__t"), 6))
+      .withColumn("__w", round(least(
+        try_divide(round(target, 6), col("__share")), lit(cap)), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("__w") * col("n_tokens")).as("__budget"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = base.withColumn("__cum", sum("__tok").over(w))
+      .join(budgets, Seq("source"))
+      .withColumn("__keep", col("__cum") <= col("__budget"))
+    val summary = kept.groupBy("source")
+      .agg(first("n_docs").as("n_docs"), first("n_tokens").as("n_tokens"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        sum(when(col("__keep"), col("__tok")).otherwise(0L))
+          .as("tokens_kept"))
+    val keptTot = summary.agg(sum("tokens_kept").as("__kt"))
+    summary.crossJoin(broadcast(keptTot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_kept"), col("tokens_kept"),
+        round(try_divide(col("tokens_kept").cast("double"),
+          col("__kt").cast("double")), 6).as("realized_share"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[mixtureApply]] over the documents table. */
+  def mixtureApplyOracleSql(targetShares: Map[String, Double],
+                            cap: Double = 3.0): String = {
+    val cases = targetShares.toSeq.sortBy(_._1).map { case (s, p) =>
+      s"WHEN source = '$s' THEN $p" }.mkString(" ")
+    s"""WITH base AS (SELECT source, doc_id AS id,
+            CAST(len(list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0)) AS BIGINT) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        per AS (SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(tok) AS BIGINT) AS n_tokens
+          FROM base GROUP BY source),
+        tot AS (SELECT SUM(n_tokens) AS t FROM per),
+        bud AS (SELECT source, n_docs, n_tokens,
+            ROUND(LEAST(ROUND(CASE $cases ELSE 0.0 END, 6)
+                / ROUND(CAST(n_tokens AS DOUBLE) / t, 6), $cap), 6)
+              * n_tokens AS budget
+          FROM per CROSS JOIN tot),
+        ranked AS (SELECT source, id, tok,
+            SUM(tok) OVER (PARTITION BY source
+              ORDER BY md5(CAST(id AS VARCHAR)), id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM base),
+        kept AS (SELECT ranked.source, tok,
+            (cum <= bud.budget) AS keep
+          FROM ranked JOIN bud USING (source)),
+        summary AS (SELECT kept.source,
+            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_kept,
+            CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT)
+              AS tokens_kept
+          FROM kept GROUP BY kept.source),
+        kt AS (SELECT SUM(tokens_kept) AS k FROM summary)
+        SELECT bud.source, bud.n_docs, bud.n_tokens, summary.n_kept,
+          summary.tokens_kept,
+          ROUND(CAST(summary.tokens_kept AS DOUBLE) / kt.k, 6)
+            AS realized_share
+        FROM summary JOIN bud USING (source) CROSS JOIN kt
+        ORDER BY bud.source"""
+  }
+
   /** DuckDB twin of [[mixtureReweight]] over the documents table. */
   def mixtureReweightOracleSql(targetShares: Map[String, Double],
                                cap: Double = 3.0): String = {
