@@ -62,7 +62,15 @@ object ShardExchange {
     * manifest-sized (not corpus-sized) rows. */
   def globalAssign(manifests: Seq[DataFrame]): DataFrame = {
     require(manifests.nonEmpty, "globalAssign needs at least one manifest")
-    manifests.reduce(_ unionByName _)
+    globalAssignFrom(manifests.reduce(_ unionByName _))
+  }
+
+  /** [[globalAssign]] over an already-unioned (possibly materialized)
+    * manifest frame — callers that also consume the union directly
+    * (e.g. [[exchangeReport]]) pass it once instead of re-deriving
+    * every per-shard manifest from the corpus a second time. */
+  def globalAssignFrom(allManifests: DataFrame): DataFrame = {
+    allManifests
       .groupBy("fingerprint")
       .agg(
         min(struct(col("shard_order"), col("first_id"), col("shard_id")))
@@ -107,8 +115,14 @@ object ShardExchange {
                      textCol: String): DataFrame = {
     val manifests = shards.map { case (sid, ord, df) =>
       localManifest(df, idCol, textCol, sid, ord) }
-    val all = manifests.reduce(_ unionByName _)
-    val winners = globalAssign(manifests)
+    // materialize the manifest union ONCE (manifest-sized — the ~2% of
+    // corpus bytes a real exchange persists anyway): both the winner
+    // assignment and the rollup consume it, and without the checkpoint
+    // each consumer re-derives every per-shard manifest from the
+    // corpus — 2N parquet scans + 2N fingerprint aggregates instead
+    // of N (the q480 plan audit showed exactly that doubling)
+    val all = manifests.reduce(_ unionByName _).localCheckpoint(true)
+    val winners = globalAssignFrom(all)
       .select(col("fingerprint").as("__fp"),
         col("canonical_shard").as("__ws"))
     all.join(winners, col("fingerprint") === col("__fp"))
