@@ -16,12 +16,17 @@ object LmScore {
     * H(source) = −(1/N_src) Σ log₂ (C(a,b)+k)/(C(a)+k·V)
     * over the source's bigram instances.
     *
-    * Scale shape: one bigram-count aggregate + one context-count
-    * aggregate (corpus-linear, hash shuffles on the bigram/context
-    * keys), then an instance→count join that reuses the bigram key.
-    * Per-instance ln terms quantize to DECIMAL(28,9) before the
-    * source-level sum (order-free on any engine); the bits conversion
-    * (÷ln 2) happens on the aggregate. Returns
+    * Scale shape: ONE corpus-scale shuffle — bigram instances
+    * aggregate straight to (source, bigram) cells; the corpus-level
+    * bigram counts, context counts (C(a) = Σ_b C(a,b)) and the
+    * count join all live at cell granularity, never instance
+    * granularity (the first cut joined every bigram INSTANCE to its
+    * counts and re-derived the corpus repeatedly — the plan audit
+    * showed 10 parquet scans; this shape has 3). Per-instance ln
+    * terms quantize to DECIMAL(28,9) and multiply by exact cell
+    * counts before the source-level sum (identical to summing the
+    * quantized term once per instance — order-free on any engine);
+    * the bits conversion (÷ln 2) happens on the aggregate. Returns
     * (source, n_docs, n_bigrams, avg_bits 6dp) ordered. */
   def bigramCrossEntropy(docs: DataFrame, srcCol: String,
                          textCol: String, k: Double = 0.5): DataFrame = {
@@ -33,25 +38,31 @@ object LmScore {
     // adjacent-pair bigrams in ONE pass (transform over the shifted
     // slice — the wordShingles construction, no self-join): the bigram
     // key is "a␁b", its context the first token
-    val big = toks.select(col("source"),
+    val cells = toks.select(col("source"),
         explode(expr("transform(slice(__ws, 1, size(__ws) - 1), " +
           "(w, i) -> concat(w, '', element_at(__ws, i + 2)))"))
           .as("__bg"))
+      .groupBy("source", "__bg").agg(count(lit(1)).as("__n"))
+    val cBig = cells.groupBy("__bg").agg(sum("__n").as("__cab"))
+    val cCtx = cBig
       .withColumn("__a", substring_index(col("__bg"), "", 1))
-    val cBig = big.groupBy("__bg").agg(count(lit(1)).as("__cab"))
-    val cCtx = big.groupBy("__a").agg(count(lit(1)).as("__ca"))
+      .groupBy("__a").agg(sum("__cab").as("__ca"))
+    // vocabulary from the corpus tokens (not from splitting bigram
+    // keys — a token containing the separator would miscount)
     val vocab = toks.select(explode(col("__ws")).as("__w"))
       .agg(countDistinct("__w").as("__v"))
     val nDocs = toks.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val term = round(
       log((col("__cab") + k) / (col("__ca") + lit(k) * col("__v"))), 9)
       .cast(DecimalType(28, 9))
-    big.join(cBig, Seq("__bg"))
+    cells
+      .withColumn("__a", substring_index(col("__bg"), "", 1))
+      .join(cBig, Seq("__bg"))
       .join(cCtx, Seq("__a"))
       .crossJoin(broadcast(vocab))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(term).cast("double").as("__lnsum"))
+      .agg(sum("__n").as("n_bigrams"),
+        sum(col("__n") * term).cast("double").as("__lnsum"))
       .join(broadcast(nDocs), Seq("source"))
       .select(col("source"), col("n_docs"), col("n_bigrams"),
         round(-col("__lnsum") / col("n_bigrams") / math.log(2.0), 6)
