@@ -3770,7 +3770,40 @@ object SparkEntry {
       // prefix per source, realized shares after the cut
       graft.text.CorpusStats.mixtureApply(t(s, dir, "documents"),
         "source", "doc_id", "text", Map("src0" -> 0.2, "src1" -> 0.15,
-          "src2" -> 0.1, "src3" -> 0.05), cap = 3.0))
+          "src2" -> 0.1, "src3" -> 0.05), cap = 3.0)),
+    "q488_token_fertility" -> ((s, dir) =>
+      // what does a tokenizer see per source? word-length mean/p50/p90
+      // + tokens per doc from (source, word_len) cells
+      graft.text.CorpusStats.tokenFertility(t(s, dir, "documents"),
+        "source", "text")),
+    "q489_shard_pair_overlap" -> ((s, dir) =>
+      // WHICH shards collide? pairwise fingerprint-set Jaccard over
+      // manifest-sized frames — the pre-exchange routing read
+      graft.dedup.ShardExchange.shardPairOverlap(
+        t(s, dir, "documents"), "doc_id", "text", nShards = 4)),
+    "q490_order_reconciliation" -> ((s, dir) =>
+      // does the header total agree with the detail? integer-lattice
+      // recompute of o_totalprice vs lineitem terms, per status
+      graft.eda.Integrity.reconcileOrderTotals(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q491_length_quality_grid" -> ((s, dir) =>
+      // WHERE would a length or stopword cut bite? 2-D occupancy grid
+      // on integer-exact buckets
+      graft.text.CorpusStats.lengthQualityGrid(
+        t(s, dir, "documents"), "text")),
+    "q492_backlog_curve" -> ((s, dir) =>
+      // is fulfillment keeping up with intake? sweep-line open-order
+      // count by month (+1 at order month, -1 after last ship month)
+      graft.operators.Intervals.backlogByMonth(
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate")),
+    "q493_lead_time" -> ((s, dir) =>
+      // the fulfillment-SLA tail: order-to-last-ship days, type-1
+      // p50/p90/p99 per priority class from (priority, days) cells
+      graft.operators.Reporting.leadTimeProfile(
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
+        "o_orderpriority"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8029,6 +8062,20 @@ object SparkEntry {
     "q487_mixture_apply" -> graft.text.CorpusStats.mixtureApplyOracleSql(
       Map("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.1,
         "src3" -> 0.05), cap = 3.0),
+    "q488_token_fertility" -> graft.text.CorpusStats
+      .tokenFertilityOracleSql("source", "text", "documents"),
+    "q489_shard_pair_overlap" -> graft.dedup.ShardExchange
+      .shardPairOverlapOracleSql("doc_id", "text", "documents",
+        nShards = 4),
+    "q490_order_reconciliation" ->
+      graft.eda.Integrity.reconcileOrderTotalsOracleSql(),
+    "q491_length_quality_grid" -> graft.text.CorpusStats
+      .lengthQualityGridOracleSql("text", "documents",
+        Text.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")),
+    "q492_backlog_curve" ->
+      graft.operators.Intervals.backlogByMonthOracleSql(),
+    "q493_lead_time" ->
+      graft.operators.Reporting.leadTimeProfileOracleSql(),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -265,4 +265,66 @@ object ShardExchange {
           ROUND(CAST(tot.max_rows AS DOUBLE)
             / (CAST(tot.n_rows AS DOUBLE) / tot.n_buckets), 6) AS skew
         FROM tot CROSS JOIN med"""
+
+  /** Shard-pair fingerprint OVERLAP matrix: for every unordered shard
+    * pair, the count of distinct fingerprints both shards hold and the
+    * Jaccard of their fingerprint sets — the read that tells an ingest
+    * team WHICH shards actually collide before they pay for a full
+    * exchange (disjoint crawls can skip each other's buckets; a mirror
+    * pair near Jaccard 1 should be dropped whole).
+    *
+    * Scale shape: the corpus reduces to a distinct (shard, fingerprint)
+    * manifest (one groupBy — text is hashed once and never carried);
+    * the pair counts come from ONE fingerprint-keyed self equi-join of
+    * that manifest (manifest-sized, never corpus text), and the
+    * (nShards choose 2) grid is a broadcast-trivial frame. */
+  def shardPairOverlap(docs: DataFrame, idCol: String, textCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards > 1, s"need at least 2 shards, got $nShards")
+    val m = docs.select(
+        pmod(col(idCol).cast("long"), lit(nShards.toLong)).as("__shard"),
+        Text.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val sizes = m.groupBy("__shard").agg(count(lit(1)).as("__n"))
+    val shared = m.as("a").join(m.as("b"),
+        col("a.__fp") === col("b.__fp") &&
+          col("a.__shard") < col("b.__shard"))
+      .groupBy(col("a.__shard").as("__sa"), col("b.__shard").as("__sb"))
+      .agg(count(lit(1)).as("__shared"))
+    val grid = sizes.as("x")
+      .join(sizes.as("y"), col("x.__shard") < col("y.__shard"))
+      .select(col("x.__shard").as("shard_a"),
+        col("y.__shard").as("shard_b"),
+        col("x.__n").as("n_a"), col("y.__n").as("n_b"))
+    val ns = coalesce(col("__shared"), lit(0L))
+    grid.join(shared,
+        grid("shard_a") === shared("__sa") &&
+          grid("shard_b") === shared("__sb"), "left")
+      .select(col("shard_a"), col("shard_b"), col("n_a"), col("n_b"),
+        ns.as("n_shared"),
+        round(ns.cast("double") / (col("n_a") + col("n_b") - ns), 6)
+          .as("jaccard"))
+      .orderBy("shard_a", "shard_b")
+  }
+
+  /** DuckDB twin of [[shardPairOverlap]] with shards split from
+    * `table` by `idExpr % nShards`. */
+  def shardPairOverlapOracleSql(idExpr: String, textExpr: String,
+                                table: String, nShards: Int): String =
+    s"""WITH m AS (SELECT DISTINCT $idExpr % $nShards AS shard,
+            md5(regexp_replace(lower(trim($textExpr)), '\\s+', ' ', 'g'))
+              AS fp
+          FROM $table),
+        sz AS (SELECT shard, COUNT(*) AS n FROM m GROUP BY shard),
+        sh AS (SELECT a.shard AS sa, b.shard AS sb, COUNT(*) AS ns
+          FROM m a JOIN m b ON a.fp = b.fp AND a.shard < b.shard
+          GROUP BY sa, sb)
+        SELECT x.shard AS shard_a, y.shard AS shard_b,
+          x.n AS n_a, y.n AS n_b,
+          COALESCE(ns, 0) AS n_shared,
+          ROUND(CAST(COALESCE(ns, 0) AS DOUBLE)
+            / (x.n + y.n - COALESCE(ns, 0)), 6) AS jaccard
+        FROM sz x JOIN sz y ON x.shard < y.shard
+        LEFT JOIN sh ON sa = x.shard AND sb = y.shard
+        ORDER BY shard_a, shard_b"""
 }

@@ -66,4 +66,73 @@ object Integrity {
               GROUP BY $childKey) ck
         LEFT JOIN (SELECT DISTINCT $parentKey AS pk FROM $parentTable) pp
           ON ck.k = pp.pk"""
+
+  /** Denormalized-total RECONCILIATION audit: recompute each order's
+    * total from its line items as sum(extendedprice x (1-discount) x
+    * (1+tax)) and grade it against the stored `o_totalprice`, rolled
+    * up per order status — the "does the header agree with the detail"
+    * check every warehouse runs on a new feed (headers drift when
+    * upstream mutates lines without re-stamping totals).
+    *
+    * Exactness: every term moves to the integer lattice first
+    * (price cents x (100 - discount bp) x (100 + tax bp), units of
+    * 1e-6 dollars), so the per-order sum is EXACT integer math on both
+    * engines — no float-sum order sensitivity. A mismatch is an
+    * absolute gap > `tolUsd`. Headers with no lines report separately
+    * (`n_no_lines`), not as mismatches.
+    *
+    * Scale shape: one map-combinable groupBy of the detail to per-key
+    * totals, one key equi-join against the header (AQE-broadcastable
+    * side is the smaller), one tiny groupBy on status. */
+  def reconcileOrderTotals(orders: DataFrame, lineitem: DataFrame,
+                           tolUsd: Double = 0.01): DataFrame = {
+    val ep = round(col("l_extendedprice") * 100).cast("long")
+    val db = round(col("l_discount") * 100).cast("long")
+    val tb = round(col("l_tax") * 100).cast("long")
+    val per = lineitem
+      .select(col("l_orderkey"),
+        (ep * (lit(100L) - db) * (lit(100L) + tb)).as("__term"))
+      .groupBy("l_orderkey")
+      .agg(sum("__term").as("__recon"))
+    val tolUnits = math.round(tolUsd * 1e6)
+    orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (round(col("o_totalprice") * 100).cast("long") * lit(10000L))
+          .as("__stated"))
+      .join(per, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("__ad", abs(col("__recon") - col("__stated")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("__recon").isNull, 1)).as("n_no_lines"),
+        count(when(col("__ad") > tolUnits, 1)).as("n_mismatch"),
+        round(try_divide(sum("__ad").cast("double"),
+          count(col("__ad")).cast("double")) / 1e6, 4)
+          .as("mean_abs_diff_usd"),
+        round(max("__ad").cast("double") / 1e6, 4).as("max_abs_diff_usd"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** DuckDB twin of [[reconcileOrderTotals]] (`tolUnits` = tolerance
+    * in 1e-6-dollar lattice units, i.e. tolUsd * 1e6). */
+  def reconcileOrderTotalsOracleSql(tolUnits: Long = 10000L): String =
+    s"""WITH per AS (SELECT l_orderkey,
+            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT)
+              AS recon
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (SELECT o_orderstatus, recon,
+            ABS(recon - CAST(ROUND(o_totalprice * 100) AS BIGINT)
+              * 10000) AS ad
+          FROM orders LEFT JOIN per ON o_orderkey = l_orderkey)
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+          CAST(SUM(CASE WHEN recon IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_no_lines,
+          CAST(SUM(CASE WHEN ad > $tolUnits THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_mismatch,
+          ROUND(CAST(SUM(ad) AS DOUBLE) / COUNT(ad) / 1000000.0, 4)
+            AS mean_abs_diff_usd,
+          ROUND(CAST(MAX(ad) AS DOUBLE) / 1000000.0, 4)
+            AS max_abs_diff_usd
+        FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }

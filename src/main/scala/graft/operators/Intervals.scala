@@ -87,4 +87,74 @@ object Intervals {
           ROUND(MAX(hi - lo), 6) AS max_island_len,
           ROUND(MAX(gap), 6) AS max_gap_len
         FROM gp GROUP BY key"""
+
+  /** Open-order BACKLOG curve by calendar month: each header opens at
+    * `startCol`'s month and closes after the month of its detail rows'
+    * max `endCol` (sweep-line +1/-1 at month grain), so `open_orders`
+    * for month m counts orders whose [order, last-ship] span covers m —
+    * the operational backlog read (is fulfillment keeping up with
+    * intake?) that an interval self-join would turn into an O(n x
+    * months) blow-up.
+    *
+    * Scale shape: one map-combinable groupBy of the detail to per-key
+    * max-end, one key equi-join to the header, then two groupBys onto
+    * the MONTH grain — the cumulative window that integrates the
+    * deltas orders a metadata-sized month frame (#distinct months),
+    * never corpus rows. Headers with no detail rows drop (they never
+    * opened a span). Returns (month, n_opened, n_closed, open_orders);
+    * the final month always nets to zero. */
+  def backlogByMonth(headers: DataFrame, detail: DataFrame,
+                     headerKey: String, detailKey: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val last = detail.groupBy(detailKey)
+      .agg(max(to_date(col(endCol))).as("__last"))
+    val iv = headers.join(last, col(headerKey) === col(detailKey))
+      .select(trunc(to_date(col(startCol)), "month").as("__s"),
+        add_months(trunc(col("__last"), "month"), 1).as("__e"))
+    val opens = iv.groupBy(col("__s").as("month"))
+      .agg(count(lit(1)).as("__op"))
+    val closes = iv.groupBy(col("__e").as("month"))
+      .agg(count(lit(1)).as("__cl"))
+    val merged = opens.join(closes, opens("month") === closes("month"),
+        "full")
+      .select(coalesce(opens("month"), closes("month")).as("month"),
+        coalesce(col("__op"), lit(0L)).as("n_opened"),
+        coalesce(col("__cl"), lit(0L)).as("n_closed"))
+    // months frame is metadata-sized — the unpartitioned cumulative
+    // window sorts #distinct months rows, never corpus rows
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("open_orders",
+        sum(col("n_opened") - col("n_closed")).over(w))
+      // ISO string month: engine- and tz-proof (DATE columns round-trip
+      // as datetime64 through some clients), same sort order
+      .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+        col("n_opened"), col("n_closed"), col("open_orders"))
+      .orderBy("month")
+  }
+
+  /** DuckDB twin of [[backlogByMonth]] over orders/lineitem. */
+  def backlogByMonthOracleSql(): String =
+    s"""WITH last AS (SELECT l_orderkey,
+            MAX(CAST(l_shipdate AS DATE)) AS l FROM lineitem
+          GROUP BY l_orderkey),
+        iv AS (SELECT
+            CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+              AS s,
+            CAST(CAST(date_trunc('month', l) AS DATE)
+              + INTERVAL 1 MONTH AS DATE) AS e
+          FROM orders JOIN last ON o_orderkey = l_orderkey),
+        op AS (SELECT s AS month, COUNT(*) AS n_opened FROM iv
+          GROUP BY s),
+        cl AS (SELECT e AS month, COUNT(*) AS n_closed FROM iv
+          GROUP BY e),
+        mg AS (SELECT COALESCE(op.month, cl.month) AS month,
+            COALESCE(n_opened, 0) AS n_opened,
+            COALESCE(n_closed, 0) AS n_closed
+          FROM op FULL OUTER JOIN cl ON op.month = cl.month)
+        SELECT strftime(month, '%Y-%m-%d') AS month, n_opened, n_closed,
+          CAST(SUM(n_opened - n_closed) OVER (ORDER BY month) AS BIGINT)
+            AS open_orders
+        FROM mg ORDER BY month"""
 }

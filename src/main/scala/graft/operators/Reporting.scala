@@ -767,4 +767,75 @@ object Reporting {
           ROUND(mw / md, 6) AS lift,
           ROUND((mw - md) / SQRT(vw / nw + vd / nd), 6) AS t_stat
         FROM c"""
+
+  /** Order-to-last-ship LEAD-TIME profile per priority class: whole
+    * days from header date to the max detail ship date, summarized as
+    * mean and type-1 p50/p90/p99 — the fulfillment-SLA table (q212
+    * gives one conversion mean; q476 covers event-stream gaps; this is
+    * the header/detail lead-time tail by service class).
+    *
+    * Scale shape: one map-combinable groupBy of the detail to per-key
+    * max-ship, one key equi-join to the header, then the lead times
+    * collapse to (priority, days) CELLS — the percentile prefix
+    * windows sort cells (≤ #priorities x max-days rows), never orders;
+    * integer-lattice thresholds (cum*k >= n*q), exact integer sums for
+    * the mean. Headers with no detail rows drop. */
+  def leadTimeProfile(headers: DataFrame, detail: DataFrame,
+                      headerKey: String, detailKey: String,
+                      startCol: String, endCol: String,
+                      classCol: String): DataFrame = {
+    val last = detail.groupBy(detailKey)
+      .agg(max(to_date(col(endCol))).as("__last"))
+    val cells = headers.join(last, col(headerKey) === col(detailKey))
+      .select(col(classCol).as("priority"),
+        datediff(col("__last"), to_date(col(startCol))).cast("long")
+          .as("__lead"))
+      .groupBy("priority", "__lead")
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy("priority").orderBy("__lead")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("priority")
+    cells
+      .withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__n", sum("__c").over(wt))
+      .withColumn("__days", sum(col("__lead") * col("__c")).over(wt))
+      .groupBy("priority")
+      .agg(first("__n").as("n_orders"),
+        round(first("__days").cast("double") / first("__n"), 4)
+          .as("mean_days"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__lead")))
+          .as("p50_days"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, col("__lead")))
+          .as("p90_days"),
+        min(when(col("__cum") * 100 >= col("__n") * 99, col("__lead")))
+          .as("p99_days"))
+      .orderBy("priority")
+  }
+
+  /** DuckDB twin of [[leadTimeProfile]] over orders/lineitem. */
+  def leadTimeProfileOracleSql(): String =
+    s"""WITH last AS (SELECT l_orderkey,
+            MAX(CAST(l_shipdate AS DATE)) AS l FROM lineitem
+          GROUP BY l_orderkey),
+        leads AS (SELECT o_orderpriority AS priority,
+            CAST(date_diff('day', CAST(o_orderdate AS DATE), l)
+              AS BIGINT) AS lead
+          FROM orders JOIN last ON o_orderkey = l_orderkey),
+        cells AS (SELECT priority, lead, COUNT(*) AS c
+          FROM leads GROUP BY priority, lead),
+        cum AS (SELECT priority, lead, c,
+            SUM(c) OVER (PARTITION BY priority ORDER BY lead) AS cm,
+            SUM(c) OVER (PARTITION BY priority) AS n,
+            SUM(lead * c) OVER (PARTITION BY priority) AS days
+          FROM cells)
+        SELECT priority, CAST(ANY_VALUE(n) AS BIGINT) AS n_orders,
+          ROUND(CAST(ANY_VALUE(days) AS DOUBLE) / ANY_VALUE(n), 4)
+            AS mean_days,
+          CAST(MIN(CASE WHEN cm * 2 >= n THEN lead END) AS BIGINT)
+            AS p50_days,
+          CAST(MIN(CASE WHEN cm * 10 >= n * 9 THEN lead END) AS BIGINT)
+            AS p90_days,
+          CAST(MIN(CASE WHEN cm * 100 >= n * 99 THEN lead END)
+            AS BIGINT) AS p99_days
+        FROM cum GROUP BY priority ORDER BY priority"""
 }

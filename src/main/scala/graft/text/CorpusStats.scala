@@ -335,4 +335,152 @@ object CorpusStats {
           CAST(ROUND(weight * n_tokens, 0) AS BIGINT) AS expected_tokens
         FROM w ORDER BY source"""
   }
+
+  /** Per-source token-FERTILITY profile: word-length distribution
+    * summarized as mean / type-1 p50 / p90 word length plus tokens per
+    * document — the chars-per-token read a tokenizer team checks before
+    * pointing a BPE train at a new source (long-word sources inflate
+    * fertility; a shifted p90 flags code or URL contamination).
+    *
+    * Scale shape: one explode to (source, word_len) CELLS — the cell
+    * frame is at most #sources x max word length rows, so the prefix
+    * windows that extract the percentiles sort cells, never tokens.
+    * Integer-lattice percentiles (least length with cum*k >= n*q) and
+    * exact integer sums for the means, same kernel as
+    * [[graft.operators.Events.latencyPercentiles]]. */
+  def tokenFertility(docs: DataFrame, srcCol: String,
+                     textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.filter(col(textCol).isNotNull)
+    val nd = base.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val cells = base
+      .select(col(srcCol).as("source"),
+        explode(Text.tokens(col(textCol))).as("__tok"))
+      .select(col("source"), length(col("__tok")).cast("long").as("__len"))
+      .groupBy("source", "__len")
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy("source").orderBy("__len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("source")
+    val per = cells
+      .withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__n", sum("__c").over(wt))
+      .withColumn("__chars", sum(col("__len") * col("__c")).over(wt))
+      .groupBy("source")
+      .agg(first("__n").as("n_tokens"),
+        round(first("__chars").cast("double") / first("__n"), 4)
+          .as("mean_word_len"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__len")))
+          .as("p50_word_len"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, col("__len")))
+          .as("p90_word_len"))
+    nd.join(per, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_word_len"), col("p50_word_len"), col("p90_word_len"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 4)
+          .as("tokens_per_doc"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[tokenFertility]]. */
+  def tokenFertilityOracleSql(srcExpr: String, textExpr: String,
+                              table: String): String =
+    s"""WITH tok AS (SELECT $srcExpr AS source,
+            unnest(list_filter(
+              string_split_regex(lower(trim($textExpr)), '\\s+'),
+              x -> length(x) > 0)) AS term
+          FROM $table WHERE $textExpr IS NOT NULL),
+        cells AS (SELECT source, CAST(length(term) AS BIGINT) AS len,
+            COUNT(*) AS c
+          FROM tok GROUP BY source, len),
+        cum AS (SELECT source, len, c,
+            SUM(c) OVER (PARTITION BY source ORDER BY len) AS cm,
+            SUM(c) OVER (PARTITION BY source) AS n,
+            SUM(len * c) OVER (PARTITION BY source) AS chars
+          FROM cells),
+        per AS (SELECT source,
+            CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+            ROUND(CAST(ANY_VALUE(chars) AS DOUBLE) / ANY_VALUE(n), 4)
+              AS mean_word_len,
+            CAST(MIN(CASE WHEN cm * 2 >= n THEN len END) AS BIGINT)
+              AS p50_word_len,
+            CAST(MIN(CASE WHEN cm * 10 >= n * 9 THEN len END) AS BIGINT)
+              AS p90_word_len
+          FROM cum GROUP BY source),
+        nd AS (SELECT $srcExpr AS source, COUNT(*) AS n_docs
+          FROM $table WHERE $textExpr IS NOT NULL GROUP BY source)
+        SELECT source, n_docs, n_tokens, mean_word_len, p50_word_len,
+          p90_word_len,
+          ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS tokens_per_doc
+        FROM nd JOIN per USING (source) ORDER BY source"""
+
+  /** Length x quality occupancy GRID: documents bucketed by char
+    * length (equi-width `lenWidth`, top bucket open) and by stopword
+    * ratio (tenths, integer-exact `(10*n_stop) div n_tokens`), with
+    * per-cell doc count, pooled stopword ratio, and mean length — the
+    * 2-D curation heatmap that shows WHERE a length or quality cut
+    * would bite before anyone commits to thresholds.
+    *
+    * Scale shape: one scan, one groupBy on (len_bucket, q_bucket) —
+    * at most (maxBucket+1)^2 cells. All bucket math on the integer
+    * lattice (floor division via pmod), so cell membership is
+    * bit-identical on every engine. */
+  def lengthQualityGrid(docs: DataFrame, textCol: String,
+                        lenWidth: Int = 100, maxBucket: Int = 9,
+                        lang: String = "en"): DataFrame = {
+    val t = col(textCol)
+    val sw = array(Text.stopwords(lang).map(lit): _*)
+    val base = docs.filter(t.isNotNull)
+      .select(length(t).cast("long").as("__nc"), Text.tokens(t).as("__t"))
+      .select(col("__nc"),
+        size(col("__t")).cast("long").as("__nt"),
+        size(filter(col("__t"), x => array_contains(sw, x))).cast("long")
+          .as("__ns"))
+    val lw = lit(lenWidth.toLong)
+    val lenB = least((col("__nc") - pmod(col("__nc"), lw)) / lw,
+      lit(maxBucket.toLong)).cast("long")
+    val tenNs = col("__ns") * 10
+    val qB = when(col("__nt") === 0, lit(0L))
+      .otherwise(least((tenNs - pmod(tenNs, col("__nt"))) / col("__nt"),
+        lit(maxBucket.toLong)).cast("long"))
+    base
+      .select(lenB.as("len_bucket"), qB.as("q_bucket"),
+        col("__nc"), col("__nt"), col("__ns"))
+      .groupBy("len_bucket", "q_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(when(sum("__nt") === 0, lit(0.0))
+          .otherwise(sum("__ns").cast("double") / sum("__nt")), 4)
+          .as("stopword_ratio"),
+        round(sum("__nc").cast("double") / count(lit(1)), 4)
+          .as("mean_chars"))
+      .orderBy("len_bucket", "q_bucket")
+  }
+
+  /** DuckDB twin of [[lengthQualityGrid]] — `stopwordsSql` is the
+    * bracketed list literal of the same stoplist the Spark side uses. */
+  def lengthQualityGridOracleSql(textExpr: String, table: String,
+                                 stopwordsSql: String,
+                                 lenWidth: Int = 100,
+                                 maxBucket: Int = 9): String =
+    s"""WITH base AS (SELECT CAST(length($textExpr) AS BIGINT) AS nc,
+            list_filter(string_split_regex(lower(trim($textExpr)), '\\s+'),
+              x -> length(x) > 0) AS t
+          FROM $table WHERE $textExpr IS NOT NULL),
+        c AS (SELECT nc, CAST(len(t) AS BIGINT) AS nt,
+            CAST(len(list_filter(t,
+              x -> list_contains($stopwordsSql, x))) AS BIGINT) AS ns
+          FROM base),
+        b AS (SELECT LEAST(nc // $lenWidth, $maxBucket) AS len_bucket,
+            CASE WHEN nt = 0 THEN 0
+                 ELSE LEAST((10 * ns) // nt, $maxBucket) END AS q_bucket,
+            nc, nt, ns
+          FROM c)
+        SELECT len_bucket, q_bucket, COUNT(*) AS n_docs,
+          ROUND(CASE WHEN SUM(nt) = 0 THEN 0.0
+            ELSE CAST(SUM(ns) AS DOUBLE) / SUM(nt) END, 4)
+            AS stopword_ratio,
+          ROUND(CAST(SUM(nc) AS DOUBLE) / COUNT(*), 4) AS mean_chars
+        FROM b GROUP BY len_bucket, q_bucket
+        ORDER BY len_bucket, q_bucket"""
 }
