@@ -3803,7 +3803,45 @@ object SparkEntry {
       graft.operators.Reporting.leadTimeProfile(
         t(s, dir, "orders"), t(s, dir, "lineitem"),
         "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
-        "o_orderpriority"))
+        "o_orderpriority")),
+    "q494_shared_prefixes" -> ((s, dir) =>
+      // machine-stamped headers: normalized first-8-char families per
+      // source, share of docs in a >=2 family, the top template
+      graft.text.Templates.sharedPrefixes(t(s, dir, "documents"),
+        "source", "text", k = 8, minDocs = 2L)),
+    "q495_dup_span_position" -> ((s, dir) =>
+      // WHERE does duplicated text sit? per doc-third share of n-gram
+      // instances whose shingle appears in >= 2 documents
+      graft.text.CorpusStats.dupSpanPosition(t(s, dir, "documents"),
+        "doc_id", "text", n = 3)),
+    "q496_dup_attribution" -> ((s, dir) =>
+      // who copies whom: keep-first losses per (winner_source,
+      // dup_source) over template (prefix-8) families — the corpus
+      // has no whole-text dups, so attribute the q494 header families
+      graft.dedup.Dedup.dupAttribution(t(s, dir, "documents"),
+        "doc_id", "source", "text", prefixChars = 8)),
+    "q497_langid_confusion" -> ((s, dir) => {
+      // lang-ID quality audit: labeled lang vs q31's predicted lang,
+      // cell counts + share within each labeled row
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "documents")
+        .select(col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      cells.withColumn("share",
+          round(col("n_docs").cast("double") /
+            sum("n_docs").over(Window.partitionBy("lang")), 6))
+        .orderBy("lang", "lang_pred")
+    }),
+    "q498_ngram_df_histogram" -> ((s, dir) =>
+      // the boilerplate-economics curve: shingle df spectrum with
+      // instance-mass share per df bucket
+      graft.text.CorpusStats.ngramDfHistogram(t(s, dir, "documents"),
+        "doc_id", "text", n = 3)),
+    "q499_growth_accounting" -> ((s, dir) =>
+      // the DAU ledger: new/retained/resurrected/churned per day;
+      // new + resurrected - churned = active delta
+      graft.operators.Cohorts.growthAccounting(t(s, dir, "events"),
+        "user_id", "ts"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8076,6 +8114,42 @@ object SparkEntry {
       graft.operators.Intervals.backlogByMonthOracleSql(),
     "q493_lead_time" ->
       graft.operators.Reporting.leadTimeProfileOracleSql(),
+    "q494_shared_prefixes" -> graft.text.Templates
+      .sharedPrefixesOracleSql("source", "text", "documents",
+        k = 8, minDocs = 2L),
+    "q495_dup_span_position" ->
+      graft.text.CorpusStats.dupSpanPositionOracleSql(n = 3),
+    "q496_dup_attribution" ->
+      graft.dedup.Dedup.dupAttributionOracleSql(prefixChars = 8),
+    "q497_langid_confusion" -> {
+      def ratio(l: String): String = {
+        val sw = Text.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / GREATEST(len(toks), 1)"
+      }
+      s"""WITH d AS (SELECT lang,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT lang, ${ratio("de")} AS s_de, ${ratio("en")} AS s_en,
+                      ${ratio("es")} AS s_es, ${ratio("fr")} AS s_fr FROM d),
+         p AS (SELECT lang, CASE
+           WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+           WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+           WHEN s_de > 0 THEN 'de'
+           ELSE 'und' END AS lang_pred
+          FROM s),
+         cells AS (SELECT lang, lang_pred, COUNT(*) AS n_docs
+           FROM p GROUP BY lang, lang_pred)
+         SELECT lang, lang_pred, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) /
+             SUM(n_docs) OVER (PARTITION BY lang), 6) AS share
+         FROM cells ORDER BY lang, lang_pred"""
+    },
+    "q498_ngram_df_histogram" ->
+      graft.text.CorpusStats.ngramDfHistogramOracleSql(n = 3),
+    "q499_growth_accounting" -> graft.operators.Cohorts
+      .growthAccountingOracleSql("user_id", "ts", "events"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -718,4 +718,66 @@ object Dedup {
             END) / CAST(SUM(tok) AS DOUBLE), 6) AS savings
         FROM base JOIN fs USING (fp)
         GROUP BY base.g ORDER BY "group""""
+
+  /** Directed duplicate-ATTRIBUTION matrix: under keep-first dedup
+    * (global min doc id wins its fingerprint cluster), how many rows
+    * does each source LOSE, attributed to the source that keeps the
+    * canonical copy — the "who copies whom" read that
+    * [[crossSourceDupShare]]'s symmetric share can't answer
+    * (a mirror that re-hosts src0 shows up as (src0, mirror) mass,
+    * not the reverse).
+    *
+    * Scale shape: the corpus collapses to (fingerprint, source) CELLS
+    * with count + min id in the one corpus-scale groupBy; the winner
+    * per fingerprint is a min-struct over those cells and the join
+    * back is cell-sized. Returns (winner_source, dup_source,
+    * n_dup_rows > 0) ordered.
+    *
+    * `prefixChars > 0` switches the cluster key to the normalized
+    * first-k-character fingerprint — TEMPLATE-family attribution (the
+    * [[graft.text.Templates.sharedPrefixes]] families, directed):
+    * who keeps the canonical copy of each shared header. */
+  def dupAttribution(docs: DataFrame, idCol: String, srcCol: String,
+                     textCol: String, prefixChars: Int = 0): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val fp = if (prefixChars > 0) md5(substring(norm, 1, prefixChars))
+             else graft.text.Text.fingerprint(col(textCol))
+    val cells = docs
+      .select(fp.as("__fp"),
+        col(srcCol).as("__src"), col(idCol).cast("long").as("__id"))
+      .groupBy("__fp", "__src")
+      .agg(count(lit(1)).as("__n"), min("__id").as("__mid"))
+    val w = cells.groupBy("__fp")
+      .agg(min(struct(col("__mid"), col("__src"))).as("__w"))
+      .select(col("__fp"), col("__w.__src").as("winner_source"))
+    cells.join(w, Seq("__fp"))
+      .select(col("winner_source"), col("__src").as("dup_source"),
+        (col("__n") - when(col("__src") === col("winner_source"), 1L)
+          .otherwise(0L)).as("__losers"))
+      .groupBy("winner_source", "dup_source")
+      .agg(sum("__losers").as("n_dup_rows"))
+      .filter(col("n_dup_rows") > 0)
+      .orderBy("winner_source", "dup_source")
+  }
+
+  /** DuckDB twin of [[dupAttribution]] over the documents table. */
+  def dupAttributionOracleSql(prefixChars: Int = 0): String = {
+    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    val fp = if (prefixChars > 0) s"md5(substr($norm, 1, $prefixChars))"
+             else s"md5($norm)"
+    s"""WITH g AS (SELECT $fp AS fp,
+            source AS src, doc_id AS id
+          FROM documents),
+        cells AS (SELECT fp, src, COUNT(*) AS n, MIN(id) AS mid
+          FROM g GROUP BY fp, src),
+        w AS (SELECT fp, src AS winner_source FROM cells
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY mid) = 1)
+        SELECT winner_source, src AS dup_source,
+          CAST(SUM(n - CASE WHEN src = winner_source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_rows
+        FROM cells JOIN w USING (fp)
+        GROUP BY winner_source, dup_source
+        HAVING SUM(n - CASE WHEN src = winner_source THEN 1 ELSE 0 END) > 0
+        ORDER BY winner_source, dup_source"""
+  }
 }

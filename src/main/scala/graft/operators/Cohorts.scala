@@ -211,4 +211,90 @@ object Cohorts {
             AS cum_ltv
         FROM cum JOIN sz ON cum.cw = sz.cw
         ORDER BY cohort_week, week_offset"""
+
+  /** Daily GROWTH ACCOUNTING: decompose each day's active-user count
+    * into new (first day ever), retained (active the previous day) and
+    * resurrected (back after a gap), plus the churned count (active
+    * the previous day, absent today) — the DAU ledger where
+    * new + resurrected − churned must equal the day-over-day active
+    * delta. Churn events past the last observed day are clipped.
+    *
+    * Scale shape: events collapse to DISTINCT (user, day) cells first;
+    * the lag/lead windows partition BY USER over those cells (a few
+    * rows per user — no global sort); the ledger itself is a
+    * metadata-sized day frame. Returns (day ISO string, n_active,
+    * n_new, n_retained, n_resurrected, n_churned) ordered by day. */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    val cells = ev.select(col(userCol).as("__u"),
+      to_date(col(tsCol)).as("__d")).distinct()
+    val w = Window.partitionBy("__u").orderBy("__d")
+    val lagd = cells
+      .withColumn("__prev", lag("__d", 1).over(w))
+      .withColumn("__next", lead("__d", 1).over(w))
+    val active = lagd.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("__prev").isNull, 1)).as("n_new"),
+        count(when(datediff(col("__d"), col("__prev")) === 1, 1))
+          .as("n_retained"),
+        count(when(col("__prev").isNotNull &&
+          datediff(col("__d"), col("__prev")) > 1, 1))
+          .as("n_resurrected"))
+    val churn = lagd
+      .filter(col("__next").isNull ||
+        datediff(col("__next"), col("__d")) > 1)
+      .select(date_add(col("__d"), 1).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    val maxd = cells.agg(max("__d").as("__mx"))
+    active.join(churn, Seq("day"), "full")
+      .crossJoin(maxd)
+      .filter(col("day") <= col("__mx"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[growthAccounting]] over the events table. */
+  def growthAccountingOracleSql(userExpr: String, tsExpr: String,
+                                table: String): String =
+    s"""WITH cells AS (SELECT DISTINCT $userExpr AS u,
+            CAST($tsExpr AS DATE) AS d
+          FROM $table),
+        l AS (SELECT u, d,
+            LAG(d) OVER (PARTITION BY u ORDER BY d) AS prev,
+            LEAD(d) OVER (PARTITION BY u ORDER BY d) AS next
+          FROM cells),
+        act AS (SELECT d AS day, COUNT(*) AS n_active,
+            CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_new,
+            CAST(SUM(CASE WHEN date_diff('day', prev, d) = 1 THEN 1
+              ELSE 0 END) AS BIGINT) AS n_retained,
+            CAST(SUM(CASE WHEN prev IS NOT NULL
+                AND date_diff('day', prev, d) > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+          FROM l GROUP BY d),
+        ch AS (SELECT d + 1 AS day, COUNT(*) AS n_churned FROM l
+          WHERE next IS NULL OR date_diff('day', d, next) > 1
+          GROUP BY d + 1),
+        mx AS (SELECT MAX(d) AS m FROM cells),
+        mg AS (SELECT COALESCE(act.day, ch.day) AS day,
+            COALESCE(n_active, 0) AS n_active,
+            COALESCE(n_new, 0) AS n_new,
+            COALESCE(n_retained, 0) AS n_retained,
+            COALESCE(n_resurrected, 0) AS n_resurrected,
+            COALESCE(n_churned, 0) AS n_churned
+          FROM act FULL OUTER JOIN ch ON act.day = ch.day)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+          CAST(n_active AS BIGINT) AS n_active,
+          CAST(n_new AS BIGINT) AS n_new,
+          CAST(n_retained AS BIGINT) AS n_retained,
+          CAST(n_resurrected AS BIGINT) AS n_resurrected,
+          CAST(n_churned AS BIGINT) AS n_churned
+        FROM mg CROSS JOIN mx WHERE day <= m ORDER BY day"""
 }

@@ -483,4 +483,148 @@ object CorpusStats {
           ROUND(CAST(SUM(nc) AS DOUBLE) / COUNT(*), 4) AS mean_chars
         FROM b GROUP BY len_bucket, q_bucket
         ORDER BY len_bucket, q_bucket"""
+
+  /** WHERE in the document does duplicated text sit? Per doc-THIRD
+    * (leading / middle / trailing, by shingle start position), the
+    * share of n-gram instances whose shingle appears in >= 2 documents
+    * — boilerplate concentrates at the edges (headers, footers,
+    * signatures), plagiarized cores in the middle; the positional
+    * profile tells a curation team whether span REMOVAL
+    * ([[graft.dedup.Substrings.removeSharedSpans]]) or whole-doc
+    * dedup is the right tool. Documents shorter than `n` tokens drop.
+    *
+    * Scale shape: instances aggregate to (shingle, third) CELLS in the
+    * one corpus-scale shuffle (the q486 lesson — never join
+    * instance-sized frames); the doc-frequency table joins those cells
+    * at cell size. Returns (third 0|1|2, n_instances, n_dup_instances,
+    * dup_share 6dp). */
+  def dupSpanPosition(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val staged = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__t"))
+      .select(col("__id"), col("__t"),
+        (size(col("__t")) - (n - 1)).cast("long").as("__m"))
+      .filter(col("__m") > 0)
+    val inst = staged.select(col("__id"), col("__m"),
+        posexplode(transform(sequence(lit(0L), col("__m") - 1),
+          i => concat_ws(" ",
+            slice(col("__t"), (i + 1).cast("int"), lit(n))))))
+      .select(col("__id"), col("col").as("__sh"),
+        ((col("pos") * 3 - pmod(col("pos") * 3, col("__m"))) / col("__m"))
+          .cast("long").as("third"))
+    val cells = inst.groupBy("__sh", "third")
+      .agg(count(lit(1)).as("__n"))
+    val dfreq = inst.select("__id", "__sh").distinct()
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+    cells.join(dfreq, Seq("__sh"))
+      .groupBy("third")
+      .agg(sum("__n").as("n_instances"),
+        sum(when(col("__df") >= 2, col("__n")).otherwise(lit(0L)))
+          .as("n_dup_instances"))
+      .withColumn("dup_share",
+        round(col("n_dup_instances").cast("double") / col("n_instances"),
+          6))
+      .orderBy("third")
+  }
+
+  /** DuckDB twin of [[dupSpanPosition]] over the documents table. */
+  def dupSpanPositionOracleSql(n: Int = 3): String =
+    s"""WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0) AS ws
+          FROM documents WHERE text IS NOT NULL),
+        st AS (SELECT doc_id, ws, CAST(len(ws) - ${n - 1} AS BIGINT) AS m
+          FROM toks WHERE len(ws) >= $n),
+        inst0 AS (SELECT doc_id, m,
+            UNNEST([struct_pack(
+                third := ((i - 1) * 3) // m,
+                sh := array_to_string(ws[i:i+${n - 1}], ' '))
+              FOR i IN range(1, m + 1)]) AS e
+          FROM st),
+        inst AS (SELECT doc_id, e.third AS third, e.sh AS sh FROM inst0),
+        cells AS (SELECT sh, third, COUNT(*) AS n
+          FROM inst GROUP BY sh, third),
+        dfq AS (SELECT sh, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, sh FROM inst) GROUP BY sh),
+        g AS (SELECT third,
+            CAST(SUM(n) AS BIGINT) AS n_instances,
+            CAST(SUM(CASE WHEN df >= 2 THEN n ELSE 0 END) AS BIGINT)
+              AS n_dup_instances
+          FROM cells JOIN dfq USING (sh) GROUP BY third)
+        SELECT third, n_instances, n_dup_instances,
+          ROUND(CAST(n_dup_instances AS DOUBLE) / n_instances, 6)
+            AS dup_share
+        FROM g ORDER BY third"""
+
+  /** Document-frequency SPECTRUM of n-gram shingles: how many distinct
+    * shingles (and what share of total instance mass) live at df=1,
+    * df=2, 3–5, 6–10, 11+ — the full boilerplate-economics curve that
+    * [[boilerplateMass]]'s single threshold samples one point of. A
+    * healthy crawl is df=1-heavy; a template farm shows an 11+ hump.
+    *
+    * Scale shape: instances collapse to (doc, shingle) cells in the
+    * one corpus-scale shuffle, then to one row per shingle (df +
+    * instance count), then to <= 5 bucket rows; the total for the
+    * share column is a 1-row broadcast. */
+  def ngramDfHistogram(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
+    val per = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.Signatures.wordNgrams(col(textCol), n))
+          .as("__sh"))
+      .groupBy("__id", "__sh")
+      .agg(count(lit(1)).as("__c"))
+    val sh = per.groupBy("__sh")
+      .agg(count(lit(1)).as("__df"), sum("__c").as("__inst"))
+    val bucket = when(col("__df") === 1, "1")
+      .when(col("__df") === 2, "2")
+      .when(col("__df") <= 5, "3-5")
+      .when(col("__df") <= 10, "6-10")
+      .otherwise("11+")
+    val ord = when(col("__df") === 1, 0).when(col("__df") === 2, 1)
+      .when(col("__df") <= 5, 2).when(col("__df") <= 10, 3).otherwise(4)
+    val b = sh.select(ord.as("bucket_order"), bucket.as("df_bucket"),
+        col("__inst"))
+      .groupBy("bucket_order", "df_bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("__inst").as("n_instances"))
+    b.crossJoin(b.agg(sum("n_instances").as("__t")))
+      .select(col("bucket_order"), col("df_bucket"), col("n_shingles"),
+        col("n_instances"),
+        round(col("n_instances").cast("double") / col("__t"), 6)
+          .as("instance_share"))
+      .orderBy("bucket_order")
+  }
+
+  /** DuckDB twin of [[ngramDfHistogram]] over the documents table. */
+  def ngramDfHistogramOracleSql(n: Int = 3): String =
+    s"""WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> length(x) > 0) AS ws
+          FROM documents WHERE text IS NOT NULL),
+        inst0 AS (SELECT doc_id,
+            UNNEST(CASE WHEN len(ws) < $n THEN
+              [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i:i+${n - 1}], ' ')
+                FOR i IN range(1, len(ws) - ${n - 2})] END) AS sh
+          FROM toks),
+        per AS (SELECT doc_id, sh, COUNT(*) AS c
+          FROM inst0 GROUP BY doc_id, sh),
+        sh AS (SELECT sh, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS inst
+          FROM per GROUP BY sh),
+        b AS (SELECT
+            CASE WHEN df = 1 THEN 0 WHEN df = 2 THEN 1
+                 WHEN df <= 5 THEN 2 WHEN df <= 10 THEN 3
+                 ELSE 4 END AS bucket_order,
+            CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+                 WHEN df <= 5 THEN '3-5' WHEN df <= 10 THEN '6-10'
+                 ELSE '11+' END AS df_bucket,
+            inst
+          FROM sh),
+        g AS (SELECT bucket_order, df_bucket, COUNT(*) AS n_shingles,
+            CAST(SUM(inst) AS BIGINT) AS n_instances
+          FROM b GROUP BY bucket_order, df_bucket),
+        t AS (SELECT SUM(n_instances) AS tt FROM g)
+        SELECT bucket_order, df_bucket, n_shingles, n_instances,
+          ROUND(CAST(n_instances AS DOUBLE) / tt, 6) AS instance_share
+        FROM g CROSS JOIN t ORDER BY bucket_order"""
 }
