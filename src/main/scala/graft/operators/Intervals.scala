@@ -108,18 +108,20 @@ object Intervals {
                      startCol: String, endCol: String): DataFrame = {
     val last = detail.groupBy(detailKey)
       .agg(max(to_date(col(endCol))).as("__last"))
-    val iv = headers.join(last, col(headerKey) === col(detailKey))
-      .select(trunc(to_date(col(startCol)), "month").as("__s"),
-        add_months(trunc(col("__last"), "month"), 1).as("__e"))
-    val opens = iv.groupBy(col("__s").as("month"))
-      .agg(count(lit(1)).as("__op"))
-    val closes = iv.groupBy(col("__e").as("month"))
-      .agg(count(lit(1)).as("__cl"))
-    val merged = opens.join(closes, opens("month") === closes("month"),
-        "full")
-      .select(coalesce(opens("month"), closes("month")).as("month"),
-        coalesce(col("__op"), lit(0L)).as("n_opened"),
-        coalesce(col("__cl"), lit(0L)).as("n_closed"))
+    // ONE pass over the joined frame: each order emits a (+1 at start
+    // month, -1 after end month) delta pair, so opens and closes come
+    // from a single month-keyed aggregate — no second scan/join for
+    // the close side, no outer join to re-align the two
+    val merged = headers.join(last, col(headerKey) === col(detailKey))
+      .select(explode(array(
+        struct(trunc(to_date(col(startCol)), "month").as("month"),
+          lit(1L).as("__d")),
+        struct(add_months(trunc(col("__last"), "month"), 1).as("month"),
+          lit(-1L).as("__d")))).as("__x"))
+      .select(col("__x.month").as("month"), col("__x.__d").as("__d"))
+      .groupBy("month")
+      .agg(count(when(col("__d") === 1L, 1)).as("n_opened"),
+        count(when(col("__d") === -1L, 1)).as("n_closed"))
     // months frame is metadata-sized — the unpartitioned cumulative
     // window sorts #distinct months rows, never corpus rows
     val w = Window.orderBy("month")
