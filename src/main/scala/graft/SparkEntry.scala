@@ -3841,7 +3841,22 @@ object SparkEntry {
       // the DAU ledger: new/retained/resurrected/churned per day;
       // new + resurrected - churned = active delta
       graft.operators.Cohorts.growthAccounting(t(s, dir, "events"),
-        "user_id", "ts"))
+        "user_id", "ts")),
+    "q500_function_word_cosine" -> ((s, dir) =>
+      // stylometry over sources: integer-exact cosine between
+      // function-word frequency vectors — relabeled-feed detector
+      graft.text.Distinctive.functionWordCosine(
+        t(s, dir, "documents"), "source", "text")),
+    "q501_new_repeat_revenue" -> ((s, dir) =>
+      // growth quality: monthly revenue split into first-month
+      // (acquisition) vs returning (retention) customers
+      graft.operators.Reporting.newRepeatRevenue(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice")),
+    "q502_template_purity" -> ((s, dir) =>
+      // are shared headers site templates or cross-source syndication?
+      // family-size buckets with integer-exact pooled top-source share
+      graft.text.Templates.templatePurity(t(s, dir, "documents"),
+        "source", "text", k = 8))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8150,6 +8165,14 @@ object SparkEntry {
       graft.text.CorpusStats.ngramDfHistogramOracleSql(n = 3),
     "q499_growth_accounting" -> graft.operators.Cohorts
       .growthAccountingOracleSql("user_id", "ts", "events"),
+    "q500_function_word_cosine" -> graft.text.Distinctive
+      .functionWordCosineOracleSql("source", "text", "documents",
+        Text.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")),
+    "q501_new_repeat_revenue" -> graft.operators.Reporting
+      .newRepeatRevenueOracleSql("o_custkey", "o_orderdate",
+        "o_totalprice", "orders"),
+    "q502_template_purity" -> graft.text.Templates
+      .templatePurityOracleSql("source", "text", "documents", k = 8),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -812,6 +812,70 @@ object Reporting {
       .orderBy("priority")
   }
 
+  /** NEW vs REPEAT revenue ledger by month: each customer's first-ever
+    * order month splits every later month's revenue into acquisition
+    * (first-month customers) and retention (returning customers) — the
+    * growth-quality read behind every "is revenue growth new logos or
+    * expansion?" board slide. Money stays on the DECIMAL lattice until
+    * the final cast (the [[weeklyReport]] discipline); customer counts
+    * are distinct within the month.
+    *
+    * Scale shape: one customer-keyed aggregate for the first month,
+    * one key equi-join back (AQE picks broadcast when the customer
+    * frame is small), one month-grain groupBy. Returns (month ISO
+    * string, revenue_new, revenue_repeat, n_new_customers,
+    * n_repeat_customers, new_revenue_share 6dp) ordered. */
+  def newRepeatRevenue(orders: DataFrame, custCol: String,
+                       tsCol: String, valCol: String): DataFrame = {
+    val base = orders.select(col(custCol).as("__cust"),
+      trunc(to_date(col(tsCol)), "month").as("__m"),
+      col(valCol).cast(DecimalType(18, 2)).as("__v"))
+    val first = base.groupBy("__cust").agg(min("__m").as("__fm"))
+    val rNew = sum(when(col("__m") === col("__fm"), col("__v"))
+      .otherwise(lit(null))).cast("double")
+    val rRep = sum(when(col("__m") > col("__fm"), col("__v"))
+      .otherwise(lit(null))).cast("double")
+    base.join(first, Seq("__cust"))
+      .groupBy(col("__m"))
+      .agg(round(coalesce(rNew, lit(0.0)), 2).as("revenue_new"),
+        round(coalesce(rRep, lit(0.0)), 2).as("revenue_repeat"),
+        countDistinct(when(col("__m") === col("__fm"), col("__cust")))
+          .as("n_new_customers"),
+        countDistinct(when(col("__m") > col("__fm"), col("__cust")))
+          .as("n_repeat_customers"))
+      .select(date_format(col("__m"), "yyyy-MM-dd").as("month"),
+        col("revenue_new"), col("revenue_repeat"),
+        col("n_new_customers"), col("n_repeat_customers"),
+        round(try_divide(col("revenue_new"),
+          col("revenue_new") + col("revenue_repeat")), 6)
+          .as("new_revenue_share"))
+      .orderBy("month")
+  }
+
+  /** DuckDB twin of [[newRepeatRevenue]] over the orders table. */
+  def newRepeatRevenueOracleSql(custExpr: String, tsExpr: String,
+                                valExpr: String, table: String): String =
+    s"""WITH base AS (SELECT $custExpr AS cust,
+            CAST(date_trunc('month', CAST($tsExpr AS DATE)) AS DATE) AS m,
+            CAST($valExpr AS DECIMAL(18, 2)) AS v
+          FROM $table),
+        f AS (SELECT cust, MIN(m) AS fm FROM base GROUP BY cust),
+        g AS (SELECT m,
+            ROUND(COALESCE(CAST(SUM(CASE WHEN m = fm THEN v END)
+              AS DOUBLE), 0.0), 2) AS revenue_new,
+            ROUND(COALESCE(CAST(SUM(CASE WHEN m > fm THEN v END)
+              AS DOUBLE), 0.0), 2) AS revenue_repeat,
+            COUNT(DISTINCT CASE WHEN m = fm THEN cust END)
+              AS n_new_customers,
+            COUNT(DISTINCT CASE WHEN m > fm THEN cust END)
+              AS n_repeat_customers
+          FROM base JOIN f USING (cust) GROUP BY m)
+        SELECT strftime(m, '%Y-%m-%d') AS month, revenue_new,
+          revenue_repeat, n_new_customers, n_repeat_customers,
+          ROUND(revenue_new / (revenue_new + revenue_repeat), 6)
+            AS new_revenue_share
+        FROM g ORDER BY month"""
+
   /** DuckDB twin of [[leadTimeProfile]] over orders/lineitem. */
   def leadTimeProfileOracleSql(): String =
     s"""WITH last AS (SELECT l_orderkey,

@@ -508,4 +508,79 @@ object Distinctive {
             1.0 - (hj.hjv - hu.huv) / hu.huv END, 6) AS redundancy
         FROM hj JOIN hu ON hj.source = hu.source
         ORDER BY hj.source"""
+
+  /** FUNCTION-WORD fingerprint cosine between source pairs: each
+    * source's frequency vector over a fixed stopword list, pairwise
+    * cosine — function-word profiles survive topic shifts (the classic
+    * authorship/stylometry signal), so two "different" sources with
+    * near-1 cosine are usually the same upstream feed relabeled; a
+    * topic-vocabulary overlap (q124) cannot tell that apart. Sources
+    * with ZERO stopword tokens drop (no direction to compare).
+    *
+    * Exactness: the vectors are integer counts, the dot product and
+    * squared norms are integer sums, and the single
+    * dot / (sqrt(na2) * sqrt(nb2)) division is evaluated in the same
+    * order on both engines — no float accumulation.
+    *
+    * Scale shape: one corpus-scale explode filtered to the stoplist
+    * collapses to (source, word) cells (#sources x |stoplist| rows);
+    * the pair grid and dot join live entirely on that cell frame. */
+  def functionWordCosine(docs: DataFrame, srcCol: String,
+                         textCol: String,
+                         lang: String = "en"): DataFrame = {
+    val swArr = array(Text.stopwords(lang).map(lit): _*)
+    val cells = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"),
+        explode(filter(Text.tokens(col(textCol)),
+          t => array_contains(swArr, t))).as("__w"))
+      .groupBy("source", "__w")
+      .agg(count(lit(1)).as("__c"))
+    val norms = cells.groupBy("source")
+      .agg(sum(col("__c") * col("__c")).as("__n2"))
+    val dots = cells.as("a").join(cells.as("b"),
+        col("a.__w") === col("b.__w") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(sum(col("a.__c") * col("b.__c")).as("__dot"))
+    norms.as("x").join(norms.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"),
+        col("y.source").as("source_b"),
+        col("x.__n2").as("__na"), col("y.__n2").as("__nb"))
+      .join(dots, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        round(coalesce(col("__dot"), lit(0L)).cast("double") /
+          (sqrt(col("__na").cast("double")) *
+            sqrt(col("__nb").cast("double"))), 6).as("cosine"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB twin of [[functionWordCosine]] — `stopwordsSql` is the
+    * bracketed list literal of the same stoplist. */
+  def functionWordCosineOracleSql(srcExpr: String, textExpr: String,
+                                  table: String,
+                                  stopwordsSql: String): String =
+    s"""WITH tok AS (SELECT $srcExpr AS source,
+            unnest(list_filter(
+              string_split_regex(lower(trim($textExpr)), '\\s+'),
+              x -> list_contains($stopwordsSql, x))) AS w
+          FROM $table WHERE $textExpr IS NOT NULL),
+        cells AS (SELECT source, w, COUNT(*) AS c
+          FROM tok GROUP BY source, w),
+        norms AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+          FROM cells GROUP BY source),
+        dots AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+          FROM cells a JOIN cells b
+            ON a.w = b.w AND a.source < b.source
+          GROUP BY source_a, source_b)
+        SELECT x.source AS source_a, y.source AS source_b,
+          ROUND(CAST(COALESCE(dot, 0) AS DOUBLE) /
+            (SQRT(CAST(x.n2 AS DOUBLE)) * SQRT(CAST(y.n2 AS DOUBLE))),
+            6) AS cosine
+        FROM norms x JOIN norms y ON x.source < y.source
+        LEFT JOIN dots ON dots.source_a = x.source
+          AND dots.source_b = y.source
+        ORDER BY source_a, source_b"""
 }
