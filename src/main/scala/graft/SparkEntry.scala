@@ -3856,7 +3856,39 @@ object SparkEntry {
       // are shared headers site templates or cross-source syndication?
       // family-size buckets with integer-exact pooled top-source share
       graft.text.Templates.templatePurity(t(s, dir, "documents"),
-        "source", "text", k = 8))
+        "source", "text", k = 8)),
+    "q503_winnow_density" -> ((s, dir) =>
+      // MOSS winnowing fingerprint selection: realized density per
+      // source vs the 2/(w+1) theory line — template-heavy sources
+      // re-select the same minima and sit above it
+      graft.dedup.Winnowing.densityBySource(t(s, dir, "documents"),
+        "doc_id", "source", "text", k = 3, w = 4)),
+    "q504_winnow_candidates" -> ((s, dir) =>
+      // winnow-fingerprint dup candidates: guaranteed to catch any
+      // shared run of >= w+k-1 tokens, df-capped band join
+      graft.dedup.Winnowing.candidatePairs(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4, minShared = 2, maxDf = 10)),
+    "q505_filter_agreement" -> ((s, dir) => {
+      // do the C4 and Gopher presets agree? 2x2 verdict cells +
+      // integer-exact Cohen's kappa per source. The raw corpus is
+      // punctuation-free soup, so derive pages deterministically:
+      // sentence/line breaks at " the " for everyone, and a
+      // stopword-rich closing sentence for even doc_ids — giving both
+      // filters genuinely mixed verdicts (all four cells populated).
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        regexp_replace(concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit(" more rows of the batch and that plan with scans to finish here now."))
+            .otherwise(lit(" tail"))),
+          " the ", ".\n").as("text"))
+      graft.text.FilterAgreement.c4GopherCells(pages, "source", "text")
+    }),
+    "q506_rake_keywords" -> ((s, dir) =>
+      // RAKE multi-word keyphrases per source on the millionths
+      // integer lattice (deg/freq word scores, exact integer sums)
+      graft.text.Rake.keywordsBySource(t(s, dir, "documents"),
+        "source", "text", lang = "en", maxLen = 4, topK = 10))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8173,6 +8205,20 @@ object SparkEntry {
         "o_totalprice", "orders"),
     "q502_template_purity" -> graft.text.Templates
       .templatePurityOracleSql("source", "text", "documents", k = 8),
+    "q503_winnow_density" ->
+      graft.dedup.Winnowing.densityOracleSql(k = 3, w = 4),
+    "q504_winnow_candidates" -> graft.dedup.Winnowing
+      .candidatePairsOracleSql(k = 3, w = 4, minShared = 2, maxDf = 10),
+    "q505_filter_agreement" -> graft.text.FilterAgreement
+      .c4GopherCellsOracleSql(
+        """SELECT doc_id, source,
+             regexp_replace(text || CASE WHEN doc_id % 2 = 0
+                 THEN ' more rows of the batch and that plan with scans to finish here now.'
+                 ELSE ' tail' END,
+               ' the ', '.' || chr(10), 'g') AS text
+           FROM documents"""),
+    "q506_rake_keywords" -> graft.text.Rake.keywordsOracleSql(
+      Text.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

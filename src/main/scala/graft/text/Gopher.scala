@@ -20,12 +20,10 @@ object Gopher {
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern
       .quote(sub), ""))) / sub.length).cast("long")
 
-  /** Per-document rule flags:
-    * (idCol, srcCol, n_words, r_wordcount, r_wordlen, r_symbol,
-    * r_bullet, r_ellipsis, r_alpha, r_stopwords, pass_all). */
-  def annotate(docs: DataFrame, idCol: String, srcCol: String,
-               textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The seven rule flags as row-level Columns over `t`, in funnel
+    * order — shared by [[annotate]] and the one-projection composers
+    * ([[graft.text.FilterAgreement]]) so the rule text exists once. */
+  def ruleCols(t: Column): Seq[Column] = {
     val toks = Text.tokens(t)
     val nWords = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
@@ -46,17 +44,33 @@ object Gopher {
     // every ratio rule compares on the integer lattice (10·x ≤ 9·n
     // instead of x/n ≤ 0.9): immune to float-division and
     // float-boundary drift across engines and engine versions
-    docs.select(col(idCol), col(srcCol), nWords.as("n_words"),
-        (nWords >= 50 && nWords <= 100000).as("r_wordcount"),
-        (nWords > 0 && sumLen >= lit(3L) * nWords &&
-          sumLen <= lit(10L) * nWords).as("r_wordlen"),
-        (nWords > 0 && lit(10L) * symbols <= nWords).as("r_symbol"),
-        (lit(10L) * bulletLines <= lit(9L) * nLines).as("r_bullet"),
-        (lit(10L) * ellipsisLines <= lit(3L) * nLines)
-          .as("r_ellipsis"),
-        (nWords > 0 && lit(5L) * alphaWords >= lit(4L) * nWords)
-          .as("r_alpha"),
-        (nStop >= 2).as("r_stopwords"))
+    Seq(
+      nWords >= 50 && nWords <= 100000,
+      nWords > 0 && sumLen >= lit(3L) * nWords &&
+        sumLen <= lit(10L) * nWords,
+      nWords > 0 && lit(10L) * symbols <= nWords,
+      lit(10L) * bulletLines <= lit(9L) * nLines,
+      lit(10L) * ellipsisLines <= lit(3L) * nLines,
+      nWords > 0 && lit(5L) * alphaWords >= lit(4L) * nWords,
+      nStop >= 2)
+  }
+
+  /** All seven rules as one boolean Column (the page-level verdict). */
+  def passAll(t: Column): Column = ruleCols(t).reduce(_ && _)
+
+  /** Per-document rule flags:
+    * (idCol, srcCol, n_words, r_wordcount, r_wordlen, r_symbol,
+    * r_bullet, r_ellipsis, r_alpha, r_stopwords, pass_all). */
+  def annotate(docs: DataFrame, idCol: String, srcCol: String,
+               textCol: String): DataFrame = {
+    val t = col(textCol)
+    val r = ruleCols(t)
+    docs.select(col(idCol), col(srcCol),
+        size(Text.tokens(t)).cast("long").as("n_words"),
+        r(0).as("r_wordcount"), r(1).as("r_wordlen"),
+        r(2).as("r_symbol"), r(3).as("r_bullet"),
+        r(4).as("r_ellipsis"), r(5).as("r_alpha"),
+        r(6).as("r_stopwords"))
       .withColumn("pass_all",
         col("r_wordcount") && col("r_wordlen") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
@@ -85,14 +99,18 @@ object Gopher {
       .orderBy("source")
   }
 
-  /** DuckDB twin of [[funnel]] over the documents table. */
-  def funnelOracleSql(): String = {
+  /** CTE chain `base → per → flags → gflags`: per-document Gopher rule
+    * flags over the CTE `$from(doc_id, source, text)`. `gflags` exposes
+    * (doc_id, source, r_wordcount … r_stopwords, pass_all) — the SQL
+    * mirror of [[ruleCols]], shared by [[funnelOracleSql]] and the
+    * filter-agreement twin so the rule text exists once per engine. */
+  def flagsSqlCtes(from: String): String = {
     val stopList = stopWords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH base AS (SELECT source,
+    s"""base AS (SELECT doc_id, source,
             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
               x -> length(x) > 0) AS toks,
-            text FROM documents),
-        per AS (SELECT source,
+            text FROM $from),
+        per AS (SELECT doc_id, source,
             CAST(len(toks) AS BIGINT) AS nw,
             CAST(list_sum(list_transform(toks, w -> length(w)))
               AS BIGINT) AS sl,
@@ -109,7 +127,7 @@ object Gopher {
           FROM base),
         -- integer-lattice rule boundaries (10·x <= 9·n, never x/n
         -- <= 0.9): immune to float-division drift across versions
-        flags AS (SELECT source,
+        flags AS (SELECT doc_id, source,
             (nw >= 50 AND nw <= 100000) AS r_wordcount,
             (nw > 0 AND sl >= 3 * nw AND sl <= 10 * nw) AS r_wordlen,
             (nw > 0 AND 10 * sym <= nw) AS r_symbol,
@@ -124,10 +142,16 @@ object Gopher {
             (nw > 0 AND 5 * alphaw >= 4 * nw) AS r_alpha,
             (nstop >= 2) AS r_stopwords
           FROM per),
-        f2 AS (SELECT *,
+        gflags AS (SELECT *,
             (r_wordcount AND r_wordlen AND r_symbol AND r_bullet
               AND r_ellipsis AND r_alpha AND r_stopwords) AS pass_all
-          FROM flags)
+          FROM flags)"""
+  }
+
+  /** DuckDB twin of [[funnel]] over the documents table. */
+  def funnelOracleSql(): String =
+    s"""WITH docs0 AS (SELECT doc_id, source, text FROM documents),
+        ${flagsSqlCtes("docs0")}
         SELECT source, COUNT(*) AS n_docs,
           CAST(SUM(CASE WHEN r_wordcount THEN 1 ELSE 0 END) AS BIGINT)
             AS pass_wordcount,
@@ -147,6 +171,5 @@ object Gopher {
             AS pass_all,
           ROUND(SUM(CASE WHEN pass_all THEN 1 ELSE 0 END)
             / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
-        FROM f2 GROUP BY source ORDER BY source"""
-  }
+        FROM gflags GROUP BY source ORDER BY source"""
 }
