@@ -3888,7 +3888,26 @@ object SparkEntry {
       // RAKE multi-word keyphrases per source on the millionths
       // integer lattice (deg/freq word scores, exact integer sums)
       graft.text.Rake.keywordsBySource(t(s, dir, "documents"),
-        "source", "text", lang = "en", maxLen = 4, topK = 10))
+        "source", "text", lang = "en", maxLen = 4, topK = 10)),
+    "q507_m4_downsample" -> ((s, dir) =>
+      // M4 visualization downsampling (VLDB 2014): first/last/min/max
+      // per (series, hour) with a total-order tie-break key
+      graft.operators.Downsample.m4(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value")),
+    "q508_time_weighted_avg" -> ((s, dir) =>
+      // LOCF time-weighted average per event type — day-bucketed
+      // telescoping-sum kernel, algebraically equal to the flat window
+      graft.operators.TimeWeighted.timeWeightedAvg(t(s, dir, "events"),
+        "event_type", "ts", "event_id", "value")),
+    "q509_stickiness" -> ((s, dir) =>
+      // DAU/MAU engagement: integer user-day cells, two exact divisions
+      graft.operators.Cohorts.stickiness(t(s, dir, "events"),
+        "user_id", "ts")),
+    "q510_marginals" -> ((s, dir) =>
+      // GROUPING SETS marginals: per-dim totals + grand total in one
+      // scan — the non-hierarchical shape rollup/cube can't express
+      graft.operators.Reporting.marginals(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_quantity"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8219,6 +8238,15 @@ object SparkEntry {
            FROM documents"""),
     "q506_rake_keywords" -> graft.text.Rake.keywordsOracleSql(
       Text.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")),
+    "q507_m4_downsample" -> graft.operators.Downsample.m4OracleSql(
+      "event_type", "ts", "event_id", "value", "events"),
+    "q508_time_weighted_avg" -> graft.operators.TimeWeighted
+      .timeWeightedAvgOracleSql("event_type", "ts", "event_id",
+        "value", "events"),
+    "q509_stickiness" -> graft.operators.Cohorts
+      .stickinessOracleSql("user_id", "ts", "events"),
+    "q510_marginals" -> graft.operators.Reporting.marginalsOracleSql(
+      "l_returnflag", "l_linestatus", "l_quantity", "lineitem"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

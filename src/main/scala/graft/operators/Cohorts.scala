@@ -297,4 +297,52 @@ object Cohorts {
           CAST(n_resurrected AS BIGINT) AS n_resurrected,
           CAST(n_churned AS BIGINT) AS n_churned
         FROM mg CROSS JOIN mx WHERE day <= m ORDER BY day"""
+
+  /** Monthly stickiness — the DAU/MAU engagement ratio: how much of
+    * the month's audience shows up on an average day. Definitionally
+    * stickiness = mean(DAU)/MAU = user_days / (n_days · MAU); both
+    * divisions run once over exact integer counts, so the read is
+    * bit-exact cross-engine. Complements [[growthAccounting]] (flow)
+    * with the intensity read (stock usage depth).
+    *
+    * Scale shape: one distinct over (month, day, user) — a single
+    * corpus-scale shuffle with map-side partial dedup — then one
+    * month-grain aggregate (two count-distincts expand to the usual
+    * Expand plan over month-sized cells). Returns (month, n_days, mau,
+    * user_days, avg_dau 6dp, stickiness 6dp). */
+  def stickiness(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame = {
+    val ev = graft.core.Tables.ltzTs(events, tsCol)
+    ev.select(
+        date_format(date_trunc("month", col(tsCol)), "yyyy-MM-01")
+          .as("month"),
+        to_date(col(tsCol)).as("__day"),
+        col(userCol).as("__u"))
+      .distinct()
+      .groupBy("month")
+      .agg(countDistinct(col("__day")).as("n_days"),
+        countDistinct(col("__u")).as("mau"),
+        count(lit(1)).as("user_days"))
+      .withColumn("avg_dau",
+        round(col("user_days").cast("double") / col("n_days"), 6))
+      .withColumn("stickiness",
+        round(col("user_days").cast("double") /
+          (col("n_days") * col("mau")), 6))
+      .orderBy("month")
+  }
+
+  /** DuckDB twin of [[stickiness]]. */
+  def stickinessOracleSql(userExpr: String, tsExpr: String,
+                          table: String): String =
+    s"""WITH dd AS (SELECT DISTINCT
+            strftime(date_trunc('month', $tsExpr), '%Y-%m-01') AS month,
+            CAST($tsExpr AS DATE) AS day, $userExpr AS u
+          FROM $table)
+        SELECT month, COUNT(DISTINCT day) AS n_days,
+          COUNT(DISTINCT u) AS mau, COUNT(*) AS user_days,
+          ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT day), 6)
+            AS avg_dau,
+          ROUND(CAST(COUNT(*) AS DOUBLE) /
+            (COUNT(DISTINCT day) * COUNT(DISTINCT u)), 6) AS stickiness
+        FROM dd GROUP BY month ORDER BY month"""
 }

@@ -902,4 +902,45 @@ object Reporting {
           CAST(MIN(CASE WHEN cm * 100 >= n * 99 THEN lead END)
             AS BIGINT) AS p99_days
         FROM cum GROUP BY priority ORDER BY priority"""
+
+  /** Disjoint-dimension marginals in ONE scan via GROUPING SETS —
+    * the grouping-set shape ROLLUP (q147, hierarchical) and CUBE
+    * (q148, full lattice) cannot express: per-dim1 totals, per-dim2
+    * totals, and the grand total, with NO (dim1, dim2) cross cells.
+    * `lvl` is the explicit grouping level (grouping(d1)·2 +
+    * grouping(d2)); rolled-up dimensions surface as 'ALL' instead of
+    * NULL so the compare never depends on engine null-sort order.
+    *
+    * Scale shape at 100 TB: Spark expands each input row once per
+    * grouping set (3×) before ONE aggregate exchange — still a single
+    * scan of the fact table where three separate GROUP BYs would scan
+    * three times. Returns (lvl, d1, d2, n, total 6dp-exact decimal
+    * sum as double). */
+  def marginals(df: DataFrame, dim1: String, dim2: String,
+                valCol: String): DataFrame = {
+    val v = sum(col(valCol).cast(DecimalType(18, 2))).cast("double")
+    df.groupingSets(
+        Seq(Seq(col(dim1)), Seq(col(dim2)), Seq.empty[Column]),
+        col(dim1), col(dim2))
+      // grouping() is only legal inside the grouping-sets aggregate
+      .agg((grouping(col(dim1)) * 2 + grouping(col(dim2))).as("lvl"),
+        count(lit(1)).as("n"), v.as("total"))
+      .select(col("lvl"),
+        coalesce(col(dim1), lit("ALL")).as(dim1),
+        coalesce(col(dim2), lit("ALL")).as(dim2),
+        col("n"), col("total"))
+      .orderBy("lvl", dim1, dim2)
+  }
+
+  /** DuckDB twin of [[marginals]]. */
+  def marginalsOracleSql(dim1: String, dim2: String, valExpr: String,
+                         table: String): String =
+    s"""SELECT GROUPING($dim1) * 2 + GROUPING($dim2) AS lvl,
+          COALESCE($dim1, 'ALL') AS $dim1,
+          COALESCE($dim2, 'ALL') AS $dim2,
+          COUNT(*) AS n,
+          CAST(SUM(CAST($valExpr AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM $table
+        GROUP BY GROUPING SETS (($dim1), ($dim2), ())
+        ORDER BY lvl, $dim1, $dim2"""
 }
