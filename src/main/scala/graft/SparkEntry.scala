@@ -3907,7 +3907,26 @@ object SparkEntry {
       // GROUPING SETS marginals: per-dim totals + grand total in one
       // scan — the non-hierarchical shape rollup/cube can't express
       graft.operators.Reporting.marginals(t(s, dir, "lineitem"),
-        "l_returnflag", "l_linestatus", "l_quantity"))
+        "l_returnflag", "l_linestatus", "l_quantity")),
+    "q511_learning_curve" -> ((s, dir) =>
+      // is more data still buying accuracy? closed-form OLS learning
+      // curve (n_chars ~ word count), hash-bucket splits, one scan
+      graft.ml.LearningCurve.simpleOlsCurve(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(graft.text.Text.tokens(col("text"))).as("n_words_x"),
+          col("n_chars")),
+        "n_words_x", "n_chars", col("doc_id"))),
+    "q512_winnow_spectrum" -> ((s, dir) =>
+      // operating curve for the winnow dedup threshold: pair volume
+      // (verify-stage cost) at every n_shared cut
+      graft.dedup.Winnowing.sharedSpectrum(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4, maxDf = 10)),
+    "q513_minhash_calibration" -> ((s, dir) =>
+      // MinHash reliability table: estimated vs exact Jaccard per
+      // estimate decile on a fixed audit sample (salted-md5 minima)
+      graft.dedup.SketchCalibration.minhashReliability(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, idCap = 200))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8247,6 +8266,15 @@ object SparkEntry {
       .stickinessOracleSql("user_id", "ts", "events"),
     "q510_marginals" -> graft.operators.Reporting.marginalsOracleSql(
       "l_returnflag", "l_linestatus", "l_quantity", "lineitem"),
+    "q511_learning_curve" -> graft.ml.LearningCurve
+      .simpleOlsCurveOracleSql(
+        """len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             w -> length(w) > 0))""",
+        "n_chars", "doc_id", "documents"),
+    "q512_winnow_spectrum" -> graft.dedup.Winnowing
+      .sharedSpectrumOracleSql(k = 3, w = 4, maxDf = 10),
+    "q513_minhash_calibration" -> graft.dedup.SketchCalibration
+      .minhashReliabilityOracleSql(numHashes = 16, idCap = 200),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -128,6 +128,38 @@ object Winnowing {
       .orderBy("id_a", "id_b")
   }
 
+  /** Operating curve for the [[candidatePairs]] threshold: how many
+    * pairs survive each n_shared cut. Returns one row per observed
+    * n_shared value — (n_shared, n_pairs, n_pairs_at_least) with the
+    * cumulative count from the top — so a pipeline owner reads off the
+    * pair volume (and thus the verify-stage cost) of any minShared
+    * choice before committing to one. The cumulative window runs on
+    * the spectrum frame: distinct-n_shared-sized, metadata not corpus. */
+  def sharedSpectrum(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, w: Int = 4, maxDf: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spec = candidatePairs(docs, idCol, textCol, k, w,
+        minShared = 1, maxDf = maxDf)
+      .groupBy("n_shared")
+      .agg(count(lit(1)).as("n_pairs"))
+    spec.withColumn("n_pairs_at_least",
+        sum("n_pairs").over(Window.orderBy(col("n_shared").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("n_shared")
+  }
+
+  /** DuckDB twin of [[sharedSpectrum]]. */
+  def sharedSpectrumOracleSql(k: Int = 3, w: Int = 4,
+                              maxDf: Int = 10): String =
+    s"""WITH pairs AS (${candidatePairsOracleSql(k, w, 1, maxDf)}),
+        spec AS (SELECT n_shared, COUNT(*) AS n_pairs
+          FROM pairs GROUP BY n_shared)
+        SELECT n_shared, n_pairs,
+          CAST(SUM(n_pairs) OVER (ORDER BY n_shared DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_pairs_at_least
+        FROM spec ORDER BY n_shared"""
+
   private def selectedSql(k: Int, w: Int, srcCol: String): String =
     s"""toks AS (SELECT doc_id, $srcCol,
             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
