@@ -37,7 +37,10 @@ object LearningCurve {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
     val cells = df.filter(x.isNotNull && y.isNotNull)
-      .select(pmod(keyExpr * lit(2654435761L), lit(100)).as("__b"),
+      // pre-mod by 1e9+7 keeps the Knuth product inside int64 for any
+      // key domain (1e9·2654435761 < 2^63; a raw 1e10 key overflows)
+      .select(pmod(pmod(keyExpr, lit(1000000007L)) * lit(2654435761L),
+          lit(100)).as("__b"),
         x.as("__x"), y.as("__y"))
       .groupBy("__b")
       .agg(count(lit(1)).as("n"), sum("__x").as("sx"),
@@ -84,7 +87,8 @@ object LearningCurve {
                               fractions: Seq[Int] = Seq(10, 20, 40, 80),
                               testFrom: Int = 80): String = {
     val frList = fractions.mkString("[", ", ", "]")
-    s"""WITH b AS (SELECT (($keyExpr) * 2654435761) % 100 AS bucket,
+    s"""WITH b AS (SELECT
+            ((($keyExpr) % 1000000007) * 2654435761) % 100 AS bucket,
             CAST($xExpr AS DOUBLE) AS x, CAST($yExpr AS DOUBLE) AS y
           FROM $table
           WHERE $xExpr IS NOT NULL AND $yExpr IS NOT NULL),
