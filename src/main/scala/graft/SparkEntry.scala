@@ -3926,7 +3926,17 @@ object SparkEntry {
       // estimate decile on a fixed audit sample (salted-md5 minima)
       graft.dedup.SketchCalibration.minhashReliability(
         t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 16, idCap = 200))
+        numHashes = 16, idCap = 200)),
+    "q514_brunner_munzel" -> ((s, dir) =>
+      // heteroscedastic-robust rank test (the Mann-Whitney upgrade):
+      // bucketed rank kernel for combined AND within-group mid-ranks
+      graft.eda.RankTests.brunnerMunzel(t(s, dir, "events"),
+        "event_type", "value", "click", "view")),
+    "q515_cucconi" -> ((s, dir) =>
+      // joint location-scale rank test (beats separate Wilcoxon +
+      // Ansari-Bradley); exp(-C) asymptotic p
+      graft.eda.RankTests.cucconi(t(s, dir, "events"),
+        "event_type", "value", "purchase", "view"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8275,6 +8285,12 @@ object SparkEntry {
       .sharedSpectrumOracleSql(k = 3, w = 4, maxDf = 10),
     "q513_minhash_calibration" -> graft.dedup.SketchCalibration
       .minhashReliabilityOracleSql(numHashes = 16, idCap = 200),
+    "q514_brunner_munzel" -> graft.eda.RankTests
+      .brunnerMunzelOracleSql("event_type", "value", "events",
+        "click", "view"),
+    "q515_cucconi" -> graft.eda.RankTests
+      .cucconiOracleSql("event_type", "value", "events",
+        "purchase", "view"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,

@@ -157,9 +157,12 @@ object Metrics {
     * exact; no single-partition sort at any cardinality. */
   private[graft] def rowAvgRanks(df: DataFrame, valueCol: String,
                                  rankAs: String,
-                                 buckets: Int = 256): DataFrame = {
+                                 buckets: Int = 256,
+                                 partitionCols: Seq[String] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol)
+    val parts = partitionCols.map(col)
     val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__bkt",
@@ -169,15 +172,18 @@ object Metrics {
               ((col("__hi") - col("__lo")) / buckets)),
             lit(buckets - 1))).cast("int"))
       .drop("__lo", "__hi")
-    val wOff = Window.orderBy("__bkt")
+    // with partitionCols, ranks restart per partition: offsets cumulate
+    // per partition over the (partitions × buckets)-row totals frame
+    val wOff = Window.partitionBy(parts: _*).orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__bkt")
+    val offsets = bucketed.groupBy(parts :+ col("__bkt"): _*)
       .agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(sum("__bn").over(wOff), lit(0L)))
       .drop("__bn")
-    val wIn = Window.partitionBy("__bkt").orderBy(v)
-    val wTie = Window.partitionBy(col("__bkt"), v)
-    bucketed.join(broadcast(offsets), "__bkt")
+    val wIn = Window.partitionBy(parts :+ col("__bkt"): _*).orderBy(v)
+    val wTie = Window.partitionBy(parts :+ col("__bkt") :+ v: _*)
+    bucketed.join(broadcast(offsets),
+        partitionCols :+ "__bkt")
       .withColumn("__minr", rank().over(wIn))
       .withColumn("__ties", count(lit(1)).over(wTie))
       .withColumn(rankAs,
