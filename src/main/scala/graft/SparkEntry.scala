@@ -3936,7 +3936,22 @@ object SparkEntry {
       // joint location-scale rank test (beats separate Wilcoxon +
       // Ansari-Bradley); exp(-C) asymptotic p
       graft.eda.RankTests.cucconi(t(s, dir, "events"),
-        "event_type", "value", "purchase", "view"))
+        "event_type", "value", "purchase", "view")),
+    "q516_isotonic_calibration" -> ((s, dir) =>
+      // exact PAV fit (minimax form) of P(purchase) vs event value:
+      // one corpus scan to B buckets, then metadata-frame algebra
+      graft.ml.Isotonic.calibrate(
+        t(s, dir, "events").select(col("value"),
+          (col("event_type") === "purchase").as("is_purchase")),
+        "value", "is_purchase")),
+    "q517_copula_grid" -> ((s, dir) =>
+      // rank-space dependence heatmap (empirical copula deciles) of
+      // document length in words vs chars
+      graft.eda.Copula.copulaGrid(
+        t(s, dir, "documents").select(
+          size(graft.text.Text.tokens(col("text"))).as("n_words_x"),
+          col("n_chars")),
+        "n_words_x", "n_chars"))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8291,6 +8306,12 @@ object SparkEntry {
     "q515_cucconi" -> graft.eda.RankTests
       .cucconiOracleSql("event_type", "value", "events",
         "purchase", "view"),
+    "q516_isotonic_calibration" -> graft.ml.Isotonic
+      .calibrateOracleSql("value", "event_type = 'purchase'", "events"),
+    "q517_copula_grid" -> graft.eda.Copula.copulaGridOracleSql(
+      """len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           w -> length(w) > 0))""",
+      "n_chars", "documents"),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,
