@@ -3951,7 +3951,17 @@ object SparkEntry {
         t(s, dir, "documents").select(
           size(graft.text.Text.tokens(col("text"))).as("n_words_x"),
           col("n_chars")),
-        "n_words_x", "n_chars"))
+        "n_words_x", "n_chars")),
+    "q518_char_js_matrix" -> ((s, dir) =>
+      // orthographic style drift: char-trigram JS divergence between
+      // every source pair (intersection join + totals, no vocab union)
+      graft.text.StyleDrift.charJsMatrix(t(s, dir, "documents"),
+        "source", "text", n = 3)),
+    "q519_jl_distortion" -> ((s, dir) =>
+      // JL projection audit: per true-cosine decile, the realized
+      // distortion of k=16 md5-sign projections on a fixed sample
+      graft.proximity.JlAudit.jlDistortion(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 16, idCap = 500))
   )
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
@@ -8312,6 +8322,10 @@ object SparkEntry {
       """len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
            w -> length(w) > 0))""",
       "n_chars", "documents"),
+    "q518_char_js_matrix" ->
+      graft.text.StyleDrift.charJsMatrixOracleSql(n = 3),
+    "q519_jl_distortion" ->
+      graft.proximity.JlAudit.jlDistortionOracleSql(k = 16, idCap = 500),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,
