@@ -2378,14 +2378,22 @@ object SparkEntry {
       // classes — additive Theil-T identity on 3 sufficient stats
       graft.eda.Concentration.theilDecomposition(
         t(s, dir, "orders"), "o_orderpriority", "o_totalprice")),
-    "q285_hierarchy_flatten" -> ((s, dir) =>
+    "q285_hierarchy_flatten" -> ((s, dir) => {
       // synthetic part taxonomy (parent = k/2, 3 roots): resolve every
-      // node's root + depth by pointer doubling, O(log depth) joins
+      // node's root + depth by pointer doubling, O(log depth) joins.
+      // Parents derive from the key's low digits (mod the ScaleUp
+      // replica step) so key-shifted ladder replicas each form their
+      // own closed taxonomy — identical to plain k/2 at base scales
+      // (keys < 1e8), but convergent at every ladder factor (the
+      // r10-r12 ladder entries for this query were silently measuring
+      // time-to-exception on dangling cross-replica parents).
+      val lk = pmod(col("p_partkey"), lit(100000000L))
       graft.operators.Hierarchy.flatten(
         t(s, dir, "part").select(col("p_partkey").as("id"),
-          when(col("p_partkey") > 3, floor(col("p_partkey") / 2))
+          when(lk > 3, col("p_partkey") - lk + floor(lk / 2))
             .as("parent")),
-        "id", "parent")),
+        "id", "parent")
+    }),
     "q286_cumulative_distinct" -> ((s, dir) =>
       // daily audience growth: events, first-seen users, cumulative
       // distinct users — two corpus passes + a calendar window
