@@ -29,8 +29,13 @@ object Isotonic {
                 buckets: Int = 20): DataFrame = {
     val v = col(scoreCol).cast("double")
     val y = col(labelCol).cast("boolean")
-    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
-    val cells = df.filter(v.isNotNull && y.isNotNull)
+    // bounds come from the SAME filtered frame as the cells (ADVICE r12:
+    // a null-label or NaN-score row holding the min/max score would
+    // shift the Spark bucket edges but not the oracle's, diverging every
+    // bucket assignment); NaN scores are dropped like Copula/RankTests
+    val src = df.filter(v.isNotNull && y.isNotNull && !isnan(v))
+    val bounds = src.agg(min(v).as("__lo"), max(v).as("__hi"))
+    val cells = src
       .crossJoin(broadcast(bounds))
       .withColumn("__b",
         when(col("__hi") === col("__lo"), lit(0))
@@ -86,7 +91,9 @@ object Isotonic {
     s"""WITH src AS (SELECT CAST($scoreExpr AS DOUBLE) AS v,
             ($labelExpr) AS y
           FROM $table
-          WHERE $scoreExpr IS NOT NULL AND ($labelExpr) IS NOT NULL),
+          WHERE $scoreExpr IS NOT NULL
+            AND NOT isnan(CAST($scoreExpr AS DOUBLE))
+            AND ($labelExpr) IS NOT NULL),
         bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src),
         cells AS (SELECT
             CASE WHEN hi = lo THEN 0

@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
 object LearningCurve {
 
   /** OLS learning curve of `yCol ~ xCol`. `keyExpr` must be an exact
-    * integer row key (split determinism). Buckets < frac train; buckets
+    * integer row key (split determinism) — negative keys are fine: the
+    * Spark side buckets with pmod and the oracle twin double-mods to
+    * the same non-negative residue (ADVICE r12: DuckDB's sign-preserving
+    * `%` would otherwise split negative keys differently per engine).
+    * Buckets < frac train; buckets
     * >= `testFrom` are the fixed holdout. Returns per fraction:
     * (frac, n_train, n_test, slope 6dp, intercept 6dp, r2_test 6dp). */
   def simpleOlsCurve(df: DataFrame, xCol: String, yCol: String,
@@ -88,7 +92,8 @@ object LearningCurve {
                               testFrom: Int = 80): String = {
     val frList = fractions.mkString("[", ", ", "]")
     s"""WITH b AS (SELECT
-            ((($keyExpr) % 1000000007) * 2654435761) % 100 AS bucket,
+            ((((($keyExpr) % 1000000007) + 1000000007) % 1000000007)
+              * 2654435761) % 100 AS bucket,
             CAST($xExpr AS DOUBLE) AS x, CAST($yExpr AS DOUBLE) AS y
           FROM $table
           WHERE $xExpr IS NOT NULL AND $yExpr IS NOT NULL),

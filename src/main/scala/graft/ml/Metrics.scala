@@ -191,6 +191,142 @@ object Metrics {
       .drop("__bkt", "__off", "__minr", "__ties")
   }
 
+  /** Exact global `ntile(n)` without a corpus-sized single-partition
+    * window — the scale form of `ntile(n) OVER (ORDER BY value, ties...)`
+    * convicted in q54/q262/q266 (VERDICT r12 item 2; same killer shape
+    * as r11's q439). ntile is pure integer arithmetic on the global row
+    * number k: with size = N div n and rem = N mod n, the first rem
+    * tiles hold size+1 rows, so
+    *   tile(k) = (k-1) div (size+1) + 1                 if k <= rem*(size+1)
+    *           = rem + (k-rem*(size+1)-1) div size + 1  otherwise
+    * and the global row number itself comes from the bucketed rank
+    * pipeline: range-bucket rows on the (double-cast, desc-negated)
+    * value (bounds from ONE broadcast aggregate), cumulate bucket
+    * offsets over the ≤`buckets`-row totals frame (metadata window),
+    * then ONE row-level shuffle partitioned by bucket feeds a
+    * row_number window ordered by (value, tieCols) — ties always share
+    * a bucket (the bucket is a function of the value), so
+    * offset + within-bucket row_number is the exact global row number.
+    * Null/NaN values route to the edge buckets matching Spark's sort
+    * placement (asc: nulls first / NaN last; desc: NaN first / nulls
+    * last). `tieCols` must complete a total order (ascending), exactly
+    * as the window form requires for determinism.
+    *
+    * Routing (the q320/q345/q381 pattern): inputs at or below the
+    * [[RankSmallMaxRows]]/[[RankSmallMaxBytes]] statistics gate keep
+    * the plain window form — identical results, no extra shuffles at
+    * interactive scale. */
+  private[graft] def bucketedNtile(df: DataFrame, valueCol: String, n: Int,
+                                   as: String,
+                                   tieCols: Seq[org.apache.spark.sql.Column] = Nil,
+                                   desc: Boolean = false,
+                                   buckets: Int = 256,
+                                   smallMaxRows: Long = RankSmallMaxRows)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val ord = (if (desc) v.desc else v.asc) +: tieCols.map(_.asc)
+    val small = smallMaxRows > 0 && {
+      val st = df.queryExecution.optimizedPlan.stats
+      st.rowCount.map(_.toLong <= smallMaxRows)
+        .getOrElse(st.sizeInBytes <= RankSmallMaxBytes)
+    }
+    graft.core.Routing.record("ntile-kernel",
+      if (small) "window" else "bucketed", -1)
+    if (small)
+      return df.withColumn(as, ntile(n).over(Window.orderBy(ord: _*)))
+    val key = if (desc) -v.cast("double") else v.cast("double")
+    // edge buckets mirror Spark's default sort placement: asc_nulls_first
+    // (nulls lowest bucket, NaN highest), desc_nulls_last (NaN highest
+    // value → lowest bucket, nulls last) — within a shared edge bucket
+    // the window's own comparator restores the exact order
+    val nullB = if (desc) buckets - 1 else 0
+    val nanB = if (desc) 0 else buckets - 1
+    val bounds = df.agg(
+      min(when(!isnan(key), key)).as("__lo"),
+      max(when(!isnan(key), key)).as("__hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(v.isNull, lit(nullB))
+          .when(isnan(key), lit(nanB))
+          .when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(
+            floor((key - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)),
+            lit((buckets - 1).toLong)).cast("int")))
+      .drop("__lo", "__hi")
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("__bkt").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = bucketed.groupBy("__bkt")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .withColumn("__N", sum("__bn").over(wAll))
+      .drop("__bn")
+    val wIn = Window.partitionBy("__bkt").orderBy(ord: _*)
+    bucketed.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__k", col("__off") + row_number().over(wIn))
+      .withColumn("__ts", expr(s"__N div $n"))
+      .withColumn("__rem", col("__N") % n)
+      .withColumn(as,
+        when(col("__k") <= col("__rem") * (col("__ts") + 1),
+          expr("(__k - 1) div (__ts + 1) + 1"))
+          .otherwise(expr("__rem + (__k - __rem * (__ts + 1) - 1) div __ts + 1"))
+          .cast("int"))
+      .drop("__bkt", "__off", "__N", "__k", "__ts", "__rem")
+  }
+
+  /** Distinct-score cells with DESCENDING cumulative (count, positive)
+    * suffix sums — the shared frame behind the screening-metric family
+    * (partialAuc / operatingPoints / costCurve): for each distinct
+    * score s of `base` (columns `__s` double, `__y` 0/1 long),
+    * (__s, __c, __p, __cge, __pge, __nt, __np) where __cge/__pge count
+    * rows with score ≥ s and __nt/__np are the frame totals.
+    *
+    * Scale shape (VERDICT r12 stretch item): the desc cumulative is an
+    * unpartitioned window over DISTINCT-score cells — metadata-sized
+    * for coarse scores but corpus-sized the moment the score is
+    * continuous. Above the statistics gate it routes through
+    * [[rankedScores]] (bucket-partitioned prefix sums; ≥-suffix =
+    * total − exclusive-ascending-prefix, exact integer arithmetic);
+    * below it the plain desc window stays (two fewer shuffles at
+    * interactive scale). */
+  private[graft] def descCumScoreCells(base: DataFrame,
+                                       buckets: Int = 256,
+                                       smallMaxRows: Long = RankSmallMaxRows)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val small = smallMaxRows > 0 && {
+      val st = base.queryExecution.optimizedPlan.stats
+      st.rowCount.map(_.toLong <= smallMaxRows)
+        .getOrElse(st.sizeInBytes <= RankSmallMaxBytes)
+    }
+    graft.core.Routing.record("desc-cum",
+      if (small) "window" else "bucketed", -1)
+    if (small) {
+      val cells = base.groupBy("__s")
+        .agg(count(lit(1)).as("__c"), sum("__y").as("__p"))
+      val w = Window.orderBy(col("__s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = cells.agg(sum("__c").as("__nt"), sum("__p").as("__np"))
+      cells
+        .withColumn("__cge", sum("__c").over(w))
+        .withColumn("__pge", sum("__p").over(w))
+        .crossJoin(broadcast(tot))
+    } else {
+      val ranked = rankedScores(base.withColumn("__g", lit(0)),
+        "__g", "__y", "__s", buckets, smallMaxRows = 0)
+      val tot = base.agg(count(lit(1)).as("__nt"), sum("__y").as("__np"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("score").as("__s"), col("n").as("__c"),
+          col("n_pos").as("__p"),
+          (col("__nt") - col("before")).as("__cge"),
+          (col("__np") - col("before_pos")).as("__pge"),
+          col("__nt"), col("__np"))
+    }
+  }
+
   /** Spearman rank correlation of two numeric columns: Pearson `corr`
     * over tie-averaged ranks (scipy.stats.spearmanr semantics — the
     * confidence-to-error calibration measure in

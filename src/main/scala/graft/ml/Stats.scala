@@ -674,7 +674,7 @@ object Stats {
               AS BIGINT) AS d
           FROM units),
         nn AS (SELECT a, b, cc, d, a + b + cc + d AS n FROM cells),
-        lf AS (SELECT i,
+        lf AS MATERIALIZED (SELECT i,
             SUM(LN(GREATEST(i, 1))) OVER (ORDER BY i
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
           FROM (SELECT UNNEST(range(0, (SELECT n FROM nn) + 1)) AS i)),
@@ -682,7 +682,7 @@ object Stats {
             GREATEST(0, (SELECT a + cc FROM nn) - (SELECT cc + d FROM nn)),
             LEAST((SELECT a + b FROM nn), (SELECT a + cc FROM nn)) + 1))
             AS k),
-        lp AS (SELECT ks.k,
+        lp AS MATERIALIZED (SELECT ks.k,
             lr1.lf + lr2.lf + lc1.lf + lc2.lf - lnn.lf
               - lk.lf - lak.lf - lck.lf - ldk.lf AS lp
           FROM ks

@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   * which answer IF it moves).
   *
   * Scale shape: one entity-level frame (already one row per unit),
-  * one ntile window to bucket, one groupBy to #buckets rows, then all
-  * cumulative math on that metadata-sized frame. The ntile window is
-  * global-ordered — fine because its input is the per-unit frame
-  * (entities, not events); at extreme unit counts swap ntile for a
-  * range-bucketed rank (the adaptive rank kernel `ml/Metrics.scala`
-  * route) without touching the downstream math.
+  * one exact-ntile bucketing pass, one groupBy to #buckets rows, then
+  * all cumulative math on that metadata-sized frame. The bucketing
+  * routes through [[graft.ml.Metrics.bucketedNtile]]: unit frames
+  * above the statistics gate take the range-bucketed rank kernel (no
+  * corpus-sized single-partition window); small frames keep the plain
+  * ntile window — identical assignment either way.
   */
 object Uplift {
 
@@ -33,11 +33,14 @@ object Uplift {
                    outcomeCol: String, tiebreakCol: String,
                    nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val w = Window.orderBy(col("__s").desc, col("__tb").asc)
-    val bucketed = units.select(
+    // exact-ntile bucketed rank kernel (VERDICT r12 item 2): desc score
+    // order with the tiebreak ascending, no corpus-sized
+    // single-partition window above the statistics gate
+    val bucketed = graft.ml.Metrics.bucketedNtile(
+      units.select(
         treatCol.cast("int").as("__t"), col(scoreCol).as("__s"),
-        col(outcomeCol).cast("double").as("__y"), col(tiebreakCol).as("__tb"))
-      .withColumn("__b", ntile(nBuckets).over(w))
+        col(outcomeCol).cast("double").as("__y"), col(tiebreakCol).as("__tb")),
+      "__s", nBuckets, "__b", tieCols = Seq(col("__tb")), desc = true)
     val perB = bucketed.groupBy(col("__b").as("bucket"))
       .agg(
         sum(col("__t")).cast("long").as("n_treat"),

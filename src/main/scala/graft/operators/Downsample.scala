@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * Determinism discipline: first/last are argmin/argmax over a
   * zero-padded `(epoch-micros, order-key)` string — a TOTAL order (the
   * order key is unique), so ties on the timestamp resolve identically
-  * on every engine; min/max of stored doubles are exact.
+  * on every engine; min/max of stored doubles are exact. Domain
+  * requirement (ADVICE r12): timestamps must be post-1970 and the
+  * order key non-negative and ≤20 digits — a '-' sign defeats the
+  * zero-pad and lpad TRUNCATES wider inputs (both engines), breaking
+  * the total order.
   *
   * Scale shape at 100 TB: one groupBy on (series, bucket) — a single
   * shuffle with full map-side partial aggregation (all four extremes
@@ -28,7 +32,7 @@ object Downsample {
     val ev = graft.core.Tables.ltzTs(df, tsCol)
     val key = concat(
       lpad(unix_micros(col(tsCol)).cast("string"), 20, "0"),
-      lpad(col(ordCol).cast("string"), 12, "0"))
+      lpad(col(ordCol).cast("string"), 20, "0"))
     ev.filter(col(valCol).isNotNull)
       .groupBy(col(seriesCol).as("series"),
         date_format(date_trunc("hour", col(tsCol)), "yyyy-MM-dd HH:00")
@@ -49,10 +53,10 @@ object Downsample {
             AS bucket,
           COUNT(*) AS n,
           arg_min($valExpr, lpad(CAST(epoch_us($tsExpr) AS VARCHAR),
-            20, '0') || lpad(CAST($ordExpr AS VARCHAR), 12, '0'))
+            20, '0') || lpad(CAST($ordExpr AS VARCHAR), 20, '0'))
             AS v_open,
           arg_max($valExpr, lpad(CAST(epoch_us($tsExpr) AS VARCHAR),
-            20, '0') || lpad(CAST($ordExpr AS VARCHAR), 12, '0'))
+            20, '0') || lpad(CAST($ordExpr AS VARCHAR), 20, '0'))
             AS v_close,
           MIN($valExpr) AS v_low, MAX($valExpr) AS v_high
         FROM $table WHERE $valExpr IS NOT NULL

@@ -134,7 +134,7 @@ object MarkovAttribution {
                              idCol: String, convType: String,
                              steps: Int): String = {
     val rounds = (1 to steps).map { t =>
-      s"""m$t AS (SELECT v.scenario, p.dst AS state, SUM(v.mass * p.p) AS mass
+      s"""m$t AS MATERIALIZED (SELECT v.scenario, p.dst AS state, SUM(v.mass * p.p) AS mass
             FROM m${t - 1} v JOIN ps p
               ON v.scenario = p.scenario AND v.state = p.src
             GROUP BY 1, 2)"""
@@ -167,7 +167,7 @@ object MarkovAttribution {
           WHERE src <> '__START__'),
         scen AS (SELECT '__base__' AS scenario
           UNION ALL SELECT 'rm_' || channel FROM ch),
-        ps AS (SELECT scenario, src, dst, SUM(p) AS p FROM (
+        ps AS MATERIALIZED (SELECT scenario, src, dst, SUM(p) AS p FROM (
             SELECT s.scenario, p.src,
               CASE WHEN s.scenario <> '__base__'
                 AND p.dst = substr(s.scenario, 4)

@@ -47,9 +47,11 @@ object TimeWeighted {
       .agg(sum(col("__v") * (col("__tn") - col("__t"))).as("__area"),
         count(lit(1)).as("__n"), sum("__v").as("__vs"),
         min("__t").as("__tf"), max("__t").as("__tl"),
+        // post-1970 ts + non-negative ≤20-digit ord required: a '-'
+        // sign defeats the zero-pad and lpad truncates wider inputs
         max_by(col("__v"), concat(
           lpad(col("__t").cast("string"), 20, "0"),
-          lpad(col("__o").cast("string"), 12, "0"))).as("__vl"))
+          lpad(col("__o").cast("string"), 20, "0"))).as("__vl"))
     // cross-bucket gap terms over the bucket-summary frame (days-sized)
     val wAcross = Window.partitionBy(col(keyCol)).orderBy("__b")
     intra

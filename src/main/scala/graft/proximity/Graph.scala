@@ -99,10 +99,10 @@ object Graph {
             FROM eg e JOIN lb${t - 1} l ON e.src = l.id GROUP BY e.dst, l.label),
           b$t AS (SELECT dst, label AS newlab FROM v$t
             QUALIFY row_number() OVER (PARTITION BY dst ORDER BY n DESC, label ASC) = 1),
-          lb$t AS (SELECT l.id, COALESCE(b.newlab, l.label) AS label
+          lb$t AS MATERIALIZED (SELECT l.id, COALESCE(b.newlab, l.label) AS label
             FROM lb${t - 1} l LEFT JOIN b$t b ON l.id = b.dst)"""
     }.mkString(",\n")
-    s"""WITH eg AS ($edgesCte),
+    s"""WITH eg AS MATERIALIZED ($edgesCte),
         nodes AS (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
         lb0 AS (SELECT id, id AS label FROM nodes),
         $rounds
@@ -164,13 +164,13 @@ object Graph {
             JOIN odeg o ON e.src = o.src GROUP BY e.dst),
           d$t AS (SELECT COALESCE(SUM(pr), 0) AS m FROM pr${t - 1}
             WHERE id NOT IN (SELECT src FROM eg)),
-          pr$t AS (SELECT nodes.id,
+          pr$t AS MATERIALIZED (SELECT nodes.id,
             (1 - $d) / $n + $d * (COALESCE(c.c, 0) + (SELECT m FROM d$t) / $n) AS pr
             FROM nodes LEFT JOIN c$t c USING (id))"""
     }.mkString(",\n")
-    s"""WITH eg AS ($edgesCte),
-        nodes AS (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
-        odeg AS (SELECT src, COUNT(*) AS deg FROM eg GROUP BY src),
+    s"""WITH eg AS MATERIALIZED ($edgesCte),
+        nodes AS MATERIALIZED (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
+        odeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM eg GROUP BY src),
         pr0 AS (SELECT id, 1.0 / $n AS pr FROM nodes),
         $rounds
         SELECT id, ROUND(pr, 6) AS pagerank FROM pr$iters"""
@@ -234,20 +234,20 @@ object Graph {
             JOIN odeg o ON e.src = o.src GROUP BY e.dst),
           d$t AS (SELECT COALESCE(SUM(pr), 0) AS m FROM pr${t - 1}
             WHERE id NOT IN (SELECT src FROM eg)),
-          pr$t AS (SELECT ev.id,
+          pr$t AS MATERIALIZED (SELECT ev.id,
             ((1 - $d) + $d * (SELECT m FROM d$t)) * ev.e
               + $d * COALESCE(c.c, 0) AS pr
             FROM ev LEFT JOIN c$t c USING (id))"""
     }.mkString(",\n")
-    s"""WITH eg AS ($edgesCte),
-        nodes AS (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
+    s"""WITH eg AS MATERIALIZED ($edgesCte),
+        nodes AS MATERIALIZED (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
         sd AS (SELECT DISTINCT id FROM ($seedsCte) s
           WHERE id IN (SELECT id FROM nodes)),
-        ev AS (SELECT nodes.id,
+        ev AS MATERIALIZED (SELECT nodes.id,
           CASE WHEN nodes.id IN (SELECT id FROM sd)
             THEN 1.0 / (SELECT COUNT(*) FROM sd) ELSE 0 END AS e
           FROM nodes),
-        odeg AS (SELECT src, COUNT(*) AS deg FROM eg GROUP BY src),
+        odeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM eg GROUP BY src),
         pr0 AS (SELECT id, e AS pr FROM ev),
         $rounds
         SELECT id, ROUND(pr, 6) AS ppr FROM pr$iters"""
@@ -671,18 +671,18 @@ object Graph {
     val rounds = (1 to iters).map { t =>
       s"""ar$t AS (SELECT e.dst AS id, SUM(h.h) AS s
             FROM eg e JOIN h${t - 1} h ON e.src = h.id GROUP BY e.dst),
-          a$t AS (SELECT n.id,
+          a$t AS MATERIALIZED (SELECT n.id,
             COALESCE(r.s, 0) / (SELECT SUM(s) FROM ar$t) AS a
             FROM nodes n LEFT JOIN ar$t r USING (id)),
           hr$t AS (SELECT e.src AS id, SUM(a.a) AS s
             FROM eg e JOIN a$t a ON e.dst = a.id GROUP BY e.src),
-          h$t AS (SELECT n.id,
+          h$t AS MATERIALIZED (SELECT n.id,
             COALESCE(r.s, 0) / (SELECT SUM(s) FROM hr$t) AS h
             FROM nodes n LEFT JOIN hr$t r USING (id))"""
     }.mkString(",\n")
     s"""WITH eg0 AS ($edgesCte),
-        eg AS (SELECT DISTINCT src, dst FROM eg0 WHERE src != dst),
-        nodes AS (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
+        eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM eg0 WHERE src != dst),
+        nodes AS MATERIALIZED (SELECT src AS id FROM eg UNION SELECT dst FROM eg),
         h0 AS (SELECT id, 1.0 AS h FROM nodes),
         $rounds
         SELECT h$iters.id, ROUND(h$iters.h, 6) AS hub,

@@ -51,16 +51,20 @@ object FilterAgreement {
           .as("n_gopher_only"),
         sum(when(!col("__c4") && !col("__g"), 1L).otherwise(0L))
           .as("n_neither"))
-    val n = col("n_docs")
-    val agree = col("n_both") + col("n_neither")
-    val c4p = col("n_both") + col("n_c4_only")
-    val gp = col("n_both") + col("n_gopher_only")
+    // the chance/n² products run in DOUBLE, not int64 (ADVICE r12: at
+    // >~3e9 docs per source the int64 products overflow); the int64
+    // SUMS stay exact, each factor is cast once, and both engines
+    // multiply the same doubles in the same order → still bit-exact
+    val n = col("n_docs").cast("double")
+    val agree = (col("n_both") + col("n_neither")).cast("double")
+    val c4p = (col("n_both") + col("n_c4_only")).cast("double")
+    val gp = (col("n_both") + col("n_gopher_only")).cast("double")
     val chance = c4p * gp + (n - c4p) * (n - gp)
     cells
-      .withColumn("agree_share", round(agree.cast("double") / n, 6))
+      .withColumn("agree_share", round(agree / n, 6))
       .withColumn("kappa", round(try_divide(
-        (n * agree - chance).cast("double"),
-        (n * n - chance).cast("double")), 6))
+        n * agree - chance,
+        n * n - chance), 6))
       .orderBy("source")
   }
 
@@ -100,14 +104,16 @@ object FilterAgreement {
           n_neither,
           ROUND(CAST(n_both + n_neither AS DOUBLE) / n_docs, 6)
             AS agree_share,
-          ROUND(CAST(n_docs * (n_both + n_neither)
-              - ((n_both + n_c4_only) * (n_both + n_gopher_only)
-                 + (n_docs - (n_both + n_c4_only))
-                   * (n_docs - (n_both + n_gopher_only))) AS DOUBLE)
-            / (n_docs * n_docs
-               - ((n_both + n_c4_only) * (n_both + n_gopher_only)
-                  + (n_docs - (n_both + n_c4_only))
-                    * (n_docs - (n_both + n_gopher_only)))), 6)
+          ROUND((CAST(n_docs AS DOUBLE) * CAST(n_both + n_neither AS DOUBLE)
+              - (CAST(n_both + n_c4_only AS DOUBLE)
+                   * CAST(n_both + n_gopher_only AS DOUBLE)
+                 + (CAST(n_docs AS DOUBLE) - CAST(n_both + n_c4_only AS DOUBLE))
+                   * (CAST(n_docs AS DOUBLE) - CAST(n_both + n_gopher_only AS DOUBLE))))
+            / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+               - (CAST(n_both + n_c4_only AS DOUBLE)
+                    * CAST(n_both + n_gopher_only AS DOUBLE)
+                  + (CAST(n_docs AS DOUBLE) - CAST(n_both + n_c4_only AS DOUBLE))
+                    * (CAST(n_docs AS DOUBLE) - CAST(n_both + n_gopher_only AS DOUBLE)))), 6)
             AS kappa
         FROM cells ORDER BY source"""
 }

@@ -105,15 +105,16 @@ object Transforms {
   /** ntile-based quantile split: adds a `quantile` bucket column 1..n
     * (reference: src/workbench/utils/pandas_utils.py:244-268).
     * `tiebreak` columns make the bucket assignment deterministic when
-    * values repeat. NOTE: a global ntile is a single-partition window —
-    * fine at the reference's interactive scale; at 100 TB compute bucket
-    * edges with approx percentiles and assign by range instead. */
+    * values repeat. Scale shape (VERDICT r12 item 2): inputs above the
+    * statistics gate route through the exact-ntile bucketed rank kernel
+    * ([[graft.ml.Metrics.bucketedNtile]]) — range-bucket + per-bucket
+    * row_number + integer tile arithmetic, no corpus-sized
+    * single-partition window; small inputs keep the plain ntile window
+    * (identical results, fewer shuffles at interactive scale). */
   def quantileSplit(df: DataFrame, valueCol: String, n: Int,
-                    tiebreak: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val order = (valueCol +: tiebreak).map(col)
-    df.withColumn("quantile", ntile(n).over(Window.orderBy(order: _*)))
-  }
+                    tiebreak: Seq[String] = Nil): DataFrame =
+    graft.ml.Metrics.bucketedNtile(df, valueCol, n, "quantile",
+      tiebreak.map(col))
 
   /** Row aggregation: mean of the numeric feature columns per group plus
     * a `group_count` (reference: algorithms/dataframe/storage/

@@ -124,7 +124,14 @@ def main(sfdir, outdir, json_out=None):
                 print(f"ROWS {name}: unreadable ({e})")
                 rec(name, None, None, None, None, None, "no_oracle_unreadable")
     if json_out is None:
-        rnd = os.environ.get("SPARK_GRAFT_ROUND", "12")
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            # infer like Bench does: the driver's BENCH_r{N}.json files
+            # name past rounds; this run belongs to max(N)+1
+            import re as _re
+            seen = [int(m.group(1)) for f in os.listdir("/root/repo")
+                    if (m := _re.match(r"BENCH_r(\d+)\.json$", f))]
+            rnd = str(max(seen) + 1) if seen else "current"
         json_out = f"correctness_local_r{rnd}.json"
     with open(json_out, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)

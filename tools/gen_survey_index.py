@@ -66,11 +66,18 @@ def main():
         existing[name] = line
     out_lines = []
     for n, rows_only, impl in rows:
+        suffix = " (rows)" if rows_only else ""
         if n in existing:
-            # keep hand-curated rows verbatim; only append missing queries
-            out_lines.append(existing[n])
+            # keep hand-curated rows verbatim — but the "(rows)" mark is
+            # machine truth (the oracleSql map), so reconcile it in place
+            # (VERDICT r12 item 4: q291 was hand-added without the mark)
+            line = existing[n]
+            cells = line.split("|")
+            if cells[1].strip() != f"{n}{suffix}".strip():
+                cells[1] = f" {n}{suffix} "
+                line = "|".join(cells)
+            out_lines.append(line)
         else:
-            suffix = " (rows)" if rows_only else ""
             out_lines.append(f"| {n}{suffix} | {impl} |")
     stale_extra = [k for k in existing if k not in {r[0] for r in rows}]
     if stale_extra:
