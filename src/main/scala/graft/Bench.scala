@@ -32,7 +32,7 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
     val routes = scala.collection.mutable.Map.empty[String, Seq[String]]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      val times = (1 to reps).map { _ =>
+      def timedRun(): Double = {
         graft.core.Routing.drain()
         val t0 = System.nanoTime()
         try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
@@ -41,8 +41,23 @@ object Bench {
         if (r.nonEmpty) routes(name) = r
         sec
       }
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to reps).foreach(_ => times += timedRun())
+      // heavy-query stabilization: without the old untimed pre-pass,
+      // rep 1 of a JIT-heavy query (MLlib training, multi-job
+      // lifecycles) carries first-touch cost and min-of-2 then reads the
+      // 2nd execution, which for those queries is still descending —
+      // the first r13 record read q121 at 14.5 s vs its 8 s steady
+      // state. Re-measure while the best rep is still >25% ahead of the
+      // runner-up (only above 1 s, max 3 extras): converges to the
+      // steady-state min at ~1/6 the cost of a full untimed pre-pass.
+      var extra = 0
+      while (extra < 3 && times.size >= 2 && {
+        val s = times.sorted
+        s(0) > 1.0 && s(1) > 1.25 * s(0)
+      }) { times += timedRun(); extra += 1 }
       tick(i + 1, ordered.size)
-      name -> agg(times)
+      name -> agg(times.toSeq)
     }
     (results, routes.toMap)
   }
@@ -179,8 +194,13 @@ object Bench {
         val (big1, bigRoutes) = runPass(spark, dir, 1, _.min,
           tick = (i, n) => {
             hb("ladder")(i, n)
-            // keep the driver tail parseable at any kill point
-            if (i % 50 == 0) println("GRAFT_BENCH_JSON " + baseCompact)
+            // keep the driver tail parseable at any kill point: both the
+            // sentinel-prefixed copy (greppable) and the bare JSON line
+            // (json.loads-able), same shape as the final emission
+            if (i % 50 == 0) {
+              println("GRAFT_BENCH_JSON " + baseCompact)
+              println(baseCompact)
+            }
           })
         val base = rmap
         // sub-0.2s base timings are fixed per-query overhead (job

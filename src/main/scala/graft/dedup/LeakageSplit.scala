@@ -101,7 +101,7 @@ object LeakageSplit {
     val rounds = (1 to iters).map { t =>
       s"""nm$t AS (SELECT e.a, MIN(l.label) AS nl
             FROM sym e JOIN lb${t - 1} l ON e.b = l.id GROUP BY e.a),
-          lb$t AS (SELECT l.id,
+          lb$t AS MATERIALIZED (SELECT l.id,
               LEAST(l.label, COALESCE(nm$t.nl, l.label)) AS label
             FROM lb${t - 1} l LEFT JOIN nm$t ON l.id = nm$t.a)"""
     }.mkString(",\n")
@@ -121,7 +121,8 @@ object LeakageSplit {
         lk AS (SELECT sh.id, sh.g FROM sh JOIN rare USING (g)),
         edges AS (SELECT DISTINCT x.id AS a, y.id AS b
           FROM lk x JOIN lk y ON x.g = y.g AND x.id < y.id),
-        sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        sym AS MATERIALIZED (SELECT a, b FROM edges
+          UNION ALL SELECT b, a FROM edges),
         lb0 AS (SELECT id, id AS label FROM tok),
         $rounds,
         asg AS (SELECT id, label,

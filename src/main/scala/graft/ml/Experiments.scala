@@ -637,7 +637,7 @@ object Experiments {
           FROM units),
         par AS (SELECT na, sa, nb, sb, 1 + sa AS aa, 1 + na - sa AS ba,
             1 + sb AS ab, 1 + nb - sb AS bb FROM cts),
-        lf AS (SELECT i,
+        lf AS MATERIALIZED (SELECT i,
             SUM(LN(GREATEST(i, 1))) OVER (ORDER BY i
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
           FROM (SELECT UNNEST(range(0,

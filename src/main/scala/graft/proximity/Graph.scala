@@ -347,7 +347,7 @@ object Graph {
     val steps = (1 to rounds).map { r =>
       s"""d$r AS (SELECT src, COUNT(*) AS d FROM e${r - 1} GROUP BY src),
           k$r AS (SELECT src FROM d$r WHERE d >= $k),
-          e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+          e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
             WHERE e.src IN (SELECT src FROM k$r)
               AND e.dst IN (SELECT src FROM k$r))"""
     }.mkString(",\n")
