@@ -5655,12 +5655,12 @@ object SparkEntry {
     "q140_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
            WHERE event_type = 'signup' GROUP BY user_id),
-         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t0
+         s2 AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t0
            FROM events e JOIN s1 USING (user_id)
            WHERE e.event_type = 'click' AND e.ts > s1.t1
              AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
            GROUP BY e.user_id),
-         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+         s3 AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t3
            FROM events e JOIN s2 USING (user_id)
            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
              AND epoch_us(e.ts) <= epoch_us(s2.t0) + 604800000000

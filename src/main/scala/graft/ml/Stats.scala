@@ -1349,7 +1349,7 @@ object Stats {
     * 6dp-quantized centroids. */
   def twoMeans1dOracleSql(srcCte: String, iters: Int = 3): String = {
     val rounds = (1 to iters).map { t =>
-      s"""c$t AS (SELECT
+      s"""c$t AS MATERIALIZED (SELECT
             COALESCE(ROUND(AVG(CASE WHEN v <= (lo + hi) / 2.0 THEN v
               END), 6), ANY_VALUE(lo)) AS lo,
             COALESCE(ROUND(AVG(CASE WHEN v > (lo + hi) / 2.0 THEN v

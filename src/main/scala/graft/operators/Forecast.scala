@@ -1021,9 +1021,9 @@ object Forecast {
           FROM $table WHERE $valueExpr IS NOT NULL GROUP BY day),
         sub0 AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
             $lagCols FROM d0),
-        sub1 AS (SELECT *, ($meanExpr) / $w AS m FROM sub0
+        sub1 AS MATERIALIZED (SELECT *, ($meanExpr) / $w AS m FROM sub0
           WHERE v${w - 1} IS NOT NULL),
-        sub2 AS (SELECT *, SQRT(($varExpr) / $w) AS s FROM sub1),
+        sub2 AS MATERIALIZED (SELECT *, SQRT(($varExpr) / $w) AS s FROM sub1),
         sub AS (SELECT day, rn, $zCols FROM sub2 WHERE s > 0)
         SELECT CAST(a.day AS TIMESTAMP) AS day_a,
           CAST(b.day AS TIMESTAMP) AS day_b,
