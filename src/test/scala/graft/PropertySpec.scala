@@ -170,4 +170,29 @@ class PropertySpec extends SparkSpec {
       assert(sims(0) == sims(1), s"simhash must ignore order: $a vs $b")
     }
   }
+
+  test("bucketedNtile == ntile window for random sizes/tiles/duplication " +
+    "(asc and desc, forced-bucketed)") {
+    import org.apache.spark.sql.expressions.Window
+    // (rows, tiles, distinct-value modulus, desc) — the modulus drives
+    // tie density from all-distinct to 3-value; 8 cases keeps the suite
+    // fast while covering N<n, N%n==0 and heavy-tie shapes
+    val caseGen = for {
+      rows <- Gen.choose(1, 900)
+      n <- Gen.choose(2, 17)
+      mod <- Gen.oneOf(3, 7, 50, 100000)
+      desc <- Gen.oneOf(true, false)
+    } yield (rows, n, mod, desc)
+    forAll(caseGen, n = 8) { case (rows, n, mod, desc) =>
+      val df = spark.range(rows).selectExpr("id",
+        s"CAST(id % $mod AS DOUBLE) AS v")
+      val ord = (if (desc) col("v").desc else col("v").asc) :: col("id").asc :: Nil
+      val expect = df.withColumn("q", ntile(n).over(Window.orderBy(ord: _*)))
+        .select("id", "q").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = graft.ml.Metrics.bucketedNtile(df, "v", n, "q",
+          tieCols = Seq(col("id")), desc = desc, buckets = 16, smallMaxRows = 0)
+        .select("id", "q").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expect, s"rows=$rows n=$n mod=$mod desc=$desc")
+    }
+  }
 }
