@@ -390,6 +390,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(routes.exists(_.startsWith("ntile-kernel=")), routes.toString)
   }
 
+  test("negative sampling: shard-key width adapts with corpus size " +
+    "(fixed B=16 is quadratic — the r13 100×-sweep conviction)") {
+    import graft.text.NegativeSampling.hexDigitsFor
+    // 1 digit up to 16·poolTarget, then 2 up to 256·poolTarget, then 3
+    assert(hexDigitsFor(1e3, 4096) == 1)
+    assert(hexDigitsFor(65536, 4096) == 1)
+    assert(hexDigitsFor(66000, 4096) == 2)
+    assert(hexDigitsFor(1e6, 4096) == 2)
+    assert(hexDigitsFor(2e7, 4096) == 3)
+    assert(hexDigitsFor(1e12, 4096) == 3) // clamp
+    // the query records its route, and at toy scale takes the
+    // single-digit (oracle-parity) form
+    graft.core.Routing.drain()
+    SparkEntry.queries("q254_negative_sampling")(spark, sf).count()
+    val routes = graft.core.Routing.drain()
+    assert(routes.contains("neg-sample=hex1"), routes.toString)
+  }
+
   test("descCumScoreCells: forced-bucketed suffix sums == window form " +
     "(partialAuc/operatingPoints/costCurve kernel)") {
     val base = spark.range(3000).selectExpr(
