@@ -6205,20 +6205,24 @@ object SparkEntry {
              (POW(va / n_a, 2) / (n_a - 1) + POW(vb / n_b, 2) / (n_b - 1)), 6)
              AS df
          FROM a""",
-    "q186_rolling_folds" -> (0 until 4).map { i =>
-      val p1 = (i + 1) * 0.2
-      val p2 = (i + 2) * 0.2
-      s"""SELECT $i AS fold, te AS train_end_us, ve AS valid_end_us,
-          (SELECT COUNT(*) FROM events WHERE epoch_us(ts) < te) AS n_train,
-          (SELECT COUNT(*) FROM events
-             WHERE epoch_us(ts) >= te AND epoch_us(ts) < ve) AS n_valid
-          FROM (SELECT
-            CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p1))
-              AS BIGINT) AS te,
-            CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p2))
-              AS BIGINT) AS ve
-          FROM events)"""
-    }.mkString(" UNION ALL "),
+    "q186_rolling_folds" ->
+      // rank-based cuts (exact integers — interpolated percentiles
+      // rounded the last µs differently per engine at sf0.1):
+      // cut_i = MIN us with ascending cumulative count >= (n*i) div 5
+      """WITH base AS (SELECT epoch_us(ts) AS us FROM events),
+         nn AS (SELECT COUNT(*) AS n FROM base),
+         cum AS MATERIALIZED (SELECT us, SUM(c) OVER (ORDER BY us) AS cm
+           FROM (SELECT us, COUNT(*) AS c FROM base GROUP BY us)),
+         cutv AS (SELECT i, (SELECT MIN(us) FROM cum
+             WHERE cm >= GREATEST(1, (SELECT n FROM nn) * i // 5)) AS v
+           FROM (SELECT UNNEST(range(1, 6)) AS i))
+         SELECT CAST(a.i - 1 AS INT) AS fold, a.v AS train_end_us,
+           b.v AS valid_end_us,
+           (SELECT COUNT(*) FROM base WHERE us < a.v) AS n_train,
+           (SELECT COUNT(*) FROM base
+              WHERE us >= a.v AND us < b.v) AS n_valid
+         FROM cutv a JOIN cutv b ON b.i = a.i + 1
+         WHERE a.i <= 4 ORDER BY fold""",
     "q187_calibration" ->
       """WITH d AS (SELECT value / 100 AS p,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
@@ -6669,24 +6673,25 @@ object SparkEntry {
              84.6 * (CAST(syl AS DOUBLE) / w)), 6) AS min_reading_ease
          FROM d GROUP BY source""",
     "q215_info_gain" -> infoGainSql,
-    "q216_purged_folds" -> (0 until 4).map { i =>
-      val p1 = (i + 1) * 0.2
-      val p2 = (i + 2) * 0.2
-      s"""SELECT $i AS fold, te AS train_end_us, ve AS valid_end_us,
-          (SELECT COUNT(*) FROM events
-             WHERE epoch_us(ts) < te - 86400000000) AS n_train,
-          (SELECT COUNT(*) FROM events
-             WHERE epoch_us(ts) >= te - 86400000000
-               AND epoch_us(ts) < te) AS n_embargoed,
-          (SELECT COUNT(*) FROM events
-             WHERE epoch_us(ts) >= te AND epoch_us(ts) < ve) AS n_valid
-          FROM (SELECT
-            CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p1))
-              AS BIGINT) AS te,
-            CAST(FLOOR(quantile_cont(CAST(epoch_us(ts) AS DOUBLE), $p2))
-              AS BIGINT) AS ve
-          FROM events)"""
-    }.mkString(" UNION ALL "),
+    "q216_purged_folds" ->
+      // rank-based cuts — the q186 formulation plus the 1-day embargo
+      """WITH base AS (SELECT epoch_us(ts) AS us FROM events),
+         nn AS (SELECT COUNT(*) AS n FROM base),
+         cum AS MATERIALIZED (SELECT us, SUM(c) OVER (ORDER BY us) AS cm
+           FROM (SELECT us, COUNT(*) AS c FROM base GROUP BY us)),
+         cutv AS (SELECT i, (SELECT MIN(us) FROM cum
+             WHERE cm >= GREATEST(1, (SELECT n FROM nn) * i // 5)) AS v
+           FROM (SELECT UNNEST(range(1, 6)) AS i))
+         SELECT CAST(a.i - 1 AS INT) AS fold, a.v AS train_end_us,
+           b.v AS valid_end_us,
+           (SELECT COUNT(*) FROM base
+              WHERE us < a.v - 86400000000) AS n_train,
+           (SELECT COUNT(*) FROM base
+              WHERE us >= a.v - 86400000000 AND us < a.v) AS n_embargoed,
+           (SELECT COUNT(*) FROM base
+              WHERE us >= a.v AND us < b.v) AS n_valid
+         FROM cutv a JOIN cutv b ON b.i = a.i + 1
+         WHERE a.i <= 4 ORDER BY fold""",
     "q217_mahalanobis" ->
       """WITH base AS (SELECT l_orderkey * 8 + l_linenumber AS rid,
              CAST(l_quantity AS DOUBLE) AS x,

@@ -92,12 +92,18 @@ object ProcessControl {
     * Returns (group, n, mean 6dp, sigma 6dp, cp 6dp, cpk 6dp). */
   def capability(df: DataFrame, groupCol: String, valueCol: String,
                  lsl: Double, usl: Double): DataFrame = {
-    val x = col(valueCol).cast(DecimalType(18, 2))
+    // cents lattice + portable double (see core/Lattice.scala)
+    val x = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast(DecimalType(38, 0))
+    val pd = graft.core.Lattice.sparkPortableDouble _
     val g = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("double").as("__s1"),
-        sum(x * x).cast("double").as("__s2"))
+        sum(x).as("__s1i"),
+        sum(x * x).as("__s2i"))
+      .selectExpr("group", "n",
+        s"${pd("__s1i")} / 100.0 AS __s1",
+        s"${pd("__s2i")} / 10000.0 AS __s2")
     val nd = col("n").cast("double")
     val mu = col("__s1") / nd
     val sig = sqrt((col("__s2") - nd * mu * mu) / (nd - 1))
@@ -116,11 +122,15 @@ object ProcessControl {
   def capabilityOracleSql(srcCte: String, lsl: Double,
                           usl: Double): String =
     s"""WITH src AS ($srcCte),
-        g AS (SELECT grp AS "group", COUNT(*) AS n,
-            CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-            CAST(SUM(CAST(v AS DECIMAL(18,2))
-              * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        gi AS (SELECT grp AS "group", COUNT(*) AS n,
+            SUM(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s1i,
+            SUM(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS HUGEINT)
+              * CAST(CAST(v AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s2i
           FROM src WHERE v IS NOT NULL GROUP BY grp),
+        g AS (SELECT "group", n,
+            ${graft.core.Lattice.duckPortableDouble("s1i")} / 100.0 AS s1,
+            ${graft.core.Lattice.duckPortableDouble("s2i")} / 10000.0 AS s2
+          FROM gi),
         c AS (SELECT "group", n, CAST(n AS DOUBLE) AS nd,
             s1 / CAST(n AS DOUBLE) AS mu,
             SQRT((s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
@@ -144,15 +154,22 @@ object ProcessControl {
     */
   def grubbs(df: DataFrame, groupCol: String,
              valueCol: String): DataFrame = {
-    val x = col(valueCol).cast(DecimalType(18, 2))
+    // cents lattice + portable double (see core/Lattice.scala): exact
+    // integer moments whose double conversion is cross-engine stable
+    val x = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast(DecimalType(38, 0))
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("group"),
         col(valueCol).cast("double").as("__v"), x.as("__xd"))
+    val pd = graft.core.Lattice.sparkPortableDouble _
     val g = base.groupBy("group")
       .agg(count(lit(1)).as("n"),
-        sum(col("__xd")).cast("double").as("__s1"),
-        sum(col("__xd") * col("__xd")).cast("double").as("__s2"))
+        sum(col("__xd")).as("__s1i"),
+        sum(col("__xd") * col("__xd")).as("__s2i"))
       .filter(col("n") > 2)
+      .selectExpr("group", "n",
+        s"${pd("__s1i")} / 100.0 AS __s1",
+        s"${pd("__s2i")} / 10000.0 AS __s2")
     val nd = col("n").cast("double")
     val moments = g.select(col("group"), col("n"),
       (col("__s1") / nd).as("__mu"),
@@ -179,12 +196,15 @@ object ProcessControl {
   def grubbsOracleSql(srcCte: String): String =
     s"""WITH src AS ($srcCte),
         base AS (SELECT grp AS g, CAST(v AS DOUBLE) AS v,
-            CAST(v AS DECIMAL(18,2)) AS xd
+            CAST(CAST(v AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xd
           FROM src WHERE v IS NOT NULL),
-        mo AS (SELECT g, COUNT(*) AS n,
-            CAST(SUM(xd) AS DOUBLE) AS s1,
-            CAST(SUM(xd * xd) AS DOUBLE) AS s2
+        moi AS (SELECT g, COUNT(*) AS n, SUM(xd) AS s1i,
+            SUM(xd * xd) AS s2i
           FROM base GROUP BY g HAVING COUNT(*) > 2),
+        mo AS (SELECT g, n,
+            ${graft.core.Lattice.duckPortableDouble("s1i")} / 100.0 AS s1,
+            ${graft.core.Lattice.duckPortableDouble("s2i")} / 10000.0 AS s2
+          FROM moi),
         m2 AS (SELECT g, n, s1 / CAST(n AS DOUBLE) AS mu,
             SQRT((s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
               * (s1 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1))

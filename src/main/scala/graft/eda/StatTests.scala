@@ -1579,13 +1579,21 @@ object StatTests {
   def lilliefors(df: DataFrame, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val xd = col(valueCol).cast(DecimalType(18, 2))
+    // cents lattice + portable double: Σx and Σx² stay exact integers
+    // and convert through core/Lattice (a plain cast of a >2^53 exact
+    // sum is not cross-engine stable — round-13 sf0.1 certification)
+    val xd = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast(DecimalType(38, 0))
     val base = df.filter(col(valueCol).isNotNull &&
         !isnan(col(valueCol).cast("double")))
       .select(col(valueCol).cast("double").as("__v"), xd.as("__xd"))
+    val pd = graft.core.Lattice.sparkPortableDouble _
     val mo = base.agg(count(lit(1)).as("__n"),
-      sum("__xd").cast("double").as("__s1"),
-      sum(col("__xd") * col("__xd")).cast("double").as("__s2"))
+        sum("__xd").as("__s1i"),
+        sum(col("__xd") * col("__xd")).as("__s2i"))
+      .selectExpr("__n",
+        s"${pd("__s1i")} / 100.0 AS __s1",
+        s"${pd("__s2i")} / 10000.0 AS __s2")
     val cells = base.groupBy("__v").agg(count(lit(1)).as("__c"))
     val w = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1611,10 +1619,15 @@ object StatTests {
     val phiPos = phiUpperSql("(v - mu) / sig")
     val phiNeg = phiUpperSql("-((v - mu) / sig)")
     s"""WITH base AS (SELECT CAST(v AS DOUBLE) AS v,
-            CAST(v AS DECIMAL(18,2)) AS xd FROM ($srcCte)
+            CAST(CAST(v AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xd
+          FROM ($srcCte)
           WHERE v IS NOT NULL AND NOT isnan(CAST(v AS DOUBLE))),
-        mo AS (SELECT COUNT(*) AS n, CAST(SUM(xd) AS DOUBLE) AS s1,
-            CAST(SUM(xd * xd) AS DOUBLE) AS s2 FROM base),
+        moi AS (SELECT COUNT(*) AS n, SUM(xd) AS s1i,
+            SUM(xd * xd) AS s2i FROM base),
+        mo AS (SELECT n,
+            ${graft.core.Lattice.duckPortableDouble("s1i")} / 100.0 AS s1,
+            ${graft.core.Lattice.duckPortableDouble("s2i")} / 10000.0 AS s2
+          FROM moi),
         mm AS (SELECT n, s1 / n AS mu,
             SQRT((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS sig
           FROM mo),

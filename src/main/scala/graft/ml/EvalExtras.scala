@@ -408,20 +408,33 @@ object EvalExtras {
       sum("n").as("__nt"))
     val base = ranked.crossJoin(broadcast(totals))
       .filter(col("before") > 0) // left side must be non-empty
-    val nl = col("before").cast("double")
-    val nr = (col("__nt") - col("before")).cast("double")
-    val pl = col("before_pos").cast("double") / nl
-    val pr = (col("__np") - col("before_pos")).cast("double") / nr
-    val gini = nl / col("__nt") *
-      (lit(1.0) - pl * pl - (lit(1.0) - pl) * (lit(1.0) - pl)) +
-      nr / col("__nt") *
-      (lit(1.0) - pr * pr - (lit(1.0) - pr) * (lit(1.0) - pr))
+    // argmin key on a near-integer lattice (round-13 sf0.1
+    // certification: the chained p·(1−p) float polynomial picked a
+    // DIFFERENT winning threshold per engine once two candidates tied
+    // to within an ulp — codegen fusion makes long float chains
+    // engine-specific). Weighted Gini ∝ Σ_side pos·neg/size, so the
+    // comparable score is TWO single divisions of exact integer
+    // products plus one add — identical IEEE ops on both engines:
+    //   f = befp·(bef−befp)/bef + rp·(r−rp)/r,  gini = 2·f/nt
+    val d38 = DecimalType(38, 0)
+    val befD = col("before").cast(d38)
+    val befpD = col("before_pos").cast(d38)
+    val rD = (col("__nt") - col("before")).cast(d38)
+    val rpD = (col("__np") - col("before_pos")).cast(d38)
+    val f = (befpD * (befD - befpD)).cast("double") /
+        col("before").cast("double") +
+      (rpD * (rD - rpD)).cast("double") /
+        (col("__nt") - col("before")).cast("double")
+    val gini = lit(2.0) * f / col("__nt").cast("double")
+    val pl = col("before_pos").cast("double") / col("before").cast("double")
+    val pr = (col("__np") - col("before_pos")).cast("double") /
+      (col("__nt") - col("before")).cast("double")
     base
       .select(col("score"), col("before"), col("__nt"),
-        gini.as("__gini"), pl.as("__pl"), pr.as("__pr"))
+        f.as("__f"), gini.as("__gini"), pl.as("__pl"), pr.as("__pr"))
       .agg(min_by(struct(col("score"), col("before"), col("__nt"),
         col("__gini"), col("__pl"), col("__pr")),
-        struct(col("__gini"), col("score"))).as("__w"))
+        struct(col("__f"), col("score"))).as("__w"))
       .select(round(col("__w.score"), 6).as("threshold"),
         col("__w.before").as("n_left"),
         (col("__w.__nt") - col("__w.before")).as("n_right"),
@@ -442,22 +455,23 @@ object EvalExtras {
             SUM(n) OVER (ORDER BY v) - n AS bef,
             SUM(np) OVER (ORDER BY v) - np AS befp
           FROM m),
-        g AS (SELECT c.v AS score, c.bef, t.nt,
-            CAST(c.befp AS DOUBLE) / c.bef AS pl,
-            CAST(t.tp - c.befp AS DOUBLE) / (t.nt - c.bef) AS pr
+        g AS (SELECT c.v AS score, c.bef, c.befp, t.nt, t.tp
           FROM c CROSS JOIN t WHERE c.bef > 0),
-        sc AS (SELECT score, bef, nt, pl, pr,
-            CAST(bef AS DOUBLE) / nt
-              * (1.0 - pl * pl - (1.0 - pl) * (1.0 - pl))
-            + CAST(nt - bef AS DOUBLE) / nt
-              * (1.0 - pr * pr - (1.0 - pr) * (1.0 - pr)) AS gini
+        sc AS (SELECT score, bef, befp, nt, tp,
+            CAST(CAST(befp AS HUGEINT) * (bef - befp) AS DOUBLE)
+                / CAST(bef AS DOUBLE)
+              + CAST(CAST(tp - befp AS HUGEINT)
+                  * ((nt - bef) - (tp - befp)) AS DOUBLE)
+                / CAST(nt - bef AS DOUBLE) AS f
           FROM g)
         SELECT ROUND(score, 6) AS threshold,
           CAST(bef AS BIGINT) AS n_left,
           CAST(nt - bef AS BIGINT) AS n_right,
-          ROUND(gini, 6) AS gini, ROUND(pl, 6) AS p_left,
-          ROUND(pr, 6) AS p_right
-        FROM sc ORDER BY gini, score LIMIT 1"""
+          ROUND(2.0 * f / CAST(nt AS DOUBLE), 6) AS gini,
+          ROUND(CAST(befp AS DOUBLE) / CAST(bef AS DOUBLE), 6) AS p_left,
+          ROUND(CAST(tp - befp AS DOUBLE) / CAST(nt - bef AS DOUBLE), 6)
+            AS p_right
+        FROM sc ORDER BY f, score LIMIT 1"""
 
   /** Linear calibration audit: calibration-in-the-large
     * (mean(pred) − rate) and the linear calibration slope/intercept

@@ -209,24 +209,36 @@ object RegressionDiagnostics {
   def aicQuadratic(df: DataFrame, xCol: String,
                    yCol: String): DataFrame = {
     val xi = round(col(xCol).cast("double"), 0).cast(DecimalType(38, 0))
-    val yd = d2(col(yCol))
+    // y on the integer CENTS lattice: every y-sum is then an exact
+    // integer, and integer→double is ONE correctly-rounded conversion
+    // on both engines. Casting a scale-4 decimal sum to double is NOT
+    // cross-engine stable at 2^51+ magnitudes — DuckDB converts via
+    // int128→double then ÷10⁴ (two roundings), Spark via BigDecimal
+    // (one): the round-13 sf0.1 certification caught a 1-ulp (0.25)
+    // rss divergence from exactly this.
+    val yc = (d2(col(yCol)) * lit(100)).cast(DecimalType(38, 0))
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(xi.as("__x"), yd.as("__y"))
-    val g = base.agg(count(lit(1)).as("n"),
-      sum(col("__x")).cast("double").as("__su"),
-      sum(col("__x") * col("__x")).cast("double").as("__sv"),
-      sum(col("__y")).cast("double").as("__sy"),
-      sum(col("__x") * col("__x") * col("__x")).cast("double")
-        .as("__suv"),
-      sum(col("__x") * col("__x") * col("__x") * col("__x"))
-        .cast("double").as("__svv"),
-      // (18,0)×(18,2) = (37,2): exact and below both engines' 38-digit
-      // cap (a (38,·) operand would overflow DuckDB's multiply rule)
-      sum(col("__x").cast(DecimalType(18, 0)) * col("__y"))
-        .cast("double").as("__syu"),
-      sum((col("__x") * col("__x")).cast(DecimalType(18, 0)) *
-        col("__y")).cast("double").as("__syv"),
-      sum(col("__y") * col("__y")).cast("double").as("__syy"))
+      .select(xi.as("__x"), yc.as("__y"))
+    // raw EXACT integer sums first; the double conversions go through
+    // Lattice.sparkPortableDouble — a plain cast of a >2^53 exact sum
+    // is not cross-engine stable (see core/Lattice.scala)
+    val g0 = base.agg(count(lit(1)).as("n"),
+      sum(col("__x")).as("su_i"),
+      sum(col("__x") * col("__x")).as("sv_i"),
+      sum(col("__y")).as("sy_i"),
+      sum(col("__x") * col("__x") * col("__x")).as("suv_i"),
+      sum(col("__x") * col("__x") * col("__x") * col("__x")).as("svv_i"),
+      sum(col("__x") * col("__y")).as("syu_i"),
+      sum(col("__x") * col("__x") * col("__y")).as("syv_i"),
+      sum(col("__y") * col("__y")).as("syy_i"))
+    def pd(c: String) = graft.core.Lattice.sparkPortableDouble(c)
+    val g = g0.selectExpr("n",
+      s"${pd("su_i")} AS __su", s"${pd("sv_i")} AS __sv",
+      s"${pd("sy_i")} / 100.0 AS __sy",
+      s"${pd("suv_i")} AS __suv", s"${pd("svv_i")} AS __svv",
+      s"${pd("syu_i")} / 100.0 AS __syu",
+      s"${pd("syv_i")} / 100.0 AS __syv",
+      s"${pd("syy_i")} / 10000.0 AS __syy")
     val nd = col("n").cast("double")
     val mu = col("__su") / nd
     val mv = col("__sv") / nd
@@ -254,19 +266,25 @@ object RegressionDiagnostics {
   def aicQuadraticOracleSql(srcCte: String): String =
     s"""WITH src AS (SELECT
             CAST(ROUND(CAST(x AS DOUBLE), 0) AS HUGEINT) AS x,
-            CAST(y AS DECIMAL(18,2)) AS y FROM ($srcCte)
+            CAST(CAST(y AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
+          FROM ($srcCte)
           WHERE x IS NOT NULL AND y IS NOT NULL),
-        g AS (SELECT COUNT(*) AS n,
-            CAST(SUM(x) AS DOUBLE) AS su,
-            CAST(SUM(x * x) AS DOUBLE) AS sv,
-            CAST(SUM(y) AS DOUBLE) AS sy,
-            CAST(SUM(x * x * x) AS DOUBLE) AS suv,
-            CAST(SUM(x * x * x * x) AS DOUBLE) AS svv,
-            CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS syu,
-            CAST(SUM(CAST(x * x AS DECIMAL(18,0)) * y) AS DOUBLE)
-              AS syv,
-            CAST(SUM(y * y) AS DOUBLE) AS syy0
+        gi AS (SELECT COUNT(*) AS n,
+            SUM(x) AS su_i, SUM(x * x) AS sv_i, SUM(yc) AS sy_i,
+            SUM(x * x * x) AS suv_i, SUM(x * x * x * x) AS svv_i,
+            SUM(x * yc) AS syu_i, SUM(x * x * yc) AS syv_i,
+            SUM(yc * yc) AS syy_i
           FROM src),
+        g AS (SELECT n,
+            ${graft.core.Lattice.duckPortableDouble("su_i")} AS su,
+            ${graft.core.Lattice.duckPortableDouble("sv_i")} AS sv,
+            ${graft.core.Lattice.duckPortableDouble("sy_i")} / 100.0 AS sy,
+            ${graft.core.Lattice.duckPortableDouble("suv_i")} AS suv,
+            ${graft.core.Lattice.duckPortableDouble("svv_i")} AS svv,
+            ${graft.core.Lattice.duckPortableDouble("syu_i")} / 100.0 AS syu,
+            ${graft.core.Lattice.duckPortableDouble("syv_i")} / 100.0 AS syv,
+            ${graft.core.Lattice.duckPortableDouble("syy_i")} / 10000.0 AS syy0
+          FROM gi),
         c AS (SELECT n, CAST(n AS DOUBLE) AS nd, su / CAST(n AS DOUBLE)
               AS mu, sv / CAST(n AS DOUBLE) AS mv,
             sy / CAST(n AS DOUBLE) AS my,

@@ -45,19 +45,44 @@ object Stats {
     * percentile aggregate, then k metadata-sized count aggregates.
     * Returns (fold, train_end_us, valid_end_us, n_train, n_valid).
     */
+  /** Rank-based fold boundaries: cut_i = the SMALLEST timestamp whose
+    * ascending cumulative row count reaches rank (n·i) div (k+1) —
+    * exact integer arithmetic end to end, so both engines agree
+    * bit-for-bit. Replaces interpolated percentiles (round-13 sf0.1
+    * certification: Spark's and DuckDB's linear-interpolation formulas
+    * round the last µs of an epoch-scale double differently — q186/q216
+    * diverged by 1 µs at sf0.1). The cumulative count rides
+    * [[graft.ml.Metrics.rankedScores]] (adaptive: window form at
+    * interactive scale, bucket-partitioned prefix sums above the gate).
+    * Returns None when the frame is empty. */
+  private def rankCuts(ev: DataFrame, us: org.apache.spark.sql.Column,
+                       k: Int): Option[Seq[Long]] = {
+    val base = ev.select(us.cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+    val n = base.count()
+    if (n == 0) return None
+    val ranks = (1 to (k + 1)).map(i => math.max(1L, (n * i) / (k + 1)))
+    val ranked = graft.ml.Metrics.rankedScores(
+      base.withColumn("__g", lit(0)).withColumn("__y", lit(0)),
+      "__g", "__y", "__s", 256)
+    val aggs = ranks.zipWithIndex.map { case (r, i) =>
+      min(when(col("before") + col("n") >= r, col("score"))).as(s"__c$i")
+    }
+    val row = ranked.agg(aggs.head, aggs.tail: _*).head()
+    Some((0 to k).map(i => row.getDouble(i).toLong))
+  }
+
   def rollingOriginFolds(df: DataFrame, tsCol: String, k: Int): DataFrame = {
     require(k >= 1)
     val ev = graft.core.Tables.ltzTs(df, tsCol)
     val us = unix_micros(col(tsCol))
-    val ps = (1 to (k + 1)).map(_.toDouble / (k + 1))
     val spark0 = df.sparkSession
-    val cutRow = ev.agg(graft.functions.ExactPercentiles.exactPercentiles(
-      us.cast("double"), ps)).head()
-    if (cutRow.isNullAt(0)) // no events: zero folds, not an NPE
+    val cutsOpt = rankCuts(ev, us, k)
+    if (cutsOpt.isEmpty) // no events: zero folds, not an NPE
       return spark0.range(0).select(lit(0).as("fold"),
         lit(0L).as("train_end_us"), lit(0L).as("valid_end_us"),
         lit(0L).as("n_train"), lit(0L).as("n_valid"))
-    val cuts = cutRow.getSeq[Double](0).map(_.toLong)
+    val cuts = cutsOpt.get
     // ONE conditional-aggregate pass for every fold's counts — k
     // separate scans would re-read the corpus k times at 100 TB
     val aggs = (0 until k).flatMap { i =>
@@ -107,17 +132,15 @@ object Stats {
     require(k >= 1 && embargoUs >= 0)
     val ev = graft.core.Tables.ltzTs(df, tsCol)
     val us = unix_micros(col(tsCol))
-    val ps = (1 to (k + 1)).map(_.toDouble / (k + 1))
     val spark = df.sparkSession
     import spark.implicits._
-    val cutRow = ev.agg(graft.functions.ExactPercentiles.exactPercentiles(
-      us.cast("double"), ps)).head()
-    if (cutRow.isNullAt(0))
+    val cutsOpt = rankCuts(ev, us, k)
+    if (cutsOpt.isEmpty)
       return spark.range(0).select(lit(0).as("fold"),
         lit(0L).as("train_end_us"), lit(0L).as("valid_end_us"),
         lit(0L).as("n_train"), lit(0L).as("n_embargoed"),
         lit(0L).as("n_valid"))
-    val cuts = cutRow.getSeq[Double](0).map(_.toLong)
+    val cuts = cutsOpt.get
     val aggs = (0 until k).flatMap { i =>
       Seq(
         sum(when(us < cuts(i) - embargoUs, 1L).otherwise(0L)).as(s"__tr$i"),
