@@ -6376,17 +6376,33 @@ object SparkEntry {
              AS h_corrected
          FROM a""",
     "q196_anova_f" ->
-      """WITH base AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+      // exact cents lattice + B_g = (S_g²·10⁶) // n_g; one portable
+      // double conversion (core/Lattice) — see StatTests.anovaF
+      s"""WITH base AS (SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xc
            FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
-         g AS (SELECT grp, COUNT(*) AS ng, AVG(v) AS mg,
-             COALESCE(var_samp(v), 0) AS vg FROM base GROUP BY grp),
-         gm AS (SELECT SUM(ng * mg) / SUM(ng) AS m FROM g),
-         a AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
-             SUM(ng * (mg - m) * (mg - m)) AS ssb,
-             SUM((ng - 1) * vg) AS ssw FROM g, gm)
-         SELECT k, n, ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
-           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
-         FROM a""",
+         g AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS ng,
+             SUM(xc) AS sg, SUM(xc * xc) AS qg FROM base GROUP BY grp),
+         gb AS (SELECT grp, ng, sg, qg,
+             (sg * sg * 1000000) // ng AS bg FROM g),
+         a AS (SELECT COUNT(*) AS k, SUM(ng) AS nD, SUM(sg) AS s,
+             SUM(qg) AS q, SUM(bg) AS bsum FROM gb),
+         sc AS (SELECT k, nD,
+             GREATEST(bsum - ((s * s * 1000000) // nD),
+               CAST(0 AS HUGEINT)) AS ssbS,
+             GREATEST(q * 1000000 - bsum, CAST(0 AS HUGEINT)) AS sswS
+           FROM a),
+         d AS (SELECT k, nD,
+             ${graft.core.Lattice.duckPortableDouble("ssbS")} / 1.0e10
+               AS ssb,
+             ${graft.core.Lattice.duckPortableDouble("sswS")} / 1.0e10
+               AS ssw
+           FROM sc)
+         SELECT k, CAST(nD AS BIGINT) AS n,
+           ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / CAST(nD - k AS DOUBLE)), 6)
+             AS f_stat
+         FROM d""",
     "q197_spearman_corr" ->
       """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
              CAST(l_extendedprice AS DOUBLE) AS b

@@ -35,8 +35,15 @@ object Concentration {
     require(topFrac > 0 && topFrac <= 1, s"topFrac in (0,1], got $topFrac")
     val asc = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
     val desc = Window.partitionBy(col("__g")).orderBy(col("__x").desc)
+    import org.apache.spark.sql.types.DecimalType
     val ranked = df.select(col(groupCol).as("__g"),
-        col(valueCol).cast("double").as("__x"))
+        col(valueCol).cast("double").as("__x"),
+        // reported total rides the exact cents lattice — a double sum
+        // is summation-order noise beyond ~1e9 (the 100× sweep flipped
+        // its 2dp), an exact integer converted through core/Lattice
+        // is bit-identical at any scale
+        (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+          .cast(DecimalType(38, 0)).as("__xc"))
       .filter(col("__x").isNotNull)
       .withColumn("__i", row_number().over(asc))
       .withColumn("__ri", row_number().over(desc))
@@ -45,15 +52,17 @@ object Concentration {
     ranked.groupBy(col("__g").as("group"))
       .agg(count(lit(1)).as("n"),
         sum("__x").as("__t"),
+        sum("__xc").as("__tc"),
         sum(col("__i") * col("__x")).as("__iw"),
         sum(col("__x") * col("__x")).as("__xx"),
         sum(when(col("__ri") <= ceil(col("__ng") * topFrac), col("__x"))
           .otherwise(lit(0.0))).as("__top"))
-      // total is data-scaled (can be ~1e7) where 6dp sits inside float
-      // summation-order noise — 2dp keeps the cross-engine flip
-      // probability negligible; the O(1) ratios stay 6dp
+      // exact-lattice total; the O(1) ratios stay 6dp on the double
+      // sums (relative float noise ~1e-16 is far inside 6dp)
+      .withColumn("__td", expr(
+        graft.core.Lattice.sparkPortableDouble("__tc")) / 100.0)
       .select(col("group"), col("n"),
-        round(col("__t"), 2).as("total"),
+        round(col("__td"), 2).as("total"),
         when(col("__t") =!= 0.0, round(
           lit(2.0) * col("__iw") / (col("n") * col("__t")) -
             (col("n") + lit(1.0)) / col("n"), 6)).as("gini"),
@@ -68,21 +77,26 @@ object Concentration {
   def concentrationOracleSql(rowsCte: String, topFrac: Double): String =
     s"""WITH rows0 AS ($rowsCte),
         ranked AS (SELECT grp, CAST(x AS DOUBLE) AS x,
+            CAST(CAST(x AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xc,
             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x ASC) AS i,
             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x DESC) AS ri,
             COUNT(*) OVER (PARTITION BY grp) AS ng
-          FROM rows0 WHERE x IS NOT NULL)
-        SELECT grp AS "group", COUNT(*) AS n,
-          ROUND(SUM(x), 2) AS total,
-          CASE WHEN SUM(x) != 0 THEN ROUND(
-            2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) -
-              (COUNT(*) + 1.0) / COUNT(*), 6) END AS gini,
-          CASE WHEN SUM(x) != 0 THEN
-            ROUND(SUM(x * x) / (SUM(x) * SUM(x)), 6) END AS hhi,
-          CASE WHEN SUM(x) != 0 THEN
-            ROUND(SUM(CASE WHEN ri <= CEIL(ng * $topFrac)
-              THEN x ELSE 0.0 END) / SUM(x), 6) END AS top_share
-        FROM ranked GROUP BY grp"""
+          FROM rows0 WHERE x IS NOT NULL),
+        agg0 AS (SELECT grp, COUNT(*) AS n, SUM(x) AS sx,
+            SUM(xc) AS sxc, SUM(i * x) AS siw, SUM(x * x) AS sxx,
+            SUM(CASE WHEN ri <= CEIL(ng * $topFrac)
+              THEN x ELSE 0.0 END) AS stop
+          FROM ranked GROUP BY grp)
+        SELECT grp AS "group", n,
+          ROUND(${graft.core.Lattice.duckPortableDouble("sxc")} / 100.0,
+            2) AS total,
+          CASE WHEN sx != 0 THEN ROUND(
+            2.0 * siw / (n * sx) - (n + 1.0) / n, 6) END AS gini,
+          CASE WHEN sx != 0 THEN
+            ROUND(sxx / (sx * sx), 6) END AS hhi,
+          CASE WHEN sx != 0 THEN
+            ROUND(stop / sx, 6) END AS top_share
+        FROM agg0"""
 
   /** Theil-T inequality with its EXACT between/within decomposition —
     * the question [[concentration]]'s Gini can't answer: how much of

@@ -102,35 +102,63 @@ object StatTests {
       lit(3.0) * (col("__n") + 1)
 
   /** One-way ANOVA F test. Returns one row:
-    * (k, n, ss_between, ss_within, f_stat). Sums accumulate as plain
-    * doubles of CENTERED quantities (per-group mean vs grand mean), so
-    * cross-engine float drift stays in the 6dp noise floor. */
+    * (k, n, ss_between, ss_within, f_stat).
+    *
+    * Exact-lattice construction (round-13 100× sweep: the earlier
+    * centered-double form drifted 1 ulp at 6dp once SS reached ~1e10 —
+    * unavoidable for ANY float summation there, since ulp(5e10) ≈ 8e-6
+    * exceeds the 6dp grid). Values ride the integer cents lattice
+    * (2dp-quantized; the tables' money-like columns are exactly 2dp):
+    * per group the sufficient statistics n_g, S_g = Σx_c,
+    * Q_g = Σx_c² are exact integers, and
+    *   SSW·10¹⁰ = Σ Q_g·10⁶ − Σ B_g,  SSB·10¹⁰ = Σ B_g − C,
+    * with B_g = (S_g²·10⁶) div n_g and C = (S²·10⁶) div N — exact
+    * integer division via remainder subtraction (the plain `div`
+    * operator returns LONG and would overflow beyond ~9e18). The one
+    * double conversion goes through [[graft.core.Lattice]]; the 10⁶
+    * sub-cents scale bounds the truncation bias below the 6dp grid.
+    * Identical op sequence in the DuckDB twin → bit-identical output
+    * at any scale. */
   def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
     val base = df
       .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .select(col(groupCol).as("__grp"),
-        col(valueCol).cast("double").as("__v"))
+        (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+          .cast(d38).as("__xc"))
     val perGroup = base.groupBy("__grp")
-      .agg(count(lit(1)).as("__ng"), avg("__v").as("__mg"),
-        // var_samp is the Welford single-pass in both engines; SSW via
-        // (n-1)·s² avoids the catastrophic Σx² − n·m² cancellation
-        coalesce(var_samp("__v"), lit(0.0)).as("__vg"))
-    // grand mean from the (metadata-sized) group frame, then CENTERED
-    // SSB — Σ nᵍ(mᵍ−m)² keeps the float error relative to SSB itself,
-    // not to the cancellation-prone Σ nᵍmᵍ² raw moment
-    val grand = perGroup.agg(
-      (sum(col("__ng") * col("__mg")) / sum("__ng")).as("__m"))
-    perGroup.crossJoin(grand).agg(
-        count(lit(1)).as("__k"), sum("__ng").as("__n"),
-        sum(col("__ng") * (col("__mg") - col("__m")) *
-          (col("__mg") - col("__m"))).as("__ssb"),
-        sum((col("__ng") - 1) * col("__vg")).as("__ssw"))
+      .agg(count(lit(1)).cast(d38).as("__ng"),
+        sum("__xc").as("__sg"),
+        sum(col("__xc") * col("__xc")).as("__qg"))
+    val s2g = (col("__sg") * col("__sg") * lit(1000000L).cast(d38))
+      .cast(d38)
+    // exact integer division: subtract the remainder first, then the
+    // decimal divide is exact (and wide enough — `div` returns LONG)
+    val bg = ((s2g - (s2g % col("__ng"))) / col("__ng")).cast(d38)
+    val g2 = perGroup.agg(
+      count(lit(1)).as("__k"), sum(col("__ng")).as("__nD"),
+      sum("__sg").as("__s"), sum("__qg").as("__q"),
+      sum(bg).cast(d38).as("__bsum"))
+    val s2t = (col("__s") * col("__s") * lit(1000000L).cast(d38))
+      .cast(d38)
+    val cAll = ((s2t - (s2t % col("__nD"))) / col("__nD")).cast(d38)
+    val scaled = g2.select(col("__k"), col("__nD"),
+      greatest(col("__bsum") - cAll, lit(0).cast(d38)).as("__ssbS"),
+      greatest((col("__q") * lit(1000000L).cast(d38)).cast(d38)
+        - col("__bsum"), lit(0).cast(d38)).as("__sswS"))
+    val pd = graft.core.Lattice.sparkPortableDouble _
+    scaled
+      .select(col("__k"), col("__nD"),
+        (expr(pd("__ssbS")) / 1.0e10).as("__ssb"),
+        (expr(pd("__sswS")) / 1.0e10).as("__ssw"))
       .select(
-        col("__k").as("k"), col("__n").as("n"),
+        col("__k").as("k"), col("__nD").cast("long").as("n"),
         round(col("__ssb"), 6).as("ss_between"),
         round(col("__ssw"), 6).as("ss_within"),
         round(try_divide(col("__ssb") / (col("__k") - 1),
-          try_divide(col("__ssw"), col("__n") - col("__k"))), 6)
+          try_divide(col("__ssw"), (col("__nD") - col("__k"))
+            .cast("double"))), 6)
           .as("f_stat"))
   }
 
@@ -229,8 +257,24 @@ object StatTests {
         col("__v"), Seq(0.5)).getItem(0).as("__med"))
     val dev = base.join(broadcast(med), Seq("__g"))
       .select(col("__g"), abs(col("__v") - col("__med")).as("__d"))
-    anovaF(dev, "__g", "__d")
-      .select(col("k"), col("n"), col("f_stat").as("f_bf"))
+    // centered-double ANOVA on the deviations (NOT [[anovaF]]'s cents
+    // lattice — |x − med| carries sub-cent precision the lattice would
+    // quantize away). Only the O(1) F RATIO is emitted, which is 6dp-
+    // stable under float summation; raw SSEs would not be.
+    val perGroup = dev.groupBy("__g")
+      .agg(count(lit(1)).as("__ng"), avg("__d").as("__mg"),
+        coalesce(var_samp("__d"), lit(0.0)).as("__vg"))
+    val grand = perGroup.agg(
+      (sum(col("__ng") * col("__mg")) / sum("__ng")).as("__m"))
+    perGroup.crossJoin(grand).agg(
+        count(lit(1)).as("__k"), sum("__ng").as("__n"),
+        sum(col("__ng") * (col("__mg") - col("__m")) *
+          (col("__mg") - col("__m"))).as("__ssb"),
+        sum((col("__ng") - 1) * col("__vg")).as("__ssw"))
+      .select(col("__k").as("k"), col("__n").as("n"),
+        round(try_divide(col("__ssb") / (col("__k") - 1),
+          try_divide(col("__ssw"), col("__n") - col("__k"))), 6)
+          .as("f_bf"))
   }
 
   /** DuckDB twin of [[brownForsythe]]; `srcCte` must yield (grp, v). */
