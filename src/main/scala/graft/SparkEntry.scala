@@ -3969,8 +3969,58 @@ object SparkEntry {
       // JL projection audit: per true-cosine decile, the realized
       // distortion of k=16 md5-sign projections on a fixed sample
       graft.proximity.JlAudit.jlDistortion(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 16, idCap = 500))
+        "vec_id", "embedding", k = 16, idCap = 500)),
+    "q520_snapshot_diff" -> ((s, dir) =>
+      // corpus refresh diff: per (source, status) roll-up of the
+      // id-keyed, md5-compared old-vs-new snapshot join
+      graft.operators.SnapshotDiff.diff(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        snapshotNewDf(s, dir), "doc_id", "text", "source")),
+    "q521_incremental_stats" -> ((s, dir) =>
+      // refreshed per-source stats from old stats + the diff only,
+      // self-checked against a direct rescan of the new snapshot
+      graft.operators.SnapshotDiff.incrementalStats(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        snapshotNewDf(s, dir), "doc_id", "text", "source")),
+    "q522_changed_similarity" -> ((s, dir) =>
+      // how much did changed docs change: per-source mean word-set
+      // Jaccard of old vs new text on the exact millionths lattice
+      graft.operators.SnapshotDiff.changedSimilarity(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        snapshotNewDf(s, dir), "doc_id", "text", "source"))
   )
+
+  /** Deterministic "next ingestion run" snapshot of the documents
+    * table (shared by q520–q522): doc_id % 20 == 3 removed,
+    * % 20 ∈ {5, 11} changed (suffix stamp), % 20 == 7 re-added under
+    * a shifted id ("new" documents), everything else unchanged. */
+  private def snapshotNewDf(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text", "source")
+    val kept = d.filter(col("doc_id") % 20 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 20 === 5 || col("doc_id") % 20 === 11,
+          concat(col("text"), lit(" v2 update")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val added = d.filter(col("doc_id") % 20 === 7)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"), col("source"))
+    kept.unionByName(added)
+  }
+
+  /** DuckDB twin of [[snapshotNewDf]]. */
+  private val snapshotNewSql: String =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 20 IN (5, 11) THEN text || ' v2 update'
+           ELSE text END AS text, source
+       FROM documents WHERE doc_id % 20 != 3
+       UNION ALL
+       SELECT doc_id + 1000000000 AS doc_id, 'new ' || text AS text,
+         source
+       FROM documents WHERE doc_id % 20 = 7"""
+
+  private val snapshotOldSql: String =
+    "SELECT doc_id, text, source FROM documents"
 
   /** The q39 proximity-graph edge list (shared by the graph-analytics
     * queries q141/q145/q146). */
@@ -8355,6 +8405,12 @@ object SparkEntry {
       graft.text.StyleDrift.charJsMatrixOracleSql(n = 3),
     "q519_jl_distortion" ->
       graft.proximity.JlAudit.jlDistortionOracleSql(k = 16, idCap = 500),
+    "q520_snapshot_diff" -> graft.operators.SnapshotDiff
+      .diffOracleSql(snapshotOldSql, snapshotNewSql),
+    "q521_incremental_stats" -> graft.operators.SnapshotDiff
+      .incrementalStatsOracleSql(snapshotOldSql, snapshotNewSql),
+    "q522_changed_similarity" -> graft.operators.SnapshotDiff
+      .changedSimilarityOracleSql(snapshotOldSql, snapshotNewSql),
     "q227_cramers_v" -> cramersVSql,
     "q228_lexical_richness" ->
       """WITH tok AS (SELECT source,
