@@ -4103,6 +4103,41 @@ object SparkEntry {
         knn AS (SELECT * FROM pairs QUALIFY
           row_number() OVER (PARTITION BY id ORDER BY distance, neighbor_id) <= $k)"""
 
+  /** Cents-lattice column for the exact mean/stddev oracles
+    * (mirrors Eda.descriptiveStats' xc: NaN guarded BEFORE the
+    * decimal cast, null for NaN). */
+  private def latticeXcSql(c: String): String =
+    s"""CASE WHEN NOT isnan(CAST($c AS DOUBLE))
+        THEN CAST(TRY_CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT) END"""
+
+  /** The four lattice moment aggregates (cnt, s1i, s2i, nanc) over a
+    * frame exposing (c0, xc). */
+  private val latticeMomentAggs: String =
+    """COUNT(xc) AS cnt, SUM(xc) AS s1i, SUM(xc * xc) AS s2i,
+       SUM(CASE WHEN isnan(CAST(c0 AS DOUBLE)) THEN 1 ELSE 0 END)
+         AS nanc"""
+
+  /** Engine-portable mean of the lattice moments — the identical
+    * expression tree Eda.descriptiveStats builds on the Spark side. */
+  private def latticeMeanSql(cnt: String, s1i: String,
+                             nanc: String): String =
+    s"""CASE WHEN $nanc > 0 THEN CAST('NaN' AS DOUBLE)
+        WHEN $cnt > 0 THEN
+          (${graft.core.Lattice.duckPortableDoubleSigned(s1i)} / 100.0)
+            / CAST($cnt AS DOUBLE) END"""
+
+  /** Engine-portable sample stddev of the lattice moments. */
+  private def latticeStdSql(cnt: String, s1i: String, s2i: String,
+                            nanc: String): String = {
+    val pdd = graft.core.Lattice.duckPortableDoubleSigned _
+    s"""CASE WHEN $nanc > 0 THEN CAST('NaN' AS DOUBLE)
+        WHEN $cnt >= 2 THEN SQRT(GREATEST(
+          ((${pdd(s2i)} / 10000.0)
+            - (${pdd(s1i)} / 100.0) * (${pdd(s1i)} / 100.0)
+              / CAST($cnt AS DOUBLE))
+            / (CAST($cnt AS DOUBLE) - 1), 0.0)) END"""
+  }
+
   /** DuckDB-runnable oracles; keys/aliases match `queries` exactly.
     * Omitted keys (q32/q33 — engine-specific hash functions) get the
     * driver's weaker rows-only check.
@@ -4120,13 +4155,18 @@ object SparkEntry {
     "q02_num_rows" -> "SELECT COUNT(*) AS num_rows FROM lineitem",
     "q03_descriptive_stats" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
-        s"""SELECT '$c' AS column_name, CAST(MIN($c) AS DOUBLE) AS min,
-            ROUND(quantile_cont($c, 0.25), 6) AS q1,
-            ROUND(quantile_cont($c, 0.5), 6) AS median,
-            ROUND(quantile_cont($c, 0.75), 6) AS q3,
-            CAST(MAX($c) AS DOUBLE) AS max,
-            ROUND(AVG($c), 6) AS mean, ROUND(STDDEV($c), 6) AS stddev
-            FROM lineitem""").mkString(" UNION ALL "),
+        s"""SELECT '$c' AS column_name, mn AS min, q1v AS q1,
+            medv AS median, q3v AS q3, mx AS max,
+            ROUND(${latticeMeanSql("cnt", "s1i", "nanc")}, 6) AS mean,
+            ROUND(${latticeStdSql("cnt", "s1i", "s2i", "nanc")}, 6)
+              AS stddev
+          FROM (SELECT CAST(MIN(c0) AS DOUBLE) AS mn,
+              ROUND(quantile_cont(c0, 0.25), 6) AS q1v,
+              ROUND(quantile_cont(c0, 0.5), 6) AS medv,
+              ROUND(quantile_cont(c0, 0.75), 6) AS q3v,
+              CAST(MAX(c0) AS DOUBLE) AS mx, $latticeMomentAggs
+            FROM (SELECT $c AS c0, ${latticeXcSql(c)} AS xc
+              FROM lineitem))""").mkString(" UNION ALL "),
     "q04_count_distinct" ->
       """SELECT COUNT(DISTINCT l_quantity) AS l_quantity,
          COUNT(DISTINCT l_extendedprice) AS l_extendedprice,
@@ -4357,10 +4397,24 @@ object SparkEntry {
     "q36_feature_quality" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
         s"""SELECT '$c' AS column_name,
-            ROUND(CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS null_frac,
-            ROUND(CAST(COUNT(CASE WHEN $c = 0 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS zero_frac,
-            ROUND(VAR_SAMP($c), 6) AS variance,
-            COUNT(DISTINCT $c) AS n_distinct FROM lineitem""").mkString(" UNION ALL "),
+            ROUND(CAST(nnul AS DOUBLE) / nall, 6) AS null_frac,
+            ROUND(CAST(nzero AS DOUBLE) / nall, 6) AS zero_frac,
+            ROUND(CASE WHEN nanc > 0 THEN CAST('NaN' AS DOUBLE)
+              WHEN cnt >= 2 THEN GREATEST(
+                ((${graft.core.Lattice.duckPortableDoubleSigned("s2i")}
+                    / 10000.0)
+                  - (${graft.core.Lattice.duckPortableDoubleSigned("s1i")}
+                      / 100.0)
+                    * (${graft.core.Lattice.duckPortableDoubleSigned("s1i")}
+                        / 100.0) / CAST(cnt AS DOUBLE))
+                  / (CAST(cnt AS DOUBLE) - 1), 0.0) END, 6) AS variance,
+            n_distinct
+          FROM (SELECT COUNT(*) AS nall,
+              COUNT(CASE WHEN c0 IS NULL THEN 1 END) AS nnul,
+              COUNT(CASE WHEN c0 = 0 THEN 1 END) AS nzero,
+              COUNT(DISTINCT c0) AS n_distinct, $latticeMomentAggs
+            FROM (SELECT $c AS c0, ${latticeXcSql(c)} AS xc
+              FROM lineitem))""").mkString(" UNION ALL "),
     "q38_residual_features" ->
       s"""WITH ${knnSql("vec_id < 30", "vec_id < 100", 5)},
           aggs AS (SELECT knn.id, AVG(distance) AS knn_distance,
@@ -4588,26 +4642,33 @@ object SparkEntry {
         ("o_orderstatus", "string", false), ("o_totalprice", "double", true),
         ("o_orderdate", "timestamp", false), ("o_orderpriority", "string", false))
       cols.map { case (c, ty, isNum) =>
-        val numPart =
-          if (isNum)
-            s"""COUNT(CASE WHEN $c = 0 THEN 1 END) AS num_zeros,
-               ROUND(CAST(MIN($c) AS DOUBLE), 6) AS min,
-               ROUND(quantile_cont(CAST($c AS DOUBLE), 0.25), 6) AS q1,
-               ROUND(quantile_cont(CAST($c AS DOUBLE), 0.50), 6) AS median,
-               ROUND(quantile_cont(CAST($c AS DOUBLE), 0.75), 6) AS q3,
-               ROUND(CAST(MAX($c) AS DOUBLE), 6) AS max,
-               ROUND(CAST(AVG($c) AS DOUBLE), 6) AS mean,
-               ROUND(CAST(STDDEV($c) AS DOUBLE), 6) AS stddev"""
-          else
-            """CAST(NULL AS BIGINT) AS num_zeros,
-               CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS q1,
-               CAST(NULL AS DOUBLE) AS median, CAST(NULL AS DOUBLE) AS q3,
-               CAST(NULL AS DOUBLE) AS max, CAST(NULL AS DOUBLE) AS mean,
-               CAST(NULL AS DOUBLE) AS stddev"""
-        s"""SELECT '$c' AS column_name, '$ty' AS dtype,
-            COUNT(DISTINCT $c) AS n_distinct,
-            COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
-            $numPart FROM orders"""
+        if (isNum)
+          s"""SELECT '$c' AS column_name, '$ty' AS dtype,
+              n_distinct, n_nulls, num_zeros, mn AS min, q1v AS q1,
+              medv AS median, q3v AS q3, mx AS max,
+              ROUND(${latticeMeanSql("cnt", "s1i", "nanc")}, 6) AS mean,
+              ROUND(${latticeStdSql("cnt", "s1i", "s2i", "nanc")}, 6)
+                AS stddev
+            FROM (SELECT COUNT(DISTINCT c0) AS n_distinct,
+                COUNT(CASE WHEN c0 IS NULL THEN 1 END) AS n_nulls,
+                COUNT(CASE WHEN c0 = 0 THEN 1 END) AS num_zeros,
+                ROUND(CAST(MIN(c0) AS DOUBLE), 6) AS mn,
+                ROUND(quantile_cont(CAST(c0 AS DOUBLE), 0.25), 6) AS q1v,
+                ROUND(quantile_cont(CAST(c0 AS DOUBLE), 0.50), 6) AS medv,
+                ROUND(quantile_cont(CAST(c0 AS DOUBLE), 0.75), 6) AS q3v,
+                ROUND(CAST(MAX(c0) AS DOUBLE), 6) AS mx,
+                $latticeMomentAggs
+              FROM (SELECT $c AS c0, ${latticeXcSql(c)} AS xc
+                FROM orders))"""
+        else
+          s"""SELECT '$c' AS column_name, '$ty' AS dtype,
+              COUNT(DISTINCT $c) AS n_distinct,
+              COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+              CAST(NULL AS BIGINT) AS num_zeros,
+              CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS q1,
+              CAST(NULL AS DOUBLE) AS median, CAST(NULL AS DOUBLE) AS q3,
+              CAST(NULL AS DOUBLE) AS max, CAST(NULL AS DOUBLE) AS mean,
+              CAST(NULL AS DOUBLE) AS stddev FROM orders"""
       }.mkString(" UNION ALL ")
     },
     "q65_filter_by_tags" ->
@@ -5115,13 +5176,18 @@ object SparkEntry {
          FROM i""",
     "q97_cached_stats" -> Seq("c_custkey", "c_acctbal", "c_nationkey")
       .map(c =>
-        s"""SELECT '$c' AS column_name, CAST(MIN($c) AS DOUBLE) AS min,
-            ROUND(quantile_cont($c, 0.25), 6) AS q1,
-            ROUND(quantile_cont($c, 0.5), 6) AS median,
-            ROUND(quantile_cont($c, 0.75), 6) AS q3,
-            CAST(MAX($c) AS DOUBLE) AS max,
-            ROUND(AVG($c), 6) AS mean, ROUND(STDDEV($c), 6) AS stddev
-            FROM customer""").mkString(" UNION ALL "),
+        s"""SELECT '$c' AS column_name, mn AS min, q1v AS q1,
+            medv AS median, q3v AS q3, mx AS max,
+            ROUND(${latticeMeanSql("cnt", "s1i", "nanc")}, 6) AS mean,
+            ROUND(${latticeStdSql("cnt", "s1i", "s2i", "nanc")}, 6)
+              AS stddev
+          FROM (SELECT CAST(MIN(c0) AS DOUBLE) AS mn,
+              ROUND(quantile_cont(c0, 0.25), 6) AS q1v,
+              ROUND(quantile_cont(c0, 0.5), 6) AS medv,
+              ROUND(quantile_cont(c0, 0.75), 6) AS q3v,
+              CAST(MAX(c0) AS DOUBLE) AS mx, $latticeMomentAggs
+            FROM (SELECT $c AS c0, ${latticeXcSql(c)} AS xc
+              FROM customer))""").mkString(" UNION ALL "),
     "q98_compound_registry" ->
       """SELECT 'c' || p_partkey AS id, p_name AS smiles,
          concat_ws(',', CASE WHEN p_size > 25 THEN 'big' END,
@@ -7543,8 +7609,14 @@ object SparkEntry {
       graft.eda.Concentration.theilDecompositionOracleSql(
         "SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders"),
     "q285_hierarchy_flatten" -> graft.operators.Hierarchy.flattenOracleSql(
+      // replica-aware parent (p_partkey nonneg → % == pmod), mirroring
+      // the Spark wiring: the low digits mod the ScaleUp replica step
+      // form each replica's own closed taxonomy — identical to plain
+      // k // 2 at base scales, convergent at every ladder factor
       """SELECT p_partkey AS id,
-           CASE WHEN p_partkey > 3 THEN p_partkey // 2 END AS parent
+           CASE WHEN p_partkey % 100000000 > 3
+             THEN p_partkey - (p_partkey % 100000000)
+               + (p_partkey % 100000000) // 2 END AS parent
          FROM part"""),
     "q286_cumulative_distinct" ->
       graft.operators.Events.cumulativeDistinctOracleSql(

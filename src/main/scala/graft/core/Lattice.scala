@@ -34,4 +34,16 @@ object Lattice {
     * integer-valued) column. */
   def duckPortableDouble(col: String): String =
     s"(CAST(($col // $Split) AS DOUBLE) * $Split + CAST(($col % $Split) AS DOUBLE))"
+
+  /** Sign-safe variants: negate into the nonnegative domain first
+    * (exact), convert, negate back (exact) — `div`/`//` only agree on
+    * nonnegative operands, so the plain forms above must never see a
+    * negative sum. */
+  def sparkPortableDoubleSigned(col: String): String =
+    s"(CASE WHEN $col >= 0 THEN ${sparkPortableDouble(col)} " +
+      s"ELSE -${sparkPortableDouble(s"(-$col)")} END)"
+
+  def duckPortableDoubleSigned(col: String): String =
+    s"(CASE WHEN $col >= 0 THEN ${duckPortableDouble(col)} " +
+      s"ELSE -${duckPortableDouble(s"(-$col)")} END)"
 }

@@ -27,6 +27,17 @@ object Eda {
     // exact path: graft.functions.ExactPercentiles — one primitive buffer
     // per column serves all three quantiles (~10× the built-in Percentile,
     // same interpolation rule). approx path: mergeable sketch for scale.
+    // exact path means/stddevs ride the integer cents lattice (2dp
+    // domain) with ONE portable double conversion per moment
+    // (core/Lattice): engine-native AVG/STDDEV are partial-sum-order
+    // dependent, which the round-13 100× sweep surfaced as 6dp drift
+    // on key-magnitude columns. NaN propagates like AVG's (guarded
+    // BEFORE the decimal cast — ANSI-safe).
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def xc(c: String): Column =
+      (when(!isnan(col(c).cast("double")), col(c))
+        .cast(DecimalType(18, 2)) * lit(100)).cast(d38)
     val aggs: Seq[Column] =
       if (exact) cols.flatMap { c =>
         Seq(
@@ -35,8 +46,11 @@ object Eda {
             .exactPercentiles(col(c).cast("double"), Seq(0.25, 0.5, 0.75))
             .as(s"${c}__pct"),
           max(col(c)).cast("double").as(s"${c}__max"),
-          avg(col(c)).cast("double").as(s"${c}__mean"),
-          stddev(col(c)).cast("double").as(s"${c}__stddev"))
+          count(xc(c)).as(s"${c}__cnt"),
+          sum(xc(c)).as(s"${c}__s1i"),
+          sum(xc(c) * xc(c)).as(s"${c}__s2i"),
+          sum(when(isnan(col(c).cast("double")), 1L).otherwise(0L))
+            .as(s"${c}__nanc"))
       }
       else cols.flatMap { c =>
         Seq(
@@ -47,11 +61,27 @@ object Eda {
           avg(col(c)).cast("double").as(s"${c}__mean"),
           stddev(col(c)).cast("double").as(s"${c}__stddev"))
       }
+    val pds = graft.core.Lattice.sparkPortableDoubleSigned _
+    def momentCols(c: String): Seq[Column] =
+      if (!exact) Seq.empty
+      else {
+        val s1 = expr(pds(s"`${c}__s1i`")) / 100.0
+        val s2 = expr(pds(s"`${c}__s2i`")) / 10000.0
+        val nd = col(s"${c}__cnt").cast("double")
+        val nan = col(s"${c}__nanc") > 0
+        Seq(
+          when(nan, lit(Double.NaN))
+            .when(col(s"${c}__cnt") > 0, s1 / nd).as(s"${c}__mean"),
+          when(nan, lit(Double.NaN))
+            .when(col(s"${c}__cnt") >= 2,
+              sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1), lit(0.0))))
+            .as(s"${c}__stddev"))
+      }
     val wide = df.agg(aggs.head, aggs.tail: _*)
       .select(col("*") +: cols.flatMap(c => Seq(
         element_at(col(s"${c}__pct"), 1).as(s"${c}__q1"),
         element_at(col(s"${c}__pct"), 2).as(s"${c}__median"),
-        element_at(col(s"${c}__pct"), 3).as(s"${c}__q3"))): _*)
+        element_at(col(s"${c}__pct"), 3).as(s"${c}__q3")) ++ momentCols(c)): _*)
     // Pivot col__stat names back to one row per column, like the
     // reference's result reshaping (descriptive_stats.py:40-83).
     val stats = Seq("min", "q1", "median", "q3", "max", "mean", "stddev")

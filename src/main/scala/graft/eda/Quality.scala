@@ -124,13 +124,37 @@ object Quality {
     * (reference: pandas_utils.py:631-729). Single scan, long format.
     */
   def featureQuality(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // variance on the exact cents lattice (2dp domain) + portable
+    // double (core/Lattice): engine-native var_samp drifted 9e-6 at
+    // the round-13 100× gate. NaN guarded before the decimal cast,
+    // propagating like var_samp's.
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def xc(c: String) =
+      (when(!isnan(col(c).cast("double")), col(c))
+        .cast(DecimalType(18, 2)) * lit(100)).cast(d38)
+    val pds = graft.core.Lattice.sparkPortableDoubleSigned _
     val n = count(lit(1))
     val aggs = cols.flatMap(c => Seq(
       (count(when(col(c).isNull, 1)).cast("double") / n).as(s"${c}__null_frac"),
       (count(when(col(c) === 0, 1)).cast("double") / n).as(s"${c}__zero_frac"),
-      var_samp(col(c)).cast("double").as(s"${c}__variance"),
+      count(xc(c)).as(s"${c}__cnt"),
+      sum(xc(c)).as(s"${c}__s1i"),
+      sum(xc(c) * xc(c)).as(s"${c}__s2i"),
+      sum(when(isnan(col(c).cast("double")), 1L).otherwise(0L))
+        .as(s"${c}__nanc"),
       count_distinct(col(c)).cast("double").as(s"${c}__n_distinct")))
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide0 = df.agg(aggs.head, aggs.tail: _*)
+    val varCols = cols.map { c =>
+      val s1 = expr(pds(s"`${c}__s1i`")) / 100.0
+      val s2 = expr(pds(s"`${c}__s2i`")) / 10000.0
+      val nd = col(s"${c}__cnt").cast("double")
+      when(col(s"${c}__nanc") > 0, lit(Double.NaN))
+        .when(col(s"${c}__cnt") >= 2,
+          greatest((s2 - s1 * s1 / nd) / (nd - 1), lit(0.0)))
+        .as(s"${c}__variance")
+    }
+    val wide = wide0.select(col("*") +: varCols: _*)
     val stackExpr = cols.map(c =>
       s"'$c', `${c}__null_frac`, `${c}__zero_frac`, `${c}__variance`, `${c}__n_distinct`")
       .mkString(", ")

@@ -158,16 +158,40 @@ object RegressionDiagnostics {
     * λ₁,₂ = (σx²+σy²)/2 ± sqrt(((σx²−σy²)/2)² + σxy²), explained
     * variance ratio λ₁/(λ₁+λ₂), and the principal-axis SLOPE
     * (λ₁−σx²)/σxy — algebraic, no trig, so no libm-divergence risk.
-    * One Welford-kernel aggregate (var_pop/covar_pop merge across
-    * partitions in both engines). Returns one row:
+    * One moments aggregate on the exact cents lattice (2dp domain;
+    * Welford var_pop/covar_pop merge in partition order, which the
+    * round-13 100× sweep surfaced as 6dp drift in λ₁ — the integer
+    * moments + one portable conversion per sum are bit-identical on
+    * both engines). Returns one row:
     * (n, lambda1 6dp, lambda2 6dp, evr 6dp, axis_slope 6dp). */
   def pca2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(xCol).cast("double").as("__x"),
-        col(yCol).cast("double").as("__y"))
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val xd = col(xCol).cast("double")
+    val yd = col(yCol).cast("double")
+    val xc = (col(xCol).cast(DecimalType(18, 2)) * lit(100)).cast(d38)
+    val yc = (col(yCol).cast(DecimalType(18, 2)) * lit(100)).cast(d38)
+    val pds = graft.core.Lattice.sparkPortableDoubleSigned _
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        !isnan(xd) && !isnan(yd))
+      .select(xc.as("__xc"), yc.as("__yc"))
     val m = base.agg(count(lit(1)).as("n"),
-      var_pop("__x").as("__vx"), var_pop("__y").as("__vy"),
-      covar_pop("__x", "__y").as("__cxy"))
+        sum("__xc").as("sx_i"), sum("__yc").as("sy_i"),
+        sum(col("__xc") * col("__xc")).as("sxx_i"),
+        sum(col("__yc") * col("__yc")).as("syy_i"),
+        sum(col("__xc") * col("__yc")).as("sxy_i"))
+      .selectExpr("n",
+        s"${pds("sx_i")} / 100.0 AS sx", s"${pds("sy_i")} / 100.0 AS sy",
+        s"${pds("sxx_i")} / 10000.0 AS sxx",
+        s"${pds("syy_i")} / 10000.0 AS syy",
+        s"${pds("sxy_i")} / 10000.0 AS sxy")
+      .select(col("n"),
+        ((col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+          / col("n").cast("double")).as("__vx"),
+        ((col("syy") - col("sy") * col("sy") / col("n").cast("double"))
+          / col("n").cast("double")).as("__vy"),
+        ((col("sxy") - col("sx") * col("sy") / col("n").cast("double"))
+          / col("n").cast("double")).as("__cxy"))
     val mid = (col("__vx") + col("__vy")) / 2
     val rad = sqrt((col("__vx") - col("__vy")) *
       (col("__vx") - col("__vy")) / 4 + col("__cxy") * col("__cxy"))
@@ -182,11 +206,36 @@ object RegressionDiagnostics {
 
   /** DuckDB twin of [[pca2d]]; `srcCte` must yield (x, y). */
   def pca2dOracleSql(srcCte: String): String =
-    s"""WITH src AS (SELECT CAST(x AS DOUBLE) AS x,
-            CAST(y AS DOUBLE) AS y FROM ($srcCte)
-          WHERE x IS NOT NULL AND y IS NOT NULL),
-        m AS (SELECT COUNT(*) AS n, var_pop(x) AS vx, var_pop(y) AS vy,
-            covar_pop(x, y) AS cxy FROM src),
+    s"""WITH src AS (SELECT
+            CAST(CAST(x AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xc,
+            CAST(CAST(y AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
+          FROM ($srcCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL
+            AND NOT isnan(CAST(x AS DOUBLE))
+            AND NOT isnan(CAST(y AS DOUBLE))),
+        mi AS (SELECT COUNT(*) AS n, SUM(xc) AS sx_i, SUM(yc) AS sy_i,
+            SUM(xc * xc) AS sxx_i, SUM(yc * yc) AS syy_i,
+            SUM(xc * yc) AS sxy_i FROM src),
+        mc AS (SELECT n,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sx_i")}
+              / 100.0 AS sx,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sy_i")}
+              / 100.0 AS sy,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxx_i")}
+              / 10000.0 AS sxx,
+            ${graft.core.Lattice.duckPortableDoubleSigned("syy_i")}
+              / 10000.0 AS syy,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxy_i")}
+              / 10000.0 AS sxy
+          FROM mi),
+        m AS (SELECT n,
+            (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+              AS vx,
+            (syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+              AS vy,
+            (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+              AS cxy
+          FROM mc),
         e AS (SELECT n, vx, vy, cxy,
             (vx + vy) / 2 + SQRT((vx - vy) * (vx - vy) / 4 + cxy * cxy)
               AS l1,

@@ -25,21 +25,45 @@ object Ridge {
     * `explained` is the centered explained-variance share
     * (β·c / Syy — exact R² at λ = 0, a shrunk proxy under penalty).
     * Groups with a singular penalized system (det = 0, only possible
-    * at λ = 0) or fewer than 3 rows emit null coefficients. Returns
+    * at λ = 0) or fewer than 3 rows emit null coefficients. Inputs
+    * are quantized to 2dp (the cents lattice — money-like domain);
+    * moments then accumulate as exact integers so the solved betas
+    * are bit-identical across engines at any scale. Returns
     * (group, n, b0, b1, b2, explained) floats 6dp. */
   def ridge2(df: DataFrame, groupCol: String, x1Col: String, x2Col: String,
              yCol: String, lambda: Double = 1.0): DataFrame = {
     require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    // moments on the exact cents lattice (values 2dp-quantized), then
+    // ONE portable double conversion per moment (core/Lattice) — raw
+    // double sums differ across engines in summation order, which the
+    // round-13 100× sweep surfaced as 6dp drift in the solved betas
+    def c100(c: Column): Column =
+      (c.cast(DecimalType(18, 2)) * lit(100)).cast(d38)
     val (x1, x2, y) = (col(x1Col).cast("double"), col(x2Col).cast("double"),
       col(yCol).cast("double"))
+    val (x1c, x2c, yc) = (c100(col(x1Col)), c100(col(x2Col)),
+      c100(col(yCol)))
+    val pds = graft.core.Lattice.sparkPortableDoubleSigned _
     val m = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull)
       .groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n"),
-        sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
-        sum(x1 * x1).as("sx1x1"), sum(x2 * x2).as("sx2x2"),
-        sum(x1 * x2).as("sx1x2"),
-        sum(x1 * y).as("sx1y"), sum(x2 * y).as("sx2y"),
-        sum(y * y).as("syy"))
+        sum(x1c).as("sx1_i"), sum(x2c).as("sx2_i"), sum(yc).as("sy_i"),
+        sum(x1c * x1c).as("sx1x1_i"), sum(x2c * x2c).as("sx2x2_i"),
+        sum(x1c * x2c).as("sx1x2_i"),
+        sum(x1c * yc).as("sx1y_i"), sum(x2c * yc).as("sx2y_i"),
+        sum(yc * yc).as("syy_i"))
+      .selectExpr("group", "n",
+        s"${pds("sx1_i")} / 100.0 AS sx1",
+        s"${pds("sx2_i")} / 100.0 AS sx2",
+        s"${pds("sy_i")} / 100.0 AS sy",
+        s"${pds("sx1x1_i")} / 10000.0 AS sx1x1",
+        s"${pds("sx2x2_i")} / 10000.0 AS sx2x2",
+        s"${pds("sx1x2_i")} / 10000.0 AS sx1x2",
+        s"${pds("sx1y_i")} / 10000.0 AS sx1y",
+        s"${pds("sx2y_i")} / 10000.0 AS sx2y",
+        s"${pds("syy_i")} / 10000.0 AS syy")
     val n = col("n").cast("double")
     val (m1, m2, my) = (col("sx1") / n, col("sx2") / n, col("sy") / n)
     val s11 = col("sx1x1") - n * m1 * m1 + lit(lambda)
@@ -66,15 +90,26 @@ object Ridge {
     val l = lambda
     // the same expression tree, spelled once per use exactly as the
     // Column DSL expands it (moment aliases keep it readable)
+    val pdd = graft.core.Lattice.duckPortableDoubleSigned _
     val defs =
-      s"""mm AS (SELECT grp,
-            CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS ni,
-            SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
-            SUM(x1 * x1) AS sx1x1, SUM(x2 * x2) AS sx2x2,
-            SUM(x1 * x2) AS sx1x2,
-            SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y,
-            SUM(y * y) AS syy
+      s"""mi AS (SELECT grp, COUNT(*) AS ni,
+            SUM(x1c) AS sx1_i, SUM(x2c) AS sx2_i, SUM(yc) AS sy_i,
+            SUM(x1c * x1c) AS sx1x1_i, SUM(x2c * x2c) AS sx2x2_i,
+            SUM(x1c * x2c) AS sx1x2_i,
+            SUM(x1c * yc) AS sx1y_i, SUM(x2c * yc) AS sx2y_i,
+            SUM(yc * yc) AS syy_i
           FROM rows0 GROUP BY grp),
+        mm AS (SELECT grp, CAST(ni AS DOUBLE) AS n, ni,
+            ${pdd("sx1_i")} / 100.0 AS sx1,
+            ${pdd("sx2_i")} / 100.0 AS sx2,
+            ${pdd("sy_i")} / 100.0 AS sy,
+            ${pdd("sx1x1_i")} / 10000.0 AS sx1x1,
+            ${pdd("sx2x2_i")} / 10000.0 AS sx2x2,
+            ${pdd("sx1x2_i")} / 10000.0 AS sx1x2,
+            ${pdd("sx1y_i")} / 10000.0 AS sx1y,
+            ${pdd("sx2y_i")} / 10000.0 AS sx2y,
+            ${pdd("syy_i")} / 10000.0 AS syy
+          FROM mi),
         ex AS (SELECT grp, ni, n,
             sx1x1 - n * (sx1 / n) * (sx1 / n) + $l AS s11,
             sx2x2 - n * (sx2 / n) * (sx2 / n) + $l AS s22,
@@ -89,8 +124,10 @@ object Ridge {
             (s22 * c1 - s12 * c2) / (s11 * s22 - s12 * s12) AS b1,
             (s11 * c2 - s12 * c1) / (s11 * s22 - s12 * s12) AS b2
           FROM ex)"""
-    s"""WITH rows0 AS (SELECT grp, CAST(x1 AS DOUBLE) AS x1,
-            CAST(x2 AS DOUBLE) AS x2, CAST(y AS DOUBLE) AS y
+    s"""WITH rows0 AS (SELECT grp,
+            CAST(CAST(x1 AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x1c,
+            CAST(CAST(x2 AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x2c,
+            CAST(CAST(y AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
           FROM ($rowsCte)
           WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND y IS NOT NULL),
         $defs

@@ -811,24 +811,43 @@ object Stats {
                       yCol: String, minN: Long = 30): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
-    val g = df.filter(x.isNotNull && y.isNotNull)
+    // group moments on the exact cents lattice (2dp domain), pooled
+    // moments by SUMMING the same integers — both slope solves then
+    // start from identical bits on both engines (round-13 100× sweep:
+    // the raw-double overall_slope drifted 6e-6)
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val xc = (col(xCol).cast(DecimalType(18, 2)) * lit(100)).cast(d38)
+    val yc = (col(yCol).cast(DecimalType(18, 2)) * lit(100)).cast(d38)
+    val pds = graft.core.Lattice.sparkPortableDoubleSigned _
+    val g = df.filter(x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y))
       .groupBy(col(groupCol).as("__g"))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .agg(count(lit(1)).as("n"), sum(xc).as("sx_i"), sum(yc).as("sy_i"),
+        sum(xc * xc).as("sxx_i"), sum(xc * yc).as("sxy_i"))
       .filter(col("n") >= minN)
     def slope(n: Column, sx: Column, sy: Column, sxx: Column,
               sxy: Column): Column = {
       val nd = n.cast("double")
       (sxy - sx * sy / nd) / (sxx - sx * sx / nd)
     }
-    val withSlope = g.withColumn("__b",
-      slope(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy")))
+    val withSlope = g.selectExpr("*",
+        s"${pds("sx_i")} / 100.0 AS sx", s"${pds("sy_i")} / 100.0 AS sy",
+        s"${pds("sxx_i")} / 10000.0 AS sxx",
+        s"${pds("sxy_i")} / 10000.0 AS sxy")
+      .withColumn("__b",
+        slope(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy")))
     val agg = withSlope.agg(
-      count(lit(1)).as("n_groups"),
-      sum("n").as("__nt"), sum("sx").as("__sxt"), sum("sy").as("__syt"),
-      sum("sxx").as("__sxxt"), sum("sxy").as("__sxyt"),
-      sum(when(col("__b") > 0, 1L).otherwise(0L)).as("n_pos"),
-      sum(when(col("__b") < 0, 1L).otherwise(0L)).as("n_neg"))
+        count(lit(1)).as("n_groups"),
+        sum("n").as("__nt"), sum("sx_i").as("__sxt_i"),
+        sum("sy_i").as("__syt_i"), sum("sxx_i").as("__sxxt_i"),
+        sum("sxy_i").as("__sxyt_i"),
+        sum(when(col("__b") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__b") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .selectExpr("*",
+        s"${pds("__sxt_i")} / 100.0 AS __sxt",
+        s"${pds("__syt_i")} / 100.0 AS __syt",
+        s"${pds("__sxxt_i")} / 10000.0 AS __sxxt",
+        s"${pds("__sxyt_i")} / 10000.0 AS __sxyt")
     val ov = slope(col("__nt"), col("__sxt"), col("__syt"),
       col("__sxxt"), col("__sxyt"))
     agg.select(col("n_groups"), round(ov, 6).as("overall_slope"),
@@ -844,20 +863,46 @@ object Stats {
   /** DuckDB twin of [[simpsonDetector]]; `unitsCte` yields (g, x, y). */
   def simpsonDetectorOracleSql(unitsCte: String,
                                minN: Long = 30): String =
-    s"""WITH units AS (SELECT g, CAST(x AS DOUBLE) AS x,
-            CAST(y AS DOUBLE) AS y FROM ($unitsCte)
-          WHERE x IS NOT NULL AND y IS NOT NULL),
-        grp AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-            SUM(x * x) AS sxx, SUM(x * y) AS sxy
+    s"""WITH units AS (SELECT g,
+            CAST(CAST(x AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xc,
+            CAST(CAST(y AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
+          FROM ($unitsCte)
+          WHERE x IS NOT NULL AND y IS NOT NULL
+            AND NOT isnan(CAST(x AS DOUBLE))
+            AND NOT isnan(CAST(y AS DOUBLE))),
+        grpi AS (SELECT g, COUNT(*) AS n, SUM(xc) AS sx_i,
+            SUM(yc) AS sy_i, SUM(xc * xc) AS sxx_i,
+            SUM(xc * yc) AS sxy_i
           FROM units GROUP BY g HAVING COUNT(*) >= $minN),
+        grp AS (SELECT g, n, sx_i, sy_i, sxx_i, sxy_i,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sx_i")}
+              / 100.0 AS sx,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sy_i")}
+              / 100.0 AS sy,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxx_i")}
+              / 10000.0 AS sxx,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxy_i")}
+              / 10000.0 AS sxy
+          FROM grpi),
         sl AS (SELECT *,
             (sxy - sx * sy / CAST(n AS DOUBLE))
               / (sxx - sx * sx / CAST(n AS DOUBLE)) AS b FROM grp),
-        a AS (SELECT COUNT(*) AS k, SUM(n) AS nt, SUM(sx) AS sxt,
-            SUM(sy) AS syt, SUM(sxx) AS sxxt, SUM(sxy) AS sxyt,
+        ai AS (SELECT COUNT(*) AS k, SUM(n) AS nt, SUM(sx_i) AS sxt_i,
+            SUM(sy_i) AS syt_i, SUM(sxx_i) AS sxxt_i,
+            SUM(sxy_i) AS sxyt_i,
             SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS np,
             SUM(CASE WHEN b < 0 THEN 1 ELSE 0 END) AS nn
           FROM sl),
+        a AS (SELECT k, nt, np, nn,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxt_i")}
+              / 100.0 AS sxt,
+            ${graft.core.Lattice.duckPortableDoubleSigned("syt_i")}
+              / 100.0 AS syt,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxxt_i")}
+              / 10000.0 AS sxxt,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxyt_i")}
+              / 10000.0 AS sxyt
+          FROM ai),
         o AS (SELECT *,
             (sxyt - sxt * syt / CAST(nt AS DOUBLE))
               / (sxxt - sxt * sxt / CAST(nt AS DOUBLE)) AS ov FROM a)
@@ -1413,36 +1458,59 @@ object Stats {
             trim: Double = 0.2): DataFrame = {
     require(trim > 0 && trim < 0.5, s"trim $trim out of (0, 0.5)")
     val v = col(valueCol).cast("double")
+    // kept values ride the exact cents lattice (2dp domain); the
+    // winsorized sums decompose as kept-sum + count·bound products —
+    // one portable conversion (core/Lattice) plus a fixed-order float
+    // tail, bit-identical across engines (round-13 100× sweep: the
+    // raw double Σwv/Σwv² drifted 3e-6 in df at corpus magnitudes)
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val vc = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast(d38)
     val base = df.filter(v.isNotNull && !isnan(v) &&
         col(groupCol).isin(groupA, groupB))
-      .select(col(groupCol).as("__g"), v.as("__v"))
+      .select(col(groupCol).as("__g"), v.as("__v"), vc.as("__vc"))
     val bounds = base.groupBy("__g").agg(
       graft.functions.ExactPercentiles.exactPercentiles(
         col("__v"), Seq(trim, 1 - trim)).as("__q"))
       .select(col("__g"), col("__q").getItem(0).as("__lo"),
         col("__q").getItem(1).as("__hi"))
     val j = base.join(broadcast(bounds), Seq("__g"))
-      .withColumn("__w", least(greatest(col("__v"), col("__lo")),
-        col("__hi")))
       .withColumn("__keep",
         col("__v") >= col("__lo") && col("__v") <= col("__hi"))
     def side(g: String, tag: String) = Seq(
       sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"n_$tag"),
       sum(when(col("__g") === g && col("__keep"), 1L).otherwise(0L))
         .as(s"h_$tag"),
-      sum(when(col("__g") === g && col("__keep"), col("__v")))
-        .as(s"__st_$tag"),
-      sum(when(col("__g") === g, col("__w"))).as(s"__sw_$tag"),
-      sum(when(col("__g") === g, col("__w") * col("__w")))
-        .as(s"__sww_$tag"))
+      sum(when(col("__g") === g && col("__keep"), col("__vc")))
+        .as(s"__stc_$tag"),
+      sum(when(col("__g") === g && col("__keep"),
+        col("__vc") * col("__vc"))).as(s"__svvc_$tag"),
+      sum(when(col("__g") === g && col("__v") < col("__lo"), 1L)
+        .otherwise(0L)).as(s"__cb_$tag"),
+      sum(when(col("__g") === g && col("__v") > col("__hi"), 1L)
+        .otherwise(0L)).as(s"__ca_$tag"),
+      min(when(col("__g") === g, col("__lo"))).as(s"__lo_$tag"),
+      min(when(col("__g") === g, col("__hi"))).as(s"__hi_$tag"))
     val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val pds = graft.core.Lattice.sparkPortableDoubleSigned _
     val m = j.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__st_a", expr(pds("__stc_a")) / 100.0)
+      .withColumn("__st_b", expr(pds("__stc_b")) / 100.0)
+      .withColumn("__svv_a", expr(pds("__svvc_a")) / 10000.0)
+      .withColumn("__svv_b", expr(pds("__svvc_b")) / 10000.0)
     def stats(tag: String): (Column, Column) = {
       val n = col(s"n_$tag").cast("double")
       val h = col(s"h_$tag").cast("double")
-      val mt = col(s"__st_$tag") / h
-      val sw2 = (col(s"__sww_$tag") -
-        col(s"__sw_$tag") * col(s"__sw_$tag") / n) / (n - 1)
+      val cb = col(s"__cb_$tag").cast("double")
+      val ca = col(s"__ca_$tag").cast("double")
+      val lo = col(s"__lo_$tag")
+      val hi = col(s"__hi_$tag")
+      val st = col(s"__st_$tag")
+      val sw = st + cb * lo + ca * hi
+      val sww = col(s"__svv_$tag") + cb * (lo * lo) + ca * (hi * hi)
+      val mt = st / h
+      val sw2 = (sww - sw * sw / n) / (n - 1)
       val d = sw2 * (n - 1) / (h * (h - 1))
       (mt, d)
     }
@@ -1469,28 +1537,56 @@ object Stats {
         bd AS (SELECT g, quantile_cont(v, $trim) AS lo,
             quantile_cont(v, $hi) AS hi FROM base GROUP BY g),
         w AS (SELECT base.g, v,
-            LEAST(GREATEST(v, lo), hi) AS wv,
-            v >= lo AND v <= hi AS keep
+            CAST(CAST(v AS DECIMAL(18,2)) * 100 AS HUGEINT) AS vcnt,
+            lo, hi, v >= lo AND v <= hi AS keep
           FROM base JOIN bd ON base.g = bd.g),
         m AS (SELECT
             SUM(CASE WHEN g = '$groupA' THEN 1 ELSE 0 END) AS na,
             SUM(CASE WHEN g = '$groupA' AND keep THEN 1 ELSE 0 END) AS ha,
-            SUM(CASE WHEN g = '$groupA' AND keep THEN v END) AS sta,
-            SUM(CASE WHEN g = '$groupA' THEN wv END) AS swa,
-            SUM(CASE WHEN g = '$groupA' THEN wv * wv END) AS swwa,
+            SUM(CASE WHEN g = '$groupA' AND keep THEN vcnt END) AS stca,
+            SUM(CASE WHEN g = '$groupA' AND keep THEN vcnt * vcnt END)
+              AS svvca,
+            SUM(CASE WHEN g = '$groupA' AND v < lo THEN 1 ELSE 0 END)
+              AS cba,
+            SUM(CASE WHEN g = '$groupA' AND v > hi THEN 1 ELSE 0 END)
+              AS caa,
+            MIN(CASE WHEN g = '$groupA' THEN lo END) AS loa,
+            MIN(CASE WHEN g = '$groupA' THEN hi END) AS hia,
             SUM(CASE WHEN g = '$groupB' THEN 1 ELSE 0 END) AS nb,
             SUM(CASE WHEN g = '$groupB' AND keep THEN 1 ELSE 0 END) AS hb,
-            SUM(CASE WHEN g = '$groupB' AND keep THEN v END) AS stb,
-            SUM(CASE WHEN g = '$groupB' THEN wv END) AS swb,
-            SUM(CASE WHEN g = '$groupB' THEN wv * wv END) AS swwb
+            SUM(CASE WHEN g = '$groupB' AND keep THEN vcnt END) AS stcb,
+            SUM(CASE WHEN g = '$groupB' AND keep THEN vcnt * vcnt END)
+              AS svvcb,
+            SUM(CASE WHEN g = '$groupB' AND v < lo THEN 1 ELSE 0 END)
+              AS cbb,
+            SUM(CASE WHEN g = '$groupB' AND v > hi THEN 1 ELSE 0 END)
+              AS cab,
+            MIN(CASE WHEN g = '$groupB' THEN lo END) AS lob,
+            MIN(CASE WHEN g = '$groupB' THEN hi END) AS hib
           FROM w),
+        cvt AS (SELECT m.*,
+            ${graft.core.Lattice.duckPortableDoubleSigned("stca")} / 100.0
+              AS sta,
+            ${graft.core.Lattice.duckPortableDoubleSigned("stcb")} / 100.0
+              AS stb,
+            ${graft.core.Lattice.duckPortableDoubleSigned("svvca")}
+              / 10000.0 AS svva,
+            ${graft.core.Lattice.duckPortableDoubleSigned("svvcb")}
+              / 10000.0 AS svvb
+          FROM m),
+        sw0 AS (SELECT *,
+            sta + cba * loa + caa * hia AS swa,
+            svva + cba * (loa * loa) + caa * (hia * hia) AS swwa,
+            stb + cbb * lob + cab * hib AS swb,
+            svvb + cbb * (lob * lob) + cab * (hib * hib) AS swwb
+          FROM cvt),
         e AS (SELECT na, nb, ha, hb,
             sta / ha AS mta, stb / hb AS mtb,
             (swwa - swa * swa / na) / (na - 1)
               * (na - 1) / (CAST(ha AS DOUBLE) * (ha - 1)) AS da,
             (swwb - swb * swb / nb) / (nb - 1)
               * (nb - 1) / (CAST(hb AS DOUBLE) * (hb - 1)) AS db
-          FROM m)
+          FROM sw0)
         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
           CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
           ROUND(mta, 6) AS mt_a, ROUND(mtb, 6) AS mt_b,
