@@ -36,20 +36,23 @@ object Graph {
     var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     var t = 0
     while (t < iters) {
-      // mass parked on dangling nodes (no out-edges) spreads uniformly
+      // mass parked on dangling nodes (no out-edges) spreads uniformly.
+      // The mass rides a 1-row cross-joined aggregate (the established
+      // scalar-frame pattern) instead of a per-iteration .first() driver
+      // action: one job per round instead of two, identical arithmetic
+      // (same aggregate subtree, same double division by n).
       val dangling = pr.join(outDeg, pr("id") === outDeg("src"), "left_anti")
-        .agg(sum("pr")).first() match {
-        case r if r.isNullAt(0) => 0.0
-        case r => r.getDouble(0)
-      }
+        .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
       val contrib = edges.join(outDeg, "src")
         .join(pr, edges("src") === pr("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("__deg")).as("__c"))
       val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .crossJoin(dangling)
         .select(col("id"),
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(dangling / n))).as("pr"))
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") / lit(n.toDouble))).as("pr"))
         .localCheckpoint(true) // eager: materialized, lineage cut
       pr.unpersist()
       pr = next
@@ -200,18 +203,19 @@ object Graph {
     var pr = e.select(col("id"), col("__e").as("pr")).localCheckpoint(true)
     var t = 0
     while (t < iters) {
+      // dangling mass as a 1-row cross-joined aggregate, not a per-round
+      // .first() action (same rewrite as pageRank: one job per round,
+      // identical arithmetic)
       val dangling = pr.join(outDeg, pr("id") === outDeg("src"), "left_anti")
-        .agg(sum("pr")).first() match {
-        case r if r.isNullAt(0) => 0.0
-        case r => r.getDouble(0)
-      }
+        .agg(coalesce(sum("pr"), lit(0.0)).as("__dm"))
       val contrib = edges.join(outDeg, "src")
         .join(pr, edges("src") === pr("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("__deg")).as("__c"))
       val next = e.join(contrib, e("id") === contrib("dst"), "left")
+        .crossJoin(dangling)
         .select(e("id"),
-          ((lit(1 - damping) + lit(damping) * lit(dangling)) * col("__e") +
+          ((lit(1 - damping) + lit(damping) * col("__dm")) * col("__e") +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
       pr.unpersist()
@@ -367,9 +371,14 @@ object Graph {
     * Aggregates only; the corr is over the edge table.
     */
   def degreeStats(edges0: DataFrame): DataFrame = {
+    // checkpoint the symmetrized edge list: deg and the two joins
+    // reference it 4x, and each reference would otherwise recompute the
+    // full upstream edge construction (for the proximity graph, a KNN
+    // self-join) — the q292 lesson applied here
     val und = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint(true)
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -441,9 +450,12 @@ object Graph {
     * (id, degree, triangles, clustering_coeff). */
   def clusteringCoefficient(edges0: DataFrame): DataFrame = {
     val tri = triangleCount(edges0)
+    // checkpointed for the same reason as degreeStats (deg references
+    // it twice; edges0 is expensive for the proximity graph)
     val und = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("id"))
       .unionByName(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -631,9 +643,14 @@ object Graph {
       .select("src", "dst").distinct().localCheckpoint(true)
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint(true)
-    def l1(scored: DataFrame): Double = scored.agg(sum("__s")).first() match {
-      case r if r.isNullAt(0) || r.getDouble(0) == 0.0 => 1.0
-      case r => r.getDouble(0)
+    // L1 norm as a 1-row cross-joined aggregate instead of a per-round
+    // .first() action: the old form both ran an extra driver action AND
+    // recomputed the ar/hr join+groupBy a second time inside the
+    // normalized frame — in-plan, the repeated subtree is deduped by
+    // exchange reuse. null/zero → 1.0 exactly as before.
+    def l1(scored: DataFrame): DataFrame = {
+      val sm = coalesce(sum("__s"), lit(0.0))
+      scored.agg(when(sm === 0.0, lit(1.0)).otherwise(sm).as("__l1"))
     }
     var hub = nodes.withColumn("h", lit(1.0)).localCheckpoint(true)
     var auth: DataFrame = null
@@ -642,16 +659,18 @@ object Graph {
       val ar = edges.join(hub.select(col("id").as("src"), col("h")), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("__s"))
       val aNew = nodes.join(ar, Seq("id"), "left")
+        .crossJoin(l1(ar))
         .select(col("id"),
-          (coalesce(col("__s"), lit(0.0)) / lit(l1(ar))).as("a"))
+          (coalesce(col("__s"), lit(0.0)) / col("__l1")).as("a"))
         .localCheckpoint(true)
       if (auth != null) auth.unpersist()
       auth = aNew
       val hr = edges.join(auth.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("__s"))
       val hNew = nodes.join(hr, Seq("id"), "left")
+        .crossJoin(l1(hr))
         .select(col("id"),
-          (coalesce(col("__s"), lit(0.0)) / lit(l1(hr))).as("h"))
+          (coalesce(col("__s"), lit(0.0)) / col("__l1")).as("h"))
         .localCheckpoint(true)
       hub.unpersist()
       hub = hNew
@@ -702,10 +721,14 @@ object Graph {
     * convention that makes the correlation symmetric). Returns one
     * row: (n_nodes, n_edges, assortativity 6dp). */
   def assortativity(edges0: DataFrame): DataFrame = {
+    // checkpoint the undirected edge list: sym/deg/paired reference it
+    // ~6x and each reference recomputed the full KNN-join upstream —
+    // the r13 baseline plan had 64 Exchanges for a one-row result
     val und = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
