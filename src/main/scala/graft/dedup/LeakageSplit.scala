@@ -39,14 +39,18 @@ object LeakageSplit {
     require(trainFraction > 0 && trainFraction < 1)
     val docs = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__text"))
+    // checkpointed: rare and linked both read the exploded shingle
+    // frame, and the pair self-join reads linked twice — without the
+    // checkpoints the corpus explode+distinct ran three times
     val sh = docs.select(col("id"), explode(
         graft.functions.Signatures.wordShingles(col("__text"), shingleSize))
         .as("g"))
       .distinct()
+      .localCheckpoint(true)
     val rare = sh.groupBy("g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select("g")
-    val linked = sh.join(rare, Seq("g"))
+    val linked = sh.join(rare, Seq("g")).localCheckpoint(true)
     val edges = linked.select(col("g"), col("id").as("a"))
       .join(linked.select(col("g"), col("id").as("b")), Seq("g"))
       .filter(col("a") < col("b"))

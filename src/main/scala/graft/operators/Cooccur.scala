@@ -28,7 +28,10 @@ object Cooccur {
       .distinct()
     val sized = items.groupBy("__b").agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBasketSize).select("__b")
-    val kept = items.join(sized, Seq("__b"))
+    // checkpoint (itemTriples already does): nBaskets/itemCounts/pairs
+    // reference kept 4x, each otherwise recomputing the corpus distinct
+    // + size-cap join
+    val kept = items.join(sized, Seq("__b")).localCheckpoint(true)
     val nBaskets = kept.select("__b").distinct().count()
     val itemCounts = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
     val pairs = kept.select(col("__b"), col("__i").as("item_a"))
