@@ -15,6 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Inferred-schema cache per parquet path (metadata only, the catalog
+  // role): without it every query CONSTRUCTION re-reads a parquet footer
+  // to infer the schema — pure per-call driver latency that a catalog
+  // would never pay twice. The schema is a function of the files; row
+  // data is still scanned from parquet on every action (Spark's own
+  // session FileStatusCache already memoizes the directory listing the
+  // same way).
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // inferTimestampNTZ=false: current testdata stores `ts` as parquet
     // timestamp[us] without UTC adjustment, which Spark 4 would read as
@@ -22,8 +32,16 @@ object Tables {
     // it as TimestampType directly (session TZ is UTC everywhere) keeps
     // the column watermark-able AND keeps ts predicates pushable to the
     // scan (a cast wrapper would block pushdown).
-    val df = spark.read.option("inferTimestampNTZ", "false")
-      .parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val reader = spark.read.option("inferTimestampNTZ", "false")
+    val cached = schemaCache.get(path)
+    val df =
+      if (cached != null) reader.schema(cached).parquet(path)
+      else {
+        val d = reader.parquet(path)
+        schemaCache.put(path, d.schema)
+        d
+      }
     // Older testdata was TIMESTAMP(NANOS), read as raw Long via the
     // nanosAsLong legacy conf (set in Verify/Bench/tests); convert the
     // raw nanos back to a proper timestamp (micros, Spark's native unit).

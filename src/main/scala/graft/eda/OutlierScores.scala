@@ -34,17 +34,17 @@ object OutlierScores {
           struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*)).as("p"))
       .select(col("__id"), col("p.f").as("__f"), col("p.v").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-    // per-feature totals come from the (distinct-value-sized) rank frame
-    // — Σ tie-counts per feature, a combinable d-row aggregate — and are
-    // broadcast back onto it, so the exploded n·d long frame joins ONCE
-    // instead of ranks + a second broadcast-totals join (r8 plan audit:
-    // the two passes over the long frame dominated q204)
-    val ranksBase = Metrics.avgRanksByGroup(long, "__f", "__v")
-      .select(col("__f"), col("value").as("__v"), col("n").as("__t"),
-        col("avg_rank").as("__r"))
-    val totals = ranksBase.groupBy("__f").agg(sum("__t").as("__nf"))
-    val ranks = ranksBase.join(broadcast(totals), "__f")
-    val scored = long.join(ranks, Seq("__f", "__v"))
+    // per-row tie-averaged ranks via the PAYLOAD-CARRYING rank kernel
+    // (per-feature bounds): the long frame flows through ONE bucketed
+    // rank pass carrying __id, replacing the r8-r12 shape — a
+    // distinct-cell rank frame JOINED BACK onto the long frame — which
+    // paid a second full shuffle of the corpus-sized long frame plus the
+    // (__f, __v) join build (r13 plan audit). avg_rank and tie counts are
+    // identical integers-in-double, so every tail value is unchanged.
+    val totals = long.groupBy("__f").agg(count(lit(1)).as("__nf"))
+    val scored = Metrics.rowAvgRanks(long, "__v", "__r",
+        partitionCols = Seq("__f"), tiesAs = Some("__t"))
+      .join(broadcast(totals), "__f")
       // count(≤v) from the tie-averaged rank; right tail mirrors it
       .withColumn("__leq", col("__r") + (col("__t") - 1) / 2.0)
       .withColumn("__tail",

@@ -158,13 +158,25 @@ object Metrics {
   private[graft] def rowAvgRanks(df: DataFrame, valueCol: String,
                                  rankAs: String,
                                  buckets: Int = 256,
-                                 partitionCols: Seq[String] = Nil)
+                                 partitionCols: Seq[String] = Nil,
+                                 tiesAs: Option[String] = None)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol)
     val parts = partitionCols.map(col)
-    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
-    val bucketed = df.crossJoin(broadcast(bounds))
+    // bounds per rank partition when partitionCols are given: a single
+    // global range would stack every low-range group into bucket 0 (three
+    // features with ranges 0–0.1 / 1–50 / 900–100k bucket two of them
+    // into ONE window partition — the exact single-task sort the kernel
+    // exists to avoid)
+    val bounds =
+      if (parts.isEmpty) df.agg(min(v).as("__lo"), max(v).as("__hi"))
+      else df.groupBy(parts: _*)
+        .agg(min(v).as("__lo"), max(v).as("__hi"))
+    val withBounds =
+      if (parts.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), partitionCols)
+    val bucketed = withBounds
       .withColumn("__bkt",
         when(col("__hi") === col("__lo"), lit(0))
           .otherwise(least(
@@ -188,6 +200,7 @@ object Metrics {
       .withColumn("__ties", count(lit(1)).over(wTie))
       .withColumn(rankAs,
         col("__off") + col("__minr") + (col("__ties") - 1) / 2.0)
+      .withColumns(tiesAs.map(t => t -> col("__ties")).toMap)
       .drop("__bkt", "__off", "__minr", "__ties")
   }
 

@@ -65,10 +65,16 @@ object MarkovAttribution {
           when(col(typeCol) === convType, Conv).otherwise(Null).as("dst")))
     // conversion events absorb: drop their (only) outgoing CONV self-edge
     // source rows — absorption is modeled by the explicit self-loops below
+    // checkpoint the transition counts — the ONLY data-sized frame: the
+    // channels collect, pS and every chain step below read from this
+    // ≤(k+2)² materialized frame instead of re-running the entity window
+    // (the r13 plan audit caught the corpus pass running twice: once for
+    // the channels collect, once for the pS checkpoint)
     val counts = edges.filter(col("src") =!= convType)
       .withColumn("dst",
         when(col("dst") === convType, Conv).otherwise(col("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val totals = counts.groupBy("src").agg(sum("n").as("__tot"))
     val p = counts.join(totals, "src")
       .select(col("src"), col("dst"),
