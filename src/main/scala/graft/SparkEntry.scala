@@ -26,6 +26,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run independent lifecycle actions concurrently (guide §2.6: Spark's
+    * scheduler overlaps jobs submitted from several driver threads, so
+    * one inference's straggler tail back-fills with the next one's
+    * work). Bounded pool, exceptions rethrown, pool always torn down. */
+  private def parallelEach[A](items: Seq[A])(f: A => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(items.size, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.traverse(items)(a =>
+        scala.concurrent.Future(f(a))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** Exact decimal sum surfaced as double — deterministic across engines
     * (decimal accumulation is order-independent; the final double cast of
     * the same decimal value is identical everywhere).
@@ -791,10 +807,11 @@ object SparkEntry {
         Seq("l_quantity" -> 2.0, "l_discount" -> -5.0), target = "l_extendedprice")
       val mb = cat.onboardFormulaModel("cmp_b", 50.0,
         Seq("l_quantity" -> 3.0), target = "l_extendedprice")
-      ma.toEndpoint("cmp-a-end")
-        .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey"))
-      mb.toEndpoint("cmp-b-end")
-        .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey"))
+      // two independent endpoint inferences overlapped (guide §2.6 —
+      // same computation, per-model capture dirs, locked shared stores)
+      parallelEach(Seq(ma -> "cmp-a-end", mb -> "cmp-b-end")) {
+        case (m, e) => m.toEndpoint(e)
+          .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey")) }
       graft.api.ModelComparison.compare(ma, mb, "run1").get
         .select(col("model"), round(col("rmse"), 4).as("rmse"),
           round(col("mae"), 4).as("mae"), round(col("medae"), 4).as("medae"),
@@ -829,8 +846,13 @@ object SparkEntry {
         Seq("l_quantity" -> 3.0), target = "l_extendedprice")
       val chB = cat.onboardFormulaModel("chall_b", 0.0,
         Seq("l_quantity" -> 1.0), target = "l_extendedprice")
-      Seq(champ -> "champ-m-end", chA -> "chall-a-end", chB -> "chall-b-end")
-        .foreach { case (m, e) => m.toEndpoint(e)
+      // the three endpoints' inferences are independent — submit them
+      // from a small thread pool so each job's straggler tail back-fills
+      // with the next model's work (guide §2.6); results are identical
+      // (per-model capture dirs; the shared param/inference stores
+      // serialize on their per-root locks)
+      parallelEach(Seq(champ -> "champ-m-end", chA -> "chall-a-end",
+        chB -> "chall-b-end")) { case (m, e) => m.toEndpoint(e)
           .inference(li, captureName = Some("run1"), idColumn = Some("l_orderkey")) }
       graft.api.Contests.contestReport(champ, Seq(chA, chB), "champ-m-end", "run1")
         .get.select(col("model"), col("role"),

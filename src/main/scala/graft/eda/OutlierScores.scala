@@ -17,13 +17,14 @@ import graft.ml.Metrics
   * features and exactly reproducible in ANSI SQL.
   *
   * Scale shape: the selected columns stack to a (id, feature, value)
-  * long frame (one projection + explode); per-feature ECDFs come from
-  * the SAME bucket-partitioned rank kernel as rocAuc
-  * ([[graft.ml.Metrics.avgRanksByGroup]] — count(≤v) = avg_rank +
-  * (t−1)/2), so there is no single-partition sort at any cardinality;
-  * the ECDF lookup is a (feature, value) equi-join against the
-  * distinct-value frames; the final score is one groupBy(id). Returns
-  * the top-k rows by (score desc, id): (id, ecod_score).
+  * long frame (one projection + explode); per-row ECDF counts come from
+  * the PAYLOAD-CARRYING bucket-partitioned rank kernel
+  * ([[graft.ml.Metrics.rowAvgRanks]] with per-feature bounds —
+  * count(≤v) = avg_rank + (t−1)/2), so there is no single-partition
+  * sort at any cardinality and no distinct-cell join-back over the
+  * long frame (the r8–r12 shape paid a second corpus shuffle for it);
+  * the final score is one groupBy(id). Returns the top-k rows by
+  * (score desc, id): (id, ecod_score).
   */
 object OutlierScores {
 

@@ -18,6 +18,20 @@ object Stores {
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
+
+  /** Per-root JVM mutation lock for the read-modify-swap stores
+    * ([[ParameterStore]]) and the shared append table
+    * ([[InferenceStore]]): lifecycle operators may drive several
+    * endpoints' inferences CONCURRENTLY (guide §2.6 — overlap
+    * independent jobs), and two unsynchronized swaps/appends on the
+    * same root lose updates (swap) or collide in _temporary (append).
+    * The Registry already carries its own file-based lock; these two
+    * get the cheap in-process form (cross-process safety is out of
+    * scope exactly as it is for the reference's SSM/parquet stores). */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[stores] def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
 }
 
 /** Path-keyed store of DataFrames
@@ -115,16 +129,22 @@ class ParameterStore(spark: SparkSession, root: String) {
     fs.delete(hPath(bak), true)
   }
 
-  def upsert(key: String, jsonValue: String): Unit =
+  private val lock = Stores.lockFor(path)
+
+  def upsert(key: String, jsonValue: String): Unit = lock.synchronized {
     swapIn(table().filter(col("key") =!= key)
       .unionByName(Seq((key, jsonValue)).toDF("key", "value")))
+  }
 
-  def get(key: String): Option[String] =
+  def get(key: String): Option[String] = lock.synchronized {
     table().filter(col("key") === key).collect().headOption.map(_.getString(1))
+  }
 
-  def delete(key: String): Unit = swapIn(table().filter(col("key") =!= key))
+  def delete(key: String): Unit =
+    lock.synchronized { swapIn(table().filter(col("key") =!= key)) }
 
-  def listKeys(): Seq[String] = table().select("key").as[String].collect().toSeq
+  def listKeys(): Seq[String] =
+    lock.synchronized { table().select("key").as[String].collect().toSeq }
 }
 
 /** Append-only inference results table with the reference's fixed schema
@@ -142,8 +162,9 @@ class InferenceStore(spark: SparkSession, root: String) {
 
   /** Append predictions, enforcing/coercing to the fixed schema
     * (missing columns → null, extra columns dropped, types cast). */
-  def append(df: DataFrame): Unit =
+  def append(df: DataFrame): Unit = Stores.lockFor(path).synchronized {
     Stores.coerceToSchema(df, schema).write.mode(SaveMode.Append).parquet(path)
+  }
 
   def read(): DataFrame = spark.read.schema(schema).parquet(path)
 
