@@ -154,7 +154,14 @@ object Metrics {
     * rank() for the tie group's first rank and a tie count — giving
     * avg_rank = offset + min_rank + (ties−1)/2. Ties always share a
     * bucket (the bucket is a function of the value), so the average is
-    * exact; no single-partition sort at any cardinality. */
+    * exact; no single-partition sort at any cardinality.
+    *
+    * With `partitionCols`, ranks restart per partition group and bucket
+    * BOUNDS are computed per group (a global range would stack every
+    * low-range group into one bucket). Partition values must be
+    * non-null (the bounds join is a plain equi-join — callers pass
+    * literal-derived keys); `tiesAs` optionally exposes the tie count
+    * next to the rank (count(≤v) = rank + (ties−1)/2, exact). */
   private[graft] def rowAvgRanks(df: DataFrame, valueCol: String,
                                  rankAs: String,
                                  buckets: Int = 256,
