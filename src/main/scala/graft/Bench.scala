@@ -21,21 +21,33 @@ object Bench {
                       agg: Seq[Double] => Double,
                       only: Set[String] = Set.empty,
                       tick: (Int, Int) => Unit = (_, _) => ())
-      : (Seq[(String, Double)], Map[String, Seq[String]]) = {
+      : (Seq[(String, Double)], Map[String, Seq[String]], Map[String, String]) = {
     Seq("lineitem", "orders", "customer", "nation", "supplier", "region",
       "part", "events", "documents", "embeddings").foreach { tb =>
       try graft.core.Tables.load(spark, dir, tb)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     val routes = scala.collection.mutable.Map.empty[String, Seq[String]]
+    // r13 verdict item 1: a rep that THROWS must never be silently folded
+    // into the timings (both r13 driver runs ended the 10x ladder with a
+    // FileScanRDD task failure that the record showed as a clean time).
+    // The rep's wall-clock is still recorded (unchanged aggregation), but
+    // the error is surfaced per query in the summary and compact line.
+    val errors = scala.collection.mutable.Map.empty[String, String]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       def timedRun(): Double = {
         graft.core.Routing.drain()
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, dir).count() } catch { case e: Throwable =>
+          val root = { var c: Throwable = e
+            while (c.getCause != null && c.getCause != c) c = c.getCause; c }
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(root.getMessage)).take(220)
+            .replaceAll("""["\\\n\r\t]""", " ")
+          -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         val r = graft.core.Routing.drain()
         if (r.nonEmpty) routes(name) = r
@@ -59,8 +71,13 @@ object Bench {
       tick(i + 1, ordered.size)
       name -> agg(times.toSeq)
     }
-    (results, routes.toMap)
+    (results, routes.toMap, errors.toMap)
   }
+
+  private def jsonStrMap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
 
   private def jsonQueries(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -136,7 +153,10 @@ object Bench {
       w.select(col("k"), col("x"),
           row_number().over(Window.partitionBy("k").orderBy("x", "id")).as("r"))
         .filter(col("r") <= 3).agg(sum("x")).collect()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    // (NonFatal, not Throwable: a fatal VM error — OOM, stack overflow —
+    // during warmup means the JVM is not trustworthy for measurement; let
+    // it die loudly rather than taint the round's bench record.)
 
     // Tracked per-round naming (VERDICT r9 item 4): the driver does not
     // set SPARK_GRAFT_ROUND, so infer the round from the BENCH_r{N}.json
@@ -168,11 +188,12 @@ object Bench {
       "q114_gbt_lifecycle", "q118_hpo_search", "q121_semantic_dedup",
       "q125_pq_topk", "q204_ecod_outliers", "q239_spectral_embedding")
     def compactLine(total: Double, n: Int, rmap: Map[String, Double],
-                    ladderCompact: String): String = {
+                    errNames: Seq[String], ladderCompact: String): String = {
       val headJson = headline.flatMap(h => rmap.get(h).map(v =>
         "\"" + h + "\":" + r3(v))).mkString("{", ",", "}")
+      val errJson = errNames.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""n_queries":$n,"queries":$headJson,""" +
+        s""""n_queries":$n,"queries":$headJson,"errors":$errJson,""" +
         s""""full_summary":"bench/summary_r$round.json"$ladderCompact}"""
     }
 
@@ -181,7 +202,7 @@ object Bench {
     def hb(stage: String)(i: Int, n: Int): Unit =
       if (i % 25 == 0 || i == n) System.err.println(
         f"[bench] $stage $i/$n elapsed ${(System.nanoTime() - t0) / 1e9}%.0fs")
-    val (results, baseRoutes) =
+    val (results, baseRoutes, baseErrors) =
       runPass(spark, sfDir, reps, _.min, tick = hb("base"))
     val total = results.map(_._2).sum
     val rmap = results.toMap
@@ -192,9 +213,10 @@ object Bench {
     // driver budget kill mid-ladder still leaves a complete parsed bench
     // record instead of rc=124/parsed:null (BENCH_r12.json).
     val baseSummary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(results)},"sf":"$sfDir","reps":$reps,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(results)},"errors":${jsonStrMap(baseErrors)},"sf":"$sfDir","reps":$reps,"agg":"min"}"""
     persist(baseSummary)
-    val baseCompact = compactLine(total, results.size, rmap, "")
+    val baseCompact = compactLine(total, results.size, rmap,
+      baseErrors.keys.toSeq, "")
     println("GRAFT_BENCH_JSON " + baseCompact)
     println(baseCompact)
 
@@ -217,7 +239,7 @@ object Bench {
         spark.sparkContext.setLogLevel("ERROR")
         val factor = 10
         val dir = ladderDir(spark, sfDir, factor)
-        val (big1, bigRoutes) = runPass(spark, dir, 1, _.min,
+        val (big1, bigRoutes, ladderErrors1) = runPass(spark, dir, 1, _.min,
           tick = (i, n) => {
             hb("ladder")(i, n)
             // keep the driver tail parseable at any kill point: both the
@@ -234,9 +256,16 @@ object Bench {
         def over(name: String, sec: Double): Boolean =
           base.getOrElse(name, 0.0) >= 0.2 && sec > 15 * base(name)
         val suspects = big1.collect { case (n, s) if over(n, s) => n }.toSet
-        val confirm =
-          if (suspects.isEmpty) Map.empty[String, Double]
-          else runPass(spark, dir, 1, _.min, only = suspects)._1.toMap
+        val (confirmSeq, _, confirmErrors) =
+          if (suspects.isEmpty)
+            (Seq.empty[(String, Double)], Map.empty[String, Seq[String]],
+              Map.empty[String, String])
+          else runPass(spark, dir, 1, _.min, only = suspects)
+        val confirm = confirmSeq.toMap
+        // a query that errored on the sweep but succeeded on the confirm
+        // re-run is still reported (transient vs persistent is for the
+        // reader to judge from both runs' records)
+        val ladderErrors = ladderErrors1 ++ confirmErrors
         val big = big1.map { case (n, s) =>
           n -> math.min(s, confirm.getOrElse(n, s)) }
         val bigTotal = big.map(_._2).sum
@@ -249,22 +278,37 @@ object Bench {
           .map { case (k, v) => "\"" + k + "\":" + jarr(v) }.mkString("{", ",", "}")
         (s""","ladder":{"factor":$factor,"total":$bigTotal,""" +
           s""""queries":${jsonQueries(big)},"flagged":${jarr(flagged)},""" +
+          s""""errors":${jsonStrMap(ladderErrors)},""" +
           s""""switched":${jarr(switched)},"routes_base":${jroutes(baseRoutes)},""" +
           s""""routes_scaled":${jroutes(bigRoutes)}}""",
          s""","ladder":{"factor":$factor,"total":${math.round(bigTotal * 1000) / 1000.0},""" +
-           s""""flagged":${jarr(flagged)},"switched":${jarr(switched)}}""")
+           s""""flagged":${jarr(flagged)},""" +
+           s""""errors":${jarr(ladderErrors.keys.toSeq.sorted)},""" +
+           s""""switched":${jarr(switched)}}""")
       }
 
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(results)},"sf":"$sfDir","reps":$reps,"agg":"min"$ladder}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonQueries(results)},"errors":${jsonStrMap(baseErrors)},"sf":"$sfDir","reps":$reps,"agg":"min"$ladder}"""
     persist(summary)
     spark.stop()
+    // Full per-query map in tail-safe chunked form (r13 verdict item 3:
+    // the compact line carries only the 14-query headline because the
+    // driver keeps a ~2 kB stdout tail): GRAFT_BENCH_JSON_PART i/n lines
+    // land BEFORE the final compact lines so a full-stdout reader can
+    // reassemble the whole record while the tail still ends with the
+    // parseable compact JSON. Chunks split the same summary string that
+    // persist() wrote to bench/summary_r$round.json.
+    summary.grouped(1800).toSeq.zipWithIndex.foreach { case (chunk, i) =>
+      println(s"GRAFT_BENCH_JSON_PART ${i + 1}/" +
+        s"${(summary.length + 1799) / 1800} $chunk")
+    }
     // LAST stdout lines: the ladder-inclusive compact summary, printed
     // after spark.stop() so no executor-shutdown logging can land after
     // it — a sentinel-prefixed copy (greppable) and the bare JSON as the
     // very last line (json.loads-able); outputStrategy=StdoutOutput +
     // showSuccess=false in build.sbt keeps sbt's own output away.
-    val compact = compactLine(total, results.size, rmap, ladderCompact)
+    val compact = compactLine(total, results.size, rmap,
+      baseErrors.keys.toSeq, ladderCompact)
     println("GRAFT_BENCH_JSON " + compact)
     println(compact)
   }
