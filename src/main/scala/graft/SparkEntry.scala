@@ -30,17 +30,27 @@ object SparkEntry {
     * scheduler overlaps jobs submitted from several driver threads, so
     * one inference's straggler tail back-fills with the next one's
     * work). Bounded pool, exceptions rethrown, pool always torn down. */
-  private def parallelEach[A](items: Seq[A])(f: A => Unit): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(items.size, 4))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.traverse(items)(a =>
-        scala.concurrent.Future(f(a))),
-      scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
-  }
+  private def parallelEach[A](items: Seq[A])(f: A => Unit): Unit =
+    if (items.size == 1) f(items.head)
+    else if (items.nonEmpty) {
+      // (empty guard: Executors.newFixedThreadPool(0) throws)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, 4))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(items)(a =>
+          scala.concurrent.Future(f(a))),
+        scala.concurrent.duration.Duration.Inf)
+      catch { case e: Throwable =>
+        // a failed sibling must not keep writing on a shutdown-pending
+        // pool while the caller unwinds: drain the queue and wait for
+        // in-flight tasks so no concurrent writer leaks past this call
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw e }
+      finally pool.shutdown()
+    }
 
   /** Exact decimal sum surfaced as double — deterministic across engines
     * (decimal accumulation is order-independent; the final double cast of

@@ -22,8 +22,13 @@ object Tables {
   // data is still scanned from parquet on every action (Spark's own
   // session FileStatusCache already memoizes the directory listing the
   // same way).
+  // The key carries the directory's modification stamp and the one
+  // session conf that changes parquet type mapping here (legacy
+  // nanosAsLong), so files regenerated in-place in the same JVM (e.g.
+  // a rebuilt scale-ladder replica) or a differently-configured second
+  // session can never be served a stale schema.
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // inferTimestampNTZ=false: current testdata stores `ts` as parquet
@@ -34,12 +39,14 @@ object Tables {
     // scan (a cast wrapper would block pushdown).
     val path = s"$dir/$name.parquet"
     val reader = spark.read.option("inferTimestampNTZ", "false")
-    val cached = schemaCache.get(path)
+    val key = (path, new java.io.File(path).lastModified,
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse(""))
+    val cached = schemaCache.get(key)
     val df =
       if (cached != null) reader.schema(cached).parquet(path)
       else {
         val d = reader.parquet(path)
-        schemaCache.put(path, d.schema)
+        schemaCache.put(key, d.schema)
         d
       }
     // Older testdata was TIMESTAMP(NANOS), read as raw Long via the

@@ -156,6 +156,11 @@ object Metrics {
     * bucket (the bucket is a function of the value), so the average is
     * exact; no single-partition sort at any cardinality.
     *
+    * `partitionCols` must be LOW-CARDINALITY (metadata-sized groups —
+    * e.g. ECOD's per-feature keys): both the per-group bounds frame and
+    * the groups×buckets offsets frame are broadcast, so a data-sized
+    * partition column would blow the driver/broadcast limit.
+    *
     * With `partitionCols`, ranks restart per partition group and bucket
     * BOUNDS are computed per group (a global range would stack every
     * low-range group into one bucket). Partition values must be

@@ -31,7 +31,13 @@ object Stores {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[stores] def lockFor(root: String): Object =
-    rootLocks.computeIfAbsent(root, _ => new Object)
+    // normalize the key: two store instances built from unnormalized
+    // variants of the same root (trailing slash, relative vs absolute)
+    // must resolve to ONE lock object or the mutual exclusion is void
+    rootLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(root).toUri.normalize.toString
+        .stripSuffix("/"),
+      _ => new Object)
 }
 
 /** Path-keyed store of DataFrames
