@@ -24,8 +24,9 @@ case class ArtifactRow(
   * one row per artifact. This plays the role of the Glue catalog +
   * resource tags in the reference — every mutation is a read-modify-write
   * of driver-side metadata (bounded: one row per artifact, like Glue),
-  * swapped in atomically-enough via the write-new / rotate / rename
-  * pattern shared with [[ParameterStore]].
+  * installed as an immutable numbered generation dir (one atomic rename;
+  * see the layout note inside) so concurrent readers never lose a file
+  * set they already resolved.
   *
   * Semantics matched to `artifact.py`:
   *  - tags are ordered and duplicate-free on add (`add_tag`, :308-321)
@@ -35,6 +36,20 @@ case class ArtifactRow(
   *    ready (`:395-409`)
   *  - `summary` merges the basic fields with the free-form meta (`:411-425`)
   */
+object Registry {
+  /** JVM-wide rows cache keyed by immutable generation-dir path. A
+    * generation's content can never change after its rename makes it
+    * visible, so hits are exact (never stale) — cross-process writers
+    * surface as NEW generation paths, which fresh listings resolve.
+    * Bounded defensively; entries are a handful of metadata rows. */
+  private val genCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ArtifactRow]]()
+  private def cachePut(key: String, rs: Seq[ArtifactRow]): Unit = {
+    if (genCache.size > 8192) genCache.clear()
+    genCache.put(key, rs); ()
+  }
+}
+
 class Registry(spark: SparkSession, root: String) {
   import spark.implicits._
 
@@ -44,37 +59,84 @@ class Registry(spark: SparkSession, root: String) {
 
   private def now() = new java.sql.Timestamp(System.currentTimeMillis())
 
+  // ── storage layout: immutable numbered GENERATION dirs ──
+  //
+  // The r13 swap (write tmp → rotate to _bak → rename into place) made
+  // WRITES crash-safe but left readers racing the rotation: a reader
+  // that listed the live dir's part-files lost them to the rename/delete
+  // before its scan task ran — the 10× bench ladder reproduced exactly
+  // that as FileScanRDD FILE_NOT_EXIST task failures inside q91/q94's
+  // concurrent inferences (r13 verdict item 1). Generations remove the
+  // race instead of retrying it: every write lands as a NEW immutable
+  // subdir `gen-<n>-<uuid>` (made visible by one atomic rename), readers
+  // resolve the newest generation with a fresh listing, and the writer
+  // GCs only generations at least two behind — so a file set a reader
+  // resolved stays on disk for two full write cycles. The same
+  // immutability makes reads cacheable: a generation's rows can never
+  // change, so one JVM-wide map (gen path → rows) turns every repeat
+  // read into zero Spark jobs (the Glue-catalog role this class plays
+  // is driver-side metadata in the reference too).
+  private def genNum(st: org.apache.hadoop.fs.FileStatus): Long =
+    st.getPath.getName.split("-")(1).toLong
+
+  private def listing(): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(hPath(path))) Seq.empty else fs.listStatus(hPath(path)).toSeq
+
+  /** Newest readable copy: max generation dir; a flat part-file layout
+    * written by the pre-generation code reads as the zeroth generation
+    * (the dir itself — not cached, it is mutable). */
+  private def readSource(): Option[String] = {
+    val st = listing()
+    val gens = st.filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+    if (gens.nonEmpty) Some(gens.maxBy(genNum).getPath.toString)
+    else if (st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      Some(fs.makeQualified(hPath(path)).toString)
+    else None
+  }
+
+  private val qualifiedDir = () => fs.makeQualified(hPath(path)).toString
+
   private def rows(): Seq[ArtifactRow] = {
-    // READ-SIDE RACE GUARD: swapIn renames path→_bak before installing
-    // the new copy, so a reader can win exists(path) and lose the file
-    // before the parquet read lands. Every on-disk copy is COMPLETE
-    // (write-new/rotate/rename), so a loser just retries against
-    // whichever copy exists — reads are never torn, only briefly stale
-    // (the reference's own Glue reads have the same read-committed
-    // semantics under its DDL retry, athena_source.py:253-288).
+    // residual READ-SIDE GUARD: a reader that resolved generation n−1
+    // just before n landed can still lose it to the GC two writes later;
+    // every generation is complete, so a loser re-resolves and retries.
     var attempt = 0
     while (attempt < 8) {
-      val candidates = Seq(path, path + "_bak").filter(p => fs.exists(hPath(p)))
-      if (candidates.isEmpty) return Seq.empty
-      try return spark.read.parquet(candidates.head).as[ArtifactRow].collect().toSeq
-      catch { case _: Exception => attempt += 1; Thread.sleep(20) }
+      readSource() match {
+        case None => return Seq.empty
+        case Some(src) =>
+          val hit = Registry.genCache.get(src)
+          if (hit != null) return hit
+          try {
+            val rs = spark.read.parquet(src).as[ArtifactRow].collect().toSeq
+            if (src != qualifiedDir()) Registry.cachePut(src, rs)
+            return rs
+          } catch { case scala.util.control.NonFatal(_) =>
+            attempt += 1; Thread.sleep(20) }
+      }
     }
-    spark.read.parquet(path).as[ArtifactRow].collect().toSeq // last try, loud
+    readSource() // last try, loud
+      .map(src => spark.read.parquet(src).as[ArtifactRow].collect().toSeq)
+      .getOrElse(Seq.empty)
   }
 
   private def swapIn(updated: Seq[ArtifactRow]): Unit = {
-    val tmp = path + "_tmp"; val bak = path + "_bak"
+    val st = listing()
+    val gens = st.filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+    val next = if (gens.isEmpty) 0L else gens.map(genNum).max + 1
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = s"$path/.tmp-$uuid" // dot-dir: invisible to readers until renamed
     updated.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // only clear a stale _bak when the primary exists — if a prior crash
-    // left _bak as the sole readable copy (rows() falls back to it),
-    // deleting it before tmp→path installs would leave no recoverable
-    // registry at all
-    if (fs.exists(hPath(path))) {
-      fs.delete(hPath(bak), true)
-      fs.rename(hPath(path), hPath(bak))
-    }
-    fs.rename(hPath(tmp), hPath(path))
-    fs.delete(hPath(bak), true)
+    val genDir = hPath(f"$path/gen-$next%09d-$uuid")
+    fs.rename(hPath(tmp), genDir)
+    // the writer KNOWS the rows it just installed: seed the cache so the
+    // read-back that every get/update does costs no Spark job at all
+    Registry.cachePut(fs.makeQualified(genDir).toString, updated)
+    // GC: generations two or more behind (in-flight readers may still
+    // hold the previous one), plus any flat pre-generation part-files
+    gens.filter(g => genNum(g) <= next - 2)
+      .foreach(g => fs.delete(g.getPath, true))
+    st.filter(_.isFile).foreach(s => fs.delete(s.getPath, false))
   }
 
   /** Mutual exclusion for the read-modify-write cycle: an atomic

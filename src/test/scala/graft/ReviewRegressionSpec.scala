@@ -184,20 +184,57 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(m.residualPercentiles.forall(v => !v.isNaN))
   }
 
-  test("registry recovers when a crash left only the _bak copy") {
-    val root = java.nio.file.Files.createTempDirectory("graft-regbak").toString
+  test("registry crash leftovers: orphan tmp ignored, old generations win by number") {
+    val root = java.nio.file.Files.createTempDirectory("graft-reggen").toString
     val reg = new graft.stores.Registry(spark, root)
     reg.upsert("survivor", "data_source")
-    // simulate a crash that completed path→_bak but never installed the
-    // new file: only _bak remains on disk
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(root + "/_registry")
-    val bak = new org.apache.hadoop.fs.Path(root + "/_registry_bak")
-    p.getFileSystem(conf).rename(p, bak)
-    assert(reg.get("survivor").isDefined) // fallback read from _bak
-    // the next write must not destroy the sole copy before installing
+    val dir = new org.apache.hadoop.fs.Path(root + "/_registry")
+    val fs = dir.getFileSystem(conf)
+    // simulate a crash mid-write: a .tmp-* dir that never got renamed
+    // into a generation must be invisible to readers and later writers
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, ".tmp-crashed"))
+    assert(reg.get("survivor").isDefined)
     reg.upsert("newcomer", "data_source")
     assert(reg.listNames() == Seq("newcomer", "survivor"))
+    // a crash AFTER install but before GC leaves extra generations:
+    // readers must pick the max-numbered one and the next write GCs
+    val gens = fs.listStatus(dir).filter(_.getPath.getName.startsWith("gen-"))
+    assert(gens.length >= 2, "expected the previous generation kept for in-flight readers")
+    reg.upsert("third", "data_source")
+    assert(reg.listNames() == Seq("newcomer", "survivor", "third"))
+    val after = fs.listStatus(dir).filter(_.getPath.getName.startsWith("gen-"))
+    assert(after.length <= 2, "old generations must be GC'd to at most previous+current")
+  }
+
+  test("registry survives concurrent writers and readers (r13 ladder FileScanRDD race)") {
+    // r13: both driver bench runs hit FILE_NOT_EXIST task failures on
+    // _registry during q91/q94's parallel inferences — a reader raced
+    // the write-rotate-rename swap. With generation dirs a resolved file
+    // set stays on disk for two write cycles; this spec hammers the same
+    // interleaving and requires zero exceptions and no lost updates.
+    val root = java.nio.file.Files.createTempDirectory("graft-regrace").toString
+    val reg = new graft.stores.Registry(spark, root)
+    reg.upsert("base", "model")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val writers = (1 to 3).map { w =>
+      pool.submit(new Runnable { def run(): Unit =
+        try (1 to 12).foreach(i => reg.upsertMeta(s"art_$w", Map(s"k$i" -> s"v$i")))
+        catch { case t: Throwable => errs.add(t) } })
+    }
+    val readers = (1 to 3).map { _ =>
+      pool.submit(new Runnable { def run(): Unit =
+        try (1 to 40).foreach { _ =>
+          reg.get("base"); reg.listNames(); ()
+        } catch { case t: Throwable => errs.add(t) } })
+    }
+    (writers ++ readers).foreach(_.get())
+    pool.shutdown()
+    assert(errs.isEmpty, s"concurrent registry access threw: ${errs.peek()}")
+    assert(reg.getMeta("art_1").keySet == (1 to 12).map("k" + _).toSet,
+      "a concurrent writer's update was lost")
+    assert(reg.get("base").isDefined)
   }
 
   test("classificationMetricsFull drops NaN numeric predictions like pandas isnull") {
