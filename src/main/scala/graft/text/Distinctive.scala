@@ -182,25 +182,39 @@ object Distinctive {
       .groupBy("__b").agg(count(lit(1)).as("__new"))
     val w = Window.orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // ln points quantize to DECIMAL(18,9) before the OLS power sums:
-    // raw-double sums over the grid frame are order-dependent and
-    // drift across engines/partitionings (round-10 lesson); decimal
-    // sums of 9dp-quantized logs are exact and order-free
+    // ln points quantize to integer NANO-UNITS (ln·10⁹, exactly the 9dp
+    // decimal quantization, held as an integer) before the OLS power
+    // sums: raw-double sums over the grid frame are order-dependent and
+    // drift across engines/partitionings (round-10 lesson), and — the
+    // q327 r10–r13 driver hash failure — casting the exact DECIMAL
+    // second-order sums (unscaled ≈ 5·10²¹ ≫ 2⁵³) to double is itself
+    // NOT portable (DuckDB's int128→double→÷10^scale path can
+    // double-round where Spark's BigDecimal rounds once; the q366
+    // lesson recorded in [[graft.core.Lattice]]). Integer sums +
+    // Lattice's split-at-2⁵⁰ conversion + one power-of-ten divide give
+    // the identical IEEE sequence on both engines.
     import org.apache.spark.sql.types.DecimalType
+    val nano = lit(1000000000L).cast(DecimalType(10, 0))
+    def nanoLn(c: Column): Column =
+      (round(log(c.cast("double")), 9).cast(DecimalType(18, 9)) * nano)
+        .cast(DecimalType(13, 0))
     val pts = tokPerB.join(newPerB, Seq("__b"), "left")
       .withColumn("__N", sum("__tok").over(w))
       .withColumn("__V", sum(coalesce(col("__new"), lit(0L))).over(w))
       .filter(col("__N") > 0 && col("__V") > 0)
-      .select(round(log(col("__N").cast("double")), 9)
-          .cast(DecimalType(18, 9)).as("__x"),
-        round(log(col("__V").cast("double")), 9)
-          .cast(DecimalType(18, 9)).as("__y"))
-    val g = pts.agg(count(lit(1)).as("n_buckets"),
-      sum("__x").cast("double").as("__sx"),
-      sum("__y").cast("double").as("__sy"),
-      sum(col("__x") * col("__x")).cast("double").as("__sxx"),
-      sum(col("__y") * col("__y")).cast("double").as("__syy"),
-      sum(col("__x") * col("__y")).cast("double").as("__sxy"))
+      .select(nanoLn(col("__N")).as("__xi"), nanoLn(col("__V")).as("__yi"))
+    val gi = pts.agg(count(lit(1)).as("n_buckets"),
+      sum("__xi").as("__sxi"), sum("__yi").as("__syi"),
+      sum(col("__xi") * col("__xi")).as("__sxxi"),
+      sum(col("__yi") * col("__yi")).as("__syyi"),
+      sum(col("__xi") * col("__yi")).as("__sxyi"))
+    def pd(c: String, scale: String) = expr(
+      s"${graft.core.Lattice.sparkPortableDoubleSigned(c)} / $scale")
+    val g = gi.select(col("n_buckets"),
+      pd("__sxi", "1.0e9").as("__sx"), pd("__syi", "1.0e9").as("__sy"),
+      pd("__sxxi", "1.0e18").as("__sxx"),
+      pd("__syyi", "1.0e18").as("__syy"),
+      pd("__sxyi", "1.0e18").as("__sxy"))
     val n = col("n_buckets").cast("double")
     val sxx = col("__sxx") - col("__sx") * col("__sx") / n
     val syy = col("__syy") - col("__sy") * col("__sy") / n
@@ -230,18 +244,26 @@ object Distinctive {
         nb AS (SELECT b, COUNT(*) AS new FROM
           (SELECT t, MIN(b) AS b FROM lf GROUP BY t) GROUP BY b),
         pts AS (SELECT
-            CAST(ROUND(LN(CAST(SUM(tok) OVER (ORDER BY tb.b)
-              AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
-            CAST(ROUND(LN(CAST(SUM(COALESCE(new, 0))
+            CAST(CAST(ROUND(LN(CAST(SUM(tok) OVER (ORDER BY tb.b)
+              AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000
+              AS HUGEINT) AS xi,
+            CAST(CAST(ROUND(LN(CAST(SUM(COALESCE(new, 0))
                 OVER (ORDER BY tb.b) AS DOUBLE)), 9)
-              AS DECIMAL(18,9)) AS y
+              AS DECIMAL(28,9)) * 1000000000 AS HUGEINT) AS yi
           FROM tb LEFT JOIN nb ON tb.b = nb.b),
-        g AS (SELECT COUNT(*) AS k,
-            CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-            CAST(SUM(x * x) AS DOUBLE) AS sxx,
-            CAST(SUM(y * y) AS DOUBLE) AS syy,
-            CAST(SUM(x * y) AS DOUBLE) AS sxy
+        gi AS (SELECT COUNT(*) AS k,
+            SUM(xi) AS sxi, SUM(yi) AS syi,
+            SUM(xi * xi) AS sxxi,
+            SUM(yi * yi) AS syyi,
+            SUM(xi * yi) AS sxyi
           FROM pts),
+        g AS (SELECT k,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxi")} / 1.0e9 AS sx,
+            ${graft.core.Lattice.duckPortableDoubleSigned("syi")} / 1.0e9 AS sy,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxxi")} / 1.0e18 AS sxx,
+            ${graft.core.Lattice.duckPortableDoubleSigned("syyi")} / 1.0e18 AS syy,
+            ${graft.core.Lattice.duckPortableDoubleSigned("sxyi")} / 1.0e18 AS sxy
+          FROM gi),
         e AS (SELECT k,
             sxx - sx * sx / CAST(k AS DOUBLE) AS cxx,
             syy - sy * sy / CAST(k AS DOUBLE) AS cyy,
