@@ -34,36 +34,33 @@ object Eda {
     // on key-magnitude columns. NaN propagates like AVG's (guarded
     // BEFORE the decimal cast — ANSI-safe).
     import org.apache.spark.sql.types.DecimalType
-    val d38 = DecimalType(38, 0)
-    def xc(c: String): Column =
-      (when(!isnan(col(c).cast("double")), col(c))
-        .cast(DecimalType(18, 2)) * lit(100)).cast(d38)
     // evaluate the cents cast chain ONCE per row via a projection below
-    // the aggregate (guide §2.3 "project before the exchange"): inline,
-    // each of count/sum/sum² re-evaluates the decimal cast per aggregate
-    // expression — measured 2.05 s vs 1.61 s for the 4-column lineitem
-    // moment block at sf0.1. Same expressions, same values — only the
-    // evaluation count changes.
+    // the aggregate (guide §2.3 "project before the exchange"), and
+    // accumulate all four moment quantities in ONE imperative aggregate
+    // per column (functions.LatticeMoments): the four-expression form
+    // (count/sum/sum²/nan-sum over a DECIMAL(38,0) lattice column) paid
+    // a per-row BigDecimal multiply + two Decimal buffer adds, each
+    // interpreted per row because ExactPercentiles already forces this
+    // aggregate off whole-stage codegen. Identical values: the
+    // DECIMAL(18,2) unscaled long IS the cents lattice.
     val exactIn =
       if (!exact) df
       else df.select(
         cols.map(c => col(c)) ++
-          cols.map(c => xc(c).as(s"${c}__xlat")) ++
+          cols.map(c => when(!isnan(col(c).cast("double")), col(c))
+            .cast(DecimalType(18, 2)).as(s"${c}__clat")) ++
           cols.map(c => col(c).cast("double").as(s"${c}__dlat")): _*)
     val aggs: Seq[Column] =
       if (exact) cols.flatMap { c =>
-        val x = col(s"${c}__xlat")
         Seq(
           min(col(c)).cast("double").as(s"${c}__min"),
           graft.functions.ExactPercentiles
             .exactPercentiles(col(s"${c}__dlat"), Seq(0.25, 0.5, 0.75))
             .as(s"${c}__pct"),
           max(col(c)).cast("double").as(s"${c}__max"),
-          count(x).as(s"${c}__cnt"),
-          sum(x).as(s"${c}__s1i"),
-          sum(x * x).as(s"${c}__s2i"),
-          sum(when(isnan(col(s"${c}__dlat")), 1L).otherwise(0L))
-            .as(s"${c}__nanc"))
+          graft.functions.LatticeMoments
+            .latticeMoments(col(s"${c}__clat"), isnan(col(s"${c}__dlat")))
+            .as(s"${c}__mom"))
       }
       else cols.flatMap { c =>
         Seq(
@@ -90,7 +87,15 @@ object Eda {
               sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1), lit(0.0))))
             .as(s"${c}__stddev"))
       }
-    val wide = exactIn.agg(aggs.head, aggs.tail: _*)
+    val wide0 = exactIn.agg(aggs.head, aggs.tail: _*)
+    val wide1 = // flatten the moment structs back to the lattice names
+      if (!exact) wide0
+      else wide0.select(col("*") +: cols.flatMap(c => Seq(
+        col(s"${c}__mom.cnt").as(s"${c}__cnt"),
+        col(s"${c}__mom.nanc").as(s"${c}__nanc"),
+        col(s"${c}__mom.s1").as(s"${c}__s1i"),
+        col(s"${c}__mom.s2").as(s"${c}__s2i"))): _*)
+    val wide = wide1
       .select(col("*") +: cols.flatMap(c => Seq(
         element_at(col(s"${c}__pct"), 1).as(s"${c}__q1"),
         element_at(col(s"${c}__pct"), 2).as(s"${c}__median"),
