@@ -316,13 +316,23 @@ class Endpoint(val catalog: Catalog, val name: String) {
     // CSV-safe cell: newlines flattened (the payload is a line-based
     // protocol — the parse side explodes on \n before from_csv), and
     // cells containing separators/quotes get quoted with backslash
-    // escapes, matching from_csv's default quote/escape options
-    def cell(c: String): Column = {
-      val s = regexp_replace(
-        coalesce(col(c).cast("string"), lit("")), "[\\n\\r]", " ")
-      when(s.rlike("[,\"\\\\]"),
-        concat(lit("\""), regexp_replace(s, "([\\\\\"])", "\\\\$1"), lit("\"")))
-        .otherwise(s)
+    // escapes, matching from_csv's default quote/escape options.
+    // Numeric/boolean cells skip the escape machinery outright: their
+    // string forms ([-+0-9.Ee], NaN/Infinity, true/false) can never
+    // contain a separator, quote, backslash or newline, so the three
+    // per-cell regex evaluations are the identity on them — dropping
+    // them is bit-identical and removes the dominant per-row cost of
+    // the capture write (millions of regex executions per inference).
+    def cell(c: String): Column = preds.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+           org.apache.spark.sql.types.BooleanType =>
+        coalesce(col(c).cast("string"), lit(""))
+      case _ =>
+        val s = regexp_replace(
+          coalesce(col(c).cast("string"), lit("")), "[\\n\\r]", " ")
+        when(s.rlike("[,\"\\\\]"),
+          concat(lit("\""), regexp_replace(s, "([\\\\\"])", "\\\\$1"), lit("\"")))
+          .otherwise(s)
     }
     def lineOf(cs: Seq[String]) = concat_ws(",", cs.map(cell): _*)
     val spark = preds.sparkSession

@@ -60,19 +60,25 @@ class Monitor(val catalog: Catalog, val endpointName: String) {
   def createBaseline(df: DataFrame, cols: Seq[String],
                      recreate: Boolean = false): Unit = {
     if (baselineExists && !recreate) return
-    df.write.mode("overwrite").parquet(s"$baselineDir/baseline")
-    graft.eda.Eda.descriptiveStats(df, cols)
-      .write.mode("overwrite").parquet(s"$baselineDir/statistics")
-    // ONE aggregate pass for all columns, stacked to long form on the
-    // driver (metadata-sized: one row per column)
-    val n = count(lit(1))
-    val aggs = cols.flatMap(c => Seq(
-      (count(col(c)) / n).cast("double").as(s"${c}__completeness"),
-      min(col(c)).cast("double").as(s"${c}__lower"),
-      max(col(c)).cast("double").as(s"${c}__upper")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    smallTable(cols, row, Seq("completeness", "lower", "upper"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$baselineDir/constraints")
+    // three consumers of the same input (baseline write, statistics,
+    // constraints) — materialize the upstream plan once instead of
+    // re-running it per consumer (same values, one scan)
+    val src = df.persist()
+    try {
+      src.write.mode("overwrite").parquet(s"$baselineDir/baseline")
+      graft.eda.Eda.descriptiveStats(src, cols)
+        .write.mode("overwrite").parquet(s"$baselineDir/statistics")
+      // ONE aggregate pass for all columns, stacked to long form on the
+      // driver (metadata-sized: one row per column)
+      val n = count(lit(1))
+      val aggs = cols.flatMap(c => Seq(
+        (count(col(c)) / n).cast("double").as(s"${c}__completeness"),
+        min(col(c)).cast("double").as(s"${c}__lower"),
+        max(col(c)).cast("double").as(s"${c}__upper")))
+      val row = src.agg(aggs.head, aggs.tail: _*).head()
+      smallTable(cols, row, Seq("completeness", "lower", "upper"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$baselineDir/constraints")
+    } finally df.unpersist(false)
   }
 
   /** Long-form (column_name, metric…) table from one wide agg row —
@@ -153,16 +159,19 @@ class Monitor(val catalog: Catalog, val endpointName: String) {
     // `current` is usually the parsed capture (JSON scan + per-line CSV
     // parse) and both PSI and the drift flags scan it — persist for the
     // report's duration and return the metadata-sized (one row per
-    // column) result eagerly so the cache can be released here
+    // column) result eagerly so the cache can be released here. The
+    // baseline side is scanned three times too (percentile edges,
+    // bucket counts, drift stats) — same treatment.
     val cur = current.persist()
+    val bse = base.persist()
     try {
-      val out = graft.eda.Quality.psiDrift(cur, base, cols, bins)
-        .join(graft.eda.Quality.detectDrift(cur, base, cols, threshold),
+      val out = graft.eda.Quality.psiDrift(cur, bse, cols, bins)
+        .join(graft.eda.Quality.detectDrift(cur, bse, cols, threshold),
           Seq("column_name"))
         .orderBy("column_name")
       val rows = out.collect()
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), out.schema)
-    } finally cur.unpersist(false)
+    } finally { cur.unpersist(false); bse.unpersist(false) }
   }
 }
