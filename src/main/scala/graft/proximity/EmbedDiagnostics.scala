@@ -27,9 +27,13 @@ object EmbedDiagnostics {
     * is a narrow cone and cosine retrieval is saturating. Returns one
     * row: (n, dim, mean_cosine 6dp). */
   def anisotropy(df: DataFrame, vecCol: String): DataFrame = {
-    val norm = sqrt(aggregate(transform(col(vecCol),
-      x => x.cast("double") * x.cast("double")), lit(0.0),
-      (acc, e) => acc + e))
+    // tight-loop sum-of-squares kernel — identical IEEE sum (cast each
+    // element to double, multiply, accumulate in index order) to the
+    // interpreted aggregate(transform(...)) it replaces; in anisotropy
+    // this expression sits INSIDE the normalize lambda and was being
+    // re-evaluated per element (O(d²) interpreted work per row, the
+    // whole query's single-task hot spot)
+    val norm = sqrt(graft.functions.VecKernels.sqnormCast(col(vecCol)))
     val base = df.filter(col(vecCol).isNotNull)
       .select(transform(col(vecCol),
         x => round(x.cast("double") / norm, 6)).as("__q"))
@@ -324,9 +328,13 @@ object EmbedDiagnostics {
     * Returns (label, n, mean_norm 6dp, p50_norm 6dp, max_norm 6dp). */
   def normProfile(df: DataFrame, vecCol: String,
                   labelCol: String): DataFrame = {
-    val norm = sqrt(aggregate(transform(col(vecCol),
-      x => x.cast("double") * x.cast("double")), lit(0.0),
-      (acc, e) => acc + e))
+    // tight-loop sum-of-squares kernel — identical IEEE sum (cast each
+    // element to double, multiply, accumulate in index order) to the
+    // interpreted aggregate(transform(...)) it replaces; in anisotropy
+    // this expression sits INSIDE the normalize lambda and was being
+    // re-evaluated per element (O(d²) interpreted work per row, the
+    // whole query's single-task hot spot)
+    val norm = sqrt(graft.functions.VecKernels.sqnormCast(col(vecCol)))
     df.filter(col(vecCol).isNotNull)
       .select(col(labelCol).as("label"), round(norm, 6).as("__n"))
       .groupBy("label")

@@ -46,9 +46,7 @@ object Embeddings {
     // PAIR); the per-pair work is then a single zip_with dot
     val b = broadcast(bench.select(col(idCol).as("__bid"),
       Pq.unitize(col(vecCol)).as("__bv")))
-    val dot = aggregate(
-      zip_with(col("__cv"), col("__bv"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.VecKernels.dot(col("__cv"), col("__bv"))
     corpus.select(col(idCol), Pq.unitize(col(vecCol)).as("__cv"))
       .crossJoin(b)
       .select(col(idCol),

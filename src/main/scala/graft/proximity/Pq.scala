@@ -54,10 +54,13 @@ object Pq {
     * exactly that mistake). Callers below normalize on the SMALL
     * per-row projections and feed already-unit vectors to the raw ADC
     * kernel. */
-  def unitize(vec: Column): Column = {
-    val norm = sqrt(aggregate(vec, lit(0.0), (a, x) => a + x * x))
-    transform(vec, x => when(norm > 0.0, x / norm).otherwise(x))
-  }
+  def unitize(vec: Column): Column =
+    // one-pass imperative kernel; the HOF form re-evaluated the O(d)
+    // norm aggregate PER ELEMENT (the exact mistake the scaladoc above
+    // warns callers about — it was inside this helper too). Identical
+    // values and null semantics: null element / zero norm / NaN norm →
+    // input unchanged, else x/‖v‖ elementwise.
+    graft.functions.VecKernels.unitize(vec)
 
   /** ADC on an ALREADY-normalized query vector — the hot-path form
     * evaluated once per (query, candidate) pair. */

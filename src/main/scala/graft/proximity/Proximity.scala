@@ -29,27 +29,25 @@ object Proximity {
   /** Cosine similarity between two double-array columns. Computed with
     * codegen'd higher-order functions (zip_with/aggregate) — no UDF.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    // imperative kernel, bit-identical to the HOF form it replaced
+    // (dot/(‖a‖·‖b‖), per-element ops in the array's element type, sums
+    // in double): the interpreted aggregate(zip_with(...)) machinery was
+    // the dominant cost of every brute-force pair evaluation (guide §4)
+    graft.functions.VecKernels.cosineSim(a, b)
 
-  /** Euclidean distance between two double-array columns. */
+  /** Euclidean distance between two numeric-array columns (same-typed
+    * elements; float pairs subtract/square in float like the HOF did). */
   def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+    graft.functions.VecKernels.euclid(a, b)
 
   /** Ruzicka (weighted-Tanimoto) distance on count vectors:
     * d = 1 − Σmin(a,b)/Σmax(a,b)
     * (reference identity: fingerprint_proximity.py:27-30 uses
     * 2·L1/(Sq+Sr+L1); equivalent to 1 − Σmin/Σmax for non-negative counts).
     */
-  def ruzicka(a: Column, b: Column): Column = {
-    val smin = aggregate(zip_with(a, b, (x, y) => least(x, y)), lit(0.0), (acc, v) => acc + v)
-    val smax = aggregate(zip_with(a, b, (x, y) => greatest(x, y)), lit(0.0), (acc, v) => acc + v)
-    lit(1.0) - when(smax === 0, lit(1.0)).otherwise(smin / smax)
-  }
+  def ruzicka(a: Column, b: Column): Column =
+    graft.functions.VecKernels.ruzicka(a, b)
 
   /** Exact brute-force top-k neighbor join.
     *
@@ -231,8 +229,11 @@ object Proximity {
         lit(scala.util.hashing.MurmurHash3.productHash((t, p, i)).toDouble
           / Int.MaxValue)
       }: _*)
-      val dot = aggregate(zip_with(vec, plane, (x, y) => x * y),
-        lit(0.0), (a, v) => a + v)
+      // imperative dot kernel (identical double-sum to the HOF form it
+      // replaced — every caller projects the vector to array<double>);
+      // with nPlanes×nTables signatures per ROW the interpreted lambda
+      // machinery was the dominant signature-stage cost (guide §4)
+      val dot = graft.functions.VecKernels.dot(vec, plane)
       when(dot >= 0, lit(1)).otherwise(lit(0))
     }
     bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
@@ -288,7 +289,9 @@ object Proximity {
       lit(scala.util.hashing.MurmurHash3.productHash((t, j, i)).toDouble
         / Int.MaxValue)
     }: _*)
-    aggregate(zip_with(vec, plane, (x, y) => x * y), lit(0.0), (a, v) => a + v)
+    // same kernel swap as hyperplaneSignature: double-array dot, bit-
+    // identical sum order, no per-element lambda interpretation
+    graft.functions.VecKernels.dot(vec, plane)
   }
 
   /** Grid-bucketed approximate euclidean KNN — the whole-table self-KNN
